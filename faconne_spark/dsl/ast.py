@@ -1,0 +1,151 @@
+"""Pattern AST for the transform DSL.
+
+Mirrors the reference grammar (reference: src/faconne/parse_domain.cljc:8-25
+for domains, src/faconne/parse_range.cljc for ranges) with Python syntax:
+
+Domain patterns
+---------------
+* ``V.x`` / ``Var("x")``      — bind a variable (leaf or traversal key)
+* ``V._`` / ``Wild()``        — anonymous binding (traverse, don't bind)
+* ``[pat]``                   — iterate a vector/array (or DataFrame rows)
+* ``[p1, p2, ...]``           — take the vector n at a time (reference
+                                 demo.clj:369-382); ``V._`` skips positions
+* ``SetOf(pat)``              — iterate a set
+* ``{...}``                   — map/struct traversal; keys may be:
+    - ``str`` / ``Lit(x)``    — literal key get (getField / element_at)
+    - ``Var``                 — traverse all entries binding key;
+                                 several Var keys → all k-groupings of
+                                 entries (reference demo.clj:354-367)
+    - ``Keys("a", "b")``      — clojure ``{:keys [a b]}`` destructuring
+    - ``As("name")``          — bind the whole node (``:as``)
+    - ``(V.a, V.b)``          — destructured (array/struct) key
+    - ``Keys(...)`` as key with dict value — destructured map key
+
+Range patterns
+--------------
+* ``V.x`` or SQL-expr ``str`` — per-leaf value expression (supports
+                                 ``"expr AS name"`` aliasing)
+* ``[elem]``                  — build a list (canonically sorted)
+* ``SetOf(elem)``             — build a set
+* ``{key: sub}`` (Var/expr keys) — grouping (map build)
+* ``{"lit": sub, ...}`` (literal str keys) — fixed-shape struct; branches
+                                 at different grouping depths are computed
+                                 independently and deep-merged by joining
+                                 on shared outer keys (reference
+                                 parse_range.cljc:33-57 deep-merge)
+* ``Agg("sum(x)")``           — ``^:expand`` reducer: an aggregate SQL
+                                 expression evaluated once the group is
+                                 fully built (reference
+                                 parse_range.cljc:112-139)
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+
+_wild_counter = itertools.count()
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"V.{self.name}"
+
+
+@dataclass(frozen=True)
+class Wild(Var):
+    """Anonymous traversal slot (clojure ``_``)."""
+
+    name: str = field(default_factory=lambda: f"__wild_{next(_wild_counter)}")
+
+
+@dataclass(frozen=True)
+class Lit:
+    """Explicit literal key — reference ``(:literal x)``,
+    src/faconne/parse_domain.cljc:111-119."""
+
+    value: object
+
+
+@dataclass(frozen=True)
+class Keys:
+    """``{:keys [a b]}`` destructuring (src/faconne/parse_domain.cljc:83-93)."""
+
+    names: tuple
+
+    def __init__(self, *names: str):
+        object.__setattr__(self, "names", tuple(names))
+
+
+@dataclass(frozen=True)
+class As:
+    """``:as`` whole-node binding (src/faconne/parse_domain.cljc:95-103)."""
+
+    name: str
+
+
+class SetOf:
+    """Set pattern (Python sets can't hold dicts/lists, so sets are spelled
+    ``SetOf(elem)`` in both domain and range positions)."""
+
+    def __init__(self, elem):
+        self.elem = elem
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"SetOf({self.elem!r})"
+
+
+class Agg:
+    """``^:expand`` reducer: SQL aggregate expression over the fully built
+    group — e.g. ``Agg("avg(grade)")``, ``Agg("count(distinct student)")``,
+    ``Agg("greatest(max(g1), max(g2))")`` (nested expands compose inside
+    one SQL expression). ``alias`` names the output column."""
+
+    def __init__(self, sql: str, alias: str | None = None):
+        self.sql = sql
+        self.alias = alias
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Agg({self.sql!r})"
+
+
+class K:
+    """Computed grouping key in a range dict — e.g.
+    ``{K("if(handled, 'handled', 'unhandled') AS status"): ...}``
+    (reference demo.clj:164-167: arbitrary exprs as map keys). Plain
+    ``str`` dict keys in ranges are literal *field names* (fixed-shape
+    struct); computed keys must be wrapped in ``K`` or be a ``Var``."""
+
+    def __init__(self, sql: str, alias: str | None = None):
+        self.sql = sql
+        self.alias = alias
+
+    def __hash__(self):  # usable as a dict key
+        return hash((self.sql, self.alias))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, K)
+            and (self.sql, self.alias) == (other.sql, other.alias)
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"K({self.sql!r})"
+
+
+class _VFactory:
+    """``V.x`` → ``Var("x")``; ``V._`` → fresh ``Wild``."""
+
+    def __getattr__(self, name: str):
+        if name == "_":
+            return Wild()
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return Var(name)
+
+
+V = _VFactory()

@@ -1,0 +1,130 @@
+"""Nested-Python-literal ⇄ DataFrame bridge.
+
+Only for small data: parity tests against the reference's outputs and
+driver-side convenience. The scalable path is DataFrames end-to-end;
+``collect_nested`` is the explicit escape hatch that materialises a
+transform result as the literal nested object the reference would
+return.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from faconne_spark.dsl.compiler import shape_of
+from faconne_spark.dsl.range_ import Shape
+from faconne_spark.errors import FaconneError
+
+
+def to_df(obj, spark: SparkSession | None = None, schema=None) -> DataFrame:
+    """Convert a nested Python literal to a DataFrame.
+
+    * list of dicts  → rows (the scalable shape; like JDBC resultsets in
+      the reference's motivating examples, demo.clj:45-54)
+    * any other list/set → single row, one ``__root`` array column
+    * dict           → single row, one ``__root`` map column
+    """
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            from faconne_spark.session import get_session
+
+            spark = get_session()
+    if isinstance(obj, list) and obj and all(isinstance(r, dict) for r in obj):
+        if schema is not None:
+            return spark.createDataFrame(obj, schema=schema)
+        return spark.createDataFrame(obj)
+    if isinstance(obj, (list, set, frozenset, dict)):
+        data = [{"__root": _norm(obj)}]
+        if schema is not None:
+            return spark.createDataFrame(data, schema=schema)
+        return spark.createDataFrame(data)
+    raise FaconneError(f"cannot convert {type(obj)} to DataFrame")
+
+
+def _norm(x):
+    """Sets → lists (Spark has no set literal type)."""
+    if isinstance(x, (set, frozenset)):
+        return sorted((_norm(v) for v in x), key=repr)
+    if isinstance(x, dict):
+        return {k: _norm(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_norm(v) for v in x]
+    return x
+
+
+def collect_nested(df: DataFrame, shape: Shape | None = None):
+    """Materialise a transform result as the literal nested Python object
+    (reference semantics: what ``f/transform`` returns). Driver-side —
+    use only on small results."""
+    shape = shape or shape_of(df)
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    return _assemble_top(rows, shape)
+
+
+def _assemble_top(rows, shape: Shape):
+    if shape.kind == "group":
+        out = {}
+        for r in rows:
+            out[r[shape.key]] = _assemble_row_child(r, shape)
+        return out
+    if shape.kind in ("rows", "rowset"):
+        child = shape.child
+        if child.kind == "struct":
+            vals = [
+                {f: _convert(r[col], s) for f, (col, s) in child.fields.items()}
+                for r in rows
+            ]
+        else:
+            vals = [_convert(r[shape.col], child) for r in rows]
+        if shape.kind == "rowset":
+            return _to_hashable_set(vals)
+        return vals
+    if shape.kind == "struct":
+        (r,) = rows or [{}]
+        return {f: _convert(r.get(col), s) for f, (col, s) in shape.fields.items()}
+    if shape.kind == "scalar":
+        if not rows:
+            return None
+        (r,) = rows
+        return r[shape.col]
+    raise FaconneError(f"cannot assemble shape {shape.kind}")
+
+
+def _assemble_row_child(r, shape: Shape):
+    child = shape.child
+    if child.kind == "struct" and shape.col is None:
+        return {
+            f: _convert(r[col if col else f], s)
+            for f, (col, s) in child.fields.items()
+        }
+    return _convert(r[shape.col or "__v"], child)
+
+
+def _convert(val, shape: Shape):
+    if val is None:
+        return None
+    if shape is None or shape.kind == "scalar":
+        return val
+    if shape.kind == "group":
+        return {k: _convert(v, shape.child) for k, v in val.items()}
+    if shape.kind == "list":
+        return [_convert(v, shape.child) for v in val]
+    if shape.kind == "set":
+        return _to_hashable_set([_convert(v, shape.child) for v in val])
+    if shape.kind == "struct":
+        return {f: _convert(val.get(f), s) for f, (_, s) in shape.fields.items()}
+    raise FaconneError(f"cannot convert shape {shape.kind}")
+
+
+def _to_hashable_set(vals):
+    def h(v):
+        if isinstance(v, list):
+            return tuple(h(x) for x in v)
+        if isinstance(v, set):
+            return frozenset(h(x) for x in v)
+        if isinstance(v, dict):
+            return frozenset((k, h(x)) for k, x in v.items())
+        return v
+
+    return {h(v) for v in vals}

@@ -1,0 +1,79 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the same conf block is what we would
+ship on a real cluster (AQE handles skew + partition coalescing at
+scale, so the static ``shuffle.partitions`` is only a ceiling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app: str = "faconne_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    Cluster guidance (1000 executors / 100 TB):
+      - AQE on: runtime partition coalescing + skew-join splitting mean
+        the static shuffle.partitions is a ceiling, not a tuning knob.
+      - autoBroadcastJoinThreshold stays default (10 MB); dimension
+        tables (region/nation/supplier/part at TPC-H ratios) broadcast;
+        we additionally hint broadcast() explicitly where the optimizer
+        cannot see smallness (post-aggregation dims).
+      - maxPartitionBytes 128 MB keeps scan tasks ~row-group sized.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as long and convert (µs precision) in load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load every parquet table in ``sf_dir`` and register temp views."""
+    tables = {}
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events":
+                df = _fix_nanos(df)
+            df.createOrReplaceTempView(name)
+            tables[name] = df
+    return tables
+
+
+def _fix_nanos(df):
+    """events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
+    arrives as a long — convert to a µs timestamp (DuckDB's native
+    resolution, so oracles agree)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if isinstance(schema.get("ts"), LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
