@@ -90,13 +90,27 @@ class As:
 
 class SetOf:
     """Set pattern (Python sets can't hold dicts/lists, so sets are spelled
-    ``SetOf(elem)`` in both domain and range positions)."""
+    ``SetOf(elem)`` in both domain and range positions). In ranges,
+    multiple arguments build a multi-element set per leaf — the
+    reference's ``#{v1 v2}`` (parse_range.cljc:219-224 conj's each
+    element)."""
 
-    def __init__(self, elem):
-        self.elem = elem
+    def __init__(self, *elems):
+        if not elems:
+            raise ValueError("SetOf needs at least one element pattern")
+        if len(elems) == 1 and isinstance(elems[0], list):
+            # SetOf([a, b]) ≡ SetOf(a, b) — clojure #{a b}
+            elems = tuple(elems[0])
+        self.elems = elems
+
+    @property
+    def elem(self):
+        if len(self.elems) != 1:
+            raise ValueError("SetOf with multiple elements used where one is expected")
+        return self.elems[0]
 
     def __repr__(self) -> str:  # pragma: no cover
-        return f"SetOf({self.elem!r})"
+        return f"SetOf({', '.join(map(repr, self.elems))})"
 
 
 class Agg:

@@ -134,16 +134,14 @@ class Binder:
 
     # Root: DataFrame rows are the top-level collection.
     def _enter_root(self, domain) -> None:
-        if isinstance(domain, list) and len(domain) == 1:
+        if len(self._orig_cols) == 1 and self._orig_cols[0] == "__root":
+            # literal-object mode (pyobj.to_df): bind against the value
+            self._go(domain, F.col("__root"))
+        elif isinstance(domain, list) and len(domain) == 1:
             # [elem] over rows: each row is one element.
             self._go(domain[0], None)
         elif isinstance(domain, (list, SetOf)) or isinstance(domain, dict):
-            if (
-                len(self._orig_cols) == 1
-                and self._orig_cols[0] == "__root"
-            ):
-                self._go(domain, F.col("__root"))
-            elif isinstance(domain, dict):
+            if isinstance(domain, dict):
                 self._go(domain, None)
             else:
                 raise FaconneError(
@@ -189,6 +187,12 @@ class Binder:
             return
         if isinstance(node, dict):
             self._go_map(node, src)
+            return
+        if isinstance(node, tuple):
+            # positional destructure of a fixed-size array/struct value
+            # (reference test/core.clj:297-305 pair-map keys)
+            dt = None if src is None else self._dtype(src)
+            self._bind_key_pattern(node, src, dt)
             return
         raise FaconneError(f"unsupported domain node: {node!r}")
 

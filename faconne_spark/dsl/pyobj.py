@@ -33,7 +33,16 @@ def to_df(obj, spark: SparkSession | None = None, schema=None) -> DataFrame:
     if isinstance(obj, list) and obj and all(isinstance(r, dict) for r in obj):
         if schema is not None:
             return spark.createDataFrame(obj, schema=schema)
-        return spark.createDataFrame(obj)
+        # rows: nested dicts are fixed-field records → infer as structs
+        # (MapType would coerce mixed value types to string). The
+        # single-__root path below keeps dict→MapType for dynamic keys.
+        key = "spark.sql.pyspark.inferNestedDictAsStruct.enabled"
+        old = spark.conf.get(key, "false")
+        spark.conf.set(key, "true")
+        try:
+            return spark.createDataFrame(obj)
+        finally:
+            spark.conf.set(key, old)
     if isinstance(obj, (list, set, frozenset, dict)):
         data = [{"__root": _norm(obj)}]
         if schema is not None:

@@ -113,9 +113,7 @@ class RangeBuilder:
             return "struct(" + ", ".join(parts) + ")"
         if isinstance(node, (SetOf, list)):
             # row-wise collection, e.g. the inner set of #{#{k k'}}
-            elems = node.elem if isinstance(node, SetOf) else node
-            if not isinstance(elems, (list, tuple)):
-                elems = [elems]
+            elems = list(node.elems) if isinstance(node, SetOf) else node
             arr = "array(" + ", ".join(self._elem_sql(e) for e in elems) + ")"
             if isinstance(node, SetOf):
                 return f"array_sort(array_distinct({arr}))"
@@ -149,24 +147,31 @@ class RangeBuilder:
             # non-orderable types).
             return f"any_value({sql})"
         if isinstance(node, SetOf):
-            e = self._elem_sql(node.elem)
-            agg = f"collect_set({e})"
-            return f"array_sort({agg})" if self._orderable(e) else agg
+            elems = list(node.elems)
+            if len(elems) == 1:
+                e = self._elem_sql(elems[0])
+                agg = f"collect_set({e})"
+            else:
+                # multi-element set build: #{e1 e2} conj's each per leaf
+                arr = "array(" + ", ".join(self._elem_sql(e) for e in elems) + ")"
+                e = arr
+                agg = f"array_distinct(flatten(collect_list({arr})))"
+            return f"array_sort({agg})" if self._orderable(self._elem_sql(elems[0])) else agg
         if isinstance(node, list):
-            if len(node) != 1:
-                raise FaconneError(
-                    f"range vectors hold one element pattern, got {node!r}"
-                )
-            e = self._elem_sql(node[0])
-            agg = f"collect_list({e})"
-            return f"array_sort({agg})" if self._orderable(e) else agg
+            if len(node) == 1:
+                e = self._elem_sql(node[0])
+                agg = f"collect_list({e})"
+            else:
+                arr = "array(" + ", ".join(self._elem_sql(e) for e in node) + ")"
+                agg = f"flatten(collect_list({arr}))"
+            return f"array_sort({agg})" if self._orderable(self._elem_sql(node[0])) else agg
         raise FaconneError(f"cannot aggregate range node: {node!r}")
 
     def _value_shape(self, node) -> Shape:
         if isinstance(node, Agg) or isinstance(node, (Var, str)):
             return Shape("scalar")
         if isinstance(node, SetOf):
-            return Shape("set", child=self._leaf_elem_shape(node.elem))
+            return Shape("set", child=self._leaf_elem_shape(node.elems[0]))
         if isinstance(node, list):
             return Shape("list", child=self._leaf_elem_shape(node[0]))
         raise FaconneError(f"no shape for {node!r}")
@@ -181,8 +186,7 @@ class RangeBuilder:
                 },
             )
         if isinstance(elem, SetOf):
-            return Shape("set", child=self._leaf_elem_shape(
-                elem.elem if not isinstance(elem.elem, (list, tuple)) else elem.elem[0]))
+            return Shape("set", child=self._leaf_elem_shape(elem.elems[0]))
         if isinstance(elem, list):
             return Shape("list", child=self._leaf_elem_shape(elem[0]))
         return Shape("scalar")
@@ -297,10 +301,17 @@ def build_range(flat: DataFrame, node) -> tuple:
 
     # rows mode: top-level vector / set
     if isinstance(node, (list, SetOf)):
-        elems = node.elem if isinstance(node, SetOf) else node
-        if isinstance(node, list) and len(node) != 1:
-            raise FaconneError("top-level range vector takes one element pattern")
-        elem = elems[0] if isinstance(elems, list) else elems
+        elems = list(node.elems) if isinstance(node, SetOf) else node
+        if len(elems) > 1:
+            # multi-element build: each leaf contributes every element
+            exprs = [F.expr(b._elem_sql(e)) for e in elems]
+            df = flat.select(F.explode(F.array(*exprs)).alias("value"))
+            shape = Shape("rows", child=Shape("scalar"), col="value")
+            if isinstance(node, SetOf):
+                df = df.distinct()
+                shape.kind = "rowset"
+            return df, shape
+        elem = elems[0]
         if isinstance(elem, dict) and _is_struct_dict(elem):
             cols = []
             fields = {}
