@@ -308,7 +308,14 @@ class Binder:
                     and kpat.name in self._orig_cols:
                 rest = [c for c in self._orig_cols if c != kpat.name]
                 self._bind_var(kpat.name, F.col(kpat.name))
-                self._go(vpat, F.struct(*[F.col(c) for c in rest]))
+                # name-addressing patterns (dict/Keys/As) see the value
+                # as a struct of the remaining columns; positional /
+                # collection patterns unwrap a single value column.
+                by_name = isinstance(vpat, (dict, Keys, As))
+                if len(rest) == 1 and not by_name:
+                    self._go(vpat, F.col(rest[0]))
+                else:
+                    self._go(vpat, F.struct(*[F.col(c) for c in rest]))
                 return
             raise FaconneError(
                 "dynamic {key: value} traversal over DataFrame rows is not "

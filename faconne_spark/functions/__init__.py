@@ -1,0 +1,164 @@
+"""Portable Column-expression builders.
+
+Every function here returns a *SQL expression string* in either the
+Spark or DuckDB dialect, so each pipeline operator can be computed
+bit-identically by both engines (the driver's correctness oracle runs
+DuckDB on the same parquet). The shared primitive is a 60-bit hash
+derived from md5 — md5 is identical everywhere, and 15 hex digits fit a
+signed BIGINT in both engines. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# portable 60-bit hash
+# ---------------------------------------------------------------------------
+
+
+def phash60(expr: str, dialect: str) -> str:
+    """Deterministic 60-bit hash of a string expression, identical in
+    Spark and DuckDB."""
+    if dialect == "spark":
+        return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def tokens_ws(expr: str, dialect: str) -> str:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    if dialect == "spark":
+        return f"split(trim({expr}), '\\\\s+')"
+    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space symbol
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]"
+BPE_RE_DUCK = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def tokens_bpe_count(expr: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"size(regexp_extract_all({expr}, '{BPE_RE}', 0))"
+    return f"len(regexp_extract_all({expr}, '{BPE_RE_DUCK}'))"
+
+
+def word_shingles(expr: str, n: int, dialect: str) -> str:
+    """Distinct word n-gram shingles of a text column (joined by
+    spaces). Built from the token array with higher-order functions —
+    no UDF, vectorizable in both engines."""
+    toks = tokens_ws(expr, dialect)
+    if dialect == "spark":
+        return (
+            f"array_distinct(transform("
+            f"sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        )
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+
+
+_MH_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+
+
+def _mh_consts(k: int) -> list:
+    """Deterministic affine-permutation constants (< 2^30 so every
+    product stays below 2^60 — identical overflow-free arithmetic in
+    both engines)."""
+    out, seed = [], 123456789
+    for _ in range(k):
+        row = []
+        for _ in range(3):
+            seed = (1103515245 * seed + 12345) % (1 << 30)
+            row.append(seed | 1)
+        out.append(row)
+    return out
+
+
+def minhash_sig(shingles: str, k: int, dialect: str) -> str:
+    """MinHash signature: ONE md5 per shingle, then k affine
+    permutations of the 60-bit value (split into two 30-bit halves so
+    products never overflow BIGINT). min per permutation. Returns
+    array<bigint>[k].
+
+    This is the 100-TB-relevant formulation: hashing cost is O(shingles),
+    not O(shingles × k)."""
+    consts = _mh_consts(k)
+    if dialect == "spark":
+        hs = f"transform({shingles}, s -> {phash60('s', 'spark')})"
+        mins = ", ".join(
+            f"aggregate(hh, cast(9223372036854775807 as bigint), (acc, h) -> "
+            f"least(acc, ({a}L * (h % 1073741824) + {b}L * (h div 1073741824)"
+            f" + {c}L) % {_MH_MOD}L))"
+            for a, b, c in consts
+        )
+        # bind the hashed-shingle array once via a 1-element transform
+        # (lambda-scoped let), so md5 runs once per shingle
+        return f"transform(array({hs}), hh -> array({mins}))[0]"
+    hs = f"list_transform({shingles}, s -> {phash60('s', 'duckdb')})"
+    mins = ", ".join(
+        f"list_min(list_transform(hh, h -> ({a} * (h % 1073741824)"
+        f" + {b} * (h // 1073741824) + {c}) % {_MH_MOD}))"
+        for a, b, c in consts
+    )
+    return (
+        f"list_transform([{hs}], hh -> [{mins}])[1]"
+    )
+
+
+def band_sig(sig: str, band: int, r: int, dialect: str) -> str:
+    """LSH band signature: hash of the band'th slice of r minhashes."""
+    lo = band * r + 1
+    if dialect == "spark":
+        return f"md5(concat_ws(',', slice({sig}, {lo}, {r})))"
+    return f"md5(array_to_string({sig}[{lo}:{lo + r - 1}], ','))"
+
+
+def simhash32(toks: str, dialect: str) -> str:
+    """32-bit SimHash over a token array: per bit position, majority
+    vote of token-hash bits. Tokens are hashed ONCE (md5 is the
+    expensive part); the 32 bit-majorities run over the cached hash
+    array."""
+    h = phash60("t", dialect)
+    if dialect == "spark":
+        hs = f"transform({toks}, t -> {h})"
+        body = (
+            f"aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> "
+            f"acc + if(aggregate(hh, cast(0 as bigint), (c, v) -> "
+            f"c + if(shiftright(v, i) % 2 = 1, 1, -1)) > 0, shiftleft(cast(1 as bigint), i), 0))"
+        )
+        return f"transform(array({hs}), hh -> {body})[0]"
+    hs = f"list_transform({toks}, t -> {h})"
+    body = (
+        f"list_sum(list_transform(range(0, 32), i -> "
+        f"CASE WHEN list_sum(list_transform(hh, v -> "
+        f"CASE WHEN (v >> i) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (1::BIGINT << i) ELSE 0 END))::BIGINT"
+    )
+    return f"list_transform([{hs}], hh -> {body})[1]"
+
+
+def cosine_sim(a: str, b: str, dialect: str) -> str:
+    """Cosine similarity of two float-array columns."""
+    if dialect == "spark":
+        dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+        na = f"sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+        nb = f"sqrt(aggregate({b}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+        return f"({dot}) / nullif(({na}) * ({nb}), 0.0)"
+    return f"list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+# language-ID stopword profiles (tiny, public-knowledge word lists)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por", "con", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "que", "pour", "dans"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"],
+    "zh": ["de5", "shi4", "bu4", "le5", "wo3", "you3", "zai4", "ta1", "men5", "zhe4"],
+}
+
+
+def lang_array_sql(lang: str, dialect: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return f"array({words})" if dialect == "spark" else f"[{words}]"

@@ -1,0 +1,152 @@
+"""Deduplication family for large-scale document corpora.
+
+All operators avoid O(n²): exact dedup is one hash-groupBy; near-dup
+candidates come from LSH banding (shared-bucket join), never all-pairs.
+Everything is Catalyst expressions built from the portable builders in
+``faconne_spark.functions``, so the DuckDB oracles compute the exact
+same results.
+
+Scale notes (100 TB): the only shuffles are groupBy(fingerprint) /
+groupBy(band) / candidate-pair join keys; bucket sizes are bounded by
+band width choice (b, r); AQE's skew-join handles hot buckets (e.g.
+empty-document shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from faconne_spark.functions import (
+    band_sig,
+    minhash_sig,
+    phash60,
+    simhash32,
+    tokens_ws,
+    word_shingles,
+)
+
+NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on normalised text: keeper = min doc_id per
+    fingerprint; one map-side-combinable groupBy."""
+    return (
+        docs.select(
+            "doc_id", F.expr(phash60(NORM, "spark")).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_shingle: int = 3, k: int = 12, bands: int = 4
+) -> DataFrame:
+    """MinHash + LSH candidate pairs.
+
+    shingle → k-perm minhash signature → b bands of r = k/b hashes →
+    groupBy band bucket → within-bucket pairs (id_a < id_b) → distinct,
+    with the estimated Jaccard = fraction of agreeing minhashes.
+    The shuffle key is the band signature; no all-pairs comparison ever
+    happens.
+    """
+    r = k // bands
+    sig = minhash_sig(word_shingles("text", n_shingle, "spark"), k, "spark")
+    with_sig = docs.select("doc_id", F.expr(sig).alias("sig"))
+    banded = with_sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[F.expr(band_sig("sig", b, r, "spark")) for b in range(bands)]
+            )
+        ).alias("band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr(
+                "cast(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
+                " v -> v)) as double) / cast(size(a.sig) as double)"
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n_shingle: int = 3, threshold: float = 0.5,
+    n_bands: int = 4, k: int = 12,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates: candidates from
+    :func:`minhash_lsh_pairs` banding, then the exact intersection/union
+    ratio on the shingle sets, kept when ≥ threshold."""
+    sh = word_shingles("text", n_shingle, "spark")
+    shingled = docs.select("doc_id", F.expr(sh).alias("sh"))
+    cand = minhash_lsh_pairs(docs, n_shingle, k, n_bands).select("id_a", "id_b")
+    j = (
+        cand.join(shingled.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shingled.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "cast(size(array_intersect(sh_a, sh_b)) as double) /"
+                " cast(size(array_union(sh_a, sh_b)) as double)"
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup candidates: 32-bit simhash, bucketed by 4 8-bit
+    bands (pigeonhole: hamming ≤ 3 guarantees a shared band; wider
+    distances are best-effort, as in production simhash deployments),
+    exact hamming filter on candidates."""
+    toks = tokens_ws("text", "spark")
+    with_h = docs.select("doc_id", F.expr(simhash32(toks, "spark")).alias("sh"))
+    banded = with_h.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"concat('{b}#', shiftright(sh, {b * 8}) % 256)")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.sh ^ b.sh)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,97 @@
+"""Relational operators beyond the built-in surface.
+
+Scale notes are per-operator; everything stays in Catalyst (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list, order: list, k: int
+) -> DataFrame:
+    """Top-k rows per group via one window rank — single shuffle on the
+    partition keys; at 100 TB this is the canonical formulation (AQE
+    splits skewed groups)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` for the same key.
+
+    Spark-first strategy: tag + union both inputs, then one window
+    ``last(..., ignorenulls)`` ordered by time per key — a single
+    shuffle on the key, no per-row lookups, no range explosion. This is
+    the sort-merge formulation that scales linearly; a broadcast
+    interval join would blow up on dense right sides.
+    """
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = lt.unionByName(rt)
+    # right rows sort before left rows at equal timestamps → "<=" semantics
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+    ).filter(F.col("__is_left") == 1)
+    out = carried.select(
+        F.col("__lrow.*"),
+        *[F.col(f"__c_{c}").alias(c) for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    upper_expr: str,
+) -> DataFrame:
+    """Band join: right rows with ``left_time < right_time <= upper``.
+    Expressed as an equi-join on the key plus range predicates so Spark
+    plans a shuffled hash/sort-merge join on the key (never a cartesian
+    product; verified in tests/test_plans)."""
+    lt = left.alias("l")
+    rt = right.alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_time}") > F.col(f"l.{left_time}"))
+        & (F.col(f"r.{right_time}") <= F.expr(upper_expr))
+    )
+    return lt.join(rt, cond)

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (a broadcast of
+the small query set against a full scan — linear, no shuffle of the
+corpus). The scale path is sign-bit LSH bucketing: hyperplanes are
+derived deterministically from the portable hash so the DuckDB oracle
+reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from faconne_spark.functions import cosine_sim, phash60
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` is expected to be small → broadcast join (no shuffle of
+    the corpus); ranking is one window per query id. Ties broken by
+    vec_id for determinism; similarity rounded so float summation-order
+    differences can't flip the oracle comparison.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = corpus.select("vec_id", "embedding")
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.expr(cosine_sim("embedding", "q_emb", "spark")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def lsh_bucket_expr(emb: str, n_planes: int, dim: int, dialect: str) -> str:
+    """Sign-bit LSH bucket id: ``n_planes`` pseudo-random hyperplanes
+    whose weights are ±1 from the parity of phash60('p{p}d{d}') — fully
+    deterministic and engine-portable, no stored model."""
+    bits = []
+    for p in range(n_planes):
+        if dialect == "spark":
+            salt = f"concat('p{p}d', d)"
+            h = phash60(salt, "spark")
+            dot = (
+                f"aggregate(zip_with({emb}, sequence(0, {dim - 1}),"
+                f" (x, d) -> cast(x as double) * (cast(({h}) % 2 as double) * 2.0 - 1.0)),"
+                f" cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            bits.append(f"if({dot} > 0, {1 << p}, 0)")
+        else:
+            salt = f"'p{p}d' || (d - 1)"
+            h = phash60(salt, "duckdb")
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}),"
+                f" d -> {emb}[d]::DOUBLE * ((({h}) % 2)::DOUBLE * 2.0 - 1.0)))"
+            )
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's LSH
+    bucket are scored. The join key is the bucket id → the corpus
+    shuffles once by bucket instead of broadcating every query against
+    every row; recall is tunable via n_planes."""
+    bucket = lsh_bucket_expr("embedding", n_planes, dim, "spark")
+    c = corpus.select("vec_id", "embedding", F.expr(bucket).alias("bucket"))
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.expr(bucket).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.expr(cosine_sim("embedding", "q_emb", "spark")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )

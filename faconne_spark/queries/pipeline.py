@@ -1,0 +1,396 @@
+"""LLM-training-data pipeline queries over documents/embeddings/events,
+each paired with a DuckDB oracle computing the *same algorithm* from the
+same portable primitives (``faconne_spark.functions``), so results match
+bit-for-bit. mm_image_meta is rows-only (binary decode isn't SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from faconne_spark.functions import (
+    band_sig,
+    cosine_sim,
+    lang_array_sql,
+    minhash_sig,
+    phash60,
+    tokens_bpe_count,
+    tokens_ws,
+    word_shingles,
+    LANG_PROFILES,
+)
+from faconne_spark.operators import dedup as D
+from faconne_spark.operators import multimodal as MM
+from faconne_spark.operators import similarity as S
+from faconne_spark.operators import text as TX
+from faconne_spark.queries import T
+from faconne_spark.streaming import sessionize_batch, window_counts
+
+# shared parameters (both dialects read these)
+N_SHINGLE = 3
+MINHASH_K = 12
+LSH_BANDS = 4
+JACCARD_T = 0.2
+SIMHASH_MAX_HAM = 6
+ANN_K = 10
+ANN_NQ = 5
+LSH_PLANES = 4
+EMB_DIM = 64
+
+
+# ---------------------------------------------------------------- dedup
+
+def dedup_exact(spark, sf):
+    return D.exact_dedup(T(spark, sf, "documents"))
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT {phash60(D.NORM_DUCK, 'duckdb')} AS fingerprint,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(
+        T(spark, sf, "documents"), N_SHINGLE, MINHASH_K, LSH_BANDS
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _duck_sig():
+    return minhash_sig(
+        word_shingles("text", N_SHINGLE, "duckdb"), MINHASH_K, "duckdb"
+    )
+
+
+def _duck_bands_cte() -> str:
+    r = MINHASH_K // LSH_BANDS
+    band_exprs = ", ".join(
+        band_sig("sig", b, r, "duckdb") for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {_duck_sig()} AS sig FROM documents),
+banded AS (
+  SELECT doc_id, sig, unnest([{band_exprs}]) AS band FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id)
+"""
+
+
+ORACLE_MINHASH = (
+    _duck_bands_cte()
+    + f"""
+SELECT id_a, id_b,
+       round(len(list_filter(range(1, {MINHASH_K} + 1),
+                 i -> sig_a[i] = sig_b[i]))::DOUBLE / {MINHASH_K}, 6)
+       AS est_jaccard
+FROM cand
+"""
+)
+
+
+def dedup_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(
+        T(spark, sf, "documents"), N_SHINGLE, JACCARD_T, LSH_BANDS, MINHASH_K
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = (
+    _duck_bands_cte()
+    + f"""
+, shingled AS (
+  SELECT doc_id, {word_shingles('text', N_SHINGLE, 'duckdb')} AS sh
+  FROM documents)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand
+JOIN shingled sa ON sa.doc_id = id_a
+JOIN shingled sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_T}
+"""
+)
+
+
+def dedup_simhash(spark, sf):
+    return D.simhash_pairs(T(spark, sf, "documents"), SIMHASH_MAX_HAM)
+
+
+ORACLE_SIMHASH = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         {D.simhash32(tokens_ws('text', 'duckdb'), 'duckdb')} AS sh
+  FROM documents),
+banded AS (
+  SELECT doc_id, sh,
+         unnest(list_transform(range(0, 4),
+                b -> b::VARCHAR || '#' || ((sh >> (b * 8)) % 256)::VARCHAR))
+         AS band
+  FROM hashed)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}
+"""
+
+
+# ----------------------------------------------------------- similarity
+
+def ann_cosine_topk(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    return S.cosine_topk(emb, queries, ANN_K)
+
+
+ORACLE_ANN_BRUTE = f"""
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         round({cosine_sim('c.embedding', 'q.embedding', 'duckdb')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({cosine_sim('c.embedding', 'q.embedding', 'duckdb')}, 6) DESC,
+                    c.vec_id) AS rk
+  FROM embeddings c
+  JOIN embeddings q ON q.vec_id < {ANN_NQ} AND c.vec_id != q.vec_id)
+WHERE rk <= {ANN_K}
+"""
+
+
+def ann_lsh_bucketed(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    return S.lsh_bucketed_topk(emb, queries, ANN_K, LSH_PLANES, EMB_DIM)
+
+
+_DUCK_BUCKET = S.lsh_bucket_expr("embedding", LSH_PLANES, EMB_DIM, "duckdb")
+
+ORACLE_ANN_LSH = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         round({cosine_sim('c.embedding', 'q.embedding', 'duckdb')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({cosine_sim('c.embedding', 'q.embedding', 'duckdb')}, 6) DESC,
+                    c.vec_id) AS rk
+  FROM bucketed c
+  JOIN bucketed q
+    ON q.vec_id < {ANN_NQ} AND c.bucket = q.bucket AND c.vec_id != q.vec_id)
+WHERE rk <= {ANN_K}
+"""
+
+
+def embed_norm(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr("size(embedding)").alias("dim"),
+        F.round(
+            F.expr(
+                "sqrt(aggregate(embedding, cast(0.0 as double),"
+                " (a, v) -> a + cast(v as double) * cast(v as double)))"
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.round(
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double),"
+                " (a, v) -> a + cast(v as double)) / size(embedding)"
+            ),
+            6,
+        ).alias("mean_val"),
+    )
+
+
+ORACLE_EMBED_NORM = """
+SELECT vec_id, label, len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(embedding,
+             v -> v::DOUBLE * v::DOUBLE))), 6) AS l2_norm,
+       round(list_sum(list_transform(embedding, v -> v::DOUBLE))
+             / len(embedding), 6) AS mean_val
+FROM embeddings
+"""
+
+
+# ----------------------------------------------------------------- text
+
+def text_token_count(spark, sf):
+    return TX.token_count(T(spark, sf, "documents"))
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len({tokens_ws('text', 'duckdb')}) AS n_ws_tokens,
+       {tokens_bpe_count('text', 'duckdb')} AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def text_quality(spark, sf):
+    return TX.quality_score(T(spark, sf, "documents"))
+
+
+_DUCK_TOKS = tokens_ws("text", "duckdb")
+_DUCK_EN = lang_array_sql("en", "duckdb")
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_DUCK_TOKS}) AS n_tokens,
+       round(len(list_distinct({_DUCK_TOKS}))::DOUBLE
+             / len({_DUCK_TOKS}), 6) AS distinct_ratio,
+       round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter({_DUCK_TOKS},
+             t -> list_contains({_DUCK_EN}, lower(t))))::DOUBLE
+             / greatest(len({_DUCK_TOKS}), 1), 6) AS stopword_ratio,
+       round(list_sum(list_transform({_DUCK_TOKS}, t -> length(t)))::DOUBLE
+             / greatest(len({_DUCK_TOKS}), 1), 6) AS mean_token_len
+FROM documents
+"""
+
+
+_LANG_RANK = {lang: i for i, lang in enumerate(sorted(LANG_PROFILES))}
+
+
+def text_lang_id(spark, sf):
+    docs = T(spark, sf, "documents")
+    toks = "array_distinct(" + tokens_ws("lower(text)", "spark") + ")"
+    pairs = ", ".join(
+        f"struct(size(array_intersect({toks}, {lang_array_sql(lang, 'spark')}))"
+        f" * 100 + {_LANG_RANK[lang]} as ordkey, '{lang}' as lang)"
+        for lang in sorted(LANG_PROFILES)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"array_max(array({pairs})).lang").alias("pred_lang"),
+        F.expr(f"array_max(array({pairs})).ordkey div 100").alias("pred_score"),
+    )
+
+
+def _duck_lang_score(lang: str) -> str:
+    toks = "list_distinct(" + tokens_ws("lower(text)", "duckdb") + ")"
+    return (
+        f"len(list_intersect({toks}, {lang_array_sql(lang, 'duckdb')}))"
+        f" * 100 + {_LANG_RANK[lang]}"
+    )
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id, lang,
+       list_max(scored).lang AS pred_lang,
+       list_max(scored).ordkey // 100 AS pred_score
+FROM (
+  SELECT doc_id, lang,
+         [{', '.join(
+             "{'ordkey': " + _duck_lang_score(lang) + ", 'lang': '" + lang + "'}"
+             for lang in sorted(LANG_PROFILES))}] AS scored
+  FROM documents)
+"""
+
+
+def text_fingerprint(spark, sf):
+    return TX.fingerprint(T(spark, sf, "documents"), 4)
+
+
+_DUCK_SH4 = word_shingles("text", 4, "duckdb")
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       list_min(list_transform({_DUCK_SH4}, s -> {phash60('s', 'duckdb')})) AS fp_min,
+       list_max(list_transform({_DUCK_SH4}, s -> {phash60('s', 'duckdb')})) AS fp_max,
+       len({_DUCK_SH4}) AS n_shingles
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ streaming
+
+def stream_window_counts(spark, sf):
+    return window_counts(T(spark, sf, "events"), "1 hour")
+
+
+ORACLE_WINDOW_COUNTS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_session_agg(spark, sf):
+    return sessionize_batch(T(spark, sf, "events"), 30)
+
+
+ORACLE_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+         AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+with_sid AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM with_sid GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       round(sum(sum_value), 6) AS total_value
+FROM per_session GROUP BY user_id
+"""
+
+
+# ----------------------------------------------------------- multimodal
+
+def mm_image_meta(spark, sf):
+    """Binary-column plumbing + Arrow-batched metadata extraction
+    (decode is a deterministic stub — see operators.multimodal)."""
+    docs = T(spark, sf, "documents")
+    return MM.extract_media_meta(MM.synthesize_media(docs))
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "embed_norm": embed_norm,
+    "text_token_count": text_token_count,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "stream_window_counts": stream_window_counts,
+    "stream_session_agg": stream_session_agg,
+    "mm_image_meta": mm_image_meta,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "ann_cosine_topk": ORACLE_ANN_BRUTE,
+    "ann_lsh_bucketed": ORACLE_ANN_LSH,
+    "embed_norm": ORACLE_EMBED_NORM,
+    "text_token_count": ORACLE_TOKEN_COUNT,
+    "text_quality": ORACLE_QUALITY,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+    "stream_window_counts": ORACLE_WINDOW_COUNTS,
+    "stream_session_agg": ORACLE_SESSION,
+    # mm_image_meta: rows-only (binary decode is not SQL-expressible)
+}

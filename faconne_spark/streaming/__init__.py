@@ -1,0 +1,108 @@
+"""Structured Streaming operators.
+
+Each transformation is written against a plain DataFrame so the same
+function body serves batch (oracle-checkable) and streaming
+(``readStream`` → ``writeStream``) — the Structured Streaming model.
+Watermarks bound state for late data; sessionization uses the built-in
+``session_window`` in streaming and an equivalent lag/cumsum
+formulation in batch (windows over unbounded input aren't available in
+streaming, and session_window isn't available in batch group-by — the
+two formulations are checked against each other in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event_type (batch/stream shared)."""
+    return (
+        events.groupBy(
+            F.window("ts", width).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_window_counts(spark, parquet_dir: str, width: str = "1 hour"):
+    """Real streaming flavor: parquet source → watermark → windowed agg.
+    Returns the streaming DataFrame (caller attaches a sink)."""
+    from faconne_spark.session import load_tables  # for schema only
+
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(parquet_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return window_counts(stream.withWatermark("ts", "1 day"), width)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: 30-min-gap sessions per user via lag +
+    running sum — one shuffle on user_id. Emits per-user session stats."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = gap_minutes * 60
+    sessions = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > gap
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("sum_value"), 6).alias("total_value"),
+        )
+    )
+
+
+def sessionize_streaming(spark, parquet_dir: str, gap_minutes: int = 30):
+    """Streaming sessionization with the built-in session_window."""
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
