@@ -10,6 +10,7 @@ return.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
 
 from faconne_spark.dsl.compiler import shape_of
 from faconne_spark.dsl.range_ import Shape
@@ -45,10 +46,58 @@ def to_df(obj, spark: SparkSession | None = None, schema=None) -> DataFrame:
             spark.conf.set(key, old)
     if isinstance(obj, (list, set, frozenset, dict)):
         data = [{"__root": _norm(obj)}]
-        if schema is not None:
-            return spark.createDataFrame(data, schema=schema)
-        return spark.createDataFrame(data)
+        if schema is None:
+            # infer ourselves: Spark's sampler fails on empty containers
+            # ([] / {}), whose element type is irrelevant (result is empty).
+            schema = T.StructType(
+                [T.StructField("__root", _infer_type(_norm(obj)) or T.LongType())]
+            )
+        return spark.createDataFrame(data, schema=schema)
     raise FaconneError(f"cannot convert {type(obj)} to DataFrame")
+
+
+def _infer_type(x):
+    if x is None:
+        return None
+    if isinstance(x, bool):
+        return T.BooleanType()
+    if isinstance(x, int):
+        return T.LongType()
+    if isinstance(x, float):
+        return T.DoubleType()
+    if isinstance(x, str):
+        return T.StringType()
+    if isinstance(x, bytes):
+        return T.BinaryType()
+    if isinstance(x, (list, tuple, set, frozenset)):
+        return T.ArrayType(_unify(_infer_type(v) for v in x) or T.LongType())
+    if isinstance(x, dict):
+        return T.MapType(
+            _unify(_infer_type(k) for k in x) or T.StringType(),
+            _unify(_infer_type(v) for v in x.values()) or T.LongType(),
+        )
+    raise FaconneError(f"cannot infer Spark type for {type(x)}")
+
+
+def _unify(types):
+    out = None
+    for t in types:
+        if t is None:
+            continue
+        if out is None or out == t:
+            out = t
+        elif {out.__class__, t.__class__} == {T.LongType, T.DoubleType}:
+            out = T.DoubleType()
+        elif isinstance(out, T.ArrayType) and isinstance(t, T.ArrayType):
+            out = T.ArrayType(_unify([out.elementType, t.elementType]) or T.LongType())
+        elif isinstance(out, T.MapType) and isinstance(t, T.MapType):
+            out = T.MapType(
+                _unify([out.keyType, t.keyType]) or T.StringType(),
+                _unify([out.valueType, t.valueType]) or T.LongType(),
+            )
+        else:
+            out = T.StringType()  # mixed scalars: stringly-typed fallback
+    return out
 
 
 def _norm(x):

@@ -39,6 +39,9 @@ def get_session(app: str = "faconne_spark", cpus: int | None = None) -> SparkSes
         # default; read as long and convert (µs precision) in load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # default 100 truncates PushedFilters in explain(); plan-shape
+        # tests assert on the full filter list
+        .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.ui.enabled", "false")
     )
     if not SparkSession.getActiveSession():

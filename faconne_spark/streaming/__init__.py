@@ -12,8 +12,32 @@ two formulations are checked against each other in tests).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def read_stream_parquet(spark, path: str) -> DataFrame:
+    """``readStream`` over a parquet path that may be a single file.
+
+    FileStreamSource requires a directory basePath; for a bare
+    ``x.parquet`` file we stream the parent dir with a
+    ``pathGlobFilter`` selecting just that file. Schema is taken from a
+    batch read (required for streaming file sources); nanosecond ``ts``
+    (read as long under nanosAsLong) is converted to a µs timestamp.
+    """
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    stream = reader.parquet(path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
 
 
 def window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -38,16 +62,7 @@ def window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
 def streaming_window_counts(spark, parquet_dir: str, width: str = "1 hour"):
     """Real streaming flavor: parquet source → watermark → windowed agg.
     Returns the streaming DataFrame (caller attaches a sink)."""
-    from faconne_spark.session import load_tables  # for schema only
-
-    schema = spark.read.parquet(parquet_dir).schema
-    stream = (
-        spark.readStream.schema(schema).parquet(parquet_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    stream = read_stream_parquet(spark, parquet_dir)
     return window_counts(stream.withWatermark("ts", "1 day"), width)
 
 
@@ -93,12 +108,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 def sessionize_streaming(spark, parquet_dir: str, gap_minutes: int = 30):
     """Streaming sessionization with the built-in session_window."""
-    schema = spark.read.parquet(parquet_dir).schema
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    stream = read_stream_parquet(spark, parquet_dir)
     return (
         stream.withWatermark("ts", "1 day")
         .groupBy(

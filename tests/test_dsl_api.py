@@ -1,0 +1,148 @@
+"""API-surface parity (SURVEY §2.3): transformer reuse, for_each,
+explain, error messages, property-based random-extension tests modeled
+on the reference's gen-structure-from-domain (test/core.clj:7-32)."""
+
+import random
+
+import pytest
+
+from faconne_spark import (
+    Agg, FaconneError, Keys, SetOf, Transformer, V, collect_nested,
+    for_each, to_df, transform,
+)
+
+
+def test_transformer_reuse(spark):
+    t = Transformer({V.k: [V.v]}, {V.v: SetOf(V.k)})
+    out1 = collect_nested(t(to_df({"a": [1, 2], "b": [2]}, spark=spark)))
+    out2 = collect_nested(t(to_df({"x": [7]}, spark=spark)))
+    assert out1 == {1: {"a"}, 2: {"a", "b"}}
+    assert out2 == {7: {"x"}}
+
+
+def test_for_each_distributed(spark):
+    acc = spark.sparkContext.accumulator(0)
+    for_each(
+        [{"a": i} for i in range(10)],
+        [Keys("a")],
+        lambda row: acc.add(row["a"]),
+        spark=spark,
+    )
+    assert acc.value == sum(range(10))
+
+
+def test_for_each_where(spark):
+    acc = spark.sparkContext.accumulator(0)
+    for_each(
+        [{"a": i} for i in range(10)],
+        [Keys("a")],
+        lambda row: acc.add(1),
+        where=["a % 2 = 0"],
+        spark=spark,
+    )
+    assert acc.value == 5
+
+
+def test_explain_produces_plan(spark, capsys):
+    t = Transformer([Keys("a")], SetOf(V.a))
+    t.explain(to_df([{"a": 1}], spark=spark), mode="simple")
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+
+
+def test_error_where_not_list():
+    with pytest.raises(FaconneError, match="where"):
+        Transformer([Keys("a")], [V.a], where="a > 1")
+
+
+def test_error_empty_vector_domain(spark):
+    with pytest.raises(FaconneError, match="empty vector"):
+        transform([{"a": 1}], {"a": []}, [V.x], spark=spark)
+
+
+def test_error_multi_entry_group_range(spark):
+    with pytest.raises(FaconneError, match="exactly one"):
+        transform([{"a": 1, "b": 2}], [Keys("a", "b")],
+                  {V.a: V.b, V.b: V.a}, spark=spark)
+
+
+def test_error_set_domain_multiple(spark):
+    # reference: "Sets in the domain can have only one element"
+    # (parse_domain.cljc:74-76) — SetOf in domains takes one pattern
+    with pytest.raises((FaconneError, ValueError)):
+        transform({"a": [1]}, {V.k: SetOf(V.x, V.y)}, [V.x], spark=spark)
+
+
+# ---- property tests: random extensions of a domain vs python oracle ----
+
+
+def _rand_scalar(rng):
+    return rng.randint(0, 99)
+
+
+def gen_map_of_lists(rng):
+    return {
+        f"k{i}": [_rand_scalar(rng) for _ in range(rng.randint(0, 6))]
+        for i in range(rng.randint(0, 6))
+    }
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_property_unnest_set(spark, seed):
+    """{k [v]} → #{v} against a hand-written python oracle
+    (reference test-transformer pattern, test/core.clj:44-48)."""
+    rng = random.Random(seed)
+    data = gen_map_of_lists(rng)
+    got = collect_nested(
+        transform(data, {V.k: [V.v]}, SetOf(V.v), spark=spark)
+    )
+    expected = {v for vs in data.values() for v in vs}
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_property_invert(spark, seed):
+    """{k v} → {v #{k}} (multi-valued inversion)."""
+    rng = random.Random(seed)
+    data = {f"k{i}": _rand_scalar(rng) for i in range(rng.randint(1, 8))}
+    got = collect_nested(
+        transform(data, {V.k: V.v}, {V.v: SetOf(V.k)}, spark=spark)
+    )
+    expected = {}
+    for k, v in data.items():
+        expected.setdefault(v, set()).add(k)
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_property_group_count(spark, seed):
+    """{k [v]} → {v (count ^:expand [k])}"""
+    rng = random.Random(seed)
+    data = gen_map_of_lists(rng)
+    if not any(data.values()):
+        pytest.skip("empty extension")
+    got = collect_nested(
+        transform(data, {V.k: [V.v]}, {V.v: Agg("count(k) AS n")}, spark=spark)
+    )
+    expected = {}
+    for k, vs in data.items():
+        for v in vs:
+            expected[v] = expected.get(v, 0) + 1
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_property_pairs(spark, seed):
+    """[a b] chunking against a python oracle."""
+    rng = random.Random(seed)
+    data = [_rand_scalar(rng) for _ in range(rng.randint(0, 11))]
+    got = collect_nested(
+        transform(data, [V.a, V.b], ["coalesce(a, 0) + coalesce(b, 0) AS s"],
+                  spark=spark)
+    )
+    expected = [
+        (data[i] if i < len(data) else 0)
+        + (data[i + 1] if i + 1 < len(data) else 0)
+        for i in range(0, len(data), 2)
+    ]
+    assert sorted(got) == sorted(expected)

@@ -1,0 +1,106 @@
+"""Plan-shape assertions: the engine must produce the plans a Spark
+expert would write by hand — pushdown into the parquet scan, broadcast
+joins for dims, partial aggregation, and no cartesian products in the
+LSH/dedup paths."""
+
+import pytest
+
+from faconne_spark import Agg, Keys, Transformer, V
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_where_pushdown_reaches_scan(spark, tables):
+    t = Transformer(
+        [Keys("l_returnflag", "l_quantity")],
+        {V.l_returnflag: Agg("sum(l_quantity) AS s")},
+        where=["l_quantity < 30", "l_shipdate <= date'1998-09-02'"],
+    )
+    plan = plan_of(t(tables["lineitem"]))
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity,30.0)" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning(spark, tables):
+    t = Transformer(
+        [Keys("l_returnflag", "l_quantity")],
+        {V.l_returnflag: Agg("sum(l_quantity) AS s")},
+    )
+    plan = plan_of(t(tables["lineitem"]))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read and "l_returnflag" in read
+    assert "l_extendedprice" not in read, "unused columns must be pruned"
+
+
+def test_partial_aggregation_before_exchange(spark, tables):
+    t = Transformer(
+        [Keys("l_returnflag", "l_quantity")],
+        {V.l_returnflag: Agg("sum(l_quantity) AS s")},
+    )
+    plan = plan_of(t(tables["lineitem"]))
+    before_exchange = plan.split("Exchange")[-1]
+    assert "partial_sum" in before_exchange, "map-side combine missing"
+
+
+def test_broadcast_join_on_dims(spark, sf_dir):
+    from faconne_spark.queries.tpch import q5_local_volume
+
+    plan = plan_of(q5_local_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_no_cartesian_in_lsh(spark, sf_dir):
+    from faconne_spark.queries.pipeline import dedup_minhash_lsh, ann_lsh_bucketed
+
+    for q in (dedup_minhash_lsh, ann_lsh_bucketed):
+        plan = plan_of(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_brute_ann_broadcasts_queries(spark, sf_dir):
+    from faconne_spark.queries.pipeline import ann_cosine_topk
+
+    plan = plan_of(ann_cosine_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_no_python_eval_in_text_ops(spark, sf_dir):
+    """Text ops stay JVM-side. (Higher-order lambda functions are not
+    whole-stage-codegen-eligible by design, so we assert absence of
+    Python eval nodes here and codegen on the scalar-expression path
+    below.)"""
+    from faconne_spark.queries.pipeline import text_quality
+
+    plan = plan_of(text_quality(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, "no row-at-a-time Python UDFs"
+    assert "ArrowEvalPython" not in plan
+
+
+def test_wholestage_codegen_on_scalar_path(spark, sf_dir):
+    from faconne_spark.queries.tpch import q6_forecast
+
+    df = q6_forecast(spark, sf_dir)
+    df.collect()  # finalize AQE so codegen stages are decided
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan or "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    from faconne_spark.queries.tpch import asof_join_events
+
+    plan = plan_of(asof_join_events(spark, sf_dir))
+    # union + window formulation: no join node at all for the asof core
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    from faconne_spark.queries.tpch import q4_priority
+
+    plan = plan_of(q4_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
