@@ -25,6 +25,7 @@ from faconne_spark.functions import (
     tokens_ws,
     word_shingles,
 )
+from faconne_spark.session import spread
 
 NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -34,7 +35,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup on normalised text: keeper = min doc_id per
     fingerprint; one map-side-combinable groupBy."""
     return (
-        docs.select(
+        spread(docs).select(
             "doc_id", F.expr(phash60(NORM, "spark")).alias("fingerprint")
         )
         .groupBy("fingerprint")
@@ -58,7 +59,7 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     sig = minhash_sig(word_shingles("text", n_shingle, "spark"), k, "spark")
-    with_sig = docs.select("doc_id", F.expr(sig).alias("sig"))
+    with_sig = spread(docs).select("doc_id", F.expr(sig).alias("sig"))
     banded = with_sig.select(
         "doc_id",
         "sig",
@@ -97,7 +98,7 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_pairs` banding, then the exact intersection/union
     ratio on the shingle sets, kept when ≥ threshold."""
     sh = word_shingles("text", n_shingle, "spark")
-    shingled = docs.select("doc_id", F.expr(sh).alias("sh"))
+    shingled = spread(docs).select("doc_id", F.expr(sh).alias("sh"))
     cand = minhash_lsh_pairs(docs, n_shingle, k, n_bands).select("id_a", "id_b")
     j = (
         cand.join(shingled.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -121,7 +122,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     distances are best-effort, as in production simhash deployments),
     exact hamming filter on candidates."""
     toks = tokens_ws("text", "spark")
-    with_h = docs.select("doc_id", F.expr(simhash32(toks, "spark")).alias("sh"))
+    with_h = spread(docs).select(
+        "doc_id", F.expr(simhash32(toks, "spark")).alias("sh")
+    )
     banded = with_h.select(
         "doc_id",
         "sh",

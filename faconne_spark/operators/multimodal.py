@@ -46,7 +46,9 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     """Attach a deterministic opaque binary payload + typed metadata to
     each document (stand-in for a real image/audio column; derived from
     the text's md5 so it is stable across engines and runs)."""
-    return docs.select(
+    from faconne_spark.session import spread
+
+    return spread(docs).select(
         "doc_id",
         F.expr("cast(unhex(md5(text)) as binary)").alias("payload"),
         F.expr(

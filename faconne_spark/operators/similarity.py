@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from faconne_spark.functions import cosine_sim, phash60
+from faconne_spark.session import spread
 
 
 def cosine_topk(
@@ -30,7 +31,7 @@ def cosine_topk(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
         )
     )
-    c = corpus.select("vec_id", "embedding")
+    c = spread(corpus).select("vec_id", "embedding")
     scored = (
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -87,7 +88,9 @@ def lsh_bucketed_topk(
     shuffles once by bucket instead of broadcating every query against
     every row; recall is tunable via n_planes."""
     bucket = lsh_bucket_expr("embedding", n_planes, dim, "spark")
-    c = corpus.select("vec_id", "embedding", F.expr(bucket).alias("bucket"))
+    c = spread(corpus).select(
+        "vec_id", "embedding", F.expr(bucket).alias("bucket")
+    )
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("q_id"),

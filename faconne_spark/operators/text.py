@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from faconne_spark.session import spread
 from faconne_spark.functions import (
     LANG_PROFILES,
     lang_array_sql,
@@ -44,7 +45,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     best = (
         f"array_max(array({pairs}))"
     )
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         "lang",
         F.expr(f"{best}.lang").alias("pred_lang"),
@@ -57,7 +58,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     non-alpha ratio, stopword ratio, repetition (distinct-token ratio)."""
     toks = tokens_ws("text", "spark")
     en = lang_array_sql("en", "spark")
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.expr("length(text)").alias("n_chars"),
         F.expr(f"size({toks})").alias("n_tokens"),
@@ -82,7 +83,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 def token_count(docs: DataFrame) -> DataFrame:
     toks = tokens_ws("text", "spark")
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.expr(f"size({toks})").alias("n_ws_tokens"),
         F.expr(tokens_bpe_count("text", "spark")).alias("n_bpe_tokens"),
@@ -95,7 +96,7 @@ def fingerprint(docs: DataFrame, n_shingle: int = 4) -> DataFrame:
     (a compact, order-invariant sketch usable as a near-dup prefilter)."""
     sh = word_shingles("text", n_shingle, "spark")
     hashed = f"transform({sh}, s -> {phash60('s', 'spark')})"
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.expr(f"array_min({hashed})").alias("fp_min"),
         F.expr(f"array_max({hashed})").alias("fp_max"),

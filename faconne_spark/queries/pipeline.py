@@ -187,7 +187,9 @@ WHERE rk <= {ANN_K}
 
 
 def embed_norm(spark, sf):
-    emb = T(spark, sf, "embeddings")
+    from faconne_spark.session import spread
+
+    emb = spread(T(spark, sf, "embeddings"))
     return emb.select(
         "vec_id",
         "label",
@@ -262,7 +264,9 @@ _LANG_RANK = {lang: i for i, lang in enumerate(sorted(LANG_PROFILES))}
 
 
 def text_lang_id(spark, sf):
-    docs = T(spark, sf, "documents")
+    from faconne_spark.session import spread
+
+    docs = spread(T(spark, sf, "documents"))
     toks = "array_distinct(" + tokens_ws("lower(text)", "spark") + ")"
     pairs = ", ".join(
         f"struct(size(array_intersect({toks}, {lang_array_sql(lang, 'spark')}))"

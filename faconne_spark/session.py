@@ -67,6 +67,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     return tables
 
 
+def spread(df, min_parts: int | None = None):
+    """Ensure enough input partitions for CPU-bound per-row work
+    (hashing, shingling, vector math).
+
+    At cluster scale a 100 TB parquet scan already yields thousands of
+    splits (``maxPartitionBytes``-sized) and this is a no-op; locally the
+    small single-file test tables arrive as ONE split, which would
+    serialize an entire hash/shingle pipeline onto one core. The guard
+    (rather than an unconditional ``repartition``) means no extra
+    shuffle is ever introduced on a real cluster.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _fix_nanos(df):
     """events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
     arrives as a long — convert to a µs timestamp (DuckDB's native
