@@ -23,6 +23,26 @@ def phash60(expr: str, dialect: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def exact_money_sum(expr: str, scale: int = 4) -> str:
+    """Cross-engine bit-identical ``round(sum(expr), 2)`` for fixed-point
+    monetary expressions.
+
+    ``expr`` must be an exact decimal with ≤ ``scale`` fractional digits
+    (e.g. price(2dp) × discount-factor(2dp) → 4dp). A plain double sum is
+    summation-order-dependent, and since the true sum has > 2 decimals it
+    lands exactly on the ``.xx5`` rounding boundary ~1% of the time —
+    where Spark and DuckDB then disagree. Scaling each term to an integer
+    makes the sum exact and order-independent in BOTH engines; the final
+    two divisions recover a 2-decimal value deterministically. The same
+    SQL text is valid in Spark and DuckDB.
+    """
+    m = 10 ** scale
+    return (
+        f"round(cast(sum(cast(round(({expr}) * {m}, 0) as decimal(38,0)))"
+        f" as double) / {m // 100}.0, 0) / 100.0"
+    )
+
+
 def tokens_ws(expr: str, dialect: str) -> str:
     """Whitespace tokenization (documents.text is space-separated)."""
     if dialect == "spark":

@@ -116,6 +116,44 @@ def ngram_jaccard_pairs(
     return j
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.35, n_planes: int = 4, dim: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from sign-bit
+    LSH buckets (random-hyperplane, shared-bucket join — the same
+    bucketing as ANN), exact cosine filter ≥ threshold.
+
+    At 100 TB the only shuffle is groupBy(bucket); candidate count per
+    bucket is corpus/2^n_planes on average, tuned by n_planes; AQE
+    skew-join splits any hot bucket.
+    """
+    from faconne_spark.operators.similarity import lsh_bucket_expr
+
+    bucket = lsh_bucket_expr("embedding", n_planes, dim, "spark")
+    bucketed = spread(emb).select(
+        "vec_id", "embedding", F.expr(bucket).alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    from faconne_spark.functions import cosine_sim
+
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                F.expr(cosine_sim("a.embedding", "b.embedding", "spark")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """SimHash near-dup candidates: 32-bit simhash, bucketed by 4 8-bit
     bands (pigeonhole: hamming ≤ 3 guarantees a shared band; wider

@@ -79,6 +79,75 @@ def lsh_bucket_expr(emb: str, n_planes: int, dim: int, dialect: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, nlist: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the corpus is partitioned into ``nlist``
+    Voronoi cells around centroids; each query scores only the cells of
+    its ``nprobe`` nearest centroids.
+
+    The coarse quantizer here is deterministic — centroids are the
+    ``nlist`` lowest-``vec_id`` vectors — a stand-in for a sampled
+    k-means "train" step, chosen so the DuckDB oracle can reproduce the
+    exact same index. The *structure* is real IVF: assignment is a
+    broadcast argmax (no shuffle of the corpus), the candidate join key
+    is ``list_id`` (corpus shuffles once, by cell), and recall/cost is
+    tuned by nlist/nprobe exactly as in FAISS-style deployments.
+    """
+    cent = F.broadcast(
+        corpus.filter(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+        )
+    )
+    sim_cent = F.round(F.expr(cosine_sim("embedding", "cent", "spark")), 6)
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    assigned = (
+        spread(corpus)
+        .select("vec_id", "embedding")
+        .crossJoin(cent)
+        .select("vec_id", "embedding", "cid", sim_cent.alias("csim"))
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("list_id"))
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim_qcent = F.round(F.expr(cosine_sim("q_emb", "cent", "spark")), 6)
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    probes = F.broadcast(
+        q.crossJoin(cent)
+        .select("q_id", "q_emb", "cid", sim_qcent.alias("csim"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("q_id", "q_emb", F.col("cid").alias("list_id"))
+    )
+    scored = (
+        assigned.join(probes, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.expr(cosine_sim("embedding", "q_emb", "spark")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 4,
     dim: int = 64,

@@ -139,6 +139,28 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}
 """
 
 
+EMB_DEDUP_T = 0.35
+
+
+def dedup_embedding_cosine(spark, sf):
+    return D.embedding_cosine_pairs(
+        T(spark, sf, "embeddings"), EMB_DEDUP_T, LSH_PLANES, EMB_DIM
+    )
+
+
+ORACLE_EMB_COSINE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {S.lsh_bucket_expr('embedding', LSH_PLANES, EMB_DIM, 'duckdb')} AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cosine_sim('a.embedding', 'b.embedding', 'duckdb')}, 6) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({cosine_sim('a.embedding', 'b.embedding', 'duckdb')}, 6) >= {EMB_DEDUP_T}
+"""
+
+
 # ----------------------------------------------------------- similarity
 
 def ann_cosine_topk(spark, sf):
@@ -182,6 +204,50 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
   FROM bucketed c
   JOIN bucketed q
     ON q.vec_id < {ANN_NQ} AND c.bucket = q.bucket AND c.vec_id != q.vec_id)
+WHERE rk <= {ANN_K}
+"""
+
+
+IVF_NLIST = 8
+IVF_NPROBE = 2
+
+
+def ann_ivf(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    return S.ivf_topk(emb, queries, ANN_K, IVF_NLIST, IVF_NPROBE)
+
+
+ORACLE_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+  WHERE vec_id < {IVF_NLIST}),
+assigned AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({cosine_sim('e.embedding', 'c.cent', 'duckdb')}, 6) DESC,
+                      c.cid) AS rk
+    FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+probes AS (
+  SELECT q_id, q_emb, cid AS list_id FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({cosine_sim('q.embedding', 'c.cent', 'duckdb')}, 6) DESC,
+                      c.cid) AS rk
+    FROM (SELECT * FROM embeddings WHERE vec_id < {ANN_NQ}) q
+    CROSS JOIN cent c) WHERE rk <= {IVF_NPROBE})
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT p.q_id, a.vec_id,
+         round({cosine_sim('a.embedding', 'p.q_emb', 'duckdb')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY p.q_id
+           ORDER BY round({cosine_sim('a.embedding', 'p.q_emb', 'duckdb')}, 6) DESC,
+                    a.vec_id) AS rk
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id != p.q_id)
 WHERE rk <= {ANN_K}
 """
 
@@ -370,8 +436,10 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf": ann_ivf,
     "embed_norm": embed_norm,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -387,8 +455,10 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_embedding_cosine": ORACLE_EMB_COSINE,
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
+    "ann_ivf": ORACLE_ANN_IVF,
     "embed_norm": ORACLE_EMBED_NORM,
     "text_token_count": ORACLE_TOKEN_COUNT,
     "text_quality": ORACLE_QUALITY,

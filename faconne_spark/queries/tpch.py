@@ -10,8 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from faconne_spark.functions import exact_money_sum
 from faconne_spark.operators.relational import asof_join, range_join, top_k_per_group
 from faconne_spark.queries import T
+
+REV = "l_extendedprice * (1 - l_discount)"
 
 
 def q1_pricing(spark, sf):
@@ -21,16 +24,11 @@ def q1_pricing(spark, sf):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.expr(
-                        "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
-                    )
-                ),
-                2,
+            F.expr(exact_money_sum(REV)).alias("sum_disc_price"),
+            F.expr(
+                exact_money_sum(
+                    "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6
+                )
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
@@ -44,8 +42,8 @@ ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)      AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(cast(sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000, 0) as decimal(38,0))) as double) / 100.0, 0) / 100.0 AS sum_disc_price,
+       round(cast(sum(cast(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) as decimal(38,0))) as double) / 10000.0, 0) / 100.0 AS sum_charge,
        round(avg(l_quantity), 6)      AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6)      AS avg_disc,
@@ -65,9 +63,7 @@ def q3_shipping(spark, sf):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 2
-            ).alias("revenue")
+            F.expr(exact_money_sum(REV)).alias("revenue")
         )
     )
     return top_k_per_group(
@@ -81,7 +77,7 @@ def q3_shipping(spark, sf):
 ORACLE_Q3 = """
 SELECT l_orderkey, o_orderdate, revenue FROM (
   SELECT l_orderkey, o_orderdate,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         round(cast(sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000, 0) as decimal(38,0))) as double) / 100.0, 0) / 100.0 AS revenue
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -137,15 +133,13 @@ def q5_local_volume(spark, sf):
         .join(dims, cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 2
-            ).alias("revenue")
+            F.expr(exact_money_sum(REV)).alias("revenue")
         )
     )
 
 
 ORACLE_Q5 = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, round(cast(sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000, 0) as decimal(38,0))) as double) / 100.0, 0) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -163,14 +157,14 @@ def q6_forecast(spark, sf):
         "l_shipdate >= date'1996-01-01' AND l_shipdate < date'1997-01-01'"
         " AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
     ).agg(
-        F.round(F.sum(F.expr("l_extendedprice * l_discount")), 2).alias(
+        F.expr(exact_money_sum("l_extendedprice * l_discount")).alias(
             "revenue"
         )
     )
 
 
 ORACLE_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(cast(sum(cast(round((l_extendedprice * l_discount) * 10000, 0) as decimal(38,0))) as double) / 100.0, 0) / 100.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -188,9 +182,7 @@ def q10_returns(spark, sf):
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 2
-            ).alias("revenue")
+            F.expr(exact_money_sum(REV)).alias("revenue")
         )
     )
     return top_k_per_group(
@@ -204,7 +196,7 @@ def q10_returns(spark, sf):
 ORACLE_Q10 = """
 SELECT c_custkey, c_name, n_name, revenue FROM (
   SELECT c_custkey, c_name, n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         round(cast(sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000, 0) as decimal(38,0))) as double) / 100.0, 0) / 100.0 AS revenue
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -414,6 +406,265 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q7_nation_volume(spark, sf):
+    """Revenue flow between distinct supplier/customer nations per ship
+    year. Both nation sides broadcast; one shuffle for the final agg."""
+    li = T(spark, sf, "lineitem")
+    orders = T(spark, sf, "orders")
+    cust = T(spark, sf, "customer")
+    supp = T(spark, sf, "supplier")
+    n1 = F.broadcast(
+        T(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        T(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("c_nk"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter("supp_nation != cust_nation")
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.expr(exact_money_sum(REV)).alias("revenue")
+        )
+    )
+
+
+ORACLE_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(cast(sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000, 0) as decimal(38,0))) as double) / 100.0, 0) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q13_order_counts(spark, sf):
+    """Distribution of orders-per-customer including zero-order
+    customers (left join → count of non-null keys → re-group)."""
+    cust = T(spark, sf, "customer")
+    orders = T(spark, sf, "orders")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q17_small_qty(spark, sf):
+    """Revenue from small-quantity lineitems of one brand, threshold =
+    0.2 × per-part average quantity (correlated scalar subquery →
+    pre-aggregated per-part averages joined back on partkey; both the
+    agg and the join shuffle on the same key, so they co-locate)."""
+    li = T(spark, sf, "lineitem")
+    part = F.broadcast(T(spark, sf, "part").filter("p_brand = 'Brand#1'"))
+    thresh = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(F.round(F.expr("0.2 * avg(l_quantity)"), 6).alias("qty_thresh"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(thresh, li.l_partkey == thresh.t_partkey)
+        .filter("l_quantity < qty_thresh")
+        .agg(
+            F.round(F.expr("sum(l_extendedprice) / 7.0"), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+ORACLE_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS t_partkey,
+             round(0.2 * avg(l_quantity), 6) AS qty_thresh
+      FROM lineitem GROUP BY 1) t ON l_partkey = t_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < qty_thresh
+"""
+
+
+def q19_disjunctive(spark, sf):
+    """Disjunctive predicate bundles over part attributes × lineitem
+    quantity — exercises OR-pushdown through a broadcast join."""
+    li = T(spark, sf, "lineitem")
+    part = F.broadcast(T(spark, sf, "part"))
+    cond = (
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15"
+        " AND l_quantity BETWEEN 1 AND 11)"
+        " OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25"
+        " AND l_quantity BETWEEN 10 AND 20)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35"
+        " AND l_quantity BETWEEN 20 AND 30)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.expr(exact_money_sum(REV)).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q19 = """
+SELECT round(cast(sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000, 0) as decimal(38,0))) as double) / 100.0, 0) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_dormant_customers(spark, sf):
+    """Wealthy customers with no completed ('F') order: scalar subquery
+    (global avg, broadcast 1-row cross join — never a collect) +
+    anti-join. The anti-join side is pre-filtered so only 'F' order keys
+    shuffle."""
+    cust = T(spark, sf, "customer")
+    orders = T(spark, sf, "orders").filter("o_orderstatus = 'F'")
+    avg_bal = cust.filter("c_acctbal > 0").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
+    )
+    dormant = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        dormant.crossJoin(F.broadcast(avg_bal))
+        .filter("c_acctbal > avg_bal")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_nationkey
+"""
+
+
+def win_running_total(spark, sf):
+    """Cumulative revenue per customer over order date — running-frame
+    window, single shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    orders = T(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+ORACLE_WIN_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+"""
+
+
+def win_order_gaps(spark, sf):
+    """Days since the previous order per customer (lag window)."""
+    from pyspark.sql import Window
+
+    orders = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    )
+
+
+ORACLE_WIN_GAPS = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate::DATE) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate::DATE) AS gap_days
+FROM orders
+"""
+
+
+def events_json_props(spark, sf):
+    """Semi-structured extraction: pull a JSON field out of the string
+    props column and aggregate — JVM-side json path, no UDF."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing": q1_pricing,
     "tpch_q3_shipping": q3_shipping,
@@ -423,6 +674,14 @@ QUERIES = {
     "tpch_q10_returns": q10_returns,
     "tpch_q14_promo": q14_promo,
     "tpch_q18_large_orders": q18_large_orders,
+    "tpch_q7_nation_volume": q7_nation_volume,
+    "tpch_q13_order_counts": q13_order_counts,
+    "tpch_q17_small_qty": q17_small_qty,
+    "tpch_q19_disjunctive": q19_disjunctive,
+    "tpch_q22_dormant": q22_dormant_customers,
+    "win_running_total": win_running_total,
+    "win_order_gaps": win_order_gaps,
+    "events_json_props": events_json_props,
     "win_top_orders_per_cust": win_top_orders_per_cust,
     "asof_join_events": asof_join_events,
     "range_join_events": range_join_events,
@@ -440,6 +699,14 @@ ORACLES = {
     "tpch_q10_returns": ORACLE_Q10,
     "tpch_q14_promo": ORACLE_Q14,
     "tpch_q18_large_orders": ORACLE_Q18,
+    "tpch_q7_nation_volume": ORACLE_Q7,
+    "tpch_q13_order_counts": ORACLE_Q13,
+    "tpch_q17_small_qty": ORACLE_Q17,
+    "tpch_q19_disjunctive": ORACLE_Q19,
+    "tpch_q22_dormant": ORACLE_Q22,
+    "win_running_total": ORACLE_WIN_RUNNING,
+    "win_order_gaps": ORACLE_WIN_GAPS,
+    "events_json_props": ORACLE_JSON_PROPS,
     "win_top_orders_per_cust": ORACLE_WIN_TOP,
     "asof_join_events": ORACLE_ASOF,
     "range_join_events": ORACLE_RANGE_JOIN,
