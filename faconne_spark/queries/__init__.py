@@ -24,18 +24,18 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def all_queries() -> dict:
-    from faconne_spark.queries import faconne_demo, pipeline, tpch
+    from faconne_spark.queries import faconne_demo, pipeline, tpch, tpch_ext
 
     out = {}
-    for mod in (faconne_demo, tpch, pipeline):
+    for mod in (faconne_demo, tpch, tpch_ext, pipeline):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict:
-    from faconne_spark.queries import faconne_demo, pipeline, tpch
+    from faconne_spark.queries import faconne_demo, pipeline, tpch, tpch_ext
 
     out = {}
-    for mod in (faconne_demo, tpch, pipeline):
+    for mod in (faconne_demo, tpch, tpch_ext, pipeline):
         out.update(mod.ORACLES)
     return out

@@ -116,7 +116,7 @@ GROUP BY o_orderpriority
 
 
 def q5_local_volume(spark, sf):
-    region = T(spark, sf, "region").filter("r_name = 'REGION_0'")
+    region = T(spark, sf, "region").filter("r_name = 'ASIA'")
     nation = T(spark, sf, "nation")
     cust = T(spark, sf, "customer")
     orders = T(spark, sf, "orders")
@@ -146,7 +146,7 @@ JOIN customer ON o_custkey  = c_custkey
 JOIN supplier ON l_suppkey  = s_suppkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = 'REGION_0' AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
 GROUP BY n_name
 """
 

@@ -1,0 +1,651 @@
+"""TPC-H remainder + analytic extensions, adapted to the driver schema.
+
+The driver tables lack ``partsupp`` and commit/receipt dates, so Q2 /
+Q9 / Q11 / Q12 / Q16 / Q20 / Q21 are re-expressed over lineitem as the
+price/quantity fact while keeping each query's *operator shape* intact
+(correlated min, scalar-subquery threshold, multi-EXISTS, distinct agg,
+…).  Scale notes per query; every money sum uses the cross-engine
+exact fixed-point form from faconne_spark.functions.exact_money_sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from faconne_spark.functions import exact_money_sum
+from faconne_spark.queries import T
+
+REV = "l_extendedprice * (1 - l_discount)"
+
+
+# ---------------------------------------------------------------------------
+# q2 (adapted): min-cost supplier per part in a region
+# ---------------------------------------------------------------------------
+def q2_min_cost_supp(spark, sf):
+    """For each small EUROPE-supplied part, the cheapest supplier
+    (min observed sale price; ties broken by suppkey).
+
+    Scale: the per-(part,supp) agg shuffles lineitem once on a compound
+    key; supplier⋈nation⋈region is a broadcast dim; the per-part min is
+    a window over the already-shuffled compound key (AQE coalesces)."""
+    li = T(spark, sf, "lineitem")
+    part = T(spark, sf, "part").filter("p_size <= 5")
+    supp = T(spark, sf, "supplier")
+    nat = T(spark, sf, "nation")
+    reg = T(spark, sf, "region").filter("r_name = 'EUROPE'")
+    dims = F.broadcast(
+        supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min("l_extendedprice"), 2).alias("price"))
+        .join(dims, F.col("l_suppkey") == dims.s_suppkey)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    w = Window.partitionBy("l_partkey").orderBy("price", "l_suppkey")
+    return (
+        offers.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("p_partkey", "p_name", "s_name", "n_name", "price")
+    )
+
+
+ORACLE_Q2 = """
+SELECT p_partkey, p_name, s_name, n_name, price FROM (
+  SELECT p_partkey, p_name, s_name, n_name, price,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY price, l_suppkey) AS rk
+  FROM (
+    SELECT l_partkey, l_suppkey, round(min(l_extendedprice), 2) AS price
+    FROM lineitem GROUP BY l_partkey, l_suppkey) o
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_size <= 5
+) WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q8: national market share within a region
+# ---------------------------------------------------------------------------
+def q8_market_share(spark, sf):
+    """NATION_5's share of AMERICA-customer ECONOMY-part revenue per
+    order year.  Conditional-aggregate form: one pass, no self-join."""
+    li = T(spark, sf, "lineitem")
+    orders = T(spark, sf, "orders")
+    cust = T(spark, sf, "customer")
+    part = T(spark, sf, "part").filter("p_type = 'ECONOMY'")
+    supp = T(spark, sf, "supplier")
+    nat = T(spark, sf, "nation")
+    reg = T(spark, sf, "region").filter("r_name = 'AMERICA'")
+    cust_dim = F.broadcast(
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_dim = F.broadcast(
+        supp.join(
+            nat.withColumnRenamed("n_name", "supp_nation"),
+            supp.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_dim, orders.o_custkey == cust_dim.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp_dim, li.l_suppkey == supp_dim.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.expr(
+                exact_money_sum(
+                    f"CASE WHEN supp_nation = 'NATION_5' THEN {REV} ELSE 0 END"
+                )
+            ).alias("nation_rev"),
+            F.expr(exact_money_sum(REV)).alias("total_rev"),
+        )
+        .withColumn(
+            "mkt_share", F.round(F.col("nation_rev") / F.col("total_rev"), 6)
+        )
+    )
+
+
+ORACLE_Q8 = f"""
+SELECT o_year,
+       {exact_money_sum("CASE WHEN supp_nation = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS nation_rev,
+       {exact_money_sum("l_extendedprice * (1 - l_discount)")} AS total_rev,
+       round(({exact_money_sum("CASE WHEN supp_nation = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")})
+             / ({exact_money_sum("l_extendedprice * (1 - l_discount)")}), 6) AS mkt_share
+FROM (
+  SELECT l_extendedprice, l_discount, year(o_orderdate) AS o_year,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+) GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q9 (adapted): product-type profit by nation × year
+# ---------------------------------------------------------------------------
+def q9_product_profit(spark, sf):
+    """Profit (revenue − 50 % of retail-price cost proxy) for widget
+    parts, by supplier nation and order year.  partsupp's supplycost is
+    replaced by p_retailprice/2 (reference shape: 6-way join + 2-key
+    agg).  Dims broadcast; lineitem shuffles once for the final agg."""
+    li = T(spark, sf, "lineitem")
+    orders = T(spark, sf, "orders")
+    part = T(spark, sf, "part").filter("p_name LIKE '%widget%'")
+    supp = T(spark, sf, "supplier")
+    nat = T(spark, sf, "nation")
+    supp_dim = F.broadcast(
+        supp.join(nat, supp.s_nationkey == nat.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    amount = (
+        f"{REV} - 0.5 * p_retailprice * l_quantity"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp_dim, li.l_suppkey == supp_dim.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.expr(exact_money_sum(amount)).alias("sum_profit"))
+    )
+
+
+ORACLE_Q9 = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {exact_money_sum("l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity")} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 (adapted): important parts by traded value vs global threshold
+# ---------------------------------------------------------------------------
+def q11_important_parts(spark, sf):
+    """Parts whose NATION_3-supplied traded value exceeds 0.1 % of the
+    global NATION_3 value.  The threshold is a 1-row aggregate joined by
+    broadcast cross-join — no driver collect; comparison happens on
+    integer cents so both engines agree exactly."""
+    li = T(spark, sf, "lineitem")
+    supp = T(spark, sf, "supplier")
+    nat = T(spark, sf, "nation").filter("n_name = 'NATION_3'")
+    supp_dim = F.broadcast(
+        supp.join(nat, supp.s_nationkey == nat.n_nationkey).select("s_suppkey")
+    )
+    cents = (
+        "sum(cast(round(l_extendedprice * l_quantity * 100, 0)"
+        " as decimal(38,0)))"
+    )
+    per_part = (
+        li.join(supp_dim, li.l_suppkey == supp_dim.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.expr(cents).alias("cents"))
+    )
+    total = per_part.agg(F.expr("sum(cents)").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter("cents * 1000 > total_cents")
+        .select(
+            "l_partkey",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+ORACLE_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(cast(round(l_extendedprice * l_quantity * 100, 0) as decimal(38,0))) AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey)
+SELECT l_partkey, round(cast(cents as double) / 100.0, 2) AS part_value
+FROM per_part
+WHERE cents * 1000 > (SELECT sum(cents) FROM per_part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 (adapted): shipping-delay buckets × order priority
+# ---------------------------------------------------------------------------
+def q12_ship_lateness(spark, sf):
+    """1997 shipments bucketed by order→ship delay; urgent vs normal
+    line counts per bucket (Q12's conditional-count shape with derived
+    buckets instead of shipmode)."""
+    li = T(spark, sf, "lineitem").filter(
+        "l_shipdate >= date'1997-01-01' AND l_shipdate < date'1998-01-01'"
+    )
+    orders = T(spark, sf, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "fast")
+        .when(delay <= 90, "medium")
+        .otherwise("slow")
+    )
+    urgent = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.count(F.when(F.expr(urgent), 1)).alias("high_line_count"),
+            F.count(F.when(~F.expr(urgent), 1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 'medium'
+            ELSE 'slow' END AS delay_bucket,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier(s) by quarterly revenue
+# ---------------------------------------------------------------------------
+def q15_top_supplier(spark, sf):
+    """Suppliers achieving the max Q1-1997 revenue.  The max is a 1-row
+    aggregate broadcast back over the per-supplier revenues (original's
+    view + scalar subquery); revenue is exact cents so equality is
+    bit-stable in both engines."""
+    li = T(spark, sf, "lineitem").filter(
+        "l_shipdate >= date'1997-01-01' AND l_shipdate < date'1997-04-01'"
+    )
+    supp = T(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.expr(exact_money_sum(REV)).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter("total_revenue = max_revenue")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey, {exact_money_sum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 (adapted): supplier variety per part class
+# ---------------------------------------------------------------------------
+def q16_part_supplier_cnt(spark, sf):
+    """Distinct supplier count per (brand, type, size) from observed
+    shipments, excluding Brand#1 / PROMO.  Distinct-agg over a compound
+    key — Spark plans a two-phase distinct aggregate (partial dedupe
+    map-side before the shuffle)."""
+    li = T(spark, sf, "lineitem")
+    part = T(spark, sf, "part").filter(
+        "p_brand <> 'Brand#1' AND p_type <> 'PROMO'"
+        " AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 (adapted): suppliers shipping excess volume of small parts
+# ---------------------------------------------------------------------------
+def q20_excess_shipments(spark, sf):
+    """Suppliers whose 1997 shipped quantity of a 'small …' part
+    exceeds 150 % of the per-part average across suppliers (original's
+    availqty > ½·qty threshold shape: agg → window threshold →
+    semi-join back to supplier).  The window reuses the groupBy
+    shuffle partitioning (both keyed on l_partkey)."""
+    li = T(spark, sf, "lineitem").filter(
+        "l_shipdate >= date'1997-01-01' AND l_shipdate < date'1998-01-01'"
+    )
+    part = T(spark, sf, "part").filter("p_name LIKE 'small%'")
+    supp = T(spark, sf, "supplier")
+    per = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        per.withColumn("avg_qty", F.avg("qty").over(w))
+        .filter("qty > 1.5 * avg_qty")
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey, qty,
+           avg(qty) OVER (PARTITION BY l_partkey) AS avg_qty
+    FROM (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey))
+  WHERE qty > 1.5 * avg_qty)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 (adapted): the lone late supplier on multi-supplier orders
+# ---------------------------------------------------------------------------
+def q21_waiting_suppliers(spark, sf):
+    """For finished multi-supplier orders where EXACTLY ONE supplier
+    shipped late (> 30 days after order), count such orders per
+    supplier.  Q21's EXISTS + NOT-EXISTS pair collapses into one
+    grouped pass over the order's lines: distinct suppliers vs distinct
+    late suppliers — one shuffle on orderkey instead of two self-joins
+    of lineitem."""
+    li = T(spark, sf, "lineitem")
+    orders = T(spark, sf, "orders").filter("o_orderstatus = 'F'")
+    supp = T(spark, sf, "supplier")
+    late = "l_shipdate > o_orderdate + INTERVAL 30 DAYS"
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.expr(f"CASE WHEN {late} THEN l_suppkey END"))
+            .alias("n_late"),
+            F.min(F.expr(f"CASE WHEN {late} THEN l_suppkey END"))
+            .alias("late_supp"),
+        )
+        .filter("n_supp > 1 AND n_late = 1")
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_name, numwait FROM (
+  SELECT late_supp, count(*) AS numwait FROM (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                               THEN l_suppkey END) AS n_late,
+           min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                    THEN l_suppkey END) AS late_supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey)
+  WHERE n_supp > 1 AND n_late = 1
+  GROUP BY late_supp)
+JOIN supplier ON late_supp = s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# set-operation analytics: customer retention (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+def set_ops_retention(spark, sf):
+    """Customers active in 1996 split by 1999 behavior: retained
+    (INTERSECT) vs churned (EXCEPT).  Distinct-key set ops — Spark
+    plans these as aggregate/anti-join with partial dedupe before the
+    shuffle."""
+    orders = T(spark, sf, "orders")
+    y96 = orders.filter(
+        "o_orderdate >= date'1996-01-01' AND o_orderdate < date'1997-01-01'"
+    ).select("o_custkey")
+    y99 = orders.filter(
+        "o_orderdate >= date'1999-01-01' AND o_orderdate < date'2000-01-01'"
+    ).select("o_custkey")
+    retained = y96.intersect(y99).withColumn("cohort", F.lit("retained"))
+    churned = y96.subtract(y99).withColumn("cohort", F.lit("churned"))
+    return (
+        retained.unionByName(churned)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+ORACLE_SETOPS = """
+WITH y96 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+     y99 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')
+SELECT cohort, count(*) AS n_customers FROM (
+  SELECT o_custkey, 'retained' AS cohort FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y99)
+  UNION ALL
+  SELECT o_custkey, 'churned' AS cohort FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y99)
+) GROUP BY cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# window analytics: account-balance deciles
+# ---------------------------------------------------------------------------
+def ntile_custbal_deciles(spark, sf):
+    """Customer account-balance deciles (ntile) with per-decile stats.
+    Global ntile needs a single-partition sort — fine for dimension
+    size; fact-scale ranking would use approx quantile boundaries."""
+    cust = T(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+ORACLE_NTILE = """
+SELECT decile, count(*) AS n,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM (SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+GROUP BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles: order-value distribution per priority
+# ---------------------------------------------------------------------------
+def percentile_order_value(spark, sf):
+    """Median / p90 / p99 of order value per priority.  Exact
+    percentile (both engines interpolate identically: linear on sorted
+    doubles).  At 100 TB you'd swap in approx_percentile with a
+    documented error bound; exact is kept here because the oracle gate
+    demands bit-equality."""
+    orders = T(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORACLE_PCTL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouping sets: multi-level order stats in one pass
+# ---------------------------------------------------------------------------
+def grouping_sets_orders(spark, sf):
+    """GROUPING SETS (priority, status), (priority), () — three
+    aggregation levels sharing one scan + one shuffle (Spark expands to
+    a single Expand+Aggregate; no multi-pass union)."""
+    orders = T(spark, sf, "orders")
+    return (
+        orders.groupingSets(
+            [
+                [F.col("o_orderpriority"), F.col("o_orderstatus")],
+                [F.col("o_orderpriority")],
+                [],
+            ],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(exact_money_sum("o_totalprice", 2)).alias("total_value"),
+        )
+    )
+
+
+ORACLE_GSETS = f"""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       {exact_money_sum("o_totalprice", 2)} AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# event funnel: ordered view → click → purchase per user
+# ---------------------------------------------------------------------------
+def events_funnel(spark, sf):
+    """Funnel completion: users whose first view precedes their first
+    click precedes their first purchase.  One grouped pass computing
+    conditional min-timestamps — no per-step self-joins (the naive
+    3-way join shape would shuffle events three times)."""
+    ev = T(spark, sf, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("viewed"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), 1)
+        ).alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
+
+
+ORACLE_FUNNEL = """
+SELECT count(*) AS n_users,
+       count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS viewed,
+       count(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+       count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS full_funnel
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+"""
+
+
+QUERIES = {
+    "tpch_q2_min_cost_supp": q2_min_cost_supp,
+    "tpch_q8_market_share": q8_market_share,
+    "tpch_q9_product_profit": q9_product_profit,
+    "tpch_q11_important_parts": q11_important_parts,
+    "tpch_q12_ship_lateness": q12_ship_lateness,
+    "tpch_q15_top_supplier": q15_top_supplier,
+    "tpch_q16_part_supplier_cnt": q16_part_supplier_cnt,
+    "tpch_q20_excess_shipments": q20_excess_shipments,
+    "tpch_q21_waiting_suppliers": q21_waiting_suppliers,
+    "set_ops_retention": set_ops_retention,
+    "ntile_custbal_deciles": ntile_custbal_deciles,
+    "percentile_order_value": percentile_order_value,
+    "grouping_sets_orders": grouping_sets_orders,
+    "events_funnel": events_funnel,
+}
+
+ORACLES = {
+    "tpch_q2_min_cost_supp": ORACLE_Q2,
+    "tpch_q8_market_share": ORACLE_Q8,
+    "tpch_q9_product_profit": ORACLE_Q9,
+    "tpch_q11_important_parts": ORACLE_Q11,
+    "tpch_q12_ship_lateness": ORACLE_Q12,
+    "tpch_q15_top_supplier": ORACLE_Q15,
+    "tpch_q16_part_supplier_cnt": ORACLE_Q16,
+    "tpch_q20_excess_shipments": ORACLE_Q20,
+    "tpch_q21_waiting_suppliers": ORACLE_Q21,
+    "set_ops_retention": ORACLE_SETOPS,
+    "ntile_custbal_deciles": ORACLE_NTILE,
+    "percentile_order_value": ORACLE_PCTL,
+    "grouping_sets_orders": ORACLE_GSETS,
+    "events_funnel": ORACLE_FUNNEL,
+}
