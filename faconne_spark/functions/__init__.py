@@ -135,28 +135,33 @@ def band_sig(sig: str, band: int, r: int, dialect: str) -> str:
     return f"md5(array_to_string({sig}[{lo}:{lo + r - 1}], ','))"
 
 
-def simhash32(toks: str, dialect: str) -> str:
-    """32-bit SimHash over a token array: per bit position, majority
-    vote of token-hash bits. Tokens are hashed ONCE (md5 is the
-    expensive part); the 32 bit-majorities run over the cached hash
-    array."""
+def simhash_bits(toks: str, nbits: int, dialect: str) -> str:
+    """``nbits``-bit SimHash over a token array: per bit position,
+    majority vote of token-hash bits. Tokens are hashed ONCE (md5 is
+    the expensive part); the bit-majorities run over the cached hash
+    array. nbits ≤ 60 (phash60's entropy)."""
+    assert nbits <= 60
     h = phash60("t", dialect)
     if dialect == "spark":
         hs = f"transform({toks}, t -> {h})"
         body = (
-            f"aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> "
+            f"aggregate(sequence(0, {nbits - 1}), cast(0 as bigint), (acc, i) -> "
             f"acc + if(aggregate(hh, cast(0 as bigint), (c, v) -> "
             f"c + if(shiftright(v, i) % 2 = 1, 1, -1)) > 0, shiftleft(cast(1 as bigint), i), 0))"
         )
         return f"transform(array({hs}), hh -> {body})[0]"
     hs = f"list_transform({toks}, t -> {h})"
     body = (
-        f"list_sum(list_transform(range(0, 32), i -> "
+        f"list_sum(list_transform(range(0, {nbits}), i -> "
         f"CASE WHEN list_sum(list_transform(hh, v -> "
         f"CASE WHEN (v >> i) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN (1::BIGINT << i) ELSE 0 END))::BIGINT"
     )
     return f"list_transform([{hs}], hh -> {body})[1]"
+
+
+def simhash32(toks: str, dialect: str) -> str:
+    return simhash_bits(toks, 32, dialect)
 
 
 def cosine_sim(a: str, b: str, dialect: str) -> str:
@@ -182,3 +187,22 @@ LANG_PROFILES = {
 def lang_array_sql(lang: str, dialect: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
     return f"array({words})" if dialect == "spark" else f"[{words}]"
+
+
+def pii_augmented(dialect: str) -> str:
+    """documents.text carries no real PII, so the scrub op is exercised
+    on a deterministic augmentation: every doc gets one synthetic email
+    and one synthetic phone derived from doc_id — identical SQL-built
+    text in both engines, so the scrubbed output hashes must agree."""
+    if dialect == "spark":
+        i = "cast(doc_id as string)"
+        p3 = "lpad(cast(doc_id % 997 as string), 3, '0')"
+        p4 = "lpad(cast((doc_id * 7) % 9973 as string), 4, '0')"
+    else:
+        i = "doc_id::VARCHAR"
+        p3 = "lpad((doc_id % 997)::VARCHAR, 3, '0')"
+        p4 = "lpad(((doc_id * 7) % 9973)::VARCHAR, 4, '0')"
+    return (
+        f"concat(text, ' contact user', {i}, '@mail.example.com or call ',"
+        f" {p3}, '-', {p3}, '-', {p4})"
+    )

@@ -21,7 +21,7 @@ from faconne_spark.functions import (
     band_sig,
     minhash_sig,
     phash60,
-    simhash32,
+    simhash_bits,
     tokens_ws,
     word_shingles,
 )
@@ -46,17 +46,20 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
     docs: DataFrame, n_shingle: int = 3, k: int = 12, bands: int = 4
 ) -> DataFrame:
-    """MinHash + LSH candidate pairs.
+    """(doc_id, sig, band) relation, PERSISTED.
 
-    shingle → k-perm minhash signature → b bands of r = k/b hashes →
-    groupBy band bucket → within-bucket pairs (id_a < id_b) → distinct,
-    with the estimated Jaccard = fraction of agreeing minhashes.
-    The shuffle key is the band signature; no all-pairs comparison ever
-    happens.
-    """
+    The signature (md5 per shingle + k affine permutations) is by far
+    the most expensive expression in the dedup family, and Spark's
+    higher-order lambdas run interpreted (outside codegen) — so it must
+    be computed ONCE, not re-derived on each side of the candidate
+    self-join.  Persisting (doc_id, sig, band) is the standard
+    fingerprint-materialization step of production MinHash pipelines:
+    it is ~100 B/doc — at 100 TB of text that's a few hundred GB across
+    the cluster, well inside executor storage, and it converts the
+    self-join into two scans of a tiny cached relation."""
     r = k // bands
     sig = minhash_sig(word_shingles("text", n_shingle, "spark"), k, "spark")
     with_sig = spread(docs).select("doc_id", F.expr(sig).alias("sig"))
@@ -69,6 +72,22 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     )
+    return banded.persist()
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_shingle: int = 3, k: int = 12, bands: int = 4,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash + LSH candidate pairs.
+
+    shingle → k-perm minhash signature → b bands of r = k/b hashes →
+    shared-band self-join (id_a < id_b) → distinct, with estimated
+    Jaccard = fraction of agreeing minhashes.  The shuffle key is the
+    band signature; no all-pairs comparison ever happens, and the
+    signature relation is cached so it is computed once."""
+    if banded is None:
+        banded = minhash_signatures(docs, n_shingle, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -98,7 +117,8 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_pairs` banding, then the exact intersection/union
     ratio on the shingle sets, kept when ≥ threshold."""
     sh = word_shingles("text", n_shingle, "spark")
-    shingled = spread(docs).select("doc_id", F.expr(sh).alias("sh"))
+    # shingle arrays are re-read on BOTH sides of the pair join → cache
+    shingled = spread(docs).select("doc_id", F.expr(sh).alias("sh")).persist()
     cand = minhash_lsh_pairs(docs, n_shingle, k, n_bands).select("id_a", "id_b")
     j = (
         cand.join(shingled.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -132,7 +152,7 @@ def embedding_cosine_pairs(
     bucket = lsh_bucket_expr("embedding", n_planes, dim, "spark")
     bucketed = spread(emb).select(
         "vec_id", "embedding", F.expr(bucket).alias("bucket")
-    )
+    ).persist()  # dot-product bucketing runs once, not per join side
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     from faconne_spark.functions import cosine_sim
@@ -154,14 +174,22 @@ def embedding_cosine_pairs(
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """SimHash near-dup candidates: 32-bit simhash, bucketed by 4 8-bit
-    bands (pigeonhole: hamming ≤ 3 guarantees a shared band; wider
-    distances are best-effort, as in production simhash deployments),
-    exact hamming filter on candidates."""
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates: 60-bit simhash, bucketed by 4
+    15-bit bands.  With b = max_hamming + 1 bands the pigeonhole
+    principle makes recall EXACT for hamming ≤ 3 — and the 15-bit band
+    keyspace (32 768 buckets per band) keeps bucket populations, hence
+    per-bucket pair counts, bounded: a 32-bit/8-bit-band variant on a
+    clustered corpus degenerates toward all-pairs (measured ~1M pairs
+    on 5k docs), which no cluster survives at 100 TB.
+
+    The simhash relation is persisted: the majority-vote expression is
+    interpreted (higher-order lambdas), so it must run once, not once
+    per self-join side; the hamming filter runs BEFORE distinct so the
+    4× band duplication is pruned pre-shuffle."""
     toks = tokens_ws("text", "spark")
     with_h = spread(docs).select(
-        "doc_id", F.expr(simhash32(toks, "spark")).alias("sh")
+        "doc_id", F.expr(simhash_bits(toks, 60, "spark")).alias("sh")
     )
     banded = with_h.select(
         "doc_id",
@@ -169,12 +197,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    F.expr(f"concat('{b}#', shiftright(sh, {b * 8}) % 256)")
+                    F.expr(f"shiftright(sh, {b * 15}) % 32768 + {b} * 32768")
                     for b in range(4)
                 ]
             )
         ).alias("band"),
-    )
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -188,6 +216,6 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             F.expr("bit_count(a.sh ^ b.sh)").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -102,3 +102,109 @@ def fingerprint(docs: DataFrame, n_shingle: int = 4) -> DataFrame:
         F.expr(f"array_max({hashed})").alias("fp_max"),
         F.expr(f"size({hashed})").alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / sampling / contamination — training-data hygiene ops
+# ---------------------------------------------------------------------------
+
+# Backslash-free patterns: valid and identical in Java regex (Spark) and
+# RE2 (DuckDB), and safe to embed in single-quoted SQL literals in both
+# dialects without any escaping.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, text_expr: str) -> DataFrame:
+    """Redact emails/phones from ``text_expr`` (a SQL expression string);
+    returns per-doc redaction counts plus a 60-bit hash of the scrubbed
+    text, so an oracle can verify the ENTIRE redacted output without
+    shipping full strings.
+
+    Scale: pure regexp Catalyst expressions — codegen'd, no UDF, no
+    shuffle; at 100 TB this is a map-only pass over the scan."""
+    return (
+        spread(docs)
+        .withColumn(
+            "scrubbed",
+            F.expr(
+                f"regexp_replace(regexp_replace({text_expr},"
+                f" '{PII_EMAIL}', '<EMAIL>'), '{PII_PHONE}', '<PHONE>')"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"size(regexp_extract_all({text_expr}, '{PII_EMAIL}', 0))"
+            ).alias("n_emails"),
+            F.expr(
+                f"size(regexp_extract_all({text_expr}, '{PII_PHONE}', 0))"
+            ).alias("n_phones"),
+            F.length("scrubbed").alias("scrubbed_len"),
+            F.expr(phash60("scrubbed", "spark")).alias("scrubbed_hash"),
+        )
+    )
+
+
+def stratified_sample(docs: DataFrame, rates: dict, mod: int = 100) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``hash(doc_id) % mod < rates[lang]``.
+
+    ``sampleBy`` draws from a seeded RNG whose stream depends on row
+    order / partitioning — not reproducible across engines or runs at
+    scale. A content-hash Bernoulli filter is order-independent,
+    restart-safe, and pushes down as a plain predicate (map-only)."""
+    h = phash60("cast(doc_id as string)", "spark")
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(rates.items())
+    ) + " ELSE 0 END"
+    return spread(docs).filter(F.expr(f"{h} % {mod} < {rate}")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def contamination_check(
+    docs: DataFrame, n_shingle: int = 5, bench_mod: int = 20
+) -> DataFrame:
+    """Benchmark-contamination scan: which training docs share an
+    n-gram shingle with the (deterministically chosen) benchmark set,
+    and how many distinct shingles overlap.
+
+    Scale: explode to (shingle_hash, doc_id) pairs and JOIN ON HASH —
+    never a doc×doc product. The benchmark side (5 % of docs) aggregates
+    to distinct shingle hashes and broadcasts at typical benchmark
+    sizes; the big side is one explode + one shuffle-free broadcast
+    probe."""
+    sh = word_shingles("text", n_shingle, "spark")
+    hashed = F.expr(f"transform({sh}, s -> {phash60('s', 'spark')})")
+    base = spread(docs).select(
+        "doc_id", F.explode(hashed).alias("sh_hash")
+    )
+    bench = (
+        base.filter(F.expr(f"doc_id % {bench_mod} = 0"))
+        .select("sh_hash")
+        .distinct()
+    )
+    train = base.filter(F.expr(f"doc_id % {bench_mod} <> 0"))
+    return (
+        train.join(F.broadcast(bench), "sh_hash")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh_hash").alias("n_shared_shingles"))
+    )
+
+
+def length_histogram(docs: DataFrame, bucket_chars: int = 50, n_buckets: int = 10) -> DataFrame:
+    """Char-length histogram with capped top bucket + per-bucket stats."""
+    bucket = F.expr(
+        f"least(cast(floor(n_chars / {bucket_chars}) as int), {n_buckets})"
+    )
+    return (
+        spread(docs)
+        .groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )

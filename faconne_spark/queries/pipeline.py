@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from faconne_spark.functions import (
+    simhash_bits,
     band_sig,
     cosine_sim,
     lang_array_sql,
@@ -30,7 +31,7 @@ N_SHINGLE = 3
 MINHASH_K = 12
 LSH_BANDS = 4
 JACCARD_T = 0.2
-SIMHASH_MAX_HAM = 6
+SIMHASH_MAX_HAM = 3  # exact recall via 4 bands (pigeonhole)
 ANN_K = 10
 ANN_NQ = 5
 LSH_PLANES = 4
@@ -123,12 +124,12 @@ def dedup_simhash(spark, sf):
 ORACLE_SIMHASH = f"""
 WITH hashed AS (
   SELECT doc_id,
-         {D.simhash32(tokens_ws('text', 'duckdb'), 'duckdb')} AS sh
+         {simhash_bits(tokens_ws('text', 'duckdb'), 60, 'duckdb')} AS sh
   FROM documents),
 banded AS (
   SELECT doc_id, sh,
          unnest(list_transform(range(0, 4),
-                b -> b::VARCHAR || '#' || ((sh >> (b * 8)) % 256)::VARCHAR))
+                b -> ((sh >> (b * 15)) % 32768) + b * 32768))
          AS band
   FROM hashed)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -468,3 +469,94 @@ ORACLES = {
     "stream_session_agg": ORACLE_SESSION,
     # mm_image_meta: rows-only (binary decode is not SQL-expressible)
 }
+
+
+# ------------------------------------------------- training-data hygiene
+
+from faconne_spark.functions import pii_augmented  # noqa: E402
+
+SAMPLE_RATES = {"en": 30, "de": 80, "es": 80, "fr": 80, "zh": 80}
+
+
+def text_pii_scrub(spark, sf):
+    return TX.pii_scrub(T(spark, sf, "documents"), pii_augmented("spark"))
+
+
+ORACLE_PII = f"""
+WITH aug AS (
+  SELECT doc_id, {pii_augmented('duckdb')} AS atext FROM documents),
+scrub AS (
+  SELECT doc_id, atext,
+         regexp_replace(regexp_replace(atext, '{TX.PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{TX.PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+  FROM aug)
+SELECT doc_id,
+       len(regexp_extract_all(atext, '{TX.PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(atext, '{TX.PII_PHONE}')) AS n_phones,
+       length(scrubbed) AS scrubbed_len,
+       {phash60('scrubbed', 'duckdb')} AS scrubbed_hash
+FROM scrub
+"""
+
+
+def sample_stratified(spark, sf):
+    return TX.stratified_sample(T(spark, sf, "documents"), SAMPLE_RATES)
+
+
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+ORACLE_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {phash60('doc_id::VARCHAR', 'duckdb')} % 100 < {_RATE_CASE}
+"""
+
+
+def contamination_ngram(spark, sf):
+    return TX.contamination_check(T(spark, sf, "documents"))
+
+
+ORACLE_CONTAM = f"""
+WITH base AS (
+  SELECT doc_id,
+         unnest(list_transform({word_shingles('text', 5, 'duckdb')},
+                               s -> {phash60('s', 'duckdb')})) AS sh_hash
+  FROM documents),
+bench AS (SELECT DISTINCT sh_hash FROM base WHERE doc_id % 20 = 0),
+train AS (SELECT * FROM base WHERE doc_id % 20 <> 0)
+SELECT t.doc_id, count(DISTINCT t.sh_hash) AS n_shared_shingles
+FROM train t JOIN bench b ON t.sh_hash = b.sh_hash
+GROUP BY t.doc_id
+"""
+
+
+def doc_len_histogram(spark, sf):
+    return TX.length_histogram(T(spark, sf, "documents"))
+
+
+ORACLE_LENHIST = """
+SELECT least(cast(floor(n_chars / 50) as int), 10) AS len_bucket,
+       count(*) AS n_docs, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "text_pii_scrub": text_pii_scrub,
+        "sample_stratified": sample_stratified,
+        "contamination_ngram": contamination_ngram,
+        "doc_len_histogram": doc_len_histogram,
+    }
+)
+
+ORACLES.update(
+    {
+        "text_pii_scrub": ORACLE_PII,
+        "sample_stratified": ORACLE_SAMPLE,
+        "contamination_ngram": ORACLE_CONTAM,
+        "doc_len_histogram": ORACLE_LENHIST,
+    }
+)
