@@ -64,14 +64,19 @@ def tokens_bpe_count(expr: str, dialect: str) -> str:
 def word_shingles(expr: str, n: int, dialect: str) -> str:
     """Distinct word n-gram shingles of a text column (joined by
     spaces). Built from the token array with higher-order functions —
-    no UDF, vectorizable in both engines."""
+    no UDF, vectorizable in both engines.
+
+    The token array is let-bound (1-element transform) so the split
+    runs ONCE per row; inlining it in the lambda body would re-split
+    per shingle index — O(tokens²) per document."""
     toks = tokens_ws(expr, dialect)
     if dialect == "spark":
-        return (
+        body = (
             f"array_distinct(transform("
-            f"sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
-            f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
+            f"sequence(1, greatest(size(tk) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(tk, i, {n}))))"
         )
+        return f"transform(array({toks}), tk -> {body})[0]"
     return (
         f"list_distinct(list_transform("
         f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"

@@ -59,7 +59,11 @@ def minhash_signatures(
     fingerprint-materialization step of production MinHash pipelines:
     it is ~100 B/doc — at 100 TB of text that's a few hundred GB across
     the cluster, well inside executor storage, and it converts the
-    self-join into two scans of a tiny cached relation."""
+    self-join into two scans of a tiny cached relation.
+
+    Materialization is EAGER (count() below): a lazy persist inside a
+    self-join schedules both sides before the cache fills, so the
+    signature expression still runs twice."""
     r = k // bands
     sig = minhash_sig(word_shingles("text", n_shingle, "spark"), k, "spark")
     with_sig = spread(docs).select("doc_id", F.expr(sig).alias("sig"))
@@ -72,7 +76,9 @@ def minhash_signatures(
             )
         ).alias("band"),
     )
-    return banded.persist()
+    banded = banded.persist()
+    banded.count()
+    return banded
 
 
 def minhash_lsh_pairs(
@@ -117,8 +123,10 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_pairs` banding, then the exact intersection/union
     ratio on the shingle sets, kept when ≥ threshold."""
     sh = word_shingles("text", n_shingle, "spark")
-    # shingle arrays are re-read on BOTH sides of the pair join → cache
+    # shingle arrays are re-read on BOTH sides of the pair join →
+    # cache eagerly (lazy persist would compute both join sides cold)
     shingled = spread(docs).select("doc_id", F.expr(sh).alias("sh")).persist()
+    shingled.count()
     cand = minhash_lsh_pairs(docs, n_shingle, k, n_bands).select("id_a", "id_b")
     j = (
         cand.join(shingled.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -153,6 +161,7 @@ def embedding_cosine_pairs(
     bucketed = spread(emb).select(
         "vec_id", "embedding", F.expr(bucket).alias("bucket")
     ).persist()  # dot-product bucketing runs once, not per join side
+    bucketed.count()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     from faconne_spark.functions import cosine_sim
@@ -203,6 +212,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("band"),
     ).persist()
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

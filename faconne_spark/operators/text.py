@@ -37,47 +37,64 @@ def lang_scores_exprs(dialect: str) -> dict:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Best-scoring language profile per document (ties → lexicographic
-    first, deterministic)."""
-    scores = lang_scores_exprs("spark")
+    first, deterministic).
+
+    Staged so tokenize+distinct runs ONCE per row (`_toksd` column,
+    referenced by all 5 profile intersections) and the argmax struct is
+    built once (`_best`, referenced twice). CollapseProject keeps
+    multiply-referenced non-cheap aliases as separate projections, so
+    neither is re-inlined — all within one codegen stage."""
+    toks = tokens_ws("lower(text)", "spark")
     pairs = ", ".join(
-        f"struct({sql} as score, '{lang}' as lang)" for lang, sql in sorted(scores.items())
+        f"struct(size(array_intersect(_toksd, {lang_array_sql(lang, 'spark')}))"
+        f" as score, '{lang}' as lang)"
+        for lang in sorted(LANG_PROFILES)
     )
-    best = (
-        f"array_max(array({pairs}))"
-    )
-    return spread(docs).select(
-        "doc_id",
-        "lang",
-        F.expr(f"{best}.lang").alias("pred_lang"),
-        F.expr(f"{best}.score").alias("pred_score"),
+    return (
+        spread(docs)
+        .withColumn("_toksd", F.expr(f"array_distinct({toks})"))
+        .withColumn("_best", F.expr(f"array_max(array({pairs}))"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("_best.lang").alias("pred_lang"),
+            F.col("_best.score").alias("pred_score"),
+        )
     )
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features: length, token stats, punctuation /
-    non-alpha ratio, stopword ratio, repetition (distinct-token ratio)."""
+    non-alpha ratio, stopword ratio, repetition (distinct-token ratio).
+
+    The token array is staged as a column so the split runs once per
+    row; the 6 feature expressions all reference `_toks`."""
     toks = tokens_ws("text", "spark")
     en = lang_array_sql("en", "spark")
-    return spread(docs).select(
-        "doc_id",
-        F.expr("length(text)").alias("n_chars"),
-        F.expr(f"size({toks})").alias("n_tokens"),
-        F.expr(
-            f"round(cast(size(array_distinct({toks})) as double) /"
-            f" cast(size({toks}) as double), 6)"
-        ).alias("distinct_ratio"),
-        F.expr(
-            "round(cast(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) as double)"
-            " / cast(greatest(length(text), 1) as double), 6)"
-        ).alias("punct_ratio"),
-        F.expr(
-            f"round(cast(size(filter({toks}, t -> array_contains({en}, lower(t)))) as double)"
-            f" / cast(greatest(size({toks}), 1) as double), 6)"
-        ).alias("stopword_ratio"),
-        F.expr(
-            f"round(cast(aggregate({toks}, 0, (a, t) -> a + length(t)) as double)"
-            f" / cast(greatest(size({toks}), 1) as double), 6)"
-        ).alias("mean_token_len"),
+    return (
+        spread(docs)
+        .withColumn("_toks", F.expr(toks))
+        .select(
+            "doc_id",
+            F.expr("length(text)").alias("n_chars"),
+            F.expr("size(_toks)").alias("n_tokens"),
+            F.expr(
+                "round(cast(size(array_distinct(_toks)) as double) /"
+                " cast(size(_toks) as double), 6)"
+            ).alias("distinct_ratio"),
+            F.expr(
+                "round(cast(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) as double)"
+                " / cast(greatest(length(text), 1) as double), 6)"
+            ).alias("punct_ratio"),
+            F.expr(
+                f"round(cast(size(filter(_toks, t -> array_contains({en}, lower(t)))) as double)"
+                " / cast(greatest(size(_toks), 1) as double), 6)"
+            ).alias("stopword_ratio"),
+            F.expr(
+                "round(cast(aggregate(_toks, 0, (a, t) -> a + length(t)) as double)"
+                " / cast(greatest(size(_toks), 1) as double), 6)"
+            ).alias("mean_token_len"),
+        )
     )
 
 
