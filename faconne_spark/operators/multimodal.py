@@ -104,3 +104,114 @@ def extract_media_meta(media: DataFrame, use_real_decoder: bool = False) -> Data
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA])
 
     return media.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_bytes", LongType()),
+    ]
+)
+
+
+def resize_image_real(payload: bytes, w: int, h: int) -> bytes:
+    """Real resize hook — needs PIL/libvips (not in this container)."""
+    raise NotImplementedError(
+        "image resize requires PIL/libvips; wire in on a cluster image"
+    )
+
+
+def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake: tile the payload to w*h bytes (stable stand-in
+    for a decoded-resized-reencoded image; size scales with w*h like a
+    real bitmap would)."""
+    need = w * h
+    reps = need // len(payload) + 1
+    return (payload * reps)[:need]
+
+
+def resize_media(
+    media: DataFrame, width: int = 32, height: int = 32,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Batch resize over the binary column (images only; other media
+    passes through with NULL output). Arrow-batched ``mapInPandas``; no
+    shuffle — partitioning is whatever the upstream scan chose, and at
+    100 TB batch size is bounded by arrow.maxRecordsPerBatch so peak
+    memory is batch_rows × (payload + w×h)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype.startswith("image/"):
+                    raw = bytes(payload)
+                    out = (
+                        resize_image_real(raw, width, height)  # pragma: no cover
+                        if use_real_codec
+                        else _resize_fake(raw, width, height)
+                    )
+                    rows.append((doc_id, mtype, width, height, out, len(out)))
+                else:
+                    rows.append((doc_id, mtype, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA]
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames_real(payload: bytes, every_n: int) -> list:
+    """Real frame extraction hook — needs ffmpeg/pyav."""
+    raise NotImplementedError("frame sampling requires ffmpeg/pyav")
+
+
+def _sample_frames_fake(payload: bytes, every_n: int) -> list:
+    """Deterministic fake: treat the payload as 4-byte frames, keep
+    every n-th. Exercises the real 1→N row-explosion shape."""
+    frames = [payload[i : i + 4] for i in range(0, len(payload), 4)]
+    return [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
+
+
+def sample_media_frames(
+    media: DataFrame, every_n: int = 2, use_real_codec: bool = False
+) -> DataFrame:
+    """Frame sampling for video/audio media: one input row → N frame
+    rows (``mapInPandas`` may change cardinality, the natural fit for
+    decode-explode; a Spark-side ``explode`` would need the decoded
+    array materialised as one giant row first)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype.startswith(("video/", "audio/")):
+                    raw = bytes(payload)
+                    frames = (
+                        sample_frames_real(raw, every_n)  # pragma: no cover
+                        if use_real_codec
+                        else _sample_frames_fake(raw, every_n)
+                    )
+                    for idx, fr in frames:
+                        rows.append((doc_id, idx, fr, len(fr)))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

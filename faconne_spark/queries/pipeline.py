@@ -432,6 +432,52 @@ def mm_image_meta(spark, sf):
     return MM.extract_media_meta(MM.synthesize_media(docs))
 
 
+def mm_resize(spark, sf):
+    """Image resize plumbing: mapInPandas 1→1 with binary output
+    (codec is a deterministic stub). Aggregated to per-type stats so
+    the result is compact + deterministic (rows-only gate)."""
+    docs = T(spark, sf, "documents")
+    out = MM.resize_media(MM.synthesize_media(docs))
+    return out.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("resized_bytes").alias("total_resized_bytes"),
+    )
+
+
+def mm_frame_sample(spark, sf):
+    """Video/audio frame sampling: mapInPandas 1→N row explosion
+    (rows-only gate)."""
+    docs = T(spark, sf, "documents")
+    out = MM.sample_media_frames(MM.synthesize_media(docs))
+    return out.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").alias("total_frame_bytes"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )
+
+
+# The fake codecs are deterministic functions of the md5(text) payload
+# (16 bytes): resize → width×height bytes per image; frame-sample →
+# ceil(16/4)=4 frames, keep idx 0 and 2 (every_n=2), 4 bytes each. The
+# oracles recompute those closed forms, so the mapInPandas plumbing is
+# value-gated, not just rows-only.
+ORACLE_MM_RESIZE = """
+SELECT media_type, count(*)::BIGINT AS n_media,
+       sum(rb)::BIGINT AS total_resized_bytes
+FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             CASE WHEN doc_id % 3 = 0 THEN 1024 END AS rb
+      FROM documents)
+GROUP BY media_type
+"""
+
+ORACLE_MM_FRAMES = """
+SELECT doc_id, 2::BIGINT AS n_frames, 8::BIGINT AS total_frame_bytes,
+       2::INTEGER AS max_frame_idx
+FROM documents WHERE doc_id % 3 <> 0
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -449,6 +495,8 @@ QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_session_agg": stream_session_agg,
     "mm_image_meta": mm_image_meta,
+    "mm_resize": mm_resize,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLES = {
@@ -468,6 +516,8 @@ ORACLES = {
     "stream_window_counts": ORACLE_WINDOW_COUNTS,
     "stream_session_agg": ORACLE_SESSION,
     # mm_image_meta: rows-only (binary decode is not SQL-expressible)
+    "mm_resize": ORACLE_MM_RESIZE,
+    "mm_frame_sample": ORACLE_MM_FRAMES,
 }
 
 

@@ -1,0 +1,92 @@
+"""Sources & sinks: batch connectors beyond bare parquet.
+
+Readers take an EXPLICIT schema wherever the format can't prove one
+(CSV/JSON): schema inference is a full extra pass over the data — at
+100 TB that doubles the scan — and silently drifts when a new file adds
+a field. Writers control output layout: partition columns for pruning,
+file counts for small-file avoidance.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV with explicit schema (no inference pass)."""
+    return (
+        spark.read.schema(schema)
+        .options(header=str(header).lower(), **options)
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"):
+    df.write.options(header=str(header).lower()).mode(mode).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | None = None, **options
+) -> DataFrame:
+    """JSON-lines. Schema strongly recommended; without one Spark scans
+    the data once just to infer."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite"):
+    """JSON-lines sink (the interchange format of most LLM-data
+    pipelines). Binary columns are not JSON-representable — callers
+    encode them (base64) first; this raises early instead of writing
+    garbage."""
+    from pyspark.sql.types import BinaryType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, BinaryType):
+            raise ValueError(
+                f"column {f.name!r} is binary; base64-encode before JSONL"
+            )
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    approx_rows: int | None = None,
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+):
+    """Hive-partitioned parquet sink with small-file control.
+
+    ``partitionBy`` alone writes one file per (task × partition-value) —
+    with 1000 tasks × 100 values that's 100k files of a few MB: the
+    classic small-file explosion. Repartitioning by the partition
+    columns (plus a bounded salt when a value needs > 1 file) makes
+    each output file a full task's worth of one partition value.
+    Readers then get partition pruning for free on ``partition_by``
+    predicates."""
+    from pyspark.sql import functions as F
+
+    if approx_rows is None:
+        salt_n = 1
+    else:
+        salt_n = max(1, math.ceil(approx_rows / target_rows_per_file))
+    if salt_n > 1:
+        salted = df.withColumn("_salt", (F.rand(seed=7) * salt_n).cast("int"))
+        out = salted.repartition(*(partition_by + ["_salt"])).drop("_salt")
+    else:
+        out = df.repartition(*partition_by)
+    out.write.partitionBy(*partition_by).mode(mode).parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -116,3 +116,62 @@ def sessionize_streaming(spark, parquet_dir: str, gap_minutes: int = 30):
         )
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def streaming_dedup(spark, parquet_dir: str, key_cols=("event_id",)):
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps
+    per-key state only inside the watermark horizon, so state is bounded
+    — the streaming face of the batch exact-dedup operator."""
+    stream = read_stream_parquet(spark, parquet_dir)
+    return stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+USER_TOTALS_OUT = (
+    "user_id bigint, n_events bigint, total_value double, batch_events int"
+)
+
+
+def user_totals_stateful(stream: DataFrame, timeout_minutes: int = 0):
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) that survives across micro-batches — the
+    arbitrary-state escape hatch for operators windowed aggs can't
+    express (counters, ML feature state, CUSUM detectors...).
+
+    State is one tiny tuple per user, partitioned by the groupBy key —
+    at cluster scale state lives in the state store shards, sized
+    per-key not per-event."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "batch_events": [batch_n],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if not timeout_minutes
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_OUT,
+        stateStructType="n_events bigint, total_value double",
+        outputMode="update",
+        timeoutConf=timeout,
+    )

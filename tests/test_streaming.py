@@ -81,3 +81,85 @@ def test_foreach_batch_sink(spark, sf_dir):
     assert sum(n for _, n in seen) == spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")
     ).count()
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicated input → unique output."""
+    from faconne_spark.streaming import streaming_dedup
+
+    events = T(spark, sf_dir, "events").limit(200)
+    dup_dir = str(tmp_path / "dup_events")
+    events.union(events).write.parquet(dup_dir)
+
+    out = streaming_dedup(spark, dup_dir)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_stream").first()
+    assert got["c"] == got["d"] == events.select("event_id").distinct().count()
+
+
+def test_stateful_user_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches —
+    after the last batch, per-user totals equal the batch groupBy, and
+    at least one user saw fewer rows in its final batch than in total
+    (proof the final numbers came out of carried state, not one batch).
+    """
+    from faconne_spark.streaming import user_totals_stateful
+
+    events = T(spark, sf_dir, "events").select("user_id", "ts", "value").limit(500)
+    src = str(tmp_path / "batched_events")
+    # two files → two micro-batches (maxFilesPerTrigger=1), split so
+    # most users have events in BOTH batches — the totals can only be
+    # right if per-user state survives the batch boundary
+    half = events.withColumn(
+        "_h", F.expr("abs(hash(user_id, ts, value)) % 2")
+    )
+    half.filter("_h = 0").drop("_h").coalesce(1).write.parquet(src)
+    half.filter("_h = 1").drop("_h").coalesce(1).write.parquet(src, mode="append")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = user_totals_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    import collections
+
+    rows = spark.sql("SELECT * FROM user_totals").collect()
+    assert len(rows) > 0
+    # cumulative n_events is monotone → the max-n_events emission per
+    # user is its final state, independent of sink row order
+    last = {}
+    for r in rows:
+        if r["user_id"] not in last or r["n_events"] > last[r["user_id"]]["n_events"]:
+            last[r["user_id"]] = r
+    # state carry proof: some user's final batch saw fewer rows than its total
+    assert any(r["batch_events"] < r["n_events"] for r in last.values())
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .collect()
+    }
+    got = {
+        u: (r["n_events"], round(r["total_value"], 6)) for u, r in last.items()
+    }
+    assert got == expected
