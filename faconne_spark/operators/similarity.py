@@ -186,3 +186,36 @@ def lsh_bucketed_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "cos_sim", "rk")
     )
+
+
+def knn_classify(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding corpus:
+    each query's label is the most frequent label among its exact
+    top-k cosine neighbours (ties → smaller label, deterministic).
+
+    Built on :func:`cosine_topk`, so the corpus scans once and never
+    shuffles; the per-query vote is a tiny groupBy on q_id (top-k rows
+    per query only)."""
+    nbrs = cosine_topk(corpus, queries, k)
+    labeled = nbrs.join(
+        corpus.select("vec_id", "label"), "vec_id"
+    )
+    votes = labeled.groupBy("q_id", "label").agg(
+        F.count("*").alias("votes")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "q_id").select(
+        "q_id", "true_label", "pred_label", "votes"
+    )

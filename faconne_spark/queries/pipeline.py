@@ -184,6 +184,39 @@ WHERE rk <= {ANN_K}
 """
 
 
+def knn_classify_labels(spark, sf):
+    """k-NN majority-vote label prediction (uses embeddings.label)."""
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    return S.knn_classify(emb, queries, ANN_K)
+
+
+ORACLE_KNN = f"""
+WITH nbrs AS (
+  SELECT q_id, vec_id, rk FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({cosine_sim('c.embedding', 'q.embedding', 'duckdb')}, 6) DESC,
+                      c.vec_id) AS rk
+    FROM embeddings c
+    JOIN embeddings q ON q.vec_id < {ANN_NQ} AND c.vec_id != q.vec_id)
+  WHERE rk <= {ANN_K}),
+votes AS (
+  SELECT n.q_id, c.label, count(*)::BIGINT AS votes
+  FROM nbrs n JOIN embeddings c ON n.vec_id = c.vec_id
+  GROUP BY n.q_id, c.label),
+pred AS (
+  SELECT q_id, label AS pred_label, votes,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY votes DESC, label) AS rk
+  FROM votes)
+SELECT p.q_id, q.label AS true_label, p.pred_label, p.votes
+FROM pred p JOIN embeddings q ON p.q_id = q.vec_id
+WHERE p.rk = 1
+"""
+
+
 def ann_lsh_bucketed(spark, sf):
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_NQ)
@@ -485,6 +518,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
+    "knn_classify_labels": knn_classify_labels,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "embed_norm": embed_norm,
@@ -506,6 +540,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
+    "knn_classify_labels": ORACLE_KNN,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "embed_norm": ORACLE_EMBED_NORM,
