@@ -74,7 +74,7 @@ def transform(data, domain, range_, where=None, spark=None) -> DataFrame:
     :func:`faconne_spark.dsl.pyobj.to_df` — driver-side, for small data /
     parity tests only).
     """
-    df = _ensure_df(data, spark)
+    df = _ensure_df(data, spark, domain)
     return Transformer(domain, range_, where)(df)
 
 
@@ -82,7 +82,7 @@ def for_each(data, domain, action, where=None, spark=None) -> None:
     """Side-effecting traversal (reference ``f/for-each``,
     core.cljc:30-33): ``action`` receives a dict of bound vars per leaf,
     executed distributed via ``foreachPartition``."""
-    df = _ensure_df(data, spark)
+    df = _ensure_df(data, spark, domain)
     flat = Transformer(domain, None, where).bind(df)
 
     def _part(rows):
@@ -92,9 +92,9 @@ def for_each(data, domain, action, where=None, spark=None) -> None:
     flat.foreachPartition(_part)
 
 
-def _ensure_df(data, spark) -> DataFrame:
+def _ensure_df(data, spark, domain=None) -> DataFrame:
     if isinstance(data, DataFrame):
         return data
     from faconne_spark.dsl.pyobj import to_df
 
-    return to_df(data, spark=spark)
+    return to_df(data, spark=spark, domain=domain)

@@ -17,13 +17,22 @@ from faconne_spark.dsl.range_ import Shape
 from faconne_spark.errors import FaconneError
 
 
-def to_df(obj, spark: SparkSession | None = None, schema=None) -> DataFrame:
+def to_df(
+    obj, spark: SparkSession | None = None, schema=None, domain=None
+) -> DataFrame:
     """Convert a nested Python literal to a DataFrame.
 
     * list of dicts  → rows (the scalable shape; like JDBC resultsets in
       the reference's motivating examples, demo.clj:45-54)
     * any other list/set → single row, one ``__root`` array column
     * dict           → single row, one ``__root`` map column
+
+    ``domain`` (the transform's domain pattern, when available) types
+    branches that are EMPTY in the data: ``{"a": {}}`` under domain
+    ``{store: {aisle: [product]}}`` must give the inner value type
+    map<·, array<·>> even though no element exists to sample — the
+    reference's runtime traversal trivially yields nothing there, but a
+    DataFrame needs the shape in the schema up front.
     """
     if spark is None:
         spark = SparkSession.getActiveSession()
@@ -42,21 +51,53 @@ def to_df(obj, spark: SparkSession | None = None, schema=None) -> DataFrame:
         spark.conf.set(key, "true")
         try:
             return spark.createDataFrame(obj)
+        except Exception:
+            # native sampler chokes on empty containers → infer ourselves,
+            # letting the domain pattern type the empty branches
+            elem_pat = (
+                domain[0]
+                if isinstance(domain, list) and len(domain) == 1
+                else None
+            )
+            field_pats = {}
+            if isinstance(elem_pat, dict):
+                from faconne_spark.dsl.ast import Lit
+
+                for k, v in elem_pat.items():
+                    if isinstance(k, str):
+                        field_pats[k] = v
+                    elif isinstance(k, Lit):
+                        field_pats[k.value] = v
+            cols = []
+            for r in obj:
+                for c in r:
+                    if c not in cols:
+                        cols.append(c)
+            fields = []
+            for c in cols:
+                t = _unify(_infer_type(_norm(r.get(c))) for r in obj)
+                t = _concrete(_overlay(t, field_pats.get(c)))
+                fields.append(T.StructField(c, t))
+            return spark.createDataFrame(
+                [_norm(r) for r in obj], schema=T.StructType(fields)
+            )
         finally:
             spark.conf.set(key, old)
     if isinstance(obj, (list, set, frozenset, dict)):
         data = [{"__root": _norm(obj)}]
         if schema is None:
             # infer ourselves: Spark's sampler fails on empty containers
-            # ([] / {}), whose element type is irrelevant (result is empty).
-            schema = T.StructType(
-                [T.StructField("__root", _infer_type(_norm(obj)) or T.LongType())]
-            )
+            # ([] / {}), whose element type the domain pattern supplies.
+            t = _concrete(_overlay(_infer_type(_norm(obj)), domain))
+            schema = T.StructType([T.StructField("__root", t)])
         return spark.createDataFrame(data, schema=schema)
     raise FaconneError(f"cannot convert {type(obj)} to DataFrame")
 
 
 def _infer_type(x):
+    """``T.NullType()`` marks positions whose type no element witnesses
+    (empty containers / all-null); ``_overlay`` may fill them from the
+    domain pattern and ``_concrete`` resolves the rest."""
     if x is None:
         return None
     if isinstance(x, bool):
@@ -70,11 +111,11 @@ def _infer_type(x):
     if isinstance(x, bytes):
         return T.BinaryType()
     if isinstance(x, (list, tuple, set, frozenset)):
-        return T.ArrayType(_unify(_infer_type(v) for v in x) or T.LongType())
+        return T.ArrayType(_unify(_infer_type(v) for v in x) or T.NullType())
     if isinstance(x, dict):
         return T.MapType(
-            _unify(_infer_type(k) for k in x) or T.StringType(),
-            _unify(_infer_type(v) for v in x.values()) or T.LongType(),
+            _unify(_infer_type(k) for k in x) or T.NullType(),
+            _unify(_infer_type(v) for v in x.values()) or T.NullType(),
         )
     raise FaconneError(f"cannot infer Spark type for {type(x)}")
 
@@ -82,22 +123,98 @@ def _infer_type(x):
 def _unify(types):
     out = None
     for t in types:
-        if t is None:
+        if t is None or isinstance(t, T.NullType):
             continue
-        if out is None or out == t:
+        if out is None or isinstance(out, T.NullType) or out == t:
             out = t
         elif {out.__class__, t.__class__} == {T.LongType, T.DoubleType}:
             out = T.DoubleType()
         elif isinstance(out, T.ArrayType) and isinstance(t, T.ArrayType):
-            out = T.ArrayType(_unify([out.elementType, t.elementType]) or T.LongType())
+            out = T.ArrayType(
+                _unify([out.elementType, t.elementType]) or T.NullType()
+            )
         elif isinstance(out, T.MapType) and isinstance(t, T.MapType):
             out = T.MapType(
-                _unify([out.keyType, t.keyType]) or T.StringType(),
-                _unify([out.valueType, t.valueType]) or T.LongType(),
+                _unify([out.keyType, t.keyType]) or T.NullType(),
+                _unify([out.valueType, t.valueType]) or T.NullType(),
             )
         else:
             out = T.StringType()  # mixed scalars: stringly-typed fallback
     return out
+
+
+def _overlay(t, pat):
+    """Fill ``NullType`` positions of an inferred type with the container
+    structure the domain pattern implies there. Leaf types stay unknown
+    (the branch is empty — any concrete type yields the same empty
+    result); only the SHAPE (map/array nesting) matters so the binder's
+    explodes type-check."""
+    from faconne_spark.dsl.ast import Lit, SetOf, Var
+
+    if pat is None:
+        return t
+    unknown = t is None or isinstance(t, T.NullType)
+    if isinstance(pat, SetOf):
+        pat = list(pat.elems)
+    if isinstance(pat, (list, tuple)) and pat:
+        if unknown:
+            t = T.ArrayType(T.NullType())
+        if isinstance(t, T.ArrayType):
+            elem = t.elementType
+            for p in pat:  # n-at-a-time chunk patterns share the element type
+                elem = _overlay(elem, p)
+            return T.ArrayType(elem)
+        return t
+    if isinstance(pat, dict):
+        traversal = {
+            k: v
+            for k, v in pat.items()
+            if isinstance(k, (Var, Lit, str, tuple))  # not Keys/As destructure
+        }
+        if not traversal:
+            return t  # Keys/As destructuring: node shape comes from data
+        if unknown:
+            t = T.MapType(T.NullType(), T.NullType())
+        if isinstance(t, T.MapType):
+            vt = t.valueType
+            for _, vpat in traversal.items():
+                vt = _overlay(vt, vpat)
+            return T.MapType(t.keyType, vt)
+        if isinstance(t, T.StructType):
+            fields = []
+            for f in t.fields:
+                sub = None
+                for k, vpat in traversal.items():
+                    key = k.value if isinstance(k, Lit) else k
+                    if key == f.name:
+                        sub = vpat
+                fields.append(
+                    T.StructField(f.name, _overlay(f.dataType, sub), f.nullable)
+                )
+            return T.StructType(fields)
+        return t
+    return t
+
+
+def _concrete(t, key_pos: bool = False):
+    """Resolve remaining unknowns: LongType for values (any type works —
+    the branch holds no data), StringType in map-key position."""
+    if t is None or isinstance(t, T.NullType):
+        return T.StringType() if key_pos else T.LongType()
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_concrete(t.elementType))
+    if isinstance(t, T.MapType):
+        return T.MapType(
+            _concrete(t.keyType, key_pos=True), _concrete(t.valueType)
+        )
+    if isinstance(t, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _concrete(f.dataType), f.nullable)
+                for f in t.fields
+            ]
+        )
+    return t
 
 
 def _norm(x):
