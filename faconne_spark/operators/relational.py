@@ -95,3 +95,30 @@ def range_join(
         & (F.col(f"r.{right_time}") <= F.expr(upper_expr))
     )
     return lt.join(rt, cond)
+
+
+def salted_join(
+    big: "DataFrame",
+    skewed_small: "DataFrame",
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> "DataFrame":
+    """Skew-safe join: salt the big side's key with a random shard id
+    and replicate the small side across all shards, so one hot key
+    spreads over ``n_salts`` tasks instead of melting a single one.
+
+    AQE's skew-join splitting handles this adaptively for sort-merge
+    joins; explicit salting remains necessary when AQE can't help
+    (aggregation-after-join pipelines, storage-partitioned inputs, or
+    hot keys on the BUILD side of a shuffled hash join). The replicated
+    side grows ×n_salts — use for moderate-size right sides only.
+    """
+    from pyspark.sql import functions as F
+
+    b = big.withColumn("_salt", (F.rand(seed=13) * n_salts).cast("int"))
+    s = skewed_small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -90,3 +90,35 @@ def write_partitioned_parquet(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+):
+    """Bucketed (hash-clustered) managed table: pre-shuffles data into
+    ``n_buckets`` files per partition clustered by ``bucket_cols``.
+
+    Joins/aggregations between tables bucketed the SAME way on the SAME
+    keys need NO exchange at read time — at 100 TB this converts every
+    repeated fact⋈fact join on the bucket key from a full shuffle into
+    a zipped per-bucket merge. ``sort_cols`` additionally pre-sorts
+    within buckets so sort-merge joins skip the sort."""
+    w = (
+        df.write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .mode(mode)
+        .format("parquet")
+    )
+    if path is not None:  # external table (e.g. outside the warehouse dir)
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -74,3 +74,53 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
         back.select(*docs.columns).exceptAll(docs).count() == 0
         and docs.exceptAll(back.select(*docs.columns)).count() == 0
     )
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed identically on the join key: the join plan
+    has NO shuffle exchange — the 100 TB co-located-join path."""
+    from faconne_spark.sources import read_table, write_bucketed
+
+    orders = T(spark, sf_dir, "orders")
+    lineitem = T(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"), "b_orders",
+        ["o_orderkey"], n_buckets=8, path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "b_lineitem",
+        ["l_orderkey"], n_buckets=8, path=str(tmp_path / "b_lineitem"),
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the assert exercises the shuffle path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_table(spark, "b_orders").join(
+            read_table(spark, "b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from faconne_spark.operators.relational import salted_join
+
+    events = T(spark, sf_dir, "events").select("user_id", "value")
+    users = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    got = salted_join(events, users, "user_id", n_salts=8)
+    plain = events.join(users, "user_id")
+    assert got.count() == plain.count()
+    gs = got.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("s"))
+    ps = plain.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("s"))
+    assert gs.exceptAll(ps).count() == 0 and ps.exceptAll(gs).count() == 0
