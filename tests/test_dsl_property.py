@@ -106,3 +106,62 @@ def test_where_filter_matches_oracle(spark, data):
         if r["v"] >= 0:
             expected.setdefault(r["k"], set()).add(r["v"])
     assert got == expected
+
+
+# ---- n-at-a-time vector partitioning ---------------------------------
+
+even_ints = st.lists(
+    st.integers(-50, 50), min_size=2, max_size=12
+).filter(lambda l: len(l) % 2 == 0)
+
+
+@PROP
+@given(data=even_ints)
+def test_chunk_pairs_matches_oracle(spark, data):
+    got = t(spark, data, [V.a, V.b], ["a + b AS s"])
+    expected = [data[i] + data[i + 1] for i in range(0, len(data), 2)]
+    assert got == expected
+
+
+# ---- multi-binding map (all entry pairs) -----------------------------
+
+kv_map = st.dictionaries(
+    names, st.integers(0, 6), min_size=1, max_size=5
+)
+
+
+@PROP
+@given(data=kv_map, target=st.integers(0, 12))
+def test_entry_pairs_matches_oracle(spark, data, target):
+    from faconne_spark import SetOf
+
+    got = t(
+        spark, data,
+        {V.k: V.v, V.k2: V.v2},
+        SetOf(SetOf([V.k, V.k2])),
+        where=["k != k2", f"v + v2 = {target}"],
+    )
+    expected = {
+        tuple(sorted((k1, k2)))
+        for k1, v1 in data.items()
+        for k2, v2 in data.items()
+        if k1 != k2 and v1 + v2 == target
+    }
+    assert got == expected
+
+
+# ---- Agg reducers ----------------------------------------------------
+
+@PROP
+@given(data=rows)
+def test_agg_max_count_matches_oracle(spark, data):
+    got = t(
+        spark, data, [Keys("k", "v")],
+        {V.k: {"mx": Agg("max(v)"), "n": Agg("count(v)")}},
+    )
+    expected = {}
+    for r in data:
+        e = expected.setdefault(r["k"], {"mx": r["v"], "n": 0})
+        e["mx"] = max(e["mx"], r["v"])
+        e["n"] += 1
+    assert got == expected
