@@ -28,9 +28,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
     "ann_cosine_topk",
+    "knn_classify_labels",
     "text_quality",
     "text_lang_id",
+    "text_pii_scrub",
+    "contamination_ngram",
     "stream_window_counts",
     "stream_session_agg",
 ]

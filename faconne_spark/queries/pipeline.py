@@ -121,6 +121,14 @@ def dedup_simhash(spark, sf):
     return D.simhash_pairs(T(spark, sf, "documents"), SIMHASH_MAX_HAM)
 
 
+def dedup_clusters(spark, sf):
+    """Connected components over the simhash near-dup pairs: per doc,
+    the canonical keeper (min doc_id in its component) — iterative
+    min-label propagation (one shuffle per round, diameter rounds)."""
+    pairs = D.simhash_pairs(T(spark, sf, "documents"), SIMHASH_MAX_HAM)
+    return D.connected_components(pairs)
+
+
 ORACLE_SIMHASH = f"""
 WITH hashed AS (
   SELECT doc_id,
@@ -138,6 +146,33 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}
 """
+
+# connected components of the simhash pairs: DuckDB computes the exact
+# transitive closure with a recursive CTE (UNION dedups, so it
+# terminates); cluster_id = min reachable doc_id, matching the Spark
+# min-label-propagation fixpoint.
+ORACLE_CLUSTERS = (
+    ORACLE_SIMHASH.split("SELECT DISTINCT")[0].replace(
+        "WITH hashed", "WITH RECURSIVE hashed", 1
+    )
+    + f"""
+, prs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl
+  FROM reach r JOIN edges e ON e.dst = r.node)
+SELECT node AS doc_id, min(lbl) AS cluster_id
+FROM reach GROUP BY node
+"""
+)
 
 
 EMB_DEDUP_T = 0.35
@@ -516,6 +551,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "knn_classify_labels": knn_classify_labels,
@@ -538,6 +574,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "knn_classify_labels": ORACLE_KNN,
