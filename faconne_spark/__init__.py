@@ -11,14 +11,14 @@ row-at-a-time Python UDFs on hot paths.
 """
 
 from faconne_spark.dsl.ast import V, Var, Wild, Lit, Agg, SetOf, Keys, As, K
-from faconne_spark.dsl.compiler import Transformer, transform, for_each
+from faconne_spark.dsl.compiler import Iterator, Transformer, transform, for_each
 from faconne_spark.dsl.pyobj import to_df, collect_nested
 from faconne_spark.errors import FaconneError
 from faconne_spark.session import get_session
 
 __all__ = [
     "V", "Var", "Wild", "Lit", "Agg", "SetOf", "Keys", "As", "K", "FaconneError",
-    "Transformer", "transform", "for_each",
+    "Iterator", "Transformer", "transform", "for_each",
     "to_df", "collect_nested",
     "get_session",
 ]

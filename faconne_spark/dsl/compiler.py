@@ -67,6 +67,40 @@ class Transformer:
         self(df).explain(mode)
 
 
+class Iterator:
+    """Compiled, reusable side-effect traversal (reference
+    ``f/iterator``, core.cljc:20-23): compile the domain binder once,
+    run an action per bound leaf on any number of inputs.
+
+    ``__call__`` executes distributed (``foreachPartition``);
+    ``rows()`` instead yields bound-variable dicts lazily on the driver
+    (``toLocalIterator`` — one partition in memory at a time), the
+    Python-idiomatic iterator face. ``explain()`` is the parity of
+    ``print-generated-iterator`` (core.cljc:40-43)."""
+
+    def __init__(self, domain, action=None, where=None):
+        self._t = Transformer(domain, None, where)
+        self.action = action
+
+    def __call__(self, df: DataFrame, action=None) -> None:
+        act = action or self.action
+        if act is None:
+            raise FaconneError("Iterator needs an action (ctor or call arg)")
+
+        def _part(rows):
+            for r in rows:
+                act(r.asDict(recursive=True))
+
+        self._t.bind(df).foreachPartition(_part)
+
+    def rows(self, df: DataFrame):
+        for r in self._t.bind(df).toLocalIterator():
+            yield r.asDict(recursive=True)
+
+    def explain(self, df: DataFrame, mode: str = "formatted") -> None:
+        self._t.bind(df).explain(mode)
+
+
 def transform(data, domain, range_, where=None, spark=None) -> DataFrame:
     """One-shot transform (reference ``f/transform``, core.cljc:25-28).
 

@@ -146,3 +146,41 @@ def test_property_pairs(spark, seed):
         for i in range(0, len(data), 2)
     ]
     assert sorted(got) == sorted(expected)
+
+
+def test_iterator_reusable(spark):
+    """f/iterator parity (core.cljc:20-23): compile once, run on
+    multiple inputs; rows() yields lazily on the driver."""
+    from faconne_spark import Iterator, V
+
+    it = Iterator({V.store: {V.aisle: [V.product]}})
+    d1 = {"g": {1: ["a", "b"]}}
+    d2 = {"h": {2: ["c"]}, "i": {3: ["d", "e"]}}
+
+    from faconne_spark.dsl.pyobj import to_df
+
+    got1 = sorted(r["product"] for r in it.rows(to_df(d1, spark)))
+    got2 = sorted(r["product"] for r in it.rows(to_df(d2, spark)))
+    assert got1 == ["a", "b"]
+    assert got2 == ["c", "d", "e"]
+    # full bound frame carries all vars
+    row = next(it.rows(to_df(d1, spark)))
+    assert set(row) >= {"store", "aisle", "product"}
+
+
+def test_iterator_action_runs_distributed(spark, tmp_path):
+    from faconne_spark import Iterator, V
+    from faconne_spark.dsl.pyobj import to_df
+
+    out = str(tmp_path / "seen")
+    import os
+
+    os.makedirs(out)
+
+    def act(r):
+        # side effect observable from executors (same host in local mode)
+        open(os.path.join(out, f"{r['x']}"), "w").close()
+
+    it = Iterator([V.x], action=act)
+    it(to_df([10, 20, 30], spark))
+    assert sorted(os.listdir(out)) == ["10", "20", "30"]
