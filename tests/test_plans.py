@@ -104,3 +104,36 @@ def test_semi_join_for_exists(spark, sf_dir):
 
     plan = plan_of(q4_priority(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    """knn/ANN: the query set broadcasts; the corpus is never the build
+    side of a shuffle for the scoring join."""
+    from faconne_spark.queries.pipeline import knn_classify_labels
+
+    plan = plan_of(knn_classify_labels(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_simhash_partial_agg_before_shuffle(spark, sf_dir):
+    """SimHash counters must partial-aggregate map-side: the shuffle
+    carries one 60-counter row per doc, not the exploded token stream."""
+    from faconne_spark.queries.pipeline import dedup_simhash
+
+    plan = plan_of(dedup_simhash(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """PII scrub: no exchange except the parallelism-guard repartition —
+    a pure map pass over the scan."""
+    from faconne_spark.queries.pipeline import text_pii_scrub
+
+    plan = plan_of(text_pii_scrub(spark, sf_dir))
+    # RoundRobin repartition (spread) is allowed; hash/range exchanges are not
+    import re
+
+    hash_ex = re.findall(r"Exchange (hash|range)partitioning", plan)
+    assert not hash_ex, f"unexpected shuffles: {hash_ex}"
