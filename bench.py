@@ -53,8 +53,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warm up the JVM + parquet footers
+    # warm up the JVM + parquet footers + regexp/md5 codegen paths
     queries["tpch_q6_forecast"](spark, sf_dir).count()
+    queries["text_token_count"](spark, sf_dir).count()
 
     times = {}
     for name in HEADLINE:

@@ -137,3 +137,60 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
 
     hash_ex = re.findall(r"Exchange (hash|range)partitioning", plan)
     assert not hash_ex, f"unexpected shuffles: {hash_ex}"
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """Skew path: a hot key (one user owning ~half the fact rows) is
+    split by AQE's skew-join handling at execution time — the adaptive
+    final plan marks the sort-merge join as skew=true."""
+    from pyspark.sql import functions as F
+
+    from faconne_spark.queries import T
+
+    ev = T(spark, sf_dir, "events").select("user_id", "value")
+    # manufacture skew: replicate one key to dominate, sized above the
+    # skewed-partition threshold relative to the median partition
+    # one hot key with incompressible values, spread over 8 map tasks —
+    # AQE splits a skewed reduce partition at mapper-block granularity,
+    # so a single-mapper hot side would be unsplittable
+    hot = (
+        ev.limit(1)
+        .select(
+            F.lit(999_999_999).alias("user_id"),
+            F.explode(F.sequence(F.lit(1), F.lit(500_000))).alias("i"),
+        )
+        .repartition(8)
+        .select("user_id", (F.rand(seed=5) * F.col("i")).alias("value"))
+    )
+    big = ev.union(hot)
+    # independent dim side (deriving it from `big` would reuse the same
+    # exchange, which blocks OptimizeSkewedJoin)
+    dim = ev.select("user_id").distinct().union(
+        hot.limit(1).select("user_id")
+    )
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        j = big.join(dim, "user_id")
+        n = len(j.collect())  # execute THIS plan → AQE finalizes it
+        assert n == big.count()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, "AQE skew-join did not trigger"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
