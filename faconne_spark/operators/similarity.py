@@ -219,3 +219,85 @@ def knn_classify(
     return pred.join(F.broadcast(truth), "q_id").select(
         "q_id", "true_label", "pred_label", "votes"
     )
+
+
+def kmeans_cells(
+    corpus: DataFrame, nlist: int = 8, iters: int = 2
+) -> DataFrame:
+    """K-means-refined IVF cells: ``iters`` Lloyd iterations over the
+    embedding corpus (cosine assignment, per-cell mean update), then the
+    final cell memberships. The "train" step real IVF indexes run,
+    expressed in DataFrame ops.
+
+    Determinism across engines (the DuckDB oracle replays the exact
+    same iterations): centroid means accumulate in FIXED POINT —
+    each coordinate is scaled by 1e6 and floored to a bigint before the
+    sum, so the mean is an exact integer division, immune to float
+    summation order (a plain ``avg(double)`` differs between engines
+    and between runs at different partitioning).
+
+    Scale: per iteration, assignment is a broadcast-argmax over nlist
+    centroids (no corpus shuffle beyond the posexplode groupBy — whose
+    map-side partial agg reduces to nlist×dim rows per partition); the
+    centroid relation (nlist×dim, a few KB) is collected nowhere —
+    it stays a broadcast DataFrame.
+    """
+    cent = corpus.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+    )
+    for _ in range(iters):
+        sim = F.round(F.expr(cosine_sim("embedding", "cent", "spark")), 6)
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cid")
+        )
+        assigned = (
+            spread(corpus)
+            .select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "cid", sim.alias("csim"))
+            .withColumn("rk", F.row_number().over(wa))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+        by_dim = assigned.select(
+            "cid", F.posexplode("embedding").alias("d", "x")
+        ).groupBy("cid", "d").agg(
+            F.sum(
+                F.expr("cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)")
+            ).alias("sx"),
+            F.count("*").alias("n"),
+        )
+        cent = (
+            by_dim.withColumn(
+                "c",
+                F.expr("cast(sx as double) / 1000000.0 / cast(n as double)"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, c))), s -> s.c)"
+                ).alias("cent")
+            )
+        )
+    sim = F.round(F.expr(cosine_sim("embedding", "cent", "spark")), 6)
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    final = (
+        spread(corpus)
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", sim.alias("csim"))
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+    )
+    # exact mean: csim is 6-dp-rounded → scale to integral micro-units,
+    # sum as bigint (order-independent), divide once — no float-sum drift
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.expr(
+            "cast(sum(cast(floor(csim * 1000000 + 0.5) as bigint)) as double)"
+            " / 1000000.0 / cast(count(*) as double)"
+        ).alias("avg_sim"),
+    )

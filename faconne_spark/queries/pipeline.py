@@ -219,6 +219,57 @@ WHERE rk <= {ANN_K}
 """
 
 
+KM_NLIST = 8
+KM_ITERS = 2
+
+
+def ann_ivf_kmeans(spark, sf):
+    """IVF train step: k-means-refined cells (2 Lloyd iterations,
+    fixed-point-exact means) + final membership stats."""
+    return S.kmeans_cells(T(spark, sf, "embeddings"), KM_NLIST, KM_ITERS)
+
+
+def _duck_kmeans_oracle(nlist: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs, replaying the Spark
+    algorithm exactly (same fixed-point mean, same 6-dp assignment
+    rounding, same cid tie-break)."""
+    sim = lambda e, c: f"round({cosine_sim(e, c, 'duckdb')}, 6)"
+    ctes = [
+        f"c0 AS (SELECT vec_id AS cid, embedding AS cent"
+        f" FROM embeddings WHERE vec_id < {nlist})"
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sim('e.embedding', 'c.cent')} DESC, c.cid) AS rk
+    FROM embeddings e CROSS JOIN c{i} c) WHERE rk = 1)""")
+        ctes.append(f"""c{i + 1} AS (
+  SELECT cid, list(c ORDER BY d) AS cent FROM (
+    SELECT cid, d,
+           sum(floor(x::DOUBLE * 1000000 + 0.5)::BIGINT)::DOUBLE
+             / 1000000.0 / count(*)::DOUBLE AS c
+    FROM (SELECT cid, g.d, embedding[g.d] AS x
+          FROM a{i}, generate_series(1, {EMB_DIM}) AS g(d))
+    GROUP BY cid, d) GROUP BY cid)""")
+    return f"""WITH {', '.join(ctes)},
+final AS (
+  SELECT vec_id, cid, csim FROM (
+    SELECT e.vec_id, c.cid, {sim('e.embedding', 'c.cent')} AS csim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sim('e.embedding', 'c.cent')} DESC, c.cid) AS rk
+    FROM embeddings e CROSS JOIN c{iters} c) WHERE rk = 1)
+SELECT cid, count(*)::BIGINT AS n_members, min(vec_id) AS min_vec_id,
+       sum(floor(csim * 1000000 + 0.5)::BIGINT)::DOUBLE
+         / 1000000.0 / count(*)::DOUBLE AS avg_sim
+FROM final GROUP BY cid
+"""
+
+
+ORACLE_KMEANS = _duck_kmeans_oracle(KM_NLIST, KM_ITERS)
+
+
 def knn_classify_labels(spark, sf):
     """k-NN majority-vote label prediction (uses embeddings.label)."""
     emb = T(spark, sf, "embeddings")
@@ -557,6 +608,7 @@ QUERIES = {
     "knn_classify_labels": knn_classify_labels,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
     "embed_norm": embed_norm,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -580,6 +632,7 @@ ORACLES = {
     "knn_classify_labels": ORACLE_KNN,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_ivf_kmeans": ORACLE_KMEANS,
     "embed_norm": ORACLE_EMBED_NORM,
     "text_token_count": ORACLE_TOKEN_COUNT,
     "text_quality": ORACLE_QUALITY,
