@@ -597,6 +597,50 @@ SELECT doc_id, 2::BIGINT AS n_frames, 8::BIGINT AS total_frame_bytes,
 FROM documents WHERE doc_id % 3 <> 0
 """
 
+def pipeline_clean_corpus(spark, sf):
+    """End-to-end corpus cleaning, composed from the operator library:
+    exact-dedup keepers ∩ quality gate (≥20 tokens, ≥0.3 distinct
+    ratio) ∩ language agreement (predicted == tagged) ∩ deterministic
+    50 % sample.
+
+    Scale: all four signals key on doc_id, so after the first shuffle
+    the joins are co-partitioned (AQE coalesces); each signal itself is
+    a map-pass or one agg — the composition adds no new shuffle
+    pattern beyond its parts."""
+    docs = T(spark, sf, "documents")
+    q = TX.quality_score(docs).select("doc_id", "n_tokens", "distinct_ratio")
+    l = TX.lang_id(docs).select("doc_id", "pred_lang")
+    keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    h = phash60("cast(doc_id as string)", "spark")
+    return (
+        docs.select("doc_id", "lang")
+        .join(keepers, "doc_id")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("distinct_ratio") >= 0.3)
+            & (F.col("pred_lang") == F.col("lang"))
+            & F.expr(f"{h} % 100 < 50")
+        )
+        .select("doc_id", "lang", "pred_lang", "n_tokens")
+    )
+
+
+ORACLE_CLEAN = f"""
+WITH q AS ({ORACLE_QUALITY}),
+l AS ({ORACLE_LANG_ID}),
+k AS (SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY {phash60(D.NORM_DUCK, 'duckdb')})
+SELECT d.doc_id, d.lang, l.pred_lang, q.n_tokens
+FROM documents d
+JOIN k USING (doc_id) JOIN q USING (doc_id) JOIN l USING (doc_id)
+WHERE q.n_tokens >= 20 AND q.distinct_ratio >= 0.3
+  AND l.pred_lang = d.lang
+  AND {phash60('d.doc_id::VARCHAR', 'duckdb')} % 100 < 50
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -619,6 +663,7 @@ QUERIES = {
     "mm_image_meta": mm_image_meta,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
 }
 
 ORACLES = {
@@ -643,6 +688,7 @@ ORACLES = {
     # mm_image_meta: rows-only (binary decode is not SQL-expressible)
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_frame_sample": ORACLE_MM_FRAMES,
+    "pipeline_clean_corpus": ORACLE_CLEAN,
 }
 
 
