@@ -31,11 +31,13 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_clusters",
     "ann_cosine_topk",
+    "ann_ivf_kmeans",
     "knn_classify_labels",
     "text_quality",
     "text_lang_id",
     "text_pii_scrub",
     "contamination_ngram",
+    "pipeline_clean_corpus",
     "stream_window_counts",
     "stream_session_agg",
 ]
