@@ -281,10 +281,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # init = fused round 0: label(n) = min(n, direct neighbours) — one
+    # groupBy instead of a full propagate+jump+converge round
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            "node", F.least(F.col("node"), F.col("nbr_min")).alias("label")
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
