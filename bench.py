@@ -59,12 +59,15 @@ def main() -> None:
     queries["tpch_q6_forecast"](spark, sf_dir).count()
     queries["text_token_count"](spark, sf_dir).count()
 
+    from faconne_spark.operators.dedup import release_caches
+
     times = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        release_caches()  # drop per-query signature caches between runs
 
     total = round(sum(times.values()), 3)
     print(

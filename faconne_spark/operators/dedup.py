@@ -29,6 +29,51 @@ from faconne_spark.session import spread
 NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+# Below this input size the double-compute a lazy persist risks is cheaper
+# than the extra materialization job, so the eager count() is skipped.
+EAGER_BYTES = 64 * 1024 * 1024
+EAGER_ROWS = 100_000
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _input_is_large(df: DataFrame) -> bool:
+    """Cheap driver-side size estimate: sum of scan file sizes when the
+    DataFrame is a file scan, else a count (metadata-fast for parquet)."""
+    import os
+
+    files = [f for f in df.inputFiles() if f.startswith("file:")]
+    if files:
+        try:
+            total = sum(os.path.getsize(f[len("file:"):]) for f in files)
+            return total >= EAGER_BYTES
+        except OSError:
+            pass
+    return df.count() >= EAGER_ROWS
+
+
+def _persist_sig(rel: DataFrame, source: DataFrame) -> DataFrame:
+    """Persist an expensive signature relation (tracked for
+    :func:`release_caches`), materializing EAGERLY only when the source
+    is large: a lazy persist inside a self-join schedules both sides
+    before the cache fills, so the signature expression runs twice —
+    which matters at 100 TB but not at gate scale, where the extra
+    count() job is pure latency."""
+    rel = rel.persist()
+    _PERSISTED.append(rel)
+    if _input_is_large(source):
+        rel.count()
+    return rel
+
+
+def release_caches() -> None:
+    """Unpersist every signature relation cached by the dedup family.
+
+    Repeated dedup calls in one session (bench loops, the driver gate)
+    would otherwise accumulate cached relations in executor storage."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup on normalised text: keeper = min doc_id per
@@ -60,9 +105,9 @@ def minhash_signatures(
     the cluster, well inside executor storage, and it converts the
     self-join into two scans of a tiny cached relation.
 
-    Materialization is EAGER (count() below): a lazy persist inside a
-    self-join schedules both sides before the cache fills, so the
-    signature expression still runs twice."""
+    Materialization is eager for large inputs (see :func:`_persist_sig`):
+    a lazy persist inside a self-join schedules both sides before the
+    cache fills, so the signature expression still runs twice."""
     r = k // bands
     sig = minhash_sig(word_shingles("text", n_shingle, "spark"), k, "spark")
     with_sig = spread(docs).select("doc_id", F.expr(sig).alias("sig"))
@@ -75,9 +120,7 @@ def minhash_signatures(
             )
         ).alias("band"),
     )
-    banded = banded.persist()
-    banded.count()
-    return banded
+    return _persist_sig(banded, docs)
 
 
 def minhash_lsh_pairs(
@@ -123,9 +166,11 @@ def ngram_jaccard_pairs(
     ratio on the shingle sets, kept when ≥ threshold."""
     sh = word_shingles("text", n_shingle, "spark")
     # shingle arrays are re-read on BOTH sides of the pair join →
-    # cache eagerly (lazy persist would compute both join sides cold)
-    shingled = spread(docs).select("doc_id", F.expr(sh).alias("sh")).persist()
-    shingled.count()
+    # cache (eagerly when large; lazy persist would compute both join
+    # sides cold)
+    shingled = _persist_sig(
+        spread(docs).select("doc_id", F.expr(sh).alias("sh")), docs
+    )
     cand = minhash_lsh_pairs(docs, n_shingle, k, n_bands).select("id_a", "id_b")
     j = (
         cand.join(shingled.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -157,10 +202,12 @@ def embedding_cosine_pairs(
     from faconne_spark.operators.similarity import lsh_bucket_expr
 
     bucket = lsh_bucket_expr("embedding", n_planes, dim, "spark")
-    bucketed = spread(emb).select(
-        "vec_id", "embedding", F.expr(bucket).alias("bucket")
-    ).persist()  # dot-product bucketing runs once, not per join side
-    bucketed.count()
+    bucketed = _persist_sig(  # dot-product bucketing runs once, not per side
+        spread(emb).select(
+            "vec_id", "embedding", F.expr(bucket).alias("bucket")
+        ),
+        emb,
+    )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     from faconne_spark.functions import cosine_sim
@@ -218,19 +265,21 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     with_h = votes.select(
         "doc_id", F.expr(f"cast({sh_expr} as bigint)").alias("sh")
     )
-    banded = with_h.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.expr(f"shiftright(sh, {b * 15}) % 32768 + {b} * 32768")
-                    for b in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).persist()
-    banded.count()
+    banded = _persist_sig(
+        with_h.select(
+            "doc_id",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(f"shiftright(sh, {b * 15}) % 32768 + {b} * 32768")
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band"),
+        ),
+        docs,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -247,6 +296,25 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage: reliable checkpoint when a checkpointDir is
+    configured (fault-tolerant — GraphFrames does the same for its CC
+    iterations), else localCheckpoint.  localCheckpoint blocks live on
+    executors: fine on local[n], but on a real cluster losing an
+    executor discards them and fails the job, so production runs should
+    set ``spark.sparkContext.setCheckpointDir(...)``."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+class ConvergenceError(RuntimeError):
+    """An iterative operator hit its iteration bound before converging —
+    its output would be silently wrong (e.g. split dup-clusters), so at
+    scale this must be an error, not a warning."""
 
 
 def connected_components(
@@ -271,7 +339,9 @@ def connected_components(
       rounds. Each round = 2 shuffles over the (tiny) label relation.
 
     Convergence is an exact changed-label count (one light action per
-    round); ``max_iter`` bounds adversarial graphs.
+    round); ``max_iter`` bounds adversarial graphs, and hitting it
+    without convergence raises :class:`ConvergenceError` — returning
+    unconverged labels would silently split clusters at 100 TB.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -279,8 +349,8 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = _checkpoint(edges)
     # init = fused round 0: label(n) = min(n, direct neighbours) — one
     # groupBy instead of a full propagate+jump+converge round
     labels = (
@@ -289,8 +359,9 @@ def connected_components(
         .select(
             "node", F.least(F.col("node"), F.col("nbr_min")).alias("label")
         )
-        .localCheckpoint(eager=True)
     )
+    labels = _checkpoint(labels)
+    changed = -1
     for _ in range(max_iter):
         # 1. neighbour-min: min label over neighbours and self
         nbr_min = (
@@ -310,7 +381,7 @@ def connected_components(
         hop = stepped.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
-        new_labels = (
+        new_labels = _checkpoint(
             stepped.join(hop, stepped.label == hop.jnode, "left")
             .select(
                 "node",
@@ -318,7 +389,6 @@ def connected_components(
                     F.col("label"), F.coalesce("jlabel", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -329,6 +399,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_iter} rounds"
+            f" ({changed} labels still changing); raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -75,8 +75,19 @@ def _decode_fake(payload: bytes) -> tuple:
     return w, h
 
 
-def extract_media_meta(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
-    """Arrow-batched metadata extraction over the binary column."""
+def extract_media_meta(
+    media: DataFrame, use_real_decoder: bool = False, decoder=None
+) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column.
+
+    ``decoder`` (payload -> (w, h)) is the swap-in seam for a real
+    codec: the callable is captured by value in the mapInPandas closure,
+    so it reaches the Python workers (a module-global monkeypatch would
+    not). Default: :func:`decode_image_real` when ``use_real_decoder``
+    else the deterministic fake."""
+    decode = decoder or (
+        decode_image_real if use_real_decoder else _decode_fake
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -87,10 +98,7 @@ def extract_media_meta(media: DataFrame, use_real_decoder: bool = False) -> Data
                 pdf["doc_id"], pdf["payload"], pdf["media_type"]
             ):
                 raw = bytes(payload)
-                if use_real_decoder:
-                    w, h = decode_image_real(raw)  # pragma: no cover
-                else:
-                    w, h = _decode_fake(raw)
+                w, h = decode(raw)
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -130,19 +138,27 @@ def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
     for a decoded-resized-reencoded image; size scales with w*h like a
     real bitmap would)."""
     need = w * h
+    if not payload:
+        return b"\x00" * need
     reps = need // len(payload) + 1
     return (payload * reps)[:need]
 
 
 def resize_media(
     media: DataFrame, width: int = 32, height: int = 32,
-    use_real_codec: bool = False,
+    use_real_codec: bool = False, codec=None,
 ) -> DataFrame:
     """Batch resize over the binary column (images only; other media
     passes through with NULL output). Arrow-batched ``mapInPandas``; no
     shuffle — partitioning is whatever the upstream scan chose, and at
     100 TB batch size is bounded by arrow.maxRecordsPerBatch so peak
-    memory is batch_rows × (payload + w×h)."""
+    memory is batch_rows × (payload + w×h).
+
+    ``codec`` ((payload, w, h) -> bytes) is the real-codec swap-in seam
+    (captured by value into the worker closure)."""
+    resize = codec or (
+        resize_image_real if use_real_codec else _resize_fake
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -152,11 +168,7 @@ def resize_media(
             ):
                 if mtype.startswith("image/"):
                     raw = bytes(payload)
-                    out = (
-                        resize_image_real(raw, width, height)  # pragma: no cover
-                        if use_real_codec
-                        else _resize_fake(raw, width, height)
-                    )
+                    out = resize(raw, width, height)
                     rows.append((doc_id, mtype, width, height, out, len(out)))
                 else:
                     rows.append((doc_id, mtype, None, None, None, None))
@@ -190,12 +202,19 @@ def _sample_frames_fake(payload: bytes, every_n: int) -> list:
 
 
 def sample_media_frames(
-    media: DataFrame, every_n: int = 2, use_real_codec: bool = False
+    media: DataFrame, every_n: int = 2, use_real_codec: bool = False,
+    codec=None,
 ) -> DataFrame:
     """Frame sampling for video/audio media: one input row → N frame
     rows (``mapInPandas`` may change cardinality, the natural fit for
     decode-explode; a Spark-side ``explode`` would need the decoded
-    array materialised as one giant row first)."""
+    array materialised as one giant row first).
+
+    ``codec`` ((payload, every_n) -> [(idx, frame)]) is the real-codec
+    swap-in seam (captured by value into the worker closure)."""
+    sample = codec or (
+        sample_frames_real if use_real_codec else _sample_frames_fake
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -205,11 +224,7 @@ def sample_media_frames(
             ):
                 if mtype.startswith(("video/", "audio/")):
                     raw = bytes(payload)
-                    frames = (
-                        sample_frames_real(raw, every_n)  # pragma: no cover
-                        if use_real_codec
-                        else _sample_frames_fake(raw, every_n)
-                    )
+                    frames = sample(raw, every_n)
                     for idx, fr in frames:
                         rows.append((doc_id, idx, fr, len(fr)))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])

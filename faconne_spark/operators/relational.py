@@ -113,8 +113,20 @@ def salted_join(
     (aggregation-after-join pipelines, storage-partitioned inputs, or
     hot keys on the BUILD side of a shuffled hash join). The replicated
     side grows ×n_salts — use for moderate-size right sides only.
+
+    Only inner/left/semi/anti joins are sound under salting: for right
+    or full outer joins every UNMATCHED small-side row is replicated
+    once per salt, yielding n_salts duplicate NULL-extended rows.
     """
     from pyspark.sql import functions as F
+
+    norm = how.lower().replace("_", "")
+    if norm in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"salted_join(how={how!r}) is unsound: unmatched replicated"
+            " small-side rows would appear n_salts times; use inner/left/"
+            "left_semi/left_anti"
+        )
 
     b = big.withColumn("_salt", (F.rand(seed=13) * n_salts).cast("int"))
     s = skewed_small.withColumn(

@@ -214,15 +214,20 @@ FROM lineitem GROUP BY l_returnflag
 # R2 set build (canonically sorted)
 def fac_store_products(spark, sf):
     orders = T(spark, sf, "orders")
-    return transform(
+    out = transform(
         orders,
         [Keys("o_orderpriority", "o_orderstatus")],
         {V.o_orderpriority: SetOf(V.o_orderstatus)},
     )
+    # The DSL's SetOf yields a canonically-sorted array<string>; the driver's
+    # pandas canonicalizer cannot sort list cells, so the gate query joins
+    # the sorted set into one scalar string (semantics unchanged).
+    return out.withColumn("value", F.array_join("value", ","))
 
 
 ORACLE_STORE_PRODUCTS = """
-SELECT o_orderpriority, list_sort(list_distinct(list(o_orderstatus))) AS value
+SELECT o_orderpriority,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS value
 FROM orders GROUP BY o_orderpriority
 """
 

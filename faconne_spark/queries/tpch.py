@@ -659,7 +659,7 @@ def events_json_props(spark, sf):
 
 ORACLE_JSON_PROPS = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
 FROM events GROUP BY event_type
 """

@@ -141,10 +141,27 @@ def user_totals_stateful(stream: DataFrame, timeout_minutes: int = 0):
 
     State is one tiny tuple per user, partitioned by the groupBy key —
     at cluster scale state lives in the state store shards, sized
-    per-key not per-event."""
+    per-key not per-event.  With ``timeout_minutes`` > 0, a user idle
+    that long has its state evicted (emitted once with batch_events =
+    -1 as the eviction marker) — bounding state size on unbounded key
+    spaces."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if timeout_minutes and state.hasTimedOut:
+            n, total = state.get if state.exists else (0, 0.0)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "batch_events": [-1],
+                }
+            )
+            return
         n, total = state.get if state.exists else (0, 0.0)
         batch_n = 0
         for pdf in pdfs:
@@ -152,7 +169,8 @@ def user_totals_stateful(stream: DataFrame, timeout_minutes: int = 0):
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, float(total)))
-        import pandas as pd
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
 
         yield pd.DataFrame(
             {

@@ -1,0 +1,163 @@
+"""Round-2 hardening tests: convergence guards, salting soundness,
+cache release, and the multimodal real-codec swap-in seam."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from faconne_spark.queries import T  # noqa: E402
+
+
+# ---------------------------------------------------------------- CC guard
+
+def _chain_pairs(spark, n):
+    """Path graph 0-1-2-...-n-1 (worst-case diameter for label prop)."""
+    return spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+
+
+def test_cc_converges_on_long_chain(spark):
+    """Pointer jumping: a 200-hop path converges in O(log n) rounds and
+    every node gets label 0."""
+    from faconne_spark.operators.dedup import connected_components
+
+    labels = connected_components(_chain_pairs(spark, 200), max_iter=12)
+    got = labels.agg(
+        F.count("*").alias("n"), F.sum("cluster_id").alias("s")
+    ).first()
+    assert got["n"] == 200 and got["s"] == 0
+
+
+def test_cc_raises_when_unconverged(spark):
+    """max_iter too small for the graph diameter must raise, not return
+    silently-split clusters (VERDICT round-1 item 6)."""
+    from faconne_spark.operators.dedup import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    with pytest.raises(ConvergenceError):
+        connected_components(_chain_pairs(spark, 200), max_iter=1)
+
+
+# ---------------------------------------------------------------- salting
+
+@pytest.mark.parametrize("how", ["right", "right_outer", "full", "outer"])
+def test_salted_join_rejects_unsound_how(spark, how):
+    from faconne_spark.operators.relational import salted_join
+
+    df = spark.range(4).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="unsound"):
+        salted_join(df, df, "k", how=how)
+
+
+# ---------------------------------------------------------------- caches
+
+def test_dedup_release_caches(spark, sf_dir):
+    from faconne_spark.operators import dedup
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    banded = dedup.minhash_signatures(docs)
+    assert banded.storageLevel.useMemory
+    assert len(dedup._PERSISTED) >= 1
+    dedup.release_caches()
+    assert dedup._PERSISTED == []
+    assert not banded.storageLevel.useMemory
+
+
+# ------------------------------------------------------------- mm codec seam
+
+def _media(spark, sf_dir, n=30):
+    from faconne_spark.operators.multimodal import synthesize_media
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").limit(n)
+    return synthesize_media(docs)
+
+
+def test_meta_real_decoder_seam(spark, sf_dir):
+    """Injecting a 'real' decoder through the seam must reach the Python
+    workers and drive the output values (VERDICT round-1 item 5)."""
+    from faconne_spark.operators.multimodal import extract_media_meta
+
+    def fake_real_decoder(payload):
+        return 640, 480
+
+    out = extract_media_meta(_media(spark, sf_dir), decoder=fake_real_decoder)
+    rows = out.collect()
+    assert rows and all(r["width"] == 640 and r["height"] == 480 for r in rows)
+
+
+def test_meta_use_real_decoder_raises_without_codec(spark, sf_dir):
+    """The default real hook is an explicit NotImplementedError stub —
+    selecting it without a library must fail loudly, not fake-decode."""
+    from faconne_spark.operators.multimodal import extract_media_meta
+
+    out = extract_media_meta(_media(spark, sf_dir, n=3), use_real_decoder=True)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        out.collect()
+
+
+def test_resize_real_codec_seam(spark, sf_dir):
+    from faconne_spark.operators.multimodal import resize_media
+
+    def fake_real_codec(payload, w, h):
+        return bytes([1]) * (w * h)
+
+    out = resize_media(
+        _media(spark, sf_dir), width=8, height=8, codec=fake_real_codec
+    )
+    rows = [r for r in out.collect() if r["media_type"].startswith("image/")]
+    assert rows and all(bytes(r["resized"]) == bytes([1]) * 64 for r in rows)
+
+
+def test_frame_sample_real_codec_seam(spark, sf_dir):
+    from faconne_spark.operators.multimodal import sample_media_frames
+
+    def fake_real_codec(payload, every_n):
+        return [(0, b"head"), (every_n, b"tail")]
+
+    out = sample_media_frames(_media(spark, sf_dir), every_n=5, codec=fake_real_codec)
+    rows = out.collect()
+    assert rows and {r["frame_idx"] for r in rows} == {0, 5}
+    assert all(bytes(r["frame"]) in (b"head", b"tail") for r in rows)
+
+
+def test_resize_fake_empty_payload():
+    from faconne_spark.operators.multimodal import _resize_fake
+
+    assert _resize_fake(b"", 4, 4) == b"\x00" * 16
+
+
+# ------------------------------------------------------- stateful timeout
+
+def test_stateful_timeout_configured(spark, sf_dir, tmp_path):
+    """timeout_minutes > 0 must arm ProcessingTimeTimeout and still
+    produce correct totals (the eviction branch itself needs wall-clock
+    idle time; here we prove the armed path runs end-to-end)."""
+    from faconne_spark.streaming import user_totals_stateful
+
+    events = T(spark, sf_dir, "events").select("user_id", "ts", "value").limit(200)
+    src = str(tmp_path / "ev")
+    events.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    out = user_totals_stateful(stream, timeout_minutes=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_timeout")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql("SELECT * FROM totals_timeout").collect()
+    assert len(rows) == events.select("user_id").distinct().count()
+    assert all(r["batch_events"] >= 0 for r in rows)

@@ -62,6 +62,14 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 
+@pytest.fixture(autouse=True)
+def _release_dedup_caches():
+    yield
+    from faconne_spark.operators.dedup import release_caches
+
+    release_caches()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     q = QUERIES[name]
