@@ -40,7 +40,15 @@ def to_df(
             from faconne_spark.session import get_session
 
             spark = get_session()
-    if isinstance(obj, list) and obj and all(isinstance(r, dict) for r in obj):
+    if (
+        isinstance(obj, list)
+        and obj
+        and all(isinstance(r, dict) for r in obj)
+        # dicts with non-string keys are data maps, not records — they
+        # take the __root array-of-maps path below (core.clj:113-115
+        # vectors of dynamic-keyed maps)
+        and all(isinstance(k, str) for r in obj for k in r)
+    ):
         if schema is not None:
             return spark.createDataFrame(obj, schema=schema)
         # rows: nested dicts are fixed-field records → infer as structs

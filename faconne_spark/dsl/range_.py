@@ -111,9 +111,12 @@ class RangeBuilder:
                 name = k.value if isinstance(k, Lit) else k
                 parts.append(f"{self._elem_sql(v)} AS `{name}`")
             return "struct(" + ", ".join(parts) + ")"
-        if isinstance(node, (SetOf, list)):
-            # row-wise collection, e.g. the inner set of #{#{k k'}}
-            elems = list(node.elems) if isinstance(node, SetOf) else node
+        if isinstance(node, (SetOf, list, tuple)):
+            # row-wise collection, e.g. the inner set of #{#{k k'}};
+            # a tuple is the reference's ordered vector literal in
+            # element position (#{[k v]}, test/core.clj:76-82) — kept
+            # ordered and non-deduped, unlike the set form
+            elems = list(node.elems) if isinstance(node, SetOf) else list(node)
             arr = "array(" + ", ".join(self._elem_sql(e) for e in elems) + ")"
             if isinstance(node, SetOf):
                 return f"array_sort(array_distinct({arr}))"

@@ -419,3 +419,132 @@ def test_roundtrip_campus(spark):
              [{"campus": V.campus, "student": V.student,
                "course": V.course, "grade": V.grade}])
     assert sorted(back, key=repr) == sorted(student_data, key=repr)
+
+
+# ---- random-extension deftests, deterministic transcriptions ----------
+# (the random-extension harness itself is mirrored in
+# tests/test_dsl_property.py; these pin the exact hand-written oracles)
+
+
+def test_map_domains(spark):
+    # core.clj:50-91 — the five test-map-domains transforms
+    # swap-key-order {k1 {k2 v}} -> {k2 {k1 v}} (also core.clj:123-131)
+    assert t(spark, {"a": {"b": 2}, "c": {"b": 3, "e": 1}},
+             {V.k1: {V.k2: V.v}}, {V.k2: {V.k1: V.v}}) == \
+        {"b": {"a": 2, "c": 3}, "e": {"c": 1}}
+    # remove-inner {k {_ v}} -> {k #{v}}
+    assert t(spark, {"a": {"x": 1, "y": 2}, "b": {"z": 1}},
+             {V.k: {V._: V.v}}, {V.k: SetOf(V.v)}) == \
+        {"a": {1, 2}, "b": {1}}
+    # flip {k v} -> {v k}
+    assert t(spark, {"a": 1, "b": 2}, {V.k: V.v}, {V.v: V.k}) == \
+        {1: "a", 2: "b"}
+    # skipping-flatset {k [v _]} -> #{[k v]} (int keys: Spark arrays are
+    # homogeneous, so the reference's mixed-type pair vector maps to a
+    # same-type pair; SURVEY §4)
+    assert t(spark, {10: [1, 2, 3, 4], 20: [5, 6]},
+             {V.k: [V.v, V._]}, SetOf((V.k, V.v))) == \
+        {(10, 1), (10, 3), (20, 5)}
+    # sums-of-all-pairs-of-vals {k1 v1, k2 v2} -> #{(+ v1 v2)} —
+    # includes same-entry pairs, exactly like the reference oracle
+    assert t(spark, {"a": 1, "b": 2, "c": 3},
+             {V.k: V.v, V.k2: V.v2}, SetOf("v + v2")) == {2, 3, 4, 5, 6}
+
+
+def test_vector_domains(spark):
+    # core.clj:93-115 — the five test-vector-domains transforms
+    # seconds [_ b] -> [b]
+    assert t(spark, [1, 2, 3, 4, 5, 6], [V._, V.b], [V.b]) == [2, 4, 6]
+    # sums-of-pairs-of-odds [a _ c _] -> [(+ a c)] :where [a c] (non-nil)
+    assert t(spark, [1, 2, 3, 4, 5, 6, 7, 8], [V.a, V._, V.c, V._],
+             ["a + c AS s"],
+             where=["a IS NOT NULL", "c IS NOT NULL"]) == [4, 12]
+    # [[a]] -> [a] (flatten)
+    assert t(spark, [[1, 2], [3, 4]], [[V.a]], [V.a]) == [1, 2, 3, 4]
+    # sums-of-1-3-in-2 [_ [a _ c] _] -> #{(+ a c)} (outer skipped slots
+    # hold arrays too: Spark arrays are homogeneous, wildcards unbound)
+    assert t(spark, [[9], [1, 2, 3], [9], [9], [4, 5, 6], [9]],
+             [V._, [V.a, V._, V.c], V._], SetOf("a + c"),
+             where=["a IS NOT NULL", "c IS NOT NULL"]) == {4, 10}
+    # super-contrived [{k [v]} _] -> #{(+ k v)}
+    assert t(spark, [{1: [10, 20]}, {99: [0]}, {2: [30]}, {99: [0]}],
+             [{V.k: [V.v]}, V._], SetOf("k + v")) == {11, 21, 32}
+
+
+def test_set_domains(spark):
+    # core.clj:117-121 — adj-sums #{[a b]} -> #{(+ a b)} :where [a b]
+    # set domains traverse like vectors (D5: sets ≡ arrays), so the
+    # reference's #{[a b]} is the nested-vector domain [[a b]]
+    got = t(spark, [[1, 2, 3], [5, 6]], [[V.a, V.b]], SetOf("a + b"),
+            where=["a IS NOT NULL", "b IS NOT NULL"])
+    assert got == {3, 11}
+
+
+def test_combinations_core(spark):
+    # core.clj:307-313 — identical to demo.clj:359-367 (see
+    # test_all_pairs_combinations) but asserted with the deftest's data
+    got = t(spark, {"a": 7, "b": 3, "c": 5, "d": 5, "e": 3},
+            {V.k: V.v, V.k2: V.v2}, SetOf(SetOf([V.k, V.k2])),
+            where=["k != k2", "v + v2 = 10"])
+    assert got == {("c", "d"), ("a", "e"), ("a", "b")}
+
+
+def test_higher_level_sanity_record_stores(spark):
+    # core.clj:315-353 — record-store inventory regrouped by artist/title.
+    # The reference's heterogeneous pair vector [(str store " @ " loc) qty]
+    # maps to a struct (SURVEY §4: fixed-shape mixed types -> StructType);
+    # lists build canonically sorted (arrays sorted for determinism).
+    json = [
+        {"store-name": "Tom's Records", "location": "1234 Main Street",
+         "stock": [{"artist": "Bartók", "title": "String Quartets", "quantity": 5},
+                   {"artist": "Ligeti", "title": "Violin Concerto", "quantity": 1}]},
+        {"store-name": "Roger's Records", "location": "789 Secondary Street",
+         "stock": [{"artist": "Ligeti", "title": "Violin Concerto", "quantity": 3},
+                   {"artist": "Scriabin", "title": "12 Etudes", "quantity": 2}]},
+    ]
+    got = t(spark, json,
+            [{"store-name": V.store, "location": V.loc,
+              "stock": [{"artist": V.artist, "title": V.title,
+                         "quantity": V.quantity}]}],
+            {V.artist: {V.title: [{
+                "store_at": "concat(store, ' @ ', loc)",
+                "quantity": V.quantity}]}})
+    assert got == {
+        "Bartók": {"String Quartets": [
+            {"store_at": "Tom's Records @ 1234 Main Street", "quantity": 5}]},
+        "Ligeti": {"Violin Concerto": [
+            {"store_at": "Roger's Records @ 789 Secondary Street", "quantity": 3},
+            {"store_at": "Tom's Records @ 1234 Main Street", "quantity": 1}]},
+        "Scriabin": {"12 Etudes": [
+            {"store_at": "Roger's Records @ 789 Secondary Street", "quantity": 2}]},
+    }
+
+
+def test_for_each_leaf_semantics(spark):
+    # demo.clj:97-106 — for-each runs the action once per fully-bound
+    # domain leaf (campus, student, course, grade), filtered by :where;
+    # Iterator.rows() is the driver-side face of the same traversal.
+    from faconne_spark import Iterator
+
+    data = {"east": {"student-grades": {"john": {"math": 97, "english": 90},
+                                        "dave": {"math": 80, "english": 100}}},
+            "west": {"student-grades": {"mary": {"math": 90}}}}
+    it = Iterator(
+        {V.campus: {"student-grades": {V.student: {V.course: V.grade}}}},
+        where=["grade >= 95"],
+    )
+    from faconne_spark.dsl.pyobj import to_df
+
+    msgs = sorted(
+        f"Congratulations to {r['student']} at {r['campus']} campus!"
+        f" They got a {r['grade']} in {r['course']}!"
+        for r in it.rows(to_df(
+            data,
+            spark,
+            domain={V.campus: {"student-grades": {V.student: {V.course: V.grade}}}},
+        ))
+    )
+    assert msgs == [
+        "Congratulations to dave at east campus! They got a 100 in english!",
+        "Congratulations to john at east campus! They got a 97 in math!",
+    ]
