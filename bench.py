@@ -43,6 +43,52 @@ HEADLINE = [
 ]
 
 
+def _shuffle_bytes_total(spark) -> int:
+    """Cumulative shuffle-write bytes across all completed stages, via
+    the Spark UI REST API (public monitoring surface)."""
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def skew_dedup_minhash(spark, sf_dir):
+    """Skew stress: a bounded corpus where 30% of docs share one text
+    (hence one set of minhash bands → one hot LSH bucket). Exercises the
+    banded self-join under a hot key with AQE skew splitting; the corpus
+    is capped so the hot bucket's pair output stays bounded (pair count
+    is inherently O(hot²) — that's the semantics, not the engine)."""
+    from pyspark.sql import functions as F
+
+    from faconne_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(2000)
+    )
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.lit("the quick brown fox jumps over the lazy dog again and again"),
+        ).otherwise(F.col("text")),
+    )
+    pairs = minhash_lsh_pairs(skewed)
+    keepers = exact_dedup(skewed)
+    return pairs.groupBy().agg(
+        F.count("*").alias("n_pairs")
+    ).crossJoin(keepers.groupBy().agg(F.count("*").alias("n_fingerprints")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -51,9 +97,13 @@ def main() -> None:
     from faconne_spark.session import get_session
     from faconne_spark.queries import all_queries
 
-    spark = get_session("faconne_spark_bench", cpus=cpus)
+    # UI on: per-query shuffle-write bytes come from its REST API
+    spark = get_session(
+        "faconne_spark_bench", cpus=cpus, extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    queries["skew_dedup_minhash"] = skew_dedup_minhash
 
     # warm up the JVM + parquet footers + regexp/md5 codegen paths
     queries["tpch_q6_forecast"](spark, sf_dir).count()
@@ -62,14 +112,18 @@ def main() -> None:
     from faconne_spark.operators.dedup import release_caches
 
     times = {}
-    for name in HEADLINE:
+    shuffle = {}
+    for name in HEADLINE + ["skew_dedup_minhash"]:
         fn = queries[name]
+        sb0 = _shuffle_bytes_total(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        sb1 = _shuffle_bytes_total(spark)
+        shuffle[name] = (sb1 - sb0) if sb0 >= 0 and sb1 >= 0 else -1
         release_caches()  # drop per-query signature caches between runs
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(t for n, t in times.items() if n in HEADLINE), 3)
     print(
         json.dumps(
             {
@@ -77,6 +131,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "shuffle_write_bytes": shuffle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
             }

@@ -12,7 +12,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_session(app: str = "faconne_spark", cpus: int | None = None) -> SparkSession:
+def get_session(
+    app: str = "faconne_spark",
+    cpus: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults.
 
     Cluster guidance (1000 executors / 100 TB):
@@ -44,6 +48,9 @@ def get_session(app: str = "faconne_spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.ui.enabled", "false")
     )
+    # caller overrides (e.g. bench enables the UI for its REST metrics)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
