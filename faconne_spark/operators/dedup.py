@@ -350,6 +350,11 @@ def connected_components(
         )
         .distinct()
     )
+    # (A repartition(dst) before the checkpoint was measured and
+    # rejected: localCheckpoint does NOT preserve outputPartitioning —
+    # the per-round join re-exchanges edges regardless — so it was pure
+    # upfront cost. On a cluster with a reliable checkpointDir the same
+    # holds; co-locating the iteration would need bucketed storage.)
     edges = _checkpoint(edges)
     # init = fused round 0: label(n) = min(n, direct neighbours) — one
     # groupBy instead of a full propagate+jump+converge round
@@ -363,7 +368,14 @@ def connected_components(
     labels = _checkpoint(labels)
     changed = -1
     for _ in range(max_iter):
-        # 1. neighbour-min: min label over neighbours and self
+        # 1. neighbour-min: min label over neighbours and self.  The
+        # previous label rides along as `prev` so convergence is a
+        # narrow filter-count over the checkpointed result, not another
+        # shuffle join.  (The pointer-jump self-join recomputes this
+        # branch on both sides — with edges pre-partitioned on dst the
+        # recompute shuffles only the tiny label relation; an extra
+        # eager checkpoint here measured slower at bench scale, one
+        # whole job per round against one cheap duplicated join.)
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -373,11 +385,12 @@ def connected_components(
             nbr_min, labels.node == nbr_min.src, "left"
         ).select(
             "node",
+            F.col("label").alias("prev"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                 "label"
             ),
         )
-        # 2. pointer jump: label ← label(label)
+        # 2. pointer jump: label ← label(label) (cached ⋈ cached, tiny)
         hop = stepped.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
@@ -385,18 +398,14 @@ def connected_components(
             stepped.join(hop, stepped.label == hop.jnode, "left")
             .select(
                 "node",
+                "prev",
                 F.least(
                     F.col("label"), F.coalesce("jlabel", "label")
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("prev")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     if changed != 0:

@@ -225,3 +225,122 @@ def length_histogram(docs: DataFrame, bucket_chars: int = 50, n_buckets: int = 1
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+def bigrams_all(expr: str, dialect: str) -> str:
+    """ALL word bigrams (with repeats — unlike the deduped
+    :func:`faconne_spark.functions.word_shingles`, repetition analysis
+    needs the multiset). Token array let-bound so the split runs once."""
+    toks = tokens_ws(expr, dialect)
+    if dialect == "spark":
+        body = (
+            "transform(sequence(1, greatest(size(tk) - 1, 1)),"
+            " i -> concat_ws(' ', slice(tk, i, 2)))"
+        )
+        return f"transform(array({toks}), tk -> {body})[0]"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - 1, 1) + 1),"
+        f" i -> array_to_string({toks}[i:i+1], ' '))"
+    )
+
+
+def repetition_signals(docs: DataFrame, top_frac_flag: float = 0.2) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and the fraction of all bigrams taken by the single most
+    frequent bigram (boilerplate/spam indicator), plus a flag.
+
+    Scale design: the doc-level scalars (token counts) ride through the
+    bigram explode as two ints per row, so the whole thing is one
+    explode → two partial-agg groupBys on doc-local keys — map-side
+    combine collapses each doc's bigrams within a partition before any
+    shuffle, and no join back to the documents table is needed."""
+    toks = tokens_ws("lower(text)", "spark")
+    bgs = bigrams_all("lower(text)", "spark")
+    exploded = (
+        spread(docs)
+        .withColumn("_toks", F.expr(toks))
+        .select(
+            "doc_id",
+            F.expr("size(_toks)").alias("n_toks"),
+            F.expr("size(array_distinct(_toks))").alias("n_dist"),
+            F.explode(F.expr(bgs)).alias("bg"),
+        )
+    )
+    per_bigram = exploded.groupBy("doc_id", "bg").agg(
+        F.count("*").alias("cnt"),
+        F.first("n_toks").alias("n_toks"),
+        F.first("n_dist").alias("n_dist"),
+    )
+    return (
+        per_bigram.groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.first("n_toks").alias("n_toks"),
+            F.first("n_dist").alias("n_dist"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "round(1.0 - cast(n_dist as double) / cast(n_toks as double), 6)"
+            ).alias("dup_token_frac"),
+            F.expr(
+                "round(cast(top_cnt as double) / cast(n_bigrams as double), 6)"
+            ).alias("top_bigram_frac"),
+            F.expr(
+                f"cast(top_cnt as double) / cast(n_bigrams as double)"
+                f" >= {top_frac_flag}"
+            ).alias("repetitive"),
+        )
+    )
+
+
+def corpus_topk_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-level most frequent word n-grams (with counts) — the
+    frequency-analysis primitive behind boilerplate detection and
+    contamination triage.  One explode → one groupBy(ngram) with
+    map-side combine → tiny top-k sort; ties broken lexicographically
+    so the cut is total-ordered and deterministic in both engines."""
+    sh = word_shingles("lower(text)", n, "spark")
+    return (
+        spread(docs)
+        .select(F.explode(F.expr(sh)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram log-probability of
+    each document under the corpus's own unigram distribution.
+
+    Two passes over the token stream: (1) corpus frequency table (one
+    groupBy, map-side combined; vocabulary-sized output), (2) token →
+    frequency broadcast join + per-doc mean.  The corpus total rides in
+    as a 1-row broadcast cross-join, never a driver collect.  At 100 TB
+    the frequency table is vocabulary-sized (≪ corpus), so the join
+    stays broadcast."""
+    toks = tokens_ws("lower(text)", "spark")
+    tok_stream = spread(docs).select(
+        "doc_id", F.explode(F.expr(toks)).alias("tok")
+    )
+    freqs = tok_stream.groupBy("tok").agg(F.count("*").alias("tok_cnt"))
+    total = freqs.agg(F.sum("tok_cnt").alias("corpus_toks"))
+    return (
+        tok_stream.join(F.broadcast(freqs), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.expr(
+                        "ln(cast(tok_cnt as double) / cast(corpus_toks as double))"
+                    )
+                ),
+                6,
+            ).alias("mean_logprob"),
+            F.count("*").alias("n_toks"),
+        )
+    )

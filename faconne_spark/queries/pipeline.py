@@ -781,3 +781,168 @@ ORACLES.update(
         "doc_len_histogram": ORACLE_LENHIST,
     }
 )
+
+
+# ------------------------------------- round 2: corpus statistics family
+
+from faconne_spark.functions import tokens_ws, word_shingles  # noqa: E402
+from faconne_spark.operators.text import bigrams_all  # noqa: E402
+
+
+def text_repetition(spark, sf):
+    return TX.repetition_signals(T(spark, sf, "documents"))
+
+
+ORACLE_REPETITION = f"""
+WITH ex AS (
+  SELECT doc_id,
+         len({tokens_ws('lower(text)', 'duckdb')}) AS n_toks,
+         len(list_distinct({tokens_ws('lower(text)', 'duckdb')})) AS n_dist,
+         unnest({bigrams_all('lower(text)', 'duckdb')}) AS bg
+  FROM documents),
+per_bg AS (
+  SELECT doc_id, bg, count(*) AS cnt,
+         any_value(n_toks) AS n_toks, any_value(n_dist) AS n_dist
+  FROM ex GROUP BY doc_id, bg)
+SELECT doc_id,
+       round(1.0 - any_value(n_dist)::DOUBLE / any_value(n_toks)::DOUBLE, 6)
+         AS dup_token_frac,
+       round(max(cnt)::DOUBLE / sum(cnt)::DOUBLE, 6) AS top_bigram_frac,
+       (max(cnt)::DOUBLE / sum(cnt)::DOUBLE) >= 0.2 AS repetitive
+FROM per_bg GROUP BY doc_id
+"""
+
+
+def docs_topk_ngrams(spark, sf):
+    return TX.corpus_topk_ngrams(T(spark, sf, "documents"))
+
+
+ORACLE_TOPK_NGRAMS = f"""
+WITH grams AS (
+  SELECT unnest({word_shingles('lower(text)', 3, 'duckdb')}) AS ngram
+  FROM documents)
+SELECT ngram, count(*)::BIGINT AS n_docs
+FROM grams GROUP BY ngram
+ORDER BY n_docs DESC, ngram ASC LIMIT 20
+"""
+
+
+def text_unigram_logprob(spark, sf):
+    return TX.unigram_logprob(T(spark, sf, "documents"))
+
+
+ORACLE_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_ws('lower(text)', 'duckdb')}) AS tok
+  FROM documents),
+freq AS (SELECT tok, count(*)::BIGINT AS tok_cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(tok_cnt)::BIGINT AS corpus_toks FROM freq)
+SELECT doc_id,
+       round(avg(ln(tok_cnt::DOUBLE / corpus_toks::DOUBLE)), 6) AS mean_logprob,
+       count(*)::BIGINT AS n_toks
+FROM toks JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def source_stats(spark, sf):
+    """Per-source corpus rollup (the per-domain accounting table every
+    curation pipeline keeps): one map-side-combined groupBy."""
+    from faconne_spark.session import spread
+
+    docs = spread(T(spark, sf, "documents"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("lang").alias("first_lang"),
+    )
+
+
+ORACLE_SOURCE_STATS = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       min(lang) AS first_lang
+FROM documents GROUP BY source
+"""
+
+
+def embed_label_centroids(spark, sf):
+    """Per-label embedding centroid norm + population stats: the
+    class-profile summary used to sanity-check labeled embedding sets.
+
+    Scale design: posexplode → groupBy(label, pos) partial-agg means
+    (shuffle carries nlabels×dim rows per partition, not the corpus),
+    joined to a per-label count — the same mean-aggregation shape as
+    the IVF k-means step (similarity.py).  Per-dim means are rounded
+    before the norm so both engines square identical values."""
+    from faconne_spark.session import spread
+
+    emb = spread(T(spark, sf, "embeddings"))
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    per_dim = dims.groupBy("label", "pos").agg(
+        F.round(F.avg(F.expr("cast(val as double)")), 6).alias("m")
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.round(F.expr("sqrt(sum(m * m))"), 6).alias("centroid_norm")
+    )
+    counts = emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.avg(
+                F.expr(
+                    "sqrt(aggregate(embedding, cast(0.0 as double),"
+                    " (a, v) -> a + cast(v as double) * cast(v as double)))"
+                )
+            ),
+            6,
+        ).alias("avg_norm"),
+    )
+    return cent.join(counts, "label").select(
+        "label", "n_vecs", "centroid_norm", "avg_norm"
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH dims AS (
+  SELECT label, unnest(embedding)::DOUBLE AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+per_dim AS (
+  SELECT label, pos, round(avg(val), 6) AS m FROM dims GROUP BY label, pos),
+cent AS (
+  SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+  FROM per_dim GROUP BY label),
+cnt AS (
+  SELECT label, count(*)::BIGINT AS n_vecs,
+         round(avg(sqrt(list_sum(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE)))), 6) AS avg_norm
+  FROM embeddings GROUP BY label)
+SELECT label, n_vecs, centroid_norm, avg_norm FROM cent JOIN cnt USING (label)
+"""
+
+
+QUERIES.update(
+    {
+        "text_repetition": text_repetition,
+        "docs_topk_ngrams": docs_topk_ngrams,
+        "text_unigram_logprob": text_unigram_logprob,
+        "source_stats": source_stats,
+        "embed_label_centroids": embed_label_centroids,
+    }
+)
+
+ORACLES.update(
+    {
+        "text_repetition": ORACLE_REPETITION,
+        "docs_topk_ngrams": ORACLE_TOPK_NGRAMS,
+        "text_unigram_logprob": ORACLE_LOGPROB,
+        "source_stats": ORACLE_SOURCE_STATS,
+        "embed_label_centroids": ORACLE_LABEL_CENTROIDS,
+    }
+)
