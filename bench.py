@@ -111,9 +111,18 @@ def main() -> None:
 
     from faconne_spark.operators.dedup import release_caches
 
+    # measured but excluded from the headline total, so round-over-round
+    # totals stay comparable as coverage grows
+    extra = [
+        "skew_dedup_minhash",
+        "text_repetition",
+        "text_unigram_logprob",
+        "docs_topk_ngrams",
+        "embed_label_centroids",
+    ]
     times = {}
     shuffle = {}
-    for name in HEADLINE + ["skew_dedup_minhash"]:
+    for name in HEADLINE + extra:
         fn = queries[name]
         sb0 = _shuffle_bytes_total(spark)
         t0 = time.perf_counter()

@@ -546,9 +546,35 @@ FROM per_session GROUP BY user_id
 
 def mm_image_meta(spark, sf):
     """Binary-column plumbing + Arrow-batched metadata extraction
-    (decode is a deterministic stub — see operators.multimodal)."""
+    (decode is a deterministic stub — see operators.multimodal).
+
+    The gate projection drops the md5 checksum column (DuckDB's md5 is
+    VARCHAR-only, so it cannot hash the binary payload; the checksum is
+    pytest-verified instead) — width/height/n_bytes ARE replayed by the
+    oracle from the payload's defining expression unhex(md5(text))."""
     docs = T(spark, sf, "documents")
-    return MM.extract_media_meta(MM.synthesize_media(docs))
+    return MM.extract_media_meta(MM.synthesize_media(docs)).select(
+        "doc_id", "media_type", "n_bytes", "width", "height"
+    )
+
+
+# _decode_fake reads payload bytes 0 and 1; payload = unhex(md5(text)),
+# so byte i is the integer value of hex digits 2i+1..2i+2 of md5(text).
+_HEXB = (
+    "((strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1)"
+)
+
+ORACLE_MM_META = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       16::BIGINT AS n_bytes,
+       (16 + {_HEXB.format(p=1, p1=2)} % 64)::INTEGER AS width,
+       (16 + {_HEXB.format(p=3, p1=4)} % 64)::INTEGER AS height
+FROM documents
+"""
 
 
 def mm_resize(spark, sf):
@@ -685,7 +711,7 @@ ORACLES = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "stream_window_counts": ORACLE_WINDOW_COUNTS,
     "stream_session_agg": ORACLE_SESSION,
-    # mm_image_meta: rows-only (binary decode is not SQL-expressible)
+    "mm_image_meta": ORACLE_MM_META,
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_frame_sample": ORACLE_MM_FRAMES,
     "pipeline_clean_corpus": ORACLE_CLEAN,

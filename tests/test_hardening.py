@@ -161,3 +161,23 @@ def test_stateful_timeout_configured(spark, sf_dir, tmp_path):
     rows = spark.sql("SELECT * FROM totals_timeout").collect()
     assert len(rows) == events.select("user_id").distinct().count()
     assert all(r["batch_events"] >= 0 for r in rows)
+
+
+def test_cc_reliable_checkpoint_branch(spark, tmp_path):
+    """With a configured checkpointDir, _checkpoint takes the reliable
+    (fault-tolerant) path and CC still converges correctly."""
+    from faconne_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        labels = connected_components(_chain_pairs(spark, 50), max_iter=10)
+        got = labels.agg(
+            F.count("*").alias("n"), F.sum("cluster_id").alias("s")
+        ).first()
+        assert got["n"] == 50 and got["s"] == 0
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.apply(None)
+        )
