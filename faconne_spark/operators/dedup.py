@@ -394,17 +394,30 @@ def connected_components(
         hop = stepped.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
+        # the convergence count piggybacks on the checkpoint's own
+        # materialization action via observe() — one job per round, no
+        # separate count pass (verified: localCheckpoint(eager) fires
+        # the observation)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = _checkpoint(
             stepped.join(hop, stepped.label == hop.jnode, "left")
             .select(
                 "node",
-                "prev",
                 F.least(
                     F.col("label"), F.coalesce("jlabel", "label")
                 ).alias("label"),
+                "prev",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.expr("case when label != prev then 1 else 0 end")
+                ).alias("changed"),
             )
         )
-        changed = new_labels.filter(F.col("label") != F.col("prev")).count()
+        changed = obs.get["changed"] or 0
         labels = new_labels.select("node", "label")
         if changed == 0:
             break

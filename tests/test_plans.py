@@ -194,3 +194,43 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_repetition_no_join_back(spark, sf_dir):
+    """text_repetition carries doc-level scalars through the explode —
+    the plan must contain NO join and no Python eval, and both
+    aggregations must partially aggregate before their exchange."""
+    from faconne_spark.queries.pipeline import text_repetition
+
+    plan = plan_of(text_repetition(spark, sf_dir))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_first" in plan
+
+
+def test_topk_ngrams_fused_limit(spark, sf_dir):
+    """Corpus top-k must fuse sort+limit into TakeOrderedAndProject —
+    a global Sort of the ngram table would be a scale killer."""
+    from faconne_spark.queries.pipeline import docs_topk_ngrams
+
+    plan = plan_of(docs_topk_ngrams(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_logprob_broadcasts_freq_table(spark, sf_dir):
+    """The vocabulary-sized frequency table must broadcast back onto the
+    token stream — a sort-merge join would shuffle the whole stream."""
+    from faconne_spark.queries.pipeline import text_unigram_logprob
+
+    plan = plan_of(text_unigram_logprob(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_label_centroids_partial_agg(spark, sf_dir):
+    from faconne_spark.queries.pipeline import embed_label_centroids
+
+    plan = plan_of(embed_label_centroids(spark, sf_dir))
+    assert "partial_avg" in plan
+    assert "BatchEvalPython" not in plan
