@@ -101,17 +101,19 @@ def ivf_topk(
         )
     )
     sim_cent = F.round(F.expr(cosine_sim("embedding", "cent", "spark")), 6)
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cid")
-    )
+    # corpus→cell argmax via max_by-groupBy (map-side combine: shuffle
+    # ~corpus rows, not corpus×nlist; same pick rule as ORDER BY csim
+    # DESC, cid ASC).  The query-side probe ranking below keeps its
+    # window — it needs top-nprobe, and the query side is tiny.
     assigned = (
         spread(corpus)
         .select("vec_id", "embedding")
         .crossJoin(cent)
         .select("vec_id", "embedding", "cid", sim_cent.alias("csim"))
-        .withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("list_id"))
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(struct(embedding, cid), struct(csim, -cid))").alias("_b"))
+        .select("vec_id", F.col("_b.embedding").alias("embedding"),
+                F.col("_b.cid").alias("list_id"))
     )
     q = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -245,19 +247,24 @@ def kmeans_cells(
     cent = corpus.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
     )
+    # argmax via max_by-groupBy, not a row_number window: the window
+    # formulation shuffles all corpus×nlist candidate rows to sort them,
+    # while the groupBy partially aggregates each vec_id's candidates
+    # map-side (they are co-located — the centroid side is broadcast),
+    # so the shuffle carries ~corpus rows.  Pick rule identical to
+    # ORDER BY csim DESC, cid ASC: max (csim, -cid).
+    argmax = "max_by(struct(embedding, cid), struct(csim, -cid))"
     for _ in range(iters):
         sim = F.round(F.expr(cosine_sim("embedding", "cent", "spark")), 6)
-        wa = Window.partitionBy("vec_id").orderBy(
-            F.col("csim").desc(), F.col("cid")
-        )
         assigned = (
             spread(corpus)
             .select("vec_id", "embedding")
             .crossJoin(F.broadcast(cent))
             .select("vec_id", "embedding", "cid", sim.alias("csim"))
-            .withColumn("rk", F.row_number().over(wa))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "embedding", "cid")
+            .groupBy("vec_id")
+            .agg(F.expr(argmax).alias("_b"))
+            .select("vec_id", F.col("_b.embedding").alias("embedding"),
+                    F.col("_b.cid").alias("cid"))
         )
         by_dim = assigned.select(
             "cid", F.posexplode("embedding").alias("d", "x")
@@ -280,16 +287,15 @@ def kmeans_cells(
             )
         )
     sim = F.round(F.expr(cosine_sim("embedding", "cent", "spark")), 6)
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cid")
-    )
     final = (
         spread(corpus)
         .select("vec_id", "embedding")
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", sim.alias("csim"))
-        .withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") == 1)
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(struct(csim, cid), struct(csim, -cid))").alias("_b"))
+        .select("vec_id", F.col("_b.cid").alias("cid"),
+                F.col("_b.csim").alias("csim"))
     )
     # exact mean: csim is 6-dp-rounded → scale to integral micro-units,
     # sum as bigint (order-independent), divide once — no float-sum drift

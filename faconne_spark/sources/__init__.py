@@ -122,3 +122,20 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC reader — like parquet, ORC is self-describing (schema in the
+    file footer) and supports predicate pushdown + column pruning, so
+    no explicit schema is required."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list | None = None
+):
+    """ORC sink (the columnar interchange format of Hive/Trino stacks)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

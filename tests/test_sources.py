@@ -124,3 +124,32 @@ def test_salted_join_matches_plain(spark, sf_dir):
     gs = got.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("s"))
     ps = plain.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("s"))
     assert gs.exceptAll(ps).count() == 0 and ps.exceptAll(gs).count() == 0
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """S8: ORC round-trip preserves schema + values, and filters push
+    into the ORC scan just like parquet."""
+    from faconne_spark.sources import read_orc, write_orc
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    got = back.filter("o_totalprice > 100000").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()["s"]
+    want = orders.filter("o_totalprice > 100000").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()["s"]
+    assert got == want
+    plan = (
+        back.filter("o_totalprice > 100000")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
