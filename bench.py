@@ -119,6 +119,7 @@ def main() -> None:
         "text_unigram_logprob",
         "docs_topk_ngrams",
         "embed_label_centroids",
+        "dedup_containment",
     ]
     times = {}
     shuffle = {}

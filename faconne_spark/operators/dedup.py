@@ -429,3 +429,66 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def containment_pairs(
+    docs: DataFrame, n_shingle: int = 3, max_df: int = 20,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT — catches a
+    short document embedded in a longer one, which symmetric Jaccard
+    misses (|A∩B|/|A∪B| shrinks as |B| grows, |A∩B|/|A| does not).
+
+    Candidate generation is an inverted index over RARE shingles:
+    shingles with document frequency > ``max_df`` are dropped before
+    the self-join (they are boilerplate shared by many docs — joining
+    on them degenerates toward all-pairs), so per-shingle bucket size
+    is bounded by max_df and pair counts by max_df² per shingle.
+    Candidates then get EXACT containment from the full shingle arrays
+    (cached once, joined to both sides).  A contained pair sharing only
+    ultra-common shingles is missed by construction — that is the
+    documented recall trade of frequency-pruned indexes.
+    """
+    sh = word_shingles("text", n_shingle, "spark")
+    shingled = _persist_sig(
+        spread(docs).select("doc_id", F.expr(sh).alias("sh")), docs
+    )
+    rel = shingled.select("doc_id", F.explode("sh").alias("s"))
+    rare = rel.join(
+        rel.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s"),
+        "s",
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"),
+              (F.col("a.s") == F.col("b.s"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(shingled.select(F.col("doc_id").alias("id_a"),
+                                  F.col("sh").alias("sh_a")), "id_a")
+        .join(shingled.select(F.col("doc_id").alias("id_b"),
+                              F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "round(cast(size(array_intersect(sh_a, sh_b)) as double)"
+                " / cast(size(sh_a) as double), 6)"
+            ).alias("cont_a_in_b"),
+            F.expr(
+                "round(cast(size(array_intersect(sh_a, sh_b)) as double)"
+                " / cast(size(sh_b) as double), 6)"
+            ).alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+    )

@@ -972,3 +972,33 @@ ORACLES.update(
         "embed_label_centroids": ORACLE_LABEL_CENTROIDS,
     }
 )
+
+
+# ------------------------------------------- asymmetric containment dedup
+
+def dedup_containment(spark, sf):
+    return D.containment_pairs(T(spark, sf, "documents"), threshold=0.3)
+
+
+ORACLE_CONTAINMENT = f"""
+WITH shingled AS (
+  SELECT doc_id, {word_shingles('text', 3, 'duckdb')} AS sh FROM documents),
+rel AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+rare AS (SELECT s FROM rel GROUP BY s HAVING count(*) <= 20),
+rr AS (SELECT doc_id, s FROM rel JOIN rare USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rr a JOIN rr b ON a.s = b.s AND a.doc_id < b.doc_id),
+j AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(sa.sh)::DOUBLE, 6) AS cont_a_in_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(sb.sh)::DOUBLE, 6) AS cont_b_in_a
+  FROM cand JOIN shingled sa ON sa.doc_id = cand.id_a
+            JOIN shingled sb ON sb.doc_id = cand.id_b)
+SELECT * FROM j WHERE cont_a_in_b >= 0.3 OR cont_b_in_a >= 0.3
+"""
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = ORACLE_CONTAINMENT

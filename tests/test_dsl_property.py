@@ -165,3 +165,74 @@ def test_agg_max_count_matches_oracle(spark, data):
         e["mx"] = max(e["mx"], r["v"])
         e["n"] += 1
     assert got == expected
+
+
+# ---- corpus-statistics operators vs Python oracles --------------------
+
+doc_rows = st.lists(
+    st.fixed_dictionaries(
+        {
+            "doc_id": st.integers(0, 10**6),
+            "text": st.text(
+                alphabet="ab cd", min_size=1, max_size=40
+            ).filter(lambda s: s.strip()),
+        }
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r["doc_id"],
+)
+
+
+@PROP
+@given(data=doc_rows)
+def test_repetition_matches_oracle(spark, data):
+    from faconne_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(data)
+    got = {
+        r["doc_id"]: (r["dup_token_frac"], r["top_bigram_frac"])
+        for r in repetition_signals(df).collect()
+    }
+    import collections
+
+    for r in data:
+        toks = r["text"].strip().lower().split()
+        bgs = (
+            [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            if len(toks) > 1
+            else [toks[0]]
+        )
+        top = collections.Counter(bgs).most_common(1)[0][1]
+        want = (
+            round(1.0 - len(set(toks)) / len(toks), 6),
+            round(top / len(bgs), 6),
+        )
+        assert got[r["doc_id"]] == want, (r["text"], got[r["doc_id"]], want)
+
+
+@PROP
+@given(data=doc_rows)
+def test_unigram_logprob_matches_oracle(spark, data):
+    import math
+
+    from faconne_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(data)
+    got = {
+        r["doc_id"]: (r["mean_logprob"], r["n_toks"])
+        for r in unigram_logprob(df).collect()
+    }
+    import collections
+
+    freq = collections.Counter(
+        t for r in data for t in r["text"].strip().lower().split()
+    )
+    total = sum(freq.values())
+    for r in data:
+        toks = r["text"].strip().lower().split()
+        want_lp = round(
+            sum(math.log(freq[t] / total) for t in toks) / len(toks), 6
+        )
+        assert got[r["doc_id"]][1] == len(toks)
+        assert abs(got[r["doc_id"]][0] - want_lp) <= 1e-6

@@ -234,3 +234,13 @@ def test_label_centroids_partial_agg(spark, sf_dir):
     plan = plan_of(embed_label_centroids(spark, sf_dir))
     assert "partial_avg" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    """Containment candidates come from the rare-shingle inverted index
+    — never an all-pairs product."""
+    from faconne_spark.queries.pipeline import dedup_containment
+
+    plan = plan_of(dedup_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
