@@ -193,3 +193,62 @@ def user_totals_stateful(stream: DataFrame, timeout_minutes: int = 0):
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+CUSUM_OUT = (
+    "user_id bigint, n_events bigint, mean_value double,"
+    " cusum_pos double, cusum_neg double, drifted boolean"
+)
+
+
+def user_cusum_stateful(
+    stream: DataFrame, k: float = 0.5, h: float = 5.0
+):
+    """Per-user CUSUM drift detector via ``applyInPandasWithState`` —
+    the canonical custom-stateful-operator shape that windowed aggs
+    cannot express: the statistic depends on the entire history, not a
+    window.
+
+    State per user is (n, mean, cusum+, cusum-): the running mean is
+    the reference level (Welford update), and one-sided cusums
+    accumulate standardized deviations beyond slack ``k``, flagging
+    drift when either exceeds ``h``.  State is O(1) per key, sharded by
+    the groupBy key in the state store — the same design that runs
+    against a real cluster's state backend."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mean, cp, cn = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        )
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                v = float(v)
+                n += 1
+                mean += (v - mean) / n
+                dev = v - mean
+                cp = max(0.0, cp + dev - k)
+                cn = max(0.0, cn - dev - k)
+        state.update((n, float(mean), float(cp), float(cn)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "mean_value": [round(mean, 6)],
+                "cusum_pos": [round(cp, 6)],
+                "cusum_neg": [round(cn, 6)],
+                "drifted": [cp > h or cn > h],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUT,
+        stateStructType=(
+            "n bigint, mean double, cusum_pos double, cusum_neg double"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -163,3 +163,41 @@ def test_stateful_user_totals_across_batches(spark, sf_dir, tmp_path):
         u: (r["n_events"], round(r["total_value"], 6)) for u, r in last.items()
     }
     assert got == expected
+
+
+def test_cusum_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """CUSUM detector: state (n, mean, cusums) must carry across
+    micro-batches — the final per-user n equals the total event count,
+    and a drift injected in batch 2 is flagged using batch-1 history."""
+    from faconne_spark.streaming import user_cusum_stateful
+
+    base = [(1, float(v)) for v in [10, 10, 10, 10, 10, 10]]
+    drift = [(1, float(v)) for v in [30, 30, 30, 30]]
+    schema = "user_id long, value double"
+    src = str(tmp_path / "cusum_src")
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(drift, schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = user_cusum_stateful(stream, k=0.5, h=5.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM cusum_out ORDER BY n_events"
+    ).collect()
+    assert rows[-1]["n_events"] == 10  # state carried: 6 + 4
+    assert rows[-1]["drifted"]  # the 30s blew past h using prior mean
+    first_batch = [r for r in rows if r["n_events"] == 6]
+    assert first_batch and not first_batch[0]["drifted"]
