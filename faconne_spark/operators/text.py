@@ -344,3 +344,46 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             F.count("*").alias("n_toks"),
         )
     )
+
+
+def vocab_coverage(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k token vocabulary with cumulative corpus coverage — the
+    statistic behind tokenizer-vocab sizing ("how many types cover 95%
+    of the stream?").
+
+    One explode → groupBy(token) with map-side combine; the coverage
+    window then runs over the top-k relation ONLY (k rows, one
+    partition is fine — the full vocabulary never sorts globally).
+    Ranks are total-ordered (count desc, token asc) so the cut and the
+    running sum are deterministic in both engines."""
+    toks = tokens_ws("lower(text)", "spark")
+    freqs = (
+        spread(docs)
+        .select(F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = freqs.agg(F.sum("cnt").alias("total"))
+    topk = (
+        freqs.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        "tok",
+        "cnt",
+        F.expr("round(cast(cnt as double) / cast(total as double), 6)").alias(
+            "frac"
+        ),
+        F.round(
+            F.sum(F.expr("cast(cnt as double) / cast(total as double)")).over(w),
+            6,
+        ).alias("cum_coverage"),
+    )

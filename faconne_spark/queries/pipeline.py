@@ -1002,3 +1002,29 @@ SELECT * FROM j WHERE cont_a_in_b >= 0.3 OR cont_b_in_a >= 0.3
 
 QUERIES["dedup_containment"] = dedup_containment
 ORACLES["dedup_containment"] = ORACLE_CONTAINMENT
+
+
+def vocab_coverage(spark, sf):
+    return TX.vocab_coverage(T(spark, sf, "documents"))
+
+
+ORACLE_VOCAB = f"""
+WITH toks AS (
+  SELECT unnest({tokens_ws('lower(text)', 'duckdb')}) AS tok FROM documents),
+freqs AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM freqs),
+topk AS (
+  SELECT tok, cnt, total FROM freqs CROSS JOIN tot
+  ORDER BY cnt DESC, tok ASC LIMIT 50)
+SELECT row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+       tok, cnt,
+       round(cnt::DOUBLE / total::DOUBLE, 6) AS frac,
+       round(sum(cnt::DOUBLE / total::DOUBLE) OVER (
+         ORDER BY cnt DESC, tok ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cum_coverage
+FROM topk
+"""
+
+QUERIES["vocab_coverage"] = vocab_coverage
+ORACLES["vocab_coverage"] = ORACLE_VOCAB
