@@ -387,3 +387,115 @@ def vocab_coverage(docs: DataFrame, k: int = 50) -> DataFrame:
             6,
         ).alias("cum_coverage"),
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the classic salience
+    primitive for tagging / routing / near-dup triage.
+
+    Token stream explodes once and feeds both the per-doc term counts
+    and the document-frequency table; N arrives as a 1-row broadcast
+    (never a collect), DF joins back as a broadcast (vocabulary-sized).
+    Scores are rounded to 6 dp BEFORE ranking so the rank comparison is
+    on identical values in Spark and the DuckDB oracle (ln() may differ
+    in the last ulp between libm implementations); ties break on the
+    token, making the top-k cut total-ordered."""
+    from pyspark.sql import Window
+
+    toks = tokens_ws("lower(text)", "spark")
+    stream = spread(docs).select(
+        "doc_id", F.explode(F.expr(toks)).alias("tok")
+    )
+    tf = stream.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_tab = (
+        stream.select("doc_id", "tok").distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        tf.join(F.broadcast(df_tab), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.expr(
+                "round(cast(tf as double)"
+                " * ln(cast(n_docs as double) / cast(df as double)), 6)"
+            ).alias("tfidf"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def winnow_fp_expr(n_shingle: int, w: int, dialect: str) -> str:
+    """Winnowing fingerprint set (MOSS algorithm): hash every word
+    n-gram IN ORDER, then keep the minimum hash of each sliding window
+    of ``w`` consecutive shingle hashes, deduped.  Guarantees any
+    shared run of ≥ w+n-1 tokens between two documents shares ≥ 1
+    fingerprint — local similarity with ~2/(w+1) selection density.
+    Both arrays are let-bound so tokenization and hashing run once."""
+    toks = tokens_ws("lower(text)", dialect)
+    if dialect == "spark":
+        hs = (
+            f"transform(array({toks}), tk ->"
+            f" transform(sequence(1, greatest(size(tk) - {n_shingle - 1}, 1)),"
+            f" i -> {phash60(f'''concat_ws(' ', slice(tk, i, {n_shingle}))''', 'spark')}))[0]"
+        )
+        return (
+            f"transform(array({hs}), hs ->"
+            f" array_distinct(transform("
+            f"  sequence(1, greatest(size(hs) - {w - 1}, 1)),"
+            f"  j -> array_min(slice(hs, j, {w})))))[0]"
+        )
+    hs = (
+        f"list_transform(range(1, greatest(len({toks}) - {n_shingle - 1}, 1) + 1),"
+        f" i -> {phash60(f'''array_to_string({toks}[i:i+{n_shingle - 1}], ' ')''', 'duckdb')})"
+    )
+    return (
+        f"list_distinct(list_transform("
+        f" range(1, greatest(len({hs}) - {w - 1}, 1) + 1),"
+        f" j -> list_min({hs}[j:j+{w - 1}])))"
+    )
+
+
+def winnowing_pairs(
+    docs: DataFrame, n_shingle: int = 3, w: int = 4,
+    min_shared: int = 2, max_df: int = 20,
+) -> DataFrame:
+    """Local-similarity candidate pairs from shared winnowing
+    fingerprints — detects documents sharing verbatim PASSAGES (plagiarism
+    / chunk reuse), which whole-document Jaccard dilutes away.
+
+    Same scale shape as the containment index: fingerprints with
+    document frequency > max_df are dropped before the self-join
+    (bounded buckets), pairs keep a count of shared fingerprints."""
+    fps = winnow_fp_expr(n_shingle, w, "spark")
+    rel = spread(docs).select(
+        "doc_id", F.explode(F.expr(fps)).alias("fp")
+    )
+    rare = rel.join(
+        rel.groupBy("fp").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp"),
+        "fp",
+    )
+    return (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.countDistinct("a.fp").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

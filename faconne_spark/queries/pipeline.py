@@ -1028,3 +1028,62 @@ FROM topk
 
 QUERIES["vocab_coverage"] = vocab_coverage
 ORACLES["vocab_coverage"] = ORACLE_VOCAB
+
+
+def doc_tfidf_keywords(spark, sf):
+    return TX.tfidf_keywords(T(spark, sf, "documents"))
+
+
+ORACLE_TFIDF = f"""
+WITH stream AS (
+  SELECT doc_id, unnest({tokens_ws('lower(text)', 'duckdb')}) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM stream GROUP BY 1, 2),
+df_tab AS (
+  SELECT tok, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM stream) GROUP BY tok),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+         round(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE), 6) AS tfidf
+  FROM tf JOIN df_tab USING (tok) CROSS JOIN n)
+SELECT doc_id, tok, tf, df, tfidf, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+QUERIES["doc_tfidf_keywords"] = doc_tfidf_keywords
+ORACLES["doc_tfidf_keywords"] = ORACLE_TFIDF
+
+
+def dedup_winnowing(spark, sf):
+    return TX.winnowing_pairs(T(spark, sf, "documents"))
+
+
+ORACLE_WINNOW = f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len({tokens_ws('lower(text)', 'duckdb')}) - 2, 1) + 1),
+           i -> {phash60(f"array_to_string({tokens_ws('lower(text)', 'duckdb')}[i:i+2], ' ')", 'duckdb')})
+         AS hs
+  FROM documents),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(hs) - 3, 1) + 1),
+           j -> list_min(hs[j:j+3])))) AS fp
+  FROM hs),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+rel AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(DISTINCT a.fp)::BIGINT AS shared_fps
+FROM rel a JOIN rel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2
+"""
+
+QUERIES["dedup_winnowing"] = dedup_winnowing
+ORACLES["dedup_winnowing"] = ORACLE_WINNOW

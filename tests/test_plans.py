@@ -244,3 +244,19 @@ def test_containment_no_cartesian(spark, sf_dir):
     plan = plan_of(dedup_containment(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    from faconne_spark.queries.pipeline import doc_tfidf_keywords
+
+    plan = plan_of(doc_tfidf_keywords(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_winnowing_no_cartesian(spark, sf_dir):
+    from faconne_spark.queries.pipeline import dedup_winnowing
+
+    plan = plan_of(dedup_winnowing(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
