@@ -31,8 +31,12 @@ NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 # Below this input size the double-compute a lazy persist risks is cheaper
 # than the extra materialization job, so the eager count() is skipped.
-EAGER_BYTES = 64 * 1024 * 1024
-EAGER_ROWS = 100_000
+# (2 MB ≈ the driver gate's sf0.01 corpus stays lazy — gate latency —
+# while bench/production sizes materialize eagerly; the signature
+# relations explode to many times the input size, so the threshold is
+# deliberately small.)
+EAGER_BYTES = 2 * 1024 * 1024
+EAGER_ROWS = 20_000
 
 _PERSISTED: list[DataFrame] = []
 
@@ -454,11 +458,16 @@ def containment_pairs(
         spread(docs).select("doc_id", F.expr(sh).alias("sh")), docs
     )
     rel = shingled.select("doc_id", F.explode("sh").alias("s"))
-    rare = rel.join(
-        rel.groupBy("s").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("s"),
-        "s",
+    # the rare-filtered index is read on BOTH sides of the pair
+    # self-join — cache it or the explode+df-join runs twice
+    rare = _persist_sig(
+        rel.join(
+            rel.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s"),
+            "s",
+        ),
+        docs,
     )
     cand = (
         rare.alias("a")

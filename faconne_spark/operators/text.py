@@ -476,15 +476,22 @@ def winnowing_pairs(
     Same scale shape as the containment index: fingerprints with
     document frequency > max_df are dropped before the self-join
     (bounded buckets), pairs keep a count of shared fingerprints."""
+    from faconne_spark.operators.dedup import _persist_sig
+
     fps = winnow_fp_expr(n_shingle, w, "spark")
     rel = spread(docs).select(
         "doc_id", F.explode(F.expr(fps)).alias("fp")
     )
-    rare = rel.join(
-        rel.groupBy("fp").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("fp"),
-        "fp",
+    # read on both sides of the pair self-join — cache or the
+    # fingerprint expression and df-join run twice
+    rare = _persist_sig(
+        rel.join(
+            rel.groupBy("fp").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp"),
+            "fp",
+        ),
+        docs,
     )
     return (
         rare.alias("a")
@@ -498,4 +505,26 @@ def winnowing_pairs(
         )
         .agg(F.countDistinct("a.fp").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def cap_per_group(
+    docs: DataFrame, group_col: str = "source", n: int = 10
+) -> DataFrame:
+    """Deterministic per-group cap — the domain-balancing primitive
+    ("at most N documents per source/domain").  Selection order is a
+    content hash (then doc_id), not arrival order, so the kept set is
+    stable across partitionings, runs, and engines.  One shuffle on the
+    group key; WindowGroupLimit prunes beyond-rank rows before the
+    final sort at scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.expr(phash60("text", "spark")), F.col("doc_id")
+    )
+    return (
+        spread(docs)
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= n)
+        .select("doc_id", group_col, "lang", "pick_rank")
     )

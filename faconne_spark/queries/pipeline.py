@@ -1087,3 +1087,21 @@ GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2
 
 QUERIES["dedup_winnowing"] = dedup_winnowing
 ORACLES["dedup_winnowing"] = ORACLE_WINNOW
+
+
+def cap_per_source(spark, sf):
+    return TX.cap_per_group(T(spark, sf, "documents"))
+
+
+ORACLE_CAP = f"""
+SELECT doc_id, source, lang, pick_rank FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {phash60('text', 'duckdb')}, doc_id) AS pick_rank
+  FROM documents)
+WHERE pick_rank <= 10
+"""
+
+QUERIES["cap_per_source"] = cap_per_source
+ORACLES["cap_per_source"] = ORACLE_CAP
