@@ -211,3 +211,18 @@ def pii_augmented(dialect: str) -> str:
         f"concat(text, ' contact user', {i}, '@mail.example.com or call ',"
         f" {p3}, '-', {p3}, '-', {p4})"
     )
+
+
+def dot_expr(a: str, b: str, dialect: str) -> str:
+    """Plain dot product of two float arrays, summed in index order in
+    both dialects so the IEEE result is bit-identical cross-engine."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b},"
+            f" (x, y) -> cast(x as double) * cast(y as double)),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )

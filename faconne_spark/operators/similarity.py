@@ -307,3 +307,84 @@ def kmeans_cells(
             " / 1000000.0 / cast(count(*) as double)"
         ).alias("avg_sim"),
     )
+
+
+def pq_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    m: int = 4, ncodes: int = 8, dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the codebook-compression scale path of production vector
+    stores: each vector is stored as ``m`` one-byte codes instead of
+    ``dim`` floats (here 4 codes for 64 floats, a 64× compression), and
+    query scoring touches only a tiny per-query lookup table.
+
+    Deterministic train step (like the IVF variants): the codebook of
+    subspace ``s`` is the s-th slice of the first ``ncodes`` corpus
+    vectors.  Encoding picks the max-dot-product code per subspace
+    (6-dp-rounded, tie → lowest code id).  Query time: dot(q, x) ≈
+    Σ_s T[s][code_x[s]] where T is the (m×ncodes)-entry table of
+    query-subvector · centroid dots.
+
+    Scale: the codebook (m×ncodes rows) broadcasts; encoding is a
+    broadcast crossJoin + max_by groupBy whose candidates are
+    co-located, so partial aggregation reduces map-side and the shuffle
+    carries ~corpus×m rows; the ADC join is code relation ⋈ broadcast
+    lookup table; only the final per-query top-k sorts (k rows per
+    query survive WindowGroupLimit)."""
+    from faconne_spark.functions import dot_expr
+
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.expr(f"slice(embedding, {s * sub + 1}, {sub})").alias("v"),
+            )
+            for s in range(m)
+        ]
+    )
+    cent = F.broadcast(
+        corpus.filter(F.col("vec_id") < ncodes)
+        .select(F.col("vec_id").alias("c"), F.explode(slices).alias("sl"))
+        .select("c", F.col("sl.s").alias("s"), F.col("sl.v").alias("centvec"))
+    )
+    subvecs = spread(corpus).select(
+        "vec_id", F.explode(slices).alias("sl")
+    ).select("vec_id", F.col("sl.s").alias("s"), F.col("sl.v").alias("subv"))
+    codes = (
+        subvecs.join(cent, "s")
+        .select(
+            "vec_id",
+            "s",
+            "c",
+            F.round(F.expr(dot_expr("subv", "centvec", "spark")), 6).alias("d"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.expr("max_by(c, struct(d, -c))").alias("code"))
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.explode(slices).alias("sl")
+    ).select("q_id", F.col("sl.s").alias("s"), F.col("sl.v").alias("qsub"))
+    lut = F.broadcast(
+        q.join(cent, "s").select(
+            "q_id",
+            "s",
+            F.col("c").alias("code"),
+            F.round(F.expr(dot_expr("qsub", "centvec", "spark")), 6).alias("t"),
+        )
+    )
+    scored = (
+        codes.join(lut, ["s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("t"), 6).alias("approx_dot"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_dot").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "approx_dot", "rk")
+    )

@@ -1105,3 +1105,61 @@ WHERE pick_rank <= 10
 
 QUERIES["cap_per_source"] = cap_per_source
 ORACLES["cap_per_source"] = ORACLE_CAP
+
+
+# ------------------------------------------------------------ PQ-ADC ANN
+
+from faconne_spark.functions import dot_expr  # noqa: E402
+
+PQ_M = 4
+PQ_NCODES = 8
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def ann_pq_adc(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    return S.pq_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_NQ), ANN_K, PQ_M, PQ_NCODES, EMB_DIM
+    )
+
+
+ORACLE_PQ = f"""
+WITH sl AS (SELECT unnest(range(0, {PQ_M})) AS s),
+cent AS (
+  SELECT vec_id AS c, s,
+         embedding[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}] AS centvec
+  FROM embeddings CROSS JOIN sl WHERE vec_id < {PQ_NCODES}),
+subvecs AS (
+  SELECT vec_id, s,
+         embedding[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}] AS subv
+  FROM embeddings CROSS JOIN sl),
+codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, sv.s AS s, c,
+           row_number() OVER (
+             PARTITION BY vec_id, sv.s
+             ORDER BY round({dot_expr('subv', 'centvec', 'duckdb')}, 6) DESC,
+                      c ASC) AS rk
+    FROM subvecs sv JOIN cent ON sv.s = cent.s)
+  WHERE rk = 1),
+lut AS (
+  SELECT e.vec_id AS q_id, sv.s AS s, c AS code,
+         round({dot_expr('subv', 'centvec', 'duckdb')}, 6) AS t
+  FROM embeddings e
+  JOIN subvecs sv ON sv.vec_id = e.vec_id
+  JOIN cent ON sv.s = cent.s
+  WHERE e.vec_id < {ANN_NQ}),
+scored AS (
+  SELECT q_id, vec_id, round(sum(t), 6) AS approx_dot
+  FROM codes JOIN lut USING (s, code)
+  WHERE q_id != vec_id
+  GROUP BY q_id, vec_id)
+SELECT q_id, vec_id, approx_dot, rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY approx_dot DESC, vec_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {ANN_K}
+"""
+
+QUERIES["ann_pq_adc"] = ann_pq_adc
+ORACLES["ann_pq_adc"] = ORACLE_PQ

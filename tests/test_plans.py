@@ -260,3 +260,14 @@ def test_winnowing_no_cartesian(spark, sf_dir):
     plan = plan_of(dedup_winnowing(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_broadcasts_codebook_and_lut(spark, sf_dir):
+    """PQ: the codebook and the per-query lookup table must broadcast —
+    the corpus-sized code relation must never sort-merge against them."""
+    from faconne_spark.queries.pipeline import ann_pq_adc
+
+    plan = plan_of(ann_pq_adc(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max_by" in plan or "partial_sum" in plan
