@@ -501,3 +501,47 @@ def containment_pairs(
             | (F.col("cont_b_in_a") >= threshold)
         )
     )
+
+
+def pair_graph_stats(pairs: DataFrame) -> DataFrame:
+    """Structural diagnostics of a near-dup pair graph in one row:
+    nodes, edges, max/avg degree, and the triangle count — the density
+    signals that distinguish tight duplicate cliques from chains of
+    borderline matches (chains usually mean the threshold is too low).
+
+    Triangle counting is the canonical two-join formulation over
+    id-ordered edges (a<b<c), so each triangle is generated exactly
+    once and no edge direction ever doubles; both joins key on node
+    ids — never a cartesian.  Degree stats reuse one symmetrized
+    groupBy."""
+    e = pairs.select("id_a", "id_b").distinct()
+    e = _persist_sig(e, pairs)
+    deg = (
+        e.select(F.col("id_a").alias("n")).union(
+            e.select(F.col("id_b").alias("n"))
+        )
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedges = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.id_b") == F.col("y.id_a"))
+        .select(
+            F.col("x.id_a").alias("a"),
+            F.col("x.id_b").alias("b"),
+            F.col("y.id_b").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        e.alias("z"),
+        (F.col("a") == F.col("z.id_a")) & (F.col("c") == F.col("z.id_b")),
+    )
+    return (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.max("deg").alias("max_degree"),
+            F.round(F.avg("deg"), 6).alias("avg_degree"),
+        )
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )

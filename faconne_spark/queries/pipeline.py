@@ -1163,3 +1163,39 @@ WHERE rk <= {ANN_K}
 
 QUERIES["ann_pq_adc"] = ann_pq_adc
 ORACLES["ann_pq_adc"] = ORACLE_PQ
+
+
+def dup_graph_stats(spark, sf):
+    """Structural stats + triangle count of the simhash near-dup graph."""
+    pairs = D.simhash_pairs(T(spark, sf, "documents"), SIMHASH_MAX_HAM)
+    return D.pair_graph_stats(pairs)
+
+
+ORACLE_GRAPH_STATS = (
+    ORACLE_SIMHASH.split("SELECT DISTINCT")[0]
+    + f"""
+, prs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}),
+deg AS (
+  SELECT n, count(*)::BIGINT AS deg FROM (
+    SELECT id_a AS n FROM prs UNION ALL SELECT id_b FROM prs)
+  GROUP BY n),
+wedges AS (
+  SELECT x.id_a AS a, x.id_b AS b, y.id_b AS c
+  FROM prs x JOIN prs y ON x.id_b = y.id_a),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM wedges JOIN prs z ON wedges.a = z.id_a AND wedges.c = z.id_b)
+SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+       (SELECT max(deg)::BIGINT FROM deg) AS max_degree,
+       (SELECT round(avg(deg), 6) FROM deg) AS avg_degree,
+       (SELECT count(*)::BIGINT FROM prs) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+)
+
+QUERIES["dup_graph_stats"] = dup_graph_stats
+ORACLES["dup_graph_stats"] = ORACLE_GRAPH_STATS

@@ -271,3 +271,10 @@ def test_pq_broadcasts_codebook_and_lut(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_max_by" in plan or "partial_sum" in plan
+
+
+def test_graph_stats_no_cartesian(spark, sf_dir):
+    from faconne_spark.queries.pipeline import dup_graph_stats
+
+    plan = plan_of(dup_graph_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan
