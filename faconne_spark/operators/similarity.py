@@ -388,3 +388,100 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "approx_dot", "rk")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    nlist: int = 8, nprobe: int = 2, m: int = 4, ncodes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF+PQ composed (the FAISS IndexIVFPQ shape): coarse cells prune
+    the candidate set to the query's ``nprobe`` nearest cells, then PQ
+    codes + the per-query lookup table score only those candidates —
+    neither raw corpus vectors nor whole-corpus scoring at query time.
+
+    Composition of :func:`ivf_topk`'s assignment (broadcast argmax via
+    co-located max_by) and :func:`pq_topk`'s encode/ADC stages; the
+    cell join key is list_id (one corpus-code shuffle), probes and LUT
+    broadcast."""
+    from faconne_spark.functions import dot_expr
+
+    sub = dim // m
+    cent = F.broadcast(
+        corpus.filter(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+        )
+    )
+    sim_cent = F.round(F.expr(cosine_sim("embedding", "cent", "spark")), 6)
+    assigned = (
+        spread(corpus)
+        .select("vec_id", "embedding")
+        .crossJoin(cent)
+        .select("vec_id", "cid", sim_cent.alias("csim"))
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cid, struct(csim, -cid))").alias("list_id"))
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.expr(f"slice(embedding, {s * sub + 1}, {sub})").alias("v"),
+            )
+            for s in range(m)
+        ]
+    )
+    pq_cent = F.broadcast(
+        corpus.filter(F.col("vec_id") < ncodes)
+        .select(F.col("vec_id").alias("c"), F.explode(slices).alias("sl"))
+        .select("c", F.col("sl.s").alias("s"), F.col("sl.v").alias("centvec"))
+    )
+    subvecs = spread(corpus).select(
+        "vec_id", F.explode(slices).alias("sl")
+    ).select("vec_id", F.col("sl.s").alias("s"), F.col("sl.v").alias("subv"))
+    codes = (
+        subvecs.join(pq_cent, "s")
+        .select(
+            "vec_id", "s", "c",
+            F.round(F.expr(dot_expr("subv", "centvec", "spark")), 6).alias("d"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.expr("max_by(c, struct(d, -c))").alias("code"))
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim_qc = F.round(F.expr(cosine_sim("q_emb", "cent", "spark")), 6)
+    wq = Window.partitionBy("q_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = F.broadcast(
+        q.crossJoin(cent)
+        .select("q_id", "cid", sim_qc.alias("csim"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("q_id", F.col("cid").alias("list_id"))
+    )
+    qsubs = queries.select(
+        F.col("vec_id").alias("q_id"), F.explode(slices).alias("sl")
+    ).select("q_id", F.col("sl.s").alias("s"), F.col("sl.v").alias("qsub"))
+    lut = F.broadcast(
+        qsubs.join(pq_cent, "s").select(
+            "q_id", "s", F.col("c").alias("code"),
+            F.round(F.expr(dot_expr("qsub", "centvec", "spark")), 6).alias("t"),
+        )
+    )
+    cand = assigned.join(probes, "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(lut, ["q_id", "s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("t"), 6).alias("approx_dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_dot").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "approx_dot", "rk")
+    )

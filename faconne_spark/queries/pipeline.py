@@ -1199,3 +1199,76 @@ SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
 
 QUERIES["dup_graph_stats"] = dup_graph_stats
 ORACLES["dup_graph_stats"] = ORACLE_GRAPH_STATS
+
+
+def ann_ivf_pq(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    return S.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_NQ), ANN_K,
+        KM_NLIST, 2, PQ_M, PQ_NCODES, EMB_DIM,
+    )
+
+
+ORACLE_IVF_PQ = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+  WHERE vec_id < {KM_NLIST}),
+assigned AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({cosine_sim('e.embedding', 'cent', 'duckdb')}, 6) DESC,
+                      cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent)
+  WHERE rk = 1),
+sl AS (SELECT unnest(range(0, {PQ_M})) AS s),
+pq_cent AS (
+  SELECT vec_id AS c, s,
+         embedding[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}] AS centvec
+  FROM embeddings CROSS JOIN sl WHERE vec_id < {PQ_NCODES}),
+subvecs AS (
+  SELECT vec_id, s,
+         embedding[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}] AS subv
+  FROM embeddings CROSS JOIN sl),
+codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, sv.s AS s, c,
+           row_number() OVER (
+             PARTITION BY vec_id, sv.s
+             ORDER BY round({dot_expr('subv', 'centvec', 'duckdb')}, 6) DESC,
+                      c ASC) AS rk
+    FROM subvecs sv JOIN pq_cent ON sv.s = pq_cent.s)
+  WHERE rk = 1),
+probes AS (
+  SELECT q_id, cid AS list_id FROM (
+    SELECT e.vec_id AS q_id, cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({cosine_sim('e.embedding', 'cent', 'duckdb')}, 6) DESC,
+                      cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent WHERE e.vec_id < {ANN_NQ})
+  WHERE rk <= 2),
+lut AS (
+  SELECT e.vec_id AS q_id, sv.s AS s, c AS code,
+         round({dot_expr('subv', 'centvec', 'duckdb')}, 6) AS t
+  FROM embeddings e
+  JOIN subvecs sv ON sv.vec_id = e.vec_id
+  JOIN pq_cent ON sv.s = pq_cent.s
+  WHERE e.vec_id < {ANN_NQ}),
+scored AS (
+  SELECT p.q_id, a.vec_id, round(sum(t), 6) AS approx_dot
+  FROM assigned a
+  JOIN probes p ON a.list_id = p.list_id AND a.vec_id != p.q_id
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN lut ON lut.q_id = p.q_id AND lut.s = cd.s AND lut.code = cd.code
+  GROUP BY p.q_id, a.vec_id)
+SELECT q_id, vec_id, approx_dot, rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY approx_dot DESC, vec_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {ANN_K}
+"""
+
+QUERIES["ann_ivf_pq"] = ann_ivf_pq
+ORACLES["ann_ivf_pq"] = ORACLE_IVF_PQ
