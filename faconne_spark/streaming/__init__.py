@@ -252,3 +252,51 @@ def user_cusum_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a static dimension
+    (user profile, per-key aggregate).  The static side re-resolves per
+    micro-batch — on a cluster it broadcasts when under the threshold,
+    so stream rows never shuffle for the join."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_self_join(
+    events: DataFrame, window_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream join: pair each event with the SAME user's events
+    up to ``window_minutes`` later (the follow-on-action pattern).
+    Both sides are watermarked and the join carries a time-bound range
+    condition, so Structured Streaming can expire buffered state — an
+    unbounded-state join is rejected by the engine.  Equality key
+    (user_id) keeps the join co-partitioned; the time bound limits the
+    per-key buffer."""
+    a = events.select(
+        F.col("user_id"),
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("first_ts"),
+        F.col("event_type").alias("first_type"),
+    ).withWatermark("first_ts", "1 hour")
+    b = events.select(
+        F.col("user_id"),
+        F.col("event_id").alias("next_id"),
+        F.col("ts").alias("next_ts"),
+        F.col("event_type").alias("next_type"),
+    ).withWatermark("next_ts", "1 hour")
+    return a.join(
+        b,
+        (a.user_id == b.user_id)
+        & (F.col("next_id") != F.col("first_id"))
+        & (F.col("next_ts") > F.col("first_ts"))
+        & (
+            F.col("next_ts")
+            <= F.col("first_ts") + F.expr(f"interval {window_minutes} minutes")
+        ),
+    ).select(
+        a.user_id, "first_id", "first_type", "next_id", "next_type",
+        F.col("next_ts").cast("long").alias("next_ts_s"),
+        F.col("first_ts").cast("long").alias("first_ts_s"),
+    )

@@ -201,3 +201,71 @@ def test_cusum_state_carries_across_batches(spark, sf_dir, tmp_path):
     assert rows[-1]["drifted"]  # the 30s blew past h using prior mean
     first_batch = [r for r in rows if r["n_events"] == 6]
     assert first_batch and not first_batch[0]["drifted"]
+
+
+def test_stream_static_enrich(spark, sf_dir, tmp_path):
+    """Stream-static join: every streamed event carries its user's
+    static aggregate; results equal the batch join."""
+    from faconne_spark.streaming import stream_static_enrich
+
+    events = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).limit(300)
+    src = str(tmp_path / "sse")
+    events.coalesce(1).write.parquet(src)
+    dim = events.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = stream_static_enrich(stream, dim)
+    q = (
+        out.writeStream.format("memory").queryName("sse_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(user_events) AS s FROM sse_out"
+    ).first()
+    want = events.join(dim, "user_id").agg(
+        F.count("*").alias("n"), F.sum("user_events").alias("s")
+    ).first()
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+def test_stream_stream_self_join(spark, sf_dir, tmp_path):
+    """Stream-stream interval self-join runs as a real streaming query
+    (bounded state via watermark + time-range condition) and matches
+    the equivalent batch join."""
+    from faconne_spark.streaming import (
+        read_stream_parquet,
+        stream_stream_self_join,
+    )
+
+    events = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).limit(400)
+    src = str(tmp_path / "ssj")
+    events.coalesce(1).write.parquet(src)
+    stream = read_stream_parquet(spark, src)
+    out = stream_stream_self_join(stream, window_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("ssj_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM ssj_out").first()["n"]
+    e = events
+    want = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.event_id") != F.col("a.event_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 30 minutes")),
+        )
+        .count()
+    )
+    assert got == want and want > 0
