@@ -1272,3 +1272,51 @@ WHERE rk <= {ANN_K}
 
 QUERIES["ann_ivf_pq"] = ann_ivf_pq
 ORACLES["ann_ivf_pq"] = ORACLE_IVF_PQ
+
+
+# -------------------------------------------------- quality-gate ensemble
+
+def quality_gate(spark, sf):
+    """Production filter shape: combine quality features into keep/drop
+    with an auditable reject-reason string — the per-document decision
+    record a curation run ships alongside the kept corpus.  One pass
+    over the staged feature projection (quality_score is map-only), no
+    shuffle until the optional reporting aggregate."""
+    feats = TX.quality_score(T(spark, sf, "documents"))
+    checks = [
+        ("too_short", "n_tokens < 5"),
+        ("low_diversity", "distinct_ratio < 0.3"),
+        ("punct_heavy", "punct_ratio > 0.3"),
+        ("no_stopwords", "stopword_ratio < 0.01"),
+    ]
+    reason = "concat_ws(',', " + ", ".join(
+        f"if({cond}, '{name}', null)" for name, cond in checks
+    ) + ")"
+    return feats.select(
+        "doc_id",
+        F.expr(
+            " AND ".join(f"NOT ({cond})" for _, cond in checks)
+        ).alias("keep"),
+        F.expr(f"nullif({reason}, '')").alias("reject_reasons"),
+    )
+
+
+_QG_CHECKS_DUCK = [
+    ("too_short", "n_tokens < 5"),
+    ("low_diversity", "distinct_ratio < 0.3"),
+    ("punct_heavy", "punct_ratio > 0.3"),
+    ("no_stopwords", "stopword_ratio < 0.01"),
+]
+
+ORACLE_QUALITY_GATE = f"""
+WITH feats AS ({ORACLE_QUALITY.strip()})
+SELECT doc_id,
+       ({' AND '.join(f'NOT ({c})' for _, c in _QG_CHECKS_DUCK)}) AS keep,
+       nullif(concat_ws(',',
+         {', '.join(f"CASE WHEN {c} THEN '{n}' END" for n, c in _QG_CHECKS_DUCK)}
+       ), '') AS reject_reasons
+FROM feats
+"""
+
+QUERIES["quality_gate"] = quality_gate
+ORACLES["quality_gate"] = ORACLE_QUALITY_GATE
