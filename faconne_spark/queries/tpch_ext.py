@@ -649,3 +649,89 @@ ORACLES = {
     "grouping_sets_orders": ORACLE_GSETS,
     "events_funnel": ORACLE_FUNNEL,
 }
+
+
+def events_retention_cohorts(spark, sf):
+    """Weekly cohort-retention matrix: users grouped by first-activity
+    week; for each (cohort_week, weeks-since-cohort) the count of still
+    active users.  Two shuffles total: the per-user min(ts) aggregate
+    (map-side combined) broadcast back onto the distinct user-week
+    activity relation — the standard cohort formulation with no
+    self-join of the event log."""
+    ev = T(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            F.col("cohort_week"),
+            ((F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+             / (7 * 24 * 3600)).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts)::TIMESTAMP AS week FROM events),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT cohort_week,
+       (date_diff('day', cohort_week, week) / 7)::INTEGER AS week_offset,
+       count(DISTINCT user_id)::BIGINT AS n_active
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def sliding_window_counts(spark, sf):
+    """Sliding-window event counts (1 h window, 30 min slide): each
+    event lands in two overlapping windows — the smoothing shape
+    dashboards use.  Spark's window() generates both assignments
+    inline (an Expand, no self-join); batch-equivalent of the
+    streaming formulation."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+ORACLE_SLIDING = """
+WITH assigned AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL 30 minutes, ts),
+                 time_bucket(INTERVAL 30 minutes, ts) - INTERVAL 30 minutes])
+           AS window_start
+  FROM events)
+SELECT window_start, event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM assigned GROUP BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "events_retention_cohorts": events_retention_cohorts,
+        "sliding_window_counts": sliding_window_counts,
+    }
+)
+ORACLES.update(
+    {
+        "events_retention_cohorts": ORACLE_RETENTION,
+        "sliding_window_counts": ORACLE_SLIDING,
+    }
+)
