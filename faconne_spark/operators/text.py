@@ -528,3 +528,32 @@ def cap_per_group(
         .filter(F.col("pick_rank") <= n)
         .select("doc_id", group_col, "lang", "pick_rank")
     )
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document unigram entropy in bits — low entropy flags
+    repetitive/boilerplate text, high flags noise; a standard quality
+    signal alongside the repetition ratios.
+
+    One explode → groupBy(doc_id, tok) with map-side combine → per-doc
+    entropy from the count distribution (the doc-total rides along via
+    a window-free second groupBy: Σc and Σ c·log2(c) are both plain
+    sums, and H = log2(n) - (Σ c·log2(c))/n — no join back)."""
+    toks = tokens_ws("lower(text)", "spark")
+    per_tok = (
+        spread(docs)
+        .select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.round(
+            F.expr(
+                "log2(cast(sum(c) as double))"
+                " - sum(cast(c as double) * log2(cast(c as double)))"
+                " / cast(sum(c) as double)"
+            ),
+            6,
+        ).alias("entropy_bits"),
+    )

@@ -1320,3 +1320,24 @@ FROM feats
 
 QUERIES["quality_gate"] = quality_gate
 ORACLES["quality_gate"] = ORACLE_QUALITY_GATE
+
+
+def text_token_entropy(spark, sf):
+    return TX.token_entropy(T(spark, sf, "documents"))
+
+
+ORACLE_ENTROPY = f"""
+WITH per_tok AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c FROM (
+    SELECT doc_id, unnest({tokens_ws('lower(text)', 'duckdb')}) AS tok
+    FROM documents)
+  GROUP BY doc_id, tok)
+SELECT doc_id, sum(c)::BIGINT AS n_toks,
+       round(log2(sum(c)::DOUBLE)
+             - sum(c::DOUBLE * log2(c::DOUBLE)) / sum(c)::DOUBLE, 6)
+         AS entropy_bits
+FROM per_tok GROUP BY doc_id
+"""
+
+QUERIES["text_token_entropy"] = text_token_entropy
+ORACLES["text_token_entropy"] = ORACLE_ENTROPY

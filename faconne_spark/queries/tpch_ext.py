@@ -735,3 +735,53 @@ ORACLES.update(
         "sliding_window_counts": ORACLE_SLIDING,
     }
 )
+
+
+def events_window_zscore(spark, sf):
+    """Window-count anomaly detection: hourly counts per event_type,
+    z-scored against that type's own mean/stddev of hourly counts;
+    |z| > 2 flags the window.  Two small aggregations — the per-type
+    stats relation is types-sized and broadcasts back onto the window
+    counts; population stddev (stddev_pop) is exact and identical in
+    both engines.  Batch complement of the streaming CUSUM detector."""
+    ev = T(spark, sf, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    stats = counts.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    return (
+        counts.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("hour").alias("window_start"),
+            "n",
+            F.expr(
+                "round(if(sigma = 0, 0.0, (n - mu) / sigma), 6)"
+            ).alias("zscore"),
+            F.expr(
+                "if(sigma = 0, false, abs((n - mu) / sigma) > 2)"
+            ).alias("anomalous"),
+        )
+    )
+
+
+ORACLE_ZSCORE = """
+WITH counts AS (
+  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+  FROM counts GROUP BY event_type)
+SELECT event_type, hour AS window_start, n,
+       round(CASE WHEN sigma = 0 THEN 0.0 ELSE (n - mu) / sigma END, 6)
+         AS zscore,
+       CASE WHEN sigma = 0 THEN false ELSE abs((n - mu) / sigma) > 2 END
+         AS anomalous
+FROM counts JOIN stats USING (event_type)
+"""
+
+QUERIES["events_window_zscore"] = events_window_zscore
+ORACLES["events_window_zscore"] = ORACLE_ZSCORE
