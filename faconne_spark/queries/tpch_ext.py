@@ -785,3 +785,69 @@ FROM counts JOIN stats USING (event_type)
 
 QUERIES["events_window_zscore"] = events_window_zscore
 ORACLES["events_window_zscore"] = ORACLE_ZSCORE
+
+
+def basket_part_pairs(spark, sf):
+    """Market-basket affinity: part pairs co-occurring in an order,
+    with support counts and lift.  Pair generation self-joins lineitem
+    ON ORDERKEY with partkey ordering — bounded by order size (~7
+    lines), never corpus×corpus; the per-part totals are a parts-sized
+    relation broadcast back for the lift denominator.  Top pairs only
+    (support ≥ 3) to keep the result gate-friendly."""
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = T(spark, sf, "orders").agg(
+        F.countDistinct("o_orderkey").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 3)
+    )
+    ia = F.broadcast(item.select(F.col("l_partkey").alias("part_a"),
+                                 F.col("item_n").alias("n_a")))
+    ib = F.broadcast(item.select(F.col("l_partkey").alias("part_b"),
+                                 F.col("item_n").alias("n_b")))
+    return (
+        pairs.join(ia, "part_a").join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "pair_n",
+            F.expr(
+                "round(cast(pair_n as double) * cast(n_orders as double)"
+                " / (cast(n_a as double) * cast(n_b as double)), 6)"
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_BASKET = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT o_orderkey)::BIGINT AS n_orders FROM orders),
+item AS (SELECT l_partkey, count(*)::BIGINT AS item_n FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS pair_n
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT part_a, part_b, pair_n,
+       round(pair_n::DOUBLE * n_orders::DOUBLE
+             / (ia.item_n::DOUBLE * ib.item_n::DOUBLE), 6) AS lift
+FROM pairs
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n
+"""
+
+QUERIES["basket_part_pairs"] = basket_part_pairs
+ORACLES["basket_part_pairs"] = ORACLE_BASKET

@@ -269,3 +269,39 @@ def test_stream_stream_self_join(spark, sf_dir, tmp_path):
         .count()
     )
     assert got == want and want > 0
+
+
+def test_dsl_binder_on_stream(spark, sf_dir, tmp_path):
+    """The faconne domain binder (explode/field/filter steps) is
+    stateless, so a compiled Transformer binds STREAMING input too —
+    the DSL front-end composes with Structured Streaming. Bound rows
+    from the stream equal the batch binding."""
+    from faconne_spark import Keys, Transformer, V
+
+    events = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    ).limit(300)
+    src = str(tmp_path / "dsl_stream")
+    events.coalesce(1).write.parquet(src)
+    t = Transformer(
+        [Keys("event_id", "user_id", "value", "event_type")],
+        None,
+        where=["value > 100", "event_type = 'click'"],
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    bound = t.bind(stream)
+    assert bound.isStreaming
+    q = (
+        bound.writeStream.format("memory").queryName("dsl_bound")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("SELECT count(*) n, sum(value) s FROM dsl_bound").first()
+    want = t.bind(events).agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    ).first()
+    assert (got["n"], round(got["s"], 6)) == (want["n"], round(want["s"], 6))
+    assert want["n"] > 0
