@@ -1341,3 +1341,34 @@ FROM per_tok GROUP BY doc_id
 
 QUERIES["text_token_entropy"] = text_token_entropy
 ORACLES["text_token_entropy"] = ORACLE_ENTROPY
+
+
+def lang_id_confusion(spark, sf):
+    """Classifier-evaluation record for the language-ID operator:
+    (true lang × predicted lang) confusion counts plus per-cell share
+    of the true class — the standard audit artifact for any
+    model-based filter in the pipeline.  Composes lang_id (map-only)
+    with one small groupBy; the per-class totals come from a window
+    over the tiny confusion relation itself."""
+    from pyspark.sql import Window
+
+    pred = TX.lang_id(T(spark, sf, "documents"))
+    conf = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return conf.withColumn(
+        "class_share", F.round(F.col("n") / F.sum("n").over(w), 6)
+    )
+
+
+ORACLE_LANG_CONFUSION = f"""
+WITH pred AS ({{lang_id_sql}})
+, conf AS (
+  SELECT lang, pred_lang, count(*)::BIGINT AS n
+  FROM pred GROUP BY lang, pred_lang)
+SELECT lang, pred_lang, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 6) AS class_share
+FROM conf
+""".format(lang_id_sql=ORACLE_LANG_ID.strip())
+
+QUERIES["lang_id_confusion"] = lang_id_confusion
+ORACLES["lang_id_confusion"] = ORACLE_LANG_CONFUSION

@@ -27,6 +27,9 @@ SNAPSHOT_QUERIES = [
     "win_top_orders_per_cust",
     "dedup_minhash_lsh",
     "ann_ivf_kmeans",
+    "ann_pq_adc",
+    "dedup_containment",
+    "text_unigram_logprob",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
