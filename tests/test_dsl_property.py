@@ -236,3 +236,26 @@ def test_unigram_logprob_matches_oracle(spark, data):
         )
         assert got[r["doc_id"]][1] == len(toks)
         assert abs(got[r["doc_id"]][0] - want_lp) <= 1e-6
+
+
+@PROP
+@given(data=doc_rows)
+def test_token_entropy_matches_oracle(spark, data):
+    import collections
+    import math
+
+    from faconne_spark.operators.text import token_entropy
+
+    got = {
+        r["doc_id"]: (r["n_toks"], r["entropy_bits"])
+        for r in token_entropy(spark.createDataFrame(data)).collect()
+    }
+    for r in data:
+        toks = r["text"].strip().lower().split()
+        c = collections.Counter(toks)
+        n = len(toks)
+        want = round(
+            -sum((v / n) * math.log2(v / n) for v in c.values()), 6
+        )
+        assert got[r["doc_id"]][0] == n
+        assert abs(got[r["doc_id"]][1] - want) <= 1e-6, (r["text"], got[r["doc_id"]], want)

@@ -181,3 +181,43 @@ def test_cc_reliable_checkpoint_branch(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             spark._jvm.scala.Option.apply(None)
         )
+
+
+# ---------------------------------------------------- degenerate documents
+
+def test_text_ops_degenerate_docs(spark):
+    """Empty, single-token, and fully-repeated documents must flow
+    through the text family without nulls, NaNs, or division errors."""
+    rows = [
+        (1, ""),                      # empty text
+        (2, "word"),                  # single token
+        (3, "dup dup dup dup dup"),   # one repeated token
+        (4, "  leading and trailing  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from faconne_spark.operators.text import (
+        repetition_signals,
+        token_entropy,
+        unigram_logprob,
+        winnowing_pairs,
+    )
+
+    rep = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert rep[3]["dup_token_frac"] == 0.8  # 1 distinct of 5
+    assert rep[3]["top_bigram_frac"] == 1.0 and rep[3]["repetitive"]
+    assert all(
+        r["dup_token_frac"] is not None and r["top_bigram_frac"] is not None
+        for r in rep.values()
+    )
+
+    ent = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert ent[3]["entropy_bits"] == 0.0  # single symbol → zero entropy
+    assert ent[2]["entropy_bits"] == 0.0
+    assert all(r["entropy_bits"] >= 0 for r in ent.values())
+
+    lp = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert all(r["mean_logprob"] <= 0 for r in lp.values())
+
+    # winnowing over degenerate docs: no crash, no self-pairs
+    pairs = winnowing_pairs(df, max_df=10).collect()
+    assert all(p["id_a"] < p["id_b"] for p in pairs)
