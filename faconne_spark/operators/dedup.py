@@ -545,3 +545,43 @@ def pair_graph_stats(pairs: DataFrame) -> DataFrame:
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
         .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame, existing_fps: DataFrame
+) -> DataFrame:
+    """Incremental ingestion dedup: classify a NEW batch against the
+    fingerprint relation of the already-ingested corpus without
+    rescanning old documents — the pattern that makes daily corpus
+    updates O(batch), not O(corpus).
+
+    Returns one row per new document: its fingerprint, whether it
+    duplicates the existing corpus (``dup_of_existing``), and whether
+    it loses to an earlier doc within its own batch
+    (``dup_within_batch``); keepers are rows with both flags false.
+    The existing side carries only (fingerprint, keeper_id) — at 100 TB
+    that's the compact state checkpoint an ingestion pipeline persists
+    between runs; the join is fingerprint ⋈ fingerprint (hash join,
+    existing side bucketable)."""
+    fps = spread(new_docs).select(
+        "doc_id", F.expr(phash60(NORM, "spark")).alias("fingerprint")
+    )
+    batch_min = fps.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("batch_keeper")
+    )
+    ex = existing_fps.select(
+        "fingerprint", F.col("keeper_id").alias("existing_keeper")
+    )
+    return (
+        fps.join(batch_min, "fingerprint")
+        .join(ex, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.col("existing_keeper").isNotNull().alias("dup_of_existing"),
+            (F.col("doc_id") != F.col("batch_keeper")).alias(
+                "dup_within_batch"
+            ),
+            F.coalesce("existing_keeper", "batch_keeper").alias("keeper_id"),
+        )
+    )

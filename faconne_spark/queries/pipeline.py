@@ -1372,3 +1372,36 @@ FROM conf
 
 QUERIES["lang_id_confusion"] = lang_id_confusion
 ORACLES["lang_id_confusion"] = ORACLE_LANG_CONFUSION
+
+
+def dedup_incremental(spark, sf):
+    """Incremental-ingestion dedup simulated on the static corpus:
+    even doc_ids are the already-ingested corpus (their exact-dedup
+    fingerprint relation is the persisted state), odd doc_ids are the
+    incoming batch."""
+    docs = T(spark, sf, "documents")
+    existing = D.exact_dedup(docs.filter("doc_id % 2 = 0"))
+    return D.incremental_exact_dedup(docs.filter("doc_id % 2 = 1"), existing)
+
+
+ORACLE_INCREMENTAL = f"""
+WITH fps AS (
+  SELECT doc_id, {phash60(D.NORM_DUCK, 'duckdb')} AS fingerprint
+  FROM documents WHERE doc_id % 2 = 1),
+batch_min AS (
+  SELECT fingerprint, min(doc_id) AS batch_keeper FROM fps GROUP BY 1),
+existing AS (
+  SELECT {phash60(D.NORM_DUCK, 'duckdb')} AS fingerprint,
+         min(doc_id) AS existing_keeper
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1)
+SELECT doc_id, fingerprint,
+       existing_keeper IS NOT NULL AS dup_of_existing,
+       doc_id != batch_keeper AS dup_within_batch,
+       coalesce(existing_keeper, batch_keeper) AS keeper_id
+FROM fps
+JOIN batch_min USING (fingerprint)
+LEFT JOIN existing USING (fingerprint)
+"""
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLES["dedup_incremental"] = ORACLE_INCREMENTAL

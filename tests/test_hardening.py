@@ -221,3 +221,27 @@ def test_text_ops_degenerate_docs(spark):
     # winnowing over degenerate docs: no crash, no self-pairs
     pairs = winnowing_pairs(df, max_df=10).collect()
     assert all(p["id_a"] < p["id_b"] for p in pairs)
+
+
+def test_incremental_dedup_flag_paths(spark):
+    """Cross-corpus duplicate (normalization-aware, keeper from the
+    existing corpus), within-batch duplicate, and fresh keeper."""
+    from faconne_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [(0, "hello world"), (2, "old only")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "hello  WORLD"), (3, "fresh text"), (5, "fresh text")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_exact_dedup(new, exact_dedup(old)).collect()
+    }
+    assert out[1]["dup_of_existing"] and out[1]["keeper_id"] == 0
+    assert not out[3]["dup_of_existing"] and not out[3]["dup_within_batch"]
+    assert out[5]["dup_within_batch"] and out[5]["keeper_id"] == 3
