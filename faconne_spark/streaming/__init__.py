@@ -300,3 +300,48 @@ def stream_stream_self_join(
         F.col("next_ts").cast("long").alias("next_ts_s"),
         F.col("first_ts").cast("long").alias("first_ts_s"),
     )
+
+
+def streaming_incremental_dedup(
+    stream: DataFrame, state_dir: str, out_dir: str
+):
+    """Streaming ingestion dedup: each micro-batch is classified
+    against the persisted fingerprint state via
+    :func:`faconne_spark.operators.dedup.incremental_exact_dedup`, the
+    batch's verdicts are appended to ``out_dir``, and the new keepers'
+    fingerprints are appended to the state — exactly the daily-update
+    pattern, run continuously.
+
+    ``foreachBatch`` is the right hook because the state update is a
+    multi-step batch computation (join + two writes) that needs
+    batch-DataFrame semantics; parquet-append state keeps restarts
+    idempotent per epoch.  State stays O(distinct fingerprints) — the
+    compact checkpoint, not the corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from faconne_spark.operators.dedup import incremental_exact_dedup
+
+    def handle(batch_df, epoch_id):
+        spark = batch_df.sparkSession
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            existing = spark.read.parquet(state_dir)
+        else:
+            existing = spark.createDataFrame(
+                [], "fingerprint bigint, keeper_id bigint"
+            )
+        verdicts = incremental_exact_dedup(batch_df, existing)
+        verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+        (
+            verdicts.filter("NOT dup_of_existing AND NOT dup_within_batch")
+            .select("fingerprint", F.col("doc_id").alias("keeper_id"))
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    return stream.writeStream.foreachBatch(handle)

@@ -305,3 +305,47 @@ def test_dsl_binder_on_stream(spark, sf_dir, tmp_path):
     ).first()
     assert (got["n"], round(got["s"], 6)) == (want["n"], round(want["s"], 6))
     assert want["n"] > 0
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Two micro-batches through the foreachBatch incremental dedup:
+    batch-2 duplicates of batch-1 keepers are flagged against the
+    PERSISTED state, and the state grows only by new fingerprints."""
+    from faconne_spark.streaming import streaming_incremental_dedup
+
+    b1 = [(0, "alpha text"), (1, "beta text"), (2, "alpha  TEXT")]
+    b2 = [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_incremental_dedup(stream, state, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    res = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(res) == 6
+    # batch 1: 2 fresh keepers + 1 within-batch dup (normalized match)
+    assert not res[0]["dup_of_existing"] and not res[0]["dup_within_batch"]
+    assert res[2]["dup_within_batch"] and res[2]["keeper_id"] == 0
+    # batch 2: doc 10 duplicates batch-1 keeper 0 via persisted state
+    assert res[10]["dup_of_existing"] and res[10]["keeper_id"] == 0
+    assert res[12]["dup_within_batch"] and res[12]["keeper_id"] == 11
+    # state = exactly the 3 distinct keeper fingerprints
+    state_rows = spark.read.parquet(state).collect()
+    assert len(state_rows) == 3
+    assert {r["keeper_id"] for r in state_rows} == {0, 1, 11}
