@@ -1405,3 +1405,114 @@ LEFT JOIN existing USING (fingerprint)
 
 QUERIES["dedup_incremental"] = dedup_incremental
 ORACLES["dedup_incremental"] = ORACLE_INCREMENTAL
+
+
+def dedup_cascade(spark, sf):
+    """Cascade dedup report — production dedup IS a cascade: cheap
+    exact hashing first, then near-dup clustering, then asymmetric
+    containment; each document records the FIRST stage that caught it
+    (or 'keep').  This is the per-doc audit artifact of the whole dedup
+    family, composed from the library operators over one shared corpus
+    scan; every stage join is on doc_id (co-partitioned)."""
+    docs = T(spark, sf, "documents")
+    fps = docs.select(
+        "doc_id", F.expr(phash60(D.NORM, "spark")).alias("fingerprint")
+    )
+    ex = D.exact_dedup(docs)
+    exact_flag = fps.join(ex, "fingerprint").select(
+        "doc_id",
+        (F.col("doc_id") != F.col("keeper_id")).alias("exact_dup"),
+    )
+    clusters = D.connected_components(
+        D.simhash_pairs(docs, SIMHASH_MAX_HAM)
+    ).withColumnRenamed("doc_id", "c_doc")
+    cont = D.containment_pairs(docs, threshold=0.3)
+    contained = (
+        cont.filter("cont_a_in_b >= 0.3").select(F.col("id_a").alias("doc_id"))
+        .union(
+            cont.filter("cont_b_in_a >= 0.3").select(
+                F.col("id_b").alias("doc_id")
+            )
+        )
+        .distinct()
+        .withColumn("is_contained", F.lit(True))
+    )
+    return (
+        exact_flag
+        .join(clusters, exact_flag.doc_id == clusters.c_doc, "left")
+        .join(contained, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN exact_dup THEN 'exact'"
+                " WHEN cluster_id IS NOT NULL AND cluster_id != doc_id"
+                " THEN 'near'"
+                " WHEN is_contained THEN 'containment'"
+                " ELSE 'keep' END"
+            ).alias("stage"),
+        )
+    )
+
+
+ORACLE_CASCADE = (
+    ORACLE_SIMHASH.split("SELECT DISTINCT")[0].replace(
+        "WITH hashed", "WITH RECURSIVE hashed", 1
+    )
+    + f"""
+, prs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node),
+clusters AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+fps AS (
+  SELECT doc_id, {phash60(D.NORM_DUCK, 'duckdb')} AS fingerprint
+  FROM documents),
+ex AS (
+  SELECT fingerprint, min(doc_id) AS keeper_id FROM fps GROUP BY 1),
+exact_flag AS (
+  SELECT doc_id, doc_id != keeper_id AS exact_dup
+  FROM fps JOIN ex USING (fingerprint)),
+shingled AS (
+  SELECT doc_id, {word_shingles('text', 3, 'duckdb')} AS sh FROM documents),
+rel AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+rare AS (SELECT s FROM rel GROUP BY s HAVING count(*) <= 20),
+rr AS (SELECT doc_id, s FROM rel JOIN rare USING (s)),
+candp AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rr a JOIN rr b ON a.s = b.s AND a.doc_id < b.doc_id),
+contp AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh)::DOUBLE
+           AS c_ab,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sb.sh)::DOUBLE
+           AS c_ba
+  FROM candp JOIN shingled sa ON sa.doc_id = candp.id_a
+             JOIN shingled sb ON sb.doc_id = candp.id_b),
+contained AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM contp WHERE round(c_ab, 6) >= 0.3
+    UNION ALL
+    SELECT id_b FROM contp WHERE round(c_ba, 6) >= 0.3))
+SELECT f.doc_id,
+       CASE WHEN exact_dup THEN 'exact'
+            WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id != f.doc_id
+              THEN 'near'
+            WHEN ct.doc_id IS NOT NULL THEN 'containment'
+            ELSE 'keep' END AS stage
+FROM exact_flag f
+LEFT JOIN clusters cl ON cl.doc_id = f.doc_id
+LEFT JOIN contained ct ON ct.doc_id = f.doc_id
+"""
+)
+
+QUERIES["dedup_cascade"] = dedup_cascade
+ORACLES["dedup_cascade"] = ORACLE_CASCADE
