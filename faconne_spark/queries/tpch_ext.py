@@ -851,3 +851,123 @@ CROSS JOIN n
 
 QUERIES["basket_part_pairs"] = basket_part_pairs
 ORACLES["basket_part_pairs"] = ORACLE_BASKET
+
+
+def events_markov_transitions(spark, sf):
+    """First-order event-type transition matrix: per user, consecutive
+    event pairs (ordered by time, event_id tie-break for total order),
+    aggregated to transition counts and row-normalized probabilities.
+    One shuffle on user_id for the lead window; the normalizing window
+    runs over the types×types matrix only."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wn), 6)
+    )
+
+
+ORACLE_MARKOV = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts
+"""
+
+
+def user_rfm_segments(spark, sf):
+    """RFM segmentation: per-user recency (days since last order),
+    frequency (order count), monetary (total spend) → quartile codes →
+    segment counts with averages.  One orders shuffle for the per-user
+    rollup; the three ntile windows run over the users relation with a
+    total order (metric, custkey) so quartile boundaries are
+    deterministic in both engines."""
+    from pyspark.sql import Window
+
+    orders = T(spark, sf, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_user = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    fq = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    coded = per_user.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        F.ntile(4).over(r).alias("r_quartile"),
+        F.ntile(4).over(fq).alias("f_quartile"),
+        F.ntile(4).over(m).alias("m_quartile"),
+    )
+    return coded.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        F.round(F.avg("recency_days"), 6).alias("avg_recency"),
+    )
+
+
+ORACLE_RFM = """
+WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
+per_user AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT maxd FROM maxd))::INTEGER
+           AS recency_days,
+         count(*)::BIGINT AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+coded AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+           AS r_quartile,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)
+           AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
+           AS m_quartile
+  FROM per_user)
+SELECT r_quartile, f_quartile, m_quartile, count(*)::BIGINT AS n_users,
+       round(avg(monetary), 6) AS avg_monetary,
+       round(avg(recency_days), 6) AS avg_recency
+FROM coded GROUP BY 1, 2, 3
+"""
+
+QUERIES.update(
+    {
+        "events_markov_transitions": events_markov_transitions,
+        "user_rfm_segments": user_rfm_segments,
+    }
+)
+ORACLES.update(
+    {
+        "events_markov_transitions": ORACLE_MARKOV,
+        "user_rfm_segments": ORACLE_RFM,
+    }
+)
