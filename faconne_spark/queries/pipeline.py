@@ -1516,3 +1516,73 @@ LEFT JOIN contained ct ON ct.doc_id = f.doc_id
 
 QUERIES["dedup_cascade"] = dedup_cascade
 ORACLES["dedup_cascade"] = ORACLE_CASCADE
+
+
+# -------------------------------------------------- mixture planning
+
+MIX_TARGETS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def corpus_mixture_plan(spark, sf):
+    """Data-mixture planning artifact: given target language shares,
+    compute per-language sampling rates against what's actually
+    available — rate = min(1, target_share × total_budget / available)
+    with the budget set by the most-constrained language, plus the
+    expected kept counts.  One groupBy + a 1-row broadcast; the plan
+    is what a weighted-sampling job executes next."""
+    tgt = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items())
+    ) + " ELSE 0 END"
+    avail = (
+        T(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("available"))
+        .withColumn("target_share", F.expr(tgt))
+    )
+    # budget chosen so no language needs more docs than it has:
+    # budget = min over langs of available / target_share
+    budget = avail.agg(
+        F.min(
+            F.expr("cast(available as double) / target_share")
+        ).alias("budget")
+    )
+    return (
+        avail.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            "available",
+            "target_share",
+            F.expr(
+                "round(least(1.0, target_share * budget"
+                " / cast(available as double)), 6)"
+            ).alias("sample_rate"),
+            F.expr(
+                "cast(floor(least(1.0, target_share * budget"
+                " / cast(available as double))"
+                " * cast(available as double) + 0.5) as bigint)"
+            ).alias("expected_kept"),
+        )
+    )
+
+
+_MIX_TGT_DUCK = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items())
+) + " ELSE 0 END"
+
+ORACLE_MIXTURE = f"""
+WITH avail AS (
+  SELECT lang, count(*)::BIGINT AS available,
+         {_MIX_TGT_DUCK} AS target_share
+  FROM documents GROUP BY lang),
+budget AS (
+  SELECT min(available::DOUBLE / target_share) AS budget FROM avail)
+SELECT lang, available, target_share,
+       round(least(1.0, target_share * budget / available::DOUBLE), 6)
+         AS sample_rate,
+       floor(least(1.0, target_share * budget / available::DOUBLE)
+             * available::DOUBLE + 0.5)::BIGINT AS expected_kept
+FROM avail CROSS JOIN budget
+"""
+
+QUERIES["corpus_mixture_plan"] = corpus_mixture_plan
+ORACLES["corpus_mixture_plan"] = ORACLE_MIXTURE

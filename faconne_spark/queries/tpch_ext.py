@@ -971,3 +971,47 @@ ORACLES.update(
         "user_rfm_segments": ORACLE_RFM,
     }
 )
+
+
+def orders_monthly_yoy(spark, sf):
+    """Monthly order volume with month-over-month and year-over-year
+    deltas — the trend-decomposition record.  One orders shuffle for
+    the month rollup; the lag windows run over the months-sized
+    relation."""
+    from pyspark.sql import Window
+
+    orders = T(spark, sf, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("yr", "mo")
+    return monthly.select(
+        "yr", "mo", "n_orders", "revenue",
+        F.round(
+            F.col("revenue") - F.lag("revenue", 1).over(w), 2
+        ).alias("mom_delta"),
+        F.round(
+            F.col("revenue") - F.lag("revenue", 12).over(w), 2
+        ).alias("yoy_delta"),
+    )
+
+
+ORACLE_MONTHLY_YOY = """
+WITH monthly AS (
+  SELECT year(o_orderdate)::INTEGER AS yr, month(o_orderdate)::INTEGER AS mo,
+         count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT yr, mo, n_orders, revenue,
+       round(revenue - lag(revenue, 1) OVER (ORDER BY yr, mo), 2)
+         AS mom_delta,
+       round(revenue - lag(revenue, 12) OVER (ORDER BY yr, mo), 2)
+         AS yoy_delta
+FROM monthly
+"""
+
+QUERIES["orders_monthly_yoy"] = orders_monthly_yoy
+ORACLES["orders_monthly_yoy"] = ORACLE_MONTHLY_YOY
