@@ -1586,3 +1586,55 @@ FROM avail CROSS JOIN budget
 
 QUERIES["corpus_mixture_plan"] = corpus_mixture_plan
 ORACLES["corpus_mixture_plan"] = ORACLE_MIXTURE
+
+
+def corpus_health(spark, sf):
+    """The 100th registry entry: a one-row corpus health dashboard —
+    document/language/source counts, token and char totals, and the
+    exact-duplicate rate — the executive summary every curation run
+    reports.  Two scans (doc stats + fingerprint dedup), both
+    map-side-combined single aggregations, crossed into one row."""
+    docs = T(spark, sf, "documents")
+    toks = tokens_ws("text", "spark")
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.expr(f"size({toks})")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    dup = D.exact_dedup(docs).agg(
+        F.count("*").alias("n_fingerprints"),
+        F.sum(F.expr("n_copies - 1")).alias("n_exact_dups"),
+    )
+    return stats.crossJoin(dup).select(
+        "n_docs", "n_langs", "n_sources", "total_tokens", "total_chars",
+        "n_fingerprints", "n_exact_dups",
+        F.expr(
+            "round(cast(n_exact_dups as double) / cast(n_docs as double), 6)"
+        ).alias("dup_rate"),
+    )
+
+
+ORACLE_HEALTH = f"""
+WITH stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         count(DISTINCT source)::BIGINT AS n_sources,
+         sum(len({tokens_ws('text', 'duckdb')}))::BIGINT AS total_tokens,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM documents),
+dup AS (
+  SELECT count(*)::BIGINT AS n_fingerprints,
+         sum(n_copies - 1)::BIGINT AS n_exact_dups
+  FROM (
+    SELECT count(*) AS n_copies FROM documents
+    GROUP BY {phash60(D.NORM_DUCK, 'duckdb')}))
+SELECT n_docs, n_langs, n_sources, total_tokens, total_chars,
+       n_fingerprints, n_exact_dups,
+       round(n_exact_dups::DOUBLE / n_docs::DOUBLE, 6) AS dup_rate
+FROM stats CROSS JOIN dup
+"""
+
+QUERIES["corpus_health"] = corpus_health
+ORACLES["corpus_health"] = ORACLE_HEALTH
