@@ -1530,9 +1530,9 @@ def corpus_mixture_plan(spark, sf):
     with the budget set by the most-constrained language, plus the
     expected kept counts.  One groupBy + a 1-row broadcast; the plan
     is what a weighted-sampling job executes next."""
-    tgt = "CASE " + " ".join(
+    tgt = "CAST(CASE " + " ".join(
         f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items())
-    ) + " ELSE 0 END"
+    ) + " ELSE 0 END AS DOUBLE)"
     avail = (
         T(spark, sf, "documents")
         .groupBy("lang")
@@ -1565,9 +1565,9 @@ def corpus_mixture_plan(spark, sf):
     )
 
 
-_MIX_TGT_DUCK = "CASE " + " ".join(
+_MIX_TGT_DUCK = "CAST(CASE " + " ".join(
     f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items())
-) + " ELSE 0 END"
+) + " ELSE 0 END AS DOUBLE)"
 
 ORACLE_MIXTURE = f"""
 WITH avail AS (
