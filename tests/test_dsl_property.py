@@ -259,3 +259,37 @@ def test_token_entropy_matches_oracle(spark, data):
         )
         assert got[r["doc_id"]][0] == n
         assert abs(got[r["doc_id"]][1] - want) <= 1e-6, (r["text"], got[r["doc_id"]], want)
+
+
+@PROP
+@given(data=doc_rows)
+def test_containment_matches_bruteforce(spark, data):
+    """With frequency pruning disabled (huge max_df), containment pairs
+    must equal the brute-force all-pairs computation."""
+    from faconne_spark.operators.dedup import containment_pairs, release_caches
+
+    df = spark.createDataFrame(data)
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in containment_pairs(df, max_df=10**6, threshold=0.5).collect()
+    }
+    release_caches()
+
+    def shingles(text):
+        toks = text.strip().split()
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    sh = {r["doc_id"]: shingles(r["text"]) for r in data}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            ca = round(inter / len(sh[a]), 6)
+            cb = round(inter / len(sh[b]), 6)
+            if ca >= 0.5 or cb >= 0.5:
+                want[(a, b)] = (ca, cb)
+    assert got == want, (got, want)
