@@ -89,6 +89,31 @@ def skew_dedup_minhash(spark, sf_dir):
     ).crossJoin(keepers.groupBy().agg(F.count("*").alias("n_fingerprints")))
 
 
+def skew_hot_user_join(spark, sf_dir):
+    """Skew stress #2: 30% of events forced onto ONE user, joined to a
+    per-user dimension through the explicit salted join — times the
+    hot-key join path that AQE alone cannot always fix (the salt
+    spreads the hot key over n_salts tasks)."""
+    from pyspark.sql import functions as F
+
+    from faconne_spark.operators.relational import salted_join
+    from faconne_spark.queries import T
+
+    ev = T(spark, sf_dir, "events").select("user_id", "value")
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.expr("pmod(hash(value), 10) < 3"), F.lit(7)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    dim = skewed.groupBy("user_id").agg(F.count("*").alias("n_ev"))
+    joined = salted_join(skewed, dim, "user_id", n_salts=16)
+    return joined.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_ev").alias("sum_dim"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -104,6 +129,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     queries["skew_dedup_minhash"] = skew_dedup_minhash
+    queries["skew_hot_user_join"] = skew_hot_user_join
 
     # warm up the JVM + parquet footers + regexp/md5 codegen paths
     queries["tpch_q6_forecast"](spark, sf_dir).count()
@@ -115,6 +141,7 @@ def main() -> None:
     # totals stay comparable as coverage grows
     extra = [
         "skew_dedup_minhash",
+        "skew_hot_user_join",
         "text_repetition",
         "text_unigram_logprob",
         "docs_topk_ngrams",
