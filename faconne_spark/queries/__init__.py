@@ -35,7 +35,7 @@ _FIRST = [
     "events_retention_cohorts", "sliding_window_counts",
     "events_window_zscore", "text_token_entropy", "basket_part_pairs",
     "events_markov_transitions", "user_rfm_segments",
-    "corpus_mixture_plan", "orders_monthly_yoy", "corpus_health", "lang_id_confusion", "dedup_incremental", "dedup_cascade",
+    "corpus_mixture_plan", "orders_monthly_yoy", "corpus_health", "part_price_stats", "lang_id_confusion", "dedup_incremental", "dedup_cascade",
     "dedup_simhash", "dedup_clusters", "dedup_embedding_cosine",
     "ann_cosine_topk", "knn_classify_labels", "ann_lsh_bucketed",
     "ann_ivf", "ann_ivf_kmeans", "embed_norm",

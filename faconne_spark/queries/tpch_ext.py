@@ -1015,3 +1015,45 @@ FROM monthly
 
 QUERIES["orders_monthly_yoy"] = orders_monthly_yoy
 ORACLES["orders_monthly_yoy"] = ORACLE_MONTHLY_YOY
+
+
+def part_price_stats(spark, sf):
+    """Statistical aggregates per part brand: price/quantity
+    correlation and regression slope plus dispersion — exercises the
+    corr/regr/stddev family (native partial-aggregable statistics in
+    both engines; one lineitem⋈part pass with the part dim broadcast).
+    Rounded to 6 dp so partial-aggregation summation order cannot flip
+    the comparison."""
+    li = T(spark, sf, "lineitem")
+    part = T(spark, sf, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(
+                F.expr("regr_slope(l_extendedprice, l_quantity)"), 6
+            ).alias("price_per_qty"),
+            F.round(F.stddev_pop("l_extendedprice"), 6).alias("price_stddev"),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+                "qty_disc_covar"
+            ),
+        )
+    )
+
+
+ORACLE_PRICE_STATS = """
+SELECT p_brand, count(*)::BIGINT AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+       round(stddev_pop(l_extendedprice), 6) AS price_stddev,
+       round(covar_pop(l_quantity, l_discount), 6) AS qty_disc_covar
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+QUERIES["part_price_stats"] = part_price_stats
+ORACLES["part_price_stats"] = ORACLE_PRICE_STATS
