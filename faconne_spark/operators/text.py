@@ -249,46 +249,39 @@ def repetition_signals(docs: DataFrame, top_frac_flag: float = 0.2) -> DataFrame
     fraction and the fraction of all bigrams taken by the single most
     frequent bigram (boilerplate/spam indicator), plus a flag.
 
-    Scale design: the doc-level scalars (token counts) ride through the
-    bigram explode as two ints per row, so the whole thing is one
-    explode → two partial-agg groupBys on doc-local keys — map-side
-    combine collapses each doc's bigrams within a partition before any
-    shuffle, and no join back to the documents table is needed."""
+    Scale design: fully MAP-ONLY — zero shuffles.  The per-doc max
+    bigram frequency is the longest run in the SORTED bigram array,
+    computed by one aggregate() lambda with (prev, run, best) struct
+    state; the earlier explode → two-groupBy formulation shuffled the
+    entire bigram stream, which at 100 TB is the corpus rewritten ~2×.
+    (The DuckDB oracle keeps its unnest+groupBy formulation — same
+    result, different engine-appropriate mechanism.)"""
     toks = tokens_ws("lower(text)", "spark")
     bgs = bigrams_all("lower(text)", "spark")
-    exploded = (
-        spread(docs)
-        .withColumn("_toks", F.expr(toks))
-        .select(
-            "doc_id",
-            F.expr("size(_toks)").alias("n_toks"),
-            F.expr("size(array_distinct(_toks))").alias("n_dist"),
-            F.explode(F.expr(bgs)).alias("bg"),
-        )
-    )
-    per_bigram = exploded.groupBy("doc_id", "bg").agg(
-        F.count("*").alias("cnt"),
-        F.first("n_toks").alias("n_toks"),
-        F.first("n_dist").alias("n_dist"),
+    top_run = (
+        "aggregate(array_sort(_bgs),"
+        " struct(cast(null as string) as prev, 0 as run, 0 as best),"
+        " (s, x) -> struct(x as prev,"
+        "   if(x <=> s.prev, s.run + 1, 1) as run,"
+        "   greatest(s.best, if(x <=> s.prev, s.run + 1, 1)) as best),"
+        " s -> s.best)"
     )
     return (
-        per_bigram.groupBy("doc_id")
-        .agg(
-            F.max("cnt").alias("top_cnt"),
-            F.sum("cnt").alias("n_bigrams"),
-            F.first("n_toks").alias("n_toks"),
-            F.first("n_dist").alias("n_dist"),
-        )
+        spread(docs)
+        .withColumn("_toks", F.expr(toks))
+        .withColumn("_bgs", F.expr(bgs))
+        .withColumn("_top", F.expr(top_run))
         .select(
             "doc_id",
             F.expr(
-                "round(1.0 - cast(n_dist as double) / cast(n_toks as double), 6)"
+                "round(1.0 - cast(size(array_distinct(_toks)) as double)"
+                " / cast(size(_toks) as double), 6)"
             ).alias("dup_token_frac"),
             F.expr(
-                "round(cast(top_cnt as double) / cast(n_bigrams as double), 6)"
+                "round(cast(_top as double) / cast(size(_bgs) as double), 6)"
             ).alias("top_bigram_frac"),
             F.expr(
-                f"cast(top_cnt as double) / cast(n_bigrams as double)"
+                f"cast(_top as double) / cast(size(_bgs) as double)"
                 f" >= {top_frac_flag}"
             ).alias("repetitive"),
         )

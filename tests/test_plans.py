@@ -196,16 +196,18 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
             spark.conf.set(k, v)
 
 
-def test_repetition_no_join_back(spark, sf_dir):
-    """text_repetition carries doc-level scalars through the explode —
-    the plan must contain NO join and no Python eval, and both
-    aggregations must partially aggregate before their exchange."""
+def test_repetition_map_only(spark, sf_dir):
+    """text_repetition is a pure map pass: the sorted-run-length lambda
+    replaces the bigram explode entirely — the plan must contain NO
+    exchange, no join, and no Python eval."""
     from faconne_spark.queries.pipeline import text_repetition
 
     plan = plan_of(text_repetition(spark, sf_dir))
+    # spread()'s round-robin input rebalance is the ONLY allowed
+    # exchange; no data-dependent (hash) shuffle may appear
+    assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
-    assert "partial_count" in plan or "partial_first" in plan
 
 
 def test_topk_ngrams_fused_limit(spark, sf_dir):
