@@ -44,7 +44,7 @@ _FIRST = [
     "embed_label_centroids", "dedup_simhash", "text_unigram_logprob",
     "dedup_winnowing", "ann_pq_adc", "ann_ivf_pq", "ann_ivf_kmeans",
     "dedup_clusters", "mm_image_meta", "dedup_containment",
-    "dup_graph_stats", "text_repetition", "dedup_cascade",
+    "dup_graph_stats", "text_repetition", "dedup_cascade", "embed_outliers", "neardup_rate_by_source",
 ]
 
 

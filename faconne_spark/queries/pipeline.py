@@ -1638,3 +1638,144 @@ FROM stats CROSS JOIN dup
 
 QUERIES["corpus_health"] = corpus_health
 ORACLES["corpus_health"] = ORACLE_HEALTH
+
+
+def embed_outliers(spark, sf):
+    """Embedding-set quality: per-label centroid distance z-scores,
+    flagging vectors far from their class centroid (mislabeled or
+    corrupt vectors).  Per-dim means via the posexplode partial-agg
+    shape, collected back to a (labels-sized) centroid relation that
+    broadcasts onto the corpus for the distance pass — the corpus
+    itself never shuffles.  Means and distances round to 6 dp before
+    the z-score so both engines compare identical values."""
+    from faconne_spark.session import spread
+
+    emb = spread(T(spark, sf, "embeddings"))
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.expr("cast(val as double)")), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("cent")
+        )
+    )
+    dist = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.expr(
+                    "sqrt(aggregate(zip_with(embedding, cent,"
+                    " (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),"
+                    " cast(0.0 as double), (a, v) -> a + v))"
+                ),
+                6,
+            ).alias("dist"),
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sigma")
+    )
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist",
+            F.expr(
+                "round(if(sigma = 0, 0.0, (dist - mu) / sigma), 6)"
+            ).alias("zscore"),
+            F.expr(
+                "if(sigma = 0, false, (dist - mu) / sigma > 2)"
+            ).alias("outlier"),
+        )
+    )
+
+
+ORACLE_EMB_OUTLIERS = """
+WITH dims AS (
+  SELECT label, unnest(embedding)::DOUBLE AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+per_dim AS (
+  SELECT label, pos, round(avg(val), 6) AS m FROM dims GROUP BY label, pos),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS cent FROM per_dim GROUP BY label),
+dist AS (
+  SELECT vec_id, e.label AS label,
+         round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> (embedding[i]::DOUBLE - cent[i])
+                    * (embedding[i]::DOUBLE - cent[i])))), 6) AS dist
+  FROM embeddings e JOIN cent ON e.label = cent.label),
+stats AS (
+  SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sigma
+  FROM dist GROUP BY label)
+SELECT vec_id, label, dist,
+       round(CASE WHEN sigma = 0 THEN 0.0 ELSE (dist - mu) / sigma END, 6)
+         AS zscore,
+       CASE WHEN sigma = 0 THEN false ELSE (dist - mu) / sigma > 2 END
+         AS outlier
+FROM dist JOIN stats USING (label)
+"""
+
+
+def neardup_rate_by_source(spark, sf):
+    """Provenance quality: near-duplicate involvement rate per source —
+    which domains ship duplicated content.  The (tiny) pair relation's
+    member set joins back to documents once; rates are per-source
+    member fractions."""
+    docs = T(spark, sf, "documents").select("doc_id", "source")
+    pairs = D.simhash_pairs(T(spark, sf, "documents"), SIMHASH_MAX_HAM)
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("in_pair", F.lit(1))
+    )
+    return (
+        docs.join(members, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("in_pair", F.lit(0))).alias("n_near_dup"),
+        )
+        .withColumn(
+            "near_dup_rate",
+            F.expr(
+                "round(cast(n_near_dup as double) / cast(n_docs as double), 6)"
+            ),
+        )
+    )
+
+
+ORACLE_NEARDUP_SOURCE = (
+    ORACLE_SIMHASH.split("SELECT DISTINCT")[0]
+    + f"""
+, prs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}),
+members AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM prs UNION ALL SELECT id_b FROM prs))
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_near_dup,
+       round(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS near_dup_rate
+FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+GROUP BY source
+"""
+)
+
+QUERIES["embed_outliers"] = embed_outliers
+QUERIES["neardup_rate_by_source"] = neardup_rate_by_source
+ORACLES["embed_outliers"] = ORACLE_EMB_OUTLIERS
+ORACLES["neardup_rate_by_source"] = ORACLE_NEARDUP_SOURCE
