@@ -45,6 +45,7 @@ _FIRST = [
     "dedup_winnowing", "ann_pq_adc", "ann_ivf_pq", "ann_ivf_kmeans",
     "dedup_clusters", "mm_image_meta", "dedup_containment",
     "dup_graph_stats", "text_repetition", "dedup_cascade", "embed_outliers", "neardup_rate_by_source",
+    "customer_order_reconciliation", "sql_api_segment_revenue",
 ]
 
 

@@ -1057,3 +1057,90 @@ GROUP BY p_brand
 
 QUERIES["part_price_stats"] = part_price_stats
 ORACLES["part_price_stats"] = ORACLE_PRICE_STATS
+
+
+def customer_order_reconciliation(spark, sf):
+    """FULL OUTER reconciliation between the customer master and order
+    rollups — the data-integrity report (customers without orders,
+    orphan order keys, matched totals).  Aggregated to one row so the
+    gate result is compact; the outer join itself is the exercised
+    operator."""
+    cust = T(spark, sf, "customer").select("c_custkey")
+    per_cust = (
+        T(spark, sf, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer"
+    )
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.expr("if(c_custkey IS NOT NULL AND o_custkey IS NOT NULL, 1, 0)")
+        ).alias("matched"),
+        F.sum(F.expr("if(o_custkey IS NULL, 1, 0)")).alias(
+            "customers_without_orders"
+        ),
+        F.sum(F.expr("if(c_custkey IS NULL, 1, 0)")).alias(
+            "orphan_order_custkeys"
+        ),
+        F.sum(F.coalesce("n_orders", F.lit(0))).alias("total_orders"),
+    )
+
+
+ORACLE_RECONCILIATION = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders GROUP BY 1)
+SELECT count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS matched,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS customers_without_orders,
+       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS orphan_order_custkeys,
+       sum(coalesce(n_orders, 0))::BIGINT AS total_orders
+FROM customer FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+"""
+
+
+def sql_api_segment_revenue(spark, sf):
+    """The SQL text entry path: the engine's tables registered as temp
+    views and queried with a plain ANSI string through spark.sql() —
+    identical Catalyst plan to the DataFrame API, proving both faces of
+    the engine serve the same operators."""
+    T(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    T(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(DISTINCT c_custkey) AS n_customers,
+               count(o_orderkey) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM v_customer LEFT JOIN v_orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+ORACLE_SQL_API = """
+SELECT c_mktsegment,
+       count(DISTINCT c_custkey)::BIGINT AS n_customers,
+       count(o_orderkey)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES.update(
+    {
+        "customer_order_reconciliation": customer_order_reconciliation,
+        "sql_api_segment_revenue": sql_api_segment_revenue,
+    }
+)
+ORACLES.update(
+    {
+        "customer_order_reconciliation": ORACLE_RECONCILIATION,
+        "sql_api_segment_revenue": ORACLE_SQL_API,
+    }
+)
