@@ -29,23 +29,24 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # any time-box cutoff verifies the maximum number of new keys; the 50 keys
 # already green in round 1 follow in their original order.
 _FIRST = [
-    "text_fingerprint", "embed_norm", "sample_stratified", "text_lang_id",
-    "text_pii_scrub", "stream_window_counts", "text_token_count",
-    "text_quality", "doc_len_histogram", "orders_monthly_yoy",
-    "corpus_mixture_plan", "lang_id_confusion", "quality_gate",
-    "sliding_window_counts", "cap_per_source", "stream_session_agg",
-    "ann_cosine_topk", "mm_resize", "part_price_stats", "ann_lsh_bucketed",
-    "events_markov_transitions", "events_window_zscore", "mm_frame_sample",
-    "text_token_entropy", "user_rfm_segments", "pipeline_clean_corpus",
-    "corpus_health", "dedup_incremental", "contamination_ngram",
-    "events_retention_cohorts", "knn_classify_labels", "source_stats",
-    "vocab_coverage", "dedup_embedding_cosine", "docs_topk_ngrams",
-    "ann_ivf", "basket_part_pairs", "doc_tfidf_keywords",
-    "embed_label_centroids", "dedup_simhash", "text_unigram_logprob",
-    "dedup_winnowing", "ann_pq_adc", "ann_ivf_pq", "ann_ivf_kmeans",
-    "dedup_clusters", "mm_image_meta", "dedup_containment",
-    "dup_graph_stats", "text_repetition", "dedup_cascade", "embed_outliers", "neardup_rate_by_source",
-    "customer_order_reconciliation", "sql_api_segment_revenue",
+    "text_token_count", "mm_image_meta", "text_repetition",
+    "docs_topk_ngrams", "customer_order_reconciliation", "quality_gate",
+    "text_quality", "sql_api_segment_revenue", "sample_stratified",
+    "sliding_window_counts", "cap_per_source", "source_stats",
+    "text_pii_scrub", "doc_len_histogram", "events_retention_cohorts",
+    "vocab_coverage", "corpus_health", "events_markov_transitions",
+    "text_token_entropy", "embed_norm", "events_window_zscore",
+    "mm_frame_sample", "user_rfm_segments", "stream_session_agg",
+    "stream_window_counts", "lang_id_confusion", "part_price_stats",
+    "corpus_mixture_plan", "embed_label_centroids", "knn_classify_labels",
+    "dedup_incremental", "text_unigram_logprob", "pipeline_clean_corpus",
+    "ann_lsh_bucketed", "contamination_ngram", "orders_monthly_yoy",
+    "ann_cosine_topk", "doc_tfidf_keywords", "embed_outliers",
+    "dedup_embedding_cosine", "ann_ivf", "basket_part_pairs",
+    "dedup_winnowing", "ann_pq_adc", "ann_ivf_pq", "text_fingerprint",
+    "dedup_simhash", "dedup_containment", "ann_ivf_kmeans",
+    "neardup_rate_by_source", "text_lang_id", "mm_resize",
+    "dup_graph_stats", "dedup_clusters", "dedup_cascade",
 ]
 
 
