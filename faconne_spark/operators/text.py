@@ -550,3 +550,67 @@ def token_entropy(docs: DataFrame) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     )
+
+
+def char_trigrams(expr: str, dialect: str) -> str:
+    """All character trigrams (with repeats) of a text expression."""
+    if dialect == "spark":
+        return (
+            f"transform(array({expr}), t -> transform("
+            f" sequence(1, greatest(length(t) - 2, 1)),"
+            f" i -> substring(t, i, 3)))[0]"
+        )
+    return (
+        f"list_transform(range(1, greatest(length({expr}) - 2, 1) + 1),"
+        f" i -> {expr}[i:i+2])"
+    )
+
+
+def lang_id_trained(docs: DataFrame, top_m: int = 40) -> DataFrame:
+    """Cavnar–Trenkle-style language ID TRAINED ON THE CORPUS ITSELF:
+    pass 1 builds per-language character-trigram profiles (top-m most
+    frequent trigrams per labeled language), pass 2 scores every
+    document by profile overlap and predicts the argmax — the
+    train-then-apply shape of corpus-fit models, all in Catalyst.
+
+    Scale: profile training is one explode → groupBy(lang, trigram)
+    with map-side combine and a top-m window over the tiny per-lang
+    counts; the profile relation (langs × m rows) broadcasts back onto
+    the per-doc trigram stream, and the per-doc argmax is the max_by
+    groupBy (co-located candidates, partial agg)."""
+    from pyspark.sql import Window
+
+    tgs = char_trigrams("lower(text)", "spark")
+    stream = spread(docs).select(
+        "doc_id", "lang", F.explode(F.expr(tgs)).alias("tg")
+    )
+    counts = stream.groupBy("lang", "tg").agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tg"))
+    profiles = F.broadcast(
+        counts.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= top_m)
+        .select(F.col("lang").alias("p_lang"), "tg")
+    )
+    scores = (
+        stream.select("doc_id", "tg").distinct()
+        .join(profiles, "tg")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    best = scores.groupBy("doc_id").agg(
+        F.expr(
+            "max_by(struct(p_lang, hits), struct(hits, p_lang))"
+        ).alias("_b")
+    )
+    return (
+        spread(docs).select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("_b.p_lang"), F.lit("unknown")).alias(
+                "pred_lang"
+            ),
+            F.coalesce(F.col("_b.hits"), F.lit(0)).alias("pred_hits"),
+        )
+    )

@@ -1779,3 +1779,43 @@ QUERIES["embed_outliers"] = embed_outliers
 QUERIES["neardup_rate_by_source"] = neardup_rate_by_source
 ORACLES["embed_outliers"] = ORACLE_EMB_OUTLIERS
 ORACLES["neardup_rate_by_source"] = ORACLE_NEARDUP_SOURCE
+
+
+def lang_id_trained(spark, sf):
+    return TX.lang_id_trained(T(spark, sf, "documents"))
+
+
+from faconne_spark.operators.text import char_trigrams  # noqa: E402
+
+ORACLE_LANG_TRAINED = f"""
+WITH stream AS (
+  SELECT doc_id, lang, unnest({char_trigrams('lower(text)', 'duckdb')}) AS tg
+  FROM documents),
+counts AS (
+  SELECT lang, tg, count(*)::BIGINT AS c FROM stream GROUP BY 1, 2),
+profiles AS (
+  SELECT lang AS p_lang, tg FROM (
+    SELECT lang, tg,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg ASC)
+             AS prk
+    FROM counts)
+  WHERE prk <= 40),
+doc_tgs AS (SELECT DISTINCT doc_id, tg FROM stream),
+scores AS (
+  SELECT doc_id, p_lang, count(*)::BIGINT AS hits
+  FROM doc_tgs JOIN profiles USING (tg) GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, p_lang, hits FROM (
+    SELECT doc_id, p_lang, hits,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, p_lang DESC) AS rk
+    FROM scores)
+  WHERE rk = 1)
+SELECT d.doc_id, d.lang,
+       coalesce(b.p_lang, 'unknown') AS pred_lang,
+       coalesce(b.hits, 0)::BIGINT AS pred_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+QUERIES["lang_id_trained"] = lang_id_trained
+ORACLES["lang_id_trained"] = ORACLE_LANG_TRAINED
