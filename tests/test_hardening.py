@@ -245,3 +245,34 @@ def test_incremental_dedup_flag_paths(spark):
     assert out[1]["dup_of_existing"] and out[1]["keeper_id"] == 0
     assert not out[3]["dup_of_existing"] and not out[3]["dup_within_batch"]
     assert out[5]["dup_within_batch"] and out[5]["keeper_id"] == 3
+
+
+def test_results_partitioning_invariant(spark, sf_dir):
+    """The determinism claim behind every oracle: results must be
+    IDENTICAL under different shuffle-partition counts (different
+    partial-aggregation groupings, different row orders). Run a sample
+    spanning each family at 5 vs 32 shuffle partitions."""
+    from faconne_spark.operators.dedup import release_caches
+    from faconne_spark.queries import all_queries
+
+    sample = [
+        "tpch_q1_pricing", "dedup_minhash_lsh", "ann_pq_adc",
+        "text_repetition", "text_unigram_logprob", "embed_label_centroids",
+        "user_rfm_segments", "corpus_health",
+    ]
+    qs = all_queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for k in sample:
+                rows = sorted(
+                    tuple(map(str, r)) for r in qs[k](spark, sf_dir).collect()
+                )
+                results.setdefault(k, []).append(rows)
+                release_caches()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for k, (a, b) in results.items():
+        assert a == b, f"{k} differs across partitioning"
