@@ -99,6 +99,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document (map-only)."""
     toks = tokens_ws("text", "spark")
     return spread(docs).select(
         "doc_id",

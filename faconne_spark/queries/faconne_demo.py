@@ -17,6 +17,7 @@ from faconne_spark.queries import T
 
 # D7/D8 literal keys + R3 grouping + R6 struct + R7 expand-aggs
 def fac_group_report(spark, sf):
+    """DSL flagship: nested grouping + expand-aggregates over orders (R3/R4/R7)."""
     li = T(spark, sf, "lineitem")
     return transform(
         li,
@@ -41,6 +42,7 @@ FROM lineitem GROUP BY 1
 # D2/D6 + R1: nest rows into a keyed list, then traverse the keyed
 # DataFrame back to rows (the map⇄relation round-trip, demo.clj:88-91)
 def fac_unnest_roundtrip(spark, sf):
+    """DSL un-nesting: vector iterate + rebuild round-trip (D2/D4/R1)."""
     orders = T(spark, sf, "orders")
     nested = transform(
         orders,
@@ -61,6 +63,7 @@ SELECT o_custkey, round(o_totalprice, 2) AS tp FROM orders
 
 # D6 inversion (demo.clj:224-230) through a keyed DataFrame
 def fac_invert_map(spark, sf):
+    """DSL map inversion {k v} -> {v k} over nation names (D6)."""
     nation = T(spark, sf, "nation")
     as_map = transform(nation, [Keys("n_name", "n_nationkey")],
                        {V.n_name: V.n_nationkey})
@@ -76,6 +79,7 @@ SELECT n_nationkey, n_name FROM nation
 # D13 where-pushdown: filters reach the parquet scan (asserted in
 # tests/test_plans.py)
 def fac_where_pushdown(spark, sf):
+    """DSL :where pushdown — filter reaches the parquet scan (D13)."""
     li = T(spark, sf, "lineitem")
     return transform(
         li,
@@ -94,6 +98,7 @@ FROM lineitem WHERE l_quantity < 5 AND l_extendedprice > 20000
 
 # D12 multi-binding map: all k-groupings of entries (demo.clj:354-367)
 def fac_pairs_sum(spark, sf):
+    """DSL multi-binding map {k v, k' v'}: all entry pairs (D12)."""
     region = T(spark, sf, "region")
     as_map = (
         region.groupBy()
@@ -121,6 +126,7 @@ FROM region a JOIN region b ON a.r_name < b.r_name
 
 # D3 n-at-a-time vector partitioning over token arrays
 def fac_vector_partition(spark, sf):
+    """DSL n-at-a-time vector partition with wildcard skip (D3)."""
     docs = T(spark, sf, "documents").select(
         "doc_id", F.expr("split(trim(text), '\\\\s+')").alias("toks")
     )
@@ -143,6 +149,7 @@ WHERE i % 2 = 1
 
 # R5 conditional/computed keys (issue #3, test/core.clj:444-450)
 def fac_conditional_key(spark, sf):
+    """DSL computed/conditional map keys (R5/R10, issue #3)."""
     orders = T(spark, sf, "orders")
     return transform(
         orders,
@@ -165,6 +172,7 @@ FROM orders GROUP BY 1
 
 # R7/R8 expand-reducers composed in one expression (core.clj:397-401)
 def fac_expand_aggs(spark, sf):
+    """DSL ^:expand reducers: composed aggregate expressions (R7/R8)."""
     li = T(spark, sf, "lineitem")
     return transform(
         li,
@@ -189,6 +197,7 @@ FROM lineitem GROUP BY l_returnflag
 
 # R9 argmax (max-key analog, core.clj:403-409) with deterministic ties
 def fac_argmax(spark, sf):
+    """DSL max-key analog via max_by struct ordering (R9)."""
     li = T(spark, sf, "lineitem")
     return transform(
         li,
@@ -213,6 +222,7 @@ FROM lineitem GROUP BY l_returnflag
 
 # R2 set build (canonically sorted)
 def fac_store_products(spark, sf):
+    """DSL set build #{...}: canonically sorted collect_set (R2)."""
     orders = T(spark, sf, "orders")
     out = transform(
         orders,
@@ -234,6 +244,7 @@ FROM orders GROUP BY o_orderpriority
 
 # R6 multi-branch report over a join (deep merge of same-level branches)
 def fac_campus_report(spark, sf):
+    """DSL deep merge: sibling branches at different grouping depths (R6)."""
     cust = T(spark, sf, "customer")
     nation = F.broadcast(T(spark, sf, "nation"))
     joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)

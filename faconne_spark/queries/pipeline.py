@@ -373,6 +373,7 @@ WHERE rk <= {ANN_K}
 
 
 def embed_norm(spark, sf):
+    """Embedding normalize + stats via higher-order functions (map-only)."""
     from faconne_spark.session import spread
 
     emb = spread(T(spark, sf, "embeddings"))
@@ -450,6 +451,7 @@ _LANG_RANK = {lang: i for i, lang in enumerate(sorted(LANG_PROFILES))}
 
 
 def text_lang_id(spark, sf):
+    """Stopword-profile language ID: argmax over per-lang token overlap."""
     from faconne_spark.session import spread
 
     docs = spread(T(spark, sf, "documents"))
@@ -506,6 +508,7 @@ FROM documents
 # ------------------------------------------------------------ streaming
 
 def stream_window_counts(spark, sf):
+    """Tumbling-window counts per event_type (batch face of the stream op)."""
     return window_counts(T(spark, sf, "events"), "1 hour")
 
 
@@ -517,6 +520,7 @@ FROM events GROUP BY 1, 2
 
 
 def stream_session_agg(spark, sf):
+    """30-min-gap sessionization stats (batch face; session_window in stream)."""
     return sessionize_batch(T(spark, sf, "events"), 30)
 
 

@@ -18,6 +18,7 @@ REV = "l_extendedprice * (1 - l_discount)"
 
 
 def q1_pricing(spark, sf):
+    """TPC-H Q1: scan-filter + 8-aggregate groupBy, full pushdown."""
     li = T(spark, sf, "lineitem").filter("l_shipdate <= date'1998-09-02'")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -55,6 +56,7 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_shipping(spark, sf):
+    """TPC-H Q3: 3-way join + agg + top-N."""
     cust = T(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
     orders = T(spark, sf, "orders").filter("o_orderdate < date'1998-01-01'")
     li = T(spark, sf, "lineitem").filter("l_shipdate > date'1997-01-01'")
@@ -90,6 +92,7 @@ SELECT l_orderkey, o_orderdate, revenue FROM (
 
 
 def q4_priority(spark, sf):
+    """TPC-H Q4: EXISTS as left-semi join + agg."""
     orders = T(spark, sf, "orders")
     li = T(spark, sf, "lineitem")
     # EXISTS → left_semi: only order keys shuffle, not lineitem payload
@@ -116,6 +119,7 @@ GROUP BY o_orderpriority
 
 
 def q5_local_volume(spark, sf):
+    """TPC-H Q5: 5-way join, dims broadcast."""
     region = T(spark, sf, "region").filter("r_name = 'ASIA'")
     nation = T(spark, sf, "nation")
     cust = T(spark, sf, "customer")
@@ -152,6 +156,7 @@ GROUP BY n_name
 
 
 def q6_forecast(spark, sf):
+    """TPC-H Q6: pure scan-filter aggregate."""
     li = T(spark, sf, "lineitem")
     return li.filter(
         "l_shipdate >= date'1996-01-01' AND l_shipdate < date'1997-01-01'"
@@ -172,6 +177,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 
 def q10_returns(spark, sf):
+    """TPC-H Q10: returns revenue join + agg + top-N."""
     cust = T(spark, sf, "customer")
     orders = T(spark, sf, "orders")
     li = T(spark, sf, "lineitem").filter("l_returnflag = 'R'")
@@ -208,6 +214,7 @@ SELECT c_custkey, c_name, n_name, revenue FROM (
 
 
 def q14_promo(spark, sf):
+    """TPC-H Q14: conditional promo-share aggregate over a broadcast join."""
     li = T(spark, sf, "lineitem").filter(
         "l_shipdate >= date'1996-01-01' AND l_shipdate < date'1996-07-01'"
     )
@@ -237,6 +244,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-0
 
 
 def q18_large_orders(spark, sf):
+    """TPC-H Q18: HAVING-style agg filter joined back to orders."""
     li = T(spark, sf, "lineitem")
     orders = T(spark, sf, "orders")
     cust = T(spark, sf, "customer")
@@ -266,6 +274,7 @@ JOIN customer ON o_custkey = c_custkey
 
 
 def win_top_orders_per_cust(spark, sf):
+    """Window-rank top-3 orders per customer (single shuffle)."""
     orders = T(spark, sf, "orders")
     return top_k_per_group(
         orders.select(
@@ -288,6 +297,7 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM (
 
 
 def asof_join_events(spark, sf):
+    """Per-user as-of join events->latest order (union + last ignorenulls window)."""
     events = T(spark, sf, "events")
     orders = T(spark, sf, "orders")
     # dedupe right side to one row per (key, time) so the as-of pick is
@@ -325,6 +335,7 @@ FROM events e ASOF LEFT JOIN right_side r
 
 
 def range_join_events(spark, sf):
+    """Time-band range join over user events."""
     events = T(spark, sf, "events")
     e = events.select("user_id", "event_id", "ts")
     pairs = range_join(
@@ -349,6 +360,7 @@ GROUP BY a.user_id
 
 
 def pivot_events(spark, sf):
+    """Two-phase pivot of event-type counts (explicit values list)."""
     events = T(spark, sf, "events")
     types = ["click", "error", "purchase", "signup", "view"]
     return (
@@ -371,6 +383,7 @@ FROM events GROUP BY user_id
 
 
 def rollup_orders(spark, sf):
+    """ROLLUP multi-level aggregate over orders."""
     orders = T(spark, sf, "orders")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
@@ -389,6 +402,7 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 def cube_lineitem_volume(spark, sf):
+    """CUBE over returnflag x linestatus."""
     li = T(spark, sf, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
