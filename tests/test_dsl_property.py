@@ -293,3 +293,46 @@ def test_containment_matches_bruteforce(spark, data):
             if ca >= 0.5 or cb >= 0.5:
                 want[(a, b)] = (ca, cb)
     assert got == want, (got, want)
+
+
+@PROP
+@given(data=doc_rows)
+def test_winnowing_matches_bruteforce(spark, data):
+    """With pruning disabled, winnowing pair counts must equal the
+    brute-force fingerprint-set intersection."""
+    from faconne_spark.functions import _mh_consts  # noqa: F401 (import check)
+    from faconne_spark.operators.dedup import release_caches
+    from faconne_spark.operators.text import winnowing_pairs
+
+    df = spark.createDataFrame(data)
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnowing_pairs(
+            df, n_shingle=3, w=4, min_shared=1, max_df=10**6
+        ).collect()
+    }
+    release_caches()
+
+    import hashlib
+
+    def phash60(s):
+        return int.from_bytes(
+            hashlib.md5(s.encode()).digest()[:8], "big"
+        ) % (1 << 60)
+
+    def fps(text):
+        toks = text.strip().lower().split()
+        n = max(len(toks) - 2, 1)
+        hs = [phash60(" ".join(toks[i : i + 3])) for i in range(n)]
+        wn = max(len(hs) - 3, 1)
+        return {min(hs[j : j + 4]) for j in range(wn)}
+
+    f = {r["doc_id"]: fps(r["text"]) for r in data}
+    ids = sorted(f)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(f[a] & f[b])
+            if shared >= 1:
+                want[(a, b)] = shared
+    assert got == want, (got, want)

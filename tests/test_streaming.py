@@ -349,3 +349,42 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     state_rows = spark.read.parquet(state).collect()
     assert len(state_rows) == 3
     assert {r["keeper_id"] for r in state_rows} == {0, 1, 11}
+
+
+def test_sliding_windows_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Sliding windows (1 h / 30 min slide) through a real watermarked
+    streaming query equal the batch formulation."""
+    events = T(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).limit(500)
+    src = str(tmp_path / "slide")
+    events.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("slide_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(
+        tuple(map(str, r))
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    )
+    want = sorted(
+        tuple(map(str, r))
+        for r in events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    )
+    assert got == want and len(got) > 0
