@@ -276,3 +276,39 @@ def test_results_partitioning_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     for k, (a, b) in results.items():
         assert a == b, f"{k} differs across partitioning"
+
+
+def test_survey_registry_consistency():
+    """SURVEY §2 is the coverage contract: every gate-style key cited in
+    its tables must exist in the registry, and every registry key must
+    appear in SURVEY — mechanically auditable, no doc drift."""
+    import re
+
+    from faconne_spark.queries import all_oracles, all_queries
+
+    qs = set(all_queries())
+    assert qs == set(all_oracles()) | (qs - set(all_oracles()))
+    survey = open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SURVEY.md")
+    ).read()
+    cited = set(
+        re.findall(
+            r"\b(fac_\w+|tpch_q\w+|win_\w+|events_\w+|asof_join_events|"
+            r"range_join_events|pivot_events|rollup_orders|cube_\w+|"
+            r"set_ops_\w+|ntile_\w+|percentile_\w+|grouping_sets_\w+|"
+            r"dedup_\w+|ann_\w+|knn_\w+|text_\w+|mm_\w+|embed_\w+|"
+            r"sample_\w+|contamination_\w+|doc_len_\w+|doc_tfidf_\w+|"
+            r"docs_\w+|pipeline_\w+|stream_window_counts|stream_session_agg|"
+            r"source_stats|vocab_coverage|cap_per_source|quality_gate|"
+            r"lang_id_\w+|corpus_\w+|dup_graph_stats|basket_\w+|user_rfm_\w+|"
+            r"orders_monthly_yoy|part_price_stats|neardup_\w+|"
+            r"customer_order_reconciliation|sql_api_\w+|sliding_window_counts)\b",
+            survey,
+        )
+    )
+    cited_keys = {k for k in cited if k in qs or not k.startswith(("text_", "events_"))}
+    missing_in_registry = sorted(k for k in cited_keys if k not in qs)
+    missing_in_survey = sorted(k for k in qs if k not in cited)
+    assert not missing_in_registry, f"SURVEY cites unknown keys: {missing_in_registry}"
+    assert not missing_in_survey, f"registry keys absent from SURVEY: {missing_in_survey}"
