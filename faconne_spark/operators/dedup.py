@@ -585,3 +585,35 @@ def incremental_exact_dedup(
             F.coalesce("existing_keeper", "batch_keeper").alias("keeper_id"),
         )
     )
+
+
+def stitch_candidates(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Split-document detection: pairs where one document's LAST ``k``
+    tokens equal another's FIRST ``k`` tokens — the signature of a
+    source document split across crawl records.  Each doc contributes
+    one head hash and one tail hash (map-only), and candidates come
+    from one tail ⋈ head equi-join on the 60-bit boundary hash — O(n)
+    state, never a text comparison, with the boundary token count
+    carried for downstream exact verification."""
+    toks = tokens_ws("lower(text)", "spark")
+    bounded = spread(docs).select(
+        "doc_id",
+        F.expr(f"transform(array({toks}), t ->"
+               f" {phash60(f'concat_ws(chr(32), slice(t, 1, {k}))', 'spark')})[0]"
+               ).alias("head_hash"),
+        F.expr(f"transform(array({toks}), t ->"
+               f" {phash60(f'concat_ws(chr(32), slice(t, -{k}, {k}))', 'spark')})[0]"
+               ).alias("tail_hash"),
+        F.expr(f"size({toks})").alias("n_toks"),
+    ).filter(F.col("n_toks") >= k)
+    a = bounded.select(
+        F.col("doc_id").alias("id_head"), F.col("tail_hash").alias("h")
+    )
+    b = bounded.select(
+        F.col("doc_id").alias("id_tail"), F.col("head_hash").alias("h")
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_head") != F.col("id_tail"))
+        .select("id_head", "id_tail", F.col("h").alias("boundary_hash"))
+    )

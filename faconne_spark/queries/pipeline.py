@@ -1823,3 +1823,27 @@ FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 
 QUERIES["lang_id_trained"] = lang_id_trained
 ORACLES["lang_id_trained"] = ORACLE_LANG_TRAINED
+
+
+def dedup_stitch(spark, sf):
+    return D.stitch_candidates(T(spark, sf, "documents"))
+
+
+ORACLE_STITCH = f"""
+WITH bounded AS (
+  SELECT doc_id,
+         {phash60(f"array_to_string(({tokens_ws('lower(text)', 'duckdb')})[1:8], ' ')", 'duckdb')}
+           AS head_hash,
+         {phash60(f"array_to_string(({tokens_ws('lower(text)', 'duckdb')})[-8:], ' ')", 'duckdb')}
+           AS tail_hash,
+         len({tokens_ws('lower(text)', 'duckdb')}) AS n_toks
+  FROM documents),
+ok AS (SELECT * FROM bounded WHERE n_toks >= 8)
+SELECT a.doc_id AS id_head, b.doc_id AS id_tail,
+       a.tail_hash AS boundary_hash
+FROM ok a JOIN ok b ON a.tail_hash = b.head_hash
+WHERE a.doc_id != b.doc_id
+"""
+
+QUERIES["dedup_stitch"] = dedup_stitch
+ORACLES["dedup_stitch"] = ORACLE_STITCH

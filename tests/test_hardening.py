@@ -312,3 +312,20 @@ def test_survey_registry_consistency():
     missing_in_survey = sorted(k for k in qs if k not in cited)
     assert not missing_in_registry, f"SURVEY cites unknown keys: {missing_in_registry}"
     assert not missing_in_survey, f"registry keys absent from SURVEY: {missing_in_survey}"
+
+
+def test_stitch_detects_split_document(spark):
+    """A document whose tail k-gram equals another's head k-gram is the
+    crawl-chunking artifact stitch_candidates exists to find."""
+    from faconne_spark.operators.dedup import stitch_candidates
+
+    words = [f"w{i}" for i in range(20)]
+    rows = [
+        (1, " ".join(words[:12])),
+        (2, " ".join(words[4:16])),   # head = doc 1's tail (w4..w11)
+        (3, "totally unrelated words here make up this other document text"),
+    ]
+    out = stitch_candidates(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    assert [(r["id_head"], r["id_tail"]) for r in out] == [(1, 2)]
