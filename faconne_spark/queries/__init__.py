@@ -46,7 +46,7 @@ _FIRST = [
     "dedup_winnowing", "ann_pq_adc", "ann_ivf_pq", "text_fingerprint",
     "dedup_simhash", "dedup_containment", "ann_ivf_kmeans",
     "neardup_rate_by_source", "text_lang_id", "mm_resize",
-    "dup_graph_stats", "dedup_clusters", "dedup_cascade", "lang_id_trained", "dedup_stitch",
+    "dup_graph_stats", "dedup_clusters", "dedup_cascade", "lang_id_trained", "dedup_stitch", "training_manifest",
 ]
 
 

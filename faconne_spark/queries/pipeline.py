@@ -1847,3 +1847,61 @@ WHERE a.doc_id != b.doc_id
 
 QUERIES["dedup_stitch"] = dedup_stitch
 ORACLES["dedup_stitch"] = ORACLE_STITCH
+
+
+def training_manifest(spark, sf):
+    """The end-to-end curation artifact: one row per document with the
+    dedup-cascade verdict, the quality-gate decision, the deterministic
+    per-language sampling draw, and the final SELECTED flag — exactly
+    the manifest a training run consumes.  Composes three library
+    pipelines over one corpus; all joins on doc_id (co-partitioned),
+    the sampling predicate is a map-only content-hash filter."""
+    cascade = dedup_cascade(spark, sf)
+    gate = quality_gate(spark, sf).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    docs = T(spark, sf, "documents").select("doc_id", "lang")
+    h = phash60("cast(doc_id as string)", "spark")
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    ) + " ELSE 0 END"
+    sampled = docs.select(
+        "doc_id", F.expr(f"{h} % 100 < {rate}").alias("sampled")
+    )
+    return (
+        cascade.join(gate, "doc_id")
+        .join(sampled, "doc_id")
+        .select(
+            "doc_id",
+            "stage",
+            "quality_keep",
+            "sampled",
+            F.expr(
+                "stage = 'keep' AND quality_keep AND sampled"
+            ).alias("selected"),
+        )
+    )
+
+
+_SAMPLE_RATE_DUCK = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+ORACLE_MANIFEST = f"""
+WITH cascade AS (
+  SELECT * FROM ({ORACLE_CASCADE.strip()}) c),
+gate AS (
+  SELECT doc_id, keep AS quality_keep
+  FROM ({ORACLE_QUALITY_GATE.strip()}) g),
+sampled AS (
+  SELECT doc_id,
+         ({phash60("cast(doc_id as varchar)", 'duckdb')}) % 100
+           < ({_SAMPLE_RATE_DUCK}) AS sampled
+  FROM documents)
+SELECT doc_id, stage, quality_keep, sampled,
+       (stage = 'keep' AND quality_keep AND sampled) AS selected
+FROM cascade JOIN gate USING (doc_id) JOIN sampled USING (doc_id)
+"""
+
+QUERIES["training_manifest"] = training_manifest
+ORACLES["training_manifest"] = ORACLE_MANIFEST
