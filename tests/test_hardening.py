@@ -303,7 +303,8 @@ def test_survey_registry_consistency():
             r"source_stats|vocab_coverage|cap_per_source|quality_gate|"
             r"lang_id_\w+|corpus_\w+|dup_graph_stats|basket_\w+|user_rfm_\w+|"
             r"orders_monthly_yoy|part_price_stats|neardup_\w+|"
-            r"customer_order_reconciliation|sql_api_\w+|sliding_window_counts)\b",
+            r"customer_order_reconciliation|sql_api_\w+|sliding_window_counts|"
+            r"training_manifest)\b",
             survey,
         )
     )
