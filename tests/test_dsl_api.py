@@ -184,3 +184,32 @@ def test_iterator_action_runs_distributed(spark, tmp_path):
     it = Iterator([V.x], action=act)
     it(to_df([10, 20, 30], spark))
     assert sorted(os.listdir(out)) == ["10", "20", "30"]
+
+
+def test_error_unbound_where_var(spark):
+    """A :where clause referencing a variable the domain never binds
+    must fail with a clear error, not silently bind a table column
+    (reference: options validation, core.cljc:6-13)."""
+    from faconne_spark import Keys, transform
+    from faconne_spark.errors import FaconneError
+    from pyspark.sql.utils import AnalysisException
+
+    data = [{"k": "a", "v": 1}]
+    with pytest.raises((FaconneError, AnalysisException)):
+        transform(
+            data, [Keys("k", "v")], {V.k: V.v},
+            where=["nonexistent_var > 3"], spark=spark,
+        ).collect()
+
+
+def test_error_unsupported_option_analog(spark):
+    """The reference rejects unknown transform options (only :where is
+    supported, core.cljc:6-13); the Python face has keyword-only args so
+    an unknown option is a TypeError at the call site."""
+    from faconne_spark import Keys, transform
+
+    with pytest.raises(TypeError):
+        transform(
+            [{"k": 1}], [Keys("k")], [V.k],
+            wherre=["k > 0"], spark=spark,  # typo'd option
+        )
