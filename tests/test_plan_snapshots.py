@@ -30,6 +30,8 @@ SNAPSHOT_QUERIES = [
     "ann_pq_adc",
     "dedup_containment",
     "text_unigram_logprob",
+    "docs_topk_ngrams",
+    "cap_per_source",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
