@@ -41,9 +41,12 @@ EAGER_ROWS = 20_000
 _PERSISTED: list[DataFrame] = []
 
 
-def _input_is_large(df: DataFrame) -> bool:
+def _input_is_large(df: DataFrame) -> bool | None:
     """Cheap driver-side size estimate: sum of scan file sizes when the
-    DataFrame is a file scan, else a count (metadata-fast for parquet)."""
+    DataFrame is a file scan; ``None`` (unknown) otherwise — a full
+    count() on a non-file-backed relation (e.g. the pair join passed by
+    pair_graph_stats) would compute exactly the expensive work the
+    caller's persist is trying to avoid."""
     import os
 
     files = [f for f in df.inputFiles() if f.startswith("file:")]
@@ -53,7 +56,7 @@ def _input_is_large(df: DataFrame) -> bool:
             return total >= EAGER_BYTES
         except OSError:
             pass
-    return df.count() >= EAGER_ROWS
+    return None
 
 
 def _persist_sig(rel: DataFrame, source: DataFrame) -> DataFrame:
@@ -65,7 +68,13 @@ def _persist_sig(rel: DataFrame, source: DataFrame) -> DataFrame:
     count() job is pure latency."""
     rel = rel.persist()
     _PERSISTED.append(rel)
-    if _input_is_large(source):
+    large = _input_is_large(source)
+    if large is None:
+        # Source size unknown (not a file scan): probe the persisted
+        # relation with a bounded limit-count so the probe's work lands
+        # in the cache instead of recomputing the source a second time.
+        large = rel.limit(EAGER_ROWS).count() >= EAGER_ROWS
+    if large:
         rel.count()
     return rel
 
@@ -347,6 +356,10 @@ def connected_components(
     without convergence raises :class:`ConvergenceError` — returning
     unconverged labels would silently split clusters at 100 TB.
     """
+    if max_iter < 1:
+        raise ValueError(
+            f"connected_components needs max_iter >= 1, got {max_iter}"
+        )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(
@@ -569,8 +582,13 @@ def incremental_exact_dedup(
     batch_min = fps.groupBy("fingerprint").agg(
         F.min("doc_id").alias("batch_keeper")
     )
-    ex = existing_fps.select(
-        "fingerprint", F.col("keeper_id").alias("existing_keeper")
+    # Defensive: duplicate (fingerprint, keeper) state rows — e.g. from a
+    # replayed writer epoch — would fan out the left join below, emitting
+    # duplicate verdict rows for every later batch.  min() keeps the
+    # earliest keeper deterministically.
+    ex = (
+        existing_fps.groupBy("fingerprint")
+        .agg(F.min("keeper_id").alias("existing_keeper"))
     )
     return (
         fps.join(batch_min, "fingerprint")

@@ -314,9 +314,14 @@ def streaming_incremental_dedup(
 
     ``foreachBatch`` is the right hook because the state update is a
     multi-step batch computation (join + two writes) that needs
-    batch-DataFrame semantics; parquet-append state keeps restarts
-    idempotent per epoch.  State stays O(distinct fingerprints) — the
-    compact checkpoint, not the corpus."""
+    batch-DataFrame semantics.  Restart idempotency: foreachBatch
+    re-invokes the handler with the SAME epoch on failure recovery, so
+    both writes are partitioned by epoch with dynamic partition
+    overwrite — a replayed epoch replaces its own partition instead of
+    appending duplicate rows — and the state read excludes the current
+    epoch's partition (a half-written previous attempt must not classify
+    the replay against itself).  State stays O(distinct fingerprints) —
+    the compact checkpoint, not the corpus."""
     import os
 
     from pyspark.sql import functions as F
@@ -325,22 +330,36 @@ def streaming_incremental_dedup(
 
     def handle(batch_df, epoch_id):
         spark = batch_df.sparkSession
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            existing = spark.read.parquet(state_dir)
+        has_state = os.path.isdir(state_dir) and any(
+            f.startswith("epoch=") for f in os.listdir(state_dir)
+        )
+        if has_state:
+            existing = (
+                spark.read.parquet(state_dir)
+                # partition-pruned: never read this epoch's own partial
+                # state from a failed previous attempt
+                .filter(F.col("epoch") != epoch_id)
+                .select("fingerprint", "keeper_id")
+            )
         else:
             existing = spark.createDataFrame(
                 [], "fingerprint bigint, keeper_id bigint"
             )
         verdicts = incremental_exact_dedup(batch_df, existing)
-        verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        (
+            verdicts.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
         (
             verdicts.filter("NOT dup_of_existing AND NOT dup_within_batch")
             .select("fingerprint", F.col("doc_id").alias("keeper_id"))
-            .write.mode("append")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
             .parquet(state_dir)
         )
 

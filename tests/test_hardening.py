@@ -330,3 +330,52 @@ def test_stitch_detects_split_document(spark):
         spark.createDataFrame(rows, "doc_id long, text string")
     ).collect()
     assert [(r["id_head"], r["id_tail"]) for r in out] == [(1, 2)]
+
+
+# ------------------------------------------------- round-3 ADVICE fixes
+
+def test_cc_rejects_nonpositive_max_iter(spark):
+    """max_iter=0 must be a clear ValueError up front, not a misleading
+    '-1 labels still changing' ConvergenceError."""
+    from faconne_spark.operators.dedup import connected_components
+
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(_chain_pairs(spark, 4), max_iter=0)
+
+
+def test_incremental_dedup_dedupes_state_side(spark):
+    """Duplicate (fingerprint, keeper) state rows — e.g. from a replayed
+    writer epoch — must not fan out the verdict join."""
+    from faconne_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    batch = spark.createDataFrame(
+        [(10, "alpha text"), (11, "fresh text")], "doc_id long, text string"
+    )
+    seed = exact_dedup(
+        spark.createDataFrame([(0, "alpha text")], "doc_id long, text string")
+    ).select("fingerprint", "keeper_id")
+    one = incremental_exact_dedup(batch, seed)
+    fp = one.filter("doc_id = 10").first()["fingerprint"]
+    dup_state = spark.createDataFrame(
+        [(fp, 0), (fp, 0), (fp, 5)], "fingerprint bigint, keeper_id bigint"
+    )
+    rows = incremental_exact_dedup(batch, dup_state).collect()
+    assert len(rows) == 2  # one verdict per batch doc, no join fan-out
+    r10 = next(r for r in rows if r["doc_id"] == 10)
+    assert r10["dup_of_existing"] and r10["keeper_id"] == 0  # min keeper
+
+
+def test_persist_sig_nonfile_source_bounded_probe(spark):
+    """A non-file-backed source must not trigger a full count of the
+    expensive relation; the bounded probe warms the persisted cache."""
+    from faconne_spark.operators import dedup
+
+    rel = spark.range(100).selectExpr("id AS doc_id")
+    src = spark.range(100).selectExpr("id")  # inputFiles() is empty
+    assert src.inputFiles() == []
+    out = dedup._persist_sig(rel, src)
+    assert out.count() == 100
+    dedup.release_caches()
