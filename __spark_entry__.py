@@ -17,7 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _configure(spark: SparkSession) -> SparkSession:
-    # events.parquet carries TIMESTAMP(NANOS); see faconne_spark.session
+    # events.parquet carries TIMESTAMP(NANOS). Spark <= 4.0 needs this
+    # conf (reads as bigint nanos); Spark 4.1+ ignores it and reads
+    # timestamp_ntz. Either way faconne_spark.streaming.ensure_event_time
+    # normalizes ts to a plain µs TIMESTAMP at load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:

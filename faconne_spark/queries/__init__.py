@@ -11,15 +11,14 @@ from pyspark.sql import functions as F
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table (events gets its ns→µs ts fix)."""
+    """Read one testdata table (events.ts normalized to µs TIMESTAMP —
+    the parquet column is TIMESTAMP(NANOS), which arrives as bigint
+    nanos on Spark ≤ 4.0 + nanosAsLong and as timestamp_ntz on 4.1+)."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        from pyspark.sql.types import LongType
+        from faconne_spark.streaming import ensure_event_time
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+        df = ensure_event_time(df)
     return df
 
 

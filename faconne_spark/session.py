@@ -39,8 +39,11 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-        # default; read as long and convert (µs precision) in load_tables.
+        # events.parquet carries TIMESTAMP(NANOS). On Spark <= 4.0 this
+        # conf makes it read as bigint nanos; Spark 4.1+ ignores it and
+        # reads TIMESTAMP(NANOS) as timestamp_ntz (µs). load_tables /
+        # streaming.ensure_event_time normalize either shape to a plain
+        # µs TIMESTAMP so watermarks and DuckDB oracles agree.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # default 100 truncates PushedFilters in explain(); plan-shape
@@ -93,15 +96,11 @@ def spread(df, min_parts: int | None = None):
 
 
 def _fix_nanos(df):
-    """events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
-    arrives as a long — convert to a µs timestamp (DuckDB's native
-    resolution, so oracles agree)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    """events.ts is TIMESTAMP(NANOS) in parquet. Depending on runtime it
+    arrives as bigint nanos (Spark ≤ 4.0 + nanosAsLong) or as
+    timestamp_ntz (Spark 4.1+); normalize either to a plain µs
+    TIMESTAMP (DuckDB's native resolution, so oracles agree, and
+    ``withWatermark`` accepts it)."""
+    from faconne_spark.streaming import ensure_event_time
 
-    schema = {f.name: f.dataType for f in df.schema.fields}
-    if isinstance(schema.get("ts"), LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    return df
+    return ensure_event_time(df)

@@ -24,20 +24,41 @@ def read_stream_parquet(spark, path: str) -> DataFrame:
     FileStreamSource requires a directory basePath; for a bare
     ``x.parquet`` file we stream the parent dir with a
     ``pathGlobFilter`` selecting just that file. Schema is taken from a
-    batch read (required for streaming file sources); nanosecond ``ts``
-    (read as long under nanosAsLong) is converted to a µs timestamp.
+    batch read (required for streaming file sources); ``ts`` is
+    normalized to a watermark-compatible TIMESTAMP via
+    :func:`ensure_event_time` (the parquet column is TIMESTAMP(NANOS),
+    which different Spark runtimes surface differently).
     """
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    stream = reader.parquet(path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    return ensure_event_time(reader.parquet(path))
+
+
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (µs, session-TZ) so
+    ``withWatermark`` accepts it, whatever the runtime handed us:
+
+    - Spark ≤ 4.0 with ``spark.sql.legacy.parquet.nanosAsLong=true``
+      reads parquet TIMESTAMP(NANOS) as ``bigint`` nanoseconds →
+      convert to a µs timestamp (DuckDB's native resolution, so
+      oracles agree).
+    - Spark 4.1+ ignores nanosAsLong and reads TIMESTAMP(NANOS) as
+      ``timestamp_ntz`` (µs, truncated), which ``withWatermark``
+      rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) → cast to
+      TIMESTAMP; under the UTC session timezone the instant values are
+      identical.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(
+            col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
         )
-    return stream
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -314,53 +335,88 @@ def streaming_incremental_dedup(
 
     ``foreachBatch`` is the right hook because the state update is a
     multi-step batch computation (join + two writes) that needs
-    batch-DataFrame semantics.  Restart idempotency: foreachBatch
-    re-invokes the handler with the SAME epoch on failure recovery, so
-    both writes are partitioned by epoch with dynamic partition
-    overwrite — a replayed epoch replaces its own partition instead of
-    appending duplicate rows — and the state read excludes the current
-    epoch's partition (a half-written previous attempt must not classify
-    the replay against itself).  State stays O(distinct fingerprints) —
-    the compact checkpoint, not the corpus."""
-    import os
+    batch-DataFrame semantics.  Restart idempotency (the foreachBatch
+    recovery contract: on failure the handler is re-invoked with the
+    SAME epoch): both writes are partitioned by epoch with dynamic
+    partition overwrite — a replayed epoch replaces its own partition
+    instead of appending duplicate rows — and the state read excludes
+    the current epoch's partition (a half-written previous attempt must
+    not classify the replay against itself).  The same-epoch replay is
+    exercised directly in tests via :func:`incremental_dedup_epoch`.
+    State stays O(distinct fingerprints) — the compact checkpoint, not
+    the corpus."""
 
+    def handle(batch_df, epoch_id):
+        incremental_dedup_epoch(batch_df, epoch_id, state_dir, out_dir)
+
+    return stream.writeStream.foreachBatch(handle)
+
+
+def _epoch_state_exists(spark, state_dir: str) -> bool:
+    """Does ``state_dir`` hold epoch-partitioned state?  Listed through
+    the Hadoop FileSystem API so the check works wherever the data
+    lives (HDFS/S3/local), not just on driver-local paths.  Fails
+    loudly if the directory holds flat parquet files from the
+    pre-epoch-layout version — mixing layouts would silently ignore or
+    corrupt state, so the caller must migrate (rewrite the flat files
+    under ``epoch=-1/``) first."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if not st.getPath().getName().startswith(("_", "."))
+    ]
+    legacy = [n for n in names if not n.startswith("epoch=")]
+    if legacy:
+        raise ValueError(
+            f"state_dir {state_dir!r} contains non-epoch-partitioned "
+            f"files {legacy[:3]}...: it was written by the pre-epoch "
+            "flat-append layout. Migrate them into an epoch=-1/ "
+            "partition (or start a fresh state_dir) before resuming."
+        )
+    return bool(names)
+
+
+def incremental_dedup_epoch(batch_df, epoch_id, state_dir, out_dir):
+    """One epoch of the incremental dedup: classify ``batch_df``
+    against all PRIOR epochs' state, then overwrite this epoch's output
+    and state partitions.  Idempotent under same-epoch replay — exactly
+    what foreachBatch re-delivers on failure recovery."""
     from pyspark.sql import functions as F
 
     from faconne_spark.operators.dedup import incremental_exact_dedup
 
-    def handle(batch_df, epoch_id):
-        spark = batch_df.sparkSession
-        has_state = os.path.isdir(state_dir) and any(
-            f.startswith("epoch=") for f in os.listdir(state_dir)
+    spark = batch_df.sparkSession
+    if _epoch_state_exists(spark, state_dir):
+        existing = (
+            spark.read.parquet(state_dir)
+            # partition-pruned: never read this epoch's own partial
+            # state from a failed previous attempt
+            .filter(F.col("epoch") != epoch_id)
+            .select("fingerprint", "keeper_id")
         )
-        if has_state:
-            existing = (
-                spark.read.parquet(state_dir)
-                # partition-pruned: never read this epoch's own partial
-                # state from a failed previous attempt
-                .filter(F.col("epoch") != epoch_id)
-                .select("fingerprint", "keeper_id")
-            )
-        else:
-            existing = spark.createDataFrame(
-                [], "fingerprint bigint, keeper_id bigint"
-            )
-        verdicts = incremental_exact_dedup(batch_df, existing)
-        (
-            verdicts.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(out_dir)
+    else:
+        existing = spark.createDataFrame(
+            [], "fingerprint bigint, keeper_id bigint"
         )
-        (
-            verdicts.filter("NOT dup_of_existing AND NOT dup_within_batch")
-            .select("fingerprint", F.col("doc_id").alias("keeper_id"))
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(state_dir)
-        )
-
-    return stream.writeStream.foreachBatch(handle)
+    verdicts = incremental_exact_dedup(batch_df, existing)
+    (
+        verdicts.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(out_dir)
+    )
+    (
+        verdicts.filter("NOT dup_of_existing AND NOT dup_within_batch")
+        .select("fingerprint", F.col("doc_id").alias("keeper_id"))
+        .withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(state_dir)
+    )

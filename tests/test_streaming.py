@@ -391,11 +391,12 @@ def test_sliding_windows_streaming_equals_batch(spark, sf_dir, tmp_path):
 
 
 def test_streaming_incremental_dedup_replay_idempotent(spark, tmp_path):
-    """A replayed epoch (foreachBatch's failure-recovery contract) must
-    not duplicate verdict or state rows: re-running the whole stream
-    with a FRESH checkpoint re-delivers the same files under the same
-    epoch ids, and dynamic partition overwrite makes the second pass a
-    no-op on the output contents."""
+    """Whole-stream replay: re-running the stream with a FRESH
+    checkpoint re-delivers the same files under the same epoch ids, and
+    dynamic partition overwrite makes the second pass a no-op on the
+    output contents.  (The REAL recovery contract — same-epoch replay
+    with cross-epoch-colliding fingerprints — is exercised directly in
+    test_same_epoch_replay_is_idempotent below.)"""
     from faconne_spark.streaming import streaming_incremental_dedup
 
     schema = "doc_id long, text string"
@@ -445,3 +446,79 @@ def test_streaming_incremental_dedup_replay_idempotent(spark, tmp_path):
     )
     assert second_out == first_out
     assert second_state == first_state
+
+
+def test_same_epoch_replay_is_idempotent(spark, tmp_path):
+    """The REAL foreachBatch recovery contract: on failure the handler
+    is re-invoked with the SAME epoch id.  Epoch 1 here contains a
+    duplicate of an epoch-0 keeper (a cross-epoch fingerprint
+    collision), so if the replay wrongly classified against its OWN
+    half-written state — or appended instead of overwriting — either
+    the verdicts or the state row count would change."""
+    from faconne_spark.streaming import incremental_dedup_epoch
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    e0 = spark.createDataFrame([(0, "alpha text"), (1, "beta text")], schema)
+    e1 = spark.createDataFrame([(10, "alpha text"), (11, "gamma text")], schema)
+
+    incremental_dedup_epoch(e0, 0, state, out)
+    incremental_dedup_epoch(e1, 1, state, out)
+
+    def snapshot():
+        o = sorted(
+            (r["doc_id"], r["dup_of_existing"], r["keeper_id"], r["epoch"])
+            for r in spark.read.parquet(out).collect()
+        )
+        s = sorted(
+            (r["fingerprint"], r["keeper_id"], r["epoch"])
+            for r in spark.read.parquet(state).collect()
+        )
+        return o, s
+
+    first = snapshot()
+    out_rows, state_rows = first
+    assert len(out_rows) == 4 and len(state_rows) == 3
+    # doc 10 collides with epoch-0 keeper 0 across the epoch boundary
+    assert (10, True, 0, 1) in out_rows
+
+    # replay epoch 1 (failure recovery): must be a bit-exact no-op
+    incremental_dedup_epoch(e1, 1, state, out)
+    assert snapshot() == first
+    # and replaying epoch 0 (replay of an OLDER epoch after epoch 1
+    # committed) must not reclassify doc 0 against epoch 1's state
+    incremental_dedup_epoch(e0, 0, state, out)
+    assert snapshot() == first
+
+
+def test_legacy_flat_state_dir_fails_loudly(spark, tmp_path):
+    """A state_dir written by the old flat-append layout (plain
+    .parquet files, no epoch= partitions) must raise, not be silently
+    ignored as empty state."""
+    from faconne_spark.streaming import incremental_dedup_epoch
+
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(123, 0)], "fingerprint bigint, keeper_id bigint"
+    ).coalesce(1).write.parquet(state)  # flat layout — no epoch=
+    batch = spark.createDataFrame([(5, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="epoch"):
+        incremental_dedup_epoch(batch, 0, state, str(tmp_path / "out"))
+
+
+def test_stream_event_time_is_watermark_compatible(spark, sf_dir):
+    """Runtime guard: whatever this Spark version does with parquet
+    TIMESTAMP(NANOS) (bigint under nanosAsLong on <= 4.0, timestamp_ntz
+    on 4.1+), read_stream_parquet must surface a plain TIMESTAMP ts —
+    anything else makes withWatermark throw
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE five tests later.  Fail HERE,
+    pointedly, when the next runtime bump changes the mapping."""
+    stream = read_stream_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    dtype = dict(stream.dtypes)["ts"]
+    assert dtype == "timestamp", (
+        f"streaming ts arrived as {dtype!r}; extend "
+        "faconne_spark.streaming.ensure_event_time for this runtime"
+    )
+    # the batch loader must agree (oracle comparisons share the dtype)
+    assert dict(T(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
