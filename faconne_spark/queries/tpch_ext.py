@@ -896,12 +896,21 @@ FROM counts
 def user_rfm_segments(spark, sf):
     """RFM segmentation: per-user recency (days since last order),
     frequency (order count), monetary (total spend) → quartile codes →
-    segment counts with averages.  One orders shuffle for the per-user
-    rollup; the three ntile windows run over the users relation with a
-    total order (metric, custkey) so quartile boundaries are
-    deterministic in both engines."""
-    from pyspark.sql import Window
+    segment counts with averages.
 
+    Scale design — NO global sort: quartile codes are value-based, not
+    rank-based.  Boundaries are exact Type-7 quantiles
+    (``F.percentile`` ⇆ DuckDB ``quantile_cont``) computed by one
+    map-side-combined aggregation whose state is O(distinct metric
+    values) — recency and frequency are small integers, and monetary is
+    rounded to whole dollars FOR THE BOUNDARY CALC ONLY, bounding its
+    distinct count at any corpus size.  The single-row cuts relation is
+    broadcast and codes are comparison assignments, so the whole query
+    is: one orders shuffle (per-user rollup) + one segment-rollup
+    shuffle.  Integer-valued inputs make the interpolated boundaries
+    bit-exact across engines (h=(n-1)p has an exact binary fraction, so
+    lower + f·(upper−lower) is exact in both).  Ties share a quartile —
+    standard value-based RFM semantics, deterministic everywhere."""
     orders = T(spark, sf, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
     per_user = (
@@ -919,14 +928,40 @@ def user_rfm_segments(spark, sf):
             "monetary",
         )
     )
-    r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    fq = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    coded = per_user.select(
-        "o_custkey", "recency_days", "frequency", "monetary",
-        F.ntile(4).over(r).alias("r_quartile"),
-        F.ntile(4).over(fq).alias("f_quartile"),
-        F.ntile(4).over(m).alias("m_quartile"),
+    # both the cuts agg and the coded assignment consume per_user;
+    # persist so the orders scan+rollup shuffle runs once, not twice
+    # (O(#users) rows — far smaller than orders; spills if not resident)
+    from faconne_spark.operators.dedup import _persist_sig
+
+    per_user = _persist_sig(per_user, orders)
+    pcts = F.lit([0.25, 0.5, 0.75])
+    cuts = per_user.agg(
+        F.percentile(F.col("recency_days").cast("double"), pcts).alias("r_q"),
+        F.percentile(F.col("frequency").cast("double"), pcts).alias("f_q"),
+        F.percentile(F.round("monetary", 0), pcts).alias("m_q"),
+    )
+
+    def asc_code(v, q):  # Q1 = smallest values (best recency)
+        return (
+            F.lit(1)
+            + (F.col(v) > F.element_at(q, 1)).cast("int")
+            + (F.col(v) > F.element_at(q, 2)).cast("int")
+            + (F.col(v) > F.element_at(q, 3)).cast("int")
+        )
+
+    def desc_code(v, q):  # Q1 = largest values (best frequency/spend)
+        return (
+            F.lit(1)
+            + (F.col(v) < F.element_at(q, 3)).cast("int")
+            + (F.col(v) < F.element_at(q, 2)).cast("int")
+            + (F.col(v) < F.element_at(q, 1)).cast("int")
+        )
+
+    coded = per_user.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey", "recency_days", "monetary",
+        asc_code("recency_days", F.col("r_q")).alias("r_quartile"),
+        desc_code("frequency", F.col("f_q")).alias("f_quartile"),
+        desc_code("monetary", F.col("m_q")).alias("m_quartile"),
     )
     return coded.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count("*").alias("n_users"),
@@ -944,15 +979,20 @@ per_user AS (
          count(*)::BIGINT AS frequency,
          round(sum(o_totalprice), 2) AS monetary
   FROM orders GROUP BY o_custkey),
+cuts AS (
+  SELECT quantile_cont(recency_days::DOUBLE, [0.25, 0.5, 0.75]) AS r_q,
+         quantile_cont(frequency::DOUBLE, [0.25, 0.5, 0.75]) AS f_q,
+         quantile_cont(round(monetary, 0), [0.25, 0.5, 0.75]) AS m_q
+  FROM per_user),
 coded AS (
-  SELECT o_custkey, recency_days, frequency, monetary,
-         ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)
-           AS r_quartile,
-         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)
-           AS f_quartile,
-         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
-           AS m_quartile
-  FROM per_user)
+  SELECT o_custkey, recency_days, monetary,
+         1 + (recency_days > r_q[1])::INT + (recency_days > r_q[2])::INT
+           + (recency_days > r_q[3])::INT AS r_quartile,
+         1 + (frequency < f_q[3])::INT + (frequency < f_q[2])::INT
+           + (frequency < f_q[1])::INT AS f_quartile,
+         1 + (monetary < m_q[3])::INT + (monetary < m_q[2])::INT
+           + (monetary < m_q[1])::INT AS m_quartile
+  FROM per_user, cuts)
 SELECT r_quartile, f_quartile, m_quartile, count(*)::BIGINT AS n_users,
        round(avg(monetary), 6) AS avg_monetary,
        round(avg(recency_days), 6) AS avg_recency

@@ -32,6 +32,9 @@ SNAPSHOT_QUERIES = [
     "text_unigram_logprob",
     "docs_topk_ngrams",
     "cap_per_source",
+    # round-4: rewritten from three global ntile sorts to broadcast
+    # quantile cuts — snapshot pins the no-global-Sort shape
+    "user_rfm_segments",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
