@@ -379,3 +379,65 @@ def test_persist_sig_nonfile_source_bounded_probe(spark):
     out = dedup._persist_sig(rel, src)
     assert out.count() == 100
     dedup.release_caches()
+
+
+def test_cc_co_located_edges_matches_memory_path(spark):
+    """co_locate=True routes the iteration through a bucketed scratch
+    edge table (the 100 TB path: the big edge relation never re-shuffles
+    across rounds); labels must be identical to the in-memory path, and
+    the scratch table must be dropped afterwards."""
+    from faconne_spark.operators.dedup import connected_components
+
+    pairs = _chain_pairs(spark, 120)
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs, max_iter=12).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            pairs, max_iter=12, co_locate=True
+        ).collect()
+    }
+    assert got == want and len(got) == 120
+    leftover = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("faconne_cc_edges_")
+    ]
+    assert leftover == []
+
+
+def test_cc_round_join_is_edge_side_exchange_free(spark, tmp_path):
+    """The per-round CC join shape against a dst-bucketed edge table:
+    the edge side reads bucket-local (no Exchange between the scan and
+    the join) — only the small label relation shuffles. This is the
+    plan co_locate=True produces every round."""
+    from faconne_spark.sources import read_table, write_bucketed
+
+    edges = _chain_pairs(spark, 500).selectExpr(
+        "id_a AS src", "id_b AS dst"
+    )
+    write_bucketed(
+        edges, "t_cc_plan_probe", ["dst"], n_buckets=4,
+        path=str(tmp_path / "cc_edges"),
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        e = read_table(spark, "t_cc_plan_probe")
+        labels = edges.selectExpr("src AS node", "src AS label")
+        j = (
+            e.join(labels, e.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # exactly two exchanges: the label side into the join, and the
+        # post-aggregation shuffle — NONE on the bucketed edge scan
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "SortMergeJoin" in plan
+        # src 498's only out-edge (dst=499) has no label row → dropped
+        assert j.count() == 498
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_cc_plan_probe")
