@@ -1,11 +1,27 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+columns with typed metadata — with REAL pure-Python codecs.
 
-The container has no image/audio libraries, so the actual decode is a
-clearly marked stub (`decode_image_real` raises NotImplementedError; the
-pipeline uses a deterministic fake). Everything Spark-side — schema,
-Arrow batch shape, ``mapInPandas`` signature, partitioning — is real and
-tested, so swapping in a real decoder is a one-function change.
+The container ships no image/audio libraries, so the "real decode" path
+is implemented against formats a dependency-free parser can fully
+honour:
+
+* ``image/bmp`` — actual BMP files (BITMAPFILEHEADER +
+  BITMAPINFOHEADER, 24 bpp bottom-up, 4-byte row padding), written and
+  parsed with ``struct``; resize is a real nearest-neighbour resample
+  over the decoded pixel rows.
+* ``audio/wav`` — actual RIFF/WAVE files (PCM 16-bit mono), written
+  and parsed by walking RIFF chunks; frame sampling returns every
+  n-th PCM sample.
+* ``video/x-motion-bmp`` — an honest explicit container (``FACV`` +
+  u32 frame count + length-prefixed BMP frames): no standard video
+  codec is implementable dependency-free, so the container is ours,
+  but the per-frame payloads are real BMPs and the walker does real
+  seek/length parsing.
+
+Compressed formats that genuinely need external libraries (PNG/JPEG,
+MP4) still raise ``NotImplementedError`` with a pointed message — the
+``decoder=``/``codec=`` seams stay the swap-in point for cluster
+images that ship libvips/ffmpeg.
 
 Scale note: decode runs as Arrow-batched ``mapInPandas`` (the one place
 Python is unavoidable); batch size is controlled by
@@ -15,12 +31,12 @@ whatever the upstream scan chose — no shuffle is introduced.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -29,6 +45,198 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# --------------------------------------------------------------- BMP codec
+
+BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def bmp_row_stride(width: int) -> int:
+    """24 bpp row size padded to a 4-byte boundary."""
+    return (3 * width + 3) // 4 * 4
+
+
+def bmp_encode(width: int, height: int, pixels: bytes) -> bytes:
+    """Write a real 24 bpp bottom-up BMP. ``pixels`` is the raw pixel
+    array (``height * bmp_row_stride(width)`` bytes, padding included)."""
+    stride = bmp_row_stride(width)
+    if len(pixels) != height * stride:
+        raise ValueError(
+            f"pixel array must be {height * stride} bytes, got {len(pixels)}"
+        )
+    size = BMP_HEADER_BYTES + len(pixels)
+    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, BMP_HEADER_BYTES)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+    )
+    return file_header + info_header + pixels
+
+
+def bmp_dims(payload: bytes) -> tuple:
+    """Header-only parse: (width, height) from a BMP payload."""
+    if payload[:2] != b"BM" or len(payload) < BMP_HEADER_BYTES:
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    return width, abs(height)
+
+
+def bmp_pixels(payload: bytes) -> tuple:
+    """Full decode: (width, height, stride, pixel_array)."""
+    width, height = bmp_dims(payload)
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    stride = bmp_row_stride(width)
+    pixels = payload[offset : offset + height * stride]
+    if len(pixels) != height * stride:
+        raise ValueError("truncated BMP pixel array")
+    return width, height, stride, pixels
+
+
+def bmp_resize_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Real nearest-neighbour resample of a BMP, re-encoded as BMP."""
+    in_w, in_h, in_stride, pixels = bmp_pixels(payload)
+    out_stride = bmp_row_stride(out_w)
+    out = bytearray(out_h * out_stride)
+    for oy in range(out_h):
+        iy = oy * in_h // out_h
+        src_row = iy * in_stride
+        dst_row = oy * out_stride
+        for ox in range(out_w):
+            ix = ox * in_w // out_w
+            s = src_row + 3 * ix
+            d = dst_row + 3 * ox
+            out[d : d + 3] = pixels[s : s + 3]
+    return bmp_encode(out_w, out_h, bytes(out))
+
+
+# --------------------------------------------------------------- WAV codec
+
+
+def wav_encode(pcm: bytes, rate: int = 8000) -> bytes:
+    """Write a real RIFF/WAVE file: PCM, 16-bit, mono."""
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def wav_pcm(payload: bytes) -> bytes:
+    """Parse a RIFF/WAVE payload by walking its chunks; returns the
+    ``data`` chunk (raw PCM bytes)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            return payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen % 2)  # RIFF chunks are word-aligned
+    raise ValueError("WAV payload has no data chunk")
+
+
+# ------------------------------------------------- motion-BMP (FACV) codec
+
+FACV_MAGIC = b"FACV"
+
+
+def facv_encode(frames: list) -> bytes:
+    """Container write: magic + u32 frame count + per-frame u32 length
+    prefix + BMP bytes."""
+    out = [FACV_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def facv_frames(payload: bytes) -> list:
+    """Container walk: the list of embedded BMP frame payloads."""
+    if payload[:4] != FACV_MAGIC:
+        raise ValueError("not a motion-BMP payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    frames, pos = [], 8
+    for _ in range(n):
+        (flen,) = struct.unpack_from("<I", payload, pos)
+        frames.append(payload[pos + 4 : pos + 4 + flen])
+        pos += 4 + flen
+    return frames
+
+
+# ------------------------------------------------------- media synthesis
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+    ]
+)
+
+
+def _tile(digest: bytes, n: int, rot: int = 0) -> bytes:
+    """Deterministic filler: the md5 digest rotated by ``rot``, tiled
+    to ``n`` bytes."""
+    rot %= len(digest)
+    b = digest[rot:] + digest[:rot]
+    return (b * (n // len(b) + 1))[:n]
+
+
+def media_payload(doc_id: int, text: str) -> tuple:
+    """Build one REAL media payload, every byte a deterministic
+    function of md5(text) — so DuckDB oracles replay the sizes and
+    dimensions in closed form over the same md5 hex digits:
+
+    * doc_id % 3 == 0 → BMP, w = 8 + d0 % 24, h = 8 + d1 % 24
+    * doc_id % 3 == 1 → WAV, n_samples = 16 + d2 % 48 (PCM16 mono)
+    * doc_id % 3 == 2 → motion-BMP, 2 + d3 % 5 frames of
+      (4 + d4 % 8) × (4 + d5 % 8), frame pixels rotated per index
+    """
+    import hashlib
+
+    d = hashlib.md5(text.encode("utf-8")).digest()
+    which = doc_id % 3
+    if which == 0:
+        w, h = 8 + d[0] % 24, 8 + d[1] % 24
+        return bmp_encode(w, h, _tile(d, h * bmp_row_stride(w))), "image/bmp"
+    if which == 1:
+        n_samples = 16 + d[2] % 48
+        return wav_encode(_tile(d, 2 * n_samples)), "audio/wav"
+    n_frames = 2 + d[3] % 5
+    w, h = 4 + d[4] % 8, 4 + d[5] % 8
+    frames = [
+        bmp_encode(w, h, _tile(d, h * bmp_row_stride(w), rot=i))
+        for i in range(n_frames)
+    ]
+    return facv_encode(frames), "video/x-motion-bmp"
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Attach a REAL container payload + typed metadata to each document
+    (stand-in for a real media column; every byte derives from
+    md5(text) so it is stable across engines and runs)."""
+    from faconne_spark.session import spread
+
+    base = spread(docs).select("doc_id", "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, types = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload, mtype = media_payload(int(doc_id), text)
+                ids.append(doc_id)
+                payloads.append(payload)
+                types.append(mtype)
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "media_type": types}
+            )
+
+    return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------- meta extraction
 
 IMAGE_META_SCHEMA = StructType(
     [
@@ -41,53 +249,49 @@ IMAGE_META_SCHEMA = StructType(
     ]
 )
 
-
-def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Attach a deterministic opaque binary payload + typed metadata to
-    each document (stand-in for a real image/audio column; derived from
-    the text's md5 so it is stable across engines and runs)."""
-    from faconne_spark.session import spread
-
-    return spread(docs).select(
-        "doc_id",
-        F.expr("cast(unhex(md5(text)) as binary)").alias("payload"),
-        F.expr(
-            "case when doc_id % 3 = 0 then 'image/png' "
-            "when doc_id % 3 = 1 then 'audio/wav' else 'video/mp4' end"
-        ).alias("media_type"),
-    )
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_image_real(payload: bytes) -> tuple:
-    """Real decoder hook — requires an image library not present in
-    this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/libvips; wire this in on a cluster "
-        "image that ships a decoder"
-    )
+def decode_media_real(payload: bytes) -> tuple:
+    """REAL metadata decode by container sniffing: BMP → dimensions,
+    WAV → (None, None) (dimensionless), motion-BMP → first frame's BMP
+    dimensions.  Compressed formats that need external libraries raise
+    NotImplementedError; unknown magics raise ValueError."""
+    if payload[:2] == b"BM":
+        return bmp_dims(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        wav_pcm(payload)  # validate chunk structure
+        return None, None
+    if payload[:4] == FACV_MAGIC:
+        frames = facv_frames(payload)
+        return bmp_dims(frames[0]) if frames else (None, None)
+    if payload[:8] == _PNG_SIG or payload[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "PNG/MP4 decode requires libvips/ffmpeg; wire a decoder in "
+            "through the `decoder=` seam on a cluster image that ships one"
+        )
+    raise ValueError("unrecognised media payload")
 
 
-def _decode_fake(payload: bytes) -> tuple:
-    """Deterministic fake decode: pretend the first bytes encode
-    dimensions. Keeps the full pipeline runnable + testable."""
-    w = 16 + payload[0] % 64
-    h = 16 + payload[1] % 64
-    return w, h
+# kept as the documented external-library hook name (seam tests target it)
+decode_image_real = decode_media_real
 
 
 def extract_media_meta(
-    media: DataFrame, use_real_decoder: bool = False, decoder=None
+    media: DataFrame, use_real_decoder: bool = True, decoder=None
 ) -> DataFrame:
     """Arrow-batched metadata extraction over the binary column.
 
-    ``decoder`` (payload -> (w, h)) is the swap-in seam for a real
-    codec: the callable is captured by value in the mapInPandas closure,
-    so it reaches the Python workers (a module-global monkeypatch would
-    not). Default: :func:`decode_image_real` when ``use_real_decoder``
-    else the deterministic fake."""
-    decode = decoder or (
-        decode_image_real if use_real_decoder else _decode_fake
-    )
+    The default is the REAL pure-Python container parse
+    (:func:`decode_media_real`).  ``decoder`` (payload -> (w, h)) is
+    the swap-in seam for an external codec: the callable is captured by
+    value in the mapInPandas closure, so it reaches the Python workers
+    (a module-global monkeypatch would not)."""
+    if decoder is None and not use_real_decoder:
+        raise ValueError(
+            "use_real_decoder=False requires an explicit decoder= callable"
+        )
+    decode = decoder or decode_media_real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -114,6 +318,8 @@ def extract_media_meta(
     return media.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
+# ----------------------------------------------------------------- resize
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -127,26 +333,20 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_image_real(payload: bytes, w: int, h: int) -> bytes:
-    """Real resize hook — needs PIL/libvips (not in this container)."""
-    raise NotImplementedError(
-        "image resize requires PIL/libvips; wire in on a cluster image"
-    )
-
-
-def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic fake: tile the payload to w*h bytes (stable stand-in
-    for a decoded-resized-reencoded image; size scales with w*h like a
-    real bitmap would)."""
-    need = w * h
-    if not payload:
-        return b"\x00" * need
-    reps = need // len(payload) + 1
-    return (payload * reps)[:need]
+    """REAL resize: BMP payloads are nearest-neighbour resampled and
+    re-encoded; compressed formats still need an external library."""
+    if payload[:2] == b"BM":
+        return bmp_resize_nearest(payload, w, h)
+    if payload[:8] == _PNG_SIG:
+        raise NotImplementedError(
+            "PNG resize requires libvips/PIL; use the `codec=` seam"
+        )
+    raise ValueError("unrecognised image payload")
 
 
 def resize_media(
     media: DataFrame, width: int = 32, height: int = 32,
-    use_real_codec: bool = False, codec=None,
+    use_real_codec: bool = True, codec=None,
 ) -> DataFrame:
     """Batch resize over the binary column (images only; other media
     passes through with NULL output). Arrow-batched ``mapInPandas``; no
@@ -154,11 +354,14 @@ def resize_media(
     100 TB batch size is bounded by arrow.maxRecordsPerBatch so peak
     memory is batch_rows × (payload + w×h).
 
-    ``codec`` ((payload, w, h) -> bytes) is the real-codec swap-in seam
-    (captured by value into the worker closure)."""
-    resize = codec or (
-        resize_image_real if use_real_codec else _resize_fake
-    )
+    Default is the REAL BMP resample; ``codec`` ((payload, w, h) ->
+    bytes) is the external-codec swap-in seam (captured by value into
+    the worker closure)."""
+    if codec is None and not use_real_codec:
+        raise ValueError(
+            "use_real_codec=False requires an explicit codec= callable"
+        )
+    resize = codec or resize_image_real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -179,6 +382,8 @@ def resize_media(
     return media.mapInPandas(batches, RESIZE_SCHEMA)
 
 
+# ---------------------------------------------------------- frame sampling
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -190,19 +395,28 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames_real(payload: bytes, every_n: int) -> list:
-    """Real frame extraction hook — needs ffmpeg/pyav."""
-    raise NotImplementedError("frame sampling requires ffmpeg/pyav")
-
-
-def _sample_frames_fake(payload: bytes, every_n: int) -> list:
-    """Deterministic fake: treat the payload as 4-byte frames, keep
-    every n-th. Exercises the real 1→N row-explosion shape."""
-    frames = [payload[i : i + 4] for i in range(0, len(payload), 4)]
-    return [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
+    """REAL frame extraction: WAV → every n-th PCM16 sample (2 bytes),
+    motion-BMP → every n-th embedded BMP frame.  MP4 still needs
+    ffmpeg/pyav via the ``codec=`` seam."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pcm = wav_pcm(payload)
+        samples = [pcm[i : i + 2] for i in range(0, len(pcm), 2)]
+        return [(i, s) for i, s in enumerate(samples) if i % every_n == 0]
+    if payload[:4] == FACV_MAGIC:
+        return [
+            (i, f)
+            for i, f in enumerate(facv_frames(payload))
+            if i % every_n == 0
+        ]
+    if payload[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "MP4 frame sampling requires ffmpeg/pyav; use the `codec=` seam"
+        )
+    raise ValueError("unrecognised audio/video payload")
 
 
 def sample_media_frames(
-    media: DataFrame, every_n: int = 2, use_real_codec: bool = False,
+    media: DataFrame, every_n: int = 2, use_real_codec: bool = True,
     codec=None,
 ) -> DataFrame:
     """Frame sampling for video/audio media: one input row → N frame
@@ -210,11 +424,14 @@ def sample_media_frames(
     decode-explode; a Spark-side ``explode`` would need the decoded
     array materialised as one giant row first).
 
-    ``codec`` ((payload, every_n) -> [(idx, frame)]) is the real-codec
-    swap-in seam (captured by value into the worker closure)."""
-    sample = codec or (
-        sample_frames_real if use_real_codec else _sample_frames_fake
-    )
+    Default is the REAL WAV/motion-BMP walker; ``codec`` ((payload,
+    every_n) -> [(idx, frame)]) is the external-codec swap-in seam
+    (captured by value into the worker closure)."""
+    if codec is None and not use_real_codec:
+        raise ValueError(
+            "use_real_codec=False requires an explicit codec= callable"
+        )
+    sample = codec or sample_frames_real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -549,42 +549,64 @@ FROM per_session GROUP BY user_id
 # ----------------------------------------------------------- multimodal
 
 def mm_image_meta(spark, sf):
-    """Binary-column plumbing + Arrow-batched metadata extraction
-    (decode is a deterministic stub — see operators.multimodal).
+    """Binary-column plumbing + Arrow-batched metadata extraction with
+    the REAL pure-Python container parse (BMP header / RIFF chunk walk
+    / motion-BMP index — see operators.multimodal).
 
     The gate projection drops the md5 checksum column (DuckDB's md5 is
     VARCHAR-only, so it cannot hash the binary payload; the checksum is
     pytest-verified instead) — width/height/n_bytes ARE replayed by the
-    oracle from the payload's defining expression unhex(md5(text))."""
+    oracle from the payloads' closed-form sizes over md5(text)."""
     docs = T(spark, sf, "documents")
     return MM.extract_media_meta(MM.synthesize_media(docs)).select(
         "doc_id", "media_type", "n_bytes", "width", "height"
     )
 
 
-# _decode_fake reads payload bytes 0 and 1; payload = unhex(md5(text)),
-# so byte i is the integer value of hex digits 2i+1..2i+2 of md5(text).
+# Every payload byte derives from d = md5(text) (see
+# multimodal.media_payload); byte i of the digest is the integer value
+# of hex digits 2i+1..2i+2 of md5(text):
 _HEXB = (
     "((strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1) * 16"
     " + strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1)"
 )
+_B = [_HEXB.format(p=2 * i + 1, p1=2 * i + 2) for i in range(6)]
+
+# closed forms of the real container sizes (multimodal.media_payload):
+# BMP: 54-byte header + h rows of 4-byte-padded 24bpp stride
+_IMG_W = f"(8 + {_B[0]} % 24)"
+_IMG_H = f"(8 + {_B[1]} % 24)"
+_BMP_BYTES = f"(54 + {_IMG_H} * ((3 * {_IMG_W} + 3) // 4 * 4))"
+# WAV: 44-byte RIFF/fmt/data framing + 2 bytes per PCM16 sample
+_WAV_SAMPLES = f"(16 + {_B[2]} % 48)"
+_WAV_BYTES = f"(44 + 2 * {_WAV_SAMPLES})"
+# motion-BMP: FACV magic + u32 count + per frame (u32 len + BMP bytes)
+_VID_FRAMES = f"(2 + {_B[3]} % 5)"
+_VID_W = f"(4 + {_B[4]} % 8)"
+_VID_H = f"(4 + {_B[5]} % 8)"
+_VID_FRAME_BYTES = f"(54 + {_VID_H} * ((3 * {_VID_W} + 3) // 4 * 4))"
+_VID_BYTES = f"(8 + {_VID_FRAMES} * (4 + {_VID_FRAME_BYTES}))"
 
 ORACLE_MM_META = f"""
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
             WHEN doc_id % 3 = 1 THEN 'audio/wav'
-            ELSE 'video/mp4' END AS media_type,
-       16::BIGINT AS n_bytes,
-       (16 + {_HEXB.format(p=1, p1=2)} % 64)::INTEGER AS width,
-       (16 + {_HEXB.format(p=3, p1=4)} % 64)::INTEGER AS height
+            ELSE 'video/x-motion-bmp' END AS media_type,
+       CASE WHEN doc_id % 3 = 0 THEN {_BMP_BYTES}
+            WHEN doc_id % 3 = 1 THEN {_WAV_BYTES}
+            ELSE {_VID_BYTES} END::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN {_IMG_W}
+            WHEN doc_id % 3 = 2 THEN {_VID_W} END::INTEGER AS width,
+       CASE WHEN doc_id % 3 = 0 THEN {_IMG_H}
+            WHEN doc_id % 3 = 2 THEN {_VID_H} END::INTEGER AS height
 FROM documents
 """
 
 
 def mm_resize(spark, sf):
-    """Image resize plumbing: mapInPandas 1→1 with binary output
-    (codec is a deterministic stub). Aggregated to per-type stats so
-    the result is compact + deterministic (rows-only gate)."""
+    """Image resize plumbing: mapInPandas 1→1 with binary output —
+    REAL nearest-neighbour BMP resample re-encoded as BMP. Aggregated
+    to per-type stats so the result is compact + deterministic."""
     docs = T(spark, sf, "documents")
     out = MM.resize_media(MM.synthesize_media(docs))
     return out.groupBy("media_type").agg(
@@ -594,8 +616,9 @@ def mm_resize(spark, sf):
 
 
 def mm_frame_sample(spark, sf):
-    """Video/audio frame sampling: mapInPandas 1→N row explosion
-    (rows-only gate)."""
+    """Video/audio frame sampling: mapInPandas 1→N row explosion over
+    the REAL containers — every 2nd PCM16 sample (WAV) / every 2nd
+    embedded BMP frame (motion-BMP)."""
     docs = T(spark, sf, "documents")
     out = MM.sample_media_frames(MM.synthesize_media(docs))
     return out.groupBy("doc_id").agg(
@@ -605,25 +628,32 @@ def mm_frame_sample(spark, sf):
     )
 
 
-# The fake codecs are deterministic functions of the md5(text) payload
-# (16 bytes): resize → width×height bytes per image; frame-sample →
-# ceil(16/4)=4 frames, keep idx 0 and 2 (every_n=2), 4 bytes each. The
-# oracles recompute those closed forms, so the mapInPandas plumbing is
-# value-gated, not just rows-only.
+# A 32×32 24bpp BMP is a constant 54 + 32*96 = 3126 bytes whatever the
+# input dimensions — the resize oracle pins exactly that per image.
 ORACLE_MM_RESIZE = """
 SELECT media_type, count(*)::BIGINT AS n_media,
        sum(rb)::BIGINT AS total_resized_bytes
-FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
-                  ELSE 'video/mp4' END AS media_type,
-             CASE WHEN doc_id % 3 = 0 THEN 1024 END AS rb
+                  ELSE 'video/x-motion-bmp' END AS media_type,
+             CASE WHEN doc_id % 3 = 0 THEN 3126 END AS rb
       FROM documents)
 GROUP BY media_type
 """
 
-ORACLE_MM_FRAMES = """
-SELECT doc_id, 2::BIGINT AS n_frames, 8::BIGINT AS total_frame_bytes,
-       2::INTEGER AS max_frame_idx
+# every_n=2 over k items keeps indices 0,2,... → (k+1)//2 kept, max
+# kept index 2*((k-1)//2); WAV frames are 2-byte samples, motion-BMP
+# frames are whole BMPs of the closed-form size above.
+ORACLE_MM_FRAMES = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 1 THEN ({_WAV_SAMPLES} + 1) // 2
+            ELSE ({_VID_FRAMES} + 1) // 2 END::BIGINT AS n_frames,
+       CASE WHEN doc_id % 3 = 1 THEN 2 * (({_WAV_SAMPLES} + 1) // 2)
+            ELSE (({_VID_FRAMES} + 1) // 2) * {_VID_FRAME_BYTES}
+            END::BIGINT AS total_frame_bytes,
+       CASE WHEN doc_id % 3 = 1 THEN 2 * (({_WAV_SAMPLES} - 1) // 2)
+            ELSE 2 * (({_VID_FRAMES} - 1) // 2) END::INTEGER
+         AS max_frame_idx
 FROM documents WHERE doc_id % 3 <> 0
 """
 

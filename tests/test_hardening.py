@@ -93,14 +93,51 @@ def test_meta_real_decoder_seam(spark, sf_dir):
     assert rows and all(r["width"] == 640 and r["height"] == 480 for r in rows)
 
 
-def test_meta_use_real_decoder_raises_without_codec(spark, sf_dir):
-    """The default real hook is an explicit NotImplementedError stub —
-    selecting it without a library must fail loudly, not fake-decode."""
-    from faconne_spark.operators.multimodal import extract_media_meta
+def test_real_decoder_is_default_and_parses_real_containers(spark, sf_dir):
+    """The DEFAULT decode path is the real pure-Python container parse:
+    BMP dims come from the actual header, WAV/motion-BMP payloads are
+    chunk-walked, and the reported n_bytes is the true payload size."""
+    from faconne_spark.operators.multimodal import (
+        bmp_dims,
+        extract_media_meta,
+        facv_frames,
+    )
 
-    out = extract_media_meta(_media(spark, sf_dir, n=3), use_real_decoder=True)
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        out.collect()
+    media = _media(spark, sf_dir, n=9)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    rows = extract_media_meta(media).collect()
+    assert rows
+    for r in rows:
+        raw = payloads[r["doc_id"]]
+        assert r["n_bytes"] == len(raw)
+        if r["media_type"] == "image/bmp":
+            assert raw[:2] == b"BM"
+            assert (r["width"], r["height"]) == bmp_dims(raw)
+        elif r["media_type"] == "audio/wav":
+            assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+            assert r["width"] is None and r["height"] is None
+        else:
+            assert (r["width"], r["height"]) == bmp_dims(facv_frames(raw)[0])
+
+
+def test_real_decoder_rejects_unknown_and_unsupported_payloads():
+    """Compressed formats that genuinely need external libs raise
+    NotImplementedError (the seam's contract); garbage raises
+    ValueError — never a silent fake decode."""
+    from faconne_spark.operators.multimodal import (
+        decode_media_real,
+        resize_image_real,
+        sample_frames_real,
+    )
+
+    with pytest.raises(NotImplementedError, match="libvips|ffmpeg"):
+        decode_media_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
+        sample_frames_real(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8, 2)
+    with pytest.raises(ValueError):
+        decode_media_real(b"garbage-bytes-here")
+    with pytest.raises(ValueError):
+        resize_image_real(b"garbage-bytes-here", 8, 8)
 
 
 def test_resize_real_codec_seam(spark, sf_dir):
@@ -128,10 +165,60 @@ def test_frame_sample_real_codec_seam(spark, sf_dir):
     assert all(bytes(r["frame"]) in (b"head", b"tail") for r in rows)
 
 
-def test_resize_fake_empty_payload():
-    from faconne_spark.operators.multimodal import _resize_fake
+def test_bmp_codec_roundtrip_and_resize():
+    """Pure-Python BMP codec: encode → header/pixel parse roundtrip,
+    and nearest-neighbour resize picks the exact expected pixels."""
+    from faconne_spark.operators.multimodal import (
+        bmp_dims,
+        bmp_encode,
+        bmp_pixels,
+        bmp_resize_nearest,
+        bmp_row_stride,
+    )
 
-    assert _resize_fake(b"", 4, 4) == b"\x00" * 16
+    # 2×2 image, distinct BGR per pixel; stride pads 6 -> 8 bytes
+    stride = bmp_row_stride(2)
+    assert stride == 8
+    row0 = bytes([1, 1, 1, 2, 2, 2, 0, 0])  # bottom row (bottom-up)
+    row1 = bytes([3, 3, 3, 4, 4, 4, 0, 0])
+    bmp = bmp_encode(2, 2, row0 + row1)
+    assert bmp_dims(bmp) == (2, 2)
+    w, h, s, px = bmp_pixels(bmp)
+    assert (w, h, s, px) == (2, 2, 8, row0 + row1)
+    # upscale 2×2 → 4×4: each source pixel becomes a 2×2 block
+    up = bmp_resize_nearest(bmp, 4, 4)
+    uw, uh, us, upx = bmp_pixels(up)
+    assert (uw, uh) == (4, 4)
+    assert upx[0:3] == bytes([1, 1, 1]) and upx[6:9] == bytes([2, 2, 2])
+    # downscale back 4×4 → 2×2 reproduces the original pixels
+    down = bmp_pixels(bmp_resize_nearest(up, 2, 2))[3]
+    assert down == row0 + row1
+
+
+def test_wav_and_facv_codec_roundtrip():
+    from faconne_spark.operators.multimodal import (
+        bmp_encode,
+        facv_encode,
+        facv_frames,
+        sample_frames_real,
+        wav_encode,
+        wav_pcm,
+    )
+
+    pcm = bytes(range(20))  # 10 PCM16 samples
+    wav = wav_encode(pcm)
+    assert wav_pcm(wav) == pcm
+    # every 2nd sample: indices 0,2,4,6,8
+    frames = sample_frames_real(wav, 2)
+    assert [i for i, _ in frames] == [0, 2, 4, 6, 8]
+    assert frames[1][1] == pcm[4:6]
+
+    bmps = [bmp_encode(1, 1, bytes([i, i, i, 0])) for i in range(5)]
+    vid = facv_encode(bmps)
+    assert facv_frames(vid) == bmps
+    kept = sample_frames_real(vid, 2)
+    assert [i for i, _ in kept] == [0, 2, 4]
+    assert kept[2][1] == bmps[4]
 
 
 # ------------------------------------------------------- stateful timeout
