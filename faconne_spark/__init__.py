@@ -10,7 +10,10 @@ Catalyst). Everything compiles to Catalyst expressions — no
 row-at-a-time Python UDFs on hot paths.
 """
 
-from faconne_spark.dsl.ast import V, Var, Wild, Lit, Agg, SetOf, Keys, As, K
+from faconne_spark.dsl.ast import (
+    V, Var, Wild, Lit, Agg, SetOf, Keys, As, K,
+    Struct, Count, CountDistinct, Sum, Avg, Min, Max, Round,
+)
 from faconne_spark.dsl.compiler import Iterator, Transformer, transform, for_each
 from faconne_spark.dsl.pyobj import to_df, collect_nested
 from faconne_spark.errors import FaconneError
@@ -18,6 +21,7 @@ from faconne_spark.session import get_session
 
 __all__ = [
     "V", "Var", "Wild", "Lit", "Agg", "SetOf", "Keys", "As", "K", "FaconneError",
+    "Struct", "Count", "CountDistinct", "Sum", "Avg", "Min", "Max", "Round",
     "Iterator", "Transformer", "transform", "for_each",
     "to_df", "collect_nested",
     "get_session",

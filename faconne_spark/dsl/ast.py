@@ -127,6 +127,146 @@ class Agg:
         return f"Agg({self.sql!r})"
 
 
+class AggOp:
+    """Composable ``^:expand`` reducer — the first-class form of
+    :class:`Agg` (reference parse_range.cljc:112-139 composes reducing
+    fns; here aggregate objects compose with arithmetic operators and
+    :class:`Round`).  Compiles to exactly the SQL an equivalent
+    ``Agg("...")`` would, so the Catalyst plan (incl. partial
+    aggregation) is identical.
+
+    >>> Struct(n=CountDistinct(V.c_custkey),
+    ...        bal=Round(Sum(V.c_acctbal), 2),
+    ...        avg_bal=Round(Sum(V.c_acctbal) / Count(), 6))
+    """
+
+    def to_sql(self) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __add__(self, other):
+        return BinAgg("+", self, other)
+
+    def __radd__(self, other):
+        return BinAgg("+", other, self)
+
+    def __sub__(self, other):
+        return BinAgg("-", self, other)
+
+    def __rsub__(self, other):
+        return BinAgg("-", other, self)
+
+    def __mul__(self, other):
+        return BinAgg("*", self, other)
+
+    def __rmul__(self, other):
+        return BinAgg("*", other, self)
+
+    def __truediv__(self, other):
+        return BinAgg("/", self, other)
+
+    def __rtruediv__(self, other):
+        return BinAgg("/", other, self)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{type(self).__name__}<{self.to_sql()}>"
+
+
+def _agg_operand_sql(x) -> str:
+    if isinstance(x, AggOp):
+        return x.to_sql()
+    if isinstance(x, Var):
+        return f"`{x.name}`"
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, (int, float)):
+        return repr(x)
+    if isinstance(x, str):  # raw row-level SQL, e.g. Sum("a * b")
+        return x
+    raise TypeError(f"cannot use {x!r} inside a composed aggregate")
+
+
+class BinAgg(AggOp):
+    """Arithmetic composition of aggregates: ``Sum(x) / Count()``."""
+
+    def __init__(self, op: str, left, right):
+        self.op = op
+        self.left = left
+        self.right = right
+
+    def to_sql(self) -> str:
+        return (
+            f"({_agg_operand_sql(self.left)} {self.op} "
+            f"{_agg_operand_sql(self.right)})"
+        )
+
+
+class _FnAgg(AggOp):
+    _fn = ""
+
+    def __init__(self, *args, distinct: bool = False):
+        self.args = args
+        self.distinct = distinct
+
+    def to_sql(self) -> str:
+        inner = ", ".join(_agg_operand_sql(a) for a in self.args) or "*"
+        return f"{self._fn}({'distinct ' if self.distinct else ''}{inner})"
+
+
+class Count(_FnAgg):
+    """``Count()`` → count(*); ``Count(V.x)`` → count(x)."""
+
+    _fn = "count"
+
+
+class CountDistinct(Count):
+    def __init__(self, *args):
+        super().__init__(*args, distinct=True)
+
+
+class Sum(_FnAgg):
+    _fn = "sum"
+
+
+class Avg(_FnAgg):
+    _fn = "avg"
+
+
+class Min(_FnAgg):
+    _fn = "min"
+
+
+class Max(_FnAgg):
+    _fn = "max"
+
+
+class Round(AggOp):
+    """Post-aggregation rounding wrapper: ``Round(Sum(V.x), 2)``."""
+
+    def __init__(self, inner, digits: int = 0):
+        self.inner = inner
+        self.digits = digits
+
+    def to_sql(self) -> str:
+        return f"round({_agg_operand_sql(self.inner)}, {self.digits})"
+
+
+class Struct:
+    """Fixed-shape struct sugar: ``Struct(a=..., b=...)`` is the
+    first-class spelling of the literal-key dict ``{"a": ..., "b":
+    ...}`` — pairs naturally with :class:`AggOp` fields, and desugars
+    to the dict form before compilation (so deep-merge/fusion behaviour
+    is exactly the dict's)."""
+
+    def __init__(self, **fields):
+        if not fields:
+            raise ValueError("Struct needs at least one field")
+        self.fields = fields
+
+    def __repr__(self) -> str:  # pragma: no cover
+        inner = ", ".join(f"{k}={v!r}" for k, v in self.fields.items())
+        return f"Struct({inner})"
+
+
 class K:
     """Computed grouping key in a range dict — e.g.
     ``{K("if(handled, 'handled', 'unhandled') AS status"): ...}``

@@ -37,8 +37,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, AtomicType, MapType, StructType
 
-from faconne_spark.dsl.ast import Agg, K, Lit, SetOf, Var
+from faconne_spark.dsl.ast import Agg, AggOp, K, Lit, SetOf, Struct, Var
 from faconne_spark.errors import FaconneError
+
+
+def desugar(node):
+    """Normalize the first-class sugar forms before compilation:
+    ``Struct(a=..., b=...)`` → literal-key dict, composable
+    :class:`AggOp` trees → ``Agg(sql)``.  Everything downstream sees
+    only the core range grammar, so the compiled plan is identical to
+    the hand-written spelling."""
+    if isinstance(node, Struct):
+        return {k: desugar(v) for k, v in node.fields.items()}
+    if isinstance(node, AggOp):
+        return Agg(node.to_sql())
+    if isinstance(node, dict):
+        return {k: desugar(v) for k, v in node.items()}
+    if isinstance(node, SetOf):
+        return SetOf(*[desugar(e) for e in node.elems])
+    if isinstance(node, list):
+        return [desugar(e) for e in node]
+    if isinstance(node, tuple):
+        return tuple(desugar(e) for e in node)
+    return node
 
 _AS_RE = re.compile(r"\s+[aA][sS]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$")
 
@@ -300,6 +321,7 @@ def build_range(flat: DataFrame, node) -> tuple:
     distributed representation of a map); top-level *vectors/sets* become
     plain rows. ``collect_nested`` reassembles the literal nested object.
     """
+    node = desugar(node)
     b = RangeBuilder(flat)
 
     # rows mode: top-level vector / set

@@ -244,18 +244,24 @@ FROM orders GROUP BY o_orderpriority
 
 # R6 multi-branch report over a join (deep merge of same-level branches)
 def fac_campus_report(spark, sf):
-    """DSL deep merge: sibling branches at different grouping depths (R6)."""
+    """DSL deep merge: sibling branches at different grouping depths
+    (R6), spelled with the first-class struct-of-aggregates sugar
+    (``Struct``/``CountDistinct``/``Round(Sum(...))`` — reference
+    parse_range.cljc:112-139 composable expands); desugars to the
+    literal-dict + ``Agg`` form, identical plan."""
+    from faconne_spark import CountDistinct, Min, Round, Struct, Sum
+
     cust = T(spark, sf, "customer")
     nation = F.broadcast(T(spark, sf, "nation"))
     joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
     return transform(
         joined,
         [Keys("n_name", "c_custkey", "c_acctbal", "c_mktsegment")],
-        {V.n_name: {
-            "n_customers": Agg("count(distinct c_custkey)"),
-            "total_bal": Agg("round(sum(c_acctbal), 2)"),
-            "first_segment": Agg("min(c_mktsegment)"),
-        }},
+        {V.n_name: Struct(
+            n_customers=CountDistinct(V.c_custkey),
+            total_bal=Round(Sum(V.c_acctbal), 2),
+            first_segment=Min(V.c_mktsegment),
+        )},
     )
 
 

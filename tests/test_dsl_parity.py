@@ -548,3 +548,92 @@ def test_for_each_leaf_semantics(spark):
         "Congratulations to dave at east campus! They got a 100 in english!",
         "Congratulations to john at east campus! They got a 97 in math!",
     ]
+
+
+# --------------------------------------------------- struct-of-agg sugar
+
+
+def test_struct_agg_sugar_matches_agg_strings(spark, sf_dir):
+    """R6 via the first-class sugar (reference parse_range.cljc:112-139
+    composable expands): Struct(CountDistinct/Round(Sum)/Min) must
+    produce the exact rows of the hand-written Agg("...") spelling —
+    the sugar desugars to the same SQL, hence the same Catalyst plan."""
+    from faconne_spark import (
+        Agg, CountDistinct, Keys, Min, Round, Struct, Sum, transform,
+    )
+    from faconne_spark.queries import T
+
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    domain = [Keys("n_name", "c_custkey", "c_acctbal", "c_mktsegment")]
+    sugared = transform(
+        joined, domain,
+        {V.n_name: Struct(
+            n_customers=CountDistinct(V.c_custkey),
+            total_bal=Round(Sum(V.c_acctbal), 2),
+            first_segment=Min(V.c_mktsegment),
+        )},
+    )
+    spelled = transform(
+        joined, domain,
+        {V.n_name: {
+            "n_customers": Agg("count(distinct c_custkey)"),
+            "total_bal": Agg("round(sum(c_acctbal), 2)"),
+            "first_segment": Agg("min(c_mktsegment)"),
+        }},
+    )
+    a = sorted(tuple(r) for r in sugared.collect())
+    b = sorted(tuple(r) for r in spelled.collect())
+    assert a == b and len(a) > 0
+
+
+def test_agg_sugar_arithmetic_composition(spark):
+    """Composed expands as first-class arithmetic: Sum(x)/Count() is
+    avg, (Max-Min) is range — matching the SQL-string spellings."""
+    from faconne_spark import (
+        Agg, Count, Keys, Max, Min, Round, Struct, Sum, transform,
+    )
+    from faconne_spark.dsl.pyobj import collect_nested
+
+    rows = [(g, v) for g in ("a", "b") for v in (1.0, 2.0, 4.0)]
+    spark_df = spark.createDataFrame(rows, "g string, v double")
+    domain = [Keys("g", "v")]
+    sugared = transform(
+        spark_df, domain,
+        {V.g: Struct(
+            avg_v=Round(Sum(V.v) / Count(), 6),
+            spread=Max(V.v) - Min(V.v),
+            scaled=Round(2 * Sum(V.v), 6),
+        )},
+    )
+    spelled = transform(
+        spark_df, domain,
+        {V.g: {
+            "avg_v": Agg("round((sum(v) / count(*)), 6)"),
+            "spread": Agg("(max(v) - min(v))"),
+            "scaled": Agg("round((2 * sum(v)), 6)"),
+        }},
+    )
+    assert collect_nested(sugared) == collect_nested(spelled)
+    got = collect_nested(sugared)
+    assert got["a"]["avg_v"] == pytest.approx(7.0 / 3, abs=1e-6)
+    assert got["a"]["spread"] == 3.0
+
+
+def test_struct_sugar_nested_in_grouping(spark):
+    """Struct sugar under a two-level grouping desugars into the nested
+    dict form — deep-merge/fusion behaviour identical."""
+    from faconne_spark import Count, Keys, Struct, Sum, transform
+    from faconne_spark.dsl.pyobj import collect_nested
+
+    rows = [("x", "p", 1), ("x", "q", 2), ("y", "p", 3), ("x", "p", 4)]
+    df = spark.createDataFrame(rows, "outer string, inner string, v int")
+    got = collect_nested(transform(
+        df, [Keys("outer", "inner", "v")],
+        {V.outer: {V.inner: Struct(n=Count(), total=Sum(V.v))}},
+    ))
+    assert got == {
+        "x": {"p": {"n": 2, "total": 5}, "q": {"n": 1, "total": 2}},
+        "y": {"p": {"n": 1, "total": 3}},
+    }
