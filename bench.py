@@ -40,6 +40,12 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "stream_window_counts",
     "stream_session_agg",
+    # composed end-to-end pipelines + the rewritten RFM (headline since
+    # round 4; round-over-round totals are comparable from r4 onward —
+    # compare per-query times against r3 for the shared prefix)
+    "dedup_cascade",
+    "training_manifest",
+    "user_rfm_segments",
 ]
 
 

@@ -98,6 +98,33 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+GATE_CHECKS = [
+    ("too_short", "n_tokens < 5"),
+    ("low_diversity", "distinct_ratio < 0.3"),
+    ("punct_heavy", "punct_ratio > 0.3"),
+    ("no_stopwords", "stopword_ratio < 0.01"),
+]
+
+
+def quality_gate_verdicts(docs: DataFrame) -> DataFrame:
+    """Per-document keep/drop with an auditable reject-reason string —
+    the decision record a curation run ships alongside the kept corpus.
+    Map-only over :func:`quality_score`; shared by the batch registry
+    query (queries/pipeline.py) and the streaming variant
+    (streaming/stats.py) so the two gates cannot drift."""
+    feats = quality_score(docs)
+    reason = "concat_ws(',', " + ", ".join(
+        f"if({cond}, '{name}', null)" for name, cond in GATE_CHECKS
+    ) + ")"
+    return feats.select(
+        "doc_id",
+        F.expr(
+            " AND ".join(f"NOT ({cond})" for _, cond in GATE_CHECKS)
+        ).alias("keep"),
+        F.expr(f"nullif({reason}, '')").alias("reject_reasons"),
+    )
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace + BPE-ish regex token counts per document (map-only)."""
     toks = tokens_ws("text", "spark")

@@ -1315,32 +1315,16 @@ def quality_gate(spark, sf):
     with an auditable reject-reason string — the per-document decision
     record a curation run ships alongside the kept corpus.  One pass
     over the staged feature projection (quality_score is map-only), no
-    shuffle until the optional reporting aggregate."""
-    feats = TX.quality_score(T(spark, sf, "documents"))
-    checks = [
-        ("too_short", "n_tokens < 5"),
-        ("low_diversity", "distinct_ratio < 0.3"),
-        ("punct_heavy", "punct_ratio > 0.3"),
-        ("no_stopwords", "stopword_ratio < 0.01"),
-    ]
-    reason = "concat_ws(',', " + ", ".join(
-        f"if({cond}, '{name}', null)" for name, cond in checks
-    ) + ")"
-    return feats.select(
-        "doc_id",
-        F.expr(
-            " AND ".join(f"NOT ({cond})" for _, cond in checks)
-        ).alias("keep"),
-        F.expr(f"nullif({reason}, '')").alias("reject_reasons"),
-    )
+    shuffle until the optional reporting aggregate.  The gate logic
+    lives in :func:`faconne_spark.operators.text.quality_gate_verdicts`
+    so the streaming variant (streaming/stats.py) applies the identical
+    expression."""
+    return TX.quality_gate_verdicts(T(spark, sf, "documents"))
 
 
-_QG_CHECKS_DUCK = [
-    ("too_short", "n_tokens < 5"),
-    ("low_diversity", "distinct_ratio < 0.3"),
-    ("punct_heavy", "punct_ratio > 0.3"),
-    ("no_stopwords", "stopword_ratio < 0.01"),
-]
+# the gate conditions are dialect-portable SQL; reuse the Spark-side
+# list so oracle and engine cannot drift
+_QG_CHECKS_DUCK = TX.GATE_CHECKS
 
 ORACLE_QUALITY_GATE = f"""
 WITH feats AS ({ORACLE_QUALITY.strip()})

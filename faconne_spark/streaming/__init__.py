@@ -381,6 +381,16 @@ def _epoch_state_exists(spark, state_dir: str) -> bool:
     return bool(names)
 
 
+from faconne_spark.streaming.stats import (  # noqa: E402,F401
+    corpus_health_from_state,
+    corpus_stats_epoch,
+    quality_gate_summary,
+    quality_gate_summary_from_state,
+    source_stats_from_state,
+    streaming_corpus_stats,
+)
+
+
 def incremental_dedup_epoch(batch_df, epoch_id, state_dir, out_dir):
     """One epoch of the incremental dedup: classify ``batch_df``
     against all PRIOR epochs' state, then overwrite this epoch's output

@@ -1,0 +1,159 @@
+"""Streaming corpus statistics: the continuous face of the batch
+curation dashboards (``source_stats`` / ``corpus_health`` /
+``quality_gate`` in queries/pipeline.py).
+
+Design: each micro-batch reduces to DECOMPOSABLE sufficient statistics
+— per-(source, lang) doc/char/token counts, per-fingerprint copy
+counts, per-(keep, reject_reasons) gate tallies — written as
+epoch-partitioned parquet partials under a state directory.  The
+dashboards are then exact partial-aggregate rollups over the state
+(`*_from_state`), bit-equal to running the batch operator over the
+union of every micro-batch:
+
+- counts / sums merge by addition,
+- ``avg_chars`` is re-derived as total/count at read time (never
+  averaged-of-averages),
+- ``n_langs`` / ``n_sources`` merge because the partials keep the full
+  (source, lang) key, and
+- the exact-duplicate rate merges because ``phash60`` fingerprints are
+  deterministic, so cross-epoch copies collapse in the rollup
+  (``n_exact_dups = Σcopies − #distinct fingerprints``).
+
+Scale: state per epoch is O(sources×langs + distinct fingerprints +
+reject-reason combos) — the compact checkpoint, not the corpus; the
+fingerprint relation is the same asymptotics as the incremental-dedup
+state next door.  Restart idempotency follows the same contract as
+:func:`faconne_spark.streaming.incremental_dedup_epoch`: every write is
+partitioned by epoch with dynamic partition overwrite, and an epoch is
+pure write-only (no read-modify-write), so a foreachBatch same-epoch
+replay overwrites its own partitions bit-identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faconne_spark.functions import tokens_ws
+from faconne_spark.operators.dedup import exact_dedup
+from faconne_spark.operators.text import quality_gate_verdicts
+
+SOURCE_LANG = "source_lang"
+FINGERPRINTS = "fingerprints"
+GATE = "gate"
+
+
+def corpus_stats_epoch(batch_df: DataFrame, epoch_id: int, state_dir: str):
+    """Reduce one micro-batch of documents to its three partial-stat
+    relations and overwrite this epoch's partitions (idempotent under
+    the foreachBatch same-epoch replay contract)."""
+    toks = tokens_ws("text", "spark")
+    partials = {
+        SOURCE_LANG: batch_df.groupBy("source", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.expr(f"size({toks})")).alias("total_tokens"),
+        ),
+        FINGERPRINTS: exact_dedup(batch_df).select("fingerprint", "n_copies"),
+        GATE: quality_gate_verdicts(batch_df)
+        .groupBy("keep", "reject_reasons")
+        .agg(F.count("*").alias("n_docs")),
+    }
+    for name, rel in partials.items():
+        (
+            rel.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(os.path.join(state_dir, name))
+        )
+
+
+def streaming_corpus_stats(stream: DataFrame, state_dir: str):
+    """Attach the running-stats maintenance to a document stream.
+    Returns the ``writeStream`` builder (caller sets checkpoint/trigger
+    and ``start()``s).  ``foreachBatch`` is the right hook because each
+    epoch is a three-relation batch computation with its own writes."""
+
+    def handle(batch_df, epoch_id):
+        corpus_stats_epoch(batch_df, epoch_id, state_dir)
+
+    return stream.writeStream.foreachBatch(handle)
+
+
+def _state(spark: SparkSession, state_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(state_dir, name))
+
+
+def source_stats_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-source rollup over the partial state — same schema and values
+    as the batch ``source_stats`` over the union of all micro-batches."""
+    return (
+        _state(spark, state_dir, SOURCE_LANG)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_chars").alias("total_chars"),
+            F.round(
+                F.sum("total_chars") / F.sum("n_docs").cast("double"), 6
+            ).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("lang").alias("first_lang"),
+        )
+    )
+
+
+def corpus_health_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """One-row health dashboard over the partial state — same schema and
+    values as the batch ``corpus_health`` over the union of all
+    micro-batches.  The fingerprint rollup collapses cross-epoch copies
+    before counting, so the duplicate rate sees duplicates that span
+    micro-batches."""
+    sl = _state(spark, state_dir, SOURCE_LANG)
+    stats = sl.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("total_chars").alias("total_chars"),
+    )
+    dup = (
+        _state(spark, state_dir, FINGERPRINTS)
+        .groupBy("fingerprint")
+        .agg(F.sum("n_copies").alias("n_copies"))
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.sum(F.expr("n_copies - 1")).alias("n_exact_dups"),
+        )
+    )
+    return stats.crossJoin(dup).select(
+        "n_docs", "n_langs", "n_sources", "total_tokens", "total_chars",
+        "n_fingerprints", "n_exact_dups",
+        F.expr(
+            "round(cast(n_exact_dups as double) / cast(n_docs as double), 6)"
+        ).alias("dup_rate"),
+    )
+
+
+def quality_gate_summary(verdicts: DataFrame) -> DataFrame:
+    """Batch-side gate summary (counts per keep/reject-reason combo) —
+    the comparison target for the streaming rollup."""
+    return verdicts.groupBy("keep", "reject_reasons").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def quality_gate_summary_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Gate summary over the partial state — equals
+    :func:`quality_gate_summary` of the batch verdicts over the union of
+    all micro-batches (the gate is map-only, so per-epoch tallies merge
+    by addition)."""
+    return (
+        _state(spark, state_dir, GATE)
+        .groupBy("keep", "reject_reasons")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )

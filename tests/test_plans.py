@@ -122,7 +122,9 @@ def test_simhash_partial_agg_before_shuffle(spark, sf_dir):
     from faconne_spark.queries.pipeline import dedup_simhash
 
     plan = plan_of(dedup_simhash(spark, sf_dir))
-    assert "partial_sum" in plan
+    # bit votes are count_if aggregates since the 2c>n rewrite, so the
+    # map-side combine shows up as partial_count, not partial_sum
+    assert "partial_count" in plan
     assert "CartesianProduct" not in plan
 
 

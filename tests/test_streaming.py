@@ -522,3 +522,105 @@ def test_stream_event_time_is_watermark_compatible(spark, sf_dir):
     )
     # the batch loader must agree (oracle comparisons share the dtype)
     assert dict(T(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+
+
+def _rows(df):
+    return sorted(tuple(map(str, r)) for r in df.collect())
+
+
+def test_streaming_corpus_stats_equals_batch(spark, sf_dir, tmp_path):
+    """The running-stats state after N micro-batches yields dashboards
+    bit-equal to the batch operators over the union of the batches —
+    source_stats, corpus_health (including the CROSS-epoch duplicate
+    rate), and the quality-gate summary."""
+    from faconne_spark.queries.pipeline import (
+        corpus_health,
+        quality_gate,
+        source_stats,
+    )
+    from faconne_spark.streaming import (
+        corpus_health_from_state,
+        quality_gate_summary,
+        quality_gate_summary_from_state,
+        source_stats_from_state,
+        streaming_corpus_stats,
+    )
+
+    # stage the corpus as a 3-file sf-shaped dir so the SAME path serves
+    # the stream (3 micro-batches) and the batch registry operators
+    sf_tmp = tmp_path / "sf"
+    src = str(sf_tmp / "documents.parquet")
+    T(spark, sf_dir, "documents").limit(300).repartition(3).write.parquet(src)
+    state = str(tmp_path / "state")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_corpus_stats(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    # >1 epoch actually ran (3 files, 1 per trigger)
+    epochs = spark.read.parquet(os.path.join(state, "source_lang")).select(
+        "epoch"
+    ).distinct().count()
+    assert epochs == 3
+
+    sf = str(sf_tmp)
+    assert _rows(source_stats_from_state(spark, state)) == _rows(
+        source_stats(spark, sf)
+    )
+    assert _rows(corpus_health_from_state(spark, state)) == _rows(
+        corpus_health(spark, sf)
+    )
+    assert _rows(quality_gate_summary_from_state(spark, state)) == _rows(
+        quality_gate_summary(quality_gate(spark, sf))
+    )
+
+
+def test_corpus_stats_same_epoch_replay_idempotent(spark, tmp_path):
+    """foreachBatch recovery contract for the stats state: a
+    half-written epoch attempt is fully overwritten by the replay, and
+    a duplicate text that SPANS epochs still collapses to one
+    fingerprint in the merged health rollup."""
+    from faconne_spark.streaming import (
+        corpus_health_from_state,
+        corpus_stats_epoch,
+    )
+
+    schema = "doc_id long, text string, source string, lang string, n_chars long"
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, s, lg, len(t)) for i, t, s, lg in rows], schema
+        )
+
+    e0 = docs([(0, "shared duplicate text", "web", "en"),
+               (1, "unique zero", "web", "en")])
+    e1 = docs([(10, "shared duplicate text", "books", "fr"),
+               (11, "unique one", "web", "en")])
+    state = str(tmp_path / "state")
+    corpus_stats_epoch(e0, 0, state)
+    # half-written previous attempt at epoch 1: only one row landed
+    corpus_stats_epoch(e1.limit(1), 1, state)
+    # replay of epoch 1 with the full batch must fully supersede it
+    corpus_stats_epoch(e1, 1, state)
+
+    health = corpus_health_from_state(spark, state).collect()[0]
+    assert health["n_docs"] == 4
+    assert health["n_langs"] == 2 and health["n_sources"] == 2
+    # doc 10 duplicates doc 0 ACROSS epochs: 4 docs, 3 fingerprints
+    assert health["n_fingerprints"] == 3
+    assert health["n_exact_dups"] == 1
+    assert health["dup_rate"] == 0.25
+    # replaying epoch 1 again is a bit-exact no-op
+    before = _rows(corpus_health_from_state(spark, state))
+    corpus_stats_epoch(e1, 1, state)
+    assert _rows(corpus_health_from_state(spark, state)) == before
