@@ -23,34 +23,36 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # The driver's correctness gate is time-boxed and walks queries() in dict
-# order, ~50 keys per round.  Rounds 1+2 left exactly 10 keys without a green
-# driver row: 8 never reached (the tail of round 2's cheapest-first order)
-# plus the 2 round-1 reds that were fixed but sat past the cutoff.  Those 10
-# are positions 1-10 this round so the union coverage closes at 108/108; any
-# keys added THIS round follow immediately (they have no row yet either), and
-# the already-green keys trail in their round-2 order.
+# order, ~50 keys per round.  Union coverage closed at 108/108 in r3, so the
+# order now front-loads the keys whose IMPLEMENTATIONS changed this round —
+# the ones whose green row is stale — followed by the rest in r3 order.
 _FIRST = [
-    # -- the 10 driver-unverified keys (VERDICT r2 item 1), cheapest first --
-    "text_lang_id", "mm_resize", "fac_store_products", "events_json_props",
-    "dup_graph_stats", "lang_id_trained", "dedup_stitch",
-    "training_manifest", "dedup_cascade", "dedup_clusters",
-    # -- keys already green in r1/r2, round-2 order --
-    "text_token_count", "mm_image_meta", "text_repetition",
-    "docs_topk_ngrams", "customer_order_reconciliation", "quality_gate",
+    # -- r4-changed implementations (codec rewrite, CC/simhash speedup,
+    #    RFM quantile rewrite, gate refactor, DSL struct-of-agg sugar) --
+    "mm_resize", "mm_image_meta", "mm_frame_sample",
+    "dedup_clusters", "dup_graph_stats", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_incremental", "user_rfm_segments",
+    "quality_gate", "fac_campus_report", "fac_expand_aggs",
+    "dedup_stitch", "training_manifest", "dedup_cascade",
+    # -- unchanged keys, r3 order --
+    "text_lang_id", "fac_store_products", "events_json_props",
+    "lang_id_trained",
+    "text_token_count", "text_repetition",
+    "docs_topk_ngrams", "customer_order_reconciliation",
     "text_quality", "sql_api_segment_revenue", "sample_stratified",
     "sliding_window_counts", "cap_per_source", "source_stats",
     "text_pii_scrub", "doc_len_histogram", "events_retention_cohorts",
     "vocab_coverage", "corpus_health", "events_markov_transitions",
     "text_token_entropy", "embed_norm", "events_window_zscore",
-    "mm_frame_sample", "user_rfm_segments", "stream_session_agg",
+    "stream_session_agg",
     "stream_window_counts", "lang_id_confusion", "part_price_stats",
     "corpus_mixture_plan", "embed_label_centroids", "knn_classify_labels",
-    "dedup_incremental", "text_unigram_logprob", "pipeline_clean_corpus",
+    "text_unigram_logprob", "pipeline_clean_corpus",
     "ann_lsh_bucketed", "contamination_ngram", "orders_monthly_yoy",
     "ann_cosine_topk", "doc_tfidf_keywords", "embed_outliers",
     "dedup_embedding_cosine", "ann_ivf", "basket_part_pairs",
     "dedup_winnowing", "ann_pq_adc", "ann_ivf_pq", "text_fingerprint",
-    "dedup_simhash", "dedup_containment", "ann_ivf_kmeans",
+    "dedup_containment", "ann_ivf_kmeans",
     "neardup_rate_by_source",
 ]
 

@@ -1433,10 +1433,19 @@ def dedup_cascade(spark, sf):
     family, composed from the library operators over one shared corpus
     scan; every stage join is on doc_id (co-partitioned)."""
     docs = T(spark, sf, "documents")
-    fps = docs.select(
-        "doc_id", F.expr(phash60(D.NORM, "spark")).alias("fingerprint")
+    # one fingerprint pass, persisted: the same (doc_id, fingerprint)
+    # relation feeds BOTH the keeper aggregation and the per-doc flag
+    # join (exact_dedup(docs) here would re-run the normalize+hash scan
+    # on each side of the join — at 100 TB that's a second full pass)
+    from faconne_spark.operators.dedup import _persist_sig
+
+    fps = _persist_sig(
+        docs.select(
+            "doc_id", F.expr(phash60(D.NORM, "spark")).alias("fingerprint")
+        ),
+        docs,
     )
-    ex = D.exact_dedup(docs)
+    ex = fps.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
     exact_flag = fps.join(ex, "fingerprint").select(
         "doc_id",
         (F.col("doc_id") != F.col("keeper_id")).alias("exact_dup"),
