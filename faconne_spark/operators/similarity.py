@@ -485,3 +485,33 @@ def ivf_pq_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "approx_dot", "rk")
     )
+
+
+def recall_eval(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate index against exact ground
+    truth — the standard ANN quality gauge (FAISS-style evaluation),
+    run as a relational join so it scales with the EVAL set, not the
+    corpus.
+
+    Both inputs are (q_id, vec_id, ...) top-k relations: O(n_queries·k)
+    rows.  The expensive part of an eval run is producing them; the
+    comparison itself is a broadcast left join + one rollup, so recall
+    over even a million-query eval set is a trivially small job."""
+    t = truth.select("q_id", "vec_id")
+    a = approx.select("q_id", "vec_id").withColumn("hit", F.lit(1))
+    return (
+        t.join(F.broadcast(a), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_truth",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -136,6 +136,50 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease approximation per document — the classic
+    prose-difficulty score, a standard quality feature for curation.
+
+    Syllables are approximated as vowel runs (the dictionary-free
+    heuristic); sentences as terminal-punctuation runs, floored at 1 so
+    fragments don't divide by zero.  Map-only Catalyst expressions:
+    three regexp counts per row, no shuffle, no UDF.  Ratios round to
+    6 dp before the score so both engines combine identical doubles."""
+    toks = tokens_ws("text", "spark")
+    return (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.expr(f"size({toks})").alias("n_words"),
+            F.expr(
+                "greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+            ).alias("n_sentences"),
+            F.expr(
+                "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+            ).alias("n_syllables"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr(
+                "round(cast(n_words as double) / n_sentences, 6)"
+            ).alias("words_per_sentence"),
+            F.expr(
+                "round(cast(n_syllables as double) / greatest(n_words, 1), 6)"
+            ).alias("syllables_per_word"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "round(206.835 - 1.015 * words_per_sentence"
+                " - 84.6 * syllables_per_word, 6)"
+            ).alias("flesch"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, n_shingle: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: min / max / count of shingle hashes
     (a compact, order-invariant sketch usable as a near-dup prefilter)."""

@@ -27,6 +27,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # order now front-loads the keys whose IMPLEMENTATIONS changed this round —
 # the ones whose green row is stale — followed by the rest in r3 order.
 _FIRST = [
+    # -- new this round (no driver row yet) --
+    "ann_recall_eval", "text_readability",
     # -- r4-changed implementations (codec rewrite, CC/simhash speedup,
     #    RFM quantile rewrite, gate refactor, DSL struct-of-agg sugar) --
     "mm_resize", "mm_image_meta", "mm_frame_sample",

@@ -1928,3 +1928,67 @@ FROM cascade JOIN gate USING (doc_id) JOIN sampled USING (doc_id)
 
 QUERIES["training_manifest"] = training_manifest
 ORACLES["training_manifest"] = ORACLE_MANIFEST
+
+
+# ------------------------------------------------ ANN recall evaluation
+
+def ann_recall_eval(spark, sf):
+    """Index-quality gauge: per-query recall@k of the IVF index against
+    exact brute-force ground truth — the evaluation every ANN
+    deployment runs before trusting an index (tunes nlist/nprobe).
+    Composes the two library searches; the comparison itself is a
+    broadcast join over O(n_queries*k) rows (similarity.recall_eval)."""
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    truth = S.cosine_topk(emb, queries, ANN_K)
+    approx = S.ivf_topk(emb, queries, ANN_K, IVF_NLIST, IVF_NPROBE)
+    return S.recall_eval(truth, approx, ANN_K)
+
+
+ORACLE_RECALL = f"""
+WITH truth AS ({ORACLE_ANN_BRUTE.strip()}),
+approx AS ({ORACLE_ANN_IVF.strip()})
+SELECT t.q_id, count(*)::BIGINT AS n_truth,
+       sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hits,
+       round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / {ANN_K}, 6) AS recall_at_k
+FROM truth t
+LEFT JOIN approx a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+GROUP BY t.q_id
+"""
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+ORACLES["ann_recall_eval"] = ORACLE_RECALL
+
+
+# ------------------------------------------------------- readability
+
+def text_readability(spark, sf):
+    return TX.readability(T(spark, sf, "documents"))
+
+
+ORACLE_READABILITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({tokens_ws('text', 'duckdb')})::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents),
+r AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         round(n_words::DOUBLE / n_sentences, 6) AS words_per_sentence,
+         round(n_syllables::DOUBLE / greatest(n_words, 1), 6)
+           AS syllables_per_word
+  FROM base)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       words_per_sentence, syllables_per_word,
+       round(206.835 - 1.015 * words_per_sentence
+             - 84.6 * syllables_per_word, 6) AS flesch
+FROM r
+"""
+
+QUERIES["text_readability"] = text_readability
+ORACLES["text_readability"] = ORACLE_READABILITY

@@ -139,3 +139,27 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Whole-file binary ingestion — the front door for media blobs
+    (images/audio/video) arriving as individual objects rather than
+    rows.  Each row is (path, modificationTime, length, content);
+    ``glob`` pushes the filename filter into the file LISTING (files
+    never open), which is the only pushdown a whole-file format has.
+
+    Scale: binary files are not splittable, so parallelism equals file
+    count — a 100 TB media corpus must arrive as many objects (the
+    normal case), and a filter on ``length`` prunes oversized payloads
+    before their bytes reach downstream stages only in the sense that
+    the column is metadata; the CONTENT of every matched file is still
+    read, so prefilter by name/prefix where possible."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

@@ -153,3 +153,44 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
         "PushedFilters"
     )[1].split("]")[0]
+
+
+def test_binary_file_source_feeds_media_pipeline(spark, tmp_path):
+    """S9: whole-file binary ingestion — BMP files on disk enter as
+    (path, content) rows, flow through the REAL codec metadata
+    extractor, and come back with their encoded dimensions."""
+    from pyspark.sql import functions as F
+
+    from faconne_spark.operators.multimodal import (
+        bmp_encode,
+        bmp_row_stride,
+        extract_media_meta,
+    )
+    from faconne_spark.sources import read_binary_files
+
+    dims = {0: (8, 5), 1: (12, 7), 2: (30, 2)}
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    for i, (w, h) in dims.items():
+        payload = bmp_encode(w, h, bytes(h * bmp_row_stride(w)))
+        (media_dir / f"img_{i}.bmp").write_bytes(payload)
+    (media_dir / "ignore.txt").write_text("not media")
+
+    files = read_binary_files(spark, str(media_dir), glob="*.bmp")
+    assert files.count() == 3  # the glob filtered the listing
+    media = files.select(
+        F.regexp_extract(
+            F.col("path"), r"img_(\d+)\.bmp", 1
+        ).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("image/bmp").alias("media_type"),
+    )
+    meta = {
+        r["doc_id"]: (r["width"], r["height"], r["n_bytes"])
+        for r in extract_media_meta(media).collect()
+    }
+    for i, (w, h) in dims.items():
+        assert meta[i][:2] == (w, h)
+        assert meta[i][2] == len(
+            bmp_encode(w, h, bytes(h * bmp_row_stride(w)))
+        )
