@@ -28,7 +28,7 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # the ones whose green row is stale — followed by the rest in r3 order.
 _FIRST = [
     # -- new this round (no driver row yet) --
-    "ann_recall_eval", "text_readability",
+    "ann_recall_eval", "text_readability", "dedup_minhash_calibration",
     # -- r4-changed implementations (codec rewrite, CC/simhash speedup,
     #    RFM quantile rewrite, gate refactor, DSL struct-of-agg sugar) --
     "mm_resize", "mm_image_meta", "mm_frame_sample",

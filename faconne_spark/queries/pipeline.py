@@ -1992,3 +1992,111 @@ FROM r
 
 QUERIES["text_readability"] = text_readability
 ORACLES["text_readability"] = ORACLE_READABILITY
+
+
+# --------------------------------------- minhash calibration gauge
+
+def dedup_minhash_calibration(spark, sf):
+    """Operating-point gauge for the MinHash/LSH family: on the LSH
+    candidate pairs, compare the signature-estimated Jaccard with the
+    exact shingle-set Jaccard, bucketed by estimate decile — the
+    calibration table that tells you whether k (signature width) and
+    the band layout are trustworthy before a production dedup run,
+    exactly as ann_recall_eval gauges the IVF index.
+
+    Engine-exactness: per-pair values are rounded to micro-units and
+    integer-summed, so the per-bucket means are a single division of
+    identical integers in both engines (double-sum order can't drift
+    the hash).  Cost: one extra join of the candidate relation against
+    the cached shingle relation — candidates, not the corpus."""
+    from faconne_spark.session import spread
+
+    docs = T(spark, sf, "documents")
+    est = D.minhash_lsh_pairs(docs, N_SHINGLE, MINHASH_K, LSH_BANDS)
+    sh = word_shingles("text", N_SHINGLE, "spark")
+    shingled = D._persist_sig(
+        spread(docs).select("doc_id", F.expr(sh).alias("sh")), docs
+    )
+    paired = (
+        est.join(
+            shingled.select(
+                F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "est_jaccard",
+            F.expr(
+                "cast(size(array_intersect(sh_a, sh_b)) as double)"
+                " / cast(size(array_union(sh_a, sh_b)) as double)"
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        paired.select(
+            F.expr(
+                "least(cast(floor(est_jaccard * 10) as int), 9)"
+            ).alias("bucket"),
+            F.expr(
+                "cast(round(est_jaccard * 1000000, 0) as bigint)"
+            ).alias("e6"),
+            F.expr(
+                "cast(round(exact_jaccard * 1000000, 0) as bigint)"
+            ).alias("x6"),
+            F.expr(
+                "cast(round(abs(est_jaccard - exact_jaccard) * 1000000, 0)"
+                " as bigint)"
+            ).alias("d6"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr(
+                "round(cast(sum(e6) as double) / count(*) / 1000000, 6)"
+            ).alias("mean_est"),
+            F.expr(
+                "round(cast(sum(x6) as double) / count(*) / 1000000, 6)"
+            ).alias("mean_exact"),
+            F.expr(
+                "round(cast(sum(d6) as double) / count(*) / 1000000, 6)"
+            ).alias("mae"),
+        )
+    )
+
+
+ORACLE_MINHASH_CALIB = (
+    _duck_bands_cte()
+    + f"""
+, shingled AS (
+  SELECT doc_id, {word_shingles('text', N_SHINGLE, 'duckdb')} AS sh
+  FROM documents),
+pairs AS (
+  SELECT len(list_filter(range(1, {MINHASH_K} + 1),
+             i -> sig_a[i] = sig_b[i]))::DOUBLE / {MINHASH_K} AS est_j,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS ex_j
+  FROM cand
+  JOIN shingled sa ON sa.doc_id = id_a
+  JOIN shingled sb ON sb.doc_id = id_b),
+m AS (
+  SELECT least(floor(est_j * 10)::INT, 9) AS bucket,
+         round(est_j * 1000000, 0)::BIGINT AS e6,
+         round(ex_j * 1000000, 0)::BIGINT AS x6,
+         round(abs(est_j - ex_j) * 1000000, 0)::BIGINT AS d6
+  FROM pairs)
+SELECT bucket, count(*)::BIGINT AS n_pairs,
+       round(sum(e6)::DOUBLE / count(*) / 1000000, 6) AS mean_est,
+       round(sum(x6)::DOUBLE / count(*) / 1000000, 6) AS mean_exact,
+       round(sum(d6)::DOUBLE / count(*) / 1000000, 6) AS mae
+FROM m GROUP BY bucket
+"""
+)
+
+QUERIES["dedup_minhash_calibration"] = dedup_minhash_calibration
+ORACLES["dedup_minhash_calibration"] = ORACLE_MINHASH_CALIB

@@ -35,6 +35,12 @@ SNAPSHOT_QUERIES = [
     # round-4: rewritten from three global ntile sorts to broadcast
     # quantile cuts — snapshot pins the no-global-Sort shape
     "user_rfm_segments",
+    # round-4: the composed pipelines joined the bench headline — pin
+    # their shapes (shared fingerprint pass, co-partitioned doc_id
+    # joins) and the two new eval gauges
+    "dedup_cascade",
+    "ann_recall_eval",
+    "dedup_minhash_calibration",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
