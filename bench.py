@@ -167,12 +167,20 @@ def main() -> None:
         release_caches()  # drop per-query signature caches between runs
 
     total = round(sum(t for n, t in times.items() if n in HEADLINE), 3)
+    # the headline grew in round 4 (dedup_cascade / training_manifest /
+    # user_rfm_segments); this subtotal is the round-3 24-query set so
+    # round-over-round totals stay directly comparable
+    r3_set = set(HEADLINE) - {
+        "dedup_cascade", "training_manifest", "user_rfm_segments"
+    }
+    prev_compat = round(sum(t for n, t in times.items() if n in r3_set), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "total_r3_comparable_subset": prev_compat,
                 "queries": times,
                 "shuffle_write_bytes": shuffle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -2100,3 +2100,70 @@ FROM m GROUP BY bucket
 
 QUERIES["dedup_minhash_calibration"] = dedup_minhash_calibration
 ORACLES["dedup_minhash_calibration"] = ORACLE_MINHASH_CALIB
+
+
+# ------------------------------------------- threshold sweep gauge
+
+SWEEP_TS = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def embed_threshold_sweep(spark, sf):
+    """Operating-point curve for embedding near-dup: pair count and
+    affected-document count at each cosine threshold, from ONE pass
+    over the bucketed candidate pairs (computed at the loosest
+    threshold, then swept in-plan).  This is the table you read before
+    choosing the production threshold — how many documents a cutoff
+    would merge.
+
+    Scale: the sweep multiplies the PAIR relation (already bucket-
+    bounded), never the corpus; the explode(ids) rollup map-side
+    combines, so n_pairs = rows/2 and n_docs = distinct ids come from
+    the same single shuffle."""
+    pairs = D.embedding_cosine_pairs(
+        T(spark, sf, "embeddings"), min(SWEEP_TS), LSH_PLANES, EMB_DIM
+    )
+    ts = ", ".join(f"{t}D" for t in SWEEP_TS)
+    return (
+        pairs.select(
+            F.explode(F.expr(f"array({ts})")).alias("threshold"),
+            "cos_sim",
+            "id_a",
+            "id_b",
+        )
+        .filter(F.col("cos_sim") >= F.col("threshold"))
+        .select(
+            "threshold", F.explode(F.expr("array(id_a, id_b)")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs"),
+        )
+    )
+
+
+_SWEEP_DUCK = ", ".join(str(t) for t in SWEEP_TS)
+
+ORACLE_SWEEP = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {S.lsh_bucket_expr('embedding', LSH_PLANES, EMB_DIM, 'duckdb')} AS bucket
+  FROM embeddings),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({cosine_sim('a.embedding', 'b.embedding', 'duckdb')}, 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({cosine_sim('a.embedding', 'b.embedding', 'duckdb')}, 6)
+        >= {min(SWEEP_TS)}),
+sw AS (SELECT unnest([{_SWEEP_DUCK}]) AS threshold),
+ex AS (
+  SELECT threshold, unnest([id_a, id_b]) AS d
+  FROM prs CROSS JOIN sw WHERE cos_sim >= threshold)
+SELECT threshold, (count(*) / 2)::BIGINT AS n_pairs,
+       count(DISTINCT d)::BIGINT AS n_docs
+FROM ex GROUP BY threshold
+"""
+
+QUERIES["embed_threshold_sweep"] = embed_threshold_sweep
+ORACLES["embed_threshold_sweep"] = ORACLE_SWEEP
