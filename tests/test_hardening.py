@@ -528,3 +528,74 @@ def test_cc_round_join_is_edge_side_exchange_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_cc_plan_probe")
+
+
+def test_recall_eval_properties(spark):
+    """recall_eval invariants: identical truth/approx → recall 1.0 for
+    every query; disjoint → 0.0; partial overlap counts hits."""
+    from faconne_spark.operators.similarity import recall_eval
+
+    t = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 20), (1, 21)], "q_id long, vec_id long"
+    )
+    same = {r["q_id"]: r for r in recall_eval(t, t, 2).collect()}
+    assert all(
+        r["recall_at_k"] == 1.0 and r["n_hits"] == 2 for r in same.values()
+    )
+    disjoint = spark.createDataFrame(
+        [(0, 99), (1, 98)], "q_id long, vec_id long"
+    )
+    none = {r["q_id"]: r for r in recall_eval(t, disjoint, 2).collect()}
+    assert all(
+        r["recall_at_k"] == 0.0 and r["n_hits"] == 0 for r in none.values()
+    )
+    half = spark.createDataFrame(
+        [(0, 10), (0, 99), (1, 21), (1, 98)], "q_id long, vec_id long"
+    )
+    p = {r["q_id"]: r for r in recall_eval(t, half, 2).collect()}
+    assert p[0]["n_hits"] == 1 and p[0]["recall_at_k"] == 0.5
+    assert p[1]["n_hits"] == 1 and p[1]["recall_at_k"] == 0.5
+
+
+def test_minhash_calibration_mae_bounds(spark, sf_dir):
+    """Calibration output invariants on real data: buckets within 0-9,
+    means and MAE inside [0, 1], and every candidate pair accounted
+    for (bucket counts sum to the candidate-pair count)."""
+    from faconne_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_caches,
+    )
+    from faconne_spark.queries import T
+    from faconne_spark.queries.pipeline import dedup_minhash_calibration
+
+    rows = dedup_minhash_calibration(spark, sf_dir).collect()
+    assert rows, "sf0.001 corpus must yield at least one LSH candidate"
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        assert 0.0 <= r["mean_est"] <= 1.0
+        assert 0.0 <= r["mean_exact"] <= 1.0
+        assert 0.0 <= r["mae"] <= 1.0
+    n_cand = minhash_lsh_pairs(T(spark, sf_dir, "documents")).count()
+    assert sum(r["n_pairs"] for r in rows) == n_cand
+    release_caches()
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    """Raising the cosine cutoff can only shrink the pair set and the
+    affected-doc set — the sweep must be monotone non-increasing."""
+    from faconne_spark.queries.pipeline import SWEEP_TS, embed_threshold_sweep
+
+    rows = {
+        r["threshold"]: r
+        for r in embed_threshold_sweep(spark, sf_dir).collect()
+    }
+    # a cutoff with zero surviving pairs yields no row (same in the
+    # oracle); whatever reports must be a subset of the sweep list and
+    # include its loosest cutoff when any pair exists at all
+    assert set(rows) <= set(SWEEP_TS)
+    if rows:
+        assert min(SWEEP_TS) in rows
+    ordered = [rows[t] for t in sorted(rows)]
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert lo["n_pairs"] >= hi["n_pairs"]
+        assert lo["n_docs"] >= hi["n_docs"]
