@@ -673,3 +673,31 @@ def stitch_candidates(docs: DataFrame, k: int = 8) -> DataFrame:
         .filter(F.col("id_head") != F.col("id_tail"))
         .select("id_head", "id_tail", F.col("h").alias("boundary_hash"))
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Corpus snapshot reconciliation: classify every doc_id across two
+    corpus versions as added / removed / changed / unchanged by content
+    fingerprint — the audit table of an incremental crawl or recrawl.
+
+    One full-outer equi-join on doc_id (co-partitioned at any scale)
+    over two map-only fingerprint projections; the rollup is a
+    map-side-combined count.  Returns (status, n_docs)."""
+    fa = spread(old).select(
+        "doc_id", F.expr(phash60(NORM, "spark")).alias("fp_old")
+    )
+    fb = spread(new).select(
+        "doc_id", F.expr(phash60(NORM, "spark")).alias("fp_new")
+    )
+    status = (
+        fa.join(fb, "doc_id", "full_outer")
+        .select(
+            F.expr(
+                "CASE WHEN fp_old IS NULL THEN 'added'"
+                " WHEN fp_new IS NULL THEN 'removed'"
+                " WHEN fp_old != fp_new THEN 'changed'"
+                " ELSE 'unchanged' END"
+            ).alias("status")
+        )
+    )
+    return status.groupBy("status").agg(F.count("*").alias("n_docs"))

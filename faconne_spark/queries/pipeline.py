@@ -2167,3 +2167,51 @@ FROM ex GROUP BY threshold
 
 QUERIES["embed_threshold_sweep"] = embed_threshold_sweep
 ORACLES["embed_threshold_sweep"] = ORACLE_SWEEP
+
+
+# ------------------------------------------- snapshot reconciliation
+
+def corpus_snapshot_diff(spark, sf):
+    """Recrawl audit: diff two deterministic corpus snapshots derived
+    from the documents table — snapshot A drops doc_id % 7 == 0,
+    snapshot B drops doc_id % 5 == 0 and rewrites the text of
+    doc_id % 11 == 0 (simulated edits) — and count docs per
+    added/removed/changed/unchanged status via the fingerprint
+    full-outer join (operators/dedup.snapshot_diff)."""
+    docs = T(spark, sf, "documents")
+    snap_a = docs.filter("doc_id % 7 != 0")
+    snap_b = docs.filter("doc_id % 5 != 0").withColumn(
+        "text",
+        F.expr(
+            "IF(doc_id % 11 = 0, concat('edited v2 ', text), text)"
+        ),
+    )
+    return D.snapshot_diff(snap_a, snap_b)
+
+
+# snapshot B's fingerprint must normalize the EDITED text, so the
+# NORM_DUCK pattern is re-targeted from the raw column to the CASE
+_EDITED = (
+    "CASE WHEN doc_id % 11 = 0 THEN concat('edited v2 ', text)"
+    " ELSE text END"
+)
+_NORM_EDITED_DUCK = D.NORM_DUCK.replace("lower(text)", f"lower({_EDITED})")
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH a AS (
+  SELECT doc_id, {phash60(D.NORM_DUCK, 'duckdb')} AS fp_old
+  FROM documents WHERE doc_id % 7 != 0),
+b AS (
+  SELECT doc_id, {phash60(_NORM_EDITED_DUCK, 'duckdb')} AS fp_new
+  FROM documents WHERE doc_id % 5 != 0)
+SELECT status, count(*)::BIGINT AS n_docs FROM (
+  SELECT CASE WHEN fp_old IS NULL THEN 'added'
+              WHEN fp_new IS NULL THEN 'removed'
+              WHEN fp_old != fp_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b USING (doc_id))
+GROUP BY status
+"""
+
+QUERIES["corpus_snapshot_diff"] = corpus_snapshot_diff
+ORACLES["corpus_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF

@@ -1184,3 +1184,65 @@ ORACLES.update(
         "sql_api_segment_revenue": ORACLE_SQL_API,
     }
 )
+
+
+# -------------------------------------------- join-key skew report
+
+SKEW_TARGETS = [
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "user_id"),
+]
+SKEW_TOP = 5
+
+
+def join_skew_report(spark, sf):
+    """Pre-flight skew diagnostics: the top-N heaviest values of each
+    production join key with their share of the table — the table you
+    read before deciding which joins need salting (S7) or AQE skew
+    splitting.  Per key: one map-side-combined count groupBy, then
+    top-N via sort-limit, which compiles to TakeOrderedAndProject — a
+    per-partition heap + single tiny merge, NOT a global sort, so the
+    distinct-key relation is never materialized in one task at any
+    scale."""
+    parts = []
+    for table, key in SKEW_TARGETS:
+        tbl = T(spark, sf, table)
+        counts = tbl.groupBy(F.col(key).cast("long").alias("key_value")).agg(
+            F.count("*").alias("n_rows")
+        )
+        total = tbl.agg(F.count("*").alias("total"))
+        top = (
+            counts.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+            .limit(SKEW_TOP)
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(table).alias("tbl"),
+                F.lit(key).alias("join_key"),
+                "key_value",
+                "n_rows",
+                F.expr(
+                    "round(cast(n_rows as double) / total, 6)"
+                ).alias("share"),
+            )
+        )
+        parts.append(top)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SKEW_SELECTS = "\nUNION ALL\n".join(
+    f"""(SELECT '{t}' AS tbl, '{k}' AS join_key, key_value, n_rows,
+       round(n_rows::DOUBLE / (SELECT count(*) FROM {t}), 6) AS share
+FROM (SELECT {k}::BIGINT AS key_value, count(*)::BIGINT AS n_rows
+      FROM {t} GROUP BY 1)
+ORDER BY n_rows DESC, key_value LIMIT {SKEW_TOP})"""
+    for t, k in SKEW_TARGETS
+)
+
+ORACLE_SKEW = _SKEW_SELECTS
+
+QUERIES["join_skew_report"] = join_skew_report
+ORACLES["join_skew_report"] = ORACLE_SKEW

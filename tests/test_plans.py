@@ -282,3 +282,24 @@ def test_graph_stats_no_cartesian(spark, sf_dir):
 
     plan = plan_of(dup_graph_stats(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_join_skew_report_no_global_sort(spark, sf_dir):
+    """Top-N per join key must compile to TakeOrderedAndProject (a
+    per-partition heap), never a global Sort of the distinct-key
+    relation."""
+    from faconne_spark.queries.tpch_ext import join_skew_report
+
+    plan = plan_of(join_skew_report(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    """The snapshot diff is one full-outer join on doc_id plus a
+    map-side-combined rollup — no cartesian, no extra exchanges."""
+    from faconne_spark.queries.pipeline import corpus_snapshot_diff
+
+    plan = plan_of(corpus_snapshot_diff(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
