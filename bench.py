@@ -153,6 +153,13 @@ def main() -> None:
         "docs_topk_ngrams",
         "embed_label_centroids",
         "dedup_containment",
+        # round-4 quality gauges + diagnostics (timed, not headline)
+        "ann_recall_eval",
+        "dedup_minhash_calibration",
+        "embed_threshold_sweep",
+        "join_skew_report",
+        "corpus_snapshot_diff",
+        "text_readability",
     ]
     times = {}
     shuffle = {}
