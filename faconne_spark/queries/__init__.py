@@ -30,6 +30,7 @@ _FIRST = [
     # -- new this round (no driver row yet) --
     "ann_recall_eval", "text_readability", "dedup_minhash_calibration",
     "embed_threshold_sweep", "join_skew_report", "corpus_snapshot_diff",
+    "events_attribution",
     # -- r4-changed implementations (codec rewrite, CC/simhash speedup,
     #    RFM quantile rewrite, gate refactor, DSL struct-of-agg sugar) --
     "mm_resize", "mm_image_meta", "mm_frame_sample",

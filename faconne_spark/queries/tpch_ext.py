@@ -1246,3 +1246,100 @@ ORACLE_SKEW = _SKEW_SELECTS
 
 QUERIES["join_skew_report"] = join_skew_report
 ORACLES["join_skew_report"] = ORACLE_SKEW
+
+
+# ------------------------------------------- last-touch attribution
+
+ATTR_TRIGGERS = ("click", "view", "signup")
+ATTR_WINDOW_HOURS = 24
+ATTR_WINDOW_US = ATTR_WINDOW_HOURS * 3600 * 1_000_000  # precomputed: the
+# inline product overflows INT32 constant-folding in BOTH engines
+
+
+def events_attribution(spark, sf):
+    """Last-touch attribution: credit each purchase to the same user's
+    most recent trigger event (click/view/signup) within the lookback
+    window, then roll up conversions and mean time-to-convert per
+    trigger type — the marketing-attribution table every event
+    pipeline ships.
+
+    Scale design: ONE user-partitioned ordered window carries the last
+    trigger (ts, type) forward via last_value(... IGNORE NULLS) — no
+    self-join of the event stream against itself, so the cost is one
+    shuffle on user_id plus the tiny rollup.  Purchases with no
+    in-window trigger credit 'none' (kept: attribution tables must
+    account for every conversion).  Lag is integer seconds, so the
+    rollup means are engine-exact integer sums."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+    trig = ", ".join(f"'{t}'" for t in ATTR_TRIGGERS)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_trig = F.last(
+        F.expr(
+            f"CASE WHEN event_type IN ({trig})"
+            " THEN struct(ts AS t_ts, event_type AS t_type) END"
+        ),
+        ignorenulls=True,
+    ).over(w)
+    in_window = (
+        "_lt IS NOT NULL AND unix_micros(ts) - unix_micros(_lt.t_ts)"
+        f" <= {ATTR_WINDOW_US}L"
+    )
+    conv = (
+        ev.withColumn("_lt", last_trig)
+        .filter("event_type = 'purchase'")
+        .select(
+            F.expr(
+                f"CASE WHEN {in_window} THEN _lt.t_type ELSE 'none' END"
+            ).alias("trigger_type"),
+            # exact integer microseconds: sub-second components survive,
+            # and the rollup mean is a single division of equal integers
+            F.expr(
+                f"CASE WHEN {in_window}"
+                " THEN unix_micros(ts) - unix_micros(_lt.t_ts) END"
+            ).alias("lag_us"),
+        )
+    )
+    return conv.groupBy("trigger_type").agg(
+        F.count("*").alias("n_conversions"),
+        F.round(
+            F.expr("cast(sum(lag_us) as double) / count(lag_us) / 1000000"),
+            6,
+        ).alias("mean_lag_s"),
+    )
+
+
+_TRIG_DUCK = ", ".join(f"'{t}'" for t in ATTR_TRIGGERS)
+
+ORACLE_ATTRIBUTION = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type IN ({_TRIG_DUCK})
+                         THEN struct_pack(t_ts := ts, t_type := event_type)
+                    END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events),
+conv AS (
+  SELECT CASE WHEN lt IS NOT NULL AND
+                   epoch_us(ts::TIMESTAMP) - epoch_us(lt.t_ts::TIMESTAMP)
+                   <= {ATTR_WINDOW_US}
+              THEN lt.t_type ELSE 'none' END AS trigger_type,
+         CASE WHEN lt IS NOT NULL AND
+                   epoch_us(ts::TIMESTAMP) - epoch_us(lt.t_ts::TIMESTAMP)
+                   <= {ATTR_WINDOW_US}
+              THEN epoch_us(ts::TIMESTAMP) - epoch_us(lt.t_ts::TIMESTAMP)
+         END AS lag_us
+  FROM marked WHERE event_type = 'purchase')
+SELECT trigger_type, count(*)::BIGINT AS n_conversions,
+       round(sum(lag_us)::DOUBLE / count(lag_us) / 1000000, 6) AS mean_lag_s
+FROM conv GROUP BY trigger_type
+"""
+
+QUERIES["events_attribution"] = events_attribution
+ORACLES["events_attribution"] = ORACLE_ATTRIBUTION
