@@ -226,3 +226,22 @@ def dot_expr(a: str, b: str, dialect: str) -> str:
         f"list_sum(list_transform(range(1, len({a}) + 1),"
         f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
     )
+
+
+def zorder_key(a: str, b: str, bits: int, dialect: str) -> str:
+    """Z-order (Morton) interleave of the low ``bits`` bits of two
+    non-negative integer expressions — the multi-dimensional sort key
+    for data-layout clustering: sorting files by this key gives tight
+    per-file min/max ranges on BOTH columns, so parquet row-group
+    pruning works for predicates on either dimension (the 100 TB lever
+    behind Delta/Iceberg ``ZORDER BY``). Pure integer arithmetic,
+    bit-identical in both dialects."""
+    terms = []
+    for i in range(bits):
+        if dialect == "spark":
+            terms.append(f"shiftleft(({a} >> {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(({b} >> {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

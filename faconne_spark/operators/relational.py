@@ -134,3 +134,94 @@ def salted_join(
     )
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def mad_outliers(
+    df: DataFrame, key: str, col: str, k: float = 3.0
+) -> DataFrame:
+    """Robust per-group outlier summary: median / MAD (median absolute
+    deviation) per ``key``, and how many rows sit beyond ``k`` MADs —
+    the standard heavy-tail-safe anomaly gauge (z-scores melt when the
+    tail itself shifts the mean).
+
+    Exact two-pass formulation: pass 1 computes each group's median,
+    pass 2 the median of absolute deviations, pass 3 counts the
+    outliers — three scans, each a partial-agg/broadcast-join pipeline.
+    Exact ``median`` buffers one group's values per task, so this is
+    for LOW-CARDINALITY keys (event types, sources); for high-cardinality
+    keys swap in ``percentile_approx`` and lose bit-exactness.
+    Medians and deviations are rounded to 6 dp so the DuckDB oracle
+    (same interpolating median) matches bit-for-bit."""
+    med = df.groupBy(key).agg(
+        F.round(F.expr(f"median({col})"), 6).alias("med")
+    )
+    dev = df.join(F.broadcast(med), key).withColumn(
+        "_dev", F.round(F.abs(F.round(F.col(col), 6) - F.col("med")), 6)
+    )
+    mad = dev.groupBy(key).agg(
+        F.round(F.expr("median(_dev)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), key)
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def scd2_merge(
+    dim: DataFrame, updates: DataFrame, key: str, tracked: list
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply an update batch to
+    a current dimension snapshot, emitting versioned rows — unchanged
+    rows stay (version 1, current); changed keys close the old row and
+    open a version-2 row; brand-new keys insert as version 1.
+
+    One full-outer equi-join on the key, then ONE pass building both
+    output rows per key as an array-of-struct that's exploded — the
+    join never runs twice (a UNION of old/new selects would re-execute
+    it). Dimension-sized shuffle on the key: the CDC-merge shape that
+    holds at 100 TB fact scale because it never touches facts.
+    ``tracked`` columns are compared null-safely; output carries
+    (key, version, is_current, *tracked)."""
+    u = updates.select(
+        F.col(key), *[F.col(c).alias(f"_u_{c}") for c in tracked]
+    )
+    d = dim.select(
+        F.col(key),
+        F.lit(True).alias("_in_dim"),
+        *[F.col(c) for c in tracked],
+    )
+    j = d.join(u.withColumn("_in_upd", F.lit(True)), key, "full_outer")
+    changed = " OR ".join(
+        f"NOT ({c} <=> _u_{c})" for c in tracked
+    )
+    old_cols = ", ".join(f"'{c}', {c}" for c in tracked)
+    new_cols = ", ".join(f"'{c}', _u_{c}" for c in tracked)
+    rows = (
+        # old row: whenever the key existed; current unless superseded
+        f"CASE WHEN _in_dim THEN named_struct('version', 1, 'is_current',"
+        f" NOT (_in_upd IS NOT NULL AND ({changed})), {old_cols}) END"
+        ,
+        # new row: an update that changes something (or inserts a key)
+        f"CASE WHEN _in_upd AND (_in_dim IS NULL OR ({changed}))"
+        f" THEN named_struct('version', CASE WHEN _in_dim THEN 2 ELSE 1 END,"
+        f" 'is_current', true, {new_cols}) END"
+    )
+    return (
+        j.select(
+            key,
+            F.explode(
+                F.expr(
+                    f"filter(array({rows[0]}, {rows[1]}), x -> x IS NOT NULL)"
+                )
+            ).alias("_v"),
+        )
+        .select(key, "_v.version", "_v.is_current", *[f"_v.{c}" for c in tracked])
+    )

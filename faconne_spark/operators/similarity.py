@@ -515,3 +515,47 @@ def recall_eval(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             ),
         )
     )
+
+
+def contamination_cosine(
+    corpus: DataFrame, benchmark: DataFrame, threshold: float
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose max
+    cosine similarity against any benchmark/eval vector reaches
+    ``threshold`` — the semantic sibling of n-gram contamination checks
+    (paraphrased eval leakage that exact-match misses).
+
+    The benchmark set is broadcast (eval suites are tiny next to a
+    training corpus); the corpus is scanned ONCE, scored against every
+    benchmark vector map-side, and the per-vector max is a partial
+    aggregation — the shuffle carries one row per corpus vector, never
+    the corpus × benchmark cross product. Ties on the rounded
+    similarity pick the lowest benchmark id, so results are
+    deterministic for the oracle."""
+    b = F.broadcast(
+        benchmark.select(
+            F.col("vec_id").alias("bench_id"), F.col("embedding").alias("b_emb")
+        )
+    )
+    scored = (
+        spread(corpus)
+        .select("vec_id", "embedding")
+        .crossJoin(b)
+        .select(
+            "vec_id",
+            "bench_id",
+            F.round(
+                F.expr(cosine_sim("embedding", "b_emb", "spark")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr("max_by(bench_id, struct(cos_sim, -bench_id))").alias(
+                "bench_id"
+            ),
+            F.max("cos_sim").alias("max_cos"),
+        )
+        .filter(F.col("max_cos") >= threshold)
+    )

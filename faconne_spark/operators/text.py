@@ -686,3 +686,55 @@ def lang_id_trained(docs: DataFrame, top_m: int = 40) -> DataFrame:
             F.coalesce(F.col("_b.hits"), F.lit(0)).alias("pred_hits"),
         )
     )
+
+
+def sqrt_temperature_sample(
+    docs: DataFrame, budget_frac: float = 0.5, salt: str = "samp"
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (α = 0.5): per-source
+    acceptance budgets proportional to sqrt(source size), so
+    low-resource sources are up-weighted relative to their share — the
+    standard multilingual/multi-source rebalancing step before
+    training. Returns the per-source plan with realized keep counts.
+
+    Window-free and collect-free: membership is decided per document by
+    comparing its portable hash (mod the source size) against the
+    source's budget — ``hash_mod * Σw < budget * w_s`` rearranged so
+    only DECIMAL(38,0) multiplications appear (no division whose
+    last-place rounding could differ between engines; sqrt is IEEE
+    correctly-rounded in both). The per-source stats relation is tiny
+    and broadcast; the corpus is scanned once, map-side."""
+    from faconne_spark.functions import phash60
+
+    w_expr = "cast(round(sqrt(n_docs) * 1000000, 0) as decimal(38,0))"
+    stats = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = stats.agg(
+        F.sum("n_docs").alias("_total"),
+        F.sum(F.expr(w_expr)).alias("_sum_w"),
+    )
+    st = (
+        stats.withColumn("_w", F.expr(w_expr))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_budget",
+            F.expr(
+                f"cast(round(_total * {budget_frac}, 0) as decimal(38,0))"
+            ),
+        )
+    )
+    h = phash60(f"concat('{salt}', cast(doc_id as string))", "spark")
+    kept = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(st), "source")
+        .withColumn(
+            "_keep",
+            F.expr(
+                f"cast(pmod({h}, n_docs) as decimal(38,0)) * _sum_w"
+                f" < _budget * _w"
+            ),
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+    )

@@ -28,6 +28,9 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # the ones whose green row is stale — followed by the rest in r3 order.
 _FIRST = [
     # -- new this round (no driver row yet) --
+    "contamination_embedding", "sample_temperature", "events_anomaly_mad",
+    "scd2_customer_merge", "dedup_keep_best", "docs_zipf_slope",
+    "events_zorder_key",
     "ann_recall_eval", "text_readability", "dedup_minhash_calibration",
     "embed_threshold_sweep", "join_skew_report", "corpus_snapshot_diff",
     "events_attribution",
@@ -62,10 +65,16 @@ _FIRST = [
 
 
 def _merged(attr: str) -> dict:
-    from faconne_spark.queries import faconne_demo, pipeline, tpch, tpch_ext
+    from faconne_spark.queries import (
+        curation,
+        faconne_demo,
+        pipeline,
+        tpch,
+        tpch_ext,
+    )
 
     merged = {}
-    for mod in (faconne_demo, tpch, tpch_ext, pipeline):
+    for mod in (faconne_demo, tpch, tpch_ext, pipeline, curation):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}
     out.update(merged)

@@ -1,0 +1,380 @@
+"""Round-4b curation/layout queries: embedding decontamination,
+temperature mixture sampling, robust anomaly gauges, SCD2 dimension
+merges, semantic keep-best dedup, Zipf corpus fit, and Z-order layout
+keys — the data-curation surface a 100 TB training pipeline runs
+between raw crawl and training manifest.
+
+Every query has a DuckDB oracle computing the same algorithm from the
+same portable integer/hash primitives (``faconne_spark.functions``), so
+results match bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from faconne_spark.functions import (
+    cosine_sim,
+    phash60,
+    tokens_ws,
+    zorder_key,
+)
+from faconne_spark.operators import relational as R
+from faconne_spark.operators import similarity as S
+from faconne_spark.operators import text as TX
+from faconne_spark.operators import dedup as D
+from faconne_spark.queries import T
+
+CONTAM_T = 0.35  # same operating point as dedup_embedding_cosine
+BENCH_MOD = 50  # every 50th vector plays the held-out benchmark set
+MAD_K = 3.0
+ZBITS = 8  # 8 bits per dimension → 16-bit Morton key
+ZCELL_SHIFT = 6  # keep the top 10 of 16 interleaved bits (1024 cells)
+ZTOP = 20
+
+
+# ------------------------------------------------- decontamination
+
+def contamination_embedding(spark, sf):
+    """Corpus vectors semantically too close to the benchmark subset
+    (vec_id % BENCH_MOD == 0): max-cosine ≥ CONTAM_T → leaked."""
+    emb = T(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") % BENCH_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % BENCH_MOD != 0)
+    return S.contamination_cosine(corpus, bench, CONTAM_T)
+
+
+ORACLE_CONTAM_EMB = f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding AS b_emb
+  FROM embeddings WHERE vec_id % {BENCH_MOD} = 0),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+         round({cosine_sim('c.embedding', 'b.b_emb', 'duckdb')}, 6) AS cos_sim
+  FROM embeddings c CROSS JOIN bench b
+  WHERE c.vec_id % {BENCH_MOD} != 0)
+SELECT vec_id,
+       first(bench_id ORDER BY cos_sim DESC, bench_id) AS bench_id,
+       max(cos_sim) AS max_cos
+FROM scored GROUP BY vec_id
+HAVING max(cos_sim) >= {CONTAM_T}
+"""
+
+
+# ------------------------------------------------- mixture sampling
+
+def sample_temperature(spark, sf):
+    """α=0.5 temperature mixture plan over sources with realized
+    hash-deterministic keep counts (window- and division-free)."""
+    return TX.sqrt_temperature_sample(T(spark, sf, "documents"))
+
+
+_DUCK_SAMP_H = phash60("('samp' || doc_id)", "duckdb")
+
+ORACLE_SAMPLE_TEMP = f"""
+WITH stats AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (
+  SELECT sum(n_docs) AS _total,
+         sum(CAST(round(sqrt(n_docs) * 1000000, 0) AS DECIMAL(38,0)))
+           AS _sum_w
+  FROM stats),
+st AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(n_docs) * 1000000, 0) AS DECIMAL(38,0)) AS _w,
+         _sum_w,
+         CAST(round(_total * 0.5, 0) AS DECIMAL(38,0)) AS _budget
+  FROM stats, tot),
+k AS (
+  SELECT d.source, st.n_docs,
+         CASE WHEN CAST(({_DUCK_SAMP_H}) % st.n_docs AS DECIMAL(38,0))
+                   * st._sum_w < st._budget * st._w
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN st ON st.source = d.source)
+SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept
+FROM k GROUP BY source
+"""
+
+
+# ------------------------------------------------- robust anomalies
+
+def events_anomaly_mad(spark, sf):
+    """Median/MAD outlier summary per event_type (k = 3 MADs)."""
+    return R.mad_outliers(T(spark, sf, "events"), "event_type", "value", MAD_K)
+
+
+ORACLE_ANOMALY_MAD = f"""
+WITH s1 AS (
+  SELECT event_type, round(median(value), 6) AS med
+  FROM events GROUP BY 1),
+d AS (
+  SELECT e.event_type, s1.med,
+         round(abs(round(e.value, 6) - s1.med), 6) AS dev
+  FROM events e JOIN s1 USING (event_type)),
+s2 AS (
+  SELECT event_type, round(median(dev), 6) AS mad FROM d GROUP BY 1)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(d.med) AS med,
+       max(s2.mad) AS mad,
+       CAST(sum(CASE WHEN d.dev > {MAD_K} * s2.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN s2 USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+# ------------------------------------------------- SCD2 merge
+
+def scd2_customer_merge(spark, sf):
+    """SCD2 merge of a derived update batch into the customer
+    dimension: every 10th key changes balance+address (close old row,
+    open v2), every 97th key re-appears as a brand-new key (insert)."""
+    cust = T(spark, sf, "customer")
+    upd_changed = cust.filter("c_custkey % 10 = 0").select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.concat(F.col("c_mktsegment"), F.lit("-MOVED")).alias(
+            "c_mktsegment"
+        ),
+    )
+    upd_new = cust.filter("c_custkey % 97 = 0").select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return R.scd2_merge(
+        cust,
+        upd_changed.unionByName(upd_new),
+        "c_custkey",
+        ["c_acctbal", "c_mktsegment"],
+    )
+
+
+ORACLE_SCD2 = """
+WITH upd AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS u_acctbal,
+         c_mktsegment || '-MOVED' AS u_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 0.0, 'NEW'
+  FROM customer WHERE c_custkey % 97 = 0),
+j AS (
+  SELECT coalesce(c.c_custkey, u.c_custkey) AS c_custkey,
+         c.c_custkey IS NOT NULL AS in_dim,
+         u.c_custkey IS NOT NULL AS in_upd,
+         c.c_acctbal, c.c_mktsegment, u.u_acctbal, u.u_mktsegment,
+         (NOT (c.c_acctbal IS NOT DISTINCT FROM u.u_acctbal)
+          OR NOT (c.c_mktsegment IS NOT DISTINCT FROM u.u_mktsegment))
+           AS chg
+  FROM customer c FULL OUTER JOIN upd u ON u.c_custkey = c.c_custkey)
+SELECT c_custkey, 1 AS version,
+       NOT (in_upd AND chg) AS is_current, c_acctbal, c_mktsegment
+FROM j WHERE in_dim
+UNION ALL
+SELECT c_custkey, CASE WHEN in_dim THEN 2 ELSE 1 END, true,
+       u_acctbal, u_mktsegment
+FROM j WHERE in_upd AND (NOT in_dim OR chg)
+"""
+
+
+# ------------------------------------------------- semantic keep-best
+
+def dedup_keep_best(spark, sf):
+    """Within each simhash near-dup cluster keep the longest document
+    (most tokens, ties → lowest doc_id) — the keep-best policy that
+    follows cluster detection in a curation pipeline.  One aggregation
+    over the cluster relation; no windows."""
+    docs = T(spark, sf, "documents")
+    from faconne_spark.queries.pipeline import SIMHASH_MAX_HAM
+
+    clusters = D.connected_components(D.simhash_pairs(docs, SIMHASH_MAX_HAM))
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"size({tokens_ws('text', 'spark')})").alias("n_tokens"),
+    )
+    return (
+        clusters.join(toks, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.expr("max_by(doc_id, struct(n_tokens, -doc_id))").alias(
+                "keeper_id"
+            ),
+            F.max("n_tokens").alias("keeper_tokens"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+def _oracle_keep_best() -> str:
+    from faconne_spark.queries.pipeline import ORACLE_CLUSTERS
+
+    tail = (
+        "SELECT node AS doc_id, min(lbl) AS cluster_id\n"
+        "FROM reach GROUP BY node"
+    )
+    assert tail in ORACLE_CLUSTERS, "ORACLE_CLUSTERS tail changed"
+    return ORACLE_CLUSTERS.replace(
+        tail,
+        f""", comp AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id
+  FROM reach GROUP BY node),
+tk AS (
+  SELECT doc_id, len({tokens_ws('text', 'duckdb')}) AS n_tokens
+  FROM documents)
+SELECT c.cluster_id,
+       first(t.doc_id ORDER BY t.n_tokens DESC, t.doc_id) AS keeper_id,
+       CAST(max(t.n_tokens) AS BIGINT) AS keeper_tokens,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM comp c JOIN tk t ON t.doc_id = c.doc_id
+GROUP BY c.cluster_id""",
+    )
+
+
+# ------------------------------------------------- Zipf corpus fit
+
+def docs_zipf_slope(spark, sf):
+    """Zipf law fit over the corpus token-frequency table: least-squares
+    slope/R² of ln(freq) against ln(rank) — the one-row corpus-health
+    gauge for unnatural token distributions (boilerplate floods, spam).
+
+    The regression sums are integer-scaled (round(ln·10⁶) per term,
+    DECIMAL(38,0) accumulation) so they are order-independent and
+    bit-identical in both engines; the final slope/R² division happens
+    once, on exact integers cast to double.  The rank window sorts only
+    the VOCABULARY relation (≪ corpus; bounded by distinct tokens), not
+    the corpus — the same dimension-bound disclaimer as the global
+    ntile queries."""
+    docs = T(spark, sf, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.expr(tokens_ws("text", "spark"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("f").desc(), "tok"))
+    ).select(
+        "f",
+        F.expr("cast(round(ln(rk) * 1000000, 0) as bigint)").alias("x"),
+        F.expr("cast(round(ln(f) * 1000000, 0) as bigint)").alias("y"),
+    )
+    a = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("f").alias("toks"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x * x as decimal(38,0))")).alias("sxx"),
+        F.sum(F.expr("cast(x * y as decimal(38,0))")).alias("sxy"),
+        F.sum(F.expr("cast(y * y as decimal(38,0))")).alias("syy"),
+    )
+    return a.select(
+        F.col("n").alias("vocab_size"),
+        F.col("toks").alias("n_tokens"),
+        F.expr(
+            "round(cast(n * sxy - sx * sy as double)"
+            " / cast(n * sxx - sx * sx as double), 6)"
+        ).alias("zipf_slope"),
+        F.expr(
+            "round(cast(n * sxy - sx * sy as double)"
+            " * cast(n * sxy - sx * sy as double)"
+            " / (cast(n * sxx - sx * sx as double)"
+            "    * cast(n * syy - sy * sy as double)), 6)"
+        ).alias("zipf_r2"),
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH f AS (
+  SELECT tok, count(*) AS f
+  FROM (SELECT unnest({tokens_ws('text', 'duckdb')}) AS tok
+        FROM documents)
+  GROUP BY tok),
+r AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk FROM f),
+s AS (
+  SELECT f,
+         CAST(round(ln(rk) * 1000000, 0) AS BIGINT) AS x,
+         CAST(round(ln(f) * 1000000, 0) AS BIGINT) AS y
+  FROM r),
+a AS (
+  SELECT count(*) AS n, CAST(sum(f) AS BIGINT) AS toks,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM s)
+SELECT n AS vocab_size, toks AS n_tokens,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS zipf_r2
+FROM a
+"""
+
+
+# ------------------------------------------------- Z-order layout
+
+def events_zorder_key(spark, sf):
+    """Z-order layout audit: interleave (user_id, hour) into a Morton
+    key and report the ZTOP densest coarse z-cells — the clustering
+    diagnostic run before re-writing a table Z-ORDERed so range
+    predicates on either column prune files.  Map-side key computation
+    + one partial-agg shuffle on the (bounded) cell id."""
+    z = zorder_key(
+        "(user_id & 255)",
+        "(cast(floor(unix_timestamp(ts) / 3600.0) as bigint) & 255)",
+        ZBITS,
+        "spark",
+    )
+    return (
+        T(spark, sf, "events")
+        .select(F.expr(f"({z}) >> {ZCELL_SHIFT}").alias("zcell"))
+        .groupBy("zcell")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "zcell")
+        .limit(ZTOP)
+    )
+
+
+_DUCK_Z = zorder_key(
+    "(user_id & 255)",
+    "(CAST(floor(epoch(ts) / 3600.0) AS BIGINT) & 255)",
+    ZBITS,
+    "duckdb",
+)
+
+ORACLE_ZORDER = f"""
+SELECT ({_DUCK_Z}) >> {ZCELL_SHIFT} AS zcell,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY n_events DESC, zcell
+LIMIT {ZTOP}
+"""
+
+
+QUERIES = {
+    "contamination_embedding": contamination_embedding,
+    "sample_temperature": sample_temperature,
+    "events_anomaly_mad": events_anomaly_mad,
+    "scd2_customer_merge": scd2_customer_merge,
+    "dedup_keep_best": dedup_keep_best,
+    "docs_zipf_slope": docs_zipf_slope,
+    "events_zorder_key": events_zorder_key,
+}
+
+ORACLES = {
+    "contamination_embedding": ORACLE_CONTAM_EMB,
+    "sample_temperature": ORACLE_SAMPLE_TEMP,
+    "events_anomaly_mad": ORACLE_ANOMALY_MAD,
+    "scd2_customer_merge": ORACLE_SCD2,
+    "dedup_keep_best": _oracle_keep_best(),
+    "docs_zipf_slope": ORACLE_ZIPF,
+    "events_zorder_key": ORACLE_ZORDER,
+}

@@ -303,3 +303,52 @@ def test_snapshot_diff_single_join(spark, sf_dir):
     plan = plan_of(corpus_snapshot_diff(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_contamination_embedding_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination must broadcast the benchmark side (corpus never
+    shuffles for scoring) and keep the per-vector max a partial agg."""
+    from faconne_spark.queries.curation import contamination_embedding
+
+    plan = plan_of(contamination_embedding(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_max" in plan.split("Exchange")[-1] or "partial" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sample_temperature_has_no_window_or_python(spark, sf_dir):
+    """Mixture sampling is window-free (membership by hash-budget
+    comparison) with the stats relation broadcast — the corpus is one
+    map-side pass."""
+    from faconne_spark.queries.curation import sample_temperature
+
+    plan = plan_of(sample_temperature(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_merge_single_join(spark, sf_dir):
+    """The SCD2 array-of-struct/explode formulation must run exactly ONE
+    join of dim vs updates (a UNION formulation would run it twice)."""
+    from faconne_spark.queries.curation import scd2_customer_merge
+
+    plan = plan_of(scd2_customer_merge(spark, sf_dir))
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + (
+        plan.count("BroadcastHashJoin")
+    )
+    assert joins == 1, f"expected exactly one dim-vs-updates join:\n{plan}"
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_zorder_key_is_map_side(spark, sf_dir):
+    """The Morton-key audit is one partial-agg shuffle on the cell id —
+    no joins, no windows, key computed in the scan projection."""
+    from faconne_spark.queries.curation import events_zorder_key
+
+    plan = plan_of(events_zorder_key(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan.split("Exchange")[-1] or (
+        "partial_count" in plan
+    )
