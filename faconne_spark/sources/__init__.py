@@ -163,3 +163,64 @@ def read_binary_files(
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     return reader.load(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    bits: int = 8,
+    n_files: int | None = None,
+    bounds: tuple | None = None,
+    mode: str = "overwrite",
+):
+    """Z-ORDER-clustered parquet sink: rows are range-partitioned and
+    sorted by the Morton interleave of two cluster columns before
+    writing, so every output file covers a tight min/max range on BOTH
+    columns — parquet row-group/file pruning then works for range
+    predicates on either one (the layout trick behind Delta/Iceberg
+    ``ZORDER BY``, expressed with stock Spark operators).
+
+    Each column is min/max-scaled to the full ``bits`` width before
+    interleaving (one cheap extra min/max scan, or pass ``bounds`` to
+    skip it) — interleaving RAW low bits would let whichever dimension
+    has the larger magnitude dominate every significant bit and destroy
+    locality on the other (a 0–1500 id column against an epoch-hour
+    column never constrains a file's range without scaling).
+
+    ``repartitionByRange`` samples the key, so file boundaries adapt to
+    its distribution (a skewed dimension doesn't produce one fat file);
+    ``sortWithinPartitions`` orders rows inside each file so row-group
+    stats are tight too, enabling page/row-group skipping within files.
+    The z-key column is dropped before the write — layout is invisible
+    to readers.  S10 in SURVEY §2.7."""
+    from pyspark.sql import functions as F
+
+    from faconne_spark.functions import zorder_key
+
+    if len(cols) != 2:
+        raise ValueError(f"write_zordered clusters exactly 2 columns, got {cols}")
+    a, b = cols
+    if bounds is None:
+        r = df.agg(
+            F.min(a), F.max(a), F.min(b), F.max(b)
+        ).first()
+        bounds = (r[0], r[1], r[2], r[3])
+    amin, amax, bmin, bmax = (int(v) for v in bounds)
+    m = 1 << bits
+
+    def scaled(col, lo, hi):
+        return f"((({col}) - {lo}) * {m} div {hi - lo + 1})"
+
+    z = zorder_key(
+        scaled(a, amin, amax), scaled(b, bmin, bmax), bits, "spark"
+    )
+    keyed = df.withColumn("_zkey", F.expr(z))
+    n = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    (
+        keyed.repartitionByRange(n, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

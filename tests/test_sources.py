@@ -194,3 +194,66 @@ def test_binary_file_source_feeds_media_pipeline(spark, tmp_path):
         assert meta[i][2] == len(
             bmp_encode(w, h, bytes(h * bmp_row_stride(w)))
         )
+
+
+def test_zordered_layout_tightens_file_ranges(spark, sf_dir, tmp_path):
+    """S10: writing events Z-ORDERed by (user_id, hour) must leave each
+    output file covering a small min/max span on user_id — the property
+    parquet pruning keys off — whereas the natural (time-ordered) layout
+    leaves every file spanning nearly the full user range.  Also checks
+    the layout is invisible: same rows, no helper column."""
+    import glob as globmod
+    import os
+
+    import pyarrow.parquet as pq
+
+    from faconne_spark.queries import T
+    from faconne_spark.sources import write_zordered
+
+    events = T(spark, sf_dir, "events").withColumn(
+        "hour",
+        F.expr("cast(floor(unix_timestamp(ts) / 3600.0) as bigint)"),
+    )
+    out = str(tmp_path / "events_z")
+    write_zordered(events, out, ["user_id", "hour"], bits=8, n_files=16)
+
+    files = sorted(globmod.glob(os.path.join(out, "*.parquet")))
+    assert len(files) > 1, "need multiple files for pruning to mean anything"
+
+    def user_spans(paths):
+        spans = []
+        for f in paths:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index("user_id")
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return spans
+
+    # baseline: the natural (time-ordered) layout at the same file count
+    nat = str(tmp_path / "events_nat")
+    (
+        events.repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(nat)
+    )
+    nat_files = sorted(globmod.glob(os.path.join(nat, "*.parquet")))
+    z_spans = user_spans(files)
+    nat_spans = user_spans(nat_files)
+    avg = lambda xs: sum(xs) / len(xs)
+    # Morton boundary files may straddle a z-jump (that's inherent), so
+    # the claim is aggregate: z-clustered files cover far less of the
+    # user range on average than time-ordered ones — which is exactly
+    # what min/max file pruning keys off.
+    assert avg(z_spans) <= 0.6 * avg(nat_spans), (z_spans, nat_spans)
+
+    back = spark.read.parquet(out)
+    assert "_zkey" not in back.columns
+    assert back.count() == events.count()
