@@ -430,3 +430,84 @@ def incremental_dedup_epoch(batch_df, epoch_id, state_dir, out_dir):
         .partitionBy("epoch")
         .parquet(state_dir)
     )
+
+
+def user_totals_transform_with_state(stream: DataFrame):
+    """Per-user running totals on the ``transformWithState`` API —
+    Spark 4's successor to ``applyInPandasWithState`` and the shape new
+    stateful operators should take: named state variables on a handle
+    (value/list/map state, TTL, timers) instead of one opaque tuple,
+    with the same per-key sharding in the state store.
+
+    Functionally identical to :func:`user_totals_stateful`, asserted
+    against it and against the batch groupBy in tests.  Requires the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — the HDFS-backed
+    default does not support transformWithState.  State here is one
+    (n, total) record per user; ``ttlDurationMs`` on the value state
+    would bound it on unbounded key spaces (the TWS analogue of the
+    ProcessingTimeTimeout eviction in the old API)."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=USER_TOTALS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _totals_step(prior, pdfs):
+    """One micro-batch of the per-user totals fold: shared by the
+    transformWithState processor and its runtime-free unit test (the
+    sandboxed runtime may lack the protobuf state protocol — see
+    :func:`transform_with_state_available`)."""
+    n, total = prior if prior is not None else (0, 0.0)
+    batch_n = 0
+    for pdf in pdfs:
+        batch_n += len(pdf)
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    return n, float(total), batch_n
+
+
+def _lazy_stateful_processor_base():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return StatefulProcessor
+
+
+class UserTotalsProcessor(_lazy_stateful_processor_base()):
+    """transformWithState processor for per-user running totals —
+    named value state ('totals') on the handle."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", "n bigint, total double")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        prior = self._state.get() if self._state.exists() else None
+        n, total, batch_n = _totals_step(prior, rows)
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "batch_events": [batch_n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState ships a protobuf-based state-server protocol;
+    without ``google.protobuf`` on the workers the streaming driver
+    worker crashes at init. Gate runtime use on this check."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
