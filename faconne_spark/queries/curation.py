@@ -378,3 +378,74 @@ ORACLES = {
     "docs_zipf_slope": ORACLE_ZIPF,
     "events_zorder_key": ORACLE_ZORDER,
 }
+
+
+# --------------------------------------------- perplexity buckets
+
+PPL_QS = "0.25, 0.5, 0.75"
+
+
+def docs_perplexity_buckets(spark, sf):
+    """CCNet-style perplexity bucketing: quartile the corpus by its
+    unigram-log-prob quality proxy and report per-bucket stats — the
+    head/middle/tail split used to stage training data by quality.
+
+    The three cut points are an exact percentile over the per-doc score
+    relation, broadcast back as ONE row — no global sort of the corpus,
+    no ntile window (the same shape as the user_rfm_segments rewrite).
+    Per-bucket means are integer-scaled sums (order-independent,
+    engine-exact)."""
+    lp = TX.unigram_logprob(T(spark, sf, "documents"))
+    cuts = (
+        lp.agg(
+            F.expr(f"percentile(mean_logprob, array({PPL_QS}))").alias("c")
+        )
+        .select(
+            F.round(F.expr("c[0]"), 6).alias("c1"),
+            F.round(F.expr("c[1]"), 6).alias("c2"),
+            F.round(F.expr("c[2]"), 6).alias("c3"),
+        )
+    )
+    b = lp.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.expr(
+            "CASE WHEN mean_logprob <= c1 THEN 0"
+            " WHEN mean_logprob <= c2 THEN 1"
+            " WHEN mean_logprob <= c3 THEN 2 ELSE 3 END"
+        ),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("mean_logprob").alias("min_logprob"),
+        F.max("mean_logprob").alias("max_logprob"),
+        F.expr(
+            "round(cast(sum(cast(round(mean_logprob * 1000000, 0) as bigint))"
+            " as double) / 1000000.0 / count(*), 6)"
+        ).alias("avg_logprob"),
+    )
+
+
+def _oracle_perplexity_buckets() -> str:
+    from faconne_spark.queries.pipeline import ORACLE_LOGPROB
+
+    return f"""
+WITH lp AS ({ORACLE_LOGPROB.strip()}),
+cuts AS (
+  SELECT round(q[1], 6) AS c1, round(q[2], 6) AS c2, round(q[3], 6) AS c3
+  FROM (SELECT quantile_cont(mean_logprob, [{PPL_QS}]) AS q FROM lp)),
+b AS (
+  SELECT lp.*, CASE WHEN mean_logprob <= c1 THEN 0
+                    WHEN mean_logprob <= c2 THEN 1
+                    WHEN mean_logprob <= c3 THEN 2 ELSE 3 END AS bucket
+  FROM lp CROSS JOIN cuts)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min(mean_logprob) AS min_logprob,
+       max(mean_logprob) AS max_logprob,
+       round(sum(CAST(round(mean_logprob * 1000000, 0) AS BIGINT))::DOUBLE
+             / 1000000.0 / count(*), 6) AS avg_logprob
+FROM b GROUP BY bucket
+"""
+
+
+QUERIES["docs_perplexity_buckets"] = docs_perplexity_buckets
+ORACLES["docs_perplexity_buckets"] = _oracle_perplexity_buckets()
