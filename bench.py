@@ -160,6 +160,15 @@ def main() -> None:
         "join_skew_report",
         "corpus_snapshot_diff",
         "text_readability",
+        # round-4b curation family (timed, not headline)
+        "contamination_embedding",
+        "sample_temperature",
+        "events_anomaly_mad",
+        "scd2_customer_merge",
+        "dedup_keep_best",
+        "docs_zipf_slope",
+        "events_zorder_key",
+        "docs_perplexity_buckets",
     ]
     times = {}
     shuffle = {}

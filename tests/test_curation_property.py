@@ -1,0 +1,166 @@
+"""Property tests for the round-4b curation operators: random inputs
+through the Spark operators, checked against hand-written Python
+oracles / invariants (the SURVEY §5.2 strategy applied to the new
+surface)."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+keys = st.integers(0, 20)
+vals = st.tuples(
+    st.floats(-1000, 1000, allow_nan=False).map(lambda x: round(x, 2)),
+    st.sampled_from(["A", "B", "C"]),
+)
+
+
+@PROP
+@given(
+    dim=st.dictionaries(keys, vals, min_size=1, max_size=8),
+    upd=st.dictionaries(keys, vals, max_size=8),
+)
+def test_scd2_merge_invariants(spark, dim, upd):
+    """For ANY dim/update pair: every output key has exactly one
+    current row; unchanged keys keep their single v1 row; changed keys
+    close v1 and open v2; insert-only keys appear once as v1."""
+    from faconne_spark.operators.relational import scd2_merge
+
+    d = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in dim.items()], "k bigint, bal double, seg string"
+    )
+    u = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in upd.items()], "k bigint, bal double, seg string"
+    )
+    out = scd2_merge(d, u, "k", ["bal", "seg"]).collect()
+
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    assert set(by_key) == set(dim) | set(upd)
+    for k, rows in by_key.items():
+        current = [r for r in rows if r["is_current"]]
+        assert len(current) == 1, (k, rows)
+        changed = (
+            k in dim and k in upd and dim[k] != upd[k]
+        )
+        if k in dim and not changed:
+            assert len(rows) == 1
+            assert rows[0]["version"] == 1
+            assert (rows[0]["bal"], rows[0]["seg"]) == dim[k]
+        elif changed:
+            assert sorted(r["version"] for r in rows) == [1, 2]
+            v1 = next(r for r in rows if r["version"] == 1)
+            v2 = next(r for r in rows if r["version"] == 2)
+            assert not v1["is_current"] and v2["is_current"]
+            assert (v1["bal"], v1["seg"]) == dim[k]
+            assert (v2["bal"], v2["seg"]) == upd[k]
+        else:  # insert-only
+            assert len(rows) == 1
+            assert rows[0]["version"] == 1
+            assert (rows[0]["bal"], rows[0]["seg"]) == upd[k]
+
+
+@PROP
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["s1", "s2", "s3", "s4"]),
+        st.integers(1, 40),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_temperature_sample_invariants(spark, counts):
+    """For ANY per-source sizes: kept ≤ size per source, output covers
+    every source, sizes echo the input, and the draw is deterministic
+    (same input → identical result)."""
+    from faconne_spark.operators.text import sqrt_temperature_sample
+
+    rows = [
+        (f"{src}_{i}", src)
+        for src, n in counts.items()
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        [(abs(hash(d)) % (10**9), s) for d, s in rows],
+        "doc_id bigint, source string",
+    ).dropDuplicates(["doc_id"])
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    out1 = {
+        r["source"]: (r["n_docs"], r["n_kept"])
+        for r in sqrt_temperature_sample(docs).collect()
+    }
+    out2 = {
+        r["source"]: (r["n_docs"], r["n_kept"])
+        for r in sqrt_temperature_sample(docs).collect()
+    }
+    assert out1 == out2  # hash-deterministic
+    assert set(out1) == set(sizes)
+    for src, (n_docs, n_kept) in out1.items():
+        assert n_docs == sizes[src]
+        assert 0 <= n_kept <= n_docs
+
+
+def test_zorder_key_is_a_bijection(spark):
+    """The Morton interleave must be a bijection of 8-bit pairs onto
+    [0, 65536) — any collision would let unrelated (a, b) cells share
+    file ranges and silently break pruning selectivity."""
+    from faconne_spark.functions import zorder_key
+
+    grid = spark.range(0, 1 << 16).select(
+        (F.col("id") % 256).alias("a"), (F.col("id") / 256).cast("long").alias("b")
+    )
+    z = zorder_key("a", "b", 8, "spark")
+    stats = grid.select(F.expr(z).alias("z")).agg(
+        F.countDistinct("z").alias("nd"),
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+    ).collect()[0]
+    assert stats["nd"] == 1 << 16
+    assert stats["lo"] == 0 and stats["hi"] == (1 << 16) - 1
+
+
+@PROP
+@given(
+    values=st.lists(
+        st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 3)),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_mad_outliers_matches_python_oracle(spark, values):
+    """Single-group median/MAD/outlier-count vs a pure-Python oracle
+    (sorted-list interpolating median, same 6-dp rounding)."""
+    from faconne_spark.operators.relational import mad_outliers
+
+    def pymedian(xs):
+        s = sorted(xs)
+        n = len(s)
+        mid = (n - 1) / 2
+        lo, hi = s[math.floor(mid)], s[math.ceil(mid)]
+        return lo + (hi - lo) * (mid - math.floor(mid))
+
+    med = round(pymedian(values), 6)
+    devs = [round(abs(round(v, 6) - med), 6) for v in values]
+    mad = round(pymedian(devs), 6)
+    n_out = sum(1 for d in devs if d > 3.0 * mad)
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in values], "grp string, v double"
+    )
+    r = mad_outliers(df, "grp", "v", 3.0).collect()[0]
+    assert r["n_events"] == len(values)
+    assert r["med"] == pytest.approx(med, abs=1e-9)
+    assert r["mad"] == pytest.approx(mad, abs=1e-9)
+    assert r["n_outliers"] == n_out
