@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -447,3 +448,65 @@ def sample_media_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_stats_real(payload: bytes) -> tuple:
+    """REAL audio feature extraction from a WAV container: PCM16 sample
+    count, duration at the container's 8 kHz rate, peak |amplitude|,
+    and RMS loudness.  The sum of squares is exact integer arithmetic,
+    so the final RMS double is deterministic."""
+    if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+        raise ValueError("not a WAV payload")
+    pcm = wav_pcm(payload)
+    n = len(pcm) // 2
+    samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
+    ssq = sum(s * s for s in samples)
+    peak = max(abs(s) for s in samples)
+    import math
+
+    return n, round(n * 1000.0 / 8000.0, 6), peak, round(
+        math.sqrt(ssq / n), 6
+    )
+
+
+def extract_audio_stats(
+    media: DataFrame, use_real_codec: bool = True, codec=None
+) -> DataFrame:
+    """Per-document audio features over the WAV subset of a media
+    relation — the loudness/duration pass an audio curation pipeline
+    runs before filtering clips.  ``mapInPandas`` (Arrow batches, no
+    shuffle: the filter prunes non-audio rows at the scan, features are
+    map-only); ``codec`` ((payload) -> (n, dur_ms, peak, rms)) is the
+    external-decoder seam for compressed formats."""
+    if codec is None and not use_real_codec:
+        raise ValueError(
+            "use_real_codec=False requires an explicit codec= callable"
+        )
+    decode = codec or audio_stats_real
+    wav = media.filter(media.media_type == "audio/wav")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "duration_ms": [],
+                   "peak": [], "rms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, dur, peak, rms = decode(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(dur)
+                out["peak"].append(peak)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return wav.mapInPandas(batches, AUDIO_STATS_SCHEMA)

@@ -657,6 +657,45 @@ SELECT doc_id,
 FROM documents WHERE doc_id % 3 <> 0
 """
 
+def mm_audio_stats(spark, sf):
+    """Audio curation features over the WAV subset of the media
+    relation: REAL PCM16 decode -> sample count, duration, peak, RMS
+    loudness (the clip-filter pass of an audio pipeline).  Map-only
+    Arrow batches; the media_type filter prunes non-audio rows before
+    any byte is decoded."""
+    docs = T(spark, sf, "documents")
+    return MM.extract_audio_stats(MM.synthesize_media(docs))
+
+
+# closed-form replay of the WAV payload: PCM byte j is md5-digest byte
+# (j % 16), samples are little-endian int16 pairs -- so every feature
+# is computable from the md5 hex without touching a container
+ORACLE_MM_AUDIO = f"""
+WITH params AS (
+  SELECT doc_id, md5(text) AS hx, {_WAV_SAMPLES} AS n_samples
+  FROM documents WHERE doc_id % 3 = 1),
+u AS (
+  -- constant-bound series (n_samples <= 63), filtered per doc: DuckDB's
+  -- generate_series takes no lateral column bounds
+  SELECT doc_id, n_samples,
+         ('0x' || substr(hx, ((2 * g.k) % 16) * 2 + 1, 2))::INT
+         + 256 * ('0x' || substr(hx, ((2 * g.k + 1) % 16) * 2 + 1, 2))::INT
+           AS raw
+  FROM params, generate_series(0, 62) AS g(k)
+  WHERE g.k < n_samples),
+sg AS (
+  SELECT doc_id, n_samples,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS smp
+  FROM u)
+SELECT doc_id,
+       CAST(max(n_samples) AS BIGINT) AS n_samples,
+       round(max(n_samples) * 1000.0 / 8000.0, 6) AS duration_ms,
+       CAST(max(abs(smp)) AS INTEGER) AS peak,
+       round(sqrt(sum(smp * smp)::DOUBLE / count(*)), 6) AS rms
+FROM sg GROUP BY doc_id
+"""
+
+
 def pipeline_clean_corpus(spark, sf):
     """End-to-end corpus cleaning, composed from the operator library:
     exact-dedup keepers ∩ quality gate (≥20 tokens, ≥0.3 distinct
@@ -721,6 +760,7 @@ QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_session_agg": stream_session_agg,
     "mm_image_meta": mm_image_meta,
+    "mm_audio_stats": mm_audio_stats,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
     "pipeline_clean_corpus": pipeline_clean_corpus,
@@ -746,6 +786,7 @@ ORACLES = {
     "stream_window_counts": ORACLE_WINDOW_COUNTS,
     "stream_session_agg": ORACLE_SESSION,
     "mm_image_meta": ORACLE_MM_META,
+    "mm_audio_stats": ORACLE_MM_AUDIO,
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_frame_sample": ORACLE_MM_FRAMES,
     "pipeline_clean_corpus": ORACLE_CLEAN,
