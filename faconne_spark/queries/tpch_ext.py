@@ -1343,3 +1343,53 @@ FROM conv GROUP BY trigger_type
 
 QUERIES["events_attribution"] = events_attribution
 ORACLES["events_attribution"] = ORACLE_ATTRIBUTION
+
+
+def customer_ltv_cohorts(spark, sf):
+    """Cohort lifetime-value table: customers bucketed by first-order
+    month, revenue tracked by whole months since that first order — the
+    retention/LTV curve read off acquisition cohorts.
+
+    First-order dates come from ONE partial-aggregated groupBy (no
+    window over order history); the join back is custkey⇆custkey
+    (co-partitioned with the rollup's shuffle), and the final rollup
+    groups on the bounded (cohort, age) grid. Revenue uses the exact
+    fixed-point sum so both engines agree on the cent."""
+    orders = T(spark, sf, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    mo = "(year({0}) * 12 + month({0}))"
+    return (
+        orders.join(first, "o_custkey")
+        .withColumn("cohort", F.expr("date_format(first_dt, 'yyyy-MM')"))
+        .withColumn(
+            "age_months",
+            F.expr(
+                f"{mo.format('o_orderdate')} - {mo.format('first_dt')}"
+            ),
+        )
+        .groupBy("cohort", "age_months")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.expr(exact_money_sum("o_totalprice", 2)).alias("revenue"),
+        )
+    )
+
+
+ORACLE_LTV_COHORTS = f"""
+WITH first AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY 1)
+SELECT strftime(first_dt, '%Y-%m') AS cohort,
+       ((year(o_orderdate) * 12 + month(o_orderdate))
+        - (year(first_dt) * 12 + month(first_dt)))::INTEGER AS age_months,
+       count(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+       count(*)::BIGINT AS n_orders,
+       {exact_money_sum('o_totalprice', 2)} AS revenue
+FROM orders o JOIN first USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+QUERIES["customer_ltv_cohorts"] = customer_ltv_cohorts
+ORACLES["customer_ltv_cohorts"] = ORACLE_LTV_COHORTS

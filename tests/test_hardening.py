@@ -391,7 +391,8 @@ def test_survey_registry_consistency():
             r"lang_id_\w+|corpus_\w+|dup_graph_stats|basket_\w+|user_rfm_\w+|"
             r"orders_monthly_yoy|part_price_stats|neardup_\w+|"
             r"customer_order_reconciliation|sql_api_\w+|sliding_window_counts|"
-            r"training_manifest|join_skew_report|scd2_\w+)\b",
+            r"training_manifest|join_skew_report|scd2_\w+|"
+            r"customer_ltv_\w+)\b",
             survey,
         )
     )
