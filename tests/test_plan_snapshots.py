@@ -41,6 +41,13 @@ SNAPSHOT_QUERIES = [
     "dedup_cascade",
     "ann_recall_eval",
     "dedup_minhash_calibration",
+    # round-4b curation wave: pin the broadcast/partial-agg shapes
+    "contamination_embedding",
+    "sample_temperature",
+    "scd2_customer_merge",
+    "docs_perplexity_buckets",
+    "events_zorder_key",
+    "customer_ltv_cohorts",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
