@@ -449,3 +449,131 @@ FROM b GROUP BY bucket
 
 QUERIES["docs_perplexity_buckets"] = docs_perplexity_buckets
 ORACLES["docs_perplexity_buckets"] = _oracle_perplexity_buckets()
+
+
+# --------------------------------------------- path mining
+
+PATH_N = 3
+PATH_TOP = 20
+
+
+def events_path_ngrams(spark, sf):
+    """Frequent behaviour paths: top event-type trigrams across
+    per-user time-ordered event sequences — the session-path mining
+    step behind funnel discovery.
+
+    One shuffle groups each user's events; ``array_sort`` over
+    (ts, event_id, event_type) structs orders the sequence
+    deterministically inside the aggregate (no window); trigrams come
+    from the same let-bound slice pattern as word shingles; the final
+    top-k orders the bounded distinct-path relation.  Per-user sequence
+    length is the activity bound — skewed power users fatten one group
+    (AQE splits the aggregation's map side, and a length cap is one
+    `slice()` away if needed)."""
+    seqs = (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), r -> r.event_type)"
+            ).alias("path")
+        )
+    )
+    grams = seqs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(path) - {PATH_N - 1}, 0)),"
+                f" i -> concat_ws('>', slice(path, i, {PATH_N})))"
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(PATH_TOP)
+    )
+
+
+ORACLE_PATH_NGRAMS = f"""
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id, event_type) AS path
+  FROM events GROUP BY user_id),
+grams AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(path) - {PATH_N - 1}, 0) + 1),
+           i -> array_to_string(path[i : i + {PATH_N} - 1], '>'))) AS gram
+  FROM seqs)
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT {PATH_TOP}
+"""
+
+
+QUERIES["events_path_ngrams"] = events_path_ngrams
+ORACLES["events_path_ngrams"] = ORACLE_PATH_NGRAMS
+
+
+# --------------------------------------------- int8 quantization
+
+def embed_quantize_int8(spark, sf):
+    """Scalar int8 quantization audit: per-vector symmetric scale
+    (127/max|x|), quantize-dequantize, and the reconstruction MSE — the
+    4× storage-compression check run before swapping an ANN corpus to
+    int8.  Map-only higher-order expressions; the index-ordered
+    ``aggregate`` sums make the MSE deterministic in both engines."""
+    from faconne_spark.session import spread
+
+    emb = spread(T(spark, sf, "embeddings"))
+    max_abs = (
+        "aggregate(embedding, cast(0.0 as double),"
+        " (a, v) -> greatest(a, abs(cast(v as double))))"
+    )
+    # s = 127/max_abs; err per element: x - round(x*s)/s
+    mse = (
+        "aggregate(embedding, cast(0.0 as double), (a, v) ->"
+        " a + (cast(v as double) - round(cast(v as double) * _s, 0) / _s)"
+        "   * (cast(v as double) - round(cast(v as double) * _s, 0) / _s))"
+        " / size(embedding)"
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(f"127.0 / {max_abs}").alias("_s"),
+        )
+        .select(
+            "vec_id",
+            F.round(F.expr("127.0 / _s"), 6).alias("max_abs"),
+            F.round(F.expr(mse), 6).alias("mse"),
+            F.expr(
+                "cast(aggregate(embedding, 0, (a, v) ->"
+                " a + cast(abs(round(cast(v as double) * _s, 0)) as int))"
+                " as bigint)"
+            ).alias("l1_code_mass"),
+        )
+    )
+
+
+ORACLE_QUANT_INT8 = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         127.0 / list_aggregate(list_transform(embedding,
+                   v -> abs(v::DOUBLE)), 'max') AS _s
+  FROM embeddings)
+SELECT vec_id,
+       round(127.0 / _s, 6) AS max_abs,
+       round(list_sum(list_transform(embedding, v ->
+               (v::DOUBLE - round(v::DOUBLE * _s, 0) / _s)
+             * (v::DOUBLE - round(v::DOUBLE * _s, 0) / _s)))
+             / len(embedding), 6) AS mse,
+       CAST(list_sum(list_transform(embedding,
+              v -> abs(round(v::DOUBLE * _s, 0))::INT)) AS BIGINT)
+         AS l1_code_mass
+FROM s
+"""
+
+QUERIES["embed_quantize_int8"] = embed_quantize_int8
+ORACLES["embed_quantize_int8"] = ORACLE_QUANT_INT8
