@@ -701,3 +701,57 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         )
     )
     return status.groupBy("status").agg(F.count("*").alias("n_docs"))
+
+
+PR_MICRO = 1_000_000  # fixed-point unit for PageRank scores
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an integer ratio
+
+
+def pagerank_micro(pairs: DataFrame, iters: int = 3) -> DataFrame:
+    """Degree-damped PageRank over the (undirected) near-dup pair graph
+    — centrality separates template hubs (one boilerplate page matching
+    hundreds) from incidental pair chains, the triage signal after
+    `dup_graph_stats`.
+
+    Fixed-point integer arithmetic throughout (scores in micro-units,
+    contributions via integer division, damping as ×85//100), so every
+    iteration is order-independent and the DuckDB oracle replays it
+    exactly with unrolled CTEs — the same determinism design as the
+    k-means trainer.  Each iteration is one contribution shuffle
+    (edges-sized) plus one co-partitioned join back to the node
+    relation; iterations are a fixed small count, not a fixpoint loop.
+    """
+    if iters < 1:
+        raise ValueError(f"pagerank_micro needs iters >= 1, got {iters}")
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = edges.groupBy("src").agg(F.count("*").alias("degree")).select(
+        F.col("src").alias("doc_id"), "degree"
+    )
+    base = PR_MICRO * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    p = nodes.withColumn("p", F.lit(PR_MICRO).cast("long"))
+    for _ in range(iters):
+        contrib = edges.join(
+            p.select(
+                F.col("doc_id").alias("src"),
+                F.expr("p div degree").alias("c"),
+            ),
+            "src",
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        p = (
+            nodes.join(sums, nodes.doc_id == sums.dst, "left")
+            .select(
+                "doc_id",
+                "degree",
+                F.expr(
+                    f"cast({base} + (coalesce(s, 0) * {PR_DAMP_NUM})"
+                    f" div {PR_DAMP_DEN} as bigint)"
+                ).alias("p"),
+            )
+        )
+    return p.select(
+        "doc_id", "degree", F.col("p").alias("pagerank_micro")
+    )

@@ -577,3 +577,67 @@ FROM s
 
 QUERIES["embed_quantize_int8"] = embed_quantize_int8
 ORACLES["embed_quantize_int8"] = ORACLE_QUANT_INT8
+
+
+# --------------------------------------------- dup-graph centrality
+
+PR_ITERS = 3
+
+
+def dup_graph_pagerank(spark, sf):
+    """PageRank centrality over the simhash near-dup graph: template
+    hubs vs incidental chains (fixed-point micro-unit scores, exactly
+    replayable)."""
+    from faconne_spark.queries.pipeline import SIMHASH_MAX_HAM
+
+    pairs = D.simhash_pairs(T(spark, sf, "documents"), SIMHASH_MAX_HAM)
+    return D.pagerank_micro(pairs, PR_ITERS)
+
+
+def _oracle_pagerank() -> str:
+    from faconne_spark.operators.dedup import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_MICRO,
+    )
+    from faconne_spark.queries.pipeline import ORACLE_SIMHASH, SIMHASH_MAX_HAM
+
+    base = PR_MICRO * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    prefix = ORACLE_SIMHASH.split("SELECT DISTINCT")[0]
+    ctes = [
+        f"""prs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs),
+nodes AS (
+  SELECT src AS doc_id, count(*) AS degree FROM edges GROUP BY src),
+p0 AS (
+  SELECT doc_id, degree, {PR_MICRO}::BIGINT AS p FROM nodes)"""
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(f"""c{i + 1} AS (
+  SELECT e.dst AS doc_id, sum(p.p // p.degree) AS s
+  FROM edges e JOIN p{i} p ON p.doc_id = e.src GROUP BY 1)""")
+        ctes.append(f"""p{i + 1} AS (
+  SELECT n.doc_id, n.degree,
+         ({base} + (coalesce(c.s, 0) * {PR_DAMP_NUM}) // {PR_DAMP_DEN})::BIGINT
+           AS p
+  FROM p0 n LEFT JOIN c{i + 1} c USING (doc_id))""")
+    return (
+        prefix
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, CAST(degree AS BIGINT) AS degree,
+       CAST(p AS BIGINT) AS pagerank_micro
+FROM p{PR_ITERS}
+"""
+    )
+
+
+QUERIES["dup_graph_pagerank"] = dup_graph_pagerank
+ORACLES["dup_graph_pagerank"] = _oracle_pagerank()
