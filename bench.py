@@ -169,6 +169,11 @@ def main() -> None:
         "docs_zipf_slope",
         "events_zorder_key",
         "docs_perplexity_buckets",
+        "mm_audio_stats",
+        "customer_ltv_cohorts",
+        "events_path_ngrams",
+        "embed_quantize_int8",
+        "dup_graph_pagerank",
     ]
     times = {}
     shuffle = {}
