@@ -32,7 +32,7 @@ _FIRST = [
     "scd2_customer_merge", "dedup_keep_best", "docs_zipf_slope",
     "events_zorder_key", "docs_perplexity_buckets", "mm_audio_stats",
     "customer_ltv_cohorts", "events_path_ngrams", "embed_quantize_int8",
-    "dup_graph_pagerank",
+    "dup_graph_pagerank", "ann_hard_negatives",
     "ann_recall_eval", "text_readability", "dedup_minhash_calibration",
     "embed_threshold_sweep", "join_skew_report", "corpus_snapshot_diff",
     "events_attribution",

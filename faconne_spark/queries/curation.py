@@ -641,3 +641,63 @@ FROM p{PR_ITERS}
 
 QUERIES["dup_graph_pagerank"] = dup_graph_pagerank
 ORACLES["dup_graph_pagerank"] = _oracle_pagerank()
+
+
+# --------------------------------------------- hard-negative mining
+
+HN_ANCHORS = 20
+
+
+def ann_hard_negatives(spark, sf):
+    """Contrastive-training data mining: for each anchor vector, the
+    most-similar vector with a DIFFERENT label — the hard negatives
+    that make metric-learning batches informative.
+
+    Same shape as brute-force top-k: anchors broadcast, corpus scanned
+    once, per-anchor argmax is a map-side-combined ``max_by`` (no
+    window, shuffle = one row per anchor)."""
+    emb = T(spark, sf, "embeddings")
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < HN_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("a_emb"),
+            F.col("label").alias("a_label"),
+        )
+    )
+    scored = (
+        emb.select("vec_id", "embedding", "label")
+        .crossJoin(anchors)
+        .filter(F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.round(
+                F.expr(cosine_sim("embedding", "a_emb", "spark")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.groupBy("anchor_id").agg(
+        F.expr("max_by(vec_id, struct(cos_sim, -vec_id))").alias(
+            "negative_id"
+        ),
+        F.max("cos_sim").alias("cos_sim"),
+    )
+
+
+ORACLE_HARD_NEG = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, embedding AS a_emb, label AS a_label
+  FROM embeddings WHERE vec_id < {HN_ANCHORS}),
+scored AS (
+  SELECT a.anchor_id, c.vec_id,
+         round({cosine_sim('c.embedding', 'a.a_emb', 'duckdb')}, 6) AS cos_sim
+  FROM embeddings c CROSS JOIN anchors a
+  WHERE c.label != a.a_label)
+SELECT anchor_id,
+       first(vec_id ORDER BY cos_sim DESC, vec_id) AS negative_id,
+       max(cos_sim) AS cos_sim
+FROM scored GROUP BY anchor_id
+"""
+
+QUERIES["ann_hard_negatives"] = ann_hard_negatives
+ORACLES["ann_hard_negatives"] = ORACLE_HARD_NEG
