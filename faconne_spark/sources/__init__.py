@@ -224,3 +224,67 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compaction_plan(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+):
+    """Small-file compaction plan for a parquet directory: first-fit-
+    decreasing bin packing of data files into ~``target_bytes`` output
+    groups.  Returns a DataFrame (group_id, n_files, total_bytes,
+    files) — the inspection artifact reviewed before rewriting.
+
+    File listing and packing run on the DRIVER deliberately: the input
+    is file *metadata* (one row per file, via the Hadoop FileSystem API
+    so HDFS/S3 paths work), never data.  At 100 TB a table has ~10⁵-10⁶
+    files — trivial driver-side; the heavy part (the rewrite) is
+    :func:`compact_parquet`."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    files = [
+        (st.getPath().getName(), st.getLen())
+        for st in fs.listStatus(jpath)
+        if st.isFile()
+        and st.getPath().getName().endswith(".parquet")
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    files.sort(key=lambda t: (-t[1], t[0]))  # FFD, name-stable ties
+    bins = []  # (remaining, [names], total)
+    for name, size in files:
+        placed = False
+        for b in bins:
+            if b[0] >= size:
+                b[0] -= size
+                b[1].append(name)
+                b[2] += size
+                placed = True
+                break
+        if not placed:
+            bins.append([max(target_bytes - size, 0), [name], size])
+    rows = [
+        (i, len(names), total, sorted(names))
+        for i, (_, names, total) in enumerate(bins)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "group_id int, n_files int, total_bytes bigint, files array<string>",
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+):
+    """Execute a compaction: rewrite a fragmented parquet directory into
+    ~``target_bytes`` files.  The output file count comes from the same
+    FFD plan as :func:`compaction_plan`; rows are hash-redistributed
+    with ``repartition(n)`` (even output sizes regardless of input
+    fragmentation).  Returns the plan's group count."""
+    n = compaction_plan(spark, path, target_bytes).count()
+    n = max(int(n), 1)
+    spark.read.parquet(path).repartition(n).write.mode(mode).parquet(out_path)
+    return n

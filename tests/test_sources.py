@@ -257,3 +257,38 @@ def test_zordered_layout_tightens_file_ranges(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert "_zkey" not in back.columns
     assert back.count() == events.count()
+
+
+def test_compaction_plan_and_execute(spark, sf_dir, tmp_path):
+    """S11: a fragmented write (many tiny files) plans into few
+    ~target-size groups (FFD bin packing over real file sizes), and the
+    executed compaction rewrites to the planned file count with
+    identical rows."""
+    from faconne_spark.queries import T
+    from faconne_spark.sources import compact_parquet, compaction_plan
+
+    frag = str(tmp_path / "fragmented")
+    events = T(spark, sf_dir, "events")
+    events.repartition(24).write.parquet(frag)  # 24 tiny files
+
+    total = sum(
+        f.stat().st_size
+        for f in (tmp_path / "fragmented").glob("*.parquet")
+    )
+    target = max(total // 3, 1)
+    plan = compaction_plan(spark, frag, target_bytes=target)
+    rows = plan.collect()
+    assert 1 <= len(rows) <= 6  # ~3 groups, FFD may open a few more
+    assert sum(r["n_files"] for r in rows) == 24
+    assert sum(r["total_bytes"] for r in rows) == total
+    # deterministic: same listing → same plan
+    again = compaction_plan(spark, frag, target_bytes=target).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_bytes=target)
+    produced = len(list((tmp_path / "compacted").glob("*.parquet")))
+    assert produced == n == len(rows)
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert sorted(back.columns) == sorted(events.columns)
