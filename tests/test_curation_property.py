@@ -164,3 +164,34 @@ def test_mad_outliers_matches_python_oracle(spark, values):
     assert r["med"] == pytest.approx(med, abs=1e-9)
     assert r["mad"] == pytest.approx(mad, abs=1e-9)
     assert r["n_outliers"] == n_out
+
+
+def test_new_operator_error_paths(spark):
+    """Validation guards fail loudly with pointed messages."""
+    import pandas as pd
+
+    from faconne_spark.operators.dedup import pagerank_micro
+    from faconne_spark.operators.multimodal import audio_stats_real
+    from faconne_spark.operators.text import sqrt_temperature_sample
+    from faconne_spark.sources import write_zordered
+
+    pairs = spark.createDataFrame(
+        [(1, 2)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(ValueError, match="iters >= 1"):
+        pagerank_micro(pairs, iters=0)
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="exactly 2 columns"):
+        write_zordered(df, "/tmp/never-written", ["id"])
+
+    with pytest.raises(ValueError, match="not a WAV"):
+        audio_stats_real(b"BM" + b"\x00" * 60)
+
+    from faconne_spark.operators.multimodal import extract_audio_stats
+
+    media = spark.createDataFrame(
+        [(1, b"x", "audio/wav")], "doc_id bigint, payload binary, media_type string"
+    )
+    with pytest.raises(ValueError, match="explicit codec"):
+        extract_audio_stats(media, use_real_codec=False)
