@@ -157,3 +157,43 @@ def quality_gate_summary_from_state(
         .groupBy("keep", "reject_reasons")
         .agg(F.sum("n_docs").alias("n_docs"))
     )
+
+
+def temperature_plan_from_state(
+    spark: SparkSession, state_dir: str, budget_frac: float = 0.5
+) -> DataFrame:
+    """The α=0.5 temperature mixture plan derived straight from the
+    running-stats state — the continuously-maintained version of
+    ``sample_temperature``'s planning half: per-source sizes are an
+    exact rollup of the per-epoch (source, lang) partials, budgets
+    follow the same division-free DECIMAL(38,0) arithmetic as
+    :func:`faconne_spark.operators.text.sqrt_temperature_sample`.
+
+    Returns (source, n_docs, w_micro, budget) — the broadcastable plan
+    relation an ingestion job applies with the hash-membership test;
+    the realized keep counts come from the batch operator over actual
+    documents (membership needs doc ids, which the compact state
+    rightly does not keep)."""
+    w_expr = "cast(round(sqrt(n_docs) * 1000000, 0) as decimal(38,0))"
+    per_source = (
+        _state(spark, state_dir, SOURCE_LANG)
+        .groupBy("source")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("_total"),
+        F.sum(F.expr(w_expr)).alias("_sum_w"),
+    )
+    return (
+        per_source.withColumn("w_micro", F.expr(w_expr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "w_micro",
+            F.expr(
+                f"cast(round(_total * {budget_frac}, 0) as decimal(38,0))"
+            ).alias("budget"),
+            F.col("_sum_w").alias("sum_w"),
+        )
+    )

@@ -764,3 +764,53 @@ def test_tws_processor_logic_without_runtime():
         "user_id": 7, "n_events": 3, "total_value": 4.0, "batch_events": 1,
     }
     assert h.state.v == (3, 4.0)
+
+
+def test_temperature_plan_from_state_equals_batch(spark, sf_dir, tmp_path):
+    """The mixture plan derived from the running-stats state, applied
+    as the hash-membership test over the union corpus, keeps EXACTLY
+    the documents the batch sqrt_temperature_sample operator keeps."""
+    from faconne_spark.functions import phash60
+    from faconne_spark.operators.text import sqrt_temperature_sample
+    from faconne_spark.streaming import streaming_corpus_stats
+    from faconne_spark.streaming.stats import temperature_plan_from_state
+
+    sf_tmp = tmp_path / "sf"
+    src = str(sf_tmp / "documents.parquet")
+    T(spark, sf_dir, "documents").limit(300).repartition(3).write.parquet(src)
+    state = str(tmp_path / "state")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_corpus_stats(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    plan = temperature_plan_from_state(spark, state)
+    docs = spark.read.parquet(src)
+    h = phash60("concat('samp', cast(doc_id as string))", "spark")
+    applied = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(plan), "source")
+        .withColumn(
+            "_keep",
+            F.expr(
+                f"cast(pmod({h}, n_docs) as decimal(38,0)) * sum_w"
+                f" < budget * w_micro"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+    assert _rows(applied) == _rows(sqrt_temperature_sample(docs))
