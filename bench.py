@@ -174,6 +174,7 @@ def main() -> None:
         "events_path_ngrams",
         "embed_quantize_int8",
         "dup_graph_pagerank",
+        "ann_hard_negatives",
     ]
     times = {}
     shuffle = {}

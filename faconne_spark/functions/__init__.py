@@ -245,3 +245,13 @@ def zorder_key(a: str, b: str, bits: int, dialect: str) -> str:
             terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
             terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def sqrt_weight_micro(expr: str) -> str:
+    """α=0.5 temperature weight in fixed-point micro-units:
+    ``round(sqrt(n)·10⁶)`` as DECIMAL(38,0).  sqrt is IEEE
+    correctly-rounded in both engines, so the weight is engine-exact.
+    The SAME text is valid Spark SQL and DuckDB SQL — every consumer
+    (batch operator, streaming plan, oracle) MUST build it here so the
+    batch⇆streaming⇆oracle equivalences cannot drift."""
+    return f"cast(round(sqrt({expr}) * 1000000, 0) as decimal(38,0))"

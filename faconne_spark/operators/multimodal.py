@@ -461,21 +461,38 @@ AUDIO_STATS_SCHEMA = StructType(
 )
 
 
+def wav_rate(payload: bytes) -> int:
+    """Sample rate from the WAV ``fmt `` chunk (bytes 4-7 of its body).
+    Same chunk walk as :func:`wav_pcm` — magic validation happens
+    there/here once per entry point."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt " and clen >= 8:
+            return struct.unpack_from("<I", payload, pos + 8 + 4)[0]
+        pos += 8 + clen + (clen % 2)
+    raise ValueError("WAV payload has no fmt chunk")
+
+
 def audio_stats_real(payload: bytes) -> tuple:
     """REAL audio feature extraction from a WAV container: PCM16 sample
-    count, duration at the container's 8 kHz rate, peak |amplitude|,
-    and RMS loudness.  The sum of squares is exact integer arithmetic,
-    so the final RMS double is deterministic."""
-    if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
-        raise ValueError("not a WAV payload")
+    count, duration at the rate the ``fmt`` chunk declares, peak
+    |amplitude|, and RMS loudness.  The sum of squares is exact integer
+    arithmetic, so the final RMS double is deterministic.  An empty
+    data chunk is a valid (silent, zero-length) clip, not a crash."""
+    rate = wav_rate(payload)  # also validates the RIFF/WAVE magic
     pcm = wav_pcm(payload)
     n = len(pcm) // 2
+    if n == 0:
+        return 0, 0.0, 0, 0.0
     samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
     ssq = sum(s * s for s in samples)
     peak = max(abs(s) for s in samples)
     import math
 
-    return n, round(n * 1000.0 / 8000.0, 6), peak, round(
+    return n, round(n * 1000.0 / rate, 6), peak, round(
         math.sqrt(ssq / n), 6
     )
 

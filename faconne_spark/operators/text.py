@@ -704,9 +704,9 @@ def sqrt_temperature_sample(
     last-place rounding could differ between engines; sqrt is IEEE
     correctly-rounded in both). The per-source stats relation is tiny
     and broadcast; the corpus is scanned once, map-side."""
-    from faconne_spark.functions import phash60
+    from faconne_spark.functions import phash60, sqrt_weight_micro
 
-    w_expr = "cast(round(sqrt(n_docs) * 1000000, 0) as decimal(38,0))"
+    w_expr = sqrt_weight_micro("n_docs")
     stats = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     tot = stats.agg(
         F.sum("n_docs").alias("_total"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from faconne_spark.functions import (
     cosine_sim,
     phash60,
+    sqrt_weight_micro,
     tokens_ws,
     zorder_key,
 )
@@ -70,18 +71,19 @@ def sample_temperature(spark, sf):
 
 
 _DUCK_SAMP_H = phash60("('samp' || doc_id)", "duckdb")
+_W_MICRO = sqrt_weight_micro("n_docs")
 
 ORACLE_SAMPLE_TEMP = f"""
 WITH stats AS (
   SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
 tot AS (
   SELECT sum(n_docs) AS _total,
-         sum(CAST(round(sqrt(n_docs) * 1000000, 0) AS DECIMAL(38,0)))
+         sum({_W_MICRO})
            AS _sum_w
   FROM stats),
 st AS (
   SELECT source, n_docs,
-         CAST(round(sqrt(n_docs) * 1000000, 0) AS DECIMAL(38,0)) AS _w,
+         {_W_MICRO} AS _w,
          _sum_w,
          CAST(round(_total * 0.5, 0) AS DECIMAL(38,0)) AS _budget
   FROM stats, tot),
@@ -482,9 +484,15 @@ def events_path_ngrams(spark, sf):
     )
     grams = seqs.select(
         F.explode(
+            # users with < PATH_N events yield NO grams: a bare
+            # sequence(1, greatest(n-2, 0)) would DESCEND ([1, 0]) for
+            # them and slice(path, 0, k) throws — the guard matches the
+            # oracle's empty range semantics
             F.expr(
-                f"transform(sequence(1, greatest(size(path) - {PATH_N - 1}, 0)),"
-                f" i -> concat_ws('>', slice(path, i, {PATH_N})))"
+                f"if(size(path) >= {PATH_N},"
+                f" transform(sequence(1, size(path) - {PATH_N - 1}),"
+                f" i -> concat_ws('>', slice(path, i, {PATH_N}))),"
+                f" cast(array() as array<string>))"
             )
         ).alias("gram")
     )

@@ -239,29 +239,7 @@ def compaction_plan(
     so HDFS/S3 paths work), never data.  At 100 TB a table has ~10⁵-10⁶
     files — trivial driver-side; the heavy part (the rewrite) is
     :func:`compact_parquet`."""
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    files = [
-        (st.getPath().getName(), st.getLen())
-        for st in fs.listStatus(jpath)
-        if st.isFile()
-        and st.getPath().getName().endswith(".parquet")
-        and not st.getPath().getName().startswith(("_", "."))
-    ]
-    files.sort(key=lambda t: (-t[1], t[0]))  # FFD, name-stable ties
-    bins = []  # (remaining, [names], total)
-    for name, size in files:
-        placed = False
-        for b in bins:
-            if b[0] >= size:
-                b[0] -= size
-                b[1].append(name)
-                b[2] += size
-                placed = True
-                break
-        if not placed:
-            bins.append([max(target_bytes - size, 0), [name], size])
+    bins = _ffd_bins(spark, path, target_bytes)
     rows = [
         (i, len(names), total, sorted(names))
         for i, (_, names, total) in enumerate(bins)
@@ -283,8 +261,39 @@ def compact_parquet(
     ~``target_bytes`` files.  The output file count comes from the same
     FFD plan as :func:`compaction_plan`; rows are hash-redistributed
     with ``repartition(n)`` (even output sizes regardless of input
-    fragmentation).  Returns the plan's group count."""
-    n = compaction_plan(spark, path, target_bytes).count()
-    n = max(int(n), 1)
+    fragmentation).  Returns the plan's group count.  The bin count is
+    read straight off the driver-side packing — no Spark job or second
+    directory listing just to recover a length."""
+    n = max(len(_ffd_bins(spark, path, target_bytes)), 1)
     spark.read.parquet(path).repartition(n).write.mode(mode).parquet(out_path)
     return n
+
+
+def _ffd_bins(spark: SparkSession, path: str, target_bytes: int) -> list:
+    """List a directory's parquet data files (Hadoop FS, so HDFS/S3
+    work) and first-fit-decreasing pack them into ~target_bytes bins.
+    Deterministic: sizes descending, name-stable ties."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    files = [
+        (st.getPath().getName(), st.getLen())
+        for st in fs.listStatus(jpath)
+        if st.isFile()
+        and st.getPath().getName().endswith(".parquet")
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    files.sort(key=lambda t: (-t[1], t[0]))
+    bins = []  # [remaining, [names], total]
+    for name, size in files:
+        placed = False
+        for b in bins:
+            if b[0] >= size:
+                b[0] -= size
+                b[1].append(name)
+                b[2] += size
+                placed = True
+                break
+        if not placed:
+            bins.append([max(target_bytes - size, 0), [name], size])
+    return bins

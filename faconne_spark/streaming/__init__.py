@@ -469,13 +469,18 @@ def _totals_step(prior, pdfs):
     return n, float(total), batch_n
 
 
-def _lazy_stateful_processor_base():
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+try:
+    # Spark 4+ only; on older runtimes the gated transformWithState
+    # feature degrades to unavailable WITHOUT breaking this module's
+    # import (queries/pipeline.py imports it for the batch faces)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor as _StatefulProcessorBase,
+    )
+except ImportError:  # pragma: no cover - pinned runtime has it
+    _StatefulProcessorBase = object
 
-    return StatefulProcessor
 
-
-class UserTotalsProcessor(_lazy_stateful_processor_base()):
+class UserTotalsProcessor(_StatefulProcessorBase):
     """transformWithState processor for per-user running totals —
     named value state ('totals') on the handle."""
 

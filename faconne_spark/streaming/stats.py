@@ -169,12 +169,16 @@ def temperature_plan_from_state(
     follow the same division-free DECIMAL(38,0) arithmetic as
     :func:`faconne_spark.operators.text.sqrt_temperature_sample`.
 
-    Returns (source, n_docs, w_micro, budget) — the broadcastable plan
-    relation an ingestion job applies with the hash-membership test;
+    Returns (source, n_docs, w_micro, budget, sum_w) — the
+    broadcastable plan relation an ingestion job applies with the
+    hash-membership test ``pmod(hash, n_docs) * sum_w < budget *
+    w_micro`` (all four numeric columns are load-bearing);
     the realized keep counts come from the batch operator over actual
     documents (membership needs doc ids, which the compact state
     rightly does not keep)."""
-    w_expr = "cast(round(sqrt(n_docs) * 1000000, 0) as decimal(38,0))"
+    from faconne_spark.functions import sqrt_weight_micro
+
+    w_expr = sqrt_weight_micro("n_docs")
     per_source = (
         _state(spark, state_dir, SOURCE_LANG)
         .groupBy("source")

@@ -195,3 +195,50 @@ def test_new_operator_error_paths(spark):
     )
     with pytest.raises(ValueError, match="explicit codec"):
         extract_audio_stats(media, use_real_codec=False)
+
+
+def test_path_ngrams_short_paths_yield_no_grams(spark, tmp_path, sf_dir):
+    """Regression: a user with fewer than PATH_N events must contribute
+    ZERO grams (the naive descending-sequence formulation crashed on
+    slice(path, 0, k)); users with exactly PATH_N contribute one."""
+    from faconne_spark.queries.curation import PATH_N, events_path_ngrams
+
+    rows = [
+        # user 1: one event; user 2: two events; user 3: exactly PATH_N
+        (1, 1, "2024-01-01 00:00:01", "a", 0.0, "{}"),
+        (2, 2, "2024-01-01 00:00:02", "a", 0.0, "{}"),
+        (3, 2, "2024-01-01 00:00:03", "b", 0.0, "{}"),
+        (4, 3, "2024-01-01 00:00:04", "x", 0.0, "{}"),
+        (5, 3, "2024-01-01 00:00:05", "y", 0.0, "{}"),
+        (6, 3, "2024-01-01 00:00:06", "z", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts string, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = tmp_path / "mini"
+    df.write.parquet(str(sf / "events.parquet"))
+    out = {r["gram"]: r["n"] for r in events_path_ngrams(spark, str(sf)).collect()}
+    assert out == {"x>y>z": 1}
+    assert PATH_N == 3
+
+
+def test_audio_stats_honors_container_rate():
+    """audio_stats_real reads the rate from the fmt chunk (a 16 kHz
+    clip is half the duration of the same samples at 8 kHz) and treats
+    an empty data chunk as a zero-length clip, not a crash."""
+    from faconne_spark.operators.multimodal import (
+        audio_stats_real,
+        wav_encode,
+    )
+
+    pcm = b"\x10\x00\xf0\xff" * 4  # 8 samples: +16, -16 alternating
+    n8, dur8, peak8, rms8 = audio_stats_real(wav_encode(pcm, rate=8000))
+    n16, dur16, peak16, rms16 = audio_stats_real(wav_encode(pcm, rate=16000))
+    assert n8 == n16 == 8
+    assert dur8 == 2 * dur16 == 1.0
+    assert peak8 == peak16 == 16
+    assert rms8 == rms16 == 16.0
+
+    assert audio_stats_real(wav_encode(b"", rate=8000)) == (0, 0.0, 0, 0.0)
