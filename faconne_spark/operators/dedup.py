@@ -410,18 +410,18 @@ def connected_components(
     scratch_table = None
     spark = pairs.sparkSession
     if co_locate:
-        import shutil
-        import tempfile
-
         from faconne_spark.sources import write_bucketed
 
         _CC_TABLE_SEQ[0] += 1
         scratch_table = f"faconne_cc_edges_{os.getpid()}_{_CC_TABLE_SEQ[0]}"
-        scratch_path = tempfile.mkdtemp(prefix="faconne_cc_edges_")
+        # MANAGED table: lives in spark.sql.warehouse.dir, which is
+        # shared storage on a real cluster — a driver-local tempdir
+        # here would leave executors on other nodes unable to read the
+        # buckets, breaking exactly the 100 TB case this path exists
+        # for.  DROP TABLE below removes the managed data too.
         write_bucketed(
             edges, scratch_table, ["dst"],
             n_buckets=spark.sparkContext.defaultParallelism,
-            path=scratch_path,
         )
         edges = spark.table(scratch_table)
     try:
@@ -479,8 +479,8 @@ def connected_components(
             )
     finally:
         if scratch_table is not None:
+            # managed table: DROP removes its warehouse data as well
             spark.sql(f"DROP TABLE IF EXISTS {scratch_table}")
-            shutil.rmtree(scratch_path, ignore_errors=True)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

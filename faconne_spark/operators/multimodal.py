@@ -83,8 +83,25 @@ def bmp_dims(payload: bytes) -> tuple:
 
 
 def bmp_pixels(payload: bytes) -> tuple:
-    """Full decode: (width, height, stride, pixel_array)."""
-    width, height = bmp_dims(payload)
+    """Full decode: (width, height, stride, pixel_array).
+
+    Only the layout this codec can actually honour is accepted —
+    24 bpp, uncompressed, bottom-up.  Anything else (32 bpp BGRA,
+    RLE, top-down negative height) would often pass a bare length
+    check and decode to well-formed garbage, so it fails loudly like
+    the PNG/MP4 branches."""
+    if payload[:2] != b"BM" or len(payload) < BMP_HEADER_BYTES:
+        raise ValueError("not a BMP payload")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    bpp, compression = struct.unpack_from("<HI", payload, 28)
+    if bpp != 24 or compression != 0 or height_raw <= 0:
+        raise NotImplementedError(
+            f"BMP layout unsupported by the pure-Python codec "
+            f"(bpp={bpp}, compression={compression}, "
+            f"height={height_raw}); needs 24bpp uncompressed bottom-up "
+            f"— use the codec= seam for anything else"
+        )
+    height = height_raw
     offset = struct.unpack_from("<I", payload, 10)[0]
     stride = bmp_row_stride(width)
     pixels = payload[offset : offset + height * stride]
@@ -133,7 +150,13 @@ def wav_pcm(payload: bytes) -> bytes:
     while pos + 8 <= len(payload):
         cid, clen = struct.unpack_from("<4sI", payload, pos)
         if cid == b"data":
-            return payload[pos + 8 : pos + 8 + clen]
+            data = payload[pos + 8 : pos + 8 + clen]
+            if len(data) != clen:
+                raise ValueError(
+                    f"truncated WAV data chunk: declared {clen} bytes,"
+                    f" payload holds {len(data)}"
+                )
+            return data
         pos += 8 + clen + (clen % 2)  # RIFF chunks are word-aligned
     raise ValueError("WAV payload has no data chunk")
 

@@ -1211,7 +1211,9 @@ def join_skew_report(spark, sf):
         counts = tbl.groupBy(F.col(key).cast("long").alias("key_value")).agg(
             F.count("*").alias("n_rows")
         )
-        total = tbl.agg(F.count("*").alias("total"))
+        # total from the tiny per-key relation — a second tbl.agg would
+        # re-scan the full table per SKEW_TARGETS entry
+        total = counts.agg(F.sum("n_rows").alias("total"))
         top = (
             counts.orderBy(F.col("n_rows").desc(), F.col("key_value"))
             .limit(SKEW_TOP)

@@ -53,8 +53,11 @@ def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
+        # integer division: '/' would promote to DOUBLE and epoch-nanos
+        # (~1.7e18) exceed 2^53, rounding the quotient by up to ~128 ns
+        # — enough to flip an exact-microsecond boundary vs the oracle
         return df.withColumn(
-            col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+            col, F.expr(f"timestamp_micros({col} div 1000)")
         )
     if dtype == "timestamp_ntz":
         return df.withColumn(col, F.col(col).cast("timestamp"))

@@ -50,25 +50,34 @@ def corpus_stats_epoch(batch_df: DataFrame, epoch_id: int, state_dir: str):
     relations and overwrite this epoch's partitions (idempotent under
     the foreachBatch same-epoch replay contract)."""
     toks = tokens_ws("text", "spark")
-    partials = {
-        SOURCE_LANG: batch_df.groupBy("source", "lang").agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.sum(F.expr(f"size({toks})")).alias("total_tokens"),
-        ),
-        FINGERPRINTS: exact_dedup(batch_df).select("fingerprint", "n_copies"),
-        GATE: quality_gate_verdicts(batch_df)
-        .groupBy("keep", "reject_reasons")
-        .agg(F.count("*").alias("n_docs")),
-    }
-    for name, rel in partials.items():
-        (
-            rel.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(os.path.join(state_dir, name))
-        )
+    # three write actions read the same micro-batch: persist it once so
+    # the input files aren't rescanned (and quality_score's regexes not
+    # recomputed) per partial
+    batch_df = batch_df.persist()
+    try:
+        partials = {
+            SOURCE_LANG: batch_df.groupBy("source", "lang").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(F.expr(f"size({toks})")).alias("total_tokens"),
+            ),
+            FINGERPRINTS: exact_dedup(batch_df).select(
+                "fingerprint", "n_copies"
+            ),
+            GATE: quality_gate_verdicts(batch_df)
+            .groupBy("keep", "reject_reasons")
+            .agg(F.count("*").alias("n_docs")),
+        }
+        for name, rel in partials.items():
+            (
+                rel.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(os.path.join(state_dir, name))
+            )
+    finally:
+        batch_df.unpersist()
 
 
 def streaming_corpus_stats(stream: DataFrame, state_dir: str):

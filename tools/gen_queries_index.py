@@ -27,29 +27,50 @@ def _mods():
     return {"D": D, "TX": TX, "S": S, "MM": MM, "R": R}
 
 
+def _first_sentence(doc: str) -> str:
+    """Docstrings wrap at ~72 cols, so taking one physical line cuts
+    summaries mid-sentence; join lines up to the first blank line,
+    then truncate at the first sentence end."""
+    lines = []
+    for line in (doc or "").strip().splitlines():
+        if not line.strip():
+            break
+        lines.append(line.strip())
+    text = " ".join(lines)
+    m = re.search(r"[.!?](\s|$)", text)
+    return text[: m.end()].strip() if m else text
+
+
 def summary_of(fn, mods) -> str:
-    doc = (fn.__doc__ or "").strip().splitlines()
-    if doc and doc[0].strip():
-        return doc[0].strip()
+    s = _first_sentence(fn.__doc__ or "")
+    if s:
+        return s
     try:
         src = inspect.getsource(fn)
     except OSError:
         return ""
     for alias, name in re.findall(r"\b(D|TX|S|MM|R)\.(\w+)\(", src):
         target = getattr(mods[alias], name, None)
-        tdoc = (getattr(target, "__doc__", "") or "").strip().splitlines()
-        if tdoc and tdoc[0].strip():
-            return tdoc[0].strip()
+        s = _first_sentence(getattr(target, "__doc__", "") or "")
+        if s:
+            return s
     return ""
 
 
 def main() -> None:
     qs, oracles = all_queries(), all_oracles()
     mods = _mods()
+    n_sql = sum(1 for k in qs if k in oracles)
+    oracle_note = (
+        "every one paired with a DuckDB oracle"
+        if n_sql == len(qs)
+        else f"{n_sql} paired with a DuckDB oracle, "
+        f"{len(qs) - n_sql} rows-only"
+    )
     lines = [
         "# QUERIES — the correctness-gate registry",
         "",
-        f"{len(qs)} queries, every one paired with a DuckDB oracle "
+        f"{len(qs)} queries, {oracle_note} "
         "(`__spark_entry__.oracle_sql()`) recomputing the same algorithm "
         "on the same parquet. Listed in gate order (new/changed-this-round "
         "keys first). Full design notes per key: SURVEY.md §2.",
