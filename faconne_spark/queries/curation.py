@@ -244,10 +244,13 @@ def docs_zipf_slope(spark, sf):
     The regression sums are integer-scaled (round(ln·10⁶) per term,
     DECIMAL(38,0) accumulation) so they are order-independent and
     bit-identical in both engines; the final slope/R² division happens
-    once, on exact integers cast to double.  The rank window sorts only
-    the VOCABULARY relation (≪ corpus; bounded by distinct tokens), not
-    the corpus — the same dimension-bound disclaimer as the global
-    ntile queries."""
+    once, on exact integers cast to double.  Ranks need NO global sort:
+    rank(tok) = (#tokens at strictly higher frequency) + (tie position
+    within its own frequency).  The higher-frequency count comes from
+    the frequency-of-frequency histogram (distinct COUNT values — tiny,
+    its cumulative window is histogram-sized) broadcast back; the tie
+    position is a window PARTITIONED by frequency — a partitioned
+    shuffle, never a single-task sort of the vocabulary."""
     docs = T(spark, sf, "documents")
     freq = (
         docs.select(
@@ -256,8 +259,18 @@ def docs_zipf_slope(spark, sf):
         .groupBy("tok")
         .agg(F.count("*").alias("f"))
     )
-    ranked = freq.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.col("f").desc(), "tok"))
+    hist = freq.groupBy("f").agg(F.count("*").alias("nf"))
+    w_hist = (
+        Window.orderBy(F.col("f").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "higher", F.coalesce(F.sum("nf").over(w_hist), F.lit(0))
+    ).select("f", "higher")
+    ranked = freq.join(F.broadcast(cum), "f").withColumn(
+        "rk",
+        F.col("higher")
+        + F.row_number().over(Window.partitionBy("f").orderBy("tok")),
     ).select(
         "f",
         F.expr("cast(round(ln(rk) * 1000000, 0) as bigint)").alias("x"),
