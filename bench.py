@@ -49,6 +49,21 @@ HEADLINE = [
 ]
 
 
+def _reclaim(spark) -> None:
+    """Force a JVM GC in the untimed gap between queries. Spark's
+    ContextCleaner frees shuffle files, broadcast blocks and
+    localCheckpoint RDDs only when the JVM garbage-collects their
+    references — by default a periodic GC every 30 min, i.e. never
+    within one bench run.  Without this, 50+ queries' worth of shuffle
+    state accumulates in the driver JVM and late queries pay the
+    eviction/GC pressure (measured: dedup_clusters 22 s at position 14
+    vs 10 s in a fresh session)."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _shuffle_bytes_total(spark) -> int:
     """Cumulative shuffle-write bytes across all completed stages, via
     the Spark UI REST API (public monitoring surface)."""
@@ -187,6 +202,7 @@ def main() -> None:
         sb1 = _shuffle_bytes_total(spark)
         shuffle[name] = (sb1 - sb0) if sb0 >= 0 and sb1 >= 0 else -1
         release_caches()  # drop per-query signature caches between runs
+        _reclaim(spark)  # let ContextCleaner reap shuffle/broadcast state
 
     total = round(sum(t for n, t in times.items() if n in HEADLINE), 3)
     # the headline grew in round 4 (dedup_cascade / training_manifest /

@@ -37,6 +37,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -237,13 +238,33 @@ def media_payload(doc_id: int, text: str) -> tuple:
     return facv_encode(frames), "video/x-motion-bmp"
 
 
-def synthesize_media(docs: DataFrame) -> DataFrame:
+_TYPE_PARITY = {"image/bmp": 0, "audio/wav": 1, "video/x-motion-bmp": 2}
+
+
+def synthesize_media(docs: DataFrame, media_types=None) -> DataFrame:
     """Attach a REAL container payload + typed metadata to each document
     (stand-in for a real media column; every byte derives from
-    md5(text) so it is stable across engines and runs)."""
+    md5(text) so it is stable across engines and runs).
+
+    ``media_types`` prunes synthesis to the listed types with a
+    JVM-side filter on the ``doc_id % 3`` type parity BEFORE any row
+    reaches Python — the synthesis-side analogue of pushing a
+    ``media_type`` predicate down to the scan: a WAV-only consumer
+    (audio stats) skips the expensive multi-frame video payloads
+    entirely instead of building and discarding them."""
     from faconne_spark.session import spread
 
-    base = spread(docs).select("doc_id", "text")
+    base = docs.select("doc_id", "text")
+    if media_types is not None:
+        unknown = sorted(set(media_types) - set(_TYPE_PARITY))
+        if unknown:
+            raise ValueError(
+                f"unknown media types {unknown}; "
+                f"expected a subset of {sorted(_TYPE_PARITY)}"
+            )
+        parities = sorted(_TYPE_PARITY[t] for t in set(media_types))
+        base = base.filter((F.col("doc_id") % 3).isin(parities))
+    base = spread(base)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

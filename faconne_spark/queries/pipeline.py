@@ -618,9 +618,14 @@ def mm_resize(spark, sf):
 def mm_frame_sample(spark, sf):
     """Video/audio frame sampling: mapInPandas 1→N row explosion over
     the REAL containers — every 2nd PCM16 sample (WAV) / every 2nd
-    embedded BMP frame (motion-BMP)."""
+    embedded BMP frame (motion-BMP); still images are pruned JVM-side
+    before synthesis."""
     docs = T(spark, sf, "documents")
-    out = MM.sample_media_frames(MM.synthesize_media(docs))
+    out = MM.sample_media_frames(
+        MM.synthesize_media(
+            docs, media_types=["audio/wav", "video/x-motion-bmp"]
+        )
+    )
     return out.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),
         F.sum("frame_bytes").alias("total_frame_bytes"),
@@ -661,10 +666,13 @@ def mm_audio_stats(spark, sf):
     """Audio curation features over the WAV subset of the media
     relation: REAL PCM16 decode -> sample count, duration, peak, RMS
     loudness (the clip-filter pass of an audio pipeline).  Map-only
-    Arrow batches; the media_type filter prunes non-audio rows before
-    any byte is decoded."""
+    Arrow batches; the type prune happens JVM-side BEFORE synthesis —
+    non-audio docs (2/3 of the corpus, including the expensive
+    multi-frame video payloads) never reach Python."""
     docs = T(spark, sf, "documents")
-    return MM.extract_audio_stats(MM.synthesize_media(docs))
+    return MM.extract_audio_stats(
+        MM.synthesize_media(docs, media_types=["audio/wav"])
+    )
 
 
 # closed-form replay of the WAV payload: PCM byte j is md5-digest byte

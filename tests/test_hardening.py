@@ -80,6 +80,32 @@ def _media(spark, sf_dir, n=30):
     return synthesize_media(docs)
 
 
+def test_synthesize_media_type_prune(spark, sf_dir):
+    """media_types prunes synthesis JVM-side: the pruned relation equals
+    the full relation filtered after the fact, and an unknown type is a
+    call-site error."""
+    import pytest as _pytest
+
+    from faconne_spark.operators.multimodal import synthesize_media
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").limit(30)
+    full = synthesize_media(docs)
+    pruned = synthesize_media(docs, media_types=["audio/wav"])
+    want = sorted(
+        (r["doc_id"], bytes(r["payload"]))
+        for r in full.filter("media_type = 'audio/wav'").collect()
+    )
+    got = sorted(
+        (r["doc_id"], bytes(r["payload"])) for r in pruned.collect()
+    )
+    assert got == want and got
+    assert {
+        r["media_type"] for r in pruned.collect()
+    } == {"audio/wav"}
+    with _pytest.raises(ValueError, match="unknown media types"):
+        synthesize_media(docs, media_types=["image/png"])
+
+
 def test_meta_real_decoder_seam(spark, sf_dir):
     """Injecting a 'real' decoder through the seam must reach the Python
     workers and drive the output values (VERDICT round-1 item 5)."""
