@@ -509,25 +509,38 @@ def containment_pairs(
         spread(docs).select("doc_id", F.expr(sh).alias("sh")), docs
     )
     rel = shingled.select("doc_id", F.explode("sh").alias("s"))
-    # the rare-filtered index is read on BOTH sides of the pair
-    # self-join — cache it or the explode+df-join runs twice
-    rare = _persist_sig(
-        rel.join(
-            rel.groupBy("s").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("s"),
-            "s",
-        ),
-        docs,
+    rare = rel.join(
+        rel.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s"),
+        "s",
     )
+    # Candidate pairs are generated IN-ROW from each rare shingle's
+    # posting list instead of a rare⋈rare self-join: after the df
+    # filter every list holds ≤ max_df entries, so the per-shingle
+    # expansion is bounded (≤ max_df²/2 pairs) and one groupBy shuffle
+    # replaces the self-join's two exchanges — the dominant saving at
+    # corpus scale, where the inverted index is the largest relation in
+    # this operator.  array_distinct collapses intra-document repeats
+    # (df counts occurrences, so the list may repeat a doc_id), and the
+    # sorted-distinct list makes position order = id order, giving the
+    # strict id_a < id_b the old join predicate enforced.
     cand = (
-        rare.alias("a")
-        .join(rare.alias("b"),
-              (F.col("a.s") == F.col("b.s"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        rare.groupBy("s")
+        .agg(
+            F.expr("array_distinct(array_sort(collect_list(doc_id)))")
+            .alias("ids")
         )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return (

@@ -539,36 +539,42 @@ def winnowing_pairs(
     / chunk reuse), which whole-document Jaccard dilutes away.
 
     Same scale shape as the containment index: fingerprints with
-    document frequency > max_df are dropped before the self-join
-    (bounded buckets), pairs keep a count of shared fingerprints."""
-    from faconne_spark.operators.dedup import _persist_sig
+    document frequency > max_df are dropped before pair generation
+    (bounded posting lists), pairs keep a count of shared fingerprints.
 
+    Pairs come from IN-ROW expansion of each rare fingerprint's
+    posting list (sorted-distinct, ≤ max_df entries) rather than a
+    rare⋈rare self-join — one groupBy shuffle instead of two join
+    exchanges, the same rewrite as the containment index.  Each pair
+    appears at most once per fingerprint (the list is distinct), so a
+    plain count equals the old countDistinct(fp)."""
     fps = winnow_fp_expr(n_shingle, w, "spark")
     rel = spread(docs).select(
         "doc_id", F.explode(F.expr(fps)).alias("fp")
     )
-    # read on both sides of the pair self-join — cache or the
-    # fingerprint expression and df-join run twice
-    rare = _persist_sig(
-        rel.join(
-            rel.groupBy("fp").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("fp"),
-            "fp",
-        ),
-        docs,
+    rare = rel.join(
+        rel.groupBy("fp").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp"),
+        "fp",
     )
     return (
-        rare.alias("a")
-        .join(
-            rare.alias("b"),
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        rare.groupBy("fp")
+        .agg(
+            F.expr("array_distinct(array_sort(collect_list(doc_id)))")
+            .alias("ids")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .agg(F.countDistinct("a.fp").alias("shared_fps"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
 
