@@ -190,6 +190,9 @@ def main() -> None:
         "embed_quantize_int8",
         "dup_graph_pagerank",
         "ann_hard_negatives",
+        # round-4c curation additions (timed, not headline)
+        "text_boilerplate_segments",
+        "pack_training_chunks",
     ]
     times = {}
     shuffle = {}

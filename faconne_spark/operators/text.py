@@ -744,3 +744,112 @@ def sqrt_temperature_sample(
         F.max("n_docs").alias("n_docs"),
         F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+def boilerplate_segments(
+    docs: DataFrame, seg_tokens: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document boilerplate removal, the C4/CCNet cleaning step:
+    any text SEGMENT that recurs verbatim in ``min_docs`` distinct
+    documents (nav bars, cookie banners, license footers) is dropped
+    from EVERY document, and each doc reports how much survived plus a
+    hash of its cleaned text.
+
+    The segment unit is a run of ``seg_tokens`` consecutive whitespace
+    tokens (C4 segments on newlines; this corpus is single-line, so the
+    fixed-token segmenter is the equivalent unit — swap the segment
+    expression for a newline split on real crawl text).
+
+    Scale shape: one explode → one groupBy(segment) with a partial
+    count-distinct → one equi-join back on the segment, then a per-doc
+    aggregate that reassembles the kept segments in position order
+    inside the aggregate (sorted structs — no window).  At 100 TB the
+    join key should be the segment's 60-bit hash rather than its text;
+    here the raw segment keeps the oracle comparison byte-exact."""
+    toks = tokens_ws("text", "spark")
+    segs = (
+        f"transform(array({toks}), tk ->"
+        f" transform(sequence(1, cast(ceil(size(tk) / {seg_tokens}.0) as int)),"
+        f" i -> concat_ws(' ', slice(tk, (i - 1) * {seg_tokens} + 1,"
+        f" {seg_tokens}))))[0]"
+    )
+    segd = spread(docs).select(
+        "doc_id", F.posexplode(F.expr(segs)).alias("pos", "seg")
+    )
+    common = (
+        segd.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("seg", F.lit(True).alias("is_bp"))
+    )
+    flagged = segd.join(common, "seg", "left").withColumn(
+        "is_bp", F.coalesce("is_bp", F.lit(False))
+    )
+    clean_concat = (
+        "concat_ws(' ', transform(array_sort("
+        "collect_list(case when not is_bp then struct(pos, seg) end)),"
+        " x -> x.seg))"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).alias("n_boilerplate"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("is_bp"), F.expr("size(split(seg, ' '))"))
+            ),
+            F.lit(0),
+        ).alias("clean_n_tokens"),
+        F.expr(phash60(clean_concat, "spark")).alias("clean_hash"),
+    )
+
+
+def packing_plan(
+    docs: DataFrame, budget: int = 512, n_shards: int = 16
+) -> DataFrame:
+    """Concat-then-chunk packing plan — where each document's tokens
+    land when the corpus is concatenated and cut into fixed
+    ``budget``-token training chunks (the standard pretraining
+    sample-packing layout; a doc may straddle a chunk boundary).
+
+    The concatenation order must be deterministic AND parallel:
+    documents pack per (source, shard) where shard is a content-hash
+    bucket, so every packing partition is an independent bounded
+    stream — the window never sees more than one shard of one source
+    (the scale fix for the classic per-source global-sort packing;
+    shard count scales with the cluster, not the corpus).  Within a
+    shard the order is (content hash, doc_id): stable across runs,
+    partitionings, and engines."""
+    from pyspark.sql import Window
+
+    h = phash60("text", "spark")
+    base = spread(docs).select(
+        "doc_id",
+        "source",
+        F.expr(f"pmod({h}, {n_shards})").alias("shard"),
+        F.expr(f"cast(size({tokens_ws('text', 'spark')}) as bigint)").alias(
+            "n_tokens"
+        ),
+        F.expr(h).alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "shard",
+            "n_tokens",
+            F.expr(f"(_cum - n_tokens) div {budget}").alias("start_chunk"),
+            F.expr(
+                f"greatest((_cum - n_tokens) div {budget},"
+                f" (_cum - 1) div {budget})"
+            ).alias("end_chunk"),
+        )
+        .withColumn(
+            "n_chunks", F.expr("end_chunk - start_chunk + 1")
+        )
+    )

@@ -28,6 +28,7 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # the ones whose green row is stale — followed by the rest in r3 order.
 _FIRST = [
     # -- new this round (no driver row yet) --
+    "text_boilerplate_segments", "pack_training_chunks",
     "contamination_embedding", "sample_temperature", "events_anomaly_mad",
     "scd2_customer_merge", "dedup_keep_best", "docs_zipf_slope",
     "events_zorder_key", "docs_perplexity_buckets", "mm_audio_stats",
@@ -39,6 +40,7 @@ _FIRST = [
     # -- r4-changed implementations (codec rewrite, CC/simhash speedup,
     #    RFM quantile rewrite, gate refactor, DSL struct-of-agg sugar) --
     "mm_resize", "mm_image_meta", "mm_frame_sample",
+    "dedup_containment", "dedup_winnowing",
     "dedup_clusters", "dup_graph_stats", "dedup_simhash",
     "dedup_minhash_lsh", "dedup_incremental", "user_rfm_segments",
     "quality_gate", "fac_campus_report", "fac_expand_aggs",

@@ -722,3 +722,96 @@ FROM scored GROUP BY anchor_id
 
 QUERIES["ann_hard_negatives"] = ann_hard_negatives
 ORACLES["ann_hard_negatives"] = ORACLE_HARD_NEG
+
+
+# ------------------------------------------------- boilerplate removal
+
+SEG_TOKENS = 5
+SEG_MIN_DOCS = 2
+
+
+def text_boilerplate_segments(spark, sf):
+    """C4-style cross-document boilerplate removal: 5-token segments
+    recurring verbatim in >= 2 distinct docs are dropped everywhere;
+    per doc, how much survived + the cleaned-text hash."""
+    return TX.boilerplate_segments(
+        T(spark, sf, "documents"), SEG_TOKENS, SEG_MIN_DOCS
+    )
+
+
+_SEG_LIST = (
+    f"list_transform(range(1, cast(ceil(len(tk) / {SEG_TOKENS}.0) as int) + 1),"
+    f" i -> array_to_string(tk[(i - 1) * {SEG_TOKENS} + 1"
+    f" : (i - 1) * {SEG_TOKENS} + {SEG_TOKENS}], ' '))"
+)
+
+ORACLE_BOILERPLATE = f"""
+WITH segd0 AS (
+  SELECT doc_id, {_SEG_LIST} AS segs
+  FROM (SELECT doc_id, {tokens_ws('text', 'duckdb')} AS tk FROM documents)),
+segd AS (
+  -- constant-bound positional unnest (docs are ~200 tokens; 4000 is
+  -- far above any per-doc segment count at every test SF)
+  SELECT doc_id, g.i - 1 AS pos, segs[g.i] AS seg
+  FROM segd0, generate_series(1, 4000) g(i) WHERE g.i <= len(segs)),
+common AS (
+  SELECT seg FROM segd GROUP BY seg
+  HAVING count(DISTINCT doc_id) >= {SEG_MIN_DOCS}),
+flagged AS (
+  SELECT s.doc_id, s.pos, s.seg, c.seg IS NOT NULL AS is_bp
+  FROM segd s LEFT JOIN common c USING (seg))
+SELECT doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN is_bp THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate,
+       coalesce(sum(CASE WHEN NOT is_bp
+                         THEN len(string_split(seg, ' ')) END), 0)::BIGINT
+         AS clean_n_tokens,
+       ('0x' || substr(md5(coalesce(
+           string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT is_bp),
+           '')), 1, 15))::BIGINT AS clean_hash
+FROM flagged GROUP BY doc_id
+"""
+
+QUERIES["text_boilerplate_segments"] = text_boilerplate_segments
+ORACLES["text_boilerplate_segments"] = ORACLE_BOILERPLATE
+
+
+# ------------------------------------------------- sequence packing
+
+PACK_BUDGET = 512
+PACK_SHARDS = 16
+
+
+def pack_training_chunks(spark, sf):
+    """Concat-then-chunk packing plan per (source, content-hash shard):
+    which fixed 512-token training chunks each document's tokens land
+    in when the shard's stream is concatenated and cut."""
+    return TX.packing_plan(
+        T(spark, sf, "documents"), PACK_BUDGET, PACK_SHARDS
+    )
+
+
+ORACLE_PACKING = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         ({phash60('text', 'duckdb')}) % {PACK_SHARDS} AS shard,
+         len({tokens_ws('text', 'duckdb')})::BIGINT AS n_tokens,
+         ({phash60('text', 'duckdb')}) AS ord_h
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY source, shard ORDER BY ord_h, doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base)
+SELECT doc_id, source, shard, n_tokens,
+       ((cum - n_tokens) // {PACK_BUDGET})::BIGINT AS start_chunk,
+       greatest((cum - n_tokens) // {PACK_BUDGET},
+                (cum - 1) // {PACK_BUDGET})::BIGINT AS end_chunk,
+       (greatest((cum - n_tokens) // {PACK_BUDGET},
+                 (cum - 1) // {PACK_BUDGET})
+        - (cum - n_tokens) // {PACK_BUDGET} + 1)::BIGINT AS n_chunks
+FROM c
+"""
+
+QUERIES["pack_training_chunks"] = pack_training_chunks
+ORACLES["pack_training_chunks"] = ORACLE_PACKING

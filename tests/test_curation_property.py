@@ -242,3 +242,98 @@ def test_audio_stats_honors_container_rate():
     assert rms8 == rms16 == 16.0
 
     assert audio_stats_real(wav_encode(b"", rate=8000)) == (0, 0.0, 0, 0.0)
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    seg=st.integers(2, 5),
+)
+def test_boilerplate_segments_matches_python_oracle(spark, texts, seg):
+    """For ANY corpus: the dropped set is exactly the segments recurring
+    in >= 2 distinct docs, and the clean hash re-derives from the kept
+    segments in position order."""
+    import hashlib
+
+    from faconne_spark.operators.text import boilerplate_segments
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_segments(docs, seg_tokens=seg).collect()
+    }
+
+    def segments(t):
+        tk = t.split()
+        return [
+            " ".join(tk[i : i + seg]) for i in range(0, len(tk), seg)
+        ]
+
+    df = {}
+    for i, t in enumerate(texts):
+        for s in set(segments(t)):
+            df[s] = df.get(s, 0) + 1
+    for i, t in enumerate(texts):
+        segs = segments(t)
+        kept = [s for s in segs if df[s] < 2]
+        r = out[i]
+        assert r["n_segments"] == len(segs)
+        assert r["n_boilerplate"] == len(segs) - len(kept)
+        assert r["clean_n_tokens"] == sum(len(s.split()) for s in kept)
+        want_hash = int(
+            hashlib.md5(" ".join(kept).encode()).hexdigest()[:15], 16
+        )
+        assert r["clean_hash"] == want_hash
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=40).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    budget=st.integers(4, 64),
+)
+def test_packing_plan_invariants(spark, texts, budget):
+    """For ANY corpus and budget: per (source, shard) the packed stream
+    is gapless (each doc starts where the previous ended), chunk spans
+    are consistent with token counts, and the plan is invariant under
+    repartitioning (deterministic order)."""
+    from faconne_spark.operators.text import packing_plan
+
+    docs = spark.createDataFrame(
+        [(i, t, f"s{i % 2}") for i, t in enumerate(texts)],
+        "doc_id bigint, text string, source string",
+    )
+    rows = packing_plan(docs, budget=budget, n_shards=4).collect()
+    again = packing_plan(
+        docs.repartition(7), budget=budget, n_shards=4
+    ).collect()
+    key = lambda r: (r["source"], r["shard"], r["start_chunk"], r["doc_id"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r["source"], r["shard"]), []).append(r)
+    for (_, _), rs in by_shard.items():
+        # reconstruct offsets from chunk spans: start_chunk * budget <=
+        # offset < (start_chunk + 1) * budget, and the stream is gapless
+        total = sum(r["n_tokens"] for r in rs)
+        ends = [r["end_chunk"] for r in rs]
+        assert max(ends) == (total - 1) // budget if total else True
+        for r in rs:
+            assert r["start_chunk"] <= r["end_chunk"]
+            assert r["n_chunks"] == r["end_chunk"] - r["start_chunk"] + 1
+            # a doc spanning k chunks needs > (k-1) * budget - 1 tokens
+            assert (r["n_chunks"] - 1) * budget <= r["n_tokens"] + budget - 1
