@@ -156,6 +156,18 @@ def main() -> None:
     queries["tpch_q6_forecast"](spark, sf_dir).count()
     queries["text_token_count"](spark, sf_dir).count()
 
+    # machine-throughput calibration: a fixed CPU-bound JVM aggregation
+    # (no I/O, no shuffle) timed in the same session.  The sandbox VM's
+    # steady throughput shifts between rounds (it restarted mid-round 4
+    # at ~2x slower wall for identical plans), so round-over-round
+    # comparisons should read headline_total / calibration, not raw
+    # seconds.
+    t0 = time.perf_counter()
+    spark.range(2**27).selectExpr(
+        "sum(id * 2654435761 % 1000003) AS chk"
+    ).collect()
+    calibration = round(time.perf_counter() - t0, 3)
+
     from faconne_spark.operators.dedup import release_caches
 
     # measured but excluded from the headline total, so round-over-round
@@ -222,6 +234,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "total_r3_comparable_subset": prev_compat,
+                "machine_calibration_sec": calibration,
                 "queries": times,
                 "shuffle_write_bytes": shuffle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
