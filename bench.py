@@ -205,6 +205,8 @@ def main() -> None:
         # round-4c curation additions (timed, not headline)
         "text_boilerplate_segments",
         "pack_training_chunks",
+        "docs_chunk_overlap",
+        "docs_bigram_logprob",
     ]
     times = {}
     shuffle = {}

@@ -853,3 +853,85 @@ def packing_plan(
             "n_chunks", F.expr("end_chunk - start_chunk + 1")
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame, win: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping token-window chunking — the 1→N split every RAG /
+    long-context training pipeline runs before embedding or packing
+    (stride < win makes consecutive chunks overlap so no boundary
+    context is lost).
+
+    Pure map-side 1→N explode: chunk starts are a strided sequence over
+    the token array, each chunk slices ``win`` tokens; zero shuffles,
+    stays inside whole-stage codegen.  Every doc yields ≥ 1 chunk (a
+    short doc is its own chunk)."""
+    toks = tokens_ws("text", "spark")
+    chunks = (
+        f"transform(array({toks}), tk ->"
+        f" transform(sequence(1, greatest(size(tk), 1), {stride}),"
+        f" s -> struct(s AS start_tok,"
+        f" concat_ws(' ', slice(tk, s, {win})) AS chunk)))[0]"
+    )
+    return spread(docs).select(
+        "doc_id",
+        F.posexplode(F.expr(chunks)).alias("chunk_id", "c"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.col("c.start_tok").alias("start_tok"),
+        F.expr("cast(size(split(c.chunk, ' ')) as bigint)").alias(
+            "chunk_tokens"
+        ),
+        F.expr(phash60("c.chunk", "spark")).alias("chunk_hash"),
+    )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram-LM quality score: mean log-probability of each document's
+    token bigrams under an add-one-smoothed bigram model trained on the
+    corpus itself — the perplexity-proxy step up from the unigram
+    scorer (repetitive/boilerplate text scores high, token soup low).
+
+    Same scale shape as :func:`unigram_logprob`: one bigram explode
+    feeds both the model counts (vocabulary-sized groupBys, map-side
+    combined) and the scoring join; counts and the vocab size broadcast
+    back onto the stream.  Documents with < 2 tokens have no bigrams
+    and drop out (inner-join semantics, mirrored by the oracle)."""
+    toks = tokens_ws("lower(text)", "spark")
+    bigrams = (
+        f"transform(array({toks}), tk -> case when size(tk) < 2"
+        f" then array() else transform(sequence(1, size(tk) - 1),"
+        f" i -> concat_ws(' ', slice(tk, i, 2))) end)[0]"
+    )
+    stream = spread(docs).select(
+        "doc_id",
+        F.explode(F.expr(bigrams)).alias("bg"),
+    ).withColumn("w1", F.expr("split(bg, ' ')[0]"))
+    bg_freq = stream.groupBy("bg").agg(F.count("*").alias("bg_cnt"))
+    hist_freq = stream.groupBy("w1").agg(F.count("*").alias("hist_cnt"))
+    vocab = (
+        spread(docs)
+        .select(F.explode(F.expr(toks)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v_size"))
+    )
+    return (
+        stream.join(F.broadcast(bg_freq), "bg")
+        .join(F.broadcast(hist_freq), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.expr(
+                        "ln((cast(bg_cnt as double) + 1.0)"
+                        " / (cast(hist_cnt as double)"
+                        " + cast(v_size as double)))"
+                    )
+                ),
+                6,
+            ).alias("mean_bigram_logprob"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )

@@ -29,6 +29,7 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _FIRST = [
     # -- new this round (no driver row yet) --
     "text_boilerplate_segments", "pack_training_chunks",
+    "docs_chunk_overlap", "docs_bigram_logprob",
     "contamination_embedding", "sample_temperature", "events_anomaly_mad",
     "scd2_customer_merge", "dedup_keep_best", "docs_zipf_slope",
     "events_zorder_key", "docs_perplexity_buckets", "mm_audio_stats",

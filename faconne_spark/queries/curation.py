@@ -815,3 +815,72 @@ FROM c
 
 QUERIES["pack_training_chunks"] = pack_training_chunks
 ORACLES["pack_training_chunks"] = ORACLE_PACKING
+
+
+# ------------------------------------------------- chunking + bigram LM
+
+CHUNK_WIN = 64
+CHUNK_STRIDE = 48
+
+
+def docs_chunk_overlap(spark, sf):
+    """Overlapping token-window chunking (64-token windows, stride 48):
+    the RAG / long-context 1→N split, map-only."""
+    return TX.chunk_documents(
+        T(spark, sf, "documents"), CHUNK_WIN, CHUNK_STRIDE
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH tk AS (
+  SELECT doc_id, {tokens_ws('text', 'duckdb')} AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, g.i AS idx,
+         (1 + (g.i - 1) * {CHUNK_STRIDE}) AS start_tok
+  FROM tk, generate_series(1, 4000) g(i)
+  WHERE 1 + (g.i - 1) * {CHUNK_STRIDE} <= greatest(len(t), 1))
+SELECT doc_id,
+       (idx - 1)::BIGINT AS chunk_id,
+       start_tok::INTEGER AS start_tok,
+       len(t[start_tok : start_tok + {CHUNK_WIN} - 1])::BIGINT
+         AS chunk_tokens,
+       ('0x' || substr(md5(
+           array_to_string(t[start_tok : start_tok + {CHUNK_WIN} - 1], ' ')
+         ), 1, 15))::BIGINT AS chunk_hash
+FROM starts
+"""
+
+QUERIES["docs_chunk_overlap"] = docs_chunk_overlap
+ORACLES["docs_chunk_overlap"] = ORACLE_CHUNKS
+
+
+def docs_bigram_logprob(spark, sf):
+    """Mean add-one-smoothed bigram log-probability per doc under the
+    corpus-trained bigram model (perplexity-proxy quality score)."""
+    return TX.bigram_logprob(T(spark, sf, "documents"))
+
+
+ORACLE_BIGRAM = f"""
+WITH tk AS (
+  SELECT doc_id, {tokens_ws('lower(text)', 'duckdb')} AS t FROM documents),
+stream AS (
+  SELECT doc_id,
+         t[g.i] || ' ' || t[g.i + 1] AS bg,
+         t[g.i] AS w1
+  FROM tk, generate_series(1, 4000) g(i)
+  WHERE g.i <= len(t) - 1),
+bg_freq AS (SELECT bg, count(*) AS bg_cnt FROM stream GROUP BY bg),
+hist_freq AS (SELECT w1, count(*) AS hist_cnt FROM stream GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT u.tok) AS v_size
+  FROM (SELECT unnest(t) AS tok FROM tk) u)
+SELECT doc_id,
+       round(avg(ln((bg_cnt + 1.0) / (hist_cnt + v_size))), 6)
+         AS mean_bigram_logprob,
+       count(*)::BIGINT AS n_bigrams
+FROM stream JOIN bg_freq USING (bg) JOIN hist_freq USING (w1), vocab
+GROUP BY doc_id
+"""
+
+QUERIES["docs_bigram_logprob"] = docs_bigram_logprob
+ORACLES["docs_bigram_logprob"] = ORACLE_BIGRAM

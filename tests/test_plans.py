@@ -352,3 +352,25 @@ def test_zorder_key_is_map_side(spark, sf_dir):
     assert "partial_count" in plan.split("Exchange")[-1] or (
         "partial_count" in plan
     )
+
+
+def test_chunk_overlap_map_only(spark, sf_dir):
+    """docs_chunk_overlap is a pure map-side 1→N explode: no
+    data-dependent shuffle, no join, no Python eval."""
+    from faconne_spark.queries.curation import docs_chunk_overlap
+
+    plan = plan_of(docs_chunk_overlap(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_logprob_broadcasts_model(spark, sf_dir):
+    """The bigram model counts must broadcast back onto the stream —
+    the corpus-sized side never shuffles for the scoring join."""
+    from faconne_spark.queries.curation import docs_bigram_logprob
+
+    plan = plan_of(docs_bigram_logprob(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
