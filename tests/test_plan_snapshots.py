@@ -48,6 +48,13 @@ SNAPSHOT_QUERIES = [
     "docs_perplexity_buckets",
     "events_zorder_key",
     "customer_ltv_cohorts",
+    # round-4c curation wave: pin the in-row pair generation (no
+    # rare⋈rare self-join), the zero-shuffle chunker, and the
+    # broadcast bigram model
+    "text_boilerplate_segments",
+    "pack_training_chunks",
+    "docs_chunk_overlap",
+    "docs_bigram_logprob",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
