@@ -223,13 +223,13 @@ def knn_classify(
     )
 
 
-def kmeans_cells(
+def kmeans_assign(
     corpus: DataFrame, nlist: int = 8, iters: int = 2
 ) -> DataFrame:
-    """K-means-refined IVF cells: ``iters`` Lloyd iterations over the
-    embedding corpus (cosine assignment, per-cell mean update), then the
-    final cell memberships. The "train" step real IVF indexes run,
-    expressed in DataFrame ops.
+    """Per-vector k-means cell assignment after ``iters`` Lloyd
+    iterations: returns (vec_id, embedding, cid, csim) — the relation
+    :func:`kmeans_cells` aggregates into cell stats and
+    :func:`faconne_spark.operators.dedup.semantic_dedup` prunes within.
 
     Determinism across engines (the DuckDB oracle replays the exact
     same iterations): centroid means accumulate in FIXED POINT —
@@ -287,16 +287,27 @@ def kmeans_cells(
             )
         )
     sim = F.round(F.expr(cosine_sim("embedding", "cent", "spark")), 6)
-    final = (
+    return (
         spread(corpus)
         .select("vec_id", "embedding")
         .crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", sim.alias("csim"))
+        .select("vec_id", "embedding", "cid", sim.alias("csim"))
         .groupBy("vec_id")
-        .agg(F.expr("max_by(struct(csim, cid), struct(csim, -cid))").alias("_b"))
-        .select("vec_id", F.col("_b.cid").alias("cid"),
-                F.col("_b.csim").alias("csim"))
+        .agg(F.expr(
+            "max_by(struct(embedding, csim, cid), struct(csim, -cid))"
+        ).alias("_b"))
+        .select("vec_id", F.col("_b.embedding").alias("embedding"),
+                F.col("_b.cid").alias("cid"), F.col("_b.csim").alias("csim"))
     )
+
+
+def kmeans_cells(
+    corpus: DataFrame, nlist: int = 8, iters: int = 2
+) -> DataFrame:
+    """Per-cell membership stats over :func:`kmeans_assign` — the
+    "train" step real IVF indexes run, expressed in DataFrame ops.
+    Determinism and scale notes live on :func:`kmeans_assign`."""
+    final = kmeans_assign(corpus, nlist, iters)
     # exact mean: csim is 6-dp-rounded → scale to integral micro-units,
     # sum as bigint (order-independent), divide once — no float-sum drift
     return final.groupBy("cid").agg(

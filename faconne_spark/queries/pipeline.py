@@ -229,10 +229,12 @@ def ann_ivf_kmeans(spark, sf):
     return S.kmeans_cells(T(spark, sf, "embeddings"), KM_NLIST, KM_ITERS)
 
 
-def _duck_kmeans_oracle(nlist: int, iters: int) -> str:
+def _duck_kmeans_ctes(nlist: int, iters: int) -> str:
     """Unrolled Lloyd iterations as chained CTEs, replaying the Spark
     algorithm exactly (same fixed-point mean, same 6-dp assignment
-    rounding, same cid tie-break)."""
+    rounding, same cid tie-break).  Ends in ``assign`` =
+    (vec_id, embedding, cid, csim) — shared by the cell-stats oracle
+    and the SemDedup oracle."""
     sim = lambda e, c: f"round({cosine_sim(e, c, 'duckdb')}, 6)"
     ctes = [
         f"c0 AS (SELECT vec_id AS cid, embedding AS cent"
@@ -253,21 +255,56 @@ def _duck_kmeans_oracle(nlist: int, iters: int) -> str:
     FROM (SELECT cid, g.d, embedding[g.d] AS x
           FROM a{i}, generate_series(1, {EMB_DIM}) AS g(d))
     GROUP BY cid, d) GROUP BY cid)""")
-    return f"""WITH {', '.join(ctes)},
-final AS (
-  SELECT vec_id, cid, csim FROM (
-    SELECT e.vec_id, c.cid, {sim('e.embedding', 'c.cent')} AS csim,
+    ctes.append(f"""assign AS (
+  SELECT vec_id, embedding, cid, csim FROM (
+    SELECT e.vec_id, e.embedding, c.cid, {sim('e.embedding', 'c.cent')} AS csim,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {sim('e.embedding', 'c.cent')} DESC, c.cid) AS rk
-    FROM embeddings e CROSS JOIN c{iters} c) WHERE rk = 1)
+    FROM embeddings e CROSS JOIN c{iters} c) WHERE rk = 1)""")
+    return ", ".join(ctes)
+
+
+def _duck_kmeans_oracle(nlist: int, iters: int) -> str:
+    return f"""WITH {_duck_kmeans_ctes(nlist, iters)}
 SELECT cid, count(*)::BIGINT AS n_members, min(vec_id) AS min_vec_id,
        sum(floor(csim * 1000000 + 0.5)::BIGINT)::DOUBLE
          / 1000000.0 / count(*)::DOUBLE AS avg_sim
-FROM final GROUP BY cid
+FROM assign GROUP BY cid
 """
 
 
 ORACLE_KMEANS = _duck_kmeans_oracle(KM_NLIST, KM_ITERS)
+
+
+SEMDEDUP_TAU = 0.35
+
+
+def dedup_semantic(spark, sf):
+    """SemDedup: k-means cluster the embeddings, prune cosine-near-dups
+    within each cluster only (per-vec keep verdict + keeper id)."""
+    return D.semantic_dedup(
+        T(spark, sf, "embeddings"), KM_NLIST, KM_ITERS, SEMDEDUP_TAU
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH {_duck_kmeans_ctes(KM_NLIST, KM_ITERS)},
+losses AS (
+  SELECT a.vec_id, b.vec_id AS other,
+         round({cosine_sim('a.embedding', 'b.embedding', 'duckdb')}, 6) AS sim
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE round({cosine_sim('a.embedding', 'b.embedding', 'duckdb')}, 6)
+        >= {SEMDEDUP_TAU}),
+best AS (
+  SELECT vec_id, other AS dup_of, sim AS dup_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY other) AS rk
+  FROM losses)
+SELECT s.vec_id, s.cid, b.dup_of IS NULL AS keep, b.dup_of, b.dup_sim
+FROM assign s
+LEFT JOIN (SELECT vec_id, dup_of, dup_sim FROM best WHERE rk = 1) b
+  USING (vec_id)
+"""
 
 
 def knn_classify_labels(spark, sf):
@@ -760,6 +797,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "dedup_semantic": dedup_semantic,
     "embed_norm": embed_norm,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -786,6 +824,7 @@ ORACLES = {
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_ivf_kmeans": ORACLE_KMEANS,
+    "dedup_semantic": ORACLE_SEMDEDUP,
     "embed_norm": ORACLE_EMBED_NORM,
     "text_token_count": ORACLE_TOKEN_COUNT,
     "text_quality": ORACLE_QUALITY,
