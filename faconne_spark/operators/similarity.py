@@ -570,3 +570,54 @@ def contamination_cosine(
         )
         .filter(F.col("max_cos") >= threshold)
     )
+
+
+def pca_gramian(corpus: DataFrame, dim: int = 64) -> DataFrame:
+    """Upper-triangular Gram matrix of the embedding corpus — the d×d
+    sufficient statistic a distributed PCA needs (the eigendecomposition
+    itself is a driver-side d×d problem, not a cluster job).  Returns
+    (i, j, gram, n_vecs) for i ≤ j, 0-based dims, where gram =
+    Σ_vec x_i·x_j accumulated in fixed point.
+
+    Scale (100 TB): the map side emits d(d+1)/2 products per vector and
+    partially aggregates them BEFORE the shuffle, so the exchange
+    carries at most d²·partitions rows regardless of corpus size — the
+    classic outer-product-accumulate pattern.  No driver collect, no
+    UDF, one shuffle.
+
+    Determinism: each coordinate is scaled to micro-units and floored
+    to a bigint, so every product is an exact integer (pico-units) and
+    the sum is order-independent in DECIMAL(38,0); the double emerges
+    only after the final division.
+    """
+    prods = (
+        spread(corpus)
+        .select(F.posexplode("embedding").alias("i", "xi"), "embedding")
+        .select(
+            "i",
+            F.explode(
+                F.expr(
+                    "transform(slice(embedding, i + 1, size(embedding) - i),"
+                    " (xj, k) -> struct(i + k as j,"
+                    "  cast(floor(cast(xi as double) * 1000000 + 0.5) as bigint)"
+                    "  * cast(floor(cast(xj as double) * 1000000 + 0.5) as bigint)"
+                    "  as p))"
+                )
+            ).alias("_e"),
+        )
+        .select("i", F.col("_e.j").alias("j"), F.col("_e.p").alias("p"))
+    )
+    n = corpus.agg(F.count("*").alias("n_vecs"))
+    return (
+        prods.groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("_s"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "round(cast(_s as double) / 1000000000000.0, 6)"
+            ).alias("gram"),
+            "n_vecs",
+        )
+    )

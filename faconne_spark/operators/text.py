@@ -935,3 +935,155 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
             F.count("*").alias("n_bigrams"),
         )
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, arXiv:2112.11446
+# §A1.1 — word-level document filters, adapted to whitespace tokens)
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style quality rules per document (Rae et al. 2021): word
+    count bounds, mean word length in [3, 10], symbol-to-word ratio
+    (``#`` and ``...``), fraction of words containing an alphabetic
+    character, and a required-stopword count — each as its own boolean
+    plus the conjunction ``keep``.  Complements
+    :func:`quality_score`/:func:`repetition_signals` (ratio features and
+    repetition live there); this is the named rule-set a curation run
+    cites when it drops a document.
+
+    Scale: map-only — one tokenize per row staged as a column, every
+    rule an expression over it; zero shuffles, no UDFs.  The DuckDB
+    oracle computes the same expressions with list_* functions.
+    """
+    toks = tokens_ws("lower(text)", "spark")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+    lo, hi = GOPHER_MEAN_LEN
+    return (
+        spread(docs)
+        .withColumn("_toks", F.expr(toks))
+        .withColumn("n_words", F.expr("size(_toks)"))
+        .withColumn(
+            "mean_word_len",
+            F.expr(
+                "round(cast(aggregate(_toks, 0, (a, t) -> a + length(t)) as double)"
+                " / cast(greatest(size(_toks), 1) as double), 6)"
+            ),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.expr(
+                "round(cast(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) as double)"
+                " / cast(greatest(size(_toks), 1) as double), 6)"
+            ),
+        )
+        .withColumn(
+            "alpha_frac",
+            F.expr(
+                "round(cast(size(filter(_toks, t -> t rlike '[a-z]')) as double)"
+                " / cast(greatest(size(_toks), 1) as double), 6)"
+            ),
+        )
+        .withColumn(
+            "n_stopwords",
+            F.expr(f"size(filter({stop_arr}, s -> array_contains(_toks, s)))"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "symbol_ratio",
+            "alpha_frac",
+            "n_stopwords",
+            F.expr(
+                f"n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}"
+            ).alias("pass_word_count"),
+            F.expr(f"mean_word_len BETWEEN {lo} AND {hi}").alias(
+                "pass_mean_len"
+            ),
+            F.expr(f"symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}").alias(
+                "pass_symbols"
+            ),
+            F.expr(f"alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}").alias(
+                "pass_alpha"
+            ),
+            F.expr(f"n_stopwords >= {GOPHER_MIN_STOPWORDS}").alias(
+                "pass_stopwords"
+            ),
+        )
+        .withColumn(
+            "keep",
+            F.expr(
+                "pass_word_count AND pass_mean_len AND pass_symbols"
+                " AND pass_alpha AND pass_stopwords"
+            ),
+        )
+    )
+
+
+def importance_weights(docs: DataFrame, target_source: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely its
+    tokens are under a TARGET distribution (here: the docs of one
+    source) than under the raw-corpus distribution — the selection
+    signal for importance resampling toward a high-quality domain.
+    Per-doc weight = mean over tokens of
+    ln p_target(t) - ln p_raw(t), with add-one smoothing over the raw
+    vocabulary; ``selected`` = weight > 0 (more target-like than raw).
+
+    Scale (100 TB): two token-stream groupBys (map-side combined,
+    vocabulary-sized outputs), then ONE broadcast join of the smoothed
+    ratio table back onto the token stream — the corpus shuffles only
+    for the per-doc aggregation on doc_id.  Totals and vocabulary size
+    ride in as 1-row broadcast cross-joins, never a driver collect.
+    Determinism: same ln/avg/round-6 contract as
+    :func:`unigram_logprob` (the DuckDB oracle computes identical
+    doubles from identical integer counts).
+    """
+    toks = tokens_ws("lower(text)", "spark")
+    tok_stream = spread(docs).select(
+        "doc_id", "source", F.explode(F.expr(toks)).alias("tok")
+    )
+    raw = tok_stream.groupBy("tok").agg(F.count("*").alias("cnt_raw"))
+    tgt = (
+        tok_stream.filter(F.col("source") == target_source)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt_tgt"))
+    )
+    stats = (
+        raw.agg(
+            F.sum("cnt_raw").alias("total_raw"),
+            F.count("*").alias("vocab"),
+        )
+        .crossJoin(
+            tgt.agg(F.coalesce(F.sum("cnt_tgt"), F.lit(0)).alias("total_tgt"))
+        )
+    )
+    table = (
+        raw.join(tgt, "tok", "left")
+        .na.fill({"cnt_tgt": 0})
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            F.expr(
+                "ln(cast(cnt_tgt + 1 as double) / cast(total_tgt + vocab as double))"
+                " - ln(cast(cnt_raw + 1 as double) / cast(total_raw + vocab as double))"
+            ).alias("lnr"),
+        )
+    )
+    return (
+        tok_stream.join(F.broadcast(table), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("source")).alias("source"),
+            F.count("*").alias("n_toks"),
+            F.round(F.avg("lnr"), 6).alias("weight"),
+        )
+        .withColumn("selected", F.col("weight") > 0)
+    )

@@ -28,6 +28,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # the ones whose green row is stale — followed by the rest in r3 order.
 _FIRST = [
     # -- new this round (no driver row yet) --
+    "dedup_semantic", "text_gopher_rules", "docs_importance_weights",
+    "customer_fuzzy_matches", "embed_pca_gramian",
     "text_boilerplate_segments", "pack_training_chunks",
     "docs_chunk_overlap", "docs_bigram_logprob",
     "contamination_embedding", "sample_temperature", "events_anomaly_mad",

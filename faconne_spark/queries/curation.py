@@ -884,3 +884,108 @@ GROUP BY doc_id
 
 QUERIES["docs_bigram_logprob"] = docs_bigram_logprob
 ORACLES["docs_bigram_logprob"] = ORACLE_BIGRAM
+
+
+# --------------------------------------- DSIR importance resampling
+
+DSIR_TARGET = "src0"
+
+
+def docs_importance_weights(spark, sf):
+    """DSIR-style importance weights toward the DSIR_TARGET source's
+    token distribution (mean smoothed log-likelihood ratio per doc)."""
+    return TX.importance_weights(T(spark, sf, "documents"), DSIR_TARGET)
+
+
+ORACLE_DSIR = f"""
+WITH tok_stream AS (
+  SELECT doc_id, source, unnest({tokens_ws('lower(text)', 'duckdb')}) AS tok
+  FROM documents),
+raw AS (
+  SELECT tok, count(*) AS cnt_raw FROM tok_stream GROUP BY tok),
+tgt AS (
+  SELECT tok, count(*) AS cnt_tgt FROM tok_stream
+  WHERE source = '{DSIR_TARGET}' GROUP BY tok),
+stats AS (
+  SELECT (SELECT sum(cnt_raw) FROM raw) AS total_raw,
+         (SELECT count(*) FROM raw) AS vocab,
+         (SELECT coalesce(sum(cnt_tgt), 0) FROM tgt) AS total_tgt),
+ratio AS (
+  SELECT r.tok,
+         ln((coalesce(t.cnt_tgt, 0) + 1)::DOUBLE / (s.total_tgt + s.vocab))
+           - ln((r.cnt_raw + 1)::DOUBLE / (s.total_raw + s.vocab)) AS lnr
+  FROM raw r LEFT JOIN tgt t USING (tok) CROSS JOIN stats s)
+SELECT ts.doc_id, any_value(ts.source) AS source,
+       count(*)::BIGINT AS n_toks,
+       round(avg(ra.lnr), 6) AS weight,
+       round(avg(ra.lnr), 6) > 0 AS selected
+FROM tok_stream ts JOIN ratio ra USING (tok)
+GROUP BY ts.doc_id
+"""
+
+QUERIES["docs_importance_weights"] = docs_importance_weights
+ORACLES["docs_importance_weights"] = ORACLE_DSIR
+
+
+# ----------------------------------------- blocked entity resolution
+
+FUZZY_MAX_LEV = 1
+
+
+def customer_fuzzy_matches(spark, sf):
+    """Blocked fuzzy entity matching over customers: same nation + name
+    prefix block, Levenshtein ≤ 1 on the full name."""
+    return R.blocked_fuzzy_pairs(
+        T(spark, sf, "customer"),
+        "c_custkey",
+        "c_name",
+        ["c_nationkey"],
+        FUZZY_MAX_LEV,
+    )
+
+
+ORACLE_FUZZY = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_name,
+         substr(c_name, 1, length(c_name) - 2) AS name_block
+  FROM customer)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name)::INTEGER AS lev
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.name_block = b.name_block
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_LEV}
+"""
+
+QUERIES["customer_fuzzy_matches"] = customer_fuzzy_matches
+ORACLES["customer_fuzzy_matches"] = ORACLE_FUZZY
+
+
+# ------------------------------------------------- PCA sufficient stats
+
+EMB_DIM_PCA = 64
+
+
+def embed_pca_gramian(spark, sf):
+    """Upper-triangular fixed-point Gram matrix of the embedding corpus
+    — the d×d sufficient statistic for distributed PCA."""
+    return S.pca_gramian(T(spark, sf, "embeddings"), EMB_DIM_PCA)
+
+
+ORACLE_PCA_GRAM = f"""
+WITH prods AS (
+  SELECT g1.d - 1 AS i, g2.d - 1 AS j,
+         floor(embedding[g1.d]::DOUBLE * 1000000 + 0.5)::BIGINT
+         * floor(embedding[g2.d]::DOUBLE * 1000000 + 0.5)::BIGINT AS p
+  FROM embeddings,
+       generate_series(1, {EMB_DIM_PCA}) AS g1(d),
+       generate_series(1, {EMB_DIM_PCA}) AS g2(d)
+  WHERE g2.d >= g1.d)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       round(sum(p::DECIMAL(38,0))::DOUBLE / 1000000000000.0, 6) AS gram,
+       (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs
+FROM prods GROUP BY i, j
+"""
+
+QUERIES["embed_pca_gramian"] = embed_pca_gramian
+ORACLES["embed_pca_gramian"] = ORACLE_PCA_GRAM

@@ -961,6 +961,58 @@ FROM per_bg GROUP BY doc_id
 """
 
 
+def text_gopher_rules(spark, sf):
+    return TX.gopher_rules(T(spark, sf, "documents"))
+
+
+def _oracle_gopher() -> str:
+    from faconne_spark.operators.text import (
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_LEN,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    lo, hi = GOPHER_MEAN_LEN
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         round(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+               / greatest(len(toks), 1), 6) AS symbol_ratio,
+         round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+               / greatest(len(toks), 1), 6) AS alpha_frac,
+         len(list_filter({stop_arr}, s -> list_contains(toks, s)))
+           AS n_stopwords
+  FROM t)
+SELECT *,
+       (pass_word_count AND pass_mean_len AND pass_symbols
+        AND pass_alpha AND pass_stopwords) AS keep
+FROM (
+  SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+         n_stopwords,
+         n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+           AS pass_word_count,
+         mean_word_len BETWEEN {lo} AND {hi} AS pass_mean_len,
+         symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS pass_symbols,
+         alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS pass_alpha,
+         n_stopwords >= {GOPHER_MIN_STOPWORDS} AS pass_stopwords
+  FROM m)
+"""
+
+
+ORACLE_GOPHER = _oracle_gopher()
+
+
 def docs_topk_ngrams(spark, sf):
     return TX.corpus_topk_ngrams(T(spark, sf, "documents"))
 
@@ -1078,6 +1130,7 @@ SELECT label, n_vecs, centroid_norm, avg_norm FROM cent JOIN cnt USING (label)
 QUERIES.update(
     {
         "text_repetition": text_repetition,
+        "text_gopher_rules": text_gopher_rules,
         "docs_topk_ngrams": docs_topk_ngrams,
         "text_unigram_logprob": text_unigram_logprob,
         "source_stats": source_stats,
@@ -1088,6 +1141,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "text_repetition": ORACLE_REPETITION,
+        "text_gopher_rules": ORACLE_GOPHER,
         "docs_topk_ngrams": ORACLE_TOPK_NGRAMS,
         "text_unigram_logprob": ORACLE_LOGPROB,
         "source_stats": ORACLE_SOURCE_STATS,

@@ -337,3 +337,229 @@ def test_packing_plan_invariants(spark, texts, budget):
             assert r["n_chunks"] == r["end_chunk"] - r["start_chunk"] + 1
             # a doc spanning k chunks needs > (k-1) * budget - 1 tokens
             assert (r["n_chunks"] - 1) * budget <= r["n_tokens"] + budget - 1
+
+
+# ---------------------------------------------------------------- 4d wave
+
+
+def _round6(x: float) -> float:
+    """Spark/DuckDB-style HALF_UP rounding to 6 dp."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+
+def _cos(a, b):
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return None if na * nb == 0 else dot / (na * nb)
+
+
+@PROP
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False).map(lambda x: round(x, 3)),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_semantic_dedup_prune_matches_python(spark, vecs):
+    """Given the operator's own cluster assignment, the prune verdict
+    must equal the Python-recomputed rule: dropped iff a lower-id
+    same-cluster vector has rounded cosine ≥ tau, and dup_of is the
+    SMALLEST such id."""
+    from faconne_spark.operators.dedup import release_caches, semantic_dedup
+
+    tau = 0.3
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(df, 2, 1, tau).collect()}
+    release_caches()
+    assert set(out) == set(range(len(vecs)))
+    cid = {i: out[i]["cid"] for i in out}
+    for i, row in out.items():
+        qualifying = []
+        for j in range(i):
+            if cid[j] != cid[i]:
+                continue
+            s = _cos(vecs[i], vecs[j])
+            if s is None:
+                continue
+            if abs(s - tau) < 1e-9:  # rounding-boundary: skip the flaky case
+                return
+            if _round6(s) >= tau:
+                qualifying.append(j)
+        if qualifying:
+            assert row["keep"] is False and row["dup_of"] == min(qualifying)
+        else:
+            assert row["keep"] is True and row["dup_of"] is None
+
+
+words = st.lists(
+    st.text(alphabet="abc#.", min_size=1, max_size=8), min_size=1, max_size=30
+)
+
+
+@PROP
+@given(ws=words)
+def test_gopher_rules_matches_python(spark, ws):
+    """Every Gopher metric and flag replayed in plain Python."""
+    from faconne_spark.operators.text import (
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MEAN_LEN,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
+    import re
+
+    text = " ".join(ws)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = gopher_rules(df).collect()[0]
+    toks = re.split(r"\s+", text.strip().lower())
+    n = len(toks)
+    assert r["n_words"] == n
+    assert r["mean_word_len"] == _round6(sum(map(len, toks)) / max(n, 1))
+    n_sym = len(re.findall(r"#|\.\.\.", text))
+    assert r["symbol_ratio"] == _round6(n_sym / max(n, 1))
+    alpha = sum(1 for t in toks if re.search(r"[a-z]", t))
+    assert r["alpha_frac"] == _round6(alpha / max(n, 1))
+    n_stop = sum(1 for s in GOPHER_STOPWORDS if s in toks)
+    assert r["n_stopwords"] == n_stop
+    assert r["pass_word_count"] == (GOPHER_MIN_WORDS <= n <= 100_000)
+    assert r["pass_symbols"] == (r["symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
+    assert r["pass_alpha"] == (r["alpha_frac"] >= GOPHER_MIN_ALPHA_FRAC)
+    assert r["pass_stopwords"] == (n_stop >= GOPHER_MIN_STOPWORDS)
+    assert r["keep"] == (
+        r["pass_word_count"] and r["pass_mean_len"] and r["pass_symbols"]
+        and r["pass_alpha"] and r["pass_stopwords"]
+    )
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["t", "u"]),
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=6),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_importance_weights_matches_python(spark, docs):
+    """DSIR weights replayed in Python: smoothed log-likelihood ratio
+    of target ('t' source) vs raw corpus, mean per doc."""
+    import math
+
+    from faconne_spark.operators.text import importance_weights
+
+    rows = [(i, src, " ".join(toks)) for i, (src, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r["doc_id"]: r for r in importance_weights(df, "t").collect()}
+
+    raw, tgt = {}, {}
+    for _, src, text in rows:
+        for tok in text.split(" "):
+            raw[tok] = raw.get(tok, 0) + 1
+            if src == "t":
+                tgt[tok] = tgt.get(tok, 0) + 1
+    V = len(raw)
+    tr, tt = sum(raw.values()), sum(tgt.values())
+    for i, (src, toks) in enumerate(docs):
+        lnrs = [
+            math.log((tgt.get(t, 0) + 1) / (tt + V))
+            - math.log((raw[t] + 1) / (tr + V))
+            for t in toks
+        ]
+        w = sum(lnrs) / len(lnrs)
+        assert out[i]["source"] == src
+        assert out[i]["n_toks"] == len(toks)
+        assert abs(out[i]["weight"] - w) < 2e-6
+        assert out[i]["selected"] == (_round6(w) > 0) or abs(w) < 2e-6
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@PROP
+@given(
+    names=st.lists(
+        st.tuples(st.integers(0, 1), st.text(alphabet="ab1", min_size=3, max_size=6)),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_blocked_fuzzy_pairs_matches_python(spark, names):
+    """The operator's pairs = brute-force pairs that share the blocking
+    key AND pass the Levenshtein threshold (blocking semantics included
+    in the oracle)."""
+    from faconne_spark.operators.relational import blocked_fuzzy_pairs
+
+    rows = [(i, nat, nm) for i, (nat, nm) in enumerate(names)]
+    df = spark.createDataFrame(rows, "id bigint, nat int, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["lev"])
+        for r in blocked_fuzzy_pairs(df, "id", "name", ["nat"], 1, 2).collect()
+    }
+    want = set()
+    for i, (nat_a, a) in enumerate(names):
+        for j in range(i + 1, len(names)):
+            nat_b, b = names[j]
+            if nat_a != nat_b or a[:-2] != b[:-2]:
+                continue
+            d = _lev(a, b)
+            if d <= 1:
+                want.add((i, j, d))
+    assert got == want
+
+
+@PROP
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False).map(lambda x: round(x, 3)),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pca_gramian_matches_numpy(spark, vecs):
+    """Gram entries equal the micro-quantized outer-product sum."""
+    import math
+
+    from faconne_spark.operators.similarity import pca_gramian
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {(r["i"], r["j"]): r for r in pca_gramian(df, 3).collect()}
+    d = 3
+    assert set(out) == {(i, j) for i in range(d) for j in range(d) if j >= i}
+    q = lambda x: math.floor(x * 1e6 + 0.5)
+    for i in range(d):
+        for j in range(i, d):
+            s = sum(q(v[i]) * q(v[j]) for v in vecs)
+            assert out[(i, j)]["gram"] == _round6(s / 1e12)
+            assert out[(i, j)]["n_vecs"] == len(vecs)

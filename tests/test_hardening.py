@@ -418,7 +418,7 @@ def test_survey_registry_consistency():
             r"orders_monthly_yoy|part_price_stats|neardup_\w+|"
             r"customer_order_reconciliation|sql_api_\w+|sliding_window_counts|"
             r"training_manifest|join_skew_report|scd2_\w+|"
-            r"customer_ltv_\w+|pack_\w+)\b",
+            r"customer_ltv_\w+|customer_fuzzy_\w+|pack_\w+)\b",
             survey,
         )
     )

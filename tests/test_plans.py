@@ -374,3 +374,49 @@ def test_bigram_logprob_broadcasts_model(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    """Gopher rules are one tokenize + expressions: no data-dependent
+    shuffle, no join, no Python eval."""
+    from faconne_spark.queries.pipeline import text_gopher_rules
+
+    plan = plan_of(text_gopher_rules(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pca_gramian_partial_agg_no_cartesian(spark, sf_dir):
+    """The outer-product sum must combine map-side (the exchange
+    carries d² rows per partition, not d² per vector) and the totals
+    relation must broadcast."""
+    from faconne_spark.queries.curation import embed_pca_gramian
+
+    plan = plan_of(embed_pca_gramian(spark, sf_dir))
+    # tree print order: final agg, Exchange, THEN the map side — so the
+    # partial_sum must appear after the hash exchange line
+    map_side = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_sum" in map_side, "map-side combine missing"
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_joins_on_cluster(spark, sf_dir):
+    """SemDedup's pairwise step joins on cid — never a cartesian."""
+    from faconne_spark.operators.dedup import release_caches
+    from faconne_spark.queries.pipeline import dedup_semantic
+
+    plan = plan_of(dedup_semantic(spark, sf_dir))
+    release_caches()
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_block_join(spark, sf_dir):
+    """Blocked fuzzy matching joins on the blocking key — never a
+    cartesian, and the Levenshtein filter runs JVM-side."""
+    from faconne_spark.queries.curation import customer_fuzzy_matches
+
+    plan = plan_of(customer_fuzzy_matches(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan
