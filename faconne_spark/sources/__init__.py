@@ -297,3 +297,45 @@ def _ffd_bins(spark: SparkSession, path: str, target_bytes: int) -> list:
         if not placed:
             bins.append([max(target_bytes - size, 0), [name], size])
     return bins
+
+
+# S12 — streaming state store reader (Spark 4 State Data Source).
+# Reading a running/stopped streaming query's state as a batch
+# DataFrame is the operational debugging surface for stateful
+# pipelines: inspect watermarked aggregation state, audit session
+# windows, or bootstrap a migration without replaying the stream.
+
+
+def read_stream_state(
+    spark: SparkSession,
+    checkpoint: str,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Read a Structured Streaming checkpoint's state store as a batch
+    DataFrame (``format("statestore")``) — columns ``key``, ``value``
+    (structs mirroring the stateful operator's schema) plus
+    ``partition_id``.  ``batch_id`` defaults to the latest committed
+    micro-batch.
+
+    Scale: the data source lists one state file per shuffle partition
+    per operator — reads parallelize across partitions exactly like the
+    stream that wrote them; no driver materialization.
+    """
+    r = (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+    )
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load(checkpoint)
+
+
+def read_stream_state_metadata(
+    spark: SparkSession, checkpoint: str
+) -> DataFrame:
+    """Operator-level metadata of a streaming checkpoint
+    (``format("state-metadata")``): operator ids/names, partition
+    counts, and the min/max batch ids whose state is retained — the
+    index one consults before :func:`read_stream_state`."""
+    return spark.read.format("state-metadata").load(checkpoint)

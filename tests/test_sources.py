@@ -292,3 +292,47 @@ def test_compaction_plan_and_execute(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == events.count()
     assert sorted(back.columns) == sorted(events.columns)
+
+
+def test_state_store_reader(spark, sf_dir, tmp_path):
+    """S12: a stopped streaming aggregation's state store reads back as
+    a batch DataFrame whose per-key counts equal the batch groupBy, and
+    the state-metadata index describes the operator."""
+    import os
+
+    from faconne_spark.sources import (
+        read_stream_state,
+        read_stream_state_metadata,
+    )
+    from faconne_spark.streaming import read_stream_parquet
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_stream_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = stream.groupBy("event_type").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_reader_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    state = read_stream_state(spark, ckpt)
+    got = {
+        r["key"]["event_type"]: r["value"]["count"]
+        for r in state.collect()
+    }
+    from faconne_spark.queries import T
+
+    want = {
+        r["event_type"]: r["count"]
+        for r in T(spark, sf_dir, "events").groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+    meta = read_stream_state_metadata(spark, ckpt).collect()
+    assert len(meta) >= 1
+    assert meta[0]["operatorId"] == 0
