@@ -207,6 +207,12 @@ def main() -> None:
         "pack_training_chunks",
         "docs_chunk_overlap",
         "docs_bigram_logprob",
+        # round-4d curation additions (timed, not headline)
+        "dedup_semantic",
+        "text_gopher_rules",
+        "docs_importance_weights",
+        "customer_fuzzy_matches",
+        "embed_pca_gramian",
     ]
     times = {}
     shuffle = {}

@@ -224,12 +224,18 @@ def knn_classify(
 
 
 def kmeans_assign(
-    corpus: DataFrame, nlist: int = 8, iters: int = 2
+    corpus: DataFrame, nlist: int = 8, iters: int = 2,
+    with_embedding: bool = True,
 ) -> DataFrame:
     """Per-vector k-means cell assignment after ``iters`` Lloyd
-    iterations: returns (vec_id, embedding, cid, csim) — the relation
+    iterations: returns (vec_id[, embedding], cid, csim) — the relation
     :func:`kmeans_cells` aggregates into cell stats and
     :func:`faconne_spark.operators.dedup.semantic_dedup` prunes within.
+    Callers that don't need the vector back (cell stats) pass
+    ``with_embedding=False`` so the final assignment exchange carries
+    ids and scores only, not the whole embedding column — at 100 TB
+    that's the difference between shuffling the corpus and shuffling
+    its keys.
 
     Determinism across engines (the DuckDB oracle replays the exact
     same iterations): centroid means accumulate in FIXED POINT —
@@ -287,6 +293,10 @@ def kmeans_assign(
             )
         )
     sim = F.round(F.expr(cosine_sim("embedding", "cent", "spark")), 6)
+    carried = "embedding, csim, cid" if with_embedding else "csim, cid"
+    out_cols = (
+        [F.col("_b.embedding").alias("embedding")] if with_embedding else []
+    )
     return (
         spread(corpus)
         .select("vec_id", "embedding")
@@ -294,9 +304,9 @@ def kmeans_assign(
         .select("vec_id", "embedding", "cid", sim.alias("csim"))
         .groupBy("vec_id")
         .agg(F.expr(
-            "max_by(struct(embedding, csim, cid), struct(csim, -cid))"
+            f"max_by(struct({carried}), struct(csim, -cid))"
         ).alias("_b"))
-        .select("vec_id", F.col("_b.embedding").alias("embedding"),
+        .select("vec_id", *out_cols,
                 F.col("_b.cid").alias("cid"), F.col("_b.csim").alias("csim"))
     )
 
@@ -307,7 +317,7 @@ def kmeans_cells(
     """Per-cell membership stats over :func:`kmeans_assign` — the
     "train" step real IVF indexes run, expressed in DataFrame ops.
     Determinism and scale notes live on :func:`kmeans_assign`."""
-    final = kmeans_assign(corpus, nlist, iters)
+    final = kmeans_assign(corpus, nlist, iters, with_embedding=False)
     # exact mean: csim is 6-dp-rounded → scale to integral micro-units,
     # sum as bigint (order-independent), divide once — no float-sum drift
     return final.groupBy("cid").agg(

@@ -55,6 +55,14 @@ SNAPSHOT_QUERIES = [
     "pack_training_chunks",
     "docs_chunk_overlap",
     "docs_bigram_logprob",
+    # round-4d curation wave: pin the cid-join SemDedup shape, the
+    # map-only Gopher pass, the broadcast DSIR ratio table, the
+    # block-key fuzzy join, and the gramian's map-side combine
+    "dedup_semantic",
+    "text_gopher_rules",
+    "docs_importance_weights",
+    "customer_fuzzy_matches",
+    "embed_pca_gramian",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
