@@ -213,6 +213,8 @@ def main() -> None:
         "docs_importance_weights",
         "customer_fuzzy_matches",
         "embed_pca_gramian",
+        "docs_bpe_pair_counts",
+        "events_fill_forward",
     ]
     times = {}
     shuffle = {}

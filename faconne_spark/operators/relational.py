@@ -272,3 +272,34 @@ def blocked_fuzzy_pairs(
         )
         .filter(F.col("lev") <= max_lev)
     )
+
+
+def fill_forward(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    value_col: str,
+) -> DataFrame:
+    """Time-series gap filling: replace NULLs in ``value_col`` with the
+    most recent non-null value of the same ``key``, ordered by
+    ``order_cols`` — the standard sensor/telemetry repair step before
+    windowed analytics.
+
+    Scale (100 TB): ONE window, partitioned by the entity key — per-key
+    streams sort independently inside their shuffle partition; there is
+    no global sort and no unbounded single-partition window (the
+    RFM-rewrite lesson applied from the start).  ``last(..,
+    ignorenulls)`` over rowsBetween(unboundedPreceding, current) is a
+    running O(1)-state frame, not a re-scan per row.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        f"{value_col}_filled",
+        F.last(F.col(value_col), ignorenulls=True).over(w),
+    )

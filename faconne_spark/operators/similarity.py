@@ -631,3 +631,49 @@ def pca_gramian(corpus: DataFrame, dim: int = 64) -> DataFrame:
             "n_vecs",
         )
     )
+
+
+def pca_project(corpus: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
+    """Project the embedding corpus onto its top-``k`` principal
+    directions.  The d×d Gram matrix comes from :func:`pca_gramian`
+    (one partial-agg pass); its eigendecomposition is a DRIVER-SIDE
+    d×d problem — the single documented driver-side step (d² doubles,
+    size-independent of the corpus), exactly how distributed PCA is
+    deployed in practice.  Components are sign-canonicalized (largest-
+    magnitude coordinate positive) so the output is deterministic up to
+    numpy's eigensolver.
+
+    The projection itself is a map-only pass: the k×d component matrix
+    rides back as a broadcast literal array, each output coordinate one
+    zip_with dot product.  No shuffle after the gramian's.
+    """
+    import numpy as np
+
+    g = pca_gramian(corpus, dim).collect()
+    G = np.zeros((dim, dim))
+    for r in g:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram"]
+    vals, vecs = np.linalg.eigh(G)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([round(float(x), 9) for x in v])
+    comp_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({x} as double)" for x in c) + ")"
+            for c in comps
+        )
+        + ")"
+    )
+    proj = (
+        f"transform({comp_lit}, c -> round(aggregate("
+        "zip_with(embedding, c, (x, w) -> cast(x as double) * w),"
+        " cast(0.0 as double), (acc, v) -> acc + v), 6))"
+    )
+    return spread(corpus).select(
+        "vec_id", F.expr(proj).alias("components")
+    )

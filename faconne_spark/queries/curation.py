@@ -989,3 +989,70 @@ FROM prods GROUP BY i, j
 
 QUERIES["embed_pca_gramian"] = embed_pca_gramian
 ORACLES["embed_pca_gramian"] = ORACLE_PCA_GRAM
+
+
+# --------------------------------------------- BPE tokenizer training
+
+
+def docs_bpe_pair_counts(spark, sf):
+    """Frequency-weighted adjacent character-pair counts over the word
+    table — the decision relation of the first BPE merge."""
+    from faconne_spark.operators.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(T(spark, sf, "documents"))
+
+
+ORACLE_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest({tokens_ws('lower(text)', 'duckdb')}) AS word
+    FROM documents) GROUP BY word),
+prs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, len(chars)),
+                i -> {{'l': chars[i], 'r': chars[i + 1]}})) AS p
+  FROM (SELECT freq, string_split(word, '') AS chars FROM words))
+SELECT p.l AS "left", p.r AS "right", sum(freq)::BIGINT AS pair_freq
+FROM prs GROUP BY 1, 2
+"""
+
+QUERIES["docs_bpe_pair_counts"] = docs_bpe_pair_counts
+ORACLES["docs_bpe_pair_counts"] = ORACLE_BPE_PAIRS
+
+
+# ------------------------------------------------- time-series repair
+
+
+def events_fill_forward(spark, sf):
+    """Gap-filled event values: every 5th event's value is masked NULL
+    (hash-deterministic), then repaired with the latest prior non-null
+    value of the same user (ts, event_id order)."""
+    h = phash60("concat('ff', event_id)", "spark")
+    ev = T(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            f"if(({h}) % 5 = 0, cast(null as double), value)"
+        ).alias("value"),
+    )
+    return R.fill_forward(ev, "user_id", ["ts", "event_id"], "value").select(
+        "event_id", "user_id", "ts", "value", "value_filled"
+    )
+
+
+ORACLE_FILL_FORWARD = f"""
+WITH masked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ({phash60("('ff' || event_id)", 'duckdb')}) % 5 = 0
+              THEN NULL ELSE value END AS value
+  FROM events)
+SELECT event_id, user_id, ts, value,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM masked
+"""
+
+QUERIES["events_fill_forward"] = events_fill_forward
+ORACLES["events_fill_forward"] = ORACLE_FILL_FORWARD

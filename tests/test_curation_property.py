@@ -563,3 +563,117 @@ def test_pca_gramian_matches_numpy(spark, vecs):
             s = sum(q(v[i]) * q(v[j]) for v in vecs)
             assert out[(i, j)]["gram"] == _round6(s / 1e12)
             assert out[(i, j)]["n_vecs"] == len(vecs)
+
+
+def _py_bpe(texts, n_merges):
+    """Plain-Python BPE replay: same word-freq table, same greedy
+    non-overlapping merge, same (freq desc, left, right) tie-break."""
+    freqs = {}
+    for t in texts:
+        for w in t.strip().lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    words = {tuple(w): f for w, f in freqs.items()}
+    merges = []
+    for rank in range(n_merges):
+        pc = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        (l, r), pf = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, pf))
+        new = {}
+        for syms, f in words.items():
+            out, ml = [], False
+            for x in syms:
+                if not ml and out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                    ml = True
+                else:
+                    out.append(x)
+                    ml = False
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        words = new
+    return merges
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["ab", "aab", "abab", "ba", "bb", "cab"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(1, 4),
+)
+def test_learn_bpe_matches_python(spark, texts, n):
+    from faconne_spark.operators.tokenizer import learn_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in learn_bpe(df, n).orderBy("rank").collect()
+    ]
+    assert got == _py_bpe(texts, n)
+
+
+def test_learn_bpe_validates_n_merges(spark):
+    from faconne_spark.operators.tokenizer import learn_bpe
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe(df, 0)
+
+
+@PROP
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False).map(lambda x: round(x, 3)),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=3,
+        max_size=8,
+    )
+)
+def test_pca_project_matches_numpy(spark, vecs):
+    """Projection equals the numpy replay of the same pipeline:
+    quantized gramian → eigh → sign-canonical top-k → rounded dot."""
+    import numpy as np
+
+    from faconne_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["components"] for r in pca_project(df, 2, 3).collect()}
+
+    import math
+
+    q = lambda x: math.floor(x * 1e6 + 0.5)
+    d = 3
+    G = np.zeros((d, d))
+    for i in range(d):
+        for j in range(d):
+            G[i, j] = _round6(sum(q(v[i]) * q(v[j]) for v in vecs) / 1e12)
+    vals, vecs_e = np.linalg.eigh(G)
+    order = np.argsort(vals)[::-1][:2]
+    comps = []
+    for idx in order:
+        v = vecs_e[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([round(float(x), 9) for x in v])
+    for vid, emb in enumerate(vecs):
+        want = [_round6(sum(x * w for x, w in zip(emb, c))) for c in comps]
+        got = out[vid]
+        assert all(abs(a - b) < 2e-6 for a, b in zip(got, want)), (got, want)

@@ -63,6 +63,8 @@ SNAPSHOT_QUERIES = [
     "docs_importance_weights",
     "customer_fuzzy_matches",
     "embed_pca_gramian",
+    "docs_bpe_pair_counts",
+    "events_fill_forward",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
