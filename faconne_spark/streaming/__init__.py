@@ -519,3 +519,79 @@ def transform_with_state_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# streaming fill-forward (transformWithState)
+# ---------------------------------------------------------------------------
+
+FILL_FORWARD_OUT = (
+    "event_id bigint, user_id bigint, value double, value_filled double"
+)
+
+
+def _fill_step(prior, pdfs):
+    """One micro-batch of the per-user fill-forward fold: sort the
+    batch by (ts, event_id), repair NULLs with the latest prior
+    non-null (seeded by ``prior``, the cross-batch state), and return
+    (out_frame, new_last).  Shared by the transformWithState processor
+    and its runtime-free unit test.
+
+    Contract: correct when micro-batches arrive in event-time order
+    per key (the replay/ingestion scenario); rows WITHIN a batch are
+    sorted here, so intra-batch disorder is repaired."""
+    import pandas as pd
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    filled = []
+    last = prior
+    for v in pdf["value"]:
+        if v is not None and v == v:  # not-null and not-NaN
+            last = float(v)
+        filled.append(last)
+    out = pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "value": pdf["value"],
+            "value_filled": filled,
+        }
+    )
+    return out, last
+
+
+class FillForwardProcessor(_StatefulProcessorBase):
+    """transformWithState processor for streaming gap repair — the
+    stream face of :func:`faconne_spark.operators.relational.
+    fill_forward`: one value state ('last') per user carries the
+    latest non-null value across micro-batches."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("last", "v double")
+
+    def handleInputRows(self, key, rows, timer_values):
+        prior = self._state.get()[0] if self._state.exists() else None
+        out, last = _fill_step(prior, rows)
+        if last is not None:
+            self._state.update((float(last),))
+        yield out
+
+    def close(self) -> None:
+        pass
+
+
+def fill_forward_transform_with_state(stream: DataFrame):
+    """Streaming fill-forward over a (event_id, user_id, ts, value)
+    stream: NULL values repaired with the user's latest prior non-null,
+    state carried across micro-batches.  Same RocksDB-provider
+    requirement and availability gate as
+    :func:`user_totals_transform_with_state`."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FillForwardProcessor(),
+        outputStructType=FILL_FORWARD_OUT,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -814,3 +814,128 @@ def test_temperature_plan_from_state_equals_batch(spark, sf_dir, tmp_path):
         )
     )
     assert _rows(applied) == _rows(sqrt_temperature_sample(docs))
+
+
+def test_fill_forward_processor_logic_without_runtime():
+    """Runtime-free check of the fill-forward fold: NULLs repaired in
+    (ts, event_id) order, state seeds the batch, new state = last
+    non-null (the same pattern as the totals processor's unit test —
+    the sandboxed runtime lacks the TWS protobuf protocol)."""
+    import pandas as pd
+
+    from faconne_spark.streaming import _fill_step
+
+    b1 = pd.DataFrame(
+        {
+            "event_id": [2, 1, 3],
+            "user_id": [7, 7, 7],
+            "ts": [20, 10, 30],
+            "value": [None, 1.5, None],
+        }
+    )
+    out, last = _fill_step(None, [b1])
+    assert list(out["event_id"]) == [1, 2, 3]
+    assert list(out["value_filled"]) == [1.5, 1.5, 1.5]
+    assert last == 1.5
+
+    # second micro-batch: state seeds the leading NULL; a fresh value
+    # takes over mid-batch
+    b2 = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            "user_id": [7, 7],
+            "ts": [40, 50],
+            "value": [None, 9.0],
+        }
+    )
+    out2, last2 = _fill_step(last, [b2])
+    assert list(out2["value_filled"]) == [1.5, 9.0]
+    assert last2 == 9.0
+
+    # all-null stream with no prior state stays null
+    out3, last3 = _fill_step(None, [b2.assign(value=[None, None])])
+    assert list(out3["value_filled"]) == [None, None]
+    assert last3 is None
+
+
+def test_streaming_fill_forward_matches_batch(spark, sf_dir, tmp_path):
+    """Full-runtime equivalence: streaming fill-forward over two
+    event-time-ordered micro-batches equals the batch window operator
+    (skips where the TWS protobuf protocol is unavailable)."""
+    from faconne_spark.operators.relational import fill_forward
+    from faconne_spark.streaming import (
+        fill_forward_transform_with_state,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip(
+            "transformWithState needs google.protobuf on the workers;"
+            " processor logic covered by"
+            " test_fill_forward_processor_logic_without_runtime"
+        )
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .limit(500)
+        .withColumn(
+            "value",
+            F.expr("if(event_id % 5 = 0, cast(null as double), value)"),
+        )
+    )
+    # split into two batches at the per-user event-time median so
+    # batches arrive in event-time order per key (the contract)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    halves = ev.withColumn(
+        "_rk", F.row_number().over(w)
+    ).withColumn(
+        "_n", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    src = str(tmp_path / "ff_events")
+    halves.filter("_rk <= _n / 2").drop("_rk", "_n").coalesce(1).write.parquet(src)
+    halves.filter("_rk > _n / 2").drop("_rk", "_n").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = fill_forward_transform_with_state(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ff_tws")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = {
+            r["event_id"]: r["value_filled"]
+            for r in spark.sql("SELECT * FROM ff_tws").collect()
+        }
+        want = {
+            r["event_id"]: r["value_filled"]
+            for r in fill_forward(
+                ev, "user_id", ["ts", "event_id"], "value"
+            ).collect()
+        }
+        assert got == want
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
