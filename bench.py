@@ -215,6 +215,7 @@ def main() -> None:
         "embed_pca_gramian",
         "docs_bpe_pair_counts",
         "events_fill_forward",
+        "dup_graph_triangles",
     ]
     times = {}
     shuffle = {}

@@ -851,3 +851,52 @@ def semantic_dedup(
             "dup_sim",
         )
     )
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected near-dup
+    pair graph — with degree, the local clustering coefficient: high
+    triangle density marks template families (everything matches
+    everything), low density marks chain-like incidental matches.
+
+    Scale: the classic ordered-wedge plan — edges are kept one-way
+    (src < dst, already the pair convention), wedges come from ONE
+    self-join on the middle node, and each wedge closes via a join
+    against the ordered edge list.  Ordering means every triangle is
+    counted exactly once, with no direction explosion; both joins key
+    on node ids (AQE handles hot hubs).  The two candidate-pair inputs
+    are near-dup-graph-sized (≪ corpus).
+    """
+    e = spread(pairs).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).distinct()
+    e = _persist_sig(e, pairs)
+    # wedge a-b-c with a < b < c: edges (a,b) and (b,c)
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = ab.join(bc, "b")
+    closed = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    per_node = (
+        closed.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("doc_id"))
+        .union(e.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(per_node, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        # local clustering coefficient: triangles / wedges-at-node
+        F.expr(
+            "round(if(degree >= 2,"
+            " cast(2 * coalesce(n_triangles, 0) as double)"
+            " / (degree * (degree - 1)), 0.0), 6)"
+        ).alias("clustering"),
+    )

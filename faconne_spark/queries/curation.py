@@ -1056,3 +1056,54 @@ FROM masked
 
 QUERIES["events_fill_forward"] = events_fill_forward
 ORACLES["events_fill_forward"] = ORACLE_FILL_FORWARD
+
+
+# --------------------------------------------- dup-graph triangles
+
+
+def dup_graph_triangles(spark, sf):
+    """Per-node triangle counts + local clustering coefficient over the
+    simhash near-dup graph: template families (dense) vs incidental
+    chains (sparse)."""
+    from faconne_spark.queries.pipeline import SIMHASH_MAX_HAM
+
+    pairs = D.simhash_pairs(T(spark, sf, "documents"), SIMHASH_MAX_HAM)
+    return D.triangle_counts(pairs)
+
+
+def _oracle_triangles() -> str:
+    from faconne_spark.queries.pipeline import ORACLE_SIMHASH, SIMHASH_MAX_HAM
+
+    prefix = ORACLE_SIMHASH.split("SELECT DISTINCT")[0]
+    return (
+        prefix
+        + f""", e AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT ab.a, ab.b, bc.b AS c
+        FROM e ab JOIN e bc ON ab.b = bc.a) w
+  JOIN e ON e.a = w.a AND e.b = w.c),
+pern AS (
+  SELECT doc_id, count(*) AS n_tri
+  FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri) GROUP BY 1),
+deg AS (
+  SELECT doc_id, count(*) AS degree
+  FROM (SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+  GROUP BY 1)
+SELECT d.doc_id, d.degree::BIGINT AS degree,
+       coalesce(p.n_tri, 0)::BIGINT AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(p.n_tri, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN pern p USING (doc_id)
+"""
+    )
+
+
+QUERIES["dup_graph_triangles"] = dup_graph_triangles
+ORACLES["dup_graph_triangles"] = _oracle_triangles()

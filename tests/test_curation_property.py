@@ -677,3 +677,46 @@ def test_pca_project_matches_numpy(spark, vecs):
         want = [_round6(sum(x * w for x, w in zip(emb, c))) for c in comps]
         got = out[vid]
         assert all(abs(a - b) < 2e-6 for a, b in zip(got, want)), (got, want)
+
+
+@PROP
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_triangle_counts_matches_python(spark, edges):
+    """Per-node triangle counts and clustering coefficient equal the
+    brute-force Python replay on arbitrary small graphs."""
+    from itertools import combinations
+
+    from faconne_spark.operators.dedup import release_caches, triangle_counts
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    out = {r["doc_id"]: r for r in triangle_counts(df).collect()}
+    release_caches()
+
+    nodes = {n for e in edges for n in e}
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if b in adj[a] and c in adj[b] and c in adj[a]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    assert set(out) == nodes
+    for n in nodes:
+        deg = len(adj[n])
+        assert out[n]["degree"] == deg
+        assert out[n]["n_triangles"] == tri[n]
+        want = 2 * tri[n] / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert abs(out[n]["clustering"] - _round6(want)) < 1e-9

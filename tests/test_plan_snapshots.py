@@ -65,6 +65,7 @@ SNAPSHOT_QUERIES = [
     "embed_pca_gramian",
     "docs_bpe_pair_counts",
     "events_fill_forward",
+    "dup_graph_triangles",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
