@@ -858,6 +858,10 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     pair graph — with degree, the local clustering coefficient: high
     triangle density marks template families (everything matches
     everything), low density marks chain-like incidental matches.
+    The per-node complement of :func:`pair_graph_stats` (whose single
+    summary row carries the GLOBAL triangle count): that one answers
+    "is my threshold too loose", this one answers "which documents sit
+    in template cliques".
 
     Scale: the classic ordered-wedge plan — edges are kept one-way
     (src < dst, already the pair convention), wedges come from ONE

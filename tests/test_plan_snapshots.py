@@ -83,6 +83,10 @@ def _normalize(text: str) -> str:
         if not _KEEP.match(line):
             continue
         line = re.sub(r"#\d+[L]?", "#N", line)
+        # subexpression-elimination ids are numbered by a session-global
+        # counter, so the same query planned after different predecessors
+        # gets different _common_expr_NN names — normalize them
+        line = re.sub(r"_common_expr_\d+", "_common_expr_K", line)
         line = re.sub(r"plan_id=\d+", "plan_id=X", line)
         line = re.sub(r"hashpartitioning\((.*?), \d+\)", r"hashpartitioning(\1, P)", line)
         line = re.sub(r"\[codegen id : \d+\]", "", line).rstrip()
