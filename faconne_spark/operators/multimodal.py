@@ -178,13 +178,27 @@ def facv_encode(frames: list) -> bytes:
 
 
 def facv_frames(payload: bytes) -> list:
-    """Container walk: the list of embedded BMP frame payloads."""
+    """Container walk: the list of embedded BMP frame payloads.
+    Fails loudly (ValueError, the codec family's contract) on truncated
+    headers or frames that claim more bytes than remain — silent
+    truncation would flow wrong frame_bytes into the sampling stats."""
     if payload[:4] != FACV_MAGIC:
         raise ValueError("not a motion-BMP payload")
+    if len(payload) < 8:
+        raise ValueError("truncated motion-BMP header")
     (n,) = struct.unpack_from("<I", payload, 4)
     frames, pos = [], 8
-    for _ in range(n):
+    for i in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError(
+                f"truncated motion-BMP frame header at frame {i}"
+            )
         (flen,) = struct.unpack_from("<I", payload, pos)
+        if pos + 4 + flen > len(payload):
+            raise ValueError(
+                f"motion-BMP frame {i} claims {flen} bytes but only "
+                f"{len(payload) - pos - 4} remain"
+            )
         frames.append(payload[pos + 4 : pos + 4 + flen])
         pos += 4 + flen
     return frames

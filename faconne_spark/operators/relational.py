@@ -189,9 +189,27 @@ def scd2_merge(
     it). Dimension-sized shuffle on the key: the CDC-merge shape that
     holds at 100 TB fact scale because it never touches facts.
     ``tracked`` columns are compared null-safely; output carries
-    (key, version, is_current, *tracked)."""
-    u = updates.select(
-        F.col(key), *[F.col(c).alias(f"_u_{c}") for c in tracked]
+    (key, version, is_current, *tracked).
+
+    Duplicate keys in the update batch would fan out the full-outer
+    join and emit multiple 'current' v2 rows — the invariant SCD2
+    exists to protect — so they fail LOUDLY at execution time via a
+    ``raise_error`` guard (the same contract as Delta's MERGE, kept
+    lazy: no extra driver action, the count rides a window over the
+    update batch)."""
+    dup_w = Window.partitionBy(key)
+    u = (
+        updates.withColumn("_kn", F.count("*").over(dup_w))
+        .select(
+            F.when(
+                F.col("_kn") > 1,
+                F.expr(
+                    f"raise_error(concat('scd2_merge: duplicate update"
+                    f" rows for key ', cast({key} as string)))"
+                ).cast(updates.schema[key].dataType),
+            ).otherwise(F.col(key)).alias(key),
+            *[F.col(c).alias(f"_u_{c}") for c in tracked],
+        )
     )
     d = dim.select(
         F.col(key),

@@ -894,11 +894,14 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     corpus itself — the perplexity-proxy step up from the unigram
     scorer (repetitive/boilerplate text scores high, token soup low).
 
-    Same scale shape as :func:`unigram_logprob`: one bigram explode
-    feeds both the model counts (vocabulary-sized groupBys, map-side
-    combined) and the scoring join; counts and the vocab size broadcast
-    back onto the stream.  Documents with < 2 tokens have no bigrams
-    and drop out (inner-join semantics, mirrored by the oracle)."""
+    Scale shape: one bigram explode feeds both the model counts and
+    the scoring join.  The HISTORY counts and vocab size are
+    vocabulary-sized → forced broadcast; the BIGRAM count table is NOT
+    (distinct bigrams grow near-linearly with corpus size for natural
+    text), so its join carries no broadcast hint — AQE broadcasts it
+    while it fits and falls back to a shuffle join on 'bg' at scale.
+    Documents with < 2 tokens have no bigrams and drop out (inner-join
+    semantics, mirrored by the oracle)."""
     toks = tokens_ws("lower(text)", "spark")
     bigrams = (
         f"transform(array({toks}), tk -> case when size(tk) < 2"
@@ -917,7 +920,7 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         .agg(F.countDistinct("tok").alias("v_size"))
     )
     return (
-        stream.join(F.broadcast(bg_freq), "bg")
+        stream.join(bg_freq, "bg")
         .join(F.broadcast(hist_freq), "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")

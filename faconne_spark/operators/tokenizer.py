@@ -81,7 +81,9 @@ def learn_bpe(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     smallest left, then right — deterministic) and rewrite every word's
     symbol array with the greedy non-overlapping merge.  Returns the
     merge table (rank, left, right, pair_freq) — the artifact a
-    tokenizer ships.
+    tokenizer ships.  Stops early (shorter table) when the pair space
+    is exhausted before ``n_merges`` — the same termination rule as
+    reference BPE trainers.
 
     Scale: iterations run on the word-frequency table (vocabulary-
     sized); each one is a pair-count groupBy, a 1-row argmax broadcast
@@ -114,11 +116,26 @@ def learn_bpe(docs: DataFrame, n_merges: int = 10) -> DataFrame:
                 F.col("pair_freq").desc(), F.col("l"), F.col("r")
             ).limit(1)
         )
+        # pair table exhausted (every word a single symbol): stop with
+        # the merges learned so far — continuing would cross-join the
+        # word table with an EMPTY best relation and wipe it, then
+        # churn checkpoint jobs on empty data.  isEmpty() on the
+        # 1-row checkpointed relation is a control-flow probe, not a
+        # data collect (the same class as CC's observe() counters).
+        if best.isEmpty():
+            break
         merges.append(best.select(F.lit(rank).alias("rank"), "l", "r", "pair_freq"))
         words = _checkpoint(
             words.crossJoin(F.broadcast(best.select("l", "r")))
             .withColumn("syms", F.expr(_MERGE))
             .select("freq", "syms")
+        )
+    if not merges:
+        # corpus of single-character words: nothing to merge at all —
+        # an empty merge table with the contract schema
+        return best.select(
+            F.lit(0).alias("rank"), F.col("l").alias("left"),
+            F.col("r").alias("right"), "pair_freq",
         )
     out = merges[0]
     for m in merges[1:]:

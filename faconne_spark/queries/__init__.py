@@ -66,8 +66,8 @@ _FIRST = [
     "ann_lsh_bucketed", "contamination_ngram", "orders_monthly_yoy",
     "ann_cosine_topk", "doc_tfidf_keywords", "embed_outliers",
     "dedup_embedding_cosine", "ann_ivf", "basket_part_pairs",
-    "dedup_winnowing", "ann_pq_adc", "ann_ivf_pq", "text_fingerprint",
-    "dedup_containment", "ann_ivf_kmeans",
+    "ann_pq_adc", "ann_ivf_pq", "text_fingerprint",
+    "ann_ivf_kmeans",
     "neardup_rate_by_source",
 ]
 

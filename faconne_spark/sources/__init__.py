@@ -205,6 +205,12 @@ def write_zordered(
         r = df.agg(
             F.min(a), F.max(a), F.min(b), F.max(b)
         ).first()
+        if any(v is None for v in r):
+            raise ValueError(
+                "write_zordered: cannot derive cluster bounds — input is"
+                f" empty or a cluster column ({a!r}/{b!r}) is all-NULL;"
+                " pass explicit bounds or filter NULLs first"
+            )
         bounds = (r[0], r[1], r[2], r[3])
     amin, amax, bmin, bmax = (int(v) for v in bounds)
     m = 1 << bits

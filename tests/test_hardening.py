@@ -626,3 +626,54 @@ def test_threshold_sweep_monotone(spark, sf_dir):
     for lo, hi in zip(ordered, ordered[1:]):
         assert lo["n_pairs"] >= hi["n_pairs"]
         assert lo["n_docs"] >= hi["n_docs"]
+
+
+def test_facv_frames_fails_loudly_on_corruption():
+    """The motion-BMP walker must raise ValueError (the codec family's
+    contract) on truncated headers/frames instead of silently
+    truncating or leaking struct.error."""
+    import pytest
+
+    from faconne_spark.operators.multimodal import facv_encode, facv_frames
+
+    good = facv_encode([b"x" * 5, b"y" * 3])
+    assert [len(f) for f in facv_frames(good)] == [5, 3]
+    with pytest.raises(ValueError, match="claims"):
+        facv_frames(good[:-2])  # last frame short of its declared length
+    with pytest.raises(ValueError, match="truncated"):
+        facv_frames(b"FACV\x01")  # header cut mid-count
+    with pytest.raises(ValueError, match="frame header"):
+        # count says 1 frame but no length prefix follows
+        facv_frames(b"FACV" + b"\x01\x00\x00\x00")
+
+
+def test_learn_bpe_stops_when_pairs_exhausted(spark):
+    """Pair-space exhaustion ends training early with the merges
+    learned so far (empty table for single-char words) — never a wiped
+    word table or silent churn."""
+    from faconne_spark.operators.tokenizer import learn_bpe
+
+    single = spark.createDataFrame(
+        [(1, "a b c")], "doc_id bigint, text string"
+    )
+    assert learn_bpe(single, 3).count() == 0
+
+    one_merge = spark.createDataFrame(
+        [(1, "ab ab")], "doc_id bigint, text string"
+    )
+    rows = learn_bpe(one_merge, 5).collect()
+    assert [(r["rank"], r["left"], r["right"]) for r in rows] == [
+        (0, "a", "b")
+    ]
+
+
+def test_write_zordered_rejects_empty_input(spark, tmp_path):
+    """Auto-derived cluster bounds on an empty input must raise a
+    pointed ValueError, not TypeError from int(None)."""
+    import pytest
+
+    from faconne_spark.sources import write_zordered
+
+    df = spark.createDataFrame([], "user_id bigint, hour bigint")
+    with pytest.raises(ValueError, match="bounds"):
+        write_zordered(df, str(tmp_path / "z"), ["user_id", "hour"])

@@ -366,13 +366,16 @@ def test_chunk_overlap_map_only(spark, sf_dir):
 
 
 def test_bigram_logprob_broadcasts_model(spark, sf_dir):
-    """The bigram model counts must broadcast back onto the stream —
-    the corpus-sized side never shuffles for the scoring join."""
+    """The vocabulary-sized history/vocab relations must broadcast back
+    onto the stream.  The bigram-count side carries NO forced hint
+    (distinct bigrams grow with the corpus, not the vocabulary) — at
+    gate scale AQE still broadcasts it, so the executed plan here shows
+    broadcast joins only; at 100 TB it degrades to a shuffle join on
+    'bg' instead of an OOM."""
     from faconne_spark.queries.curation import docs_bigram_logprob
 
     plan = plan_of(docs_bigram_logprob(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
 
 
