@@ -216,6 +216,8 @@ def main() -> None:
         "docs_bpe_pair_counts",
         "events_fill_forward",
         "dup_graph_triangles",
+        "events_value_quantiles",
+        "events_incremental_stats",
     ]
     times = {}
     shuffle = {}

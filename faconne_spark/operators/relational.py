@@ -321,3 +321,122 @@ def fill_forward(
         f"{value_col}_filled",
         F.last(F.col(value_col), ignorenulls=True).over(w),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 64,
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Single-pass mergeable quantile estimates per group via a
+    fixed-width histogram sketch — the bounded-memory alternative to an
+    exact per-group sort at 100 TB (the same trade t-digest/KLL make,
+    in its simplest auditable form).
+
+    Pipeline: per-group integer bounds (one partial-agg pass) broadcast
+    back; each value maps to a bin with PURE INTEGER arithmetic
+    (micro-unit fixed point — no float division, so the DuckDB oracle
+    lands every boundary value in the identical bin); bin counts
+    partial-aggregate map-side to ≤ groups × n_bins rows; quantiles
+    come from the cumulative histogram (a window over that bounded
+    relation, never over the data).  Estimate = integer bin midpoint.
+    Accuracy is range/n_bins per group — the documented sketch trade.
+    """
+    if n_bins < 1:
+        raise ValueError(f"histogram_quantiles needs n_bins >= 1, got {n_bins}")
+    from faconne_spark.session import spread
+
+    us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
+    bounds = (
+        spread(df)
+        .groupBy(group_col)
+        .agg(
+            F.expr(f"min({us})").alias("_lo"),
+            F.expr(f"max({us})").alias("_hi"),
+        )
+    )
+    binned = (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            "_bin",
+            F.expr(
+                f"least(cast(({us} - _lo) * {n_bins}"
+                f" div (_hi - _lo + 1) as int), {n_bins - 1})"
+            ),
+        )
+        .groupBy(group_col, "_bin")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min("_lo").alias("_lo"),
+            F.min("_hi").alias("_hi"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("_bin")
+    cum = binned.withColumn(
+        "_cum", F.sum("_cnt").over(w)
+    ).withColumn("_total", F.sum("_cnt").over(Window.partitionBy(group_col)))
+    out = None
+    for q in qs:
+        q_us = int(round(q * 1_000_000))
+        # first bin whose cumulative count reaches ceil(q * total)
+        hit = (
+            cum.filter(
+                F.expr(f"_cum * 1000000 >= _total * {q_us}")
+            )
+            .groupBy(group_col)
+            .agg(
+                F.min("_bin").alias("_qbin"),
+                F.min("_lo").alias("_lo"),
+                F.min("_hi").alias("_hi"),
+            )
+            .select(
+                group_col,
+                F.lit(q).alias("q"),
+                F.expr(
+                    f"round(cast(_lo + (2 * _qbin + 1) * (_hi - _lo + 1)"
+                    f" div {2 * n_bins} as double) / 1000000.0, 6)"
+                ).alias("estimate"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def mergeable_stats(df: DataFrame, key: str, value_col: str) -> DataFrame:
+    """Per-key algebraic aggregate state — (n, fixed-point sum, min,
+    max) in micro-units — the mergeable partial that incremental ETL
+    persists between runs.  One map-side-combined groupBy; the
+    fixed-point sum makes the state ORDER- and PARTITION-independent,
+    so state merged across any split equals a full recompute
+    bit-for-bit (pinned by the oracle of events_incremental_stats)."""
+    us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
+    return df.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.expr(f"sum({us})").alias("sum_us"),
+        F.expr(f"min({us})").alias("min_us"),
+        F.expr(f"max({us})").alias("max_us"),
+    )
+
+
+def merge_stats(*states: DataFrame) -> DataFrame:
+    """Merge any number of :func:`mergeable_stats` relations — the
+    incremental-maintenance step: yesterday's persisted state + today's
+    delta without touching historical rows.  Each input is
+    key-cardinality-sized, so the merge is a union of tiny relations +
+    one re-aggregation; n/sum add, min/max combine — the algebraic
+    property that makes the state valid under ANY partitioning of the
+    underlying data."""
+    if not states:
+        raise ValueError("merge_stats needs at least one state relation")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    key = u.columns[0]
+    return u.groupBy(key).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_us").alias("sum_us"),
+        F.min("min_us").alias("min_us"),
+        F.max("max_us").alias("max_us"),
+    )

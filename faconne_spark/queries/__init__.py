@@ -31,6 +31,7 @@ _FIRST = [
     "dedup_semantic", "text_gopher_rules", "docs_importance_weights",
     "customer_fuzzy_matches", "embed_pca_gramian",
     "docs_bpe_pair_counts", "events_fill_forward", "dup_graph_triangles",
+    "events_value_quantiles", "events_incremental_stats",
     "text_boilerplate_segments", "pack_training_chunks",
     "docs_chunk_overlap", "docs_bigram_logprob",
     "contamination_embedding", "sample_temperature", "events_anomaly_mad",

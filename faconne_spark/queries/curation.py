@@ -1107,3 +1107,101 @@ FROM deg d LEFT JOIN pern p USING (doc_id)
 
 QUERIES["dup_graph_triangles"] = dup_graph_triangles
 ORACLES["dup_graph_triangles"] = _oracle_triangles()
+
+
+# --------------------------------------------- histogram quantile sketch
+
+HQ_BINS = 64
+HQ_QS = (0.5, 0.95, 0.99)
+
+
+def events_value_quantiles(spark, sf):
+    """Histogram-sketch quantile estimates of events.value per
+    event_type (single-pass, mergeable, integer-deterministic)."""
+    return R.histogram_quantiles(
+        T(spark, sf, "events"), "value", "event_type", HQ_BINS, HQ_QS
+    )
+
+
+def _oracle_hist_quantiles() -> str:
+    us = "floor(value * 1000000 + 0.5)::BIGINT"
+    nb = HQ_BINS
+    parts = []
+    for q in HQ_QS:
+        q_us = int(round(q * 1_000_000))
+        parts.append(f"""
+SELECT event_type, {q} AS q,
+       round((_lo + (2 * _qbin + 1) * (_hi - _lo + 1) // {2 * nb})
+             / 1000000.0, 6) AS estimate
+FROM (
+  SELECT event_type, min(_bin) AS _qbin, min(_lo) AS _lo, min(_hi) AS _hi
+  FROM cum WHERE _cum * 1000000 >= _total * {q_us}
+  GROUP BY event_type)""")
+    return f"""
+WITH b AS (
+  SELECT event_type, {us} AS us FROM events),
+bounds AS (
+  SELECT event_type, min(us) AS _lo, max(us) AS _hi
+  FROM b GROUP BY event_type),
+binned AS (
+  SELECT b.event_type,
+         least(((b.us - bo._lo) * {nb}) // (bo._hi - bo._lo + 1),
+               {nb - 1})::INT AS _bin,
+         count(*) AS _cnt, min(bo._lo) AS _lo, min(bo._hi) AS _hi
+  FROM b JOIN bounds bo USING (event_type)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, _bin, _lo, _hi,
+         sum(_cnt) OVER (PARTITION BY event_type ORDER BY _bin) AS _cum,
+         sum(_cnt) OVER (PARTITION BY event_type) AS _total
+  FROM binned)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["events_value_quantiles"] = events_value_quantiles
+ORACLES["events_value_quantiles"] = _oracle_hist_quantiles()
+
+
+# --------------------------------------- incremental aggregate merge
+
+INC_MOD = 5  # every 5th event plays the "new delta batch"
+
+
+def events_incremental_stats(spark, sf):
+    """Incremental aggregate maintenance: per-type stats from a
+    persisted 'history' state merged with a 'delta' batch (hash-split)
+    must equal the full recompute — the algebraic-state contract of
+    incremental ETL.  Output includes the derived mean."""
+    h = phash60("concat('inc', event_id)", "spark")
+    ev = T(spark, sf, "events")
+    hist = ev.filter(F.expr(f"({h}) % {INC_MOD} != 0"))
+    delta = ev.filter(F.expr(f"({h}) % {INC_MOD} = 0"))
+    merged = R.merge_stats(
+        R.mergeable_stats(hist, "event_type", "value"),
+        R.mergeable_stats(delta, "event_type", "value"),
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.expr("round(cast(min_us as double) / 1000000.0, 6)").alias("vmin"),
+        F.expr("round(cast(max_us as double) / 1000000.0, 6)").alias("vmax"),
+        F.expr(
+            "round(cast(sum_us as double) / 1000000.0 / cast(n as double), 6)"
+        ).alias("mean"),
+    )
+
+
+ORACLE_INC_STATS = """
+WITH b AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS us
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(min(us) / 1000000.0, 6) AS vmin,
+       round(max(us) / 1000000.0, 6) AS vmax,
+       round(sum(us)::DOUBLE / 1000000.0 / count(*), 6) AS mean
+FROM b GROUP BY event_type
+"""
+
+QUERIES["events_incremental_stats"] = events_incremental_stats
+ORACLES["events_incremental_stats"] = ORACLE_INC_STATS

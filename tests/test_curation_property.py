@@ -720,3 +720,89 @@ def test_triangle_counts_matches_python(spark, edges):
         assert out[n]["n_triangles"] == tri[n]
         want = 2 * tri[n] / (deg * (deg - 1)) if deg >= 2 else 0.0
         assert abs(out[n]["clustering"] - _round6(want)) < 1e-9
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_bins=st.integers(1, 8),
+)
+def test_histogram_quantiles_matches_python(spark, vals, n_bins):
+    """The sketch replayed in integer arithmetic: same bins, same
+    cumulative threshold, same midpoint estimate."""
+    import math
+
+    from faconne_spark.operators.relational import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, value double"
+    )
+    qs = (0.5, 0.95)
+    out = {
+        r["q"]: r["estimate"]
+        for r in histogram_quantiles(df, "value", "grp", n_bins, qs).collect()
+    }
+    us = [math.floor(v * 1e6 + 0.5) for v in vals]
+    lo, hi = min(us), max(us)
+    bins = [min((u - lo) * n_bins // (hi - lo + 1), n_bins - 1) for u in us]
+    total = len(us)
+    for q in qs:
+        q_us = int(round(q * 1e6))
+        cum = 0
+        qbin = None
+        for b in range(n_bins):
+            cum += sum(1 for x in bins if x == b)
+            if cum * 1_000_000 >= total * q_us:
+                qbin = b
+                break
+        want = _round6((lo + (2 * qbin + 1) * (hi - lo + 1) // (2 * n_bins)) / 1e6)
+        assert out[q] == want
+    # sketch error bound: the estimate's bin contains the ceil(q·n)-th
+    # smallest value (the sketch's own rank convention), so it is
+    # within one bin width of that order statistic
+    width = (hi - lo + 1) / n_bins / 1e6
+    svals = sorted(vals)
+    for q in qs:
+        rank = max(math.ceil(q * total), 1)
+        true_q = svals[rank - 1]
+        assert abs(out[q] - true_q) <= width + 1e-6
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    splits=st.integers(1, 4),
+)
+def test_merge_stats_equals_full_recompute(spark, rows, splits):
+    """Algebraic-state contract: stats merged across ANY hash split of
+    the rows equal the single-pass aggregate bit-for-bit."""
+    from faconne_spark.operators.relational import mergeable_stats, merge_stats
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "i bigint, k string, value double",
+    )
+    parts = [
+        mergeable_stats(df.filter(f"i % {splits} = {s}"), "k", "value")
+        for s in range(splits)
+    ]
+    merged = {
+        r["k"]: (r["n"], r["sum_us"], r["min_us"], r["max_us"])
+        for r in merge_stats(*parts).collect()
+    }
+    full = {
+        r["k"]: (r["n"], r["sum_us"], r["min_us"], r["max_us"])
+        for r in mergeable_stats(df, "k", "value").collect()
+    }
+    assert merged == full

@@ -66,6 +66,8 @@ SNAPSHOT_QUERIES = [
     "docs_bpe_pair_counts",
     "events_fill_forward",
     "dup_graph_triangles",
+    "events_value_quantiles",
+    "events_incremental_stats",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
