@@ -75,7 +75,9 @@ def bpe_pair_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def learn_bpe(docs: DataFrame, n_merges: int = 10) -> DataFrame:
+def learn_bpe(
+    docs: DataFrame, n_merges: int = 10, return_vocab: bool = False
+):
     """Learn ``n_merges`` BPE merges: per iteration, pick the highest
     frequency-weighted adjacent symbol pair (ties → lexicographically
     smallest left, then right — deterministic) and rewrite every word's
@@ -99,7 +101,9 @@ def learn_bpe(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     from faconne_spark.operators.dedup import _checkpoint
 
     words = _checkpoint(
-        word_freqs(docs).withColumn("syms", F.expr(_CHARS)).select("freq", "syms")
+        word_freqs(docs)
+        .withColumn("syms", F.expr(_CHARS))
+        .select("word", "freq", "syms")
     )
     merges = []
     for rank in range(n_merges):
@@ -128,21 +132,60 @@ def learn_bpe(docs: DataFrame, n_merges: int = 10) -> DataFrame:
         words = _checkpoint(
             words.crossJoin(F.broadcast(best.select("l", "r")))
             .withColumn("syms", F.expr(_MERGE))
-            .select("freq", "syms")
+            .select("word", "freq", "syms")
         )
     if not merges:
         # corpus of single-character words: nothing to merge at all —
         # an empty merge table with the contract schema
-        return best.select(
+        table = best.select(
             F.lit(0).alias("rank"), F.col("l").alias("left"),
             F.col("r").alias("right"), "pair_freq",
         )
+        return (table, words) if return_vocab else table
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out.select(
+    table = out.select(
         "rank",
         F.col("l").alias("left"),
         F.col("r").alias("right"),
         "pair_freq",
+    )
+    return (table, words) if return_vocab else table
+
+
+def bpe_token_counts(docs: DataFrame, n_merges: int = 10) -> DataFrame:
+    """Segment the corpus with the merges :func:`learn_bpe` just
+    learned: per document, the BPE token count, the whitespace word
+    count, and the compression ratio — the gauge a tokenizer-training
+    run reports.
+
+    Spark shape: training already holds the final (word → symbol
+    array) VOCABULARY relation, so tokenization is one broadcast join
+    of the exploded word stream against it (vocabulary-sized build
+    side) + a per-doc aggregation — the corpus shuffles once, on
+    doc_id.  No re-derivation of merges, no per-merge passes over the
+    corpus.
+    """
+    table, vocab = learn_bpe(docs, n_merges, return_vocab=True)
+    toks = tokens_ws("lower(text)", "spark")
+    stream = spread(docs).select(
+        "doc_id", F.explode(F.expr(toks)).alias("word")
+    )
+    return (
+        stream.join(
+            F.broadcast(vocab.select("word", F.expr("size(syms)").alias("_n"))),
+            "word",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_n").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.expr(
+                "round(cast(n_bpe_tokens as double) / cast(n_words as double), 6)"
+            ),
+        )
     )

@@ -806,3 +806,49 @@ def test_merge_stats_equals_full_recompute(spark, rows, splits):
         for r in mergeable_stats(df, "k", "value").collect()
     }
     assert merged == full
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["ab", "aab", "abab", "ba", "cab"]),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    n=st.integers(1, 3),
+)
+def test_bpe_token_counts_matches_python(spark, texts, n):
+    """Corpus segmentation with the learned merges: per-doc BPE token
+    counts equal the Python replay (learn + apply on the same rules)."""
+    from faconne_spark.operators.tokenizer import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(df, n).collect()
+    }
+
+    merges = _py_bpe(texts, n)
+    for i, t in enumerate(texts):
+        total = 0
+        words = t.strip().lower().split()
+        for w in words:
+            syms = list(w)
+            for _, l, r, _pf in merges:
+                out, ml = [], False
+                for x in syms:
+                    if not ml and out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                        ml = True
+                    else:
+                        out.append(x)
+                        ml = False
+                syms = out
+            total += len(syms)
+        assert got[i] == (len(words), total)
