@@ -329,6 +329,7 @@ def histogram_quantiles(
     group_col: str,
     n_bins: int = 64,
     qs: tuple = (0.5, 0.95, 0.99),
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """Single-pass mergeable quantile estimates per group via a
     fixed-width histogram sketch — the bounded-memory alternative to an
@@ -343,29 +344,50 @@ def histogram_quantiles(
     come from the cumulative histogram (a window over that bounded
     relation, never over the data).  Estimate = integer bin midpoint.
     Accuracy is range/n_bins per group — the documented sketch trade.
+
+    ``bounds=(lo, hi)`` pins a caller-chosen GLOBAL bin space instead
+    of deriving per-group bounds — the mode whose histograms merge
+    across independent runs (the streaming state in
+    ``streaming/stats.py`` uses it; out-of-range values clamp to the
+    edge bins).
     """
     if n_bins < 1:
         raise ValueError(f"histogram_quantiles needs n_bins >= 1, got {n_bins}")
     from faconne_spark.session import spread
 
     us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
-    bounds = (
-        spread(df)
-        .groupBy(group_col)
-        .agg(
-            F.expr(f"min({us})").alias("_lo"),
-            F.expr(f"max({us})").alias("_hi"),
+    if bounds is not None:
+        lo, hi = int(bounds[0] * 1_000_000), int(bounds[1] * 1_000_000)
+        if hi <= lo:
+            raise ValueError(
+                f"histogram_quantiles needs bounds lo < hi, got {bounds}"
+            )
+        # long literals: an int-typed bound overflows the 32-bit midpoint
+        # multiplication under ANSI arithmetic
+        pre = spread(df).withColumn(
+            "_lo", F.lit(lo).cast("long")
+        ).withColumn("_hi", F.lit(hi).cast("long"))
+        bin_expr = (
+            f"least(greatest(cast(({us} - _lo) * {n_bins}"
+            f" div (_hi - _lo + 1) as int), 0), {n_bins - 1})"
         )
-    )
+    else:
+        grp_bounds = (
+            spread(df)
+            .groupBy(group_col)
+            .agg(
+                F.expr(f"min({us})").alias("_lo"),
+                F.expr(f"max({us})").alias("_hi"),
+            )
+        )
+        pre = df.join(F.broadcast(grp_bounds), group_col)
+        bin_expr = (
+            f"least(cast(({us} - _lo) * {n_bins}"
+            f" div (_hi - _lo + 1) as int), {n_bins - 1})"
+        )
     binned = (
-        df.join(F.broadcast(bounds), group_col)
-        .withColumn(
-            "_bin",
-            F.expr(
-                f"least(cast(({us} - _lo) * {n_bins}"
-                f" div (_hi - _lo + 1) as int), {n_bins - 1})"
-            ),
-        )
+        pre
+        .withColumn("_bin", F.expr(bin_expr))
         .groupBy(group_col, "_bin")
         .agg(
             F.count("*").alias("_cnt"),

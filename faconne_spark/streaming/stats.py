@@ -210,3 +210,120 @@ def temperature_plan_from_state(
             F.col("_sum_w").alias("sum_w"),
         )
     )
+
+
+# ------------------------------------------------- value-quantile state
+
+VALUE_BINS = "value_bins"
+
+
+def value_stats_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    bounds: tuple,
+    key: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 64,
+):
+    """Reduce one micro-batch of events to per-key mergeable value
+    state: (n, fixed-point sum, min, max) algebraic aggregates PLUS
+    histogram bin counts over CALLER-PINNED global bounds —
+    decomposable sufficient statistics for streaming quantile
+    estimates.
+
+    ``bounds`` must be pinned by the caller (domain knowledge: sensor
+    range, price cap, ...) because a histogram whose bin space is
+    derived per epoch cannot merge across epochs — the fixed-range
+    histogram is the standard streaming contract (out-of-range values
+    clamp to the edge bins, visible in the min/max of the algebraic
+    state).  Same epoch-partitioned dynamic-overwrite idempotency
+    contract as the corpus stats."""
+    from faconne_spark.operators.relational import mergeable_stats
+
+    lo, hi = (
+        int(bounds[0] * 1_000_000), int(bounds[1] * 1_000_000)
+    )
+    if hi <= lo:
+        raise ValueError(f"value_stats_epoch needs bounds lo < hi, got {bounds}")
+    us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
+    stats = mergeable_stats(batch_df, key, value_col)
+    bins = (
+        batch_df.withColumn(
+            "_bin",
+            F.expr(
+                f"least(greatest(cast(({us} - {lo}) * {n_bins}"
+                f" div ({hi} - {lo} + 1) as int), 0), {n_bins - 1})"
+            ),
+        )
+        .groupBy(key, "_bin")
+        .agg(F.count("*").alias("n"))
+    )
+    for name, rel in ((VALUE_BINS, bins), (VALUE_BINS + "_agg", stats)):
+        (
+            rel.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(os.path.join(state_dir, name))
+        )
+
+
+def value_stats_from_state(
+    spark: SparkSession, state_dir: str, key: str = "event_type"
+) -> DataFrame:
+    """Merged per-key algebraic value stats over every epoch — equal to
+    the batch :func:`~faconne_spark.operators.relational
+    .mergeable_stats` over the union of all micro-batches (the
+    merge_stats contract, applied across epochs)."""
+    from faconne_spark.operators.relational import merge_stats
+
+    parts = _state(spark, state_dir, VALUE_BINS + "_agg").drop("epoch")
+    return merge_stats(parts.select(key, "n", "sum_us", "min_us", "max_us"))
+
+
+def value_quantiles_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    bounds: tuple,
+    key: str = "event_type",
+    n_bins: int = 64,
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Quantile estimates off the merged cross-epoch histogram — the
+    streaming face of :func:`~faconne_spark.operators.relational
+    .histogram_quantiles` with the same pinned bounds: bin counts add
+    across epochs, then the identical integer cumulative-threshold /
+    bin-midpoint arithmetic reads the estimates (batch⇆stream equality
+    pinned in tests)."""
+    from pyspark.sql import Window
+
+    lo, hi = int(bounds[0] * 1_000_000), int(bounds[1] * 1_000_000)
+    merged = (
+        _state(spark, state_dir, VALUE_BINS)
+        .groupBy(key, "_bin")
+        .agg(F.sum("n").alias("_cnt"))
+    )
+    w = Window.partitionBy(key).orderBy("_bin")
+    cum = merged.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_total", F.sum("_cnt").over(Window.partitionBy(key))
+    )
+    out = None
+    for q in qs:
+        q_us = int(round(q * 1_000_000))
+        hit = (
+            cum.filter(F.expr(f"_cum * 1000000 >= _total * {q_us}"))
+            .groupBy(key)
+            .agg(F.min("_bin").alias("_qbin"))
+            .select(
+                key,
+                F.lit(q).alias("q"),
+                F.expr(
+                    f"round(cast(cast({lo} as bigint) + (2 * _qbin + 1)"
+                    f" * cast({hi} - {lo} + 1 as bigint)"
+                    f" div {2 * n_bins} as double) / 1000000.0, 6)"
+                ).alias("estimate"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

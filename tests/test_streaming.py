@@ -939,3 +939,72 @@ def test_streaming_fill_forward_matches_batch(spark, sf_dir, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_streaming_value_quantiles_match_batch(spark, sf_dir, tmp_path):
+    """Streaming value state: after two micro-batches, (a) the merged
+    algebraic stats equal the one-pass batch aggregate, and (b) the
+    cross-epoch histogram quantiles equal the batch sketch with the
+    same pinned bounds — the mergeable-sufficient-statistics contract
+    end-to-end through foreachBatch."""
+    from faconne_spark.operators.relational import (
+        histogram_quantiles,
+        mergeable_stats,
+    )
+    from faconne_spark.streaming.stats import (
+        value_quantiles_from_state,
+        value_stats_epoch,
+        value_stats_from_state,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_type", "value").limit(600)
+    src = str(tmp_path / "vq_events")
+    half = ev.withColumn("_h", F.expr("abs(hash(event_type, value)) % 2"))
+    half.filter("_h = 0").drop("_h").coalesce(1).write.parquet(src)
+    half.filter("_h = 1").drop("_h").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    bounds = (0.0, 500.0)
+    state = str(tmp_path / "vq_state")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: value_stats_epoch(b, e, state, bounds, n_bins=32)
+        )
+        .option("checkpointLocation", str(tmp_path / "vq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    full = spark.read.parquet(src)
+    got_stats = {
+        r["event_type"]: (r["n"], r["sum_us"], r["min_us"], r["max_us"])
+        for r in value_stats_from_state(spark, state).collect()
+    }
+    want_stats = {
+        r["event_type"]: (r["n"], r["sum_us"], r["min_us"], r["max_us"])
+        for r in mergeable_stats(full, "event_type", "value").collect()
+    }
+    assert got_stats == want_stats
+
+    got_q = {
+        (r["event_type"], r["q"]): r["estimate"]
+        for r in value_quantiles_from_state(
+            spark, state, bounds, n_bins=32, qs=(0.5, 0.95)
+        ).collect()
+    }
+    want_q = {
+        (r["event_type"], r["q"]): r["estimate"]
+        for r in histogram_quantiles(
+            full, "value", "event_type", 32, (0.5, 0.95), bounds=bounds
+        ).collect()
+    }
+    assert got_q == want_q and got_q
