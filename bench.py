@@ -218,6 +218,8 @@ def main() -> None:
         "dup_graph_triangles",
         "events_value_quantiles",
         "events_incremental_stats",
+        "dedup_minhash_pr",
+        "quality_feature_cov",
     ]
     times = {}
     shuffle = {}

@@ -1205,3 +1205,206 @@ FROM b GROUP BY event_type
 
 QUERIES["events_incremental_stats"] = events_incremental_stats
 ORACLES["events_incremental_stats"] = ORACLE_INC_STATS
+
+
+# --------------------------------------- MinHash precision/recall eval
+
+PR_SAMPLE = 200  # bounded evaluation sample (ground truth is O(sample²))
+PR_TRUTH_T = 0.5
+
+
+def dedup_minhash_pr(spark, sf):
+    """Precision/recall of the MinHash/LSH candidate generator against
+    EXACT-Jaccard ground truth on a bounded doc sample — the companion
+    gauge to dedup_minhash_calibration (that one checks estimate
+    accuracy ON candidates; this one checks what banding misses).
+    Ground truth is brute-force all-pairs over the sample ONLY — an
+    evaluation harness, never the production path (the banded join is)."""
+    from faconne_spark.functions import word_shingles
+    from faconne_spark.queries.pipeline import (
+        LSH_BANDS,
+        MINHASH_K,
+        N_SHINGLE,
+    )
+
+    docs = T(spark, sf, "documents").filter(F.col("doc_id") < PR_SAMPLE)
+    sh = word_shingles("text", N_SHINGLE, "spark")
+    shingled = docs.select("doc_id", F.expr(sh).alias("sh"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr(
+                "round(cast(size(array_intersect(a.sh, b.sh)) as double)"
+                " / cast(size(array_union(a.sh, b.sh)) as double), 6)"
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= PR_TRUTH_T)
+    )
+    cand = D.minhash_lsh_pairs(docs, N_SHINGLE, MINHASH_K, LSH_BANDS).select(
+        "id_a", "id_b"
+    )
+    hit = truth.join(cand, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.expr(
+                "round(cast(n_hit as double)"
+                " / cast(greatest(n_cand, 1) as double), 6)"
+            ).alias("precision"),
+            F.expr(
+                "round(cast(n_hit as double)"
+                " / cast(greatest(n_truth, 1) as double), 6)"
+            ).alias("recall"),
+        )
+    )
+
+
+def _oracle_minhash_pr() -> str:
+    from faconne_spark.functions import band_sig, minhash_sig, word_shingles
+    from faconne_spark.queries.pipeline import (
+        LSH_BANDS,
+        MINHASH_K,
+        N_SHINGLE,
+    )
+
+    r = MINHASH_K // LSH_BANDS
+    band_exprs = ", ".join(
+        band_sig("sig", b, r, "duckdb") for b in range(LSH_BANDS)
+    )
+    sig = minhash_sig(
+        word_shingles("text", N_SHINGLE, "duckdb"), MINHASH_K, "duckdb"
+    )
+    sh = word_shingles("text", N_SHINGLE, "duckdb")
+    return f"""
+WITH sample AS (
+  SELECT * FROM documents WHERE doc_id < {PR_SAMPLE}),
+shingled AS (
+  SELECT doc_id, {sh} AS sh FROM sample),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+        >= {PR_TRUTH_T}),
+sigs AS (
+  SELECT doc_id, {sig} AS sig FROM sample),
+banded AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS band FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id),
+hit AS (
+  SELECT * FROM truth INNER JOIN cand USING (id_a, id_b))
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / greatest((SELECT count(*) FROM cand), 1), 6) AS precision,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+"""
+
+
+QUERIES["dedup_minhash_pr"] = dedup_minhash_pr
+ORACLES["dedup_minhash_pr"] = _oracle_minhash_pr()
+
+
+# --------------------------------------- quality feature covariance
+
+QF_FEATURES = [
+    "n_chars", "n_tokens", "distinct_ratio",
+    "punct_ratio", "stopword_ratio", "mean_token_len",
+]
+
+
+def quality_feature_cov(spark, sf):
+    """Covariance matrix of the per-document quality features — which
+    gauges move together (a filter-design input: highly covariant rules
+    are redundant, anti-covariant ones disagree).  Upper-triangular
+    (i, j, cov) over micro-quantized features, the same outer-product
+    partial-aggregation shape as the PCA gramian: the exchange carries
+    at most d²·partitions rows, never the corpus.  Double conversion
+    happens once per final cell from identical integers, so both
+    engines agree bit-for-bit."""
+    feats = TX.quality_score(T(spark, sf, "documents"))
+    arr = "array(" + ", ".join(
+        f"cast(floor(cast({c} as double) * 1000000 + 0.5) as bigint)"
+        for c in QF_FEATURES
+    ) + ")"
+    d = len(QF_FEATURES)
+    prods = (
+        feats.withColumn("_f", F.expr(arr))
+        .select(F.posexplode("_f").alias("i", "xi"), "_f")
+        .select(
+            "i",
+            F.explode(
+                F.expr(
+                    "transform(slice(_f, i + 1, size(_f) - i),"
+                    " (xj, k) -> struct(i + k as j, xj as xj))"
+                )
+            ).alias("_e"),
+            "xi",
+        )
+        .select("i", F.col("_e.j").alias("j"), "xi", F.col("_e.xj").alias("xj"))
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("xj").cast("decimal(38,0)")).alias("sy"),
+            F.sum(
+                (F.col("xi").cast("decimal(38,0)")
+                 * F.col("xj").cast("decimal(38,0)"))
+            ).alias("sxy"),
+        )
+    )
+    return prods.select(
+        "i",
+        "j",
+        "n",
+        F.expr(
+            "round((cast(sxy as double) - cast(sx as double)"
+            " * cast(sy as double) / cast(n as double))"
+            " / cast(n as double) / 1000000000000.0, 6)"
+        ).alias("cov"),
+    )
+
+
+def _oracle_quality_cov() -> str:
+    from faconne_spark.queries.pipeline import ORACLE_QUALITY
+
+    d = len(QF_FEATURES)
+    arr = "[" + ", ".join(
+        f"floor({c}::DOUBLE * 1000000 + 0.5)::BIGINT" for c in QF_FEATURES
+    ) + "]"
+    return f"""
+WITH q AS ({ORACLE_QUALITY.strip()}),
+f AS (
+  SELECT {arr} AS fv FROM q),
+prods AS (
+  SELECT g1.d - 1 AS i, g2.d - 1 AS j,
+         fv[g1.d] AS xi, fv[g2.d] AS xj
+  FROM f,
+       generate_series(1, {d}) AS g1(d),
+       generate_series(1, {d}) AS g2(d)
+  WHERE g2.d >= g1.d)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       count(*)::BIGINT AS n,
+       round((sum(xi::DECIMAL(38,0) * xj::DECIMAL(38,0))::DOUBLE
+              - sum(xi::DECIMAL(38,0))::DOUBLE
+                * sum(xj::DECIMAL(38,0))::DOUBLE / count(*))
+             / count(*) / 1000000000000.0, 6) AS cov
+FROM prods GROUP BY i, j
+"""
+
+
+QUERIES["quality_feature_cov"] = quality_feature_cov
+ORACLES["quality_feature_cov"] = _oracle_quality_cov()

@@ -413,7 +413,7 @@ def test_survey_registry_consistency():
             r"dedup_\w+|ann_\w+|knn_\w+|text_\w+|mm_\w+|embed_\w+|"
             r"sample_\w+|contamination_\w+|doc_len_\w+|doc_tfidf_\w+|"
             r"docs_\w+|pipeline_\w+|stream_window_counts|stream_session_agg|"
-            r"source_stats|vocab_coverage|cap_per_source|quality_gate|"
+            r"source_stats|vocab_coverage|cap_per_source|quality_\w+|"
             r"lang_id_\w+|corpus_\w+|dup_graph_\w+|basket_\w+|user_rfm_\w+|"
             r"orders_monthly_yoy|part_price_stats|neardup_\w+|"
             r"customer_order_reconciliation|sql_api_\w+|sliding_window_counts|"

@@ -68,6 +68,8 @@ SNAPSHOT_QUERIES = [
     "dup_graph_triangles",
     "events_value_quantiles",
     "events_incremental_stats",
+    "dedup_minhash_pr",
+    "quality_feature_cov",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
