@@ -323,6 +323,21 @@ def fill_forward(
     )
 
 
+def bounds_us(bounds: tuple, who: str) -> tuple:
+    """Quantize pinned histogram bounds to micro-units with the
+    codebase's round-half-up convention (floor(x*1e6 + 0.5)) —
+    truncating int() would shift the bin space one micro-unit short of
+    values that quantize up (e.g. 0.07 → 70000, int(0.07*1e6) =
+    69999)."""
+    import math
+
+    lo = math.floor(bounds[0] * 1_000_000 + 0.5)
+    hi = math.floor(bounds[1] * 1_000_000 + 0.5)
+    if hi <= lo:
+        raise ValueError(f"{who} needs bounds lo < hi, got {bounds}")
+    return lo, hi
+
+
 def histogram_quantiles(
     df: DataFrame,
     value_col: str,
@@ -357,19 +372,18 @@ def histogram_quantiles(
 
     us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
     if bounds is not None:
-        lo, hi = int(bounds[0] * 1_000_000), int(bounds[1] * 1_000_000)
-        if hi <= lo:
-            raise ValueError(
-                f"histogram_quantiles needs bounds lo < hi, got {bounds}"
-            )
+        lo, hi = bounds_us(bounds, "histogram_quantiles")
         # long literals: an int-typed bound overflows the 32-bit midpoint
         # multiplication under ANSI arithmetic
         pre = spread(df).withColumn(
             "_lo", F.lit(lo).cast("long")
         ).withColumn("_hi", F.lit(hi).cast("long"))
+        # clamp in BIGINT, cast LAST: casting the unclamped product of a
+        # far-out-of-range value overflows int32 under ANSI — exactly
+        # the case the edge-bin clamp exists for
         bin_expr = (
-            f"least(greatest(cast(({us} - _lo) * {n_bins}"
-            f" div (_hi - _lo + 1) as int), 0), {n_bins - 1})"
+            f"cast(least(greatest(({us} - _lo) * {n_bins}"
+            f" div (_hi - _lo + 1), 0), {n_bins - 1}) as int)"
         )
     else:
         grp_bounds = (
@@ -442,20 +456,38 @@ def mergeable_stats(df: DataFrame, key: str, value_col: str) -> DataFrame:
     )
 
 
-def merge_stats(*states: DataFrame) -> DataFrame:
+_STAT_COLS = {"n", "sum_us", "min_us", "max_us"}
+
+
+def merge_stats(*states: DataFrame, key: str | None = None) -> DataFrame:
     """Merge any number of :func:`mergeable_stats` relations — the
     incremental-maintenance step: yesterday's persisted state + today's
     delta without touching historical rows.  Each input is
     key-cardinality-sized, so the merge is a union of tiny relations +
     one re-aggregation; n/sum add, min/max combine — the algebraic
     property that makes the state valid under ANY partitioning of the
-    underlying data."""
+    underlying data.
+
+    ``key`` defaults to the single non-stat column and is VALIDATED —
+    silently grouping by whatever column happens to be first would
+    return nonsense on a column-reordered state relation."""
     if not states:
         raise ValueError("merge_stats needs at least one state relation")
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)
-    key = u.columns[0]
+    non_stat = [c for c in u.columns if c not in _STAT_COLS]
+    if key is None:
+        if len(non_stat) != 1:
+            raise ValueError(
+                f"merge_stats cannot infer the group key from columns"
+                f" {u.columns}; pass key= explicitly"
+            )
+        key = non_stat[0]
+    elif key not in u.columns or key in _STAT_COLS:
+        raise ValueError(
+            f"merge_stats key {key!r} is not a group column of {u.columns}"
+        )
     return u.groupBy(key).agg(
         F.sum("n").alias("n"),
         F.sum("sum_us").alias("sum_us"),

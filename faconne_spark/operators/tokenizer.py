@@ -100,10 +100,12 @@ def learn_bpe(
         raise ValueError(f"learn_bpe needs n_merges >= 1, got {n_merges}")
     from faconne_spark.operators.dedup import _checkpoint
 
+    # the word string is only needed when the caller wants the final
+    # vocabulary back — the merge-table-only path keeps its checkpoints
+    # at the original (freq, syms) footprint
+    carry = ["word", "freq", "syms"] if return_vocab else ["freq", "syms"]
     words = _checkpoint(
-        word_freqs(docs)
-        .withColumn("syms", F.expr(_CHARS))
-        .select("word", "freq", "syms")
+        word_freqs(docs).withColumn("syms", F.expr(_CHARS)).select(*carry)
     )
     merges = []
     for rank in range(n_merges):
@@ -132,7 +134,7 @@ def learn_bpe(
         words = _checkpoint(
             words.crossJoin(F.broadcast(best.select("l", "r")))
             .withColumn("syms", F.expr(_MERGE))
-            .select("word", "freq", "syms")
+            .select(*carry)
         )
     if not merges:
         # corpus of single-character words: nothing to merge at all —

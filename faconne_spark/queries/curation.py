@@ -1243,8 +1243,14 @@ def dedup_minhash_pr(spark, sf):
         )
         .filter(F.col("jac") >= PR_TRUTH_T)
     )
-    cand = D.minhash_lsh_pairs(docs, N_SHINGLE, MINHASH_K, LSH_BANDS).select(
-        "id_a", "id_b"
+    # both relations feed a count AND the hit join: persist so the
+    # quadratic truth join and the banded candidate join run once each
+    truth = D._persist_sig(truth, docs)
+    cand = D._persist_sig(
+        D.minhash_lsh_pairs(docs, N_SHINGLE, MINHASH_K, LSH_BANDS).select(
+            "id_a", "id_b"
+        ),
+        docs,
     )
     hit = truth.join(cand, ["id_a", "id_b"])
     return (

@@ -239,34 +239,38 @@ def value_stats_epoch(
     clamp to the edge bins, visible in the min/max of the algebraic
     state).  Same epoch-partitioned dynamic-overwrite idempotency
     contract as the corpus stats."""
-    from faconne_spark.operators.relational import mergeable_stats
+    from faconne_spark.operators.relational import bounds_us, mergeable_stats
 
-    lo, hi = (
-        int(bounds[0] * 1_000_000), int(bounds[1] * 1_000_000)
-    )
-    if hi <= lo:
-        raise ValueError(f"value_stats_epoch needs bounds lo < hi, got {bounds}")
+    lo, hi = bounds_us(bounds, "value_stats_epoch")
     us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
-    stats = mergeable_stats(batch_df, key, value_col)
-    bins = (
-        batch_df.withColumn(
-            "_bin",
-            F.expr(
-                f"least(greatest(cast(({us} - {lo}) * {n_bins}"
-                f" div ({hi} - {lo} + 1) as int), 0), {n_bins - 1})"
-            ),
-        )
-        .groupBy(key, "_bin")
-        .agg(F.count("*").alias("n"))
+    # clamp in BIGINT, cast to int LAST: casting the unclamped product
+    # overflows int32 under ANSI for far-out-of-range values — the
+    # exact sensor-glitch case the clamp exists for
+    bin_expr = (
+        f"cast(least(greatest((({us}) - {lo}) * {n_bins}"
+        f" div ({hi} - {lo} + 1), 0), {n_bins - 1}) as int)"
     )
-    for name, rel in ((VALUE_BINS, bins), (VALUE_BINS + "_agg", stats)):
-        (
-            rel.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(os.path.join(state_dir, name))
+    # two write actions read the same micro-batch: persist it once so
+    # the input files aren't rescanned per partial (the same pattern as
+    # corpus_stats_epoch above)
+    batch_df = batch_df.persist()
+    try:
+        stats = mergeable_stats(batch_df, key, value_col)
+        bins = (
+            batch_df.withColumn("_bin", F.expr(bin_expr))
+            .groupBy(key, "_bin")
+            .agg(F.count("*").alias("n"))
         )
+        for name, rel in ((VALUE_BINS, bins), (VALUE_BINS + "_agg", stats)):
+            (
+                rel.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(os.path.join(state_dir, name))
+            )
+    finally:
+        batch_df.unpersist()
 
 
 def value_stats_from_state(
@@ -298,7 +302,9 @@ def value_quantiles_from_state(
     pinned in tests)."""
     from pyspark.sql import Window
 
-    lo, hi = int(bounds[0] * 1_000_000), int(bounds[1] * 1_000_000)
+    from faconne_spark.operators.relational import bounds_us
+
+    lo, hi = bounds_us(bounds, "value_quantiles_from_state")
     merged = (
         _state(spark, state_dir, VALUE_BINS)
         .groupBy(key, "_bin")

@@ -852,3 +852,24 @@ def test_bpe_token_counts_matches_python(spark, texts, n):
                 syms = out
             total += len(syms)
         assert got[i] == (len(words), total)
+
+
+def test_histogram_pinned_bounds_clamps_outliers(spark):
+    """Out-of-range values must clamp to the edge bins (the pinned-
+    bounds contract), not overflow the int cast under ANSI — and the
+    bounds quantize round-half-up so boundary values stay in range."""
+    from faconne_spark.operators.relational import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 4.0e7), ("g", -4.0e7), ("g", 0.5), ("g", 0.07)],
+        "grp string, value double",
+    )
+    out = {
+        r["q"]: r["estimate"]
+        for r in histogram_quantiles(
+            df, "value", "grp", 4, (0.5,), bounds=(0.0, 0.07)
+        ).collect()
+    }
+    # all four rows binned (two clamped to the edges); median estimate
+    # is a bin midpoint inside the pinned range
+    assert 0.0 <= out[0.5] <= 0.07
