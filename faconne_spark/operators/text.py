@@ -1090,3 +1090,40 @@ def importance_weights(docs: DataFrame, target_source: str) -> DataFrame:
         )
         .withColumn("selected", F.col("weight") > 0)
     )
+
+
+def cardinality_report(
+    docs: DataFrame, rsd: float = 0.02
+) -> DataFrame:
+    """Per-source cardinality gauge: exact distinct fingerprints next
+    to the HyperLogLog++ estimate (``approx_count_distinct``) and the
+    relative error — at 100 TB the exact count is a full shuffle of the
+    fingerprint space while the sketch is a fixed-size mergeable
+    register set per group, so production dashboards run the sketch and
+    this report is the calibration that says when that's safe.
+
+    The estimate is deterministic for a given dataset and rsd (HLL
+    hashes are seedless), but not portable to other engines — so this
+    operator is pytest-verified (error bound vs the exact side) rather
+    than DuckDB-oracled, the same evidence class as the streaming
+    processors."""
+    from faconne_spark.functions import phash60
+    from faconne_spark.operators.dedup import NORM
+
+    fp = spread(docs).select(
+        "source", F.expr(phash60(NORM, "spark")).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.countDistinct("fingerprint").alias("n_exact"),
+            F.approx_count_distinct("fingerprint", rsd).alias("n_approx"),
+        )
+        .withColumn(
+            "rel_error",
+            F.expr(
+                "round(abs(cast(n_approx as double) - cast(n_exact as double))"
+                " / cast(greatest(n_exact, 1) as double), 6)"
+            ),
+        )
+    )

