@@ -104,3 +104,48 @@ def _fix_nanos(df):
     from faconne_spark.streaming import ensure_event_time
 
     return ensure_event_time(df)
+
+
+def plan_report(df) -> dict:
+    """Structured audit of a DataFrame's physical plan — the checks this
+    codebase's plan tests grep for, exposed as a programmatic surface
+    so a pipeline can assert its own shape before a 100 TB run:
+    exchange count and kinds, broadcast vs sort-merge joins, cartesian
+    products, Python eval nodes (UDF leaks), scans with their pushed
+    filters and read schemas.
+
+    Driver-side string analysis of the plan ONLY — nothing is executed.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    scans = []
+    for m in re.finditer(r"FileScan (\w+) [^\n]*", plan):
+        line = m.group(0)
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+        schema = re.search(r"ReadSchema: (\S+)", line)
+        scans.append(
+            {
+                "format": m.group(1),
+                "pushed_filters": (
+                    [f.strip() for f in pushed.group(1).split(",") if f.strip()]
+                    if pushed
+                    else []
+                ),
+                "read_schema": schema.group(1) if schema else None,
+            }
+        )
+    return {
+        "n_exchanges": len(exchanges),
+        "exchange_kinds": sorted(set(exchanges)),
+        "n_broadcast_joins": len(
+            re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
+        ),
+        "n_sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "has_cartesian": "CartesianProduct" in plan,
+        "has_python_eval": bool(
+            re.search(r"BatchEvalPython|ArrowEvalPython", plan)
+        ),
+        "scans": scans,
+    }

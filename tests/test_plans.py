@@ -423,3 +423,21 @@ def test_fuzzy_pairs_block_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_plan_report_surface(spark, sf_dir):
+    """plan_report turns the plan-shape checks into a programmatic
+    audit: pushdown and broadcast visible on a joined query, a UDF-free
+    map pass reports no python eval and no hash exchange."""
+    from faconne_spark.queries.pipeline import text_quality
+    from faconne_spark.queries.tpch import q5_local_volume
+    from faconne_spark.session import plan_report
+
+    r = plan_report(q5_local_volume(spark, sf_dir))
+    assert r["n_broadcast_joins"] >= 1
+    assert not r["has_cartesian"]
+    assert any(s["pushed_filters"] for s in r["scans"])
+
+    m = plan_report(text_quality(spark, sf_dir))
+    assert not m["has_python_eval"]
+    assert "hashpartitioning" not in m["exchange_kinds"]
