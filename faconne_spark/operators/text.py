@@ -1086,7 +1086,10 @@ def importance_weights(docs: DataFrame, target_source: str) -> DataFrame:
         .agg(
             F.any_value(F.col("source")).alias("source"),
             F.count("*").alias("n_toks"),
-            F.round(F.avg("lnr"), 6).alias("weight"),
+            # + 0.0 canonicalizes IEEE negative zero: a doc whose ratio
+            # sum is a tiny negative rounds to -0.0 here but 0.0 in
+            # DuckDB — numerically equal, string-hash different
+            (F.round(F.avg("lnr"), 6) + F.lit(0.0)).alias("weight"),
         )
         .withColumn("selected", F.col("weight") > 0)
     )

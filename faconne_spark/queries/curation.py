@@ -917,7 +917,7 @@ ratio AS (
   FROM raw r LEFT JOIN tgt t USING (tok) CROSS JOIN stats s)
 SELECT ts.doc_id, any_value(ts.source) AS source,
        count(*)::BIGINT AS n_toks,
-       round(avg(ra.lnr), 6) AS weight,
+       round(avg(ra.lnr), 6) + 0.0 AS weight,
        round(avg(ra.lnr), 6) > 0 AS selected
 FROM tok_stream ts JOIN ratio ra USING (tok)
 GROUP BY ts.doc_id
