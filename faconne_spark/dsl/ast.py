@@ -117,7 +117,19 @@ class Agg:
     """``^:expand`` reducer: SQL aggregate expression over the fully built
     group — e.g. ``Agg("avg(grade)")``, ``Agg("count(distinct student)")``,
     ``Agg("greatest(max(g1), max(g2))")`` (nested expands compose inside
-    one SQL expression). ``alias`` names the output column."""
+    one SQL expression). ``alias`` names the output column.
+
+    DELIBERATE CONTRACT DELTA from the reference: faconne's ``^:expand``
+    accepts ANY Clojure fn as a reducer (parse_range.cljc:112-139, e.g. a
+    bespoke ``max-key`` lambda); here reducers must be SQL-EXPRESSIBLE
+    aggregates.  Why: an arbitrary Python reducer would run as a
+    row-at-a-time Python UDF — the one execution path this engine bans,
+    because it breaks whole-stage codegen and map-side partial
+    aggregation, the two properties that make grouped reduction viable at
+    100 TB.  Every reducer in the reference's own test suite is
+    expressible this way (proven by tests/test_dsl_parity.py); a truly
+    non-SQL reduction has a documented escape hatch — drop to
+    ``df.groupBy(...).applyInPandas(...)`` by hand, outside the DSL."""
 
     def __init__(self, sql: str, alias: str | None = None):
         self.sql = sql

@@ -782,8 +782,27 @@ def pagerank_micro(pairs: DataFrame, iters: int = 3) -> DataFrame:
     )
 
 
+SEMDEDUP_TARGET_CLUSTER_ROWS = 1024
+
+
+def derive_nlist(n: int, target_cluster_rows: int) -> int:
+    """Corpus-derived k-means cluster count for :func:`semantic_dedup`:
+    ceil(n / target_cluster_rows), floored at 8 so tiny corpora still
+    cluster.  Factored out so the sizing rule is directly testable."""
+    if target_cluster_rows < 1:
+        raise ValueError(
+            f"semantic_dedup: target_cluster_rows must be >= 1, "
+            f"got {target_cluster_rows}"
+        )
+    return max(8, -(-n // target_cluster_rows))
+
+
 def semantic_dedup(
-    emb: DataFrame, nlist: int = 8, iters: int = 2, tau: float = 0.35
+    emb: DataFrame,
+    nlist: int | None = None,
+    iters: int = 2,
+    tau: float = 0.35,
+    target_cluster_rows: int = SEMDEDUP_TARGET_CLUSTER_ROWS,
 ) -> DataFrame:
     """SemDedup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with k-means, then
@@ -799,10 +818,17 @@ def semantic_dedup(
     The pairwise step joins the assignment relation to itself ON THE
     CLUSTER ID, so the only corpus shuffle is groupBy/join(cid) and the
     pair count is Σ|cluster|² instead of n² — the operator's knob is
-    ``nlist``, sized so clusters stay bounded (corpus / nlist ≈ 1e5
-    rows at 100 TB with nlist ≈ 1e6; AQE skew-join splits hot cells).
-    This is exactly the SemDedup trade: global near-dup recall is
-    sacrificed for cluster-local pairwise cost.
+    ``nlist``, sized so clusters stay bounded.  When ``nlist`` is None
+    (the default) it is DERIVED from the corpus: ``max(8, ceil(n /
+    target_cluster_rows))`` via one cheap count, so the in-cluster
+    pairwise cost stays ~n·target_cluster_rows — linear in the corpus —
+    instead of silently quadratic under a fixed small default (at
+    100 TB / ~1e9 vectors this yields nlist ≈ 1e6, the sizing the
+    SemDedup paper uses; AQE skew-join splits hot cells).  Pass an
+    explicit ``nlist`` to pin determinism across differently-sized
+    corpora (the registry oracle does).  This is exactly the SemDedup
+    trade: global near-dup recall is sacrificed for cluster-local
+    pairwise cost.
 
     Determinism: assignment inherits kmeans_assign's fixed-point means
     and 6-dp rounded similarities; the in-cluster verdict uses the same
@@ -812,6 +838,8 @@ def semantic_dedup(
     from faconne_spark.functions import cosine_sim
     from faconne_spark.operators.similarity import kmeans_assign
 
+    if nlist is None:
+        nlist = derive_nlist(emb.count(), target_cluster_rows)
     assign = _persist_sig(
         kmeans_assign(emb, nlist, iters), emb
     )

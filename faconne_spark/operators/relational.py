@@ -264,13 +264,21 @@ def blocked_fuzzy_pairs(
     alphabet^prefix_chop variants of one entity, so per-block pair
     counts are bounded; AQE skew-join splits hot blocks).  The
     documented trade: matches whose edits fall inside the blocking
-    prefix are missed — recall is bounded by the blocking scheme, the
+    prefix are missed, and so are LENGTH-CHANGING edits anywhere (an
+    insert/delete shifts the chop point, changing the block string even
+    for a suffix edit) — recall is bounded by the blocking scheme, the
     same contract as every LSH-family dedup here.  Levenshtein runs
     JVM-side (Catalyst ``levenshtein``), no UDF.
+
+    The block length is clamped with greatest(length - chop, 0): names
+    shorter than ``prefix_chop`` block on the empty string on every
+    engine (Spark returns '' for a negative substr length but DuckDB
+    errors on it — an oracle-divergence foot-gun otherwise).
     """
     block = [F.col(c) for c in block_cols] + [
         F.expr(
-            f"substr({name_col}, 1, length({name_col}) - {prefix_chop})"
+            f"substr({name_col}, 1,"
+            f" greatest(length({name_col}) - {prefix_chop}, 0))"
         ).alias("_name_block")
     ]
     sides = df.select(

@@ -599,9 +599,27 @@ def pca_gramian(corpus: DataFrame, dim: int = 64) -> DataFrame:
     to a bigint, so every product is an exact integer (pico-units) and
     the sum is order-independent in DECIMAL(38,0); the double emerges
     only after the final division.
+
+    ``dim`` is VALIDATED, not trusted: a vector whose actual length
+    differs raises at execution (JVM-side raise_error) rather than
+    silently zero-padding / overflowing the driver-side G in
+    :func:`pca_project`.
     """
+    guarded = spread(corpus).withColumn(
+        "embedding",
+        F.when(
+            F.size("embedding") != F.lit(dim),
+            F.raise_error(
+                F.concat(
+                    F.lit("pca_gramian: embedding dim "),
+                    F.size("embedding").cast("string"),
+                    F.lit(f" != declared dim {dim}"),
+                )
+            ).cast(corpus.schema["embedding"].dataType),
+        ).otherwise(F.col("embedding")),
+    )
     prods = (
-        spread(corpus)
+        guarded
         .select(F.posexplode("embedding").alias("i", "xi"), "embedding")
         .select(
             "i",
@@ -650,6 +668,14 @@ def pca_project(corpus: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
     import numpy as np
 
     g = pca_gramian(corpus, dim).collect()
+    # G's size comes from the rows actually returned (pca_gramian has
+    # already raise_error'd any vector whose length != dim, so this is
+    # belt-and-braces against a stale `dim` default)
+    d_actual = max(r["j"] for r in g) + 1 if g else dim
+    if d_actual != dim:
+        raise ValueError(
+            f"pca_project: gramian spans {d_actual} dims, declared {dim}"
+        )
     G = np.zeros((dim, dim))
     for r in g:
         G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram"]

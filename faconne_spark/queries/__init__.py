@@ -26,13 +26,28 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # order, ~50 keys per round.  Union coverage closed at 108/108 in r3, so the
 # order now front-loads the keys whose IMPLEMENTATIONS changed this round —
 # the ones whose green row is stale — followed by the rest in r3 order.
+#
+# ORDERING INVARIANT (learned the hard way in round 4, where positions
+# 50-54 fell outside the driver's window and went a round with stale
+# rows): keys that are NEW or whose implementation/oracle CHANGED this
+# round must (a) number at most 50 and (b) appear before every unchanged
+# key.  Count the changed-this-round block when editing this list.
 _FIRST = [
-    # -- new this round (no driver row yet) --
-    "dedup_semantic", "text_gopher_rules", "docs_importance_weights",
-    "customer_fuzzy_matches", "embed_pca_gramian",
+    # -- r4-changed keys whose driver rows went stale (positions 50-54
+    #    last round; VERDICT r4 ask #1) --
+    "fac_campus_report", "fac_expand_aggs",
+    "dedup_stitch", "training_manifest", "dedup_cascade",
+    # -- r5-changed implementations/oracles (negative-zero canon, fuzzy
+    #    blocking substr fix, pca dim validation, corpus-derived nlist) --
+    "quality_feature_cov", "events_ab_test", "customer_fuzzy_matches",
+    "embed_pca_gramian", "dedup_semantic",
+    # -- new in r5 --
+    # (append new keys here, before the unchanged block)
+    # -- unchanged keys (fresh r4 rows), r4 order --
+    "text_gopher_rules", "docs_importance_weights",
     "docs_bpe_pair_counts", "events_fill_forward", "dup_graph_triangles",
     "events_value_quantiles", "events_incremental_stats",
-    "dedup_minhash_pr", "quality_feature_cov", "events_ab_test",
+    "dedup_minhash_pr",
     "text_boilerplate_segments", "pack_training_chunks",
     "docs_chunk_overlap", "docs_bigram_logprob",
     "contamination_embedding", "sample_temperature", "events_anomaly_mad",
@@ -43,14 +58,11 @@ _FIRST = [
     "ann_recall_eval", "text_readability", "dedup_minhash_calibration",
     "embed_threshold_sweep", "join_skew_report", "corpus_snapshot_diff",
     "events_attribution",
-    # -- r4-changed implementations (codec rewrite, CC/simhash speedup,
-    #    RFM quantile rewrite, gate refactor, DSL struct-of-agg sugar) --
     "mm_resize", "mm_image_meta", "mm_frame_sample",
     "dedup_containment", "dedup_winnowing",
     "dedup_clusters", "dup_graph_stats", "dedup_simhash",
     "dedup_minhash_lsh", "dedup_incremental", "user_rfm_segments",
-    "quality_gate", "fac_campus_report", "fac_expand_aggs",
-    "dedup_stitch", "training_manifest", "dedup_cascade",
+    "quality_gate",
     # -- unchanged keys, r3 order --
     "text_lang_id", "fac_store_products", "events_json_props",
     "lang_id_trained",

@@ -947,7 +947,7 @@ def customer_fuzzy_matches(spark, sf):
 ORACLE_FUZZY = f"""
 WITH c AS (
   SELECT c_custkey, c_nationkey, c_name,
-         substr(c_name, 1, length(c_name) - 2) AS name_block
+         substr(c_name, 1, greatest(length(c_name) - 2, 0)) AS name_block
   FROM customer)
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        levenshtein(a.c_name, b.c_name)::INTEGER AS lev
@@ -1376,10 +1376,12 @@ def quality_feature_cov(spark, sf):
         "i",
         "j",
         "n",
+        # + 0.0 canonicalizes IEEE negative zero (a tiny negative
+        # covariance rounds to -0.0 in Spark, 0.0 in DuckDB)
         F.expr(
             "round((cast(sxy as double) - cast(sx as double)"
             " * cast(sy as double) / cast(n as double))"
-            " / cast(n as double) / 1000000000000.0, 6)"
+            " / cast(n as double) / 1000000000000.0, 6) + 0.0"
         ).alias("cov"),
     )
 
@@ -1407,7 +1409,7 @@ SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
        round((sum(xi::DECIMAL(38,0) * xj::DECIMAL(38,0))::DOUBLE
               - sum(xi::DECIMAL(38,0))::DOUBLE
                 * sum(xj::DECIMAL(38,0))::DOUBLE / count(*))
-             / count(*) / 1000000000000.0, 6) AS cov
+             / count(*) / 1000000000000.0, 6) + 0.0 AS cov
 FROM prods GROUP BY i, j
 """
 
@@ -1472,9 +1474,11 @@ def events_ab_test(spark, sf):
         "n_treatment",
         F.expr("round(_mc, 6)").alias("mean_control"),
         F.expr("round(_mt, 6)").alias("mean_treatment"),
-        F.expr("round(_mt - _mc, 6)").alias("lift"),
+        # + 0.0 canonicalizes IEEE negative zero on signed outputs
+        F.expr("round(_mt - _mc, 6) + 0.0").alias("lift"),
         F.expr(
             "round((_mt - _mc) / sqrt(_vc / n_control + _vt / n_treatment), 6)"
+            " + 0.0"
         ).alias("welch_z"),
     )
 
@@ -1498,9 +1502,9 @@ m AS (
 SELECT a.n AS n_control, b.n AS n_treatment,
        round(a.mean_, 6) AS mean_control,
        round(b.mean_, 6) AS mean_treatment,
-       round(b.mean_ - a.mean_, 6) AS lift,
+       round(b.mean_ - a.mean_, 6) + 0.0 AS lift,
        round((b.mean_ - a.mean_)
-             / sqrt(a.var_ / a.n + b.var_ / b.n), 6) AS welch_z
+             / sqrt(a.var_ / a.n + b.var_ / b.n), 6) + 0.0 AS welch_z
 FROM (SELECT * FROM m WHERE arm = 0) a
 CROSS JOIN (SELECT * FROM m WHERE arm = 1) b
 """

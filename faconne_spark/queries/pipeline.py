@@ -1,7 +1,10 @@
 """LLM-training-data pipeline queries over documents/embeddings/events,
 each paired with a DuckDB oracle computing the *same algorithm* from the
 same portable primitives (``faconne_spark.functions``), so results match
-bit-for-bit. mm_image_meta is rows-only (binary decode isn't SQL)."""
+bit-for-bit — including the multimodal family: mm_image_meta decodes
+real BMP headers (dependency-free codec, operators/multimodal.py) and
+its oracle recomputes width/height/bpp closed-form from the synthetic
+generator's parameters."""
 
 from __future__ import annotations
 
@@ -2014,14 +2017,21 @@ QUERIES["dedup_stitch"] = dedup_stitch
 ORACLES["dedup_stitch"] = ORACLE_STITCH
 
 
-def training_manifest(spark, sf):
+def training_manifest(spark, sf, cascade=None):
     """The end-to-end curation artifact: one row per document with the
     dedup-cascade verdict, the quality-gate decision, the deterministic
     per-language sampling draw, and the final SELECTED flag — exactly
     the manifest a training run consumes.  Composes three library
     pipelines over one corpus; all joins on doc_id (co-partitioned),
-    the sampling predicate is a map-only content-hash filter."""
-    cascade = dedup_cascade(spark, sf)
+    the sampling predicate is a map-only content-hash filter.
+
+    ``cascade``: optionally a precomputed (doc_id, stage) relation —
+    production runs the cascade once, snapshots its verdict, and builds
+    the manifest FROM the snapshot rather than recomputing the whole
+    dedup family (bench.py does exactly that; rows are identical either
+    way, asserted in tests/test_hardening.py)."""
+    if cascade is None:
+        cascade = dedup_cascade(spark, sf)
     gate = quality_gate(spark, sf).select(
         "doc_id", F.col("keep").alias("quality_keep")
     )

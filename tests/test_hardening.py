@@ -677,3 +677,69 @@ def test_write_zordered_rejects_empty_input(spark, tmp_path):
     df = spark.createDataFrame([], "user_id bigint, hour bigint")
     with pytest.raises(ValueError, match="bounds"):
         write_zordered(df, str(tmp_path / "z"), ["user_id", "hour"])
+
+
+def test_training_manifest_from_cascade_snapshot(spark, sf_dir, tmp_path):
+    """bench.py's double-pay shave (VERDICT r4 ask #6): feeding
+    training_manifest a parquet SNAPSHOT of the cascade verdict must
+    produce rows identical to recomputing the cascade inline."""
+    from faconne_spark.operators.dedup import release_caches
+    from faconne_spark.queries.pipeline import dedup_cascade, training_manifest
+
+    snap = str(tmp_path / "cascade_verdict")
+    dedup_cascade(spark, sf_dir).write.mode("overwrite").parquet(snap)
+    release_caches()
+    inline = {
+        r["doc_id"]: tuple(r) for r in training_manifest(spark, sf_dir).collect()
+    }
+    release_caches()
+    fed = {
+        r["doc_id"]: tuple(r)
+        for r in training_manifest(
+            spark, sf_dir, cascade=spark.read.parquet(snap)
+        ).collect()
+    }
+    release_caches()
+    assert inline == fed and len(inline) > 0
+
+
+def test_cc_co_located_path_matches_oracle_at_gate_scale(spark):
+    """VERDICT r4 ask #7: the bucketed CC co-location path (the 100 TB
+    path, normally auto-gated behind the 25M-edge threshold) gets
+    ORACLE-level verification — dedup_clusters with co_locate=True at
+    sf0.01 must equal DuckDB's exact recursive-CTE transitive closure.
+    The zero-per-round-edge-Exchange plan property of this path is
+    asserted separately in test_cc_round_join_is_edge_side_exchange_free."""
+    import duckdb
+
+    from faconne_spark.operators.dedup import (
+        connected_components,
+        release_caches,
+        simhash_pairs,
+    )
+    from faconne_spark.queries.pipeline import ORACLE_CLUSTERS, SIMHASH_MAX_HAM
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf01, "documents.parquet")):
+        pytest.skip("sf0.01 testdata not present")
+    docs = spark.read.parquet(os.path.join(sf01, "documents.parquet"))
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            simhash_pairs(docs, SIMHASH_MAX_HAM), co_locate=True
+        ).collect()
+    }
+    release_caches()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf01, 'documents.parquet')}')"
+    )
+    want = {(r[0], r[1]) for r in con.sql(ORACLE_CLUSTERS).fetchall()}
+    assert got == want and len(got) > 0
+    # the bucketed scratch table must be gone
+    leftover = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("faconne_cc_edges_")
+    ]
+    assert leftover == []

@@ -386,3 +386,93 @@ def test_write_audit_publish_happy_and_failing(spark, sf_dir, tmp_path):
     )
     assert out2["rows"] == 50
     assert spark.read.parquet(target).count() == 50
+
+    # TOCTOU: a target that APPEARS between the entry check and publish
+    # must not be destroyed in mode='error' — the audit callable races
+    # in the concurrent writer, the publish must refuse + clean staging
+    target3 = str(tmp_path / "wap_race")
+
+    def racing_writer(staged):
+        df.limit(10).write.mode("overwrite").parquet(target3)
+        return True, "racer wrote the target mid-audit"
+
+    with pytest.raises(ValueError, match="appeared during"):
+        write_audit_publish(df, target3, [racing_writer])
+    # the racer's data survives untouched; no staging debris
+    assert spark.read.parquet(target3).count() == 10
+    assert not os.path.exists(target3 + "._staging")
+
+
+def test_state_store_reader_covers_engine_states(spark, sf_dir, tmp_path):
+    """S12 over the states the engine itself writes (VERDICT r4 ask #8):
+    (a) the applyInPandasWithState user-totals state reads back with
+    per-user (n_events, total_value) equal to the batch recompute;
+    (b) the dropDuplicatesWithinWatermark dedup state holds exactly the
+    distinct key set of the input.  (The value-stats epoch state in
+    streaming/stats.py is PARQUET epoch state by design — foreachBatch,
+    no state store — and its batch-equality is pinned in
+    tests/test_streaming.py; S12 applies to state-store-backed ops.)"""
+    import os
+
+    from faconne_spark.sources import read_stream_state
+    from faconne_spark.streaming import (
+        read_stream_parquet,
+        streaming_dedup,
+        user_totals_stateful,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+
+    # (a) custom stateful totals state == batch groupBy recompute
+    ckpt_tot = str(tmp_path / "ckpt_totals")
+    stream = read_stream_parquet(spark, ev_path)
+    q = (
+        user_totals_stateful(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt_tot)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    state = read_stream_state(spark, ckpt_tot)
+    # applyInPandasWithState wraps the user state struct in `groupState`
+    got = {
+        r["key"]["user_id"]: (r["value"]["groupState"]["n_events"],
+                              round(r["value"]["groupState"]["total_value"], 6))
+        for r in state.collect()
+    }
+    from pyspark.sql import functions as F
+
+    from faconne_spark.queries import T
+
+    want = {
+        r["user_id"]: (r["n"], round(r["tot"], 6))
+        for r in T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # (b) streaming-dedup state keys == the distinct event_id set (the
+    # horizon is set wider than the data's time span so no key can be
+    # evicted between micro-batches and the equality is exact)
+    ckpt_dd = str(tmp_path / "ckpt_dedup")
+    q2 = (
+        streaming_dedup(spark, ev_path, delay="3650 days")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt_dd)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    q2.stop()
+    dd_state = read_stream_state(spark, ckpt_dd)
+    got_keys = {r["key"]["event_id"] for r in dd_state.collect()}
+    want_keys = {
+        r["event_id"]
+        for r in T(spark, sf_dir, "events").select("event_id").distinct().collect()
+    }
+    assert got_keys == want_keys and len(got_keys) > 0
