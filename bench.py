@@ -226,6 +226,12 @@ def main() -> None:
         "dedup_minhash_pr",
         "quality_feature_cov",
         "events_ab_test",
+        # round-5 curation additions (timed, not headline)
+        "text_tokenizer_fertility",
+        "docs_ngram_novelty",
+        "docs_cdc_chunks",
+        "docs_token_cms_topk",
+        "docs_dsir_resample",
     ]
     times = {}
     shuffle = {}

@@ -8,7 +8,7 @@ builders, so the DuckDB oracle reproduces them exactly. Zero UDFs: at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from faconne_spark.session import spread
@@ -1129,4 +1129,244 @@ def cardinality_report(
                 " / cast(greatest(n_exact, 1) as double), 6)"
             ),
         )
+    )
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility gauges: BPE-ish regex tokens
+    per whitespace word (``fertility`` — the standard multilingual
+    tokenizer-quality metric: a tokenizer that fragments a language
+    into many sub-word pieces inflates its effective sequence length
+    and training cost) and characters per BPE token (compression).
+
+    Scale: one map pass computing three per-doc integers, then ONE
+    language-keyed groupBy with map-side partial sums — no joins, no
+    second corpus pass.  All-integer sums; the ratios divide once at
+    the end (positive, so no negative-zero canon needed)."""
+    ws = tokens_ws("text", "spark")
+    return (
+        spread(docs)
+        .select(
+            "lang",
+            F.expr(f"size({ws})").alias("_ws"),
+            F.expr(tokens_bpe_count("text", "spark")).alias("_bpe"),
+            F.length("text").cast("bigint").alias("_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_ws").alias("ws_tokens"),
+            F.sum("_bpe").alias("bpe_tokens"),
+            F.sum("_chars").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_chars",
+            F.expr(
+                "round(cast(bpe_tokens as double)"
+                " / cast(ws_tokens as double), 6)"
+            ).alias("fertility"),
+            F.expr(
+                "round(cast(n_chars as double)"
+                " / cast(bpe_tokens as double), 6)"
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def shingle_novelty(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    ``n``-gram shingles that occur in NO other document — the
+    memorization/duplication complement of the dedup family (novelty
+    ≈ 0 marks a doc assembled entirely from corpus-recurring text even
+    when no single pair-level duplicate exists).
+
+    Scale: explode distinct shingles → one shingle-keyed groupBy with
+    map-side partial counts (shingles are distinct per doc, so
+    count(*) IS document frequency) → one equi-join back → per-doc
+    aggregation on doc_id.  At 100 TB the join key should be the
+    shingle's 60-bit hash rather than its text; here the raw shingle
+    keeps the oracle comparison byte-exact."""
+    sh = word_shingles("text", n, "spark")
+    rel = spread(docs).select("doc_id", F.explode(F.expr(sh)).alias("s"))
+    df_counts = rel.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        rel.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.expr(
+                "round(cast(n_novel as double)"
+                " / cast(n_shingles as double), 6)"
+            ),
+        )
+    )
+
+
+def cdc_chunks(docs: DataFrame, avg_tokens: int = 16) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC idea applied to
+    token streams): a token is a chunk BOUNDARY when its content hash
+    ≡ 0 (mod ``avg_tokens``), so chunk edges are decided by local
+    content — an insertion near the head of a document shifts only the
+    one chunk it lands in, where fixed-width chunking shifts every
+    subsequent chunk.  Emits per doc the chunk count, how many of its
+    chunks recur verbatim in other documents (by 60-bit chunk hash),
+    and the shared-content ratio — the shift-resistant dedup gauge the
+    fixed-window `pack_training_chunks` cannot provide.
+
+    Scale: tokenize → posexplode → ONE per-doc window (partitioned by
+    doc_id — no global sort, the fill_forward rule) computing the
+    running boundary count → chunk aggregation on (doc_id, chunk) →
+    chunk-hash df groupBy → join back on the hash.  Expected chunk
+    length is geometric with mean ``avg_tokens``; the boundary test is
+    a pure integer mod of the token hash, identical in both engines."""
+    toks = tokens_ws("text", "spark")
+    h = phash60("concat('cdc:', tok)", "spark")
+    tokd = spread(docs).select(
+        "doc_id", F.posexplode(F.expr(toks)).alias("pos", "tok")
+    )
+    flagged = tokd.withColumn(
+        "_bp", F.expr(f"({h}) % {avg_tokens} = 0")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = flagged.withColumn(
+        "_chunk",
+        F.sum(F.when(F.col("_bp"), 1).otherwise(0)).over(w)
+        - F.when(F.col("_bp"), 1).otherwise(0),
+    )
+    chunk_text = (
+        "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
+        " x -> x.tok))"
+    )
+    # the chunk relation feeds BOTH the hash-frequency aggregate and
+    # the join back — persist it so the tokenize + per-doc window +
+    # chunk aggregation (the expensive half) runs once, not twice
+    from faconne_spark.operators.dedup import _persist_sig
+
+    chunks = _persist_sig(
+        chunked.groupBy("doc_id", "_chunk").agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(phash60(chunk_text, "spark")).alias("chunk_hash"),
+        ),
+        docs,
+    )
+    dfreq = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("cdf")
+    )
+    return (
+        chunks.join(dfreq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("cdf") >= 2, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+            F.sum(
+                F.when(F.col("cdf") >= 2, F.col("n_tokens")).otherwise(0)
+            ).alias("shared_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn(
+            "shared_ratio",
+            F.expr(
+                "round(cast(shared_tokens as double)"
+                " / cast(total_tokens as double), 6)"
+            ),
+        )
+    )
+
+
+def token_cms_topk(
+    docs: DataFrame, width: int = 1024, depth: int = 4, k: int = 20
+) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream (Cormode &
+    Muthukrishnan 2005): ``depth`` seeded hash rows × ``width``
+    counters; a token's estimate is the MIN of its counters, an upper
+    bound on its true count.  Emits the top-``k`` tokens by estimate
+    with the exact count alongside and the collision inflation
+    (est - exact ≥ 0 always) — the calibration that says whether a
+    width×depth budget is safe before deploying the sketch alone.
+
+    Scale: the sketch table is width·depth rows REGARDLESS of corpus
+    size (here ≤4096) — built by one map-side-combined groupBy over
+    (row, bucket); counters are plain sums, so sketches from different
+    partitions/days MERGE by addition, the property that makes CMS a
+    streaming/distributed primitive.  Estimation joins the
+    vocabulary-sized relation to the broadcast sketch; top-k is a
+    TakeOrdered, never a global sort.  Hashes are the portable
+    60-bit md5 primitive with per-row salts — both engines replay the
+    sketch bit-identically."""
+    toks = tokens_ws("lower(text)", "spark")
+    stream = spread(docs).select(F.explode(F.expr(toks)).alias("tok"))
+    h = phash60("concat('cms', cast(r as string), ':', tok)", "spark")
+    buckets = stream.select(
+        "tok", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r")
+    ).select("r", F.expr(f"({h}) % {width}").alias("bucket"))
+    sketch = buckets.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    vocab = stream.groupBy("tok").agg(F.count("*").alias("exact"))
+    probes = vocab.select(
+        "tok", "exact",
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r"),
+    ).select(
+        "tok", "exact", "r", F.expr(f"({h}) % {width}").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("tok", "exact")
+        .agg(F.min("c").alias("est"))
+        .select(
+            "tok",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.col("est").desc(), F.col("tok"))
+        .limit(k)
+    )
+
+
+def dsir_resample(
+    docs: DataFrame, target_source: str, k: int = 200
+) -> DataFrame:
+    """The resampling half of DSIR: draw the ``k`` documents to keep,
+    ranked by importance weight with a deterministic content-hash
+    dither as the tiebreak/jitter.  Priority = weight (micro-units,
+    integer) ⊕ hash-jitter in the low 20 bits — monotone in the DSIR
+    weight, uniform among near-equal weights, and bit-reproducible
+    across engines and runs.
+
+    Deliberate delta from the paper's stochastic draw: production
+    pipelines need the SAME manifest from every re-run, so the Gumbel
+    noise is replaced by the hash dither (the same determinism trade as
+    `sample_stratified`'s content-hash Bernoulli).  A true
+    weight-proportional draw changes only the jitter expression.
+
+    Scale: the weight relation is :func:`importance_weights` (its
+    shuffles); the draw itself adds NO shuffle beyond a TakeOrdered
+    top-k — no global sort, no window."""
+    wts = importance_weights(docs, target_source)
+    jitter = phash60("concat('rs:', cast(doc_id as string))", "spark")
+    return (
+        wts.select(
+            "doc_id",
+            "source",
+            "weight",
+            F.expr(
+                f"cast(round(weight * 1000000, 0) as bigint) * 1048576"
+                f" + ({jitter}) % 1048576"
+            ).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(k)
     )

@@ -42,7 +42,8 @@ _FIRST = [
     "quality_feature_cov", "events_ab_test", "customer_fuzzy_matches",
     "embed_pca_gramian", "dedup_semantic",
     # -- new in r5 --
-    # (append new keys here, before the unchanged block)
+    "text_tokenizer_fertility", "docs_ngram_novelty", "docs_cdc_chunks",
+    "docs_token_cms_topk", "docs_dsir_resample",
     # -- unchanged keys (fresh r4 rows), r4 order --
     "text_gopher_rules", "docs_importance_weights",
     "docs_bpe_pair_counts", "events_fill_forward", "dup_graph_triangles",

@@ -1511,3 +1511,171 @@ CROSS JOIN (SELECT * FROM m WHERE arm = 1) b
 
 QUERIES["events_ab_test"] = events_ab_test
 ORACLES["events_ab_test"] = ORACLE_AB_TEST
+
+
+# ============================================================ round 5
+# r5 curation wave: tokenizer fertility, shingle novelty, CDC chunking,
+# count-min heavy hitters, DSIR resampling draw.
+
+from faconne_spark.functions import (  # noqa: E402
+    tokens_bpe_count,
+    word_shingles,
+)
+
+
+def text_tokenizer_fertility(spark, sf):
+    """Per-language BPE-tokens-per-word fertility + chars-per-token."""
+    return TX.tokenizer_fertility(T(spark, sf, "documents"))
+
+
+ORACLE_FERTILITY = f"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(len({tokens_ws('text', 'duckdb')}))::BIGINT AS ws_tokens,
+       sum({tokens_bpe_count('text', 'duckdb')})::BIGINT AS bpe_tokens,
+       sum(length(text))::BIGINT AS n_chars,
+       round(sum({tokens_bpe_count('text', 'duckdb')})::DOUBLE
+             / sum(len({tokens_ws('text', 'duckdb')}))::DOUBLE, 6)
+         AS fertility,
+       round(sum(length(text))::DOUBLE
+             / sum({tokens_bpe_count('text', 'duckdb')})::DOUBLE, 6)
+         AS chars_per_token
+FROM documents GROUP BY lang
+"""
+
+QUERIES["text_tokenizer_fertility"] = text_tokenizer_fertility
+ORACLES["text_tokenizer_fertility"] = ORACLE_FERTILITY
+
+
+NOVELTY_N = 5
+
+
+def docs_ngram_novelty(spark, sf):
+    """Per-doc fraction of word 5-gram shingles unique to that doc."""
+    return TX.shingle_novelty(T(spark, sf, "documents"), NOVELTY_N)
+
+
+ORACLE_NOVELTY = f"""
+WITH rel AS (
+  SELECT doc_id, unnest({word_shingles('text', NOVELTY_N, 'duckdb')}) AS s
+  FROM documents),
+dfc AS (SELECT s, count(*) AS df FROM rel GROUP BY s)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS novelty
+FROM rel JOIN dfc USING (s) GROUP BY doc_id
+"""
+
+QUERIES["docs_ngram_novelty"] = docs_ngram_novelty
+ORACLES["docs_ngram_novelty"] = ORACLE_NOVELTY
+
+
+CDC_AVG_TOKENS = 16
+
+
+def docs_cdc_chunks(spark, sf):
+    """Content-defined chunking + cross-corpus shared-chunk gauge."""
+    return TX.cdc_chunks(T(spark, sf, "documents"), CDC_AVG_TOKENS)
+
+
+ORACLE_CDC = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_ws('text', 'duckdb')} AS a FROM documents),
+stream AS (
+  SELECT doc_id, unnest(a) AS tok,
+         unnest(range(1, len(a) + 1)) AS pos
+  FROM tok),
+flagged AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN ({phash60("('cdc:' || tok)", 'duckdb')})
+                   % {CDC_AVG_TOKENS} = 0 THEN 1 ELSE 0 END AS bp
+  FROM stream),
+chunked AS (
+  SELECT doc_id, tok, pos,
+         sum(bp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - bp AS chunk
+  FROM flagged),
+chunks AS (
+  SELECT doc_id, chunk, count(*)::BIGINT AS n_tokens,
+         {phash60("string_agg(tok, ' ' ORDER BY pos)", 'duckdb')}
+           AS chunk_hash
+  FROM chunked GROUP BY doc_id, chunk),
+dfreq AS (
+  SELECT chunk_hash, count(DISTINCT doc_id) AS cdf
+  FROM chunks GROUP BY chunk_hash)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END)::BIGINT
+         AS n_shared_chunks,
+       sum(CASE WHEN cdf >= 2 THEN n_tokens ELSE 0 END)::BIGINT
+         AS shared_tokens,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(sum(CASE WHEN cdf >= 2 THEN n_tokens ELSE 0 END)::DOUBLE
+             / sum(n_tokens)::DOUBLE, 6) AS shared_ratio
+FROM chunks JOIN dfreq USING (chunk_hash) GROUP BY doc_id
+"""
+
+QUERIES["docs_cdc_chunks"] = docs_cdc_chunks
+ORACLES["docs_cdc_chunks"] = ORACLE_CDC
+
+
+CMS_W, CMS_D, CMS_K = 1024, 4, 20
+
+
+def docs_token_cms_topk(spark, sf):
+    """Count-min-sketch heavy hitters with exact-count calibration."""
+    return TX.token_cms_topk(T(spark, sf, "documents"), CMS_W, CMS_D, CMS_K)
+
+
+ORACLE_CMS = f"""
+WITH stream AS (
+  SELECT unnest({tokens_ws('lower(text)', 'duckdb')}) AS tok
+  FROM documents),
+buckets AS (
+  SELECT tok, unnest(range(0, {CMS_D})) AS r FROM stream),
+bucketed AS (
+  SELECT r, ({phash60("('cms' || r || ':' || tok)", 'duckdb')})
+            % {CMS_W} AS bucket
+  FROM buckets),
+sketch AS (
+  SELECT r, bucket, count(*)::BIGINT AS c
+  FROM bucketed GROUP BY r, bucket),
+vocab AS (
+  SELECT tok, count(*)::BIGINT AS exact FROM stream GROUP BY tok),
+probes AS (
+  SELECT tok, exact, unnest(range(0, {CMS_D})) AS r FROM vocab),
+pb AS (
+  SELECT tok, exact, r,
+         ({phash60("('cms' || r || ':' || tok)", 'duckdb')})
+           % {CMS_W} AS bucket
+  FROM probes)
+SELECT tok, min(c)::BIGINT AS est, exact,
+       (min(c) - exact)::BIGINT AS overcount
+FROM pb JOIN sketch USING (r, bucket)
+GROUP BY tok, exact
+ORDER BY est DESC, tok LIMIT {CMS_K}
+"""
+
+QUERIES["docs_token_cms_topk"] = docs_token_cms_topk
+ORACLES["docs_token_cms_topk"] = ORACLE_CMS
+
+
+DSIR_K = 200
+
+
+def docs_dsir_resample(spark, sf):
+    """DSIR resampling draw: top-k by weight with hash-dither jitter."""
+    return TX.dsir_resample(T(spark, sf, "documents"), DSIR_TARGET, DSIR_K)
+
+
+ORACLE_DSIR_RESAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, source, weight FROM ({ORACLE_DSIR.strip()}) x)
+SELECT doc_id, source, weight,
+       (round(weight * 1000000, 0)::BIGINT * 1048576
+        + ({phash60("('rs:' || doc_id)", 'duckdb')}) % 1048576) AS priority
+FROM w ORDER BY priority DESC, doc_id LIMIT {DSIR_K}
+"""
+
+QUERIES["docs_dsir_resample"] = docs_dsir_resample
+ORACLES["docs_dsir_resample"] = ORACLE_DSIR_RESAMPLE

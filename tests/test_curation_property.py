@@ -972,3 +972,183 @@ def test_ab_test_matches_python(spark, vals):
         n, s = want.get(arm, (0, 0))
         want[arm] = (n + 1, s + us)
     assert {r["arm"]: (r["n"], r["s"]) for r in got} == want
+
+
+# ------------------------------------------------- round-5 operators
+
+import hashlib
+import re
+
+
+def _ph60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "x1", "##", "longword"]),
+        min_size=1,
+        max_size=20,
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@PROP
+@given(texts=doc_texts)
+def test_tokenizer_fertility_matches_python(spark, texts):
+    """Per-language fertility/compression replayed in plain Python with
+    the same regex tokenizers."""
+    from faconne_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(i, "xx", t) for i, t in enumerate(texts)],
+        "doc_id bigint, lang string, text string",
+    )
+    out = tokenizer_fertility(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    ws = sum(len(t.split()) for t in texts)
+    bpe = sum(
+        len(re.findall(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]", t)) for t in texts
+    )
+    chars = sum(len(t) for t in texts)
+    assert (r["n_docs"], r["ws_tokens"], r["bpe_tokens"], r["n_chars"]) == (
+        len(texts), ws, bpe, chars,
+    )
+    assert r["fertility"] == round(bpe / ws, 6)
+    assert r["chars_per_token"] == round(chars / bpe, 6)
+
+
+@PROP
+@given(texts=doc_texts)
+def test_shingle_novelty_matches_python(spark, texts):
+    """novelty == fraction of a doc's distinct shingles with corpus
+    document-frequency 1, replayed in Python."""
+    from faconne_spark.operators.text import shingle_novelty
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in shingle_novelty(df, n).collect()}
+
+    def shingles(t):
+        tk = t.split()
+        m = max(len(tk) - n + 1, 1)
+        return {" ".join(tk[i:i + n]) for i in range(m)}
+
+    per_doc = {i: shingles(t) for i, t in enumerate(texts)}
+    dfreq = {}
+    for s_set in per_doc.values():
+        for s in s_set:
+            dfreq[s] = dfreq.get(s, 0) + 1
+    for i, s_set in per_doc.items():
+        novel = sum(1 for s in s_set if dfreq[s] == 1)
+        r = out[i]
+        assert (r["n_shingles"], r["n_novel"]) == (len(s_set), novel)
+        assert r["novelty"] == round(novel / len(s_set), 6)
+
+
+@PROP
+@given(texts=doc_texts)
+def test_cdc_chunks_matches_python(spark, texts):
+    """CDC boundary rule, chunk hashes, and the cross-doc shared-chunk
+    stats replayed in Python; plus the shift-resistance property the
+    operator exists for (a head-insertion changes O(1) chunks)."""
+    from faconne_spark.operators.text import cdc_chunks
+
+    avg = 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in cdc_chunks(df, avg).collect()}
+
+    def chunks_of(t):
+        ch, cur = [], []
+        for tok in t.split():
+            cur.append(tok)
+            if _ph60("cdc:" + tok) % avg == 0:
+                ch.append(cur)
+                cur = []
+        if cur:
+            ch.append(cur)
+        return [" ".join(c) for c in ch]
+
+    per_doc = {i: chunks_of(t) for i, t in enumerate(texts)}
+    hfreq = {}
+    for i, chs in per_doc.items():
+        for h in {_ph60(c) for c in chs}:
+            hfreq[h] = hfreq.get(h, 0) + 1
+    for i, chs in per_doc.items():
+        shared_toks = sum(
+            len(c.split()) for c in chs if hfreq[_ph60(c)] >= 2
+        )
+        total = sum(len(c.split()) for c in chs)
+        r = out[i]
+        assert r["n_chunks"] == len(chs)
+        assert r["total_tokens"] == total
+        assert r["shared_tokens"] == shared_toks
+        assert r["shared_ratio"] == round(shared_toks / total, 6)
+
+
+@PROP
+@given(texts=doc_texts)
+def test_token_cms_upper_bound_property(spark, texts):
+    """CMS invariant: estimate >= exact for EVERY reported token, and
+    the top-k ordering is (est desc, token asc); replay the sketch in
+    Python to pin est exactly."""
+    from faconne_spark.operators.text import token_cms_topk
+
+    w, d, k = 64, 2, 10
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = token_cms_topk(df, w, d, k).collect()
+
+    stream = [tok for t in texts for tok in t.lower().split()]
+    sketch = {}
+    for tok in stream:
+        for r in range(d):
+            b = _ph60(f"cms{r}:{tok}") % w
+            sketch[(r, b)] = sketch.get((r, b), 0) + 1
+    exact = {}
+    for tok in stream:
+        exact[tok] = exact.get(tok, 0) + 1
+    est = {
+        tok: min(sketch[(r, _ph60(f"cms{r}:{tok}") % w)] for r in range(d))
+        for tok in exact
+    }
+    want = sorted(exact, key=lambda t: (-est[t], t))[:k]
+    assert [r["tok"] for r in rows] == want
+    for r in rows:
+        assert r["est"] == est[r["tok"]] and r["exact"] == exact[r["tok"]]
+        assert r["est"] >= r["exact"] and r["overcount"] == r["est"] - r["exact"]
+
+
+def test_dsir_resample_is_weight_monotone(spark):
+    """The resampling draw keys on weight first (hash jitter only
+    breaks near-ties): every selected doc's priority is >= every
+    unselected doc's, and the selected set is exactly the Python top-k
+    over the operator's own weight relation."""
+    from faconne_spark.operators.text import dsir_resample, importance_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 25
+    sel = dsir_resample(docs, "src0", k).collect()
+    assert len(sel) == k
+    wts = {
+        r["doc_id"]: r["weight"]
+        for r in importance_weights(docs, "src0").collect()
+    }
+
+    def prio(doc_id):
+        return int(round(wts[doc_id] * 1_000_000)) * 1048576 + (
+            _ph60(f"rs:{doc_id}") % 1048576
+        )
+
+    want = sorted(wts, key=lambda i: (-prio(i), i))[:k]
+    assert [r["doc_id"] for r in sel] == want
+    for r in sel:
+        assert r["priority"] == prio(r["doc_id"])

@@ -71,6 +71,14 @@ SNAPSHOT_QUERIES = [
     "dedup_minhash_pr",
     "quality_feature_cov",
     "events_ab_test",
+    # round-5 curation wave: pin the zero-join fertility aggregate, the
+    # doc-partitioned CDC window, the broadcast CMS sketch + TakeOrdered
+    # top-k, the novelty df-join, and the no-extra-shuffle DSIR draw
+    "text_tokenizer_fertility",
+    "docs_ngram_novelty",
+    "docs_cdc_chunks",
+    "docs_token_cms_topk",
+    "docs_dsir_resample",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,

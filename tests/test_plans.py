@@ -441,3 +441,40 @@ def test_plan_report_surface(spark, sf_dir):
     m = plan_report(text_quality(spark, sf_dir))
     assert not m["has_python_eval"]
     assert "hashpartitioning" not in m["exchange_kinds"]
+
+
+def test_r5_ops_plan_shapes(spark, sf_dir):
+    """Round-5 operators produce the plans you'd write by hand:
+    fertility is one groupBy with map-side combine and ZERO joins; the
+    CMS sketch rides as a broadcast and tops out in a TakeOrdered (no
+    global Sort); CDC windows per doc (no single-partition window);
+    novelty and the DSIR draw stay join-sane (no cartesian)."""
+    from faconne_spark.queries.curation import (
+        docs_cdc_chunks,
+        docs_dsir_resample,
+        docs_ngram_novelty,
+        docs_token_cms_topk,
+        text_tokenizer_fertility,
+    )
+
+    p = plan_of(text_tokenizer_fertility(spark, sf_dir))
+    assert "partial_" in p and "Join" not in p
+    assert "BatchEvalPython" not in p
+
+    p = plan_of(docs_token_cms_topk(spark, sf_dir))
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+    p = plan_of(docs_cdc_chunks(spark, sf_dir))
+    # the running boundary count must be a doc-partitioned window, not
+    # a global single-partition sort
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+    for q in (docs_ngram_novelty, docs_dsir_resample):
+        p = plan_of(q(spark, sf_dir))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BatchEvalPython" not in p, q.__name__
+    p = plan_of(docs_dsir_resample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
