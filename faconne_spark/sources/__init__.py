@@ -422,3 +422,195 @@ def write_audit_publish(
         fs.delete(staging, True)
         raise IOError(f"write_audit_publish: rename to {path!r} failed")
     return {"rows": n, "audits": results}
+
+
+# S14 — manifest-snapshot tables: atomic snapshot commits + time travel
+# on plain parquet (the minimal form of the public Iceberg/Delta idea:
+# a table IS its newest manifest; data files are immutable; commit =
+# exclusive creation of the next sequential manifest).
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot id first — the
+    optimistic-concurrency loser.  Retry by re-running the write (the
+    data files it staged are orphaned, never referenced)."""
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def _list_manifests(spark: SparkSession, table_dir: str) -> list:
+    """(snapshot_id, path) pairs, ascending — missing dir = empty."""
+    import re
+
+    fs, jvm = _fs_for(spark, table_dir)
+    mdir = jvm.org.apache.hadoop.fs.Path(table_dir + "/_manifests")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        m = re.fullmatch(r"manifest-(\d+)\.json", st.getPath().getName())
+        if m:
+            out.append((int(m.group(1)), str(st.getPath())))
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict | None:
+    """Parse one manifest; None when torn/unparseable (a crashed commit
+    left a partial file — readers skip it, the parent stays current)."""
+    import json
+
+    fs, jvm = _fs_for(spark, path)
+    try:
+        stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+        try:
+            data = bytes(
+                spark.sparkContext._jvm.org.apache.commons.io.IOUtils
+                .toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return json.loads(data.decode("utf-8"))
+    except Exception:
+        return None
+
+
+def write_snapshot(
+    df: DataFrame, table_dir: str, mode: str = "append"
+) -> dict:
+    """Commit ``df`` to a manifest-snapshot table: stage immutable
+    parquet files under ``table_dir/data/snap-<id>-.../``, then commit
+    by EXCLUSIVELY creating ``_manifests/manifest-<id>.json`` listing
+    every file visible in the new snapshot (``append`` = parent's files
+    plus the new ones; ``overwrite`` = the new ones only).
+
+    The manifest creation is the single commit point (create with
+    overwrite=false — the filesystem arbitrates racing writers, and the
+    loser raises :class:`ConcurrentCommitError` with only orphaned,
+    never-referenced data files to show for it).  A crash mid-commit
+    leaves a torn manifest that readers detect (JSON parse fails) and
+    skip — the parent snapshot stays current.  This is the minimal
+    public lakehouse-table idea: readers never list the data directory,
+    so there are no phantom half-written files, O(1) time travel, and
+    snapshot isolation on a plain object store.
+
+    Scale: the staged write is an ordinary distributed parquet write;
+    the commit is one small metadata file; readers plan from the file
+    LIST (no directory listing of millions of files — the same reason
+    Iceberg beats Hive tables at scale).
+    """
+    import json
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(
+            f"write_snapshot mode must be append|overwrite, got {mode!r}"
+        )
+    spark = df.sparkSession
+    fs, jvm = _fs_for(spark, table_dir)
+    manifests = _list_manifests(spark, table_dir)
+    parent = None
+    parent_files: list = []
+    for sid, mpath in reversed(manifests):
+        doc = _read_manifest(spark, mpath)
+        if doc is not None:
+            parent = sid
+            parent_files = doc["files"]
+            break
+    snap_id = (manifests[-1][0] + 1) if manifests else 0
+    data_rel = f"data/snap-{snap_id}-{uuid.uuid4().hex[:8]}"
+    data_dir = table_dir.rstrip("/") + "/" + data_rel
+    df.write.mode("error").parquet(data_dir)
+    new_files = sorted(
+        f"{data_rel}/{st.getPath().getName()}"
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
+        if st.getPath().getName().endswith(".parquet")
+    )
+    n_rows = spark.read.parquet(data_dir).count()
+    files = (parent_files + new_files) if mode == "append" else new_files
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent": parent,
+        "mode": mode,
+        "files": files,
+        "n_files": len(files),
+        "n_rows_added": n_rows,
+    }
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        table_dir.rstrip("/") + f"/_manifests/manifest-{snap_id}.json"
+    )
+    fs.mkdirs(mpath.getParent())
+    try:
+        out = fs.create(mpath, False)  # overwrite=False: the commit race
+    except Exception as exc:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+        raise ConcurrentCommitError(
+            f"snapshot {snap_id} of {table_dir!r} was committed by another "
+            f"writer; staged files removed — retry the write"
+        ) from exc
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    return manifest
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read a manifest-snapshot table as of ``snapshot_id`` (default:
+    the newest VALID snapshot — torn manifests from crashed commits are
+    skipped).  Plans from the manifest's file list, so concurrent
+    writers' half-staged files are invisible and filter pushdown /
+    column pruning apply per file exactly as for a plain parquet scan."""
+    manifests = _list_manifests(spark, table_dir)
+    if snapshot_id is not None:
+        matches = [p for sid, p in manifests if sid == snapshot_id]
+        if not matches:
+            raise ValueError(
+                f"no snapshot {snapshot_id} in {table_dir!r} "
+                f"(have {[sid for sid, _ in manifests]})"
+            )
+        doc = _read_manifest(spark, matches[0])
+        if doc is None:
+            raise ValueError(
+                f"snapshot {snapshot_id} of {table_dir!r} is torn "
+                f"(crashed commit) — pick a valid ancestor"
+            )
+    else:
+        doc = None
+        for sid, mpath in reversed(manifests):
+            doc = _read_manifest(spark, mpath)
+            if doc is not None:
+                break
+        if doc is None:
+            raise ValueError(f"{table_dir!r} has no valid snapshots")
+    if not doc["files"]:
+        raise ValueError(
+            f"snapshot {doc['snapshot_id']} of {table_dir!r} is empty"
+        )
+    base = table_dir.rstrip("/")
+    return spark.read.parquet(*[f"{base}/{f}" for f in doc["files"]])
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """One row per snapshot (torn manifests flagged, not hidden):
+    (snapshot_id, parent, mode, n_files, n_rows_added, valid)."""
+    rows = []
+    for sid, mpath in _list_manifests(spark, table_dir):
+        doc = _read_manifest(spark, mpath)
+        if doc is None:
+            rows.append((sid, None, None, None, None, False))
+        else:
+            rows.append(
+                (sid, doc["parent"], doc["mode"], doc["n_files"],
+                 doc["n_rows_added"], True)
+            )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, parent int, mode string, n_files int,"
+        " n_rows_added bigint, valid boolean",
+    )

@@ -476,3 +476,87 @@ def test_state_store_reader_covers_engine_states(spark, sf_dir, tmp_path):
         for r in T(spark, sf_dir, "events").select("event_id").distinct().collect()
     }
     assert got_keys == want_keys and len(got_keys) > 0
+
+
+def test_manifest_snapshot_table(spark, sf_dir, tmp_path):
+    """S14: append/overwrite snapshot commits, O(1) time travel, torn
+    manifests skipped by readers, losing writers raise instead of
+    corrupting, and the snapshot scan still plans per-file pushdown."""
+    import os
+
+    from faconne_spark.sources import (
+        ConcurrentCommitError,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tbl = str(tmp_path / "snap_table")
+
+    b1 = docs.filter("doc_id < 100")
+    b2 = docs.filter("doc_id >= 100 AND doc_id < 150")
+    m1 = write_snapshot(b1, tbl, mode="append")
+    assert (m1["snapshot_id"], m1["parent"], m1["n_rows_added"]) == (0, None, 100)
+    m2 = write_snapshot(b2, tbl, mode="append")
+    assert (m2["snapshot_id"], m2["parent"]) == (1, 0)
+
+    latest = read_snapshot(spark, tbl)
+    assert latest.count() == 150
+    # time travel: snapshot 0 is exactly batch 1
+    assert read_snapshot(spark, tbl, snapshot_id=0).count() == 100
+    assert (
+        read_snapshot(spark, tbl, snapshot_id=0)
+        .exceptAll(b1).count() == 0
+    )
+
+    # overwrite replaces the visible set without touching old snapshots
+    m3 = write_snapshot(b2, tbl, mode="overwrite")
+    assert m3["snapshot_id"] == 2
+    assert read_snapshot(spark, tbl).count() == 50
+    assert read_snapshot(spark, tbl, snapshot_id=1).count() == 150
+
+    # losing writer: another writer commits BETWEEN our manifest listing
+    # and our exclusive create — simulate with a stale listing, so both
+    # writers race for manifest-3 and the second create must lose
+    import faconne_spark.sources as src_mod
+
+    stale = src_mod._list_manifests(spark, tbl)
+    (tmp_path / "snap_table" / "_manifests" / "manifest-3.json").write_text(
+        '{"snapshot_id": 3, "parent": 2, "mode": "overwrite", "files": [],'
+        ' "n_files": 0, "n_rows_added": 0}'
+    )
+    real_list = src_mod._list_manifests
+    src_mod._list_manifests = lambda s, t: stale
+    try:
+        with pytest.raises(ConcurrentCommitError, match="another"):
+            write_snapshot(b1, tbl, mode="append")
+    finally:
+        src_mod._list_manifests = real_list
+    # the winner's snapshot is intact and the loser staged no visible data
+    assert read_snapshot(spark, tbl, snapshot_id=2).count() == 50
+    with pytest.raises(ValueError, match="empty"):
+        read_snapshot(spark, tbl, snapshot_id=3)
+
+    # torn manifest (crashed commit): readers fall back to the newest
+    # VALID non-empty ancestor when reading latest; pinpoint errors on
+    # direct reads
+    (tmp_path / "snap_table" / "_manifests" / "manifest-4.json").write_text(
+        '{"snapshot_id": 4, "parent":'  # truncated JSON
+    )
+    with pytest.raises(ValueError, match="torn"):
+        read_snapshot(spark, tbl, snapshot_id=4)
+
+    hist = {r["snapshot_id"]: r for r in snapshot_history(spark, tbl).collect()}
+    assert [hist[i]["valid"] for i in range(5)] == [True, True, True, True, False]
+    assert hist[2]["mode"] == "overwrite"
+
+    # pushdown: the snapshot scan is a plain parquet scan per file
+    plan = (
+        read_snapshot(spark, tbl, snapshot_id=1)
+        .filter("n_chars > 100")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
