@@ -1309,12 +1309,35 @@ def token_cms_topk(
     sketch bit-identically."""
     toks = tokens_ws("lower(text)", "spark")
     stream = spread(docs).select(F.explode(F.expr(toks)).alias("tok"))
-    h = phash60("concat('cms', cast(r as string), ':', tok)", "spark")
-    buckets = stream.select(
-        "tok", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r")
-    ).select("r", F.expr(f"({h}) % {width}").alias("bucket"))
-    sketch = buckets.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    sketch = cms_sketch(stream, width, depth)
     vocab = stream.groupBy("tok").agg(F.count("*").alias("exact"))
+    return cms_rank_candidates(vocab, sketch, width, depth, k)
+
+
+def cms_sketch(stream: DataFrame, width: int, depth: int) -> DataFrame:
+    """The (r, bucket, c) counter relation of a count-min sketch over a
+    one-column token ``stream`` — ≤ width·depth rows, mergeable across
+    partitions/epochs/days by plain addition of ``c`` (the property the
+    streaming face relies on)."""
+    h = phash60("concat('cms', cast(r as string), ':', tok)", "spark")
+    return (
+        stream.select(
+            "tok", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r")
+        )
+        .select("r", F.expr(f"({h}) % {width}").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_rank_candidates(
+    vocab: DataFrame, sketch: DataFrame, width: int, depth: int, k: int
+) -> DataFrame:
+    """Estimate every (tok, exact) candidate against a CMS counter
+    relation and return the top-``k`` by (estimate desc, token asc) —
+    shared by the batch operator and the streaming state reader so the
+    two faces rank identically."""
+    h = phash60("concat('cms', cast(r as string), ':', tok)", "spark")
     probes = vocab.select(
         "tok", "exact",
         F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r"),

@@ -333,3 +333,81 @@ def value_quantiles_from_state(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# --------------------------------------------- count-min-sketch state
+
+CMS_SKETCH = "cms_sketch"
+CMS_VOCAB = "cms_vocab"
+
+
+def token_cms_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    width: int = 1024,
+    depth: int = 4,
+    min_count: int = 1,
+):
+    """Reduce one micro-batch of documents to its count-min-sketch
+    partial (width×depth counter rows — CMS counters MERGE by addition,
+    so per-epoch sketches roll up exactly) plus the epoch's candidate
+    token counts.  Same epoch-partitioned dynamic-overwrite idempotency
+    contract as the corpus stats.
+
+    ``min_count`` bounds the candidate state: only tokens seen at least
+    that often WITHIN an epoch are remembered as heavy-hitter
+    candidates (the standard sketch+candidate-set compromise — the
+    sketch itself stays exact-mergeable regardless).  min_count=1 keeps
+    the full per-epoch vocabulary and makes the state reader bit-equal
+    to the batch operator; larger values trade that for bounded state,
+    and can only drop candidates, never inflate an estimate."""
+    from faconne_spark.operators.text import cms_sketch
+
+    toks = tokens_ws("lower(text)", "spark")
+    stream = batch_df.select(F.explode(F.expr(toks)).alias("tok")).persist()
+    try:
+        vocab = stream.groupBy("tok").agg(F.count("*").alias("cnt"))
+        if min_count > 1:
+            vocab = vocab.filter(F.col("cnt") >= min_count)
+        for name, rel in (
+            (CMS_SKETCH, cms_sketch(stream, width, depth)),
+            (CMS_VOCAB, vocab),
+        ):
+            (
+                rel.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(os.path.join(state_dir, name))
+            )
+    finally:
+        stream.unpersist()
+
+
+def cms_topk_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    width: int = 1024,
+    depth: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy hitters off the merged cross-epoch sketch — the streaming
+    face of :func:`faconne_spark.operators.text.token_cms_topk`:
+    counters add across epochs, candidate counts add across epochs,
+    and the identical estimate/rank expressions read the top-k (bit-
+    equal to the batch operator over the union of all micro-batches
+    when epochs were written with min_count=1)."""
+    from faconne_spark.operators.text import cms_rank_candidates
+
+    sketch = (
+        _state(spark, state_dir, CMS_SKETCH)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    vocab = (
+        _state(spark, state_dir, CMS_VOCAB)
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("exact"))
+    )
+    return cms_rank_candidates(vocab, sketch, width, depth, k)

@@ -560,3 +560,35 @@ def test_manifest_snapshot_table(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "n_chars" in plan.split(
         "PushedFilters"
     )[1].split("]")[0]
+
+
+def test_snapshot_incremental_changes(spark, sf_dir, tmp_path):
+    """S14 incremental feed: changes(from, to) == exactly the appended
+    rows; overwrite in range raises; planning never rescans old files."""
+    from faconne_spark.sources import (
+        read_snapshot_changes,
+        write_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    tbl = str(tmp_path / "inc_table")
+    b1 = docs.filter("doc_id < 100")
+    b2 = docs.filter("doc_id >= 100 AND doc_id < 160")
+    b3 = docs.filter("doc_id >= 160 AND doc_id < 170")
+    write_snapshot(b1, tbl)
+    write_snapshot(b2, tbl)
+    write_snapshot(b3, tbl)
+
+    ch = read_snapshot_changes(spark, tbl, 0, 1)
+    assert ch.count() == 60 and ch.exceptAll(b2).count() == 0
+    # default to latest: snapshots 1..2 added b2+b3
+    ch_all = read_snapshot_changes(spark, tbl, 0)
+    assert ch_all.count() == 70
+
+    write_snapshot(b1, tbl, mode="overwrite")  # snapshot 3
+    with pytest.raises(ValueError, match="overwrite"):
+        read_snapshot_changes(spark, tbl, 1)
+    # ranges that stop before the overwrite still work
+    assert read_snapshot_changes(spark, tbl, 1, 2).count() == 10
+    with pytest.raises(ValueError, match="no files added"):
+        read_snapshot_changes(spark, tbl, 2, 2)

@@ -1008,3 +1008,59 @@ def test_streaming_value_quantiles_match_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got_q == want_q and got_q
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir, tmp_path):
+    """The cross-epoch merged count-min sketch yields a top-k BIT-EQUAL
+    to the batch operator over the union of the micro-batches (CMS
+    counters merge by addition); with a min_count candidate bound, the
+    surviving estimates are unchanged (the bound drops candidates, never
+    inflates estimates)."""
+    from faconne_spark.operators.text import token_cms_topk
+    from faconne_spark.streaming.stats import (
+        cms_topk_from_state,
+        token_cms_epoch,
+    )
+
+    w, d, k = 256, 3, 15
+    sf_tmp = tmp_path / "sf"
+    src = str(sf_tmp / "documents.parquet")
+    T(spark, sf_dir, "documents").limit(300).repartition(3).write.parquet(src)
+    state = str(tmp_path / "cms_state")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: token_cms_epoch(df, eid, state, w, d)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    epochs = (
+        spark.read.parquet(os.path.join(state, "cms_sketch"))
+        .select("epoch").distinct().count()
+    )
+    assert epochs == 3
+
+    want_rows = token_cms_topk(spark.read.parquet(src), w, d, k).collect()
+    got = [tuple(r) for r in cms_topk_from_state(spark, state, w, d, k).collect()]
+    want = [tuple(r) for r in want_rows]
+    assert got == want and len(got) == k
+
+    # bounded-candidate mode: estimates of surviving tokens unchanged
+    state2 = str(tmp_path / "cms_state2")
+    for eid, part in enumerate(
+        spark.read.parquet(src).randomSplit([1.0, 1.0, 1.0], seed=7)
+    ):
+        token_cms_epoch(part, eid, state2, w, d, min_count=3)
+    full_est = {r["tok"]: r["est"] for r in want_rows}
+    for r in cms_topk_from_state(spark, state2, w, d, k).collect():
+        if r["tok"] in full_est:
+            assert r["est"] == full_est[r["tok"]]
