@@ -46,8 +46,12 @@ HEADLINE = [
     "stream_window_counts",
     "stream_session_agg",
     # composed end-to-end pipelines + the rewritten RFM (headline since
-    # round 4; round-over-round totals are comparable from r4 onward —
-    # compare per-query times against r3 for the shared prefix)
+    # round 4).  NOTE: round 5 changed what these two measure —
+    # dedup_cascade's timed write is now a real parquet snapshot (not
+    # the noop sink) and training_manifest CONSUMES that snapshot
+    # instead of recomputing the cascade — so compare their times (and
+    # totals that include them) from r5 onward only; the r3 subset
+    # below excludes both and stays comparable across all rounds.
     "dedup_cascade",
     "training_manifest",
     "user_rfm_segments",

@@ -1142,7 +1142,11 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
     Scale: one map pass computing three per-doc integers, then ONE
     language-keyed groupBy with map-side partial sums — no joins, no
     second corpus pass.  All-integer sums; the ratios divide once at
-    the end (positive, so no negative-zero canon needed)."""
+    the end (positive, so no negative-zero canon needed;
+    chars_per_token is NULL for a language whose docs tokenize to zero
+    BPE tokens — Spark's ANSI mode would otherwise throw where DuckDB
+    yields NULL, a crash AND an oracle divergence on degenerate
+    corpora)."""
     ws = tokens_ws("text", "spark")
     return (
         spread(docs)
@@ -1170,8 +1174,9 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
                 " / cast(ws_tokens as double), 6)"
             ).alias("fertility"),
             F.expr(
-                "round(cast(n_chars as double)"
-                " / cast(bpe_tokens as double), 6)"
+                "CASE WHEN bpe_tokens = 0 THEN cast(NULL as double)"
+                " ELSE round(cast(n_chars as double)"
+                " / cast(bpe_tokens as double), 6) END"
             ).alias("chars_per_token"),
         )
     )
@@ -1187,11 +1192,19 @@ def shingle_novelty(docs: DataFrame, n: int = 5) -> DataFrame:
     Scale: explode distinct shingles → one shingle-keyed groupBy with
     map-side partial counts (shingles are distinct per doc, so
     count(*) IS document frequency) → one equi-join back → per-doc
-    aggregation on doc_id.  At 100 TB the join key should be the
-    shingle's 60-bit hash rather than its text; here the raw shingle
-    keeps the oracle comparison byte-exact."""
+    aggregation on doc_id.  The shingle relation feeds BOTH sides of
+    that join, so it is persisted — without it the tokenize + n-gram
+    construction (the expensive half) re-executes for the join-back.
+    At 100 TB the join key should be the shingle's 60-bit hash rather
+    than its text; here the raw shingle keeps the oracle comparison
+    byte-exact."""
+    from faconne_spark.operators.dedup import _persist_sig
+
     sh = word_shingles("text", n, "spark")
-    rel = spread(docs).select("doc_id", F.explode(F.expr(sh)).alias("s"))
+    rel = _persist_sig(
+        spread(docs).select("doc_id", F.explode(F.expr(sh)).alias("s")),
+        docs,
+    )
     df_counts = rel.groupBy("s").agg(F.count("*").alias("df"))
     return (
         rel.join(df_counts, "s")
@@ -1299,34 +1312,50 @@ def token_cms_topk(
     width×depth budget is safe before deploying the sketch alone.
 
     Scale: the sketch table is width·depth rows REGARDLESS of corpus
-    size (here ≤4096) — built by one map-side-combined groupBy over
-    (row, bucket); counters are plain sums, so sketches from different
-    partitions/days MERGE by addition, the property that makes CMS a
-    streaming/distributed primitive.  Estimation joins the
-    vocabulary-sized relation to the broadcast sketch; top-k is a
-    TakeOrdered, never a global sort.  Hashes are the portable
-    60-bit md5 primitive with per-row salts — both engines replay the
-    sketch bit-identically."""
+    size (here ≤4096); counters are plain sums, so sketches from
+    different partitions/days MERGE by addition, the property that
+    makes CMS a streaming/distributed primitive.  The corpus is scanned
+    ONCE: the vocabulary groupBy is the only corpus-sized stage, is
+    persisted, and the counters are built FROM the counts (sum of cnt
+    per bucket ≡ count of raw occurrences — bit-identical, one pass
+    cheaper than the textbook per-occurrence formulation).  Estimation
+    joins the vocabulary relation to the broadcast sketch; top-k is a
+    TakeOrdered, never a global sort.  Hashes are the portable 60-bit
+    md5 primitive with per-row salts — both engines replay the sketch
+    bit-identically."""
+    from faconne_spark.operators.dedup import _persist_sig
+
     toks = tokens_ws("lower(text)", "spark")
     stream = spread(docs).select(F.explode(F.expr(toks)).alias("tok"))
-    sketch = cms_sketch(stream, width, depth)
-    vocab = stream.groupBy("tok").agg(F.count("*").alias("exact"))
+    vocab = _persist_sig(
+        stream.groupBy("tok").agg(F.count("*").alias("exact")), docs
+    )
+    sketch = cms_sketch_from_counts(
+        vocab.select("tok", F.col("exact").alias("cnt")), width, depth
+    )
     return cms_rank_candidates(vocab, sketch, width, depth, k)
 
 
-def cms_sketch(stream: DataFrame, width: int, depth: int) -> DataFrame:
-    """The (r, bucket, c) counter relation of a count-min sketch over a
-    one-column token ``stream`` — ≤ width·depth rows, mergeable across
-    partitions/epochs/days by plain addition of ``c`` (the property the
-    streaming face relies on)."""
+def cms_sketch_from_counts(
+    counts: DataFrame, width: int, depth: int
+) -> DataFrame:
+    """The (r, bucket, c) counter relation of a count-min sketch, built
+    from a pre-aggregated (tok, cnt) relation — Σcnt per bucket is
+    bit-identical to counting raw occurrences, but the expansion runs
+    over the VOCABULARY, not the token stream.  ≤ width·depth rows,
+    mergeable across partitions/epochs/days by plain addition of ``c``
+    (the property the streaming face relies on)."""
     h = phash60("concat('cms', cast(r as string), ':', tok)", "spark")
     return (
-        stream.select(
-            "tok", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r")
+        counts.select(
+            "tok", "cnt",
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r"),
         )
-        .select("r", F.expr(f"({h}) % {width}").alias("bucket"))
+        .select(
+            "r", F.expr(f"({h}) % {width}").alias("bucket"), "cnt"
+        )
         .groupBy("r", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("cnt").alias("c"))
     )
 
 

@@ -1536,9 +1536,10 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        round(sum({tokens_bpe_count('text', 'duckdb')})::DOUBLE
              / sum(len({tokens_ws('text', 'duckdb')}))::DOUBLE, 6)
          AS fertility,
-       round(sum(length(text))::DOUBLE
-             / sum({tokens_bpe_count('text', 'duckdb')})::DOUBLE, 6)
-         AS chars_per_token
+       CASE WHEN sum({tokens_bpe_count('text', 'duckdb')}) = 0 THEN NULL
+            ELSE round(sum(length(text))::DOUBLE
+                       / sum({tokens_bpe_count('text', 'duckdb')})::DOUBLE, 6)
+       END AS chars_per_token
 FROM documents GROUP BY lang
 """
 

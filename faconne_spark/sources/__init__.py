@@ -494,8 +494,16 @@ def write_snapshot(
     leaves a torn manifest that readers detect (JSON parse fails) and
     skip — the parent snapshot stays current.  This is the minimal
     public lakehouse-table idea: readers never list the data directory,
-    so there are no phantom half-written files, O(1) time travel, and
-    snapshot isolation on a plain object store.
+    so there are no phantom half-written files and O(1) time travel.
+
+    ATOMICITY SCOPE: the commit race is decided by the filesystem's
+    exclusive create, which is atomic on HDFS, local filesystems, and
+    consistent cloud stores with conditional writes (ABFS, GCS) — but
+    NOT on plain S3A, where create(overwrite=false) is a non-atomic
+    check-then-PUT and two racers can both "win" (last write silently
+    replaces the first manifest).  On S3, front this with a locking
+    layer or a conditional-PUT catalog — exactly why the full table
+    formats use a catalog service for the commit step.
 
     Scale: the staged write is an ordinary distributed parquet write;
     the commit is one small metadata file; readers plan from the file
@@ -538,6 +546,10 @@ def write_snapshot(
         "files": files,
         "n_files": len(files),
         "n_rows_added": n_rows,
+        # the schema travels in the manifest so an empty snapshot (an
+        # overwrite that matched nothing) still reads back as an empty,
+        # correctly-typed table
+        "schema": json.loads(df.schema.json()),
     }
     mpath = jvm.org.apache.hadoop.fs.Path(
         table_dir.rstrip("/") + f"/_manifests/manifest-{snap_id}.json"
@@ -546,11 +558,23 @@ def write_snapshot(
     try:
         out = fs.create(mpath, False)  # overwrite=False: the commit race
     except Exception as exc:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
-        raise ConcurrentCommitError(
-            f"snapshot {snap_id} of {table_dir!r} was committed by another "
-            f"writer; staged files removed — retry the write"
-        ) from exc
+        # ONLY a lost commit race becomes ConcurrentCommitError (and
+        # cleans its orphaned staged files); any other failure —
+        # permissions, quota, transient I/O — re-raises as itself with
+        # the staged files LEFT IN PLACE (they are never referenced, and
+        # destroying a finished distributed write over a transient error
+        # would force a full re-write)
+        name = ""
+        java_exc = getattr(exc, "java_exception", None)
+        if java_exc is not None:
+            name = java_exc.getClass().getName()
+        if "AlreadyExists" in name or "already exists" in str(exc).lower():
+            fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+            raise ConcurrentCommitError(
+                f"snapshot {snap_id} of {table_dir!r} was committed by "
+                f"another writer; staged files removed — retry the write"
+            ) from exc
+        raise
     try:
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
@@ -589,8 +613,21 @@ def read_snapshot(
         if doc is None:
             raise ValueError(f"{table_dir!r} has no valid snapshots")
     if not doc["files"]:
+        # a legitimately empty snapshot (an overwrite that kept nothing)
+        # reads back as an empty, correctly-typed table via the schema
+        # the manifest carries; manifests without one (hand-written /
+        # pre-schema) have nothing to type the result with
+        if doc.get("schema") is not None:
+            import json
+
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(doc["schema"])
+            )
         raise ValueError(
-            f"snapshot {doc['snapshot_id']} of {table_dir!r} is empty"
+            f"snapshot {doc['snapshot_id']} of {table_dir!r} is empty "
+            f"and carries no schema"
         )
     base = table_dir.rstrip("/")
     return spark.read.parquet(*[f"{base}/{f}" for f in doc["files"]])

@@ -361,19 +361,28 @@ def token_cms_epoch(
     sketch itself stays exact-mergeable regardless).  min_count=1 keeps
     the full per-epoch vocabulary and makes the state reader bit-equal
     to the batch operator; larger values trade that for bounded state,
-    and can only drop candidates, never inflate an estimate."""
-    from faconne_spark.operators.text import cms_sketch
+    and can only drop candidates, never inflate an estimate.
+
+    The sketch is built FROM the epoch's vocabulary counts (Σcnt per
+    bucket ≡ counting raw occurrences), so the micro-batch is scanned
+    once; note the SKETCH always comes from the unfiltered counts —
+    min_count prunes only the candidate relation.  width/depth are
+    stamped onto every sketch row so the reader can detect a mismatched
+    re-read instead of silently mis-bucketing."""
+    from faconne_spark.operators.text import cms_sketch_from_counts
 
     toks = tokens_ws("lower(text)", "spark")
-    stream = batch_df.select(F.explode(F.expr(toks)).alias("tok")).persist()
+    stream = batch_df.select(F.explode(F.expr(toks)).alias("tok"))
+    vocab = stream.groupBy("tok").agg(F.count("*").alias("cnt")).persist()
     try:
-        vocab = stream.groupBy("tok").agg(F.count("*").alias("cnt"))
+        sketch = cms_sketch_from_counts(vocab, width, depth).select(
+            "r", "bucket", "c",
+            F.lit(width).alias("width"), F.lit(depth).alias("depth"),
+        )
+        cands = vocab
         if min_count > 1:
-            vocab = vocab.filter(F.col("cnt") >= min_count)
-        for name, rel in (
-            (CMS_SKETCH, cms_sketch(stream, width, depth)),
-            (CMS_VOCAB, vocab),
-        ):
+            cands = vocab.filter(F.col("cnt") >= min_count)
+        for name, rel in ((CMS_SKETCH, sketch), (CMS_VOCAB, cands)):
             (
                 rel.withColumn("epoch", F.lit(epoch_id))
                 .write.mode("overwrite")
@@ -382,7 +391,7 @@ def token_cms_epoch(
                 .parquet(os.path.join(state_dir, name))
             )
     finally:
-        stream.unpersist()
+        vocab.unpersist()
 
 
 def cms_topk_from_state(
@@ -397,14 +406,24 @@ def cms_topk_from_state(
     counters add across epochs, candidate counts add across epochs,
     and the identical estimate/rank expressions read the top-k (bit-
     equal to the batch operator over the union of all micro-batches
-    when epochs were written with min_count=1)."""
+    when epochs were written with min_count=1).
+
+    Raises when the state was written with a different width/depth —
+    probing a sketch with the wrong modulus silently picks unrelated
+    counters and breaks the est ≥ exact upper-bound guarantee."""
     from faconne_spark.operators.text import cms_rank_candidates
 
-    sketch = (
-        _state(spark, state_dir, CMS_SKETCH)
-        .groupBy("r", "bucket")
-        .agg(F.sum("c").alias("c"))
-    )
+    raw = _state(spark, state_dir, CMS_SKETCH)
+    dims = [
+        (r["width"], r["depth"])
+        for r in raw.select("width", "depth").distinct().collect()
+    ]
+    if dims != [(width, depth)]:
+        raise ValueError(
+            f"cms_topk_from_state: state at {state_dir!r} was written "
+            f"with (width, depth) {dims}, read with ({width}, {depth})"
+        )
+    sketch = raw.groupBy("r", "bucket").agg(F.sum("c").alias("c"))
     vocab = (
         _state(spark, state_dir, CMS_VOCAB)
         .groupBy("tok")

@@ -1152,3 +1152,19 @@ def test_dsir_resample_is_weight_monotone(spark):
     assert [r["doc_id"] for r in sel] == want
     for r in sel:
         assert r["priority"] == prio(r["doc_id"])
+
+
+def test_tokenizer_fertility_degenerate_lang(spark):
+    """A language whose docs tokenize to ZERO BPE tokens (empty /
+    whitespace text) must yield chars_per_token = NULL — matching
+    DuckDB's /0 semantics — instead of throwing under ANSI mode."""
+    from faconne_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, "zz", ""), (2, "zz", " "), (3, "en", "real words here")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    assert out["zz"]["bpe_tokens"] == 0
+    assert out["zz"]["chars_per_token"] is None
+    assert out["en"]["chars_per_token"] is not None

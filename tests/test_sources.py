@@ -535,6 +535,8 @@ def test_manifest_snapshot_table(spark, sf_dir, tmp_path):
         src_mod._list_manifests = real_list
     # the winner's snapshot is intact and the loser staged no visible data
     assert read_snapshot(spark, tbl, snapshot_id=2).count() == 50
+    # the hand-written winner manifest carries no schema, so its empty
+    # file list cannot be typed
     with pytest.raises(ValueError, match="empty"):
         read_snapshot(spark, tbl, snapshot_id=3)
 
@@ -592,3 +594,37 @@ def test_snapshot_incremental_changes(spark, sf_dir, tmp_path):
     assert read_snapshot_changes(spark, tbl, 1, 2).count() == 10
     with pytest.raises(ValueError, match="no files added"):
         read_snapshot_changes(spark, tbl, 2, 2)
+
+
+def test_snapshot_empty_commit_and_nonrace_failure(spark, sf_dir, tmp_path):
+    """S14 hardening: an overwrite that keeps nothing reads back as an
+    EMPTY, correctly-typed table (schema travels in the manifest); a
+    non-race commit failure re-raises as itself and leaves the staged
+    files in place instead of destroying a finished write."""
+    from faconne_spark.sources import read_snapshot, write_snapshot
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    tbl = str(tmp_path / "empty_tbl")
+    write_snapshot(docs.limit(20), tbl)
+    write_snapshot(docs.filter("doc_id < 0"), tbl, mode="overwrite")
+    latest = read_snapshot(spark, tbl)
+    assert latest.count() == 0
+    assert [f.name for f in latest.schema.fields] == ["doc_id", "lang"]
+    # time travel still sees the data
+    assert read_snapshot(spark, tbl, snapshot_id=0).count() == 20
+
+    # non-race failure: make the _manifests path unusable as a directory
+    # (a FILE where the dir must be) -> mkdirs/create fails with a real
+    # filesystem error, NOT ConcurrentCommitError, and staged data stays
+    tbl2 = str(tmp_path / "broken_tbl")
+    os.makedirs(tbl2)
+    with open(os.path.join(tbl2, "_manifests"), "w") as fh:
+        fh.write("not a directory")
+    with pytest.raises(Exception) as exc_info:
+        write_snapshot(docs.limit(5), tbl2)
+    assert "ConcurrentCommitError" not in type(exc_info.value).__name__
+    staged = [
+        d for d in os.listdir(os.path.join(tbl2, "data"))
+        if d.startswith("snap-")
+    ]
+    assert staged, "staged files must survive a non-race failure"
