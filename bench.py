@@ -236,6 +236,8 @@ def main() -> None:
         "docs_cdc_chunks",
         "docs_token_cms_topk",
         "docs_dsir_resample",
+        "dedup_cdc",
+        "events_ab_sequential",
     ]
     times = {}
     shuffle = {}

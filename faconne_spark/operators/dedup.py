@@ -932,3 +932,60 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
             " / (degree * (degree - 1)), 0.0), 6)"
         ).alias("clustering"),
     )
+
+
+def cdc_pairs(
+    docs: DataFrame,
+    avg_tokens: int = 16,
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Chunk-level near-dup candidate pairs from content-defined
+    chunking: two documents pair when they share at least
+    ``min_shared`` verbatim CDC chunks (by 60-bit chunk hash) — the
+    shift-resistant complement of the shingle family (an insertion
+    moves ONE chunk boundary, so partially-overlapping or
+    concatenated/extended documents still share most chunk hashes,
+    where fixed windows would share none past the edit).
+
+    Scale shape mirrors :func:`containment_pairs`: chunk hashes with
+    document frequency > ``max_df`` are dropped before pairing
+    (boilerplate chunks shared by many docs degenerate toward
+    all-pairs), candidate pairs generate IN-ROW from each surviving
+    hash's bounded posting list (≤ max_df ids → ≤ max_df²/2 pairs per
+    hash, one groupBy shuffle, no self-join), and the per-pair rollup
+    counts shared chunks and tokens.  The documented recall trade: a
+    pair sharing only ultra-common chunks is missed by construction.
+    """
+    from faconne_spark.operators.text import cdc_chunk_relation
+
+    chunks = cdc_chunk_relation(docs, avg_tokens)
+    posting = (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.expr("array_distinct(array_sort(collect_list(doc_id)))")
+            .alias("ids"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_df)
+        )
+    )
+    return (
+        posting.select(
+            "n_tokens",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(
+            F.count("*").alias("n_shared_chunks"),
+            F.sum("n_tokens").alias("shared_tokens"),
+        )
+        .filter(F.col("n_shared_chunks") >= min_shared)
+    )

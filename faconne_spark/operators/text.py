@@ -1223,23 +1223,15 @@ def shingle_novelty(docs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
-def cdc_chunks(docs: DataFrame, avg_tokens: int = 16) -> DataFrame:
-    """Content-defined chunking (the rsync/LBFS/FastCDC idea applied to
-    token streams): a token is a chunk BOUNDARY when its content hash
-    ≡ 0 (mod ``avg_tokens``), so chunk edges are decided by local
-    content — an insertion near the head of a document shifts only the
-    one chunk it lands in, where fixed-width chunking shifts every
-    subsequent chunk.  Emits per doc the chunk count, how many of its
-    chunks recur verbatim in other documents (by 60-bit chunk hash),
-    and the shared-content ratio — the shift-resistant dedup gauge the
-    fixed-window `pack_training_chunks` cannot provide.
+def cdc_chunk_relation(docs: DataFrame, avg_tokens: int = 16) -> DataFrame:
+    """The PERSISTED (doc_id, _chunk, n_tokens, chunk_hash) relation of
+    content-defined chunking — shared by :func:`cdc_chunks` (per-doc
+    gauge) and :func:`faconne_spark.operators.dedup.cdc_pairs`
+    (chunk-level near-dup candidate pairs).  Persisted because every
+    consumer references it at least twice, and the tokenize + per-doc
+    window + chunk aggregation is the expensive half."""
+    from faconne_spark.operators.dedup import _persist_sig
 
-    Scale: tokenize → posexplode → ONE per-doc window (partitioned by
-    doc_id — no global sort, the fill_forward rule) computing the
-    running boundary count → chunk aggregation on (doc_id, chunk) →
-    chunk-hash df groupBy → join back on the hash.  Expected chunk
-    length is geometric with mean ``avg_tokens``; the boundary test is
-    a pure integer mod of the token hash, identical in both engines."""
     toks = tokens_ws("text", "spark")
     h = phash60("concat('cdc:', tok)", "spark")
     tokd = spread(docs).select(
@@ -1262,18 +1254,33 @@ def cdc_chunks(docs: DataFrame, avg_tokens: int = 16) -> DataFrame:
         "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
         " x -> x.tok))"
     )
-    # the chunk relation feeds BOTH the hash-frequency aggregate and
-    # the join back — persist it so the tokenize + per-doc window +
-    # chunk aggregation (the expensive half) runs once, not twice
-    from faconne_spark.operators.dedup import _persist_sig
-
-    chunks = _persist_sig(
+    return _persist_sig(
         chunked.groupBy("doc_id", "_chunk").agg(
             F.count("*").alias("n_tokens"),
             F.expr(phash60(chunk_text, "spark")).alias("chunk_hash"),
         ),
         docs,
     )
+
+
+def cdc_chunks(docs: DataFrame, avg_tokens: int = 16) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC idea applied to
+    token streams): a token is a chunk BOUNDARY when its content hash
+    ≡ 0 (mod ``avg_tokens``), so chunk edges are decided by local
+    content — an insertion near the head of a document shifts only the
+    one chunk it lands in, where fixed-width chunking shifts every
+    subsequent chunk.  Emits per doc the chunk count, how many of its
+    chunks recur verbatim in other documents (by 60-bit chunk hash),
+    and the shared-content ratio — the shift-resistant dedup gauge the
+    fixed-window `pack_training_chunks` cannot provide.
+
+    Scale: tokenize → posexplode → ONE per-doc window (partitioned by
+    doc_id — no global sort, the fill_forward rule) computing the
+    running boundary count → chunk aggregation on (doc_id, chunk) →
+    chunk-hash df groupBy → join back on the hash.  Expected chunk
+    length is geometric with mean ``avg_tokens``; the boundary test is
+    a pure integer mod of the token hash, identical in both engines."""
+    chunks = cdc_chunk_relation(docs, avg_tokens)
     dfreq = chunks.groupBy("chunk_hash").agg(
         F.countDistinct("doc_id").alias("cdf")
     )

@@ -1579,8 +1579,9 @@ def docs_cdc_chunks(spark, sf):
     return TX.cdc_chunks(T(spark, sf, "documents"), CDC_AVG_TOKENS)
 
 
-ORACLE_CDC = f"""
-WITH tok AS (
+# the chunk CTE chain is shared by the per-doc gauge (docs_cdc_chunks)
+# and the chunk-level pair oracle (dedup_cdc)
+CDC_CHUNKS_CTE = f"""tok AS (
   SELECT doc_id, {tokens_ws('text', 'duckdb')} AS a FROM documents),
 stream AS (
   SELECT doc_id, unnest(a) AS tok,
@@ -1601,7 +1602,10 @@ chunks AS (
   SELECT doc_id, chunk, count(*)::BIGINT AS n_tokens,
          {phash60("string_agg(tok, ' ' ORDER BY pos)", 'duckdb')}
            AS chunk_hash
-  FROM chunked GROUP BY doc_id, chunk),
+  FROM chunked GROUP BY doc_id, chunk)"""
+
+ORACLE_CDC = f"""
+WITH {CDC_CHUNKS_CTE},
 dfreq AS (
   SELECT chunk_hash, count(DISTINCT doc_id) AS cdf
   FROM chunks GROUP BY chunk_hash)
@@ -1680,3 +1684,140 @@ FROM w ORDER BY priority DESC, doc_id LIMIT {DSIR_K}
 
 QUERIES["docs_dsir_resample"] = docs_dsir_resample
 ORACLES["docs_dsir_resample"] = ORACLE_DSIR_RESAMPLE
+
+
+CDC_MIN_SHARED, CDC_MAX_DF = 2, 20
+
+
+def dedup_cdc(spark, sf):
+    """Chunk-level near-dup pairs: docs sharing ≥2 verbatim CDC chunks."""
+    return D.cdc_pairs(
+        T(spark, sf, "documents"), CDC_AVG_TOKENS, CDC_MIN_SHARED, CDC_MAX_DF
+    )
+
+
+ORACLE_CDC_PAIRS = f"""
+WITH {CDC_CHUNKS_CTE},
+posting AS (
+  SELECT chunk_hash,
+         list_sort(list_distinct(list(doc_id))) AS ids,
+         min(n_tokens) AS n_tokens
+  FROM chunks GROUP BY chunk_hash
+  HAVING len(list_sort(list_distinct(list(doc_id)))) BETWEEN 2
+     AND {CDC_MAX_DF}),
+cand AS (
+  SELECT n_tokens, unnest(flatten(list_transform(ids, (x, i) ->
+           list_transform(ids[i + 1:],
+             y -> {{'id_a': x, 'id_b': y}})))) AS p
+  FROM posting)
+SELECT p.id_a AS id_a, p.id_b AS id_b,
+       count(*)::BIGINT AS n_shared_chunks,
+       sum(n_tokens)::BIGINT AS shared_tokens
+FROM cand GROUP BY p.id_a, p.id_b
+HAVING count(*) >= {CDC_MIN_SHARED}
+"""
+
+QUERIES["dedup_cdc"] = dedup_cdc
+ORACLES["dedup_cdc"] = ORACLE_CDC_PAIRS
+
+
+def events_ab_sequential(spark, sf):
+    """Sequential A/B monitoring: per-day CUMULATIVE Welch z over the
+    same hash-deterministic arms as events_ab_test — the curve an
+    experimenter watches instead of peeking at one final number.
+
+    Scale: BOTH arms' fixed-point moments come from ONE conditional
+    aggregation per day (one corpus scan, map-side combined, ~days
+    rows cross the exchange) — no per-arm branch re-scanning the
+    stream, no day self-join.  The cumulative window is unpartitioned
+    but runs over the per-DAY relation, bounded by the calendar (≤ a
+    few thousand rows at any corpus size), not by event volume."""
+    arm_hash = phash60("concat('ab', cast(user_id as string))", "spark")
+    ev = T(spark, sf, "events").select(
+        F.expr(f"({arm_hash}) % 2").alias("arm"),
+        F.expr("date_format(ts, 'yyyy-MM-dd')").alias("day"),
+        F.expr(
+            "cast(floor(value * 1000000 + 0.5) as bigint)"
+        ).alias("us"),
+    )
+    dec = "cast(us as decimal(38,0))"
+    per = ev.groupBy("day").agg(
+        *[
+            expr
+            for arm in (0, 1)
+            for expr in (
+                F.expr(f"count(CASE WHEN arm = {arm} THEN 1 END)")
+                .alias(f"n{arm}"),
+                F.expr(
+                    f"sum(CASE WHEN arm = {arm} THEN {dec} END)"
+                ).alias(f"s{arm}"),
+                F.expr(
+                    f"sum(CASE WHEN arm = {arm} THEN {dec} * {dec} END)"
+                ).alias(f"ss{arm}"),
+            )
+        ]
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "day",
+        *[
+            F.sum(c).over(w).alias("c" + c)
+            for c in ("n0", "s0", "ss0", "n1", "s1", "ss1")
+        ],
+    )
+    mean = "cast(cs{a} as double) / 1000000.0 / cn{a}"
+    var = (
+        "(cast(css{a} as double) - cast(cs{a} as double)"
+        " * cast(cs{a} as double) / cast(cn{a} as double))"
+        " / cast(cn{a} - 1 as double) / 1000000000000.0"
+    )
+    mc, mt = mean.format(a=0), mean.format(a=1)
+    vc, vt = var.format(a=0), var.format(a=1)
+    return cum.select(
+        "day",
+        F.col("cn0").alias("n_control"),
+        F.col("cn1").alias("n_treatment"),
+        # + 0.0: negative-zero canon on signed outputs
+        F.expr(f"round(({mt}) - ({mc}), 6) + 0.0").alias("lift"),
+        F.expr(
+            f"round((({mt}) - ({mc}))"
+            f" / sqrt(({vc}) / cn0 + ({vt}) / cn1), 6) + 0.0"
+        ).alias("welch_z"),
+    )
+
+
+ORACLE_AB_SEQ = f"""
+WITH ev AS (
+  SELECT ({phash60("('ab' || user_id)", 'duckdb')}) % 2 AS arm,
+         strftime(ts, '%Y-%m-%d') AS day,
+         floor(value * 1000000 + 0.5)::BIGINT AS us
+  FROM events),
+per AS (
+  SELECT day, arm, count(*) AS n,
+         sum(us::DECIMAL(38,0)) AS s,
+         sum(us::DECIMAL(38,0) * us::DECIMAL(38,0)) AS ss
+  FROM ev GROUP BY day, arm),
+cum AS (
+  SELECT day, arm,
+         sum(n) OVER w AS cn, sum(s) OVER w AS cs, sum(ss) OVER w AS css
+  FROM per
+  WINDOW w AS (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT day, arm, cn,
+         cs::DOUBLE / 1000000.0 / cn AS mean_,
+         (css::DOUBLE - cs::DOUBLE * cs::DOUBLE / cn) / (cn - 1)
+           / 1000000000000.0 AS var_
+  FROM cum)
+SELECT a.day AS day, a.cn::BIGINT AS n_control, b.cn::BIGINT AS n_treatment,
+       round(b.mean_ - a.mean_, 6) + 0.0 AS lift,
+       round((b.mean_ - a.mean_)
+             / sqrt(a.var_ / a.cn + b.var_ / b.cn), 6) + 0.0 AS welch_z
+FROM (SELECT * FROM m WHERE arm = 0) a
+JOIN (SELECT * FROM m WHERE arm = 1) b USING (day)
+"""
+
+QUERIES["events_ab_sequential"] = events_ab_sequential
+ORACLES["events_ab_sequential"] = ORACLE_AB_SEQ

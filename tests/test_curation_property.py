@@ -1168,3 +1168,71 @@ def test_tokenizer_fertility_degenerate_lang(spark):
     assert out["zz"]["bpe_tokens"] == 0
     assert out["zz"]["chars_per_token"] is None
     assert out["en"]["chars_per_token"] is not None
+
+
+@PROP
+@given(texts=doc_texts)
+def test_cdc_pairs_matches_python(spark, texts):
+    """Chunk-level pair generation replayed in Python: two docs pair
+    iff they share >= min_shared CDC chunk hashes whose document
+    frequency is within max_df; shared_tokens sums the chunk sizes."""
+    from faconne_spark.operators.dedup import cdc_pairs, release_caches
+
+    avg, min_shared, max_df = 4, 1, 20
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared_chunks"], r["shared_tokens"])
+        for r in cdc_pairs(df, avg, min_shared, max_df).collect()
+    }
+    release_caches()
+
+    def chunks_of(t):
+        ch, cur = [], []
+        for tok in t.split():
+            cur.append(tok)
+            if _ph60("cdc:" + tok) % avg == 0:
+                ch.append(cur)
+                cur = []
+        if cur:
+            ch.append(cur)
+        return [" ".join(c) for c in ch]
+
+    posting = {}
+    sizes = {}
+    for i, t in enumerate(texts):
+        for c in set(chunks_of(t)):
+            h = _ph60(c)
+            posting.setdefault(h, set()).add(i)
+            sizes[h] = len(c.split())
+    want = {}
+    for h, ids in posting.items():
+        if not (2 <= len(ids) <= max_df):
+            continue
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                k = (ids[x], ids[y])
+                n, tk = want.get(k, (0, 0))
+                want[k] = (n + 1, tk + sizes[h])
+    want = {k: v for k, v in want.items() if v[0] >= min_shared}
+    assert got == want
+
+
+def test_ab_sequential_final_day_equals_ab_test(spark, sf_dir):
+    """The sequential curve's LAST day must reproduce events_ab_test
+    exactly — same arms, same fixed-point moments, the cumulative
+    window ending at the full data."""
+    from faconne_spark.queries.curation import events_ab_sequential, events_ab_test
+
+    seq = events_ab_sequential(spark, sf_dir).orderBy("day").collect()
+    final = seq[-1]
+    ab = events_ab_test(spark, sf_dir).collect()[0]
+    assert final["n_control"] == ab["n_control"]
+    assert final["n_treatment"] == ab["n_treatment"]
+    assert final["lift"] == ab["lift"]
+    assert final["welch_z"] == ab["welch_z"]
+    # n is monotone along the curve
+    ns = [r["n_control"] + r["n_treatment"] for r in seq]
+    assert ns == sorted(ns)

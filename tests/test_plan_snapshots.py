@@ -79,6 +79,8 @@ SNAPSHOT_QUERIES = [
     "docs_cdc_chunks",
     "docs_token_cms_topk",
     "docs_dsir_resample",
+    "dedup_cdc",
+    "events_ab_sequential",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
