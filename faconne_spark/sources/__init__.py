@@ -716,3 +716,112 @@ def read_snapshot_changes(
         )
     base = table_dir.rstrip("/")
     return spark.read.parquet(*[f"{base}/{f}" for f in added])
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 2,
+    grace_seconds: int = 0,
+) -> dict:
+    """Retention for a manifest-snapshot table: drop all but the newest
+    ``keep_last`` manifests, then VACUUM — delete every data file no
+    surviving manifest references (expired history + orphans from
+    losing/crashed commits).  Time travel past the retention horizon is
+    gone afterwards; the newest snapshots keep working untouched — the
+    same contract as the public table formats' expire+orphan-cleanup.
+
+    ``grace_seconds`` protects IN-FLIGHT commits: an unreferenced file
+    younger than the grace window is left alone, because a concurrent
+    writer stages data files BEFORE its manifest exists — vacuuming
+    with no grace while writers run would delete their staged work.
+    Production should pass a comfortably large value (the formats use
+    hours); the default 0 is only safe when no writer is active.
+
+    Scale: pure metadata — manifest JSON reads, one data-directory
+    walk, no Spark job."""
+    if keep_last < 1:
+        raise ValueError(f"expire_snapshots needs keep_last >= 1, got {keep_last}")
+    import time as _time
+
+    fs, jvm = _fs_for(spark, table_dir)
+    manifests = _list_manifests(spark, table_dir)
+    if not manifests:
+        raise ValueError(f"{table_dir!r} has no snapshots")
+    expired, kept = manifests[:-keep_last], manifests[-keep_last:]
+    for _, mpath in expired:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
+    referenced = set()
+    for _, mpath in kept:
+        doc = _read_manifest(spark, mpath)
+        if doc is not None:
+            referenced.update(doc["files"])
+    base = table_dir.rstrip("/")
+    data_root = jvm.org.apache.hadoop.fs.Path(base + "/data")
+    removed = 0
+    now_ms = int(_time.time() * 1000)
+    if fs.exists(data_root):
+        for sub in fs.listStatus(data_root):
+            if not sub.isDirectory():
+                continue
+            sub_name = sub.getPath().getName()
+            live = 0
+            for st in fs.listStatus(sub.getPath()):
+                rel = f"data/{sub_name}/{st.getPath().getName()}"
+                is_data = st.getPath().getName().endswith(".parquet")
+                if rel in referenced:
+                    live += 1
+                    continue
+                young = (now_ms - st.getModificationTime()) < grace_seconds * 1000
+                if young:
+                    live += 1  # possibly a racing writer's staged file
+                    continue
+                fs.delete(st.getPath(), False)
+                if is_data:
+                    removed += 1
+            if live == 0:
+                fs.delete(sub.getPath(), True)
+    return {
+        "expired_snapshots": [sid for sid, _ in expired],
+        "kept_snapshots": [sid for sid, _ in kept],
+        "removed_files": removed,
+    }
+
+
+def compact_snapshot(
+    spark: SparkSession, table_dir: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Rewrite a manifest-snapshot table's CURRENT data into
+    ~``target_bytes`` files and commit the result as a new OVERWRITE
+    snapshot — small-file compaction with full snapshot isolation
+    (readers of older snapshots are untouched; pair with
+    :func:`expire_snapshots` to actually reclaim the old files).
+
+    Scale: sizes come from the manifest's file list (no directory
+    walk); the rewrite is one repartition-by-count distributed write."""
+    import math as _math
+
+    fs, jvm = _fs_for(spark, table_dir)
+    manifests = _list_manifests(spark, table_dir)
+    doc = None
+    for _, mpath in reversed(manifests):
+        doc = _read_manifest(spark, mpath)
+        if doc is not None:
+            break
+    if doc is None or not doc["files"]:
+        raise ValueError(f"{table_dir!r} has no non-empty valid snapshot")
+    base = table_dir.rstrip("/")
+    total = 0
+    for f in doc["files"]:
+        total += fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{base}/{f}")
+        ).getLen()
+    n_files = max(1, _math.ceil(total / target_bytes))
+    df = read_snapshot(spark, table_dir).repartition(n_files)
+    manifest = write_snapshot(df, table_dir, mode="overwrite")
+    return {
+        "snapshot_id": manifest["snapshot_id"],
+        "input_files": len(doc["files"]),
+        "output_files": manifest["n_files"],
+        "input_bytes": total,
+    }

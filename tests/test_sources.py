@@ -628,3 +628,52 @@ def test_snapshot_empty_commit_and_nonrace_failure(spark, sf_dir, tmp_path):
         if d.startswith("snap-")
     ]
     assert staged, "staged files must survive a non-race failure"
+
+
+def test_snapshot_expire_vacuum_and_compact(spark, sf_dir, tmp_path):
+    """S14 lifecycle: compaction rewrites the current data as a new
+    overwrite snapshot (older snapshots untouched); expire+vacuum drops
+    history, deletes every unreferenced data file (including commit-race
+    orphans), respects the grace window, and the surviving snapshots
+    still read exactly."""
+    import time
+
+    from faconne_spark.sources import (
+        compact_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    tbl = str(tmp_path / "life_tbl")
+    # many small files per commit -> compaction has something to do
+    write_snapshot(docs.filter("doc_id < 200").repartition(8), tbl)
+    write_snapshot(
+        docs.filter("doc_id >= 200 AND doc_id < 300").repartition(8), tbl
+    )
+    rep = compact_snapshot(spark, tbl, target_bytes=1 << 30)
+    assert rep["snapshot_id"] == 2
+    assert rep["input_files"] == 16 and rep["output_files"] == 1
+    assert read_snapshot(spark, tbl).count() == 300
+    assert read_snapshot(spark, tbl, snapshot_id=1).count() == 300  # history intact
+
+    # an orphan (a losing writer's staged file) in its own snap dir
+    orphan_dir = tmp_path / "life_tbl" / "data" / "snap-9-orphan"
+    orphan_dir.mkdir()
+    (orphan_dir / "part-orphan.parquet").write_bytes(b"junk")
+
+    # grace window protects young files
+    rep2 = expire_snapshots(spark, tbl, keep_last=1, grace_seconds=3600)
+    assert rep2["kept_snapshots"] == [2]
+    assert rep2["removed_files"] == 0  # everything is younger than 1h
+    assert (orphan_dir / "part-orphan.parquet").exists()
+    # manifests 0/1 are gone even though their files got grace
+    assert {r["snapshot_id"] for r in snapshot_history(spark, tbl).collect()} == {2}
+
+    # without grace the unreferenced files (old snapshots + orphan) go
+    rep3 = expire_snapshots(spark, tbl, keep_last=1, grace_seconds=0)
+    assert rep3["removed_files"] == 17  # 16 pre-compaction files + orphan
+    assert not orphan_dir.exists()
+    assert read_snapshot(spark, tbl).count() == 300  # current head intact
