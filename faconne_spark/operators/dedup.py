@@ -90,6 +90,19 @@ def release_caches() -> None:
         _PERSISTED.pop().unpersist()
 
 
+# In-row candidate-pair generation from a sorted-distinct posting-list
+# column named `ids`: each (x, y) with x before y in the list becomes a
+# struct(id_a, id_b) — position order = id order, so id_a < id_b holds
+# strictly.  Shared by containment_pairs and cdc_pairs so the slice
+# arithmetic can never silently diverge between them.
+INROW_PAIRS = (
+    "flatten(transform(ids, (x, i) ->"
+    " transform(slice(ids, i + 2, size(ids)),"
+    " y -> struct(x AS id_a, y AS id_b))))"
+)
+POSTING_IDS = "array_distinct(array_sort(collect_list(doc_id)))"
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup on normalised text: keeper = min doc_id per
     fingerprint; one map-side-combinable groupBy."""
@@ -527,19 +540,8 @@ def containment_pairs(
     # strict id_a < id_b the old join predicate enforced.
     cand = (
         rare.groupBy("s")
-        .agg(
-            F.expr("array_distinct(array_sort(collect_list(doc_id)))")
-            .alias("ids")
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
-        )
+        .agg(F.expr(POSTING_IDS).alias("ids"))
+        .select(F.explode(F.expr(INROW_PAIRS)).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -959,12 +961,14 @@ def cdc_pairs(
     """
     from faconne_spark.operators.text import cdc_chunk_relation
 
-    chunks = cdc_chunk_relation(docs, avg_tokens)
+    # persist=False: this operator consumes the chunk relation in ONE
+    # lineage (the posting groupBy) — caching a once-read relation is
+    # pure overhead
+    chunks = cdc_chunk_relation(docs, avg_tokens, persist=False)
     posting = (
         chunks.groupBy("chunk_hash")
         .agg(
-            F.expr("array_distinct(array_sort(collect_list(doc_id)))")
-            .alias("ids"),
+            F.expr(POSTING_IDS).alias("ids"),
             F.min("n_tokens").alias("n_tokens"),
         )
         .filter(
@@ -974,13 +978,7 @@ def cdc_pairs(
     return (
         posting.select(
             "n_tokens",
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p"),
+            F.explode(F.expr(INROW_PAIRS)).alias("p"),
         )
         .groupBy("p.id_a", "p.id_b")
         .agg(

@@ -1223,13 +1223,18 @@ def shingle_novelty(docs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
-def cdc_chunk_relation(docs: DataFrame, avg_tokens: int = 16) -> DataFrame:
-    """The PERSISTED (doc_id, _chunk, n_tokens, chunk_hash) relation of
+def cdc_chunk_relation(
+    docs: DataFrame, avg_tokens: int = 16, persist: bool = True
+) -> DataFrame:
+    """The (doc_id, _chunk, n_tokens, chunk_hash) relation of
     content-defined chunking — shared by :func:`cdc_chunks` (per-doc
     gauge) and :func:`faconne_spark.operators.dedup.cdc_pairs`
-    (chunk-level near-dup candidate pairs).  Persisted because every
-    consumer references it at least twice, and the tokenize + per-doc
-    window + chunk aggregation is the expensive half."""
+    (chunk-level near-dup candidate pairs).  ``persist`` should be True
+    when the CALLER references the relation more than once (cdc_chunks
+    joins it back to itself, so the tokenize + per-doc window + chunk
+    aggregation would otherwise run twice); cdc_pairs consumes it in a
+    single lineage and passes False — caching a once-read relation is
+    pure overhead."""
     from faconne_spark.operators.dedup import _persist_sig
 
     toks = tokens_ws("text", "spark")
@@ -1254,13 +1259,11 @@ def cdc_chunk_relation(docs: DataFrame, avg_tokens: int = 16) -> DataFrame:
         "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
         " x -> x.tok))"
     )
-    return _persist_sig(
-        chunked.groupBy("doc_id", "_chunk").agg(
-            F.count("*").alias("n_tokens"),
-            F.expr(phash60(chunk_text, "spark")).alias("chunk_hash"),
-        ),
-        docs,
+    chunks = chunked.groupBy("doc_id", "_chunk").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr(phash60(chunk_text, "spark")).alias("chunk_hash"),
     )
+    return _persist_sig(chunks, docs) if persist else chunks
 
 
 def cdc_chunks(docs: DataFrame, avg_tokens: int = 16) -> DataFrame:

@@ -1775,19 +1775,32 @@ def events_ab_sequential(spark, sf):
     )
     mc, mt = mean.format(a=0), mean.format(a=1)
     vc, vt = var.format(a=0), var.format(a=1)
+    # explicit NULL on the degenerate prefixes — an arm with no events
+    # yet has no mean (lift NULL), an arm with one event has no variance
+    # (welch_z NULL).  Both engines are forced onto the same CASE so the
+    # Spark-NULL-vs-DuckDB-inf divide-by-zero divergence can't occur.
     return cum.select(
         "day",
         F.col("cn0").alias("n_control"),
         F.col("cn1").alias("n_treatment"),
         # + 0.0: negative-zero canon on signed outputs
-        F.expr(f"round(({mt}) - ({mc}), 6) + 0.0").alias("lift"),
         F.expr(
-            f"round((({mt}) - ({mc}))"
-            f" / sqrt(({vc}) / cn0 + ({vt}) / cn1), 6) + 0.0"
+            f"CASE WHEN cn0 = 0 OR cn1 = 0 THEN cast(NULL as double)"
+            f" ELSE round(({mt}) - ({mc}), 6) + 0.0 END"
+        ).alias("lift"),
+        F.expr(
+            f"CASE WHEN cn0 < 2 OR cn1 < 2 THEN cast(NULL as double)"
+            f" ELSE round((({mt}) - ({mc}))"
+            f" / sqrt(({vc}) / cn0 + ({vt}) / cn1), 6) + 0.0 END"
         ).alias("welch_z"),
     )
 
 
+# the oracle mirrors the Spark shape exactly: ONE day-grouped
+# conditional aggregation (so a day where one arm has no events is
+# still emitted, carrying the other arm's cumulative state), then the
+# same explicit NULL guards — never a per-(day, arm) grouping with an
+# inner join, which would DROP single-arm days
 ORACLE_AB_SEQ = f"""
 WITH ev AS (
   SELECT ({phash60("('ab' || user_id)", 'duckdb')}) % 2 AS arm,
@@ -1795,28 +1808,42 @@ WITH ev AS (
          floor(value * 1000000 + 0.5)::BIGINT AS us
   FROM events),
 per AS (
-  SELECT day, arm, count(*) AS n,
-         sum(us::DECIMAL(38,0)) AS s,
-         sum(us::DECIMAL(38,0) * us::DECIMAL(38,0)) AS ss
-  FROM ev GROUP BY day, arm),
+  SELECT day,
+         count(CASE WHEN arm = 0 THEN 1 END) AS n0,
+         sum(CASE WHEN arm = 0 THEN us::DECIMAL(38,0) END) AS s0,
+         sum(CASE WHEN arm = 0
+             THEN us::DECIMAL(38,0) * us::DECIMAL(38,0) END) AS ss0,
+         count(CASE WHEN arm = 1 THEN 1 END) AS n1,
+         sum(CASE WHEN arm = 1 THEN us::DECIMAL(38,0) END) AS s1,
+         sum(CASE WHEN arm = 1
+             THEN us::DECIMAL(38,0) * us::DECIMAL(38,0) END) AS ss1
+  FROM ev GROUP BY day),
 cum AS (
-  SELECT day, arm,
-         sum(n) OVER w AS cn, sum(s) OVER w AS cs, sum(ss) OVER w AS css
+  SELECT day,
+         sum(n0) OVER w AS cn0, sum(s0) OVER w AS cs0,
+         sum(ss0) OVER w AS css0,
+         sum(n1) OVER w AS cn1, sum(s1) OVER w AS cs1,
+         sum(ss1) OVER w AS css1
   FROM per
-  WINDOW w AS (PARTITION BY arm ORDER BY day
+  WINDOW w AS (ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 m AS (
-  SELECT day, arm, cn,
-         cs::DOUBLE / 1000000.0 / cn AS mean_,
-         (css::DOUBLE - cs::DOUBLE * cs::DOUBLE / cn) / (cn - 1)
-           / 1000000000000.0 AS var_
+  SELECT day, cn0, cn1,
+         cs0::DOUBLE / 1000000.0 / cn0 AS mc,
+         cs1::DOUBLE / 1000000.0 / cn1 AS mt,
+         (css0::DOUBLE - cs0::DOUBLE * cs0::DOUBLE / cn0) / (cn0 - 1)
+           / 1000000000000.0 AS vc,
+         (css1::DOUBLE - cs1::DOUBLE * cs1::DOUBLE / cn1) / (cn1 - 1)
+           / 1000000000000.0 AS vt
   FROM cum)
-SELECT a.day AS day, a.cn::BIGINT AS n_control, b.cn::BIGINT AS n_treatment,
-       round(b.mean_ - a.mean_, 6) + 0.0 AS lift,
-       round((b.mean_ - a.mean_)
-             / sqrt(a.var_ / a.cn + b.var_ / b.cn), 6) + 0.0 AS welch_z
-FROM (SELECT * FROM m WHERE arm = 0) a
-JOIN (SELECT * FROM m WHERE arm = 1) b USING (day)
+SELECT day, cn0::BIGINT AS n_control, cn1::BIGINT AS n_treatment,
+       CASE WHEN cn0 = 0 OR cn1 = 0 THEN NULL
+            ELSE round(mt - mc, 6) + 0.0 END AS lift,
+       CASE WHEN cn0 < 2 OR cn1 < 2 THEN NULL
+            ELSE round((mt - mc)
+                       / sqrt(vc / cn0 + vt / cn1), 6) + 0.0
+       END AS welch_z
+FROM m
 """
 
 QUERIES["events_ab_sequential"] = events_ab_sequential

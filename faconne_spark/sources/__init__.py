@@ -735,8 +735,15 @@ def expire_snapshots(
     younger than the grace window is left alone, because a concurrent
     writer stages data files BEFORE its manifest exists — vacuuming
     with no grace while writers run would delete their staged work.
+    The same grace applies to TORN manifests (a racing writer's
+    manifest looks torn while its bytes are still being written).
     Production should pass a comfortably large value (the formats use
     hours); the default 0 is only safe when no writer is active.
+
+    Retention counts VALID snapshots only: torn manifests never
+    displace a valid one from the keep window (otherwise keep_last=1
+    next to a crashed commit would expire the real head and vacuum the
+    whole table).
 
     Scale: pure metadata — manifest JSON reads, one data-directory
     walk, no Spark job."""
@@ -745,12 +752,24 @@ def expire_snapshots(
     import time as _time
 
     fs, jvm = _fs_for(spark, table_dir)
+    now_ms = int(_time.time() * 1000)
     manifests = _list_manifests(spark, table_dir)
     if not manifests:
         raise ValueError(f"{table_dir!r} has no snapshots")
-    expired, kept = manifests[:-keep_last], manifests[-keep_last:]
+    valid, torn = [], []
+    for sid, mpath in manifests:
+        if _read_manifest(spark, mpath) is None:
+            torn.append((sid, mpath))
+        else:
+            valid.append((sid, mpath))
+    expired, kept = valid[:-keep_last], valid[-keep_last:]
     for _, mpath in expired:
         fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
+    for _, mpath in torn:
+        p = jvm.org.apache.hadoop.fs.Path(mpath)
+        age_ms = now_ms - fs.getFileStatus(p).getModificationTime()
+        if age_ms >= grace_seconds * 1000:
+            fs.delete(p, False)
     referenced = set()
     for _, mpath in kept:
         doc = _read_manifest(spark, mpath)
@@ -759,7 +778,6 @@ def expire_snapshots(
     base = table_dir.rstrip("/")
     data_root = jvm.org.apache.hadoop.fs.Path(base + "/data")
     removed = 0
-    now_ms = int(_time.time() * 1000)
     if fs.exists(data_root):
         for sub in fs.listStatus(data_root):
             if not sub.isDirectory():
@@ -776,7 +794,10 @@ def expire_snapshots(
                 if young:
                     live += 1  # possibly a racing writer's staged file
                     continue
-                fs.delete(st.getPath(), False)
+                # recursive for directory entries: a crashed write's
+                # _temporary tree is a non-empty DIRECTORY — a plain
+                # delete throws and would abort the vacuum mid-way
+                fs.delete(st.getPath(), st.isDirectory())
                 if is_data:
                     removed += 1
             if live == 0:
@@ -797,6 +818,15 @@ def compact_snapshot(
     (readers of older snapshots are untouched; pair with
     :func:`expire_snapshots` to actually reclaim the old files).
 
+    Concurrency: a compaction is a REWRITE of a specific base snapshot,
+    so after the commit the new manifest's parent is revalidated against
+    that base — if another writer committed in between (its rows would
+    be silently dropped by our overwrite head), the compaction manifest
+    is withdrawn and :class:`ConcurrentCommitError` raised; the
+    interleaved commit stays the head and the caller retries.  This is
+    the rewrite-revalidation step every real table format performs
+    before publishing a compaction.
+
     Scale: sizes come from the manifest's file list (no directory
     walk); the rewrite is one repartition-by-count distributed write."""
     import math as _math
@@ -810,6 +840,7 @@ def compact_snapshot(
             break
     if doc is None or not doc["files"]:
         raise ValueError(f"{table_dir!r} has no non-empty valid snapshot")
+    base_id = doc["snapshot_id"]
     base = table_dir.rstrip("/")
     total = 0
     for f in doc["files"]:
@@ -817,8 +848,25 @@ def compact_snapshot(
             jvm.org.apache.hadoop.fs.Path(f"{base}/{f}")
         ).getLen()
     n_files = max(1, _math.ceil(total / target_bytes))
-    df = read_snapshot(spark, table_dir).repartition(n_files)
+    df = spark.read.parquet(*[f"{base}/{f}" for f in doc["files"]]).repartition(
+        n_files
+    )
     manifest = write_snapshot(df, table_dir, mode="overwrite")
+    if manifest["parent"] != base_id:
+        # a commit interleaved between our base read and our commit —
+        # withdraw the compaction (delete its manifest + data) so the
+        # interleaved rows stay visible, and let the caller retry
+        mpath = jvm.org.apache.hadoop.fs.Path(
+            base + f"/_manifests/manifest-{manifest['snapshot_id']}.json"
+        )
+        fs.delete(mpath, False)
+        for f in manifest["files"]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{f}"), False)
+        raise ConcurrentCommitError(
+            f"compact_snapshot of {table_dir!r}: snapshot "
+            f"{manifest['parent']} was committed while compacting base "
+            f"{base_id}; compaction withdrawn — retry"
+        )
     return {
         "snapshot_id": manifest["snapshot_id"],
         "input_files": len(doc["files"]),

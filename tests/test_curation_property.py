@@ -1236,3 +1236,65 @@ def test_ab_sequential_final_day_equals_ab_test(spark, sf_dir):
     # n is monotone along the curve
     ns = [r["n_control"] + r["n_treatment"] for r in seq]
     assert ns == sorted(ns)
+
+
+def test_ab_sequential_single_arm_days(spark, tmp_path):
+    """Days where one arm has no events (or one event) are still
+    EMITTED, with NULL lift / welch_z per the explicit guards — the
+    divergence class where a per-(day, arm) oracle join would drop the
+    day and Spark/DuckDB disagree on divide-by-zero."""
+    import duckdb
+
+    from faconne_spark.queries.curation import (
+        ORACLE_AB_SEQ,
+        events_ab_sequential,
+    )
+
+    arm = {u: _ph60(f"ab{u}") % 2 for u in range(20)}
+    u0 = [u for u, a in arm.items() if a == 0]
+    u1 = [u for u, a in arm.items() if a == 1]
+    rows = (
+        # day 1: treatment only
+        [(1, u1[0], "2024-01-01 01:00:00", "x", 1.5, "{}")]
+        # day 2: one control event (cn0=1 -> welch_z still NULL)
+        + [(2, u0[0], "2024-01-02 01:00:00", "x", 2.5, "{}")]
+        # day 3: plenty of both
+        + [
+            (10 + i, (u0 + u1)[i % len(u0 + u1)],
+             "2024-01-03 01:00:00", "x", float(i), "{}")
+            for i in range(12)
+        ]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts string, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/events.parquet")
+
+    out = {r["day"]: r for r in events_ab_sequential(spark, sf).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    d1 = out["2024-01-01"]
+    assert d1["n_control"] == 0 and d1["lift"] is None and d1["welch_z"] is None
+    d2 = out["2024-01-02"]
+    assert d2["n_control"] == 1 and d2["lift"] is not None
+    assert d2["welch_z"] is None  # one control event: no variance yet
+    d3 = out["2024-01-03"]
+    assert d3["welch_z"] is not None
+
+    # the oracle agrees row-for-row on the same degenerate data
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = {r[0]: r for r in con.sql(ORACLE_AB_SEQ).fetchall()}
+    assert set(want) == set(out)
+    for day, r in out.items():
+        assert (r["n_control"], r["n_treatment"]) == tuple(want[day][1:3])
+        for i, col in ((3, "lift"), (4, "welch_z")):
+            a, b = want[day][i], r[col]
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert abs(a - b) < 1e-9
