@@ -238,6 +238,7 @@ def main() -> None:
         "docs_dsir_resample",
         "dedup_cdc",
         "events_ab_sequential",
+        "events_quantile_calibration",
     ]
     times = {}
     shuffle = {}

@@ -502,3 +502,62 @@ def merge_stats(*states: DataFrame, key: str | None = None) -> DataFrame:
         F.min("min_us").alias("min_us"),
         F.max("max_us").alias("max_us"),
     )
+
+
+def quantile_calibration(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 64,
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Histogram-sketch quantiles NEXT TO the exact per-group quantiles
+    with the absolute error — the calibration that says whether an
+    n_bins budget is safe before trusting the sketch alone (completing
+    the sketch-calibration family: HLL vs exact distinct, MinHash vs
+    exact Jaccard, histogram vs exact quantile).
+
+    'Exact' uses the SAME cumulative-threshold rule as the sketch
+    (smallest value whose cumulative count reaches ceil(q·total) —
+    percentile_disc semantics) applied to the raw fixed-point values,
+    so the error column isolates pure BINNING error, not a definition
+    mismatch.  At 100 TB the exact side is the expensive one (a
+    per-group cumulative over distinct values — the cost the sketch
+    exists to avoid); like cardinality_report, this gauge is what you
+    run on a sample before the production sketch run."""
+    est = histogram_quantiles(df, value_col, group_col, n_bins, qs)
+    us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
+    per_val = (
+        df.select(F.col(group_col), F.expr(us).alias("_us"))
+        .groupBy(group_col, "_us")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_us")
+    cum = per_val.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_total", F.sum("_cnt").over(Window.partitionBy(group_col))
+    )
+    exact = None
+    for q in qs:
+        q_us = int(round(q * 1_000_000))
+        hit = (
+            cum.filter(F.expr(f"_cum * 1000000 >= _total * {q_us}"))
+            .groupBy(group_col)
+            .agg(F.min("_us").alias("_xus"))
+            .select(
+                group_col,
+                F.lit(q).alias("q"),
+                F.expr("round(cast(_xus as double) / 1000000.0, 6)")
+                .alias("exact"),
+            )
+        )
+        exact = hit if exact is None else exact.unionByName(hit)
+    return (
+        est.join(exact, [group_col, "q"])
+        .select(
+            group_col,
+            "q",
+            "estimate",
+            "exact",
+            F.expr("round(abs(estimate - exact), 6)").alias("abs_err"),
+        )
+    )

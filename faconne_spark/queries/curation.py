@@ -1848,3 +1848,43 @@ FROM m
 
 QUERIES["events_ab_sequential"] = events_ab_sequential
 ORACLES["events_ab_sequential"] = ORACLE_AB_SEQ
+
+
+def events_quantile_calibration(spark, sf):
+    """Histogram-sketch quantiles vs exact per-type quantiles with the
+    binning error — the gauge that sizes n_bins before trusting the
+    sketch alone (the quantile member of the calibration family)."""
+    return R.quantile_calibration(
+        T(spark, sf, "events"), "value", "event_type", HQ_BINS, HQ_QS
+    )
+
+
+def _oracle_quantile_calibration() -> str:
+    us = "floor(value * 1000000 + 0.5)::BIGINT"
+    exact_parts = []
+    for q in HQ_QS:
+        q_us = int(round(q * 1_000_000))
+        exact_parts.append(f"""
+SELECT event_type, {q} AS q,
+       round(min(_us)::DOUBLE / 1000000.0, 6) AS exact
+FROM vcum WHERE _cum * 1000000 >= _total * {q_us}
+GROUP BY event_type""")
+    return f"""
+WITH est AS ({_oracle_hist_quantiles().strip()}),
+pv AS (
+  SELECT event_type, {us} AS _us, count(*) AS _cnt
+  FROM events GROUP BY 1, 2),
+vcum AS (
+  SELECT event_type, _us,
+         sum(_cnt) OVER (PARTITION BY event_type ORDER BY _us) AS _cum,
+         sum(_cnt) OVER (PARTITION BY event_type) AS _total
+  FROM pv),
+exact AS ({" UNION ALL ".join(exact_parts)})
+SELECT event_type, q, estimate, exact,
+       round(abs(estimate - exact), 6) AS abs_err
+FROM est JOIN exact USING (event_type, q)
+"""
+
+
+QUERIES["events_quantile_calibration"] = events_quantile_calibration
+ORACLES["events_quantile_calibration"] = _oracle_quantile_calibration()

@@ -1298,3 +1298,54 @@ def test_ab_sequential_single_arm_days(spark, tmp_path):
             assert (a is None) == (b is None)
             if a is not None:
                 assert abs(a - b) < 1e-9
+
+
+@PROP
+@given(
+    values=st.lists(
+        st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 3)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_quantile_calibration_matches_python(spark, values):
+    """Sketch estimate, exact quantile, and error replayed in plain
+    Python with the same integer-bin / cumulative-threshold rules; the
+    error is bounded by the bin width (estimate = midpoint of the bin
+    the exact value falls in)."""
+    from faconne_spark.operators.relational import quantile_calibration
+
+    nb, qs = 8, (0.5, 0.95)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in values], "grp string, v double"
+    )
+    out = {
+        r["q"]: r for r in quantile_calibration(df, "v", "grp", nb, qs).collect()
+    }
+
+    us = sorted(int(math.floor(v * 1_000_000 + 0.5)) for v in values)
+    lo, hi = us[0], us[-1]
+    total = len(us)
+    for q in qs:
+        q_us = int(round(q * 1_000_000))
+        # exact: smallest value whose 1-based rank reaches the threshold
+        exact_us = next(
+            u for i, u in enumerate(us) if (i + 1) * 1_000_000 >= total * q_us
+        )
+        exact = round(exact_us / 1_000_000.0, 6)
+        # sketch: same threshold over bin counts
+        bins = [0] * nb
+        for u in us:
+            bins[min((u - lo) * nb // (hi - lo + 1), nb - 1)] += 1
+        cumc = 0
+        for b, c in enumerate(bins):
+            cumc += c
+            if cumc * 1_000_000 >= total * q_us:
+                qbin = b
+                break
+        est = round((lo + (2 * qbin + 1) * (hi - lo + 1) // (2 * nb)) / 1e6, 6)
+        r = out[q]
+        assert r["exact"] == exact and r["estimate"] == est
+        assert r["abs_err"] == round(abs(est - exact), 6)
+        # binning-error bound: exact lies in the estimate's bin
+        assert r["abs_err"] <= (hi - lo + 1) / nb / 1e6 + 1e-6

@@ -81,6 +81,7 @@ SNAPSHOT_QUERIES = [
     "docs_dsir_resample",
     "dedup_cdc",
     "events_ab_sequential",
+    "events_quantile_calibration",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
