@@ -239,6 +239,10 @@ def main() -> None:
         "dedup_cdc",
         "events_ab_sequential",
         "events_quantile_calibration",
+        # round-5b sketch wave (timed, not headline)
+        "events_hll_distinct",
+        "dedup_bloom_prefilter",
+        "events_ewma",
     ]
     times = {}
     shuffle = {}

@@ -247,6 +247,69 @@ def zorder_key(a: str, b: str, bits: int, dialect: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog primitives (shared by batch + streaming sketches and the
+# DuckDB oracles — same arithmetic, bit-identical registers)
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+# max rho: the suffix w = h >> p has 60 - p bits; w = 0 maps to width + 1
+HLL_RHO_MAX = 60 - HLL_P + 1
+# fixed-point scale for the harmonic sum: S = Σ 2^(53 - M_j) as BIGINT
+# (256 · 2^53 < 2^62 — overflow-free in both engines)
+HLL_FIX = 1 << 53
+# alpha_m for m = 256 (Flajolet et al. 2007), embedded as one repr()'d
+# double literal so both engines parse the identical constant
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_rho(word: str) -> str:
+    """rho(w) = 1 + index of the lowest set bit of ``word`` (0 → max).
+    Pure integer ops (`&`, unary minus, bit_count) — the SAME text is
+    valid Spark SQL and DuckDB SQL, so registers are bit-identical."""
+    return (
+        f"CASE WHEN ({word}) = 0 THEN {HLL_RHO_MAX} "
+        f"ELSE 1 + bit_count((({word}) & -({word})) - 1) END"
+    )
+
+
+def hll_estimate(sum_fixed: str, n_zero: str) -> str:
+    """HLL estimate from the fixed-point harmonic sum and the
+    empty-register count; raw harmonic-mean path with the standard
+    linear-counting small-range correction (E ≤ 2.5m and V > 0).
+    Same text both engines; final round(·, 2) absorbs any last-ulp
+    `ln` divergence between libm implementations."""
+    # every numeric literal is CAST(... AS DOUBLE): DuckDB would parse
+    # a bare decimal literal as DECIMAL and overflow the multiply chain
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    m = float(HLL_M)
+    raw = (
+        f"((({d(HLL_ALPHA)} * {d(m)}) * {d(m)}) * {d(float(HLL_FIX))})"
+        f" / CAST({sum_fixed} AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN {raw} <= {d(2.5 * m)} AND ({n_zero}) > 0"
+        f" THEN round({d(m)} * ln({d(m)} / CAST({n_zero} AS DOUBLE)), 2)"
+        f" ELSE round({raw}, 2) END"
+    )
+
+
+def bit_mask64(b: str, dialect: str) -> str:
+    """Single-bit 64-bit mask ``1 << b`` for b ∈ [0, 63].  Spark's
+    shiftleft wraps bit 63 into the sign bit silently; DuckDB raises on
+    ``1 << 63``, so its branch spells the sign-bit mask as a literal —
+    both produce the identical two's-complement word."""
+    if dialect == "spark":
+        return f"shiftleft(cast(1 as bigint), cast({b} as int))"
+    return (
+        f"CASE WHEN ({b}) = 63 THEN (-9223372036854775807 - 1)"
+        f" ELSE (1::BIGINT << ({b})) END"
+    )
+
+
 def sqrt_weight_micro(expr: str) -> str:
     """α=0.5 temperature weight in fixed-point micro-units:
     ``round(sqrt(n)·10⁶)`` as DECIMAL(38,0).  sqrt is IEEE

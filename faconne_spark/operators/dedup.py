@@ -81,6 +81,15 @@ def _persist_sig(rel: DataFrame, source: DataFrame) -> DataFrame:
     return rel
 
 
+def track_persist(rel: DataFrame) -> DataFrame:
+    """Persist a (small) relation and register it for
+    :func:`release_caches` — the cross-operator cache registry, so one
+    release call after a gate/bench run drops every cached relation."""
+    rel = rel.persist()
+    _PERSISTED.append(rel)
+    return rel
+
+
 def release_caches() -> None:
     """Unpersist every signature relation cached by the dedup family.
 
@@ -986,4 +995,120 @@ def cdc_pairs(
             F.sum("n_tokens").alias("shared_tokens"),
         )
         .filter(F.col("n_shared_chunks") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------- bloom
+
+BLOOM_K = 4          # probe positions per fingerprint
+BLOOM_BITS_PER = 20  # target bits per history entry (~1% FP at k=4)
+BLOOM_P_MIN, BLOOM_P_MAX = 16, 26  # 8 KB .. 8 MB bitmap
+
+
+def bloom_p_for(n_hist: int) -> int:
+    """Smallest bitmap exponent p with 2^p ≥ BLOOM_BITS_PER · n_hist,
+    clamped to [16, 26].  The same integer logic is replayed inside the
+    DuckDB oracle, so both engines size the filter identically."""
+    return next(
+        (
+            p
+            for p in range(BLOOM_P_MIN, BLOOM_P_MAX + 1)
+            if (1 << p) >= BLOOM_BITS_PER * n_hist
+        ),
+        BLOOM_P_MAX,
+    )
+
+
+def bloom_prefilter_summary(
+    docs: DataFrame, split_mod: int = 3, k: int = BLOOM_K
+) -> DataFrame:
+    """Incremental exact-dedup with a Bloom-bitmap prefilter: incoming
+    documents (doc_id % split_mod == 0) are checked against the history
+    corpus (the rest) WITHOUT joining the full history — the history is
+    folded once into a 2^p-bit Bloom bitmap (64-bit words, ``bit_or``
+    partial-agg'd map-side), the bitmap is broadcast, and the exact
+    verify join's left side is only the bloom survivors.
+
+    Per-source summary: n_incoming, n_bloom_pass (maybe-dup), n_true_dup
+    (fingerprint really in history), n_bloom_fp (survivors the exact
+    join cleared — the measured false-positive count), n_new.
+
+    Scale (100 TB): the bitmap is ≤ 2^26 bits = 8 MB — broadcastable;
+    history is read once, map-side, into ≤ 2^20 bit_or-reduced words.
+    Definite-new docs (any probe bit absent) never enter the verify
+    join, so the expensive fingerprint ⋈ fingerprint shuffle shrinks
+    from |incoming| to |true dups| + |false positives|.  Beyond 2^26
+    bits, shard the bitmap by fingerprint range and map each incoming
+    partition against its shard (noted, not implemented — the gate
+    corpora saturate at p = 17).  The driver-side ``count()`` that
+    sizes p is a metadata-cheap scan of one fingerprint column.
+    """
+    fp = F.expr(phash60(NORM, "spark")).alias("fp")
+    hist = docs.filter(F.col("doc_id") % split_mod != 0).select(fp)
+    inc = docs.filter(F.col("doc_id") % split_mod == 0).select(
+        "doc_id", "source", fp
+    )
+
+    m_bits = 1 << bloom_p_for(hist.count())
+    pos_exprs = [
+        f"({phash60(f'''concat('bf{i}:', cast(fp as string))''', 'spark')})"
+        f" % {m_bits}"
+        for i in range(k)
+    ]
+    pos_arr = F.array(*[F.expr(p) for p in pos_exprs])
+
+    word_bits = (
+        hist.select(F.explode(pos_arr).alias("pos"))
+        .groupBy(F.expr("pos >> 6").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))"
+            ).alias("bits")
+        )
+    )
+
+    probes = inc.select(
+        "doc_id", "source", "fp", F.explode(pos_arr).alias("pos")
+    ).select(
+        "doc_id",
+        "source",
+        "fp",
+        F.expr("pos >> 6").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
+            "mask"
+        ),
+    )
+    hits = (
+        probes.join(F.broadcast(word_bits), "word", "left")
+        .groupBy("doc_id", "source", "fp")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").bitwiseAND(F.col("mask")) != 0, 1
+                ).otherwise(0)
+            ).alias("n_hits")
+        )
+    )
+    passed = hits.filter(F.col("n_hits") == k)
+    dups = passed.join(hist.distinct(), "fp", "left_semi")
+
+    inc_cnt = inc.groupBy("source").agg(F.count("*").alias("n_incoming"))
+    pass_cnt = passed.groupBy("source").agg(F.count("*").alias("n_bloom_pass"))
+    dup_cnt = dups.groupBy("source").agg(F.count("*").alias("n_true_dup"))
+    return (
+        inc_cnt.join(pass_cnt, "source", "left")
+        .join(dup_cnt, "source", "left")
+        .select(
+            "source",
+            "n_incoming",
+            F.coalesce("n_bloom_pass", F.lit(0)).alias("n_bloom_pass"),
+            F.coalesce("n_true_dup", F.lit(0)).alias("n_true_dup"),
+            (
+                F.coalesce("n_bloom_pass", F.lit(0))
+                - F.coalesce("n_true_dup", F.lit(0))
+            ).alias("n_bloom_fp"),
+            (F.col("n_incoming") - F.coalesce("n_true_dup", F.lit(0))).alias(
+                "n_new"
+            ),
+        )
     )

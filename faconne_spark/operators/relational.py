@@ -561,3 +561,51 @@ def quantile_calibration(
             F.expr("round(abs(estimate - exact), 6)").alias("abs_err"),
         )
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (final value):
+    e₀ = x₀, eₜ = (1-α)·eₜ₋₁ + α·xₜ over rows ordered by ``order_cols``
+    — the standard telemetry smoother.
+
+    Determinism contract: the fold is written as
+    ``acc·(1-α) + x·α`` with the SAME literal and operation order as
+    the DuckDB oracle's ``list_reduce``, so every IEEE rounding step
+    matches and the result is bit-identical cross-engine before the
+    final round.
+
+    Scale (100 TB): one groupBy(key) with a per-key sorted array —
+    state is O(events per key), the same bound a stateful-streaming
+    formulation needs; there is no global sort.  Keys with unbounded
+    history belong in the streaming flavor (mergeable per-epoch state),
+    not a batch collect_list.
+    """
+    a = repr(float(alpha))
+    one_minus = repr(1.0 - float(alpha))
+    order_fields = ", ".join(order_cols)
+    arr = (
+        f"array_sort(collect_list(struct({order_fields}, {value_col})))"
+    )
+    fold = (
+        f"aggregate(slice(a, 2, greatest(size(a) - 1, 0)),"
+        f" cast(a[0].{value_col} as double),"
+        f" (acc, s) -> acc * {one_minus} + cast(s.{value_col} as double) * {a})"
+    )
+    return (
+        df.groupBy(key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(arr).alias("a"),
+        )
+        .select(
+            key,
+            "n_events",
+            (F.round(F.expr(fold), 6) + F.lit(0.0)).alias("ewma"),
+        )
+    )

@@ -1,0 +1,127 @@
+"""Mergeable cardinality sketches for 100 TB-scale distinct counting.
+
+HyperLogLog (Flajolet-Fuks-Gandouet-Meunier 2007) re-expressed as pure
+Catalyst integer expressions over the portable 60-bit hash
+(``faconne_spark.functions.phash60``), so the DuckDB oracle computes
+bit-identical registers.  Spark's own ``approx_count_distinct`` IS an
+HLL++ — this module exists for what it can't give you: the register
+table itself, which is the mergeable artifact (union registers by
+``max`` across shards / days / streams, estimate once at the end), plus
+an exact-vs-sketch calibration joined alongside.
+
+Scale notes (100 TB): the register extraction is map-only; the only
+shuffle key is (group, bucket) with partial ``max`` map-side, so the
+exchange carries ≤ groups × 256 rows regardless of input size.  The
+merged "__all__" estimate is computed FROM the per-group registers —
+the demonstration that rolling up shards never rescans the input.
+
+Reference parity: the reference engine has no sketch surface (it is a
+shape-transformation library — parse_range.cljc); this family is part
+of the training-data-pipeline extension mandated alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from faconne_spark.functions import (
+    HLL_FIX,
+    HLL_M,
+    HLL_P,
+    hll_estimate,
+    hll_rho,
+    phash60,
+)
+from faconne_spark.operators.dedup import track_persist
+
+MERGED_KEY = "__all__"
+
+
+def hll_registers(
+    df: DataFrame, key_expr: str, group_col: str, salt: str = "hll"
+) -> DataFrame:
+    """Per-(group, bucket) HLL registers: ``max`` of rho over the rows
+    hashing into each of the 256 buckets.  Output is tiny (≤ 256 rows
+    per group) and mergeable: ``max`` per bucket across any register
+    tables built with the same salt is the register table of the union
+    of their inputs."""
+    h = phash60(f"concat('{salt}:', cast({key_expr} as string))", "spark")
+    rows = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.expr(h).alias("h"),
+    ).select(
+        group_col,
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(hll_rho(f"(h >> {HLL_P})")).alias("rho"),
+    )
+    return rows.groupBy(group_col, "bucket").agg(F.max("rho").alias("m_j"))
+
+
+def _estimates(regs: DataFrame, group_col: str) -> DataFrame:
+    """Fold register tables into per-group fixed-point harmonic sums and
+    the HLL estimate.  The sum is exact BIGINT arithmetic (Σ 2^(53-M_j)
+    + V·2^53 ≤ 256·2^53), so it is shuffle-order-independent — the one
+    double rounding happens in the final estimate expression."""
+    agg = regs.groupBy(group_col).agg(
+        F.count("*").alias("n_occupied"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_j)")).alias(
+            "sum_occupied"
+        ),
+    )
+    return agg.select(
+        group_col,
+        (F.lit(HLL_M) - F.col("n_occupied")).alias("empty_regs"),
+        (
+            (F.lit(HLL_M) - F.col("n_occupied")).cast("long") * F.lit(HLL_FIX)
+            + F.col("sum_occupied")
+        ).alias("harmonic_fixed"),
+    ).select(
+        group_col,
+        "empty_regs",
+        "harmonic_fixed",
+        F.expr(hll_estimate("harmonic_fixed", "empty_regs")).alias("hll_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_expr: str, group_col: str, salt: str = "hll"
+) -> DataFrame:
+    """Per-group approximate-distinct with exact calibration, plus a
+    merged ``__all__`` row whose registers come from folding the
+    per-group registers (max per bucket) — NOT from rescanning ``df``.
+
+    Columns: group, n_exact, hll_est, abs_err_pct, empty_regs,
+    harmonic_fixed.  The register table is persisted (tracked by
+    ``dedup.release_caches``) because both the per-group and the merged
+    estimate read it; it is ≤ groups × 256 rows."""
+    regs = track_persist(hll_registers(df, key_expr, group_col, salt))
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .withColumn(group_col, F.lit(MERGED_KEY))
+    )
+    est = _estimates(regs.unionByName(merged), group_col)
+
+    per_group = df.groupBy(F.col(group_col).cast("string").alias(group_col)).agg(
+        F.countDistinct(F.expr(key_expr)).alias("n_exact")
+    )
+    overall = df.select(
+        F.lit(MERGED_KEY).alias(group_col),
+        F.expr(key_expr).alias("_k"),
+    ).groupBy(group_col).agg(F.countDistinct("_k").alias("n_exact"))
+    exact = per_group.unionByName(overall)
+
+    return est.join(exact, group_col).select(
+        group_col,
+        "n_exact",
+        "hll_est",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("n_exact"))
+            / F.col("n_exact")
+            * 100,
+            2,
+        ).alias("abs_err_pct"),
+        "empty_regs",
+        "harmonic_fixed",
+    )

@@ -1888,3 +1888,168 @@ FROM est JOIN exact USING (event_type, q)
 
 QUERIES["events_quantile_calibration"] = events_quantile_calibration
 ORACLES["events_quantile_calibration"] = _oracle_quantile_calibration()
+
+
+# ------------------------------------------------- HLL distinct sketch
+
+def events_hll_distinct(spark, sf):
+    """Mergeable HyperLogLog distinct-user sketch per event_type with
+    exact calibration; the __all__ row is estimated from FOLDING the
+    per-group registers (max per bucket), never from rescanning."""
+    from faconne_spark.operators import sketches as SK
+
+    return SK.hll_distinct(T(spark, sf, "events"), "user_id", "event_type")
+
+
+def _oracle_hll() -> str:
+    from faconne_spark.functions import (
+        HLL_FIX,
+        HLL_M,
+        HLL_P,
+        hll_estimate,
+        hll_rho,
+    )
+
+    h = phash60("('hll:' || user_id::VARCHAR)", "duckdb")
+    return f"""
+WITH hashed AS (
+  SELECT event_type::VARCHAR AS event_type, ({h}) AS h FROM events),
+rho_rows AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         {hll_rho(f'(h >> {HLL_P})')} AS rho
+  FROM hashed),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS m_j FROM rho_rows GROUP BY 1, 2),
+allregs AS (
+  SELECT * FROM regs
+  UNION ALL
+  SELECT '__all__' AS event_type, bucket, max(m_j) AS m_j
+  FROM regs GROUP BY bucket),
+agg AS (
+  SELECT event_type,
+         ({HLL_M} - count(*))::BIGINT AS empty_regs,
+         (({HLL_M} - count(*))::BIGINT * {HLL_FIX}
+          + sum(1::BIGINT << (53 - m_j)))::BIGINT AS harmonic_fixed
+  FROM allregs GROUP BY 1),
+exact AS (
+  SELECT event_type::VARCHAR AS event_type,
+         count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__all__', count(DISTINCT user_id)::BIGINT FROM events),
+est AS (
+  SELECT event_type, empty_regs, harmonic_fixed,
+         {hll_estimate('harmonic_fixed', 'empty_regs')} AS hll_est
+  FROM agg)
+SELECT e.event_type, x.n_exact, e.hll_est,
+       round(abs(e.hll_est - x.n_exact) / x.n_exact * 100, 2)
+         AS abs_err_pct,
+       e.empty_regs, e.harmonic_fixed
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
+QUERIES["events_hll_distinct"] = events_hll_distinct
+ORACLES["events_hll_distinct"] = _oracle_hll()
+
+
+# ------------------------------------------------- bloom prefilter
+
+def dedup_bloom_prefilter(spark, sf):
+    """Incremental exact-dedup behind a broadcast Bloom bitmap: the
+    exact verify join's left side is only the bloom survivors."""
+    return D.bloom_prefilter_summary(T(spark, sf, "documents"))
+
+
+def _oracle_bloom() -> str:
+    from faconne_spark.operators.dedup import (
+        BLOOM_BITS_PER,
+        BLOOM_K,
+        BLOOM_P_MAX,
+        BLOOM_P_MIN,
+        NORM_DUCK,
+    )
+
+    from faconne_spark.functions import bit_mask64
+
+    fp_h = phash60(NORM_DUCK, "duckdb")
+    probe_h = phash60("('bf' || i || ':' || fp::VARCHAR)", "duckdb")
+    hist_mask = bit_mask64("pos % 64", "duckdb")
+    probe_mask = bit_mask64("pr.pos % 64", "duckdb")
+    return f"""
+WITH hist AS (
+  SELECT ({fp_h}) AS fp FROM documents WHERE doc_id % 3 != 0),
+n AS (SELECT count(*) AS n_hist FROM hist),
+params AS (
+  SELECT coalesce(
+           list_min(list_filter(range({BLOOM_P_MIN}, {BLOOM_P_MAX + 1}),
+             p -> (1::BIGINT << p) >= {BLOOM_BITS_PER} * n_hist)),
+           {BLOOM_P_MAX}) AS p
+  FROM n),
+ks AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+hist_pos AS (
+  SELECT (({probe_h}) % (1::BIGINT << p)) AS pos
+  FROM hist, ks, params),
+hbits AS (
+  SELECT pos >> 6 AS word, bit_or({hist_mask}) AS bits
+  FROM hist_pos GROUP BY 1),
+inc AS (
+  SELECT doc_id, source, ({fp_h}) AS fp
+  FROM documents WHERE doc_id % 3 = 0),
+probes AS (
+  SELECT doc_id, source, fp, (({probe_h}) % (1::BIGINT << p)) AS pos
+  FROM inc, ks, params),
+hits AS (
+  SELECT pr.doc_id, pr.source, pr.fp,
+         sum(CASE WHEN (hb.bits & ({probe_mask})) != 0
+                  THEN 1 ELSE 0 END) AS n_hits
+  FROM probes pr LEFT JOIN hbits hb ON hb.word = pr.pos >> 6
+  GROUP BY 1, 2, 3),
+passed AS (SELECT * FROM hits WHERE n_hits = {BLOOM_K}),
+pass_cnt AS (
+  SELECT source, count(*)::BIGINT AS n_bloom_pass FROM passed GROUP BY 1),
+dup_cnt AS (
+  SELECT source, count(*)::BIGINT AS n_true_dup
+  FROM passed WHERE fp IN (SELECT fp FROM hist) GROUP BY 1),
+inc_cnt AS (
+  SELECT source, count(*)::BIGINT AS n_incoming FROM inc GROUP BY 1)
+SELECT i.source, i.n_incoming,
+       coalesce(p.n_bloom_pass, 0)::BIGINT AS n_bloom_pass,
+       coalesce(d.n_true_dup, 0)::BIGINT AS n_true_dup,
+       (coalesce(p.n_bloom_pass, 0) - coalesce(d.n_true_dup, 0))::BIGINT
+         AS n_bloom_fp,
+       (i.n_incoming - coalesce(d.n_true_dup, 0))::BIGINT AS n_new
+FROM inc_cnt i
+LEFT JOIN pass_cnt p USING (source)
+LEFT JOIN dup_cnt d USING (source)
+"""
+
+
+QUERIES["dedup_bloom_prefilter"] = dedup_bloom_prefilter
+ORACLES["dedup_bloom_prefilter"] = _oracle_bloom()
+
+
+# ------------------------------------------------- EWMA smoothing
+
+def events_ewma(spark, sf):
+    """Per-user EWMA (α = 0.5) of event values ordered by (ts,
+    event_id) — fold order and literals match the oracle's list_reduce
+    step-for-step, so the IEEE result is bit-identical."""
+    return R.ewma_last(
+        T(spark, sf, "events"), "user_id", ["ts", "event_id"], "value"
+    )
+
+
+ORACLE_EWMA = """
+WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       round(list_reduce(vals, (acc, v) -> acc * 0.5 + v * 0.5), 6) + 0.0
+         AS ewma
+FROM per_user
+"""
+
+QUERIES["events_ewma"] = events_ewma
+ORACLES["events_ewma"] = ORACLE_EWMA

@@ -1349,3 +1349,178 @@ def test_quantile_calibration_matches_python(spark, values):
         assert r["abs_err"] == round(abs(est - exact), 6)
         # binning-error bound: exact lies in the estimate's bin
         assert r["abs_err"] <= (hi - lo + 1) / nb / 1e6 + 1e-6
+
+
+def _phash60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), st.integers(0, 5000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_hll_distinct_matches_python_replay(spark, rows):
+    """Bit-exact Python replay of the HLL pipeline: registers, the
+    fixed-point harmonic sum, empty-register count, linear-counting
+    branch, and the merged __all__ row built by folding per-group
+    registers."""
+    import math
+
+    from faconne_spark.functions import (
+        HLL_ALPHA,
+        HLL_FIX,
+        HLL_M,
+        HLL_P,
+        HLL_RHO_MAX,
+    )
+    from faconne_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    out = {r["g"]: r for r in hll_distinct(df, "k", "g").collect()}
+
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for g, k in rows:
+        h = _phash60_py(f"hll:{k}")
+        b, w = h % HLL_M, h >> HLL_P
+        rho = HLL_RHO_MAX if w == 0 else 1 + (w & -w).bit_length() - 1
+        regs.setdefault(g, {})
+        regs[g][b] = max(regs[g].get(b, 0), rho)
+        exact.setdefault(g, set()).add(k)
+    merged: dict[int, int] = {}
+    for r in regs.values():
+        for b, m in r.items():
+            merged[b] = max(merged.get(b, 0), m)
+    regs["__all__"] = merged
+    exact["__all__"] = set().union(*exact.values())
+
+    assert set(out) == set(regs)
+    for g, r in regs.items():
+        v = HLL_M - len(r)
+        s_fixed = v * HLL_FIX + sum(1 << (53 - m) for m in r.values())
+        raw = (((HLL_ALPHA * float(HLL_M)) * float(HLL_M)) * float(HLL_FIX)) / float(
+            s_fixed
+        )
+        est = (
+            float(HLL_M) * math.log(float(HLL_M) / v)
+            if (raw <= 2.5 * HLL_M and v > 0)
+            else raw
+        )
+        row = out[g]
+        assert row["n_exact"] == len(exact[g])
+        assert row["empty_regs"] == v
+        assert row["harmonic_fixed"] == s_fixed
+        assert math.isclose(row["hll_est"], round(est, 2), abs_tol=0.02), (
+            g,
+            row["hll_est"],
+            est,
+        )
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bloom_prefilter_matches_python_replay(spark, texts):
+    """Full Python replay of the Bloom prefilter: bitmap construction,
+    probe membership, per-source pass/dup/fp/new counts — including the
+    no-false-negative guarantee (every true dup passes the bloom)."""
+    import re
+
+    from faconne_spark.operators.dedup import (
+        BLOOM_K,
+        bloom_p_for,
+        bloom_prefilter_summary,
+    )
+
+    rows = [
+        (i, "s" + str(i % 2), t if t.strip() else "empty")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r["source"]: r for r in bloom_prefilter_summary(df).collect()}
+
+    def fp(text):
+        return _phash60_py(re.sub(r"\s+", " ", text.lower()).strip())
+
+    hist = [fp(t) for i, _, t in rows if i % 3 != 0 for t in [t]]
+    inc = [(s, fp(t)) for i, s, t in rows if i % 3 == 0]
+    if not inc:
+        assert not out
+        return
+    m = 1 << bloom_p_for(len(hist))
+    bits = set()
+    for f in hist:
+        for i in range(BLOOM_K):
+            bits.add(_phash60_py(f"bf{i}:{f}") % m)
+    hist_set = set(hist)
+    expect: dict[str, dict[str, int]] = {}
+    for s, f in inc:
+        e = expect.setdefault(
+            s, {"inc": 0, "pass": 0, "dup": 0}
+        )
+        e["inc"] += 1
+        passed = all(
+            _phash60_py(f"bf{i}:{f}") % m in bits for i in range(BLOOM_K)
+        )
+        if passed:
+            e["pass"] += 1
+            if f in hist_set:
+                e["dup"] += 1
+        else:
+            # bloom guarantee: a miss can never be a true duplicate
+            assert f not in hist_set
+    assert set(out) == set(expect)
+    for s, e in expect.items():
+        r = out[s]
+        assert r["n_incoming"] == e["inc"]
+        assert r["n_bloom_pass"] == e["pass"]
+        assert r["n_true_dup"] == e["dup"]
+        assert r["n_bloom_fp"] == e["pass"] - e["dup"]
+        assert r["n_new"] == e["inc"] - e["dup"]
+
+
+@PROP
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 3)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ewma_matches_python_fold(spark, series):
+    """The EWMA fold is plain IEEE double arithmetic in a pinned order,
+    so a Python replay of acc·0.5 + x·0.5 over the same ordering must
+    agree to the rounding of the final round(·, 6)."""
+    import math
+
+    from faconne_spark.operators.relational import ewma_last
+
+    rows = [(k, i, v) for i, (k, v) in enumerate(series)]
+    df = spark.createDataFrame(rows, "k bigint, o bigint, v double")
+    out = {r["k"]: r for r in ewma_last(df, "k", ["o"], "v").collect()}
+
+    per_key: dict[int, list] = {}
+    for k, o, v in rows:
+        per_key.setdefault(k, []).append((o, v))
+    assert set(out) == set(per_key)
+    for k, vs in per_key.items():
+        vs.sort()
+        acc = vs[0][1]
+        for _, v in vs[1:]:
+            acc = acc * 0.5 + v * 0.5
+        assert out[k]["n_events"] == len(vs)
+        assert math.isclose(out[k]["ewma"], round(acc, 6), abs_tol=1.5e-6)

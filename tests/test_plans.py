@@ -478,3 +478,28 @@ def test_r5_ops_plan_shapes(spark, sf_dir):
         assert "BatchEvalPython" not in p, q.__name__
     p = plan_of(docs_dsir_resample(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_r5b_sketch_ops_plan_shapes(spark, sf_dir):
+    """The sketch wave keeps its promised shapes: HLL register
+    extraction partial-aggs map-side with no Python and no cartesian;
+    the bloom bitmap rides a BroadcastExchange onto the incoming side
+    (never a shuffle join against the raw history); EWMA is one
+    hash aggregation with zero joins and no global sort."""
+    from faconne_spark.queries.curation import (
+        dedup_bloom_prefilter,
+        events_ewma,
+        events_hll_distinct,
+    )
+
+    p = plan_of(events_hll_distinct(spark, sf_dir))
+    assert "partial_" in p
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+    p = plan_of(dedup_bloom_prefilter(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+    p = plan_of(events_ewma(spark, sf_dir))
+    assert "Join" not in p and "SinglePartition" not in p
+    assert "BatchEvalPython" not in p
