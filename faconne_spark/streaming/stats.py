@@ -430,3 +430,80 @@ def cms_topk_from_state(
         .agg(F.sum("cnt").alias("exact"))
     )
     return cms_rank_candidates(vocab, sketch, width, depth, k)
+
+
+# --------------------------------------------- HyperLogLog state
+
+HLL_STATE = "hll_regs"
+
+
+def hll_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    key_expr: str = "user_id",
+    group_col: str = "event_type",
+    salt: str = "hll",
+):
+    """Reduce one micro-batch to its HLL register partial: per-(group,
+    bucket) max-rho rows — registers MERGE BY MAX, so per-epoch partials
+    roll up to exactly the registers of the union of all micro-batches
+    (the sketch's defining property; same idempotency contract as the
+    CMS state: epoch-partitioned dynamic overwrite, write-only epochs).
+
+    The precision p and salt are stamped onto every row so the reader
+    can refuse a mismatched re-read instead of silently merging
+    registers built from a different bucketing."""
+    from faconne_spark.functions import HLL_P
+    from faconne_spark.operators.sketches import hll_registers
+
+    regs = hll_registers(batch_df, key_expr, group_col, salt).select(
+        F.col(group_col).alias("grp"),
+        "bucket",
+        "m_j",
+        F.lit(HLL_P).alias("p"),
+        F.lit(salt).alias("salt"),
+    )
+    (
+        regs.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(os.path.join(state_dir, HLL_STATE))
+    )
+
+
+def hll_distinct_from_state(
+    spark: SparkSession, state_dir: str, salt: str = "hll"
+) -> DataFrame:
+    """Distinct-count estimates off the max-merged cross-epoch
+    registers — the streaming face of
+    :func:`faconne_spark.operators.sketches.hll_distinct`: registers
+    merge by max across epochs AND into the ``__all__`` rollup, and the
+    identical fixed-point estimate expression reads them, so the
+    estimate columns are bit-equal to the batch operator over the union
+    of all micro-batches.  (No ``n_exact`` calibration here: the whole
+    point of the streaming sketch is never materializing the exact
+    distinct set.)"""
+    from faconne_spark.functions import HLL_P
+    from faconne_spark.operators.sketches import MERGED_KEY, _estimates
+
+    raw = _state(spark, state_dir, HLL_STATE)
+    metas = [
+        (r["p"], r["salt"])
+        for r in raw.select("p", "salt").distinct().collect()
+    ]
+    if metas != [(HLL_P, salt)]:
+        raise ValueError(
+            f"hll_distinct_from_state: state at {state_dir!r} was written"
+            f" with (p, salt) {metas}, read with ({HLL_P}, {salt!r})"
+        )
+    regs = raw.groupBy(F.col("grp").alias("grp"), F.col("bucket")).agg(
+        F.max("m_j").alias("m_j")
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .withColumn("grp", F.lit(MERGED_KEY))
+    )
+    return _estimates(regs.unionByName(merged), "grp")

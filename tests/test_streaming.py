@@ -1064,3 +1064,58 @@ def test_streaming_cms_equals_batch(spark, sf_dir, tmp_path):
     for r in cms_topk_from_state(spark, state2, w, d, k).collect():
         if r["tok"] in full_est:
             assert r["est"] == full_est[r["tok"]]
+
+
+def test_streaming_hll_equals_batch(spark, sf_dir, tmp_path):
+    """The cross-epoch max-merged HLL registers yield estimates
+    BIT-EQUAL to the batch operator over the union of the micro-batches
+    (registers merge by max), and a salt/precision mismatch on re-read
+    raises instead of silently merging foreign registers."""
+    import pytest as _pytest
+
+    from faconne_spark.operators.sketches import hll_distinct
+    from faconne_spark.streaming.stats import (
+        hll_distinct_from_state,
+        hll_epoch,
+    )
+
+    sf_tmp = tmp_path / "sf"
+    src = str(sf_tmp / "events.parquet")
+    T(spark, sf_dir, "events").limit(600).repartition(3).write.parquet(src)
+    state = str(tmp_path / "hll_state")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: hll_epoch(df, eid, state)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    epochs = (
+        spark.read.parquet(os.path.join(state, "hll_regs"))
+        .select("epoch").distinct().count()
+    )
+    assert epochs == 3
+
+    want = {
+        r["event_type"]: (r["hll_est"], r["empty_regs"], r["harmonic_fixed"])
+        for r in hll_distinct(
+            spark.read.parquet(src), "user_id", "event_type"
+        ).collect()
+    }
+    got = {
+        r["grp"]: (r["hll_est"], r["empty_regs"], r["harmonic_fixed"])
+        for r in hll_distinct_from_state(spark, state).collect()
+    }
+    assert got == want and "__all__" in got
+
+    with _pytest.raises(ValueError, match="salt"):
+        hll_distinct_from_state(spark, state, salt="other")
