@@ -243,6 +243,7 @@ def main() -> None:
         "events_hll_distinct",
         "dedup_bloom_prefilter",
         "events_ewma",
+        "events_hll_overlap",
     ]
     times = {}
     shuffle = {}

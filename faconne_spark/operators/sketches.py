@@ -125,3 +125,97 @@ def hll_distinct(
         "empty_regs",
         "harmonic_fixed",
     )
+
+
+def hll_overlap(
+    df: DataFrame, key_expr: str, group_col: str, salt: str = "hll"
+) -> DataFrame:
+    """Sketch set-algebra: estimated distinct-key OVERLAP between every
+    pair of groups by inclusion-exclusion over HLL registers —
+    est(A∩B) = est(A) + est(B) − est(A∪B), where the union estimate
+    comes from folding the two groups' registers (max per bucket), the
+    audience-overlap question answered without ever materializing the
+    distinct sets.  An exact overlap count rides along as calibration.
+
+    Scale (100 TB): the input is scanned twice (once for registers,
+    once for the exact calibration — drop the exact side in production
+    and the single scan remains); everything downstream operates on
+    register tables of ≤ groups × 256 rows.  The pair enumeration is
+    groups², intended for small group vocabularies (event types,
+    sources, days); for large vocabularies, restrict to chosen pairs
+    first.  Exact calibration shuffles the distinct (group, key)
+    relation once.
+    """
+    regs = track_persist(hll_registers(df, key_expr, group_col, salt))
+
+    types = regs.select(F.col(group_col).alias("ta")).distinct()
+    pairs = types.crossJoin(
+        types.select(F.col("ta").alias("tb"))
+    ).filter(F.col("ta") < F.col("tb"))
+
+    # per-pair union registers: fold both groups' registers, max/bucket
+    pair_regs = (
+        F.broadcast(pairs)
+        .join(
+            regs,
+            (F.col(group_col) == F.col("ta"))
+            | (F.col(group_col) == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .withColumn("pair_key", F.concat_ws("|", "ta", "tb"))
+    )
+    est_union = _estimates(pair_regs, "pair_key").select(
+        F.col("pair_key"), F.col("hll_est").alias("est_union")
+    )
+    est_each = _estimates(regs, group_col).select(
+        F.col(group_col).alias("t"), F.col("hll_est").alias("est")
+    )
+
+    # exact overlap: distinct (group, key) self-joined on the key
+    gk = df.select(
+        F.col(group_col).cast("string").alias("t"),
+        F.expr(key_expr).alias("k"),
+    ).distinct()
+    exact = (
+        gk.alias("x")
+        .join(gk.alias("y"), "k")
+        .filter(F.col("x.t") < F.col("y.t"))
+        .groupBy(
+            F.col("x.t").alias("ta"), F.col("y.t").alias("tb")
+        )
+        .agg(F.countDistinct("k").alias("n_exact_overlap"))
+    )
+
+    out = (
+        pairs.join(
+            est_each.withColumnRenamed("t", "ta").withColumnRenamed(
+                "est", "est_a"
+            ),
+            "ta",
+        )
+        .join(
+            est_each.withColumnRenamed("t", "tb").withColumnRenamed(
+                "est", "est_b"
+            ),
+            "tb",
+        )
+        .withColumn("pair_key", F.concat_ws("|", "ta", "tb"))
+        .join(est_union, "pair_key")
+        .join(exact, ["ta", "tb"], "left")
+    )
+    return out.select(
+        "ta",
+        "tb",
+        F.coalesce("n_exact_overlap", F.lit(0)).alias("n_exact_overlap"),
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ),
+            2,
+        ).alias("overlap_est"),
+    )

@@ -2053,3 +2053,77 @@ FROM per_user
 
 QUERIES["events_ewma"] = events_ewma
 ORACLES["events_ewma"] = ORACLE_EWMA
+
+
+# ------------------------------------------------- HLL set algebra
+
+def events_hll_overlap(spark, sf):
+    """Distinct-user overlap between every event-type pair by
+    inclusion-exclusion over folded HLL registers, with the exact
+    overlap count as calibration."""
+    from faconne_spark.operators import sketches as SK
+
+    return SK.hll_overlap(T(spark, sf, "events"), "user_id", "event_type")
+
+
+def _oracle_hll_overlap() -> str:
+    from faconne_spark.functions import (
+        HLL_FIX,
+        HLL_M,
+        HLL_P,
+        hll_estimate,
+        hll_rho,
+    )
+
+    h = phash60("('hll:' || user_id::VARCHAR)", "duckdb")
+    agg_body = (
+        f"({HLL_M} - count(*))::BIGINT AS v,"
+        f" (({HLL_M} - count(*))::BIGINT * {HLL_FIX}"
+        f" + sum(1::BIGINT << (53 - m_j)))::BIGINT AS s"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type::VARCHAR AS t, ({h}) AS h FROM events),
+rho_rows AS (
+  SELECT t, h % {HLL_M} AS bucket,
+         {hll_rho(f'(h >> {HLL_P})')} AS rho
+  FROM hashed),
+regs AS (
+  SELECT t, bucket, max(rho) AS m_j FROM rho_rows GROUP BY 1, 2),
+types AS (SELECT DISTINCT t FROM regs),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM types a, types b WHERE a.t < b.t),
+pair_regs AS (
+  SELECT p.ta, p.tb, r.bucket, max(r.m_j) AS m_j
+  FROM pairs p JOIN regs r ON r.t = p.ta OR r.t = p.tb
+  GROUP BY 1, 2, 3),
+agg_union AS (
+  SELECT ta, tb, {agg_body} FROM pair_regs GROUP BY 1, 2),
+est_union AS (
+  SELECT ta, tb, {hll_estimate('s', 'v')} AS est_union FROM agg_union),
+agg_each AS (
+  SELECT t, {agg_body} FROM regs GROUP BY 1),
+est_each AS (
+  SELECT t, {hll_estimate('s', 'v')} AS est FROM agg_each),
+gk AS (
+  SELECT DISTINCT event_type::VARCHAR AS t, user_id AS k FROM events),
+exact AS (
+  SELECT x.t AS ta, y.t AS tb, count(DISTINCT x.k)::BIGINT
+           AS n_exact_overlap
+  FROM gk x JOIN gk y ON x.k = y.k AND x.t < y.t
+  GROUP BY 1, 2)
+SELECT p.ta, p.tb,
+       coalesce(e.n_exact_overlap, 0)::BIGINT AS n_exact_overlap,
+       a.est AS est_a, b.est AS est_b, u.est_union,
+       round(greatest(CAST(0.0 AS DOUBLE),
+                      a.est + b.est - u.est_union), 2) AS overlap_est
+FROM pairs p
+JOIN est_each a ON a.t = p.ta
+JOIN est_each b ON b.t = p.tb
+JOIN est_union u ON u.ta = p.ta AND u.tb = p.tb
+LEFT JOIN exact e ON e.ta = p.ta AND e.tb = p.tb
+"""
+
+
+QUERIES["events_hll_overlap"] = events_hll_overlap
+ORACLES["events_hll_overlap"] = _oracle_hll_overlap()

@@ -1524,3 +1524,66 @@ def test_ewma_matches_python_fold(spark, series):
             acc = acc * 0.5 + v * 0.5
         assert out[k]["n_events"] == len(vs)
         assert math.isclose(out[k]["ewma"], round(acc, 6), abs_tol=1.5e-6)
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), st.integers(0, 300)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_hll_overlap_matches_python_replay(spark, rows):
+    """Inclusion-exclusion over folded registers, replayed bit-for-bit
+    in Python: per-pair union registers are max-folds of the per-group
+    ones, and the exact overlap calibration matches set intersection."""
+    import math
+
+    from faconne_spark.functions import HLL_ALPHA, HLL_FIX, HLL_M, HLL_P, HLL_RHO_MAX
+    from faconne_spark.operators.sketches import hll_overlap
+
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    out = {
+        (r["ta"], r["tb"]): r for r in hll_overlap(df, "k", "g").collect()
+    }
+
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for g, k in rows:
+        h = _phash60_py(f"hll:{k}")
+        b, w = h % HLL_M, h >> HLL_P
+        rho = HLL_RHO_MAX if w == 0 else (w & -w).bit_length()
+        regs.setdefault(g, {})
+        regs[g][b] = max(regs[g].get(b, 0), rho)
+        exact.setdefault(g, set()).add(k)
+
+    def est(r: dict[int, int]) -> float:
+        v = HLL_M - len(r)
+        s = v * HLL_FIX + sum(1 << (53 - m) for m in r.values())
+        raw = (((HLL_ALPHA * float(HLL_M)) * float(HLL_M)) * float(HLL_FIX)) / float(s)
+        e = (
+            float(HLL_M) * math.log(float(HLL_M) / v)
+            if (raw <= 2.5 * HLL_M and v > 0)
+            else raw
+        )
+        return round(e, 2)
+
+    gs = sorted(regs)
+    want_pairs = {
+        (a, b) for i, a in enumerate(gs) for b in gs[i + 1:]
+    }
+    assert set(out) == want_pairs
+    for a, b in want_pairs:
+        union = dict(regs[a])
+        for bk, m in regs[b].items():
+            union[bk] = max(union.get(bk, 0), m)
+        ea, eb, eu = est(regs[a]), est(regs[b]), est(union)
+        row = out[(a, b)]
+        assert row["n_exact_overlap"] == len(exact[a] & exact[b])
+        assert math.isclose(row["est_a"], ea, abs_tol=0.02)
+        assert math.isclose(row["est_b"], eb, abs_tol=0.02)
+        assert math.isclose(row["est_union"], eu, abs_tol=0.02)
+        assert math.isclose(
+            row["overlap_est"], round(max(0.0, ea + eb - eu), 2), abs_tol=0.05
+        )

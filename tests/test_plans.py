@@ -503,3 +503,16 @@ def test_r5b_sketch_ops_plan_shapes(spark, sf_dir):
     p = plan_of(events_ewma(spark, sf_dir))
     assert "Join" not in p and "SinglePartition" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_hll_overlap_joins_only_register_tables(spark, sf_dir):
+    """The overlap estimate's joins run over register/pair tables (≤
+    groups×256 rows) — no cartesian over the events input, no Python."""
+    from faconne_spark.queries.curation import events_hll_overlap
+
+    p = plan_of(events_hll_overlap(spark, sf_dir))
+    assert "BatchEvalPython" not in p
+    # the pair enumeration is the one intentional nested-loop join,
+    # and it must ride a broadcast of the tiny pair relation
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_" in p
