@@ -244,6 +244,7 @@ def main() -> None:
         "dedup_bloom_prefilter",
         "events_ewma",
         "events_hll_overlap",
+        "mm_image_ahash",
     ]
     times = {}
     shuffle = {}

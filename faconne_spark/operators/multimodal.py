@@ -585,3 +585,109 @@ def extract_audio_stats(
             yield pd.DataFrame(out)
 
     return wav.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+# --------------------------------------------------------- perceptual hash
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash64", LongType()),
+    ]
+)
+
+
+def ahash64_real(payload: bytes) -> tuple:
+    """REAL average-hash of a BMP payload: 8×8 nearest-neighbour grid
+    over the decoded 24 bpp pixel array, per-cell luma = B+G+R (integer
+    sum — no division, so the cross-engine replay is exact), bit g set
+    iff 64·luma(g) > Σluma (strict).  Grid rows follow STORED row order
+    (bottom-up BMPs are not flipped): dedup only needs a deterministic
+    content hash, and keeping storage order makes the closed-form
+    oracle replay exact.  Returns (width, height, signed-64-bit hash).
+    """
+    w, h, stride, px = bmp_pixels(payload)
+    lumas = []
+    for g in range(64):
+        sy = ((g // 8) * h) // 8
+        sx = ((g % 8) * w) // 8
+        o = sy * stride + 3 * sx
+        lumas.append(px[o] + px[o + 1] + px[o + 2])
+    total = sum(lumas)
+    hv = 0
+    for g, lum in enumerate(lumas):
+        if 64 * lum > total:
+            hv |= 1 << g
+    if hv >= 1 << 63:
+        hv -= 1 << 64  # two's-complement wrap: BIGINT storage
+    return w, h, hv
+
+
+def extract_image_ahash(media: DataFrame) -> DataFrame:
+    """Arrow-batched aHash extraction over a binary media column
+    (image/bmp rows only — push the type predicate down before decode).
+
+    Scale (100 TB): map-only — no shuffle; the decode is the same
+    Pandas-UDF batch shape as the other codecs, and the output is one
+    16-byte-ish row per image, the relation every downstream near-dup
+    join operates on INSTEAD of the payload bytes."""
+    imgs = media.filter(F.col("media_type") == "image/bmp")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, hvs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, hv = ahash64_real(bytes(payload))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                hvs.append(hv)
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "ahash64": hvs}
+            )
+
+    return imgs.select("doc_id", "payload").mapInPandas(batches, AHASH_SCHEMA)
+
+
+def image_ahash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from aHash banding: the 64-bit hash
+    splits into 4 × 16-bit bands; by pigeonhole, any pair within
+    hamming ≤ 3 shares at least one intact band, so the candidate join
+    is band-equality (never all-pairs), then the exact hamming filter.
+
+    Scale (100 TB): identical shape to the SimHash text path — the
+    shuffle key is (band index, band value); hot bands (e.g. uniform
+    thumbnails) are the usual skew story, bounded by AQE skew-join."""
+    banded = hashes.select(
+        "doc_id",
+        "ahash64",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(b),
+                        F.expr(f"(ahash64 >> {16 * b}) & 65535"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.ahash64 ^ b.ahash64)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -2367,3 +2367,66 @@ GROUP BY status
 
 QUERIES["corpus_snapshot_diff"] = corpus_snapshot_diff
 ORACLES["corpus_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+
+
+# ------------------------------------------------- perceptual image hash
+
+def mm_image_ahash(spark, sf):
+    """REAL average-hash over decoded BMP pixels (8×8 grid, integer
+    luma sums, strict-majority bits — operators.multimodal.ahash64_real);
+    the oracle replays the hash closed-form from md5(text) because every
+    payload byte is the tiled digest (media_payload), so the gate
+    verifies the decode+hash bit-for-bit.  The near-dup banding join
+    over these hashes is pytest-verified with constructed near-dups
+    (image_ahash_pairs)."""
+    docs = T(spark, sf, "documents")
+    return MM.extract_image_ahash(
+        MM.synthesize_media(docs, ["image/bmp"])
+    )
+
+
+def _oracle_mm_ahash() -> str:
+    from faconne_spark.functions import bit_mask64
+
+    # digest byte i of md5(text), as a DuckDB lambda over i
+    dig = (
+        "list_transform(range(0, 16), i ->"
+        " (strpos('0123456789abcdef', substr(hx, (2 * i + 1)::INTEGER, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(hx, (2 * i + 2)::INTEGER, 1)) - 1)"
+    )
+    # byte offset of grid cell g's first (B) channel in the stored
+    # pixel array: sy·stride + 3·sx with sy = ((g//8)·h)//8,
+    # sx = ((g%8)·w)//8 — matches ahash64_real exactly
+    off = "((((g // 8) * h) // 8) * stride + 3 * (((g % 8) * w) // 8))"
+    luma = (
+        f"d[(({off}) % 16) + 1]"
+        f" + d[((({off}) + 1) % 16) + 1]"
+        f" + d[((({off}) + 2) % 16) + 1]"
+    )
+    mask = bit_mask64("g", "duckdb")
+    return f"""
+WITH img AS (
+  SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 0),
+digest AS (
+  SELECT doc_id, {dig} AS d FROM img),
+geom AS (
+  SELECT doc_id, d,
+         (8 + (d[1] % 24)) AS w, (8 + (d[2] % 24)) AS h,
+         ((3 * (8 + (d[1] % 24)) + 3) // 4 * 4) AS stride
+  FROM digest),
+lum AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, 64), g -> {luma}) AS ls
+  FROM geom),
+tot AS (
+  SELECT doc_id, w, h, ls, list_sum(ls) AS total FROM lum)
+SELECT doc_id, w::INTEGER AS width, h::INTEGER AS height,
+       list_sum(list_transform(range(0, 64), g ->
+         CASE WHEN 64 * ls[(g + 1)::INTEGER] > total
+              THEN {mask} ELSE 0 END))::BIGINT AS ahash64
+FROM tot
+"""
+
+
+QUERIES["mm_image_ahash"] = mm_image_ahash
+ORACLES["mm_image_ahash"] = _oracle_mm_ahash()

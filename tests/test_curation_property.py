@@ -1587,3 +1587,53 @@ def test_hll_overlap_matches_python_replay(spark, rows):
         assert math.isclose(
             row["overlap_est"], round(max(0.0, ea + eb - eu), 2), abs_tol=0.05
         )
+
+
+def test_image_ahash_pairs_finds_constructed_near_dups(spark):
+    """Banded aHash joins find a pair that differs in one sampled grid
+    cell (hamming ≤ 3 shares a band by pigeonhole), and never pair an
+    inverted image (every band differs)."""
+    from faconne_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ahash64_real,
+        bmp_encode,
+        bmp_row_stride,
+        extract_image_ahash,
+        image_ahash_pairs,
+    )
+
+    w = h = 16
+    stride = bmp_row_stride(w)
+
+    def img(bright_cols, flip_cell=None):
+        px = bytearray(h * stride)
+        for y in range(h):
+            for x in range(w):
+                v = 200 if x in bright_cols else 10
+                o = y * stride + 3 * x
+                px[o:o + 3] = bytes([v, v, v])
+        if flip_cell is not None:
+            # darken exactly the pixel the (0, 0) grid cell samples
+            o = 0
+            px[o:o + 3] = bytes([10, 10, 10])
+        return bmp_encode(w, h, bytes(px))
+
+    bright_half = set(range(w // 2))
+    a = img(bright_half)
+    b = img(bright_half, flip_cell=(0, 0))
+    c = img(set(range(w // 2, w)))  # inverted contrast
+
+    df = spark.createDataFrame(
+        [(1, bytearray(a), "image/bmp"), (2, bytearray(b), "image/bmp"),
+         (3, bytearray(c), "image/bmp")],
+        MEDIA_SCHEMA,
+    )
+    hashes = extract_image_ahash(df)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in image_ahash_pairs(hashes, max_hamming=3).collect()}
+
+    ha, hb, hc = (ahash64_real(p)[2] for p in (a, b, c))
+    want_ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+    assert 1 <= want_ham <= 3
+    assert got == {(1, 2): want_ham}
+    assert bin((ha ^ hc) & ((1 << 64) - 1)).count("1") > 32
