@@ -245,6 +245,7 @@ def main() -> None:
         "events_ewma",
         "events_hll_overlap",
         "mm_image_ahash",
+        "mm_audio_resample",
     ]
     times = {}
     shuffle = {}

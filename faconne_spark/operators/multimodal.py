@@ -691,3 +691,77 @@ def image_ahash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------- audio resample
+
+RESAMPLE_OUT = 32  # fixed output length (training-window normalization)
+RESAMPLE_Q = 256   # fixed-point interpolation denominator
+
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_in", LongType()),
+        StructField("n_out", LongType()),
+        StructField("sum_abs_resampled", LongType()),
+        StructField("peak_resampled", LongType()),
+    ]
+)
+
+
+def resample_pcm16_real(pcm: bytes, out_n: int = RESAMPLE_OUT) -> list:
+    """REAL linear-interpolation resample of a PCM16 mono stream to a
+    fixed ``out_n`` samples — the length-normalization step before
+    audio featurization.  ALL arithmetic is integer fixed-point
+    (Q = 256) on the bias-shifted unsigned value u = s + 32768, so
+    every intermediate is non-negative and truncating division equals
+    floor in any engine — the property that lets the DuckDB oracle
+    replay the resample bit-for-bit.  Returns the signed samples."""
+    n = len(pcm) // 2
+    if n == 0:
+        return []
+    u = [
+        (pcm[2 * i] + 256 * pcm[2 * i + 1] + 32768) % 65536
+        for i in range(n)
+    ]
+    if n == 1:
+        return [u[0] - 32768] * out_n
+    q = RESAMPLE_Q
+    out = []
+    for j in range(out_n):
+        pos = j * (n - 1) * q // (out_n - 1)
+        i0, frac = pos // q, pos % q
+        i1 = min(i0 + 1, n - 1)
+        out.append((u[i0] * (q - frac) + u[i1] * frac) // q - 32768)
+    return out
+
+
+def extract_audio_resample(media: DataFrame) -> DataFrame:
+    """Arrow-batched fixed-length resample over WAV rows: per clip the
+    real RIFF chunk walk + PCM16 decode + integer linear interp, then
+    the summary features downstream samplers key on (Σ|s|, peak).
+
+    Scale (100 TB): map-only, no shuffle; the payload never leaves the
+    Arrow batch — only the fixed-width feature row does."""
+    wavs = media.filter(F.col("media_type") == "audio/wav")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "n_in", "n_out", "sum_abs_resampled",
+                "peak_resampled")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = wav_pcm(bytes(payload))
+                out = resample_pcm16_real(pcm)
+                rows["doc_id"].append(doc_id)
+                rows["n_in"].append(len(pcm) // 2)
+                rows["n_out"].append(len(out))
+                rows["sum_abs_resampled"].append(sum(abs(v) for v in out))
+                rows["peak_resampled"].append(
+                    max((abs(v) for v in out), default=0)
+                )
+            yield pd.DataFrame(rows)
+
+    return wavs.select("doc_id", "payload").mapInPandas(
+        batches, AUDIO_RESAMPLE_SCHEMA
+    )

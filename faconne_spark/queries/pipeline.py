@@ -2430,3 +2430,62 @@ FROM tot
 
 QUERIES["mm_image_ahash"] = mm_image_ahash
 ORACLES["mm_image_ahash"] = _oracle_mm_ahash()
+
+
+# ------------------------------------------------- audio resample
+
+def mm_audio_resample(spark, sf):
+    """REAL fixed-length PCM16 resample (RIFF walk → integer linear
+    interp, operators.multimodal.resample_pcm16_real); the oracle
+    replays sample values closed-form from md5(text) because the PCM
+    stream is the tiled digest — the whole decode+interp chain is
+    verified bit-for-bit."""
+    docs = T(spark, sf, "documents")
+    return MM.extract_audio_resample(
+        MM.synthesize_media(docs, ["audio/wav"])
+    )
+
+
+def _oracle_mm_resample() -> str:
+    from faconne_spark.operators.multimodal import RESAMPLE_OUT, RESAMPLE_Q
+
+    q, out_n = RESAMPLE_Q, RESAMPLE_OUT
+    dig = (
+        "list_transform(range(0, 16), i ->"
+        " (strpos('0123456789abcdef', substr(hx, (2 * i + 1)::INTEGER, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(hx, (2 * i + 2)::INTEGER, 1)) - 1)"
+    )
+    # bias-shifted unsigned sample i of the tiled-digest PCM stream
+    us = (
+        "list_transform(range(0, n), i ->"
+        " (d[((2 * i) % 16) + 1] + 256 * d[((2 * i + 1) % 16) + 1]"
+        " + 32768) % 65536)"
+    )
+    pos = f"((j * (n - 1) * {q}) // {out_n - 1})"
+    i0 = f"({pos} // {q})"
+    frac = f"({pos} % {q})"
+    i1 = f"least({i0} + 1, n - 1)"
+    val = (
+        f"(((us[{i0} + 1] * ({q} - {frac})) + (us[{i1} + 1] * {frac}))"
+        f" // {q} - 32768)"
+    )
+    return f"""
+WITH wav AS (
+  SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 1),
+digest AS (
+  SELECT doc_id, {dig} AS d FROM wav),
+geom AS (
+  SELECT doc_id, d, (16 + (d[3] % 48)) AS n FROM digest),
+samples AS (
+  SELECT doc_id, n, {us} AS us FROM geom)
+SELECT doc_id, n::BIGINT AS n_in, {out_n}::BIGINT AS n_out,
+       list_sum(list_transform(range(0, {out_n}), j -> abs({val})))::BIGINT
+         AS sum_abs_resampled,
+       list_max(list_transform(range(0, {out_n}), j -> abs({val})))::BIGINT
+         AS peak_resampled
+FROM samples
+"""
+
+
+QUERIES["mm_audio_resample"] = mm_audio_resample
+ORACLES["mm_audio_resample"] = _oracle_mm_resample()

@@ -1637,3 +1637,34 @@ def test_image_ahash_pairs_finds_constructed_near_dups(spark):
     assert 1 <= want_ham <= 3
     assert got == {(1, 2): want_ham}
     assert bin((ha ^ hc) & ((1 << 64) - 1)).count("1") > 32
+
+
+@PROP
+@given(
+    samples=st.lists(
+        st.integers(-32768, 32767), min_size=1, max_size=90
+    )
+)
+def test_pcm_resample_invariants(spark, samples):
+    """Linear-interp resample invariants: a stream already at the
+    target length returns EXACTLY its samples (identity); any output
+    sample lies within [min, max] of the input (interpolation never
+    overshoots); constant streams stay constant."""
+    import struct
+
+    from faconne_spark.operators.multimodal import (
+        RESAMPLE_OUT,
+        resample_pcm16_real,
+    )
+
+    pcm = struct.pack("<%dh" % len(samples), *samples)
+    out = resample_pcm16_real(pcm)
+    assert len(out) == RESAMPLE_OUT
+    lo, hi = min(samples), max(samples)
+    assert all(lo <= v <= hi for v in out)
+    if len(samples) == RESAMPLE_OUT:
+        assert out == samples
+    if lo == hi:
+        assert set(out) == {lo}
+    # endpoints are exact in every case
+    assert out[0] == samples[0] and out[-1] == samples[-1]
