@@ -246,6 +246,7 @@ def main() -> None:
         "events_hll_overlap",
         "mm_image_ahash",
         "mm_audio_resample",
+        "events_cusum_drift",
     ]
     times = {}
     shuffle = {}

@@ -609,3 +609,71 @@ def ewma_last(
             (F.round(F.expr(fold), 6) + F.lit(0.0)).alias("ewma"),
         )
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    value_col: str,
+    k_scale: float = 0.5,
+    h_scale: float = 5.0,
+) -> DataFrame:
+    """Per-group CUSUM drift detection (Page 1954) on a robust
+    median/MAD basis: slack k = k_scale·MAD, threshold h = h_scale·MAD.
+
+    The recursive chart s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ−med) − k) is computed
+    CLOSED-FORM as prefix-sum minus running-prefix-minimum
+    (s⁺ₜ = cₜ − min(0, min_{j≤t} cⱼ)) — two window functions, no fold,
+    so both engines accumulate in the identical row order and the
+    doubles are bit-identical.  Mirrored for the downward chart.
+
+    Scale (100 TB): the windows partition by the entity key (per-key
+    streams sort inside their shuffle partition — no global sort, no
+    single-partition window); the median/MAD passes are the
+    low-cardinality-key three-scan pipeline of :func:`mad_outliers`.
+    """
+    med = df.groupBy(key).agg(
+        F.round(F.expr(f"median({value_col})"), 6).alias("med")
+    )
+    dev = df.join(F.broadcast(med), key).withColumn(
+        "_dev", F.round(F.abs(F.round(F.col(value_col), 6) - F.col("med")), 6)
+    )
+    mad = dev.groupBy(key).agg(
+        F.round(F.expr("median(_dev)"), 6).alias("mad")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ks, hs = repr(float(k_scale)), repr(float(h_scale))
+    scored = (
+        dev.join(F.broadcast(mad), key)
+        .withColumn("_z", F.round(F.col(value_col), 6) - F.col("med"))
+        .withColumn("_cp", F.sum(F.expr(f"_z - {ks} * mad")).over(w))
+        .withColumn("_cn", F.sum(F.expr(f"-_z - {ks} * mad")).over(w))
+        .withColumn(
+            "_sp", F.col("_cp") - F.least(F.min("_cp").over(w), F.lit(0.0))
+        )
+        .withColumn(
+            "_sn", F.col("_cn") - F.least(F.min("_cn").over(w), F.lit(0.0))
+        )
+    )
+    return scored.groupBy(key).agg(
+        F.count("*").alias("n_events"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        (F.round(F.max("_sp"), 6) + F.lit(0.0)).alias("max_cusum_pos"),
+        (F.round(F.max("_sn"), 6) + F.lit(0.0)).alias("max_cusum_neg"),
+        F.sum(
+            F.when(
+                F.round("_sp", 6) > F.round(F.expr(f"{hs} * mad"), 6), 1
+            ).otherwise(0)
+        ).alias("n_alarms_pos"),
+        F.sum(
+            F.when(
+                F.round("_sn", 6) > F.round(F.expr(f"{hs} * mad"), 6), 1
+            ).otherwise(0)
+        ).alias("n_alarms_neg"),
+    )

@@ -2127,3 +2127,58 @@ LEFT JOIN exact e ON e.ta = p.ta AND e.tb = p.tb
 
 QUERIES["events_hll_overlap"] = events_hll_overlap
 ORACLES["events_hll_overlap"] = _oracle_hll_overlap()
+
+
+# ------------------------------------------------- CUSUM drift
+
+def events_cusum_drift(spark, sf):
+    """Per-type CUSUM drift charts on a median/MAD basis, computed
+    closed-form as prefix-sum minus running-minimum (both engines
+    accumulate in the identical (ts, event_id) order)."""
+    return R.cusum_drift(
+        T(spark, sf, "events"), "event_type", ["ts", "event_id"], "value"
+    )
+
+
+def _oracle_cusum() -> str:
+    # the running-minimum window must ride the SAME (ts, event_id)
+    # order as the prefix sum — build both in one windowed pass
+    return """
+WITH med AS (
+  SELECT event_type, round(median(value), 6) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, e.ts, e.event_id, e.value, m.med,
+         round(abs(round(e.value, 6) - m.med), 6) AS dv
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, round(median(dv), 6) AS mad FROM dev GROUP BY 1),
+c AS (
+  SELECT d.event_type, d.ts, d.event_id, d.med, a.mad,
+         sum(round(d.value, 6) - d.med - 0.5 * a.mad) OVER w AS cp,
+         sum(-(round(d.value, 6) - d.med) - 0.5 * a.mad) OVER w AS cn
+  FROM dev d JOIN mad a USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.ts, d.event_id
+               ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT event_type, med, mad,
+         cp - least(min(cp) OVER w, 0.0) AS sp,
+         cn - least(min(cn) OVER w, 0.0) AS sn
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING))
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       max(med) AS med, max(mad) AS mad,
+       round(max(sp), 6) + 0.0 AS max_cusum_pos,
+       round(max(sn), 6) + 0.0 AS max_cusum_neg,
+       sum(CASE WHEN round(sp, 6) > round(5.0 * mad, 6)
+                THEN 1 ELSE 0 END)::BIGINT AS n_alarms_pos,
+       sum(CASE WHEN round(sn, 6) > round(5.0 * mad, 6)
+                THEN 1 ELSE 0 END)::BIGINT AS n_alarms_neg
+FROM s GROUP BY event_type
+"""
+
+
+QUERIES["events_cusum_drift"] = events_cusum_drift
+ORACLES["events_cusum_drift"] = _oracle_cusum()

@@ -1668,3 +1668,58 @@ def test_pcm_resample_invariants(spark, samples):
         assert set(out) == {lo}
     # endpoints are exact in every case
     assert out[0] == samples[0] and out[-1] == samples[-1]
+
+
+@PROP
+@given(
+    series=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_cusum_drift_matches_python_replay(spark, series):
+    """The prefix-sum/running-min closed form equals the recursive
+    CUSUM definition sₜ = max(0, sₜ₋₁ + step) replayed in Python, on
+    the same median/MAD basis."""
+    import math
+    import statistics
+
+    from faconne_spark.operators.relational import cusum_drift
+
+    rows = [(k, i, v) for i, (k, v) in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, o bigint, v double")
+    out = {r["k"]: r for r in cusum_drift(df, "k", ["o"], "v").collect()}
+
+    per_key: dict[str, list] = {}
+    for k, o, v in rows:
+        per_key.setdefault(k, []).append(v)
+    assert set(out) == set(per_key)
+    for k, vs in per_key.items():
+        med = round(statistics.median(vs), 6)
+        dv = [round(abs(round(v, 6) - med), 6) for v in vs]
+        mad = round(statistics.median(dv), 6)
+        sp = sn = 0.0
+        max_sp = max_sn = 0.0
+        alarms_p = alarms_n = 0
+        h = round(5.0 * mad, 6)
+        for v in vs:
+            z = round(v, 6) - med
+            sp = max(0.0, sp + z - 0.5 * mad)
+            sn = max(0.0, sn - z - 0.5 * mad)
+            max_sp, max_sn = max(max_sp, sp), max(max_sn, sn)
+            if round(sp, 6) > h:
+                alarms_p += 1
+            if round(sn, 6) > h:
+                alarms_n += 1
+        r = out[k]
+        assert r["n_events"] == len(vs)
+        assert math.isclose(r["med"], med, abs_tol=1e-9)
+        assert math.isclose(r["mad"], mad, abs_tol=1e-9)
+        assert math.isclose(r["max_cusum_pos"], round(max_sp, 6), abs_tol=1e-5)
+        assert math.isclose(r["max_cusum_neg"], round(max_sn, 6), abs_tol=1e-5)
+        assert r["n_alarms_pos"] == alarms_p
+        assert r["n_alarms_neg"] == alarms_n

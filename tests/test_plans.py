@@ -516,3 +516,14 @@ def test_hll_overlap_joins_only_register_tables(spark, sf_dir):
     # and it must ride a broadcast of the tiny pair relation
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "partial_" in p
+
+
+def test_cusum_windows_partition_by_key(spark, sf_dir):
+    """Both CUSUM windows ride the entity-key partitioning — no
+    single-partition window, no Python, no cartesian."""
+    from faconne_spark.queries.curation import events_cusum_drift
+
+    p = plan_of(events_cusum_drift(spark, sf_dir))
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # median/MAD ride broadcasts
