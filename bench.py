@@ -247,6 +247,8 @@ def main() -> None:
         "mm_image_ahash",
         "mm_audio_resample",
         "events_cusum_drift",
+        "docs_split_leakage",
+        "embed_matryoshka_recall",
     ]
     times = {}
     shuffle = {}

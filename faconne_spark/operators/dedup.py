@@ -1112,3 +1112,50 @@ def bloom_prefilter_summary(
             ),
         )
     )
+
+
+# ------------------------------------------------------- split hygiene
+
+SPLIT_MOD = 10  # hash-deciles: 0 → test, 1 → val, 2-9 → train
+
+
+def split_expr(dialect: str) -> str:
+    """Deterministic train/val/test assignment by content-independent
+    id hash (stable under re-partitioning and re-runs — the property
+    random() splits lack)."""
+    if dialect == "spark":
+        h = phash60("concat('split:', cast(doc_id as string))", "spark")
+    else:
+        h = phash60("('split:' || doc_id::VARCHAR)", "duckdb")
+    return (
+        f"CASE ({h}) % {SPLIT_MOD} WHEN 0 THEN 'test' WHEN 1 THEN 'val'"
+        f" ELSE 'train' END"
+    )
+
+
+def split_leakage_summary(docs: DataFrame) -> DataFrame:
+    """Per-split sizes + cross-split LEAKAGE: documents whose
+    normalized-text fingerprint also appears in a DIFFERENT split (the
+    eval-contamination bug a dedup pass must catch before training).
+
+    Scale (100 TB): one fingerprint groupBy (map-side combined) builds
+    the per-fingerprint split profile; the classify join keys on the
+    fingerprint — the same asymptotics as exact dedup.  No distinct
+    sets are ever collected."""
+    fps = docs.select(
+        F.expr(split_expr("spark")).alias("split"),
+        F.expr(phash60(NORM, "spark")).alias("fp"),
+    )
+    profile = fps.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    return (
+        fps.join(profile, "fp")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_splits") >= 2, 1).otherwise(0)).alias(
+                "n_leaked_docs"
+            ),
+        )
+    )

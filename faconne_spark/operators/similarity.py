@@ -703,3 +703,56 @@ def pca_project(corpus: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
     return spread(corpus).select(
         "vec_id", F.expr(proj).alias("components")
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame, dims=(8, 16, 32, 64), k: int = 10, nq: int = 20
+) -> DataFrame:
+    """Dimension-ablation gauge for matryoshka-style embeddings: for
+    each truncation width d, recall@k of brute-force search over the
+    FIRST d dimensions against the full-width ground truth — the
+    evaluation that decides how far vectors can be truncated (and
+    storage/compute cut) before retrieval quality drops.
+
+    The mean recall is computed in integers (Σ hits / (n_queries·k),
+    one final division) so no float summation order exists.
+
+    Scale (100 TB): ground truth is computed once and persisted; each
+    ablation is the standard broadcast-queries brute scan (no corpus
+    shuffle).  Like every brute-force gauge here, run it on a query
+    SAMPLE — the index path (IVF/PQ) serves production traffic."""
+    from faconne_spark.operators.dedup import track_persist
+
+    queries = emb.filter(F.col("vec_id") < nq)
+    truth = track_persist(
+        cosine_topk(emb, queries, k).select("q_id", "vec_id")
+    )
+    out = None
+    for d in dims:
+        trunc = f"slice(embedding, 1, {d})"
+        emb_d = emb.withColumn("embedding", F.expr(trunc))
+        q_d = queries.withColumn("embedding", F.expr(trunc))
+        approx = cosine_topk(emb_d, q_d, k).select(
+            "q_id", F.col("vec_id").alias("a_id")
+        )
+        j = truth.join(
+            approx,
+            (truth.q_id == approx.q_id) & (truth.vec_id == approx.a_id),
+            "left",
+        ).select(truth.q_id, "a_id")
+        summary = j.agg(
+            F.lit(d).alias("dim"),
+            F.countDistinct("q_id").alias("n_queries"),
+            F.sum(
+                F.when(F.col("a_id").isNotNull(), 1).otherwise(0)
+            ).alias("sum_hits"),
+        ).select(
+            "dim",
+            "n_queries",
+            "sum_hits",
+            F.round(
+                F.col("sum_hits") / (F.col("n_queries") * k), 6
+            ).alias("mean_recall"),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out

@@ -2182,3 +2182,34 @@ FROM s GROUP BY event_type
 
 QUERIES["events_cusum_drift"] = events_cusum_drift
 ORACLES["events_cusum_drift"] = _oracle_cusum()
+
+
+# ------------------------------------------------- split leakage
+
+def docs_split_leakage(spark, sf):
+    """Deterministic hash train/val/test split + cross-split duplicate
+    leakage audit (the eval-contamination gate before training)."""
+    return D.split_leakage_summary(T(spark, sf, "documents"))
+
+
+def _oracle_split_leakage() -> str:
+    from faconne_spark.operators.dedup import NORM_DUCK, split_expr
+
+    return f"""
+WITH fps AS (
+  SELECT {split_expr('duckdb')} AS split,
+         ({phash60(NORM_DUCK, 'duckdb')}) AS fp
+  FROM documents),
+profile AS (
+  SELECT fp, count(DISTINCT split) AS n_splits FROM fps GROUP BY fp)
+SELECT f.split,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN p.n_splits >= 2 THEN 1 ELSE 0 END)::BIGINT
+         AS n_leaked_docs
+FROM fps f JOIN profile p USING (fp)
+GROUP BY f.split
+"""
+
+
+QUERIES["docs_split_leakage"] = docs_split_leakage
+ORACLES["docs_split_leakage"] = _oracle_split_leakage()

@@ -2489,3 +2489,48 @@ FROM samples
 
 QUERIES["mm_audio_resample"] = mm_audio_resample
 ORACLES["mm_audio_resample"] = _oracle_mm_resample()
+
+
+# ------------------------------------------------- matryoshka ablation
+
+MAT_DIMS = (8, 16, 32, 64)
+
+
+def embed_matryoshka_recall(spark, sf):
+    """Truncated-prefix retrieval quality vs full-width ground truth:
+    recall@k per truncation width (similarity.matryoshka_recall)."""
+    return S.matryoshka_recall(
+        T(spark, sf, "embeddings"), MAT_DIMS, ANN_K, ANN_NQ
+    )
+
+
+def _oracle_matryoshka() -> str:
+    def topk(d):
+        ce, qe = f"(c.embedding[1:{d}])", f"(q.embedding[1:{d}])"
+        cs = cosine_sim(ce, qe, "duckdb")
+        return f"""
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({cs}, 6) DESC, c.vec_id) AS rk
+    FROM embeddings c
+    JOIN embeddings q ON q.vec_id < {ANN_NQ} AND c.vec_id != q.vec_id)
+  WHERE rk <= {ANN_K}"""
+
+    blocks, selects = [], []
+    blocks.append(f"truth AS ({topk(64)})")
+    for d in MAT_DIMS:
+        blocks.append(f"t{d} AS ({topk(d)})")
+        selects.append(f"""
+SELECT {d} AS dim, count(DISTINCT t.q_id)::BIGINT AS n_queries,
+       sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS sum_hits,
+       round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / (count(DISTINCT t.q_id) * {ANN_K}), 6) AS mean_recall
+FROM truth t LEFT JOIN t{d} a ON a.q_id = t.q_id AND a.vec_id = t.vec_id""")
+    return "WITH " + ",\n".join(blocks) + "\nUNION ALL".join(selects)
+
+
+QUERIES["embed_matryoshka_recall"] = embed_matryoshka_recall
+ORACLES["embed_matryoshka_recall"] = _oracle_matryoshka()

@@ -1723,3 +1723,81 @@ def test_cusum_drift_matches_python_replay(spark, series):
         assert math.isclose(r["max_cusum_neg"], round(max_sn, 6), abs_tol=1e-5)
         assert r["n_alarms_pos"] == alarms_p
         assert r["n_alarms_neg"] == alarms_n
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy z", min_size=1, max_size=8),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_split_leakage_matches_python_replay(spark, texts):
+    """Python replay of the deterministic split + cross-split duplicate
+    audit, with duplicates forced by a small text alphabet."""
+    import re
+
+    from faconne_spark.operators.dedup import SPLIT_MOD, split_leakage_summary
+
+    rows = [(i, "s", t if t.strip() else "pad") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r["split"]: r for r in split_leakage_summary(df).collect()}
+
+    def split_of(doc_id):
+        m = _phash60_py(f"split:{doc_id}") % SPLIT_MOD
+        return "test" if m == 0 else ("val" if m == 1 else "train")
+
+    def fp(text):
+        return _phash60_py(re.sub(r"\s+", " ", text.lower()).strip())
+
+    assign = [(split_of(i), fp(t)) for i, _, t in rows]
+    by_fp: dict[int, set] = {}
+    for s, f in assign:
+        by_fp.setdefault(f, set()).add(s)
+    expect: dict[str, list] = {}
+    for s, f in assign:
+        e = expect.setdefault(s, [0, 0])
+        e[0] += 1
+        if len(by_fp[f]) >= 2:
+            e[1] += 1
+    assert set(out) == set(expect)
+    for s, (n, leaked) in expect.items():
+        assert out[s]["n_docs"] == n
+        assert out[s]["n_leaked_docs"] == leaked
+
+
+def test_matryoshka_recall_invariants(spark, sf_dir):
+    """Full-width truncation reproduces ground truth exactly
+    (recall@64 = 1); every ablation row is a valid recall; the
+    constructed case where tails diverge shows truncation CAN lose
+    neighbors (the gauge's reason to exist)."""
+    from faconne_spark.operators.similarity import matryoshka_recall
+    from faconne_spark.queries import T
+
+    out = {r["dim"]: r for r in matryoshka_recall(
+        T(spark, sf_dir, "embeddings"), (8, 64), 10, 10
+    ).collect()}
+    assert set(out) == {8, 64}
+    full = out[64]
+    assert full["mean_recall"] == 1.0
+    assert full["sum_hits"] == full["n_queries"] * 10
+    for r in out.values():
+        assert 0.0 <= r["mean_recall"] <= 1.0
+
+    # constructed divergence: identical 4-dim heads, orthogonal tails
+    rows = []
+    for i in range(6):
+        head = [1.0, 0.0, 0.0, 0.0]
+        tail = [0.0] * 6
+        tail[i] = 10.0          # ring structure: full-width cosine
+        tail[(i + 1) % 6] = 9.0  # prefers ring neighbours, heads tie
+        rows.append((i, head + tail, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r["dim"]: r["mean_recall"] for r in matryoshka_recall(
+        df, (4, 10), 2, 3
+    ).collect()}
+    assert got[10] == 1.0
+    assert got[4] < 1.0

@@ -527,3 +527,19 @@ def test_cusum_windows_partition_by_key(spark, sf_dir):
     assert "SinglePartition" not in p
     assert "BatchEvalPython" not in p and "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # median/MAD ride broadcasts
+
+
+def test_split_leakage_and_matryoshka_plan_shapes(spark, sf_dir):
+    """Split leakage is one fingerprint groupBy + equi-join (no
+    cartesian, no Python); the matryoshka ablations broadcast the query
+    set and never shuffle the corpus for scoring."""
+    from faconne_spark.queries.curation import docs_split_leakage
+    from faconne_spark.queries.pipeline import embed_matryoshka_recall
+
+    p = plan_of(docs_split_leakage(spark, sf_dir))
+    assert "partial_" in p
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+    p = plan_of(embed_matryoshka_recall(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p
