@@ -249,6 +249,7 @@ def main() -> None:
         "events_cusum_drift",
         "docs_split_leakage",
         "embed_matryoshka_recall",
+        "events_active_users_rollup",
     ]
     times = {}
     shuffle = {}

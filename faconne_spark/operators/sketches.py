@@ -219,3 +219,75 @@ def hll_overlap(
             2,
         ).alias("overlap_est"),
     )
+
+
+def hll_daily_rollup(
+    df: DataFrame,
+    key_expr: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    salt: str = "hll",
+) -> DataFrame:
+    """DAU / trailing-WAU from one register pass: per-day HLL registers
+    are built ONCE, and every trailing window's estimate comes from
+    max-folding the member days' registers — the canonical sketch
+    rollup (a 30-day dashboard re-reads 30 × 256 register rows, never
+    the event log).  Exact calibrations ride along (the exact trailing
+    count pays the events × window_days self-join the sketch avoids —
+    droppable in production).
+
+    Columns: day, dau_exact, dau_est, wau_exact, wau_est."""
+    h = phash60(f"concat('{salt}:', cast({key_expr} as string))", "spark")
+    rows = df.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.expr(h).alias("h")
+    ).select(
+        "day",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(hll_rho(f"(h >> {HLL_P})")).alias("rho"),
+    )
+    regs = track_persist(
+        rows.groupBy("day", "bucket").agg(F.max("rho").alias("m_j"))
+    )
+    days = regs.select("day").distinct().withColumnRenamed("day", "wday")
+
+    dau_est = _estimates(regs, "day").select(
+        "day", F.col("hll_est").alias("dau_est")
+    )
+    wau_regs = (
+        regs.join(
+            F.broadcast(days),
+            F.expr(f"datediff(wday, day) BETWEEN 0 AND {window_days - 1}"),
+        )
+        .groupBy(F.col("wday").alias("day"), F.col("bucket"))
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    wau_est = _estimates(wau_regs, "day").select(
+        "day", F.col("hll_est").alias("wau_est")
+    )
+
+    daily = df.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.expr(key_expr).alias("k")
+    )
+    dau_exact = daily.groupBy("day").agg(
+        F.countDistinct("k").alias("dau_exact")
+    )
+    wau_exact = (
+        daily.join(
+            F.broadcast(days),
+            F.expr(f"datediff(wday, day) BETWEEN 0 AND {window_days - 1}"),
+        )
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("k").alias("wau_exact"))
+    )
+    return (
+        dau_exact.join(dau_est, "day")
+        .join(wau_exact, "day")
+        .join(wau_est, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau_exact",
+            "dau_est",
+            "wau_exact",
+            "wau_est",
+        )
+    )

@@ -2213,3 +2213,73 @@ GROUP BY f.split
 
 QUERIES["docs_split_leakage"] = docs_split_leakage
 ORACLES["docs_split_leakage"] = _oracle_split_leakage()
+
+
+# ------------------------------------------------- DAU/WAU rollup
+
+def events_active_users_rollup(spark, sf):
+    """DAU + trailing-7-day WAU where every window estimate folds the
+    per-day HLL registers (one register pass over the log; dashboards
+    re-read register rows, never events), with exact calibrations."""
+    from faconne_spark.operators import sketches as SK
+
+    return SK.hll_daily_rollup(T(spark, sf, "events"), "user_id")
+
+
+def _oracle_active_rollup() -> str:
+    from faconne_spark.functions import (
+        HLL_FIX,
+        HLL_M,
+        HLL_P,
+        hll_estimate,
+        hll_rho,
+    )
+
+    h = phash60("('hll:' || user_id::VARCHAR)", "duckdb")
+    agg_body = (
+        f"({HLL_M} - count(*))::BIGINT AS v,"
+        f" (({HLL_M} - count(*))::BIGINT * {HLL_FIX}"
+        f" + sum(1::BIGINT << (53 - m_j)))::BIGINT AS s"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT ts::DATE AS day, ({h}) AS h FROM events),
+rho_rows AS (
+  SELECT day, h % {HLL_M} AS bucket,
+         {hll_rho(f'(h >> {HLL_P})')} AS rho
+  FROM hashed),
+regs AS (
+  SELECT day, bucket, max(rho) AS m_j FROM rho_rows GROUP BY 1, 2),
+days AS (SELECT DISTINCT day AS wday FROM regs),
+dau_agg AS (SELECT day, {agg_body} FROM regs GROUP BY 1),
+dau_est AS (
+  SELECT day, {hll_estimate('s', 'v')} AS dau_est FROM dau_agg),
+wau_regs AS (
+  SELECT d.wday AS day, r.bucket, max(r.m_j) AS m_j
+  FROM regs r JOIN days d
+    ON date_diff('day', r.day, d.wday) BETWEEN 0 AND 6
+  GROUP BY 1, 2),
+wau_agg AS (SELECT day, {agg_body} FROM wau_regs GROUP BY 1),
+wau_est AS (
+  SELECT day, {hll_estimate('s', 'v')} AS wau_est FROM wau_agg),
+daily AS (
+  SELECT ts::DATE AS day, user_id AS k FROM events),
+dau_exact AS (
+  SELECT day, count(DISTINCT k)::BIGINT AS dau_exact
+  FROM daily GROUP BY 1),
+wau_exact AS (
+  SELECT d.wday AS day, count(DISTINCT e.k)::BIGINT AS wau_exact
+  FROM daily e JOIN days d
+    ON date_diff('day', e.day, d.wday) BETWEEN 0 AND 6
+  GROUP BY 1)
+SELECT strftime(x.day, '%Y-%m-%d') AS day,
+       x.dau_exact, de.dau_est, wx.wau_exact, we.wau_est
+FROM dau_exact x
+JOIN dau_est de USING (day)
+JOIN wau_exact wx USING (day)
+JOIN wau_est we USING (day)
+"""
+
+
+QUERIES["events_active_users_rollup"] = events_active_users_rollup
+ORACLES["events_active_users_rollup"] = _oracle_active_rollup()

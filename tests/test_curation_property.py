@@ -1801,3 +1801,72 @@ def test_matryoshka_recall_invariants(spark, sf_dir):
     ).collect()}
     assert got[10] == 1.0
     assert got[4] < 1.0
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 50)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_hll_daily_rollup_matches_python_replay(spark, rows):
+    """Exact DAU/WAU match set replays; sketch estimates match the
+    register replay where every trailing window folds the member days'
+    registers by max."""
+    import datetime
+    import math
+
+    from faconne_spark.functions import (
+        HLL_ALPHA,
+        HLL_FIX,
+        HLL_M,
+        HLL_P,
+        HLL_RHO_MAX,
+    )
+    from faconne_spark.operators.sketches import hll_daily_rollup
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [
+        (base + datetime.timedelta(days=d, hours=1), k) for d, k in rows
+    ]
+    df = spark.createDataFrame(data, "ts timestamp, user_id bigint")
+    out = {r["day"]: r for r in hll_daily_rollup(df, "user_id").collect()}
+
+    def est(r: dict[int, int]) -> float:
+        v = HLL_M - len(r)
+        s = v * HLL_FIX + sum(1 << (53 - m) for m in r.values())
+        raw = (((HLL_ALPHA * float(HLL_M)) * float(HLL_M)) * float(HLL_FIX)) / float(s)
+        e = (
+            float(HLL_M) * math.log(float(HLL_M) / v)
+            if (raw <= 2.5 * HLL_M and v > 0)
+            else raw
+        )
+        return round(e, 2)
+
+    days = sorted({d for d, _ in rows})
+    regs: dict[int, dict[int, int]] = {}
+    users: dict[int, set] = {}
+    for d, k in rows:
+        h = _phash60_py(f"hll:{k}")
+        b, w = h % HLL_M, h >> HLL_P
+        rho = HLL_RHO_MAX if w == 0 else (w & -w).bit_length()
+        regs.setdefault(d, {})
+        regs[d][b] = max(regs[d].get(b, 0), rho)
+        users.setdefault(d, set()).add(k)
+
+    assert len(out) == len(days)
+    for d in days:
+        key = (base + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+        r = out[key]
+        member = [j for j in days if 0 <= d - j <= 6]
+        wau_users = set().union(*(users[j] for j in member))
+        wau_regs: dict[int, int] = {}
+        for j in member:
+            for b, m in regs[j].items():
+                wau_regs[b] = max(wau_regs.get(b, 0), m)
+        assert r["dau_exact"] == len(users[d])
+        assert r["wau_exact"] == len(wau_users)
+        assert math.isclose(r["dau_est"], est(regs[d]), abs_tol=0.02)
+        assert math.isclose(r["wau_est"], est(wau_regs), abs_tol=0.02)

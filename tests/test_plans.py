@@ -543,3 +543,15 @@ def test_split_leakage_and_matryoshka_plan_shapes(spark, sf_dir):
     p = plan_of(embed_matryoshka_recall(spark, sf_dir))
     assert "BroadcastExchange" in p
     assert "BatchEvalPython" not in p
+
+
+def test_active_users_rollup_folds_registers(spark, sf_dir):
+    """The WAU estimate joins register tables against a broadcast day
+    list — events are scanned for registers and the exact calibration,
+    never re-shuffled for the sketch windows."""
+    from faconne_spark.queries.curation import events_active_users_rollup
+
+    p = plan_of(events_active_users_rollup(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "partial_" in p
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
