@@ -250,6 +250,7 @@ def main() -> None:
         "docs_split_leakage",
         "embed_matryoshka_recall",
         "events_active_users_rollup",
+        "dedup_setsim_prefix",
     ]
     times = {}
     shuffle = {}

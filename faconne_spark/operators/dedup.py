@@ -1159,3 +1159,95 @@ def split_leakage_summary(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------ prefix-filter join
+
+SETSIM_T = 0.5  # Jaccard threshold over 3-gram shingle SETS
+
+
+def setsim_prefix_pairs(
+    docs: DataFrame, n_shingle: int = 3, t: float = SETSIM_T
+) -> DataFrame:
+    """EXACT set-similarity self-join (AllPairs/PPJoin prefix filtering,
+    Bayardo et al. 2007; Xiao et al. 2008): all pairs with shingle-set
+    Jaccard ≥ t — COMPLETE, unlike the MinHash/LSH path, whose banding
+    can miss qualifying pairs.  Shingles sort by (document frequency,
+    shingle); each document indexes only its first
+    m − ceil(t·m) + 1 rarest shingles (the symmetric conservative
+    prefix), and any qualifying pair provably shares a prefix shingle —
+    the candidate join is prefix ⋈ prefix, never all-pairs.
+
+    Scale (100 TB): the prefix explode is the bounded relation (rarest
+    shingles first, so hot shingles fall OUT of prefixes as t rises);
+    the verify join counts shared shingles only for candidate pairs.
+    The df ranking is one groupBy + one per-doc window (key-partitioned
+    sort, no global sort).
+    """
+    sh = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(word_shingles("text", n_shingle, "spark"))
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sh = track_persist(sh)
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("m", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    tl = repr(float(t))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("m") - F.ceil(F.expr(f"{tl} * m")) + 1
+    ).select("doc_id", "s")
+
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("m"))
+    # shared-shingle count per candidate pair: expand each pair by id_a's
+    # shingles, then a TWO-key equi-join (id_b, s) against the shingle
+    # relation — never an in-pair cross product
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "s"), "id_a")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"), F.col("s").alias("s")
+            ),
+            ["id_b", "s"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("m", "m_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("m", "m_b"), "id_b")
+        .withColumn("un", F.col("m_a") + F.col("m_b") - F.col("inter"))
+        .filter(F.col("inter") >= F.expr(f"{tl} * un"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("un").alias("union_size"),
+            F.round(F.col("inter") / F.col("un"), 6).alias("jaccard"),
+        )
+    )

@@ -2283,3 +2283,53 @@ JOIN wau_est we USING (day)
 
 QUERIES["events_active_users_rollup"] = events_active_users_rollup
 ORACLES["events_active_users_rollup"] = _oracle_active_rollup()
+
+
+# ------------------------------------------------- prefix-filter setsim
+
+def dedup_setsim_prefix(spark, sf):
+    """COMPLETE exact Jaccard self-join over 3-gram shingle sets via
+    AllPairs/PPJoin prefix filtering — the guaranteed-recall complement
+    of the MinHash/LSH candidate path."""
+    return D.setsim_prefix_pairs(T(spark, sf, "documents"))
+
+
+def _oracle_setsim() -> str:
+    from faconne_spark.operators.dedup import SETSIM_T
+
+    t = repr(float(SETSIM_T))
+    sh4 = word_shingles("text", 3, "duckdb")
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({sh4}) AS s FROM documents),
+dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+ranked AS (
+  SELECT sh.doc_id, sh.s,
+         row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s)
+           AS pos,
+         count(*) OVER (PARTITION BY sh.doc_id) AS m
+  FROM sh JOIN dfreq d USING (s)),
+prefix AS (
+  SELECT doc_id, s FROM ranked WHERE pos <= m - ceil({t} * m) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, i.n_shared::BIGINT AS inter,
+       (sa.m + sb.m - i.n_shared)::BIGINT AS union_size,
+       round(i.n_shared / (sa.m + sb.m - i.n_shared), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_shared >= {t} * (sa.m + sb.m - i.n_shared)
+"""
+
+
+QUERIES["dedup_setsim_prefix"] = dedup_setsim_prefix
+ORACLES["dedup_setsim_prefix"] = _oracle_setsim()

@@ -1870,3 +1870,45 @@ def test_hll_daily_rollup_matches_python_replay(spark, rows):
         assert r["wau_exact"] == len(wau_users)
         assert math.isclose(r["dau_est"], est(regs[d]), abs_tol=0.02)
         assert math.isclose(r["wau_est"], est(wau_regs), abs_tol=0.02)
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=40),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_setsim_prefix_join_is_complete(spark, texts):
+    """The prefix-filter join must return EXACTLY the brute-force
+    Jaccard ≥ t pairs — completeness is the property that separates it
+    from the LSH candidate path."""
+    from faconne_spark.operators.dedup import SETSIM_T, setsim_prefix_pairs
+
+    rows = [
+        (i, t if t.strip() else "pad") for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_size"])
+        for r in setsim_prefix_pairs(df).collect()
+    }
+
+    def shingles(text):
+        toks = text.strip().split()
+        return {
+            " ".join(toks[i:i + 3])
+            for i in range(max(len(toks) - 2, 1))
+        }
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                un = len(sets[i] | sets[j])
+                if inter >= SETSIM_T * un:
+                    want[(i, j)] = (inter, un)
+    assert got == want

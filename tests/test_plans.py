@@ -555,3 +555,15 @@ def test_active_users_rollup_folds_registers(spark, sf_dir):
     assert "BroadcastExchange" in p
     assert "partial_" in p
     assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_setsim_prefix_no_cartesian(spark, sf_dir):
+    """Prefix-filter join: candidates come from a prefix equi-join and
+    the verify is a two-key equi-join — no cartesian anywhere, df
+    ranking windows partition per doc."""
+    from faconne_spark.queries.curation import dedup_setsim_prefix
+
+    p = plan_of(dedup_setsim_prefix(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "SinglePartition" not in p
