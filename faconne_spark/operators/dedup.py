@@ -1019,6 +1019,37 @@ def bloom_p_for(n_hist: int) -> int:
     )
 
 
+def bloom_pos_array(m_bits: int, k: int = BLOOM_K):
+    """Column of the k probe positions of a ``fp`` column — the ONE
+    definition shared by the batch prefilter, the streaming epoch
+    partials, and (structurally) the DuckDB oracle."""
+    return F.array(
+        *[
+            F.expr(
+                f"({phash60(f'''concat('bf{i}:', cast(fp as string))''', 'spark')})"
+                f" % {m_bits}"
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_word_bits(fps: DataFrame, m_bits: int, k: int = BLOOM_K) -> DataFrame:
+    """Fold a fingerprint relation into the Bloom bitmap's 64-bit words
+    ((word, bits) rows, ``bit_or`` partial-agg'd map-side).  Word
+    tables built with the same (m_bits, k) MERGE BY bit_or — the
+    property the streaming face rolls up on."""
+    return (
+        fps.select(F.explode(bloom_pos_array(m_bits, k)).alias("pos"))
+        .groupBy(F.expr("pos >> 6").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))"
+            ).alias("bits")
+        )
+    )
+
+
 def bloom_prefilter_summary(
     docs: DataFrame, split_mod: int = 3, k: int = BLOOM_K
 ) -> DataFrame:
@@ -1050,22 +1081,8 @@ def bloom_prefilter_summary(
     )
 
     m_bits = 1 << bloom_p_for(hist.count())
-    pos_exprs = [
-        f"({phash60(f'''concat('bf{i}:', cast(fp as string))''', 'spark')})"
-        f" % {m_bits}"
-        for i in range(k)
-    ]
-    pos_arr = F.array(*[F.expr(p) for p in pos_exprs])
-
-    word_bits = (
-        hist.select(F.explode(pos_arr).alias("pos"))
-        .groupBy(F.expr("pos >> 6").alias("word"))
-        .agg(
-            F.expr(
-                "bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))"
-            ).alias("bits")
-        )
-    )
+    pos_arr = bloom_pos_array(m_bits, k)
+    word_bits = bloom_word_bits(hist, m_bits, k)
 
     probes = inc.select(
         "doc_id", "source", "fp", F.explode(pos_arr).alias("pos")

@@ -507,3 +507,64 @@ def hll_distinct_from_state(
         .withColumn("grp", F.lit(MERGED_KEY))
     )
     return _estimates(regs.unionByName(merged), "grp")
+
+
+# --------------------------------------------- Bloom-bitmap state
+
+BLOOM_STATE = "bloom_words"
+
+
+def bloom_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+):
+    """Reduce one micro-batch of documents to its Bloom bitmap partial:
+    (word, bits) rows over the normalized-text fingerprints — bitmaps
+    with the same (m_bits, k) MERGE BY bit_or, so per-epoch partials
+    roll up to exactly the bitmap of the union of all micro-batches
+    (same epoch-partitioned idempotency contract as the CMS/HLL
+    states).  m_bits is FIXED by the caller: a streaming bloom cannot
+    re-size mid-stream the way the batch prefilter derives p from a
+    history count — size for the expected total, or re-bootstrap.
+
+    (m_bits, k) are stamped on every row so the reader refuses a
+    mismatched re-read (probing with the wrong modulus silently breaks
+    the no-false-negative guarantee)."""
+    from faconne_spark.operators.dedup import NORM, bloom_word_bits
+    from faconne_spark.functions import phash60
+
+    fps = batch_df.select(F.expr(phash60(NORM, "spark")).alias("fp"))
+    words = bloom_word_bits(fps, m_bits, k).select(
+        "word", "bits",
+        F.lit(m_bits).alias("m_bits"), F.lit(k).alias("k"),
+    )
+    (
+        words.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(os.path.join(state_dir, BLOOM_STATE))
+    )
+
+
+def bloom_filter_from_state(
+    spark: SparkSession, state_dir: str, m_bits: int = 1 << 17, k: int = 4
+) -> DataFrame:
+    """The merged cross-epoch Bloom bitmap ((word, bits) rows) — the
+    streaming face of the batch prefilter's word table: bit_or across
+    epochs, bit-equal to building the bitmap over the union of all
+    micro-batches.  Raises on an (m_bits, k) mismatch."""
+    raw = _state(spark, state_dir, BLOOM_STATE)
+    metas = [
+        (r["m_bits"], r["k"])
+        for r in raw.select("m_bits", "k").distinct().collect()
+    ]
+    if metas != [(m_bits, k)]:
+        raise ValueError(
+            f"bloom_filter_from_state: state at {state_dir!r} was written"
+            f" with (m_bits, k) {metas}, read with ({m_bits}, {k})"
+        )
+    return raw.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))

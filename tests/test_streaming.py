@@ -1119,3 +1119,55 @@ def test_streaming_hll_equals_batch(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="salt"):
         hll_distinct_from_state(spark, state, salt="other")
+
+
+def test_streaming_bloom_equals_batch(spark, sf_dir, tmp_path):
+    """The cross-epoch bit_or-merged Bloom bitmap is BIT-EQUAL to the
+    batch-built bitmap over the union of the micro-batches, and an
+    (m_bits, k) mismatch on re-read raises."""
+    import pytest as _pytest
+
+    from faconne_spark.functions import phash60
+    from faconne_spark.operators.dedup import NORM, bloom_word_bits
+    from faconne_spark.streaming.stats import (
+        bloom_epoch,
+        bloom_filter_from_state,
+    )
+
+    m_bits, k = 1 << 16, 4
+    sf_tmp = tmp_path / "sf"
+    src = str(sf_tmp / "documents.parquet")
+    T(spark, sf_dir, "documents").limit(300).repartition(3).write.parquet(src)
+    state = str(tmp_path / "bloom_state")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: bloom_epoch(df, eid, state, m_bits, k)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    fps = spark.read.parquet(src).select(
+        F.expr(phash60(NORM, "spark")).alias("fp")
+    )
+    want = {
+        r["word"]: r["bits"]
+        for r in bloom_word_bits(fps, m_bits, k).collect()
+    }
+    got = {
+        r["word"]: r["bits"]
+        for r in bloom_filter_from_state(spark, state, m_bits, k).collect()
+    }
+    assert got == want and got
+
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_filter_from_state(spark, state, m_bits // 2, k)
