@@ -251,6 +251,7 @@ def main() -> None:
         "embed_matryoshka_recall",
         "events_active_users_rollup",
         "dedup_setsim_prefix",
+        "sample_priority",
     ]
     times = {}
     shuffle = {}

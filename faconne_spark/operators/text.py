@@ -1432,3 +1432,63 @@ def dsir_resample(
         .orderBy(F.col("priority").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+# ------------------------------------------------- priority sampling
+
+PRIO_K = 50  # sample size
+PRIO_SCALE = 1_000_000  # hash → uniform granularity
+
+
+def priority_sample(docs: DataFrame, k: int = PRIO_K) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007): a deterministic
+    weighted sample of k documents whose ADJUSTED weights give unbiased
+    subset-sum estimates — the principled way to estimate corpus-wide
+    statistics (total chars, per-source mass) from a fixed-size sample.
+
+    Priority = w / u with u a hash-derived uniform in (0, 1); keep the
+    top-k by priority; τ = the (k+1)-th priority; every kept item's
+    adjusted weight is max(w, τ) — E[Σ adjusted over kept ∩ S] = Σ w
+    over S for ANY subset S.  The draw is reproducible run-to-run
+    (hash-uniform, not random()).
+
+    Scale (100 TB): one map pass computes priorities; the top-(k+1)
+    is a TakeOrdered (size-k heap per partition, no global sort); the
+    only driver-sized object is the k-row sample itself.
+    """
+    h = phash60("concat('prio:', cast(doc_id as string))", "spark")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("double").alias("w"),
+        (
+            (F.expr(h) % PRIO_SCALE).cast("double") + F.lit(0.5)
+        ).alias("_u_raw"),
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        (F.col("w") * PRIO_SCALE / F.col("_u_raw")).alias("priority"),
+    )
+    top = scored.orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    ).limit(k + 1)
+    # τ = the (k+1)-th priority (min of the limited relation); when the
+    # corpus has ≤ k documents everything is kept and τ = 0 (adjusted
+    # weight = true weight — the estimator is exact, not inflated)
+    tau = top.agg(
+        F.when(F.count("*") <= k, F.lit(0.0))
+        .otherwise(F.min("priority"))
+        .alias("tau")
+    )
+    kept = (
+        top.orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        F.round("w", 6).alias("weight"),
+        F.round(F.greatest("w", "tau"), 6).alias("adjusted_weight"),
+    )

@@ -2333,3 +2333,40 @@ WHERE i.n_shared >= {t} * (sa.m + sb.m - i.n_shared)
 
 QUERIES["dedup_setsim_prefix"] = dedup_setsim_prefix
 ORACLES["dedup_setsim_prefix"] = _oracle_setsim()
+
+
+# ------------------------------------------------- priority sampling
+
+def sample_priority(spark, sf):
+    """Deterministic priority sample (Duffield et al.) of documents by
+    n_chars with unbiased adjusted weights."""
+    return TX.priority_sample(T(spark, sf, "documents"))
+
+
+def _oracle_priority() -> str:
+    from faconne_spark.operators.text import PRIO_K, PRIO_SCALE
+
+    h = phash60("('prio:' || doc_id::VARCHAR)", "duckdb")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars::DOUBLE AS w,
+         (n_chars::DOUBLE * {PRIO_SCALE})
+           / ((({h}) % {PRIO_SCALE})::DOUBLE + 0.5) AS priority
+  FROM documents),
+top AS (
+  SELECT * FROM scored ORDER BY priority DESC, doc_id
+  LIMIT {PRIO_K + 1}),
+tau AS (
+  SELECT CASE WHEN count(*) <= {PRIO_K} THEN 0.0
+              ELSE min(priority) END AS tau
+  FROM top),
+kept AS (
+  SELECT * FROM top ORDER BY priority DESC, doc_id LIMIT {PRIO_K})
+SELECT k.doc_id, k.source, round(k.w, 6) AS weight,
+       round(greatest(k.w, t.tau), 6) AS adjusted_weight
+FROM kept k, tau t
+"""
+
+
+QUERIES["sample_priority"] = sample_priority
+ORACLES["sample_priority"] = _oracle_priority()

@@ -1912,3 +1912,46 @@ def test_setsim_prefix_join_is_complete(spark, texts):
                 if inter >= SETSIM_T * un:
                     want[(i, j)] = (inter, un)
     assert got == want
+
+
+@PROP
+@given(
+    weights=st.lists(st.integers(0, 5000), min_size=1, max_size=80),
+)
+def test_priority_sample_matches_python_replay(spark, weights):
+    """Exact replay of the priority draw: same priorities, same top-k
+    selection, same τ — and when the corpus fits in the sample, the
+    adjusted weights ARE the true weights (τ = 0)."""
+    from faconne_spark.operators.text import (
+        PRIO_K,
+        PRIO_SCALE,
+        priority_sample,
+    )
+
+    rows = [(i, "s", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_chars bigint"
+    )
+    got = {
+        r["doc_id"]: (r["weight"], r["adjusted_weight"])
+        for r in priority_sample(df).collect()
+    }
+
+    scored = sorted(
+        (
+            (
+                -(w * PRIO_SCALE / ((_phash60_py(f"prio:{i}") % PRIO_SCALE) + 0.5)),
+                i,
+                float(w),
+            )
+            for i, _, w in rows
+        ),
+    )
+    kept = scored[:PRIO_K]
+    tau = 0.0 if len(scored) <= PRIO_K else -scored[PRIO_K][0]
+    want = {
+        i: (round(w, 6), round(max(w, tau), 6)) for _, i, w in kept
+    }
+    assert got == want
+    if len(weights) <= PRIO_K:
+        assert all(adj == w for w, adj in got.values())

@@ -567,3 +567,13 @@ def test_setsim_prefix_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    """The top-(k+1) draw must be a TakeOrdered (per-partition heap),
+    never a global sort of the corpus."""
+    from faconne_spark.queries.curation import sample_priority
+
+    p = plan_of(sample_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
