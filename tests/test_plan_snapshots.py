@@ -82,6 +82,22 @@ SNAPSHOT_QUERIES = [
     "dedup_cdc",
     "events_ab_sequential",
     "events_quantile_calibration",
+    # round-5b sketch/perceptual/sampling wave: pin the register-sized
+    # HLL exchanges, the broadcast bloom bitmap, the map-only codec
+    # passes, the key-partitioned CUSUM windows, the prefix-filter
+    # equi-joins, and the TakeOrdered priority draw
+    "events_hll_distinct",
+    "dedup_bloom_prefilter",
+    "events_ewma",
+    "events_hll_overlap",
+    "mm_image_ahash",
+    "mm_audio_resample",
+    "events_cusum_drift",
+    "docs_split_leakage",
+    "embed_matryoshka_recall",
+    "events_active_users_rollup",
+    "dedup_setsim_prefix",
+    "sample_priority",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
