@@ -1955,3 +1955,44 @@ def test_priority_sample_matches_python_replay(spark, weights):
     assert got == want
     if len(weights) <= PRIO_K:
         assert all(adj == w for w, adj in got.values())
+
+
+@PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_kcore_matches_python_peel(spark, edges):
+    """The distributed peel reaches the same fixed point as a Python
+    reference peel, for any graph and k ∈ {2, 3}."""
+    from faconne_spark.operators.dedup import kcore_nodes
+
+    es = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if es:
+        df = spark.createDataFrame(es, "id_a bigint, id_b bigint")
+    else:
+        df = spark.createDataFrame([], "id_a bigint, id_b bigint")
+
+    for k in (2, 3):
+        got = {
+            r["doc_id"]: r["degree"]
+            for r in kcore_nodes(df, k=k).collect()
+        }
+
+        adj: dict[int, set] = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        want = {n: len(ns) for n, ns in adj.items()}
+        assert got == want, (k, got, want)
