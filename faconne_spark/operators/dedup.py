@@ -1222,9 +1222,16 @@ def setsim_prefix_pairs(
         .withColumn("m", F.count("*").over(Window.partitionBy("doc_id")))
     )
     tl = repr(float(t))
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("m") - F.ceil(F.expr(f"{tl} * m")) + 1
-    ).select("doc_id", "s")
+    # persisted EAGERLY on large inputs (the minhash_signatures lesson):
+    # a lazy persist inside the prefix self-join schedules both sides
+    # before the cache fills, so the df-join + rank windows would run
+    # twice anyway
+    prefix = _persist_sig(
+        ranked.filter(
+            F.col("pos") <= F.col("m") - F.ceil(F.expr(f"{tl} * m")) + 1
+        ).select("doc_id", "s"),
+        docs,
+    )
 
     cand = (
         prefix.alias("a")
