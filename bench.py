@@ -252,6 +252,8 @@ def main() -> None:
         "events_active_users_rollup",
         "dedup_setsim_prefix",
         "sample_priority",
+        "events_hourly_seasonality",
+        "docs_source_lang_kl",
     ]
     times = {}
     shuffle = {}

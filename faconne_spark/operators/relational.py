@@ -677,3 +677,36 @@ def cusum_drift(
             ).otherwise(0)
         ).alias("n_alarms_neg"),
     )
+
+
+def hourly_chi2(df: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
+    """Hour-of-day seasonality per group: the chi-square statistic
+    against a uniform 24-hour profile, computed in EXACT integer
+    arithmetic — χ² = Σ(24·obsₕ − n)² / (24n), so the only double op
+    is the final division and no float summation order exists.  Also
+    reports the peak hour (ties → earliest hour, deterministically).
+
+    Scale (100 TB): two map-side-combined groupBys ((key, hour), then
+    key); exchanges carry ≤ 24 rows per key."""
+    by_hour = df.select(
+        F.col(key), F.hour(F.col(ts_col)).alias("hh")
+    ).groupBy(key, "hh").agg(F.count("*").alias("n_h"))
+    return (
+        by_hour.withColumn("n", F.sum("n_h").over(Window.partitionBy(key)))
+        .groupBy(key)
+        .agg(
+            F.max("n").alias("n_events"),
+            F.countDistinct("hh").alias("n_hours_active"),
+            F.round(
+                F.sum(
+                    (F.lit(24) * F.col("n_h") - F.col("n"))
+                    * (F.lit(24) * F.col("n_h") - F.col("n"))
+                )
+                / (F.lit(24.0) * F.max("n")),
+                6,
+            ).alias("chi2_uniform"),
+            F.expr(
+                "max_by(hh, named_struct('n', n_h, 'h', -hh))"
+            ).alias("peak_hour"),
+        )
+    )

@@ -1492,3 +1492,42 @@ def priority_sample(docs: DataFrame, k: int = PRIO_K) -> DataFrame:
         F.round("w", 6).alias("weight"),
         F.round(F.greatest("w", "tau"), 6).alias("adjusted_weight"),
     )
+
+
+def source_lang_kl(docs: DataFrame) -> DataFrame:
+    """Per-source language-mixture divergence: KL(P(lang | source) ‖
+    P(lang)) — the source-balance gauge a multilingual corpus build
+    watches (a source drifting monolingual shows up as rising KL).
+    Zero-count languages contribute nothing (0·ln 0 = 0 by
+    convention, and P(lang)=0 cannot occur for an observed language).
+
+    Scale (100 TB): two map-side-combined groupBys ((source, lang) and
+    lang) + one broadcast join of the language marginals; exchanges
+    carry ≤ sources × languages rows."""
+    sl = docs.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
+    s = sl.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    l = sl.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    tot = sl.agg(F.sum("n_sl").alias("n_tot"))
+    return (
+        sl.join(F.broadcast(s), "source")
+        .join(F.broadcast(l), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            (
+                F.round(
+                    F.sum(
+                        (F.col("n_sl") / F.col("n_s"))
+                        * F.log(
+                            (F.col("n_sl") * F.col("n_tot")).cast("double")
+                            / (F.col("n_s") * F.col("n_l"))
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("kl_lang_mix"),
+        )
+    )

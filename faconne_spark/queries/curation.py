@@ -2370,3 +2370,58 @@ FROM kept k, tau t
 
 QUERIES["sample_priority"] = sample_priority
 ORACLES["sample_priority"] = _oracle_priority()
+
+
+# ------------------------------------------------- seasonality
+
+def events_hourly_seasonality(spark, sf):
+    """Hour-of-day χ² against uniform per event_type, exact integer
+    numerator (no float summation order), plus the peak hour."""
+    return R.hourly_chi2(T(spark, sf, "events"), "event_type")
+
+
+ORACLE_SEASONALITY = """
+WITH bh AS (
+  SELECT event_type, hour(ts) AS hh, count(*) AS n_h
+  FROM events GROUP BY 1, 2),
+wt AS (
+  SELECT event_type, hh, n_h,
+         sum(n_h) OVER (PARTITION BY event_type) AS n
+  FROM bh)
+SELECT event_type, max(n)::BIGINT AS n_events,
+       count(DISTINCT hh)::BIGINT AS n_hours_active,
+       round(sum((24 * n_h - n) * (24 * n_h - n)) / (24.0 * max(n)), 6)
+         AS chi2_uniform,
+       first(hh ORDER BY n_h DESC, hh)::INTEGER AS peak_hour
+FROM wt GROUP BY event_type
+"""
+
+QUERIES["events_hourly_seasonality"] = events_hourly_seasonality
+ORACLES["events_hourly_seasonality"] = ORACLE_SEASONALITY
+
+
+# ------------------------------------------------- source-language KL
+
+def docs_source_lang_kl(spark, sf):
+    """KL(P(lang | source) ‖ P(lang)) per source — the multilingual
+    source-balance gauge."""
+    return TX.source_lang_kl(T(spark, sf, "documents"))
+
+
+ORACLE_SOURCE_KL = """
+WITH sl AS (
+  SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2),
+s AS (SELECT source, sum(n_sl) AS n_s FROM sl GROUP BY 1),
+l AS (SELECT lang, sum(n_sl) AS n_l FROM sl GROUP BY 1),
+t AS (SELECT sum(n_sl) AS n_tot FROM sl)
+SELECT sl.source, max(s.n_s)::BIGINT AS n_docs,
+       count(DISTINCT sl.lang)::BIGINT AS n_langs,
+       round(sum((sl.n_sl / s.n_s)
+                 * ln((sl.n_sl * t.n_tot)::DOUBLE / (s.n_s * l.n_l))),
+             6) + 0.0 AS kl_lang_mix
+FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t
+GROUP BY sl.source
+"""
+
+QUERIES["docs_source_lang_kl"] = docs_source_lang_kl
+ORACLES["docs_source_lang_kl"] = ORACLE_SOURCE_KL

@@ -1996,3 +1996,88 @@ def test_kcore_matches_python_peel(spark, edges):
                     changed = True
         want = {n: len(ns) for n, ns in adj.items()}
         assert got == want, (k, got, want)
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 23)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_hourly_chi2_matches_python(spark, rows):
+    """Exact-integer χ² replay plus peak-hour tie rule (highest count,
+    then earliest hour)."""
+    import datetime
+    import math
+
+    from faconne_spark.operators.relational import hourly_chi2
+
+    data = [
+        (k, datetime.datetime(2024, 5, 1, h, 30)) for k, h in rows
+    ]
+    df = spark.createDataFrame(data, "k string, ts timestamp")
+    out = {r["k"]: r for r in hourly_chi2(df, "k").collect()}
+
+    per: dict[str, dict[int, int]] = {}
+    for k, h in rows:
+        per.setdefault(k, {})
+        per[k][h] = per[k].get(h, 0) + 1
+    assert set(out) == set(per)
+    for k, hours in per.items():
+        n = sum(hours.values())
+        chi2 = sum((24 * c - n) ** 2 for c in hours.values()) / (24.0 * n)
+        peak = min(hours, key=lambda h: (-hours[h], h))
+        r = out[k]
+        assert r["n_events"] == n
+        assert r["n_hours_active"] == len(hours)
+        assert math.isclose(r["chi2_uniform"], round(chi2, 6), abs_tol=1e-6)
+        assert r["peak_hour"] == peak
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.sampled_from(["en", "de", "fr"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_source_lang_kl_matches_python(spark, rows):
+    """KL replay: zero for sources matching the corpus mixture, and
+    always the exact Σ p·ln(p/q) value."""
+    import math
+
+    from faconne_spark.operators.text import source_lang_kl
+
+    data = [
+        (i, s, lg, "t") for i, (s, lg) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id bigint, source string, lang string, text string"
+    )
+    out = {r["source"]: r for r in source_lang_kl(df).collect()}
+
+    from collections import Counter
+
+    sl = Counter(rows)
+    s_tot = Counter(s for s, _ in rows)
+    l_tot = Counter(lg for _, lg in rows)
+    n = len(rows)
+    assert set(out) == set(s_tot)
+    for src, ns in s_tot.items():
+        kl = sum(
+            (c / ns) * math.log((c * n) / (ns * l_tot[lg]))
+            for (s2, lg), c in sl.items()
+            if s2 == src
+        )
+        r = out[src]
+        assert r["n_docs"] == ns
+        assert math.isclose(r["kl_lang_mix"], round(kl, 6), abs_tol=1e-5)
+        assert r["kl_lang_mix"] >= 0.0 or math.isclose(
+            r["kl_lang_mix"], 0.0, abs_tol=1e-6
+        )
