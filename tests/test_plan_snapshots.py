@@ -98,6 +98,8 @@ SNAPSHOT_QUERIES = [
     "events_active_users_rollup",
     "dedup_setsim_prefix",
     "sample_priority",
+    "events_hourly_seasonality",
+    "docs_source_lang_kl",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
