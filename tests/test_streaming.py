@@ -1171,3 +1171,35 @@ def test_streaming_bloom_equals_batch(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="m_bits"):
         bloom_filter_from_state(spark, state, m_bits // 2, k)
+
+
+def test_hll_and_bloom_epochs_are_replay_idempotent(spark, sf_dir, tmp_path):
+    """The foreachBatch restart contract: re-running the SAME epoch
+    overwrites its own partition bit-identically, so a post-failure
+    replay cannot double-count registers or bitmap words."""
+    from faconne_spark.streaming.stats import (
+        bloom_epoch,
+        bloom_filter_from_state,
+        hll_distinct_from_state,
+        hll_epoch,
+    )
+
+    ev = T(spark, sf_dir, "events").limit(400)
+    docs = T(spark, sf_dir, "documents").limit(200)
+    hs, bs = str(tmp_path / "h"), str(tmp_path / "b")
+
+    hll_epoch(ev, 0, hs)
+    bloom_epoch(docs, 0, bs)
+    first_h = {(r["grp"], r["empty_regs"], r["harmonic_fixed"], r["hll_est"])
+               for r in hll_distinct_from_state(spark, hs).collect()}
+    first_b = {(r["word"], r["bits"])
+               for r in bloom_filter_from_state(spark, bs).collect()}
+
+    # same-epoch replay (the restart path) — state must not change
+    hll_epoch(ev, 0, hs)
+    bloom_epoch(docs, 0, bs)
+    again_h = {(r["grp"], r["empty_regs"], r["harmonic_fixed"], r["hll_est"])
+               for r in hll_distinct_from_state(spark, hs).collect()}
+    again_b = {(r["word"], r["bits"])
+               for r in bloom_filter_from_state(spark, bs).collect()}
+    assert again_h == first_h and again_b == first_b
