@@ -254,6 +254,7 @@ def main() -> None:
         "sample_priority",
         "events_hourly_seasonality",
         "docs_source_lang_kl",
+        "embed_centroid_drift",
     ]
     times = {}
     shuffle = {}

@@ -2534,3 +2534,83 @@ FROM truth t LEFT JOIN t{d} a ON a.q_id = t.q_id AND a.vec_id = t.vec_id""")
 
 QUERIES["embed_matryoshka_recall"] = embed_matryoshka_recall
 ORACLES["embed_matryoshka_recall"] = _oracle_matryoshka()
+
+
+# ------------------------------------------------- centroid drift
+
+def embed_centroid_drift(spark, sf):
+    """Embedding drift monitor: per-label centroid cosine between two
+    deterministic corpus halves (vec_id parity) — the check a serving
+    pipeline runs when retrained embeddings land.  Same fixed-shape
+    mean aggregation as embed_label_centroids (shuffle carries
+    halves×labels×dim rows, never the corpus); per-dim means round to
+    6 dp before any cross-engine arithmetic."""
+    from faconne_spark.session import spread
+
+    emb = spread(T(spark, sf, "embeddings"))
+    dims = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).groupBy("half", "label", "pos").agg(
+        F.round(F.avg(F.expr("cast(val as double)")), 6).alias("m")
+    )
+    a = dims.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma")
+    )
+    b = dims.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("m").alias("mb")
+    )
+    cos = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("ma") * F.col("mb"))
+                    / (
+                        F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                        * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("centroid_cos")
+        )
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    return cos.join(counts, "label").select(
+        "label", "n_a", "n_b", "centroid_cos"
+    )
+
+
+ORACLE_CENTROID_DRIFT = """
+WITH dims AS (
+  SELECT (vec_id % 2) AS half, label,
+         unnest(embedding)::DOUBLE AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+per_dim AS (
+  SELECT half, label, pos, round(avg(val), 6) AS m
+  FROM dims GROUP BY 1, 2, 3),
+cos AS (
+  SELECT a.label,
+         round(sum(a.m * b.m)
+               / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))), 6) + 0.0
+           AS centroid_cos
+  FROM per_dim a JOIN per_dim b
+    ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+  GROUP BY a.label),
+cnt AS (
+  SELECT label,
+         sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM embeddings GROUP BY label)
+SELECT label, n_a, n_b, centroid_cos FROM cos JOIN cnt USING (label)
+"""
+
+QUERIES["embed_centroid_drift"] = embed_centroid_drift
+ORACLES["embed_centroid_drift"] = ORACLE_CENTROID_DRIFT

@@ -2081,3 +2081,29 @@ def test_source_lang_kl_matches_python(spark, rows):
         assert r["kl_lang_mix"] >= 0.0 or math.isclose(
             r["kl_lang_mix"], 0.0, abs_tol=1e-6
         )
+
+
+def test_centroid_drift_detects_shifted_half(spark):
+    """Identical halves give cosine 1; an inverted second half gives
+    cosine −1 — the drift monitor's two poles."""
+    from faconne_spark.queries.pipeline import embed_centroid_drift
+    import os
+    import tempfile
+
+    rows = []
+    v = [1.0, 2.0, 3.0, 4.0]
+    for i in range(8):
+        # even vec_ids = half A, odd = half B; label 0 (ids 0-3) has
+        # identical halves, label 1 (ids 4-7) inverts its half B
+        lab = i // 4
+        inverted = lab == 1 and i % 2 == 1
+        rows.append((i, [-x for x in v] if inverted else v, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r["label"]: r["centroid_cos"]
+               for r in embed_centroid_drift(spark, d).collect()}
+    assert out[0] == 1.0
+    assert out[1] == -1.0
