@@ -100,6 +100,7 @@ SNAPSHOT_QUERIES = [
     "sample_priority",
     "events_hourly_seasonality",
     "docs_source_lang_kl",
+    "embed_centroid_drift",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
