@@ -11,7 +11,7 @@ row-at-a-time Python UDFs on hot paths.
 """
 
 from faconne_spark.dsl.ast import (
-    V, Var, Wild, Lit, Agg, SetOf, Keys, As, K,
+    V, Var, Wild, Lit, Agg, PyAgg, SetOf, Keys, As, K,
     Struct, Count, CountDistinct, Sum, Avg, Min, Max, Round,
 )
 from faconne_spark.dsl.compiler import Iterator, Transformer, transform, for_each
@@ -20,7 +20,7 @@ from faconne_spark.errors import FaconneError
 from faconne_spark.session import get_session
 
 __all__ = [
-    "V", "Var", "Wild", "Lit", "Agg", "SetOf", "Keys", "As", "K", "FaconneError",
+    "V", "Var", "Wild", "Lit", "Agg", "PyAgg", "SetOf", "Keys", "As", "K", "FaconneError",
     "Struct", "Count", "CountDistinct", "Sum", "Avg", "Min", "Max", "Round",
     "Iterator", "Transformer", "transform", "for_each",
     "to_df", "collect_nested",

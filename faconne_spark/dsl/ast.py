@@ -135,8 +135,62 @@ class Agg:
         self.sql = sql
         self.alias = alias
 
+    def sql_for(self, df) -> str:
+        """Aggregate SQL for this reducer, given the bound DataFrame
+        (overridden by :class:`PyAgg`, which must register its function
+        on the DataFrame's session first)."""
+        return self.sql
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"Agg({self.sql!r})"
+
+
+_PYAGG_SEQ = itertools.count()
+
+
+class PyAgg(Agg):
+    """Arbitrary-FUNCTION ``^:expand`` reducer — the opt-in escape
+    hatch that closes the documented contract delta with the reference
+    (parse_range.cljc:112-139 accepts ANY Clojure fn as a reducer).
+
+    ``fn`` is a plain Python callable applied to the SORTED list of the
+    group's values, ONCE PER GROUP — never per row: this compiles to
+    ``<registered udf>(array_sort(collect_list(over)))``, so the
+    groupBy itself remains a native Catalyst aggregate with map-side
+    partial collect, and the Python cost is O(groups) Arrow-batched
+    calls, not O(rows).  The group list arrives sorted so the fn sees a
+    deterministic order (the reference reduces an unordered collection,
+    so any fixed order is semantics-preserving).
+
+    Honest scale contract: per-group state is the collected value list
+    — the same bound as the reference's in-memory reduction — so this
+    is for reductions that are genuinely not SQL-expressible; prefer
+    :class:`Agg`/:class:`AggOp` everywhere else.  ``returns`` is the
+    Spark SQL type of the result; ``alias`` is required (there is no
+    SQL text to scrape a name from).
+    """
+
+    def __init__(self, over, fn, returns: str = "double", alias: str | None = None):
+        from faconne_spark.errors import FaconneError
+
+        if alias is None:
+            raise FaconneError("PyAgg requires an explicit alias=")
+        if not callable(fn):
+            raise FaconneError("PyAgg fn must be callable")
+        super().__init__(sql=f"<pyagg {getattr(fn, '__name__', 'fn')}>", alias=alias)
+        self.over = over
+        self.fn = fn
+        self.returns = returns
+        self._n = next(_PYAGG_SEQ)
+
+    def sql_for(self, df) -> str:
+        name = f"faconne_pyagg_{self._n}"
+        df.sparkSession.udf.register(name, self.fn, self.returns)
+        inner = f"`{self.over.name}`" if isinstance(self.over, Var) else str(self.over)
+        return f"{name}(array_sort(collect_list({inner})))"
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"PyAgg({self.over!r}, {self.fn!r})"
 
 
 class AggOp:

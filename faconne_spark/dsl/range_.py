@@ -161,7 +161,7 @@ class RangeBuilder:
     def _agg_sql(self, node) -> str:
         """Aggregate SQL producing this node's value within one group."""
         if isinstance(node, Agg):
-            sql, _ = split_alias(node.sql)
+            sql, _ = split_alias(node.sql_for(self.flat))
             return sql
         if isinstance(node, (Var, str)):
             sql, _ = self._scalar_sql(node)
@@ -394,7 +394,7 @@ def build_range(flat: DataFrame, node) -> tuple:
         sql = node.sql if isinstance(node, Agg) else None
         if isinstance(node, Agg):
             alias = node.alias or "value"
-            df = flat.groupBy().agg(F.expr(node.sql).alias(alias))
+            df = flat.groupBy().agg(F.expr(node.sql_for(flat)).alias(alias))
         else:
             s, alias = b._scalar_sql(node)
             alias = alias or "value"

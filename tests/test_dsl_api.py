@@ -213,3 +213,73 @@ def test_error_unsupported_option_analog(spark):
             [{"k": 1}], [Keys("k")], [V.k],
             wherre=["k > 0"], spark=spark,  # typo'd option
         )
+
+
+def test_pyagg_arbitrary_reducer_matches_python(spark, tables):
+    """PyAgg closes the arbitrary-fn ^:expand delta with the reference
+    (parse_range.cljc:112-139): a bespoke reducer no SQL aggregate
+    spells — second-highest balance — matches a Python replay, and the
+    groupBy itself stays a native Catalyst aggregate (map-side partial
+    collect) with exactly one post-aggregation Python stage."""
+    from faconne_spark import Keys, PyAgg, V, transform
+
+    def second_top(xs):
+        return float(xs[-2]) if len(xs) > 1 else float(xs[-1])
+
+    out = transform(
+        tables["customer"],
+        [Keys("c_nationkey", "c_acctbal")],
+        {V.c_nationkey: PyAgg(V.c_acctbal, second_top, "double",
+                              alias="second_top_bal")},
+    )
+    got = {r["c_nationkey"]: r["second_top_bal"] for r in out.collect()}
+
+    rows = tables["customer"].select("c_nationkey", "c_acctbal").collect()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["c_nationkey"], []).append(float(r["c_acctbal"]))
+    want = {k: second_top(sorted(v)) for k, v in per.items()}
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_collect_list" in plan or "collect_list" in plan
+    # exactly one Python stage per plan section (AQE prints the final
+    # and initial sections, so normalize to the final one)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BatchEvalPython") + final.count("ArrowEvalPython") == 1
+
+
+def test_pyagg_composes_inside_struct(spark, tables):
+    """PyAgg fields mix with SQL aggregates inside one Struct — both
+    land in the same single groupBy."""
+    from faconne_spark import Agg, Keys, PyAgg, V, transform
+
+    def spread_fn(xs):
+        return float(xs[-1] - xs[0])
+
+    out = transform(
+        tables["customer"],
+        [Keys("c_nationkey", "c_acctbal")],
+        {V.c_nationkey: {"n": Agg("count(*) AS n"),
+                         "spread": PyAgg(V.c_acctbal, spread_fn,
+                                         "double", alias="spread")}},
+    )
+    rows = {r["c_nationkey"]: r for r in out.collect()}
+    per: dict = {}
+    for r in tables["customer"].select("c_nationkey", "c_acctbal").collect():
+        per.setdefault(r["c_nationkey"], []).append(float(r["c_acctbal"]))
+    for k, vals in per.items():
+        assert rows[k]["n"] == len(vals)
+        assert rows[k]["spread"] == max(vals) - min(vals)
+
+
+def test_pyagg_validates_inputs(spark):
+    """Missing alias and non-callable fn fail loudly at construction."""
+    import pytest as _pytest
+
+    from faconne_spark import FaconneError, PyAgg, V
+
+    with _pytest.raises(FaconneError, match="alias"):
+        PyAgg(V.x, lambda xs: 1.0)
+    with _pytest.raises(FaconneError, match="callable"):
+        PyAgg(V.x, "not a function", alias="y")
