@@ -301,3 +301,37 @@ ORACLES = {
     "fac_store_products": ORACLE_STORE_PRODUCTS,
     "fac_campus_report": ORACLE_CAMPUS,
 }
+
+
+def _second_top(xs):
+    """Bespoke reducer an SQL aggregate does not spell directly — the
+    reference's arbitrary-fn ^:expand case (parse_range.cljc:112-139)."""
+    return float(xs[-2]) if len(xs) > 1 else float(xs[-1])
+
+
+def fac_pyagg_second_top(spark, sf):
+    """R7 arbitrary-fn reducer THROUGH the driver gate: PyAgg applies
+    a plain Python fn to each group's sorted value list, once per
+    group (native collect_list aggregate underneath)."""
+    from faconne_spark import PyAgg
+
+    return transform(
+        T(spark, sf, "customer"),
+        [Keys("c_nationkey", "c_acctbal")],
+        {V.c_nationkey: PyAgg(
+            V.c_acctbal, _second_top, "double", alias="second_top_bal"
+        )},
+    )
+
+
+ORACLE_PYAGG_SECOND = """
+WITH l AS (
+  SELECT c_nationkey, list_sort(list(c_acctbal)) AS xs
+  FROM customer GROUP BY c_nationkey)
+SELECT c_nationkey,
+       CASE WHEN len(xs) > 1 THEN xs[-2] ELSE xs[-1] END AS second_top_bal
+FROM l
+"""
+
+QUERIES["fac_pyagg_second_top"] = fac_pyagg_second_top
+ORACLES["fac_pyagg_second_top"] = ORACLE_PYAGG_SECOND
