@@ -2425,3 +2425,187 @@ GROUP BY sl.source
 
 QUERIES["docs_source_lang_kl"] = docs_source_lang_kl
 ORACLES["docs_source_lang_kl"] = ORACLE_SOURCE_KL
+
+
+# ------------------------------------------------- bounded-lookback dedup
+
+def dedup_recent_window(spark, sf):
+    """Production-mode bounded-state dedup: an event row is a duplicate
+    only if the SAME (user_id, event_type, value-cents) fingerprint
+    occurred in the prior 3 days — the bounded lookback that keeps
+    streaming/rolling dedup state finite (whole-history dedup state
+    grows without bound; a lookback window is what production ships).
+
+    Scale (100 TB): one fingerprint groupBy per (fp, day) with map-side
+    combine, then a day-range self-join ON THE DAILY RELATION (≤
+    distinct-fp×days rows, never events×events); the window bound caps
+    the join fan-out at `lookback` rows per key-day."""
+    ev = T(spark, sf, "events")
+    fp_day = (
+        ev.select(
+            F.expr(
+                "concat(cast(user_id as string), ':', event_type, ':',"
+                " cast(cast(round(value * 100, 0) as bigint) as string))"
+            ).alias("fp"),
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("fp", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    a, b = fp_day.alias("a"), fp_day.alias("b")
+    dup_days = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.expr("datediff(a.day, b.day) BETWEEN 1 AND 3")),
+            "left_semi",
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.count("*").alias("n_dup_fps"),
+            F.sum("a.n").alias("n_dup_events"),
+        )
+    )
+    totals = fp_day.groupBy("day").agg(
+        F.count("*").alias("n_fps"), F.sum("n").alias("n_events")
+    )
+    return (
+        totals.join(dup_days, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_fps",
+            "n_events",
+            F.coalesce("n_dup_fps", F.lit(0)).alias("n_dup_fps"),
+            F.coalesce("n_dup_events", F.lit(0)).alias("n_dup_events"),
+        )
+    )
+
+
+ORACLE_RECENT_DEDUP = """
+WITH fp_day AS (
+  SELECT (user_id::VARCHAR || ':' || event_type || ':'
+          || round(value * 100, 0)::BIGINT::VARCHAR) AS fp,
+         ts::DATE AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+dup_days AS (
+  SELECT a.day, count(*)::BIGINT AS n_dup_fps,
+         sum(a.n)::BIGINT AS n_dup_events
+  FROM fp_day a
+  WHERE EXISTS (
+    SELECT 1 FROM fp_day b
+    WHERE b.fp = a.fp
+      AND date_diff('day', b.day, a.day) BETWEEN 1 AND 3)
+  GROUP BY a.day),
+totals AS (
+  SELECT day, count(*)::BIGINT AS n_fps, sum(n)::BIGINT AS n_events
+  FROM fp_day GROUP BY day)
+SELECT strftime(t.day, '%Y-%m-%d') AS day, t.n_fps, t.n_events,
+       coalesce(d.n_dup_fps, 0)::BIGINT AS n_dup_fps,
+       coalesce(d.n_dup_events, 0)::BIGINT AS n_dup_events
+FROM totals t LEFT JOIN dup_days d USING (day)
+"""
+
+QUERIES["dedup_recent_window"] = dedup_recent_window
+ORACLES["dedup_recent_window"] = ORACLE_RECENT_DEDUP
+
+
+# ------------------------------------------------- range-frame rolling
+
+def win_rolling_7d(spark, sf):
+    """Trailing-7-day order revenue per day: a RANGE-interval window
+    over the pre-aggregated daily relation — the rolling-revenue shape.
+
+    Scale (100 TB): orders collapse to one row per day FIRST (map-side
+    combined), so the range window slides over ≤ calendar-days rows —
+    never the fact table."""
+    od = T(spark, sf, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            "cast(sum(cast(round(o_totalprice * 100, 0) as decimal(38,0)))"
+            " as decimal(38,0))"
+        ).alias("rev_cents"),
+    )
+    w = (
+        Window.orderBy(F.expr("unix_date(day)"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        F.sum("n_orders").over(w).alias("n_orders_7d"),
+        F.expr(
+            "cast(cast(sum(rev_cents) over (order by unix_date(day)"
+            " range between 6 preceding and current row)"
+            " as double) / 100.0 as double)"
+        ).alias("rev_7d"),
+    )
+
+
+ORACLE_ROLLING = """
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day, count(*)::BIGINT AS n_orders,
+         sum(round(o_totalprice * 100, 0)::BIGINT) AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_orders,
+       sum(n_orders) OVER w::BIGINT AS n_orders_7d,
+       (sum(rev_cents) OVER w::DOUBLE / 100.0) AS rev_7d
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+             AND CURRENT ROW)
+"""
+
+QUERIES["win_rolling_7d"] = win_rolling_7d
+ORACLES["win_rolling_7d"] = ORACLE_ROLLING
+
+
+# ------------------------------------------------- stats-based join size
+
+def join_size_from_stats(spark, sf):
+    """Join-cardinality estimation WITHOUT running the join: |A ⋈ B| =
+    Σₖ f_A(k)·f_B(k) over the two sides' key-frequency tables — the
+    statistic a cost-based planner needs, computed from
+    key-cardinality-sized relations (the scale pattern: aggregate
+    first, multiply, never materialize the join).  The actual join
+    count rides along to prove the identity."""
+    orders = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    fa = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("fa")
+    )
+    fb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("fb")
+    )
+    est = fa.join(fb, "k").agg(
+        F.sum(F.col("fa") * F.col("fb")).alias("est_join_rows"),
+        F.count("*").alias("n_shared_keys"),
+    )
+    actual = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count("*").alias("actual_join_rows"))
+    )
+    return est.crossJoin(actual).select(
+        "n_shared_keys", "est_join_rows", "actual_join_rows",
+        (F.col("est_join_rows") - F.col("actual_join_rows")).alias("delta"),
+    )
+
+
+ORACLE_JOIN_SIZE = """
+WITH fa AS (
+  SELECT o_orderkey AS k, count(*) AS fa FROM orders GROUP BY 1),
+fb AS (
+  SELECT l_orderkey AS k, count(*) AS fb FROM lineitem GROUP BY 1),
+est AS (
+  SELECT count(*)::BIGINT AS n_shared_keys,
+         sum(fa * fb)::BIGINT AS est_join_rows
+  FROM fa JOIN fb USING (k)),
+act AS (
+  SELECT count(*)::BIGINT AS actual_join_rows
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+SELECT e.n_shared_keys, e.est_join_rows, a.actual_join_rows,
+       (e.est_join_rows - a.actual_join_rows)::BIGINT AS delta
+FROM est e CROSS JOIN act a
+"""
+
+QUERIES["join_size_from_stats"] = join_size_from_stats
+ORACLES["join_size_from_stats"] = ORACLE_JOIN_SIZE

@@ -417,7 +417,7 @@ def test_survey_registry_consistency():
             r"lang_id_\w+|corpus_\w+|dup_graph_\w+|basket_\w+|user_rfm_\w+|"
             r"orders_monthly_yoy|part_price_stats|neardup_\w+|"
             r"customer_order_reconciliation|sql_api_\w+|sliding_window_counts|"
-            r"training_manifest|join_skew_report|scd2_\w+|"
+            r"training_manifest|join_\w+|scd2_\w+|"
             r"customer_ltv_\w+|customer_fuzzy_\w+|pack_\w+)\b",
             survey,
         )

@@ -577,3 +577,30 @@ def test_priority_sample_is_take_ordered(spark, sf_dir):
     p = plan_of(sample_priority(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
+
+
+def test_r5c_ops_plan_shapes(spark, sf_dir):
+    """Bounded-lookback dedup self-joins the DAILY fingerprint relation
+    (never events×events); the rolling window slides over the
+    pre-aggregated day relation (its single-partition range frame is
+    calendar-bounded BY construction — the aggregate must sit below the
+    window); the join-size estimate is aggregate-then-multiply with no
+    cartesian."""
+    from faconne_spark.queries.curation import (
+        dedup_recent_window,
+        join_size_from_stats,
+        win_rolling_7d,
+    )
+
+    p = plan_of(dedup_recent_window(spark, sf_dir))
+    assert "partial_" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    p = plan_of(win_rolling_7d(spark, sf_dir))
+    # aggregate (daily rollup) below the window operator
+    assert p.index("Window") < p.index("Scan parquet")
+    assert "partial_" in p and "BatchEvalPython" not in p
+
+    p = plan_of(join_size_from_stats(spark, sf_dir))
+    assert "partial_count" in p
+    assert "BatchEvalPython" not in p
