@@ -101,6 +101,10 @@ SNAPSHOT_QUERIES = [
     "events_hourly_seasonality",
     "docs_source_lang_kl",
     "embed_centroid_drift",
+    "fac_pyagg_second_top",
+    "dedup_recent_window",
+    "win_rolling_7d",
+    "join_size_from_stats",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
