@@ -259,6 +259,7 @@ def main() -> None:
         "dedup_recent_window",
         "win_rolling_7d",
         "join_size_from_stats",
+        "docs_nb_quality_classifier",
     ]
     times = {}
     shuffle = {}

@@ -1531,3 +1531,110 @@ def source_lang_kl(docs: DataFrame) -> DataFrame:
             ).alias("kl_lang_mix"),
         )
     )
+
+
+# ------------------------------------------------- NB quality classifier
+
+NB_MICRO = 1_000_000  # fixed-point scale for log-likelihood ratios
+
+
+def nb_quality_classifier(docs: DataFrame) -> DataFrame:
+    """In-engine TRAINED quality classifier (the fastText-style linear
+    quality-filter stage): Bernoulli-presence naive Bayes over distinct
+    tokens, trained on the hash-split train fold against the heuristic
+    quality gate's verdict, evaluated on the held-out folds.
+
+    Determinism: every token's log-likelihood ratio is quantized to
+    integer micro-units (round(1e6·ln(...))) at train time, so each
+    document's score is an EXACT integer sum — no float summation
+    order anywhere; the single ln per vocab entry is the only float
+    op, and it is rounded before use.
+
+    Scale (100 TB): training is two map-side-combined counting
+    groupBys (per-(token, label) presence counts → vocabulary-sized
+    llr table); scoring broadcast-joins that table onto the exploded
+    held-out token stream and integer-sums per doc.  The llr relation
+    is vocabulary-sized — the only state the "model" needs.
+
+    Output per source: held-out doc count, predicted-keep count, and
+    agreement rate with the heuristic gate (rounded).
+    """
+    from faconne_spark.operators.dedup import split_expr
+
+    labeled = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(split_expr("spark")).alias("split"),
+    ).join(quality_gate_verdicts(docs).select("doc_id", "keep"), "doc_id")
+
+    toks = labeled.select(
+        "doc_id",
+        "source",
+        "split",
+        "keep",
+        F.explode(
+            F.expr(f"array_distinct({tokens_ws('lower(text)', 'spark')})")
+        ).alias("tok"),
+    )
+    train = toks.filter(F.col("split") == "train")
+
+    counts = train.groupBy("tok").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("c_keep"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("c_drop"),
+    )
+    tot = train.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_drop"),
+        F.countDistinct("tok").alias("v"),
+    )
+    llr = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr(
+            f"cast(round({NB_MICRO} * ln("
+            " (cast(c_keep + 1 as double) / (n_keep + v))"
+            " / (cast(c_drop + 1 as double) / (n_drop + v))"
+            "), 0) as bigint)"
+        ).alias("llr_micro"),
+    )
+
+    train_docs = labeled.filter(F.col("split") == "train")
+    prior = train_docs.agg(
+        F.expr(
+            f"cast(round({NB_MICRO} * ln("
+            " cast(sum(if(keep, 1, 0)) + 1 as double)"
+            " / (sum(if(keep, 0, 1)) + 1)"
+            "), 0) as bigint)"
+        ).alias("prior_micro")
+    )
+
+    held = toks.filter(F.col("split") != "train")
+    # left join: tokens unseen at train time contribute 0, and a doc of
+    # only-unseen tokens still scores (prior alone) instead of vanishing
+    scored = (
+        held.join(F.broadcast(llr), "tok", "left")
+        .groupBy("doc_id", "source", "keep")
+        .agg(F.sum(F.coalesce("llr_micro", F.lit(0))).alias("tok_score"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "source",
+            "keep",
+            (F.col("tok_score") + F.col("prior_micro")).alias("score_micro"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_heldout"),
+        F.sum(F.when(F.col("score_micro") > 0, 1).otherwise(0)).alias(
+            "n_pred_keep"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("score_micro") > 0) == F.col("keep"), 1
+                ).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("gate_agreement"),
+    )

@@ -2614,3 +2614,70 @@ SELECT label, n_a, n_b, centroid_cos FROM cos JOIN cnt USING (label)
 
 QUERIES["embed_centroid_drift"] = embed_centroid_drift
 ORACLES["embed_centroid_drift"] = ORACLE_CENTROID_DRIFT
+
+
+# ------------------------------------------------- NB quality classifier
+
+def docs_nb_quality_classifier(spark, sf):
+    """In-engine trained Bernoulli-presence naive-Bayes quality filter
+    (the fastText-style classifier stage): trained on the hash-split
+    train fold against the heuristic gate, scored on the held-out
+    folds with EXACT integer micro-unit sums."""
+    return TX.nb_quality_classifier(T(spark, sf, "documents"))
+
+
+def _oracle_nb() -> str:
+    from faconne_spark.operators.dedup import split_expr
+    from faconne_spark.operators.text import NB_MICRO
+
+    toks_d = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH gate AS ({ORACLE_QUALITY_GATE.strip()}),
+labeled AS (
+  SELECT d.doc_id, d.source, d.text, {split_expr('duckdb')} AS split,
+         g.keep
+  FROM documents d JOIN gate g USING (doc_id)),
+toks AS (
+  SELECT doc_id, source, split, keep,
+         unnest(list_distinct({toks_d})) AS tok
+  FROM labeled),
+train AS (SELECT * FROM toks WHERE split = 'train'),
+counts AS (
+  SELECT tok, sum(CASE WHEN keep THEN 1 ELSE 0 END) AS c_keep,
+         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS c_drop
+  FROM train GROUP BY tok),
+tot AS (
+  SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep,
+         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_drop,
+         count(DISTINCT tok) AS v
+  FROM train),
+llr AS (
+  SELECT tok,
+         round({NB_MICRO} * ln(((c_keep + 1)::DOUBLE / (n_keep + v))
+               / ((c_drop + 1)::DOUBLE / (n_drop + v))), 0)::BIGINT
+           AS llr_micro
+  FROM counts CROSS JOIN tot),
+prior AS (
+  SELECT round({NB_MICRO} * ln(
+           (sum(CASE WHEN keep THEN 1 ELSE 0 END) + 1)::DOUBLE
+           / (sum(CASE WHEN keep THEN 0 ELSE 1 END) + 1)), 0)::BIGINT
+           AS prior_micro
+  FROM labeled WHERE split = 'train'),
+held AS (SELECT * FROM toks WHERE split != 'train'),
+scored AS (
+  SELECT h.doc_id, h.source, h.keep,
+         sum(coalesce(l.llr_micro, 0))::BIGINT AS tok_score
+  FROM held h LEFT JOIN llr l USING (tok)
+  GROUP BY 1, 2, 3)
+SELECT s.source, count(*)::BIGINT AS n_heldout,
+       sum(CASE WHEN s.tok_score + p.prior_micro > 0
+                THEN 1 ELSE 0 END)::BIGINT AS n_pred_keep,
+       round(sum(CASE WHEN (s.tok_score + p.prior_micro > 0) = s.keep
+                      THEN 1 ELSE 0 END) / count(*), 6) AS gate_agreement
+FROM scored s CROSS JOIN prior p
+GROUP BY s.source
+"""
+
+
+QUERIES["docs_nb_quality_classifier"] = docs_nb_quality_classifier
+ORACLES["docs_nb_quality_classifier"] = _oracle_nb()

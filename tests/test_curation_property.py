@@ -2107,3 +2107,27 @@ def test_centroid_drift_detects_shifted_half(spark):
                for r in embed_centroid_drift(spark, d).collect()}
     assert out[0] == 1.0
     assert out[1] == -1.0
+
+
+def test_nb_classifier_learns_separable_corpus(spark):
+    """On a corpus where gate-kept docs share a vocabulary disjoint
+    from gate-dropped docs, the trained NB filter must agree with the
+    gate on nearly all held-out docs."""
+    from faconne_spark.operators.text import nb_quality_classifier
+
+    rows = []
+    for i in range(80):
+        if i % 2 == 0:
+            # long, diverse, stopword-bearing → gate keeps
+            words = [f"the good w{i}x{j}" for j in range(12)]
+            text = " ".join(words)
+        else:
+            text = "zz zz zz"  # short, repetitive → gate drops
+        rows.append((i, "s" + str(i % 3), text))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = nb_quality_classifier(df).collect()
+    assert out
+    total = sum(r["n_heldout"] for r in out)
+    agree = sum(r["gate_agreement"] * r["n_heldout"] for r in out)
+    assert total > 0
+    assert agree / total >= 0.9, out
