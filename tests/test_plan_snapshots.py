@@ -105,6 +105,7 @@ SNAPSHOT_QUERIES = [
     "dedup_recent_window",
     "win_rolling_7d",
     "join_size_from_stats",
+    "docs_nb_quality_classifier",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
