@@ -260,6 +260,7 @@ def main() -> None:
         "win_rolling_7d",
         "join_size_from_stats",
         "docs_nb_quality_classifier",
+        "ann_nprobe_sweep",
     ]
     times = {}
     shuffle = {}

@@ -378,7 +378,11 @@ def ann_ivf(spark, sf):
     return S.ivf_topk(emb, queries, ANN_K, IVF_NLIST, IVF_NPROBE)
 
 
-ORACLE_ANN_IVF = f"""
+def _ivf_sql(nprobe: int) -> str:
+    """IVF search oracle parameterized by nprobe (shared by the ann_ivf
+    gate key and the nprobe tuning sweep, so the two can never
+    drift)."""
+    return f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cent FROM embeddings
   WHERE vec_id < {IVF_NLIST}),
@@ -398,7 +402,7 @@ probes AS (
              ORDER BY round({cosine_sim('q.embedding', 'c.cent', 'duckdb')}, 6) DESC,
                       c.cid) AS rk
     FROM (SELECT * FROM embeddings WHERE vec_id < {ANN_NQ}) q
-    CROSS JOIN cent c) WHERE rk <= {IVF_NPROBE})
+    CROSS JOIN cent c) WHERE rk <= {nprobe})
 SELECT q_id, vec_id, cos_sim, rk FROM (
   SELECT p.q_id, a.vec_id,
          round({cosine_sim('a.embedding', 'p.q_emb', 'duckdb')}, 6) AS cos_sim,
@@ -410,6 +414,9 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
   WHERE a.vec_id != p.q_id)
 WHERE rk <= {ANN_K}
 """
+
+
+ORACLE_ANN_IVF = _ivf_sql(IVF_NPROBE)
 
 
 def embed_norm(spark, sf):
@@ -2681,3 +2688,70 @@ GROUP BY s.source
 
 QUERIES["docs_nb_quality_classifier"] = docs_nb_quality_classifier
 ORACLES["docs_nb_quality_classifier"] = _oracle_nb()
+
+
+# ------------------------------------------------- nprobe tuning sweep
+
+SWEEP_NPROBES = (1, 2, 4)
+
+
+def ann_nprobe_sweep(spark, sf):
+    """The IVF tuning artifact: recall@k against exact ground truth for
+    each nprobe — the curve that picks the latency/recall operating
+    point (ann_recall_eval is its single-point slice).  Ground truth is
+    computed once and persisted; each probe setting re-runs only the
+    index search."""
+    from faconne_spark.operators.dedup import track_persist
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    truth = track_persist(
+        S.cosine_topk(emb, queries, ANN_K).select("q_id", "vec_id")
+    )
+    out = None
+    for nprobe in SWEEP_NPROBES:
+        approx = S.ivf_topk(emb, queries, ANN_K, IVF_NLIST, nprobe).select(
+            "q_id", F.col("vec_id").alias("a_id")
+        )
+        j = truth.join(
+            approx,
+            (truth.q_id == approx.q_id) & (truth.vec_id == approx.a_id),
+            "left",
+        ).select(truth.q_id, "a_id")
+        summary = j.agg(
+            F.lit(nprobe).alias("nprobe"),
+            F.countDistinct("q_id").alias("n_queries"),
+            F.sum(
+                F.when(F.col("a_id").isNotNull(), 1).otherwise(0)
+            ).alias("sum_hits"),
+        ).select(
+            "nprobe",
+            "n_queries",
+            "sum_hits",
+            F.round(
+                F.col("sum_hits") / (F.col("n_queries") * ANN_K), 6
+            ).alias("mean_recall"),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+def _oracle_nprobe_sweep() -> str:
+    blocks = [f"truth AS ({ORACLE_ANN_BRUTE.strip()})"]
+    selects = []
+    for nprobe in SWEEP_NPROBES:
+        blocks.append(f"ivf{nprobe} AS ({_ivf_sql(nprobe).strip()})")
+        selects.append(f"""
+SELECT {nprobe} AS nprobe,
+       count(DISTINCT t.q_id)::BIGINT AS n_queries,
+       sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS sum_hits,
+       round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / (count(DISTINCT t.q_id) * {ANN_K}), 6) AS mean_recall
+FROM truth t LEFT JOIN ivf{nprobe} a
+  ON a.q_id = t.q_id AND a.vec_id = t.vec_id""")
+    return "WITH " + ",\n".join(blocks) + "\nUNION ALL".join(selects)
+
+
+QUERIES["ann_nprobe_sweep"] = ann_nprobe_sweep
+ORACLES["ann_nprobe_sweep"] = _oracle_nprobe_sweep()

@@ -2131,3 +2131,19 @@ def test_nb_classifier_learns_separable_corpus(spark):
     agree = sum(r["gate_agreement"] * r["n_heldout"] for r in out)
     assert total > 0
     assert agree / total >= 0.9, out
+
+
+def test_nprobe_sweep_recall_is_monotone(spark, sf_dir):
+    """More probes can only add candidate cells, so recall@k must be
+    non-decreasing in nprobe — the property that makes the sweep a
+    tuning curve."""
+    from faconne_spark.queries.pipeline import ann_nprobe_sweep
+
+    rows = sorted(
+        ((r["nprobe"], r["mean_recall"]) for r in
+         ann_nprobe_sweep(spark, sf_dir).collect())
+    )
+    assert [n for n, _ in rows] == [1, 2, 4]
+    recalls = [r for _, r in rows]
+    assert recalls == sorted(recalls)
+    assert all(0.0 <= r <= 1.0 for r in recalls)
