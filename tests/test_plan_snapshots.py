@@ -106,6 +106,7 @@ SNAPSHOT_QUERIES = [
     "win_rolling_7d",
     "join_size_from_stats",
     "docs_nb_quality_classifier",
+    "ann_nprobe_sweep",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
