@@ -261,6 +261,7 @@ def main() -> None:
         "join_size_from_stats",
         "docs_nb_quality_classifier",
         "ann_nprobe_sweep",
+        "events_conversion_lag",
     ]
     times = {}
     shuffle = {}

@@ -2609,3 +2609,77 @@ FROM est e CROSS JOIN act a
 
 QUERIES["join_size_from_stats"] = join_size_from_stats
 ORACLES["join_size_from_stats"] = ORACLE_JOIN_SIZE
+
+
+# ------------------------------------------------- conversion lag
+
+def events_conversion_lag(spark, sf):
+    """Time-to-convert distribution: per user, the lag from first
+    'view' to first subsequent 'purchase'; summarized per first-view
+    week as median / p90 hours (exact interpolated percentiles over
+    second-precision integers — deterministic cross-engine).
+
+    Scale (100 TB): one conditional min-aggregation per user (map-side
+    combined — both event types' first timestamps in the same pass),
+    then a week-keyed exact-percentile aggregation over the
+    user-cardinality relation (run on a sample at extreme scale, like
+    every exact-percentile gauge here)."""
+    ev = T(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lags = firsts.filter(
+        F.col("first_view").isNotNull()
+    ).select(
+        "user_id",
+        F.date_format(
+            F.expr("date_trunc('week', first_view)"), "yyyy-MM-dd"
+        ).alias("cohort_week"),
+        F.when(
+            F.col("first_purchase") > F.col("first_view"),
+            F.expr(
+                "cast(unix_micros(cast(first_purchase as timestamp)) -"
+                " unix_micros(cast(first_view as timestamp)) as bigint)"
+                " div 1000000"
+            ),
+        ).alias("lag_s"),
+    )
+    return lags.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users"),
+        F.count("lag_s").alias("n_converted"),
+        F.round(F.expr("percentile(lag_s, 0.5) / 3600.0"), 6).alias(
+            "median_lag_h"
+        ),
+        F.round(F.expr("percentile(lag_s, 0.9) / 3600.0"), 6).alias(
+            "p90_lag_h"
+        ),
+    )
+
+
+ORACLE_CONVERSION_LAG = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id),
+lags AS (
+  SELECT user_id,
+         strftime(date_trunc('week', first_view), '%Y-%m-%d') AS cohort_week,
+         CASE WHEN first_purchase > first_view
+              THEN epoch_us(first_purchase - first_view) // 1000000 END
+           AS lag_s
+  FROM firsts WHERE first_view IS NOT NULL)
+SELECT cohort_week, count(*)::BIGINT AS n_users,
+       count(lag_s)::BIGINT AS n_converted,
+       round(quantile_cont(lag_s, 0.5) / 3600.0, 6) AS median_lag_h,
+       round(quantile_cont(lag_s, 0.9) / 3600.0, 6) AS p90_lag_h
+FROM lags GROUP BY cohort_week
+"""
+
+QUERIES["events_conversion_lag"] = events_conversion_lag
+ORACLES["events_conversion_lag"] = ORACLE_CONVERSION_LAG

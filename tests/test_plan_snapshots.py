@@ -107,6 +107,7 @@ SNAPSHOT_QUERIES = [
     "join_size_from_stats",
     "docs_nb_quality_classifier",
     "ann_nprobe_sweep",
+    "events_conversion_lag",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
