@@ -2147,3 +2147,42 @@ def test_nprobe_sweep_recall_is_monotone(spark, sf_dir):
     recalls = [r for _, r in rows]
     assert recalls == sorted(recalls)
     assert all(0.0 <= r <= 1.0 for r in recalls)
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=30),
+        min_size=2,
+        max_size=18,
+    ),
+    t=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_setsim_prefix_complete_at_any_threshold(spark, texts, t):
+    """The prefix length m − ⌈t·m⌉ + 1 must preserve completeness for
+    EVERY threshold, not just the default — the theorem the operator
+    rests on."""
+    from faconne_spark.operators.dedup import setsim_prefix_pairs
+
+    rows = [(i, x if x.strip() else "pad") for i, x in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]) for r in setsim_prefix_pairs(df, t=t).collect()
+    }
+
+    def shingles(text):
+        toks = text.strip().split()
+        return {
+            " ".join(toks[i:i + 3])
+            for i in range(max(len(toks) - 2, 1))
+        }
+
+    sets = {i: shingles(x) for i, x in rows}
+    want = {
+        (i, j)
+        for i in sets
+        for j in sets
+        if i < j
+        and len(sets[i] & sets[j]) >= t * len(sets[i] | sets[j])
+    }
+    assert got == want, (t, got ^ want)
