@@ -2186,3 +2186,22 @@ def test_setsim_prefix_complete_at_any_threshold(spark, texts, t):
         and len(sets[i] & sets[j]) >= t * len(sets[i] | sets[j])
     }
     assert got == want, (t, got ^ want)
+
+
+def test_hll_estimate_accuracy_bounds(spark):
+    """Estimator quality, not just mechanics: for m = 256 registers the
+    standard error is ≈ 6.5%, so fixed corpora of widely varying
+    cardinality must estimate within a generous 4σ band — catches any
+    future change that silently degrades the estimator (wrong alpha,
+    broken correction branch) while every mechanical replay still
+    passes."""
+    from faconne_spark.operators.sketches import hll_distinct
+
+    for n in (50, 500, 5000, 40000):
+        df = spark.range(n).selectExpr("'g' AS g", "id AS k")
+        row = [
+            r for r in hll_distinct(df, "k", "g").collect() if r["g"] == "g"
+        ][0]
+        rel_err = abs(row["hll_est"] - n) / n
+        assert rel_err < 0.26, (n, row["hll_est"], rel_err)
+        assert row["n_exact"] == n
