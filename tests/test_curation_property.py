@@ -2205,3 +2205,30 @@ def test_hll_estimate_accuracy_bounds(spark):
         rel_err = abs(row["hll_est"] - n) / n
         assert rel_err < 0.26, (n, row["hll_est"], rel_err)
         assert row["n_exact"] == n
+
+
+def test_bloom_false_positive_rate_within_theory(spark):
+    """Filter quality, not just mechanics: on a corpus with NO true
+    cross-split duplicates every bloom pass is a false positive, and
+    the measured FP rate must sit within 3× the textbook
+    (1 − e^(−kn/m))^k bound for the filter actually built."""
+    import math
+
+    from faconne_spark.operators.dedup import (
+        BLOOM_BITS_PER,
+        BLOOM_K,
+        bloom_p_for,
+        bloom_prefilter_summary,
+    )
+
+    rows = [(i, "s", f"unique doc {i} tok{i * 7} tok{i * 13}")
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = bloom_prefilter_summary(df).collect()[0]
+    n_hist = sum(1 for i in range(3000) if i % 3 != 0)
+    m = 1 << bloom_p_for(n_hist)
+    p_fp = (1 - math.exp(-BLOOM_K * n_hist / m)) ** BLOOM_K
+    assert out["n_true_dup"] == 0
+    measured = out["n_bloom_fp"] / out["n_incoming"]
+    assert measured <= max(3 * p_fp, 0.01), (measured, p_fp, m)
+    assert out["n_new"] == out["n_incoming"]
