@@ -262,6 +262,8 @@ def main() -> None:
         "docs_nb_quality_classifier",
         "ann_nprobe_sweep",
         "events_conversion_lag",
+        "events_anomaly_seasonal",
+        "orders_revenue_gini",
     ]
     times = {}
     shuffle = {}

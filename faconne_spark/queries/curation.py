@@ -2683,3 +2683,159 @@ FROM lags GROUP BY cohort_week
 
 QUERIES["events_conversion_lag"] = events_conversion_lag
 ORACLES["events_conversion_lag"] = ORACLE_CONVERSION_LAG
+
+
+# ------------------------------------------------- seasonal anomalies
+
+def events_anomaly_seasonal(spark, sf):
+    """Time-of-day-aware anomaly gauge: residual = value − per-(type,
+    hour) median, then the median/MAD outlier count on residuals — an
+    event that is normal at peak hour but anomalous at 3am is visible
+    here and invisible to the global MAD gauge.  Same deterministic
+    rounded-median machinery as events_anomaly_mad."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.hour("ts").alias("hh"),
+        F.col("value"),
+    )
+    hour_med = ev.groupBy("event_type", "hh").agg(
+        F.round(F.expr("median(value)"), 6).alias("h_med")
+    )
+    resid = ev.join(F.broadcast(hour_med), ["event_type", "hh"]).withColumn(
+        "_r", F.round(F.round(F.col("value"), 6) - F.col("h_med"), 6)
+    )
+    rmed = resid.groupBy("event_type").agg(
+        F.round(F.expr("median(_r)"), 6).alias("r_med")
+    )
+    dev = resid.join(F.broadcast(rmed), "event_type").withColumn(
+        "_dev", F.round(F.abs(F.col("_r") - F.col("r_med")), 6)
+    )
+    rmad = dev.groupBy("event_type").agg(
+        F.round(F.expr("median(_dev)"), 6).alias("r_mad")
+    )
+    return (
+        dev.join(F.broadcast(rmad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("r_mad").alias("resid_mad"),
+            F.sum(
+                F.when(F.col("_dev") > 3.0 * F.col("r_mad"), 1).otherwise(0)
+            ).alias("n_seasonal_outliers"),
+        )
+    )
+
+
+ORACLE_SEASONAL_ANOM = """
+WITH ev AS (
+  SELECT event_type, hour(ts) AS hh, value FROM events),
+hour_med AS (
+  SELECT event_type, hh, round(median(value), 6) AS h_med
+  FROM ev GROUP BY 1, 2),
+resid AS (
+  SELECT e.event_type, round(round(e.value, 6) - m.h_med, 6) AS r
+  FROM ev e JOIN hour_med m USING (event_type, hh)),
+rmed AS (
+  SELECT event_type, round(median(r), 6) AS r_med FROM resid GROUP BY 1),
+dev AS (
+  SELECT r.event_type, round(abs(r.r - m.r_med), 6) AS dv
+  FROM resid r JOIN rmed m USING (event_type)),
+rmad AS (
+  SELECT event_type, round(median(dv), 6) AS r_mad FROM dev GROUP BY 1)
+SELECT d.event_type, count(*)::BIGINT AS n_events,
+       max(a.r_mad) AS resid_mad,
+       sum(CASE WHEN d.dv > 3.0 * a.r_mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_seasonal_outliers
+FROM dev d JOIN rmad a USING (event_type)
+GROUP BY d.event_type
+"""
+
+QUERIES["events_anomaly_seasonal"] = events_anomaly_seasonal
+ORACLES["events_anomaly_seasonal"] = ORACLE_SEASONAL_ANOM
+
+
+# ------------------------------------------------- revenue concentration
+
+def orders_revenue_gini(spark, sf):
+    """Revenue concentration per market segment: exact Gini
+    coefficient and top-decile revenue share over per-customer revenue
+    — the long-tail skew diagnosis (how hot would a customer-keyed
+    shuffle get?).  All sums are integer cents and the Gini rank sum
+    is exact integer arithmetic (2·Σ i·xᵢ over the sorted revenue
+    ranks), so the one double division at the end is the only float.
+
+    Scale (100 TB): facts collapse to one row per customer FIRST; the
+    rank window partitions by segment over the customer-cardinality
+    relation."""
+    orders = T(spark, sf, "orders")
+    cust = T(spark, sf, "customer")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "cast(sum(cast(round(o_totalprice * 100, 0) as"
+                " decimal(38,0))) as bigint)"
+            ).alias("rev_cents")
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "rev_cents", "o_custkey"
+    )
+    ranked = per_cust.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("c_mktsegment"))
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        (F.sum("rev_cents") / 100.0).alias("total_rev"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("rk") * F.col("rev_cents"))
+                - (F.count("*") + 1) * F.sum("rev_cents")
+            )
+            / (F.count("*") * F.sum("rev_cents")),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rk") * 10 > F.col("n") * 9, F.col("rev_cents")
+                ).otherwise(0)
+            )
+            / F.sum("rev_cents"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+ORACLE_GINI = """
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         sum(round(o.o_totalprice * 100, 0)::BIGINT) AS rev_cents
+  FROM orders o GROUP BY 1),
+seg AS (
+  SELECT p.o_custkey, p.rev_cents, c.c_mktsegment
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey),
+ranked AS (
+  SELECT c_mktsegment, o_custkey, rev_cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY rev_cents, o_custkey) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM seg)
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+       (sum(rev_cents) / 100.0) AS total_rev,
+       round((2.0 * sum(rk * rev_cents)
+              - (count(*) + 1) * sum(rev_cents))
+             / (count(*) * sum(rev_cents)), 6) AS gini,
+       round(sum(CASE WHEN rk * 10 > n * 9 THEN rev_cents ELSE 0 END)
+             / sum(rev_cents), 6) AS top_decile_share
+FROM ranked GROUP BY c_mktsegment
+"""
+
+QUERIES["orders_revenue_gini"] = orders_revenue_gini
+ORACLES["orders_revenue_gini"] = ORACLE_GINI

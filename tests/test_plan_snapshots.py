@@ -108,6 +108,8 @@ SNAPSHOT_QUERIES = [
     "docs_nb_quality_classifier",
     "ann_nprobe_sweep",
     "events_conversion_lag",
+    "events_anomaly_seasonal",
+    "orders_revenue_gini",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
