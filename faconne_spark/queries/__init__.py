@@ -52,6 +52,8 @@ _FIRST = [
     "fac_pyagg_second_top", "dedup_recent_window", "win_rolling_7d",
     "join_size_from_stats", "docs_nb_quality_classifier", "ann_nprobe_sweep", "events_conversion_lag",
     "events_anomaly_seasonal", "orders_revenue_gini",
+    "events_sessionize", "events_audience_overlap", "orders_basket_lift",
+    "part_skyline",
     # -- unchanged keys (fresh r4 rows), r4 order --
     "text_gopher_rules", "docs_importance_weights",
     "docs_bpe_pair_counts", "events_fill_forward", "dup_graph_triangles",

@@ -2839,3 +2839,316 @@ FROM ranked GROUP BY c_mktsegment
 
 QUERIES["orders_revenue_gini"] = orders_revenue_gini
 ORACLES["orders_revenue_gini"] = ORACLE_GINI
+
+
+# ------------------------------------------------- gap sessionization
+
+SESSION_GAP_MIN = 30  # classic 30-minute inactivity boundary
+
+
+def events_sessionize(spark, sf):
+    """Gap-based sessionization: a >30-minute silence starts a new
+    session; per-user session stats (count, size, duration) come out of
+    two windows and two aggregations — the batch face of
+    ``stream_session_agg``'s state machine.
+
+    Scale (100 TB): both windows partition by ``user_id`` (no global
+    sort); the per-user event stream sorts locally inside its hash
+    partition.  Durations stay integer microseconds until the single
+    final division, so engines agree bit-for-bit."""
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(wo)
+    tagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_MIN * 60_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = tagged.groupBy("user_id", "sess_idx").agg(
+        F.count("*").alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+        F.round(
+            F.sum("dur_us") / (F.count("*") * F.lit(60_000_000.0)), 6
+        ).alias("avg_session_minutes"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+tagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {SESSION_GAP_MIN * 60_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+numbered AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM tagged),
+sessions AS (
+  SELECT user_id, sess_idx, count(*) AS n_ev,
+         max(us) - min(us) AS dur_us
+  FROM numbered GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(n_ev)::BIGINT AS n_events,
+       max(n_ev)::BIGINT AS max_session_events,
+       round(sum(dur_us) / (count(*) * 60000000.0), 6)
+         AS avg_session_minutes
+FROM sessions GROUP BY user_id
+"""
+
+QUERIES["events_sessionize"] = events_sessionize
+ORACLES["events_sessionize"] = ORACLE_SESSIONIZE
+
+
+# ------------------------------------------------- audience overlap
+
+def events_audience_overlap(spark, sf):
+    """Exact audience overlap between event types: |A∩B| via a
+    user-keyed self-join of the distinct (type, user) relation, Jaccard
+    from the inclusion–exclusion identity — the exact counterpart of
+    ``events_hll_overlap``'s sketched estimate.
+
+    Scale (100 TB): the self-join is keyed on ``user_id``, and each
+    user contributes at most C(T,2) pairs where T = #event types (a
+    bounded catalog), so the join output is O(users·T²), never
+    quadratic in events.  The per-type size relation is broadcast (T
+    rows)."""
+    tu = T(spark, sf, "events").select("event_type", "user_id").distinct()
+    inter = (
+        tu.alias("a")
+        .join(tu.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("overlap_users"))
+    )
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_users").alias("users_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_users").alias("users_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a", "type_b", "users_a", "users_b", "overlap_users",
+            F.round(
+                F.col("overlap_users")
+                / (
+                    F.col("users_a") + F.col("users_b")
+                    - F.col("overlap_users")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_AUDIENCE = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS overlap_users
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT event_type, count(*)::BIGINT AS n_users FROM tu GROUP BY 1)
+SELECT i.type_a, i.type_b, sa.n_users AS users_a, sb.n_users AS users_b,
+       i.overlap_users,
+       round(i.overlap_users
+             / (sa.n_users + sb.n_users - i.overlap_users)::DOUBLE, 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+QUERIES["events_audience_overlap"] = events_audience_overlap
+ORACLES["events_audience_overlap"] = ORACLE_AUDIENCE
+
+
+# ------------------------------------------------- association lift
+
+MIN_COOC = 3  # minimum pair co-occurrence to report a rule
+
+
+def orders_basket_lift(spark, sf):
+    """Association-rule mining over order baskets: support and lift for
+    every part pair co-purchased ≥ MIN_COOC times (the market-basket
+    step past ``basket_part_pairs``'s raw counts).
+
+    Scale (100 TB): pair generation self-joins the distinct
+    (order, part) relation on its ORDER key — output is Σ C(|basket|,2)
+    with TPC-H baskets bounded at 7 items, so it stays linear in
+    lineitem.  Item frequencies join on part key (plain shuffle joins;
+    the part catalog is NOT assumed broadcastable), and the one global
+    scalar (basket count) is a 1-row broadcast, not a collect."""
+    items = (
+        T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    nb = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= MIN_COOC)
+    )
+    return (
+        pairs.join(
+            cnt.select(
+                F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+            ),
+            "part_a",
+        )
+        .join(
+            cnt.select(
+                F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a", "part_b", "pair_n", "cnt_a", "cnt_b",
+            F.round(F.col("pair_n") / F.col("n_baskets"), 6).alias("support"),
+            F.round(
+                F.col("pair_n") * F.col("n_baskets")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_BASKET_LIFT = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+cnt AS (SELECT l_partkey, count(*)::BIGINT AS cnt FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS pair_n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_COOC})
+SELECT p.part_a, p.part_b, p.pair_n, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       round(p.pair_n / n.n_baskets::DOUBLE, 6) AS support,
+       round(p.pair_n * n.n_baskets / (ca.cnt * cb.cnt)::DOUBLE, 6) AS lift
+FROM pairs p
+JOIN cnt ca ON ca.l_partkey = p.part_a
+JOIN cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN nb n
+"""
+
+QUERIES["orders_basket_lift"] = orders_basket_lift
+ORACLES["orders_basket_lift"] = ORACLE_BASKET_LIFT
+
+
+# ------------------------------------------------- Pareto skyline
+
+SKY_BUCKET_CENTS = 10_000  # $100 coarse-prune buckets
+
+
+def part_skyline(spark, sf):
+    """Skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — no part on the frontier is beaten on both axes.
+    Classic 2-D skyline via the sorted-sweep identity: a part survives
+    iff its size strictly exceeds every strictly-cheaper part's size
+    and nothing at the same price is larger.
+
+    Scale (100 TB): the naive sweep is a GLOBAL sort, so the plan
+    prunes first — per-$100-bucket max sizes (one map-side-combined
+    agg over a bounded bucket range) give a running "best size among
+    all cheaper buckets" bound that is broadcast back; only parts
+    beating that bound (provably a superset of the frontier — any
+    dominator of a pruned part lives in a cheaper bucket) reach the
+    exact unpartitioned sweep, which therefore runs over a
+    frontier-sized relation, not the catalog."""
+    p = T(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+        "p_size",
+    ).withColumn(
+        "bkt", (F.col("price_c") / SKY_BUCKET_CENTS).cast("long")
+    )
+    bmax = p.groupBy("bkt").agg(F.max("p_size").alias("bmax"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = bmax.select("bkt", F.max("bmax").over(wb).alias("cheaper_max"))
+    cand = p.join(F.broadcast(bounds), "bkt").filter(
+        F.col("cheaper_max").isNull()
+        | (F.col("p_size") > F.col("cheaper_max"))
+    )
+    wr = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    ws = Window.partitionBy("price_c")
+    return (
+        cand.select(
+            "p_partkey", "price", "price_c", "p_size",
+            F.max("p_size").over(wr).alias("mc"),
+            F.max("p_size").over(ws).alias("ms"),
+        )
+        .filter(
+            (F.col("mc").isNull() | (F.col("mc") < F.col("p_size")))
+            & (F.col("ms") <= F.col("p_size"))
+        )
+        .select("p_partkey", F.round("price", 2).alias("price"), "p_size")
+    )
+
+
+# the oracle runs the textbook single-sweep form over the whole catalog;
+# the coarse prune only ever removes dominated parts (any dominator of a
+# pruned part sits in a strictly cheaper bucket and survives), so both
+# formulations return the identical frontier
+ORACLE_SKYLINE = """
+WITH p AS (
+  SELECT p_partkey, p_retailprice AS price,
+         (round(p_retailprice * 100, 0))::BIGINT AS price_c, p_size
+  FROM part),
+w AS (
+  SELECT *,
+         max(p_size) OVER (ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS mc,
+         max(p_size) OVER (PARTITION BY price_c) AS ms
+  FROM p)
+SELECT p_partkey, round(price, 2) AS price, p_size
+FROM w
+WHERE (mc IS NULL OR mc < p_size) AND ms <= p_size
+"""
+
+QUERIES["part_skyline"] = part_skyline
+ORACLES["part_skyline"] = ORACLE_SKYLINE
