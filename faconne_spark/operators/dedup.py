@@ -793,6 +793,59 @@ def pagerank_micro(pairs: DataFrame, iters: int = 3) -> DataFrame:
     )
 
 
+def lpa_communities(pairs: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) over the
+    (undirected) near-dup pair graph — community detection one level
+    softer than connected components: a node adopts its neighbors'
+    most frequent label each round, so weakly-bridged duplicate
+    families separate where CC would fuse them.
+
+    Determinism: classic async LPA is order-dependent; this is the
+    synchronous variant with a total tie-break (max count, then min
+    label), so every round is a pure function of the previous labeling
+    and the DuckDB oracle replays it exactly with unrolled CTEs.
+
+    Scale (100 TB): edges and the evolving label relation are
+    graph-sized (≪ corpus); edges persist once and each round is one
+    edges-sized contribution shuffle + a per-node window over the
+    (node, label) frequency relation — the same per-round cost shape
+    as :func:`pagerank_micro`, with a fixed small round count."""
+    if iters < 1:
+        raise ValueError(f"lpa_communities needs iters >= 1, got {iters}")
+    from pyspark.sql import Window
+
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = _persist_sig(
+        fwd.union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        ),
+        pairs,
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iters):
+        freq = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 SEMDEDUP_TARGET_CLUSTER_ROWS = 1024
 
 

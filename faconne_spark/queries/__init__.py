@@ -53,7 +53,10 @@ _FIRST = [
     "join_size_from_stats", "docs_nb_quality_classifier", "ann_nprobe_sweep", "events_conversion_lag",
     "events_anomaly_seasonal", "orders_revenue_gini",
     "events_sessionize", "events_audience_overlap", "orders_basket_lift",
-    "part_skyline",
+    "part_skyline", "embed_diversity", "events_range_partition_plan",
+    "dup_graph_lpa", "mm_scene_cuts",
+    # ^ r5 block total = 50 — exactly the driver window; do NOT add more
+    #   changed/new keys above this line without bumping older ones out
     # -- unchanged keys (fresh r4 rows), r4 order --
     "text_gopher_rules", "docs_importance_weights",
     "docs_bpe_pair_counts", "events_fill_forward", "dup_graph_triangles",

@@ -3152,3 +3152,224 @@ WHERE (mc IS NULL OR mc < p_size) AND ms <= p_size
 
 QUERIES["part_skyline"] = part_skyline
 ORACLES["part_skyline"] = ORACLE_SKYLINE
+
+
+# ------------------------------------------------- embedding diversity
+
+def embed_diversity(spark, sf):
+    """Per-label embedding diversity: mean pairwise cosine via the
+    vector-sum identity Σᵢ≠ⱼ v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − Σ‖v̂‖² — a collapsed
+    label (near-duplicate vectors) shows as mean cos → 1 without ever
+    materializing a pair.
+
+    Scale (100 TB): NO pairwise join anywhere — the identity reduces
+    the quadratic statistic to two map-side-combined aggregations
+    (per-(label, dim) component sums, then per-label fold), so the
+    exchange carries labels×dim rows, never the corpus.  Normalized
+    components are quantized to integer micro-units per row, making
+    every sum exact and order-independent (same fixed-point design as
+    the k-means/PCA family)."""
+    from faconne_spark.session import spread
+
+    emb = spread(T(spark, sf, "embeddings"))
+    base = emb.select(
+        "vec_id", "label", "embedding",
+        F.expr(
+            "sqrt(aggregate(embedding, cast(0.0 as double),"
+            " (a, v) -> a + cast(v as double) * cast(v as double)))"
+        ).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    micro = base.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "val"),
+        "nrm",
+    ).select(
+        "vec_id", "label", "pos",
+        F.expr(
+            "cast(round(cast(val as double) / nrm * 1000000, 0) as bigint)"
+        ).alias("mc"),
+    )
+    spos = micro.groupBy("label", "pos").agg(F.sum("mc").alias("s"))
+    ssq = spos.groupBy("label").agg(
+        F.sum(F.expr("cast(s as decimal(19,0)) * s")).alias("ssq")
+    )
+    selfsq = micro.groupBy("label").agg(
+        F.countDistinct("vec_id").alias("n_vecs"),
+        F.sum(F.expr("cast(mc * mc as decimal(38,0))")).alias("self_sq"),
+    )
+    return (
+        ssq.join(selfsq, "label")
+        .filter(F.col("n_vecs") > 1)
+        .select(
+            "label", "n_vecs",
+            F.round(
+                (F.col("ssq") - F.col("self_sq")).cast("double")
+                / (
+                    F.col("n_vecs")
+                    * (F.col("n_vecs") - 1)
+                    * F.lit(1_000_000_000_000.0)
+                )
+                + 0.0,
+                6,
+            ).alias("mean_pairwise_cos"),
+        )
+    )
+
+
+ORACLE_EMBED_DIVERSITY = """
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings),
+micro AS (
+  SELECT vec_id, label, pos,
+         CAST(round(val / nrm * 1000000, 0) AS BIGINT) AS mc
+  FROM (SELECT vec_id, label, nrm,
+               unnest(embedding)::DOUBLE AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM base WHERE nrm > 0)),
+spos AS (
+  SELECT label, pos, sum(mc) AS s FROM micro GROUP BY 1, 2),
+ssq AS (
+  SELECT label, sum(s::HUGEINT * s) AS ssq FROM spos GROUP BY 1),
+selfsq AS (
+  SELECT label, count(DISTINCT vec_id)::BIGINT AS n_vecs,
+         sum(mc * mc) AS self_sq
+  FROM micro GROUP BY 1)
+SELECT a.label, b.n_vecs,
+       round((a.ssq - b.self_sq)::DOUBLE
+             / (b.n_vecs * (b.n_vecs - 1) * 1000000000000.0) + 0.0, 6)
+         AS mean_pairwise_cos
+FROM ssq a JOIN selfsq b USING (label)
+WHERE b.n_vecs > 1
+"""
+
+QUERIES["embed_diversity"] = embed_diversity
+ORACLES["embed_diversity"] = ORACLE_EMBED_DIVERSITY
+
+
+# ------------------------------------------------- range partition plan
+
+RANGE_BUCKETS = 8
+
+
+def events_range_partition_plan(spark, sf):
+    """Range-partition planning: exact value-quantile boundaries →
+    per-bucket row counts and bounds — the boundary computation a
+    distributed sort / range-partitioned write runs before shuffling
+    (Spark's RangePartitioner samples; this is the exact audit of how
+    balanced those buckets come out).
+
+    Scale (100 TB): NO global sort — boundaries come from one
+    map-side-combined exact-percentile aggregation over integer
+    micro-units (bit-exact interpolation cross-engine, same design as
+    user_rfm_segments), broadcast as a single row; bucket assignment
+    is a comparison scan and the rollup is bucket-cardinality-sized."""
+    ev = T(spark, sf, "events").select(
+        F.expr("cast(round(value * 1000000, 0) as bigint)").alias("v")
+    )
+    pcts = [k / RANGE_BUCKETS for k in range(1, RANGE_BUCKETS)]
+    cuts = ev.agg(
+        F.percentile(F.col("v").cast("double"), F.lit(pcts)).alias("q")
+    )
+    bucket = F.lit(1)
+    for k in range(1, RANGE_BUCKETS):
+        bucket = bucket + (
+            F.col("v").cast("double") > F.element_at("q", k)
+        ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "v")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("v") / 1_000_000.0, 6).alias("lo"),
+            F.round(F.max("v") / 1_000_000.0, 6).alias("hi"),
+        )
+    )
+
+
+def _oracle_range_plan() -> str:
+    pcts = ", ".join(
+        str(k / RANGE_BUCKETS) for k in range(1, RANGE_BUCKETS)
+    )
+    compares = " + ".join(
+        f"(v::DOUBLE > q[{k}])::INT" for k in range(1, RANGE_BUCKETS)
+    )
+    return f"""
+WITH ev AS (
+  SELECT CAST(round(value * 1000000, 0) AS BIGINT) AS v FROM events),
+cuts AS (
+  SELECT quantile_cont(v::DOUBLE, [{pcts}]) AS q FROM ev)
+SELECT 1 + {compares} AS bucket,
+       count(*)::BIGINT AS n_rows,
+       round(min(v) / 1000000.0, 6) AS lo,
+       round(max(v) / 1000000.0, 6) AS hi
+FROM ev, cuts GROUP BY 1
+"""
+
+
+QUERIES["events_range_partition_plan"] = events_range_partition_plan
+ORACLES["events_range_partition_plan"] = _oracle_range_plan()
+
+
+# ------------------------------------------------- label propagation
+
+LPA_ITERS = 3
+
+
+def dup_graph_lpa(spark, sf):
+    """Synchronous label-propagation communities over the simhash
+    near-dup graph — the softer cousin of dedup_clusters' connected
+    components (weak bridges between duplicate families stay
+    separated).  Deterministic: min-label tie-break each round."""
+    from faconne_spark.queries.pipeline import SIMHASH_MAX_HAM
+
+    pairs = D.simhash_pairs(T(spark, sf, "documents"), SIMHASH_MAX_HAM)
+    return D.lpa_communities(pairs, LPA_ITERS)
+
+
+def _oracle_lpa() -> str:
+    from faconne_spark.queries.pipeline import (
+        ORACLE_SIMHASH,
+        SIMHASH_MAX_HAM,
+    )
+
+    prefix = ORACLE_SIMHASH.split("SELECT DISTINCT")[0]
+    ctes = [
+        f"""prs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAM}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs),
+l0 AS (
+  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges)"""
+    ]
+    for i in range(LPA_ITERS):
+        ctes.append(f"""nb{i} AS (
+  SELECT e.dst AS doc_id, p.lbl, count(*) AS c
+  FROM edges e JOIN l{i} p ON p.doc_id = e.src GROUP BY 1, 2)""")
+        ctes.append(f"""l{i + 1} AS (
+  SELECT doc_id, lbl FROM (
+    SELECT doc_id, lbl,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, lbl) AS rn
+    FROM nb{i}) WHERE rn = 1)""")
+    return (
+        prefix
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lbl AS community, count(*)::BIGINT AS n_members,
+       min(doc_id) AS min_doc
+FROM l{LPA_ITERS} GROUP BY lbl
+"""
+    )
+
+
+QUERIES["dup_graph_lpa"] = dup_graph_lpa
+ORACLES["dup_graph_lpa"] = _oracle_lpa()

@@ -2755,3 +2755,68 @@ FROM truth t LEFT JOIN ivf{nprobe} a
 
 QUERIES["ann_nprobe_sweep"] = ann_nprobe_sweep
 ORACLES["ann_nprobe_sweep"] = _oracle_nprobe_sweep()
+
+
+# ------------------------------------------------------ video scene cuts
+
+def mm_scene_cuts(spark, sf):
+    """Shot-boundary detection over the motion-BMP subset: REAL frame
+    walk + consecutive-frame pixel diffs → per-clip transition count,
+    mean frame diff, and cuts above the threshold (multimodal
+    ``scene_cut_stats_real``; cut compare is pure integer).  The
+    JVM-side type prune keeps stills/audio out of Python entirely."""
+    docs = T(spark, sf, "documents")
+    return MM.extract_scene_cuts(
+        MM.synthesize_media(docs, media_types=["video/x-motion-bmp"])
+    )
+
+
+# closed-form md5 replay: frame i's pixel array is the digest rotated
+# by i and tiled to h·stride bytes (multimodal.media_payload/_tile), so
+# |frame_i − frame_{i+1}| byte j is c[(j+i) % 16] with
+# c[k] = |d[k] − d[(k+1) % 16]| over digest bytes d — each transition
+# total is (n//16)·Σc + the length-(n%16) partial cycle starting at i
+ORACLE_MM_SCENES = f"""
+WITH params AS (
+  SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 2),
+bytes AS (
+  SELECT doc_id,
+         g.k AS k,
+         (strpos('0123456789abcdef', substr(hx, g.k * 2 + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(hx, g.k * 2 + 2, 1)) - 1 AS b
+  FROM params, generate_series(0, 15) AS g(k)),
+geom AS (
+  SELECT doc_id,
+         2 + max(CASE WHEN k = 3 THEN b END) % 5 AS n_frames,
+         (4 + max(CASE WHEN k = 5 THEN b END) % 8)
+         * ((3 * (4 + max(CASE WHEN k = 4 THEN b END) % 8) + 3) // 4 * 4)
+           AS nbytes
+  FROM bytes GROUP BY doc_id),
+cyc AS (
+  SELECT a.doc_id, a.k, abs(a.b - n.b) AS c
+  FROM bytes a JOIN bytes n
+    ON n.doc_id = a.doc_id AND n.k = (a.k + 1) % 16),
+csum AS (SELECT doc_id, sum(c) AS ctot FROM cyc GROUP BY doc_id),
+trans AS (
+  SELECT g.doc_id, t.i, g.n_frames, g.nbytes,
+         (g.nbytes // 16) * cs.ctot
+         + sum(CASE WHEN ((c.k - t.i + 16) % 16) < g.nbytes % 16
+               THEN c.c ELSE 0 END) AS total
+  FROM geom g
+  JOIN csum cs USING (doc_id)
+  JOIN cyc c USING (doc_id)
+  CROSS JOIN generate_series(0, 4) AS t(i)
+  WHERE t.i < g.n_frames - 1
+  GROUP BY g.doc_id, t.i, g.n_frames, g.nbytes, cs.ctot)
+SELECT doc_id,
+       max(n_frames)::INTEGER AS n_frames,
+       count(*)::BIGINT AS n_transitions,
+       round(sum(total) / (count(*) * max(nbytes) * 1.0), 6)
+         AS avg_frame_diff,
+       sum(CASE WHEN 1000 * total > {MM.SCENE_CUT_T_MILLI} * nbytes
+           THEN 1 ELSE 0 END)::BIGINT AS n_cuts
+FROM trans GROUP BY doc_id
+"""
+
+QUERIES["mm_scene_cuts"] = mm_scene_cuts
+ORACLES["mm_scene_cuts"] = ORACLE_MM_SCENES
