@@ -710,3 +710,88 @@ def hourly_chi2(df: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
             ).alias("peak_hour"),
         )
     )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple = ("us", "event_id"),
+    gap_us: int = 30 * 60_000_000,
+) -> DataFrame:
+    """Gap-based sessionization: a silence longer than ``gap_us`` on the
+    ``order_cols[0]`` (integer microseconds) axis starts a new session;
+    returns per-user session count/size/duration stats.
+
+    Scale (100 TB): both windows partition by the user key — the event
+    stream sorts locally inside its hash partition, never globally.
+    Durations stay integer microseconds until the one final division,
+    so engines agree bit-for-bit."""
+    ts, tie = order_cols
+    wo = Window.partitionBy(user_col).orderBy(ts, tie)
+    gap = F.col(ts) - F.lag(ts).over(wo)
+    tagged = df.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    ).withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = tagged.groupBy(user_col, "sess_idx").agg(
+        F.count("*").alias("n_ev"),
+        (F.max(ts) - F.min(ts)).alias("dur_us"),
+    )
+    return sessions.groupBy(user_col).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+        F.round(
+            F.sum("dur_us") / (F.count("*") * F.lit(60_000_000.0)), 6
+        ).alias("avg_session_minutes"),
+    )
+
+
+def skyline2d(
+    df: DataFrame,
+    key_col: str,
+    cost_c_col: str,
+    gain_col: str,
+    bucket_width: int = 10_000,
+) -> DataFrame:
+    """Distributed 2-D skyline (Pareto frontier): minimize the integer
+    ``cost_c_col``, maximize ``gain_col``.  A row survives iff nothing
+    strictly cheaper has gain ≥ its own and nothing at the same cost
+    has strictly larger gain.
+
+    Scale (100 TB): the textbook sorted sweep is a GLOBAL sort, so the
+    plan prunes first — per-cost-bucket max gains (one map-side agg
+    over a bounded bucket range) give a broadcast running bound; only
+    rows beating every strictly-cheaper bucket's best (provably a
+    superset of the frontier: any dominator of a pruned row lives in a
+    cheaper bucket and survives pruning itself... transitively, a
+    MAXIMAL dominator does) reach the exact unpartitioned sweep, which
+    runs over a frontier-sized relation, not the input."""
+    p = df.withColumn(
+        "bkt", (F.col(cost_c_col) / bucket_width).cast("long")
+    )
+    bmax = p.groupBy("bkt").agg(F.max(gain_col).alias("bmax"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = bmax.select("bkt", F.max("bmax").over(wb).alias("cheaper_max"))
+    cand = p.join(F.broadcast(bounds), "bkt").filter(
+        F.col("cheaper_max").isNull()
+        | (F.col(gain_col) > F.col("cheaper_max"))
+    )
+    wr = Window.orderBy(cost_c_col).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    ws = Window.partitionBy(cost_c_col)
+    return (
+        cand.select(
+            key_col, cost_c_col, gain_col,
+            F.max(gain_col).over(wr).alias("mc"),
+            F.max(gain_col).over(ws).alias("ms"),
+        )
+        .filter(
+            (F.col("mc").isNull() | (F.col("mc") < F.col(gain_col)))
+            & (F.col("ms") <= F.col(gain_col))
+        )
+        .select(key_col, cost_c_col, gain_col)
+    )

@@ -756,3 +756,58 @@ def matryoshka_recall(
         )
         out = summary if out is None else out.unionByName(summary)
     return out
+
+
+def pairwise_diversity(emb: DataFrame, micro: int = 1_000_000) -> DataFrame:
+    """Per-label mean pairwise cosine via the vector-sum identity
+    Σᵢ≠ⱼ v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − Σ‖v̂‖² — the collapsed-label gauge (mean
+    cos → 1 means the label's vectors are near-duplicates) with NO
+    pairwise join anywhere.
+
+    Scale (100 TB): two map-side-combined aggregations; the exchange
+    carries labels×dim rows, never the corpus.  Normalized components
+    quantize to integer ``micro`` units per row, so every downstream
+    sum is exact integer arithmetic (order/partition-independent, same
+    fixed-point design as the k-means/PCA family)."""
+    base = emb.select(
+        "vec_id", "label", "embedding",
+        F.expr(
+            "sqrt(aggregate(embedding, cast(0.0 as double),"
+            " (a, v) -> a + cast(v as double) * cast(v as double)))"
+        ).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    micro_rows = base.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "val"),
+        "nrm",
+    ).select(
+        "vec_id", "label", "pos",
+        F.expr(
+            f"cast(round(cast(val as double) / nrm * {micro}, 0) as bigint)"
+        ).alias("mc"),
+    )
+    spos = micro_rows.groupBy("label", "pos").agg(F.sum("mc").alias("s"))
+    ssq = spos.groupBy("label").agg(
+        F.sum(F.expr("cast(s as decimal(19,0)) * s")).alias("ssq")
+    )
+    selfsq = micro_rows.groupBy("label").agg(
+        F.countDistinct("vec_id").alias("n_vecs"),
+        F.sum(F.expr("cast(mc * mc as decimal(38,0))")).alias("self_sq"),
+    )
+    return (
+        ssq.join(selfsq, "label")
+        .filter(F.col("n_vecs") > 1)
+        .select(
+            "label", "n_vecs",
+            F.round(
+                (F.col("ssq") - F.col("self_sq")).cast("double")
+                / (
+                    F.col("n_vecs")
+                    * (F.col("n_vecs") - 1)
+                    * F.lit(float(micro) * micro)
+                )
+                + 0.0,
+                6,
+            ).alias("mean_pairwise_cos"),
+        )
+    )

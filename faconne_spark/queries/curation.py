@@ -2859,28 +2859,8 @@ def events_sessionize(spark, sf):
     ev = T(spark, sf, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("us")
     )
-    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
-    gap = F.col("us") - F.lag("us").over(wo)
-    tagged = ev.withColumn(
-        "new_sess",
-        F.when(
-            gap.isNull() | (gap > SESSION_GAP_MIN * 60_000_000), 1
-        ).otherwise(0),
-    ).withColumn(
-        "sess_idx",
-        F.sum("new_sess").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    sessions = tagged.groupBy("user_id", "sess_idx").agg(
-        F.count("*").alias("n_ev"),
-        (F.max("us") - F.min("us")).alias("dur_us"),
-    )
-    return sessions.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.sum("n_ev").alias("n_events"),
-        F.max("n_ev").alias("max_session_events"),
-        F.round(
-            F.sum("dur_us") / (F.count("*") * F.lit(60_000_000.0)), 6
-        ).alias("avg_session_minutes"),
+    return R.session_stats(
+        ev, "user_id", ("us", "event_id"), SESSION_GAP_MIN * 60_000_000
     )
 
 
@@ -3100,32 +3080,15 @@ def part_skyline(spark, sf):
     frontier-sized relation, not the catalog."""
     p = T(spark, sf, "part").select(
         "p_partkey",
-        F.col("p_retailprice").alias("price"),
         F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
         "p_size",
-    ).withColumn(
-        "bkt", (F.col("price_c") / SKY_BUCKET_CENTS).cast("long")
     )
-    bmax = p.groupBy("bkt").agg(F.max("p_size").alias("bmax"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    bounds = bmax.select("bkt", F.max("bmax").over(wb).alias("cheaper_max"))
-    cand = p.join(F.broadcast(bounds), "bkt").filter(
-        F.col("cheaper_max").isNull()
-        | (F.col("p_size") > F.col("cheaper_max"))
-    )
-    wr = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
-    ws = Window.partitionBy("price_c")
-    return (
-        cand.select(
-            "p_partkey", "price", "price_c", "p_size",
-            F.max("p_size").over(wr).alias("mc"),
-            F.max("p_size").over(ws).alias("ms"),
-        )
-        .filter(
-            (F.col("mc").isNull() | (F.col("mc") < F.col("p_size")))
-            & (F.col("ms") <= F.col("p_size"))
-        )
-        .select("p_partkey", F.round("price", 2).alias("price"), "p_size")
+    return R.skyline2d(
+        p, "p_partkey", "price_c", "p_size", SKY_BUCKET_CENTS
+    ).select(
+        "p_partkey",
+        F.round(F.col("price_c") / 100.0, 2).alias("price"),
+        "p_size",
     )
 
 
@@ -3135,7 +3098,7 @@ def part_skyline(spark, sf):
 # formulations return the identical frontier
 ORACLE_SKYLINE = """
 WITH p AS (
-  SELECT p_partkey, p_retailprice AS price,
+  SELECT p_partkey,
          (round(p_retailprice * 100, 0))::BIGINT AS price_c, p_size
   FROM part),
 w AS (
@@ -3145,7 +3108,7 @@ w AS (
                              AND 1 PRECEDING) AS mc,
          max(p_size) OVER (PARTITION BY price_c) AS ms
   FROM p)
-SELECT p_partkey, round(price, 2) AS price, p_size
+SELECT p_partkey, round(price_c / 100.0, 2) AS price, p_size
 FROM w
 WHERE (mc IS NULL OR mc < p_size) AND ms <= p_size
 """
@@ -3171,49 +3134,7 @@ def embed_diversity(spark, sf):
     the k-means/PCA family)."""
     from faconne_spark.session import spread
 
-    emb = spread(T(spark, sf, "embeddings"))
-    base = emb.select(
-        "vec_id", "label", "embedding",
-        F.expr(
-            "sqrt(aggregate(embedding, cast(0.0 as double),"
-            " (a, v) -> a + cast(v as double) * cast(v as double)))"
-        ).alias("nrm"),
-    ).filter(F.col("nrm") > 0)
-    micro = base.select(
-        "vec_id", "label",
-        F.posexplode("embedding").alias("pos", "val"),
-        "nrm",
-    ).select(
-        "vec_id", "label", "pos",
-        F.expr(
-            "cast(round(cast(val as double) / nrm * 1000000, 0) as bigint)"
-        ).alias("mc"),
-    )
-    spos = micro.groupBy("label", "pos").agg(F.sum("mc").alias("s"))
-    ssq = spos.groupBy("label").agg(
-        F.sum(F.expr("cast(s as decimal(19,0)) * s")).alias("ssq")
-    )
-    selfsq = micro.groupBy("label").agg(
-        F.countDistinct("vec_id").alias("n_vecs"),
-        F.sum(F.expr("cast(mc * mc as decimal(38,0))")).alias("self_sq"),
-    )
-    return (
-        ssq.join(selfsq, "label")
-        .filter(F.col("n_vecs") > 1)
-        .select(
-            "label", "n_vecs",
-            F.round(
-                (F.col("ssq") - F.col("self_sq")).cast("double")
-                / (
-                    F.col("n_vecs")
-                    * (F.col("n_vecs") - 1)
-                    * F.lit(1_000_000_000_000.0)
-                )
-                + 0.0,
-                6,
-            ).alias("mean_pairwise_cos"),
-        )
-    )
+    return S.pairwise_diversity(spread(T(spark, sf, "embeddings")))
 
 
 ORACLE_EMBED_DIVERSITY = """

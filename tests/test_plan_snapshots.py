@@ -110,6 +110,19 @@ SNAPSHOT_QUERIES = [
     "events_conversion_lag",
     "events_anomaly_seasonal",
     "orders_revenue_gini",
+    # round-5c analytics wave: pin the user-partitioned session windows,
+    # the bounded type-pair self-join, the order-keyed basket pair join,
+    # the bucket-pruned skyline sweep, the no-pairwise diversity
+    # aggregation, the one-row broadcast quantile cuts, the per-round
+    # LPA shape, and the map-only scene-cut decode
+    "events_sessionize",
+    "events_audience_overlap",
+    "orders_basket_lift",
+    "part_skyline",
+    "embed_diversity",
+    "events_range_partition_plan",
+    "dup_graph_lpa",
+    "mm_scene_cuts",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
