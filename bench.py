@@ -264,6 +264,15 @@ def main() -> None:
         "events_conversion_lag",
         "events_anomaly_seasonal",
         "orders_revenue_gini",
+        # round-5c analytics wave (timed, not headline)
+        "events_sessionize",
+        "events_audience_overlap",
+        "orders_basket_lift",
+        "part_skyline",
+        "embed_diversity",
+        "events_range_partition_plan",
+        "dup_graph_lpa",
+        "mm_scene_cuts",
     ]
     times = {}
     shuffle = {}

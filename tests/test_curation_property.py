@@ -2232,3 +2232,351 @@ def test_bloom_false_positive_rate_within_theory(spark):
     measured = out["n_bloom_fp"] / out["n_incoming"]
     assert measured <= max(3 * p_fp, 0.01), (measured, p_fp, m)
     assert out["n_new"] == out["n_incoming"]
+
+
+# ---------------------------------------------- round-5c analytics wave
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_session_stats_matches_python_replay(spark, events):
+    """For ANY (user, second) stream: session boundaries, counts, and
+    integer-µs durations replay exactly in plain Python."""
+    from faconne_spark.operators.relational import session_stats
+
+    gap_us = 600 * 1_000_000  # 10 min, small enough to split test data
+    rows = [
+        (u, i, sec * 1_000_000) for i, (u, sec) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long")
+    out = {
+        r["user_id"]: r
+        for r in session_stats(
+            df, "user_id", ("us", "event_id"), gap_us
+        ).collect()
+    }
+
+    per: dict[int, list[tuple[int, int]]] = {}
+    for u, i, us in rows:
+        per.setdefault(u, []).append((us, i))
+    assert set(out) == set(per)
+    for u, evs in per.items():
+        evs.sort()
+        sessions, cur = [], [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if nxt[0] - prev[0] > gap_us:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        durs = [s[-1][0] - s[0][0] for s in sessions]
+        r = out[u]
+        assert r["n_sessions"] == len(sessions)
+        assert r["n_events"] == len(evs)
+        assert r["max_session_events"] == max(len(s) for s in sessions)
+        assert math.isclose(
+            r["avg_session_minutes"],
+            round(sum(durs) / (len(sessions) * 60_000_000.0), 6),
+            abs_tol=1e-9,
+        )
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)),
+        min_size=1,
+        max_size=50,
+    ),
+    bucket=st.sampled_from([1, 3, 7, 100]),
+)
+def test_skyline2d_matches_bruteforce(spark, rows, bucket):
+    """For ANY point set and ANY prune-bucket width, the pruned sweep
+    returns exactly the brute-force O(n²) Pareto frontier."""
+    from faconne_spark.operators.relational import skyline2d
+
+    data = [(i, c, g) for i, (c, g) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, cost long, gain long")
+    got = {
+        (r["k"], r["cost"], r["gain"])
+        for r in skyline2d(df, "k", "cost", "gain", bucket).collect()
+    }
+    expect = {
+        (i, c, g)
+        for i, c, g in data
+        if not any(
+            (c2 <= c and g2 >= g and (c2 < c or g2 > g))
+            for _, c2, g2 in data
+        )
+    }
+    assert got == expect
+
+
+@PROP
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 1),
+            st.lists(
+                st.floats(-1, 1, allow_nan=False).map(lambda x: round(x, 3)),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_pairwise_diversity_matches_numpy(spark, vecs):
+    """Mean pairwise cosine via the vector-sum identity equals the
+    brute-force pairwise mean within quantization tolerance."""
+    import numpy as np
+
+    from faconne_spark.operators.similarity import pairwise_diversity
+
+    rows = [
+        (i, lbl, [float(x) for x in v])
+        for i, (lbl, v) in enumerate(vecs)
+        if any(x != 0 for x in v)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["label"]: r for r in pairwise_diversity(df).collect()}
+
+    per: dict[int, list] = {}
+    for _, lbl, v in rows:
+        # replay float32 storage: Spark reads array<float> back as f32
+        a = np.asarray(v, dtype=np.float32).astype(np.float64)
+        per.setdefault(lbl, []).append(a / np.linalg.norm(a))
+    for lbl, vs in per.items():
+        if len(vs) < 2:
+            assert lbl not in out
+            continue
+        n = len(vs)
+        s = sum(
+            float(a @ b)
+            for i, a in enumerate(vs)
+            for j, b in enumerate(vs)
+            if i != j
+        )
+        assert math.isclose(
+            out[lbl]["mean_pairwise_cos"], s / (n * (n - 1)), abs_tol=5e-4
+        )
+
+
+@PROP
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_lpa_communities_matches_python_replay(spark, edges):
+    """Synchronous LPA with (max count, min label) tie-break replays
+    exactly: same community sizes and representatives."""
+    from faconne_spark.operators.dedup import lpa_communities
+
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {
+        r["community"]: (r["n_members"], r["min_doc"])
+        for r in lpa_communities(df, 3).collect()
+    }
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            freq: dict[int, int] = {}
+            for m in nbrs:
+                freq[lbl[m]] = freq.get(lbl[m], 0) + 1
+            nxt[n] = min(freq, key=lambda c: (-freq[c], c))
+        lbl = nxt
+    expect: dict[int, tuple] = {}
+    for n, c in lbl.items():
+        cnt, mn = expect.get(c, (0, n))
+        expect[c] = (cnt + 1, min(mn, n))
+    assert got == expect
+
+
+def test_scene_cut_stats_detects_inversion(spark):
+    """A still clip (identical frames) has zero cuts; an inverted-frame
+    transition maxes the mean diff and always cuts."""
+    from faconne_spark.operators import multimodal as MM
+
+    w, h = 4, 4
+    stride = MM.bmp_row_stride(w)
+    flat = bytes([10] * (h * stride))
+    inv = bytes([245] * (h * stride))
+    still = MM.facv_encode([MM.bmp_encode(w, h, flat)] * 3)
+    nf, nt, avg, cuts = MM.scene_cut_stats_real(still, MM.SCENE_CUT_T_MILLI)
+    assert (nf, nt, avg, cuts) == (3, 2, 0.0, 0)
+
+    montage = MM.facv_encode(
+        [MM.bmp_encode(w, h, flat), MM.bmp_encode(w, h, inv)]
+    )
+    nf, nt, avg, cuts = MM.scene_cut_stats_real(montage, MM.SCENE_CUT_T_MILLI)
+    assert (nf, nt, cuts) == (2, 1, 1)
+    assert math.isclose(avg, 235.0)
+
+    # unequal frame sizes are a decode error, not silent garbage
+    bad = MM.facv_encode(
+        [MM.bmp_encode(w, h, flat), MM.bmp_encode(8, 8,
+         bytes(8 * MM.bmp_row_stride(8)))]
+    )
+    with pytest.raises(ValueError, match="equal-size"):
+        MM.scene_cut_stats_real(bad, MM.SCENE_CUT_T_MILLI)
+
+
+def test_audience_overlap_matches_python_sets(spark, tmp_path):
+    """Jaccard per type pair equals plain Python set arithmetic."""
+    import duckdb
+
+    from faconne_spark.queries.curation import (
+        ORACLE_AUDIENCE,
+        events_audience_overlap,
+    )
+
+    rows = [
+        (i, (i * 7) % 5, ["view", "click", "buy"][i % 3],
+         "2024-01-01 00:00:00")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/events.parquet")
+
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in events_audience_overlap(spark, sf).collect()
+    }
+    sets: dict[str, set] = {}
+    for _, u, t, _ts in rows:
+        sets.setdefault(t, set()).add(u)
+    for ta, tb in [("buy", "click"), ("buy", "view"), ("click", "view")]:
+        inter = len(sets[ta] & sets[tb])
+        if inter == 0:
+            assert (ta, tb) not in got
+            continue
+        r = got[(ta, tb)]
+        assert r["overlap_users"] == inter
+        assert r["users_a"] == len(sets[ta])
+        assert r["users_b"] == len(sets[tb])
+        assert math.isclose(
+            r["jaccard"], round(inter / len(sets[ta] | sets[tb]), 6),
+            abs_tol=1e-9,
+        )
+
+    # DuckDB oracle agrees on the same mini corpus
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT *"
+        f" FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    oracle = {
+        (a, b): (ua, ub, o)
+        for a, b, ua, ub, o, _ in con.sql(ORACLE_AUDIENCE).fetchall()
+    }
+    assert oracle == {
+        k: (r["users_a"], r["users_b"], r["overlap_users"])
+        for k, r in got.items()
+    }
+
+
+def test_basket_lift_matches_python_counts(spark, tmp_path):
+    """Support/lift replay from plain Python dict counting; the
+    ≥ MIN_COOC threshold filters exactly."""
+    from faconne_spark.queries.curation import MIN_COOC, orders_basket_lift
+
+    baskets = {
+        1: [10, 11], 2: [10, 11], 3: [10, 11], 4: [10, 12],
+        5: [11, 12], 6: [10, 11, 12], 7: [13], 8: [10, 13],
+    }
+    rows = [
+        (o, p, i) for o, parts in baskets.items()
+        for i, p in enumerate(parts)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber int"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/lineitem.parquet")
+
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in orders_basket_lift(spark, sf).collect()
+    }
+    n_b = len(baskets)
+    cnt: dict[int, int] = {}
+    pair: dict[tuple, int] = {}
+    for parts in baskets.values():
+        ps = sorted(set(parts))
+        for p in ps:
+            cnt[p] = cnt.get(p, 0) + 1
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    expect = {k: v for k, v in pair.items() if v >= MIN_COOC}
+    assert set(got) == set(expect)
+    for (a, b), n in expect.items():
+        r = got[(a, b)]
+        assert r["pair_n"] == n
+        assert (r["cnt_a"], r["cnt_b"]) == (cnt[a], cnt[b])
+        assert math.isclose(
+            r["lift"], round(n * n_b / (cnt[a] * cnt[b]), 6), abs_tol=1e-9
+        )
+        assert math.isclose(
+            r["support"], round(n / n_b, 6), abs_tol=1e-9
+        )
+
+
+def test_range_partition_plan_invariants(spark, tmp_path):
+    """Bucket plan invariants on a skewed corpus: rows conserved,
+    buckets ordered and non-overlapping, heavy skew lands in one
+    bucket (value-based boundaries, not equal-count)."""
+    from faconne_spark.queries.curation import (
+        RANGE_BUCKETS,
+        events_range_partition_plan,
+    )
+
+    vals = [1.0] * 50 + [float(i) for i in range(2, 30)]
+    rows = [
+        (i, 0, "x", v, "2024-01-01 00:00:00")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/events.parquet")
+
+    out = sorted(
+        events_range_partition_plan(spark, sf).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert sum(r["n_rows"] for r in out) == len(vals)
+    assert all(1 <= r["bucket"] <= RANGE_BUCKETS for r in out)
+    assert all(r["lo"] <= r["hi"] for r in out)
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] <= b["lo"]
+    # the 50-row spike all shares one bucket (same value, same bucket)
+    spike = [r for r in out if r["lo"] <= 1.0 <= r["hi"]]
+    assert len(spike) == 1 and spike[0]["n_rows"] >= 50
