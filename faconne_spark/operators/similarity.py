@@ -764,50 +764,52 @@ def pairwise_diversity(emb: DataFrame, micro: int = 1_000_000) -> DataFrame:
     cos → 1 means the label's vectors are near-duplicates) with NO
     pairwise join anywhere.
 
-    Scale (100 TB): two map-side-combined aggregations; the exchange
-    carries labels×dim rows, never the corpus.  Normalized components
-    quantize to integer ``micro`` units per row, so every downstream
-    sum is exact integer arithmetic (order/partition-independent, same
-    fixed-point design as the k-means/PCA family)."""
+    Scale (100 TB): ONE corpus scan — the per-(label, dim) aggregation
+    carries component sums, self-square sums, AND the vector count in
+    the same map-side combine (count per dim == vector count for a
+    uniform-dimension corpus, which embeddings tables are), so the
+    exchange is labels×dim rows and the corpus is read exactly once.
+    Normalized components quantize to integer ``micro`` units per row,
+    so every downstream sum is exact integer arithmetic
+    (order/partition-independent, same fixed-point design as the
+    k-means/PCA family)."""
     base = emb.select(
-        "vec_id", "label", "embedding",
+        "label", "embedding",
         F.expr(
             "sqrt(aggregate(embedding, cast(0.0 as double),"
             " (a, v) -> a + cast(v as double) * cast(v as double)))"
         ).alias("nrm"),
     ).filter(F.col("nrm") > 0)
     micro_rows = base.select(
-        "vec_id", "label",
+        "label",
         F.posexplode("embedding").alias("pos", "val"),
         "nrm",
     ).select(
-        "vec_id", "label", "pos",
+        "label", "pos",
         F.expr(
             f"cast(round(cast(val as double) / nrm * {micro}, 0) as bigint)"
         ).alias("mc"),
     )
-    spos = micro_rows.groupBy("label", "pos").agg(F.sum("mc").alias("s"))
-    ssq = spos.groupBy("label").agg(
-        F.sum(F.expr("cast(s as decimal(19,0)) * s")).alias("ssq")
+    per_pos = micro_rows.groupBy("label", "pos").agg(
+        F.sum("mc").alias("s"),
+        F.sum(F.expr("cast(mc * mc as decimal(38,0))")).alias("ss"),
+        F.count("*").alias("cnt"),
     )
-    selfsq = micro_rows.groupBy("label").agg(
-        F.countDistinct("vec_id").alias("n_vecs"),
-        F.sum(F.expr("cast(mc * mc as decimal(38,0))")).alias("self_sq"),
+    agg = per_pos.groupBy("label").agg(
+        F.sum(F.expr("cast(s as decimal(19,0)) * s")).alias("ssq"),
+        F.sum("ss").alias("self_sq"),
+        F.max("cnt").alias("n_vecs"),
     )
-    return (
-        ssq.join(selfsq, "label")
-        .filter(F.col("n_vecs") > 1)
-        .select(
-            "label", "n_vecs",
-            F.round(
-                (F.col("ssq") - F.col("self_sq")).cast("double")
-                / (
-                    F.col("n_vecs")
-                    * (F.col("n_vecs") - 1)
-                    * F.lit(float(micro) * micro)
-                )
-                + 0.0,
-                6,
-            ).alias("mean_pairwise_cos"),
-        )
+    return agg.filter(F.col("n_vecs") > 1).select(
+        "label", "n_vecs",
+        F.round(
+            (F.col("ssq") - F.col("self_sq")).cast("double")
+            / (
+                F.col("n_vecs")
+                * (F.col("n_vecs") - 1)
+                * F.lit(float(micro) * micro)
+            )
+            + 0.0,
+            6,
+        ).alias("mean_pairwise_cos"),
     )

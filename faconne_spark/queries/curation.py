@@ -3139,31 +3139,30 @@ def embed_diversity(spark, sf):
 
 ORACLE_EMBED_DIVERSITY = """
 WITH base AS (
-  SELECT vec_id, label, embedding,
+  SELECT label, embedding,
          sqrt(list_sum(list_transform(embedding,
               x -> x::DOUBLE * x::DOUBLE))) AS nrm
   FROM embeddings),
 micro AS (
-  SELECT vec_id, label, pos,
+  SELECT label, pos,
          CAST(round(val / nrm * 1000000, 0) AS BIGINT) AS mc
-  FROM (SELECT vec_id, label, nrm,
+  FROM (SELECT label, nrm,
                unnest(embedding)::DOUBLE AS val,
                unnest(range(1, len(embedding) + 1)) AS pos
         FROM base WHERE nrm > 0)),
-spos AS (
-  SELECT label, pos, sum(mc) AS s FROM micro GROUP BY 1, 2),
-ssq AS (
-  SELECT label, sum(s::HUGEINT * s) AS ssq FROM spos GROUP BY 1),
-selfsq AS (
-  SELECT label, count(DISTINCT vec_id)::BIGINT AS n_vecs,
-         sum(mc * mc) AS self_sq
-  FROM micro GROUP BY 1)
-SELECT a.label, b.n_vecs,
-       round((a.ssq - b.self_sq)::DOUBLE
-             / (b.n_vecs * (b.n_vecs - 1) * 1000000000000.0) + 0.0, 6)
+per_pos AS (
+  SELECT label, pos, sum(mc) AS s, sum(mc * mc) AS ss,
+         count(*)::BIGINT AS cnt
+  FROM micro GROUP BY 1, 2),
+agg AS (
+  SELECT label, sum(s::HUGEINT * s) AS ssq, sum(ss) AS self_sq,
+         max(cnt) AS n_vecs
+  FROM per_pos GROUP BY 1)
+SELECT label, n_vecs,
+       round((ssq - self_sq)::DOUBLE
+             / (n_vecs * (n_vecs - 1) * 1000000000000.0) + 0.0, 6)
          AS mean_pairwise_cos
-FROM ssq a JOIN selfsq b USING (label)
-WHERE b.n_vecs > 1
+FROM agg WHERE n_vecs > 1
 """
 
 QUERIES["embed_diversity"] = embed_diversity
