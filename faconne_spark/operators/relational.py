@@ -769,8 +769,10 @@ def skyline2d(
     cheaper bucket and survives pruning itself... transitively, a
     MAXIMAL dominator does) reach the exact unpartitioned sweep, which
     runs over a frontier-sized relation, not the input."""
+    # floor, not truncate-toward-zero: negative costs must keep the
+    # "smaller bucket => strictly cheaper" prune invariant
     p = df.withColumn(
-        "bkt", (F.col(cost_c_col) / bucket_width).cast("long")
+        "bkt", F.floor(F.col(cost_c_col) / bucket_width).cast("long")
     )
     bmax = p.groupBy("bkt").agg(F.max(gain_col).alias("bmax"))
     wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)

@@ -2289,7 +2289,7 @@ def test_session_stats_matches_python_replay(spark, events):
 @PROP
 @given(
     rows=st.lists(
-        st.tuples(st.integers(0, 40), st.integers(0, 15)),
+        st.tuples(st.integers(-40, 40), st.integers(-15, 15)),
         min_size=1,
         max_size=50,
     ),
