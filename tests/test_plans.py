@@ -604,3 +604,46 @@ def test_r5c_ops_plan_shapes(spark, sf_dir):
     p = plan_of(join_size_from_stats(spark, sf_dir))
     assert "partial_count" in p
     assert "BatchEvalPython" not in p
+
+
+def test_r5d_analytics_plan_shapes(spark, sf_dir):
+    """The analytics wave keeps its scale contracts: sessionization
+    windows partition by user (no single-partition window over
+    events); the audience/basket self-joins are equi-joins, never
+    cartesian; the diversity gauge reads the corpus EXACTLY once; the
+    range-partition plan broadcasts its one-row cuts; the skyline's
+    exact sweep sits above the broadcast bucket prune."""
+    from faconne_spark.queries.curation import (
+        dup_graph_lpa,
+        embed_diversity,
+        events_audience_overlap,
+        events_range_partition_plan,
+        events_sessionize,
+        orders_basket_lift,
+        part_skyline,
+    )
+
+    p = plan_of(events_sessionize(spark, sf_dir))
+    assert "hashpartitioning(user_id" in p
+    assert "SinglePartition" not in p
+    assert "partial_" in p and "BatchEvalPython" not in p
+
+    for q in (events_audience_overlap, orders_basket_lift):
+        p = plan_of(q(spark, sf_dir))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BatchEvalPython" not in p, q.__name__
+
+    p = plan_of(embed_diversity(spark, sf_dir))
+    assert p.count("Scan parquet") == 1, "diversity must scan once"
+    assert "partial_sum" in p and "BatchEvalPython" not in p
+
+    p = plan_of(events_range_partition_plan(spark, sf_dir))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "partial_percentile" in p or "partial_" in p
+
+    p = plan_of(part_skyline(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    p = plan_of(dup_graph_lpa(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
