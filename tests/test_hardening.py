@@ -372,6 +372,11 @@ def test_results_partitioning_invariant(spark, sf_dir):
         "tpch_q1_pricing", "dedup_minhash_lsh", "ann_pq_adc",
         "text_repetition", "text_unigram_logprob", "embed_label_centroids",
         "user_rfm_segments", "corpus_health",
+        # r5c analytics wave: fixed-point sums (diversity), exact
+        # percentile cuts (range plan), and the pruned global sweep
+        # (skyline) are the partition-sensitive shapes to pin
+        "embed_diversity", "events_range_partition_plan", "part_skyline",
+        "events_sessionize",
     ]
     qs = all_queries()
     before = spark.conf.get("spark.sql.shuffle.partitions")
