@@ -291,3 +291,132 @@ def hll_daily_rollup(
             "wau_est",
         )
     )
+
+
+# ------------------------------------------------------ KMV (k-min values)
+
+KMV_DOMAIN = 1 << 60  # phash60 range
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, id_expr: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Beyer et al. 2007) per group:
+    the k smallest portable 60-bit hashes of ``id_expr``, the kth
+    value θ, and the unbiased estimate (k−1)·D/θ.  Where HLL gives
+    cardinalities, KMV's value list additionally supports set
+    INTERSECTION estimates (:func:`kmv_overlap`) — θ-thresholded
+    sample agreement, which inclusion–exclusion on HLL does badly for
+    small overlaps.
+
+    Deterministic end-to-end: the hash is the md5-based ``phash60``
+    (bit-identical in DuckDB and plain Python), so the sketch replays
+    exactly.
+
+    Scale (100 TB): distinct-hash reduction first (map-side combined),
+    then the k-smallest selection is a per-group window over the
+    distinct-hash relation — partitioned by the group key, never a
+    global sort.  Output is ≤ groups×k rows."""
+    if k < 2:
+        raise ValueError(f"kmv_sketch needs k >= 2, got {k}")
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(phash60(id_expr, "spark")).alias("h"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return kept.groupBy("grp").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("theta"),
+        F.sort_array(F.collect_list("h")).alias("hs"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "n_kept",
+        "theta",
+        "hs",
+        # n_kept < k means the group had fewer than k distinct ids —
+        # the sketch IS the exact value set, so the estimate is exact
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(
+            (k - 1) * F.lit(float(KMV_DOMAIN)) / F.col("theta")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_overlap(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Pairwise intersection/Jaccard estimates from KMV sketches
+    (Beyer et al. 2007 §4): for each group pair, pool both hash lists,
+    keep the k smallest of the union (θ = kth), and count pooled
+    values below θ present in BOTH sketches (ρ).  Then
+    |A∪B| ≈ (k−1)·D/θ and |A∩B| ≈ (ρ/k)·|A∪B|.
+
+    Scale: operates ONLY on sketch rows (groups×k), never the raw
+    data; the pair join is sketch-sized."""
+    ex = sketch.select(
+        F.col(group_col).alias("g"), F.explode("hs").alias("h")
+    )
+    # pair frame: for every (ga < gb) pair, the union of both hash
+    # lists with membership flags
+    pairs = (
+        ex.alias("x")
+        .select(F.col("g").alias("ga"))
+        .distinct()
+        .join(
+            ex.select(F.col("g").alias("gb")).distinct(),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    u = (
+        pairs.join(ex.select(F.col("g").alias("ga"), "h"), "ga")
+        .withColumn("in_a", F.lit(1))
+        .unionByName(
+            pairs.join(
+                ex.select(F.col("g").alias("gb"), "h"), "gb"
+            ).withColumn("in_a", F.lit(0)),
+            allowMissingColumns=False,
+        )
+    )
+    from pyspark.sql import Window
+
+    agg = u.groupBy("ga", "gb", "h").agg(
+        F.max("in_a").alias("a_has"),
+        F.min("in_a").alias("not_b"),
+    )
+    # a_has=1 & not_b=0 → in both; rank pooled distinct hashes per pair
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    ranked = agg.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return ranked.groupBy("ga", "gb").agg(
+        F.count("*").alias("n_pool"),
+        F.max("h").alias("theta"),
+        F.sum(
+            F.when((F.col("a_has") == 1) & (F.col("not_b") == 0), 1)
+            .otherwise(0)
+        ).alias("rho"),
+    ).select(
+        F.col("ga").alias("type_a"),
+        F.col("gb").alias("type_b"),
+        "n_pool",
+        "theta",
+        "rho",
+        F.when(
+            F.col("n_pool") < k, F.col("n_pool").cast("double")
+        )
+        .otherwise((k - 1) * F.lit(float(KMV_DOMAIN)) / F.col("theta"))
+        .alias("est_union"),
+        (
+            F.col("rho")
+            / F.col("n_pool")
+            * F.when(
+                F.col("n_pool") < k, F.col("n_pool").cast("double")
+            ).otherwise(
+                (k - 1) * F.lit(float(KMV_DOMAIN)) / F.col("theta")
+            )
+        ).alias("est_intersection"),
+    )

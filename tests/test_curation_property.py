@@ -2580,3 +2580,84 @@ def test_range_partition_plan_invariants(spark, tmp_path):
     # the 50-row spike all shares one bucket (same value, same bucket)
     spike = [r for r in out if r["lo"] <= 1.0 <= r["hi"]]
     assert len(spike) == 1 and spike[0]["n_rows"] >= 50
+
+
+# ------------------------------------------------- KMV sketch (r6 bank)
+
+def _phash60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@PROP
+@given(
+    ids=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 500)),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.sampled_from([4, 16]),
+)
+def test_kmv_sketch_replays_exactly(spark, ids, k):
+    """The KMV sketch is DETERMINISTIC: hash lists, θ, and estimates
+    replay bit-for-bit from the md5 hash in plain Python; groups with
+    < k distinct ids report their exact count."""
+    from faconne_spark.operators.sketches import KMV_DOMAIN, kmv_sketch
+
+    df = spark.createDataFrame(ids, "grp string, id long")
+    out = {
+        r["grp"]: r
+        for r in kmv_sketch(
+            df, "grp", "cast(id as string)", k
+        ).collect()
+    }
+
+    per: dict[str, set] = {}
+    for g, i in ids:
+        per.setdefault(g, set()).add(_phash60_py(str(i)))
+    assert set(out) == set(per)
+    for g, hs in per.items():
+        kept = sorted(hs)[:k]
+        r = out[g]
+        assert r["hs"] == kept
+        assert r["theta"] == kept[-1]
+        assert r["n_kept"] == len(kept)
+        if len(hs) < k:
+            assert r["est_distinct"] == float(len(hs))
+        else:
+            assert math.isclose(
+                r["est_distinct"], (k - 1) * float(KMV_DOMAIN) / kept[-1]
+            )
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    """Overlap estimation end-to-end: two 3000-id sets sharing half
+    their ids — the intersection estimate lands within 25% of truth at
+    k=256 (σ ≈ 1/√k), and the pooled-θ/ρ values replay exactly."""
+    from faconne_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    n, k = 3000, 256
+    rows = [("A", i) for i in range(n)] + [
+        ("B", i) for i in range(n // 2, n + n // 2)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    sk = kmv_sketch(df, "grp", "cast(id as string)", k)
+    out = kmv_overlap(sk, "grp", k).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("A", "B")
+    true_inter = n // 2
+    true_union = n + n // 2
+    assert abs(r["est_union"] - true_union) / true_union < 0.25
+    assert abs(r["est_intersection"] - true_inter) / true_inter < 0.25
+
+    # exact replay of the pooled sketch arithmetic
+    a = {_phash60_py(str(i)) for i in range(n)}
+    b = {_phash60_py(str(i)) for i in range(n // 2, n + n // 2)}
+    ka, kb = sorted(a)[:k], sorted(b)[:k]
+    pool = sorted(set(ka) | set(kb))[:k]
+    theta = pool[-1]
+    rho = sum(1 for h in pool if h in set(ka) and h in set(kb))
+    assert r["theta"] == theta
+    assert r["rho"] == rho
