@@ -705,6 +705,70 @@ def pca_project(corpus: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
     )
 
 
+def pca_whiten(
+    corpus: DataFrame, k: int = 2, dim: int = 64, eps: float = 1e-9
+) -> DataFrame:
+    """PCA-whitened projection: like :func:`pca_project` but each
+    component coordinate is scaled by 1/√(λ/n) so the output
+    dimensions have unit variance — the decorrelation preprocessing
+    contrastive/retrieval pipelines apply before cosine similarity
+    (whitening removes the dominant-direction bias that makes all
+    embeddings look alike).
+
+    Same deployment shape as pca_project: ONE distributed gramian
+    pass, a driver-side d×d eigensolve (corpus-size-independent), and
+    a map-only projection with the scaled k×d matrix riding back as a
+    broadcast literal.  Components with λ ≤ eps·λ_max are dropped
+    (zero-variance directions cannot be whitened) — the output array
+    always has exactly ``k`` entries only when the spectrum supports
+    it."""
+    import numpy as np
+
+    g = pca_gramian(corpus, dim).collect()
+    d_actual = max(r["j"] for r in g) + 1 if g else dim
+    if d_actual != dim:
+        raise ValueError(
+            f"pca_whiten: gramian spans {d_actual} dims, declared {dim}"
+        )
+    n = corpus.count()
+    if n < 2:
+        raise ValueError(f"pca_whiten needs >= 2 vectors, got {n}")
+    G = np.zeros((dim, dim))
+    for r in g:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram"]
+    vals, vecs = np.linalg.eigh(G)
+    order = np.argsort(vals)[::-1]
+    lam_max = max(float(vals[order[0]]), 0.0)
+    comps = []
+    for idx in order[:k]:
+        lam = float(vals[idx])
+        if lam <= eps * lam_max or lam <= 0:
+            break
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        scale = 1.0 / np.sqrt(lam / n)
+        comps.append([round(float(x * scale), 9) for x in v])
+    if not comps:
+        raise ValueError("pca_whiten: spectrum has no positive direction")
+    comp_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({x} as double)" for x in c) + ")"
+            for c in comps
+        )
+        + ")"
+    )
+    proj = (
+        f"transform({comp_lit}, c -> round(aggregate("
+        "zip_with(embedding, c, (x, w) -> cast(x as double) * w),"
+        " cast(0.0 as double), (acc, v) -> acc + v), 6))"
+    )
+    return spread(corpus).select(
+        "vec_id", F.expr(proj).alias("whitened")
+    )
+
+
 def matryoshka_recall(
     emb: DataFrame, dims=(8, 16, 32, 64), k: int = 10, nq: int = 20
 ) -> DataFrame:

@@ -2661,3 +2661,34 @@ def test_kmv_overlap_estimates_jaccard(spark):
     rho = sum(1 for h in pool if h in set(ka) and h in set(kb))
     assert r["theta"] == theta
     assert r["rho"] == rho
+
+
+def test_pca_whiten_unit_second_moments(spark):
+    """Whitened coordinates have ≈ unit uncentered second moment and
+    ≈ zero cross-moment — the definition of whitening, checked on a
+    deterministic anisotropic cloud (x stretched 10×)."""
+    import numpy as np
+
+    from faconne_spark.operators.similarity import pca_whiten
+
+    rng = np.random.RandomState(7)
+    pts = rng.randn(300, 8)
+    pts[:, 0] *= 10.0  # dominant direction to decorrelate
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_whiten(df, k=3, dim=8).collect()
+    Y = np.array([r["whitened"] for r in out])
+    assert Y.shape == (300, 3)
+    M = (Y.T @ Y) / len(Y)
+    assert np.allclose(np.diag(M), 1.0, atol=0.05)
+    off = M - np.diag(np.diag(M))
+    assert np.max(np.abs(off)) < 0.05
+
+    # degenerate inputs fail loudly, not silently
+    import pytest as _pytest
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match=">= 2 vectors"):
+        pca_whiten(tiny, k=2, dim=8)
