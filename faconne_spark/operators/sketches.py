@@ -322,19 +322,30 @@ def kmv_sketch(
     hashed = df.select(
         F.col(group_col).alias("grp"),
         F.expr(phash60(id_expr, "spark")).alias("h"),
-    ).distinct()
+    )
+    return kmv_from_hashes(hashed, k).withColumnRenamed("grp", group_col)
+
+
+def kmv_from_hashes(hashed: DataFrame, k: int) -> DataFrame:
+    """Finalize a KMV sketch from a (grp, h) hash relation — shared by
+    the batch operator and the streaming epoch-state reader, so both
+    produce bit-identical sketches over the same hash union (the
+    k-smallest of a union of per-epoch k-smallest IS the k-smallest of
+    the union: any globally kept value is kept in its own epoch)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("grp").orderBy("h")
-    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
+    kept = (
+        hashed.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
     )
     return kept.groupBy("grp").agg(
         F.count("*").alias("n_kept"),
         F.max("h").alias("theta"),
         F.sort_array(F.collect_list("h")).alias("hs"),
     ).select(
-        F.col("grp").alias(group_col),
+        "grp",
         "n_kept",
         "theta",
         "hs",

@@ -568,3 +568,59 @@ def bloom_filter_from_state(
             f" with (m_bits, k) {metas}, read with ({m_bits}, {k})"
         )
     return raw.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
+# --------------------------------------------- KMV k-min-values state
+
+KMV_STATE = "kmv_mins"
+
+
+def kmv_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    key_expr: str = "cast(user_id as string)",
+    group_col: str = "event_type",
+    k: int = 64,
+):
+    """Reduce one micro-batch to its per-group k-minimum hash values —
+    KMV partials MERGE BY UNION-THEN-TRUNCATE (any hash in the global
+    top-k is in its epoch's top-k), so per-epoch k-min rows roll up to
+    exactly the sketch of the union of all micro-batches.  Same
+    idempotency contract as the HLL/Bloom/CMS states: epoch-partitioned
+    dynamic overwrite, write-only epochs.  ``k`` is stamped onto every
+    row so the reader refuses a mismatched re-read."""
+    from faconne_spark.operators.sketches import kmv_sketch
+
+    sk = kmv_sketch(batch_df, group_col, key_expr, k)
+    rows = sk.select(
+        F.col(group_col).alias("grp"),
+        F.explode("hs").alias("h"),
+        F.lit(k).alias("k"),
+    )
+    (
+        rows.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(os.path.join(state_dir, KMV_STATE))
+    )
+
+
+def kmv_sketch_from_state(
+    spark: SparkSession, state_dir: str, k: int = 64
+) -> DataFrame:
+    """The KMV sketch of the union of all micro-batches, read from the
+    epoch state — bit-equal to the batch
+    :func:`faconne_spark.operators.sketches.kmv_sketch` over the same
+    rows (both finalize through ``kmv_from_hashes``)."""
+    from faconne_spark.operators.sketches import kmv_from_hashes
+
+    raw = _state(spark, state_dir, KMV_STATE)
+    ks = [r["k"] for r in raw.select("k").distinct().collect()]
+    if ks != [k]:
+        raise ValueError(
+            f"kmv_sketch_from_state: state at {state_dir!r} was written"
+            f" with k {ks}, read with {k}"
+        )
+    return kmv_from_hashes(raw.select("grp", "h"), k)

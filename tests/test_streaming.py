@@ -1203,3 +1203,49 @@ def test_hll_and_bloom_epochs_are_replay_idempotent(spark, sf_dir, tmp_path):
     again_b = {(r["word"], r["bits"])
                for r in bloom_filter_from_state(spark, bs).collect()}
     assert again_h == first_h and again_b == first_b
+
+
+def test_kmv_state_bit_equal_to_batch(spark, tmp_path):
+    """Three epochs of KMV partials merge to EXACTLY the batch sketch
+    of the union (hash lists, θ, and estimates identical), and a
+    k-mismatched read refuses."""
+    import pytest as _pytest
+
+    from faconne_spark.operators.sketches import kmv_sketch
+    from faconne_spark.streaming.stats import kmv_epoch, kmv_sketch_from_state
+
+    rows = [
+        (i, ["view", "click", "buy"][i % 3], i % 97) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    state = str(tmp_path / "state")
+    for e, lo in enumerate(range(0, 300, 100)):
+        batch = df.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < lo + 100)
+        )
+        kmv_epoch(batch, e, state, k=16)
+
+    got = {
+        r["grp"]: r for r in kmv_sketch_from_state(spark, state, 16).collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in kmv_sketch(df, "event_type", "cast(user_id as string)", 16).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g]["hs"] == want[g]["hs"]
+        assert got[g]["theta"] == want[g]["theta"]
+        assert got[g]["est_distinct"] == want[g]["est_distinct"]
+
+    with _pytest.raises(ValueError, match="written with k"):
+        kmv_sketch_from_state(spark, state, 32)
+
+    # re-writing an epoch (replay) leaves the merged sketch unchanged
+    kmv_epoch(df.filter(F.col("event_id") < 100), 0, state, k=16)
+    again = {
+        r["grp"]: r for r in kmv_sketch_from_state(spark, state, 16).collect()
+    }
+    assert {g: r["hs"] for g, r in again.items()} == {
+        g: r["hs"] for g, r in got.items()
+    }
