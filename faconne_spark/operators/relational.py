@@ -797,3 +797,43 @@ def skyline2d(
         )
         .select(key_col, cost_c_col, gain_col)
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    field_cols: list,
+    recency_col: str,
+) -> DataFrame:
+    """Survivorship merge (the MDM "golden record" step after fuzzy
+    matching + clustering): one row per duplicate cluster where each
+    field independently takes the value from the best source record —
+    non-null first, then most recent, then lowest id (a total,
+    deterministic order).  A per-field distinct-value count rides
+    along as the conflict gauge reviewers triage.
+
+    Scale (100 TB): ONE map-side-combined groupBy on the cluster key;
+    every survivor is a ``max_by`` over a struct ordering, so no
+    window, no self-join, and the exchange carries cluster-cardinality
+    rows."""
+    aggs = [F.count("*").alias("n_records")]
+    for f in field_cols:
+        aggs.append(
+            F.expr(
+                f"max_by({f}, named_struct("
+                f"'nn', {f} is not null, "
+                f"'r', {recency_col}, "
+                f"'neg', -{id_col}))"
+            ).alias(f)
+        )
+        aggs.append(
+            F.countDistinct(F.col(f)).alias(f"n_{f}_values")
+        )
+    aggs.append(
+        F.expr(
+            f"max_by({id_col}, named_struct('r', {recency_col},"
+            f" 'neg', -{id_col}))"
+        ).alias("survivor_id")
+    )
+    return df.groupBy(cluster_col).agg(*aggs)

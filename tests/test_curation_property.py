@@ -2692,3 +2692,52 @@ def test_pca_whiten_unit_second_moments(spark):
     )
     with _pytest.raises(ValueError, match=">= 2 vectors"):
         pca_whiten(tiny, k=2, dim=8)
+
+
+@PROP
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.integers(0, 3),                       # cluster
+            st.integers(0, 30),                      # recency
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+            st.one_of(st.none(), st.integers(0, 5)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_golden_record_matches_python_survivorship(spark, recs):
+    """Per-field survivorship (non-null > recency > lowest id) replays
+    exactly, including the conflict gauges."""
+    from faconne_spark.operators.relational import golden_record
+
+    rows = [(c, i, r, name, size) for i, (c, r, name, size) in enumerate(recs)]
+    df = spark.createDataFrame(
+        rows, "cluster long, id long, recency long, name string, size long"
+    )
+    out = {
+        r["cluster"]: r
+        for r in golden_record(
+            df, "cluster", "id", ["name", "size"], "recency"
+        ).collect()
+    }
+
+    per: dict[int, list] = {}
+    for row in rows:
+        per.setdefault(row[0], []).append(row)
+    assert set(out) == set(per)
+    for c, members in per.items():
+        r = out[c]
+        assert r["n_records"] == len(members)
+        for fi, fname in ((3, "name"), (4, "size")):
+            best = max(
+                members,
+                key=lambda m: (m[fi] is not None, m[2], -m[1]),
+            )
+            assert r[fname] == best[fi]
+            assert r[f"n_{fname}_values"] == len(
+                {m[fi] for m in members if m[fi] is not None}
+            )
+        newest = max(members, key=lambda m: (m[2], -m[1]))
+        assert r["survivor_id"] == newest[1]
