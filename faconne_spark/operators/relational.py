@@ -837,3 +837,77 @@ def golden_record(
         ).alias("survivor_id")
     )
     return df.groupBy(cluster_col).agg(*aggs)
+
+
+def fs_u_probs(df: DataFrame, field_cols: list) -> DataFrame:
+    """Fellegi–Sunter u-probabilities estimated from the data: for each
+    field, the probability two RANDOM distinct records agree —
+    Σ_v f_v·(f_v−1) / (nn·(nn−1)) over the field's value frequencies
+    (nulls excluded; nn = non-null count).  The classic
+    frequency-based estimator: no labels needed, exact integer
+    numerators, one double division per field.
+
+    Scale (100 TB): one map-side-combined groupBy per field (fields
+    are a handful), each reduced to a single row and cross-joined into
+    the 1-row u relation a scorer broadcasts."""
+    out = None
+    for f in field_cols:
+        freqs = df.filter(F.col(f).isNotNull()).groupBy(f).agg(
+            F.count("*").alias("c")
+        )
+        # clamp to the estimator's own resolution 1/(nn·(nn−1)): a
+        # never-repeating field would give u = 0 and ln(m/0) = ∞
+        row = freqs.agg(
+            F.greatest(
+                F.sum(F.col("c") * (F.col("c") - 1))
+                / (F.sum("c") * (F.sum("c") - 1)),
+                F.lit(1.0) / (F.sum("c") * (F.sum("c") - 1)),
+            ).alias(f"u_{f}")
+        )
+        out = row if out is None else out.crossJoin(row)
+    return out
+
+
+def fs_link_scores(
+    pairs: DataFrame,
+    agree_exprs: dict,
+    u: DataFrame,
+    m: dict,
+) -> DataFrame:
+    """Fellegi–Sunter match weights over candidate pairs: per field,
+    ln(m/u) when the pair agrees and ln((1−m)/(1−u)) when it
+    disagrees, summed to the pair's log-likelihood ratio in integer
+    micro-log units (each field's weight rounds BEFORE the sum, so the
+    total is order-independent and replayable).
+
+    ``agree_exprs`` maps field → boolean SQL over the pair columns;
+    ``m`` maps field → the match-probability prior (from a labeled
+    subset or domain knowledge — u comes from :func:`fs_u_probs`).
+
+    Scale: the 1-row u relation broadcasts; scoring is a map-only pass
+    over the candidate pairs (which a blocking strategy has already
+    bounded)."""
+    missing = set(agree_exprs) - set(m)
+    if missing:
+        raise ValueError(f"fs_link_scores: no m prior for {sorted(missing)}")
+    scored = pairs.crossJoin(F.broadcast(u))
+    weights = []
+    for f, expr in agree_exprs.items():
+        mf = float(m[f])
+        if not 0.0 < mf < 1.0:
+            raise ValueError(f"fs_link_scores: m[{f!r}]={mf} outside (0,1)")
+        w = F.expr(
+            f"case when {expr} then"
+            f" cast(round(ln({mf} / u_{f}) * 1000000, 0) as bigint)"
+            f" else cast(round(ln({1.0 - mf} / (1 - u_{f})) * 1000000, 0)"
+            f" as bigint) end"
+        )
+        weights.append(w.alias(f"w_{f}"))
+    out = scored.select(
+        *[c for c in pairs.columns], *weights
+    )
+    total = None
+    for f in agree_exprs:
+        col = F.col(f"w_{f}")
+        total = col if total is None else total + col
+    return out.withColumn("llr_micro", total)

@@ -2741,3 +2741,59 @@ def test_golden_record_matches_python_survivorship(spark, recs):
             )
         newest = max(members, key=lambda m: (m[2], -m[1]))
         assert r["survivor_id"] == newest[1]
+
+
+@PROP
+@given(
+    names=st.lists(st.sampled_from(["ann", "bob", "cat", "dan"]),
+                   min_size=3, max_size=30),
+)
+def test_fs_link_scores_match_python_replay(spark, names):
+    """u estimation and per-field micro-log weights replay exactly;
+    agreeing pairs on rare values outscore common-value agreements."""
+    from faconne_spark.operators.relational import fs_link_scores, fs_u_probs
+
+    recs = [(i, nm, i % 2) for i, nm in enumerate(names)]
+    df = spark.createDataFrame(recs, "id long, name string, parity long")
+    u = fs_u_probs(df, ["name", "parity"])
+    urow = u.collect()[0]
+
+    nn = len(recs)
+    from collections import Counter
+
+    for f, idx in (("name", 1), ("parity", 2)):
+        cnt = Counter(r[idx] for r in recs)
+        expect_u = max(
+            sum(c * (c - 1) for c in cnt.values()), 1
+        ) / (nn * (nn - 1))
+        assert math.isclose(urow[f"u_{f}"], expect_u, rel_tol=1e-12)
+
+    pairs = (
+        df.alias("a")
+        .join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"),
+            F.col("a.parity").alias("p_a"), F.col("b.parity").alias("p_b"),
+        )
+    )
+    m = {"name": 0.95, "parity": 0.9}
+    out = fs_link_scores(
+        pairs,
+        {"name": "name_a = name_b", "parity": "p_a = p_b"},
+        u,
+        m,
+    ).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in out}
+    for (ia, ib), r in by_pair.items():
+        a, b = recs[ia], recs[ib]
+        total = 0
+        for f, (va, vb) in (("name", (a[1], b[1])), ("parity", (a[2], b[2]))):
+            uf = urow[f"u_{f}"]
+            if va == vb:
+                w = round(math.log(m[f] / uf) * 1e6)
+            else:
+                w = round(math.log((1 - m[f]) / (1 - uf)) * 1e6)
+            assert r[f"w_{f}"] == w
+            total += w
+        assert r["llr_micro"] == total
