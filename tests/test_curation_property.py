@@ -2797,3 +2797,44 @@ def test_fs_link_scores_match_python_replay(spark, names):
             assert r[f"w_{f}"] == w
             total += w
         assert r["llr_micro"] == total
+
+
+def test_r5c_operators_handle_degenerate_inputs(spark):
+    """Empty and singleton inputs produce empty/trivial results, not
+    errors: the shapes a scheduler hits on an empty partition day."""
+    from faconne_spark.operators.dedup import lpa_communities
+    from faconne_spark.operators.relational import session_stats, skyline2d
+    from faconne_spark.operators.similarity import pairwise_diversity
+    from faconne_spark.operators.sketches import kmv_sketch
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, event_id long, us long"
+    )
+    assert session_stats(empty_ev, "user_id", ("us", "event_id")).count() == 0
+
+    one = spark.createDataFrame(
+        [(7, 0, 1000)], "user_id long, event_id long, us long"
+    )
+    r = session_stats(one, "user_id", ("us", "event_id")).collect()[0]
+    assert (r["n_sessions"], r["n_events"], r["avg_session_minutes"]) == (
+        1, 1, 0.0,
+    )
+
+    empty_pts = spark.createDataFrame([], "k long, cost long, gain long")
+    assert skyline2d(empty_pts, "k", "cost", "gain").count() == 0
+    single = spark.createDataFrame([(1, 5, 5)], "k long, cost long, gain long")
+    assert skyline2d(single, "k", "cost", "gain").count() == 1
+
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert lpa_communities(empty_edges).count() == 0
+
+    # single-vector labels are excluded (pairwise undefined), zero
+    # vectors are excluded (no direction)
+    emb = spark.createDataFrame(
+        [(0, 1, [1.0, 0.0]), (1, 2, [0.0, 0.0]), (2, 2, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    assert pairwise_diversity(emb).count() == 0
+
+    empty_ids = spark.createDataFrame([], "grp string, id long")
+    assert kmv_sketch(empty_ids, "grp", "cast(id as string)", 4).count() == 0
