@@ -1,0 +1,153 @@
+"""Round-6 gate-key bank: query/oracle pairs built and cross-engine
+tested THIS round but intentionally NOT registered — the round-5
+driver window is full (see queries/__init__.py).  Round 6 wires these
+into curation.py's QUERIES/ORACLES and the top of the new `_FIRST`
+block; tests/test_bank_r6.py already runs each pair driver-style
+against DuckDB, so registration is a move, not new work."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from faconne_spark.queries import T
+
+KMV_K = 64
+KMV_DOMAIN_F = float(1 << 60)
+
+
+def events_kmv_distinct(spark, sf):
+    """KMV distinct-user sketch per event type (scalar columns only —
+    the hash list stays operator-side; the gate compares n_kept, θ,
+    and the estimate)."""
+    from faconne_spark.operators.sketches import kmv_sketch
+
+    ev = T(spark, sf, "events")
+    return kmv_sketch(
+        ev, "event_type", "cast(user_id as string)", KMV_K
+    ).select("event_type", "n_kept", "theta", F.round("est_distinct", 6).alias("est_distinct"))
+
+
+ORACLE_KMV_DISTINCT = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         ('0x' || substr(md5(cast(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed)
+SELECT grp AS event_type, count(*)::BIGINT AS n_kept,
+       max(h) AS theta,
+       round(CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
+            ELSE ({KMV_K} - 1) * {KMV_DOMAIN_F} / max(h) END, 6)
+         AS est_distinct
+FROM ranked WHERE rn <= {KMV_K}
+GROUP BY grp
+"""
+
+
+def events_kmv_overlap(spark, sf):
+    """Pairwise audience intersection/union estimates from the KMV
+    sketches — the sketched face of events_audience_overlap (compare
+    the two keys to see estimator quality at gate scale)."""
+    from faconne_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    ev = T(spark, sf, "events")
+    sk = kmv_sketch(ev, "event_type", "cast(user_id as string)", KMV_K)
+    return kmv_overlap(sk, "event_type", KMV_K).select(
+        "type_a", "type_b", "n_pool", "theta", "rho",
+        F.round("est_union", 6).alias("est_union"),
+        F.round("est_intersection", 6).alias("est_intersection"),
+    )
+
+
+ORACLE_KMV_OVERLAP = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         ('0x' || substr(md5(cast(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed),
+sk AS (SELECT grp, h FROM ranked WHERE rn <= {KMV_K}),
+pairs AS (
+  SELECT a.grp AS ga, b.grp AS gb
+  FROM (SELECT DISTINCT grp FROM sk) a
+  JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp),
+pooled AS (
+  SELECT p.ga, p.gb, s.h,
+         max(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS a_has,
+         max(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS b_has
+  FROM pairs p JOIN sk s ON s.grp IN (p.ga, p.gb)
+  GROUP BY p.ga, p.gb, s.h),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+  FROM pooled)
+SELECT ga AS type_a, gb AS type_b,
+       count(*)::BIGINT AS n_pool,
+       max(h) AS theta,
+       sum(CASE WHEN a_has = 1 AND b_has = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS rho,
+       round(CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
+            ELSE ({KMV_K} - 1) * {KMV_DOMAIN_F} / max(h) END, 6)
+         AS est_union,
+       round((sum(CASE WHEN a_has = 1 AND b_has = 1 THEN 1 ELSE 0 END)
+              / count(*)::DOUBLE)
+             * CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
+               ELSE ({KMV_K} - 1) * {KMV_DOMAIN_F} / max(h) END, 6)
+         AS est_intersection
+FROM rk WHERE rn <= {KMV_K}
+GROUP BY ga, gb
+"""
+
+
+def customer_order_golden(spark, sf):
+    """Golden order profile per customer: survivorship over the order
+    history (latest status/priority/price by order date, order-key
+    tie-break) + conflict gauges — relational.golden_record on the
+    natural o_custkey clustering."""
+    from faconne_spark.operators.relational import golden_record
+
+    orders = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr("unix_date(cast(o_orderdate as date))").alias("od"),
+        "o_orderstatus", "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    return golden_record(
+        orders, "o_custkey", "o_orderkey",
+        ["o_orderstatus", "o_orderpriority", "o_totalprice"], "od",
+    )
+
+
+ORACLE_ORDER_GOLDEN = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         (cast(o_orderdate AS DATE) - DATE '1970-01-01') AS od,
+         o_orderstatus, o_orderpriority,
+         round(o_totalprice, 2) AS o_totalprice
+  FROM orders)
+SELECT o_custkey,
+       count(*)::BIGINT AS n_records,
+       first(o_orderstatus ORDER BY (o_orderstatus IS NOT NULL) DESC,
+             od DESC, o_orderkey ASC) AS o_orderstatus,
+       count(DISTINCT o_orderstatus)::BIGINT AS n_o_orderstatus_values,
+       first(o_orderpriority ORDER BY (o_orderpriority IS NOT NULL) DESC,
+             od DESC, o_orderkey ASC) AS o_orderpriority,
+       count(DISTINCT o_orderpriority)::BIGINT AS n_o_orderpriority_values,
+       first(o_totalprice ORDER BY (o_totalprice IS NOT NULL) DESC,
+             od DESC, o_orderkey ASC) AS o_totalprice,
+       count(DISTINCT o_totalprice)::BIGINT AS n_o_totalprice_values,
+       first(o_orderkey ORDER BY od DESC, o_orderkey ASC) AS survivor_id
+FROM o GROUP BY o_custkey
+"""
+
+BANK_QUERIES = {
+    "events_kmv_distinct": events_kmv_distinct,
+    "events_kmv_overlap": events_kmv_overlap,
+    "customer_order_golden": customer_order_golden,
+}
+BANK_ORACLES = {
+    "events_kmv_distinct": ORACLE_KMV_DISTINCT,
+    "events_kmv_overlap": ORACLE_KMV_OVERLAP,
+    "customer_order_golden": ORACLE_ORDER_GOLDEN,
+}
