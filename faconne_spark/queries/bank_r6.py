@@ -151,3 +151,106 @@ BANK_ORACLES = {
     "events_kmv_overlap": ORACLE_KMV_OVERLAP,
     "customer_order_golden": ORACLE_ORDER_GOLDEN,
 }
+
+
+# ------------------------------------------- FS link scoring gate key
+
+FS_MAX_LEV = 1
+FS_M = {"c_mktsegment": 0.95, "bal_bucket": 0.7}
+
+
+def customer_fs_scores(spark, sf):
+    """Fellegi–Sunter match weights over the blocked fuzzy candidate
+    pairs: u-probabilities estimated from the customer table itself
+    (fs_u_probs), m priors fixed, per-field micro-log weights + total
+    LLR per pair — the scoring stage between blocked_fuzzy_pairs and
+    golden_record."""
+    from faconne_spark.operators import relational as R
+
+    cust = T(spark, sf, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    pairs = R.blocked_fuzzy_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey"], FS_MAX_LEV
+    )
+    attrs = cust.select("c_custkey", "c_mktsegment", "bal_bucket")
+    p2 = (
+        pairs.join(
+            attrs.select(
+                F.col("c_custkey").alias("id_a"),
+                F.col("c_mktsegment").alias("seg_a"),
+                F.col("bal_bucket").alias("bb_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            attrs.select(
+                F.col("c_custkey").alias("id_b"),
+                F.col("c_mktsegment").alias("seg_b"),
+                F.col("bal_bucket").alias("bb_b"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "lev", "seg_a", "seg_b", "bb_a", "bb_b")
+    )
+    u = R.fs_u_probs(cust, ["c_mktsegment", "bal_bucket"])
+    return R.fs_link_scores(
+        p2,
+        {"c_mktsegment": "seg_a = seg_b", "bal_bucket": "bb_a = bb_b"},
+        u,
+        FS_M,
+    ).select(
+        "id_a", "id_b", "lev",
+        "w_c_mktsegment", "w_bal_bucket", "llr_micro",
+    )
+
+
+ORACLE_FS_SCORES = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+         floor(c_acctbal / 1000)::BIGINT AS bal_bucket,
+         substr(c_name, 1, greatest(length(c_name) - 2, 0)) AS name_block
+  FROM customer),
+u_seg AS (
+  SELECT greatest(sum(c * (c - 1)) / (sum(c) * (sum(c) - 1)),
+                  1.0 / (sum(c) * (sum(c) - 1))) AS u
+  FROM (SELECT count(*) AS c FROM c WHERE c_mktsegment IS NOT NULL
+        GROUP BY c_mktsegment)),
+u_bb AS (
+  SELECT greatest(sum(c * (c - 1)) / (sum(c) * (sum(c) - 1)),
+                  1.0 / (sum(c) * (sum(c) - 1))) AS u
+  FROM (SELECT count(*) AS c FROM c WHERE bal_bucket IS NOT NULL
+        GROUP BY bal_bucket)),
+pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         levenshtein(a.c_name, b.c_name)::INTEGER AS lev,
+         a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+         a.bal_bucket AS bb_a, b.bal_bucket AS bb_b
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.name_block = b.name_block
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {FS_MAX_LEV}),
+scored AS (
+  SELECT p.*,
+         CASE WHEN p.seg_a = p.seg_b THEN
+           cast(round(ln({FS_M["c_mktsegment"]} / us.u) * 1000000, 0)
+                AS BIGINT)
+         ELSE
+           cast(round(ln({1.0 - FS_M["c_mktsegment"]} / (1 - us.u))
+                * 1000000, 0) AS BIGINT)
+         END AS w_c_mktsegment,
+         CASE WHEN p.bb_a = p.bb_b THEN
+           cast(round(ln({FS_M["bal_bucket"]} / ub.u) * 1000000, 0)
+                AS BIGINT)
+         ELSE
+           cast(round(ln({1.0 - FS_M["bal_bucket"]} / (1 - ub.u))
+                * 1000000, 0) AS BIGINT)
+         END AS w_bal_bucket
+  FROM pairs p CROSS JOIN u_seg us CROSS JOIN u_bb ub)
+SELECT id_a, id_b, lev, w_c_mktsegment, w_bal_bucket,
+       w_c_mktsegment + w_bal_bucket AS llr_micro
+FROM scored
+"""
+
+BANK_QUERIES["customer_fs_scores"] = customer_fs_scores
+BANK_ORACLES["customer_fs_scores"] = ORACLE_FS_SCORES
