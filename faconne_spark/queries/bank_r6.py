@@ -254,3 +254,66 @@ FROM scored
 
 BANK_QUERIES["customer_fs_scores"] = customer_fs_scores
 BANK_ORACLES["customer_fs_scores"] = ORACLE_FS_SCORES
+
+
+# ------------------------------------------- directed rule confidence
+
+def orders_basket_confidence(spark, sf):
+    """Directed association rules over order baskets: confidence
+    P(B|A) = n(A,B)/n(A) for BOTH directions of every pair the
+    orders_basket_lift gate key reports — the rule-ranking complement
+    of its symmetric lift (confidence is what a recommender thresholds
+    on).  Same linear pair-join shape; emits two directed rows per
+    undirected pair."""
+    from faconne_spark.queries.curation import MIN_COOC
+
+    items = (
+        T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= MIN_COOC)
+    )
+    return pairs.join(
+        cnt.select(
+            F.col("l_partkey").alias("antecedent"),
+            F.col("cnt").alias("n_antecedent"),
+        ),
+        "antecedent",
+    ).select(
+        "antecedent", "consequent", "pair_n", "n_antecedent",
+        F.round(F.col("pair_n") / F.col("n_antecedent"), 6).alias(
+            "confidence"
+        ),
+    )
+
+
+def _oracle_basket_confidence() -> str:
+    from faconne_spark.queries.curation import MIN_COOC
+
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (SELECT l_partkey, count(*)::BIGINT AS cnt FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+         count(*)::BIGINT AS pair_n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_COOC})
+SELECT p.antecedent, p.consequent, p.pair_n, c.cnt AS n_antecedent,
+       round(p.pair_n / c.cnt::DOUBLE, 6) AS confidence
+FROM pairs p JOIN cnt c ON c.l_partkey = p.antecedent
+"""
+
+
+BANK_QUERIES["orders_basket_confidence"] = orders_basket_confidence
+BANK_ORACLES["orders_basket_confidence"] = _oracle_basket_confidence()
