@@ -755,11 +755,14 @@ def skyline2d(
     cost_c_col: str,
     gain_col: str,
     bucket_width: int = 10_000,
+    partition_cols: list | None = None,
 ) -> DataFrame:
     """Distributed 2-D skyline (Pareto frontier): minimize the integer
     ``cost_c_col``, maximize ``gain_col``.  A row survives iff nothing
     strictly cheaper has gain ≥ its own and nothing at the same cost
-    has strictly larger gain.
+    has strictly larger gain.  With ``partition_cols``, an independent
+    frontier per partition (per brand / per category) — every window
+    then partitions and nothing in the plan is global at all.
 
     Scale (100 TB): the textbook sorted sweep is a GLOBAL sort, so the
     plan prunes first — per-cost-bucket max gains (one map-side agg
@@ -767,27 +770,40 @@ def skyline2d(
     rows beating every strictly-cheaper bucket's best (provably a
     superset of the frontier: any dominator of a pruned row lives in a
     cheaper bucket and survives pruning itself... transitively, a
-    MAXIMAL dominator does) reach the exact unpartitioned sweep, which
-    runs over a frontier-sized relation, not the input."""
+    MAXIMAL dominator does) reach the exact sweep, which runs over a
+    frontier-sized relation, not the input."""
+    parts = list(partition_cols or [])
     # floor, not truncate-toward-zero: negative costs must keep the
     # "smaller bucket => strictly cheaper" prune invariant
     p = df.withColumn(
         "bkt", F.floor(F.col(cost_c_col) / bucket_width).cast("long")
     )
-    bmax = p.groupBy("bkt").agg(F.max(gain_col).alias("bmax"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    bounds = bmax.select("bkt", F.max("bmax").over(wb).alias("cheaper_max"))
-    cand = p.join(F.broadcast(bounds), "bkt").filter(
+    bmax = p.groupBy(*parts, "bkt").agg(F.max(gain_col).alias("bmax"))
+    wb = (
+        Window.partitionBy(*parts).orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if parts
+        else Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = bmax.select(
+        *parts, "bkt", F.max("bmax").over(wb).alias("cheaper_max")
+    )
+    cand = p.join(F.broadcast(bounds), parts + ["bkt"]).filter(
         F.col("cheaper_max").isNull()
         | (F.col(gain_col) > F.col("cheaper_max"))
     )
-    wr = Window.orderBy(cost_c_col).rangeBetween(
-        Window.unboundedPreceding, -1
+    wr = (
+        Window.partitionBy(*parts).orderBy(cost_c_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+        if parts
+        else Window.orderBy(cost_c_col).rangeBetween(
+            Window.unboundedPreceding, -1
+        )
     )
-    ws = Window.partitionBy(cost_c_col)
+    ws = Window.partitionBy(*(parts + [cost_c_col]))
     return (
         cand.select(
-            key_col, cost_c_col, gain_col,
+            *parts, key_col, cost_c_col, gain_col,
             F.max(gain_col).over(wr).alias("mc"),
             F.max(gain_col).over(ws).alias("ms"),
         )
@@ -795,7 +811,7 @@ def skyline2d(
             (F.col("mc").isNull() | (F.col("mc") < F.col(gain_col)))
             & (F.col("ms") <= F.col(gain_col))
         )
-        .select(key_col, cost_c_col, gain_col)
+        .select(*parts, key_col, cost_c_col, gain_col)
     )
 
 

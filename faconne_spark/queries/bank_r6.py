@@ -317,3 +317,49 @@ FROM pairs p JOIN cnt c ON c.l_partkey = p.antecedent
 
 BANK_QUERIES["orders_basket_confidence"] = orders_basket_confidence
 BANK_ORACLES["orders_basket_confidence"] = _oracle_basket_confidence()
+
+
+# ------------------------------------------- per-brand skyline
+
+def part_skyline_by_brand(spark, sf):
+    """Independent price/size Pareto frontier per brand — the grouped
+    skyline (every window partitions by brand: NOTHING in the plan is
+    global, the fully-parallel variant of part_skyline)."""
+    from faconne_spark.operators.relational import skyline2d
+    from faconne_spark.queries.curation import SKY_BUCKET_CENTS
+
+    p = T(spark, sf, "part").select(
+        "p_brand", "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias(
+            "price_c"
+        ),
+        "p_size",
+    )
+    return skyline2d(
+        p, "p_partkey", "price_c", "p_size", SKY_BUCKET_CENTS, ["p_brand"]
+    ).select(
+        "p_brand", "p_partkey",
+        F.round(F.col("price_c") / 100.0, 2).alias("price"),
+        "p_size",
+    )
+
+
+ORACLE_SKYLINE_BRAND = """
+WITH p AS (
+  SELECT p_brand, p_partkey,
+         (round(p_retailprice * 100, 0))::BIGINT AS price_c, p_size
+  FROM part),
+w AS (
+  SELECT *,
+         max(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS mc,
+         max(p_size) OVER (PARTITION BY p_brand, price_c) AS ms
+  FROM p)
+SELECT p_brand, p_partkey, round(price_c / 100.0, 2) AS price, p_size
+FROM w
+WHERE (mc IS NULL OR mc < p_size) AND ms <= p_size
+"""
+
+BANK_QUERIES["part_skyline_by_brand"] = part_skyline_by_brand
+BANK_ORACLES["part_skyline_by_brand"] = ORACLE_SKYLINE_BRAND
