@@ -363,3 +363,66 @@ WHERE (mc IS NULL OR mc < p_size) AND ms <= p_size
 
 BANK_QUERIES["part_skyline_by_brand"] = part_skyline_by_brand
 BANK_ORACLES["part_skyline_by_brand"] = ORACLE_SKYLINE_BRAND
+
+
+# ------------------------------------------- vocabulary-size estimation
+
+VOCAB_KMV_K = 128
+
+
+def docs_vocab_kmv(spark, sf):
+    """Per-source vocabulary-size estimate via a KMV sketch over the
+    token stream, with the exact distinct-token count alongside as
+    calibration — the vocabulary-growth gauge a corpus dashboard
+    tracks without ever materializing the distinct token set (the
+    exact column is the gate-scale calibration, documented droppable
+    at 100 TB exactly like the HLL keys')."""
+    from faconne_spark.functions import tokens_ws
+    from faconne_spark.operators.sketches import kmv_sketch
+
+    toks = T(spark, sf, "documents").select(
+        "source",
+        F.explode(F.expr(tokens_ws("text", "spark"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sk = kmv_sketch(toks, "source", "tok", VOCAB_KMV_K).select(
+        "source", "n_kept", "theta",
+        F.round("est_distinct", 6).alias("est_vocab"),
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_vocab_exact")
+    )
+    return sk.join(exact, "source")
+
+
+def _oracle_vocab_kmv() -> str:
+    from faconne_spark.functions import tokens_ws
+    from faconne_spark.queries.bank_r6 import KMV_DOMAIN_F
+
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({tokens_ws('text', 'duckdb')}) AS tok
+  FROM documents),
+tf AS (SELECT source, tok FROM toks WHERE tok <> ''),
+hashed AS (
+  SELECT DISTINCT source AS grp,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM tf),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed),
+sk AS (
+  SELECT grp AS source, count(*)::BIGINT AS n_kept, max(h) AS theta,
+         round(CASE WHEN count(*) < {VOCAB_KMV_K} THEN count(*)::DOUBLE
+              ELSE ({VOCAB_KMV_K} - 1) * {KMV_DOMAIN_F} / max(h) END, 6)
+           AS est_vocab
+  FROM ranked WHERE rn <= {VOCAB_KMV_K} GROUP BY grp),
+exact AS (
+  SELECT source, count(DISTINCT tok)::BIGINT AS n_vocab_exact
+  FROM tf GROUP BY source)
+SELECT s.source, s.n_kept, s.theta, s.est_vocab, e.n_vocab_exact
+FROM sk s JOIN exact e USING (source)
+"""
+
+
+BANK_QUERIES["docs_vocab_kmv"] = docs_vocab_kmv
+BANK_ORACLES["docs_vocab_kmv"] = _oracle_vocab_kmv()
