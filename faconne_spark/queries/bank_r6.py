@@ -27,14 +27,19 @@ def events_kmv_distinct(spark, sf):
     ).select("event_type", "n_kept", "theta", F.round("est_distinct", 6).alias("est_distinct"))
 
 
-ORACLE_KMV_DISTINCT = f"""
-WITH hashed AS (
+# shared KMV sketch CTE over the events user stream (both oracles
+# consume it verbatim so they cannot drift)
+KMV_EVENTS_CTE = """WITH hashed AS (
   SELECT DISTINCT event_type AS grp,
          ('0x' || substr(md5(cast(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
   FROM events),
 ranked AS (
   SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
-  FROM hashed)
+  FROM hashed)"""
+
+
+ORACLE_KMV_DISTINCT = f"""
+{KMV_EVENTS_CTE}
 SELECT grp AS event_type, count(*)::BIGINT AS n_kept,
        max(h) AS theta,
        round(CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
@@ -61,13 +66,7 @@ def events_kmv_overlap(spark, sf):
 
 
 ORACLE_KMV_OVERLAP = f"""
-WITH hashed AS (
-  SELECT DISTINCT event_type AS grp,
-         ('0x' || substr(md5(cast(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events),
-ranked AS (
-  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
-  FROM hashed),
+{KMV_EVENTS_CTE},
 sk AS (SELECT grp, h FROM ranked WHERE rn <= {KMV_K}),
 pairs AS (
   SELECT a.grp AS ga, b.grp AS gb
