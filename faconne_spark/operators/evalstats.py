@@ -1,0 +1,306 @@
+"""Evaluation & inference statistics: AUC, Poisson-bootstrap CIs,
+two-sample KS drift, Cohen's kappa.
+
+These are the measurement half of a training-data pipeline — scoring a
+quality classifier (AUC), putting error bars on corpus means without a
+second pass (Poisson bootstrap — the standard resampling scheme at
+data-parallel scale, since replicate weights are computed row-locally),
+detecting distribution drift between slices (KS), and quantifying
+rater/classifier agreement (kappa).
+
+House rules apply throughout: everything stays in Catalyst (no UDFs),
+arithmetic is exact-integer until one final division so Spark and the
+DuckDB oracles agree bit-for-bit, and every window partitions on a
+bounded key (never a global sort over the raw stream).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Cumulative Poisson(1) probabilities P(K <= k) for the inverse-CDF
+# ladder; identical literals are embedded in the DuckDB oracle so both
+# engines compare the SAME doubles.  P(K > 8) ~ 1.1e-9 — the ladder
+# clamps there (a weight of 8 on ~1e-9 of rows is statistically inert).
+POISSON1_CUM = [
+    sum(math.exp(-1.0) / math.factorial(j) for j in range(k + 1))
+    for k in range(8)
+]
+
+
+def auc_mann_whitney(
+    df: DataFrame,
+    label: Column,
+    score_col: str,
+    group_cols: list,
+) -> DataFrame:
+    """Tie-averaged Mann–Whitney AUC of ``score_col`` as a predictor of
+    the boolean ``label``, per group: AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻).
+
+    Formulated over the DISTINCT-SCORE histogram, not ranked rows:
+    2·AUC·n⁺·n⁻ = Σ_s pos(s)·(2·cum_neg(<s) + neg(s)) — an exact BIGINT,
+    so the only float op is the final division (bit-identical across
+    engines).
+
+    Scale (100 TB): one map-side-combined groupBy to (group, score),
+    then a window over the distinct-score relation only — the raw
+    stream is never rank-sorted.  For a score column with unbounded
+    cardinality, quantize first (the histogram IS the ECDF)."""
+    hist = (
+        df.select(
+            *group_cols,
+            F.col(score_col).alias("__s"),
+            F.when(label, 1).otherwise(0).alias("__y"),
+        )
+        .groupBy(*group_cols, "__s")
+        .agg(
+            F.sum("__y").alias("pos"),
+            F.sum(F.lit(1) - F.col("__y")).alias("neg"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__s")
+    cum_neg_lt = F.coalesce(
+        F.sum("neg").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    num2 = F.col("pos") * (2 * cum_neg_lt + F.col("neg"))
+    return (
+        hist.withColumn("__num2", num2)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("pos").alias("n_pos"),
+            F.sum("neg").alias("n_neg"),
+            F.sum("__num2").alias("__n2"),
+        )
+        .withColumn(
+            "auc",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.round(
+                    F.col("__n2")
+                    / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                    6,
+                ),
+            ),
+        )
+        .drop("__n2")
+    )
+
+
+def poisson_weight_sql(u_expr: str) -> str:
+    """Inverse-CDF ladder mapping a uniform ``u_expr`` in [0, 1) to a
+    Poisson(1) draw — plain CASE SQL valid verbatim in both engines."""
+    arms = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}"
+        for k, c in enumerate(POISSON1_CUM)
+    )
+    return f"(CASE {arms} ELSE 8 END)"
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 32,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-group mean of ``value_col`` with a percentile CI from
+    ``n_boot`` Poisson(1) bootstrap replicates.
+
+    Replicate weights come from the inverse Poisson CDF applied to
+    u = phash60(id ‖ b) / 2⁶⁰ — row-local and deterministic, so the
+    resample is reproducible and identical in the DuckDB oracle (the
+    reason Poisson bootstrap is THE bootstrap at data-parallel scale:
+    no global resample pass, just a per-row weight).  Values are
+    fixed-pointed to ``micro`` units so replicate sums are exact
+    integers; each replicate mean is one division of identical ints.
+    The CI is the (2nd, B−1th) order statistic of the replicate means
+    (≈ 93.75% coverage at B = 32), picked by row_number with the
+    replicate index as tie-break — no interpolation to diverge on.
+
+    Scale (100 TB): the B-fold explode is map-side only; the shuffle
+    carries (group × B) partial sums.  Replicates that draw zero total
+    weight (probability e^{-n}) are dropped before ranking."""
+    from faconne_spark.functions import phash60
+
+    h = phash60(
+        f"concat(cast({id_col} as string), ':', cast(__b as string))",
+        "spark",
+    )
+    rep = (
+        df.select(
+            *group_cols,
+            F.col(id_col),
+            F.expr(
+                f"cast(round({value_col} * {micro}) as bigint)"
+            ).alias("__vm"),
+        )
+        .withColumn("__b", F.explode(F.expr(f"sequence(0, {n_boot - 1})")))
+        .withColumn("__u", F.expr(f"({h}) / {float(1 << 60)!r}"))
+        .withColumn("__w", F.expr(poisson_weight_sql("__u")))
+        .groupBy(*group_cols, "__b")
+        .agg(
+            F.sum("__w").alias("__nw"),
+            F.sum(F.col("__w") * F.col("__vm")).alias("__sw"),
+        )
+        .filter(F.col("__nw") > 0)
+        .withColumn("__mb", F.col("__sw") / (F.col("__nw") * float(micro)))
+    )
+    wr = Window.partitionBy(*group_cols).orderBy("__mb", "__b")
+    ranked = rep.withColumn("__rk", F.row_number().over(wr)).withColumn(
+        "__nb", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    ci = ranked.groupBy(*group_cols).agg(
+        F.max("__nb").alias("n_boot"),
+        F.round(
+            F.min(F.when(F.col("__rk") == 2, F.col("__mb"))), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.min(
+                F.when(F.col("__rk") == F.col("__nb") - 1, F.col("__mb"))
+            ),
+            6,
+        ).alias("ci_hi"),
+    )
+    base = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.expr(f"cast(round({value_col} * {micro}) as bigint)"))
+            / (F.count("*") * float(micro)),
+            6,
+        ).alias("mean_value"),
+    )
+    return base.join(ci, group_cols)
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """One-vs-rest two-sample Kolmogorov–Smirnov drift per group:
+    D = max_b |ECDF_in(b) − ECDF_rest(b)| over a FIXED bin grid.
+
+    Binning first is what makes this a 100 TB operator: the exact KS
+    statistic needs a per-pair global sort of the raw values, while the
+    binned ECDF is one map-side-combined groupBy to (group, bin) and a
+    window over the (groups × bins) grid — and for any monitoring use
+    the grid resolution IS the detection resolution.  D is kept as the
+    cross-multiplied integer max |cum_in·n_out − cum_out·n_in| until
+    the single final division.
+
+    The grid is densified (groups × observed bins) so a bin that one
+    side skips still advances the other side's ECDF."""
+    binned = df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(
+            f"least(greatest(cast(floor(({value_col} - {lo!r}) /"
+            f" {width!r}) as int), 0), {n_bins - 1})"
+        ).alias("bin"),
+    ).groupBy("grp", "bin").agg(F.count("*").alias("n_gb"))
+    grid = (
+        binned.select("grp")
+        .distinct()
+        .crossJoin(binned.select("bin").distinct())
+    )
+    tot_b = binned.groupBy("bin").agg(F.sum("n_gb").alias("n_b"))
+    cells = (
+        grid.join(binned, ["grp", "bin"], "left")
+        .join(tot_b, "bin")
+        .select(
+            "grp",
+            "bin",
+            F.coalesce("n_gb", F.lit(0)).alias("n_in_b"),
+            (F.col("n_b") - F.coalesce("n_gb", F.lit(0))).alias("n_out_b"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("bin")
+    cum = cells.select(
+        "grp",
+        F.sum("n_in_b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c_in"),
+        F.sum("n_out_b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c_out"),
+        F.sum("n_in_b").over(Window.partitionBy("grp")).alias("n_in"),
+        F.sum("n_out_b").over(Window.partitionBy("grp")).alias("n_out"),
+    )
+    return (
+        cum.groupBy("grp")
+        .agg(
+            F.max("n_in").alias("n_in"),
+            F.max("n_out").alias("n_out"),
+            F.max(
+                F.abs(
+                    F.col("c_in") * F.col("n_out")
+                    - F.col("c_out") * F.col("n_in")
+                )
+            ).alias("__dnum"),
+        )
+        .withColumn(
+            "ks_d",
+            F.when(
+                (F.col("n_in") > 0) & (F.col("n_out") > 0),
+                F.round(
+                    F.col("__dnum") / (F.col("n_in") * F.col("n_out") * 1.0),
+                    6,
+                ),
+            ),
+        )
+        .drop("__dnum")
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: Column,
+    rater_b: Column,
+    group_cols: list,
+) -> DataFrame:
+    """Cohen's kappa between two boolean raters per group — chance-
+    corrected agreement κ = (p_o − p_e) / (1 − p_e), computed as the
+    all-integer identity (n·(n₁₁+n₀₀) − (a₁b₁ + a₀b₀)) /
+    (n² − (a₁b₁ + a₀b₀)) so the one float op is the final division.
+    κ can be a tiny negative, so the rounded value is canonicalized
+    with + 0.0 (the Spark −0.0 vs DuckDB 0.0 hash divergence).
+
+    Scale (100 TB): a single map-side-combined groupBy; the exchange
+    carries five counters per group."""
+    a = F.when(rater_a, 1).otherwise(0)
+    b = F.when(rater_b, 1).otherwise(0)
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(a).alias("a1"),
+        F.sum(b).alias("b1"),
+        F.sum(a * b).alias("n11"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+    )
+    pe_num = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    denom = F.col("n") * F.col("n") - pe_num
+    return agg.select(
+        *group_cols,
+        "n",
+        (F.col("n11") + F.col("n00")).alias("n_agree"),
+        "a1",
+        "b1",
+        F.when(
+            denom > 0,
+            F.round(
+                (
+                    F.col("n") * (F.col("n11") + F.col("n00")) - pe_num
+                )
+                / (denom * 1.0),
+                6,
+            )
+            + 0.0,
+        ).alias("kappa"),
+    )

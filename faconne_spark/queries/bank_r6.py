@@ -425,3 +425,247 @@ FROM sk s JOIN exact e USING (source)
 
 BANK_QUERIES["docs_vocab_kmv"] = docs_vocab_kmv
 BANK_ORACLES["docs_vocab_kmv"] = _oracle_vocab_kmv()
+
+
+# ------------------------------------------------- evaluation stats
+# (operators/evalstats.py — AUC, Poisson bootstrap, KS drift, kappa)
+
+def events_auc_purchase(spark, sf):
+    """Per-day Mann–Whitney AUC of event value as a purchase
+    predictor — the distributed classifier-eval staple (tie-averaged,
+    exact-integer numerator; see evalstats.auc_mann_whitney)."""
+    from faconne_spark.operators.evalstats import auc_mann_whitney
+
+    ev = T(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    return auc_mann_whitney(
+        ev, F.col("event_type") == "purchase", "value", ["day"]
+    )
+
+
+ORACLE_AUC_PURCHASE = """
+WITH base AS (
+  SELECT ts::DATE AS day, value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+hist AS (
+  SELECT day, s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
+  FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT day, pos, neg,
+         coalesce(sum(neg) OVER (PARTITION BY day ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+  FROM hist)
+SELECT day, sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+       CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+         round(sum(pos * (2 * cneg + neg))::BIGINT
+               / (2.0 * sum(pos) * sum(neg)), 6)
+       END AS auc
+FROM cum GROUP BY day
+"""
+
+BANK_QUERIES["events_auc_purchase"] = events_auc_purchase
+BANK_ORACLES["events_auc_purchase"] = ORACLE_AUC_PURCHASE
+
+
+BOOT_B = 32
+BOOT_MICRO = 1_000_000
+
+
+def events_value_bootstrap(spark, sf):
+    """Per-type mean event value with a Poisson(1)-bootstrap
+    percentile CI — error bars in ONE pass, no global resample (see
+    evalstats.poisson_bootstrap_mean)."""
+    from faconne_spark.operators.evalstats import poisson_bootstrap_mean
+
+    return poisson_bootstrap_mean(
+        T(spark, sf, "events"),
+        ["event_type"], "value", "event_id",
+        n_boot=BOOT_B, micro=BOOT_MICRO,
+    )
+
+
+def _oracle_value_bootstrap() -> str:
+    from faconne_spark.operators.evalstats import poisson_weight_sql
+
+    u = (
+        "('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR),"
+        f" 1, 15))::BIGINT / {float(1 << 60)!r}"
+    )
+    return f"""
+WITH rep AS (
+  SELECT event_type,
+         event_id,
+         cast(round(value * {BOOT_MICRO}) AS BIGINT) AS vm,
+         unnest(range(0, {BOOT_B})) AS b
+  FROM events),
+weighted AS (
+  SELECT event_type, b, vm,
+         {poisson_weight_sql(f'({u})')} AS w
+  FROM rep),
+reps AS (
+  SELECT event_type, b,
+         sum(w)::BIGINT AS nw, sum(w * vm)::BIGINT AS sw
+  FROM weighted GROUP BY 1, 2),
+means AS (
+  SELECT event_type, b, sw / (nw * {float(BOOT_MICRO)!r}) AS mb
+  FROM reps WHERE nw > 0),
+ranked AS (
+  SELECT event_type, b, mb,
+         row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nb
+  FROM means),
+ci AS (
+  SELECT event_type, max(nb)::BIGINT AS n_boot,
+         round(min(CASE WHEN rk = 2 THEN mb END), 6) AS ci_lo,
+         round(min(CASE WHEN rk = nb - 1 THEN mb END), 6) AS ci_hi
+  FROM ranked GROUP BY 1),
+base AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         round(sum(cast(round(value * {BOOT_MICRO}) AS BIGINT))::BIGINT
+               / (count(*) * {float(BOOT_MICRO)!r}), 6) AS mean_value
+  FROM events GROUP BY 1)
+SELECT base.event_type, n, mean_value, n_boot, ci_lo, ci_hi
+FROM base JOIN ci USING (event_type)
+"""
+
+
+BANK_QUERIES["events_value_bootstrap"] = events_value_bootstrap
+BANK_ORACLES["events_value_bootstrap"] = _oracle_value_bootstrap()
+
+
+# KS grid: power-of-two width so the float bin math is exact scaling in
+# both engines; values beyond lo + width·n_bins clamp into the top bin.
+KS_LO, KS_WIDTH, KS_BINS = 0.0, 8.0, 64
+
+
+def events_ks_value_drift(spark, sf):
+    """One-vs-rest binned two-sample KS per event type over the value
+    distribution — slice-drift detection without a per-pair global
+    sort (see evalstats.ks_drift)."""
+    from faconne_spark.operators.evalstats import ks_drift
+
+    return ks_drift(
+        T(spark, sf, "events"), "event_type", "value",
+        KS_LO, KS_WIDTH, KS_BINS,
+    )
+
+
+ORACLE_KS_DRIFT = f"""
+WITH binned AS (
+  SELECT event_type AS grp,
+         least(greatest(cast(floor((value - {KS_LO!r}) / {KS_WIDTH!r})
+           AS INT), 0), {KS_BINS - 1}) AS bin,
+         count(*)::BIGINT AS n_gb
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT g.grp, b.bin
+  FROM (SELECT DISTINCT grp FROM binned) g
+  CROSS JOIN (SELECT DISTINCT bin FROM binned) b),
+tot AS (SELECT bin, sum(n_gb)::BIGINT AS n_b FROM binned GROUP BY 1),
+cells AS (
+  SELECT grid.grp, grid.bin,
+         coalesce(n_gb, 0) AS n_in_b,
+         n_b - coalesce(n_gb, 0) AS n_out_b
+  FROM grid
+  LEFT JOIN binned ON binned.grp = grid.grp AND binned.bin = grid.bin
+  JOIN tot ON tot.bin = grid.bin),
+cum AS (
+  SELECT grp,
+         sum(n_in_b) OVER (PARTITION BY grp ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_in,
+         sum(n_out_b) OVER (PARTITION BY grp ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_out,
+         sum(n_in_b) OVER (PARTITION BY grp) AS n_in,
+         sum(n_out_b) OVER (PARTITION BY grp) AS n_out
+  FROM cells)
+SELECT grp AS event_type,
+       max(n_in)::BIGINT AS n_in, max(n_out)::BIGINT AS n_out,
+       CASE WHEN max(n_in) > 0 AND max(n_out) > 0 THEN
+         round(max(abs(c_in * n_out - c_out * n_in))
+               / (max(n_in) * max(n_out) * 1.0), 6)
+       END AS ks_d
+FROM cum GROUP BY grp
+"""
+
+BANK_QUERIES["events_ks_value_drift"] = events_ks_value_drift
+BANK_ORACLES["events_ks_value_drift"] = ORACLE_KS_DRIFT
+
+
+# Two deterministic document raters for the kappa gate key: length
+# (n_chars >= 300 ~ the corpus median) vs low-stopword-rate
+# (('the' + 'a') token share <= 2/25, compared by integer
+# cross-multiplication so no float threshold exists).
+KAPPA_NCHARS = 300
+KAPPA_STOP_NUM, KAPPA_STOP_DEN = 2, 25
+
+
+def docs_rater_kappa(spark, sf):
+    """Per-source Cohen's kappa between the length rater and the
+    stopword-rate rater — the agreement gauge for any pair of quality
+    classifiers (see evalstats.cohens_kappa)."""
+    from faconne_spark.functions import tokens_ws
+    from faconne_spark.operators.evalstats import cohens_kappa
+
+    toks = (
+        T(spark, sf, "documents")
+        .select(
+            "doc_id", "source", "n_chars",
+            F.explode(F.expr(tokens_ws("text", "spark"))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    feats = toks.groupBy("doc_id", "source").agg(
+        F.max("n_chars").alias("nc"),
+        F.count("*").alias("ntok"),
+        F.sum(
+            F.when(F.col("tok").isin("the", "a"), 1).otherwise(0)
+        ).alias("nstop"),
+    )
+    return cohens_kappa(
+        feats,
+        F.col("nc") >= KAPPA_NCHARS,
+        F.col("nstop") * KAPPA_STOP_DEN
+        <= F.col("ntok") * KAPPA_STOP_NUM,
+        ["source"],
+    )
+
+
+def _oracle_rater_kappa() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, n_chars,
+         unnest({tokens_ws('text', 'duckdb')}) AS tok
+  FROM documents),
+feats AS (
+  SELECT doc_id, source, max(n_chars) AS nc, count(*)::BIGINT AS ntok,
+         sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END)::BIGINT
+           AS nstop
+  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+rated AS (
+  SELECT source,
+         CASE WHEN nc >= {KAPPA_NCHARS} THEN 1 ELSE 0 END AS a,
+         CASE WHEN nstop * {KAPPA_STOP_DEN} <= ntok * {KAPPA_STOP_NUM}
+           THEN 1 ELSE 0 END AS b
+  FROM feats),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(a)::BIGINT AS a1, sum(b)::BIGINT AS b1,
+         sum(a * b)::BIGINT AS n11,
+         sum((1 - a) * (1 - b))::BIGINT AS n00
+  FROM rated GROUP BY 1)
+SELECT source, n, (n11 + n00)::BIGINT AS n_agree, a1, b1,
+       CASE WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) > 0 THEN
+         round((n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)))
+               / ((n * n - (a1 * b1 + (n - a1) * (n - b1))) * 1.0), 6)
+         + 0.0
+       END AS kappa
+FROM agg
+"""
+
+
+BANK_QUERIES["docs_rater_kappa"] = docs_rater_kappa
+BANK_ORACLES["docs_rater_kappa"] = _oracle_rater_kappa()

@@ -2838,3 +2838,170 @@ def test_r5c_operators_handle_degenerate_inputs(spark):
 
     empty_ids = spark.createDataFrame([], "grp string, id long")
     assert kmv_sketch(empty_ids, "grp", "cast(id as string)", 4).count() == 0
+
+
+# ------------------------------------------------- evalstats (r6 bank)
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(0, 6),  # coarse scores force heavy ties
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_auc_matches_bruteforce(spark, rows):
+    """Histogram-formulated AUC equals the brute-force tie-averaged
+    pair count for ANY label/score multiset (including all-ties and
+    single-class inputs, where AUC is null)."""
+    from faconne_spark.operators.evalstats import auc_mann_whitney
+
+    df = spark.createDataFrame(
+        [(1, y, float(s)) for y, s in rows], "g int, y boolean, s double"
+    )
+    got = auc_mann_whitney(df, F.col("y"), "s", ["g"]).collect()[0]
+    pos = [s for y, s in rows if y]
+    neg = [s for y, s in rows if not y]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert got["auc"] is None
+        return
+    num2 = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    assert got["auc"] == round(num2 / (2.0 * len(pos) * len(neg)), 6)
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.floats(0, 100, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=25,
+    ),
+    n_boot=st.sampled_from([8, 16]),
+)
+def test_poisson_bootstrap_matches_python_replay(spark, vals, n_boot):
+    """The bootstrap CI is a deterministic function of the input ids:
+    a plain-Python replay of the hash → Poisson-weight → fixed-point
+    replicate means produces the identical mean/ci columns."""
+    import hashlib
+
+    from faconne_spark.operators.evalstats import (
+        POISSON1_CUM,
+        poisson_bootstrap_mean,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "grp string, id bigint, v double",
+    )
+    got = poisson_bootstrap_mean(
+        df, ["grp"], "v", "id", n_boot=n_boot
+    ).collect()[0]
+
+    def w_of(i, b):
+        h = int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:15], 16)
+        u = h / float(1 << 60)
+        for k, c in enumerate(POISSON1_CUM):
+            if u < c:
+                return k
+        return 8
+
+    vm = [int(round(v * 1_000_000)) for v in vals]
+    means = []
+    for b in range(n_boot):
+        ws = [w_of(i, b) for i in range(len(vals))]
+        nw = sum(ws)
+        if nw > 0:
+            means.append((sum(w * m for w, m in zip(ws, vm)) / (nw * 1e6), b))
+    means.sort()
+    assert got["n"] == len(vals)
+    assert got["mean_value"] == round(sum(vm) / (len(vals) * 1e6), 6)
+    assert got["n_boot"] == len(means)
+    assert got["ci_lo"] == (
+        round(means[1][0], 6) if len(means) >= 2 else None
+    )
+    assert got["ci_hi"] == (
+        round(means[len(means) - 2][0], 6) if len(means) >= 2 else None
+    )
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(-10, 70, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_ks_drift_matches_bruteforce(spark, rows):
+    """Binned one-vs-rest KS equals the brute-force ECDF max-gap over
+    the same grid for ANY value multiset (clamping included)."""
+    from faconne_spark.operators.evalstats import ks_drift
+
+    lo, width, nb = 0.0, 8.0, 8
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r["grp"]: (r["n_in"], r["n_out"], r["ks_d"])
+        for r in ks_drift(df, "grp", "v", lo, width, nb).collect()
+    }
+    bins = [min(max(int(math.floor((v - lo) / width)), 0), nb - 1) for _, v in rows]
+    for g in {g for g, _ in rows}:
+        inb = [b for (gg, _), b in zip(rows, bins) if gg == g]
+        outb = [b for (gg, _), b in zip(rows, bins) if gg != g]
+        if not outb:
+            assert got[g][2] is None
+            continue
+        d = max(
+            abs(
+                sum(b <= t for b in inb) * len(outb)
+                - sum(b <= t for b in outb) * len(inb)
+            )
+            for t in range(nb)
+        )
+        assert got[g] == (
+            len(inb),
+            len(outb),
+            round(d / (len(inb) * len(outb)), 6),
+        )
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=40
+    )
+)
+def test_cohens_kappa_matches_python(spark, rows):
+    """The integer-identity kappa equals the textbook
+    (p_o − p_e)/(1 − p_e) for ANY pair of boolean raters, with a null
+    kappa exactly when chance agreement is 1."""
+    from faconne_spark.operators.evalstats import cohens_kappa
+
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    got = cohens_kappa(
+        df.withColumn("g", F.lit(1)), F.col("a"), F.col("b"), ["g"]
+    ).collect()[0]
+    n = len(rows)
+    a1 = sum(a for a, _ in rows)
+    b1 = sum(b for _, b in rows)
+    n11 = sum(a and b for a, b in rows)
+    n00 = sum((not a) and (not b) for a, b in rows)
+    pe_num = a1 * b1 + (n - a1) * (n - b1)
+    assert (got["n"], got["n_agree"], got["a1"], got["b1"]) == (
+        n, n11 + n00, a1, b1
+    )
+    if n * n - pe_num == 0:
+        assert got["kappa"] is None
+    else:
+        assert got["kappa"] == round(
+            (n * (n11 + n00) - pe_num) / (n * n - pe_num), 6
+        ) + 0.0
