@@ -427,8 +427,14 @@ def test_survey_registry_consistency():
             survey,
         )
     )
+    # SURVEY §7 may cite next-round bank keys (built + cross-engine
+    # proven but deliberately unregistered while the driver window is
+    # full) — those are known, not drift.
+    from faconne_spark.queries.bank_r6 import BANK_QUERIES
+
+    known = qs | set(BANK_QUERIES)
     cited_keys = {k for k in cited if k in qs or not k.startswith(("text_", "events_"))}
-    missing_in_registry = sorted(k for k in cited_keys if k not in qs)
+    missing_in_registry = sorted(k for k in cited_keys if k not in known)
     missing_in_survey = sorted(k for k in qs if k not in cited)
     assert not missing_in_registry, f"SURVEY cites unknown keys: {missing_in_registry}"
     assert not missing_in_survey, f"registry keys absent from SURVEY: {missing_in_survey}"
