@@ -927,3 +927,43 @@ def fs_link_scores(
         col = F.col(f"w_{f}")
         total = col if total is None else total + col
     return out.withColumn("llr_micro", total)
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    partition_cols: list,
+) -> DataFrame:
+    """Sweep-line concurrency per partition: the peak number of
+    simultaneously open ``[start, end)`` intervals, via the classic
+    +1/−1 delta stream and a running sum.  Half-open semantics — the
+    delta orders (t, d) ascending so an interval ending exactly where
+    another starts never overlaps it.  Deterministic despite sort ties:
+    permuting equal (t, d) rows only reorders equal increments inside a
+    monotone run, which cannot change the running-sum maximum.
+
+    Scale (100 TB): the delta stream is 2 rows per interval and sorts
+    only within its partition key (never globally); choose partition
+    columns that bound the per-key stream (e.g. a day bucket)."""
+    pts = df.select(
+        *partition_cols, F.col(start_col).alias("__t"), F.lit(1).alias("__d")
+    ).unionAll(
+        df.select(
+            *partition_cols, F.col(end_col).alias("__t"), F.lit(-1).alias("__d")
+        )
+    )
+    w = Window.partitionBy(*partition_cols).orderBy("__t", "__d")
+    return (
+        pts.withColumn(
+            "__run",
+            F.sum("__d").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(*partition_cols)
+        .agg(
+            F.sum(F.when(F.col("__d") == 1, 1).otherwise(0)).alias(
+                "n_intervals"
+            ),
+            F.max("__run").alias("max_concurrent"),
+        )
+    )

@@ -669,3 +669,125 @@ FROM agg
 
 BANK_QUERIES["docs_rater_kappa"] = docs_rater_kappa
 BANK_ORACLES["docs_rater_kappa"] = _oracle_rater_kappa()
+
+
+# ------------------------------------------------- graph + sweep-line
+
+# Spark peels to the fixed point (ConvergenceError-guarded); the
+# oracle unrolls KCORE_UNROLL rounds — enough iff the graph's peel
+# depth fits, which the canon compare verifies loudly at every SF.
+KCORE_K, KCORE_UNROLL, KCORE_MIN_W = 2, 8, 2
+
+
+def part_copurchase_kcore(spark, sf):
+    """k-core of the part co-purchase graph (parts co-ordered in >=
+    KCORE_MIN_W distinct orders): the densely co-bought assortment
+    after peeling incidental pairings (see dedup.kcore_nodes —
+    fixed-point peeling; survivors reported with in-core degree)."""
+    from faconne_spark.operators.dedup import kcore_nodes
+
+    li = (
+        T(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= KCORE_MIN_W)
+        .select("id_a", "id_b")
+    )
+    return kcore_nodes(prs, k=KCORE_K).withColumnRenamed(
+        "doc_id", "l_partkey"
+    )
+
+
+def _oracle_kcore() -> str:
+    # Every round references edges once and the previous survivor set
+    # TWICE — without MATERIALIZED, DuckDB inlines the chain and the
+    # plan doubles per round (2^UNROLL copies of the pair build, which
+    # spills the machine at sf0.1).  Materializing makes each CTE
+    # compute exactly once, mirroring Spark's per-round checkpoint.
+    ctes = [
+        f"""li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS MATERIALIZED (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_W}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges)"""
+    ]
+    prev = "a0"
+    for i in range(1, KCORE_UNROLL + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT doc_id, degree FROM (
+    SELECT e.src AS doc_id, count(*)::BIGINT AS degree
+    FROM edges e
+    JOIN {prev} s ON e.src = s.doc_id
+    JOIN {prev} t ON e.dst = t.doc_id
+    GROUP BY 1)
+  WHERE degree >= {KCORE_K})"""
+        )
+        prev = f"a{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id AS l_partkey, degree FROM a{KCORE_UNROLL}"
+    )
+
+
+BANK_QUERIES["part_copurchase_kcore"] = part_copurchase_kcore
+BANK_ORACLES["part_copurchase_kcore"] = _oracle_kcore()
+
+
+CONCUR_MINUTES = 5
+
+
+def events_day_concurrency(spark, sf):
+    """Peak concurrent activity per day, treating each event as a
+    5-minute half-open interval — the sweep-line capacity gauge (see
+    relational.interval_concurrency)."""
+    from faconne_spark.operators.relational import interval_concurrency
+
+    ev = T(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("ts").alias("s"),
+        F.expr(f"ts + INTERVAL {CONCUR_MINUTES} MINUTES").alias("e"),
+    )
+    return interval_concurrency(ev, "s", "e", ["day"])
+
+
+ORACLE_DAY_CONCURRENCY = f"""
+WITH pts AS (
+  SELECT ts::DATE AS day, ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT ts::DATE AS day, ts + INTERVAL {CONCUR_MINUTES} MINUTE AS t,
+         -1 AS d
+  FROM events),
+run AS (
+  SELECT day, d,
+         sum(d) OVER (PARTITION BY day ORDER BY t, d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+  FROM pts)
+SELECT day,
+       sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_intervals,
+       max(r)::BIGINT AS max_concurrent
+FROM run GROUP BY day
+"""
+
+BANK_QUERIES["events_day_concurrency"] = events_day_concurrency
+BANK_ORACLES["events_day_concurrency"] = ORACLE_DAY_CONCURRENCY

@@ -3005,3 +3005,37 @@ def test_cohens_kappa_matches_python(spark, rows):
         assert got["kappa"] == round(
             (n * (n11 + n00) - pe_num) / (n * n - pe_num), 6
         ) + 0.0
+
+
+@PROP
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(0, 1),  # partition key
+            st.integers(0, 20),  # start
+            st.integers(1, 8),  # duration
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_interval_concurrency_matches_bruteforce(spark, iv):
+    """Sweep-line peak concurrency equals the brute-force point-probe
+    max for ANY interval multiset, with half-open [s, e) semantics."""
+    from faconne_spark.operators.relational import interval_concurrency
+
+    df = spark.createDataFrame(
+        [(g, s, s + d) for g, s, d in iv], "g int, s long, e long"
+    )
+    got = {
+        r["g"]: (r["n_intervals"], r["max_concurrent"])
+        for r in interval_concurrency(df, "s", "e", ["g"]).collect()
+    }
+    for g in {g for g, _, _ in iv}:
+        spans = [(s, s + d) for gg, s, d in iv if gg == g]
+        peak = max(
+            sum(s <= t < e for s, e in spans)
+            for s, _ in spans
+            for t in [s]
+        )
+        assert got[g] == (len(spans), peak)
