@@ -647,3 +647,30 @@ def test_r5d_analytics_plan_shapes(spark, sf_dir):
 
     p = plan_of(dup_graph_lpa(spark, sf_dir))
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_bank_r6_plan_shapes(spark, sf_dir):
+    """The banked evaluation-stats wave keeps its scale contracts:
+    every window partitions on a bounded key (AUC/KS run over
+    distinct-score/bin histograms, never rank-sorting the raw stream);
+    every aggregation partial-combines map-side; nothing drops into
+    Python eval; the only nested-loop join is the KS grid densify over
+    the bounded (groups × bins) relation."""
+    from faconne_spark.queries.bank_r6 import BANK_QUERIES
+
+    shapes = {
+        "events_auc_purchase": "hashpartitioning(day",
+        "events_value_bootstrap": "hashpartitioning(event_type",
+        "events_ks_value_drift": "hashpartitioning(grp",
+        "docs_rater_kappa": "hashpartitioning(source",
+        "events_day_concurrency": "hashpartitioning(day",
+    }
+    for key, part in shapes.items():
+        p = plan_of(BANK_QUERIES[key](spark, sf_dir))
+        assert part in p, key
+        assert "SinglePartition" not in p, key
+        assert "partial_" in p, key
+        assert "BatchEvalPython" not in p, key
+        assert "CartesianProduct" not in p, key
+        if key != "events_ks_value_drift":
+            assert "BroadcastNestedLoopJoin" not in p, key
