@@ -873,3 +873,66 @@ def compact_snapshot(
         "output_files": manifest["n_files"],
         "input_bytes": total,
     }
+
+
+def sampled_file_names(
+    spark: SparkSession, path: str, fraction: float, salt: str = "sample"
+) -> list:
+    """The file names :func:`read_sampled_files` would keep — the
+    deterministic hash decision factored out so callers (and tests) can
+    audit the sample without reading any data."""
+    import hashlib
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(
+            f"read_sampled_files: fraction must be in (0, 1], got {fraction}"
+        )
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isFile()
+        and st.getPath().getName().endswith(".parquet")
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    thr = int(fraction * float(1 << 60))
+    return sorted(
+        n
+        for n in names
+        if int(hashlib.md5(f"{salt}:{n}".encode()).hexdigest()[:15], 16)
+        < thr
+    )
+
+
+def read_sampled_files(
+    spark: SparkSession, path: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic file-level sampled read: keep a data file iff its
+    60-bit md5(salt ‖ name) falls below fraction·2⁶⁰ — the dev-loop
+    scale pattern for iterating against a ~100 TB table: the subset is
+    STABLE across runs (same files every time, independent of listing
+    order), NESTED across fractions (the 1% sample is a subset of the
+    10% sample, because both compare the same hash to a threshold), and
+    excluded files cost nothing (pruning happens on the driver-side
+    file LIST, before any I/O or task scheduling).  ``salt`` picks an
+    independent sample family — e.g. a disjoint holdout via a second
+    salt.
+
+    File-level sampling is biased if rows were written clustered (a
+    file ≈ a partition range); use it for throughput-realistic dev
+    iteration, not for statistical estimates — that's what
+    row-level Poisson weights are for (evalstats).
+
+    Scale (100 TB): listing is file *metadata* on the driver (the
+    compaction planner's justification, sources S11); the read plans
+    only the kept files, so scan cost is proportional to the sample."""
+    kept = sampled_file_names(spark, path, fraction, salt)
+    if not kept:
+        raise ValueError(
+            f"read_sampled_files: fraction {fraction} kept none of the"
+            f" files under {path} — raise it or change the salt"
+        )
+    sep = "" if path.endswith("/") else "/"
+    return spark.read.parquet(*[f"{path}{sep}{n}" for n in kept])

@@ -677,3 +677,34 @@ def test_snapshot_expire_vacuum_and_compact(spark, sf_dir, tmp_path):
     assert rep3["removed_files"] == 17  # 16 pre-compaction files + orphan
     assert not orphan_dir.exists()
     assert read_snapshot(spark, tbl).count() == 300  # current head intact
+
+
+def test_sampled_file_read(spark, sf_dir, tmp_path):
+    """S15: the hash-sampled read is stable, nested across fractions,
+    salt-independent, and reads exactly the kept files' rows."""
+    from faconne_spark.sources import read_sampled_files, sampled_file_names
+
+    src = str(tmp_path / "many_files")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders.repartition(16).write.parquet(src)
+
+    half = sampled_file_names(spark, src, 0.5)
+    assert half == sampled_file_names(spark, src, 0.5)  # stable
+    assert 0 < len(half) < 16
+    # nested: a lower fraction is a subset of a higher one
+    assert set(sampled_file_names(spark, src, 0.2)) <= set(half)
+    assert len(sampled_file_names(spark, src, 1.0)) == 16
+    # a different salt draws an independent family
+    assert half != sampled_file_names(spark, src, 0.5, salt="holdout")
+
+    got = read_sampled_files(spark, src, 0.5)
+    direct = spark.read.parquet(*[f"{src}/{n}" for n in half])
+    assert got.count() == direct.count()
+    assert read_sampled_files(spark, src, 1.0).count() == orders.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction"):
+        read_sampled_files(spark, src, 0.0)
+    with _pytest.raises(ValueError, match="kept none"):
+        read_sampled_files(spark, src, 1e-18)
