@@ -877,3 +877,52 @@ def pairwise_diversity(emb: DataFrame, micro: int = 1_000_000) -> DataFrame:
             6,
         ).alias("mean_pairwise_cos"),
     )
+
+
+RRF_MICRO = 1_000_000_000
+
+
+def rrf_fuse(
+    rankings: list,
+    k_const: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack 2009) of retrieval rankings:
+    fused score = Σ_lists 1/(k + rank) — the standard way to combine a
+    cheap probe ranking with an exact one (or lexical with dense)
+    without calibrating their score scales against each other.
+
+    Each input carries (q_id, vec_id, rk).  Per-list contributions are
+    fixed-pointed to RRF_MICRO units BEFORE summing, so the fused score
+    is an order-independent integer sum (float addition order across ≥3
+    lists would otherwise be partition-dependent) and the re-rank is
+    deterministic (score desc, vec_id asc).
+
+    Scale (100 TB): input rankings are already top-pool-sized (queries
+    × pool, ≪ corpus); the fuse is one groupBy plus one window over
+    that bounded relation."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = rankings[0].select("q_id", "vec_id", "rk")
+    for r in rankings[1:]:
+        tagged = tagged.unionByName(r.select("q_id", "vec_id", "rk"))
+    scored = tagged.groupBy("q_id", "vec_id").agg(
+        F.sum(
+            F.expr(
+                f"cast(round({RRF_MICRO} / ({k_const} + rk)) as bigint)"
+            )
+        ).alias("__sm"),
+        F.count("*").alias("n_lists"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("__sm"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rrf_rank", F.row_number().over(w))
+        .filter(F.col("rrf_rank") <= top_k)
+        .select(
+            "q_id",
+            "vec_id",
+            "n_lists",
+            F.round(F.col("__sm") / float(RRF_MICRO), 6).alias("rrf_score"),
+            "rrf_rank",
+        )
+    )

@@ -791,3 +791,75 @@ FROM run GROUP BY day
 
 BANK_QUERIES["events_day_concurrency"] = events_day_concurrency
 BANK_ORACLES["events_day_concurrency"] = ORACLE_DAY_CONCURRENCY
+
+
+# ------------------------------------------------- rank fusion
+
+RRF_POOL, RRF_TOPK, RRF_KCONST, RRF_PREFIX = 20, 10, 60, 16
+
+
+def ann_rrf_fusion(spark, sf):
+    """Reciprocal-rank fusion of the exact full-dimension cosine
+    ranking with a 16-dim Matryoshka-prefix probe ranking — the
+    coarse+fine retrieval combiner that needs no score calibration
+    (see similarity.rrf_fuse; integer micro-score sum)."""
+    from faconne_spark.operators.similarity import cosine_topk, rrf_fuse
+    from faconne_spark.queries.pipeline import ANN_NQ
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    full = cosine_topk(emb, queries, RRF_POOL)
+    pre = cosine_topk(
+        emb.select(
+            "vec_id", F.expr(f"slice(embedding, 1, {RRF_PREFIX})").alias("embedding")
+        ),
+        queries.select(
+            "vec_id", F.expr(f"slice(embedding, 1, {RRF_PREFIX})").alias("embedding")
+        ),
+        RRF_POOL,
+    )
+    return rrf_fuse([full, pre], RRF_KCONST, RRF_TOPK)
+
+
+def _oracle_rrf() -> str:
+    from faconne_spark.functions import cosine_sim
+    from faconne_spark.operators.similarity import RRF_MICRO
+    from faconne_spark.queries.pipeline import ANN_NQ
+
+    def rank_cte(a, b):
+        cs = cosine_sim(a, b, "duckdb")
+        return f"""(
+  SELECT q_id, vec_id, rk FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cs}, 6) DESC, c.vec_id) AS rk
+    FROM embeddings c
+    JOIN embeddings q ON q.vec_id < {ANN_NQ} AND c.vec_id != q.vec_id)
+  WHERE rk <= {RRF_POOL})"""
+
+    full = rank_cte("c.embedding", "q.embedding")
+    pre = rank_cte(
+        f"c.embedding[1:{RRF_PREFIX}]", f"q.embedding[1:{RRF_PREFIX}]"
+    )
+    return f"""
+WITH full_rk AS {full},
+pre_rk AS {pre},
+uni AS (SELECT * FROM full_rk UNION ALL SELECT * FROM pre_rk),
+sc AS (
+  SELECT q_id, vec_id,
+         sum(cast(round({RRF_MICRO} / ({RRF_KCONST} + rk)) AS BIGINT))::BIGINT
+           AS sm,
+         count(*)::BIGINT AS n_lists
+  FROM uni GROUP BY 1, 2)
+SELECT q_id, vec_id, n_lists,
+       round(sm / {float(RRF_MICRO)!r}, 6) AS rrf_score, rrf_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+    ORDER BY sm DESC, vec_id) AS rrf_rank
+  FROM sc)
+WHERE rrf_rank <= {RRF_TOPK}
+"""
+
+
+BANK_QUERIES["ann_rrf_fusion"] = ann_rrf_fusion
+BANK_ORACLES["ann_rrf_fusion"] = _oracle_rrf()

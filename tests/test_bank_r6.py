@@ -14,7 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from faconne_spark.queries.bank_r6 import BANK_ORACLES, BANK_QUERIES
 
-TABLES = ["events", "orders", "customer", "lineitem", "part", "documents"]
+TABLES = [
+    "events", "orders", "customer", "lineitem", "part", "documents",
+    "embeddings",
+]
 
 
 @pytest.fixture(scope="module")

@@ -3039,3 +3039,44 @@ def test_interval_concurrency_matches_bruteforce(spark, iv):
             for t in [s]
         )
         assert got[g] == (len(spans), peak)
+
+
+@PROP
+@given(
+    ids=st.lists(
+        st.integers(0, 30), min_size=1, max_size=12, unique=True
+    ),
+    split=st.integers(0, 11),
+    top_k=st.integers(1, 6),
+)
+def test_rrf_fuse_matches_python_replay(spark, ids, split, top_k):
+    """Fused micro-score, list counts, and the (score desc, id asc)
+    re-rank all match a plain-Python replay, for rankings with partial
+    candidate overlap."""
+    from faconne_spark.operators.similarity import RRF_MICRO, rrf_fuse
+
+    la = ids  # ranking A: given order
+    lb = sorted(ids[min(split, len(ids)) :])  # ranking B: suffix, resorted
+    dfa = spark.createDataFrame(
+        [(1, v, i + 1) for i, v in enumerate(la)],
+        "q_id long, vec_id long, rk long",
+    )
+    dfb = spark.createDataFrame(
+        [(1, v, i + 1) for i, v in enumerate(lb)],
+        "q_id long, vec_id long, rk long",
+    ) if lb else spark.createDataFrame([], "q_id long, vec_id long, rk long")
+    got = {
+        r["vec_id"]: (r["n_lists"], r["rrf_score"], r["rrf_rank"])
+        for r in rrf_fuse([dfa, dfb], 60, top_k).collect()
+    }
+    sm, nl = {}, {}
+    for lst in (la, lb):
+        for i, v in enumerate(lst):
+            sm[v] = sm.get(v, 0) + round(RRF_MICRO / (60 + i + 1))
+            nl[v] = nl.get(v, 0) + 1
+    order = sorted(sm, key=lambda v: (-sm[v], v))[:top_k]
+    want = {
+        v: (nl[v], round(sm[v] / RRF_MICRO, 6), i + 1)
+        for i, v in enumerate(order)
+    }
+    assert got == want
