@@ -48,7 +48,11 @@ def auc_mann_whitney(
     Scale (100 TB): one map-side-combined groupBy to (group, score),
     then a window over the distinct-score relation only — the raw
     stream is never rank-sorted.  For a score column with unbounded
-    cardinality, quantize first (the histogram IS the ECDF)."""
+    cardinality, quantize first (the histogram IS the ECDF).  The
+    histogram is also what makes AUC MERGEABLE: shards/epochs add
+    their (group, score, pos, neg) counts, then
+    :func:`auc_from_histogram` reads the exact statistic off the
+    merged relation (the streaming face lives in streaming/stats)."""
     hist = (
         df.select(
             *group_cols,
@@ -61,6 +65,25 @@ def auc_mann_whitney(
             F.sum(F.lit(1) - F.col("__y")).alias("neg"),
         )
     )
+    return auc_from_histogram(hist, group_cols, "__s")
+
+
+def auc_from_histogram(
+    hist: DataFrame,
+    group_cols: list,
+    score_col: str,
+    pos_col: str = "pos",
+    neg_col: str = "neg",
+) -> DataFrame:
+    """The AUC window+aggregate over an already-built per-(group,
+    score) pos/neg histogram — shared by the batch operator and the
+    merged streaming state so both faces are ONE implementation."""
+    if (pos_col, neg_col) != ("pos", "neg"):
+        hist = hist.withColumnRenamed(pos_col, "pos").withColumnRenamed(
+            neg_col, "neg"
+        )
+    if score_col != "__s":
+        hist = hist.withColumnRenamed(score_col, "__s")
     w = Window.partitionBy(*group_cols).orderBy("__s")
     cum_neg_lt = F.coalesce(
         F.sum("neg").over(w.rowsBetween(Window.unboundedPreceding, -1)),

@@ -624,3 +624,77 @@ def kmv_sketch_from_state(
             f" with k {ks}, read with {k}"
         )
     return kmv_from_hashes(raw.select("grp", "h"), k)
+
+
+# --------------------------------------------------- AUC state
+
+AUC_BINS = "auc_bins"
+
+
+def auc_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    label_sql: str,
+    bounds: tuple,
+    key: str = "event_type",
+    score_col: str = "value",
+    n_bins: int = 64,
+):
+    """Reduce one micro-batch to the mergeable AUC state: per-(key,
+    score-bin) positive/negative counts.  The histogram formulation is
+    what makes Mann–Whitney AUC mergeable at all — bins add across
+    epochs/shards, and the exact statistic is read off the merged
+    relation (evalstats.auc_from_histogram, the SAME code as batch).
+
+    Scores are binned over CALLER-PINNED ``bounds`` (the
+    value_stats_epoch contract: a per-epoch bin space cannot merge;
+    out-of-range scores clamp to the edge bins).  The streaming AUC
+    therefore equals the batch AUC computed on the binned score — the
+    bin grid is the stream's score resolution.  Same epoch-partitioned
+    dynamic-overwrite idempotency contract as the other states."""
+    from faconne_spark.operators.relational import bounds_us
+
+    lo, hi = bounds_us(bounds, "auc_epoch")
+    us = f"cast(floor({score_col} * 1000000 + 0.5) as bigint)"
+    # identical integer bin arithmetic to value_stats_epoch: clamp in
+    # BIGINT, cast to int LAST (ANSI overflow on sensor glitches)
+    bin_expr = (
+        f"cast(least(greatest((({us}) - {lo}) * {n_bins}"
+        f" div ({hi} - {lo} + 1), 0), {n_bins - 1}) as int)"
+    )
+    hist = (
+        batch_df.withColumn("_bin", F.expr(bin_expr))
+        .withColumn(
+            "_y", F.expr(f"case when {label_sql} then 1 else 0 end")
+        )
+        .groupBy(key, "_bin")
+        .agg(
+            F.sum("_y").alias("pos"),
+            F.sum(F.expr("1 - _y")).alias("neg"),
+        )
+    )
+    (
+        hist.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(os.path.join(state_dir, AUC_BINS))
+    )
+
+
+def auc_from_state(
+    spark: SparkSession, state_dir: str, key: str = "event_type"
+) -> DataFrame:
+    """Exact Mann–Whitney AUC over the merged cross-epoch score-bin
+    histogram — bit-equal to the batch evalstats.auc_mann_whitney on
+    the union of all micro-batches with the same binned score (the one
+    shared auc_from_histogram implementation guarantees it)."""
+    from faconne_spark.operators.evalstats import auc_from_histogram
+
+    merged = (
+        _state(spark, state_dir, AUC_BINS)
+        .groupBy(key, "_bin")
+        .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+    )
+    return auc_from_histogram(merged, [key], "_bin")

@@ -1249,3 +1249,91 @@ def test_kmv_state_bit_equal_to_batch(spark, tmp_path):
     assert {g: r["hs"] for g, r in again.items()} == {
         g: r["hs"] for g, r in got.items()
     }
+
+
+def test_streaming_auc_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming AUC state: after two micro-batches through
+    foreachBatch, the merged score-bin histogram yields EXACTLY the
+    batch Mann-Whitney AUC on the same binned score — the mergeable-
+    histogram contract through the one shared auc_from_histogram
+    implementation.  Replaying an epoch leaves the state unchanged."""
+    from faconne_spark.operators.evalstats import auc_mann_whitney
+    from faconne_spark.streaming.stats import auc_epoch, auc_from_state
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).limit(600)
+    src = str(tmp_path / "auc_events")
+    half = ev.withColumn("_h", F.expr("abs(hash(event_type, value)) % 2"))
+    half.filter("_h = 0").drop("_h").coalesce(1).write.parquet(src)
+    half.filter("_h = 1").drop("_h").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    bounds = (0.0, 500.0)
+    state = str(tmp_path / "auc_state")
+    label = "value > 50"
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: auc_epoch(b, e, state, label, bounds, n_bins=32)
+        )
+        .option("checkpointLocation", str(tmp_path / "auc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        r["event_type"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in auc_from_state(spark, state).collect()
+    }
+
+    full = spark.read.parquet(src)
+    lo, hi, nb = 0, 500_000_000, 32
+    binned = full.withColumn(
+        "_bin",
+        F.expr(
+            f"cast(least(greatest((cast(floor(value * 1000000 + 0.5) as"
+            f" bigint) - {lo}) * {nb} div ({hi} - {lo} + 1), 0),"
+            f" {nb - 1}) as int)"
+        ),
+    )
+    want = {
+        r["event_type"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in auc_mann_whitney(
+            binned, F.expr(label), "_bin", ["event_type"]
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_auc_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-delivering a micro-batch under its original epoch id (the
+    foreachBatch at-least-once case) leaves the merged AUC state
+    bit-identical — the dynamic epoch-partition overwrite contract."""
+    from faconne_spark.streaming.stats import auc_epoch, auc_from_state
+
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    b0 = ev.filter("value < 50")
+    b1 = ev.filter("value >= 50")
+    state = str(tmp_path / "auc_replay_state")
+    bounds = (0.0, 500.0)
+    auc_epoch(b0, 0, state, "value > 30", bounds, n_bins=16)
+    auc_epoch(b1, 1, state, "value > 30", bounds, n_bins=16)
+    before = {
+        r["event_type"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in auc_from_state(spark, state).collect()
+    }
+    auc_epoch(b1, 1, state, "value > 30", bounds, n_bins=16)  # redeliver
+    after = {
+        r["event_type"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in auc_from_state(spark, state).collect()
+    }
+    assert before == after and before
