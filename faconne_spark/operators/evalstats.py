@@ -327,3 +327,86 @@ def cohens_kappa(
             + 0.0,
         ).alias("kappa"),
     )
+
+
+# P(first digit = d) = log10(1 + 1/d), fixed-pointed to micro units;
+# the nine literals sum to exactly 1_000_000, so expected counts are
+# an exact integer partition of n·10⁶.
+BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_case_sql(digit_expr: str) -> str:
+    """CASE ladder for the Benford micro-probabilities — plain SQL
+    valid verbatim in both engines."""
+    arms = " ".join(
+        f"WHEN {digit_expr} = {d} THEN {p}"
+        for d, p in BENFORD_MICRO.items()
+    )
+    return f"(CASE {arms} END)"
+
+
+def benford_deviation(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """First-significant-digit deviation from Benford's law per group —
+    the classic fabricated/degenerate-numbers screen for a numeric
+    column.  Values are fixed-pointed to integer cents, the leading
+    digit read off the decimal length (identical integer/string ops in
+    both engines), and the mean absolute deviation kept as the exact
+    integer Σ_d |obs_d·10⁶ − p_d^micro·n| until the single final
+    division.  The worst digit maximizes a UNIQUE ordering value
+    (dev·16 − digit), so ties break to the smaller digit
+    deterministically.  Non-positive cents are excluded (no leading
+    digit), reported via n vs the caller's row count.
+
+    Scale (100 TB): one map-side-combined groupBy to (group, digit);
+    every window/aggregate after that runs over the ≤ 9-row-per-group
+    grid."""
+    cents = f"cast(round({value_col} * 100) as bigint)"
+    base = (
+        df.select(F.col(group_col).alias("grp"), F.expr(cents).alias("c"))
+        .filter(F.col("c") >= 1)
+        .select(
+            "grp",
+            F.expr(
+                "cast(floor(c / pow(10, length(cast(c as string)) - 1))"
+                " as int)"
+            ).alias("digit"),
+        )
+    )
+    obs = base.groupBy("grp", "digit").agg(F.count("*").alias("n_d"))
+    grid = obs.select("grp").distinct().crossJoin(
+        df.sparkSession.range(1, 10).select(
+            F.col("id").cast("int").alias("digit")
+        )
+    )
+    cells = (
+        grid.join(obs, ["grp", "digit"], "left")
+        .select(
+            "grp", "digit", F.coalesce("n_d", F.lit(0)).alias("n_d")
+        )
+        .withColumn("n", F.sum("n_d").over(Window.partitionBy("grp")))
+        .withColumn(
+            "dev",
+            F.abs(
+                F.col("n_d") * 1_000_000
+                - F.expr(benford_case_sql("digit")) * F.col("n")
+            ),
+        )
+    )
+    return (
+        cells.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(F.col("n_d") > 0, 1).otherwise(0)).alias(
+                "n_digits_seen"
+            ),
+            F.expr("max_by(digit, dev * 16 - digit)").alias("worst_digit"),
+            F.round(
+                F.sum("dev") / (F.lit(9_000_000.0) * F.max("n")), 6
+            ).alias("benford_mad"),
+        )
+    )

@@ -863,3 +863,56 @@ WHERE rrf_rank <= {RRF_TOPK}
 
 BANK_QUERIES["ann_rrf_fusion"] = ann_rrf_fusion
 BANK_ORACLES["ann_rrf_fusion"] = _oracle_rrf()
+
+
+# ------------------------------------------------- Benford screen
+
+def events_benford(spark, sf):
+    """First-digit Benford deviation of event values per type — the
+    fabricated/degenerate-numbers screen (see
+    evalstats.benford_deviation; exact-integer deviations, worst digit
+    by unique ordering value)."""
+    from faconne_spark.operators.evalstats import benford_deviation
+
+    return benford_deviation(T(spark, sf, "events"), "event_type", "value")
+
+
+def _oracle_benford() -> str:
+    from faconne_spark.operators.evalstats import benford_case_sql
+
+    case = benford_case_sql("digit")
+    return f"""
+WITH base AS (
+  SELECT event_type AS grp, cast(round(value * 100) AS BIGINT) AS c
+  FROM events),
+digits AS (
+  SELECT grp,
+         cast(floor(c / pow(10, length(cast(c AS VARCHAR)) - 1)) AS INT)
+           AS digit
+  FROM base WHERE c >= 1),
+obs AS (SELECT grp, digit, count(*)::BIGINT AS n_d FROM digits GROUP BY 1, 2),
+grid AS (
+  SELECT g.grp, d.digit
+  FROM (SELECT DISTINCT grp FROM obs) g
+  CROSS JOIN (SELECT unnest(range(1, 10))::INT AS digit) d),
+cells AS (
+  SELECT grid.grp, grid.digit, coalesce(n_d, 0) AS n_d
+  FROM grid LEFT JOIN obs
+    ON obs.grp = grid.grp AND obs.digit = grid.digit),
+wn AS (
+  SELECT grp, digit, n_d, sum(n_d) OVER (PARTITION BY grp) AS n
+  FROM cells),
+dv AS (
+  SELECT grp, digit, n_d, n,
+         abs(n_d * 1000000 - {case} * n) AS dev
+  FROM wn)
+SELECT grp AS event_type, max(n)::BIGINT AS n,
+       sum(CASE WHEN n_d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_digits_seen,
+       arg_max(digit, dev * 16 - digit) AS worst_digit,
+       round(sum(dev) / (9000000.0 * max(n)), 6) AS benford_mad
+FROM dv GROUP BY grp
+"""
+
+
+BANK_QUERIES["events_benford"] = events_benford
+BANK_ORACLES["events_benford"] = _oracle_benford()

@@ -3080,3 +3080,49 @@ def test_rrf_fuse_matches_python_replay(spark, ids, split, top_k):
         for i, v in enumerate(order)
     }
     assert got == want
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.floats(0.01, 5000, allow_nan=False).map(
+                lambda v: round(v, 2)
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_benford_matches_python_replay(spark, vals):
+    """Digit extraction, missing-digit densify, exact deviation sum,
+    and the worst-digit tie rule all match a plain-Python replay."""
+    from faconne_spark.operators.evalstats import (
+        BENFORD_MICRO,
+        benford_deviation,
+    )
+
+    df = spark.createDataFrame(vals, "grp string, v double")
+    got = {
+        r["grp"]: (
+            r["n"], r["n_digits_seen"], r["worst_digit"], r["benford_mad"]
+        )
+        for r in benford_deviation(df, "grp", "v").collect()
+    }
+    for g in {g for g, _ in vals}:
+        cs = [int(round(v * 100)) for gg, v in vals if gg == g]
+        digs = [int(str(c)[0]) for c in cs if c >= 1]
+        n = len(digs)
+        cnt = {d: digs.count(d) for d in range(1, 10)}
+        dev = {
+            d: abs(cnt[d] * 1_000_000 - BENFORD_MICRO[d] * n)
+            for d in range(1, 10)
+        }
+        worst = max(range(1, 10), key=lambda d: dev[d] * 16 - d)
+        assert got[g] == (
+            n,
+            sum(1 for d in cnt.values() if d > 0),
+            worst,
+            round(sum(dev.values()) / (9_000_000.0 * n), 6),
+        )

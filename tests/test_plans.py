@@ -664,6 +664,7 @@ def test_bank_r6_plan_shapes(spark, sf_dir):
         "events_ks_value_drift": "hashpartitioning(grp",
         "docs_rater_kappa": "hashpartitioning(source",
         "events_day_concurrency": "hashpartitioning(day",
+        "events_benford": "hashpartitioning(grp",
     }
     for key, part in shapes.items():
         p = plan_of(BANK_QUERIES[key](spark, sf_dir))
@@ -672,5 +673,6 @@ def test_bank_r6_plan_shapes(spark, sf_dir):
         assert "partial_" in p, key
         assert "BatchEvalPython" not in p, key
         assert "CartesianProduct" not in p, key
-        if key != "events_ks_value_drift":
+        if key not in ("events_ks_value_drift", "events_benford"):
+            # those two densify a bounded grid (groups × bins/digits)
             assert "BroadcastNestedLoopJoin" not in p, key
