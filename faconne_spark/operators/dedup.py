@@ -1442,3 +1442,85 @@ def kcore_nodes(
         f"kcore_nodes: no fixed point after {max_iter} rounds"
         f" ({n_edges} edges remain)"
     )
+
+
+RA_MICRO = 1_000_000
+
+
+def ra_link_prediction(
+    pairs: DataFrame, top_k: int = 3
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou 2009) over the
+    (undirected) pair graph: for each non-adjacent pair sharing a
+    neighbor, score = Σ_w 1/deg(w) over common neighbors w — the
+    strongest of the simple common-neighbor indices and, unlike
+    Adamic–Adar, free of a per-row logarithm (whose last-ulp value
+    differs between libms — an engine-portability hazard this operator
+    avoids by design).  Contributions are fixed-pointed to RA_MICRO
+    integer units so the score sum is order-independent; the per-node
+    top-k re-rank breaks ties by the candidate id.
+
+    Returns (id_a, id_b, n_common, ra_score, rk) with id_a < id_b and
+    both directions ranked (a pair can appear in a's list and b's).
+
+    Scale (100 TB): the wedge join is keyed on the shared-neighbor
+    node (cost Σ deg(w)² — the triangle-counting bound, fine on
+    pair graphs whose degrees LSH banding already capped); the direct-
+    edge exclusion is one anti-join on the pair key; the re-rank
+    windows over the candidate relation partitioned by node."""
+    from pyspark.sql import Window
+
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = _persist_sig(
+        fwd.union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        ),
+        pairs,
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    wedge = (
+        edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
+        .join(
+            edges.select(F.col("src").alias("w"), F.col("dst").alias("b")),
+            "w",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("src").alias("w"), "deg"), "w")
+    )
+    cand = (
+        wedge.groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(
+                F.expr(f"cast(round({RA_MICRO}.0 / deg) as bigint)")
+            ).alias("__sm"),
+        )
+        .join(
+            pairs.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            ),
+            ["id_a", "id_b"],
+            "left_anti",
+        )
+    )
+    both = cand.unionByName(
+        cand.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "n_common",
+            "__sm",
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("__sm"), F.asc("id_b")
+    )
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "id_a", "id_b", "n_common",
+            F.round(F.col("__sm") / float(RA_MICRO), 6).alias("ra_score"),
+            "rk",
+        )
+    )

@@ -916,3 +916,86 @@ FROM dv GROUP BY grp
 
 BANK_QUERIES["events_benford"] = events_benford
 BANK_ORACLES["events_benford"] = _oracle_benford()
+
+
+# ------------------------------------------------- link prediction
+
+RA_TOPK = 3
+
+
+def part_copurchase_ra(spark, sf):
+    """Resource-allocation link prediction over the part co-purchase
+    graph: which not-yet-co-bought part pairs share the most (and
+    rarest) co-purchase neighbors — the recommendation face of the
+    same graph part_copurchase_kcore peels (see
+    dedup.ra_link_prediction; integer micro-weights, no per-row log)."""
+    from faconne_spark.operators.dedup import ra_link_prediction
+
+    li = (
+        T(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= KCORE_MIN_W)
+        .select("id_a", "id_b")
+    )
+    return ra_link_prediction(prs, RA_TOPK)
+
+
+def _oracle_ra() -> str:
+    from faconne_spark.operators.dedup import RA_MICRO
+
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS MATERIALIZED (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_W}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs),
+deg AS MATERIALIZED (
+  SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+wedge AS (
+  SELECT e1.src AS w, e1.dst AS a, e2.dst AS b
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.src AND e1.dst < e2.dst),
+cand AS (
+  SELECT a AS id_a, b AS id_b, count(*)::BIGINT AS n_common,
+         sum(cast(round({RA_MICRO}.0 / d.deg) AS BIGINT))::BIGINT AS sm
+  FROM wedge JOIN deg d ON d.src = wedge.w
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT c.id_a, c.id_b, c.n_common, c.sm
+  FROM cand c ANTI JOIN prs p
+    ON p.id_a = c.id_a AND p.id_b = c.id_b),
+bothdir AS (
+  SELECT id_a, id_b, n_common, sm FROM nonadj
+  UNION ALL
+  SELECT id_b, id_a, n_common, sm FROM nonadj)
+SELECT id_a, id_b, n_common,
+       round(sm / {float(RA_MICRO)!r}, 6) AS ra_score, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+    ORDER BY sm DESC, id_b) AS rk
+  FROM bothdir)
+WHERE rk <= {RA_TOPK}
+"""
+
+
+BANK_QUERIES["part_copurchase_ra"] = part_copurchase_ra
+BANK_ORACLES["part_copurchase_ra"] = _oracle_ra()

@@ -3126,3 +3126,61 @@ def test_benford_matches_python_replay(spark, vals):
             worst,
             round(sum(dev.values()) / (9_000_000.0 * n), 6),
         )
+
+
+@PROP
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)).filter(
+            lambda p: p[0] < p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    top_k=st.integers(1, 4),
+)
+def test_ra_link_prediction_matches_python(spark, pairs, top_k):
+    """Candidate set (non-adjacent, >=1 common neighbor), micro-unit
+    RA scores, and the per-node top-k tie rule all match a
+    plain-Python replay for ANY graph."""
+    from faconne_spark.operators.dedup import (
+        RA_MICRO,
+        ra_link_prediction,
+        release_caches,
+    )
+
+    df = spark.createDataFrame(
+        sorted(pairs), "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["ra_score"], r["rk"])
+        for r in ra_link_prediction(df, top_k).collect()
+    }
+    release_caches()
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    cand = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a < b and b not in nbrs[a]:
+                common = nbrs[a] & nbrs[b]
+                if common:
+                    sm = sum(
+                        round(RA_MICRO / len(nbrs[w])) for w in common
+                    )
+                    cand[(a, b)] = (len(common), sm)
+    want = {}
+    for src in nbrs:
+        ranked = sorted(
+            (
+                (-sm, other, nc)
+                for (a, b), (nc, sm) in cand.items()
+                for other in [b if a == src else a]
+                if src in (a, b)
+            ),
+        )[:top_k]
+        for i, (negsm, other, nc) in enumerate(ranked):
+            want[(src, other)] = (nc, round(-negsm / RA_MICRO, 6), i + 1)
+    assert got == want
