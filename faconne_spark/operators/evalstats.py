@@ -220,14 +220,30 @@ def ks_drift(
     the single final division.
 
     The grid is densified (groups × observed bins) so a bin that one
-    side skips still advances the other side's ECDF."""
+    side skips still advances the other side's ECDF.  The (group, bin)
+    histogram is also the MERGEABLE state: shards/epochs add their
+    counts, then :func:`ks_from_binned` reads the identical statistic
+    off the merged relation (streaming face in streaming/stats)."""
     binned = df.select(
         F.col(group_col).alias("grp"),
-        F.expr(
-            f"least(greatest(cast(floor(({value_col} - {lo!r}) /"
-            f" {width!r}) as int), 0), {n_bins - 1})"
-        ).alias("bin"),
+        F.expr(ks_bin_sql(value_col, lo, width, n_bins)).alias("bin"),
     ).groupBy("grp", "bin").agg(F.count("*").alias("n_gb"))
+    return ks_from_binned(binned).withColumnRenamed("grp", group_col)
+
+
+def ks_bin_sql(value_col: str, lo: float, width: float, n_bins: int) -> str:
+    """The KS bin expression — shared by the batch operator and the
+    streaming epoch state so the grids can never drift."""
+    return (
+        f"least(greatest(cast(floor(({value_col} - {lo!r}) /"
+        f" {width!r}) as int), 0), {n_bins - 1})"
+    )
+
+
+def ks_from_binned(binned: DataFrame) -> DataFrame:
+    """The densify + cumulative + max-gap stages over an already-built
+    (grp, bin, n_gb) histogram — ONE implementation for batch and the
+    merged streaming state."""
     grid = (
         binned.select("grp")
         .distinct()
@@ -277,7 +293,6 @@ def ks_drift(
             ),
         )
         .drop("__dnum")
-        .withColumnRenamed("grp", group_col)
     )
 
 

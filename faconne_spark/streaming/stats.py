@@ -698,3 +698,60 @@ def auc_from_state(
         .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
     )
     return auc_from_histogram(merged, [key], "_bin")
+
+
+# ---------------------------------------------------- KS state
+
+KS_BINS_STATE = "ks_bins"
+
+
+def ks_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+    key: str = "event_type",
+    value_col: str = "value",
+):
+    """Reduce one micro-batch to the mergeable KS state: per-(key,
+    bin) counts on the SAME grid expression as the batch operator
+    (evalstats.ks_bin_sql — shared so the grids can never drift).
+    Because the batch statistic is already binned, the streaming KS
+    equals the batch KS on the union of micro-batches EXACTLY — not
+    just up to a binning convention.  Same epoch-partitioned
+    dynamic-overwrite idempotency contract as the other states."""
+    from faconne_spark.operators.evalstats import ks_bin_sql
+
+    hist = (
+        batch_df.select(
+            F.col(key).alias("grp"),
+            F.expr(ks_bin_sql(value_col, lo, width, n_bins)).alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("n_gb"))
+    )
+    (
+        hist.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(os.path.join(state_dir, KS_BINS_STATE))
+    )
+
+
+def ks_from_state(
+    spark: SparkSession, state_dir: str, key: str = "event_type"
+) -> DataFrame:
+    """One-vs-rest KS drift off the merged cross-epoch bin histogram —
+    bit-equal to batch evalstats.ks_drift over the union of all
+    micro-batches (the one shared ks_from_binned implementation)."""
+    from faconne_spark.operators.evalstats import ks_from_binned
+
+    merged = (
+        _state(spark, state_dir, KS_BINS_STATE)
+        .groupBy("grp", "bin")
+        .agg(F.sum("n_gb").alias("n_gb"))
+    )
+    return ks_from_binned(merged).withColumnRenamed("grp", key)

@@ -665,6 +665,8 @@ def test_bank_r6_plan_shapes(spark, sf_dir):
         "docs_rater_kappa": "hashpartitioning(source",
         "events_day_concurrency": "hashpartitioning(day",
         "events_benford": "hashpartitioning(grp",
+        "ann_rrf_fusion": "hashpartitioning(q_id",
+        "part_copurchase_ra": "hashpartitioning(id_a",
     }
     for key, part in shapes.items():
         p = plan_of(BANK_QUERIES[key](spark, sf_dir))
@@ -673,6 +675,10 @@ def test_bank_r6_plan_shapes(spark, sf_dir):
         assert "partial_" in p, key
         assert "BatchEvalPython" not in p, key
         assert "CartesianProduct" not in p, key
-        if key not in ("events_ks_value_drift", "events_benford"):
-            # those two densify a bounded grid (groups × bins/digits)
+        if key not in (
+            "events_ks_value_drift",  # bounded (groups × bins) grid
+            "events_benford",  # bounded (groups × 9 digits) grid
+            "ann_rrf_fusion",  # broadcast query fan-out (by design:
+            #                    queries broadcast, corpus never shuffles)
+        ):
             assert "BroadcastNestedLoopJoin" not in p, key

@@ -1337,3 +1337,51 @@ def test_auc_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in auc_from_state(spark, state).collect()
     }
     assert before == after and before
+
+
+def test_streaming_ks_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming KS state: the merged cross-epoch bin histogram yields
+    BIT-EXACTLY the batch ks_drift on the union of micro-batches — the
+    shared bin expression and shared ks_from_binned make stream and
+    batch one implementation."""
+    from faconne_spark.operators.evalstats import ks_drift
+    from faconne_spark.streaming.stats import ks_epoch, ks_from_state
+
+    ev = T(spark, sf_dir, "events").select("event_type", "value").limit(600)
+    src = str(tmp_path / "ks_events")
+    half = ev.withColumn("_h", F.expr("abs(hash(event_type, value)) % 2"))
+    half.filter("_h = 0").drop("_h").coalesce(1).write.parquet(src)
+    half.filter("_h = 1").drop("_h").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    state = str(tmp_path / "ks_state")
+    lo, width, nb = 0.0, 8.0, 32
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: ks_epoch(b, e, state, lo, width, nb)
+        )
+        .option("checkpointLocation", str(tmp_path / "ks_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        r["event_type"]: (r["n_in"], r["n_out"], r["ks_d"])
+        for r in ks_from_state(spark, state).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_in"], r["n_out"], r["ks_d"])
+        for r in ks_drift(
+            spark.read.parquet(src), "event_type", "value", lo, width, nb
+        ).collect()
+    }
+    assert got == want and got
