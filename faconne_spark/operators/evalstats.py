@@ -425,3 +425,74 @@ def benford_deviation(
             ).alias("benford_mad"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Quantile normalization of per-group score distributions onto the
+    POOLED distribution — the batch-effect correction that makes
+    quality scores comparable across sources whose scorers drift
+    (bin b of group g maps to the smallest pooled bin whose cumulative
+    fraction reaches g's cumulative fraction at b).
+
+    Everything happens on the fixed bin grid (the ks_drift contract:
+    grid resolution = correction resolution), and the cumulative-
+    fraction comparison is the cross-multiplied integer
+    cum_pool·n_group ≥ cum_group·n_pool — no float ECDFs to diverge.
+    Returns per (group, bin): count, the mapped pooled bin, and the
+    mapped bin's midpoint value (the corrected score).
+
+    Scale (100 TB): one map-side-combined groupBy to (group, bin);
+    the mapping join is over the bounded (groups × bins) × bins grid
+    relation, never the data."""
+    binned = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(ks_bin_sql(value_col, lo, width, n_bins)).alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("n_gb"))
+    )
+    wg = Window.partitionBy("grp").orderBy("bin")
+    cells = binned.select(
+        "grp",
+        "bin",
+        "n_gb",
+        F.sum("n_gb").over(wg.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_g"),
+        F.sum("n_gb").over(Window.partitionBy("grp")).alias("n_g"),
+    )
+    pooled = binned.groupBy("bin").agg(F.sum("n_gb").alias("n_pb"))
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pool = pooled.select(
+        F.col("bin").alias("pbin"),
+        F.sum("n_pb").over(wp).alias("cum_p"),
+        F.sum("n_pb").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_p"),
+    )
+    mapped = (
+        cells.join(
+            pool,
+            F.col("cum_p") * F.col("n_g") >= F.col("cum_g") * F.col("n_p"),
+        )
+        .groupBy("grp", "bin", "n_gb", "cum_g", "n_g")
+        .agg(F.min("pbin").alias("mapped_bin"))
+    )
+    return mapped.select(
+        F.col("grp").alias(group_col),
+        "bin",
+        F.col("n_gb").alias("n"),
+        "mapped_bin",
+        F.round(
+            F.lit(lo) + (F.col("mapped_bin") + 0.5) * F.lit(width), 6
+        ).alias("mapped_value"),
+    )

@@ -999,3 +999,52 @@ WHERE rk <= {RA_TOPK}
 
 BANK_QUERIES["part_copurchase_ra"] = part_copurchase_ra
 BANK_ORACLES["part_copurchase_ra"] = _oracle_ra()
+
+
+# ------------------------------------------- quantile normalization
+
+def events_quantile_normalize(spark, sf):
+    """Quantile-normalize each event type's value distribution onto
+    the pooled distribution (the cross-source score-calibration step;
+    see evalstats.quantile_normalize — integer cross-multiplied ECDF
+    comparison on the KS grid)."""
+    from faconne_spark.operators.evalstats import quantile_normalize
+
+    return quantile_normalize(
+        T(spark, sf, "events"), "event_type", "value",
+        KS_LO, KS_WIDTH, KS_BINS,
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = f"""
+WITH binned AS (
+  SELECT event_type AS grp,
+         least(greatest(cast(floor((value - {KS_LO!r}) / {KS_WIDTH!r})
+           AS INT), 0), {KS_BINS - 1}) AS bin,
+         count(*)::BIGINT AS n_gb
+  FROM events GROUP BY 1, 2),
+cells AS (
+  SELECT grp, bin, n_gb,
+         sum(n_gb) OVER (PARTITION BY grp ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+         sum(n_gb) OVER (PARTITION BY grp) AS n_g
+  FROM binned),
+pooled AS (SELECT bin, sum(n_gb)::BIGINT AS n_pb FROM binned GROUP BY 1),
+pool AS (
+  SELECT bin AS pbin,
+         sum(n_pb) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+         sum(n_pb) OVER () AS n_p
+  FROM pooled),
+mapped AS (
+  SELECT grp, bin, n_gb, min(pbin) AS mapped_bin
+  FROM cells JOIN pool ON cum_p * n_g >= cum_g * n_p
+  GROUP BY 1, 2, 3)
+SELECT grp AS event_type, bin, n_gb AS n, mapped_bin,
+       round({KS_LO!r} + (mapped_bin + 0.5) * {KS_WIDTH!r}, 6)
+         AS mapped_value
+FROM mapped
+"""
+
+BANK_QUERIES["events_quantile_normalize"] = events_quantile_normalize
+BANK_ORACLES["events_quantile_normalize"] = ORACLE_QUANTILE_NORMALIZE

@@ -3184,3 +3184,59 @@ def test_ra_link_prediction_matches_python(spark, pairs, top_k):
         for i, (negsm, other, nc) in enumerate(ranked):
             want[(src, other)] = (nc, round(-negsm / RA_MICRO, 6), i + 1)
     assert got == want
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(-5, 70, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_quantile_normalize_matches_bruteforce(spark, rows):
+    """Mapped bins equal the brute-force smallest-pooled-bin-reaching-
+    the-group-fraction rule; a single-group input maps every bin to
+    itself (identity calibration)."""
+    from faconne_spark.operators.evalstats import quantile_normalize
+
+    lo, width, nb = 0.0, 8.0, 8
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        (r["grp"], r["bin"]): (r["n"], r["mapped_bin"], r["mapped_value"])
+        for r in quantile_normalize(df, "grp", "v", lo, width, nb).collect()
+    }
+    bins = [
+        (g, min(max(int(math.floor((v - lo) / width)), 0), nb - 1))
+        for g, v in rows
+    ]
+    pool_cnt = {b: sum(1 for _, bb in bins if bb == b) for b in range(nb)}
+    n_p = len(bins)
+    cum_p = {}
+    run = 0
+    for b in range(nb):
+        run += pool_cnt[b]
+        cum_p[b] = run
+    want = {}
+    for g in {g for g, _ in bins}:
+        gb = [b for gg, b in bins if gg == g]
+        n_g = len(gb)
+        cum = 0
+        for b in sorted(set(gb)):
+            cum += gb.count(b)
+            mapped = min(
+                pb
+                for pb in range(nb)
+                if pool_cnt[pb] > 0 and cum_p[pb] * n_g >= cum * n_p
+            )
+            want[(g, b)] = (
+                gb.count(b),
+                mapped,
+                round(lo + (mapped + 0.5) * width, 6),
+            )
+    assert got == want
+    if len({g for g, _ in rows}) == 1:
+        assert all(b == mb for (_, b), (_, mb, _) in got.items())

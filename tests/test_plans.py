@@ -667,11 +667,15 @@ def test_bank_r6_plan_shapes(spark, sf_dir):
         "events_benford": "hashpartitioning(grp",
         "ann_rrf_fusion": "hashpartitioning(q_id",
         "part_copurchase_ra": "hashpartitioning(id_a",
+        "events_quantile_normalize": "hashpartitioning(grp",
     }
     for key, part in shapes.items():
         p = plan_of(BANK_QUERIES[key](spark, sf_dir))
         assert part in p, key
-        assert "SinglePartition" not in p, key
+        if key != "events_quantile_normalize":
+            # (its pooled-ECDF window is a deliberate global window
+            #  over the ≤ n_bins pooled-bin relation)
+            assert "SinglePartition" not in p, key
         assert "partial_" in p, key
         assert "BatchEvalPython" not in p, key
         assert "CartesianProduct" not in p, key
@@ -680,5 +684,7 @@ def test_bank_r6_plan_shapes(spark, sf_dir):
             "events_benford",  # bounded (groups × 9 digits) grid
             "ann_rrf_fusion",  # broadcast query fan-out (by design:
             #                    queries broadcast, corpus never shuffles)
+            "events_quantile_normalize",  # ECDF theta-join over the
+            #                    bounded (groups × bins) × bins grid
         ):
             assert "BroadcastNestedLoopJoin" not in p, key
