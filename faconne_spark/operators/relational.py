@@ -967,3 +967,84 @@ def interval_concurrency(
             F.max("__run").alias("max_concurrent"),
         )
     )
+
+
+def weighted_histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    n_bins: int = 64,
+    qs: tuple = (0.5, 0.95, 0.99),
+    bounds: tuple = (0.0, 1000.0),
+    w_micro: int = 1_000_000,
+) -> DataFrame:
+    """Weighted quantile estimates per group — the histogram sketch
+    with per-row mass instead of per-row count, for importance-weighted
+    corpora (DSIR weights, priority-sample adjusted weights) and
+    mass-weighted business stats ("the median DOLLAR's transaction
+    size", not the median transaction).
+
+    Weights fix-point to ``w_micro`` integer units, so bin mass is an
+    exact, order-independent, MERGEABLE BIGINT sum; rows whose rounded
+    weight is non-positive carry no mass and are dropped.  The read-off
+    compares cum·q_den ≥ total·q_num with q reduced to lowest terms
+    (0.95 → 19/20) — the cross-multiply stays far inside BIGINT for
+    any realistic total mass (< 2⁶³/q_den micro-units).  Bounds are
+    caller-pinned (the mergeable-histogram contract; out-of-range
+    values clamp to the edge bins).
+
+    Scale (100 TB): identical shape to :func:`histogram_quantiles` —
+    one map-side-combined groupBy to (group, bin), windows over the
+    bounded ≤ groups × n_bins relation only."""
+    from fractions import Fraction
+
+    if n_bins < 1:
+        raise ValueError(
+            f"weighted_histogram_quantiles needs n_bins >= 1, got {n_bins}"
+        )
+    lo, hi = bounds_us(bounds, "weighted_histogram_quantiles")
+    us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
+    wm = f"cast(round({weight_col} * {w_micro}) as bigint)"
+    pre = (
+        df.withColumn("_lo", F.lit(lo).cast("long"))
+        .withColumn("_hi", F.lit(hi).cast("long"))
+        .withColumn("_wm", F.expr(wm))
+        .filter(F.col("_wm") > 0)
+    )
+    bin_expr = (
+        f"cast(least(greatest(({us} - _lo) * {n_bins}"
+        f" div (_hi - _lo + 1), 0), {n_bins - 1}) as int)"
+    )
+    binned = (
+        pre.withColumn("_bin", F.expr(bin_expr))
+        .groupBy(group_col, "_bin")
+        .agg(F.sum("_wm").alias("_mass"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_bin")
+    cum = binned.withColumn("_cum", F.sum("_mass").over(w)).withColumn(
+        "_total", F.sum("_mass").over(Window.partitionBy(group_col))
+    )
+    out = None
+    for q in qs:
+        frac = Fraction(str(q))
+        hit = (
+            cum.filter(
+                F.expr(
+                    f"_cum * {frac.denominator} >= _total * {frac.numerator}"
+                )
+            )
+            .groupBy(group_col)
+            .agg(F.min("_bin").alias("_qbin"))
+            .select(
+                group_col,
+                F.lit(q).alias("q"),
+                F.expr(
+                    f"round(cast({lo} + (2 * _qbin + 1)"
+                    f" * cast({hi} - {lo} + 1 as bigint)"
+                    f" div {2 * n_bins} as double) / 1000000.0, 6)"
+                ).alias("estimate"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

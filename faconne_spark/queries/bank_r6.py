@@ -1048,3 +1048,75 @@ FROM mapped
 
 BANK_QUERIES["events_quantile_normalize"] = events_quantile_normalize
 BANK_ORACLES["events_quantile_normalize"] = ORACLE_QUANTILE_NORMALIZE
+
+
+# ------------------------------------------- weighted quantiles
+
+WQ_BOUNDS = (0.0, 500.0)
+WQ_BINS = 64
+WQ_QS = (0.5, 0.95)
+
+
+def events_value_weighted_quantiles(spark, sf):
+    """Value-weighted value quantiles per event type — "the median
+    dollar's transaction size": half the total value sits below the
+    p50 estimate (see relational.weighted_histogram_quantiles; also
+    the read-off for DSIR/priority-sample importance weights)."""
+    from faconne_spark.operators.relational import (
+        weighted_histogram_quantiles,
+    )
+
+    return weighted_histogram_quantiles(
+        T(spark, sf, "events"), "value", "value", "event_type",
+        WQ_BINS, WQ_QS, WQ_BOUNDS,
+    )
+
+
+def _oracle_weighted_quantiles() -> str:
+    from fractions import Fraction
+
+    lo, hi = (
+        int(round(WQ_BOUNDS[0] * 1_000_000)),
+        int(round(WQ_BOUNDS[1] * 1_000_000)),
+    )
+    us = "cast(floor(value * 1000000 + 0.5) AS BIGINT)"
+    arms = []
+    for q in WQ_QS:
+        f = Fraction(str(q))
+        arms.append(
+            f"""SELECT event_type, {q} AS q,
+       round(cast({lo} + (2 * _qbin + 1)
+         * cast({hi} - {lo} + 1 AS BIGINT)
+         // {2 * WQ_BINS} AS DOUBLE) / 1000000.0, 6) AS estimate
+FROM (
+  SELECT event_type, min(_bin) AS _qbin
+  FROM cum WHERE _cum * {f.denominator} >= _total * {f.numerator}
+  GROUP BY event_type)"""
+        )
+    return f"""
+WITH pre AS (
+  SELECT event_type,
+         cast(round(value * 1000000) AS BIGINT) AS _wm,
+         cast(least(greatest(({us} - {lo}) * {WQ_BINS}
+           // ({hi} - {lo} + 1), 0), {WQ_BINS - 1}) AS INT) AS _bin
+  FROM events
+  WHERE cast(round(value * 1000000) AS BIGINT) > 0),
+binned AS (
+  SELECT event_type, _bin, sum(_wm)::BIGINT AS _mass
+  FROM pre GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, _bin,
+         sum(_mass) OVER (PARTITION BY event_type ORDER BY _bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         sum(_mass) OVER (PARTITION BY event_type) AS _total
+  FROM binned)
+{" UNION ALL ".join(arms)}
+"""
+
+
+BANK_QUERIES["events_value_weighted_quantiles"] = (
+    events_value_weighted_quantiles
+)
+BANK_ORACLES["events_value_weighted_quantiles"] = (
+    _oracle_weighted_quantiles()
+)

@@ -3240,3 +3240,61 @@ def test_quantile_normalize_matches_bruteforce(spark, rows):
     assert got == want
     if len({g for g, _ in rows}) == 1:
         assert all(b == mb for (_, b), (_, mb, _) in got.items())
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.floats(0.01, 900, allow_nan=False).map(lambda v: round(v, 2)),
+            st.floats(0, 5, allow_nan=False).map(lambda v: round(v, 3)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_quantiles_match_bruteforce(spark, rows):
+    """Weighted-histogram quantile estimates equal a plain-Python
+    replay of the micro-unit binning + mass-fraction read-off,
+    including zero-weight drops and edge-bin clamping."""
+    from faconne_spark.operators.relational import (
+        weighted_histogram_quantiles,
+    )
+
+    nb, bounds, qs = 8, (0.0, 500.0), (0.5, 0.95)
+    df = spark.createDataFrame(rows, "grp string, v double, w double")
+    got = {
+        (r["grp"], r["q"]): r["estimate"]
+        for r in weighted_histogram_quantiles(
+            df, "v", "w", "grp", nb, qs, bounds
+        ).collect()
+    }
+    lo, hi = 0, 500_000_000
+    want = {}
+    from fractions import Fraction
+
+    for g in {g for g, _, _ in rows}:
+        mass = {}
+        for gg, v, w in rows:
+            if gg != g:
+                continue
+            wm = round(w * 1_000_000)
+            if wm <= 0:
+                continue
+            us = int(math.floor(v * 1_000_000 + 0.5))
+            b = min(max((us - lo) * nb // (hi - lo + 1), 0), nb - 1)
+            mass[b] = mass.get(b, 0) + wm
+        total = sum(mass.values())
+        if not total:
+            continue
+        for q in qs:
+            f = Fraction(str(q))
+            cum = 0
+            for b in sorted(mass):
+                cum += mass[b]
+                if cum * f.denominator >= total * f.numerator:
+                    mid = (lo + (2 * b + 1) * (hi - lo + 1) // (2 * nb)) / 1e6
+                    want[(g, q)] = round(mid, 6)
+                    break
+    assert got == want

@@ -668,6 +668,7 @@ def test_bank_r6_plan_shapes(spark, sf_dir):
         "ann_rrf_fusion": "hashpartitioning(q_id",
         "part_copurchase_ra": "hashpartitioning(id_a",
         "events_quantile_normalize": "hashpartitioning(grp",
+        "events_value_weighted_quantiles": "hashpartitioning(event_type",
     }
     for key, part in shapes.items():
         p = plan_of(BANK_QUERIES[key](spark, sf_dir))
