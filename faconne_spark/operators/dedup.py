@@ -1388,62 +1388,6 @@ def kcore_nodes(
     )
 
 
-def kcore_nodes(
-    pairs: DataFrame, k: int = 2, max_iter: int = 30
-) -> DataFrame:
-    """k-core of the near-dup pair graph: the maximal subgraph where
-    every node keeps degree ≥ k — the dense template/boilerplate
-    clusters that pairwise thresholds alone can't isolate.  Classic
-    iterative peel: drop degree-<k nodes, recompute, repeat to a fixed
-    point.
-
-    Returns (doc_id, degree) for the surviving nodes (degree measured
-    INSIDE the core).
-
-    Scale (100 TB): each round is one degree groupBy + two semi-joins
-    on the shrinking edge relation; every round is checkpointed (the
-    CC/pagerank persist lesson) so lineage stays flat and nothing
-    upstream re-executes.  Converges in ≤ peel-depth rounds; the
-    iteration bound raises ConvergenceError rather than returning a
-    silently-unpeeled graph."""
-    und = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
-        )
-        .distinct()
-    )
-    edges = _checkpoint(und)
-    n_edges = edges.count()
-    for _ in range(max_iter):
-        if n_edges == 0:
-            break
-        deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
-        keep = deg.filter(F.col("degree") >= k).select("src")
-        pruned = edges.join(keep, "src", "left_semi").join(
-            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
-        )
-        pruned = _checkpoint(pruned.select("src", "dst"))
-        n_next = pruned.count()
-        if n_next == n_edges:
-            return (
-                pruned.groupBy("src")
-                .agg(F.count("*").alias("degree"))
-                .select(F.col("src").alias("doc_id"), "degree")
-            )
-        edges, n_edges = pruned, n_next
-    if n_edges == 0:
-        return pairs.sparkSession.createDataFrame(
-            [], "doc_id bigint, degree bigint"
-        )
-    raise ConvergenceError(
-        f"kcore_nodes: no fixed point after {max_iter} rounds"
-        f" ({n_edges} edges remain)"
-    )
-
-
 RA_MICRO = 1_000_000
 
 

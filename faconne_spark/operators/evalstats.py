@@ -77,13 +77,18 @@ def auc_from_histogram(
 ) -> DataFrame:
     """The AUC window+aggregate over an already-built per-(group,
     score) pos/neg histogram — shared by the batch operator and the
-    merged streaming state so both faces are ONE implementation."""
+    merged streaming state so both faces are ONE implementation.
+    NULL scores are excluded here (not ranked as lowest/highest): an
+    absent score has no rank, and Spark windows order NULLs first
+    where DuckDB orders them last — the exact cross-engine divergence
+    this module exists to rule out."""
     if (pos_col, neg_col) != ("pos", "neg"):
         hist = hist.withColumnRenamed(pos_col, "pos").withColumnRenamed(
             neg_col, "neg"
         )
     if score_col != "__s":
         hist = hist.withColumnRenamed(score_col, "__s")
+    hist = hist.filter(F.col("__s").isNotNull())
     w = Window.partitionBy(*group_cols).orderBy("__s")
     cum_neg_lt = F.coalesce(
         F.sum("neg").over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -223,20 +228,48 @@ def ks_drift(
     side skips still advances the other side's ECDF.  The (group, bin)
     histogram is also the MERGEABLE state: shards/epochs add their
     counts, then :func:`ks_from_binned` reads the identical statistic
-    off the merged relation (streaming face in streaming/stats)."""
-    binned = df.select(
-        F.col(group_col).alias("grp"),
-        F.expr(ks_bin_sql(value_col, lo, width, n_bins)).alias("bin"),
-    ).groupBy("grp", "bin").agg(F.count("*").alias("n_gb"))
+    off the merged relation (streaming face in streaming/stats).
+    NULL values are excluded — an absent value has no ECDF position,
+    and Spark and DuckDB would order a NULL bin oppositely."""
+    binned = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.expr(ks_bin_sql(value_col, lo, width, n_bins)).alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("n_gb"))
+    )
     return ks_from_binned(binned).withColumnRenamed("grp", group_col)
+
+
+def bounded_bin_sql(
+    us_expr: str, lo_sql: str, hi_sql: str, n_bins: int
+) -> str:
+    """The pinned-bounds micro-unit bin expression: clamp in BIGINT,
+    cast to int LAST (the unclamped product overflows int32 under ANSI
+    for far-out-of-range values).  ``us_expr`` is an integer
+    micro-unit value expression; ``lo_sql``/``hi_sql`` are SQL texts
+    (literals or column refs).  Shared by the streaming AUC state and
+    the weighted quantile sketch so their grids cannot drift; the
+    registered histogram_quantiles / value_stats_epoch twins carry the
+    same text inline until the next registration window opens."""
+    return (
+        f"cast(least(greatest(({us_expr} - {lo_sql}) * {n_bins}"
+        f" div ({hi_sql} - {lo_sql} + 1), 0), {n_bins - 1}) as int)"
+    )
 
 
 def ks_bin_sql(value_col: str, lo: float, width: float, n_bins: int) -> str:
     """The KS bin expression — shared by the batch operator and the
-    streaming epoch state so the grids can never drift."""
+    streaming epoch state so the grids can never drift.  Clamps on the
+    DOUBLE and casts to int LAST: casting the unclamped floor overflows
+    INT32 under ANSI for far-out-of-range values — exactly the case the
+    edge-bin clamp exists for.  Callers must filter NULL values first
+    (engines order a NULL bin oppositely in windows)."""
     return (
-        f"least(greatest(cast(floor(({value_col} - {lo!r}) /"
-        f" {width!r}) as int), 0), {n_bins - 1})"
+        f"cast(least(greatest(floor(({value_col} - {lo!r}) /"
+        f" {width!r}), 0), {n_bins - 1}) as int)"
     )
 
 
@@ -369,8 +402,10 @@ def benford_deviation(
     """First-significant-digit deviation from Benford's law per group —
     the classic fabricated/degenerate-numbers screen for a numeric
     column.  Values are fixed-pointed to integer cents, the leading
-    digit read off the decimal length (identical integer/string ops in
-    both engines), and the mean absolute deviation kept as the exact
+    digit read off the FIRST CHARACTER of the decimal string (pure
+    string ops, identical in both engines — a pow(10, len−1) float
+    division would misidentify the digit beyond 2⁵³ cents), and the
+    mean absolute deviation kept as the exact
     integer Σ_d |obs_d·10⁶ − p_d^micro·n| until the single final
     division.  The worst digit maximizes a UNIQUE ordering value
     (dev·16 − digit), so ties break to the smaller digit
@@ -387,8 +422,7 @@ def benford_deviation(
         .select(
             "grp",
             F.expr(
-                "cast(floor(c / pow(10, length(cast(c as string)) - 1))"
-                " as int)"
+                "cast(substring(cast(c as string), 1, 1) as int)"
             ).alias("digit"),
         )
     )
@@ -450,9 +484,11 @@ def quantile_normalize(
 
     Scale (100 TB): one map-side-combined groupBy to (group, bin);
     the mapping join is over the bounded (groups × bins) × bins grid
-    relation, never the data."""
+    relation, never the data.  NULL values are excluded (no ECDF
+    position — the ks_drift contract)."""
     binned = (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(group_col).alias("grp"),
             F.expr(ks_bin_sql(value_col, lo, width, n_bins)).alias("bin"),
         )

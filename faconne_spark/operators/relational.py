@@ -1003,19 +1003,19 @@ def weighted_histogram_quantiles(
         raise ValueError(
             f"weighted_histogram_quantiles needs n_bins >= 1, got {n_bins}"
         )
+    from faconne_spark.operators.evalstats import bounded_bin_sql
+
     lo, hi = bounds_us(bounds, "weighted_histogram_quantiles")
     us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
     wm = f"cast(round({weight_col} * {w_micro}) as bigint)"
     pre = (
-        df.withColumn("_lo", F.lit(lo).cast("long"))
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_lo", F.lit(lo).cast("long"))
         .withColumn("_hi", F.lit(hi).cast("long"))
         .withColumn("_wm", F.expr(wm))
         .filter(F.col("_wm") > 0)
     )
-    bin_expr = (
-        f"cast(least(greatest(({us} - _lo) * {n_bins}"
-        f" div (_hi - _lo + 1), 0), {n_bins - 1}) as int)"
-    )
+    bin_expr = bounded_bin_sql(us, "_lo", "_hi", n_bins)
     binned = (
         pre.withColumn("_bin", F.expr(bin_expr))
         .groupBy(group_col, "_bin")

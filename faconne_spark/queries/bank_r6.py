@@ -448,7 +448,7 @@ ORACLE_AUC_PURCHASE = """
 WITH base AS (
   SELECT ts::DATE AS day, value AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 hist AS (
   SELECT day, s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
   FROM base GROUP BY 1, 2),
@@ -555,10 +555,10 @@ def events_ks_value_drift(spark, sf):
 ORACLE_KS_DRIFT = f"""
 WITH binned AS (
   SELECT event_type AS grp,
-         least(greatest(cast(floor((value - {KS_LO!r}) / {KS_WIDTH!r})
-           AS INT), 0), {KS_BINS - 1}) AS bin,
+         cast(least(greatest(floor((value - {KS_LO!r}) / {KS_WIDTH!r}),
+           0), {KS_BINS - 1}) AS INT) AS bin,
          count(*)::BIGINT AS n_gb
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 grid AS (
   SELECT g.grp, b.bin
   FROM (SELECT DISTINCT grp FROM binned) g
@@ -679,20 +679,18 @@ BANK_ORACLES["docs_rater_kappa"] = _oracle_rater_kappa()
 KCORE_K, KCORE_UNROLL, KCORE_MIN_W = 2, 8, 2
 
 
-def part_copurchase_kcore(spark, sf):
-    """k-core of the part co-purchase graph (parts co-ordered in >=
-    KCORE_MIN_W distinct orders): the densely co-bought assortment
-    after peeling incidental pairings (see dedup.kcore_nodes —
-    fixed-point peeling; survivors reported with in-core degree)."""
-    from faconne_spark.operators.dedup import kcore_nodes
-
+def _copurchase_pairs(spark, sf):
+    """The part co-purchase pair graph (parts co-ordered in >=
+    KCORE_MIN_W distinct orders) — the ONE Spark build shared by the
+    k-core and link-prediction keys, mirroring COPURCHASE_CTE on the
+    oracle side so the two keys can never drift apart."""
     li = (
         T(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    prs = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -706,19 +704,13 @@ def part_copurchase_kcore(spark, sf):
         .filter(F.col("w") >= KCORE_MIN_W)
         .select("id_a", "id_b")
     )
-    return kcore_nodes(prs, k=KCORE_K).withColumnRenamed(
-        "doc_id", "l_partkey"
-    )
 
 
-def _oracle_kcore() -> str:
-    # Every round references edges once and the previous survivor set
-    # TWICE — without MATERIALIZED, DuckDB inlines the chain and the
-    # plan doubles per round (2^UNROLL copies of the pair build, which
-    # spills the machine at sf0.1).  Materializing makes each CTE
-    # compute exactly once, mirroring Spark's per-round checkpoint.
-    ctes = [
-        f"""li AS MATERIALIZED (
+# Shared oracle CTEs for the co-purchase graph.  MATERIALIZED is
+# load-bearing: chained CTEs referenced twice per round inline without
+# it, doubling the plan per round (2^UNROLL copies of the pair build,
+# which spills the machine at sf0.1).
+COPURCHASE_CTE = f"""li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 prs AS MATERIALIZED (
   SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
@@ -727,8 +719,25 @@ prs AS MATERIALIZED (
   GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_W}),
 edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM prs
-  UNION ALL SELECT id_b, id_a FROM prs),
-a0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges)"""
+  UNION ALL SELECT id_b, id_a FROM prs)"""
+
+
+def part_copurchase_kcore(spark, sf):
+    """k-core of the part co-purchase graph: the densely co-bought
+    assortment after peeling incidental pairings (see
+    dedup.kcore_nodes — fixed-point peeling; survivors reported with
+    in-core degree)."""
+    from faconne_spark.operators.dedup import kcore_nodes
+
+    return kcore_nodes(
+        _copurchase_pairs(spark, sf), k=KCORE_K
+    ).withColumnRenamed("doc_id", "l_partkey")
+
+
+def _oracle_kcore() -> str:
+    ctes = [
+        COPURCHASE_CTE,
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges)",
     ]
     prev = "a0"
     for i in range(1, KCORE_UNROLL + 1):
@@ -887,8 +896,7 @@ WITH base AS (
   FROM events),
 digits AS (
   SELECT grp,
-         cast(floor(c / pow(10, length(cast(c AS VARCHAR)) - 1)) AS INT)
-           AS digit
+         cast(substr(cast(c AS VARCHAR), 1, 1) AS INT) AS digit
   FROM base WHERE c >= 1),
 obs AS (SELECT grp, digit, count(*)::BIGINT AS n_d FROM digits GROUP BY 1, 2),
 grid AS (
@@ -931,43 +939,14 @@ def part_copurchase_ra(spark, sf):
     dedup.ra_link_prediction; integer micro-weights, no per-row log)."""
     from faconne_spark.operators.dedup import ra_link_prediction
 
-    li = (
-        T(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    prs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= KCORE_MIN_W)
-        .select("id_a", "id_b")
-    )
-    return ra_link_prediction(prs, RA_TOPK)
+    return ra_link_prediction(_copurchase_pairs(spark, sf), RA_TOPK)
 
 
 def _oracle_ra() -> str:
     from faconne_spark.operators.dedup import RA_MICRO
 
     return f"""
-WITH li AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-prs AS MATERIALIZED (
-  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_W}),
-edges AS MATERIALIZED (
-  SELECT id_a AS src, id_b AS dst FROM prs
-  UNION ALL SELECT id_b, id_a FROM prs),
+WITH {COPURCHASE_CTE},
 deg AS MATERIALIZED (
   SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
 wedge AS (
@@ -1019,10 +998,10 @@ def events_quantile_normalize(spark, sf):
 ORACLE_QUANTILE_NORMALIZE = f"""
 WITH binned AS (
   SELECT event_type AS grp,
-         least(greatest(cast(floor((value - {KS_LO!r}) / {KS_WIDTH!r})
-           AS INT), 0), {KS_BINS - 1}) AS bin,
+         cast(least(greatest(floor((value - {KS_LO!r}) / {KS_WIDTH!r}),
+           0), {KS_BINS - 1}) AS INT) AS bin,
          count(*)::BIGINT AS n_gb
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 cells AS (
   SELECT grp, bin, n_gb,
          sum(n_gb) OVER (PARTITION BY grp ORDER BY bin

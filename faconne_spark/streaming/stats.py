@@ -653,18 +653,15 @@ def auc_epoch(
     therefore equals the batch AUC computed on the binned score — the
     bin grid is the stream's score resolution.  Same epoch-partitioned
     dynamic-overwrite idempotency contract as the other states."""
+    from faconne_spark.operators.evalstats import bounded_bin_sql
     from faconne_spark.operators.relational import bounds_us
 
     lo, hi = bounds_us(bounds, "auc_epoch")
     us = f"cast(floor({score_col} * 1000000 + 0.5) as bigint)"
-    # identical integer bin arithmetic to value_stats_epoch: clamp in
-    # BIGINT, cast to int LAST (ANSI overflow on sensor glitches)
-    bin_expr = (
-        f"cast(least(greatest((({us}) - {lo}) * {n_bins}"
-        f" div ({hi} - {lo} + 1), 0), {n_bins - 1}) as int)"
-    )
+    bin_expr = bounded_bin_sql(f"({us})", str(lo), str(hi), n_bins)
     hist = (
-        batch_df.withColumn("_bin", F.expr(bin_expr))
+        batch_df.filter(F.col(score_col).isNotNull())
+        .withColumn("_bin", F.expr(bin_expr))
         .withColumn(
             "_y", F.expr(f"case when {label_sql} then 1 else 0 end")
         )
@@ -725,7 +722,8 @@ def ks_epoch(
     from faconne_spark.operators.evalstats import ks_bin_sql
 
     hist = (
-        batch_df.select(
+        batch_df.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(key).alias("grp"),
             F.expr(ks_bin_sql(value_col, lo, width, n_bins)).alias("bin"),
         )
