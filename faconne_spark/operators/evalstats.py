@@ -532,3 +532,61 @@ def quantile_normalize(
             F.lit(lo) + (F.col("mapped_bin") + 0.5) * F.lit(width), 6
         ).alias("mapped_value"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list,
+) -> DataFrame:
+    """Mutual information I(X; Y) between two discrete columns per
+    group — the model-free feature-relevance gauge (how much the value
+    distribution knows about the event type, a quality score about the
+    source, ...).
+
+    Per-cell log ratios ln(n_xy·n / (n_x·n_y)) are micro-rounded to
+    BIGINT (the Zipf-slope convention: rounding at 1e-6 absorbs libm
+    last-ulp differences), so the MI sum Σ n_xy·L_xy is exact-integer
+    until the single final division; the rounded result is
+    canonicalized with + 0.0 (near-independence sums can land at a
+    tiny negative).  NULL symbols are excluded (no marginal mass).
+
+    Scale (100 TB): ONE map-side-combined groupBy over the data to the
+    (group, x, y) joint; marginals and totals derive from that bounded
+    relation, and every join after it is keyed on the bounded symbol
+    relations."""
+    joint = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(*group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .groupBy(*group_cols, "__x", "__y")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    nx = joint.groupBy(*group_cols, "__x").agg(F.sum("n_xy").alias("n_x"))
+    ny = joint.groupBy(*group_cols, "__y").agg(F.sum("n_xy").alias("n_y"))
+    nt = joint.groupBy(*group_cols).agg(F.sum("n_xy").alias("n"))
+    cells = (
+        joint.join(nx, [*group_cols, "__x"])
+        .join(ny, [*group_cols, "__y"])
+        .join(nt, group_cols)
+        .withColumn(
+            "__l",
+            F.expr(
+                "cast(round(ln((n_xy * n) / (n_x * n_y) * 1.0)"
+                " * 1000000, 0) as bigint)"
+            ),
+        )
+    )
+    return cells.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.countDistinct("__x").alias("n_x_values"),
+        F.countDistinct("__y").alias("n_y_values"),
+        (
+            F.round(
+                F.sum(F.col("n_xy") * F.col("__l"))
+                / (F.max("n") * 1_000_000.0),
+                6,
+            )
+            + 0.0
+        ).alias("mi_nats"),
+    )

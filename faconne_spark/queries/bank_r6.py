@@ -1099,3 +1099,60 @@ BANK_QUERIES["events_value_weighted_quantiles"] = (
 BANK_ORACLES["events_value_weighted_quantiles"] = (
     _oracle_weighted_quantiles()
 )
+
+
+# ------------------------------------------------- mutual information
+
+def events_type_value_mi(spark, sf):
+    """Per-day mutual information between event type and the value
+    bin — the model-free feature-relevance gauge (does the value
+    distribution know the event type, and does that relationship
+    drift by day?).  See evalstats.mutual_information (micro-rounded
+    ln, exact-integer sum)."""
+    from faconne_spark.operators.evalstats import (
+        ks_bin_sql,
+        mutual_information,
+    )
+
+    ev = (
+        T(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.expr(ks_bin_sql("value", KS_LO, KS_WIDTH, KS_BINS)).alias(
+                "vbin"
+            ),
+        )
+    )
+    return mutual_information(ev, "event_type", "vbin", ["day"])
+
+
+ORACLE_TYPE_VALUE_MI = f"""
+WITH base AS (
+  SELECT ts::DATE AS day, event_type AS x,
+         cast(least(greatest(floor((value - {KS_LO!r}) / {KS_WIDTH!r}),
+           0), {KS_BINS - 1}) AS INT) AS y
+  FROM events WHERE value IS NOT NULL),
+joint AS (
+  SELECT day, x, y, count(*)::BIGINT AS n_xy FROM base GROUP BY 1, 2, 3),
+nx AS (SELECT day, x, sum(n_xy)::BIGINT AS n_x FROM joint GROUP BY 1, 2),
+ny AS (SELECT day, y, sum(n_xy)::BIGINT AS n_y FROM joint GROUP BY 1, 2),
+nt AS (SELECT day, sum(n_xy)::BIGINT AS n FROM joint GROUP BY 1),
+cells AS (
+  SELECT j.day, j.x, j.y, j.n_xy, t.n, mx.n_x, my.n_y,
+         cast(round(ln((j.n_xy * t.n) / (mx.n_x * my.n_y) * 1.0)
+           * 1000000, 0) AS BIGINT) AS l
+  FROM joint j
+  JOIN nx mx ON mx.day = j.day AND mx.x = j.x
+  JOIN ny my ON my.day = j.day AND my.y = j.y
+  JOIN nt t ON t.day = j.day)
+SELECT day, max(n)::BIGINT AS n,
+       count(DISTINCT x)::BIGINT AS n_x_values,
+       count(DISTINCT y)::BIGINT AS n_y_values,
+       round(sum(n_xy * l) / (max(n) * 1000000.0), 6) + 0.0 AS mi_nats
+FROM cells GROUP BY day
+"""
+
+BANK_QUERIES["events_type_value_mi"] = events_type_value_mi
+BANK_ORACLES["events_type_value_mi"] = ORACLE_TYPE_VALUE_MI

@@ -3298,3 +3298,38 @@ def test_weighted_quantiles_match_bruteforce(spark, rows):
                     want[(g, q)] = round(mid, 6)
                     break
     assert got == want
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["p", "q"]), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_mutual_information_matches_python(spark, rows):
+    """Micro-log MI equals the plain-Python replay for ANY discrete
+    joint distribution; MI of a constant column is exactly 0."""
+    from faconne_spark.operators.evalstats import mutual_information
+
+    df = spark.createDataFrame(
+        [(1, x, y) for x, y in rows], "g int, x string, y int"
+    )
+    got = mutual_information(df, "x", "y", ["g"]).collect()[0]
+    n = len(rows)
+    from collections import Counter
+
+    joint = Counter(rows)
+    nx = Counter(x for x, _ in rows)
+    ny = Counter(y for _, y in rows)
+    mi_micro = sum(
+        c * round(math.log((c * n) / (nx[x] * ny[y])) * 1_000_000)
+        for (x, y), c in joint.items()
+    )
+    assert (got["n"], got["n_x_values"], got["n_y_values"]) == (
+        n, len(nx), len(ny)
+    )
+    assert got["mi_nats"] == round(mi_micro / (n * 1_000_000.0), 6) + 0.0
+    if len(nx) == 1 or len(ny) == 1:
+        assert got["mi_nats"] == 0.0
