@@ -754,3 +754,37 @@ def test_cc_co_located_path_matches_oracle_at_gate_scale(spark):
         if t.name.startswith("faconne_cc_edges_")
     ]
     assert leftover == []
+
+
+def test_bank_results_partitioning_invariant(spark, sf_dir):
+    """The banked round-6 pairs carry the same determinism claim as
+    the registry: identical results under different shuffle-partition
+    counts.  The sample pins the partition-sensitive shapes — integer
+    micro-sums (bootstrap, RRF, RA, MI), windowed histograms
+    (AUC/KS/weighted quantiles), the fixed-point peel, and the
+    sweep-line running max."""
+    from faconne_spark.operators.dedup import release_caches
+    from faconne_spark.queries.bank_r6 import BANK_QUERIES
+
+    sample = [
+        "events_auc_purchase", "events_value_bootstrap",
+        "events_ks_value_drift", "ann_rrf_fusion", "part_copurchase_ra",
+        "events_type_value_mi", "part_copurchase_kcore",
+        "events_day_concurrency", "events_value_weighted_quantiles",
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for k in sample:
+                rows = sorted(
+                    tuple(map(str, r))
+                    for r in BANK_QUERIES[k](spark, sf_dir).collect()
+                )
+                results.setdefault(k, []).append(rows)
+                release_caches()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for k, (a, b) in results.items():
+        assert a == b, f"{k} differs across partitioning"
