@@ -152,14 +152,39 @@ def poisson_bootstrap_mean(
 
     Scale (100 TB): the B-fold explode is map-side only; the shuffle
     carries (group × B) partial sums.  Replicates that draw zero total
-    weight (probability e^{-n}) are dropped before ranking."""
+    weight (probability e^{-n}) are dropped before ranking.
+
+    The per-replicate sums are plain BIGINT sums of row-local terms,
+    which makes the whole bootstrap MERGEABLE: shards/epochs add their
+    (group, b, nw, sw) parts and :func:`bootstrap_ci_from_parts` reads
+    the identical CI off the merged relation (streaming face in
+    streaming/stats) — provided ids are unique across the union."""
+    return bootstrap_ci_from_parts(
+        bootstrap_reps(df, group_cols, value_col, id_col, n_boot, micro),
+        bootstrap_base(df, group_cols, value_col, micro),
+        group_cols,
+        micro,
+    )
+
+
+def bootstrap_reps(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    id_col: str,
+    n_boot: int,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """The mergeable replicate part-sums (group, __b, __nw, __sw) —
+    exact BIGINT sums of row-local hash-weighted terms, so shards and
+    epochs combine by addition."""
     from faconne_spark.functions import phash60
 
     h = phash60(
         f"concat(cast({id_col} as string), ':', cast(__b as string))",
         "spark",
     )
-    rep = (
+    return (
         df.select(
             *group_cols,
             F.col(id_col),
@@ -175,8 +200,36 @@ def poisson_bootstrap_mean(
             F.sum("__w").alias("__nw"),
             F.sum(F.col("__w") * F.col("__vm")).alias("__sw"),
         )
-        .filter(F.col("__nw") > 0)
-        .withColumn("__mb", F.col("__sw") / (F.col("__nw") * float(micro)))
+    )
+
+
+def bootstrap_base(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """The mergeable base part-sums (group, n, __svm) for the point
+    estimate."""
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.expr(f"cast(round({value_col} * {micro}) as bigint)")
+        ).alias("__svm"),
+    )
+
+
+def bootstrap_ci_from_parts(
+    reps: DataFrame,
+    base: DataFrame,
+    group_cols: list,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """The order-statistic CI + point estimate over already-built
+    (possibly merged) replicate and base part-sums — ONE implementation
+    for batch and the streaming state."""
+    rep = reps.filter(F.col("__nw") > 0).withColumn(
+        "__mb", F.col("__sw") / (F.col("__nw") * float(micro))
     )
     wr = Window.partitionBy(*group_cols).orderBy("__mb", "__b")
     ranked = rep.withColumn("__rk", F.row_number().over(wr)).withColumn(
@@ -194,15 +247,14 @@ def poisson_bootstrap_mean(
             6,
         ).alias("ci_hi"),
     )
-    base = df.groupBy(*group_cols).agg(
-        F.count("*").alias("n"),
+    point = base.select(
+        *group_cols,
+        "n",
         F.round(
-            F.sum(F.expr(f"cast(round({value_col} * {micro}) as bigint)"))
-            / (F.count("*") * float(micro)),
-            6,
+            F.col("__svm") / (F.col("n") * float(micro)), 6
         ).alias("mean_value"),
     )
-    return base.join(ci, group_cols)
+    return point.join(ci, group_cols)
 
 
 def ks_drift(

@@ -753,3 +753,75 @@ def ks_from_state(
         .agg(F.sum("n_gb").alias("n_gb"))
     )
     return ks_from_binned(merged).withColumnRenamed("grp", key)
+
+
+# ---------------------------------------------- bootstrap state
+
+BOOT_REPS = "boot_reps"
+BOOT_BASE = "boot_base"
+
+
+def bootstrap_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    key: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_boot: int = 32,
+    micro: int = 1_000_000,
+):
+    """Reduce one micro-batch to the mergeable Poisson-bootstrap state:
+    per-(key, replicate) weight/weighted-value part-sums plus the base
+    count/sum.  Because replicate weights are row-local hash draws, the
+    parts combine across epochs BY ADDITION — the merged CI equals the
+    batch bootstrap on the union of micro-batches bit-for-bit, as long
+    as ``id_col`` is unique across the stream (redelivery of an epoch
+    id overwrites, not double-counts).  Same epoch-partitioned
+    dynamic-overwrite idempotency contract as the other states."""
+    from faconne_spark.operators.evalstats import (
+        bootstrap_base,
+        bootstrap_reps,
+    )
+
+    batch_df = batch_df.filter(F.col(value_col).isNotNull()).persist()
+    try:
+        reps = bootstrap_reps(
+            batch_df, [key], value_col, id_col, n_boot, micro
+        )
+        base = bootstrap_base(batch_df, [key], value_col, micro)
+        for name, rel in ((BOOT_REPS, reps), (BOOT_BASE, base)):
+            (
+                rel.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(os.path.join(state_dir, name))
+            )
+    finally:
+        batch_df.unpersist()
+
+
+def bootstrap_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    key: str = "event_type",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-key mean + bootstrap CI off the merged cross-epoch parts —
+    bit-equal to batch evalstats.poisson_bootstrap_mean over the union
+    of all micro-batches (the one shared bootstrap_ci_from_parts
+    implementation)."""
+    from faconne_spark.operators.evalstats import bootstrap_ci_from_parts
+
+    reps = (
+        _state(spark, state_dir, BOOT_REPS)
+        .groupBy(key, "__b")
+        .agg(F.sum("__nw").alias("__nw"), F.sum("__sw").alias("__sw"))
+    )
+    base = (
+        _state(spark, state_dir, BOOT_BASE)
+        .groupBy(key)
+        .agg(F.sum("n").alias("n"), F.sum("__svm").alias("__svm"))
+    )
+    return bootstrap_ci_from_parts(reps, base, [key], micro)

@@ -1385,3 +1385,56 @@ def test_streaming_ks_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_bootstrap_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming bootstrap state: replicate weights are row-local, so
+    part-sums merged across two micro-batches yield BIT-EXACTLY the
+    batch poisson_bootstrap_mean on the union — the shared
+    bootstrap_ci_from_parts implementation end-to-end."""
+    from faconne_spark.operators.evalstats import poisson_bootstrap_mean
+    from faconne_spark.streaming.stats import (
+        bootstrap_epoch,
+        bootstrap_from_state,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).limit(600)
+    src = str(tmp_path / "boot_events")
+    half = ev.withColumn("_h", F.expr("abs(hash(event_id)) % 2"))
+    half.filter("_h = 0").drop("_h").coalesce(1).write.parquet(src)
+    half.filter("_h = 1").drop("_h").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    state = str(tmp_path / "boot_state")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: bootstrap_epoch(b, e, state, n_boot=16)
+        )
+        .option("checkpointLocation", str(tmp_path / "boot_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        r["event_type"]: tuple(r)
+        for r in bootstrap_from_state(spark, state).collect()
+    }
+    want = {
+        r["event_type"]: tuple(r)
+        for r in poisson_bootstrap_mean(
+            spark.read.parquet(src), ["event_type"], "value", "event_id",
+            n_boot=16,
+        ).collect()
+    }
+    assert got == want and got
