@@ -177,7 +177,10 @@ def bootstrap_reps(
 ) -> DataFrame:
     """The mergeable replicate part-sums (group, __b, __nw, __sw) —
     exact BIGINT sums of row-local hash-weighted terms, so shards and
-    epochs combine by addition."""
+    epochs combine by addition.  NULL values are excluded (a NULL
+    would silently poison __sw while still counting in __nw — and the
+    streaming face filters them, so the batch face must too for the
+    bit-for-bit merge contract)."""
     from faconne_spark.functions import phash60
 
     h = phash60(
@@ -185,7 +188,8 @@ def bootstrap_reps(
         "spark",
     )
     return (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *group_cols,
             F.col(id_col),
             F.expr(
@@ -210,12 +214,16 @@ def bootstrap_base(
     micro: int = 1_000_000,
 ) -> DataFrame:
     """The mergeable base part-sums (group, n, __svm) for the point
-    estimate."""
-    return df.groupBy(*group_cols).agg(
-        F.count("*").alias("n"),
-        F.sum(
-            F.expr(f"cast(round({value_col} * {micro}) as bigint)")
-        ).alias("__svm"),
+    estimate.  Excludes NULL values (the bootstrap_reps contract)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr(f"cast(round({value_col} * {micro}) as bigint)")
+            ).alias("__svm"),
+        )
     )
 
 
@@ -283,7 +291,23 @@ def ks_drift(
     off the merged relation (streaming face in streaming/stats).
     NULL values are excluded — an absent value has no ECDF position,
     and Spark and DuckDB would order a NULL bin oppositely."""
-    binned = (
+    binned = ks_binned(df, group_col, value_col, lo, width, n_bins)
+    return ks_from_binned(binned).withColumnRenamed("grp", group_col)
+
+
+def ks_binned(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """The NULL-filtered (grp, bin, n_gb) histogram on the KS grid —
+    the one binning block shared by :func:`ks_drift` and
+    :func:`quantile_normalize` so their grids and NULL contracts can
+    never drift."""
+    return (
         df.filter(F.col(value_col).isNotNull())
         .select(
             F.col(group_col).alias("grp"),
@@ -292,23 +316,26 @@ def ks_drift(
         .groupBy("grp", "bin")
         .agg(F.count("*").alias("n_gb"))
     )
-    return ks_from_binned(binned).withColumnRenamed("grp", group_col)
 
 
 def bounded_bin_sql(
     us_expr: str, lo_sql: str, hi_sql: str, n_bins: int
 ) -> str:
-    """The pinned-bounds micro-unit bin expression: clamp in BIGINT,
-    cast to int LAST (the unclamped product overflows int32 under ANSI
-    for far-out-of-range values).  ``us_expr`` is an integer
-    micro-unit value expression; ``lo_sql``/``hi_sql`` are SQL texts
-    (literals or column refs).  Shared by the streaming AUC state and
-    the weighted quantile sketch so their grids cannot drift; the
-    registered histogram_quantiles / value_stats_epoch twins carry the
-    same text inline until the next registration window opens."""
+    """The pinned-bounds micro-unit bin expression.  The VALUE is
+    clamped into [lo, hi] BEFORE the bin multiply — clamping only the
+    product would still overflow BIGINT in (us − lo) · n_bins for a
+    far-out-of-range glitch value, the exact case the edge-bin clamp
+    exists for — and the int cast comes last.  ``us_expr`` is an
+    integer micro-unit value expression; ``lo_sql``/``hi_sql`` are SQL
+    texts (literals or column refs).  Shared by the streaming AUC
+    state and the weighted quantile sketch so their grids cannot
+    drift; the registered histogram_quantiles / value_stats_epoch
+    twins carry their own inline text until the next registration
+    window opens."""
+    clamped = f"least(greatest({us_expr}, {lo_sql}), {hi_sql})"
     return (
-        f"cast(least(greatest(({us_expr} - {lo_sql}) * {n_bins}"
-        f" div ({hi_sql} - {lo_sql} + 1), 0), {n_bins - 1}) as int)"
+        f"cast(({clamped} - {lo_sql}) * {n_bins}"
+        f" div ({hi_sql} - {lo_sql} + 1) as int)"
     )
 
 
@@ -531,6 +558,9 @@ def quantile_normalize(
     grid resolution = correction resolution), and the cumulative-
     fraction comparison is the cross-multiplied integer
     cum_pool·n_group ≥ cum_group·n_pool — no float ECDFs to diverge.
+    The cross-multiply runs in DECIMAL(38,0) (Spark BIGINT products
+    would overflow past ~3·10⁹ pooled rows; DuckDB already promotes
+    to HUGEINT — decimal keeps both engines exact AND identical).
     Returns per (group, bin): count, the mapped pooled bin, and the
     mapped bin's midpoint value (the corrected score).
 
@@ -538,15 +568,7 @@ def quantile_normalize(
     the mapping join is over the bounded (groups × bins) × bins grid
     relation, never the data.  NULL values are excluded (no ECDF
     position — the ks_drift contract)."""
-    binned = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            F.col(group_col).alias("grp"),
-            F.expr(ks_bin_sql(value_col, lo, width, n_bins)).alias("bin"),
-        )
-        .groupBy("grp", "bin")
-        .agg(F.count("*").alias("n_gb"))
-    )
+    binned = ks_binned(df, group_col, value_col, lo, width, n_bins)
     wg = Window.partitionBy("grp").orderBy("bin")
     cells = binned.select(
         "grp",
@@ -570,7 +592,10 @@ def quantile_normalize(
     mapped = (
         cells.join(
             pool,
-            F.col("cum_p") * F.col("n_g") >= F.col("cum_g") * F.col("n_p"),
+            F.expr(
+                "cast(cum_p as decimal(38, 0)) * n_g"
+                " >= cast(cum_g as decimal(38, 0)) * n_p"
+            ),
         )
         .groupBy("grp", "bin", "n_gb", "cum_g", "n_g")
         .agg(F.min("pbin").alias("mapped_bin"))
@@ -597,12 +622,16 @@ def mutual_information(
     distribution knows about the event type, a quality score about the
     source, ...).
 
-    Per-cell log ratios ln(n_xy·n / (n_x·n_y)) are micro-rounded to
+    Per-cell log ratios ln((n_xy/n_x)·(n/n_y)) are micro-rounded to
     BIGINT (the Zipf-slope convention: rounding at 1e-6 absorbs libm
-    last-ulp differences), so the MI sum Σ n_xy·L_xy is exact-integer
-    until the single final division; the rounded result is
-    canonicalized with + 0.0 (near-independence sums can land at a
-    tiny negative).  NULL symbols are excluded (no marginal mass).
+    last-ulp differences), and the OUTPUT is the exact integer sum
+    ``mi_micro`` = Σ n_xy·L_xy — micro-nats times n, the fs_link_scores
+    ``llr_micro`` precedent: no final float division exists to land on
+    a decimal rounding boundary (MI in nats = mi_micro / (n·10⁶)).
+    The ratio is computed as two DOUBLE divisions, never the integer
+    products n_xy·n / n_x·n_y — those overflow BIGINT right at the
+    billions-of-rows scale this operator claims.  NULL symbols are
+    excluded (no marginal mass).
 
     Scale (100 TB): ONE map-side-combined groupBy over the data to the
     (group, x, y) joint; marginals and totals derive from that bounded
@@ -617,15 +646,27 @@ def mutual_information(
     nx = joint.groupBy(*group_cols, "__x").agg(F.sum("n_xy").alias("n_x"))
     ny = joint.groupBy(*group_cols, "__y").agg(F.sum("n_xy").alias("n_y"))
     nt = joint.groupBy(*group_cols).agg(F.sum("n_xy").alias("n"))
+    marg = joint.join(nx, [*group_cols, "__x"]).join(
+        ny, [*group_cols, "__y"]
+    )
+    # an empty key list means the total is a 1-row broadcast, not an
+    # equi-join (join(on=[]) is an error in PySpark)
     cells = (
-        joint.join(nx, [*group_cols, "__x"])
-        .join(ny, [*group_cols, "__y"])
-        .join(nt, group_cols)
+        marg.join(nt, group_cols)
+        if group_cols
+        else marg.crossJoin(F.broadcast(nt))
+    )
+    cells = (
+        cells
         .withColumn(
+            # explicit DOUBLE casts: a bare `* 1.0` is a DECIMAL
+            # literal in both engines' parsers, and decimal division
+            # rounds differently from double division — enough to flip
+            # the micro-rounding of ln on real data
             "__l",
             F.expr(
-                "cast(round(ln((n_xy * n) / (n_x * n_y) * 1.0)"
-                " * 1000000, 0) as bigint)"
+                "cast(round(ln((cast(n_xy as double) / n_x)"
+                " * (cast(n as double) / n_y)) * 1000000, 0) as bigint)"
             ),
         )
     )
@@ -633,12 +674,5 @@ def mutual_information(
         F.max("n").alias("n"),
         F.countDistinct("__x").alias("n_x_values"),
         F.countDistinct("__y").alias("n_y_values"),
-        (
-            F.round(
-                F.sum(F.col("n_xy") * F.col("__l"))
-                / (F.max("n") * 1_000_000.0),
-                6,
-            )
-            + 0.0
-        ).alias("mi_nats"),
+        F.sum(F.col("n_xy") * F.col("__l")).alias("mi_micro"),
     )

@@ -974,9 +974,9 @@ def weighted_histogram_quantiles(
     value_col: str,
     weight_col: str,
     group_col: str,
+    bounds: tuple,
     n_bins: int = 64,
     qs: tuple = (0.5, 0.95, 0.99),
-    bounds: tuple = (0.0, 1000.0),
     w_micro: int = 1_000_000,
 ) -> DataFrame:
     """Weighted quantile estimates per group — the histogram sketch
@@ -990,9 +990,11 @@ def weighted_histogram_quantiles(
     weight is non-positive carry no mass and are dropped.  The read-off
     compares cum·q_den ≥ total·q_num with q reduced to lowest terms
     (0.95 → 19/20) — the cross-multiply stays far inside BIGINT for
-    any realistic total mass (< 2⁶³/q_den micro-units).  Bounds are
-    caller-pinned (the mergeable-histogram contract; out-of-range
-    values clamp to the edge bins).
+    any realistic total mass (< 2⁶³/q_den micro-units).  ``bounds``
+    is a REQUIRED caller-pinned range (the mergeable-histogram
+    contract — a silent default would clamp all mass above it into
+    the top bin with no warning; out-of-range values clamp to the
+    edge bins by design, visibly against the declared range).
 
     Scale (100 TB): identical shape to :func:`histogram_quantiles` —
     one map-side-combined groupBy to (group, bin), windows over the

@@ -499,7 +499,7 @@ WITH rep AS (
          event_id,
          cast(round(value * {BOOT_MICRO}) AS BIGINT) AS vm,
          unnest(range(0, {BOOT_B})) AS b
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 weighted AS (
   SELECT event_type, b, vm,
          {poisson_weight_sql(f'({u})')} AS w
@@ -525,7 +525,7 @@ base AS (
   SELECT event_type, count(*)::BIGINT AS n,
          round(sum(cast(round(value * {BOOT_MICRO}) AS BIGINT))::BIGINT
                / (count(*) * {float(BOOT_MICRO)!r}), 6) AS mean_value
-  FROM events GROUP BY 1)
+  FROM events WHERE value IS NOT NULL GROUP BY 1)
 SELECT base.event_type, n, mean_value, n_boot, ci_lo, ci_hi
 FROM base JOIN ci USING (event_type)
 """
@@ -552,13 +552,18 @@ def events_ks_value_drift(spark, sf):
     )
 
 
-ORACLE_KS_DRIFT = f"""
-WITH binned AS (
+# The one binned-histogram CTE shared by the KS and quantile-
+# normalization oracles (mirrors evalstats.ks_binned).
+KS_BINNED_CTE = f"""binned AS (
   SELECT event_type AS grp,
          cast(least(greatest(floor((value - {KS_LO!r}) / {KS_WIDTH!r}),
            0), {KS_BINS - 1}) AS INT) AS bin,
          count(*)::BIGINT AS n_gb
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)"""
+
+
+ORACLE_KS_DRIFT = f"""
+WITH {KS_BINNED_CTE},
 grid AS (
   SELECT g.grp, b.bin
   FROM (SELECT DISTINCT grp FROM binned) g
@@ -996,12 +1001,7 @@ def events_quantile_normalize(spark, sf):
 
 
 ORACLE_QUANTILE_NORMALIZE = f"""
-WITH binned AS (
-  SELECT event_type AS grp,
-         cast(least(greatest(floor((value - {KS_LO!r}) / {KS_WIDTH!r}),
-           0), {KS_BINS - 1}) AS INT) AS bin,
-         count(*)::BIGINT AS n_gb
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+WITH {KS_BINNED_CTE},
 cells AS (
   SELECT grp, bin, n_gb,
          sum(n_gb) OVER (PARTITION BY grp ORDER BY bin
@@ -1017,7 +1017,9 @@ pool AS (
   FROM pooled),
 mapped AS (
   SELECT grp, bin, n_gb, min(pbin) AS mapped_bin
-  FROM cells JOIN pool ON cum_p * n_g >= cum_g * n_p
+  FROM cells JOIN pool
+    ON cast(cum_p AS DECIMAL(38, 0)) * n_g
+       >= cast(cum_g AS DECIMAL(38, 0)) * n_p
   GROUP BY 1, 2, 3)
 SELECT grp AS event_type, bin, n_gb AS n, mapped_bin,
        round({KS_LO!r} + (mapped_bin + 0.5) * {KS_WIDTH!r}, 6)
@@ -1047,7 +1049,7 @@ def events_value_weighted_quantiles(spark, sf):
 
     return weighted_histogram_quantiles(
         T(spark, sf, "events"), "value", "value", "event_type",
-        WQ_BINS, WQ_QS, WQ_BOUNDS,
+        WQ_BOUNDS, WQ_BINS, WQ_QS,
     )
 
 
@@ -1076,10 +1078,11 @@ FROM (
 WITH pre AS (
   SELECT event_type,
          cast(round(value * 1000000) AS BIGINT) AS _wm,
-         cast(least(greatest(({us} - {lo}) * {WQ_BINS}
-           // ({hi} - {lo} + 1), 0), {WQ_BINS - 1}) AS INT) AS _bin
+         cast((least(greatest({us}, {lo}), {hi}) - {lo}) * {WQ_BINS}
+           // ({hi} - {lo} + 1) AS INT) AS _bin
   FROM events
-  WHERE cast(round(value * 1000000) AS BIGINT) > 0),
+  WHERE value IS NOT NULL
+    AND cast(round(value * 1000000) AS BIGINT) > 0),
 binned AS (
   SELECT event_type, _bin, sum(_wm)::BIGINT AS _mass
   FROM pre GROUP BY 1, 2),
@@ -1141,8 +1144,8 @@ ny AS (SELECT day, y, sum(n_xy)::BIGINT AS n_y FROM joint GROUP BY 1, 2),
 nt AS (SELECT day, sum(n_xy)::BIGINT AS n FROM joint GROUP BY 1),
 cells AS (
   SELECT j.day, j.x, j.y, j.n_xy, t.n, mx.n_x, my.n_y,
-         cast(round(ln((j.n_xy * t.n) / (mx.n_x * my.n_y) * 1.0)
-           * 1000000, 0) AS BIGINT) AS l
+         cast(round(ln((cast(j.n_xy AS DOUBLE) / mx.n_x)
+           * (cast(t.n AS DOUBLE) / my.n_y)) * 1000000, 0) AS BIGINT) AS l
   FROM joint j
   JOIN nx mx ON mx.day = j.day AND mx.x = j.x
   JOIN ny my ON my.day = j.day AND my.y = j.y
@@ -1150,7 +1153,7 @@ cells AS (
 SELECT day, max(n)::BIGINT AS n,
        count(DISTINCT x)::BIGINT AS n_x_values,
        count(DISTINCT y)::BIGINT AS n_y_values,
-       round(sum(n_xy * l) / (max(n) * 1000000.0), 6) + 0.0 AS mi_nats
+       sum(n_xy * l)::BIGINT AS mi_micro
 FROM cells GROUP BY day
 """
 
