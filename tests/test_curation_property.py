@@ -3333,3 +3333,65 @@ def test_mutual_information_matches_python(spark, rows):
     assert got["mi_micro"] == mi_micro
     if len(nx) == 1 or len(ny) == 1:
         assert got["mi_micro"] == 0
+
+
+def test_evalstats_operators_handle_degenerate_inputs(spark):
+    """Empty and single-row inputs return empty/sane results, never
+    crash — the r5c degenerate-input contract applied to the
+    evaluation-stats wave."""
+    from faconne_spark.operators.evalstats import (
+        auc_mann_whitney,
+        benford_deviation,
+        cohens_kappa,
+        ks_drift,
+        mutual_information,
+        poisson_bootstrap_mean,
+        quantile_normalize,
+    )
+    from faconne_spark.operators.relational import (
+        interval_concurrency,
+        weighted_histogram_quantiles,
+    )
+    from faconne_spark.operators.similarity import rrf_fuse
+
+    empty = spark.createDataFrame(
+        [], "g string, v double, id bigint, a boolean, b boolean"
+    )
+    assert auc_mann_whitney(empty, F.col("a"), "v", ["g"]).count() == 0
+    assert poisson_bootstrap_mean(empty, ["g"], "v", "id", 4).count() == 0
+    assert ks_drift(empty, "g", "v", 0.0, 8.0, 8).count() == 0
+    assert cohens_kappa(empty, F.col("a"), F.col("b"), ["g"]).count() == 0
+    assert benford_deviation(empty, "g", "v").count() == 0
+    assert quantile_normalize(empty, "g", "v", 0.0, 8.0, 8).count() == 0
+    assert mutual_information(empty, "v", "a", ["g"]).count() == 0
+    # a GLOBAL aggregation over empty input is the standard one-row
+    # SQL answer (null total, zero distinct counts)
+    glob = mutual_information(empty, "g", "a", []).collect()
+    assert len(glob) == 1 and glob[0]["n"] is None
+    assert glob[0]["n_x_values"] == 0 and glob[0]["mi_micro"] is None
+    assert (
+        weighted_histogram_quantiles(
+            empty, "v", "v", "g", (0.0, 8.0), 8, (0.5,)
+        ).count()
+        == 0
+    )
+    e2 = spark.createDataFrame([], "g string, s long, e long")
+    assert interval_concurrency(e2, "s", "e", ["g"]).count() == 0
+    er = spark.createDataFrame([], "q_id long, vec_id long, rk long")
+    assert rrf_fuse([er], 60, 5).count() == 0
+
+    one = spark.createDataFrame(
+        [("g", 3.0, 1, True, False)],
+        "g string, v double, id bigint, a boolean, b boolean",
+    )
+    row = auc_mann_whitney(one, F.col("a"), "v", ["g"]).collect()[0]
+    assert row["auc"] is None  # single-class: AUC undefined, not 0.5
+    row = cohens_kappa(one, F.col("a"), F.col("b"), ["g"]).collect()[0]
+    assert row["kappa"] == 0.0  # disagreeing marginals: chance-level
+    both = spark.createDataFrame(
+        [("g", True, True)], "g string, a boolean, b boolean"
+    )
+    row = cohens_kappa(both, F.col("a"), F.col("b"), ["g"]).collect()[0]
+    assert row["kappa"] is None  # chance agreement = 1: undefined
+    row = ks_drift(one, "g", "v", 0.0, 8.0, 8).collect()[0]
+    assert row["ks_d"] is None  # no out-group to compare against
