@@ -676,3 +676,48 @@ def mutual_information(
         F.countDistinct("__y").alias("n_y_values"),
         F.sum(F.col("n_xy") * F.col("__l")).alias("mi_micro"),
     )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    symbol_col: str,
+    group_cols: list,
+) -> DataFrame:
+    """Shannon entropy of a discrete column per group — the mix-
+    diversity gauge (how concentrated is the traffic / source / label
+    distribution), the marginal companion to
+    :func:`mutual_information`.
+
+    Same conventions: per-symbol ln(n_s/n) micro-rounds to BIGINT via
+    two-sided-identical DOUBLE division (explicit cast — never a
+    decimal `* 1.0` literal), and the OUTPUT is the exact integer
+    ``h_micro`` = −Σ n_s·L_s (micro-nats times n; entropy in nats =
+    h_micro / (n·10⁶)) — no final float division to land on a rounding
+    boundary.  NULL symbols are excluded.
+
+    Scale (100 TB): one map-side-combined groupBy to (group, symbol);
+    everything after runs on the bounded symbol relation."""
+    counts = (
+        df.filter(F.col(symbol_col).isNotNull())
+        .select(*group_cols, F.col(symbol_col).alias("__s"))
+        .groupBy(*group_cols, "__s")
+        .agg(F.count("*").alias("n_s"))
+    )
+    nt = counts.groupBy(*group_cols).agg(F.sum("n_s").alias("n"))
+    cells = (
+        counts.join(nt, group_cols)
+        if group_cols
+        else counts.crossJoin(F.broadcast(nt))
+    )
+    cells = cells.withColumn(
+        "__l",
+        F.expr(
+            "cast(round(ln(cast(n_s as double) / n) * 1000000, 0)"
+            " as bigint)"
+        ),
+    )
+    return cells.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("n_symbols"),
+        (-F.sum(F.col("n_s") * F.col("__l"))).alias("h_micro"),
+    )

@@ -1159,3 +1159,37 @@ FROM cells GROUP BY day
 
 BANK_QUERIES["events_type_value_mi"] = events_type_value_mi
 BANK_ORACLES["events_type_value_mi"] = ORACLE_TYPE_VALUE_MI
+
+
+# ------------------------------------------------- entropy gauge
+
+def events_type_entropy(spark, sf):
+    """Per-day Shannon entropy of the event-type mix — the traffic-
+    diversity gauge (h_micro = entropy in micro-nats times n; see
+    evalstats.categorical_entropy, the marginal companion of the MI
+    key)."""
+    from faconne_spark.operators.evalstats import categorical_entropy
+
+    ev = T(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    return categorical_entropy(ev, "event_type", ["day"])
+
+
+ORACLE_TYPE_ENTROPY = """
+WITH counts AS (
+  SELECT ts::DATE AS day, event_type AS s, count(*)::BIGINT AS n_s
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+nt AS (SELECT day, sum(n_s)::BIGINT AS n FROM counts GROUP BY 1),
+cells AS (
+  SELECT c.day, c.n_s, t.n,
+         cast(round(ln(cast(c.n_s AS DOUBLE) / t.n) * 1000000, 0)
+           AS BIGINT) AS l
+  FROM counts c JOIN nt t ON t.day = c.day)
+SELECT day, max(n)::BIGINT AS n, count(*)::BIGINT AS n_symbols,
+       (-sum(n_s * l))::BIGINT AS h_micro
+FROM cells GROUP BY day
+"""
+
+BANK_QUERIES["events_type_entropy"] = events_type_entropy
+BANK_ORACLES["events_type_entropy"] = ORACLE_TYPE_ENTROPY

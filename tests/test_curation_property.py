@@ -3395,3 +3395,36 @@ def test_evalstats_operators_handle_degenerate_inputs(spark):
     assert row["kappa"] is None  # chance agreement = 1: undefined
     row = ks_drift(one, "g", "v", 0.0, 8.0, 8).collect()[0]
     assert row["ks_d"] is None  # no out-group to compare against
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.sampled_from(list("abcd"))),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_categorical_entropy_matches_python(spark, rows):
+    """Micro-log entropy equals the plain-Python replay; a constant
+    column has exactly zero entropy; entropy is never negative beyond
+    per-symbol micro-rounding slack."""
+    from faconne_spark.operators.evalstats import categorical_entropy
+
+    df = spark.createDataFrame(rows, "g int, s string")
+    got = {
+        r["g"]: (r["n"], r["n_symbols"], r["h_micro"])
+        for r in categorical_entropy(df, "s", ["g"]).collect()
+    }
+    from collections import Counter
+
+    for g in {g for g, _ in rows}:
+        syms = Counter(s for gg, s in rows if gg == g)
+        n = sum(syms.values())
+        h = -sum(
+            c * round(math.log(c / n) * 1_000_000) for c in syms.values()
+        )
+        assert got[g] == (n, len(syms), h)
+        if len(syms) == 1:
+            assert got[g][2] == 0
+        assert got[g][2] >= -len(syms) * n  # micro-rounding slack only

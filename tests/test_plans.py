@@ -670,6 +670,7 @@ def test_bank_r6_plan_shapes(spark, sf_dir):
         "events_quantile_normalize": "hashpartitioning(grp",
         "events_value_weighted_quantiles": "hashpartitioning(event_type",
         "events_type_value_mi": "hashpartitioning(day",
+        "events_type_entropy": "hashpartitioning(day",
     }
     for key, part in shapes.items():
         p = plan_of(BANK_QUERIES[key](spark, sf_dir))
