@@ -328,10 +328,10 @@ def bounded_bin_sql(
     exists for — and the int cast comes last.  ``us_expr`` is an
     integer micro-unit value expression; ``lo_sql``/``hi_sql`` are SQL
     texts (literals or column refs).  Shared by the streaming AUC
-    state and the weighted quantile sketch so their grids cannot
-    drift; the registered histogram_quantiles / value_stats_epoch
-    twins carry their own inline text until the next registration
-    window opens."""
+    state, the weighted quantile sketch, and (since round 6) the
+    histogram_quantiles / value_stats_epoch twins — every pinned-bounds
+    binner in the repo reads THIS text, so the grids cannot drift and
+    the overflow fix exists exactly once."""
     clamped = f"least(greatest({us_expr}, {lo_sql}), {hi_sql})"
     return (
         f"cast(({clamped} - {lo_sql}) * {n_bins}"
@@ -720,4 +720,93 @@ def categorical_entropy(
         F.max("n").alias("n"),
         F.count("*").alias("n_symbols"),
         (-F.sum(F.col("n_s") * F.col("__l"))).alias("h_micro"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    label: Column,
+    score_col: str,
+    group_cols: list,
+) -> DataFrame:
+    """Average precision (step-wise PR-AUC) of ``score_col`` as a
+    predictor of the boolean ``label``, per group — the
+    class-imbalance-honest companion of :func:`auc_mann_whitney`
+    (ROC-AUC stays high when positives are rare; AP collapses, which
+    is what a rare-event classifier eval needs to see).
+
+    AP = Σ_s pos(s) · precision(s) / n⁺ over distinct scores s in
+    DESCENDING order, precision(s) = TP(≥s) / (TP(≥s) + FP(≥s)) — the
+    non-interpolated estimator.  House integer rules: precision is
+    micro-rounded per distinct score (round-half-up in pure BIGINT
+    arithmetic: (2·10⁶·TP + T) div (2·T)), each term pos(s)·prec_micro
+    is an exact BIGINT, and the OUTPUT is the exact integer
+    ``ap_micro`` = Σ terms (AP = ap_micro / (n_pos·10⁶)) — no final
+    float division to land on a rounding boundary, and the sum is
+    partition-order-free.
+
+    Scale (100 TB): same shape as the AUC — one map-side-combined
+    groupBy to (group, score), then a window over the DISTINCT-SCORE
+    relation only; the raw stream is never rank-sorted.  Quantize
+    unbounded-cardinality scores first."""
+    hist = (
+        df.select(
+            *group_cols,
+            F.col(score_col).alias("__s"),
+            F.when(label, 1).otherwise(0).alias("__y"),
+        )
+        .groupBy(*group_cols, "__s")
+        .agg(
+            F.sum("__y").alias("pos"),
+            F.sum(F.lit(1) - F.col("__y")).alias("neg"),
+        )
+    )
+    return pr_auc_from_histogram(hist, group_cols, "__s")
+
+
+def pr_auc_from_histogram(
+    hist: DataFrame,
+    group_cols: list,
+    score_col: str,
+    pos_col: str = "pos",
+    neg_col: str = "neg",
+) -> DataFrame:
+    """The AP read-off over an already-built per-(group, score)
+    pos/neg histogram — the SAME mergeable state
+    :func:`auc_from_histogram` consumes, different statistic (add the
+    shards' counts, then read either).  NULL scores are excluded for
+    the same cross-engine NULL-ordering reason."""
+    if (pos_col, neg_col) != ("pos", "neg"):
+        hist = hist.withColumnRenamed(pos_col, "pos").withColumnRenamed(
+            neg_col, "neg"
+        )
+    if score_col != "__s":
+        hist = hist.withColumnRenamed(score_col, "__s")
+    hist = hist.filter(F.col("__s").isNotNull())
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tp = F.sum("pos").over(w)
+    t = tp + F.sum("neg").over(w)
+    # per-score precision micro-rounds half-up in pure BIGINT
+    # arithmetic — (2·10⁶·TP + T) div (2·T) — before the pos(s)
+    # multiply, so no intermediate exceeds 2·10⁶·n and the term sum
+    # stays partition-order-free
+    return (
+        hist.withColumn("__tp", tp)
+        .withColumn("__t", t)
+        .withColumn(
+            "__term",
+            F.expr(
+                "pos * ((2000000 * __tp + __t) div (2 * __t))"
+            ),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("pos").alias("n_pos"),
+            F.sum("neg").alias("n_neg"),
+            F.sum("__term").alias("ap_micro"),
+        )
     )

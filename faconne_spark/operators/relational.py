@@ -386,13 +386,13 @@ def histogram_quantiles(
         pre = spread(df).withColumn(
             "_lo", F.lit(lo).cast("long")
         ).withColumn("_hi", F.lit(hi).cast("long"))
-        # clamp in BIGINT, cast LAST: casting the unclamped product of a
-        # far-out-of-range value overflows int32 under ANSI — exactly
-        # the case the edge-bin clamp exists for
-        bin_expr = (
-            f"cast(least(greatest(({us} - _lo) * {n_bins}"
-            f" div (_hi - _lo + 1), 0), {n_bins - 1}) as int)"
-        )
+        # clamp the VALUE before the bin multiply (bounded_bin_sql):
+        # clamping only the product still overflows BIGINT in
+        # (us − lo) · n_bins for a far-out-of-range glitch value —
+        # exactly the case the edge-bin clamp exists for
+        from faconne_spark.operators.evalstats import bounded_bin_sql
+
+        bin_expr = bounded_bin_sql(us, "_lo", "_hi", n_bins)
     else:
         grp_bounds = (
             spread(df)
@@ -403,10 +403,12 @@ def histogram_quantiles(
             )
         )
         pre = df.join(F.broadcast(grp_bounds), group_col)
-        bin_expr = (
-            f"least(cast(({us} - _lo) * {n_bins}"
-            f" div (_hi - _lo + 1) as int), {n_bins - 1})"
-        )
+        # same bounded_bin_sql text: the clamp is a no-op here (us is
+        # inside its own group's min/max by construction) but keeps the
+        # two modes on ONE audited bin expression
+        from faconne_spark.operators.evalstats import bounded_bin_sql
+
+        bin_expr = bounded_bin_sql(us, "_lo", "_hi", n_bins)
     binned = (
         pre
         .withColumn("_bin", F.expr(bin_expr))

@@ -227,16 +227,21 @@ def hll_daily_rollup(
     ts_col: str = "ts",
     window_days: int = 7,
     salt: str = "hll",
+    calibrate: bool = False,
 ) -> DataFrame:
     """DAU / trailing-WAU from one register pass: per-day HLL registers
     are built ONCE, and every trailing window's estimate comes from
     max-folding the member days' registers — the canonical sketch
     rollup (a 30-day dashboard re-reads 30 × 256 register rows, never
-    the event log).  Exact calibrations ride along (the exact trailing
-    count pays the events × window_days self-join the sketch avoids —
-    droppable in production).
+    the event log).  The exact per-day DAU calibration always rides
+    along (one distinct aggregate, no join); ``calibrate=True``
+    additionally emits the exact trailing count, which pays the
+    events × window_days self-join the sketch exists to avoid —
+    default OFF, the production shape at scale (round-6 flag;
+    VERDICT r5 ask #6).
 
-    Columns: day, dau_exact, dau_est, wau_exact, wau_est."""
+    Columns: day, dau_exact, dau_est, wau_est (+ wau_exact when
+    ``calibrate=True``)."""
     h = phash60(f"concat('{salt}:', cast({key_expr} as string))", "spark")
     rows = df.select(
         F.to_date(F.col(ts_col)).alias("day"), F.expr(h).alias("h")
@@ -271,25 +276,23 @@ def hll_daily_rollup(
     dau_exact = daily.groupBy("day").agg(
         F.countDistinct("k").alias("dau_exact")
     )
-    wau_exact = (
-        daily.join(
-            F.broadcast(days),
-            F.expr(f"datediff(wday, day) BETWEEN 0 AND {window_days - 1}"),
+    out = dau_exact.join(dau_est, "day").join(wau_est, "day")
+    cols = ["dau_exact", "dau_est", "wau_est"]
+    if calibrate:
+        wau_exact = (
+            daily.join(
+                F.broadcast(days),
+                F.expr(
+                    f"datediff(wday, day) BETWEEN 0 AND {window_days - 1}"
+                ),
+            )
+            .groupBy(F.col("wday").alias("day"))
+            .agg(F.countDistinct("k").alias("wau_exact"))
         )
-        .groupBy(F.col("wday").alias("day"))
-        .agg(F.countDistinct("k").alias("wau_exact"))
-    )
-    return (
-        dau_exact.join(dau_est, "day")
-        .join(wau_exact, "day")
-        .join(wau_est, "day")
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "dau_exact",
-            "dau_est",
-            "wau_exact",
-            "wau_est",
-        )
+        out = out.join(wau_exact, "day")
+        cols = ["dau_exact", "dau_est", "wau_exact", "wau_est"]
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), *cols
     )
 
 

@@ -33,34 +33,47 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # round must (a) number at most 50 and (b) appear before every unchanged
 # key.  Count the changed-this-round block when editing this list.
 _FIRST = [
-    # -- r4-changed keys whose driver rows went stale (positions 50-54
-    #    last round; VERDICT r4 ask #1) --
+    # ================= r6 changed/new block (count ≤ 50!) =================
+    # -- the 20 round-5-banked pairs, now registered (VERDICT r5 ask #1;
+    #    cross-engine proven at 3 SFs by tests/test_bank_r6.py all round) --
+    "events_kmv_distinct", "events_kmv_overlap", "customer_order_golden",
+    "customer_fs_scores", "orders_basket_confidence",
+    "part_skyline_by_brand", "docs_vocab_kmv", "events_auc_purchase",
+    "events_value_bootstrap", "events_ks_value_drift", "docs_rater_kappa",
+    "part_copurchase_kcore", "part_copurchase_ra", "events_day_concurrency",
+    "ann_rrf_fusion", "events_benford", "events_quantile_normalize",
+    "events_value_weighted_quantiles", "events_type_value_mi",
+    "events_type_entropy",
+    # -- r6-changed implementations/oracles: histogram binning rewritten
+    #    on bounded_bin_sql (clamp value BEFORE the bin multiply — the
+    #    BIGINT-overflow fix, VERDICT r5 ask #2) and the exact
+    #    trailing-WAU calibration column made opt-in (ask #6) --
+    "events_value_quantiles", "events_active_users_rollup",
+    # -- new in r6 --
+    "events_pr_auc", "events_reliability_curve", "dedup_changefeed",
+    # ============== end r6 block — 25 of the 50-key window ==============
+    # -- unchanged keys (fresh r5 rows), r5 order --
     "fac_campus_report", "fac_expand_aggs",
     "dedup_stitch", "training_manifest", "dedup_cascade",
-    # -- r5-changed implementations/oracles (negative-zero canon, fuzzy
-    #    blocking substr fix, pca dim validation, corpus-derived nlist) --
     "quality_feature_cov", "events_ab_test", "customer_fuzzy_matches",
     "embed_pca_gramian", "dedup_semantic",
-    # -- new in r5 --
     "text_tokenizer_fertility", "docs_ngram_novelty", "docs_cdc_chunks",
     "docs_token_cms_topk", "docs_dsir_resample",
     "dedup_cdc", "events_ab_sequential", "events_quantile_calibration",
     "events_hll_distinct", "dedup_bloom_prefilter", "events_ewma",
     "events_hll_overlap", "mm_image_ahash", "mm_audio_resample",
     "events_cusum_drift", "docs_split_leakage", "embed_matryoshka_recall",
-    "events_active_users_rollup", "dedup_setsim_prefix", "sample_priority", "events_hourly_seasonality", "docs_source_lang_kl", "embed_centroid_drift",
+    "dedup_setsim_prefix", "sample_priority", "events_hourly_seasonality", "docs_source_lang_kl", "embed_centroid_drift",
     "fac_pyagg_second_top", "dedup_recent_window", "win_rolling_7d",
     "join_size_from_stats", "docs_nb_quality_classifier", "ann_nprobe_sweep", "events_conversion_lag",
     "events_anomaly_seasonal", "orders_revenue_gini",
     "events_sessionize", "events_audience_overlap", "orders_basket_lift",
     "part_skyline", "embed_diversity", "events_range_partition_plan",
     "dup_graph_lpa", "mm_scene_cuts",
-    # ^ r5 block total = 50 — exactly the driver window; do NOT add more
-    #   changed/new keys above this line without bumping older ones out
     # -- unchanged keys (fresh r4 rows), r4 order --
     "text_gopher_rules", "docs_importance_weights",
     "docs_bpe_pair_counts", "events_fill_forward", "dup_graph_triangles",
-    "events_value_quantiles", "events_incremental_stats",
+    "events_incremental_stats",
     "dedup_minhash_pr",
     "text_boilerplate_segments", "pack_training_chunks",
     "docs_chunk_overlap", "docs_bigram_logprob",
@@ -102,6 +115,7 @@ _FIRST = [
 
 def _merged(attr: str) -> dict:
     from faconne_spark.queries import (
+        bank_r6,
         curation,
         faconne_demo,
         pipeline,
@@ -110,7 +124,7 @@ def _merged(attr: str) -> dict:
     )
 
     merged = {}
-    for mod in (faconne_demo, tpch, tpch_ext, pipeline, curation):
+    for mod in (faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}
     out.update(merged)

@@ -1193,3 +1193,11 @@ FROM cells GROUP BY day
 
 BANK_QUERIES["events_type_entropy"] = events_type_entropy
 BANK_ORACLES["events_type_entropy"] = ORACLE_TYPE_ENTROPY
+
+
+# Round 6 registered this bank: queries/__init__._merged consumes the
+# module like any other registry source.  The BANK_* names stay for the
+# r5-era tests (test_bank_r6.py runs each pair driver-style at 3 SFs,
+# test_plans.py pins the plan contracts) — same dicts, two names.
+QUERIES = BANK_QUERIES
+ORACLES = BANK_ORACLES

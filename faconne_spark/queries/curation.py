@@ -1145,8 +1145,8 @@ bounds AS (
   FROM b GROUP BY event_type),
 binned AS (
   SELECT b.event_type,
-         least(((b.us - bo._lo) * {nb}) // (bo._hi - bo._lo + 1),
-               {nb - 1})::INT AS _bin,
+         ((least(greatest(b.us, bo._lo), bo._hi) - bo._lo) * {nb}
+          // (bo._hi - bo._lo + 1))::INT AS _bin,
          count(*) AS _cnt, min(bo._lo) AS _lo, min(bo._hi) AS _hi
   FROM b JOIN bounds bo USING (event_type)
   GROUP BY 1, 2),
@@ -2220,7 +2220,10 @@ ORACLES["docs_split_leakage"] = _oracle_split_leakage()
 def events_active_users_rollup(spark, sf):
     """DAU + trailing-7-day WAU where every window estimate folds the
     per-day HLL registers (one register pass over the log; dashboards
-    re-read register rows, never events), with exact calibrations."""
+    re-read register rows, never events).  The exact DAU calibration
+    rides along (join-free); the exact trailing-WAU column is behind
+    the operator's calibrate=True flag — default off since round 6, so
+    the registered plan carries no events×7 self-join."""
     from faconne_spark.operators import sketches as SK
 
     return SK.hll_daily_rollup(T(spark, sf, "events"), "user_id")
@@ -2266,17 +2269,11 @@ daily AS (
   SELECT ts::DATE AS day, user_id AS k FROM events),
 dau_exact AS (
   SELECT day, count(DISTINCT k)::BIGINT AS dau_exact
-  FROM daily GROUP BY 1),
-wau_exact AS (
-  SELECT d.wday AS day, count(DISTINCT e.k)::BIGINT AS wau_exact
-  FROM daily e JOIN days d
-    ON date_diff('day', e.day, d.wday) BETWEEN 0 AND 6
-  GROUP BY 1)
+  FROM daily GROUP BY 1)
 SELECT strftime(x.day, '%Y-%m-%d') AS day,
-       x.dau_exact, de.dau_est, wx.wau_exact, we.wau_est
+       x.dau_exact, de.dau_est, we.wau_est
 FROM dau_exact x
 JOIN dau_est de USING (day)
-JOIN wau_exact wx USING (day)
 JOIN wau_est we USING (day)
 """
 

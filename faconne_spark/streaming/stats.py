@@ -243,13 +243,13 @@ def value_stats_epoch(
 
     lo, hi = bounds_us(bounds, "value_stats_epoch")
     us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
-    # clamp in BIGINT, cast to int LAST: casting the unclamped product
-    # overflows int32 under ANSI for far-out-of-range values — the
-    # exact sensor-glitch case the clamp exists for
-    bin_expr = (
-        f"cast(least(greatest((({us}) - {lo}) * {n_bins}"
-        f" div ({hi} - {lo} + 1), 0), {n_bins - 1}) as int)"
-    )
+    # clamp the VALUE before the bin multiply (bounded_bin_sql): the
+    # old clamp-the-product form still overflowed BIGINT in
+    # (us − lo) · n_bins for a far-out-of-range sensor-glitch value —
+    # the exact case the edge-bin clamp exists for
+    from faconne_spark.operators.evalstats import bounded_bin_sql
+
+    bin_expr = bounded_bin_sql(us, f"{lo}L", f"{hi}L", n_bins)
     # two write actions read the same micro-batch: persist it once so
     # the input files aren't rescanned per partial (the same pattern as
     # corpus_stats_epoch above)

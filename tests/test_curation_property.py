@@ -4,6 +4,7 @@ oracles / invariants (the SURVEY §5.2 strategy applied to the new
 surface)."""
 
 import math
+import os
 
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -907,6 +908,49 @@ def test_histogram_pinned_bounds_clamps_outliers(spark):
     # all four rows binned (two clamped to the edges); median estimate
     # is a bin midpoint inside the pinned range
     assert 0.0 <= out[0.5] <= 0.07
+
+
+def test_histogram_pinned_bounds_survives_glitch_magnitude(spark):
+    """The round-6 overflow regression: a sensor-glitch value of ±2e11
+    (2e17 micro-units) made the OLD clamp-the-product form compute
+    (us − lo) · 64 ≈ 1.3e19 > BIGINT max and crash under ANSI before
+    the clamp ever ran.  bounded_bin_sql clamps the VALUE first, so the
+    glitch lands in the edge bin and the quantiles stay in range."""
+    from faconne_spark.operators.relational import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 2.0e11), ("g", -2.0e11)] + [("g", v / 10.0) for v in range(11)],
+        "grp string, value double",
+    )
+    out = {
+        r["q"]: r["estimate"]
+        for r in histogram_quantiles(
+            df, "value", "grp", 64, (0.5, 0.99), bounds=(0.0, 1.0)
+        ).collect()
+    }
+    assert 0.0 <= out[0.5] <= 1.0 and 0.0 <= out[0.99] <= 1.0
+
+
+def test_value_stats_epoch_survives_glitch_magnitude(spark, tmp_path):
+    """The streaming twin of the same regression: a ±2e11 glitch in a
+    micro-batch must land in the edge bins of the pinned grid, not
+    overflow the bin multiply."""
+    from faconne_spark.streaming.stats import value_stats_epoch
+
+    df = spark.createDataFrame(
+        [("a", 2.0e11), ("a", -2.0e11), ("a", 0.25), ("a", 0.75)],
+        "event_type string, value double",
+    )
+    state = str(tmp_path / "vstate")
+    value_stats_epoch(df, 0, state, bounds=(0.0, 1.0), n_bins=64)
+    bins = {
+        r["_bin"]: r["n"]
+        for r in spark.read.parquet(
+            os.path.join(state, "value_bins")
+        ).collect()
+    }
+    assert bins.get(0, 0) >= 1 and bins.get(63, 0) >= 1
+    assert sum(bins.values()) == 4
 
 
 def test_cardinality_report_error_bound(spark, sf_dir):
@@ -1832,7 +1876,14 @@ def test_hll_daily_rollup_matches_python_replay(spark, rows):
         (base + datetime.timedelta(days=d, hours=1), k) for d, k in rows
     ]
     df = spark.createDataFrame(data, "ts timestamp, user_id bigint")
-    out = {r["day"]: r for r in hll_daily_rollup(df, "user_id").collect()}
+    # calibrate=True: the property test is exactly where the exact
+    # trailing-WAU column earns its keep (default off since round 6)
+    out = {
+        r["day"]: r
+        for r in hll_daily_rollup(df, "user_id", calibrate=True).collect()
+    }
+    slim = hll_daily_rollup(df, "user_id").columns
+    assert slim == ["day", "dau_exact", "dau_est", "wau_est"]
 
     def est(r: dict[int, int]) -> float:
         v = HLL_M - len(r)

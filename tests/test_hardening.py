@@ -420,8 +420,10 @@ def test_survey_registry_consistency():
             r"docs_\w+|pipeline_\w+|stream_window_counts|stream_session_agg|"
             r"source_stats|vocab_coverage|cap_per_source|quality_\w+|"
             r"lang_id_\w+|corpus_\w+|dup_graph_\w+|basket_\w+|user_rfm_\w+|"
-            r"orders_\w+|part_price_stats|part_skyline|neardup_\w+|"
-            r"customer_order_reconciliation|sql_api_\w+|sliding_window_counts|"
+            r"orders_\w+|part_price_stats|part_skyline\w*|part_copurchase_\w+|"
+            r"neardup_\w+|"
+            r"customer_order_reconciliation|customer_order_golden|"
+            r"customer_fs_scores|sql_api_\w+|sliding_window_counts|"
             r"training_manifest|join_\w+|scd2_\w+|"
             r"customer_ltv_\w+|customer_fuzzy_\w+|pack_\w+)\b",
             survey,

@@ -123,6 +123,32 @@ SNAPSHOT_QUERIES = [
     "events_range_partition_plan",
     "dup_graph_lpa",
     "mm_scene_cuts",
+    # round-6 registration of the r5 bank: pin the distinct-hash KMV
+    # windows, the single-groupBy golden record, the blocked FS join,
+    # the histogram AUC/KS/bootstrap shapes (no rank sort, no
+    # resampling shuffle), the bounded contingency MI/entropy/kappa
+    # aggregates, the brand-bucketed skyline, the wedge-join RA pass,
+    # the day-partitioned sweep-line, and the integer-RRF fusion
+    "events_kmv_distinct",
+    "events_kmv_overlap",
+    "customer_order_golden",
+    "customer_fs_scores",
+    "orders_basket_confidence",
+    "part_skyline_by_brand",
+    "docs_vocab_kmv",
+    "events_auc_purchase",
+    "events_value_bootstrap",
+    "events_ks_value_drift",
+    "docs_rater_kappa",
+    "part_copurchase_kcore",
+    "part_copurchase_ra",
+    "events_day_concurrency",
+    "ann_rrf_fusion",
+    "events_benford",
+    "events_quantile_normalize",
+    "events_value_weighted_quantiles",
+    "events_type_value_mi",
+    "events_type_entropy",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
