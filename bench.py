@@ -294,6 +294,10 @@ def main() -> None:
         "events_value_weighted_quantiles",
         "events_type_value_mi",
         "events_type_entropy",
+        # round-6 new keys (timed, not headline)
+        "events_pr_auc",
+        "docs_reliability_curve",
+        "dedup_changefeed",
     ]
     times = {}
     shuffle = {}

@@ -810,3 +810,65 @@ def pr_auc_from_histogram(
             F.sum("__term").alias("ap_micro"),
         )
     )
+
+
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    bounds: tuple,
+    n_bins: int = 10,
+    group_cols: list = (),
+) -> DataFrame:
+    """Reliability-diagram bins for a log-odds (or any monotone) score
+    against the observed boolean label — the calibration audit behind
+    "is the classifier's confidence honest?".  Each row is one score
+    bin on CALLER-PINNED integer bounds: how many held-out examples
+    landed there, how many were actually positive, and the exact
+    integer score mass — predicted-vs-actual rate per bin is then one
+    division away, and the curve MERGES across shards/epochs by adding
+    the three counters.
+
+    House rules: ``score_col`` must already be an integer (micro-unit)
+    score; binning is :func:`bounded_bin_sql` (clamp-value-first — the
+    round-6 overflow contract), the bin midpoint is the same exact
+    integer midpoint formula as histogram_quantiles, and the outputs
+    are integers (no final float division to land on a rounding
+    boundary).  NULL scores are excluded.
+
+    Scale (100 TB): one map-side-combined groupBy to ≤ groups × n_bins
+    rows; nothing downstream ever touches the example stream again."""
+    if n_bins < 1:
+        raise ValueError(f"reliability_bins needs n_bins >= 1, got {n_bins}")
+    lo, hi = (int(bounds[0]), int(bounds[1]))
+    if hi <= lo:
+        raise ValueError(f"reliability_bins needs lo < hi, got {bounds}")
+    span = hi - lo + 1
+    bin_expr = bounded_bin_sql(
+        f"cast({score_col} as bigint)", f"{lo}L", f"{hi}L", n_bins
+    )
+    mid = f"{lo} + cast((2 * __bin + 1) * {span}L div {2 * n_bins} as bigint)"
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .select(
+            *group_cols,
+            F.expr(bin_expr).alias("__bin"),
+            F.col(score_col).alias("__s"),
+            F.when(label, 1).otherwise(0).alias("__y"),
+        )
+        .groupBy(*group_cols, "__bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum("__s").alias("sum_score"),
+        )
+        .withColumn("mid_score", F.expr(mid))
+        .select(
+            *group_cols,
+            F.col("__bin").alias("bin"),
+            "mid_score",
+            "n",
+            "n_pos",
+            "sum_score",
+        )
+    )

@@ -1538,27 +1538,14 @@ def source_lang_kl(docs: DataFrame) -> DataFrame:
 NB_MICRO = 1_000_000  # fixed-point scale for log-likelihood ratios
 
 
-def nb_quality_classifier(docs: DataFrame) -> DataFrame:
-    """In-engine TRAINED quality classifier (the fastText-style linear
-    quality-filter stage): Bernoulli-presence naive Bayes over distinct
-    tokens, trained on the hash-split train fold against the heuristic
-    quality gate's verdict, evaluated on the held-out folds.
-
-    Determinism: every token's log-likelihood ratio is quantized to
-    integer micro-units (round(1e6·ln(...))) at train time, so each
-    document's score is an EXACT integer sum — no float summation
-    order anywhere; the single ln per vocab entry is the only float
-    op, and it is rounded before use.
-
-    Scale (100 TB): training is two map-side-combined counting
-    groupBys (per-(token, label) presence counts → vocabulary-sized
-    llr table); scoring broadcast-joins that table onto the exploded
-    held-out token stream and integer-sums per doc.  The llr relation
-    is vocabulary-sized — the only state the "model" needs.
-
-    Output per source: held-out doc count, predicted-keep count, and
-    agreement rate with the heuristic gate (rounded).
-    """
+def nb_scored_heldout(docs: DataFrame) -> DataFrame:
+    """The naive-Bayes scoring relation (doc_id, source, keep,
+    score_micro) over the held-out folds — the shared first stage of
+    :func:`nb_quality_classifier` (per-source accuracy rollup) and the
+    reliability-curve gauge (per-score-bin predicted-vs-actual rates),
+    so the trained model exists exactly once.  See
+    :func:`nb_quality_classifier` for the training/determinism/scale
+    contract."""
     from faconne_spark.operators.dedup import split_expr
 
     labeled = docs.select(
@@ -1611,7 +1598,7 @@ def nb_quality_classifier(docs: DataFrame) -> DataFrame:
     held = toks.filter(F.col("split") != "train")
     # left join: tokens unseen at train time contribute 0, and a doc of
     # only-unseen tokens still scores (prior alone) instead of vanishing
-    scored = (
+    return (
         held.join(F.broadcast(llr), "tok", "left")
         .groupBy("doc_id", "source", "keep")
         .agg(F.sum(F.coalesce("llr_micro", F.lit(0))).alias("tok_score"))
@@ -1623,6 +1610,30 @@ def nb_quality_classifier(docs: DataFrame) -> DataFrame:
             (F.col("tok_score") + F.col("prior_micro")).alias("score_micro"),
         )
     )
+
+
+def nb_quality_classifier(docs: DataFrame) -> DataFrame:
+    """In-engine TRAINED quality classifier (the fastText-style linear
+    quality-filter stage): Bernoulli-presence naive Bayes over distinct
+    tokens, trained on the hash-split train fold against the heuristic
+    quality gate's verdict, evaluated on the held-out folds.
+
+    Determinism: every token's log-likelihood ratio is quantized to
+    integer micro-units (round(1e6·ln(...))) at train time, so each
+    document's score is an EXACT integer sum — no float summation
+    order anywhere; the single ln per vocab entry is the only float
+    op, and it is rounded before use.
+
+    Scale (100 TB): training is two map-side-combined counting
+    groupBys (per-(token, label) presence counts → vocabulary-sized
+    llr table); scoring broadcast-joins that table onto the exploded
+    held-out token stream and integer-sums per doc.  The llr relation
+    is vocabulary-sized — the only state the "model" needs.
+
+    Output per source: held-out doc count, predicted-keep count, and
+    agreement rate with the heuristic gate (rounded).
+    """
+    scored = nb_scored_heldout(docs)
     return scored.groupBy("source").agg(
         F.count("*").alias("n_heldout"),
         F.sum(F.when(F.col("score_micro") > 0, 1).otherwise(0)).alias(

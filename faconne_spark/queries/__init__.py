@@ -50,7 +50,7 @@ _FIRST = [
     #    trailing-WAU calibration column made opt-in (ask #6) --
     "events_value_quantiles", "events_active_users_rollup",
     # -- new in r6 --
-    "events_pr_auc", "events_reliability_curve", "dedup_changefeed",
+    "events_pr_auc", "docs_reliability_curve", "dedup_changefeed",
     # ============== end r6 block — 25 of the 50-key window ==============
     # -- unchanged keys (fresh r5 rows), r5 order --
     "fac_campus_report", "fac_expand_aggs",

@@ -3290,3 +3290,44 @@ FROM l{LPA_ITERS} GROUP BY lbl
 
 QUERIES["dup_graph_lpa"] = dup_graph_lpa
 ORACLES["dup_graph_lpa"] = _oracle_lpa()
+
+
+# ------------------------------------------------- PR-AUC gauge
+
+def events_pr_auc(spark, sf):
+    """Per-day average precision (step-wise PR-AUC) of event value as
+    a purchase predictor — the class-imbalance-honest companion of the
+    events_auc_purchase ROC gauge, read off the SAME mergeable
+    (day, score, pos, neg) histogram state (see
+    evalstats.average_precision; output is the exact integer ap_micro
+    = AP · n_pos · 10⁶)."""
+    from faconne_spark.operators.evalstats import average_precision
+
+    ev = T(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    return average_precision(
+        ev, F.col("event_type") == "purchase", "value", ["day"]
+    )
+
+
+ORACLE_PR_AUC = """
+WITH base AS (
+  SELECT ts::DATE AS day, value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+hist AS (
+  SELECT day, s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
+  FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT day, pos, neg,
+         sum(pos) OVER (PARTITION BY day ORDER BY s DESC) AS tp,
+         sum(pos + neg) OVER (PARTITION BY day ORDER BY s DESC) AS t
+  FROM hist)
+SELECT day, sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+       sum(pos * ((2000000 * tp + t) // (2 * t)))::BIGINT AS ap_micro
+FROM cum GROUP BY day
+"""
+
+QUERIES["events_pr_auc"] = events_pr_auc
+ORACLES["events_pr_auc"] = ORACLE_PR_AUC

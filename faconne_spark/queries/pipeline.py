@@ -8,6 +8,8 @@ generator's parameters."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from faconne_spark.functions import (
@@ -1577,6 +1579,46 @@ QUERIES["dedup_incremental"] = dedup_incremental
 ORACLES["dedup_incremental"] = ORACLE_INCREMENTAL
 
 
+def dedup_changefeed(spark, sf):
+    """End-to-end S14 composition: the corpus lands in a manifest-
+    snapshot table in two commits (even doc_ids, then odd doc_ids),
+    and the CHANGE FEED between the snapshots — planned from the
+    manifest-list diff, scanning ONLY the added files, never the
+    table — is the batch that incremental_exact_dedup classifies
+    against the fingerprint state of snapshot 0.  Same verdict
+    semantics as dedup_incremental (same oracle, deliberately): the
+    lakehouse feed path must reproduce the static path bit-for-bit.
+
+    The table is rebuilt under a deterministic temp dir per (sf) so
+    repeated gate/bench runs don't accumulate snapshots."""
+    import re
+    import shutil
+    import tempfile
+
+    from faconne_spark.operators.dedup import exact_dedup, incremental_exact_dedup
+    from faconne_spark.sources import (
+        read_snapshot,
+        read_snapshot_changes,
+        write_snapshot,
+    )
+
+    docs = T(spark, sf, "documents")
+    tag = re.sub(r"\W+", "_", sf.rstrip("/"))
+    tdir = os.path.join(tempfile.gettempdir(), f"faconne_changefeed{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    write_snapshot(docs.filter("doc_id % 2 = 0"), tdir, mode="append")
+    write_snapshot(docs.filter("doc_id % 2 = 1"), tdir, mode="append")
+    changes = read_snapshot_changes(spark, tdir, 0, 1)
+    existing = exact_dedup(read_snapshot(spark, tdir, 0))
+    return incremental_exact_dedup(changes, existing)
+
+
+QUERIES["dedup_changefeed"] = dedup_changefeed
+# the whole point: the snapshot change feed must reproduce the static
+# incremental-dedup verdicts — ONE oracle text for both keys
+ORACLES["dedup_changefeed"] = ORACLE_INCREMENTAL
+
+
 def dedup_cascade(spark, sf):
     """Cascade dedup report — production dedup IS a cascade: cheap
     exact hashing first, then near-dup clustering, then asymmetric
@@ -2633,7 +2675,12 @@ def docs_nb_quality_classifier(spark, sf):
     return TX.nb_quality_classifier(T(spark, sf, "documents"))
 
 
-def _oracle_nb() -> str:
+def _nb_scored_ctes() -> str:
+    """The naive-Bayes train+score CTE chain ending in
+    ``scored(doc_id, source, keep, tok_score)`` + ``prior`` — ONE text
+    consumed by both _oracle_nb and the reliability-curve oracle so
+    the trained model they replay can never drift (the _ivf_sql
+    shared-builder discipline)."""
     from faconne_spark.operators.dedup import split_expr
     from faconne_spark.operators.text import NB_MICRO
 
@@ -2675,7 +2722,11 @@ scored AS (
   SELECT h.doc_id, h.source, h.keep,
          sum(coalesce(l.llr_micro, 0))::BIGINT AS tok_score
   FROM held h LEFT JOIN llr l USING (tok)
-  GROUP BY 1, 2, 3)
+  GROUP BY 1, 2, 3)"""
+
+
+def _oracle_nb() -> str:
+    return f"""{_nb_scored_ctes()}
 SELECT s.source, count(*)::BIGINT AS n_heldout,
        sum(CASE WHEN s.tok_score + p.prior_micro > 0
                 THEN 1 ELSE 0 END)::BIGINT AS n_pred_keep,
@@ -2688,6 +2739,59 @@ GROUP BY s.source
 
 QUERIES["docs_nb_quality_classifier"] = docs_nb_quality_classifier
 ORACLES["docs_nb_quality_classifier"] = _oracle_nb()
+
+
+# ------------------------------------------------- reliability diagram
+
+# pinned log-odds bounds in micro-units: observed held-out NB scores
+# span ~0.7e6..5.2e6 across SFs; out-of-range scores clamp to the edge
+# bins (the pinned-bounds contract that makes curves from independent
+# runs merge by adding counters)
+RELIAB_BOUNDS = (0, 6_000_000)
+RELIAB_BINS = 12
+
+
+def docs_reliability_curve(spark, sf):
+    """Calibration curve for the trained naive-Bayes quality
+    classifier: held-out docs bucketed into pinned log-odds bins, each
+    bin reporting example count, ACTUAL keep count, and the exact
+    integer score mass — is the classifier's confidence honest, bin by
+    bin?  Shares the trained model with docs_nb_quality_classifier
+    through the nb_scored_heldout stage (one implementation, two
+    read-offs)."""
+    from faconne_spark.operators.evalstats import reliability_bins
+    from faconne_spark.operators.text import nb_scored_heldout
+
+    scored = nb_scored_heldout(T(spark, sf, "documents"))
+    return reliability_bins(
+        scored, "score_micro", F.col("keep"), RELIAB_BOUNDS, RELIAB_BINS
+    )
+
+
+def _oracle_reliability() -> str:
+    lo, hi = RELIAB_BOUNDS
+    nb = RELIAB_BINS
+    span = hi - lo + 1
+    clamped = (
+        f"least(greatest(s.tok_score + p.prior_micro, {lo}), {hi})"
+    )
+    return f"""{_nb_scored_ctes()},
+binned AS (
+  SELECT (({clamped} - {lo}) * {nb} // {span})::INT AS bin,
+         (s.tok_score + p.prior_micro)::BIGINT AS score,
+         CASE WHEN s.keep THEN 1 ELSE 0 END AS y
+  FROM scored s CROSS JOIN prior p)
+SELECT bin,
+       ({lo} + (2 * bin + 1) * {span} // {2 * nb})::BIGINT AS mid_score,
+       count(*)::BIGINT AS n,
+       sum(y)::BIGINT AS n_pos,
+       sum(score)::BIGINT AS sum_score
+FROM binned GROUP BY bin
+"""
+
+
+QUERIES["docs_reliability_curve"] = docs_reliability_curve
+ORACLES["docs_reliability_curve"] = _oracle_reliability()
 
 
 # ------------------------------------------------- nprobe tuning sweep

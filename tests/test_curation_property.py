@@ -3479,3 +3479,79 @@ def test_categorical_entropy_matches_python(spark, rows):
         if len(syms) == 1:
             assert got[g][2] == 0
         assert got[g][2] >= -len(syms) * n  # micro-rounding slack only
+
+
+# ------------------------------------------------- round-6 additions
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(0, 1),
+            st.integers(0, 15).map(lambda x: x / 4.0),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_average_precision_matches_python(spark, vals):
+    """ap_micro replayed in plain Python over the same distinct-score
+    histogram and the same round-half-up integer precision — the AP
+    estimator is Σ_s pos(s)·prec_micro(s) with NO float anywhere."""
+    from collections import defaultdict
+
+    from faconne_spark.operators.evalstats import average_precision
+
+    df = spark.createDataFrame(
+        [(y, s) for y, s in vals], "y int, score double"
+    )
+    got = average_precision(df, F.col("y") == 1, "score", []).collect()[0]
+
+    hist = defaultdict(lambda: [0, 0])
+    for y, s in vals:
+        hist[s][0 if y else 1] += 1
+    tp = t = ap = 0
+    for s in sorted(hist, reverse=True):
+        pos, neg = hist[s]
+        tp += pos
+        t += pos + neg
+        ap += pos * ((2_000_000 * tp + t) // (2 * t))
+    n_pos = sum(1 for y, _ in vals if y)
+    assert (got["n_pos"], got["n_neg"], got["ap_micro"]) == (
+        n_pos, len(vals) - n_pos, ap
+    )
+
+
+def test_reliability_bins_clamps_glitch_scores(spark):
+    """Out-of-range (±2e17) integer scores must land in the edge bins
+    without overflowing the bin multiply — the same round-6
+    bounded_bin_sql contract as the histogram twins — and the bin
+    counters must cover every non-NULL row exactly once."""
+    from faconne_spark.operators.evalstats import reliability_bins
+
+    rows = [(2 * 10**17, 1), (-(2 * 10**17), 0)] + [
+        (i * 1_000_000, i % 2) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "score long, y int")
+    out = {
+        r["bin"]: r
+        for r in reliability_bins(
+            df, "score", F.col("y") == 1, (0, 10_000_000), 10
+        ).collect()
+    }
+    assert sum(r["n"] for r in out.values()) == len(rows)
+    assert out[0]["n"] >= 1 and out[9]["n"] >= 1
+    # midpoints stay inside the pinned range
+    for r in out.values():
+        assert 0 <= r["mid_score"] <= 10_000_000
+
+
+def test_reliability_bins_validation(spark):
+    from faconne_spark.operators.evalstats import reliability_bins
+
+    df = spark.createDataFrame([(1, 1)], "score long, y int")
+    with pytest.raises(ValueError, match="n_bins"):
+        reliability_bins(df, "score", F.col("y") == 1, (0, 10), 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        reliability_bins(df, "score", F.col("y") == 1, (10, 10), 4)

@@ -149,6 +149,13 @@ SNAPSHOT_QUERIES = [
     "events_value_weighted_quantiles",
     "events_type_value_mi",
     "events_type_entropy",
+    # round-6 new keys: pin the shared-histogram PR-AUC shape (no rank
+    # sort of the stream), the bounded reliability-bin aggregate over
+    # the broadcast NB model, and the changefeed's added-files-only
+    # scan feeding the fingerprint hash join
+    "events_pr_auc",
+    "docs_reliability_curve",
+    "dedup_changefeed",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
