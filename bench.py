@@ -298,6 +298,12 @@ def main() -> None:
         "events_pr_auc",
         "docs_reliability_curve",
         "dedup_changefeed",
+        "events_value_quantiles_merged",
+        "events_purchase_rate_ci",
+        "events_ab_srm",
+        "part_copurchase_jaccard",
+        "dedup_simhash_hamming_hist",
+        "events_chi2_type_dow",
     ]
     times = {}
     shuffle = {}

@@ -419,6 +419,66 @@ def histogram_quantiles(
             F.min("_hi").alias("_hi"),
         )
     )
+    return quantiles_from_value_bins(binned, group_col, n_bins, qs)
+
+
+def pinned_value_bins(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bounds: tuple,
+    n_bins: int = 64,
+) -> DataFrame:
+    """The (group, _bin, _cnt, _lo, _hi) pinned-bounds value histogram —
+    the MERGEABLE state behind histogram_quantiles' pinned mode, exposed
+    so independent shards/epochs/backfills can each build their own
+    relation and combine them with :func:`merge_value_bins` before ONE
+    read-off.  Same bounded_bin_sql binning (clamp-value-first), same
+    micro-unit fixed point; ≤ groups × n_bins rows out."""
+    if n_bins < 1:
+        raise ValueError(f"pinned_value_bins needs n_bins >= 1, got {n_bins}")
+    from faconne_spark.operators.evalstats import bounded_bin_sql
+    from faconne_spark.session import spread
+
+    lo, hi = bounds_us(bounds, "pinned_value_bins")
+    us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
+    pre = spread(df).withColumn(
+        "_lo", F.lit(lo).cast("long")
+    ).withColumn("_hi", F.lit(hi).cast("long"))
+    return (
+        pre.withColumn("_bin", F.expr(bounded_bin_sql(us, "_lo", "_hi", n_bins)))
+        .groupBy(group_col, "_bin")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min("_lo").alias("_lo"),
+            F.min("_hi").alias("_hi"),
+        )
+    )
+
+
+def merge_value_bins(parts: DataFrame, group_col: str) -> DataFrame:
+    """Merge pinned-bounds histograms built on the SAME bin space by
+    adding counts per (group, bin) — the defining mergeable property;
+    the merged relation reads identical quantiles to a full recompute
+    (pinned by the events_value_quantiles_merged gate key)."""
+    return parts.groupBy(group_col, "_bin").agg(
+        F.sum("_cnt").alias("_cnt"),
+        F.min("_lo").alias("_lo"),
+        F.min("_hi").alias("_hi"),
+    )
+
+
+def quantiles_from_value_bins(
+    binned: DataFrame,
+    group_col: str,
+    n_bins: int,
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """The quantile read-off over a (group, _bin, _cnt, _lo, _hi)
+    histogram relation (one row per group × bin) — shared by both
+    histogram_quantiles modes and the merged-shards path so the
+    cumulative-threshold / integer-midpoint arithmetic exists once.
+    Windows run over the ≤ groups × n_bins relation, never the data."""
     w = Window.partitionBy(group_col).orderBy("_bin")
     cum = binned.withColumn(
         "_cum", F.sum("_cnt").over(w)
@@ -1052,3 +1112,32 @@ def weighted_histogram_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def wilson_bounds_sql(k: str, n: str, z: float = 1.96) -> tuple:
+    """Wilson score-interval bounds as ONE portable SQL text per side,
+    valid verbatim in Spark SQL and DuckDB — the binomial-rate error
+    bar that stays inside [0, 1] at small n where the normal
+    approximation fails.
+
+    Cross-engine determinism: ``k``/``n`` are BIGINT count expressions;
+    every constant enters through an explicit cast to double (a bare
+    decimal literal is DECIMAL in both parsers — the documented
+    division-rounding trap), and the formula uses only IEEE
+    correctly-rounded ops (+ − × ÷ sqrt) on values derived identically
+    in both engines, so the doubles agree bit-for-bit before the one
+    final round(6).  All arithmetic is in doubles (never n·n in BIGINT
+    — that overflows at 10¹⁰ rows)."""
+    zd = f"cast({z!r} as double)"
+    nd = f"cast({n} as double)"
+    p = f"({k} / {n})"
+    c = f"({p} + {zd} * {zd} / (2 * {nd}))"
+    d = f"(1 + {zd} * {zd} / {nd})"
+    h = (
+        f"({zd} * sqrt({p} * (1 - {p}) / {nd}"
+        f" + {zd} * {zd} / (4 * {nd} * {nd})))"
+    )
+    return (
+        f"round(({c} - {h}) / {d}, 6)",
+        f"round(({c} + {h}) / {d}, 6)",
+    )

@@ -51,7 +51,10 @@ _FIRST = [
     "events_value_quantiles", "events_active_users_rollup",
     # -- new in r6 --
     "events_pr_auc", "docs_reliability_curve", "dedup_changefeed",
-    # ============== end r6 block — 25 of the 50-key window ==============
+    "events_value_quantiles_merged", "events_purchase_rate_ci",
+    "events_ab_srm", "part_copurchase_jaccard",
+    "dedup_simhash_hamming_hist", "events_chi2_type_dow",
+    # ============== end r6 block — 31 of the 50-key window ==============
     # -- unchanged keys (fresh r5 rows), r5 order --
     "fac_campus_report", "fac_expand_aggs",
     "dedup_stitch", "training_manifest", "dedup_cascade",

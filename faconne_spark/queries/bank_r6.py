@@ -985,6 +985,61 @@ BANK_QUERIES["part_copurchase_ra"] = part_copurchase_ra
 BANK_ORACLES["part_copurchase_ra"] = _oracle_ra()
 
 
+JAC_TOPK = 3
+
+
+def part_copurchase_jaccard(spark, sf):
+    """Neighborhood-Jaccard link prediction over the SAME co-purchase
+    graph as the RA key (new in round 6): what FRACTION of the two
+    parts' combined neighborhoods agrees — the degree-normalized
+    complement of RA's rare-neighbor weighting (compare the two
+    rankings to see hub effects; see dedup.jaccard_link_prediction,
+    pure-BIGINT micro scores)."""
+    from faconne_spark.operators.dedup import jaccard_link_prediction
+
+    return jaccard_link_prediction(_copurchase_pairs(spark, sf), JAC_TOPK)
+
+
+def _oracle_jaccard() -> str:
+    return f"""
+WITH {COPURCHASE_CTE},
+deg AS MATERIALIZED (
+  SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+wedge AS (
+  SELECT e1.src AS w, e1.dst AS a, e2.dst AS b
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.src AND e1.dst < e2.dst),
+cand AS (
+  SELECT a AS id_a, b AS id_b, count(*)::BIGINT AS n_common
+  FROM wedge GROUP BY 1, 2),
+nonadj AS (
+  SELECT c.id_a, c.id_b, c.n_common
+  FROM cand c ANTI JOIN prs p
+    ON p.id_a = c.id_a AND p.id_b = c.id_b),
+scored AS (
+  SELECT n.id_a, n.id_b, n.n_common,
+         (2000000 * n.n_common + (da.deg + db.deg - n.n_common))
+           // (2 * (da.deg + db.deg - n.n_common)) AS jm
+  FROM nonadj n
+  JOIN deg da ON da.src = n.id_a
+  JOIN deg db ON db.src = n.id_b),
+bothdir AS (
+  SELECT id_a, id_b, n_common, jm FROM scored
+  UNION ALL
+  SELECT id_b, id_a, n_common, jm FROM scored)
+SELECT id_a, id_b, n_common, jm::BIGINT AS jac_micro, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+    ORDER BY jm DESC, id_b) AS rk
+  FROM bothdir)
+WHERE rk <= {JAC_TOPK}
+"""
+
+
+BANK_QUERIES["part_copurchase_jaccard"] = part_copurchase_jaccard
+BANK_ORACLES["part_copurchase_jaccard"] = _oracle_jaccard()
+
+
 # ------------------------------------------- quantile normalization
 
 def events_quantile_normalize(spark, sf):

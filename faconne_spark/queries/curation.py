@@ -3331,3 +3331,299 @@ FROM cum GROUP BY day
 
 QUERIES["events_pr_auc"] = events_pr_auc
 ORACLES["events_pr_auc"] = ORACLE_PR_AUC
+
+
+# --------------------------------------- merged pinned-histogram proof
+
+# pinned global bin space for the merge demonstration — covers the
+# observed events.value range at every SF (max ≈ 560 at sf0.1); values
+# beyond it clamp to the edge bins by the bounded_bin_sql contract
+EVQ_BOUNDS = (0.0, 600.0)
+
+
+def events_value_quantiles_merged(spark, sf):
+    """The mergeability claim of the pinned-bounds histogram, proven
+    through the gate: two DISJOINT shards (even/odd event_ids) each
+    build their own pinned_value_bins relation, the merged histogram
+    adds counts per (group, bin), and the quantile read-off over the
+    merge must equal a single-pass recompute over the full stream —
+    the oracle IS that single pass.  This is the exact shape of a
+    backfill + daily-increment pipeline at 100 TB: shards never meet
+    until the ≤ groups × n_bins states do."""
+    from faconne_spark.operators.relational import (
+        merge_value_bins,
+        pinned_value_bins,
+        quantiles_from_value_bins,
+    )
+
+    ev = T(spark, sf, "events")
+    parts = pinned_value_bins(
+        ev.filter("event_id % 2 = 0"), "value", "event_type",
+        EVQ_BOUNDS, HQ_BINS,
+    ).unionByName(
+        pinned_value_bins(
+            ev.filter("event_id % 2 = 1"), "value", "event_type",
+            EVQ_BOUNDS, HQ_BINS,
+        )
+    )
+    merged = merge_value_bins(parts, "event_type")
+    return quantiles_from_value_bins(merged, "event_type", HQ_BINS, HQ_QS)
+
+
+def _oracle_hist_quantiles_pinned() -> str:
+    from faconne_spark.operators.relational import bounds_us
+
+    lo, hi = bounds_us(EVQ_BOUNDS, "events_value_quantiles_merged")
+    nb = HQ_BINS
+    span = hi - lo + 1
+    parts = []
+    for q in HQ_QS:
+        q_us = int(round(q * 1_000_000))
+        parts.append(f"""
+SELECT event_type, {q} AS q,
+       round(({lo} + (2 * _qbin + 1)::BIGINT * {span} // {2 * nb})
+             / 1000000.0, 6) AS estimate
+FROM (
+  SELECT event_type, min(_bin) AS _qbin
+  FROM cum WHERE _cum * 1000000 >= _total * {q_us}
+  GROUP BY event_type)""")
+    return f"""
+WITH b AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS us
+  FROM events),
+binned AS (
+  SELECT event_type,
+         ((least(greatest(us, {lo}), {hi}) - {lo}) * {nb}
+          // {span})::INT AS _bin,
+         count(*) AS _cnt
+  FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, _bin,
+         sum(_cnt) OVER (PARTITION BY event_type ORDER BY _bin) AS _cum,
+         sum(_cnt) OVER (PARTITION BY event_type) AS _total
+  FROM binned)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["events_value_quantiles_merged"] = events_value_quantiles_merged
+ORACLES["events_value_quantiles_merged"] = _oracle_hist_quantiles_pinned()
+
+
+# --------------------------------------------- Wilson rate intervals
+
+def events_purchase_rate_ci(spark, sf):
+    """Daily purchase-through rate with a Wilson 95% score interval —
+    the error bar a conversion dashboard needs when some days have 40
+    events and others 40k (a normal-approximation CI goes negative
+    exactly where it matters).  All arithmetic is count-derived:
+    identical BIGINTs enter the same IEEE expression in both engines
+    (division / multiply / sqrt are correctly-rounded per IEEE-754, so
+    equal inputs give equal doubles), then one round(6)."""
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    ev = T(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    agg = ev.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return agg.select(
+        "day",
+        "n",
+        F.col("k").alias("n_purchases"),
+        F.expr("round(k / n, 6)").alias("rate"),
+        F.expr(lo_sql).alias("wilson_lo"),
+        F.expr(hi_sql).alias("wilson_hi"),
+    )
+
+
+def _oracle_purchase_rate_ci() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return f"""
+WITH agg AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS k
+  FROM events GROUP BY 1)
+SELECT day, n, k AS n_purchases,
+       round(k / n, 6) AS rate,
+       {lo_sql} AS wilson_lo,
+       {hi_sql} AS wilson_hi
+FROM agg
+"""
+
+
+QUERIES["events_purchase_rate_ci"] = events_purchase_rate_ci
+ORACLES["events_purchase_rate_ci"] = _oracle_purchase_rate_ci()
+
+
+# --------------------------------------------- sample-ratio mismatch
+
+def events_ab_srm(spark, sf):
+    """Sample-ratio-mismatch check for the A/B assignment — the FIRST
+    thing to read on any experiment dashboard (a biased split
+    invalidates every downstream metric).  Same deterministic hash
+    arms as events_ab_test; one-degree-of-freedom χ² against the
+    designed 50/50 split kept as an exact integer micro-unit
+    statistic: chi2_micro = round(10⁶ · (n₀ − n₁)² / n).  The flag
+    compares that INTEGER to the 0.001-significance cutoff (10.828),
+    so both engines flag identically."""
+    h = phash60("concat('ab', user_id)", "spark")
+    per_user = (
+        T(spark, sf, "events")
+        .select(F.expr(f"({h}) % 2").alias("arm"), "user_id")
+        .distinct()
+    )
+    agg = per_user.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_treatment"),
+    )
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        F.expr(
+            "cast(round(1000000 * (cast(n_control - n_treatment as double)"
+            " * cast(n_control - n_treatment as double))"
+            " / cast(n_control + n_treatment as double), 0) as bigint)"
+        ).alias("chi2_micro"),
+    ).withColumn("srm_flag", F.expr("chi2_micro > 10828000"))
+
+
+def _oracle_ab_srm() -> str:
+    h = phash60("('ab' || user_id::VARCHAR)", "duckdb")
+    return f"""
+WITH per_user AS (
+  SELECT DISTINCT ({h}) % 2 AS arm, user_id FROM events),
+agg AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treatment
+  FROM per_user)
+SELECT n_control, n_treatment,
+       round(1000000 * ((n_control - n_treatment)::DOUBLE
+             * (n_control - n_treatment)::DOUBLE)
+             / (n_control + n_treatment)::DOUBLE, 0)::BIGINT AS chi2_micro,
+       round(1000000 * ((n_control - n_treatment)::DOUBLE
+             * (n_control - n_treatment)::DOUBLE)
+             / (n_control + n_treatment)::DOUBLE, 0)::BIGINT > 10828000
+         AS srm_flag
+FROM agg
+"""
+
+
+QUERIES["events_ab_srm"] = events_ab_srm
+ORACLES["events_ab_srm"] = _oracle_ab_srm()
+
+
+# --------------------------------------- two-way independence test
+
+def events_chi2_type_dow(spark, sf):
+    """Pearson χ² independence test between event type and day-of-week
+    (is the traffic MIX weekday-dependent, or only its volume?) with
+    Cramér's V effect size — the categorical complement of the
+    hour-of-day seasonality gauge (which tests volume uniformity, one
+    type at a time).
+
+    Portability: day-of-week is (days since 1970-01-01) mod 7 — the
+    engines disagree on dayofweek() numbering, the epoch offset they
+    cannot disagree on (0 = Thursday, documented).  Zero cells enter
+    the statistic through the margins' cross join (a types × 7 grid).
+    Per-cell terms are (O·n − R·C)²/(n·R·C) evaluated in DOUBLES built
+    from identical BIGINTs — every step an IEEE correctly-rounded op,
+    no libm — then micro-rounded to ONE integer per cell and summed
+    partition-order-free; V = sqrt((χ²/10⁶)/(n·min(r−1,c−1))) emerges
+    from that integer."""
+    ev = T(spark, sf, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("cast(datediff(to_date(ts), DATE'1970-01-01') % 7 as int)")
+        .alias("dw"),
+    )
+    obs = ev.groupBy("t", "dw").agg(F.count("*").alias("o"))
+    rmarg = obs.groupBy("t").agg(F.sum("o").alias("r"))
+    cmarg = obs.groupBy("dw").agg(F.sum("o").alias("c"))
+    # full grid (types × 7) so zero cells contribute their expected mass
+    grid = rmarg.crossJoin(F.broadcast(cmarg))
+    cells = (
+        grid.join(obs, ["t", "dw"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(
+            F.broadcast(obs.groupBy().agg(F.sum("o").alias("n")))
+        )
+        .withColumn(
+            "term_micro",
+            F.expr(
+                "cast(round(1000000 *"
+                " (cast(o as double) * cast(n as double)"
+                "  - cast(r as double) * cast(c as double))"
+                " * (cast(o as double) * cast(n as double)"
+                "    - cast(r as double) * cast(c as double))"
+                " / (cast(n as double) * cast(r as double)"
+                "    * cast(c as double)), 0) as bigint)"
+            ),
+        )
+    )
+    return (
+        cells.groupBy()
+        .agg(
+            F.max("n").alias("n"),
+            F.countDistinct("t").alias("n_types"),
+            F.countDistinct("dw").alias("n_dows"),
+            F.sum("term_micro").alias("chi2_micro"),
+        )
+        .withColumn(
+            "dof", F.expr("(n_types - 1) * (n_dows - 1)")
+        )
+        .withColumn(
+            "cramers_v",
+            F.expr(
+                "round(sqrt((chi2_micro / 1000000.0)"
+                " / (cast(n as double)"
+                "    * least(n_types - 1, n_dows - 1))), 6)"
+            ),
+        )
+    )
+
+
+ORACLE_CHI2_DOW = """
+WITH ev AS (
+  SELECT event_type AS t,
+         ((ts::DATE - DATE '1970-01-01') % 7)::INT AS dw
+  FROM events),
+obs AS (SELECT t, dw, count(*)::BIGINT AS o FROM ev GROUP BY 1, 2),
+rmarg AS (SELECT t, sum(o)::BIGINT AS r FROM obs GROUP BY 1),
+cmarg AS (SELECT dw, sum(o)::BIGINT AS c FROM obs GROUP BY 1),
+tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
+cells AS (
+  SELECT coalesce(obs.o, 0)::BIGINT AS o, rm.r, cm.c, tot.n
+  FROM rmarg rm CROSS JOIN cmarg cm CROSS JOIN tot
+  LEFT JOIN obs ON obs.t = rm.t AND obs.dw = cm.dw),
+terms AS (
+  SELECT n,
+         round(1000000 *
+               (o::DOUBLE * n::DOUBLE - r::DOUBLE * c::DOUBLE)
+               * (o::DOUBLE * n::DOUBLE - r::DOUBLE * c::DOUBLE)
+               / (n::DOUBLE * r::DOUBLE * c::DOUBLE), 0)::BIGINT
+           AS term_micro
+  FROM cells),
+agg AS (
+  SELECT max(n)::BIGINT AS n,
+         (SELECT count(*) FROM rmarg)::BIGINT AS n_types,
+         (SELECT count(*) FROM cmarg)::BIGINT AS n_dows,
+         sum(term_micro)::BIGINT AS chi2_micro
+  FROM terms)
+SELECT n, n_types, n_dows, chi2_micro,
+       ((n_types - 1) * (n_dows - 1))::BIGINT AS dof,
+       round(sqrt((chi2_micro / 1000000.0)
+             / (n::DOUBLE * least(n_types - 1, n_dows - 1))), 6)
+         AS cramers_v
+FROM agg
+"""
+
+QUERIES["events_chi2_type_dow"] = events_chi2_type_dow
+ORACLES["events_chi2_type_dow"] = ORACLE_CHI2_DOW

@@ -1613,6 +1613,41 @@ def dedup_changefeed(spark, sf):
     return incremental_exact_dedup(changes, existing)
 
 
+HAMHIST_MAX = 15
+
+
+def dedup_simhash_hamming_hist(spark, sf):
+    """Threshold-calibration histogram for the SimHash family: hamming-
+    distance distribution of BAND-SHARING candidate pairs up to 15 bits
+    — where does the candidate mass sit relative to the production
+    ham <= 3 cutoff?  (Honest scope: with 4 bands, recall is only
+    guaranteed for ham <= 3; beyond that the histogram counts the
+    band-colliding SAMPLE of each distance class — exactly the
+    population the verify stage would pay for at a looser cutoff.)"""
+    return (
+        D.simhash_pairs(T(spark, sf, "documents"), HAMHIST_MAX)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+ORACLE_HAMHIST = (
+    ORACLE_SIMHASH.split("SELECT DISTINCT")[0]
+    + f"""SELECT hamming, count(*)::BIGINT AS n_pairs
+FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {HAMHIST_MAX})
+GROUP BY hamming
+"""
+)
+
+QUERIES["dedup_simhash_hamming_hist"] = dedup_simhash_hamming_hist
+ORACLES["dedup_simhash_hamming_hist"] = ORACLE_HAMHIST
+
+
 QUERIES["dedup_changefeed"] = dedup_changefeed
 # the whole point: the snapshot change feed must reproduce the static
 # incremental-dedup verdicts — ONE oracle text for both keys

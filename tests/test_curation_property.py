@@ -3555,3 +3555,160 @@ def test_reliability_bins_validation(spark):
         reliability_bins(df, "score", F.col("y") == 1, (0, 10), 0)
     with pytest.raises(ValueError, match="lo < hi"):
         reliability_bins(df, "score", F.col("y") == 1, (10, 10), 4)
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(-5, 605, allow_nan=False).map(lambda x: round(x, 3)),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cut=st.integers(0, 9),
+)
+def test_pinned_bins_merge_equals_full(spark, vals, cut):
+    """The mergeability contract behind events_value_quantiles_merged:
+    pinned-bounds histograms of ANY disjoint split, merged by adding
+    counts, read the same quantiles as one pass over the whole —
+    including out-of-range values clamped to the edge bins."""
+    from faconne_spark.operators.relational import (
+        histogram_quantiles,
+        merge_value_bins,
+        pinned_value_bins,
+        quantiles_from_value_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(vals)],
+        "grp string, value double, i long",
+    )
+    bounds, nb, qs = (0.0, 600.0), 16, (0.5, 0.95)
+    full = sorted(
+        map(tuple, histogram_quantiles(
+            df, "value", "grp", nb, qs, bounds=bounds
+        ).collect())
+    )
+    parts = pinned_value_bins(
+        df.filter(f"i % 10 < {cut}"), "value", "grp", bounds, nb
+    ).unionByName(
+        pinned_value_bins(
+            df.filter(f"i % 10 >= {cut}"), "value", "grp", bounds, nb
+        )
+    )
+    merged = sorted(
+        map(tuple, quantiles_from_value_bins(
+            merge_value_bins(parts, "grp"), "grp", nb, qs
+        ).collect())
+    )
+    assert merged == full
+
+
+@PROP
+@given(
+    kn=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 40)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_wilson_bounds_match_python(spark, kn):
+    """The Wilson SQL text replayed in plain Python floats — same IEEE
+    ops in the same order — plus the interval sanity p̂ ∈ [lo, hi] ⊆
+    [0, 1]."""
+    import math
+
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    rows = [(k if k <= n else n, n) for k, n in kn]
+    df = spark.createDataFrame(rows, "k long, n long")
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    got = df.selectExpr("k", "n", f"{lo_sql} AS lo", f"{hi_sql} AS hi").collect()
+    z = 1.96
+    for r in got:
+        k, n = r["k"], r["n"]
+        p = k / n
+        c = p + z * z / (2 * n)
+        d = 1 + z * z / n
+        h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        assert r["lo"] == round((c - h) / d, 6)
+        assert r["hi"] == round((c + h) / d, 6)
+        assert 0.0 <= r["lo"] <= p + 1e-9 and p - 1e-9 <= r["hi"] <= 1.0
+
+
+def test_jaccard_link_prediction_matches_python(spark):
+    """Scores and top-k ranking replayed by brute force on a small
+    graph (two triangles sharing a node + a pendant)."""
+    from faconne_spark.operators.dedup import jaccard_link_prediction
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jac_micro"], r["rk"])
+        for r in jaccard_link_prediction(df, 2).collect()
+    }
+
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    eset = {frozenset(e) for e in edges}
+    cand = {}
+    for a in nbr:
+        for b in nbr:
+            if a < b and frozenset((a, b)) not in eset:
+                nc = len(nbr[a] & nbr[b])
+                if nc:
+                    d = len(nbr[a]) + len(nbr[b]) - nc
+                    cand[(a, b)] = (nc, (2_000_000 * nc + d) // (2 * d))
+    want = {}
+    for src in nbr:
+        ranked = sorted(
+            (
+                (-jm, other, nc)
+                for (a, b), (nc, jm) in cand.items()
+                for other in ((b,) if a == src else (a,) if b == src else ())
+            ),
+        )
+        for rk, (njm, other, nc) in enumerate(ranked[:2], 1):
+            want[(src, other)] = (nc, -njm, rk)
+    assert got == want and len(got) > 0
+
+
+def test_chi2_type_dow_matches_python(spark, sf_dir):
+    """The registered χ² replayed in plain Python from the same
+    contingency counts (including zero cells through the margins)."""
+    from faconne_spark.queries.curation import events_chi2_type_dow
+    from faconne_spark.queries import T
+    import datetime
+
+    got = events_chi2_type_dow(spark, sf_dir).collect()[0]
+    rows = (
+        T(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type AS t",
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 as int) AS dw",
+        )
+        .groupBy("t", "dw")
+        .count()
+        .collect()
+    )
+    obs = {(r["t"], r["dw"]): r["count"] for r in rows}
+    ts = sorted({t for t, _ in obs})
+    ds = sorted({d for _, d in obs})
+    n = sum(obs.values())
+    rm = {t: sum(v for (tt, _), v in obs.items() if tt == t) for t in ts}
+    cm = {d: sum(v for (_, dd), v in obs.items() if dd == d) for d in ds}
+    chi2 = 0
+    for t in ts:
+        for d in ds:
+            o = obs.get((t, d), 0)
+            num = float(o) * float(n) - float(rm[t]) * float(cm[d])
+            chi2 += int(round(
+                1_000_000 * num * num
+                / (float(n) * float(rm[t]) * float(cm[d]))
+            ))
+    assert got["chi2_micro"] == chi2
+    assert got["dof"] == (len(ts) - 1) * (len(ds) - 1)

@@ -156,6 +156,17 @@ SNAPSHOT_QUERIES = [
     "events_pr_auc",
     "docs_reliability_curve",
     "dedup_changefeed",
+    # round-6 wave 2: pin the shard-merge histogram shape (read-off over
+    # the bounded merged relation), the single-aggregate Wilson pass,
+    # the per-user-distinct SRM counters, the shared wedge/anti-join
+    # Jaccard ranking, the banded hamming histogram, and the
+    # margins-grid χ² with its broadcast 1-row total
+    "events_value_quantiles_merged",
+    "events_purchase_rate_ci",
+    "events_ab_srm",
+    "part_copurchase_jaccard",
+    "dedup_simhash_hamming_hist",
+    "events_chi2_type_dow",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,

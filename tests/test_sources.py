@@ -726,3 +726,94 @@ def test_changefeed_dedup_equals_static_path(spark, sf_dir):
     assert feed == static and len(feed) > 0
     again = sorted(map(tuple, dedup_changefeed(spark, sf_dir).collect()))
     assert again == feed
+
+
+def test_sketch_epoch_states_read_back_as_artifacts(spark, sf_dir, tmp_path):
+    """S12 over the round-5 sketch epoch states (VERDICT r5 ask #5):
+    the HLL/KMV/CMS/Bloom state DIRECTORIES are inspectable data
+    artifacts — epoch-partitioned parquet with stamped parameters and
+    register-bounded row counts — and the from_state read-offs over
+    them reproduce the batch operators on the union of the batches.
+    (Bit-equality under a real readStream is pinned in
+    tests/test_streaming.py; this is the artifact/ops-surface face.)"""
+    import os
+
+    from faconne_spark.functions import HLL_M
+    from faconne_spark.operators.sketches import hll_distinct, kmv_sketch
+    from faconne_spark.queries import T
+    from faconne_spark.streaming.stats import (
+        hll_distinct_from_state,
+        hll_epoch,
+        kmv_epoch,
+        kmv_sketch_from_state,
+        token_cms_epoch,
+        cms_topk_from_state,
+        bloom_epoch,
+        bloom_filter_from_state,
+    )
+
+    ev = T(spark, sf_dir, "events").limit(600).persist()
+    docs = T(spark, sf_dir, "documents").limit(120).persist()
+    state = str(tmp_path / "state")
+    for e in range(3):
+        hll_epoch(ev.filter(f"event_id % 3 = {e}"), e, state)
+        kmv_epoch(ev.filter(f"event_id % 3 = {e}"), e, state, k=32)
+        token_cms_epoch(
+            docs.filter(f"doc_id % 3 = {e}"), e, state, width=256, depth=4
+        )
+        bloom_epoch(
+            docs.filter(f"doc_id % 3 = {e}"), e, state, m_bits=1 << 14, k=3
+        )
+
+    # (a) artifact shape: every state is epoch-partitioned parquet with
+    # stamped parameters, and an epoch filter prunes to one partition
+    hll_raw = spark.read.parquet(os.path.join(state, "hll_regs"))
+    assert sorted(
+        r["epoch"] for r in hll_raw.select("epoch").distinct().collect()
+    ) == [0, 1, 2]
+    assert "PartitionFilters: [isnotnull(epoch" in hll_raw.filter(
+        "epoch = 1"
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    groups = ev.select("event_type").distinct().count()
+    assert hll_raw.count() <= 3 * groups * HLL_M  # register-bounded
+    cms_raw = spark.read.parquet(os.path.join(state, "cms_sketch"))
+    assert cms_raw.count() <= 3 * 256 * 4  # width x depth per epoch
+    assert {(r["width"], r["depth"]) for r in
+            cms_raw.select("width", "depth").distinct().collect()} == {(256, 4)}
+    kmv_raw = spark.read.parquet(os.path.join(state, "kmv_mins"))
+    assert kmv_raw.count() <= 3 * groups * 32
+
+    # (b) the read-offs reproduce the batch operators on the union
+    want_hll = {
+        r["event_type"]: r["hll_est"]
+        for r in hll_distinct(ev, "user_id", "event_type").collect()
+        if r["event_type"] != "__all__"
+    }
+    got_hll = {
+        r["grp"]: r["hll_est"]
+        for r in hll_distinct_from_state(spark, state).collect()
+        if r["grp"] != "__all__"
+    }
+    assert got_hll == want_hll
+    want_kmv = {
+        r["event_type"]: (r["n_kept"], r["theta"], r["est_distinct"])
+        for r in kmv_sketch(
+            ev, "event_type", "cast(user_id as string)", 32
+        ).collect()
+    }
+    got_kmv = {
+        r["grp"]: (r["n_kept"], r["theta"], r["est_distinct"])
+        for r in kmv_sketch_from_state(spark, state, k=32).collect()
+    }
+    assert got_kmv == want_kmv
+    topk = cms_topk_from_state(spark, state, width=256, depth=4, k=5).collect()
+    assert len(topk) == 5 and all(r["est"] >= r["exact"] for r in topk)
+    bloom = bloom_filter_from_state(spark, state, m_bits=1 << 14, k=3)
+    assert 0 < bloom.count() <= (1 << 14) // 64
+
+    ev.unpersist()
+    docs.unpersist()
