@@ -304,6 +304,13 @@ def main() -> None:
         "part_copurchase_jaccard",
         "dedup_simhash_hamming_hist",
         "events_chi2_type_dow",
+        "dedup_lsh_banding_sweep",
+        "events_winsorized_stats",
+        "orders_lorenz_curve",
+        "events_new_vs_returning",
+        "dup_cluster_source_mix",
+        "events_ab_power",
+        "events_topk_user_churn",
     ]
     times = {}
     shuffle = {}

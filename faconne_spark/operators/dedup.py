@@ -1543,3 +1543,76 @@ def jaccard_link_prediction(
         .filter(F.col("rk") <= top_k)
         .select("id_a", "id_b", "n_common", F.col("__jm").alias("jac_micro"), "rk")
     )
+
+
+def lsh_banding_sweep(
+    docs: DataFrame,
+    n_shingle: int = 3,
+    k: int = 12,
+    bands_list: tuple = (2, 3, 4, 6),
+) -> DataFrame:
+    """LSH banding-parameter sweep: candidate volume and aggregate
+    signature agreement for SEVERAL (bands, rows) splits of the SAME
+    k-perm MinHash signatures — the tuning table that picks the
+    banding threshold (s-curve midpoint ≈ (1/b)^(1/r)) before a
+    production dedup run, the way ann_nprobe_sweep tunes IVF.
+
+    One row per configuration: bands, r, candidate-pair count, and the
+    exact integer Σ over candidates of agreeing-minhash counts (the
+    numerator of mean estimated Jaccard — left unreduced so the output
+    is pure BIGINT; mean = sig_match_sum / (k · n_candidate_pairs)).
+
+    Scale (100 TB): the signature relation is built ONCE and persisted
+    (the expensive md5+permutation pass); each configuration re-bands
+    the cached ~100 B/doc relation and pays one shared-band self-join —
+    the sweep costs b_configs band joins, never b_configs corpus
+    scans."""
+    for b in bands_list:
+        if k % b:
+            raise ValueError(
+                f"lsh_banding_sweep needs k % bands == 0, got k={k}, "
+                f"bands={b}"
+            )
+    sig = minhash_sig(word_shingles("text", n_shingle, "spark"), k, "spark")
+    with_sig = _persist_sig(
+        spread(docs).select("doc_id", F.expr(sig).alias("sig")), docs
+    )
+    out = None
+    for b in bands_list:
+        r = k // b
+        banded = with_sig.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[F.expr(band_sig("sig", j, r, "spark")) for j in range(b)]
+                )
+            ).alias("band"),
+        )
+        x, y = banded.alias("a"), banded.alias("b")
+        cand = (
+            x.join(
+                y,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.expr(
+                    "size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
+                    " v -> v))"
+                ).alias("__m"),
+            )
+            .distinct()
+        )
+        row = cand.groupBy().agg(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("r"),
+            F.count("*").alias("n_candidate_pairs"),
+            F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias(
+                "sig_match_sum"
+            ),
+        ).select("bands", "r", "n_candidate_pairs", "sig_match_sum")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -54,7 +54,10 @@ _FIRST = [
     "events_value_quantiles_merged", "events_purchase_rate_ci",
     "events_ab_srm", "part_copurchase_jaccard",
     "dedup_simhash_hamming_hist", "events_chi2_type_dow",
-    # ============== end r6 block — 31 of the 50-key window ==============
+    "dedup_lsh_banding_sweep", "events_winsorized_stats",
+    "orders_lorenz_curve", "events_new_vs_returning",
+    "dup_cluster_source_mix", "events_ab_power", "events_topk_user_churn",
+    # ============== end r6 block — 38 of the 50-key window ==============
     # -- unchanged keys (fresh r5 rows), r5 order --
     "fac_campus_report", "fac_expand_aggs",
     "dedup_stitch", "training_manifest", "dedup_cascade",

@@ -3627,3 +3627,402 @@ FROM agg
 
 QUERIES["events_chi2_type_dow"] = events_chi2_type_dow
 ORACLES["events_chi2_type_dow"] = ORACLE_CHI2_DOW
+
+
+# --------------------------------------------- winsorized robust stats
+
+WINS_QS = (0.05, 0.95)
+
+
+def events_winsorized_stats(spark, sf):
+    """Winsorized per-type value moments: the p05/p95 HISTOGRAM-SKETCH
+    cuts (the same mergeable single-pass sketch as
+    events_value_quantiles) broadcast back, values clamped into them,
+    exact fixed-point sums for both raw and winsorized means — the
+    robust revenue-per-event tile that one fat-finger refund can't
+    drag.  Output stays pure integers (sum_us / wins_sum_us; mean =
+    sum / (n·10⁶)); the cuts ride along as the sketch's rounded
+    estimates."""
+    from faconne_spark.operators.relational import histogram_quantiles
+
+    ev = T(spark, sf, "events")
+    cuts = (
+        histogram_quantiles(ev, "value", "event_type", HQ_BINS, WINS_QS)
+        .groupBy("event_type")
+        .pivot("q", list(WINS_QS))
+        .agg(F.first("estimate"))
+        .select(
+            "event_type",
+            F.col("`0.05`").alias("p05"),
+            F.col("`0.95`").alias("p95"),
+        )
+    )
+    us = "cast(floor(value * 1000000 + 0.5) as bigint)"
+    clamped = (
+        "least(greatest(" + us + ", cast(round(p05 * 1000000) as bigint)),"
+        " cast(round(p95 * 1000000) as bigint))"
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"sum({us})").alias("sum_us"),
+            F.expr(f"sum({clamped})").alias("wins_sum_us"),
+            F.first("p05").alias("p05"),
+            F.first("p95").alias("p95"),
+        )
+    )
+
+
+def _oracle_winsorized() -> str:
+    nb = HQ_BINS
+    parts = []
+    for q in WINS_QS:
+        q_us = int(round(q * 1_000_000))
+        parts.append(f"""
+SELECT event_type, {q} AS q,
+       round((_lo + (2 * _qbin + 1) * (_hi - _lo + 1) // {2 * nb})
+             / 1000000.0, 6) AS estimate
+FROM (
+  SELECT event_type, min(_bin) AS _qbin, min(_lo) AS _lo, min(_hi) AS _hi
+  FROM cum WHERE _cum * 1000000 >= _total * {q_us}
+  GROUP BY event_type)""")
+    return f"""
+WITH b AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS us
+  FROM events),
+bounds AS (
+  SELECT event_type, min(us) AS _lo, max(us) AS _hi
+  FROM b GROUP BY event_type),
+binned AS (
+  SELECT b.event_type,
+         ((least(greatest(b.us, bo._lo), bo._hi) - bo._lo) * {nb}
+          // (bo._hi - bo._lo + 1))::INT AS _bin,
+         count(*) AS _cnt, min(bo._lo) AS _lo, min(bo._hi) AS _hi
+  FROM b JOIN bounds bo USING (event_type)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, _bin, _lo, _hi,
+         sum(_cnt) OVER (PARTITION BY event_type ORDER BY _bin) AS _cum,
+         sum(_cnt) OVER (PARTITION BY event_type) AS _total
+  FROM binned),
+cuts AS (
+  SELECT event_type,
+         min(CASE WHEN q = 0.05 THEN estimate END) AS p05,
+         min(CASE WHEN q = 0.95 THEN estimate END) AS p95
+  FROM ({" UNION ALL ".join(parts)}) GROUP BY event_type)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       sum(floor(e.value * 1000000 + 0.5)::BIGINT)::BIGINT AS sum_us,
+       sum(least(greatest(floor(e.value * 1000000 + 0.5)::BIGINT,
+                 round(c.p05 * 1000000)::BIGINT),
+                 round(c.p95 * 1000000)::BIGINT))::BIGINT AS wins_sum_us,
+       min(c.p05) AS p05, min(c.p95) AS p95
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY 1
+"""
+
+
+QUERIES["events_winsorized_stats"] = events_winsorized_stats
+ORACLES["events_winsorized_stats"] = _oracle_winsorized()
+
+
+# --------------------------------------------- revenue concentration
+
+def orders_lorenz_curve(spark, sf):
+    """Lorenz curve of order revenue over customers: deciles of the
+    customer base (poorest-first by exact cents, custkey tie-break),
+    each with its customer count, decile revenue, and the cumulative
+    revenue share — the concentration read-out behind the Gini gauge
+    next to it (the Gini is the area; this is the curve a capacity
+    planner actually looks at).
+
+    Scale: facts collapse to per-customer cents first (one
+    orders-shuffle), the ntile + cumulative windows run over the
+    CUSTOMER dimension — and the shares divide two exact BIGINTs."""
+    per_cust = (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) as bigint))"
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
+    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    per_dec = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_dec.withColumn("cum_cents", F.sum("decile_cents").over(wc))
+        .crossJoin(
+            F.broadcast(
+                per_cust.groupBy().agg(F.sum("cents").alias("_tot"))
+            )
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            "cum_cents",
+            F.expr("round(cum_cents / _tot, 6)").alias("cum_share"),
+        )
+    )
+
+
+ORACLE_LORENZ = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1),
+tiled AS (
+  SELECT cents, ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM per_cust),
+per_dec AS (
+  SELECT decile, count(*)::BIGINT AS n_customers,
+         sum(cents)::BIGINT AS decile_cents
+  FROM tiled GROUP BY 1),
+tot AS (SELECT sum(cents)::BIGINT AS t FROM per_cust)
+SELECT decile, n_customers, decile_cents,
+       sum(decile_cents) OVER (ORDER BY decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cum_cents,
+       round(sum(decile_cents) OVER (ORDER BY decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         / tot.t, 6) AS cum_share
+FROM per_dec CROSS JOIN tot
+"""
+
+QUERIES["orders_lorenz_curve"] = orders_lorenz_curve
+ORACLES["orders_lorenz_curve"] = ORACLE_LORENZ
+
+
+# --------------------------------------------- growth accounting
+
+def events_new_vs_returning(spark, sf):
+    """Daily growth accounting: each active user classified NEW (first
+    day ever seen) vs RETURNING — the decomposition behind every DAU
+    chart (is growth acquisition or retention?).
+
+    One user-dimension first-seen relation (min day per user) joined
+    back onto the distinct (day, user) activity — no event-log
+    self-join, same asymptotics as the retention cohorts next to it."""
+    daily = (
+        T(spark, sf, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    first_seen = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+            ).alias("n_returning"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active", "n_new", "n_returning",
+        )
+    )
+
+
+ORACLE_NEW_RETURNING = """
+WITH daily AS (
+  SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+fs AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY 1)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_active,
+       sum(CASE WHEN d.day = fs.first_day THEN 1 ELSE 0 END)::BIGINT
+         AS n_new,
+       sum(CASE WHEN d.day != fs.first_day THEN 1 ELSE 0 END)::BIGINT
+         AS n_returning
+FROM daily d JOIN fs USING (user_id)
+GROUP BY 1
+"""
+
+QUERIES["events_new_vs_returning"] = events_new_vs_returning
+ORACLES["events_new_vs_returning"] = ORACLE_NEW_RETURNING
+
+
+# --------------------------------------------- experiment power / MDE
+
+def events_ab_power(spark, sf):
+    """Minimum detectable effect of the running A/B at α=0.05 /
+    80% power — the experiment-design readout next to the Welch-z tile
+    (is this test even capable of seeing the lift we care about, or
+    does it need another week of traffic?).  MDE = (z_{α/2} + z_β) ·
+    √(s₀²/n₀ + s₁²/n₁) over the same hash arms and fixed-point DECIMAL
+    moment sums as events_ab_test (the moment block is repeated
+    verbatim rather than refactored so the registered ab_test plan
+    stays untouched); z constants enter through explicit double casts,
+    and every double emerges from identical integers via IEEE
+    correctly-rounded ops."""
+    h = phash60("concat('ab', user_id)", "spark")
+    ev = T(spark, sf, "events").select(
+        F.expr(f"({h}) % 2").alias("arm"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("us"),
+    )
+    per_arm = ev.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("us").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("us").cast("decimal(38,0)") * F.col("us").cast("decimal(38,0)"))
+        ).alias("ss"),
+    )
+    moments = per_arm.select(
+        "arm",
+        "n",
+        F.expr(
+            "cast(s as double) / 1000000.0 / cast(n as double)"
+        ).alias("_mean"),
+        F.expr(
+            "(cast(ss as double) - cast(s as double) * cast(s as double)"
+            " / n) / (n - 1) / 1000000000000.0"
+        ).alias("_var"),
+    )
+    a = moments.filter("arm = 0").alias("a")
+    b = moments.filter("arm = 1").alias("b")
+    zsum = "(cast(1.96 as double) + cast(0.8416 as double))"
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_control"),
+        F.col("b.n").alias("n_treatment"),
+        F.expr(
+            f"round({zsum} * sqrt(a._var / a.n + b._var / b.n), 6)"
+        ).alias("mde"),
+        F.expr(
+            f"round({zsum} * sqrt(a._var / a.n + b._var / b.n)"
+            " / a._mean, 6)"
+        ).alias("mde_rel"),
+    )
+
+
+def _oracle_ab_power() -> str:
+    h = phash60("('ab' || user_id)", "duckdb")
+    zsum = "(cast(1.96 as double) + cast(0.8416 as double))"
+    return f"""
+WITH ev AS (
+  SELECT ({h}) % 2 AS arm,
+         floor(value * 1000000 + 0.5)::BIGINT AS us
+  FROM events),
+per_arm AS (
+  SELECT arm, count(*) AS n,
+         sum(us::DECIMAL(38,0)) AS s,
+         sum(us::DECIMAL(38,0) * us::DECIMAL(38,0)) AS ss
+  FROM ev GROUP BY arm),
+m AS (
+  SELECT arm, n,
+         s::DOUBLE / 1000000.0 / n AS mean_,
+         (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1)
+           / 1000000000000.0 AS var_
+  FROM per_arm)
+SELECT a.n AS n_control, b.n AS n_treatment,
+       round({zsum} * sqrt(a.var_ / a.n + b.var_ / b.n), 6) AS mde,
+       round({zsum} * sqrt(a.var_ / a.n + b.var_ / b.n) / a.mean_, 6)
+         AS mde_rel
+FROM (SELECT * FROM m WHERE arm = 0) a
+CROSS JOIN (SELECT * FROM m WHERE arm = 1) b
+"""
+
+
+QUERIES["events_ab_power"] = events_ab_power
+ORACLES["events_ab_power"] = _oracle_ab_power()
+
+
+# --------------------------------------------- heavy-user churn
+
+CHURN_K = 20
+
+
+def events_topk_user_churn(spark, sf):
+    """Day-over-day churn of the heavy-user cohort: each day's top-20
+    users by event count (deterministic tie-break: count desc, user
+    asc) compared with the previous day's — intersection size and
+    integer-micro Jaccard.  The "are the whales the SAME whales?"
+    gauge behind retention dashboards and abuse triage.
+
+    Scale: one (day, user) count aggregation, a rank window
+    partitioned by day, then a self-join of the days×k top relation
+    with itself on consecutive days — everything after the first
+    groupBy is bounded by days × k."""
+    daily = (
+        T(spark, sf, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("user_id"))
+    top = (
+        daily.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CHURN_K)
+        .select("day", "user_id")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.expr("datediff(a.day, b.day)") == 1)
+            & (F.col("a.user_id") == F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    days = top.groupBy("day").agg(F.count("*").alias("k_today"))
+    prev = days.select(
+        F.expr("date_add(day, 1)").alias("day"),
+        F.col("k_today").alias("k_prev"),
+    )
+    return (
+        days.join(prev, "day")
+        .join(common, "day", "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "k_today",
+            "k_prev",
+            "n_common",
+            F.expr(
+                "(2000000 * n_common + (k_today + k_prev - n_common))"
+                " div (2 * (k_today + k_prev - n_common))"
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
+ORACLE_TOPK_CHURN = f"""
+WITH daily AS (
+  SELECT ts::DATE AS day, user_id, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+top AS (
+  SELECT day, user_id FROM (
+    SELECT day, user_id,
+           row_number() OVER (PARTITION BY day
+             ORDER BY n DESC, user_id ASC) AS rk
+    FROM daily) WHERE rk <= {CHURN_K}),
+common AS (
+  SELECT a.day AS day, count(*)::BIGINT AS n_common
+  FROM top a JOIN top b
+    ON date_diff('day', b.day, a.day) = 1 AND a.user_id = b.user_id
+  GROUP BY 1),
+days AS (SELECT day, count(*)::BIGINT AS k_today FROM top GROUP BY 1),
+prev AS (SELECT day + INTERVAL 1 DAY AS day, k_today AS k_prev FROM days)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.k_today, p.k_prev,
+       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       ((2000000 * coalesce(c.n_common, 0)
+         + (d.k_today + p.k_prev - coalesce(c.n_common, 0)))
+        // (2 * (d.k_today + p.k_prev - coalesce(c.n_common, 0))))::BIGINT
+         AS jaccard_micro
+FROM days d JOIN prev p ON p.day = d.day
+LEFT JOIN common c ON c.day = d.day
+"""
+
+QUERIES["events_topk_user_churn"] = events_topk_user_churn
+ORACLES["events_topk_user_churn"] = ORACLE_TOPK_CHURN

@@ -180,6 +180,52 @@ FROM reach GROUP BY node
 )
 
 
+def dup_cluster_source_mix(spark, sf):
+    """Provenance mix of each near-dup cluster: Shannon entropy of the
+    member documents' sources per cluster, in exact integer micro-nats
+    — h_micro = 0 means a within-source artifact (template, re-crawl),
+    high entropy means true cross-source syndication; the triage
+    signal for which clusters a keep-best policy should touch.
+    Composes connected_components with evalstats.categorical_entropy
+    over the cluster-membership relation (cluster-count-bounded)."""
+    from faconne_spark.operators.evalstats import categorical_entropy
+
+    docs = T(spark, sf, "documents")
+    clusters = D.connected_components(
+        D.simhash_pairs(docs, SIMHASH_MAX_HAM)
+    )
+    members = clusters.join(docs.select("doc_id", "source"), "doc_id")
+    return categorical_entropy(members, "source", ["cluster_id"])
+
+
+# the oracle wraps the clusters closure as a CTE and applies the SAME
+# entropy SQL shape as events_type_entropy
+def _oracle_cluster_mix() -> str:
+    closure = ORACLE_CLUSTERS.strip()
+    # the clusters oracle is a full statement; reuse it as a subquery
+    return f"""
+WITH clusters AS (
+{closure}
+),
+members AS (
+  SELECT c.cluster_id, d.source AS s
+  FROM clusters c JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL),
+counts AS (
+  SELECT cluster_id, s, count(*)::BIGINT AS n_s
+  FROM members GROUP BY 1, 2),
+nt AS (SELECT cluster_id, sum(n_s)::BIGINT AS n FROM counts GROUP BY 1),
+cells AS (
+  SELECT c.cluster_id, c.n_s, t.n,
+         cast(round(ln(cast(c.n_s AS DOUBLE) / t.n) * 1000000, 0)
+           AS BIGINT) AS l
+  FROM counts c JOIN nt t USING (cluster_id))
+SELECT cluster_id, max(n)::BIGINT AS n, count(*)::BIGINT AS n_symbols,
+       (-sum(n_s * l))::BIGINT AS h_micro
+FROM cells GROUP BY cluster_id
+"""
+
+
 EMB_DEDUP_T = 0.35
 
 
@@ -1644,6 +1690,53 @@ GROUP BY hamming
 """
 )
 
+SWEEP_BANDS_LIST = (2, 3, 4, 6)
+
+
+def dedup_lsh_banding_sweep(spark, sf):
+    """LSH banding-parameter sweep over ONE shared signature build:
+    candidate volume + exact integer signature-agreement mass per
+    (bands, rows) split — the table that picks the banding threshold
+    ((1/b)^(1/r) s-curve midpoint) before a production dedup run, the
+    ann_nprobe_sweep of the MinHash family (see
+    dedup.lsh_banding_sweep)."""
+    return D.lsh_banding_sweep(
+        T(spark, sf, "documents"), N_SHINGLE, MINHASH_K, SWEEP_BANDS_LIST
+    )
+
+
+def _oracle_banding_sweep() -> str:
+    parts = []
+    for b in SWEEP_BANDS_LIST:
+        r = MINHASH_K // b
+        band_exprs = ", ".join(
+            band_sig("sig", j, r, "duckdb") for j in range(b)
+        )
+        parts.append(f"""
+SELECT {b} AS bands, {r} AS r,
+       count(*)::BIGINT AS n_candidate_pairs,
+       coalesce(sum(len(list_filter(range(1, {MINHASH_K} + 1),
+                    i -> sig_a[i] = sig_b[i]))), 0)::BIGINT
+         AS sig_match_sum
+FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM (SELECT doc_id, sig, unnest([{band_exprs}]) AS band FROM sigs) a
+  JOIN (SELECT doc_id, sig, unnest([{band_exprs}]) AS band FROM sigs) b
+    ON a.band = b.band AND a.doc_id < b.doc_id)""")
+    return (
+        f"""
+WITH sigs AS MATERIALIZED (
+  SELECT doc_id, {_duck_sig()} AS sig FROM documents)
+"""
+        + " UNION ALL ".join(parts)
+    )
+
+
+QUERIES["dedup_lsh_banding_sweep"] = dedup_lsh_banding_sweep
+ORACLES["dedup_lsh_banding_sweep"] = _oracle_banding_sweep()
+
+
 QUERIES["dedup_simhash_hamming_hist"] = dedup_simhash_hamming_hist
 ORACLES["dedup_simhash_hamming_hist"] = ORACLE_HAMHIST
 
@@ -2959,3 +3052,6 @@ FROM trans GROUP BY doc_id
 
 QUERIES["mm_scene_cuts"] = mm_scene_cuts
 ORACLES["mm_scene_cuts"] = ORACLE_MM_SCENES
+
+QUERIES["dup_cluster_source_mix"] = dup_cluster_source_mix
+ORACLES["dup_cluster_source_mix"] = _oracle_cluster_mix()

@@ -3712,3 +3712,176 @@ def test_chi2_type_dow_matches_python(spark, sf_dir):
             ))
     assert got["chi2_micro"] == chi2
     assert got["dof"] == (len(ts) - 1) * (len(ds) - 1)
+
+
+def test_banding_sweep_consistent_with_lsh_pairs(spark, sf_dir):
+    """Internal consistency: the sweep row for the production banding
+    must count exactly the candidates minhash_lsh_pairs generates from
+    the same signatures, and its agreement mass must equal
+    Σ est_jaccard · k over those pairs."""
+    from faconne_spark.operators.dedup import (
+        lsh_banding_sweep,
+        minhash_lsh_pairs,
+        release_caches,
+    )
+    from faconne_spark.queries import T
+    from faconne_spark.queries.pipeline import LSH_BANDS, MINHASH_K, N_SHINGLE
+
+    docs = T(spark, sf_dir, "documents")
+    row = {
+        r["bands"]: (r["n_candidate_pairs"], r["sig_match_sum"])
+        for r in lsh_banding_sweep(
+            docs, N_SHINGLE, MINHASH_K, (2, LSH_BANDS)
+        ).collect()
+    }[LSH_BANDS]
+    pairs = minhash_lsh_pairs(docs, N_SHINGLE, MINHASH_K, LSH_BANDS).collect()
+    release_caches()
+    assert row[0] == len(pairs)
+    assert row[1] == sum(
+        int(round(p["est_jaccard"] * MINHASH_K)) for p in pairs
+    )
+
+
+def test_banding_sweep_validates_divisibility(spark):
+    from faconne_spark.operators.dedup import lsh_banding_sweep
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k % bands"):
+        lsh_banding_sweep(df, 2, 12, (5,))
+
+
+def test_winsorized_stats_bounds_and_pull(spark, sf_dir):
+    """The winsorized sum must sit inside [n·p05, n·p95] in micro
+    units, and equal the raw sum recomputed with the same clamp."""
+    from faconne_spark.queries.curation import events_winsorized_stats
+
+    for r in events_winsorized_stats(spark, sf_dir).collect():
+        lo = int(round(r["p05"] * 1_000_000)) * r["n"]
+        hi = int(round(r["p95"] * 1_000_000)) * r["n"]
+        assert lo <= r["wins_sum_us"] <= hi, r
+
+
+def test_lorenz_curve_shape(spark, sf_dir):
+    """Ten deciles, monotone cumulative share ending at exactly 1.0,
+    and the customer counts cover the customer base."""
+    from faconne_spark.queries.curation import orders_lorenz_curve
+    from faconne_spark.queries import T
+
+    rows = sorted(
+        orders_lorenz_curve(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares) and shares[-1] == 1.0
+    n_cust = (
+        T(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+
+
+def test_new_vs_returning_accounting(spark, sf_dir):
+    """Σ n_new over all days = the distinct user count (each user is
+    new exactly once), n_active = n_new + n_returning every day, and
+    the earliest day is all-new."""
+    from faconne_spark.queries.curation import events_new_vs_returning
+    from faconne_spark.queries import T
+
+    rows = sorted(
+        events_new_vs_returning(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    users = T(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["n_new"] for r in rows) == users
+    assert all(r["n_active"] == r["n_new"] + r["n_returning"] for r in rows)
+    assert rows[0]["n_returning"] == 0
+
+
+def test_ab_power_matches_python(spark, sf_dir):
+    """MDE replayed in plain Python from the same per-arm fixed-point
+    moment sums (identical IEEE op order)."""
+    import math
+
+    from faconne_spark.queries import T
+    from faconne_spark.queries.curation import events_ab_power
+    from faconne_spark.functions import phash60
+    from pyspark.sql import functions as F
+
+    got = events_ab_power(spark, sf_dir).collect()[0]
+    h = phash60("concat('ab', user_id)", "spark")
+    rows = (
+        T(spark, sf_dir, "events")
+        .select(
+            F.expr(f"({h}) % 2").alias("arm"),
+            F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("us"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("us").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                (F.col("us").cast("decimal(38,0)")
+                 * F.col("us").cast("decimal(38,0)"))
+            ).alias("ss"),
+        )
+        .collect()
+    )
+    m = {}
+    for r in rows:
+        n, s, ss = r["n"], float(r["s"]), float(r["ss"])
+        m[r["arm"]] = (n, s / 1000000.0 / float(n),
+                       (ss - s * s / n) / (n - 1) / 1e12)
+    zsum = 1.96 + 0.8416
+    mde = zsum * math.sqrt(m[0][2] / m[0][0] + m[1][2] / m[1][0])
+    assert got["mde"] == round(mde, 6)
+    assert got["mde_rel"] == round(mde / m[0][1], 6)
+
+
+def test_topk_user_churn_accounting(spark, sf_dir):
+    """n_common is bounded by both cohort sizes, the Jaccard micro
+    matches the integer formula, and cohorts are k-capped."""
+    from faconne_spark.queries.curation import CHURN_K, events_topk_user_churn
+
+    rows = events_topk_user_churn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["k_today"] <= CHURN_K and r["k_prev"] <= CHURN_K
+        assert 0 <= r["n_common"] <= min(r["k_today"], r["k_prev"])
+        d = r["k_today"] + r["k_prev"] - r["n_common"]
+        assert r["jaccard_micro"] == (2_000_000 * r["n_common"] + d) // (2 * d)
+
+
+def test_cluster_source_mix_accounting(spark, sf_dir):
+    """Every near-dup cluster appears with its full member count, and
+    h_micro = 0 exactly for single-source clusters."""
+    from faconne_spark.operators.dedup import (
+        connected_components,
+        release_caches,
+        simhash_pairs,
+    )
+    from faconne_spark.queries import T
+    from faconne_spark.queries.pipeline import (
+        SIMHASH_MAX_HAM,
+        dup_cluster_source_mix,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    got = {
+        r["cluster_id"]: r
+        for r in dup_cluster_source_mix(spark, sf_dir).collect()
+    }
+    members = (
+        connected_components(simhash_pairs(docs, SIMHASH_MAX_HAM))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .collect()
+    )
+    release_caches()
+    from collections import defaultdict
+
+    srcs = defaultdict(list)
+    for r in members:
+        srcs[r["cluster_id"]].append(r["source"])
+    assert set(got) == set(srcs)
+    for cid, ss in srcs.items():
+        assert got[cid]["n"] == len(ss)
+        assert (got[cid]["h_micro"] == 0) == (len(set(ss)) == 1)

@@ -419,7 +419,8 @@ def test_survey_registry_consistency():
             r"sample_\w+|contamination_\w+|doc_len_\w+|doc_tfidf_\w+|"
             r"docs_\w+|pipeline_\w+|stream_window_counts|stream_session_agg|"
             r"source_stats|vocab_coverage|cap_per_source|quality_\w+|"
-            r"lang_id_\w+|corpus_\w+|dup_graph_\w+|basket_\w+|user_rfm_\w+|"
+            r"lang_id_\w+|corpus_\w+|dup_graph_\w+|dup_cluster_\w+|"
+            r"basket_\w+|user_rfm_\w+|"
             r"orders_\w+|part_price_stats|part_skyline\w*|part_copurchase_\w+|"
             r"neardup_\w+|"
             r"customer_order_reconciliation|customer_order_golden|"

@@ -167,6 +167,20 @@ SNAPSHOT_QUERIES = [
     "part_copurchase_jaccard",
     "dedup_simhash_hamming_hist",
     "events_chi2_type_dow",
+    # round-6 wave 3: pin the one-signature-build sweep (InMemoryScan
+    # per banding config, no repeated corpus scan), the sketch-cut
+    # broadcast winsorize pass, the customer-dimension Lorenz windows,
+    # and the first-seen growth split
+    "dedup_lsh_banding_sweep",
+    "events_winsorized_stats",
+    "orders_lorenz_curve",
+    "events_new_vs_returning",
+    # round-6 wave 4: pin the cluster-entropy composition (per-round CC
+    # checkpoints + bounded entropy cells), the 1×1 power crossJoin,
+    # and the days×k churn self-join
+    "dup_cluster_source_mix",
+    "events_ab_power",
+    "events_topk_user_churn",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
