@@ -311,6 +311,8 @@ def main() -> None:
         "dup_cluster_source_mix",
         "events_ab_power",
         "events_topk_user_churn",
+        "embed_pq_distortion",
+        "events_session_quantiles",
     ]
     times = {}
     shuffle = {}

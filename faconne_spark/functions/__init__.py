@@ -228,6 +228,24 @@ def dot_expr(a: str, b: str, dialect: str) -> str:
     )
 
 
+def l2sq_expr(a: str, b: str, dialect: str) -> str:
+    """Squared L2 distance of two float arrays, summed in index order
+    in both dialects so the IEEE result is bit-identical cross-engine
+    (the dot_expr contract, applied to residuals)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b},"
+            f" (x, y) -> (cast(x as double) - cast(y as double))"
+            f" * (cast(x as double) - cast(y as double))),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+        f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
 def zorder_key(a: str, b: str, bits: int, dialect: str) -> str:
     """Z-order (Morton) interleave of the low ``bits`` bits of two
     non-negative integer expressions — the multi-dimensional sort key

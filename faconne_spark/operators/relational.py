@@ -788,6 +788,28 @@ def session_stats(
     stream sorts locally inside its hash partition, never globally.
     Durations stay integer microseconds until the one final division,
     so engines agree bit-for-bit."""
+    sessions = session_spans(df, user_col, order_cols, gap_us)
+    return sessions.groupBy(user_col).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+        F.round(
+            F.sum("dur_us") / (F.count("*") * F.lit(60_000_000.0)), 6
+        ).alias("avg_session_minutes"),
+    )
+
+
+def session_spans(
+    df: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple = ("us", "event_id"),
+    gap_us: int = 30 * 60_000_000,
+) -> DataFrame:
+    """The per-session (user, sess_idx, n_ev, dur_us) relation — the
+    shared first stage of :func:`session_stats` (per-user rollup) and
+    the session-duration quantile gauge, extracted in round 6 so the
+    gap state machine exists once.  Same windows-partition-by-user
+    contract."""
     ts, tie = order_cols
     wo = Window.partitionBy(user_col).orderBy(ts, tie)
     gap = F.col(ts) - F.lag(ts).over(wo)
@@ -797,17 +819,9 @@ def session_stats(
         "sess_idx",
         F.sum("new_sess").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    sessions = tagged.groupBy(user_col, "sess_idx").agg(
+    return tagged.groupBy(user_col, "sess_idx").agg(
         F.count("*").alias("n_ev"),
         (F.max(ts) - F.min(ts)).alias("dur_us"),
-    )
-    return sessions.groupBy(user_col).agg(
-        F.count("*").alias("n_sessions"),
-        F.sum("n_ev").alias("n_events"),
-        F.max("n_ev").alias("max_session_events"),
-        F.round(
-            F.sum("dur_us") / (F.count("*") * F.lit(60_000_000.0)), 6
-        ).alias("avg_session_minutes"),
     )
 
 

@@ -926,3 +926,76 @@ def rrf_fuse(
             "rrf_rank",
         )
     )
+
+
+def pq_distortion(
+    corpus: DataFrame, m: int = 4, ncodes: int = 8, dim: int = 64
+) -> DataFrame:
+    """PQ codebook-quality gauge: per subspace, how much signal the
+    quantizer throws away — vector count, codes actually used (a
+    collapsed codebook shows up as n_codes_used ≪ ncodes), and the
+    exact integer micro sum of squared reconstruction residuals
+    ‖subv − centvec(code)‖² — the number that decides whether m/ncodes
+    need to grow BEFORE recall silently degrades (the encode-side
+    companion of ann_recall_eval's query-side check).
+
+    Determinism: the assignment is pq_topk's exact argmax (6-dp dot,
+    tie → lowest code); residual sums fold in index order (l2sq_expr)
+    and micro-round per (vector, subspace) to BIGINT, so the per-
+    subspace sum is partition-order-free.
+
+    Scale: same shapes as encoding — codebook broadcast, one
+    corpus×m-row aggregation carrying the winning centroid via max_by
+    (no re-join against the codebook, no second corpus pass)."""
+    from faconne_spark.functions import dot_expr, l2sq_expr
+    from faconne_spark.session import spread
+
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.expr(f"slice(embedding, {s * sub + 1}, {sub})").alias("v"),
+            )
+            for s in range(m)
+        ]
+    )
+    cent = F.broadcast(
+        corpus.filter(F.col("vec_id") < ncodes)
+        .select(F.col("vec_id").alias("c"), F.explode(slices).alias("sl"))
+        .select("c", F.col("sl.s").alias("s"), F.col("sl.v").alias("centvec"))
+    )
+    subvecs = spread(corpus).select(
+        "vec_id", F.explode(slices).alias("sl")
+    ).select("vec_id", F.col("sl.s").alias("s"), F.col("sl.v").alias("subv"))
+    assigned = (
+        subvecs.join(cent, "s")
+        .select(
+            "vec_id",
+            "s",
+            "subv",
+            F.round(F.expr(dot_expr("subv", "centvec", "spark")), 6).alias("d"),
+            F.col("c"),
+            F.col("centvec"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(
+            F.expr(
+                "max_by(named_struct('c', c, 'cv', centvec), struct(d, -c))"
+            ).alias("best"),
+            F.expr("any_value(subv)").alias("subv"),
+        )
+    )
+    dist = assigned.select(
+        "s",
+        F.col("best.c").alias("code"),
+        F.expr(
+            f"cast(round(1000000 * ({l2sq_expr('subv', 'best.cv', 'spark')}))"
+            " as bigint)"
+        ).alias("dist_micro"),
+    )
+    return dist.groupBy("s").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("code").alias("n_codes_used"),
+        F.sum("dist_micro").alias("sum_sq_micro"),
+    )

@@ -57,7 +57,8 @@ _FIRST = [
     "dedup_lsh_banding_sweep", "events_winsorized_stats",
     "orders_lorenz_curve", "events_new_vs_returning",
     "dup_cluster_source_mix", "events_ab_power", "events_topk_user_churn",
-    # ============== end r6 block — 38 of the 50-key window ==============
+    "embed_pq_distortion", "events_session_quantiles",
+    # ============== end r6 block — 40 of the 50-key window ==============
     # -- unchanged keys (fresh r5 rows), r5 order --
     "fac_campus_report", "fac_expand_aggs",
     "dedup_stitch", "training_manifest", "dedup_cascade",

@@ -4026,3 +4026,66 @@ LEFT JOIN common c ON c.day = d.day
 
 QUERIES["events_topk_user_churn"] = events_topk_user_churn
 ORACLES["events_topk_user_churn"] = ORACLE_TOPK_CHURN
+
+
+# --------------------------------------------- session-length quantiles
+
+def events_session_quantiles(spark, sf):
+    """Quantiles of SESSION duration (p50/p95/p99 across all sessions,
+    in integer microseconds) via the mergeable histogram sketch — the
+    engagement tile next to events_sessionize's per-user averages
+    (averages hide the bimodal bounce-vs-binge shape; the quantiles
+    don't).  Composes relational.session_spans with
+    histogram_quantiles: the sketch's windows run over ≤ n_bins rows,
+    never over the session relation."""
+    from faconne_spark.operators.relational import (
+        histogram_quantiles,
+        session_spans,
+    )
+
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    spans = session_spans(
+        ev, "user_id", ("us", "event_id"), SESSION_GAP_MIN * 60_000_000
+    ).select(F.lit("all").alias("grp"), F.col("dur_us").alias("value"))
+    return histogram_quantiles(spans, "value", "grp", HQ_BINS, HQ_QS)
+
+
+def _oracle_session_quantiles() -> str:
+    sessions_cte = ORACLE_SESSIONIZE.split("SELECT user_id, count(*)")[0].rstrip().rstrip(")") + ")"
+    nb = HQ_BINS
+    parts = []
+    for q in HQ_QS:
+        q_us = int(round(q * 1_000_000))
+        parts.append(f"""
+SELECT grp, {q} AS q,
+       round((_lo + (2 * _qbin + 1)::BIGINT * (_hi - _lo + 1) // {2 * nb})
+             / 1000000.0, 6) AS estimate
+FROM (
+  SELECT grp, min(_bin) AS _qbin, min(_lo) AS _lo, min(_hi) AS _hi
+  FROM cum WHERE _cum * 1000000 >= _total * {q_us}
+  GROUP BY grp)""")
+    return f"""{sessions_cte},
+vals AS (
+  SELECT 'all' AS grp, floor(dur_us * 1000000 + 0.5)::BIGINT AS us
+  FROM sessions),
+bounds AS (SELECT grp, min(us) AS _lo, max(us) AS _hi FROM vals GROUP BY 1),
+binned AS (
+  SELECT v.grp,
+         ((least(greatest(v.us, bo._lo), bo._hi) - bo._lo) * {nb}
+          // (bo._hi - bo._lo + 1))::INT AS _bin,
+         count(*) AS _cnt, min(bo._lo) AS _lo, min(bo._hi) AS _hi
+  FROM vals v JOIN bounds bo USING (grp)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT grp, _bin, _lo, _hi,
+         sum(_cnt) OVER (PARTITION BY grp ORDER BY _bin) AS _cum,
+         sum(_cnt) OVER (PARTITION BY grp) AS _total
+  FROM binned)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["events_session_quantiles"] = events_session_quantiles
+ORACLES["events_session_quantiles"] = _oracle_session_quantiles()

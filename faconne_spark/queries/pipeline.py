@@ -1395,6 +1395,51 @@ SELECT q_id, vec_id, approx_dot, rk FROM (
 WHERE rk <= {ANN_K}
 """
 
+def embed_pq_distortion(spark, sf):
+    """Per-subspace PQ reconstruction-error audit: codes used + exact
+    integer micro sum of squared residuals under ann_pq_adc's exact
+    codebooks and assignment — the encode-side quality gauge that says
+    when m/ncodes must grow, before recall degrades (see
+    similarity.pq_distortion)."""
+    return S.pq_distortion(
+        T(spark, sf, "embeddings"), PQ_M, PQ_NCODES, EMB_DIM
+    )
+
+
+def _oracle_pq_distortion() -> str:
+    from faconne_spark.functions import l2sq_expr
+
+    return f"""
+WITH sl AS (SELECT unnest(range(0, {PQ_M})) AS s),
+cent AS (
+  SELECT vec_id AS c, s,
+         embedding[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}] AS centvec
+  FROM embeddings CROSS JOIN sl WHERE vec_id < {PQ_NCODES}),
+subvecs AS (
+  SELECT vec_id, s,
+         embedding[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}] AS subv
+  FROM embeddings CROSS JOIN sl),
+assigned AS (
+  SELECT vec_id, s, code, centvec, subv FROM (
+    SELECT sv.vec_id, sv.s AS s, c AS code, centvec, subv,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.s
+             ORDER BY round({dot_expr('subv', 'centvec', 'duckdb')}, 6) DESC,
+                      c ASC) AS rk
+    FROM subvecs sv JOIN cent ON sv.s = cent.s)
+  WHERE rk = 1)
+SELECT s, count(*)::BIGINT AS n_vectors,
+       count(DISTINCT code)::BIGINT AS n_codes_used,
+       sum(round(1000000 * ({l2sq_expr('subv', 'centvec', 'duckdb')}),
+                 0)::BIGINT)::BIGINT AS sum_sq_micro
+FROM assigned GROUP BY s
+"""
+
+
+QUERIES["embed_pq_distortion"] = embed_pq_distortion
+ORACLES["embed_pq_distortion"] = _oracle_pq_distortion()
+
+
 QUERIES["ann_pq_adc"] = ann_pq_adc
 ORACLES["ann_pq_adc"] = ORACLE_PQ
 

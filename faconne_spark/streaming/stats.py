@@ -697,6 +697,25 @@ def auc_from_state(
     return auc_from_histogram(merged, [key], "_bin")
 
 
+def pr_auc_from_state(
+    spark: SparkSession, state_dir: str, key: str = "event_type"
+) -> DataFrame:
+    """Average precision off the SAME merged AUC histogram state —
+    one mergeable artifact, two read-offs (ROC-AUC and PR-AUC), the
+    round-6 evalstats contract: shards/epochs add their (key, bin,
+    pos, neg) counts once and every rank statistic reads the merged
+    relation (evalstats.pr_auc_from_histogram, the identical code as
+    the batch average_precision on the binned score)."""
+    from faconne_spark.operators.evalstats import pr_auc_from_histogram
+
+    merged = (
+        _state(spark, state_dir, AUC_BINS)
+        .groupBy(key, "_bin")
+        .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+    )
+    return pr_auc_from_histogram(merged, [key], "_bin")
+
+
 # ---------------------------------------------------- KS state
 
 KS_BINS_STATE = "ks_bins"

@@ -3885,3 +3885,53 @@ def test_cluster_source_mix_accounting(spark, sf_dir):
     for cid, ss in srcs.items():
         assert got[cid]["n"] == len(ss)
         assert (got[cid]["h_micro"] == 0) == (len(set(ss)) == 1)
+
+
+def test_pq_distortion_properties(spark, sf_dir):
+    """Codebook-member vectors reconstruct exactly (their own slice IS
+    a centroid ⇒ zero residual is attainable), every subspace covers
+    the full corpus, and codes used never exceed the codebook."""
+    from faconne_spark.operators.similarity import pq_distortion
+    from faconne_spark.queries import T
+    from faconne_spark.queries.pipeline import EMB_DIM, PQ_M, PQ_NCODES
+
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = pq_distortion(emb, PQ_M, PQ_NCODES, EMB_DIM).collect()
+    assert sorted(r["s"] for r in rows) == list(range(PQ_M))
+    for r in rows:
+        assert r["n_vectors"] == n
+        assert 1 <= r["n_codes_used"] <= PQ_NCODES
+        assert r["sum_sq_micro"] >= 0
+    # the codebook members themselves must have zero residual
+    members = pq_distortion(
+        emb.filter(f"vec_id < {PQ_NCODES}"), PQ_M, PQ_NCODES, EMB_DIM
+    ).collect()
+    assert all(r["sum_sq_micro"] == 0 for r in members)
+
+
+def test_session_quantiles_within_span_range(spark, sf_dir):
+    """Sketch estimates sit inside the true [min, max] session duration
+    and are monotone in q."""
+    from faconne_spark.operators.relational import session_spans
+    from faconne_spark.queries import T
+    from faconne_spark.queries.curation import (
+        SESSION_GAP_MIN,
+        events_session_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["q"]: r["estimate"]
+        for r in events_session_quantiles(spark, sf_dir).collect()
+    }
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    spans = session_spans(
+        ev, "user_id", ("us", "event_id"), SESSION_GAP_MIN * 60_000_000
+    ).agg(F.min("dur_us").alias("lo"), F.max("dur_us").alias("hi")).collect()[0]
+    qs = sorted(got)
+    assert [got[q] for q in qs] == sorted(got[q] for q in qs)
+    for q in qs:
+        assert spans["lo"] <= got[q] <= spans["hi"]

@@ -181,6 +181,11 @@ SNAPSHOT_QUERIES = [
     "dup_cluster_source_mix",
     "events_ab_power",
     "events_topk_user_churn",
+    # round-6 wave 5: pin the single-pass max_by distortion aggregate
+    # (broadcast codebook, no re-join) and the session-spans quantile
+    # composition (user-partitioned windows, bounded sketch read-off)
+    "embed_pq_distortion",
+    "events_session_quantiles",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,

@@ -1313,6 +1313,24 @@ def test_streaming_auc_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want and got
 
+    # round 6: the SAME merged state reads PR-AUC bit-equal to the
+    # batch average_precision on the identical binned score — one
+    # mergeable artifact, two rank statistics
+    from faconne_spark.operators.evalstats import average_precision
+    from faconne_spark.streaming.stats import pr_auc_from_state
+
+    got_ap = {
+        r["event_type"]: (r["n_pos"], r["n_neg"], r["ap_micro"])
+        for r in pr_auc_from_state(spark, state).collect()
+    }
+    want_ap = {
+        r["event_type"]: (r["n_pos"], r["n_neg"], r["ap_micro"])
+        for r in average_precision(
+            binned, F.expr(label), "_bin", ["event_type"]
+        ).collect()
+    }
+    assert got_ap == want_ap and got_ap
+
 
 def test_auc_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
     """Re-delivering a micro-batch under its original epoch id (the
