@@ -228,6 +228,16 @@ def dot_expr(a: str, b: str, dialect: str) -> str:
     )
 
 
+def jaccard_micro_sql(nc: str, union: str, dialect: str) -> str:
+    """Round-half-up 10⁶-scaled ratio nc/union in pure BIGINT
+    arithmetic — (2·10⁶·nc + u) div (2·u) — the ONE text behind every
+    integer micro-Jaccard in the repo (link prediction, top-k cohort
+    churn) so the rounding rule cannot drift between copies, the
+    bounded_bin_sql discipline applied to ratios."""
+    op = "div" if dialect == "spark" else "//"
+    return f"((2000000 * {nc} + {union}) {op} (2 * {union}))"
+
+
 def l2sq_expr(a: str, b: str, dialect: str) -> str:
     """Squared L2 distance of two float arrays, summed in index order
     in both dialects so the IEEE result is bit-identical cross-engine

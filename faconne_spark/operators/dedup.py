@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from faconne_spark.functions import (
     band_sig,
+    jaccard_micro_sql,
     minhash_sig,
     phash60,
     tokens_ws,
@@ -814,13 +815,7 @@ def lpa_communities(pairs: DataFrame, iters: int = 3) -> DataFrame:
         raise ValueError(f"lpa_communities needs iters >= 1, got {iters}")
     from pyspark.sql import Window
 
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = _persist_sig(
-        fwd.union(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        ),
-        pairs,
-    )
+    edges = _doubled_edges(pairs)
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("lbl")
     )
@@ -1391,6 +1386,21 @@ def kcore_nodes(
 RA_MICRO = 1_000_000
 
 
+def _doubled_edges(pairs: DataFrame) -> DataFrame:
+    """Both directions of an (id_a, id_b) pair relation as a PERSISTED
+    (src, dst) edge list — the shared first step of the iterative and
+    link-prediction graph passes (each reads it at least twice; an
+    unpersisted build would re-run the whole upstream candidate
+    pipeline per read)."""
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return _persist_sig(
+        fwd.union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        ),
+        pairs,
+    )
+
+
 def ra_link_prediction(
     pairs: DataFrame, top_k: int = 3
 ) -> DataFrame:
@@ -1414,13 +1424,7 @@ def ra_link_prediction(
     windows over the candidate relation partitioned by node."""
     from pyspark.sql import Window
 
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = _persist_sig(
-        fwd.union(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        ),
-        pairs,
-    )
+    edges = _doubled_edges(pairs)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     wedge = (
         edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
@@ -1491,13 +1495,7 @@ def jaccard_link_prediction(
     edges, and a per-node top-k window over candidates."""
     from pyspark.sql import Window
 
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = _persist_sig(
-        fwd.union(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        ),
-        pairs,
-    )
+    edges = _doubled_edges(pairs)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     wedge = (
         edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
@@ -1523,8 +1521,9 @@ def jaccard_link_prediction(
         .withColumn(
             "__jm",
             F.expr(
-                "(2000000 * n_common + (_da + _db - n_common))"
-                " div (2 * (_da + _db - n_common))"
+                jaccard_micro_sql(
+                    "n_common", "(_da + _db - n_common)", "spark"
+                )
             ),
         )
         .select("id_a", "id_b", "n_common", "__jm")

@@ -834,7 +834,11 @@ def reliability_bins(
     round-6 overflow contract), the bin midpoint is the same exact
     integer midpoint formula as histogram_quantiles, and the outputs
     are integers (no final float division to land on a rounding
-    boundary).  NULL scores are excluded.
+    boundary).  ``sum_score`` accumulates the CLAMPED score, for the
+    same two reasons the bin index clamps: one 2e17 glitch would
+    otherwise poison the edge bin's predicted-rate mass, and enough of
+    them would overflow the BIGINT sum under ANSI.  NULL scores are
+    excluded.
 
     Scale (100 TB): one map-side-combined groupBy to ≤ groups × n_bins
     rows; nothing downstream ever touches the example stream again."""
@@ -847,13 +851,16 @@ def reliability_bins(
     bin_expr = bounded_bin_sql(
         f"cast({score_col} as bigint)", f"{lo}L", f"{hi}L", n_bins
     )
+    clamped = (
+        f"least(greatest(cast({score_col} as bigint), {lo}L), {hi}L)"
+    )
     mid = f"{lo} + cast((2 * __bin + 1) * {span}L div {2 * n_bins} as bigint)"
     return (
         df.filter(F.col(score_col).isNotNull())
         .select(
             *group_cols,
             F.expr(bin_expr).alias("__bin"),
-            F.col(score_col).alias("__s"),
+            F.expr(clamped).alias("__s"),
             F.when(label, 1).otherwise(0).alias("__y"),
         )
         .groupBy(*group_cols, "__bin")

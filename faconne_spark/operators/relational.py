@@ -376,6 +376,7 @@ def histogram_quantiles(
     """
     if n_bins < 1:
         raise ValueError(f"histogram_quantiles needs n_bins >= 1, got {n_bins}")
+    from faconne_spark.operators.evalstats import bounded_bin_sql
     from faconne_spark.session import spread
 
     us = f"cast(floor({value_col} * 1000000 + 0.5) as bigint)"
@@ -390,8 +391,6 @@ def histogram_quantiles(
         # clamping only the product still overflows BIGINT in
         # (us − lo) · n_bins for a far-out-of-range glitch value —
         # exactly the case the edge-bin clamp exists for
-        from faconne_spark.operators.evalstats import bounded_bin_sql
-
         bin_expr = bounded_bin_sql(us, "_lo", "_hi", n_bins)
     else:
         grp_bounds = (
@@ -406,8 +405,6 @@ def histogram_quantiles(
         # same bounded_bin_sql text: the clamp is a no-op here (us is
         # inside its own group's min/max by construction) but keeps the
         # two modes on ONE audited bin expression
-        from faconne_spark.operators.evalstats import bounded_bin_sql
-
         bin_expr = bounded_bin_sql(us, "_lo", "_hi", n_bins)
     binned = (
         pre

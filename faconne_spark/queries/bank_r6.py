@@ -1001,6 +1001,11 @@ def part_copurchase_jaccard(spark, sf):
 
 
 def _oracle_jaccard() -> str:
+    from faconne_spark.functions import jaccard_micro_sql
+
+    jm = jaccard_micro_sql(
+        "n.n_common", "(da.deg + db.deg - n.n_common)", "duckdb"
+    )
     return f"""
 WITH {COPURCHASE_CTE},
 deg AS MATERIALIZED (
@@ -1018,8 +1023,7 @@ nonadj AS (
     ON p.id_a = c.id_a AND p.id_b = c.id_b),
 scored AS (
   SELECT n.id_a, n.id_b, n.n_common,
-         (2000000 * n.n_common + (da.deg + db.deg - n.n_common))
-           // (2 * (da.deg + db.deg - n.n_common)) AS jm
+         {jm} AS jm
   FROM nonadj n
   JOIN deg da ON da.src = n.id_a
   JOIN deg db ON db.src = n.id_b),

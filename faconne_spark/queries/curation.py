@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from faconne_spark.functions import (
     cosine_sim,
+    jaccard_micro_sql,
     phash60,
     sqrt_weight_micro,
     tokens_ws,
@@ -3568,14 +3569,19 @@ def events_chi2_type_dow(spark, sf):
             ),
         )
     )
+    # ONE distinct aggregate only: two countDistincts in a single agg
+    # expand with session-unstable gid numbering (flaky plan snapshot);
+    # the grid is complete by construction, so n_dows = cells / types
     return (
         cells.groupBy()
         .agg(
             F.max("n").alias("n"),
             F.countDistinct("t").alias("n_types"),
-            F.countDistinct("dw").alias("n_dows"),
+            F.count("*").alias("_n_cells"),
             F.sum("term_micro").alias("chi2_micro"),
         )
+        .withColumn("n_dows", F.expr("_n_cells div n_types"))
+        .drop("_n_cells")
         .withColumn(
             "dof", F.expr("(n_types - 1) * (n_dows - 1)")
         )
@@ -3990,12 +3996,19 @@ def events_topk_user_churn(spark, sf):
             "k_prev",
             "n_common",
             F.expr(
-                "(2000000 * n_common + (k_today + k_prev - n_common))"
-                " div (2 * (k_today + k_prev - n_common))"
+                jaccard_micro_sql(
+                    "n_common", "(k_today + k_prev - n_common)", "spark"
+                )
             ).alias("jaccard_micro"),
         )
     )
 
+
+_JM_CHURN = jaccard_micro_sql(
+    "coalesce(c.n_common, 0)",
+    "(d.k_today + p.k_prev - coalesce(c.n_common, 0))",
+    "duckdb",
+)
 
 ORACLE_TOPK_CHURN = f"""
 WITH daily AS (
@@ -4016,9 +4029,7 @@ days AS (SELECT day, count(*)::BIGINT AS k_today FROM top GROUP BY 1),
 prev AS (SELECT day + INTERVAL 1 DAY AS day, k_today AS k_prev FROM days)
 SELECT strftime(d.day, '%Y-%m-%d') AS day, d.k_today, p.k_prev,
        coalesce(c.n_common, 0)::BIGINT AS n_common,
-       ((2000000 * coalesce(c.n_common, 0)
-         + (d.k_today + p.k_prev - coalesce(c.n_common, 0)))
-        // (2 * (d.k_today + p.k_prev - coalesce(c.n_common, 0))))::BIGINT
+       {_JM_CHURN}::BIGINT
          AS jaccard_micro
 FROM days d JOIN prev p ON p.day = d.day
 LEFT JOIN common c ON c.day = d.day
@@ -4053,7 +4064,13 @@ def events_session_quantiles(spark, sf):
 
 
 def _oracle_session_quantiles() -> str:
-    sessions_cte = ORACLE_SESSIONIZE.split("SELECT user_id, count(*)")[0].rstrip().rstrip(")") + ")"
+    # split on the final SELECT only — no paren surgery (a trailing
+    # rstrip(")") would strip EVERY closing paren if the CTE prefix
+    # ever ended in '))' and corrupt the SQL silently)
+    sessions_cte = ORACLE_SESSIONIZE.split(
+        "SELECT user_id, count(*)"
+    )[0].rstrip()
+    assert sessions_cte.endswith(")"), "sessions CTE prefix drifted"
     nb = HQ_BINS
     parts = []
     for q in HQ_QS:

@@ -1680,10 +1680,12 @@ def dedup_changefeed(spark, sf):
     semantics as dedup_incremental (same oracle, deliberately): the
     lakehouse feed path must reproduce the static path bit-for-bit.
 
-    The table is rebuilt under a deterministic temp dir per (sf) so
-    repeated gate/bench runs don't accumulate snapshots."""
-    import re
-    import shutil
+    Each invocation builds its OWN table dir (mkdtemp): a shared
+    fixed path would let a second build delete the files a previously
+    returned (lazy) DataFrame still references — the classic
+    plan-build-time side-effect race.  The table is the 500-row
+    documents parquet twice, so the per-invocation leak is a few
+    hundred kB of /tmp, reclaimed on reboot."""
     import tempfile
 
     from faconne_spark.operators.dedup import exact_dedup, incremental_exact_dedup
@@ -1694,9 +1696,7 @@ def dedup_changefeed(spark, sf):
     )
 
     docs = T(spark, sf, "documents")
-    tag = re.sub(r"\W+", "_", sf.rstrip("/"))
-    tdir = os.path.join(tempfile.gettempdir(), f"faconne_changefeed{tag}")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = tempfile.mkdtemp(prefix="faconne_changefeed_")
     write_snapshot(docs.filter("doc_id % 2 = 0"), tdir, mode="append")
     write_snapshot(docs.filter("doc_id % 2 = 1"), tdir, mode="append")
     changes = read_snapshot_changes(spark, tdir, 0, 1)
@@ -2951,7 +2951,7 @@ def _oracle_reliability() -> str:
     return f"""{_nb_scored_ctes()},
 binned AS (
   SELECT (({clamped} - {lo}) * {nb} // {span})::INT AS bin,
-         (s.tok_score + p.prior_micro)::BIGINT AS score,
+         {clamped}::BIGINT AS score,
          CASE WHEN s.keep THEN 1 ELSE 0 END AS y
   FROM scored s CROSS JOIN prior p)
 SELECT bin,

@@ -3753,12 +3753,38 @@ def test_banding_sweep_validates_divisibility(spark):
 def test_winsorized_stats_bounds_and_pull(spark, sf_dir):
     """The winsorized sum must sit inside [n·p05, n·p95] in micro
     units, and equal the raw sum recomputed with the same clamp."""
+    from faconne_spark.queries import T
     from faconne_spark.queries.curation import events_winsorized_stats
 
-    for r in events_winsorized_stats(spark, sf_dir).collect():
+    got = {
+        r["event_type"]: r
+        for r in events_winsorized_stats(spark, sf_dir).collect()
+    }
+    vals = (
+        T(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "cast(floor(value * 1000000 + 0.5) as bigint) AS us",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    raw = defaultdict(int)
+    wins = defaultdict(int)
+    for r in vals:
+        t = r["event_type"]
+        raw[t] += r["us"]
+        cuts = got[t]
+        lo_c = int(round(cuts["p05"] * 1_000_000))
+        hi_c = int(round(cuts["p95"] * 1_000_000))
+        wins[t] += min(max(r["us"], lo_c), hi_c)
+    for t, r in got.items():
         lo = int(round(r["p05"] * 1_000_000)) * r["n"]
         hi = int(round(r["p95"] * 1_000_000)) * r["n"]
         assert lo <= r["wins_sum_us"] <= hi, r
+        assert r["sum_us"] == raw[t]
+        assert r["wins_sum_us"] == wins[t]
 
 
 def test_lorenz_curve_shape(spark, sf_dir):
