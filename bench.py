@@ -313,6 +313,8 @@ def main() -> None:
         "events_topk_user_churn",
         "embed_pq_distortion",
         "events_session_quantiles",
+        "orders_basket_chi2",
+        "lineitem_return_rate_ci",
     ]
     times = {}
     shuffle = {}

@@ -4106,3 +4106,157 @@ cum AS (
 
 QUERIES["events_session_quantiles"] = events_session_quantiles
 ORACLES["events_session_quantiles"] = _oracle_session_quantiles()
+
+
+# --------------------------------------------- basket-rule significance
+
+def orders_basket_chi2(spark, sf):
+    """χ² significance per co-purchase rule: lift says HOW associated
+    two parts are, this says whether the association is statistically
+    real at the observed counts (a lift of 3 on pair_n = 3 is noise; a
+    lift of 1.2 on 10 000 baskets is a merchandising fact).  Full 2×2
+    contingency per pair — (both, A-only, B-only, neither) — with the
+    statistic as one exact integer micro unit per rule.
+
+    Scale: identical shapes to orders_basket_lift (the order-keyed
+    pair join bounded by basket size, part-keyed frequency joins, the
+    1-row basket-count broadcast); the χ² arithmetic runs in doubles
+    built from identical BIGINTs — IEEE correctly-rounded ops only."""
+    items = (
+        T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    nb = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= MIN_COOC)
+    )
+    det = (
+        "(cast(pair_n as double) * cast(n_baskets - cnt_a - cnt_b + pair_n"
+        " as double) - cast(cnt_a - pair_n as double)"
+        " * cast(cnt_b - pair_n as double))"
+    )
+    denom = (
+        "(cast(cnt_a as double) * cast(cnt_b as double)"
+        " * cast(n_baskets - cnt_a as double)"
+        " * cast(n_baskets - cnt_b as double))"
+    )
+    return (
+        pairs.join(
+            cnt.select(
+                F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+            ),
+            "part_a",
+        )
+        .join(
+            cnt.select(
+                F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a", "part_b", "pair_n", "cnt_a", "cnt_b", "n_baskets",
+            F.expr(
+                f"case when {denom} > 0 then cast(round(1000000 *"
+                f" cast(n_baskets as double) * {det} * {det} / {denom}, 0)"
+                " as bigint) else 0 end"
+            ).alias("chi2_micro"),
+        )
+    )
+
+
+ORACLE_BASKET_CHI2 = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets FROM items),
+cnt AS (SELECT l_partkey, count(*)::BIGINT AS cnt FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS pair_n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_COOC}),
+wide AS (
+  SELECT p.part_a, p.part_b, p.pair_n,
+         ca.cnt AS cnt_a, cb.cnt AS cnt_b, n.n_baskets,
+         (pair_n::DOUBLE * (n.n_baskets - ca.cnt - cb.cnt + pair_n)::DOUBLE
+          - (ca.cnt - pair_n)::DOUBLE * (cb.cnt - pair_n)::DOUBLE) AS det,
+         (ca.cnt::DOUBLE * cb.cnt::DOUBLE
+          * (n.n_baskets - ca.cnt)::DOUBLE
+          * (n.n_baskets - cb.cnt)::DOUBLE) AS denom
+  FROM pairs p
+  JOIN cnt ca ON ca.l_partkey = p.part_a
+  JOIN cnt cb ON cb.l_partkey = p.part_b
+  CROSS JOIN nb n)
+SELECT part_a, part_b, pair_n, cnt_a, cnt_b, n_baskets,
+       CASE WHEN denom > 0 THEN
+         round(1000000 * n_baskets::DOUBLE * det * det / denom, 0)::BIGINT
+       ELSE 0 END AS chi2_micro
+FROM wide
+"""
+
+QUERIES["orders_basket_chi2"] = orders_basket_chi2
+ORACLES["orders_basket_chi2"] = ORACLE_BASKET_CHI2
+
+
+# --------------------------------------------- return-rate SLA tile
+
+def lineitem_return_rate_ci(spark, sf):
+    """Monthly return rate with a Wilson 95% interval — the SLA drift
+    tile (is March's 24.9% return rate actually worse than February's
+    24.1%, or inside the error bars?).  Reuses the one portable
+    wilson_bounds_sql text — identical BIGINTs through identical IEEE
+    ops in both engines."""
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    agg = (
+        T(spark, sf, "lineitem")
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return agg.select(
+        "ship_month",
+        "n",
+        F.col("k").alias("n_returned"),
+        F.expr("round(k / n, 6)").alias("return_rate"),
+        F.expr(lo_sql).alias("wilson_lo"),
+        F.expr(hi_sql).alias("wilson_hi"),
+    )
+
+
+def _oracle_return_rate_ci() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return f"""
+WITH agg AS (
+  SELECT strftime(l_shipdate::DATE, '%Y-%m') AS ship_month,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM lineitem GROUP BY 1)
+SELECT ship_month, n, k AS n_returned,
+       round(k / n, 6) AS return_rate,
+       {lo_sql} AS wilson_lo,
+       {hi_sql} AS wilson_hi
+FROM agg
+"""
+
+
+QUERIES["lineitem_return_rate_ci"] = lineitem_return_rate_ci
+ORACLES["lineitem_return_rate_ci"] = _oracle_return_rate_ci()

@@ -3961,3 +3961,40 @@ def test_session_quantiles_within_span_range(spark, sf_dir):
     assert [got[q] for q in qs] == sorted(got[q] for q in qs)
     for q in qs:
         assert spans["lo"] <= got[q] <= spans["hi"]
+
+
+def test_basket_chi2_matches_python(spark, sf_dir):
+    """The 2×2 rule χ² replayed in plain Python from the same pair /
+    support / basket counts (same IEEE op order, same micro round)."""
+    from faconne_spark.queries.curation import orders_basket_chi2
+
+    rows = orders_basket_chi2(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, a, ca, cb = r["n_baskets"], r["pair_n"], r["cnt_a"], r["cnt_b"]
+        det = float(a) * float(n - ca - cb + a) - float(ca - a) * float(
+            cb - a
+        )
+        denom = float(ca) * float(cb) * float(n - ca) * float(n - cb)
+        want = (
+            int(round(1_000_000 * float(n) * det * det / denom))
+            if denom > 0
+            else 0
+        )
+        assert r["chi2_micro"] == want, r
+        assert r["chi2_micro"] >= 0
+
+
+def test_return_rate_ci_accounting(spark, sf_dir):
+    """Counts cover lineitem, the rate matches k/n, and the Wilson
+    interval brackets it inside [0, 1]."""
+    from faconne_spark.queries import T
+    from faconne_spark.queries.curation import lineitem_return_rate_ci
+
+    rows = lineitem_return_rate_ci(spark, sf_dir).collect()
+    n_li = T(spark, sf_dir, "lineitem").count()
+    assert sum(r["n"] for r in rows) == n_li
+    for r in rows:
+        assert r["return_rate"] == round(r["n_returned"] / r["n"], 6)
+        assert 0.0 <= r["wilson_lo"] <= r["return_rate"] + 1e-9
+        assert r["return_rate"] - 1e-9 <= r["wilson_hi"] <= 1.0

@@ -186,6 +186,10 @@ SNAPSHOT_QUERIES = [
     # composition (user-partitioned windows, bounded sketch read-off)
     "embed_pq_distortion",
     "events_session_quantiles",
+    # round-6 wave 6: pin the rule-significance joins (same shapes as
+    # basket_lift) and the single-aggregate Wilson SLA tile
+    "orders_basket_chi2",
+    "lineitem_return_rate_ci",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
