@@ -207,6 +207,11 @@ def _normalize(text: str) -> str:
         if not _KEEP.match(line):
             continue
         line = re.sub(r"#\d+[L]?", "#N", line)
+        # multi-distinct aggregates Expand with gid labels whose
+        # NUMBERING is assigned per-session (the same query planned
+        # after different predecessors swaps gid 1/2) — the labels are
+        # arbitrary, normalize them
+        line = re.sub(r"gid#N = \d+", "gid#N = G", line)
         # subexpression-elimination ids are numbered by a session-global
         # counter, so the same query planned after different predecessors
         # gets different _common_expr_NN names — normalize them
