@@ -315,6 +315,9 @@ def main() -> None:
         "events_session_quantiles",
         "orders_basket_chi2",
         "lineitem_return_rate_ci",
+        "docs_profile_completeness",
+        "events_retention_ci",
+        "orders_interpurchase_quantiles",
     ]
     times = {}
     shuffle = {}

@@ -1152,3 +1152,45 @@ def wilson_bounds_sql(k: str, n: str, z: float = 1.96) -> tuple:
         f"round(({c} - {h}) / {d}, 6)",
         f"round(({c} + {h}) / {d}, 6)",
     )
+
+
+def profile_completeness(df: DataFrame) -> DataFrame:
+    """Deequ-style data-quality profile: one row per column with row
+    count, NULL count, and (for strings) blank count — the first audit
+    any ingested table gets before a pipeline trusts it.
+
+    Scale (100 TB): ONE aggregation pass computes every column's
+    counters map-side-combined (3 counters per column — no distincts,
+    so the plan has no Expand and snapshots deterministically); the
+    per-column rows come from unpivoting the single 1-row aggregate
+    with ``stack``, never a second scan."""
+    from pyspark.sql.types import StringType
+
+    aggs = []
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count(F.lit(1)).alias(f"__n_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"__null_{c}"
+            )
+        )
+        if isinstance(f.dataType, StringType):
+            blank = F.when(
+                F.col(c).isNotNull() & (F.trim(F.col(c)) == ""), 1
+            ).otherwise(0)
+        else:
+            blank = F.lit(0)
+        aggs.append(F.sum(blank).alias(f"__blank_{c}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{f.name}', '{f.dataType.simpleString()}',"
+        f" __n_{f.name}, __null_{f.name}, __blank_{f.name}"
+        for f in df.schema.fields
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(df.schema.fields)}, {stack})"
+            " as (column, dtype, n, n_null, n_blank)"
+        )
+    )

@@ -59,7 +59,9 @@ _FIRST = [
     "dup_cluster_source_mix", "events_ab_power", "events_topk_user_churn",
     "embed_pq_distortion", "events_session_quantiles",
     "orders_basket_chi2", "lineitem_return_rate_ci",
-    # ============== end r6 block — 42 of the 50-key window ==============
+    "docs_profile_completeness", "events_retention_ci",
+    "orders_interpurchase_quantiles",
+    # ============== end r6 block — 45 of the 50-key window ==============
     # -- unchanged keys (fresh r5 rows), r5 order --
     "fac_campus_report", "fac_expand_aggs",
     "dedup_stitch", "training_manifest", "dedup_cascade",

@@ -4260,3 +4260,190 @@ FROM agg
 
 QUERIES["lineitem_return_rate_ci"] = lineitem_return_rate_ci
 ORACLES["lineitem_return_rate_ci"] = _oracle_return_rate_ci()
+
+
+# --------------------------------------------- data-quality profiling
+
+def docs_profile_completeness(spark, sf):
+    """Deequ-style completeness profile of the documents table: per
+    column, row/NULL/blank counters — the audit every ingested table
+    gets before a pipeline trusts it (see
+    relational.profile_completeness: ONE aggregation pass, no
+    distincts, per-column rows unpivoted from the single 1-row
+    aggregate)."""
+    from faconne_spark.operators.relational import profile_completeness
+
+    return profile_completeness(T(spark, sf, "documents"))
+
+
+def _oracle_profile() -> str:
+    cols = [
+        ("doc_id", "bigint", False),
+        ("text", "string", True),
+        ("lang", "string", True),
+        ("source", "string", True),
+        ("n_chars", "bigint", False),
+    ]
+    parts = []
+    for c, dt, is_str in cols:
+        blank = (
+            f"sum(CASE WHEN {c} IS NOT NULL AND trim({c}) = ''"
+            " THEN 1 ELSE 0 END)::BIGINT"
+            if is_str
+            else "0::BIGINT"
+        )
+        parts.append(f"""
+SELECT '{c}' AS column, '{dt}' AS dtype, count(*)::BIGINT AS n,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       {blank} AS n_blank
+FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["docs_profile_completeness"] = docs_profile_completeness
+ORACLES["docs_profile_completeness"] = _oracle_profile()
+
+
+# --------------------------------------------- retention with error bars
+
+def events_retention_ci(spark, sf):
+    """The weekly cohort-retention matrix WITH error bars: each
+    (cohort_week, week_offset) cell reports the cohort size, still-
+    active count, retention rate, and a Wilson 95% interval — small
+    cohorts' retention wobble is mostly noise, and the interval says
+    exactly how much (the CI'd face of events_retention_cohorts; same
+    two-shuffle shape plus one cohort-size broadcast)."""
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    ev = T(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("n_cohort")
+    )
+    active = ev.distinct()
+    cells = (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            F.col("cohort_week"),
+            ((F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+             / (7 * 24 * 3600)).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("k"))
+        .join(F.broadcast(sizes), "cohort_week")
+    )
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n_cohort")
+    return cells.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_cohort",
+        F.col("k").alias("n_active"),
+        F.expr("round(k / n_cohort, 6)").alias("retention"),
+        F.expr(lo_sql).alias("wilson_lo"),
+        F.expr(hi_sql).alias("wilson_hi"),
+    )
+
+
+def _oracle_retention_ci() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n_cohort")
+    return f"""
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts)::TIMESTAMP AS week FROM events),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+sizes AS (
+  SELECT cohort_week, count(*)::BIGINT AS n_cohort FROM first GROUP BY 1),
+active AS (SELECT DISTINCT user_id, week FROM ev),
+cells AS (
+  SELECT f.cohort_week,
+         (date_diff('day', f.cohort_week, a.week) / 7)::INTEGER
+           AS week_offset,
+         count(DISTINCT a.user_id)::BIGINT AS k
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.week_offset, s.n_cohort, c.k AS n_active,
+       round(k / n_cohort, 6) AS retention,
+       {lo_sql} AS wilson_lo,
+       {hi_sql} AS wilson_hi
+FROM cells c JOIN sizes s USING (cohort_week)
+"""
+
+
+QUERIES["events_retention_ci"] = events_retention_ci
+ORACLES["events_retention_ci"] = _oracle_retention_ci()
+
+
+# --------------------------------------------- repeat-purchase latency
+
+def orders_interpurchase_quantiles(spark, sf):
+    """Quantiles of the days-between-consecutive-orders distribution
+    (p50/p95/p99 across all repeat purchases) via the histogram
+    sketch — the repeat-purchase-latency tile behind reorder
+    reminders and churn-risk windows.  One customer-partitioned lag
+    window builds the gap relation; the sketch's windows run over
+    ≤ n_bins rows."""
+    from faconne_spark.operators.relational import histogram_quantiles
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr("cast(o_orderdate as date)").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_d", F.lag("d").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            F.lit("all").alias("grp"),
+            F.expr("cast(datediff(d, prev_d) as double)").alias("value"),
+        )
+    )
+    return histogram_quantiles(gaps, "value", "grp", HQ_BINS, HQ_QS)
+
+
+def _oracle_interpurchase() -> str:
+    nb = HQ_BINS
+    parts = []
+    for q in HQ_QS:
+        q_us = int(round(q * 1_000_000))
+        parts.append(f"""
+SELECT grp, {q} AS q,
+       round((_lo + (2 * _qbin + 1)::BIGINT * (_hi - _lo + 1) // {2 * nb})
+             / 1000000.0, 6) AS estimate
+FROM (
+  SELECT grp, min(_bin) AS _qbin, min(_lo) AS _lo, min(_hi) AS _hi
+  FROM cum WHERE _cum * 1000000 >= _total * {q_us}
+  GROUP BY grp)""")
+    return f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate::DATE AS d FROM orders),
+gaps AS (
+  SELECT 'all' AS grp,
+         date_diff('day', lag(d) OVER (PARTITION BY o_custkey
+           ORDER BY d, o_orderkey), d) AS gap
+  FROM o),
+vals AS (
+  SELECT grp, floor(gap * 1000000 + 0.5)::BIGINT AS us
+  FROM gaps WHERE gap IS NOT NULL),
+bounds AS (SELECT grp, min(us) AS _lo, max(us) AS _hi FROM vals GROUP BY 1),
+binned AS (
+  SELECT v.grp,
+         ((least(greatest(v.us, bo._lo), bo._hi) - bo._lo) * {nb}
+          // (bo._hi - bo._lo + 1))::INT AS _bin,
+         count(*) AS _cnt, min(bo._lo) AS _lo, min(bo._hi) AS _hi
+  FROM vals v JOIN bounds bo USING (grp)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT grp, _bin, _lo, _hi,
+         sum(_cnt) OVER (PARTITION BY grp ORDER BY _bin) AS _cum,
+         sum(_cnt) OVER (PARTITION BY grp) AS _total
+  FROM binned)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["orders_interpurchase_quantiles"] = orders_interpurchase_quantiles
+ORACLES["orders_interpurchase_quantiles"] = _oracle_interpurchase()

@@ -3998,3 +3998,71 @@ def test_return_rate_ci_accounting(spark, sf_dir):
         assert r["return_rate"] == round(r["n_returned"] / r["n"], 6)
         assert 0.0 <= r["wilson_lo"] <= r["return_rate"] + 1e-9
         assert r["return_rate"] - 1e-9 <= r["wilson_hi"] <= 1.0
+
+
+def test_profile_completeness_counts(spark):
+    """NULLs, blanks, and row counts replayed on a constructed table
+    with every defect class present."""
+    from faconne_spark.operators.relational import profile_completeness
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "  ", None), (3, None, 1.5), (None, "", 0.0)],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_completeness(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r["n"] == 4 for r in got.values())
+    assert (got["id"]["n_null"], got["id"]["n_blank"]) == (1, 0)
+    assert (got["s"]["n_null"], got["s"]["n_blank"]) == (1, 2)
+    assert (got["v"]["n_null"], got["v"]["n_blank"]) == (1, 0)
+    assert got["s"]["dtype"] == "string" and got["v"]["dtype"] == "double"
+
+
+def test_retention_ci_consistent_with_cohorts(spark, sf_dir):
+    """The CI'd matrix agrees cell-for-cell with the registered
+    retention counts, cohort sizes cover every user exactly once, and
+    week 0 retention is exactly 1.0 (everyone is active in their own
+    cohort week)."""
+    from faconne_spark.queries import T
+    from faconne_spark.queries.curation import events_retention_ci
+    from faconne_spark.queries.tpch_ext import events_retention_cohorts
+
+    got = {
+        (r["cohort_week"], r["week_offset"]): r
+        for r in events_retention_ci(spark, sf_dir).collect()
+    }
+    base = {
+        (r["cohort_week"].strftime("%Y-%m-%d"), r["week_offset"]):
+        r["n_active"]
+        for r in events_retention_cohorts(spark, sf_dir).collect()
+    }
+    assert {k: r["n_active"] for k, r in got.items()} == base
+    users = T(spark, sf_dir, "events").select("user_id").distinct().count()
+    week0 = [r for (cw, off), r in got.items() if off == 0]
+    assert sum(r["n_cohort"] for r in week0) == users
+    for r in week0:
+        assert r["retention"] == 1.0 and r["n_active"] == r["n_cohort"]
+        assert r["wilson_lo"] <= 1.0 <= r["wilson_hi"] + 1e-9
+
+
+def test_interpurchase_quantiles_range(spark, sf_dir):
+    """Estimates sit inside the true gap range and are monotone in q;
+    the gap relation has one fewer row per customer than their
+    orders."""
+    from faconne_spark.queries import T
+    from faconne_spark.queries.curation import orders_interpurchase_quantiles
+    from pyspark.sql import functions as F
+
+    got = {
+        r["q"]: r["estimate"]
+        for r in orders_interpurchase_quantiles(spark, sf_dir).collect()
+    }
+    qs = sorted(got)
+    assert [got[q] for q in qs] == sorted(got[q] for q in qs)
+    o = T(spark, sf_dir, "orders")
+    span = o.groupBy("o_custkey").agg(
+        F.expr("datediff(max(cast(o_orderdate as date)),"
+               " min(cast(o_orderdate as date)))").alias("span")
+    ).agg(F.max("span")).collect()[0][0]
+    for q in qs:
+        assert 0.0 <= got[q] <= float(span)

@@ -190,6 +190,12 @@ SNAPSHOT_QUERIES = [
     # basket_lift) and the single-aggregate Wilson SLA tile
     "orders_basket_chi2",
     "lineitem_return_rate_ci",
+    # round-6 wave 7: pin the single-pass no-distinct profile stack,
+    # the cohort-size broadcast CI matrix, and the lag-window gap
+    # relation feeding the bounded sketch
+    "docs_profile_completeness",
+    "events_retention_ci",
+    "orders_interpurchase_quantiles",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
