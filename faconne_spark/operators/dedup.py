@@ -1391,12 +1391,25 @@ def _doubled_edges(pairs: DataFrame) -> DataFrame:
     (src, dst) edge list — the shared first step of the iterative and
     link-prediction graph passes (each reads it at least twice; an
     unpersisted build would re-run the whole upstream candidate
-    pipeline per read)."""
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    pipeline per read).
+
+    The doubling is an explode of a two-struct array — ONE scan of the
+    expensive pair build per edges materialization, where a
+    union-of-two-selects would evaluate the upstream self-join twice
+    while the cache is still filling."""
     return _persist_sig(
-        fwd.union(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        ),
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst"),
         pairs,
     )
 
