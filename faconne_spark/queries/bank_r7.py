@@ -1,0 +1,306 @@
+"""Round-7 gate-key bank: query/oracle pairs built and cross-engine
+tested in round 6 but NOT registered — the r6 driver window closed at
+45 changed/new keys and these would have landed past it.  Round 7
+wires them into the registry by adding this module to
+queries/__init__._merged's module list and front-loading the keys in
+the rebuilt `_FIRST`; tests/test_bank_r7.py already runs each pair
+driver-style against DuckDB at three SFs, so registration is a move,
+not new work (the bank_r6 precedent: its 20 pairs converted to 20
+green CORRECTNESS_r06 rows for free)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from faconne_spark.queries import T
+
+BANK_QUERIES: dict = {}
+BANK_ORACLES: dict = {}
+
+
+# ------------------------------------------------- funnel with error bars
+
+def events_funnel_ci(spark, sf):
+    """The view→click→purchase funnel WITH error bars: each step's
+    conversion FROM THE PREVIOUS step bracketed by a Wilson 95%
+    interval — step rates on small denominators wobble, and the
+    interval says whether this week's click-through actually moved.
+    Same single grouped pass as events_funnel (conditional
+    min-timestamps, no per-step self-joins), one extra unpivot of the
+    1-row funnel into step rows."""
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    ev = T(spark, sf, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    one = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("viewed"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), 1)
+        ).alias("clicked"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("purchased"),
+    )
+    steps = one.select(
+        F.expr(
+            "stack(3,"
+            " 1, 'viewed', n_users, viewed,"
+            " 2, 'clicked_after_view', viewed, clicked,"
+            " 3, 'purchased_after_click', clicked, purchased)"
+            " as (step, name, n, k)"
+        )
+    )
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return steps.select(
+        "step",
+        "name",
+        "n",
+        "k",
+        F.expr("round(k / n, 6)").alias("rate"),
+        F.expr(lo_sql).alias("wilson_lo"),
+        F.expr(hi_sql).alias("wilson_hi"),
+    )
+
+
+def _oracle_funnel_ci() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id),
+one AS (
+  SELECT count(*)::BIGINT AS n_users,
+         count(CASE WHEN t_view IS NOT NULL THEN 1 END)::BIGINT AS viewed,
+         count(CASE WHEN t_click > t_view THEN 1 END)::BIGINT AS clicked,
+         count(CASE WHEN t_click > t_view AND t_purchase > t_click
+               THEN 1 END)::BIGINT AS purchased
+  FROM per_user),
+steps AS (
+  SELECT 1 AS step, 'viewed' AS name, n_users AS n, viewed AS k FROM one
+  UNION ALL
+  SELECT 2, 'clicked_after_view', viewed, clicked FROM one
+  UNION ALL
+  SELECT 3, 'purchased_after_click', clicked, purchased FROM one)
+SELECT step, name, n, k,
+       round(k / n, 6) AS rate,
+       {lo_sql} AS wilson_lo,
+       {hi_sql} AS wilson_hi
+FROM steps
+"""
+
+
+BANK_QUERIES["events_funnel_ci"] = events_funnel_ci
+BANK_ORACLES["events_funnel_ci"] = _oracle_funnel_ci()
+
+
+# ------------------------------------------------- label-agreement audit
+
+def docs_lang_purity_ci(spark, sf):
+    """Per-source agreement between the labeled language and the
+    trained char-trigram language-ID prediction, with Wilson error
+    bars — the label-quality audit that says which SOURCES carry
+    mislabeled text (a systematic 20% disagreement in one source is a
+    labeling bug, not a classifier miss — the CI separates the two)."""
+    from faconne_spark.operators.relational import wilson_bounds_sql
+    from faconne_spark.operators import text as TX
+
+    docs = T(spark, sf, "documents")
+    pred = TX.lang_id(docs).join(docs.select("doc_id", "source"), "doc_id")
+    agg = pred.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+        ).alias("k"),
+    )
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return agg.select(
+        "source",
+        "n",
+        F.col("k").alias("n_agree"),
+        F.expr("round(k / n, 6)").alias("agreement"),
+        F.expr(lo_sql).alias("wilson_lo"),
+        F.expr(hi_sql).alias("wilson_hi"),
+    )
+
+
+def _oracle_lang_purity() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+    from faconne_spark.queries.pipeline import ORACLE_LANG_ID
+
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return f"""
+WITH pred AS ({ORACLE_LANG_ID.strip()}),
+agg AS (
+  SELECT d.source, count(*)::BIGINT AS n,
+         sum(CASE WHEN p.pred_lang = p.lang THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM pred p JOIN documents d USING (doc_id)
+  GROUP BY 1)
+SELECT source, n, k AS n_agree,
+       round(k / n, 6) AS agreement,
+       {lo_sql} AS wilson_lo,
+       {hi_sql} AS wilson_hi
+FROM agg
+"""
+
+
+BANK_QUERIES["docs_lang_purity_ci"] = docs_lang_purity_ci
+BANK_ORACLES["docs_lang_purity_ci"] = _oracle_lang_purity()
+
+
+# ------------------------------------------------- categorical mix drift
+
+def orders_priority_mix_drift(spark, sf):
+    """Monthly drift of the order-priority MIX: per month, the χ²
+    statistic of that month's priority distribution against the
+    all-time mix, as an exact integer micro unit — the categorical
+    drift chart behind 'did the order composition change, or just the
+    volume?' (the orders-side sibling of events_chi2_type_dow, read
+    month by month instead of as one global test).
+
+    Scale: one (month, priority) count aggregation; the expected
+    side is the priorities-sized global mix broadcast back; per-cell
+    terms in IEEE doubles from identical BIGINTs, micro-rounded then
+    summed order-free per month."""
+    o = T(spark, sf, "orders").select(
+        F.date_format(F.expr("cast(o_orderdate as date)"), "yyyy-MM")
+        .alias("month"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    obs = o.groupBy("month", "pri").agg(F.count("*").alias("o"))
+    mix = obs.groupBy("pri").agg(F.sum("o").alias("c"))
+    mtot = obs.groupBy("month").agg(F.sum("o").alias("m"))
+    tot = obs.groupBy().agg(F.sum("o").alias("n"))
+    grid = mtot.crossJoin(F.broadcast(mix)).crossJoin(F.broadcast(tot))
+    cells = (
+        grid.join(obs, ["month", "pri"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .withColumn(
+            "term_micro",
+            F.expr(
+                "cast(round(1000000 *"
+                " (cast(o as double) * cast(n as double)"
+                "  - cast(m as double) * cast(c as double))"
+                " * (cast(o as double) * cast(n as double)"
+                "    - cast(m as double) * cast(c as double))"
+                " / (cast(n as double) * cast(m as double)"
+                "    * cast(c as double)), 0) as bigint)"
+            ),
+        )
+    )
+    return cells.groupBy("month").agg(
+        F.max("m").alias("n_orders"),
+        F.count("*").alias("n_priorities"),
+        F.sum("term_micro").alias("chi2_micro"),
+    )
+
+
+ORACLE_PRIORITY_DRIFT = """
+WITH o AS (
+  SELECT strftime(o_orderdate::DATE, '%Y-%m') AS month,
+         o_orderpriority AS pri
+  FROM orders),
+obs AS (SELECT month, pri, count(*)::BIGINT AS o FROM o GROUP BY 1, 2),
+mix AS (SELECT pri, sum(o)::BIGINT AS c FROM obs GROUP BY 1),
+mtot AS (SELECT month, sum(o)::BIGINT AS m FROM obs GROUP BY 1),
+tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
+cells AS (
+  SELECT mt.month, mt.m, mx.c, t.n, coalesce(obs.o, 0)::BIGINT AS o
+  FROM mtot mt CROSS JOIN mix mx CROSS JOIN tot t
+  LEFT JOIN obs ON obs.month = mt.month AND obs.pri = mx.pri),
+terms AS (
+  SELECT month, m,
+         round(1000000 *
+               (o::DOUBLE * n::DOUBLE - m::DOUBLE * c::DOUBLE)
+               * (o::DOUBLE * n::DOUBLE - m::DOUBLE * c::DOUBLE)
+               / (n::DOUBLE * m::DOUBLE * c::DOUBLE), 0)::BIGINT
+           AS term_micro
+  FROM cells)
+SELECT month, max(m)::BIGINT AS n_orders,
+       count(*)::BIGINT AS n_priorities,
+       sum(term_micro)::BIGINT AS chi2_micro
+FROM terms GROUP BY month
+"""
+
+BANK_QUERIES["orders_priority_mix_drift"] = orders_priority_mix_drift
+BANK_ORACLES["orders_priority_mix_drift"] = ORACLE_PRIORITY_DRIFT
+
+
+# ------------------------------------------------- Markov entropy rate
+
+def events_markov_cond_entropy(spark, sf):
+    """Conditional entropy H(next | previous) of the event-type
+    transition process, in exact integer micro-nats — how predictable
+    is the next action given the current one?  (H → 0 means rigid
+    flows; H near the marginal entropy means the previous event tells
+    you nothing.)  Same transition-pair build as
+    events_markov_transitions; per-cell ln terms micro-round BEFORE
+    the count multiply (the MI/entropy integer discipline) and the
+    OUTPUT is the exact integer h_micro = −Σ n_st·round(10⁶·ln(n_st/n_s))
+    with the pair total riding along (entropy in nats =
+    h_micro / (n_pairs·10⁶))."""
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_st"))
+    )
+    rows = pairs.groupBy("from_type").agg(F.sum("n_st").alias("n_s"))
+    cells = pairs.join(rows, "from_type").withColumn(
+        "__l",
+        F.expr(
+            "cast(round(ln(cast(n_st as double) / n_s) * 1000000, 0)"
+            " as bigint)"
+        ),
+    )
+    return cells.groupBy().agg(
+        F.sum("n_st").alias("n_pairs"),
+        F.count("*").alias("n_cells"),
+        (-F.sum(F.col("n_st") * F.col("__l"))).alias("h_micro"),
+    )
+
+
+ORACLE_MARKOV_ENTROPY = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS next_type
+  FROM events),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         count(*)::BIGINT AS n_st
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+rows_ AS (SELECT from_type, sum(n_st)::BIGINT AS n_s FROM pairs GROUP BY 1),
+cells AS (
+  SELECT p.n_st,
+         round(ln(p.n_st::DOUBLE / r.n_s) * 1000000, 0)::BIGINT AS l
+  FROM pairs p JOIN rows_ r USING (from_type))
+SELECT sum(n_st)::BIGINT AS n_pairs, count(*)::BIGINT AS n_cells,
+       (-sum(n_st * l))::BIGINT AS h_micro
+FROM cells
+"""
+
+BANK_QUERIES["events_markov_cond_entropy"] = events_markov_cond_entropy
+BANK_ORACLES["events_markov_cond_entropy"] = ORACLE_MARKOV_ENTROPY
