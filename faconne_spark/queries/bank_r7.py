@@ -304,3 +304,135 @@ FROM cells
 
 BANK_QUERIES["events_markov_cond_entropy"] = events_markov_cond_entropy
 BANK_ORACLES["events_markov_cond_entropy"] = ORACLE_MARKOV_ENTROPY
+
+
+# ------------------------------------------------- market concentration
+
+def part_brand_supplier_hhi(spark, sf):
+    """Herfindahl–Hirschman supplier-concentration index per part
+    brand, from lineitem volume: HHI → 10⁶ means one supplier owns the
+    brand's flow (a sourcing risk), → 10⁶/n means even split.  Exact
+    integer arithmetic end-to-end: hhi_micro =
+    round(10⁶ · Σ cnt_i² / tot²) with the squares in IEEE doubles
+    built from identical BIGINTs.
+
+    Scale: lineitem collapses to (brand, supplier) counts map-side;
+    everything after runs on the brands × suppliers relation."""
+    li = T(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    cnt = (
+        li.join(part, "l_partkey")
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        cnt.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("c").alias("n_lineitems"),
+            F.sum(
+                F.expr("cast(c as double) * cast(c as double)")
+            ).alias("__ss"),
+        )
+        .select(
+            "p_brand",
+            "n_suppliers",
+            "n_lineitems",
+            F.expr(
+                "cast(round(1000000 * __ss /"
+                " (cast(n_lineitems as double)"
+                "  * cast(n_lineitems as double)), 0) as bigint)"
+            ).alias("hhi_micro"),
+        )
+    )
+
+
+ORACLE_HHI = """
+WITH cnt AS (
+  SELECT p.p_brand, l.l_suppkey, count(*)::BIGINT AS c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+agg AS (
+  SELECT p_brand, count(*)::BIGINT AS n_suppliers,
+         sum(c)::BIGINT AS n_lineitems,
+         sum(c::DOUBLE * c::DOUBLE) AS ss
+  FROM cnt GROUP BY 1)
+SELECT p_brand, n_suppliers, n_lineitems,
+       round(1000000 * ss / (n_lineitems::DOUBLE * n_lineitems::DOUBLE),
+             0)::BIGINT AS hhi_micro
+FROM agg
+"""
+
+BANK_QUERIES["part_brand_supplier_hhi"] = part_brand_supplier_hhi
+BANK_ORACLES["part_brand_supplier_hhi"] = ORACLE_HHI
+
+
+# ------------------------------------------------- traffic burstiness
+
+def events_burstiness(spark, sf):
+    """Per-type traffic burstiness from the daily count series: the
+    peak-to-mean ratio (capacity planning: what multiple of average
+    must the hot path absorb?) and the Fano factor var/mean (≈1 =
+    Poisson arrivals; ≫1 = bursty/clustered) — both as exact integer
+    micro units from BIGINT count sums (population variance; squares
+    in IEEE doubles built from identical integers)."""
+    daily = (
+        T(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("c").alias("n_events"),
+            F.max("c").alias("peak_day"),
+            F.sum(
+                F.expr("cast(c as double) * cast(c as double)")
+            ).alias("__ss"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_events",
+            "peak_day",
+            F.expr(
+                "cast(round(1000000 * cast(peak_day as double)"
+                " * cast(n_days as double) / cast(n_events as double), 0)"
+                " as bigint)"
+            ).alias("peak_to_mean_micro"),
+            F.expr(
+                "cast(round(1000000 * ((__ss / cast(n_days as double)"
+                " - (cast(n_events as double) / cast(n_days as double))"
+                " * (cast(n_events as double) / cast(n_days as double)))"
+                " / (cast(n_events as double) / cast(n_days as double))), 0)"
+                " as bigint)"
+            ).alias("fano_micro"),
+        )
+    )
+
+
+ORACLE_BURSTINESS = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_days,
+         sum(c)::BIGINT AS n_events, max(c)::BIGINT AS peak_day,
+         sum(c::DOUBLE * c::DOUBLE) AS ss
+  FROM daily GROUP BY 1)
+SELECT event_type, n_days, n_events, peak_day,
+       round(1000000 * peak_day::DOUBLE * n_days::DOUBLE
+             / n_events::DOUBLE, 0)::BIGINT AS peak_to_mean_micro,
+       round(1000000 * ((ss / n_days::DOUBLE
+             - (n_events::DOUBLE / n_days::DOUBLE)
+             * (n_events::DOUBLE / n_days::DOUBLE))
+             / (n_events::DOUBLE / n_days::DOUBLE)), 0)::BIGINT
+         AS fano_micro
+FROM agg
+"""
+
+BANK_QUERIES["events_burstiness"] = events_burstiness
+BANK_ORACLES["events_burstiness"] = ORACLE_BURSTINESS
