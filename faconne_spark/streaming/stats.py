@@ -716,6 +716,47 @@ def pr_auc_from_state(
     return pr_auc_from_histogram(merged, [key], "_bin")
 
 
+def reliability_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    bounds: tuple,
+    n_bins: int = 64,
+    key: str = "event_type",
+) -> DataFrame:
+    """Per-bin calibration counters off the SAME merged AUC histogram
+    state — the THIRD read-off of one mergeable artifact (ROC-AUC,
+    PR-AUC, and now the reliability diagram all read the identical
+    (key, bin, pos, neg) relation; shards/epochs added their counts
+    exactly once).  ``bounds``/``n_bins`` must match the epoch
+    writer's pinned grid — they reconstruct each bin's integer
+    midpoint (the same exact midpoint formula as
+    histogram_quantiles).
+
+    Columns per (key, bin): mid_score (micro units), n, n_pos — the
+    observed positive rate per predicted-score bucket is n_pos/n, one
+    division away, and the curve merges across runs by adding the
+    counters."""
+    from faconne_spark.operators.relational import bounds_us
+
+    lo, hi = bounds_us(bounds, "reliability_from_state")
+    span = hi - lo + 1
+    merged = (
+        _state(spark, state_dir, AUC_BINS)
+        .groupBy(key, "_bin")
+        .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+    )
+    return merged.select(
+        key,
+        F.col("_bin").alias("bin"),
+        F.expr(
+            f"{lo} + cast((2 * _bin + 1) * {span}L div {2 * n_bins}"
+            " as bigint)"
+        ).alias("mid_score"),
+        (F.col("pos") + F.col("neg")).alias("n"),
+        F.col("pos").alias("n_pos"),
+    )
+
+
 # ---------------------------------------------------- KS state
 
 KS_BINS_STATE = "ks_bins"

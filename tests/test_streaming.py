@@ -1331,6 +1331,31 @@ def test_streaming_auc_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got_ap == want_ap and got_ap
 
+    # ...and the THIRD read-off: per-bin calibration counters equal the
+    # batch reliability_bins on the identical micro-unit score and grid
+    from faconne_spark.operators.evalstats import reliability_bins
+    from faconne_spark.streaming.stats import reliability_from_state
+
+    got_rel = {
+        (r["event_type"], r["bin"]): (r["mid_score"], r["n"], r["n_pos"])
+        for r in reliability_from_state(
+            spark, state, bounds, n_bins=32
+        ).collect()
+    }
+    micro = full.selectExpr(
+        "event_type",
+        "cast(floor(value * 1000000 + 0.5) as bigint) AS us",
+        f"case when {label} then 1 else 0 end AS y",
+    )
+    want_rel = {
+        (r["event_type"], r["bin"]): (r["mid_score"], r["n"], r["n_pos"])
+        for r in reliability_bins(
+            micro, "us", F.col("y") == 1, (0, 500_000_000), 32,
+            group_cols=["event_type"],
+        ).collect()
+    }
+    assert got_rel == want_rel and got_rel
+
 
 def test_auc_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
     """Re-delivering a micro-batch under its original epoch id (the
