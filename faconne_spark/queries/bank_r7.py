@@ -436,3 +436,130 @@ FROM agg
 
 BANK_QUERIES["events_burstiness"] = events_burstiness
 BANK_ORACLES["events_burstiness"] = ORACLE_BURSTINESS
+
+
+# ------------------------------------------------- filter disagreement
+
+def docs_filter_confusion(spark, sf):
+    """Confusion matrix between the heuristic quality gate and the
+    trained NB classifier on the held-out folds — per (gate verdict,
+    classifier verdict) cell with doc counts and exact integer score
+    mass.  The cells where the two filters DISAGREE are the review
+    queue that tunes both; the agreement diagonal sizes how much the
+    cheap heuristic can stand in for the model at scale.  Shares the
+    trained model with the registered classifier and reliability keys
+    through nb_scored_heldout / _nb_scored_ctes (one model, now three
+    read-offs)."""
+    from faconne_spark.operators.text import nb_scored_heldout
+
+    scored = nb_scored_heldout(T(spark, sf, "documents"))
+    return (
+        scored.groupBy(
+            F.col("keep").alias("gate_keep"),
+            (F.col("score_micro") > 0).alias("nb_keep"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score_micro").alias("sum_score_micro"),
+        )
+    )
+
+
+def _oracle_filter_confusion() -> str:
+    from faconne_spark.queries.pipeline import _nb_scored_ctes
+
+    return f"""{_nb_scored_ctes()}
+SELECT s.keep AS gate_keep,
+       (s.tok_score + p.prior_micro) > 0 AS nb_keep,
+       count(*)::BIGINT AS n_docs,
+       sum(s.tok_score + p.prior_micro)::BIGINT AS sum_score_micro
+FROM scored s CROSS JOIN prior p
+GROUP BY 1, 2
+"""
+
+
+BANK_QUERIES["docs_filter_confusion"] = docs_filter_confusion
+BANK_ORACLES["docs_filter_confusion"] = _oracle_filter_confusion()
+
+
+# ------------------------------------------------- weekend effect
+
+def events_weekend_effect(spark, sf):
+    """Weekend-vs-weekday readout per event type: volume share and the
+    Welch z on mean value between the two segments — 'does the weekend
+    buy differently, or just less?'.  Day classification is epoch-days
+    mod 7 (the portable dow; 2 = Saturday, 3 = Sunday with epoch day 0
+    a Thursday); moments use the events_ab_test fixed-point DECIMAL
+    discipline — every double emerges from identical integers."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr(
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 as int)"
+            " in (2, 3)"
+        ).alias("wknd"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("us"),
+    )
+    seg = ev.groupBy("event_type", "wknd").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("us").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("us").cast("decimal(38,0)") * F.col("us").cast("decimal(38,0)"))
+        ).alias("ss"),
+    )
+    m = seg.select(
+        "event_type",
+        "wknd",
+        "n",
+        F.expr("cast(s as double) / 1000000.0 / cast(n as double)").alias(
+            "_mean"
+        ),
+        F.expr(
+            "(cast(ss as double) - cast(s as double) * cast(s as double)"
+            " / n) / (n - 1) / 1000000000000.0"
+        ).alias("_var"),
+    )
+    a = m.filter("not wknd").alias("a")
+    b = m.filter("wknd").alias("b")
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_weekday"),
+        F.col("b.n").alias("n_weekend"),
+        F.expr("round(b.n / (a.n + b.n), 6)").alias("weekend_share"),
+        F.expr("round(a._mean, 6)").alias("mean_weekday"),
+        F.expr("round(b._mean, 6)").alias("mean_weekend"),
+        F.expr(
+            "round((b._mean - a._mean)"
+            " / sqrt(a._var / a.n + b._var / b.n), 6) + 0.0"
+        ).alias("welch_z"),
+    )
+
+
+ORACLE_WEEKEND = """
+WITH ev AS (
+  SELECT event_type,
+         ((ts::DATE - DATE '1970-01-01') % 7) IN (2, 3) AS wknd,
+         floor(value * 1000000 + 0.5)::BIGINT AS us
+  FROM events),
+seg AS (
+  SELECT event_type, wknd, count(*) AS n,
+         sum(us::DECIMAL(38,0)) AS s,
+         sum(us::DECIMAL(38,0) * us::DECIMAL(38,0)) AS ss
+  FROM ev GROUP BY 1, 2),
+m AS (
+  SELECT event_type, wknd, n,
+         s::DOUBLE / 1000000.0 / n AS mean_,
+         (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1)
+           / 1000000000000.0 AS var_
+  FROM seg)
+SELECT a.event_type, a.n AS n_weekday, b.n AS n_weekend,
+       round(b.n / (a.n + b.n)::DOUBLE, 6) AS weekend_share,
+       round(a.mean_, 6) AS mean_weekday,
+       round(b.mean_, 6) AS mean_weekend,
+       round((b.mean_ - a.mean_)
+             / sqrt(a.var_ / a.n + b.var_ / b.n), 6) + 0.0 AS welch_z
+FROM (SELECT * FROM m WHERE NOT wknd) a
+JOIN (SELECT * FROM m WHERE wknd) b USING (event_type)
+"""
+
+BANK_QUERIES["events_weekend_effect"] = events_weekend_effect
+BANK_ORACLES["events_weekend_effect"] = ORACLE_WEEKEND
