@@ -791,17 +791,18 @@ def pr_auc_from_histogram(
     tp = F.sum("pos").over(w)
     t = tp + F.sum("neg").over(w)
     # per-score precision micro-rounds half-up in pure BIGINT
-    # arithmetic — (2·10⁶·TP + T) div (2·T) — before the pos(s)
-    # multiply, so no intermediate exceeds 2·10⁶·n and the term sum
-    # stays partition-order-free
+    # arithmetic — jaccard_micro_sql's (2·10⁶·TP + T) div (2·T), the
+    # ONE audited rounding text — before the pos(s) multiply, so no
+    # intermediate exceeds 2·10⁶·n and the term sum stays
+    # partition-order-free
+    from faconne_spark.functions import jaccard_micro_sql
+
     return (
         hist.withColumn("__tp", tp)
         .withColumn("__t", t)
         .withColumn(
             "__term",
-            F.expr(
-                "pos * ((2000000 * __tp + __t) div (2 * __t))"
-            ),
+            F.expr(f"pos * {jaccard_micro_sql('__tp', '__t', 'spark')}"),
         )
         .groupBy(*group_cols)
         .agg(
