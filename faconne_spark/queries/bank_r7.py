@@ -570,3 +570,7 @@ JOIN (SELECT * FROM m WHERE wknd) b USING (event_type)
 
 BANK_QUERIES["events_weekend_effect"] = events_weekend_effect
 BANK_ORACLES["events_weekend_effect"] = ORACLE_WEEKEND
+
+# registry aliases: _merged() consumes QUERIES/ORACLES from every module
+QUERIES = BANK_QUERIES
+ORACLES = BANK_ORACLES

@@ -196,6 +196,21 @@ SNAPSHOT_QUERIES = [
     "docs_profile_completeness",
     "events_retention_ci",
     "orders_interpurchase_quantiles",
+    # round-7 registration of the r6 bank: pin the one-grouped-pass
+    # funnel with its 1-row stack unpivot, the broadcast lang-ID
+    # agreement join, the margins-grid monthly χ², the user-partitioned
+    # transition windows feeding a bounded entropy aggregate, the
+    # (brand, supplier)-collapsed HHI, the daily-counts burstiness
+    # aggregate, the shared NB-scored confusion cells, and the
+    # epoch-day weekend split's moment aggregates
+    "events_funnel_ci",
+    "docs_lang_purity_ci",
+    "orders_priority_mix_drift",
+    "events_markov_cond_entropy",
+    "part_brand_supplier_hhi",
+    "events_burstiness",
+    "docs_filter_confusion",
+    "events_weekend_effect",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
