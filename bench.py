@@ -327,6 +327,11 @@ def main() -> None:
         "events_burstiness",
         "docs_filter_confusion",
         "events_weekend_effect",
+        # round-7 merged-state + S15 gate keys (timed, not headline)
+        "events_hll_merged",
+        "docs_cms_topk_merged",
+        "events_auc_merged",
+        "docs_file_sample",
     ]
     times = {}
     shuffle = {}

@@ -45,6 +45,11 @@ _FIRST = [
     #    seconds before the micro-quantizing sketch --
     "events_ab_power", "docs_profile_completeness",
     "events_session_quantiles",
+    # -- new in r7: the remaining mergeable states read off the MERGE
+    #    through the gate (VERDICT r6 ask #2) and S15's hash-sampled
+    #    file read driven end-to-end (ask #3) --
+    "events_hll_merged", "docs_cms_topk_merged", "events_auc_merged",
+    "docs_file_sample",
     # ============== end r7 block (extended below this round) ==============
     # -- unchanged keys (fresh r6 rows), r6 order --
     "events_kmv_distinct", "events_kmv_overlap", "customer_order_golden",
@@ -135,13 +140,15 @@ def _merged(attr: str) -> dict:
         curation,
         faconne_demo,
         pipeline,
+        round7,
         tpch,
         tpch_ext,
     )
 
     merged = {}
     for mod in (
-        faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7
+        faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
+        round7,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

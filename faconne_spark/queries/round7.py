@@ -1,0 +1,324 @@
+"""Round-7 gate keys: the remaining mergeable-state read-offs proven
+THROUGH the driver gate (VERDICT r6 ask #2 — the
+events_value_quantiles_merged pattern applied to the HLL, CMS and AUC
+states) and the S15 hash-sampled file read driven end-to-end
+(ask #3).
+
+Each merged key builds per-shard state from DISJOINT id-parity shards,
+merges the bounded state relations (max for HLL registers, addition
+for CMS counters and AUC histograms), and reads the statistic off the
+MERGE — the oracle is a single full pass, so the green row IS the
+mergeability proof.  This is the backfill + daily-increment shape at
+100 TB: shards never meet until the ≤ state-size relations do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from faconne_spark.queries import T
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ------------------------------------------------- merged HLL registers
+
+def events_hll_merged(spark, sf):
+    """Per-event-type distinct-user HLL estimated off MERGED shard
+    registers: even/odd event_id shards each build their own register
+    table, the merge is max per (type, bucket), and the estimate reads
+    the merged registers — must equal a single-pass register build
+    (the oracle), because max-merge of registers over a partition of
+    the input IS the register table of the union (HLL's defining
+    property; sketches.py:41).
+
+    Scale: each shard's exchange carries ≤ types × 256 rows; the merge
+    is a groupBy over ≤ 2 × types × 256 rows.  The corpus is scanned
+    once per shard and never again."""
+    from faconne_spark.operators.sketches import _estimates, hll_registers
+
+    ev = T(spark, sf, "events")
+    regs = hll_registers(
+        ev.filter("event_id % 2 = 0"), "user_id", "event_type"
+    ).unionByName(
+        hll_registers(ev.filter("event_id % 2 = 1"), "user_id", "event_type")
+    )
+    merged = regs.groupBy("event_type", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    return _estimates(merged, "event_type")
+
+
+def _oracle_hll_merged() -> str:
+    from faconne_spark.functions import (
+        HLL_FIX,
+        HLL_M,
+        HLL_P,
+        hll_estimate,
+        hll_rho,
+        phash60,
+    )
+
+    h = phash60("('hll:' || user_id::VARCHAR)", "duckdb")
+    return f"""
+WITH hashed AS (
+  SELECT event_type::VARCHAR AS event_type, ({h}) AS h FROM events),
+rho_rows AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         {hll_rho(f'(h >> {HLL_P})')} AS rho
+  FROM hashed),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS m_j FROM rho_rows GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         ({HLL_M} - count(*))::BIGINT AS empty_regs,
+         (({HLL_M} - count(*))::BIGINT * {HLL_FIX}
+          + sum(1::BIGINT << (53 - m_j)))::BIGINT AS harmonic_fixed
+  FROM regs GROUP BY 1)
+SELECT event_type, empty_regs, harmonic_fixed,
+       {hll_estimate('harmonic_fixed', 'empty_regs')} AS hll_est
+FROM agg
+"""
+
+
+QUERIES["events_hll_merged"] = events_hll_merged
+ORACLES["events_hll_merged"] = _oracle_hll_merged()
+
+
+# ------------------------------------------------- merged CMS counters
+
+def docs_cms_topk_merged(spark, sf):
+    """The CMS heavy-hitter table read off MERGED shard sketches:
+    even/odd doc_id shards each count their own vocabulary and build
+    their own width×depth counter relation; counters merge by plain
+    ADDITION (Σ per-shard bucket counts ≡ full-corpus bucket counts —
+    CMS's defining property, text.py cms_sketch_from_counts); the
+    probe vocabulary is the shard vocabularies re-added, so the whole
+    key runs exactly one scan per shard.  Must equal the single-pass
+    docs_token_cms_topk (ORACLE_CMS verbatim — deliberately the same
+    oracle text)."""
+    from faconne_spark.operators.dedup import _persist_sig
+    from faconne_spark.operators.text import (
+        cms_rank_candidates,
+        cms_sketch_from_counts,
+    )
+    from faconne_spark.functions import tokens_ws
+    from faconne_spark.queries.curation import CMS_D, CMS_K, CMS_W
+    from faconne_spark.session import spread
+
+    docs = T(spark, sf, "documents")
+    toks = tokens_ws("lower(text)", "spark")
+
+    def shard_vocab(parity: int):
+        shard = spread(docs.filter(f"doc_id % 2 = {parity}"))
+        stream = shard.select(F.explode(F.expr(toks)).alias("tok"))
+        return _persist_sig(
+            stream.groupBy("tok").agg(F.count("*").alias("cnt")), docs
+        )
+
+    v0, v1 = shard_vocab(0), shard_vocab(1)
+    sketch = (
+        cms_sketch_from_counts(v0, CMS_W, CMS_D)
+        .unionByName(cms_sketch_from_counts(v1, CMS_W, CMS_D))
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    vocab = (
+        v0.unionByName(v1)
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("exact"))
+    )
+    return cms_rank_candidates(vocab, sketch, CMS_W, CMS_D, CMS_K)
+
+
+def _oracle_cms_merged() -> str:
+    # the merge is exact by construction, so the oracle IS the
+    # registered single-pass key's text (the dedup_changefeed
+    # precedent: same-oracle-by-design proves the two paths agree)
+    from faconne_spark.queries.curation import ORACLE_CMS
+
+    return ORACLE_CMS
+
+
+QUERIES["docs_cms_topk_merged"] = docs_cms_topk_merged
+ORACLES["docs_cms_topk_merged"] = _oracle_cms_merged()
+
+
+# ------------------------------------------------- merged AUC histogram
+
+def events_auc_merged(spark, sf):
+    """Per-day Mann–Whitney AUC read off the MERGED (day, score, pos,
+    neg) histogram of two disjoint event shards — the histogram is the
+    mergeable sufficient statistic (counts add), and the read-off is
+    the shared auc_from_histogram every AUC face uses
+    (evalstats.py:71).  Must equal the single-pass
+    events_auc_purchase (same oracle text by design)."""
+    from faconne_spark.operators.evalstats import auc_from_histogram
+
+    ev = T(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+    def shard_hist(parity: int):
+        return (
+            ev.filter(f"event_id % 2 = {parity}")
+            .select(
+                "day",
+                F.col("value").alias("__s"),
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .alias("__y"),
+            )
+            .groupBy("day", "__s")
+            .agg(
+                F.sum("__y").alias("pos"),
+                F.sum(F.lit(1) - F.col("__y")).alias("neg"),
+            )
+        )
+
+    merged = (
+        shard_hist(0)
+        .unionByName(shard_hist(1))
+        .groupBy("day", "__s")
+        .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+    )
+    return auc_from_histogram(merged, ["day"], "__s")
+
+
+def _oracle_auc_merged() -> str:
+    from faconne_spark.queries.bank_r6 import ORACLE_AUC_PURCHASE
+
+    return ORACLE_AUC_PURCHASE
+
+
+QUERIES["events_auc_merged"] = events_auc_merged
+ORACLES["events_auc_merged"] = _oracle_auc_merged()
+
+
+# ------------------------------------------------- S15 through the gate
+
+FS_BUCKETS = 8
+FS_SALT = "fs"
+FS_FRACTIONS = (0.25, 0.5)
+
+
+def _fs_kept_buckets(fraction: float) -> list:
+    """The bucket files the S15 hash rule keeps at ``fraction`` —
+    the same public decision as sources.sampled_file_names
+    (md5(salt:name) 60-bit prefix < fraction·2⁶⁰), computable without
+    Spark because the bucket file NAMES are fixed (b0..b7.parquet)."""
+    thr = int(fraction * float(1 << 60))
+    return sorted(
+        n
+        for n in range(FS_BUCKETS)
+        if int(
+            hashlib.md5(f"{FS_SALT}:b{n}.parquet".encode()).hexdigest()[:15],
+            16,
+        )
+        < thr
+    )
+
+
+# module-import sanity: the demonstration needs non-trivial NESTED
+# subsets (deterministic — md5 of eight fixed names)
+assert _fs_kept_buckets(FS_FRACTIONS[0]), "f1 keeps no files"
+assert set(_fs_kept_buckets(FS_FRACTIONS[0])) < set(
+    _fs_kept_buckets(FS_FRACTIONS[1])
+), "samples not nested"
+
+
+def docs_file_sample(spark, sf):
+    """S15 (hash-sampled file subset) driven END-TO-END through the
+    gate: documents are laid out as eight deterministic bucket FILES
+    (bucket = phash60('fs:'‖doc_id) % 8 — content-addressed, so the
+    oracle can recompute membership from doc_id alone), then
+    read_sampled_files keeps the md5-hash subset of the file LIST at
+    two fractions and the per-source tallies of both reads come back
+    as one relation.  The 0.25 sample is a SUBSET of the 0.5 sample
+    (same salt ⇒ nested by construction) — visible in the output as
+    monotone counts.
+
+    Scale: the sample decision is driver-side file METADATA (S15's
+    point — excluded files are never planned, the pruned listing shows
+    in the plan snapshot); the bucket layout write is the one-off
+    fixture, one shuffle by bucket.  Fresh mkdtemp per invocation (a
+    fixed path races lazy DataFrames — round-6 lesson)."""
+    import shutil
+    import tempfile
+
+    from faconne_spark.functions import phash60
+    from faconne_spark.sources import read_sampled_files
+
+    docs = T(spark, sf, "documents")
+    b = phash60("concat('fs:', cast(doc_id as string))", "spark")
+    tmp = tempfile.mkdtemp(prefix="faconne_fs_sample_")
+    staged = os.path.join(tmp, "staged")
+    (
+        docs.withColumn("bucket", F.expr(f"({b}) % {FS_BUCKETS}"))
+        .repartition(FS_BUCKETS, F.col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    # flatten bucket=N/part-*.parquet into deterministic flat names
+    # bN.parquet — a bounded driver-side metadata move (8 renames),
+    # the compaction-planner idiom; file CONTENT stays content-defined
+    flat = os.path.join(tmp, "sample")
+    os.makedirs(flat)
+    for n in range(FS_BUCKETS):
+        bdir = os.path.join(staged, f"bucket={n}")
+        parts = [
+            p for p in os.listdir(bdir)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        ]
+        assert len(parts) == 1, f"bucket {n}: expected 1 file, got {parts}"
+        os.rename(
+            os.path.join(bdir, parts[0]), os.path.join(flat, f"b{n}.parquet")
+        )
+    shutil.rmtree(staged, ignore_errors=True)
+
+    out = None
+    for frac in FS_FRACTIONS:
+        sampled = read_sampled_files(spark, flat, frac, FS_SALT)
+        tall = (
+            sampled.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(
+                F.lit(frac).alias("fraction"),
+                "source",
+                "n_docs",
+                "sum_chars",
+            )
+        )
+        out = tall if out is None else out.unionByName(tall)
+    return out
+
+
+def _oracle_file_sample() -> str:
+    from faconne_spark.functions import phash60
+
+    b = phash60("('fs:' || doc_id::VARCHAR)", "duckdb")
+    parts = []
+    for frac in FS_FRACTIONS:
+        kept = ", ".join(str(n) for n in _fs_kept_buckets(frac))
+        parts.append(f"""
+SELECT {frac} AS fraction, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+WHERE ({b}) % {FS_BUCKETS} IN ({kept})
+GROUP BY 2""")
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["docs_file_sample"] = docs_file_sample
+ORACLES["docs_file_sample"] = _oracle_file_sample()

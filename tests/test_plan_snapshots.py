@@ -211,6 +211,14 @@ SNAPSHOT_QUERIES = [
     "events_burstiness",
     "docs_filter_confusion",
     "events_weekend_effect",
+    # round-7 merged-state + S15 keys: pin the register-union max-merge
+    # (bounded exchanges), the counter-addition CMS merge feeding the
+    # broadcast probe join, the histogram-union AUC read-off, and the
+    # pruned file listing of the hash-sampled read
+    "events_hll_merged",
+    "docs_cms_topk_merged",
+    "events_auc_merged",
+    "docs_file_sample",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,

@@ -817,3 +817,67 @@ def test_sketch_epoch_states_read_back_as_artifacts(spark, sf_dir, tmp_path):
 
     ev.unpersist()
     docs.unpersist()
+
+
+def test_file_sample_gate_key_matches_operator_decision(spark, sf_dir):
+    """The docs_file_sample gate key inlines its kept-file sets into
+    the DuckDB oracle from the public md5 rule computed WITHOUT Spark —
+    this pins that pre-computation to the live sampled_file_names
+    decision on the actual staged directory (same rule, same files),
+    and re-asserts nesting across the two registered fractions."""
+    import tempfile
+
+    from faconne_spark.queries.round7 import (
+        FS_BUCKETS,
+        FS_FRACTIONS,
+        FS_SALT,
+        _fs_kept_buckets,
+        docs_file_sample,
+    )
+    from faconne_spark.sources import sampled_file_names
+
+    # stage the same flat layout the key builds (reuse its code path by
+    # running the key once; its tmpdir is internal, so re-stage here)
+    from faconne_spark.queries import T
+    from pyspark.sql import functions as F
+    from faconne_spark.functions import phash60
+
+    tmp = tempfile.mkdtemp(prefix="faconne_fs_test_")
+    docs = T(spark, sf_dir, "documents").limit(200)
+    b = phash60("concat('fs:', cast(doc_id as string))", "spark")
+    import os
+
+    staged = os.path.join(tmp, "staged")
+    (
+        docs.withColumn("bucket", F.expr(f"({b}) % {FS_BUCKETS}"))
+        .repartition(FS_BUCKETS, F.col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(staged)
+    )
+    flat = os.path.join(tmp, "sample")
+    os.makedirs(flat)
+    for n in range(FS_BUCKETS):
+        bdir = os.path.join(staged, f"bucket={n}")
+        if not os.path.isdir(bdir):  # a tiny limit() may skip a bucket
+            continue
+        parts = [
+            p for p in os.listdir(bdir)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        ]
+        os.rename(
+            os.path.join(bdir, parts[0]), os.path.join(flat, f"b{n}.parquet")
+        )
+    present = {
+        int(x[1:-len(".parquet")]) for x in os.listdir(flat)
+    }
+    for frac in FS_FRACTIONS:
+        live = sampled_file_names(spark, flat, frac, FS_SALT)
+        want = [
+            f"b{n}.parquet" for n in _fs_kept_buckets(frac) if n in present
+        ]
+        assert live == sorted(want), (frac, live, want)
+    lo, hi = (set(_fs_kept_buckets(f)) for f in FS_FRACTIONS)
+    assert lo < hi  # nested, strictly
+
+    out = docs_file_sample(spark, sf_dir).toPandas()
+    per_frac = out.groupby("fraction")["n_docs"].sum()
+    assert per_frac[FS_FRACTIONS[0]] <= per_frac[FS_FRACTIONS[1]]
