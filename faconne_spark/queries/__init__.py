@@ -50,6 +50,10 @@ _FIRST = [
     #    file read driven end-to-end (ask #3) --
     "events_hll_merged", "docs_cms_topk_merged", "events_auc_merged",
     "docs_file_sample",
+    # -- r7-changed: dimension-global ntile/cumulative rewritten on the
+    #    range-partitioned distributed_ntile (VERDICT r6 ask #4 — no
+    #    partition-less Window left in either plan) --
+    "orders_lorenz_curve", "ntile_custbal_deciles",
     # ============== end r7 block (extended below this round) ==============
     # -- unchanged keys (fresh r6 rows), r6 order --
     "events_kmv_distinct", "events_kmv_overlap", "customer_order_golden",
@@ -66,7 +70,7 @@ _FIRST = [
     "events_ab_srm", "part_copurchase_jaccard",
     "dedup_simhash_hamming_hist", "events_chi2_type_dow",
     "dedup_lsh_banding_sweep", "events_winsorized_stats",
-    "orders_lorenz_curve", "events_new_vs_returning",
+    "events_new_vs_returning",
     "dup_cluster_source_mix", "events_topk_user_churn",
     "embed_pq_distortion",
     "orders_basket_chi2", "lineitem_return_rate_ci",

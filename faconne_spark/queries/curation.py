@@ -3744,9 +3744,18 @@ def orders_lorenz_curve(spark, sf):
     planner actually looks at).
 
     Scale: facts collapse to per-customer cents first (one
-    orders-shuffle), the ntile + cumulative windows run over the
-    CUSTOMER dimension — and the shares divide two exact BIGINTs."""
-    per_cust = (
+    orders-shuffle); decile assignment is the range-partitioned
+    two-phase distributed_ntile (exact integer bucket offsets from a
+    broadcast triangular join + per-bucket windows — NO partition-less
+    Window, so a 100× customer dimension never funnels through one
+    task; r6 watch item), and the 10-row cumulative is a broadcast
+    triangular join too.  Shares divide two exact BIGINTs."""
+    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.relational import distributed_ntile
+
+    # distributed_ntile reads its input three times — persist the
+    # per-customer rollup so the orders shuffle runs once
+    per_cust = track_persist(
         T(spark, sf, "orders")
         .groupBy("o_custkey")
         .agg(
@@ -3755,18 +3764,32 @@ def orders_lorenz_curve(spark, sf):
             ).alias("cents")
         )
     )
-    w = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
-    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
-    per_dec = tiled.groupBy("decile").agg(
-        F.count("*").alias("n_customers"),
-        F.sum("cents").alias("decile_cents"),
+    tiled = distributed_ntile(
+        per_cust, "cents", (F.asc("cents"), F.asc("o_custkey")), 10,
+        tile_col="decile",
     )
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # per_dec feeds the cumulative join AND the grand total — persist
+    # the 10-row relation so the orders rollup runs once
+    per_dec = track_persist(
+        tiled.groupBy("decile").agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("decile_cents"),
+        )
+    )
+    lower = per_dec.select(
+        F.col("decile").alias("__d"), F.col("decile_cents").alias("__c")
+    )
     return (
-        per_dec.withColumn("cum_cents", F.sum("decile_cents").over(wc))
+        per_dec.join(F.broadcast(lower), F.col("__d") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(
+            F.max("n_customers").alias("n_customers"),
+            F.max("decile_cents").alias("decile_cents"),
+            F.sum("__c").alias("cum_cents"),
+        )
         .crossJoin(
             F.broadcast(
-                per_cust.groupBy().agg(F.sum("cents").alias("_tot"))
+                per_dec.groupBy().agg(F.sum("decile_cents").alias("_tot"))
             )
         )
         .select(

@@ -480,14 +480,24 @@ SELECT cohort, count(*) AS n_customers FROM (
 # window analytics: account-balance deciles
 # ---------------------------------------------------------------------------
 def ntile_custbal_deciles(spark, sf):
-    """Customer account-balance deciles (ntile) with per-decile stats.
-    Global ntile needs a single-partition sort — fine for dimension
-    size; fact-scale ranking would use approx quantile boundaries."""
-    cust = T(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    """Customer account-balance deciles with per-decile stats, via the
+    range-partitioned two-phase distributed_ntile (exact bucket
+    offsets from a broadcast triangular join + per-bucket windows) —
+    NO partition-less Window, so the plan survives a 100× customer
+    dimension (r6 watch item).  Cents (round(bal·100), exact for
+    2-decimal balances) is the monotone integer bucket key; the
+    within-bucket window still orders on the raw (c_acctbal,
+    c_custkey), so the assignment is identical to a global ntile."""
+    from faconne_spark.operators.relational import distributed_ntile
+
+    cust = T(spark, sf, "customer").withColumn(
+        "__cents", F.expr("cast(round(c_acctbal * 100) as bigint)")
+    )
+    tiled = distributed_ntile(
+        cust, "__cents", ("c_acctbal", "c_custkey"), 10, tile_col="decile"
+    )
     return (
-        cust.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count("*").alias("n"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),

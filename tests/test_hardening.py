@@ -846,3 +846,45 @@ def test_funnel_and_weekend_guards_on_degenerate_events(spark, tmp_path):
     wk = {r["event_type"]: r for r in events_weekend_effect(spark, sf).collect()}
     assert wk["view"]["n_weekday"] == 1 and wk["view"]["n_weekend"] == 1
     assert wk["view"]["welch_z"] is None  # single-row segments: no variance
+
+
+def test_distributed_ntile_matches_native_ntile(spark):
+    """The range-partitioned two-phase ntile must assign EXACTLY the
+    tiles a global-sort ntile assigns — including the N % k remainder
+    distribution, ties broken by the secondary key, and N < k."""
+    import random
+
+    from pyspark.sql import Window
+
+    from faconne_spark.operators.relational import distributed_ntile
+
+    random.seed(7)
+    for n, k in [(1, 10), (5, 10), (997, 10), (2000, 4)]:
+        rows = [(random.randint(-50, 50), i) for i in range(n)]
+        df = spark.createDataFrame(rows, "v long, id long")
+        got = distributed_ntile(df, "v", ("v", "id"), k, n_buckets=16)
+        want = df.withColumn("tile", F.ntile(k).over(Window.orderBy("v", "id")))
+        a = sorted(map(tuple, got.select("v", "id", "tile").collect()))
+        b = sorted(map(tuple, want.select("v", "id", "tile").collect()))
+        assert a == b, (n, k)
+
+
+def test_rewritten_ntile_keys_have_no_partitionless_window(spark, sf_dir):
+    """The r6 watch item: the dimension-global ntile/cumulative keys
+    must carry NO Window without partition keys — every
+    windowspecdefinition in their executed plans leads with the bucket
+    column."""
+    import re
+
+    from faconne_spark.queries import all_queries
+
+    for key in ("orders_lorenz_curve", "ntile_custbal_deciles"):
+        plan = (
+            all_queries()[key](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+        assert specs, key  # the rank window is still there...
+        assert all(s == "__bkt" for s in specs), (key, specs)

@@ -219,6 +219,9 @@ SNAPSHOT_QUERIES = [
     "docs_cms_topk_merged",
     "events_auc_merged",
     "docs_file_sample",
+    # round-7 ntile rewrite: pin the no-partition-less-Window shape
+    # (bucket-partitioned rank windows + broadcast triangular offsets)
+    "ntile_custbal_deciles",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
