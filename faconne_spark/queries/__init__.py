@@ -31,8 +31,11 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # 50-54 fell outside the driver's window and went a round with stale
 # rows): keys that are NEW or whose implementation/oracle CHANGED this
 # round must (a) number at most 50 and (b) appear before every unchanged
-# key.  Count the changed-this-round block when editing this list.
-_FIRST = [
+# key.  The block is a SEPARATE list so the window-discipline guard
+# (tests/test_window_discipline.py) can mechanically assert both:
+# any key whose plan snapshot drifted from the stamped round-close
+# manifest must appear here, and the block must fit the window.
+_CHANGED_THIS_ROUND = [
     # ================= r7 changed/new block (count ≤ 50!) =================
     # -- the 8 round-6-banked pairs, now registered (VERDICT r6 ask #1;
     #    cross-engine proven at 3 SFs by tests/test_bank_r7.py all round) --
@@ -55,6 +58,9 @@ _FIRST = [
     #    partition-less Window left in either plan) --
     "orders_lorenz_curve", "ntile_custbal_deciles",
     # ============== end r7 block (extended below this round) ==============
+]
+
+_FIRST = _CHANGED_THIS_ROUND + [
     # -- unchanged keys (fresh r6 rows), r6 order --
     "events_kmv_distinct", "events_kmv_overlap", "customer_order_golden",
     "customer_fs_scores", "orders_basket_confidence",

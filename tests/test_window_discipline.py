@@ -1,0 +1,97 @@
+"""Mechanical window-discipline guard (VERDICT r6 ask #5).
+
+The driver's correctness gate re-proves only the first ~50 registry
+keys each round, so a key whose behavior changes OUTSIDE the
+front-loaded changed block keeps a stale green row — previously
+enforced only by a comment.  This test makes it mechanical:
+
+- ``docs/plans/MANIFEST.json`` stamps the sha256 of every plan
+  snapshot at the PREVIOUS round's close.
+- Any snapshot that is new or whose hash drifted from the stamp must
+  name a key in ``queries.__init__._CHANGED_THIS_ROUND`` (plan change
+  ⇒ behavior may have changed ⇒ the key needs a fresh driver row).
+- The changed block must fit the driver's window.
+
+Round workflow: when a new round rebuilds the changed block, re-stamp
+with FACONNE_REGEN_PLAN_MANIFEST=1 (point-in-time: the stamp must
+reflect the LAST round-close state, so regenerate FIRST, before any
+intentional plan change of the new round).
+
+Limits (documented, not hidden): only snapshot-covered keys are
+guarded — a behavior change that alters results while leaving the
+normalized plan outline byte-identical is invisible here (the oracle
+gate catches the cross-engine half of that class); keys without a
+snapshot rely on the snapshot list growing with every round's new
+keys, which test_plan_snapshots' per-round blocks enforce by review.
+"""
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PLANS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "docs", "plans",
+)
+MANIFEST = os.path.join(PLANS_DIR, "MANIFEST.json")
+
+# keep in sync with the driver's per-round gate budget
+DRIVER_WINDOW = 50
+
+
+def _snapshot_hashes() -> dict:
+    out = {}
+    for name in os.listdir(PLANS_DIR):
+        if not name.endswith(".txt"):
+            continue
+        with open(os.path.join(PLANS_DIR, name), "rb") as fh:
+            out[name[: -len(".txt")]] = hashlib.sha256(fh.read()).hexdigest()
+    return out
+
+
+def test_changed_block_fits_driver_window():
+    from faconne_spark.queries import _CHANGED_THIS_ROUND, _FIRST
+
+    assert len(_CHANGED_THIS_ROUND) <= DRIVER_WINDOW
+    assert len(set(_CHANGED_THIS_ROUND)) == len(_CHANGED_THIS_ROUND)
+    # the block must actually be the front of the gate order
+    assert _FIRST[: len(_CHANGED_THIS_ROUND)] == _CHANGED_THIS_ROUND
+
+
+def test_plan_drift_only_inside_changed_block():
+    """Every snapshot that is new or differs from the round-close stamp
+    must belong to a key front-loaded in _CHANGED_THIS_ROUND."""
+    from faconne_spark.queries import _CHANGED_THIS_ROUND
+
+    current = _snapshot_hashes()
+    if os.environ.get("FACONNE_REGEN_PLAN_MANIFEST"):
+        with open(MANIFEST, "w") as fh:
+            json.dump(
+                {
+                    "stamped_at": "regenerated via FACONNE_REGEN_PLAN_MANIFEST",
+                    "snapshots": current,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        return
+    with open(MANIFEST) as fh:
+        stamped = json.load(fh)["snapshots"]
+    changed = set(_CHANGED_THIS_ROUND)
+    drifted = sorted(
+        k
+        for k, h in current.items()
+        if stamped.get(k) != h and k not in changed
+    )
+    assert not drifted, (
+        f"plan snapshots changed OUTSIDE the changed-this-round block: "
+        f"{drifted} — front-load these keys in queries/__init__."
+        f"_CHANGED_THIS_ROUND (they need fresh driver rows) or revert"
+    )
+    # a stamped snapshot must never silently disappear
+    missing = sorted(k for k in stamped if k not in current)
+    assert not missing, f"plan snapshots deleted: {missing}"
