@@ -332,6 +332,22 @@ def main() -> None:
         "docs_cms_topk_merged",
         "events_auc_merged",
         "docs_file_sample",
+        # round-7 analytics wave (timed, not headline)
+        "events_ab_cuped",
+        "events_mann_kendall_trend",
+        "events_autocorr_daily",
+        "customer_segment_nation_chi2",
+        "events_value_ecdf",
+        "events_session_bounce",
+        "orders_repeat_rate_ci",
+        "events_transition_lift",
+        "docs_simhash_bit_bias",
+        "embed_norm_quantiles",
+        "lineitem_discount_lift",
+        "docs_ttr_by_source",
+        "events_hill_tail_alpha",
+        "orders_order_size_hist",
+        "lineitem_ship_lag_quantiles",
     ]
     times = {}
     shuffle = {}

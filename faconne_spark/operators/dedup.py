@@ -267,24 +267,17 @@ def embedding_cosine_pairs(
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup candidates: 60-bit simhash, bucketed by 4
-    15-bit bands.  With b = max_hamming + 1 bands the pigeonhole
-    principle makes recall EXACT for hamming ≤ 3 — and the 15-bit band
-    keyspace (32 768 buckets per band) keeps bucket populations, hence
-    per-bucket pair counts, bounded: a 32-bit/8-bit-band variant on a
-    clustered corpus degenerates toward all-pairs (measured ~1M pairs
-    on 5k docs), which no cluster survives at 100 TB.
-
-    The simhash itself is computed as explode(tokens) → groupBy(doc_id)
-    with 60 conditional-sum aggregates rather than a higher-order-lambda
-    expression: aggregates run inside whole-stage codegen while array
-    lambdas are interpreted (measured ~7× faster), and map-side partial
-    aggregation reduces the exploded tokens back to one 60-counter row
-    per doc per input partition before any shuffle — at 100 TB the
-    shuffle carries ~488 B/doc, not the token stream. The hamming
-    filter runs BEFORE distinct so the 4× band duplication is pruned
-    pre-shuffle."""
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """The per-doc 60-bit SimHash (doc_id, sh) relation — extracted
+    from :func:`simhash_pairs` in round 7 (plan-identical; the bit-bias
+    audit key reads the same signatures).  Computed as explode(tokens)
+    → groupBy(doc_id) with 60 conditional-count aggregates rather than
+    a higher-order-lambda expression: aggregates run inside whole-stage
+    codegen while array lambdas are interpreted (measured ~7× faster),
+    and map-side partial aggregation reduces the exploded tokens back
+    to one 60-counter row per doc per input partition before any
+    shuffle — at 100 TB the shuffle carries ~488 B/doc, not the token
+    stream."""
     toks = tokens_ws("text", "spark")
     hashed = spread(docs).select(
         "doc_id", F.explode(F.expr(toks)).alias("t")
@@ -305,9 +298,30 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     sh_expr = " + ".join(
         f"if(2 * b{i} > n, {1 << i}L, 0L)" for i in range(60)
     )
-    with_h = votes.select(
+    return votes.select(
         "doc_id", F.expr(f"cast({sh_expr} as bigint)").alias("sh")
     )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates: 60-bit simhash, bucketed by 4
+    15-bit bands.  With b = max_hamming + 1 bands the pigeonhole
+    principle makes recall EXACT for hamming ≤ 3 — and the 15-bit band
+    keyspace (32 768 buckets per band) keeps bucket populations, hence
+    per-bucket pair counts, bounded: a 32-bit/8-bit-band variant on a
+    clustered corpus degenerates toward all-pairs (measured ~1M pairs
+    on 5k docs), which no cluster survives at 100 TB.
+
+    The simhash itself is computed as explode(tokens) → groupBy(doc_id)
+    with 60 conditional-sum aggregates rather than a higher-order-lambda
+    expression: aggregates run inside whole-stage codegen while array
+    lambdas are interpreted (measured ~7× faster), and map-side partial
+    aggregation reduces the exploded tokens back to one 60-counter row
+    per doc per input partition before any shuffle — at 100 TB the
+    shuffle carries ~488 B/doc, not the token stream. The hamming
+    filter runs BEFORE distinct so the 4× band duplication is pruned
+    pre-shuffle."""
+    with_h = simhash_signatures(docs)
     banded = _persist_sig(
         with_h.select(
             "doc_id",

@@ -57,6 +57,20 @@ _CHANGED_THIS_ROUND = [
     #    range-partitioned distributed_ntile (VERDICT r6 ask #4 — no
     #    partition-less Window left in either plan) --
     "orders_lorenz_curve", "ntile_custbal_deciles",
+    # -- new in r7: the analytics/statistics wave (queries/stats_r7.py)
+    #    — CUPED, Mann–Kendall, autocorrelation, customer-dim χ²,
+    #    pinned ECDF, session-maturity bounce, repeat-rate CI,
+    #    transition lift, simhash bit bias, norm quantiles, discount
+    #    lift, TTR, Hill tail index, order-size histogram, ship-lag
+    #    quantiles --
+    "events_ab_cuped", "events_mann_kendall_trend",
+    "events_autocorr_daily", "customer_segment_nation_chi2",
+    "events_value_ecdf", "events_session_bounce",
+    "orders_repeat_rate_ci", "events_transition_lift",
+    "docs_simhash_bit_bias", "embed_norm_quantiles",
+    "lineitem_discount_lift", "docs_ttr_by_source",
+    "events_hill_tail_alpha", "orders_order_size_hist",
+    "lineitem_ship_lag_quantiles",
     # ============== end r7 block (extended below this round) ==============
 ]
 
@@ -151,6 +165,7 @@ def _merged(attr: str) -> dict:
         faconne_demo,
         pipeline,
         round7,
+        stats_r7,
         tpch,
         tpch_ext,
     )
@@ -158,7 +173,7 @@ def _merged(attr: str) -> dict:
     merged = {}
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
-        round7,
+        round7, stats_r7,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

@@ -1,0 +1,1160 @@
+"""Round-7 analytics wave: experiment/statistics read-offs a
+training-data pipeline dashboards next to the existing A/B, drift and
+concentration tiles — CUPED variance reduction, Mann–Kendall trend,
+daily autocorrelation, categorical independence on the customer
+dimension, and pinned-probe ECDFs.
+
+House rules as everywhere in the repo: every cross-engine output
+emerges from identical integers (BIGINT/DECIMAL(38,0) moment sums,
+micro-rounded per-cell logs) through IEEE correctly-rounded ops; no
+partition-order-dependent float accumulation; signed rounded outputs
+canonicalize -0.0 with `+ 0.0`."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from faconne_spark.functions import phash60
+from faconne_spark.queries import T
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ------------------------------------------------- CUPED adjusted lift
+
+def events_ab_cuped(spark, sf):
+    """CUPED variance reduction for the running A/B (Deng, Xu, Kohavi &
+    Walker, WSDM 2013): each user's PRE-period value mass is the
+    covariate; θ = cov(pre, post)/var(pre) pooled across arms; the
+    adjusted lift subtracts θ·(pre-imbalance) and the variance drops by
+    corr² — the read-out that says how much experiment runtime the
+    covariate buys.  The pre/post split is the deterministic midpoint
+    of the observed day span.
+
+    Exact-integer discipline: per-user pre/post masses are BIGINT
+    micro-units folded in ONE conditional pass; all second moments are
+    DECIMAL(38,0) sums of products (a user's 10¹¹ µ mass squares past
+    BIGINT), cast to double only inside the final expressions — both
+    engines derive every double from identical integers."""
+    h = phash60("concat('ab', user_id)", "spark")
+    ev = T(spark, sf, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("us"),
+    )
+    span = ev.groupBy().agg(
+        F.expr(
+            "date_add(min(day), cast(datediff(max(day), min(day)) div 2"
+            " as int))"
+        ).alias("split")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("case when day < split then us else 0 end")).alias(
+                "x"
+            ),
+            F.sum(F.expr("case when day >= split then us else 0 end")).alias(
+                "y"
+            ),
+        )
+        .select(
+            F.expr(f"({h}) % 2").alias("arm"),
+            F.col("x").cast("decimal(38,0)").alias("x"),
+            F.col("y").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    # fold the 2-row arm relation into one row of pooled + per-arm
+    # moments (exact DECIMAL adds — order-free), then derive doubles
+    one = arms.groupBy().agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum(F.expr("case when arm = 0 then n else 0 end")).alias("n0"),
+        F.sum(F.expr("case when arm = 1 then n else 0 end")).alias("n1"),
+        F.sum(F.expr("case when arm = 0 then sx end")).alias("sx0"),
+        F.sum(F.expr("case when arm = 1 then sx end")).alias("sx1"),
+        F.sum(F.expr("case when arm = 0 then sy end")).alias("sy0"),
+        F.sum(F.expr("case when arm = 1 then sy end")).alias("sy1"),
+    )
+    d = "cast({} as double)"
+    cov = (
+        f"({d.format('n')} * {d.format('sxy')}"
+        f" - {d.format('sx')} * {d.format('sy')})"
+    )
+    varx = (
+        f"({d.format('n')} * {d.format('sxx')}"
+        f" - {d.format('sx')} * {d.format('sx')})"
+    )
+    vary = (
+        f"({d.format('n')} * {d.format('syy')}"
+        f" - {d.format('sy')} * {d.format('sy')})"
+    )
+    theta = f"({cov} / {varx})"
+    mean_x = f"({d.format('sx')} / {d.format('n')})"
+    adj = (
+        "(({sy} / {n} - {th} * ({sx} / {n} - {mx})) / 1000000.0)"
+    )
+    adj0 = adj.format(
+        sy=d.format("sy0"), sx=d.format("sx0"), n=d.format("n0"),
+        th=theta, mx=mean_x,
+    )
+    adj1 = adj.format(
+        sy=d.format("sy1"), sx=d.format("sx1"), n=d.format("n1"),
+        th=theta, mx=mean_x,
+    )
+    # degenerate covariate/metric (zero variance) yields NULL, never a
+    # 0/0 — the r6-ADVICE guard discipline applied from birth
+    ok = f"({varx} > 0 and {vary} > 0)"
+    return one.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.expr(f"case when {ok} then round({theta}, 6) + 0.0 end").alias(
+            "theta"
+        ),
+        F.expr(
+            f"case when {ok} then"
+            f" round({cov} * {cov} / ({varx} * {vary}), 6) end"
+        ).alias("var_reduction"),
+        F.expr(
+            f"round(({d.format('sy1')} / {d.format('n1')}"
+            f" - {d.format('sy0')} / {d.format('n0')}) / 1000000.0, 6)"
+            " + 0.0"
+        ).alias("lift_raw"),
+        F.expr(
+            f"case when {ok} then round({adj1} - {adj0}, 6) + 0.0 end"
+        ).alias("lift_cuped"),
+    )
+
+
+def _oracle_ab_cuped() -> str:
+    h = phash60("('ab' || user_id)", "duckdb")
+    cov = "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+    varx = "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+    vary = "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)"
+    theta = f"({cov} / {varx})"
+    mean_x = "(sx::DOUBLE / n::DOUBLE)"
+    adj = (
+        "((sy{a}::DOUBLE / n{a}::DOUBLE - {th} *"
+        " (sx{a}::DOUBLE / n{a}::DOUBLE - {mx})) / 1000000.0)"
+    )
+    adj0 = adj.format(a="0", th=theta, mx=mean_x)
+    adj1 = adj.format(a="1", th=theta, mx=mean_x)
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts::DATE AS day,
+         floor(value * 1000000 + 0.5)::BIGINT AS us
+  FROM events),
+span AS (
+  SELECT min(day) + ((max(day) - min(day)) // 2)::INTEGER AS split FROM ev),
+per_user AS (
+  SELECT ({h}) % 2 AS arm,
+         sum(CASE WHEN day < split THEN us ELSE 0 END)::DECIMAL(38,0) AS x,
+         sum(CASE WHEN day >= split THEN us ELSE 0 END)::DECIMAL(38,0) AS y
+  FROM ev CROSS JOIN span GROUP BY user_id),
+arms AS (
+  SELECT arm, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM per_user GROUP BY arm),
+one AS (
+  SELECT sum(n)::BIGINT AS n, sum(sx) AS sx, sum(sy) AS sy,
+         sum(sxx) AS sxx, sum(syy) AS syy, sum(sxy) AS sxy,
+         sum(CASE WHEN arm = 0 THEN n ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN arm = 1 THEN n ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN arm = 0 THEN sx END) AS sx0,
+         sum(CASE WHEN arm = 1 THEN sx END) AS sx1,
+         sum(CASE WHEN arm = 0 THEN sy END) AS sy0,
+         sum(CASE WHEN arm = 1 THEN sy END) AS sy1
+  FROM arms)
+SELECT n AS n_users, n0 AS n_control, n1 AS n_treatment,
+       CASE WHEN {varx} > 0 AND {vary} > 0
+            THEN round({theta}, 6) + 0.0 END AS theta,
+       CASE WHEN {varx} > 0 AND {vary} > 0
+            THEN round({cov} * {cov} / ({varx} * {vary}), 6)
+       END AS var_reduction,
+       round((sy1::DOUBLE / n1::DOUBLE - sy0::DOUBLE / n0::DOUBLE)
+             / 1000000.0, 6) + 0.0 AS lift_raw,
+       CASE WHEN {varx} > 0 AND {vary} > 0
+            THEN round({adj1} - {adj0}, 6) + 0.0 END AS lift_cuped
+FROM one
+"""
+
+
+QUERIES["events_ab_cuped"] = events_ab_cuped
+ORACLES["events_ab_cuped"] = _oracle_ab_cuped()
+
+
+# ------------------------------------------------- Mann–Kendall trend
+
+def events_mann_kendall_trend(spark, sf):
+    """Mann–Kendall monotone-trend test per event type over the daily
+    count series: S = Σ_{i<j} sign(c_j − c_i) with the standard tie
+    correction, and the continuity-corrected z — the
+    distribution-free 'is volume actually trending?' tile (robust
+    where a fitted slope is dragged by one burst day).
+
+    Scale: the pair join runs over the DAYS×DAYS relation per type
+    (≤ span² rows — bounded by the calendar, not the corpus); S is an
+    exact BIGINT; variance enters doubles from identical integers."""
+    daily = (
+        T(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.expr("cast(sign(b.c - a.c) as bigint)")
+            ).alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tsum")
+        )
+    )
+    var_s = (
+        "(cast(n_days as double) * (n_days - 1) * (2 * n_days + 5)"
+        " - cast(tsum as double)) / 18"
+    )
+    z = (
+        f"case when {var_s} > 0 then round("
+        f" (cast(s_stat as double) - cast(sign(s_stat) as double))"
+        f" / sqrt({var_s}), 6) + 0.0 end"
+    )
+    return (
+        nd.join(s, "event_type")
+        .join(ties, "event_type")
+        .select("event_type", "n_days", "s_stat", F.expr(z).alias("mk_z"))
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT a.event_type, sum(sign(b.c - a.c))::BIGINT AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1),
+nd AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tsum
+  FROM (SELECT event_type, c, count(*)::BIGINT AS t
+        FROM daily GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT event_type, n_days, s_stat,
+       CASE WHEN (n_days::DOUBLE * (n_days - 1) * (2 * n_days + 5)
+                  - tsum::DOUBLE) / 18 > 0 THEN
+         round((s_stat::DOUBLE - sign(s_stat)::DOUBLE)
+               / sqrt((n_days::DOUBLE * (n_days - 1) * (2 * n_days + 5)
+                       - tsum::DOUBLE) / 18), 6) + 0.0
+       END AS mk_z
+FROM nd JOIN s USING (event_type) JOIN ties USING (event_type)
+"""
+
+QUERIES["events_mann_kendall_trend"] = events_mann_kendall_trend
+ORACLES["events_mann_kendall_trend"] = ORACLE_MANN_KENDALL
+
+
+# ------------------------------------------------- daily autocorrelation
+
+def events_autocorr_daily(spark, sf):
+    """Lag-1 autocorrelation of the daily count series per event type —
+    Pearson r over (cₜ, cₜ₊₁) calendar-consecutive pairs.  r ≈ 0 means
+    day volumes are memoryless; r → 1 means slow regimes (capacity
+    planning reads this with the Fano factor next door).
+
+    DECIMAL(38,0) moment sums (a 10¹⁰-event day squares past BIGINT at
+    full scale); one self-join on day+1 over the bounded daily
+    relation; the final r divides doubles derived from identical
+    integers, NULL when either variance vanishes."""
+    daily = (
+        T(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") == F.expr("date_add(a.day, 1)")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.c").cast("decimal(38,0)").alias("x"),
+        F.col("b.c").cast("decimal(38,0)").alias("y"),
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    num = (
+        "(cast(k as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+    )
+    dx = (
+        "(cast(k as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double))"
+    )
+    dy = (
+        "(cast(k as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double))"
+    )
+    return m.select(
+        "event_type",
+        F.col("k").alias("n_pairs"),
+        F.expr(
+            f"case when {dx} > 0 and {dy} > 0 then"
+            f" round({num} / sqrt({dx} * {dy}), 6) + 0.0 end"
+        ).alias("r1"),
+    )
+
+
+ORACLE_AUTOCORR = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type, a.c::DECIMAL(38,0) AS x, b.c::DECIMAL(38,0) AS y
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day = a.day + 1),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS k,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY 1)
+SELECT event_type, k AS n_pairs,
+       CASE WHEN (k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             AND (k::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+       THEN round((k::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / sqrt((k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       * (k::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                  6) + 0.0
+       END AS r1
+FROM m
+"""
+
+QUERIES["events_autocorr_daily"] = events_autocorr_daily
+ORACLES["events_autocorr_daily"] = ORACLE_AUTOCORR
+
+
+# ------------------------------------------- customer-dimension χ²
+
+def customer_segment_nation_chi2(spark, sf):
+    """Pearson χ² independence of market segment × nation over the
+    customer dimension — 'is the segment mix uniform across
+    geographies, or do some nations skew enterprise?'.  The
+    demographics-audit sibling of events_chi2_type_dow, on a second
+    table so the contingency machinery is proven beyond the event log.
+
+    Zero cells enter through the margins' segments × nations grid;
+    per-cell terms are IEEE doubles from identical BIGINTs,
+    micro-rounded then summed order-free into one exact integer."""
+    cust = T(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+    )
+    obs = cust.groupBy("seg", "nat").agg(F.count("*").alias("o"))
+    segs = obs.groupBy("seg").agg(F.sum("o").alias("rs"))
+    nats = obs.groupBy("nat").agg(F.sum("o").alias("cs"))
+    tot = obs.groupBy().agg(F.sum("o").alias("n"))
+    grid = segs.crossJoin(F.broadcast(nats)).crossJoin(F.broadcast(tot))
+    cells = (
+        grid.join(obs, ["seg", "nat"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .withColumn(
+            "term_micro",
+            F.expr(
+                "cast(round(1000000 *"
+                " (cast(o as double) * cast(n as double)"
+                "  - cast(rs as double) * cast(cs as double))"
+                " * (cast(o as double) * cast(n as double)"
+                "    - cast(rs as double) * cast(cs as double))"
+                " / (cast(n as double) * cast(rs as double)"
+                "    * cast(cs as double)), 0) as bigint)"
+            ),
+        )
+    )
+    return cells.groupBy().agg(
+        F.max("n").alias("n_customers"),
+        F.countDistinct("seg").alias("n_segments"),
+        (F.count("*") / F.countDistinct("seg")).cast("long").alias(
+            "n_nations"
+        ),
+        F.sum("term_micro").alias("chi2_micro"),
+    )
+
+
+ORACLE_SEG_NATION_CHI2 = """
+WITH obs AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat, count(*)::BIGINT AS o
+  FROM customer GROUP BY 1, 2),
+segs AS (SELECT seg, sum(o)::BIGINT AS rs FROM obs GROUP BY 1),
+nats AS (SELECT nat, sum(o)::BIGINT AS cs FROM obs GROUP BY 1),
+tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
+cells AS (
+  SELECT s.rs, na.cs, t.n, coalesce(obs.o, 0)::BIGINT AS o
+  FROM segs s CROSS JOIN nats na CROSS JOIN tot t
+  LEFT JOIN obs ON obs.seg = s.seg AND obs.nat = na.nat),
+terms AS (
+  SELECT n,
+         round(1000000 *
+               (o::DOUBLE * n::DOUBLE - rs::DOUBLE * cs::DOUBLE)
+               * (o::DOUBLE * n::DOUBLE - rs::DOUBLE * cs::DOUBLE)
+               / (n::DOUBLE * rs::DOUBLE * cs::DOUBLE), 0)::BIGINT
+           AS term_micro
+  FROM cells),
+segn AS (SELECT count(*)::BIGINT AS k FROM segs)
+SELECT max(n)::BIGINT AS n_customers,
+       (SELECT k FROM segn) AS n_segments,
+       (count(*) // (SELECT k FROM segn))::BIGINT AS n_nations,
+       sum(term_micro)::BIGINT AS chi2_micro
+FROM terms
+"""
+
+QUERIES["customer_segment_nation_chi2"] = customer_segment_nation_chi2
+ORACLES["customer_segment_nation_chi2"] = ORACLE_SEG_NATION_CHI2
+
+
+# ------------------------------------------------- pinned-probe ECDF
+
+ECDF_PROBES = (0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
+
+
+def events_value_ecdf(spark, sf):
+    """The value ECDF read at pinned probe points per event type —
+    P(value ≤ p) for a fixed ladder of thresholds.  Conditional counts
+    are trivially mergeable across shards/epochs (the streaming-state
+    shape without the sketch error), and the pinned ladder makes
+    day-over-day curves comparable, which a per-run quantile grid is
+    not.  One grouped pass (|probes| conditional sums), then a 1-row
+    stack unpivot per type; probe literals are exactly-representable
+    doubles so both engines compare identically."""
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(
+            F.expr(f"case when value <= {p!r} then 1 else 0 end")
+        ).alias(f"le_{i}")
+        for i, p in enumerate(ECDF_PROBES)
+    ]
+    agg = T(spark, sf, "events").groupBy("event_type").agg(*aggs)
+    stack = ", ".join(
+        f"cast({p!r} as double), le_{i}" for i, p in enumerate(ECDF_PROBES)
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"stack({len(ECDF_PROBES)}, {stack}) as (probe, n_le)"
+        ),
+    ).select(
+        "event_type",
+        "probe",
+        "n",
+        "n_le",
+        F.expr("round(n_le / n, 6)").alias("share_le"),
+    )
+
+
+def _oracle_value_ecdf() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT event_type, cast({p!r} as double) AS probe, n, le_{i} AS n_le,"
+        f" round(le_{i} / n, 6) AS share_le FROM agg"
+        for i, p in enumerate(ECDF_PROBES)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN value <= {p!r} THEN 1 ELSE 0 END)::BIGINT AS le_{i}"
+        for i, p in enumerate(ECDF_PROBES)
+    )
+    return f"""
+WITH agg AS (
+  SELECT event_type, count(*)::BIGINT AS n, {sums}
+  FROM events GROUP BY 1)
+{branches}
+"""
+
+
+QUERIES["events_value_ecdf"] = events_value_ecdf
+ORACLES["events_value_ecdf"] = _oracle_value_ecdf()
+
+
+# ------------------------------------------------- session-maturity bounce
+
+def events_session_bounce(spark, sf):
+    """Bounce rate by session ORDINAL (a user's 1st, 2nd, … 5th+
+    session): the share of single-event sessions with a Wilson 95%
+    interval per ordinal — the maturity curve behind onboarding work
+    (new-session bounce is normal; a 5th-session bounce rate that
+    doesn't drop says retention is shallow engagement).
+
+    Rides the shared session_spans relation (one user-partitioned gap
+    window); everything after is a ≤ 5-row aggregate; shared
+    wilson_bounds_sql text."""
+    from faconne_spark.operators.relational import (
+        session_spans,
+        wilson_bounds_sql,
+    )
+    from faconne_spark.queries.curation import SESSION_GAP_MIN
+
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    spans = session_spans(
+        ev, "user_id", ("us", "event_id"), SESSION_GAP_MIN * 60_000_000
+    )
+    agg = spans.groupBy(
+        F.expr("least(sess_idx, 5)").alias("ordinal")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("case when n_ev = 1 then 1 else 0 end")).alias("k"),
+    )
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return agg.select(
+        "ordinal",
+        F.col("n").alias("n_sessions"),
+        F.col("k").alias("n_bounce"),
+        F.expr("round(k / n, 6)").alias("bounce_rate"),
+        F.expr(lo_sql).alias("wilson_lo"),
+        F.expr(hi_sql).alias("wilson_hi"),
+    )
+
+
+def _oracle_session_bounce() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+    from faconne_spark.queries.curation import ORACLE_SESSIONIZE
+
+    sessions_cte = ORACLE_SESSIONIZE.split("SELECT user_id, count(*)")[0].rstrip()
+    assert sessions_cte.endswith(")"), "sessions CTE prefix drifted"
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return f"""{sessions_cte},
+agg AS (
+  SELECT least(sess_idx, 5)::BIGINT AS ordinal, count(*)::BIGINT AS n,
+         sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM sessions GROUP BY 1)
+SELECT ordinal, n AS n_sessions, k AS n_bounce,
+       round(k / n, 6) AS bounce_rate,
+       {lo_sql} AS wilson_lo,
+       {hi_sql} AS wilson_hi
+FROM agg
+"""
+
+
+QUERIES["events_session_bounce"] = events_session_bounce
+ORACLES["events_session_bounce"] = _oracle_session_bounce()
+
+
+# ------------------------------------------------- repeat-purchase rate
+
+def orders_repeat_rate_ci(spark, sf):
+    """Repeat-customer rate per market segment with a Wilson 95%
+    interval — of the customers who ordered at all, how many came back?
+    The segment-level loyalty tile next to the RFM cube.
+
+    One orders rollup (per-customer order count), one customer-dim
+    join keyed on custkey, a segments-sized aggregate; shared
+    wilson_bounds_sql."""
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    per_cust = (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    cust = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    agg = per_cust.join(cust, "o_custkey").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.expr("case when n_orders >= 2 then 1 else 0 end")
+        ).alias("k"),
+    )
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").alias("n_buyers"),
+        F.col("k").alias("n_repeat"),
+        F.expr("round(k / n, 6)").alias("repeat_rate"),
+        F.expr(lo_sql).alias("wilson_lo"),
+        F.expr(hi_sql).alias("wilson_hi"),
+    )
+
+
+def _oracle_repeat_rate() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1),
+agg AS (
+  SELECT c.c_mktsegment, count(*)::BIGINT AS n,
+         sum(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+  GROUP BY 1)
+SELECT c_mktsegment, n AS n_buyers, k AS n_repeat,
+       round(k / n, 6) AS repeat_rate,
+       {lo_sql} AS wilson_lo,
+       {hi_sql} AS wilson_hi
+FROM agg
+"""
+
+
+QUERIES["orders_repeat_rate_ci"] = orders_repeat_rate_ci
+ORACLES["orders_repeat_rate_ci"] = _oracle_repeat_rate()
+
+
+# ------------------------------------------------- transition lift
+
+def events_transition_lift(spark, sf):
+    """Lift of each event-type transition against independence:
+    lift(s→t) = P(next=t | prev=s) / P(next=t), as an exact integer
+    micro unit — which flows are real structure (lift ≫ 1) vs traffic
+    mix (≈ 1)?  The per-edge companion of the conditional-entropy
+    scalar; same user-partitioned lead window as
+    events_markov_transitions.
+
+    Determinism: lift_micro = round(10⁶ · (n_st·T)/(r_s·c_t)) with the
+    products in IEEE doubles built from identical BIGINTs."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_st"))
+    )
+    rows_ = pairs.groupBy("from_type").agg(F.sum("n_st").alias("r_s"))
+    cols_ = pairs.groupBy("to_type").agg(F.sum("n_st").alias("c_t"))
+    tot = pairs.groupBy().agg(F.sum("n_st").alias("t_all"))
+    return (
+        pairs.join(rows_, "from_type")
+        .join(F.broadcast(cols_), "to_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "from_type",
+            "to_type",
+            "n_st",
+            F.expr(
+                "cast(round(1000000 *"
+                " cast(n_st as double) * cast(t_all as double)"
+                " / (cast(r_s as double) * cast(c_t as double)), 0)"
+                " as bigint)"
+            ).alias("lift_micro"),
+        )
+    )
+
+
+ORACLE_TRANSITION_LIFT = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS next_type
+  FROM events),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         count(*)::BIGINT AS n_st
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+rows_ AS (SELECT from_type, sum(n_st)::BIGINT AS r_s FROM pairs GROUP BY 1),
+cols_ AS (SELECT to_type, sum(n_st)::BIGINT AS c_t FROM pairs GROUP BY 1),
+tot AS (SELECT sum(n_st)::BIGINT AS t_all FROM pairs)
+SELECT p.from_type, p.to_type, p.n_st,
+       round(1000000 * p.n_st::DOUBLE * t.t_all::DOUBLE
+             / (r.r_s::DOUBLE * c.c_t::DOUBLE), 0)::BIGINT AS lift_micro
+FROM pairs p
+JOIN rows_ r USING (from_type)
+JOIN cols_ c USING (to_type)
+CROSS JOIN tot t
+"""
+
+QUERIES["events_transition_lift"] = events_transition_lift
+ORACLES["events_transition_lift"] = ORACLE_TRANSITION_LIFT
+
+
+# ------------------------------------------------- simhash bit bias
+
+def docs_simhash_bit_bias(spark, sf):
+    """Per-bit 1-share of the corpus's 60-bit SimHash signatures — the
+    hash-quality audit behind every banded dedup run: a healthy
+    signature has every bit near 0.5; a stuck bit (share → 0 or 1)
+    halves that band's keyspace and inflates candidate volume.  Reads
+    the SAME signature relation as dedup_simhash
+    (dedup.simhash_signatures — one implementation, extracted r7)."""
+    from faconne_spark.operators.dedup import simhash_signatures
+
+    sigs = simhash_signatures(T(spark, sf, "documents"))
+    bits = sigs.select(
+        "sh", F.explode(F.expr("sequence(0, 59)")).alias("bit")
+    ).select(
+        "bit", F.expr("cast(shiftright(sh, bit) % 2 as bigint)").alias("v")
+    )
+    return bits.groupBy("bit").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("v").alias("n_ones"),
+        F.expr("round(sum(v) / count(*), 6)").alias("ones_share"),
+    )
+
+
+def _oracle_bit_bias() -> str:
+    from faconne_spark.functions import simhash_bits, tokens_ws
+
+    sh = simhash_bits(tokens_ws("text", "duckdb"), 60, "duckdb")
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {sh} AS sh FROM documents),
+bits AS (
+  SELECT unnest(range(0, 60)) AS bit, sh FROM sigs)
+SELECT bit, count(*)::BIGINT AS n_docs,
+       sum((sh >> bit) % 2)::BIGINT AS n_ones,
+       round(sum((sh >> bit) % 2) / count(*), 6) AS ones_share
+FROM bits GROUP BY bit
+"""
+
+
+QUERIES["docs_simhash_bit_bias"] = docs_simhash_bit_bias
+ORACLES["docs_simhash_bit_bias"] = _oracle_bit_bias()
+
+
+# ------------------------------------------------- norm quantiles
+
+def embed_norm_quantiles(spark, sf):
+    """p50/p95/p99 of embedding L2 norms per label via the mergeable
+    histogram sketch — the vector-health tile (norm drift per class is
+    the first symptom of a bad embedding batch; per-vector norms are
+    embed_norm's job, this is the distribution over them).  sqrt is
+    IEEE correctly-rounded, so both engines quantize identical
+    micro-units; sketch windows run over ≤ n_bins rows per label."""
+    from faconne_spark.operators.relational import histogram_quantiles
+    from faconne_spark.queries.curation import HQ_BINS, HQ_QS
+    from faconne_spark.session import spread
+
+    emb = spread(T(spark, sf, "embeddings")).select(
+        F.col("label").cast("string").alias("grp"),
+        F.expr(
+            "sqrt(aggregate(embedding, cast(0.0 as double),"
+            " (a, v) -> a + cast(v as double) * cast(v as double)))"
+        ).alias("value"),
+    )
+    return histogram_quantiles(emb, "value", "grp", HQ_BINS, HQ_QS)
+
+
+def _oracle_norm_quantiles() -> str:
+    from faconne_spark.queries.curation import HQ_BINS, HQ_QS
+
+    nb = HQ_BINS
+    parts = []
+    for q in HQ_QS:
+        q_us = int(round(q * 1_000_000))
+        parts.append(f"""
+SELECT grp, {q} AS q,
+       round((_lo + (2 * _qbin + 1)::BIGINT * (_hi - _lo + 1) // {2 * nb})
+             / 1000000.0, 6) AS estimate
+FROM (
+  SELECT grp, min(_bin) AS _qbin, min(_lo) AS _lo, min(_hi) AS _hi
+  FROM cum WHERE _cum * 1000000 >= _total * {q_us}
+  GROUP BY grp)""")
+    return f"""
+WITH vals AS (
+  SELECT label::VARCHAR AS grp,
+         floor(sqrt(list_sum(list_transform(embedding,
+               v -> v::DOUBLE * v::DOUBLE))) * 1000000 + 0.5)::BIGINT AS us
+  FROM embeddings),
+bounds AS (SELECT grp, min(us) AS _lo, max(us) AS _hi FROM vals GROUP BY 1),
+binned AS (
+  SELECT v.grp,
+         ((least(greatest(v.us, bo._lo), bo._hi) - bo._lo) * {nb}
+          // (bo._hi - bo._lo + 1))::INT AS _bin,
+         count(*) AS _cnt, min(bo._lo) AS _lo, min(bo._hi) AS _hi
+  FROM vals v JOIN bounds bo USING (grp)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT grp, _bin, _lo, _hi,
+         sum(_cnt) OVER (PARTITION BY grp ORDER BY _bin) AS _cum,
+         sum(_cnt) OVER (PARTITION BY grp) AS _total
+  FROM binned)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["embed_norm_quantiles"] = embed_norm_quantiles
+ORACLES["embed_norm_quantiles"] = _oracle_norm_quantiles()
+
+
+# ------------------------------------------------- discount lift
+
+def lineitem_discount_lift(spark, sf):
+    """Quantity lift per discount band: mean l_quantity at each integer
+    discount percent with a Welch z against the zero-discount band —
+    'does discounting actually move volume, and from what depth?'.
+    events_ab_test's fixed-point DECIMAL moment discipline on the fact
+    table; single-row bands yield NULL variance (guard discipline);
+    the zero band's own z is NULL by construction."""
+    li = T(spark, sf, "lineitem").select(
+        F.expr("cast(round(l_discount * 100) as int)").alias("pct"),
+        F.expr("cast(floor(l_quantity * 1000000 + 0.5) as bigint)").alias(
+            "us"
+        ),
+    )
+    seg = li.groupBy("pct").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("us").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("us").cast("decimal(38,0)") * F.col("us").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    m = seg.select(
+        "pct",
+        "n",
+        F.expr("cast(s as double) / 1000000.0 / cast(n as double)").alias(
+            "_mean"
+        ),
+        F.expr(
+            "case when n > 1 then"
+            " (cast(ss as double) - cast(s as double) * cast(s as double)"
+            " / n) / (n - 1) / 1000000000000.0 end"
+        ).alias("_var"),
+    )
+    base = m.filter("pct = 0").select(
+        F.col("n").alias("n0"),
+        F.col("_mean").alias("m0"),
+        F.col("_var").alias("v0"),
+    )
+    return m.crossJoin(F.broadcast(base)).select(
+        F.col("pct").alias("discount_pct"),
+        F.col("n").alias("n_lineitems"),
+        F.expr("round(_mean, 6)").alias("mean_qty"),
+        F.expr(
+            "case when pct != 0 then"
+            " round((_mean - m0) / sqrt(_var / n + v0 / n0), 6) + 0.0 end"
+        ).alias("welch_z_vs_zero"),
+    )
+
+
+ORACLE_DISCOUNT_LIFT = """
+WITH li AS (
+  SELECT round(l_discount * 100)::INT AS pct,
+         floor(l_quantity * 1000000 + 0.5)::BIGINT AS us
+  FROM lineitem),
+seg AS (
+  SELECT pct, count(*) AS n,
+         sum(us::DECIMAL(38,0)) AS s,
+         sum(us::DECIMAL(38,0) * us::DECIMAL(38,0)) AS ss
+  FROM li GROUP BY 1),
+m AS (
+  SELECT pct, n,
+         s::DOUBLE / 1000000.0 / n AS mean_,
+         CASE WHEN n > 1 THEN
+           (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1)
+             / 1000000000000.0 END AS var_
+  FROM seg),
+base AS (SELECT n AS n0, mean_ AS m0, var_ AS v0 FROM m WHERE pct = 0)
+SELECT m.pct AS discount_pct, m.n AS n_lineitems,
+       round(m.mean_, 6) AS mean_qty,
+       CASE WHEN m.pct != 0 THEN
+         round((m.mean_ - b.m0) / sqrt(m.var_ / m.n + b.v0 / b.n0), 6) + 0.0
+       END AS welch_z_vs_zero
+FROM m CROSS JOIN base b
+"""
+
+QUERIES["lineitem_discount_lift"] = lineitem_discount_lift
+ORACLES["lineitem_discount_lift"] = ORACLE_DISCOUNT_LIFT
+
+
+# ------------------------------------------------- type-token ratio
+
+def docs_ttr_by_source(spark, sf):
+    """Lexical diversity per source: each document's type-token ratio
+    (distinct tokens / tokens, an exact integer micro unit) averaged
+    per source — template-heavy or boilerplate sources sit low, and a
+    TTR cliff after an ingest change is the classic silent-dup smell
+    the dedup family then confirms.
+
+    One explode + per-doc aggregate (single distinct per agg — the
+    deterministic-Expand rule); the per-source mean stays in pure
+    BIGINT (floor division of micro sums)."""
+    from faconne_spark.functions import tokens_ws
+    from faconne_spark.session import spread
+
+    docs = T(spark, sf, "documents")
+    toks = tokens_ws("lower(text)", "spark")
+    per_doc = (
+        spread(docs)
+        .select("doc_id", "source", F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.countDistinct("tok").alias("n_types"),
+        )
+        .select(
+            "source",
+            F.expr(
+                "cast(round(1000000 * cast(n_types as double)"
+                " / cast(n_tok as double), 0) as bigint)"
+            ).alias("ttr_micro"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ttr_micro").alias("sum_ttr_micro"),
+        F.expr("sum(ttr_micro) div count(*)").alias("mean_ttr_micro"),
+    )
+
+
+def _oracle_ttr() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         round(1000000 * len(list_distinct({toks}))::DOUBLE
+               / len({toks})::DOUBLE, 0)::BIGINT AS ttr_micro
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(ttr_micro)::BIGINT AS sum_ttr_micro,
+       (sum(ttr_micro) // count(*))::BIGINT AS mean_ttr_micro
+FROM per_doc GROUP BY source
+"""
+
+
+QUERIES["docs_ttr_by_source"] = docs_ttr_by_source
+ORACLES["docs_ttr_by_source"] = _oracle_ttr()
+
+
+# ------------------------------------------------- Hill tail index
+
+HILL_K = 100
+
+
+def events_hill_tail_alpha(spark, sf):
+    """Hill estimator of the value tail index per event type over the
+    top-k order statistics: α = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) — α ≤ 2 means an
+    infinite-variance tail where mean-based dashboards lie (the
+    heavy-tail counterpart of the winsorized tile).  k adapts to
+    min(100, n−1) for thin types.
+
+    The rank window partitions by type; per-term logs micro-round
+    BEFORE the BIGINT sum (the MI/entropy integer discipline), and the
+    final α reads through the ONE jaccard_micro_sql rounding text."""
+    from pyspark.sql import Window
+
+    from faconne_spark.functions import jaccard_micro_sql
+
+    ev = T(spark, sf, "events").filter("value > 0")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    ranked = ev.withColumn("rk", F.row_number().over(w))
+    keff = ev.groupBy("event_type").agg(
+        F.expr(f"least({HILL_K}, count(*) - 1)").alias("k_eff")
+    )
+    thr = (
+        ranked.join(F.broadcast(keff), "event_type")
+        .filter(F.col("rk") == F.col("k_eff") + 1)
+        .select("event_type", F.col("value").alias("x_thr"))
+    )
+    terms = (
+        ranked.join(F.broadcast(keff), "event_type")
+        .filter(F.col("rk") <= F.col("k_eff"))
+        .join(F.broadcast(thr), "event_type")
+        .select(
+            "event_type",
+            F.expr(
+                "cast(round(ln(value / x_thr) * 1000000, 0) as bigint)"
+            ).alias("l"),
+        )
+    )
+    alpha = jaccard_micro_sql("(k * 1000000)", "ln_sum_micro", "spark")
+    return (
+        terms.groupBy("event_type")
+        .agg(F.count("*").alias("k"), F.sum("l").alias("ln_sum_micro"))
+        .select(
+            "event_type",
+            "k",
+            "ln_sum_micro",
+            F.expr(
+                f"case when ln_sum_micro > 0 then {alpha} end"
+            ).alias("alpha_micro"),
+        )
+    )
+
+
+def _oracle_hill() -> str:
+    from faconne_spark.functions import jaccard_micro_sql
+
+    alpha = jaccard_micro_sql("(k * 1000000)", "ln_sum_micro", "duckdb")
+    return f"""
+WITH ev AS (SELECT event_type, event_id, value FROM events WHERE value > 0),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY value DESC, event_id) AS rk
+  FROM ev),
+keff AS (
+  SELECT event_type, least({HILL_K}, count(*) - 1)::BIGINT AS k_eff
+  FROM ev GROUP BY 1),
+thr AS (
+  SELECT r.event_type, r.value AS x_thr
+  FROM ranked r JOIN keff USING (event_type)
+  WHERE r.rk = k_eff + 1),
+terms AS (
+  SELECT r.event_type,
+         round(ln(r.value / t.x_thr) * 1000000, 0)::BIGINT AS l
+  FROM ranked r
+  JOIN keff USING (event_type)
+  JOIN thr t ON t.event_type = r.event_type
+  WHERE r.rk <= k_eff),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS k, sum(l)::BIGINT AS ln_sum_micro
+  FROM terms GROUP BY event_type)
+SELECT event_type, k, ln_sum_micro,
+       CASE WHEN ln_sum_micro > 0 THEN {alpha} END AS alpha_micro
+FROM agg
+"""
+
+
+QUERIES["events_hill_tail_alpha"] = events_hill_tail_alpha
+ORACLES["events_hill_tail_alpha"] = _oracle_hill()
+
+
+# ------------------------------------------------- order-size histogram
+
+def orders_order_size_hist(spark, sf):
+    """The lineitems-per-order histogram with shares — the basket-size
+    distribution every co-purchase/packing gauge implicitly assumes;
+    two map-side-combined aggregates, output bounded by the max basket."""
+    per_order = (
+        T(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("order_size"))
+    )
+    hist = per_order.groupBy("order_size").agg(
+        F.count("*").alias("n_orders")
+    )
+    tot = hist.groupBy().agg(F.sum("n_orders").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "order_size",
+        "n_orders",
+        F.expr("round(n_orders / t, 6)").alias("share"),
+    )
+
+
+ORACLE_ORDER_SIZE = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*)::BIGINT AS order_size
+  FROM lineitem GROUP BY 1),
+hist AS (
+  SELECT order_size, count(*)::BIGINT AS n_orders
+  FROM per_order GROUP BY 1),
+tot AS (SELECT sum(n_orders)::BIGINT AS t FROM hist)
+SELECT order_size, n_orders, round(n_orders / t, 6) AS share
+FROM hist CROSS JOIN tot
+"""
+
+QUERIES["orders_order_size_hist"] = orders_order_size_hist
+ORACLES["orders_order_size_hist"] = ORACLE_ORDER_SIZE
+
+
+# ------------------------------------------------- ship-lag quantiles
+
+def lineitem_ship_lag_quantiles(spark, sf):
+    """p50/p95/p99 of order-to-ship lag (days) per return flag via the
+    mergeable histogram sketch — the fulfillment-SLA tile, and the
+    returned-goods slice answers 'do late shipments return more?'
+    next to the monthly Wilson rate.
+
+    Scale: ONE fact-fact equi-join on l_orderkey (shuffle hash / SMJ
+    on the co-key — no broadcast of a fact), then integer day lags
+    feed the bounded sketch; windows run over ≤ n_bins rows."""
+    from faconne_spark.operators.relational import histogram_quantiles
+    from faconne_spark.queries.curation import HQ_BINS, HQ_QS
+
+    li = T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.to_date("l_shipdate").alias("sd")
+    )
+    o = T(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    lag = li.join(o, "l_orderkey").select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("cast(datediff(sd, od) as double)").alias("value"),
+    )
+    return histogram_quantiles(lag, "value", "grp", HQ_BINS, HQ_QS)
+
+
+def _oracle_ship_lag() -> str:
+    from faconne_spark.queries.curation import HQ_BINS, HQ_QS
+
+    nb = HQ_BINS
+    parts = []
+    for q in HQ_QS:
+        q_us = int(round(q * 1_000_000))
+        parts.append(f"""
+SELECT grp, {q} AS q,
+       round((_lo + (2 * _qbin + 1)::BIGINT * (_hi - _lo + 1) // {2 * nb})
+             / 1000000.0, 6) AS estimate
+FROM (
+  SELECT grp, min(_bin) AS _qbin, min(_lo) AS _lo, min(_hi) AS _hi
+  FROM cum WHERE _cum * 1000000 >= _total * {q_us}
+  GROUP BY grp)""")
+    return f"""
+WITH vals AS (
+  SELECT l.l_returnflag AS grp,
+         floor((l.l_shipdate::DATE - o.o_orderdate::DATE)::DOUBLE
+               * 1000000 + 0.5)::BIGINT AS us
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+bounds AS (SELECT grp, min(us) AS _lo, max(us) AS _hi FROM vals GROUP BY 1),
+binned AS (
+  SELECT v.grp,
+         ((least(greatest(v.us, bo._lo), bo._hi) - bo._lo) * {nb}
+          // (bo._hi - bo._lo + 1))::INT AS _bin,
+         count(*) AS _cnt, min(bo._lo) AS _lo, min(bo._hi) AS _hi
+  FROM vals v JOIN bounds bo USING (grp)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT grp, _bin, _lo, _hi,
+         sum(_cnt) OVER (PARTITION BY grp ORDER BY _bin) AS _cum,
+         sum(_cnt) OVER (PARTITION BY grp) AS _total
+  FROM binned)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["lineitem_ship_lag_quantiles"] = lineitem_ship_lag_quantiles
+ORACLES["lineitem_ship_lag_quantiles"] = _oracle_ship_lag()

@@ -422,7 +422,7 @@ def test_survey_registry_consistency():
             r"lang_id_\w+|corpus_\w+|dup_graph_\w+|dup_cluster_\w+|"
             r"basket_\w+|user_rfm_\w+|"
             r"orders_\w+|lineitem_\w+|part_price_stats|part_skyline\w*|"
-            r"part_copurchase_\w+|part_brand_\w+|"
+            r"part_copurchase_\w+|part_brand_\w+|customer_segment_\w+|"
             r"neardup_\w+|"
             r"customer_order_reconciliation|customer_order_golden|"
             r"customer_fs_scores|sql_api_\w+|sliding_window_counts|"
@@ -888,3 +888,33 @@ def test_rewritten_ntile_keys_have_no_partitionless_window(spark, sf_dir):
         specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
         assert specs, key  # the rank window is still there...
         assert all(s == "__bkt" for s in specs), (key, specs)
+
+
+def test_stats_r7_partitioning_invariant(spark, sf_dir):
+    """The r7 analytics wave's partition-sensitive shapes (integer
+    micro log sums, DECIMAL moment folds, rank windows) must return
+    identical rows under different shuffle-partition counts."""
+    from faconne_spark.operators.dedup import release_caches
+    from faconne_spark.queries.stats_r7 import QUERIES as SQ
+
+    sample = [
+        "events_ab_cuped", "events_hill_tail_alpha",
+        "customer_segment_nation_chi2", "docs_ttr_by_source",
+        "events_transition_lift", "events_autocorr_daily",
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for k in sample:
+                rows = sorted(
+                    tuple(map(str, r))
+                    for r in SQ[k](spark, sf_dir).collect()
+                )
+                results.setdefault(k, []).append(rows)
+                release_caches()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for k, (a, b) in results.items():
+        assert a == b and a, f"{k} differs across partitioning"

@@ -222,6 +222,29 @@ SNAPSHOT_QUERIES = [
     # round-7 ntile rewrite: pin the no-partition-less-Window shape
     # (bucket-partitioned rank windows + broadcast triangular offsets)
     "ntile_custbal_deciles",
+    # round-7 analytics wave: pin the one-pass conditional CUPED
+    # moments, the bounded day-pair joins, the margins-grid customer
+    # χ², the conditional-sum ECDF stack, the session-ordinal Wilson
+    # aggregate, the custkey dim join, the lead-window lift build, the
+    # shared simhash signature explode, the per-label norm sketch, the
+    # fact-side Welch bands, the one-distinct TTR aggregate, the
+    # type-partitioned Hill rank window, the basket histogram, and the
+    # orderkey co-key ship-lag join
+    "events_ab_cuped",
+    "events_mann_kendall_trend",
+    "events_autocorr_daily",
+    "customer_segment_nation_chi2",
+    "events_value_ecdf",
+    "events_session_bounce",
+    "orders_repeat_rate_ci",
+    "events_transition_lift",
+    "docs_simhash_bit_bias",
+    "embed_norm_quantiles",
+    "lineitem_discount_lift",
+    "docs_ttr_by_source",
+    "events_hill_tail_alpha",
+    "orders_order_size_hist",
+    "lineitem_ship_lag_quantiles",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
