@@ -348,6 +348,12 @@ def main() -> None:
         "events_hill_tail_alpha",
         "orders_order_size_hist",
         "lineitem_ship_lag_quantiles",
+        "events_whale_share",
+        "docs_dedup_survivor_bias",
+        "docs_ngram_coverage_curve",
+        "part_type_price_dispersion",
+        "supplier_debt_rate_ci",
+        "docs_char_entropy_by_lang",
     ]
     times = {}
     shuffle = {}

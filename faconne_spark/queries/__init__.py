@@ -71,6 +71,11 @@ _CHANGED_THIS_ROUND = [
     "lineitem_discount_lift", "docs_ttr_by_source",
     "events_hill_tail_alpha", "orders_order_size_hist",
     "lineitem_ship_lag_quantiles",
+    # -- new in r7, wave 4: concentration, survivorship, coverage,
+    #    dispersion, credit-risk and script-health gauges --
+    "events_whale_share", "docs_dedup_survivor_bias",
+    "docs_ngram_coverage_curve", "part_type_price_dispersion",
+    "supplier_debt_rate_ci", "docs_char_entropy_by_lang",
     # ============== end r7 block (extended below this round) ==============
 ]
 

@@ -1158,3 +1158,403 @@ cum AS (
 
 QUERIES["lineitem_ship_lag_quantiles"] = lineitem_ship_lag_quantiles
 ORACLES["lineitem_ship_lag_quantiles"] = _oracle_ship_lag()
+
+
+# ------------------------------------------------- whale concentration
+
+def events_whale_share(spark, sf):
+    """Whale concentration of event value: the share of total value
+    mass carried by the top 1% and top 10% of users — the revenue-risk
+    scalar next to the Lorenz curve (how much of the business walks
+    out if a hundred accounts churn?).  Percentile assignment is the
+    range-partitioned distributed_ntile(100) — exact, and no
+    partition-less Window even on a 100× user dimension.
+
+    The per-user rollup is persisted (distributed_ntile reads its
+    input three times); everything after is one conditional
+    aggregate.  Shares divide exact BIGINT micro sums."""
+    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.relational import distributed_ntile
+
+    per_user = track_persist(
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")
+            ).alias("mass")
+        )
+    )
+    tiled = distributed_ntile(
+        per_user, "mass", ("mass", "user_id"), 100, tile_col="pct"
+    )
+    return tiled.groupBy().agg(
+        F.count("*").alias("n_users"),
+        F.sum("mass").alias("total_micro"),
+        F.sum(F.expr("case when pct = 100 then mass else 0 end")).alias(
+            "top1_micro"
+        ),
+        F.sum(F.expr("case when pct > 90 then mass else 0 end")).alias(
+            "top10_micro"
+        ),
+    ).select(
+        "n_users",
+        "total_micro",
+        "top1_micro",
+        "top10_micro",
+        F.expr("round(top1_micro / total_micro, 6)").alias("top1_share"),
+        F.expr("round(top10_micro / total_micro, 6)").alias("top10_share"),
+    )
+
+
+ORACLE_WHALE = """
+WITH per_user AS (
+  SELECT user_id, sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS mass
+  FROM events GROUP BY 1),
+tiled AS (
+  SELECT mass, ntile(100) OVER (ORDER BY mass, user_id) AS pct
+  FROM per_user),
+agg AS (
+  SELECT count(*)::BIGINT AS n_users, sum(mass)::BIGINT AS total_micro,
+         sum(CASE WHEN pct = 100 THEN mass ELSE 0 END)::BIGINT AS top1_micro,
+         sum(CASE WHEN pct > 90 THEN mass ELSE 0 END)::BIGINT AS top10_micro
+  FROM tiled)
+SELECT n_users, total_micro, top1_micro, top10_micro,
+       round(top1_micro / total_micro, 6) AS top1_share,
+       round(top10_micro / total_micro, 6) AS top10_share
+FROM agg
+"""
+
+QUERIES["events_whale_share"] = events_whale_share
+ORACLES["events_whale_share"] = ORACLE_WHALE
+
+
+# ------------------------------------------------- dedup survivor bias
+
+def docs_dedup_survivor_bias(spark, sf):
+    """Source-mix shift caused by exact dedup: each source's share of
+    the corpus BEFORE vs AFTER keeping one doc per fingerprint, and
+    the exact integer micro delta — the survivorship audit that says
+    which sources the dedup policy is silently down-weighting (a
+    mirror-heavy source loses share; that may be desired, but it must
+    be VISIBLE before training-mixture math runs on the output).
+
+    Composes the registered exact_dedup (same fingerprint text); the
+    delta is a SUBTRACTION of two round-half-up micro shares (each
+    positive, through the ONE jaccard_micro_sql text), so no negative
+    .5 rounding boundary exists for engines to disagree on."""
+    from faconne_spark.functions import jaccard_micro_sql
+    from faconne_spark.operators.dedup import exact_dedup
+
+    docs = T(spark, sf, "documents")
+    keepers = exact_dedup(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    pre = docs.groupBy("source").agg(F.count("*").alias("n_pre"))
+    post = (
+        docs.join(keepers, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_post"))
+    )
+    tot = pre.groupBy().agg(
+        F.sum("n_pre").alias("t_pre")
+    ).crossJoin(
+        F.broadcast(post.groupBy().agg(F.sum("n_post").alias("t_post")))
+    )
+    share_pre = jaccard_micro_sql("n_pre", "t_pre", "spark")
+    share_post = jaccard_micro_sql("n_post", "t_post", "spark")
+    return (
+        pre.join(post, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_pre",
+            "n_post",
+            F.expr(share_pre).alias("share_pre_micro"),
+            F.expr(share_post).alias("share_post_micro"),
+            F.expr(f"{share_post} - {share_pre}").alias("delta_micro"),
+        )
+    )
+
+
+def _oracle_survivor_bias() -> str:
+    from faconne_spark.functions import jaccard_micro_sql, phash60
+    from faconne_spark.operators.dedup import NORM_DUCK
+
+    share_pre = jaccard_micro_sql("n_pre", "t_pre", "duckdb")
+    share_post = jaccard_micro_sql("n_post", "t_post", "duckdb")
+    return f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {phash60(NORM_DUCK, 'duckdb')} AS fp FROM documents)
+  GROUP BY fp),
+pre AS (SELECT source, count(*)::BIGINT AS n_pre FROM documents GROUP BY 1),
+post AS (
+  SELECT d.source, count(*)::BIGINT AS n_post
+  FROM documents d JOIN keepers k USING (doc_id) GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(n_pre) FROM pre)::BIGINT AS t_pre,
+         (SELECT sum(n_post) FROM post)::BIGINT AS t_post)
+SELECT source, n_pre, n_post,
+       {share_pre} AS share_pre_micro,
+       {share_post} AS share_post_micro,
+       {share_post} - {share_pre} AS delta_micro
+FROM pre JOIN post USING (source) CROSS JOIN tot
+"""
+
+
+QUERIES["docs_dedup_survivor_bias"] = docs_dedup_survivor_bias
+ORACLES["docs_dedup_survivor_bias"] = _oracle_survivor_bias()
+
+
+# ------------------------------------------------- coverage ladder
+
+COVERAGE_KS = (10, 100, 1000)
+
+
+def docs_ngram_coverage_curve(spark, sf):
+    """Vocabulary coverage ladder: the share of the token stream
+    covered by the top-10/100/1000 unigrams — the compression-and-
+    tokenizer sizing curve (a 1000-word vocab covering 95% says the
+    corpus is templated; 60% says diverse text).  The vocabulary
+    rollup is persisted and each ladder rung is a TakeOrdered top-k
+    over it (deterministic tie-break count desc, token asc) — never a
+    global sort of the vocabulary."""
+    from faconne_spark.functions import tokens_ws
+    from faconne_spark.operators.dedup import _persist_sig
+    from faconne_spark.session import spread
+
+    docs = T(spark, sf, "documents")
+    toks = tokens_ws("lower(text)", "spark")
+    vocab = _persist_sig(
+        spread(docs)
+        .select(F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt")),
+        docs,
+    )
+    tot = vocab.groupBy().agg(
+        F.count("*").alias("n_vocab"), F.sum("cnt").alias("stream_total")
+    )
+    out = None
+    for k in COVERAGE_KS:
+        covered = (
+            vocab.orderBy(F.desc("cnt"), F.asc("tok"))
+            .limit(k)
+            .groupBy()
+            .agg(F.sum("cnt").alias("covered"))
+        )
+        rung = (
+            covered.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(k).alias("k"),
+                "n_vocab",
+                "stream_total",
+                "covered",
+                F.expr("round(covered / stream_total, 6)").alias("share"),
+            )
+        )
+        out = rung if out is None else out.unionByName(rung)
+    return out
+
+
+def _oracle_coverage() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    rungs = " UNION ALL ".join(
+        f"""
+SELECT {k} AS k, (SELECT count(*) FROM vocab)::BIGINT AS n_vocab,
+       (SELECT sum(cnt) FROM vocab)::BIGINT AS stream_total,
+       (SELECT sum(cnt) FROM (SELECT cnt FROM vocab
+          ORDER BY cnt DESC, tok LIMIT {k}))::BIGINT AS covered,
+       round((SELECT sum(cnt) FROM (SELECT cnt FROM vocab
+          ORDER BY cnt DESC, tok LIMIT {k}))
+          / (SELECT sum(cnt) FROM vocab), 6) AS share"""
+        for k in COVERAGE_KS
+    )
+    return f"""
+WITH stream AS (
+  SELECT unnest({toks}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*)::BIGINT AS cnt FROM stream GROUP BY 1)
+{rungs}
+"""
+
+
+QUERIES["docs_ngram_coverage_curve"] = docs_ngram_coverage_curve
+ORACLES["docs_ngram_coverage_curve"] = _oracle_coverage()
+
+
+# ------------------------------------------------- price dispersion
+
+def part_type_price_dispersion(spark, sf):
+    """Retail-price dispersion per part type: n, mean and the
+    coefficient of variation — the pricing-consistency audit (a type
+    whose CV spikes after a catalog load has mixed units or a bad
+    join upstream).  Exact integer cents moments (DECIMAL squares);
+    single-part types yield NULL CV (guard discipline)."""
+    p = T(spark, sf, "part").select(
+        "p_type",
+        F.expr("cast(round(p_retailprice * 100) as bigint)").alias("c"),
+    )
+    seg = p.groupBy("p_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    var_ = (
+        "(cast(ss as double) - cast(s as double) * cast(s as double) / n)"
+        " / (n - 1)"
+    )
+    mean_ = "(cast(s as double) / cast(n as double))"
+    return seg.select(
+        "p_type",
+        F.col("n").alias("n_parts"),
+        F.expr(f"round({mean_} / 100.0, 4)").alias("mean_price"),
+        F.expr(
+            f"case when n > 1 then round(sqrt({var_}) / {mean_}, 6) end"
+        ).alias("cv"),
+    )
+
+
+ORACLE_PRICE_DISPERSION = """
+WITH p AS (
+  SELECT p_type, round(p_retailprice * 100)::BIGINT AS c FROM part),
+seg AS (
+  SELECT p_type, count(*) AS n,
+         sum(c::DECIMAL(38,0)) AS s,
+         sum(c::DECIMAL(38,0) * c::DECIMAL(38,0)) AS ss
+  FROM p GROUP BY 1)
+SELECT p_type, n AS n_parts,
+       round((s::DOUBLE / n::DOUBLE) / 100.0, 4) AS mean_price,
+       CASE WHEN n > 1 THEN
+         round(sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1))
+               / (s::DOUBLE / n::DOUBLE), 6)
+       END AS cv
+FROM seg
+"""
+
+QUERIES["part_type_price_dispersion"] = part_type_price_dispersion
+ORACLES["part_type_price_dispersion"] = ORACLE_PRICE_DISPERSION
+
+
+# ------------------------------------------------- supplier credit risk
+
+def supplier_debt_rate_ci(spark, sf):
+    """Share of suppliers in debt (negative balance) per nation with a
+    Wilson 95% interval — the supply-side credit-risk tile joining the
+    so-far-quiet supplier and nation dimensions; small nations wobble
+    and the interval says by how much."""
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    s = T(spark, sf, "supplier").select(
+        "s_nationkey",
+        F.expr("cast(round(s_acctbal * 100) as bigint)").alias("cents"),
+    )
+    n = T(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    # mean from exact integer cents — a raw avg(double) is a
+    # partition-order-dependent float sum (bit-flipped at sf0.01)
+    agg = s.join(F.broadcast(n), "s_nationkey").groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("case when cents < 0 then 1 else 0 end")).alias("k"),
+        F.expr(
+            "round(cast(sum(cents) as double)"
+            " / cast(count(*) * 100 as double), 4) + 0.0"
+        ).alias("avg_bal"),
+    )
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    # a k = 0 nation's lower bound is analytically 0 but the float
+    # path can land on −0.0 in one engine only — canonicalize (+ 0.0,
+    # the IEEE-negative-zero house rule) on BOTH sides
+    return agg.select(
+        "n_name",
+        F.col("n").alias("n_suppliers"),
+        F.col("k").alias("n_in_debt"),
+        "avg_bal",
+        F.expr("round(k / n, 6)").alias("debt_rate"),
+        F.expr(f"{lo_sql} + 0.0").alias("wilson_lo"),
+        F.expr(f"{hi_sql} + 0.0").alias("wilson_hi"),
+    )
+
+
+def _oracle_debt_rate() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    lo_sql, hi_sql = wilson_bounds_sql("k", "n")
+    return f"""
+WITH sc AS (
+  SELECT s_nationkey, round(s_acctbal * 100)::BIGINT AS cents
+  FROM supplier),
+agg AS (
+  SELECT n.n_name, count(*)::BIGINT AS n,
+         sum(CASE WHEN s.cents < 0 THEN 1 ELSE 0 END)::BIGINT AS k,
+         round(sum(s.cents)::DOUBLE / (count(*) * 100)::DOUBLE, 4) + 0.0
+           AS avg_bal
+  FROM sc s JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1)
+SELECT n_name, n AS n_suppliers, k AS n_in_debt, avg_bal,
+       round(k / n, 6) AS debt_rate,
+       {lo_sql} + 0.0 AS wilson_lo,
+       {hi_sql} + 0.0 AS wilson_hi
+FROM agg
+"""
+
+
+QUERIES["supplier_debt_rate_ci"] = supplier_debt_rate_ci
+ORACLES["supplier_debt_rate_ci"] = _oracle_debt_rate()
+
+
+# ------------------------------------------------- char entropy by lang
+
+def docs_char_entropy_by_lang(spark, sf):
+    """Character-distribution Shannon entropy per language label, in
+    exact integer micro-nats — the script-level health gauge (English
+    sits ≈ 4.1 nats over lowercase chars; a lang bucket whose entropy
+    collapses is full of boilerplate, and one that jumps is mislabeled
+    or mixed-script).  Char explode partial-aggregates map-side to the
+    (lang, char) relation; h_micro = −Σ n_lc·round(10⁶·ln(n_lc/n_l))
+    — the MI/entropy integer discipline."""
+    chars = (
+        T(spark, sf, "documents")
+        .select("lang", F.explode(F.expr("split(lower(text), '')")).alias("ch"))
+        .groupBy("lang", "ch")
+        .agg(F.count("*").alias("n_lc"))
+    )
+    totals = chars.groupBy("lang").agg(F.sum("n_lc").alias("n_l"))
+    cells = chars.join(totals, "lang").withColumn(
+        "__l",
+        F.expr(
+            "cast(round(ln(cast(n_lc as double) / n_l) * 1000000, 0)"
+            " as bigint)"
+        ),
+    )
+    return cells.groupBy("lang").agg(
+        F.max("n_l").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        (-F.sum(F.col("n_lc") * F.col("__l"))).alias("h_micro"),
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT lang, unnest(string_split(lower(text), '')) AS ch
+  FROM documents),
+cnt AS (
+  SELECT lang, ch, count(*)::BIGINT AS n_lc FROM chars GROUP BY 1, 2),
+totals AS (SELECT lang, sum(n_lc)::BIGINT AS n_l FROM cnt GROUP BY 1),
+cells AS (
+  SELECT c.lang, c.n_lc, t.n_l,
+         round(ln(c.n_lc::DOUBLE / t.n_l) * 1000000, 0)::BIGINT AS l
+  FROM cnt c JOIN totals t USING (lang))
+SELECT lang, max(n_l)::BIGINT AS n_chars,
+       count(*)::BIGINT AS n_distinct_chars,
+       (-sum(n_lc * l))::BIGINT AS h_micro
+FROM cells GROUP BY lang
+"""
+
+QUERIES["docs_char_entropy_by_lang"] = docs_char_entropy_by_lang
+ORACLES["docs_char_entropy_by_lang"] = ORACLE_CHAR_ENTROPY

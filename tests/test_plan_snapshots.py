@@ -245,6 +245,16 @@ SNAPSHOT_QUERIES = [
     "events_hill_tail_alpha",
     "orders_order_size_hist",
     "lineitem_ship_lag_quantiles",
+    # round-7 wave 4: pin the ntile(100) whale pass (bucket-partitioned
+    # windows only), the fingerprint-join survivor audit, the
+    # TakeOrdered coverage rungs, the DECIMAL dispersion moments, the
+    # broadcast nation join, and the char-cell entropy aggregate
+    "events_whale_share",
+    "docs_dedup_survivor_bias",
+    "docs_ngram_coverage_curve",
+    "part_type_price_dispersion",
+    "supplier_debt_rate_ci",
+    "docs_char_entropy_by_lang",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
