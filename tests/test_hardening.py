@@ -435,7 +435,7 @@ def test_survey_registry_consistency():
     # SURVEY §7 may cite next-round bank keys (built + cross-engine
     # proven but deliberately unregistered while the driver window is
     # full) — those are known, not drift.
-    from faconne_spark.queries.bank_r7 import BANK_QUERIES
+    from faconne_spark.queries.bank_r8 import BANK_QUERIES
 
     known = qs | set(BANK_QUERIES)
     cited_keys = {k for k in cited if k in qs or not k.startswith(("text_", "events_"))}
