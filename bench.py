@@ -354,6 +354,15 @@ def main() -> None:
         "part_type_price_dispersion",
         "supplier_debt_rate_ci",
         "docs_char_entropy_by_lang",
+        # round-7 wave 5 (timed, not headline)
+        "events_gap_survival",
+        "events_user_lifetime_quantiles",
+        "customer_balance_vs_orders_corr",
+        "part_brand_price_premium",
+        "docs_source_length_quantiles",
+        "lineitem_qty_returnflag_ks",
+        "events_ks_merged",
+        "events_kmv_merged",
     ]
     times = {}
     shuffle = {}

@@ -76,7 +76,16 @@ _CHANGED_THIS_ROUND = [
     "events_whale_share", "docs_dedup_survivor_bias",
     "docs_ngram_coverage_curve", "part_type_price_dispersion",
     "supplier_debt_rate_ci", "docs_char_entropy_by_lang",
-    # ============== end r7 block (extended below this round) ==============
+    # -- new in r7, wave 5: the six pairs staged as the r8 bank,
+    #    registered this round because the window still had slots
+    #    (an unregistered proven key is a wasted green row), plus the
+    #    last two mergeable states (KS histogram, KMV k-smallest)
+    #    driven through the gate --
+    "events_gap_survival", "events_user_lifetime_quantiles",
+    "customer_balance_vs_orders_corr", "part_brand_price_premium",
+    "docs_source_length_quantiles", "lineitem_qty_returnflag_ks",
+    "events_ks_merged", "events_kmv_merged",
+    # ============== end r7 block — 46 of the 50-key window ==============
 ]
 
 _FIRST = _CHANGED_THIS_ROUND + [
@@ -166,6 +175,7 @@ def _merged(attr: str) -> dict:
     from faconne_spark.queries import (
         bank_r6,
         bank_r7,
+        bank_r8,
         curation,
         faconne_demo,
         pipeline,
@@ -178,7 +188,7 @@ def _merged(attr: str) -> dict:
     merged = {}
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
-        round7, stats_r7,
+        round7, stats_r7, bank_r8,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

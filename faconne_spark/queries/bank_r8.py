@@ -1,8 +1,10 @@
-"""Round-8 gate-key bank: query/oracle pairs built and cross-engine
-tested in round 7 but NOT registered — held for round 8's driver
-window (the bank_r6/bank_r7 precedent: registration next round is a
-move, not new work; tests/test_bank_r8.py already runs each pair
-driver-style against DuckDB plus a partitioning-invariance sweep)."""
+"""Round-7 wave 5 (originally staged as the round-8 bank): six
+query/oracle pairs built and cross-engine proven at three SFs in
+round 7, then REGISTERED in the same round because the ≤50-key driver
+window still had free slots — an unregistered-but-proven key is a
+wasted green row when the window isn't full.  tests/test_bank_r8.py
+runs each pair driver-style against DuckDB plus a
+partitioning-invariance sweep (the bank-module test shape, kept)."""
 
 from __future__ import annotations
 
@@ -403,3 +405,7 @@ FROM cum GROUP BY grp
 
 BANK_QUERIES["lineitem_qty_returnflag_ks"] = lineitem_qty_returnflag_ks
 BANK_ORACLES["lineitem_qty_returnflag_ks"] = ORACLE_QTY_KS
+
+# registry aliases: _merged() consumes QUERIES/ORACLES from every module
+QUERIES = BANK_QUERIES
+ORACLES = BANK_ORACLES

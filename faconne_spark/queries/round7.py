@@ -322,3 +322,86 @@ GROUP BY 2""")
 
 QUERIES["docs_file_sample"] = docs_file_sample
 ORACLES["docs_file_sample"] = _oracle_file_sample()
+
+
+# ------------------------------------------------- merged KS histogram
+
+def events_ks_merged(spark, sf):
+    """The KS drift statistic read off the MERGED (group, bin)
+    histograms of two disjoint event shards — the binned histogram is
+    KS's mergeable sufficient statistic (counts add; ks_from_binned is
+    the ONE read-off both the batch operator and the streaming epoch
+    state use).  Must equal the single-pass events_ks_value_drift
+    (same oracle text by design)."""
+    from faconne_spark.operators.evalstats import ks_binned, ks_from_binned
+    from faconne_spark.queries.bank_r6 import KS_BINS, KS_LO, KS_WIDTH
+
+    ev = T(spark, sf, "events")
+
+    def shard(parity: int):
+        return ks_binned(
+            ev.filter(f"event_id % 2 = {parity}"),
+            "event_type", "value", KS_LO, KS_WIDTH, KS_BINS,
+        )
+
+    merged = (
+        shard(0)
+        .unionByName(shard(1))
+        .groupBy("grp", "bin")
+        .agg(F.sum("n_gb").alias("n_gb"))
+    )
+    return ks_from_binned(merged).withColumnRenamed("grp", "event_type")
+
+
+def _oracle_ks_merged() -> str:
+    from faconne_spark.queries.bank_r6 import ORACLE_KS_DRIFT
+
+    return ORACLE_KS_DRIFT
+
+
+QUERIES["events_ks_merged"] = events_ks_merged
+ORACLES["events_ks_merged"] = _oracle_ks_merged()
+
+
+# ------------------------------------------------- merged KMV sketch
+
+def events_kmv_merged(spark, sf):
+    """The KMV distinct sketch rebuilt from MERGED shard sketches: each
+    event-id-parity shard keeps its own k smallest user hashes, the
+    merge re-selects the k smallest of the union — exactly the
+    k-smallest of the full stream, because any globally kept hash is
+    kept in its own shard (kmv_from_hashes' documented merge
+    contract).  Must equal the single-pass events_kmv_distinct (same
+    oracle text by design)."""
+    from faconne_spark.operators.sketches import kmv_from_hashes, kmv_sketch
+    from faconne_spark.queries.bank_r6 import KMV_K
+
+    ev = T(spark, sf, "events")
+
+    def shard(parity: int):
+        return kmv_sketch(
+            ev.filter(f"event_id % 2 = {parity}"),
+            "event_type", "cast(user_id as string)", KMV_K,
+        ).select(F.col("event_type").alias("grp"), "hs")
+
+    pooled = (
+        shard(0)
+        .unionByName(shard(1))
+        .select("grp", F.explode("hs").alias("h"))
+    )
+    return kmv_from_hashes(pooled, KMV_K).select(
+        F.col("grp").alias("event_type"),
+        "n_kept",
+        "theta",
+        F.round("est_distinct", 6).alias("est_distinct"),
+    )
+
+
+def _oracle_kmv_merged() -> str:
+    from faconne_spark.queries.bank_r6 import ORACLE_KMV_DISTINCT
+
+    return ORACLE_KMV_DISTINCT
+
+
+QUERIES["events_kmv_merged"] = events_kmv_merged
+ORACLES["events_kmv_merged"] = _oracle_kmv_merged()

@@ -255,6 +255,18 @@ SNAPSHOT_QUERIES = [
     "part_type_price_dispersion",
     "supplier_debt_rate_ci",
     "docs_char_entropy_by_lang",
+    # round-7 wave 5: pin the lag-window gap ladder, the span sketch,
+    # the DECIMAL correlation fold, the broadcast premium ratio, the
+    # per-source length sketch, the lineitem KS grid, and the two
+    # merged-state read-offs (histogram addition, pooled k-smallest)
+    "events_gap_survival",
+    "events_user_lifetime_quantiles",
+    "customer_balance_vs_orders_corr",
+    "part_brand_price_premium",
+    "docs_source_length_quantiles",
+    "lineitem_qty_returnflag_ks",
+    "events_ks_merged",
+    "events_kmv_merged",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
