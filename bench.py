@@ -363,6 +363,11 @@ def main() -> None:
         "lineitem_qty_returnflag_ks",
         "events_ks_merged",
         "events_kmv_merged",
+        # round-7 wave 6 (timed, not headline)
+        "docs_stopword_rate_by_lang",
+        "events_hour_hhi",
+        "part_size_vs_price_corr",
+        "orders_pareto_8020",
     ]
     times = {}
     shuffle = {}

@@ -85,7 +85,12 @@ _CHANGED_THIS_ROUND = [
     "customer_balance_vs_orders_corr", "part_brand_price_premium",
     "docs_source_length_quantiles", "lineitem_qty_returnflag_ks",
     "events_ks_merged", "events_kmv_merged",
-    # ============== end r7 block — 46 of the 50-key window ==============
+    # -- new in r7, wave 6: the last four window slots — stopword-rate
+    #    quality prior, hourly concentration HHI, size–price Pearson,
+    #    and the fact-scale revenue Pareto on distributed_ntile --
+    "docs_stopword_rate_by_lang", "events_hour_hhi",
+    "part_size_vs_price_corr", "orders_pareto_8020",
+    # ============== end r7 block — 50 of the 50-key window ==============
 ]
 
 _FIRST = _CHANGED_THIS_ROUND + [

@@ -1558,3 +1558,249 @@ FROM cells GROUP BY lang
 
 QUERIES["docs_char_entropy_by_lang"] = docs_char_entropy_by_lang
 ORACLES["docs_char_entropy_by_lang"] = ORACLE_CHAR_ENTROPY
+
+
+# ------------------------------------------------- stopword rate
+
+def docs_stopword_rate_by_lang(spark, sf):
+    """Per-language stopword-token share against that language's OWN
+    stopword profile (the lang-ID word lists) — the text-quality prior
+    behind the quality gate: natural prose carries a stable stopword
+    mass; listings/boilerplate sit far below it, and a lang bucket
+    whose rate collapses is mislabeled or synthetic.
+
+    One explode + conditional-sum pass; the profile arrays are tiny
+    literals compiled into the expression (no join)."""
+    from faconne_spark.functions import LANG_PROFILES, tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN"
+        f" array_contains(array({', '.join(repr(w) for w in words)}), tok)"
+        for lang, words in sorted(LANG_PROFILES.items())
+    )
+    stream = (
+        T(spark, sf, "documents")
+        .select("lang", F.explode(F.expr(toks)).alias("tok"))
+        .select(
+            "lang",
+            F.expr(f"CASE {arms} ELSE false END").alias("is_stop"),
+        )
+    )
+    return stream.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.expr("case when is_stop then 1 else 0 end")).alias(
+            "n_stopwords"
+        ),
+        F.expr(
+            "round(sum(case when is_stop then 1 else 0 end) / count(*), 6)"
+        ).alias("stop_rate"),
+    )
+
+
+def _oracle_stopword_rate() -> str:
+    from faconne_spark.functions import LANG_PROFILES, tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN"
+        f" list_contains([{', '.join(repr(w) for w in words)}], tok)"
+        for lang, words in sorted(LANG_PROFILES.items())
+    )
+    return f"""
+WITH stream AS (
+  SELECT lang, unnest({toks}) AS tok FROM documents),
+flagged AS (
+  SELECT lang, CASE {arms} ELSE false END AS is_stop FROM stream)
+SELECT lang, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN is_stop THEN 1 ELSE 0 END)::BIGINT AS n_stopwords,
+       round(sum(CASE WHEN is_stop THEN 1 ELSE 0 END) / count(*), 6)
+         AS stop_rate
+FROM flagged GROUP BY lang
+"""
+
+
+QUERIES["docs_stopword_rate_by_lang"] = docs_stopword_rate_by_lang
+ORACLES["docs_stopword_rate_by_lang"] = _oracle_stopword_rate()
+
+
+# ------------------------------------------------- hourly concentration
+
+def events_hour_hhi(spark, sf):
+    """Herfindahl concentration of each type's hour-of-day profile —
+    HHI → 10⁶/24 means flat around-the-clock traffic, → 10⁶ means one
+    rush hour carries everything (the scalar companion of the hourly
+    seasonality χ²: χ² says 'non-uniform', HHI says HOW peaked).
+    Exact integer arithmetic end-to-end over the ≤ types×24 cells."""
+    hourly = (
+        T(spark, sf, "events")
+        .groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("c").alias("n_events"),
+            F.sum(
+                F.expr("cast(c as double) * cast(c as double)")
+            ).alias("__ss"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "n_events",
+            F.expr(
+                "cast(round(1000000 * __ss / (cast(n_events as double)"
+                " * cast(n_events as double)), 0) as bigint)"
+            ).alias("hhi_micro"),
+        )
+    )
+
+
+ORACLE_HOUR_HHI = """
+WITH hourly AS (
+  SELECT event_type, extract(hour FROM ts)::INT AS hr,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_hours,
+         sum(c)::BIGINT AS n_events, sum(c::DOUBLE * c::DOUBLE) AS ss
+  FROM hourly GROUP BY 1)
+SELECT event_type, n_hours, n_events,
+       round(1000000 * ss / (n_events::DOUBLE * n_events::DOUBLE),
+             0)::BIGINT AS hhi_micro
+FROM agg
+"""
+
+QUERIES["events_hour_hhi"] = events_hour_hhi
+ORACLES["events_hour_hhi"] = ORACLE_HOUR_HHI
+
+
+# ------------------------------------------------- size–price relation
+
+def part_size_vs_price_corr(spark, sf):
+    """Pearson correlation between part size and retail price, per
+    brand — does this brand price by size, or by something else?  The
+    catalog-model sanity scalar (a brand whose correlation flips sign
+    after an import has crossed columns).
+
+    DECIMAL(38,0) moments from exact integers (size, price cents);
+    NULL when a brand's size or price variance vanishes."""
+    p = T(spark, sf, "part").select(
+        "p_brand",
+        F.col("p_size").cast("decimal(38,0)").alias("x"),
+        F.expr(
+            "cast(cast(round(p_retailprice * 100) as bigint)"
+            " as decimal(38,0))"
+        ).alias("y"),
+    )
+    m = p.groupBy("p_brand").agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    num = (
+        "(cast(k as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+    )
+    dx = (
+        "(cast(k as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double))"
+    )
+    dy = (
+        "(cast(k as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double))"
+    )
+    return m.select(
+        "p_brand",
+        F.col("k").alias("n_parts"),
+        F.expr(
+            f"case when {dx} > 0 and {dy} > 0 then"
+            f" round({num} / sqrt({dx} * {dy}), 6) + 0.0 end"
+        ).alias("pearson_r"),
+    )
+
+
+ORACLE_SIZE_PRICE_CORR = """
+WITH p AS (
+  SELECT p_brand, p_size::DECIMAL(38,0) AS x,
+         round(p_retailprice * 100)::BIGINT::DECIMAL(38,0) AS y
+  FROM part),
+m AS (
+  SELECT p_brand, count(*)::BIGINT AS k, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM p GROUP BY 1)
+SELECT p_brand, k AS n_parts,
+       CASE WHEN (k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             AND (k::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+       THEN round((k::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / sqrt((k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       * (k::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                  6) + 0.0
+       END AS pearson_r
+FROM m
+"""
+
+QUERIES["part_size_vs_price_corr"] = part_size_vs_price_corr
+ORACLES["part_size_vs_price_corr"] = ORACLE_SIZE_PRICE_CORR
+
+
+# ------------------------------------------------- revenue Pareto
+
+def orders_pareto_8020(spark, sf):
+    """The 80/20 check on order revenue: the share of total order
+    value carried by the top quintile of ORDERS (fact-scale rows, not
+    the customer dimension) — quintiles via the range-partitioned
+    distributed_ntile, so even a 100× order fact never meets a
+    partition-less Window.  Output: one row per quintile with exact
+    integer cents mass and shares."""
+    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.relational import distributed_ntile
+
+    orders = track_persist(
+        T(spark, sf, "orders").select(
+            "o_orderkey",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+                "cents"
+            ),
+        )
+    )
+    tiled = distributed_ntile(
+        orders, "cents", ("cents", "o_orderkey"), 5, tile_col="quintile"
+    )
+    per_q = tiled.groupBy("quintile").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("quintile_cents"),
+    )
+    tot = per_q.groupBy().agg(F.sum("quintile_cents").alias("_tot"))
+    return per_q.crossJoin(F.broadcast(tot)).select(
+        "quintile",
+        "n_orders",
+        "quintile_cents",
+        F.expr("round(quintile_cents / _tot, 6)").alias("share"),
+    )
+
+
+ORACLE_PARETO = """
+WITH o AS (
+  SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders),
+tiled AS (
+  SELECT cents, ntile(5) OVER (ORDER BY cents, o_orderkey) AS quintile
+  FROM o),
+per_q AS (
+  SELECT quintile, count(*)::BIGINT AS n_orders,
+         sum(cents)::BIGINT AS quintile_cents
+  FROM tiled GROUP BY 1),
+tot AS (SELECT sum(quintile_cents)::BIGINT AS t FROM per_q)
+SELECT quintile, n_orders, quintile_cents,
+       round(quintile_cents / t, 6) AS share
+FROM per_q CROSS JOIN tot
+"""
+
+QUERIES["orders_pareto_8020"] = orders_pareto_8020
+ORACLES["orders_pareto_8020"] = ORACLE_PARETO

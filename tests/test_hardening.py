@@ -423,6 +423,7 @@ def test_survey_registry_consistency():
             r"basket_\w+|user_rfm_\w+|"
             r"orders_\w+|lineitem_\w+|part_price_stats|part_skyline\w*|"
             r"part_copurchase_\w+|part_brand_\w+|part_type_\w+|"
+            r"part_size_\w+|"
             r"customer_segment_\w+|customer_balance_\w+|supplier_\w+|"
             r"neardup_\w+|"
             r"customer_order_reconciliation|customer_order_golden|"

@@ -267,6 +267,13 @@ SNAPSHOT_QUERIES = [
     "lineitem_qty_returnflag_ks",
     "events_ks_merged",
     "events_kmv_merged",
+    # round-7 wave 6: pin the no-join stopword CASE pass, the 24-cell
+    # HHI aggregate, the per-brand DECIMAL correlation fold, and the
+    # fact-scale bucket-partitioned quintile pass
+    "docs_stopword_rate_by_lang",
+    "events_hour_hhi",
+    "part_size_vs_price_corr",
+    "orders_pareto_8020",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
