@@ -903,6 +903,9 @@ def test_stats_r7_partitioning_invariant(spark, sf_dir):
         "events_ab_cuped", "events_hill_tail_alpha",
         "customer_segment_nation_chi2", "docs_ttr_by_source",
         "events_transition_lift", "events_autocorr_daily",
+        # wave 6: the bucket-partitioned fact-scale ntile and the
+        # exploded conditional-sum pass
+        "orders_pareto_8020", "docs_stopword_rate_by_lang",
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
