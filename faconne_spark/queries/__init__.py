@@ -36,33 +36,21 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # any key whose plan snapshot drifted from the stamped round-close
 # manifest must appear here, and the block must fit the window.
 _CHANGED_THIS_ROUND = [
-    # ================= r7 changed/new block (count ≤ 50!) =================
-    # -- the 8 round-6-banked pairs, now registered (VERDICT r6 ask #1;
-    #    cross-engine proven at 3 SFs by tests/test_bank_r7.py all round) --
+    # ================= r8 changed/new block (count ≤ 50!) =================
+    # (grows as round 8 progresses; every key here has a NEW or CHANGED
+    #  implementation/oracle/plan this round)
+]
+
+_FIRST = _CHANGED_THIS_ROUND + [
+    # -- unchanged keys (fresh r7 rows), r7 order --
     "events_funnel_ci", "docs_lang_purity_ci", "orders_priority_mix_drift",
     "events_markov_cond_entropy", "part_brand_supplier_hhi",
     "events_burstiness", "docs_filter_confusion", "events_weekend_effect",
-    # -- r7-changed implementations/oracles (judge r6 ADVICE): NULL
-    #    guards on zero-denominator variance arms, escaped identifiers
-    #    in the profile unpivot, session quantiles pre-scaled to
-    #    seconds before the micro-quantizing sketch --
     "events_ab_power", "docs_profile_completeness",
     "events_session_quantiles",
-    # -- new in r7: the remaining mergeable states read off the MERGE
-    #    through the gate (VERDICT r6 ask #2) and S15's hash-sampled
-    #    file read driven end-to-end (ask #3) --
     "events_hll_merged", "docs_cms_topk_merged", "events_auc_merged",
     "docs_file_sample",
-    # -- r7-changed: dimension-global ntile/cumulative rewritten on the
-    #    range-partitioned distributed_ntile (VERDICT r6 ask #4 — no
-    #    partition-less Window left in either plan) --
     "orders_lorenz_curve", "ntile_custbal_deciles",
-    # -- new in r7: the analytics/statistics wave (queries/stats_r7.py)
-    #    — CUPED, Mann–Kendall, autocorrelation, customer-dim χ²,
-    #    pinned ECDF, session-maturity bounce, repeat-rate CI,
-    #    transition lift, simhash bit bias, norm quantiles, discount
-    #    lift, TTR, Hill tail index, order-size histogram, ship-lag
-    #    quantiles --
     "events_ab_cuped", "events_mann_kendall_trend",
     "events_autocorr_daily", "customer_segment_nation_chi2",
     "events_value_ecdf", "events_session_bounce",
@@ -71,29 +59,15 @@ _CHANGED_THIS_ROUND = [
     "lineitem_discount_lift", "docs_ttr_by_source",
     "events_hill_tail_alpha", "orders_order_size_hist",
     "lineitem_ship_lag_quantiles",
-    # -- new in r7, wave 4: concentration, survivorship, coverage,
-    #    dispersion, credit-risk and script-health gauges --
     "events_whale_share", "docs_dedup_survivor_bias",
     "docs_ngram_coverage_curve", "part_type_price_dispersion",
     "supplier_debt_rate_ci", "docs_char_entropy_by_lang",
-    # -- new in r7, wave 5: the six pairs staged as the r8 bank,
-    #    registered this round because the window still had slots
-    #    (an unregistered proven key is a wasted green row), plus the
-    #    last two mergeable states (KS histogram, KMV k-smallest)
-    #    driven through the gate --
     "events_gap_survival", "events_user_lifetime_quantiles",
     "customer_balance_vs_orders_corr", "part_brand_price_premium",
     "docs_source_length_quantiles", "lineitem_qty_returnflag_ks",
     "events_ks_merged", "events_kmv_merged",
-    # -- new in r7, wave 6: the last four window slots — stopword-rate
-    #    quality prior, hourly concentration HHI, size–price Pearson,
-    #    and the fact-scale revenue Pareto on distributed_ntile --
     "docs_stopword_rate_by_lang", "events_hour_hhi",
     "part_size_vs_price_corr", "orders_pareto_8020",
-    # ============== end r7 block — 50 of the 50-key window ==============
-]
-
-_FIRST = _CHANGED_THIS_ROUND + [
     # -- unchanged keys (fresh r6 rows), r6 order --
     "events_kmv_distinct", "events_kmv_overlap", "customer_order_golden",
     "customer_fs_scores", "orders_basket_confidence",
