@@ -37,8 +37,18 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # manifest must appear here, and the block must fit the window.
 _CHANGED_THIS_ROUND = [
     # ================= r8 changed/new block (count ≤ 50!) =================
-    # (grows as round 8 progresses; every key here has a NEW or CHANGED
-    #  implementation/oracle/plan this round)
+    # -- r8-changed: the histogram-sketch read-off is ONE conditional
+    #    aggregation + stack() unpivot instead of a per-quantile
+    #    filter+union (judge r7 finding #1 — the union re-executed the
+    #    entire upstream once per quantile), and the four expensive-
+    #    upstream callers persist their 2-column input so the bounds
+    #    and binning passes share one execution --
+    "lineitem_ship_lag_quantiles", "events_session_quantiles",
+    "orders_interpurchase_quantiles", "events_user_lifetime_quantiles",
+    "events_value_quantiles", "events_value_quantiles_merged",
+    "events_quantile_calibration", "events_winsorized_stats",
+    "embed_norm_quantiles", "docs_source_length_quantiles",
+    "events_value_weighted_quantiles",
 ]
 
 _FIRST = _CHANGED_THIS_ROUND + [

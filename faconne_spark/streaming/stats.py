@@ -314,25 +314,41 @@ def value_quantiles_from_state(
     cum = merged.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
         "_total", F.sum("_cnt").over(Window.partitionBy(key))
     )
-    out = None
-    for q in qs:
+    # single-subtree read-off (mirror of relational.
+    # quantiles_from_value_bins): one conditional aggregation per q in
+    # ONE groupBy + a stack() unpivot — never a per-q filter+union that
+    # re-reads the state store once per quantile
+    aggs = []
+    for i, q in enumerate(qs):
         q_us = int(round(q * 1_000_000))
-        hit = (
-            cum.filter(F.expr(f"_cum * 1000000 >= _total * {q_us}"))
-            .groupBy(key)
-            .agg(F.min("_bin").alias("_qbin"))
-            .select(
-                key,
-                F.lit(q).alias("q"),
+        aggs.append(
+            F.min(
                 F.expr(
-                    f"round(cast(cast({lo} as bigint) + (2 * _qbin + 1)"
-                    f" * cast({hi} - {lo} + 1 as bigint)"
-                    f" div {2 * n_bins} as double) / 1000000.0, 6)"
-                ).alias("estimate"),
-            )
+                    f"case when _cum * 1000000 >= _total * {q_us}"
+                    f" then _bin end"
+                )
+            ).alias(f"_qb{i}")
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+    stack_args = ", ".join(
+        f"cast({float(q)!r} as double), _qb{i}" for i, q in enumerate(qs)
+    )
+    return (
+        cum.groupBy(key)
+        .agg(*aggs)
+        .select(
+            key,
+            F.expr(f"stack({len(qs)}, {stack_args}) as (q, _qbin)"),
+        )
+        .select(
+            key,
+            "q",
+            F.expr(
+                f"round(cast(cast({lo} as bigint) + (2 * _qbin + 1)"
+                f" * cast({hi} - {lo} + 1 as bigint)"
+                f" div {2 * n_bins} as double) / 1000000.0, 6)"
+            ).alias("estimate"),
+        )
+    )
 
 
 # --------------------------------------------- count-min-sketch state
