@@ -49,9 +49,18 @@ _CHANGED_THIS_ROUND = [
     "events_quantile_calibration", "events_winsorized_stats",
     "embed_norm_quantiles", "docs_source_length_quantiles",
     "events_value_weighted_quantiles",
+    # -- r8-changed (judge r8 ADVICE): both-arms guard on lift_raw,
+    #    DECIMAL(38,0) Σc² in the hour HHI, atexit-reclaimed sample
+    #    tmpdir + empty-bucket degrade, explicit NULL→bucket-0
+    #    contract in distributed_ntile (plan text changes for its four
+    #    callers), backslash-safe stack literals in the profile audit --
+    "events_ab_cuped", "events_hour_hhi", "docs_file_sample",
+    "docs_profile_completeness",
+    "ntile_custbal_deciles", "orders_lorenz_curve", "events_whale_share",
+    "orders_pareto_8020",
 ]
 
-_FIRST = _CHANGED_THIS_ROUND + [
+_REST = [
     # -- unchanged keys (fresh r7 rows), r7 order --
     "events_funnel_ci", "docs_lang_purity_ci", "orders_priority_mix_drift",
     "events_markov_cond_entropy", "part_brand_supplier_hhi",
@@ -157,6 +166,13 @@ _FIRST = _CHANGED_THIS_ROUND + [
     "ann_pq_adc", "ann_ivf_pq", "text_fingerprint",
     "ann_ivf_kmeans",
     "neardup_rate_by_source",
+]
+
+# changed keys lead; a key promoted into the changed block drops out of
+# its old tail position automatically (no manual dedup as the block
+# grows through the round)
+_FIRST = _CHANGED_THIS_ROUND + [
+    k for k in _REST if k not in set(_CHANGED_THIS_ROUND)
 ]
 
 
