@@ -368,6 +368,9 @@ def main() -> None:
         "events_hour_hhi",
         "part_size_vs_price_corr",
         "orders_pareto_8020",
+        # round-8: the last two merged-state gate keys
+        "dedup_bloom_merged",
+        "events_bootstrap_merged",
     ]
     times = {}
     shuffle = {}
@@ -428,6 +431,29 @@ def main() -> None:
             "w",
         ) as fh:
             json.dump(sidecar, fh, indent=1)
+    except OSError:
+        pass
+    # FULL per-query wall times as a second sidecar (judge r7 ask #6):
+    # the stdout tail capture keeps only the short headline line, so
+    # the complete ~200-query map must live in a file refreshed every
+    # run to be machine-readable at round close.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_times.json"),
+            "w",
+        ) as fh:
+            json.dump(
+                {
+                    "times_sec": times,
+                    "machine_calibration_sec": calibration,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "cpus": cpus,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     except OSError:
         pass
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

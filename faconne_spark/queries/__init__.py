@@ -58,6 +58,10 @@ _CHANGED_THIS_ROUND = [
     "docs_profile_completeness",
     "ntile_custbal_deciles", "orders_lorenz_curve", "events_whale_share",
     "orders_pareto_8020",
+    # -- new in r8: the LAST two mergeable states read off the merge
+    #    through the gate (VERDICT r7 ask #3) — Bloom word bitmaps
+    #    (bit_or) and Poisson-bootstrap part sums (addition) --
+    "dedup_bloom_merged", "events_bootstrap_merged",
 ]
 
 _REST = [
@@ -185,6 +189,7 @@ def _merged(attr: str) -> dict:
         faconne_demo,
         pipeline,
         round7,
+        round8,
         stats_r7,
         tpch,
         tpch_ext,
@@ -193,7 +198,7 @@ def _merged(attr: str) -> dict:
     merged = {}
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
-        round7, stats_r7, bank_r8,
+        round7, stats_r7, bank_r8, round8,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

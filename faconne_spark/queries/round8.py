@@ -1,0 +1,160 @@
+"""Round-8 gate keys.
+
+The LAST two mergeable states read off the MERGE through the driver
+gate (VERDICT r7 ask #3): the Bloom word bitmap (words merge by
+``bit_or``) and the Poisson-bootstrap part sums (replicate partials
+merge by addition).  Same shape as the round-7 merged-state proofs
+(events_hll_merged, docs_cms_topk_merged, …): per-shard state from
+DISJOINT id-parity shards, one bounded-relation merge, the statistic
+read off the merge — and the oracle is a single full pass, so the
+green row IS the mergeability proof.  This completes the S-family:
+every mergeable state in the engine (HLL, CMS, KS, KMV, AUC, value
+bins, mergeable stats, Bloom, bootstrap) now has a driver-gated
+merge-equals-full-pass row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from faconne_spark.queries import T
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ------------------------------------------------ merged Bloom bitmap
+
+# Pinned bitmap exponent: shards can only merge word tables built on
+# the SAME (m_bits, k) bin space — the pinned-bounds-histogram
+# contract applied to the Bloom state (bloom_prefilter_summary sizes
+# its bitmap from a driver-side count instead, which is exactly what a
+# multi-shard build cannot do shard-locally).
+BLOOM_MERGED_P = 17
+
+
+def dedup_bloom_merged(spark, sf):
+    """The full Bloom WORD TABLE read off MERGED shard bitmaps:
+    even/odd doc_id shards each fold their fingerprints into their own
+    (word, bits) relation on the pinned 2^17-bit space, the merge is
+    ``bit_or`` per word, and the output is the merged table itself
+    (word, bits, n_set) — bit-for-bit the single-pass build over all
+    documents (the oracle), because OR is associative/commutative over
+    any partition of the input (the property streaming/stats.py's
+    bloom_epoch rolls up on; dedup.py bloom_word_bits:1099).
+
+    Scale: each shard's exchange carries ≤ 2^11 word rows (2^17 bits
+    / 64), bit_or partial-aggregated map-side; the merge is a groupBy
+    over ≤ 2 × 2^11 rows.  The corpus is scanned once per shard and
+    never again — the backfill + daily-increment shape."""
+    from faconne_spark.operators.dedup import NORM, bloom_word_bits
+    from faconne_spark.functions import phash60
+
+    m_bits = 1 << BLOOM_MERGED_P
+    docs = T(spark, sf, "documents")
+    fp = F.expr(phash60(NORM, "spark")).alias("fp")
+
+    def shard(parity: int):
+        return bloom_word_bits(
+            docs.filter(F.col("doc_id") % 2 == parity).select(fp), m_bits
+        )
+
+    merged = (
+        shard(0)
+        .unionByName(shard(1))
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    return merged.select(
+        "word",
+        "bits",
+        F.expr("cast(bit_count(bits) as int)").alias("n_set"),
+    )
+
+
+def _oracle_bloom_merged() -> str:
+    from faconne_spark.functions import bit_mask64, phash60
+    from faconne_spark.operators.dedup import BLOOM_K, NORM_DUCK
+
+    fp_h = phash60(NORM_DUCK, "duckdb")
+    probe_h = phash60("('bf' || i || ':' || fp::VARCHAR)", "duckdb")
+    mask = bit_mask64("pos % 64", "duckdb")
+    return f"""
+WITH fps AS (SELECT ({fp_h}) AS fp FROM documents),
+ks AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+pos AS (
+  SELECT (({probe_h}) % {1 << BLOOM_MERGED_P}) AS pos FROM fps, ks)
+SELECT (pos >> 6)::BIGINT AS word, bit_or({mask})::BIGINT AS bits,
+       bit_count(bit_or({mask}))::INT AS n_set
+FROM pos GROUP BY pos >> 6
+"""
+
+
+QUERIES["dedup_bloom_merged"] = dedup_bloom_merged
+ORACLES["dedup_bloom_merged"] = _oracle_bloom_merged()
+
+
+# --------------------------------------- merged bootstrap part sums
+
+def events_bootstrap_merged(spark, sf):
+    """Per-type Poisson-bootstrap mean + CI read off MERGED replicate
+    part-sums: even/odd event_id shards each build their own
+    (type, b, nw, sw) replicate partials and (type, n, svm) base
+    partials, both merge by plain ADDITION, and the order-statistic CI
+    reads off the merge via the SAME bootstrap_ci_from_parts the batch
+    operator uses (evalstats.py:131) — must equal the single-pass
+    bootstrap (the oracle: events_value_bootstrap's full-pass SQL,
+    verbatim) because the per-replicate sums are sums of row-local
+    hash-weighted terms and event ids are unique across the shard
+    union (the documented precondition).
+
+    Scale: each shard's exchange carries ≤ types × B partial rows;
+    the merge is a groupBy over ≤ 2 × types × B rows; the corpus is
+    scanned once per shard."""
+    from faconne_spark.operators.evalstats import (
+        bootstrap_base,
+        bootstrap_ci_from_parts,
+        bootstrap_reps,
+    )
+    from faconne_spark.queries.bank_r6 import BOOT_B, BOOT_MICRO
+
+    ev = T(spark, sf, "events")
+
+    def reps(parity: int):
+        return bootstrap_reps(
+            ev.filter(F.col("event_id") % 2 == parity),
+            ["event_type"], "value", "event_id", BOOT_B, BOOT_MICRO,
+        )
+
+    def base(parity: int):
+        return bootstrap_base(
+            ev.filter(F.col("event_id") % 2 == parity),
+            ["event_type"], "value", BOOT_MICRO,
+        )
+
+    merged_reps = (
+        reps(0)
+        .unionByName(reps(1))
+        .groupBy("event_type", "__b")
+        .agg(F.sum("__nw").alias("__nw"), F.sum("__sw").alias("__sw"))
+    )
+    merged_base = (
+        base(0)
+        .unionByName(base(1))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("__svm").alias("__svm"))
+    )
+    return bootstrap_ci_from_parts(
+        merged_reps, merged_base, ["event_type"], BOOT_MICRO
+    )
+
+
+def _oracle_bootstrap_merged() -> str:
+    # the single-pass oracle text, verbatim — the merge proof
+    from faconne_spark.queries.bank_r6 import _oracle_value_bootstrap
+
+    return _oracle_value_bootstrap()
+
+
+QUERIES["events_bootstrap_merged"] = events_bootstrap_merged
+ORACLES["events_bootstrap_merged"] = _oracle_bootstrap_merged()

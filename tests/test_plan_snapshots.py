@@ -274,6 +274,10 @@ SNAPSHOT_QUERIES = [
     "events_hour_hhi",
     "part_size_vs_price_corr",
     "orders_pareto_8020",
+    # round-8: the last two merged-state proofs — pin the bounded
+    # bit_or word merge and the addition-merged replicate partials
+    "dedup_bloom_merged",
+    "events_bootstrap_merged",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
