@@ -368,9 +368,10 @@ def main() -> None:
         "events_hour_hhi",
         "part_size_vs_price_corr",
         "orders_pareto_8020",
-        # round-8: the last two merged-state gate keys
+        # round-8: the last two merged-state gate keys + BPE end-to-end
         "dedup_bloom_merged",
         "events_bootstrap_merged",
+        "docs_bpe_token_counts",
     ]
     times = {}
     shuffle = {}

@@ -62,6 +62,10 @@ _CHANGED_THIS_ROUND = [
     #    through the gate (VERDICT r7 ask #3) — Bloom word bitmaps
     #    (bit_or) and Poisson-bootstrap part sums (addition) --
     "dedup_bloom_merged", "events_bootstrap_merged",
+    # -- new in r8: BPE learning + segmentation through the gate
+    #    (VERDICT r7 ask #5 — the oracle LEARNS the merges in an
+    #    unrolled CTE ladder; greedy merge ≡ leftmost replace) --
+    "docs_bpe_token_counts",
 ]
 
 _REST = [

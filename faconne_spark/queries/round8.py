@@ -158,3 +158,80 @@ def _oracle_bootstrap_merged() -> str:
 
 QUERIES["events_bootstrap_merged"] = events_bootstrap_merged
 ORACLES["events_bootstrap_merged"] = _oracle_bootstrap_merged()
+
+
+# --------------------------------------- BPE through the driver gate
+
+BPE_MERGES = 10
+
+
+def docs_bpe_token_counts(spark, sf):
+    """Per-document BPE token counts with the merges LEARNED on this
+    corpus (operators/tokenizer.py — the word-frequency-table
+    formulation; VERDICT r7 ask #5: previously pytest-only because
+    DuckDB's list_reduce cannot express the greedy merge fold).
+
+    The oracle now learns the merges too: on a separator-joined symbol
+    string, the greedy left-to-right non-overlapping merge of pair
+    (l, r) is EXACTLY ``replace(s, l‖SEP‖r, l‖r)`` (leftmost
+    non-overlapping replacement — the same scan order and the same
+    cannot-reuse-the-just-merged-symbol property as the _MERGE state
+    machine), so each learning iteration unrolls to three MATERIALIZED
+    CTEs (pair counts → argmax → rewrite) — the pagerank/kcore
+    unrolled-oracle precedent.  An exhausted pair table LEFT-JOINs to
+    NULL and leaves the words untouched, mirroring learn_bpe's early
+    stop.  Separator is chr(31) (US), absent from whitespace-token
+    text."""
+    from faconne_spark.operators.tokenizer import bpe_token_counts
+
+    return bpe_token_counts(T(spark, sf, "documents"), BPE_MERGES)
+
+
+def _oracle_bpe_token_counts(n_merges: int = BPE_MERGES) -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    sep = "chr(31)"
+    ctes = [
+        f"""words AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({toks}) AS word FROM documents) GROUP BY word)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT word, freq, array_to_string(string_split(word, ''), {sep}) AS s
+  FROM words)""",
+    ]
+    for k in range(n_merges):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS pf
+  FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+                  i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS p
+    FROM (SELECT freq, string_split(s, {sep}) AS syms FROM w{k}))
+  GROUP BY 1, 2)""")
+        ctes.append(f"""b{k} AS MATERIALIZED (
+  SELECT l, r FROM p{k} ORDER BY pf DESC, l, r LIMIT 1)""")
+        ctes.append(f"""w{k + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN b.l IS NULL THEN s
+              ELSE replace(s, b.l || {sep} || b.r, b.l || b.r) END AS s
+  FROM w{k} LEFT JOIN b{k} b ON true)""")
+    ctes.append(f"""vocab AS MATERIALIZED (
+  SELECT word, len(string_split(s, {sep}))::BIGINT AS n_syms
+  FROM w{n_merges})""")
+    ctes.append(f"""stream AS (
+  SELECT doc_id, unnest({toks}) AS word FROM documents)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(n_syms)::BIGINT AS n_bpe_tokens,
+       round(sum(n_syms)::DOUBLE / count(*)::DOUBLE, 6) AS tokens_per_word
+FROM stream JOIN vocab USING (word)
+GROUP BY doc_id"""
+    )
+
+
+QUERIES["docs_bpe_token_counts"] = docs_bpe_token_counts
+ORACLES["docs_bpe_token_counts"] = _oracle_bpe_token_counts()

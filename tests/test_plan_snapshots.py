@@ -278,6 +278,9 @@ SNAPSHOT_QUERIES = [
     # bit_or word merge and the addition-merged replicate partials
     "dedup_bloom_merged",
     "events_bootstrap_merged",
+    # round-8: pin BPE's vocabulary-broadcast segmentation join (the
+    # corpus shuffles once on doc_id; iterations live on the word table)
+    "docs_bpe_token_counts",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
