@@ -372,6 +372,7 @@ def main() -> None:
         "dedup_bloom_merged",
         "events_bootstrap_merged",
         "docs_bpe_token_counts",
+        "mm_png_decode",
     ]
     times = {}
     shuffle = {}

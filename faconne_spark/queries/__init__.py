@@ -66,6 +66,10 @@ _CHANGED_THIS_ROUND = [
     #    (VERDICT r7 ask #5 — the oracle LEARNS the merges in an
     #    unrolled CTE ladder; greedy merge ≡ leftmost replace) --
     "docs_bpe_token_counts",
+    # -- new in r8: real stdlib-zlib PNG decode proven through the
+    #    gate on decoded pixel content (VERDICT r7 ask #4); the ahash
+    #    key's image filter now also admits image/png (plan text) --
+    "mm_png_decode", "mm_image_ahash",
 ]
 
 _REST = [

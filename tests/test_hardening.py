@@ -147,19 +147,22 @@ def test_real_decoder_is_default_and_parses_real_containers(spark, sf_dir):
 
 
 def test_real_decoder_rejects_unknown_and_unsupported_payloads():
-    """Compressed formats that genuinely need external libs raise
-    NotImplementedError (the seam's contract); garbage raises
-    ValueError — never a silent fake decode."""
+    """Formats that genuinely need external libs (MP4) raise
+    NotImplementedError (the seam's contract); garbage — including a
+    PNG signature followed by junk, now that PNG decodes for real —
+    raises ValueError; never a silent fake decode."""
     from faconne_spark.operators.multimodal import (
         decode_media_real,
         resize_image_real,
         sample_frames_real,
     )
 
-    with pytest.raises(NotImplementedError, match="libvips|ffmpeg"):
+    with pytest.raises(ValueError, match="not a PNG"):
         decode_media_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
     with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
         sample_frames_real(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8, 2)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_media_real(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8)
     with pytest.raises(ValueError):
         decode_media_real(b"garbage-bytes-here")
     with pytest.raises(ValueError):
@@ -929,3 +932,155 @@ def test_stats_r7_partitioning_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     for k, (a, b) in results.items():
         assert a == b and a, f"{k} differs across partitioning"
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Encode/decode round-trip under EACH forced filter type and the
+    default r%5 cycle, RGB and RGBA — decoded pixels must equal the
+    input byte-for-byte."""
+    from faconne_spark.operators.multimodal import (
+        png_dims,
+        png_encode,
+        png_pixels,
+    )
+
+    w, h = 5, 7
+    rgb = bytes((r * 31 + i * 7) % 256 for r in range(h) for i in range(3 * w))
+    for f in range(5):
+        p = png_encode(w, h, rgb, filters=[f] * h)
+        assert png_dims(p) == (w, h)
+        assert png_pixels(p) == (w, h, 3, rgb)
+    assert png_pixels(png_encode(w, h, rgb)) == (w, h, 3, rgb)
+    rgba = bytes((r * 13 + i * 5) % 256 for r in range(h) for i in range(4 * w))
+    assert png_pixels(png_encode(w, h, rgba, channels=4)) == (w, h, 4, rgba)
+
+
+def test_png_filter_bytes_match_spec_vectors():
+    """The ENCODED scanline bytes must match hand-computed PNG-spec
+    values (round-trip alone cannot catch a symmetric encode/decode
+    slip: a wrong-but-inverse predictor pair still round-trips)."""
+    import struct
+    import zlib
+
+    from faconne_spark.operators.multimodal import _paeth, png_encode
+
+    def raw_stream(payload):
+        # walk chunks, inflate the IDAT
+        pos, idat = 8, b""
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat += payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        return zlib.decompress(idat)
+
+    row0 = bytes([10, 20, 30, 13, 25, 37])  # 2 RGB pixels
+    row1 = bytes([12, 19, 33, 10, 30, 40])
+    # Sub (1): enc[i] = raw[i] - raw[i-3]
+    assert raw_stream(
+        png_encode(2, 1, row0, filters=[1])
+    ) == bytes([1]) + bytes([10, 20, 30, 3, 5, 7])
+    # Up (2): first row predicts from zero-row; second from row above
+    assert raw_stream(
+        png_encode(2, 2, row0 + row1, filters=[2, 2])
+    ) == bytes([2]) + row0 + bytes([2]) + bytes(
+        (row1[i] - row0[i]) & 0xFF for i in range(6)
+    )
+    # Average (3), row 0: pred = (a + 0)//2
+    want_avg = bytearray([3])
+    for i in range(6):
+        a = row0[i - 3] if i >= 3 else 0
+        want_avg.append((row0[i] - a // 2) & 0xFF)
+    assert raw_stream(png_encode(2, 1, row0, filters=[3])) == bytes(want_avg)
+    # Paeth predictor spec vectors (tie-break order a, then b, then c)
+    assert _paeth(3, 4, 5) == 3       # p=2: pa=1 smallest -> a
+    assert _paeth(0, 4, 2) == 2       # p=2: pc=0 smallest -> c
+    assert _paeth(5, 4, 2) == 5       # p=7: pa=2 = pb=3? pa<=pb -> a... pa=2, pb=3, pc=5 -> a
+    assert _paeth(100, 90, 95) == 95  # p=95: pc=0 smallest -> c
+    assert _paeth(4, 4, 4) == 4       # all equal: tie-break -> a
+
+
+def test_png_ahash_equals_bmp_ahash_on_same_pixels():
+    """A PNG and a BMP holding the SAME stored pixel rows must produce
+    the identical 64-bit average hash — the cross-codec invariant that
+    pins the PNG pixel path to the oracle-proven BMP path."""
+    from faconne_spark.operators.multimodal import (
+        ahash64_real,
+        bmp_encode,
+        bmp_row_stride,
+        png_encode,
+    )
+
+    w, h = 9, 6
+    rows = [
+        bytes((r * 37 + i * 11) % 256 for i in range(3 * w))
+        for r in range(h)
+    ]
+    stride = bmp_row_stride(w)
+    bmp_px = b"".join(row + bytes(stride - 3 * w) for row in rows)
+    png = png_encode(w, h, b"".join(rows))
+    bmp = bmp_encode(w, h, bmp_px)
+    assert ahash64_real(png) == ahash64_real(bmp)
+
+
+def test_png_unsupported_layouts_fail_loudly():
+    """Palette/16-bit/interlaced PNGs raise NotImplementedError toward
+    the codec seam; truncated chunks raise ValueError."""
+    import struct
+    import zlib
+
+    from faconne_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        png_encode,
+        png_pixels,
+    )
+
+    def ihdr(depth, ctype, interlace):
+        return PNG_SIG + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + _png_chunk(
+            b"IEND", b""
+        )
+
+    for depth, ctype, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        with pytest.raises(NotImplementedError, match="codec= seam"):
+            png_pixels(ihdr(depth, ctype, inter))
+    good = png_encode(2, 2, bytes(range(12)))
+    with pytest.raises(ValueError):
+        png_pixels(good[:30])  # truncated mid-chunk
+    with pytest.raises(ValueError, match="scanline"):
+        # valid framing, wrong inflated length
+        bad = PNG_SIG + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5)) + _png_chunk(
+            b"IEND", b""
+        )
+        png_pixels(bad)
+
+
+def test_png_resize_nearest_picks_expected_pixels():
+    from faconne_spark.operators.multimodal import (
+        png_encode,
+        png_pixels,
+        png_resize_nearest,
+    )
+
+    rows = [bytes([1, 1, 1, 2, 2, 2]), bytes([3, 3, 3, 4, 4, 4])]
+    png = png_encode(2, 2, b"".join(rows))
+    up = png_resize_nearest(png, 4, 4)
+    uw, uh, uc, upx = png_pixels(up)
+    assert (uw, uh, uc) == (4, 4, 3)
+    assert upx[0:3] == bytes([1, 1, 1]) and upx[6:9] == bytes([2, 2, 2])
+    down = png_pixels(png_resize_nearest(up, 2, 2))[3]
+    assert down == b"".join(rows)
+
+
+def test_decode_media_real_parses_png_dims():
+    from faconne_spark.operators.multimodal import (
+        decode_media_real,
+        png_encode,
+    )
+
+    assert decode_media_real(png_encode(7, 3, bytes(63))) == (7, 3)

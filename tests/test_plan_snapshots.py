@@ -280,7 +280,9 @@ SNAPSHOT_QUERIES = [
     "events_bootstrap_merged",
     # round-8: pin BPE's vocabulary-broadcast segmentation join (the
     # corpus shuffles once on doc_id; iterations live on the word table)
+    # and the map-only PNG synthesize→decode pass (no shuffle at all)
     "docs_bpe_token_counts",
+    "mm_png_decode",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,
