@@ -283,6 +283,118 @@ SNAPSHOT_QUERIES = [
     # and the map-only PNG synthesize→decode pass (no shuffle at all)
     "docs_bpe_token_counts",
     "mm_png_decode",
+    # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
+    # so tests/test_window_discipline.py guards the full registry — a
+    # behavior change anywhere now either drifts a stamped snapshot or
+    # passes the oracle gate, closing the stale-green-row channel
+    "ann_cosine_topk",
+    "ann_hard_negatives",
+    "ann_ivf",
+    "ann_ivf_pq",
+    "ann_lsh_bucketed",
+    "asof_join_events",
+    "basket_part_pairs",
+    "contamination_ngram",
+    "corpus_health",
+    "corpus_mixture_plan",
+    "corpus_snapshot_diff",
+    "cube_lineitem_volume",
+    "customer_order_reconciliation",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_stitch",
+    "dedup_winnowing",
+    "doc_len_histogram",
+    "doc_tfidf_keywords",
+    "docs_zipf_slope",
+    "dup_graph_pagerank",
+    "dup_graph_stats",
+    "embed_label_centroids",
+    "embed_norm",
+    "embed_outliers",
+    "embed_quantize_int8",
+    "embed_threshold_sweep",
+    "events_anomaly_mad",
+    "events_attribution",
+    "events_funnel",
+    "events_json_props",
+    "events_markov_transitions",
+    "events_path_ngrams",
+    "events_retention_cohorts",
+    "events_window_zscore",
+    "fac_argmax",
+    "fac_campus_report",
+    "fac_conditional_key",
+    "fac_expand_aggs",
+    "fac_group_report",
+    "fac_invert_map",
+    "fac_pairs_sum",
+    "fac_store_products",
+    "fac_unnest_roundtrip",
+    "fac_vector_partition",
+    "fac_where_pushdown",
+    "grouping_sets_orders",
+    "join_skew_report",
+    "knn_classify_labels",
+    "lang_id_confusion",
+    "lang_id_trained",
+    "mm_audio_stats",
+    "mm_frame_sample",
+    "mm_image_meta",
+    "mm_resize",
+    "neardup_rate_by_source",
+    "orders_monthly_yoy",
+    "part_price_stats",
+    "percentile_order_value",
+    "pipeline_clean_corpus",
+    "pivot_events",
+    "quality_gate",
+    "range_join_events",
+    "rollup_orders",
+    "sample_stratified",
+    "set_ops_retention",
+    "sliding_window_counts",
+    "source_stats",
+    "sql_api_segment_revenue",
+    "stream_session_agg",
+    "stream_window_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality",
+    "text_readability",
+    "text_repetition",
+    "text_token_count",
+    "text_token_entropy",
+    "tpch_q10_returns",
+    "tpch_q11_important_parts",
+    "tpch_q12_ship_lateness",
+    "tpch_q13_order_counts",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_shipments",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant",
+    "tpch_q2_min_cost_supp",
+    "tpch_q4_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "training_manifest",
+    "vocab_coverage",
+    "win_order_gaps",
+    "win_running_total",
 ]
 
 # detail lines worth pinning: scan pushdown/pruning, aggregate modes,

@@ -7,9 +7,14 @@ enforced only by a comment.  This test makes it mechanical:
 
 - ``docs/plans/MANIFEST.json`` stamps the sha256 of every plan
   snapshot at the PREVIOUS round's close.
-- Any snapshot that is new or whose hash drifted from the stamp must
-  name a key in ``queries.__init__._CHANGED_THIS_ROUND`` (plan change
-  ⇒ behavior may have changed ⇒ the key needs a fresh driver row).
+- Any snapshot whose hash DRIFTED from the stamp must name a key in
+  ``queries.__init__._CHANGED_THIS_ROUND`` (plan change ⇒ behavior may
+  have changed ⇒ the key needs a fresh driver row).  A snapshot that
+  is NEW (key absent from the stamp entirely) is coverage EXTENSION —
+  the key's implementation did not change, its earlier green row
+  stands, and from the next re-stamp on it is guarded like the rest
+  (this distinction is what let round 8 snapshot the full registry
+  without burning 108 window slots on unchanged keys).
 - The changed block must fit the driver's window.
 
 Round workflow: when a new round rebuilds the changed block, re-stamp
@@ -17,12 +22,12 @@ with FACONNE_REGEN_PLAN_MANIFEST=1 (point-in-time: the stamp must
 reflect the LAST round-close state, so regenerate FIRST, before any
 intentional plan change of the new round).
 
-Limits (documented, not hidden): only snapshot-covered keys are
-guarded — a behavior change that alters results while leaving the
-normalized plan outline byte-identical is invisible here (the oracle
-gate catches the cross-engine half of that class); keys without a
-snapshot rely on the snapshot list growing with every round's new
-keys, which test_plan_snapshots' per-round blocks enforce by review.
+Limits (documented, not hidden): a behavior change that alters
+results while leaving the normalized plan outline byte-identical is
+invisible here (the oracle gate catches the cross-engine half of that
+class).  Since round 8 EVERY registry key has a snapshot
+(test_snapshot_coverage_is_total below keeps it that way), so the
+former unguarded-key channel is closed.
 """
 
 import hashlib
@@ -85,7 +90,7 @@ def test_plan_drift_only_inside_changed_block():
     drifted = sorted(
         k
         for k, h in current.items()
-        if stamped.get(k) != h and k not in changed
+        if k in stamped and stamped[k] != h and k not in changed
     )
     assert not drifted, (
         f"plan snapshots changed OUTSIDE the changed-this-round block: "
@@ -95,3 +100,16 @@ def test_plan_drift_only_inside_changed_block():
     # a stamped snapshot must never silently disappear
     missing = sorted(k for k in stamped if k not in current)
     assert not missing, f"plan snapshots deleted: {missing}"
+
+
+def test_snapshot_coverage_is_total():
+    """Every registry key must have a plan snapshot (closed in round 8
+    — VERDICT r7 ask #2): a key added without one would reopen the
+    unguarded-key channel this file exists to close."""
+    import __spark_entry__ as entry_mod
+
+    uncovered = sorted(set(entry_mod.queries()) - set(_snapshot_hashes()))
+    assert not uncovered, (
+        f"registry keys without a plan snapshot: {uncovered} — add them"
+        f" to tests/test_plan_snapshots.SNAPSHOT_QUERIES and regenerate"
+    )
