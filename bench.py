@@ -373,6 +373,19 @@ def main() -> None:
         "events_bootstrap_merged",
         "docs_bpe_token_counts",
         "mm_png_decode",
+        # round-8 analytics wave
+        "fk_orphan_audit",
+        "pk_duplicate_audit",
+        "docs_hash_uniformity_chi2",
+        "events_interarrival_cv",
+        "events_changepoint_binary",
+        "events_dow_type_decomp",
+        "events_kmv_precision_sweep",
+        "brand_price_volume_decomp",
+        "copurchase_degree_assortativity",
+        "docs_prefix_boilerplate",
+        "embed_cosine_pair_histogram",
+        "docs_source_vocab_overlap",
     ]
     times = {}
     shuffle = {}

@@ -70,6 +70,17 @@ _CHANGED_THIS_ROUND = [
     #    gate on decoded pixel content (VERDICT r7 ask #4); the ahash
     #    key's image filter now also admits image/png (plan text) --
     "mm_png_decode", "mm_image_ahash",
+    # -- new in r8, analytics wave: integrity audits (FK orphans, PK
+    #    duplicates, hash uniformity), temporal statistics (interarrival
+    #    CV, binary changepoint, two-way dow×type decomposition),
+    #    sketch calibration (KMV k sweep), merchandising decomposition,
+    #    graph assortativity, and text/embedding calibration gauges --
+    "fk_orphan_audit", "pk_duplicate_audit", "docs_hash_uniformity_chi2",
+    "events_interarrival_cv", "events_changepoint_binary",
+    "events_dow_type_decomp", "events_kmv_precision_sweep",
+    "brand_price_volume_decomp", "copurchase_degree_assortativity",
+    "docs_prefix_boilerplate", "embed_cosine_pair_histogram",
+    "docs_source_vocab_overlap",
 ]
 
 _REST = [

@@ -287,3 +287,1080 @@ FROM sized
 
 QUERIES["mm_png_decode"] = mm_png_decode
 ORACLES["mm_png_decode"] = _oracle_png_decode()
+
+
+# ===================================================================
+# Round-8 analytics wave: data-quality / integrity audits, temporal
+# statistics, sketch calibration, text and embedding gauges.  Same
+# discipline as every wave: exact integer/DECIMAL arithmetic wherever
+# a sum crosses rows, doubles only in final scalar expressions both
+# engines derive from identical integers, one oracle per key.
+# ===================================================================
+
+
+# -------------------------------------------- referential integrity
+
+# (edge name, child table, fk col, parent table, pk col) — every
+# foreign-key edge in the testdata star schema
+FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def fk_orphan_audit(spark, sf):
+    """Referential-integrity audit over every FK edge of the star
+    schema: child rows, NULL foreign keys, and ORPHANS (non-NULL fk
+    with no parent row) — the first-ingest gate that catches a
+    truncated dimension load before any join silently drops facts.
+
+    Scale (100 TB): each edge is one projected child column
+    anti-joined against the projected parent key — co-keyed shuffle
+    (or broadcast when the parent is a dimension, AQE's call); no
+    payload columns move.  The output is one row per edge."""
+    out = None
+    for edge, child, fk, parent, pk in FK_EDGES:
+        c = T(spark, sf, child).select(F.col(fk).alias("fk"))
+        p = T(spark, sf, parent).select(F.col(pk).alias("pk")).distinct()
+        orphans = (
+            c.filter(F.col("fk").isNotNull())
+            .join(p, F.col("fk") == F.col("pk"), "left_anti")
+            .agg(F.count("*").alias("n_orphan"))
+        )
+        tallies = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col("fk").isNull(), 1).otherwise(0)
+            ).alias("n_null_fk"),
+        )
+        row = tallies.crossJoin(orphans).select(
+            F.lit(edge).alias("edge"), "n_child", "n_null_fk", "n_orphan"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_fk_orphans() -> str:
+    parts = []
+    for edge, child, fk, parent, pk in FK_EDGES:
+        parts.append(f"""
+SELECT '{edge}' AS edge,
+       (SELECT count(*) FROM {child})::BIGINT AS n_child,
+       (SELECT count(*) FROM {child} WHERE {fk} IS NULL)::BIGINT
+         AS n_null_fk,
+       (SELECT count(*) FROM {child} c
+         WHERE c.{fk} IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM {parent} p
+                           WHERE p.{pk} = c.{fk}))::BIGINT AS n_orphan""")
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["fk_orphan_audit"] = fk_orphan_audit
+ORACLES["fk_orphan_audit"] = _oracle_fk_orphans()
+
+
+# ------------------------------------------------ primary-key audit
+
+# (table, [pk cols]) — lineitem's key is composite
+PK_TABLES = [
+    ("region", ["r_regionkey"]), ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]), ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]), ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]), ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def pk_duplicate_audit(spark, sf):
+    """Primary-key uniqueness audit across every table: row count,
+    distinct key count, duplicate surplus, and NULL-key rows — the
+    companion gate to fk_orphan_audit (a re-ingested partition shows
+    up here as n_dup_rows > 0 before it double-counts every metric
+    downstream).
+
+    One distinct aggregate per table branch (the repo's
+    one-distinct-per-agg snapshot discipline); at 100 TB each branch
+    is a map-side-combined partial count over the key column only."""
+    out = None
+    for table, pks in PK_TABLES:
+        t = T(spark, sf, table)
+        null_any = None
+        for c in pks:
+            cond = F.col(c).isNull()
+            null_any = cond if null_any is None else (null_any | cond)
+        row = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(*[F.col(c) for c in pks]).alias("n_keys"),
+            F.sum(F.when(null_any, 1).otherwise(0)).alias("n_null_key"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+            "n_null_key",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_pk_audit() -> str:
+    parts = []
+    for table, pks in PK_TABLES:
+        keys = ", ".join(pks)
+        tup = f"({keys})" if len(pks) > 1 else keys
+        nulls = " OR ".join(f"{c} IS NULL" for c in pks)
+        parts.append(f"""
+SELECT '{table}' AS table_name,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT {tup})::BIGINT AS n_keys,
+       (count(*) - count(DISTINCT {tup}))::BIGINT AS n_dup_rows,
+       sum(CASE WHEN {nulls} THEN 1 ELSE 0 END)::BIGINT AS n_null_key
+FROM {table}""")
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["pk_duplicate_audit"] = pk_duplicate_audit
+ORACLES["pk_duplicate_audit"] = _oracle_pk_audit()
+
+
+# ------------------------------------------- hash uniformity audit
+
+HASH_CHI2_BUCKETS = 256
+
+
+def docs_hash_uniformity_chi2(spark, sf):
+    """χ² of the doc-id hash and the content-fingerprint hash against
+    a uniform 256-bucket layout — the salt/partitioner health check
+    (a skewed ingest key or a degenerate normalizer shows up here
+    before it shows up as one hot shuffle partition at 100 TB).
+
+    χ² = (B·Σo² − n²)/n computed entirely in exact integers (Σo² in
+    DECIMAL(38,0) — bucket counts square past BIGINT near 10¹⁰ rows),
+    emitted as a micro-unit BIGINT via the shared half-up integer
+    division; E[χ²] ≈ B−1 for a healthy hash."""
+    from faconne_spark.functions import phash60
+
+    docs = T(spark, sf, "documents")
+    from faconne_spark.operators.dedup import NORM
+
+    kinds = [
+        ("doc_id", phash60("concat('u:', cast(doc_id as string))", "spark")),
+        ("content", phash60(NORM, "spark")),
+    ]
+    B = HASH_CHI2_BUCKETS
+    out = None
+    for kind, h in kinds:
+        buckets = (
+            docs.select(F.expr(f"({h}) % {B}").alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("o"))
+        )
+        row = buckets.agg(
+            F.sum("o").alias("n"),
+            F.count("*").alias("n_buckets_used"),
+            F.sum(
+                F.expr("cast(o as decimal(38,0)) * cast(o as decimal(38,0))")
+            ).alias("__ss"),
+        ).select(
+            F.lit(kind).alias("hash_kind"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
+            F.expr(
+                f"cast((2 * 1000000 * ({B} * __ss - cast(n as decimal(38,0))"
+                f" * cast(n as decimal(38,0))) + n) div (2 * n) as bigint)"
+            ).alias("chi2_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_hash_chi2() -> str:
+    from faconne_spark.functions import phash60
+    from faconne_spark.operators.dedup import NORM_DUCK
+
+    B = HASH_CHI2_BUCKETS
+    kinds = [
+        ("doc_id", phash60("('u:' || doc_id::VARCHAR)", "duckdb")),
+        ("content", phash60(NORM_DUCK, "duckdb")),
+    ]
+    parts = []
+    for kind, h in kinds:
+        parts.append(f"""
+SELECT '{kind}' AS hash_kind, n, n_buckets_used,
+       (((2 * 1000000 * ({B} * ss - n::DECIMAL(38,0) * n::DECIMAL(38,0)))
+         + n)::HUGEINT // (2 * n)::HUGEINT)::BIGINT AS chi2_micro
+FROM (
+  SELECT sum(o)::BIGINT AS n, count(*)::BIGINT AS n_buckets_used,
+         sum(o::DECIMAL(38,0) * o::DECIMAL(38,0)) AS ss
+  FROM (SELECT ({h}) % {B} AS b, count(*)::BIGINT AS o
+        FROM documents GROUP BY 1))""")
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["docs_hash_uniformity_chi2"] = docs_hash_uniformity_chi2
+ORACLES["docs_hash_uniformity_chi2"] = _oracle_hash_chi2()
+
+
+# ------------------------------------------- interarrival regularity
+
+def events_interarrival_cv(spark, sf):
+    """Per-type coefficient of variation of the WITHIN-USER
+    interarrival time — the burstiness fingerprint at the type level
+    (cv ≈ 1 is Poisson traffic, cv ≫ 1 is bursty sessions, cv ≪ 1 is
+    a scheduler/bot): the companion scalar to events_burstiness'
+    per-user index.
+
+    The lag window partitions by (user_id, event_type) — per-user
+    streams sort inside their shuffle partition, never a per-type
+    global window (a type's full stream through one task is the
+    partition-less-window class at 100 TB).  Gap moments accumulate
+    as DECIMAL(38,0) micro-second sums (a day-long gap squares past
+    2⁶³); mean/sd/cv are final-expression doubles from identical
+    integers; NULL cv when fewer than two gaps or zero mean."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    gaps = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "event_type",
+            F.expr("cast(us - prev_us as decimal(38,0))").alias("g"),
+        )
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.expr("g * g")).alias("sgg"),
+    )
+    var = (
+        "(cast(n_gaps as double) * cast(sgg as double)"
+        " - cast(sg as double) * cast(sg as double))"
+        " / (cast(n_gaps as double) * (cast(n_gaps as double) - 1))"
+    )
+    return m.select(
+        "event_type",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.expr(
+            "round(cast(sg as double) / cast(n_gaps as double)"
+            " / 1000000.0, 6) + 0.0"
+        ).alias("mean_gap_sec"),
+        F.expr(
+            f"case when n_gaps >= 2 and sg > 0 then"
+            f" round(sqrt({var}) / (cast(sg as double)"
+            f" / cast(n_gaps as double)), 6) + 0.0 end"
+        ).alias("cv"),
+    )
+
+
+ORACLE_INTERARRIVAL_CV = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+gaps AS (
+  SELECT event_type,
+         (us - lag(us) OVER (PARTITION BY user_id, event_type
+                             ORDER BY us, event_id))::DECIMAL(38,0) AS g
+  FROM ev),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n_gaps,
+         sum(g) AS sg, sum(g * g) AS sgg
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1)
+SELECT event_type, n_gaps,
+       round(sg::DOUBLE / n_gaps::DOUBLE / 1000000.0, 6) + 0.0
+         AS mean_gap_sec,
+       CASE WHEN n_gaps >= 2 AND sg > 0 THEN
+         round(sqrt((n_gaps::DOUBLE * sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE)
+                    / (n_gaps::DOUBLE * (n_gaps::DOUBLE - 1)))
+               / (sg::DOUBLE / n_gaps::DOUBLE), 6) + 0.0 END AS cv
+FROM m
+"""
+
+QUERIES["events_interarrival_cv"] = events_interarrival_cv
+ORACLES["events_interarrival_cv"] = ORACLE_INTERARRIVAL_CV
+
+
+# ---------------------------------------------- binary changepoint
+
+def events_changepoint_binary(spark, sf):
+    """First binary-segmentation step on each type's daily count
+    series: the day that maximizes the exact CUSUM deviation
+    |T·S_d − S·d| (T days, S total events, S_d the running count at
+    day index d) — the "when did this metric change regime?" tile.
+    The statistic is pure BIGINT cross-multiplication (no division,
+    no doubles, no ties lost to float rounding); ties break to the
+    earliest day.
+
+    Scale: one map-side-combined daily rollup (≤ types × days rows),
+    then windows over that bounded relation only — the corpus is
+    scanned once."""
+    from pyspark.sql import Window
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(
+            "event_type", F.expr("to_date(ts)").alias("day")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        daily.withColumn("d_idx", F.row_number().over(w))
+        .withColumn("s_d", F.sum("c").over(w))
+        .withColumn(
+            "t_days",
+            F.count("*").over(Window.partitionBy("event_type")),
+        )
+        .withColumn(
+            "s_total",
+            F.sum("c").over(Window.partitionBy("event_type")),
+        )
+        .withColumn(
+            "g",
+            F.abs(
+                F.col("t_days") * F.col("s_d")
+                - F.col("s_total") * F.col("d_idx")
+            ),
+        )
+    )
+    best = Window.partitionBy("event_type").orderBy(
+        F.col("g").desc(), F.col("day")
+    )
+    return (
+        cum.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("t_days").cast("long").alias("n_days"),
+            F.col("s_total").cast("long").alias("n_events"),
+            F.col("day").alias("split_day"),
+            F.col("g").cast("long").alias("gap_stat"),
+        )
+    )
+
+
+ORACLE_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, day, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day)
+           ::BIGINT AS d_idx,
+         sum(c) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS s_d,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS t_days,
+         sum(c) OVER (PARTITION BY event_type)::BIGINT AS s_total
+  FROM daily),
+scored AS (
+  SELECT event_type, day, t_days, s_total,
+         abs(t_days * s_d - s_total * d_idx)::BIGINT AS g,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(t_days * s_d - s_total * d_idx) DESC, day) AS rk
+  FROM cum)
+SELECT event_type, t_days AS n_days, s_total AS n_events,
+       day AS split_day, g AS gap_stat
+FROM scored WHERE rk = 1
+"""
+
+QUERIES["events_changepoint_binary"] = events_changepoint_binary
+ORACLES["events_changepoint_binary"] = ORACLE_CHANGEPOINT
+
+
+# ------------------------------------- two-way additive decomposition
+
+def events_dow_type_decomp(spark, sf):
+    """Two-way additive decomposition of mean event value over the
+    (event_type × day-of-week) grid: per cell, its mean next to the
+    grand/type/dow means and the ADDITIVE RESIDUAL (cell − type − dow
+    + grand) — the interaction term that says "checkout values are
+    high on Sundays beyond what checkout-ness and Sunday-ness explain"
+    (the seasonality-mix diagnostic behind staffing and anomaly
+    baselines).
+
+    Day-of-week is epoch-days mod 7 (0 = Thursday — the one numbering
+    both engines agree on, the events_chi2_type_dow precedent).  Every
+    mean is a half-up micro-unit integer division of exact sums, so
+    the residual is a difference of INTEGERS — no float subtraction of
+    near-equal means."""
+    ev = T(spark, sf, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr(
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 as int)"
+        ).alias("dw"),
+        F.expr(
+            "cast(floor(value * 1000000 + 0.5) as bigint)"
+        ).alias("vm"),
+    )
+    cells = ev.groupBy("t", "dw").agg(
+        F.count("*").alias("n"), F.sum("vm").alias("s")
+    )
+
+    def mean_micro(s, n):
+        return f"cast((2 * {s} + {n}) div (2 * {n}) as bigint)"
+
+    tm = cells.groupBy("t").agg(
+        F.expr(mean_micro("sum(s)", "sum(n)")).alias("type_mean_micro")
+    )
+    dm = cells.groupBy("dw").agg(
+        F.expr(mean_micro("sum(s)", "sum(n)")).alias("dow_mean_micro")
+    )
+    gm = cells.groupBy().agg(
+        F.expr(mean_micro("sum(s)", "sum(n)")).alias("grand_mean_micro")
+    )
+    return (
+        cells.withColumn(
+            "cell_mean_micro", F.expr(mean_micro("s", "n"))
+        )
+        .join(F.broadcast(tm), "t")
+        .join(F.broadcast(dm), "dw")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            F.col("t").alias("event_type"),
+            "dw",
+            F.col("n").cast("long").alias("n"),
+            "cell_mean_micro",
+            "type_mean_micro",
+            "dow_mean_micro",
+            "grand_mean_micro",
+            (
+                F.col("cell_mean_micro")
+                - F.col("type_mean_micro")
+                - F.col("dow_mean_micro")
+                + F.col("grand_mean_micro")
+            ).alias("resid_micro"),
+        )
+    )
+
+
+ORACLE_DOW_TYPE_DECOMP = """
+WITH ev AS (
+  SELECT event_type AS t,
+         (ts::DATE - DATE '1970-01-01') % 7 AS dw,
+         floor(value * 1000000 + 0.5)::BIGINT AS vm
+  FROM events),
+cells AS (
+  SELECT t, dw, count(*)::BIGINT AS n, sum(vm)::BIGINT AS s
+  FROM ev GROUP BY 1, 2),
+tm AS (
+  SELECT t, (2 * sum(s) + sum(n)) // (2 * sum(n)) AS type_mean_micro
+  FROM cells GROUP BY 1),
+dm AS (
+  SELECT dw, (2 * sum(s) + sum(n)) // (2 * sum(n)) AS dow_mean_micro
+  FROM cells GROUP BY 1),
+gm AS (
+  SELECT (2 * sum(s) + sum(n)) // (2 * sum(n)) AS grand_mean_micro
+  FROM cells)
+SELECT t AS event_type, dw::INT AS dw, n,
+       ((2 * s + n) // (2 * n))::BIGINT AS cell_mean_micro,
+       type_mean_micro::BIGINT AS type_mean_micro,
+       dow_mean_micro::BIGINT AS dow_mean_micro,
+       grand_mean_micro::BIGINT AS grand_mean_micro,
+       ((2 * s + n) // (2 * n) - type_mean_micro - dow_mean_micro
+        + grand_mean_micro)::BIGINT AS resid_micro
+FROM cells JOIN tm USING (t) JOIN dm USING (dw) CROSS JOIN gm
+"""
+
+QUERIES["events_dow_type_decomp"] = events_dow_type_decomp
+ORACLES["events_dow_type_decomp"] = ORACLE_DOW_TYPE_DECOMP
+
+
+# --------------------------------------------- KMV precision sweep
+
+KMV_SWEEP_KS = (16, 64, 256)
+
+
+def events_kmv_precision_sweep(spark, sf):
+    """KMV distinct-user estimate vs the EXACT distinct at three
+    sketch sizes k — the budget-accuracy calibration for the KMV
+    family (the sibling of dedup_lsh_banding_sweep and
+    events_quantile_calibration: run once on a sample, then trust the
+    cheapest k whose error is inside tolerance).
+
+    The distinct-hash relation is built ONCE and track_persist'ed —
+    each k reads the cache (the one-signature-build sweep shape, an
+    InMemoryScan per config in the plan); the exact side is a count
+    over the SAME relation (phash60 is injective on the id domain at
+    these cardinalities, and using one relation isolates pure
+    SKETCH-SIZE error, the quantile-calibration definition trick).
+    Relative error is a half-up micro integer from cross-multiplied
+    exact terms."""
+    from faconne_spark.functions import phash60
+    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.sketches import kmv_from_hashes
+
+    ev = T(spark, sf, "events")
+    hashed = track_persist(
+        ev.select(
+            F.col("event_type").alias("grp"),
+            F.expr(
+                phash60("concat('kmv:', cast(user_id as string))", "spark")
+            ).alias("h"),
+        ).distinct()
+    )
+    exact = hashed.groupBy("grp").agg(
+        F.count("*").alias("n_distinct_exact")
+    )
+    out = None
+    for k in KMV_SWEEP_KS:
+        est = kmv_from_hashes(hashed, k).select(
+            "grp",
+            F.lit(k).alias("k"),
+            F.round("est_distinct", 6).alias("est_distinct"),
+        )
+        out = est if out is None else out.unionByName(est)
+    return (
+        out.join(exact, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "k",
+            "n_distinct_exact",
+            "est_distinct",
+            F.expr(
+                "cast(round(1000000 * abs(est_distinct"
+                " - cast(n_distinct_exact as double))"
+                " / cast(n_distinct_exact as double), 0) as bigint)"
+            ).alias("rel_err_micro"),
+        )
+    )
+
+
+def _oracle_kmv_sweep() -> str:
+    from faconne_spark.operators.sketches import KMV_DOMAIN
+
+    parts = []
+    for k in KMV_SWEEP_KS:
+        parts.append(f"""
+SELECT grp, {k} AS k,
+       round(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+             ELSE ({k} - 1) * {float(KMV_DOMAIN)!r} / max(h) END, 6)
+         AS est_distinct
+FROM ranked WHERE rn <= {k} GROUP BY grp""")
+    ests = " UNION ALL ".join(parts)
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15))::BIGINT
+           AS h
+  FROM events),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed),
+exact AS (
+  SELECT grp, count(*)::BIGINT AS n_distinct_exact FROM hashed
+  GROUP BY grp),
+ests AS ({ests})
+SELECT grp AS event_type, k::INT AS k, n_distinct_exact, est_distinct,
+       round(1000000 * abs(est_distinct - n_distinct_exact::DOUBLE)
+             / n_distinct_exact::DOUBLE, 0)::BIGINT AS rel_err_micro
+FROM ests JOIN exact USING (grp)
+"""
+
+
+QUERIES["events_kmv_precision_sweep"] = events_kmv_precision_sweep
+ORACLES["events_kmv_precision_sweep"] = _oracle_kmv_sweep()
+
+
+# --------------------------------------- price/volume decomposition
+
+def brand_price_volume_decomp(spark, sf):
+    """Laspeyres-style revenue-change decomposition per brand between
+    the first and second half of the order calendar: how much of each
+    brand's revenue change came from QUANTITY at base prices, how much
+    from PRICE movement, and how much from parts that entered/left the
+    assortment — the "why did revenue move?" tile every merch review
+    opens with.
+
+    Base unit price per part is an exact half-up micro-cents integer
+    (2·10⁶·r₀+q₀) div (2·q₀); every effect is a DECIMAL(38,0) sum of
+    per-part integer products (q up to 10⁹ × price up to 10¹² µ¢
+    crosses 2⁶³), converted to cents only in the final division.  The
+    date split is min + span div 2 — one broadcast scalar.
+
+    Scale: lineitem⋈orders co-keyed on l_orderkey for the date (the
+    ship-lag join shape), part broadcast for the brand; everything
+    downstream is per-(brand, part) rollups."""
+    li = T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.expr("cast(l_quantity as bigint)").alias("q"),
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint)"
+        ).alias("r_cents"),
+    )
+    o = T(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("cast(o_orderdate as date)").alias("d"),
+    )
+    p = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    split = o.agg(
+        F.expr(
+            "date_add(min(d), cast(datediff(max(d), min(d)) div 2 as int))"
+        ).alias("split_d")
+    )
+    per_part = (
+        li.join(o, "l_orderkey")
+        .join(F.broadcast(p), "l_partkey")
+        .crossJoin(F.broadcast(split))
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(F.expr("if(d < split_d, q, 0)")).alias("q0"),
+            F.sum(F.expr("if(d < split_d, r_cents, 0)")).alias("r0"),
+            F.sum(F.expr("if(d >= split_d, q, 0)")).alias("q1"),
+            F.sum(F.expr("if(d >= split_d, r_cents, 0)")).alias("r1"),
+        )
+        .withColumn(
+            "p0_micro",
+            F.expr(
+                "if(q0 > 0, (2 * 1000000 * r0 + q0) div (2 * q0),"
+                " cast(null as bigint))"
+            ),
+        )
+    )
+    dec = "cast({x} as decimal(38,0))"
+    return per_part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("r0").alias("rev0_cents"),
+        F.sum("r1").alias("rev1_cents"),
+        F.expr(
+            f"cast(sum(if(q0 > 0 and q1 > 0,"
+            f" {dec.format(x='(q1 - q0)')} * {dec.format(x='p0_micro')},"
+            f" cast(0 as decimal(38,0)))) as decimal(38,0))"
+        ).alias("__qty_u"),
+        F.expr(
+            f"cast(sum(if(q0 > 0 and q1 > 0,"
+            f" {dec.format(x='r1')} * 1000000"
+            f" - {dec.format(x='q1')} * {dec.format(x='p0_micro')},"
+            f" cast(0 as decimal(38,0)))) as decimal(38,0))"
+        ).alias("__price_u"),
+        F.sum(F.expr("if(q0 = 0, r1, 0)")).alias("new_parts_cents"),
+        F.sum(F.expr("if(q1 = 0, -r0, 0)")).alias("exited_parts_cents"),
+    ).select(
+        "p_brand",
+        F.col("n_parts").cast("long").alias("n_parts"),
+        "rev0_cents",
+        "rev1_cents",
+        (F.col("rev1_cents") - F.col("rev0_cents")).alias(
+            "total_change_cents"
+        ),
+        F.expr(
+            "cast((2 * __qty_u + 1000000) div (2 * 1000000) as bigint)"
+        ).alias("qty_effect_cents"),
+        F.expr(
+            "cast((2 * __price_u + 1000000) div (2 * 1000000) as bigint)"
+        ).alias("price_effect_cents"),
+        "new_parts_cents",
+        "exited_parts_cents",
+    )
+
+
+ORACLE_PRICE_VOLUME = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey, l_quantity::BIGINT AS q,
+         round(l_extendedprice * 100)::BIGINT AS r_cents
+  FROM lineitem),
+o AS (
+  SELECT o_orderkey AS l_orderkey, o_orderdate::DATE AS d FROM orders),
+split AS (
+  SELECT min(d) + ((max(d) - min(d)) // 2)::INTEGER AS split_d FROM o),
+per_part AS (
+  SELECT p.p_brand, li.l_partkey,
+         sum(CASE WHEN d < split_d THEN q ELSE 0 END)::BIGINT AS q0,
+         sum(CASE WHEN d < split_d THEN r_cents ELSE 0 END)::BIGINT AS r0,
+         sum(CASE WHEN d >= split_d THEN q ELSE 0 END)::BIGINT AS q1,
+         sum(CASE WHEN d >= split_d THEN r_cents ELSE 0 END)::BIGINT AS r1
+  FROM li JOIN o USING (l_orderkey)
+  JOIN part p ON p.p_partkey = li.l_partkey
+  CROSS JOIN split
+  GROUP BY 1, 2),
+priced AS (
+  SELECT *, CASE WHEN q0 > 0
+                 THEN (2 * 1000000 * r0 + q0) // (2 * q0) END AS p0_micro
+  FROM per_part)
+SELECT p_brand, count(*)::BIGINT AS n_parts,
+       sum(r0)::BIGINT AS rev0_cents, sum(r1)::BIGINT AS rev1_cents,
+       (sum(r1) - sum(r0))::BIGINT AS total_change_cents,
+       ((2 * sum(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN (q1 - q0)::DECIMAL(38,0) * p0_micro::DECIMAL(38,0)
+                 ELSE 0::DECIMAL(38,0) END) + 1000000)::HUGEINT
+        // 2000000)::BIGINT AS qty_effect_cents,
+       ((2 * sum(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN r1::DECIMAL(38,0) * 1000000
+                      - q1::DECIMAL(38,0) * p0_micro::DECIMAL(38,0)
+                 ELSE 0::DECIMAL(38,0) END) + 1000000)::HUGEINT
+        // 2000000)::BIGINT AS price_effect_cents,
+       sum(CASE WHEN q0 = 0 THEN r1 ELSE 0 END)::BIGINT
+         AS new_parts_cents,
+       sum(CASE WHEN q1 = 0 THEN -r0 ELSE 0 END)::BIGINT
+         AS exited_parts_cents
+FROM priced GROUP BY 1
+"""
+
+QUERIES["brand_price_volume_decomp"] = brand_price_volume_decomp
+ORACLES["brand_price_volume_decomp"] = ORACLE_PRICE_VOLUME
+
+
+# ------------------------------------------ degree assortativity
+
+def copurchase_degree_assortativity(spark, sf):
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of (deg(src), deg(dst)) over every directed edge —
+    positive means hubs buy with hubs (a core-periphery catalog),
+    negative means hubs bridge niches; the one scalar that says which
+    graph-sampling and partitioning strategies are safe downstream
+    (Newman 2002, PRL 89:208701).
+
+    Reuses the EXACT pair graph of the k-core/RA/Jaccard family
+    (bank_r6._copurchase_pairs ↔ COPURCHASE_CTE — the shared-build
+    discipline).  Moments are DECIMAL(38,0) sums of BIGINT degree
+    products; r is a final-expression double from identical integers,
+    NULL when a degree variance vanishes."""
+    from faconne_spark.queries.bank_r6 import _copurchase_pairs
+
+    prs = _copurchase_pairs(spark, sf)
+    edges = prs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    xy = (
+        edges.join(deg, "src")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")),
+            "dst",
+        )
+        .select(
+            F.expr("cast(dx as decimal(38,0))").alias("x"),
+            F.expr("cast(dy as decimal(38,0))").alias("y"),
+        )
+    )
+    m = xy.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    d = "cast({} as double)".format
+    cov = f"({d('n_edges')} * {d('sxy')} - {d('sx')} * {d('sy')})"
+    vx = f"({d('n_edges')} * {d('sxx')} - {d('sx')} * {d('sx')})"
+    vy = f"({d('n_edges')} * {d('syy')} - {d('sy')} * {d('sy')})"
+    return m.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.expr(
+            f"case when {vx} > 0 and {vy} > 0 then"
+            f" round({cov} / sqrt({vx} * {vy}), 6) + 0.0 end"
+        ).alias("assortativity"),
+    )
+
+
+def _oracle_assortativity() -> str:
+    from faconne_spark.queries.bank_r6 import COPURCHASE_CTE
+
+    cov = "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+    vx = "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+    vy = "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)"
+    return f"""
+WITH {COPURCHASE_CTE},
+deg AS MATERIALIZED (
+  SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+xy AS (
+  SELECT da.deg::DECIMAL(38,0) AS x, db.deg::DECIMAL(38,0) AS y
+  FROM edges e JOIN deg da ON da.src = e.src
+  JOIN deg db ON db.src = e.dst),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy)
+SELECT n AS n_edges,
+       CASE WHEN {vx} > 0 AND {vy} > 0 THEN
+         round({cov} / sqrt({vx} * {vy}), 6) + 0.0 END AS assortativity
+FROM m
+"""
+
+
+QUERIES["copurchase_degree_assortativity"] = copurchase_degree_assortativity
+ORACLES["copurchase_degree_assortativity"] = _oracle_assortativity()
+
+
+# ------------------------------------------- prefix boilerplate
+
+PREFIX_LEN = 40
+
+
+def docs_prefix_boilerplate(spark, sf):
+    """Per-source boilerplate audit via shared document PREFIXES: how
+    many docs open with the exact same first 40 characters as another
+    doc of the same source — the cheap detector for templated headers
+    / scraper banners that near-dup passes pay full signatures to
+    find (run this first; sources with high prefix share get the
+    expensive treatment).
+
+    One groupBy(source, prefix) over a projected 40-char column, then
+    a per-source rollup — map-side combined, no joins, no windows."""
+    docs = T(spark, sf, "documents").select(
+        "source", F.expr(f"substring(text, 1, {PREFIX_LEN})").alias("pfx")
+    )
+    grp = docs.groupBy("source", "pfx").agg(F.count("*").alias("c"))
+    return grp.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_prefix_groups"),
+        F.sum(F.expr("if(c >= 2, c, 0)")).alias("n_boilerplate_docs"),
+    ).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_prefix_groups").cast("long").alias("n_prefix_groups"),
+        F.col("n_boilerplate_docs").cast("long").alias("n_boilerplate_docs"),
+        F.expr(
+            "cast((2 * 1000000 * n_boilerplate_docs + n_docs)"
+            " div (2 * n_docs) as bigint)"
+        ).alias("boilerplate_micro"),
+    )
+
+
+ORACLE_PREFIX_BOILERPLATE = f"""
+WITH grp AS (
+  SELECT source, substring(text, 1, {PREFIX_LEN}) AS pfx,
+         count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2)
+SELECT source, sum(c)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_prefix_groups,
+       sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT
+         AS n_boilerplate_docs,
+       ((2 * 1000000 * sum(CASE WHEN c >= 2 THEN c ELSE 0 END) + sum(c))
+        // (2 * sum(c)))::BIGINT AS boilerplate_micro
+FROM grp GROUP BY 1
+"""
+
+QUERIES["docs_prefix_boilerplate"] = docs_prefix_boilerplate
+ORACLES["docs_prefix_boilerplate"] = ORACLE_PREFIX_BOILERPLATE
+
+
+# --------------------------------------- cosine pair histogram
+
+COS_HIST_BINS = 20
+COS_SAMPLE_MOD = 8  # keep ~1/8 of vectors for the pair sample
+
+
+def embed_cosine_pair_histogram(spark, sf):
+    """Histogram of pairwise COSINES over a hash-sampled vector subset
+    — the threshold-calibration curve for dedup_embedding_cosine and
+    the ANN keys (where does the near-dup mass separate from the bulk?
+    pick τ in the valley).  Sampling is a deterministic hash threshold
+    (phash60 % 8 == 0 — no global sort, no driver collect; production
+    tunes the modulus so the sample stays ~10³ rows at any corpus
+    size), the pair frame is the broadcast self-join of that bounded
+    sample, and cosines bin into 20 fixed [-1, 1] buckets.
+
+    Cosines are IEEE doubles both engines derive from the identical
+    index-ordered dot/norm folds (dot_expr contract), so every pair
+    lands in the same bin cross-engine."""
+    from faconne_spark.functions import dot_expr, phash60
+
+    emb = T(spark, sf, "embeddings")
+    h = phash60("concat('cs:', cast(vec_id as string))", "spark")
+    sample = emb.filter(F.expr(f"({h}) % {COS_SAMPLE_MOD} = 0")).select(
+        "vec_id", "embedding",
+        F.expr(
+            f"sqrt({dot_expr('embedding', 'embedding', 'spark')})"
+        ).alias("nrm"),
+    )
+    a = sample.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = sample.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    B = COS_HIST_BINS
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            F.expr(
+                f"({dot_expr('ea', 'eb', 'spark')}) / (na * nb)"
+            ).alias("cos")
+        )
+        .select(
+            F.expr(
+                f"cast(least(greatest(floor((cos + 1.0) / 2.0 * {B}),"
+                f" 0), {B - 1}) as int)"
+            ).alias("bin"),
+            "cos",
+        )
+    )
+    return pairs.groupBy("bin").agg(
+        F.count("*").alias("n_pairs"),
+        (F.round(F.min("cos"), 6) + F.lit(0.0)).alias("min_cos"),
+        (F.round(F.max("cos"), 6) + F.lit(0.0)).alias("max_cos"),
+    )
+
+
+def _oracle_cos_hist() -> str:
+    from faconne_spark.functions import dot_expr, phash60
+
+    h = phash60("('cs:' || vec_id::VARCHAR)", "duckdb")
+    dot = dot_expr("a.embedding", "b.embedding", "duckdb")
+    nrm = dot_expr("embedding", "embedding", "duckdb")
+    B = COS_HIST_BINS
+    return f"""
+WITH sample AS MATERIALIZED (
+  SELECT vec_id, embedding, sqrt({nrm}) AS nrm
+  FROM embeddings WHERE ({h}) % {COS_SAMPLE_MOD} = 0),
+prs AS (
+  SELECT ({dot}) / (a.nrm * b.nrm) AS cos
+  FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0)
+SELECT least(greatest(floor((cos + 1.0) / 2.0 * {B}), 0), {B - 1})::INT
+         AS bin,
+       count(*)::BIGINT AS n_pairs,
+       round(min(cos), 6) + 0.0 AS min_cos,
+       round(max(cos), 6) + 0.0 AS max_cos
+FROM prs GROUP BY 1
+"""
+
+
+QUERIES["embed_cosine_pair_histogram"] = embed_cosine_pair_histogram
+ORACLES["embed_cosine_pair_histogram"] = _oracle_cos_hist()
+
+
+# ------------------------------------------- source vocab overlap
+
+VOCAB_TOP_N = 200
+
+
+def docs_source_vocab_overlap(spark, sf):
+    """Pairwise Jaccard of each source pair's TOP-200 vocabulary — the
+    domain-similarity matrix behind mixture planning and contamination
+    triage (two sources sharing 80 % of their top words are one domain
+    for sampling purposes; a src⋈src pair near zero needs its own
+    quality model).
+
+    The rank window partitions by source over the (source, word, freq)
+    relation — VOCABULARY-sized, not corpus-sized (the BPE scale
+    argument); ties break lexicographically so the top-N set is
+    deterministic.  The pair frame is top-N ⋈ top-N on word
+    (≤ sources² × N rows), and the Jaccard is the shared
+    integer-micro text."""
+    from pyspark.sql import Window
+
+    from faconne_spark.functions import jaccard_micro_sql, tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    wf = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("f").desc(), F.col("word")
+    )
+    top = (
+        wf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= VOCAB_TOP_N)
+        .select("source", "word")
+    )
+    n_per = top.groupBy("source").agg(F.count("*").alias("n_top"))
+    inter = (
+        top.select(F.col("source").alias("sa"), "word")
+        .join(
+            top.select(F.col("source").alias("sb"), "word"), "word"
+        )
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jm = jaccard_micro_sql("n_common", "(na.n_top + nb.n_top - n_common)", "spark")
+    return (
+        inter.join(
+            F.broadcast(n_per.select(F.col("source").alias("sa"),
+                                     F.col("n_top").alias("n_top"))).alias("na"),
+            "sa",
+        )
+        .join(
+            F.broadcast(
+                n_per.select(F.col("source").alias("sb"),
+                             F.col("n_top").alias("n_top_b"))
+            ).alias("nb"),
+            "sb",
+        )
+        .select(
+            "sa",
+            "sb",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr(
+                jaccard_micro_sql(
+                    "n_common", "(n_top + n_top_b - n_common)", "spark"
+                )
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
+def _oracle_vocab_overlap() -> str:
+    from faconne_spark.functions import jaccard_micro_sql, tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    jm = jaccard_micro_sql(
+        "n_common", "(na.n_top + nb.n_top - n_common)", "duckdb"
+    )
+    return f"""
+WITH wf AS MATERIALIZED (
+  SELECT source, word, count(*)::BIGINT AS f FROM (
+    SELECT source, unnest({toks}) AS word FROM documents)
+  GROUP BY 1, 2),
+top AS MATERIALIZED (
+  SELECT source, word FROM (
+    SELECT source, word,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY f DESC, word) AS rk
+    FROM wf) WHERE rk <= {VOCAB_TOP_N}),
+n_per AS (SELECT source, count(*)::BIGINT AS n_top FROM top GROUP BY 1),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS n_common
+  FROM top a JOIN top b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT sa, sb, n_common, {jm}::BIGINT AS jaccard_micro
+FROM inter i
+JOIN n_per na ON na.source = i.sa
+JOIN n_per nb ON nb.source = i.sb
+"""
+
+
+QUERIES["docs_source_vocab_overlap"] = docs_source_vocab_overlap
+ORACLES["docs_source_vocab_overlap"] = _oracle_vocab_overlap()

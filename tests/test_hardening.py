@@ -432,7 +432,8 @@ def test_survey_registry_consistency():
             r"customer_order_reconciliation|customer_order_golden|"
             r"customer_fs_scores|sql_api_\w+|sliding_window_counts|"
             r"training_manifest|join_\w+|scd2_\w+|"
-            r"customer_ltv_\w+|customer_fuzzy_\w+|pack_\w+)\b",
+            r"customer_ltv_\w+|customer_fuzzy_\w+|pack_\w+|"
+            r"fk_\w+|pk_\w+|brand_\w+|copurchase_\w+)\b",
             survey,
         )
     )

@@ -283,6 +283,21 @@ SNAPSHOT_QUERIES = [
     # and the map-only PNG synthesize→decode pass (no shuffle at all)
     "docs_bpe_token_counts",
     "mm_png_decode",
+    # round-8 analytics wave: pin the anti-join audit shapes, the
+    # bounded-cell decompositions, the one-build KMV sweep
+    # (InMemoryScan per k), and the broadcast pair-sample histogram
+    "fk_orphan_audit",
+    "pk_duplicate_audit",
+    "docs_hash_uniformity_chi2",
+    "events_interarrival_cv",
+    "events_changepoint_binary",
+    "events_dow_type_decomp",
+    "events_kmv_precision_sweep",
+    "brand_price_volume_decomp",
+    "copurchase_degree_assortativity",
+    "docs_prefix_boilerplate",
+    "embed_cosine_pair_histogram",
+    "docs_source_vocab_overlap",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
