@@ -386,6 +386,11 @@ def main() -> None:
         "docs_prefix_boilerplate",
         "embed_cosine_pair_histogram",
         "docs_source_vocab_overlap",
+        "part_brand_type_mi",
+        "supplier_balance_mad_outliers",
+        "dup_pairs_transitivity",
+        "events_markov_stationary",
+        "ann_mrr_eval",
     ]
     times = {}
     shuffle = {}

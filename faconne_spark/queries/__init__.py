@@ -81,6 +81,12 @@ _CHANGED_THIS_ROUND = [
     "brand_price_volume_decomp", "copurchase_degree_assortativity",
     "docs_prefix_boilerplate", "embed_cosine_pair_histogram",
     "docs_source_vocab_overlap",
+    # -- new in r8, wave 2: operator reuse on fresh surfaces (MI on the
+    #    catalog, MAD on the supply side), the dup-pair transitivity
+    #    audit, the integer-trajectory Markov stationary distribution,
+    #    and the MRR retrieval eval --
+    "part_brand_type_mi", "supplier_balance_mad_outliers",
+    "dup_pairs_transitivity", "events_markov_stationary", "ann_mrr_eval",
 ]
 
 _REST = [

@@ -1364,3 +1364,403 @@ JOIN n_per nb ON nb.source = i.sb
 
 QUERIES["docs_source_vocab_overlap"] = docs_source_vocab_overlap
 ORACLES["docs_source_vocab_overlap"] = _oracle_vocab_overlap()
+
+
+# --------------------------------------------- brand × type MI
+
+def part_brand_type_mi(spark, sf):
+    """Mutual information between part brand and part type — does the
+    brand carry information about what KIND of part it is?  The
+    catalog-structure scalar behind hierarchy design and crossed-column
+    import canaries (MI collapsing to ~0 after a load = the brand
+    column got scrambled).  Reuses evalstats.mutual_information's
+    integer micro-nats machinery verbatim (one joint groupBy, bounded
+    marginals, Σ n·L with micro-rounded ln)."""
+    from faconne_spark.operators.evalstats import mutual_information
+
+    return mutual_information(
+        T(spark, sf, "part"), "p_brand", "p_type", []
+    )
+
+
+ORACLE_BRAND_TYPE_MI = """
+WITH joint AS (
+  SELECT p_brand AS x, p_type AS y, count(*)::BIGINT AS n_xy
+  FROM part WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+  GROUP BY 1, 2),
+nx AS (SELECT x, sum(n_xy)::BIGINT AS n_x FROM joint GROUP BY 1),
+ny AS (SELECT y, sum(n_xy)::BIGINT AS n_y FROM joint GROUP BY 1),
+nt AS (SELECT sum(n_xy)::BIGINT AS n FROM joint),
+cells AS (
+  SELECT j.n_xy, t.n, mx.n_x, my.n_y,
+         cast(round(ln((cast(j.n_xy AS DOUBLE) / mx.n_x)
+           * (cast(t.n AS DOUBLE) / my.n_y)) * 1000000, 0) AS BIGINT) AS l,
+         j.x, j.y
+  FROM joint j
+  JOIN nx mx ON mx.x = j.x
+  JOIN ny my ON my.y = j.y
+  CROSS JOIN nt t)
+SELECT max(n)::BIGINT AS n,
+       count(DISTINCT x)::BIGINT AS n_x_values,
+       count(DISTINCT y)::BIGINT AS n_y_values,
+       sum(n_xy * l)::BIGINT AS mi_micro
+FROM cells
+"""
+
+QUERIES["part_brand_type_mi"] = part_brand_type_mi
+ORACLES["part_brand_type_mi"] = ORACLE_BRAND_TYPE_MI
+
+
+# ------------------------------------------ supplier balance MAD
+
+SUPP_MAD_K = 3.0
+
+
+def supplier_balance_mad_outliers(spark, sf):
+    """Median/MAD outlier summary of supplier account balances per
+    nation (k = 3 MADs) — the robust anomaly gauge applied to the
+    supply side (a nation whose outlier count jumps after a load is a
+    currency/unit slip; z-scores would melt on the same tail).
+    Reuses relational.mad_outliers verbatim (exact medians, bounded
+    three-pass pipeline — nations are low-cardinality, the operator's
+    documented domain)."""
+    from faconne_spark.operators.relational import mad_outliers
+
+    return mad_outliers(
+        T(spark, sf, "supplier"), "s_nationkey", "s_acctbal", SUPP_MAD_K
+    )
+
+
+ORACLE_SUPPLIER_MAD = f"""
+WITH s1 AS (
+  SELECT s_nationkey, round(median(s_acctbal), 6) AS med
+  FROM supplier GROUP BY 1),
+d AS (
+  SELECT s.s_nationkey, s1.med,
+         round(abs(round(s.s_acctbal, 6) - s1.med), 6) AS dev
+  FROM supplier s JOIN s1 USING (s_nationkey)),
+s2 AS (
+  SELECT s_nationkey, round(median(dev), 6) AS mad FROM d GROUP BY 1)
+SELECT d.s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(d.med) AS med,
+       max(s2.mad) AS mad,
+       CAST(sum(CASE WHEN d.dev > {SUPP_MAD_K} * s2.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN s2 USING (s_nationkey)
+GROUP BY d.s_nationkey
+"""
+
+QUERIES["supplier_balance_mad_outliers"] = supplier_balance_mad_outliers
+ORACLES["supplier_balance_mad_outliers"] = ORACLE_SUPPLIER_MAD
+
+
+# ------------------------------------- dup-pair transitivity audit
+
+def dup_pairs_transitivity(spark, sf):
+    """Transitivity audit of the minhash near-dup pair graph: among
+    wedges a–b–c (both pairs flagged), how often is a–c ALSO flagged?
+    Low closure means the pair threshold sits inside a similarity
+    gradient and cluster-level dedup (connected components) will chain
+    unrelated docs — the one scalar that says whether pairs can be
+    trusted as clusters (the audit behind dedup_clusters' design).
+
+    Wedge counting reuses the triangle machinery's shape: doubled
+    edges, wedge join keyed on the CENTER node, closure check via join
+    against the undirected pair set — all on the PAIR relation
+    (bounded, ≪ corpus), never on documents."""
+    from faconne_spark.operators.dedup import minhash_lsh_pairs
+
+    prs = minhash_lsh_pairs(
+        T(spark, sf, "documents").select("doc_id", "text")
+    ).select("id_a", "id_b")
+    edges = prs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    wedges = (
+        edges.alias("x")
+        .join(
+            edges.alias("y"),
+            (F.col("x.src") == F.col("y.src"))
+            & (F.col("x.dst") < F.col("y.dst")),
+        )
+        .select(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+    )
+    closed = wedges.join(
+        prs.select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("b")
+        ),
+        ["a", "b"],
+        "left_semi",
+    )
+    n_w = wedges.agg(F.count("*").alias("n_wedges"))
+    n_c = closed.agg(F.count("*").alias("n_closed"))
+    return n_w.crossJoin(n_c).select(
+        "n_wedges",
+        "n_closed",
+        F.expr(
+            "case when n_wedges > 0 then cast((2 * 1000000 * n_closed"
+            " + n_wedges) div (2 * n_wedges) as bigint) end"
+        ).alias("closure_micro"),
+    )
+
+
+def _oracle_transitivity() -> str:
+    from faconne_spark.queries.pipeline import _duck_bands_cte
+
+    return _duck_bands_cte() + """
+, prs AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b FROM cand),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs),
+wedges AS MATERIALIZED (
+  SELECT x.dst AS a, y.dst AS b
+  FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst),
+closed AS (
+  SELECT w.a, w.b FROM wedges w
+  SEMI JOIN prs p ON p.id_a = w.a AND p.id_b = w.b)
+SELECT (SELECT count(*) FROM wedges)::BIGINT AS n_wedges,
+       (SELECT count(*) FROM closed)::BIGINT AS n_closed,
+       CASE WHEN (SELECT count(*) FROM wedges) > 0 THEN
+         ((2 * 1000000 * (SELECT count(*) FROM closed)
+           + (SELECT count(*) FROM wedges))
+          // (2 * (SELECT count(*) FROM wedges)))::BIGINT END
+         AS closure_micro
+"""
+
+
+QUERIES["dup_pairs_transitivity"] = dup_pairs_transitivity
+ORACLES["dup_pairs_transitivity"] = _oracle_transitivity()
+
+
+# ------------------------------------- Markov stationary distribution
+
+MARKOV_POWER_ITERS = 12
+
+
+def events_markov_stationary(spark, sf):
+    """Stationary distribution of the first-order event-type Markov
+    chain by power iteration — where does a user's session settle in
+    the long run?  The equilibrium companion to
+    events_markov_transitions' one-step matrix (a type whose
+    stationary mass far exceeds its raw frequency is an absorbing
+    loop; funnels care).
+
+    Everything after the one corpus pass runs on the ≤ types² matrix:
+    transition probabilities are half-up micro integers, the start
+    vector is the exact source-marginal distribution in micro units,
+    and each of the 12 unrolled iterations is
+    v′(j) = Σᵢ half-up(v(i)·p(i,j) / 10⁶) — BIGINT products, integer
+    division, NO float accumulation, so both engines walk the
+    identical integer trajectory (the micro-int matrix-power
+    discipline).  The matrix relation is persisted once; l1_residual
+    (‖v₁₂ − v₁₁‖₁ in micro) reports convergence honestly instead of
+    asserting it."""
+    from pyspark.sql import Window
+
+    from faconne_spark.operators.dedup import track_persist
+
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    # the matrix/vector relations are ≤ types² rows — one partition
+    # keeps each of the 12 iteration stages a single trivial task
+    # instead of 32-way micro-shuffles (constant-factor scheduler cost)
+    mat = track_persist(
+        counts.withColumn("n_row", F.sum("n").over(wn)).repartition(1).select(
+            "from_type",
+            "to_type",
+            F.expr(
+                "cast((2 * 1000000 * n + n_row) div (2 * n_row) as bigint)"
+            ).alias("p_micro"),
+        )
+    )
+    v = track_persist(
+        counts.groupBy("from_type")
+        .agg(F.sum("n").alias("n_from"))
+        .crossJoin(
+            F.broadcast(
+                counts.groupBy().agg(F.sum("n").alias("n_tot"))
+            )
+        )
+        .select(
+            F.col("from_type").alias("t"),
+            F.expr(
+                "cast((2 * 1000000 * n_from + n_tot) div (2 * n_tot)"
+                " as bigint)"
+            ).alias("v_micro"),
+        )
+    )
+    # ONLY the corpus-derived relations persist (mat, v0) — the 12
+    # iteration steps stay LAZY tiny-relation joins evaluated in one
+    # job at the end; persisting every step made each iteration its
+    # own cache-fill job and cost ~45 s of scheduler overhead for
+    # 5-row data (re-references after the loop re-run the chain from
+    # the caches, which is bounded types^2 work)
+    prev = None
+    for _ in range(MARKOV_POWER_ITERS):
+        prev = v
+        v = (
+            v.join(mat, v["t"] == mat["from_type"])
+            .groupBy("to_type")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "cast((2 * v_micro * p_micro + 1000000)"
+                        " div (2 * 1000000) as bigint)"
+                    )
+                ).alias("v_micro")
+            )
+            .select(F.col("to_type").alias("t"), "v_micro")
+        )
+    # residual via one unpartitioned window over the ≤ types joined
+    # relation (bounded — the documented windows-over-bounded-relations
+    # pattern), so the lazy iteration chain evaluates ONCE, not once
+    # per reference
+    joined = v.join(
+        prev.select(F.col("t"), F.col("v_micro").alias("v_prev")), "t"
+    )
+    return joined.select(
+        F.col("t").alias("event_type"),
+        F.col("v_micro").alias("stationary_micro"),
+        F.sum(F.expr("abs(v_micro - v_prev)"))
+        .over(Window.partitionBy())
+        .alias("l1_residual_micro"),
+    )
+
+
+def _oracle_markov_stationary() -> str:
+    ctes = ["""counts AS MATERIALIZED (
+  SELECT from_type, to_type, count(*)::BIGINT AS n FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events) WHERE to_type IS NOT NULL GROUP BY 1, 2)""",
+            """mat AS MATERIALIZED (
+  SELECT from_type, to_type,
+         (2 * 1000000 * n + n_row) // (2 * n_row) AS p_micro
+  FROM (SELECT *, sum(n) OVER (PARTITION BY from_type) AS n_row
+        FROM counts))""",
+            """v0 AS MATERIALIZED (
+  SELECT from_type AS t,
+         (2 * 1000000 * n_from + n_tot) // (2 * n_tot) AS v_micro
+  FROM (SELECT from_type, sum(n)::BIGINT AS n_from FROM counts GROUP BY 1)
+  CROSS JOIN (SELECT sum(n)::BIGINT AS n_tot FROM counts))"""]
+    for i in range(MARKOV_POWER_ITERS):
+        ctes.append(f"""v{i + 1} AS MATERIALIZED (
+  SELECT to_type AS t,
+         sum((2 * v_micro * p_micro + 1000000) // (2 * 1000000))::BIGINT
+           AS v_micro
+  FROM v{i} v JOIN mat m ON m.from_type = v.t
+  GROUP BY 1)""")
+    k = MARKOV_POWER_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.t AS event_type, a.v_micro AS stationary_micro,
+       (SELECT sum(abs(x.v_micro - y.v_micro))
+        FROM v{k} x JOIN v{k - 1} y ON y.t = x.t)::BIGINT
+         AS l1_residual_micro
+FROM v{k} a JOIN v{k - 1} b ON b.t = a.t
+"""
+    )
+
+
+QUERIES["events_markov_stationary"] = events_markov_stationary
+ORACLES["events_markov_stationary"] = _oracle_markov_stationary()
+
+
+# ----------------------------------------------------- ANN MRR eval
+
+def ann_mrr_eval(spark, sf):
+    """Mean reciprocal rank of the IVF index against the exact
+    nearest neighbor — the "does the FIRST answer come back?" eval
+    next to ann_recall_eval's set overlap (retrieval-augmented
+    pipelines that take top-1 care about MRR, not recall@k).  Per
+    query: the brute-force top-1's position in the IVF ranking →
+    rr_micro = half-up(10⁶/rank), 0 when the index misses it
+    entirely; MRR is the half-up integer mean.  Composes the two
+    library searches; the comparison joins O(n_queries·k) rows."""
+    from faconne_spark.operators import similarity as S
+    from faconne_spark.queries.pipeline import (
+        ANN_K,
+        ANN_NQ,
+        IVF_NLIST,
+        IVF_NPROBE,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    true1 = S.cosine_topk(emb, queries, 1).select("q_id", "vec_id")
+    approx = S.ivf_topk(emb, queries, ANN_K, IVF_NLIST, IVF_NPROBE).select(
+        "q_id", "vec_id", "rk"
+    )
+    rr = (
+        true1.join(approx, ["q_id", "vec_id"], "left")
+        .select(
+            "q_id",
+            F.expr(
+                "cast(coalesce((2 * 1000000 + rk) div (2 * rk), 0)"
+                " as bigint)"
+            ).alias("rr_micro"),
+        )
+    )
+    return rr.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("rr_micro").alias("sum_rr_micro"),
+    ).select(
+        "n_queries",
+        "sum_rr_micro",
+        F.expr(
+            "cast((2 * sum_rr_micro + n_queries) div (2 * n_queries)"
+            " as bigint)"
+        ).alias("mrr_micro"),
+    )
+
+
+def _oracle_mrr() -> str:
+    from faconne_spark.queries.pipeline import (
+        ORACLE_ANN_BRUTE,
+        ORACLE_ANN_IVF,
+    )
+
+    return f"""
+WITH truth AS ({ORACLE_ANN_BRUTE.strip()}),
+approx AS ({ORACLE_ANN_IVF.strip()}),
+rr AS (
+  SELECT t.q_id,
+         coalesce((2 * 1000000 + a.rk) // (2 * a.rk), 0)::BIGINT
+           AS rr_micro
+  FROM truth t LEFT JOIN approx a
+    ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+  WHERE t.rk = 1)
+SELECT count(*)::BIGINT AS n_queries,
+       sum(rr_micro)::BIGINT AS sum_rr_micro,
+       ((2 * sum(rr_micro) + count(*)) // (2 * count(*)))::BIGINT
+         AS mrr_micro
+FROM rr
+"""
+
+
+QUERIES["ann_mrr_eval"] = ann_mrr_eval
+ORACLES["ann_mrr_eval"] = _oracle_mrr()

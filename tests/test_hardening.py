@@ -423,6 +423,7 @@ def test_survey_registry_consistency():
             r"docs_\w+|pipeline_\w+|stream_window_counts|stream_session_agg|"
             r"source_stats|vocab_coverage|cap_per_source|quality_\w+|"
             r"lang_id_\w+|corpus_\w+|dup_graph_\w+|dup_cluster_\w+|"
+            r"dup_pairs_\w+|"
             r"basket_\w+|user_rfm_\w+|"
             r"orders_\w+|lineitem_\w+|part_price_stats|part_skyline\w*|"
             r"part_copurchase_\w+|part_brand_\w+|part_type_\w+|"

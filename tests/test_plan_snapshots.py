@@ -298,6 +298,14 @@ SNAPSHOT_QUERIES = [
     "docs_prefix_boilerplate",
     "embed_cosine_pair_histogram",
     "docs_source_vocab_overlap",
+    # round-8 wave 2: pin the bounded-matrix power iteration (persisted
+    # transition relation), the pair-graph wedge join, and the
+    # broadcast top-1 MRR comparison
+    "part_brand_type_mi",
+    "supplier_balance_mad_outliers",
+    "dup_pairs_transitivity",
+    "events_markov_stationary",
+    "ann_mrr_eval",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
