@@ -87,6 +87,9 @@ _CHANGED_THIS_ROUND = [
     #    and the MRR retrieval eval --
     "part_brand_type_mi", "supplier_balance_mad_outliers",
     "dup_pairs_transitivity", "events_markov_stationary", "ann_mrr_eval",
+    # -- r8-changed: the perplexity-bucket cuts and bucketing passes now
+    #    share one persisted execution of the unigram-logprob pipeline --
+    "docs_perplexity_buckets",
 ]
 
 _REST = [

@@ -410,8 +410,15 @@ def docs_perplexity_buckets(spark, sf):
     relation, broadcast back as ONE row — no global sort of the corpus,
     no ntile window (the same shape as the user_rfm_segments rewrite).
     Per-bucket means are integer-scaled sums (order-independent,
-    engine-exact)."""
-    lp = TX.unigram_logprob(T(spark, sf, "documents"))
+    engine-exact).
+
+    The per-doc score relation is track_persist'ed: the cuts pass and
+    the bucketing pass share ONE execution of the unigram-logprob
+    pipeline (two corpus passes otherwise — the r8 single-subtree
+    discipline applied to the last flagged 2× caller)."""
+    from faconne_spark.operators.dedup import track_persist
+
+    lp = track_persist(TX.unigram_logprob(T(spark, sf, "documents")))
     cuts = (
         lp.agg(
             F.expr(f"percentile(mean_logprob, array({PPL_QS}))").alias("c")
