@@ -326,27 +326,40 @@ def fk_orphan_audit(spark, sf):
     with no parent row) — the first-ingest gate that catches a
     truncated dimension load before any join silently drops facts.
 
-    Scale (100 TB): each edge is one projected child column
-    anti-joined against the projected parent key — co-keyed shuffle
-    (or broadcast when the parent is a dimension, AQE's call); no
-    payload columns move.  The output is one row per edge."""
+    Scale (100 TB): each edge is ONE pass — the projected child column
+    left-joined against the projected parent key (co-keyed shuffle, or
+    broadcast when the parent is a dimension — AQE's call) with all
+    three counters read off the join in a single aggregation; no
+    payload columns move, and no second child scan (an anti-join +
+    separate tally pass would read every fact table twice).  The
+    output is one row per edge."""
     out = None
     for edge, child, fk, parent, pk in FK_EDGES:
         c = T(spark, sf, child).select(F.col(fk).alias("fk"))
-        p = T(spark, sf, parent).select(F.col(pk).alias("pk")).distinct()
-        orphans = (
-            c.filter(F.col("fk").isNotNull())
-            .join(p, F.col("fk") == F.col("pk"), "left_anti")
-            .agg(F.count("*").alias("n_orphan"))
+        p = (
+            T(spark, sf, parent)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
         )
-        tallies = c.agg(
-            F.count(F.lit(1)).alias("n_child"),
-            F.sum(
-                F.when(F.col("fk").isNull(), 1).otherwise(0)
-            ).alias("n_null_fk"),
-        )
-        row = tallies.crossJoin(orphans).select(
-            F.lit(edge).alias("edge"), "n_child", "n_null_fk", "n_orphan"
+        row = (
+            c.join(p, F.col("fk") == F.col("pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col("fk").isNull(), 1).otherwise(0)
+                ).alias("n_null_fk"),
+                F.sum(
+                    F.when(
+                        F.col("fk").isNotNull() & F.col("pk").isNull(), 1
+                    ).otherwise(0)
+                ).alias("n_orphan"),
+            )
+            .select(
+                F.lit(edge).alias("edge"),
+                "n_child",
+                "n_null_fk",
+                "n_orphan",
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out
