@@ -391,6 +391,10 @@ def main() -> None:
         "dup_pairs_transitivity",
         "events_markov_stationary",
         "ann_mrr_eval",
+        "customer_segment_balance_anova",
+        "docs_cross_source_duplication",
+        "orders_status_age_quantiles",
+        "embed_centroid_separation",
     ]
     times = {}
     shuffle = {}

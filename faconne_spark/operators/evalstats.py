@@ -880,3 +880,79 @@ def reliability_bins(
             "sum_score",
         )
     )
+
+
+def oneway_anova(
+    df: DataFrame, key: str, value_col: str, micro: int = 1_000_000
+) -> DataFrame:
+    """One-way ANOVA of ``value_col`` across the groups of ``key`` —
+    the categorical→numeric member of the association family (χ² covers
+    categorical→categorical, Pearson numeric→numeric, MI the
+    model-free case): F-statistic, degrees of freedom, and η² effect
+    size, answering "does this grouping explain any of the variance?".
+
+    Determinism: per-group sums fix-point to ``micro`` BIGINTs (one
+    map-side-combined pass); the between/within squared terms are
+    computed per GROUP in doubles derived from those identical
+    integers and micro-rounded to ONE BIGINT per group before the
+    final sum (the chi2_type_dow term discipline — never a float sum
+    across groups), so ssb/ssw are exact integers in both engines and
+    F/η² are final-expression doubles.  NULL F when fewer than two
+    groups, no residual degrees of freedom, or zero within-variance.
+
+    Scale (100 TB): one groupBy(key) over the data (3 counters), then
+    everything runs on the ≤ groups relation."""
+    vm = f"cast(round({value_col} * {micro}) as bigint)"
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"sum({vm})").alias("s"),
+            F.expr(
+                f"sum(cast({vm} as decimal(38,0))"
+                f" * cast({vm} as decimal(38,0)))"
+            ).alias("ss"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count("*").alias("k"),
+    )
+    # per-group micro-rounded terms (grand mean rides in as two exact
+    # integers, never a pre-divided float)
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "nt",
+        F.expr(
+            "cast(round(cast(n as double)"
+            " * pow(cast(s as double) / cast(n as double)"
+            "       - cast(st as double) / cast(nt as double), 2)"
+            " / 1000000.0, 0) as bigint)"
+        ).alias("__b"),
+        F.expr(
+            "cast(round((cast(ss as double)"
+            " - cast(s as double) * cast(s as double) / cast(n as double))"
+            " / 1000000.0, 0) as bigint)"
+        ).alias("__w"),
+    )
+    ssb = "cast(sum(__b) as double)"
+    ssw = "cast(sum(__w) as double)"
+    ok = (
+        "max(k) >= 2 and max(nt) > max(k) and sum(__w) > 0"
+    )
+    return terms.groupBy().agg(
+        F.max("k").cast("long").alias("n_groups"),
+        F.max("nt").cast("long").alias("n_rows"),
+        F.sum("__b").alias("ssb_micro"),
+        F.sum("__w").alias("ssw_micro"),
+        F.expr(
+            f"case when {ok} then round(({ssb} / (max(k) - 1))"
+            f" / ({ssw} / (max(nt) - max(k))), 6) + 0.0 end"
+        ).alias("f_stat"),
+        F.expr(
+            f"case when sum(__b) + sum(__w) > 0 then"
+            f" round({ssb} / ({ssb} + {ssw}), 6) + 0.0 end"
+        ).alias("eta_sq"),
+    )

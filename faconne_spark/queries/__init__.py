@@ -90,6 +90,11 @@ _CHANGED_THIS_ROUND = [
     # -- r8-changed: the perplexity-bucket cuts and bucketing passes now
     #    share one persisted execution of the unigram-logprob pipeline --
     "docs_perplexity_buckets",
+    # -- new in r8, wave 3: the ANOVA member of the association family,
+    #    the cross-source provenance matrix, backlog aging, and the
+    #    centroid-separability matrix --
+    "customer_segment_balance_anova", "docs_cross_source_duplication",
+    "orders_status_age_quantiles", "embed_centroid_separation",
 ]
 
 _REST = [

@@ -1777,3 +1777,275 @@ FROM rr
 
 QUERIES["ann_mrr_eval"] = ann_mrr_eval
 ORACLES["ann_mrr_eval"] = _oracle_mrr()
+
+
+# ----------------------------------------------- one-way ANOVA
+
+def customer_segment_balance_anova(spark, sf):
+    """One-way ANOVA of customer account balance across market
+    segments — does segment explain ANY balance variance?  The
+    categorical→numeric association gauge completing the family (χ²
+    categorical×categorical, Pearson numeric×numeric, MI model-free):
+    F, degrees of freedom and η² effect size via
+    evalstats.oneway_anova's integer-term discipline."""
+    from faconne_spark.operators.evalstats import oneway_anova
+
+    return oneway_anova(
+        T(spark, sf, "customer"), "c_mktsegment", "c_acctbal"
+    )
+
+
+ORACLE_SEGMENT_ANOVA = """
+WITH g AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n,
+         sum(round(c_acctbal * 1000000)::BIGINT)::BIGINT AS s,
+         sum(round(c_acctbal * 1000000)::BIGINT::DECIMAL(38,0)
+             * round(c_acctbal * 1000000)::BIGINT::DECIMAL(38,0)) AS ss
+  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         count(*)::BIGINT AS k
+  FROM g),
+terms AS (
+  SELECT k, nt,
+         round(n::DOUBLE * pow(s::DOUBLE / n::DOUBLE
+                               - st::DOUBLE / nt::DOUBLE, 2)
+               / 1000000.0, 0)::BIGINT AS b,
+         round((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+               / 1000000.0, 0)::BIGINT AS w
+  FROM g CROSS JOIN tot)
+SELECT max(k)::BIGINT AS n_groups, max(nt)::BIGINT AS n_rows,
+       sum(b)::BIGINT AS ssb_micro, sum(w)::BIGINT AS ssw_micro,
+       CASE WHEN max(k) >= 2 AND max(nt) > max(k) AND sum(w) > 0 THEN
+         round((sum(b)::DOUBLE / (max(k) - 1))
+               / (sum(w)::DOUBLE / (max(nt) - max(k))), 6) + 0.0 END
+         AS f_stat,
+       CASE WHEN sum(b) + sum(w) > 0 THEN
+         round(sum(b)::DOUBLE / (sum(b)::DOUBLE + sum(w)::DOUBLE), 6)
+         + 0.0 END AS eta_sq
+FROM terms
+"""
+
+QUERIES["customer_segment_balance_anova"] = customer_segment_balance_anova
+ORACLES["customer_segment_balance_anova"] = ORACLE_SEGMENT_ANOVA
+
+
+# ------------------------------------- cross-source duplication
+
+def docs_cross_source_duplication(spark, sf):
+    """Which sources copy from which: for every source pair, how many
+    exact content fingerprints they SHARE — the provenance matrix
+    behind mirror detection and per-source dedup budgets (a pair
+    sharing half its fingerprints is one feed ingested twice under
+    two names).
+
+    One fingerprint pass (md5 groupBy — the exact-dedup shape), then
+    the pair frame is a self-join of the DISTINCT (fp, source)
+    relation on fp: fingerprint groups are tiny (a fp seen by many
+    sources is itself the finding), so the join fans out per-group
+    quadratically only where duplication is real."""
+    from faconne_spark.functions import phash60
+    from faconne_spark.operators.dedup import NORM
+
+    fps = (
+        T(spark, sf, "documents")
+        .select(
+            "source", F.expr(phash60(NORM, "spark")).alias("fp")
+        )
+        .distinct()
+    )
+    return (
+        fps.select(F.col("source").alias("sa"), "fp")
+        .join(fps.select(F.col("source").alias("sb"), "fp"), "fp")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("n_shared_fingerprints"))
+    )
+
+
+def _oracle_cross_source_dup() -> str:
+    from faconne_spark.functions import phash60
+    from faconne_spark.operators.dedup import NORM_DUCK
+
+    h = phash60(NORM_DUCK, "duckdb")
+    return f"""
+WITH fps AS MATERIALIZED (
+  SELECT DISTINCT source, ({h}) AS fp FROM documents)
+SELECT a.source AS sa, b.source AS sb,
+       count(*)::BIGINT AS n_shared_fingerprints
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+QUERIES["docs_cross_source_duplication"] = docs_cross_source_duplication
+ORACLES["docs_cross_source_duplication"] = _oracle_cross_source_dup()
+
+
+# --------------------------------------- order status age quantiles
+
+def orders_status_age_quantiles(spark, sf):
+    """p50/p95/p99 of ORDER AGE (days since order date, against the
+    calendar's last day) per order status via the histogram sketch —
+    the backlog-aging tile ("how stale is what's still open?") next
+    to the fulfillment-lag quantiles.  One broadcast scalar for the
+    calendar max; the sketch's windows run over ≤ n_bins rows."""
+    from faconne_spark.operators.relational import histogram_quantiles
+    from faconne_spark.queries.curation import HQ_BINS, HQ_QS
+
+    o = T(spark, sf, "orders").select(
+        "o_orderstatus", F.expr("cast(o_orderdate as date)").alias("d")
+    )
+    maxd = o.agg(F.max("d").alias("maxd"))
+    ages = o.crossJoin(F.broadcast(maxd)).select(
+        F.col("o_orderstatus").alias("grp"),
+        F.expr("cast(datediff(maxd, d) as double)").alias("value"),
+    )
+    return histogram_quantiles(ages, "value", "grp", HQ_BINS, HQ_QS)
+
+
+def _oracle_status_age() -> str:
+    from faconne_spark.queries.curation import HQ_BINS, HQ_QS
+
+    nb = HQ_BINS
+    parts = []
+    for q in HQ_QS:
+        q_us = int(round(q * 1_000_000))
+        parts.append(f"""
+SELECT grp, {q} AS q,
+       round((_lo + (2 * _qbin + 1) * (_hi - _lo + 1) // {2 * nb})
+             / 1000000.0, 6) AS estimate
+FROM (
+  SELECT grp, min(_bin) AS _qbin, min(_lo) AS _lo, min(_hi) AS _hi
+  FROM cum WHERE _cum * 1000000 >= _total * {q_us}
+  GROUP BY grp)""")
+    return f"""
+WITH ages AS (
+  SELECT o_orderstatus AS grp,
+         ((SELECT max(o_orderdate::DATE) FROM orders) - o_orderdate::DATE)
+           ::BIGINT * 1000000 AS us
+  FROM orders),
+bounds AS (
+  SELECT grp, min(us) AS _lo, max(us) AS _hi FROM ages GROUP BY 1),
+binned AS (
+  SELECT a.grp,
+         cast(least(greatest(((least(greatest(us, _lo), _hi) - _lo)
+           * {nb}) // (_hi - _lo + 1), 0), {nb - 1}) AS INT) AS _bin,
+         count(*)::BIGINT AS _cnt, min(_lo) AS _lo, min(_hi) AS _hi
+  FROM ages a JOIN bounds USING (grp) GROUP BY 1, 2),
+cum AS (
+  SELECT grp, _bin, _lo, _hi,
+         sum(_cnt) OVER (PARTITION BY grp ORDER BY _bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         sum(_cnt) OVER (PARTITION BY grp) AS _total
+  FROM binned)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["orders_status_age_quantiles"] = orders_status_age_quantiles
+ORACLES["orders_status_age_quantiles"] = _oracle_status_age()
+
+
+# ------------------------------------------ centroid separation
+
+def embed_centroid_separation(spark, sf):
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    class-separability matrix (two labels whose centroids sit at
+    cos ≈ 1 are indistinguishable to a centroid classifier; the gauge
+    behind knn_classify_labels' error pattern).
+
+    Per-dim centroid means follow embed_label_centroids' shape
+    (posexplode → bounded (label, dim) partial-agg, 6-dp rounded) and
+    then fix-point to micro BIGINTs, so the pairwise dot/norm sums
+    over the 64 dims are EXACT integer sums (no cross-partition float
+    accumulation); the cosine is one final double expression over
+    DECIMAL products."""
+    from faconne_spark.session import spread
+
+    emb = spread(T(spark, sf, "embeddings"))
+    per_dim = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.expr(
+                "cast(round(round(avg(cast(val as double)), 6) * 1000000)"
+                " as bigint)"
+            ).alias("m")
+        )
+    )
+    a = per_dim.select(
+        F.col("label").alias("la"), "pos", F.col("m").alias("ma")
+    )
+    b = per_dim.select(
+        F.col("label").alias("lb"), "pos", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(ma as decimal(38,0)) * cast(mb as decimal(38,0))"
+                )
+            ).alias("dot"),
+        )
+    )
+    norms = per_dim.groupBy("label").agg(
+        F.sum(
+            F.expr("cast(m as decimal(38,0)) * cast(m as decimal(38,0))")
+        ).alias("nn")
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col("label").alias("la"),
+                                     F.col("nn").alias("na"))), "la"
+        )
+        .join(
+            F.broadcast(norms.select(F.col("label").alias("lb"),
+                                     F.col("nn").alias("nb"))), "lb"
+        )
+        .select(
+            "la",
+            "lb",
+            F.expr(
+                "case when na > 0 and nb > 0 then"
+                " round(cast(dot as double)"
+                " / sqrt(cast(na as double) * cast(nb as double)), 6)"
+                " + 0.0 end"
+            ).alias("centroid_cos"),
+        )
+    )
+
+
+ORACLE_CENTROID_SEP = """
+WITH dims AS (
+  SELECT label, unnest(embedding)::DOUBLE AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+per_dim AS (
+  SELECT label, pos,
+         round(round(avg(val), 6) * 1000000)::BIGINT AS m
+  FROM dims GROUP BY 1, 2),
+dots AS (
+  SELECT a.label AS la, b.label AS lb,
+         sum(a.m::DECIMAL(38,0) * b.m::DECIMAL(38,0)) AS dot
+  FROM per_dim a JOIN per_dim b
+    ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2),
+norms AS (
+  SELECT label, sum(m::DECIMAL(38,0) * m::DECIMAL(38,0)) AS nn
+  FROM per_dim GROUP BY 1)
+SELECT la, lb,
+       CASE WHEN na.nn > 0 AND nb.nn > 0 THEN
+         round(dot::DOUBLE / sqrt(na.nn::DOUBLE * nb.nn::DOUBLE), 6)
+         + 0.0 END AS centroid_cos
+FROM dots d JOIN norms na ON na.label = d.la
+JOIN norms nb ON nb.label = d.lb
+"""
+
+QUERIES["embed_centroid_separation"] = embed_centroid_separation
+ORACLES["embed_centroid_separation"] = ORACLE_CENTROID_SEP

@@ -306,6 +306,11 @@ SNAPSHOT_QUERIES = [
     "dup_pairs_transitivity",
     "events_markov_stationary",
     "ann_mrr_eval",
+    # round-8 wave 3
+    "customer_segment_balance_anova",
+    "docs_cross_source_duplication",
+    "orders_status_age_quantiles",
+    "embed_centroid_separation",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
