@@ -902,54 +902,60 @@ def oneway_anova(
 
     Scale (100 TB): one groupBy(key) over the data (3 counters), then
     everything runs on the ≤ groups relation."""
+    # internal aliases are dunder-prefixed and the key column is
+    # DROPPED before the cross join: a user key named "n"/"s"/"k"
+    # would otherwise collide and throw AMBIGUOUS_REFERENCE (found by
+    # the hypothesis replay test)
     vm = f"cast(round({value_col} * {micro}) as bigint)"
     g = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(key)
         .agg(
-            F.count("*").alias("n"),
-            F.expr(f"sum({vm})").alias("s"),
+            F.count("*").alias("__n"),
+            F.expr(f"sum({vm})").alias("__s"),
             F.expr(
                 f"sum(cast({vm} as decimal(38,0))"
                 f" * cast({vm} as decimal(38,0)))"
-            ).alias("ss"),
+            ).alias("__ss"),
         )
+        .select("__n", "__s", "__ss")
     )
     tot = g.agg(
-        F.sum("n").alias("nt"),
-        F.sum("s").alias("st"),
-        F.count("*").alias("k"),
+        F.sum("__n").alias("__nt"),
+        F.sum("__s").alias("__st"),
+        F.count("*").alias("__k"),
     )
     # per-group micro-rounded terms (grand mean rides in as two exact
     # integers, never a pre-divided float)
     terms = g.crossJoin(F.broadcast(tot)).select(
-        "k",
-        "nt",
+        "__k",
+        "__nt",
         F.expr(
-            "cast(round(cast(n as double)"
-            " * pow(cast(s as double) / cast(n as double)"
-            "       - cast(st as double) / cast(nt as double), 2)"
+            "cast(round(cast(__n as double)"
+            " * pow(cast(__s as double) / cast(__n as double)"
+            "       - cast(__st as double) / cast(__nt as double), 2)"
             " / 1000000.0, 0) as bigint)"
         ).alias("__b"),
         F.expr(
-            "cast(round((cast(ss as double)"
-            " - cast(s as double) * cast(s as double) / cast(n as double))"
+            "cast(round((cast(__ss as double)"
+            " - cast(__s as double) * cast(__s as double)"
+            " / cast(__n as double))"
             " / 1000000.0, 0) as bigint)"
         ).alias("__w"),
     )
     ssb = "cast(sum(__b) as double)"
     ssw = "cast(sum(__w) as double)"
     ok = (
-        "max(k) >= 2 and max(nt) > max(k) and sum(__w) > 0"
+        "max(__k) >= 2 and max(__nt) > max(__k) and sum(__w) > 0"
     )
     return terms.groupBy().agg(
-        F.max("k").cast("long").alias("n_groups"),
-        F.max("nt").cast("long").alias("n_rows"),
+        F.max("__k").cast("long").alias("n_groups"),
+        F.max("__nt").cast("long").alias("n_rows"),
         F.sum("__b").alias("ssb_micro"),
         F.sum("__w").alias("ssw_micro"),
         F.expr(
-            f"case when {ok} then round(({ssb} / (max(k) - 1))"
-            f" / ({ssw} / (max(nt) - max(k))), 6) + 0.0 end"
+            f"case when {ok} then round(({ssb} / (max(__k) - 1))"
+            f" / ({ssw} / (max(__nt) - max(__k))), 6) + 0.0 end"
         ).alias("f_stat"),
         F.expr(
             f"case when sum(__b) + sum(__w) > 0 then"

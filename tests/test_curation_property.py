@@ -4118,3 +4118,128 @@ def test_distributed_ntile_matches_native_with_nulls(spark, vals, n_tiles):
     }
     want = _native_ntile(spark, rows, n_tiles)
     assert got == want
+
+
+# ------------------------------------------- r8 operator properties
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.floats(0, 1000, allow_nan=False).map(lambda x: round(x, 3)),
+        min_size=1,
+        max_size=60,
+    ),
+    n_bins=st.integers(1, 16),
+)
+def test_histogram_quantiles_matches_python_replay(spark, vals, n_bins):
+    """For ANY value set and bin budget, the single-subtree read-off
+    (r8 rewrite: one conditional aggregation + stack) must equal a
+    plain-Python replay of the documented algorithm — micro-quantized
+    bounds, clamp-first binning, cumulative threshold, integer bin
+    midpoint."""
+    import math
+
+    from faconne_spark.operators.relational import histogram_quantiles
+
+    qs = (0.5, 0.95, 0.99)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "grp string, value double"
+    )
+    got = {
+        (r["q"]): r["estimate"]
+        for r in histogram_quantiles(df, "value", "grp", n_bins, qs).collect()
+    }
+    # plain-Python replay
+    us = [math.floor(v * 1_000_000 + 0.5) for v in vals]
+    lo, hi = min(us), max(us)
+    counts = [0] * n_bins
+    for u in us:
+        c = min(max(u, lo), hi)
+        counts[int((c - lo) * n_bins // (hi - lo + 1))] += 1
+    total = sum(counts)
+    want = {}
+    for q in qs:
+        q_us = int(round(q * 1_000_000))
+        cum = 0
+        for b, c in enumerate(counts):
+            cum += c
+            if cum * 1_000_000 >= total * q_us:
+                mid = lo + (2 * b + 1) * (hi - lo + 1) // (2 * n_bins)
+                want[q] = round(mid / 1_000_000.0, 6)
+                break
+    assert got == want
+
+
+@PROP
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.lists(
+            st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 2)),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_oneway_anova_matches_python_replay(spark, groups):
+    """For ANY grouping, oneway_anova's ssb/ssw integers must equal the
+    plain-Python replay of the documented per-group micro-rounded
+    terms, and F/η² must match the same final expressions (NULL
+    exactly when the guards say so)."""
+    from faconne_spark.operators.evalstats import oneway_anova
+
+    rows = [(k, float(v)) for k, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = oneway_anova(df, "k", "v").collect()[0]
+
+    g = {
+        k: (
+            len(vs),
+            sum(round(v * 1_000_000) for v in vs),
+            sum(round(v * 1_000_000) ** 2 for v in vs),
+        )
+        for k, vs in groups.items()
+    }
+    nt = sum(n for n, _, _ in g.values())
+    stt = sum(s for _, s, _ in g.values())
+    kk = len(g)
+    ssb = sum(
+        int(round(n * ((s / n) - (stt / nt)) ** 2 / 1_000_000.0))
+        for n, s, _ in g.values()
+    )
+    ssw = sum(
+        int(round((ss - s * s / n) / 1_000_000.0))
+        for n, s, ss in g.values()
+    )
+    assert got["n_groups"] == kk and got["n_rows"] == nt
+    assert got["ssb_micro"] == ssb and got["ssw_micro"] == ssw
+    if kk >= 2 and nt > kk and ssw > 0:
+        want_f = round((ssb / (kk - 1)) / (ssw / (nt - kk)), 6) + 0.0
+        assert got["f_stat"] == want_f
+    else:
+        assert got["f_stat"] is None
+
+
+@PROP
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**32 - 1),
+    channels=st.sampled_from([3, 4]),
+)
+def test_png_roundtrip_property(w, h, seed, channels):
+    """ANY pixel payload round-trips bit-exactly through the PNG codec
+    under the all-filters default (pure-Python; no Spark session)."""
+    import hashlib
+
+    from faconne_spark.operators.multimodal import png_encode, png_pixels
+
+    n = w * h * channels
+    d = hashlib.md5(str(seed).encode()).digest()
+    px = (d * (n // len(d) + 1))[:n]
+    assert png_pixels(png_encode(w, h, px, channels)) == (
+        w, h, channels, px,
+    )
