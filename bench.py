@@ -395,6 +395,9 @@ def main() -> None:
         "docs_cross_source_duplication",
         "orders_status_age_quantiles",
         "embed_centroid_separation",
+        "orders_reorder_acceleration",
+        "part_size_brand_ks",
+        "events_dau_mann_kendall",
     ]
     times = {}
     shuffle = {}

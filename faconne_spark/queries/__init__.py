@@ -95,6 +95,11 @@ _CHANGED_THIS_ROUND = [
     #    centroid-separability matrix --
     "customer_segment_balance_anova", "docs_cross_source_duplication",
     "orders_status_age_quantiles", "embed_centroid_separation",
+    # -- new in r8, wave 4: the three pairs staged as the r9 bank,
+    #    registered because the window still had slots (the bank_r8
+    #    precedent) --
+    "orders_reorder_acceleration", "part_size_brand_ks",
+    "events_dau_mann_kendall",
 ]
 
 _REST = [
@@ -218,6 +223,7 @@ def _merged(attr: str) -> dict:
         bank_r6,
         bank_r7,
         bank_r8,
+        bank_r9,
         curation,
         faconne_demo,
         pipeline,
@@ -231,7 +237,7 @@ def _merged(attr: str) -> dict:
     merged = {}
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
-        round7, stats_r7, bank_r8, round8,
+        round7, stats_r7, bank_r8, round8, bank_r9,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

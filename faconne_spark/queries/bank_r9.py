@@ -1,10 +1,10 @@
-"""Round-9 bank: query/oracle pairs built and cross-engine proven in
-round 8 while the driver window was already carrying 46 keys — staged
-so round 9 opens with free green rows (the bank_r6/bank_r7 discipline:
-operator + oracle + 3-SF driver-style test + plan contract, registered
-the moment a window slot exists).  tests/test_bank_r9.py runs each
-pair driver-style against DuckDB plus the partitioning-invariance
-sweep.
+"""Round-8 wave 4 (originally staged as the round-9 bank): three
+query/oracle pairs built and cross-engine proven at three SFs in
+round 8, then REGISTERED in the same round because the ≤50-key driver
+window still had free slots — an unregistered-but-proven key is a
+wasted green row when the window isn't full (the bank_r8 precedent,
+applied again).  tests/test_bank_r9.py keeps the bank-style driver +
+partitioning-invariance coverage.
 """
 
 from __future__ import annotations
@@ -252,3 +252,8 @@ FROM nd CROSS JOIN s CROSS JOIN ties
 
 BANK_QUERIES["events_dau_mann_kendall"] = events_dau_mann_kendall
 BANK_ORACLES["events_dau_mann_kendall"] = ORACLE_DAU_MK
+
+
+# registry aliases: _merged() consumes QUERIES/ORACLES from every module
+QUERIES = BANK_QUERIES
+ORACLES = BANK_ORACLES

@@ -311,6 +311,10 @@ SNAPSHOT_QUERIES = [
     "docs_cross_source_duplication",
     "orders_status_age_quantiles",
     "embed_centroid_separation",
+    # round-8 wave 4 (the registered r9 bank)
+    "orders_reorder_acceleration",
+    "part_size_brand_ks",
+    "events_dau_mann_kendall",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
