@@ -1087,3 +1087,92 @@ def test_decode_media_real_parses_png_dims():
     )
 
     assert decode_media_real(png_encode(7, 3, bytes(63))) == (7, 3)
+
+
+def test_round8_partitioning_invariant(spark, sf_dir):
+    """The r8 wave's partition-sensitive shapes — DECIMAL moment
+    folds (interarrival CV, assortativity, ANOVA), the integer
+    CUSUM/changepoint windows, the micro-int Markov trajectory, the
+    bit_or word merge, and the single-subtree quantile read-off —
+    must return identical rows under different shuffle-partition
+    counts."""
+    from faconne_spark.operators.dedup import release_caches
+    from faconne_spark.queries import all_queries
+
+    qs = all_queries()
+    sample = [
+        "events_interarrival_cv", "copurchase_degree_assortativity",
+        "customer_segment_balance_anova", "events_changepoint_binary",
+        "events_markov_stationary", "dedup_bloom_merged",
+        "lineitem_ship_lag_quantiles", "brand_price_volume_decomp",
+        "docs_hash_uniformity_chi2", "events_dau_mann_kendall",
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for k in sample:
+                rows = sorted(
+                    tuple(map(str, r))
+                    for r in qs[k](spark, sf_dir).collect()
+                )
+                results.setdefault(k, []).append(rows)
+                release_caches()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for k, (a, b) in results.items():
+        assert a == b and a, f"{k} differs across partitioning"
+
+
+def test_markov_stationary_matches_python_replay(spark, sf_dir):
+    """The 12-step integer trajectory must equal a plain-Python replay
+    of the documented algorithm (half-up micro transition probs,
+    exact source-marginal start vector, per-step half-up products) —
+    the local guard on the unrolled-CTE oracle's equivalence."""
+    from collections import defaultdict
+
+    from faconne_spark.queries import T
+    from faconne_spark.queries.round8 import (
+        MARKOV_POWER_ITERS,
+        events_markov_stationary,
+    )
+
+    got = {
+        r["event_type"]: (r["stationary_micro"], r["l1_residual_micro"])
+        for r in events_markov_stationary(spark, sf_dir).collect()
+    }
+    ev = sorted(
+        T(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    counts = defaultdict(int)
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"]:
+            counts[(a["event_type"], b["event_type"])] += 1
+
+    def half_up(num, den):
+        return (2 * num + den) // (2 * den)
+
+    row_tot = defaultdict(int)
+    for (f, t), n in counts.items():
+        row_tot[f] += n
+    p = {
+        (f, t): half_up(1_000_000 * n, row_tot[f])
+        for (f, t), n in counts.items()
+    }
+    n_tot = sum(counts.values())
+    v = {f: half_up(1_000_000 * n, n_tot) for f, n in row_tot.items()}
+    prev = None
+    for _ in range(MARKOV_POWER_ITERS):
+        prev = v
+        nxt = defaultdict(int)
+        for (f, t), pm in p.items():
+            if f in v:
+                nxt[t] += half_up(v[f] * pm, 1_000_000)
+        v = dict(nxt)
+    l1 = sum(abs(v[t] - prev[t]) for t in v if t in prev)
+    want = {t: (v[t], l1) for t in v if t in prev}
+    assert got == want
