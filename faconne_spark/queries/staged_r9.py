@@ -306,3 +306,152 @@ FROM cells GROUP BY lang
 
 BANK_QUERIES["docs_char_bigram_cond_entropy"] = docs_char_bigram_cond_entropy
 BANK_ORACLES["docs_char_bigram_cond_entropy"] = ORACLE_CHAR_BIGRAM_H
+
+
+# --------------------------------------- daily value Spearman trend
+
+def events_value_spearman_daily(spark, sf):
+    """Spearman rank correlation between the day index and the day's
+    MEAN event value — the monotone VALUE-trend tile next to the
+    count/DAU Mann–Kendall pair (volume can be flat while value per
+    event drifts).  Everything runs on the bounded daily relation:
+    exact integer day/value ranks (row_number over ≤ days rows, value
+    ties broken by day for a deterministic total order), then
+    Spearman's ρ = 1 − 6·Σd²/(n(n²−1)) — one exact BIGINT Σd², one
+    final double division.  Daily means are exact micro integers
+    (half-up of the µs sum) so the value ranking is identical
+    cross-engine."""
+    daily = (
+        T(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.expr("to_date(ts)").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")
+            ).alias("s"),
+        )
+        .select(
+            "day",
+            F.expr("cast((2 * s + n) div (2 * n) as bigint)").alias(
+                "mean_micro"
+            ),
+        )
+    )
+    wd = Window.orderBy("day")
+    wv = Window.orderBy("mean_micro", "day")
+    ranked = daily.withColumn(
+        "rd", F.row_number().over(wd).cast("long")
+    ).withColumn("rv", F.row_number().over(wv).cast("long"))
+    return ranked.agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.expr("(rd - rv) * (rd - rv)")).alias("sum_d2"),
+    ).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        "sum_d2",
+        F.expr(
+            "case when n_days >= 2 then round(1.0 - cast(6 * sum_d2"
+            " as double) / (cast(n_days as double)"
+            " * (cast(n_days as double) * n_days - 1)), 6) + 0.0 end"
+        ).alias("spearman_rho"),
+    )
+
+
+ORACLE_VALUE_SPEARMAN = """
+WITH daily AS (
+  SELECT ts::DATE AS day,
+         (2 * sum(floor(value * 1000000 + 0.5)::BIGINT) + count(*))
+           // (2 * count(*)) AS mean_micro
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY day)::BIGINT AS rd,
+         row_number() OVER (ORDER BY mean_micro, day)::BIGINT AS rv
+  FROM daily),
+agg AS (
+  SELECT count(*)::BIGINT AS n_days,
+         sum((rd - rv) * (rd - rv))::BIGINT AS sum_d2
+  FROM ranked)
+SELECT n_days, sum_d2,
+       CASE WHEN n_days >= 2 THEN
+         round(1.0 - (6 * sum_d2)::DOUBLE
+               / (n_days::DOUBLE * (n_days::DOUBLE * n_days - 1)), 6)
+         + 0.0 END AS spearman_rho
+FROM agg
+"""
+
+BANK_QUERIES["events_value_spearman_daily"] = events_value_spearman_daily
+BANK_ORACLES["events_value_spearman_daily"] = ORACLE_VALUE_SPEARMAN
+
+
+# --------------------------------------------- Heaps vocab growth
+
+HEAPS_BUCKETS = 10
+
+
+def docs_vocab_growth_heaps(spark, sf):
+    """Heaps'-law vocabulary growth curve: distinct vocabulary size
+    after each 10% slice of the corpus (hash order — deterministic,
+    order-free) — the gauge that says whether more data still buys
+    new vocabulary or the corpus has saturated (flattening curve =
+    diminishing token novelty; the macro complement of
+    docs_ngram_novelty's per-doc view).
+
+    ONE pass trick: per word, the MINIMUM bucket in which it appears
+    (groupBy word — corpus-sized but map-side combined), then the
+    cumulative count over the ≤ B first-seen tallies IS the distinct
+    vocabulary at each prefix — no per-prefix distinct scans (B scans
+    of the corpus would be the naive shape)."""
+    from faconne_spark.functions import phash60, tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    h = phash60("concat('hp:', cast(doc_id as string))", "spark")
+    B = HEAPS_BUCKETS
+    words = (
+        T(spark, sf, "documents")
+        .select(
+            F.expr(f"({h}) % {B}").alias("bucket"),
+            F.explode(F.expr(toks)).alias("word"),
+        )
+        .groupBy("word")
+        .agg(F.min("bucket").alias("first_bucket"))
+    )
+    tallies = words.groupBy("first_bucket").agg(
+        F.count("*").alias("new_words")
+    )
+    wc = Window.orderBy("first_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return tallies.withColumn(
+        "vocab_size", F.sum("new_words").over(wc).cast("long")
+    ).select(
+        F.col("first_bucket").cast("int").alias("bucket"),
+        F.col("new_words").cast("long").alias("new_words"),
+        "vocab_size",
+    )
+
+
+def _oracle_heaps() -> str:
+    from faconne_spark.functions import phash60, tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    h = phash60("('hp:' || doc_id::VARCHAR)", "duckdb")
+    return f"""
+WITH words AS (
+  SELECT word, min(bucket)::BIGINT AS first_bucket FROM (
+    SELECT ({h}) % {HEAPS_BUCKETS} AS bucket,
+           unnest({toks}) AS word
+    FROM documents)
+  GROUP BY word),
+tallies AS (
+  SELECT first_bucket, count(*)::BIGINT AS new_words
+  FROM words GROUP BY 1)
+SELECT first_bucket::INT AS bucket, new_words,
+       sum(new_words) OVER (ORDER BY first_bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS vocab_size
+FROM tallies
+"""
+
+
+BANK_QUERIES["docs_vocab_growth_heaps"] = docs_vocab_growth_heaps
+BANK_ORACLES["docs_vocab_growth_heaps"] = _oracle_heaps()
