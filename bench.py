@@ -398,6 +398,13 @@ def main() -> None:
         "orders_reorder_acceleration",
         "part_size_brand_ks",
         "events_dau_mann_kendall",
+        # round-9 registrations (the staged_r9 six)
+        "events_dow_volume_anova",
+        "orders_value_cv_by_segment",
+        "events_type_cooccurrence_pmi",
+        "docs_char_bigram_cond_entropy",
+        "events_value_spearman_daily",
+        "docs_vocab_growth_heaps",
     ]
     times = {}
     shuffle = {}

@@ -36,178 +36,114 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # any key whose plan snapshot drifted from the stamped round-close
 # manifest must appear here, and the block must fit the window.
 _CHANGED_THIS_ROUND = [
-    # ================= r8 changed/new block (count ≤ 50!) =================
-    # -- r8-changed: the histogram-sketch read-off is ONE conditional
-    #    aggregation + stack() unpivot instead of a per-quantile
-    #    filter+union (judge r7 finding #1 — the union re-executed the
-    #    entire upstream once per quantile), and the four expensive-
-    #    upstream callers persist their 2-column input so the bounds
-    #    and binning passes share one execution --
+    # ================= r9 changed/new block (count ≤ 50!) =================
+    # -- new in r9: the six pairs proven and staged at the r8 close
+    #    (queries/staged_r9.py, proofs in tests/test_staged_r9.py at
+    #    3 SFs + a partitioning-invariance sweep) — registration was
+    #    deliberately deferred because the r8 window closed at 49/50 --
+    "events_dow_volume_anova", "orders_value_cv_by_segment",
+    "events_type_cooccurrence_pmi", "docs_char_bigram_cond_entropy",
+    "events_value_spearman_daily", "docs_vocab_growth_heaps",
+]
+
+_REST = [
+    # -- unchanged keys (fresh r8 rows), r8 order --
     "lineitem_ship_lag_quantiles", "events_session_quantiles",
     "orders_interpurchase_quantiles", "events_user_lifetime_quantiles",
     "events_value_quantiles", "events_value_quantiles_merged",
     "events_quantile_calibration", "events_winsorized_stats",
     "embed_norm_quantiles", "docs_source_length_quantiles",
-    "events_value_weighted_quantiles",
-    # -- r8-changed (judge r8 ADVICE): both-arms guard on lift_raw,
-    #    DECIMAL(38,0) Σc² in the hour HHI, atexit-reclaimed sample
-    #    tmpdir + empty-bucket degrade, explicit NULL→bucket-0
-    #    contract in distributed_ntile (plan text changes for its four
-    #    callers), backslash-safe stack literals in the profile audit --
-    "events_ab_cuped", "events_hour_hhi", "docs_file_sample",
-    "docs_profile_completeness",
-    "ntile_custbal_deciles", "orders_lorenz_curve", "events_whale_share",
-    "orders_pareto_8020",
-    # -- new in r8: the LAST two mergeable states read off the merge
-    #    through the gate (VERDICT r7 ask #3) — Bloom word bitmaps
-    #    (bit_or) and Poisson-bootstrap part sums (addition) --
-    "dedup_bloom_merged", "events_bootstrap_merged",
-    # -- new in r8: BPE learning + segmentation through the gate
-    #    (VERDICT r7 ask #5 — the oracle LEARNS the merges in an
-    #    unrolled CTE ladder; greedy merge ≡ leftmost replace) --
-    "docs_bpe_token_counts",
-    # -- new in r8: real stdlib-zlib PNG decode proven through the
-    #    gate on decoded pixel content (VERDICT r7 ask #4); the ahash
-    #    key's image filter now also admits image/png (plan text) --
-    "mm_png_decode", "mm_image_ahash",
-    # -- new in r8, analytics wave: integrity audits (FK orphans, PK
-    #    duplicates, hash uniformity), temporal statistics (interarrival
-    #    CV, binary changepoint, two-way dow×type decomposition),
-    #    sketch calibration (KMV k sweep), merchandising decomposition,
-    #    graph assortativity, and text/embedding calibration gauges --
-    "fk_orphan_audit", "pk_duplicate_audit", "docs_hash_uniformity_chi2",
+    "events_value_weighted_quantiles", "events_ab_cuped", "events_hour_hhi",
+    "docs_file_sample", "docs_profile_completeness", "ntile_custbal_deciles",
+    "orders_lorenz_curve", "events_whale_share", "orders_pareto_8020",
+    "dedup_bloom_merged", "events_bootstrap_merged", "docs_bpe_token_counts",
+    "mm_png_decode", "mm_image_ahash", "fk_orphan_audit",
+    "pk_duplicate_audit", "docs_hash_uniformity_chi2",
     "events_interarrival_cv", "events_changepoint_binary",
     "events_dow_type_decomp", "events_kmv_precision_sweep",
     "brand_price_volume_decomp", "copurchase_degree_assortativity",
     "docs_prefix_boilerplate", "embed_cosine_pair_histogram",
-    "docs_source_vocab_overlap",
-    # -- new in r8, wave 2: operator reuse on fresh surfaces (MI on the
-    #    catalog, MAD on the supply side), the dup-pair transitivity
-    #    audit, the integer-trajectory Markov stationary distribution,
-    #    and the MRR retrieval eval --
-    "part_brand_type_mi", "supplier_balance_mad_outliers",
-    "dup_pairs_transitivity", "events_markov_stationary", "ann_mrr_eval",
-    # -- r8-changed: the perplexity-bucket cuts and bucketing passes now
-    #    share one persisted execution of the unigram-logprob pipeline --
-    "docs_perplexity_buckets",
-    # -- new in r8, wave 3: the ANOVA member of the association family,
-    #    the cross-source provenance matrix, backlog aging, and the
-    #    centroid-separability matrix --
+    "docs_source_vocab_overlap", "part_brand_type_mi",
+    "supplier_balance_mad_outliers", "dup_pairs_transitivity",
+    "events_markov_stationary", "ann_mrr_eval", "docs_perplexity_buckets",
     "customer_segment_balance_anova", "docs_cross_source_duplication",
     "orders_status_age_quantiles", "embed_centroid_separation",
-    # -- new in r8, wave 4: the three pairs staged as the r9 bank,
-    #    registered because the window still had slots (the bank_r8
-    #    precedent) --
     "orders_reorder_acceleration", "part_size_brand_ks",
     "events_dau_mann_kendall",
-]
-
-_REST = [
-    # -- unchanged keys (fresh r7 rows), r7 order --
+    # -- unchanged keys (fresh r1-r7 rows), prior order --
     "events_funnel_ci", "docs_lang_purity_ci", "orders_priority_mix_drift",
     "events_markov_cond_entropy", "part_brand_supplier_hhi",
     "events_burstiness", "docs_filter_confusion", "events_weekend_effect",
-    "events_ab_power", "docs_profile_completeness",
-    "events_session_quantiles",
-    "events_hll_merged", "docs_cms_topk_merged", "events_auc_merged",
-    "docs_file_sample",
-    "orders_lorenz_curve", "ntile_custbal_deciles",
-    "events_ab_cuped", "events_mann_kendall_trend",
+    "events_ab_power", "events_hll_merged", "docs_cms_topk_merged",
+    "events_auc_merged", "events_mann_kendall_trend",
     "events_autocorr_daily", "customer_segment_nation_chi2",
-    "events_value_ecdf", "events_session_bounce",
-    "orders_repeat_rate_ci", "events_transition_lift",
-    "docs_simhash_bit_bias", "embed_norm_quantiles",
-    "lineitem_discount_lift", "docs_ttr_by_source",
-    "events_hill_tail_alpha", "orders_order_size_hist",
-    "lineitem_ship_lag_quantiles",
-    "events_whale_share", "docs_dedup_survivor_bias",
+    "events_value_ecdf", "events_session_bounce", "orders_repeat_rate_ci",
+    "events_transition_lift", "docs_simhash_bit_bias",
+    "lineitem_discount_lift", "docs_ttr_by_source", "events_hill_tail_alpha",
+    "orders_order_size_hist", "docs_dedup_survivor_bias",
     "docs_ngram_coverage_curve", "part_type_price_dispersion",
     "supplier_debt_rate_ci", "docs_char_entropy_by_lang",
-    "events_gap_survival", "events_user_lifetime_quantiles",
-    "customer_balance_vs_orders_corr", "part_brand_price_premium",
-    "docs_source_length_quantiles", "lineitem_qty_returnflag_ks",
-    "events_ks_merged", "events_kmv_merged",
-    "docs_stopword_rate_by_lang", "events_hour_hhi",
-    "part_size_vs_price_corr", "orders_pareto_8020",
-    # -- unchanged keys (fresh r6 rows), r6 order --
-    "events_kmv_distinct", "events_kmv_overlap", "customer_order_golden",
-    "customer_fs_scores", "orders_basket_confidence",
-    "part_skyline_by_brand", "docs_vocab_kmv", "events_auc_purchase",
-    "events_value_bootstrap", "events_ks_value_drift", "docs_rater_kappa",
-    "part_copurchase_kcore", "part_copurchase_ra", "events_day_concurrency",
-    "ann_rrf_fusion", "events_benford", "events_quantile_normalize",
-    "events_value_weighted_quantiles", "events_type_value_mi",
-    "events_type_entropy",
-    "events_value_quantiles", "events_active_users_rollup",
-    "events_pr_auc", "docs_reliability_curve", "dedup_changefeed",
-    "events_value_quantiles_merged", "events_purchase_rate_ci",
-    "events_ab_srm", "part_copurchase_jaccard",
-    "dedup_simhash_hamming_hist", "events_chi2_type_dow",
-    "dedup_lsh_banding_sweep", "events_winsorized_stats",
-    "events_new_vs_returning",
-    "dup_cluster_source_mix", "events_topk_user_churn",
-    "embed_pq_distortion",
-    "orders_basket_chi2", "lineitem_return_rate_ci",
-    "events_retention_ci",
-    "orders_interpurchase_quantiles",
-    # -- unchanged keys (fresh r5 rows), r5 order --
-    "fac_campus_report", "fac_expand_aggs",
-    "dedup_stitch", "training_manifest", "dedup_cascade",
+    "events_gap_survival", "customer_balance_vs_orders_corr",
+    "part_brand_price_premium", "lineitem_qty_returnflag_ks",
+    "events_ks_merged", "events_kmv_merged", "docs_stopword_rate_by_lang",
+    "part_size_vs_price_corr", "events_kmv_distinct", "events_kmv_overlap",
+    "customer_order_golden", "customer_fs_scores",
+    "orders_basket_confidence", "part_skyline_by_brand", "docs_vocab_kmv",
+    "events_auc_purchase", "events_value_bootstrap", "events_ks_value_drift",
+    "docs_rater_kappa", "part_copurchase_kcore", "part_copurchase_ra",
+    "events_day_concurrency", "ann_rrf_fusion", "events_benford",
+    "events_quantile_normalize", "events_type_value_mi",
+    "events_type_entropy", "events_active_users_rollup", "events_pr_auc",
+    "docs_reliability_curve", "dedup_changefeed", "events_purchase_rate_ci",
+    "events_ab_srm", "part_copurchase_jaccard", "dedup_simhash_hamming_hist",
+    "events_chi2_type_dow", "dedup_lsh_banding_sweep",
+    "events_new_vs_returning", "dup_cluster_source_mix",
+    "events_topk_user_churn", "embed_pq_distortion", "orders_basket_chi2",
+    "lineitem_return_rate_ci", "events_retention_ci", "fac_campus_report",
+    "fac_expand_aggs", "dedup_stitch", "training_manifest", "dedup_cascade",
     "quality_feature_cov", "events_ab_test", "customer_fuzzy_matches",
-    "embed_pca_gramian", "dedup_semantic",
-    "text_tokenizer_fertility", "docs_ngram_novelty", "docs_cdc_chunks",
-    "docs_token_cms_topk", "docs_dsir_resample",
-    "dedup_cdc", "events_ab_sequential", "events_quantile_calibration",
+    "embed_pca_gramian", "dedup_semantic", "text_tokenizer_fertility",
+    "docs_ngram_novelty", "docs_cdc_chunks", "docs_token_cms_topk",
+    "docs_dsir_resample", "dedup_cdc", "events_ab_sequential",
     "events_hll_distinct", "dedup_bloom_prefilter", "events_ewma",
-    "events_hll_overlap", "mm_image_ahash", "mm_audio_resample",
-    "events_cusum_drift", "docs_split_leakage", "embed_matryoshka_recall",
-    "dedup_setsim_prefix", "sample_priority", "events_hourly_seasonality", "docs_source_lang_kl", "embed_centroid_drift",
-    "fac_pyagg_second_top", "dedup_recent_window", "win_rolling_7d",
-    "join_size_from_stats", "docs_nb_quality_classifier", "ann_nprobe_sweep", "events_conversion_lag",
-    "events_anomaly_seasonal", "orders_revenue_gini",
-    "events_sessionize", "events_audience_overlap", "orders_basket_lift",
-    "part_skyline", "embed_diversity", "events_range_partition_plan",
-    "dup_graph_lpa", "mm_scene_cuts",
-    # -- unchanged keys (fresh r4 rows), r4 order --
-    "text_gopher_rules", "docs_importance_weights",
-    "docs_bpe_pair_counts", "events_fill_forward", "dup_graph_triangles",
-    "events_incremental_stats",
-    "dedup_minhash_pr",
-    "text_boilerplate_segments", "pack_training_chunks",
-    "docs_chunk_overlap", "docs_bigram_logprob",
-    "contamination_embedding", "sample_temperature", "events_anomaly_mad",
-    "scd2_customer_merge", "dedup_keep_best", "docs_zipf_slope",
-    "events_zorder_key", "docs_perplexity_buckets", "mm_audio_stats",
-    "customer_ltv_cohorts", "events_path_ngrams", "embed_quantize_int8",
-    "dup_graph_pagerank", "ann_hard_negatives",
+    "events_hll_overlap", "mm_audio_resample", "events_cusum_drift",
+    "docs_split_leakage", "embed_matryoshka_recall", "dedup_setsim_prefix",
+    "sample_priority", "events_hourly_seasonality", "docs_source_lang_kl",
+    "embed_centroid_drift", "fac_pyagg_second_top", "dedup_recent_window",
+    "win_rolling_7d", "join_size_from_stats", "docs_nb_quality_classifier",
+    "ann_nprobe_sweep", "events_conversion_lag", "events_anomaly_seasonal",
+    "orders_revenue_gini", "events_sessionize", "events_audience_overlap",
+    "orders_basket_lift", "part_skyline", "embed_diversity",
+    "events_range_partition_plan", "dup_graph_lpa", "mm_scene_cuts",
+    "text_gopher_rules", "docs_importance_weights", "docs_bpe_pair_counts",
+    "events_fill_forward", "dup_graph_triangles", "events_incremental_stats",
+    "dedup_minhash_pr", "text_boilerplate_segments", "pack_training_chunks",
+    "docs_chunk_overlap", "docs_bigram_logprob", "contamination_embedding",
+    "sample_temperature", "events_anomaly_mad", "scd2_customer_merge",
+    "dedup_keep_best", "docs_zipf_slope", "events_zorder_key",
+    "mm_audio_stats", "customer_ltv_cohorts", "events_path_ngrams",
+    "embed_quantize_int8", "dup_graph_pagerank", "ann_hard_negatives",
     "ann_recall_eval", "text_readability", "dedup_minhash_calibration",
     "embed_threshold_sweep", "join_skew_report", "corpus_snapshot_diff",
-    "events_attribution",
-    "mm_resize", "mm_image_meta", "mm_frame_sample",
-    "dedup_containment", "dedup_winnowing",
-    "dedup_clusters", "dup_graph_stats", "dedup_simhash",
-    "dedup_minhash_lsh", "dedup_incremental", "user_rfm_segments",
-    "quality_gate",
-    # -- unchanged keys, r3 order --
-    "text_lang_id", "fac_store_products", "events_json_props",
-    "lang_id_trained",
-    "text_token_count", "text_repetition",
-    "docs_topk_ngrams", "customer_order_reconciliation",
-    "text_quality", "sql_api_segment_revenue", "sample_stratified",
-    "sliding_window_counts", "cap_per_source", "source_stats",
-    "text_pii_scrub", "doc_len_histogram", "events_retention_cohorts",
-    "vocab_coverage", "corpus_health", "events_markov_transitions",
-    "text_token_entropy", "embed_norm", "events_window_zscore",
-    "stream_session_agg",
-    "stream_window_counts", "lang_id_confusion", "part_price_stats",
-    "corpus_mixture_plan", "embed_label_centroids", "knn_classify_labels",
-    "text_unigram_logprob", "pipeline_clean_corpus",
-    "ann_lsh_bucketed", "contamination_ngram", "orders_monthly_yoy",
-    "ann_cosine_topk", "doc_tfidf_keywords", "embed_outliers",
-    "dedup_embedding_cosine", "ann_ivf", "basket_part_pairs",
-    "ann_pq_adc", "ann_ivf_pq", "text_fingerprint",
-    "ann_ivf_kmeans",
-    "neardup_rate_by_source",
+    "events_attribution", "mm_resize", "mm_image_meta", "mm_frame_sample",
+    "dedup_containment", "dedup_winnowing", "dedup_clusters",
+    "dup_graph_stats", "dedup_simhash", "dedup_minhash_lsh",
+    "dedup_incremental", "user_rfm_segments", "quality_gate", "text_lang_id",
+    "fac_store_products", "events_json_props", "lang_id_trained",
+    "text_token_count", "text_repetition", "docs_topk_ngrams",
+    "customer_order_reconciliation", "text_quality",
+    "sql_api_segment_revenue", "sample_stratified", "sliding_window_counts",
+    "cap_per_source", "source_stats", "text_pii_scrub", "doc_len_histogram",
+    "events_retention_cohorts", "vocab_coverage", "corpus_health",
+    "events_markov_transitions", "text_token_entropy", "embed_norm",
+    "events_window_zscore", "stream_session_agg", "stream_window_counts",
+    "lang_id_confusion", "part_price_stats", "corpus_mixture_plan",
+    "embed_label_centroids", "knn_classify_labels", "text_unigram_logprob",
+    "pipeline_clean_corpus", "ann_lsh_bucketed", "contamination_ngram",
+    "orders_monthly_yoy", "ann_cosine_topk", "doc_tfidf_keywords",
+    "embed_outliers", "dedup_embedding_cosine", "ann_ivf",
+    "basket_part_pairs", "ann_pq_adc", "ann_ivf_pq", "text_fingerprint",
+    "ann_ivf_kmeans", "neardup_rate_by_source",
 ]
 
 # changed keys lead; a key promoted into the changed block drops out of
@@ -229,6 +165,7 @@ def _merged(attr: str) -> dict:
         pipeline,
         round7,
         round8,
+        staged_r9,
         stats_r7,
         tpch,
         tpch_ext,
@@ -237,7 +174,7 @@ def _merged(attr: str) -> dict:
     merged = {}
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
-        round7, stats_r7, bank_r8, round8, bank_r9,
+        round7, stats_r7, bank_r8, round8, bank_r9, staged_r9,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

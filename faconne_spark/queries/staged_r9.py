@@ -455,3 +455,8 @@ FROM tallies
 
 BANK_QUERIES["docs_vocab_growth_heaps"] = docs_vocab_growth_heaps
 BANK_ORACLES["docs_vocab_growth_heaps"] = _oracle_heaps()
+
+
+# registered in round 9 (the staged proofs became driver-gated keys)
+QUERIES = BANK_QUERIES
+ORACLES = BANK_ORACLES

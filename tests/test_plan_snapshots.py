@@ -315,6 +315,13 @@ SNAPSHOT_QUERIES = [
     "orders_reorder_acceleration",
     "part_size_brand_ks",
     "events_dau_mann_kendall",
+    # round-9: the staged_r9 six, registered this round
+    "events_dow_volume_anova",
+    "orders_value_cv_by_segment",
+    "events_type_cooccurrence_pmi",
+    "docs_char_bigram_cond_entropy",
+    "events_value_spearman_daily",
+    "docs_vocab_growth_heaps",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
