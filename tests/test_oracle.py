@@ -77,6 +77,18 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
 
+    # gate-vacuity guard (VERDICT r8 ask #2): an empty result makes the
+    # oracle comparison below 0-rows-vs-0-rows — green while proving
+    # nothing.  Keys legitimately empty at this SF must carry a waiver
+    # naming their constructed-fixture proof (tests/vacuity_waivers.py;
+    # test_vacuity_guard.py checks the named tests exist).
+    from vacuity_waivers import VACUITY_WAIVERS
+
+    assert srows or name in VACUITY_WAIVERS, (
+        f"{name}: empty at {sf_dir} — the gate row would be vacuous; "
+        "add a constructed-fixture test + waiver in tests/vacuity_waivers.py"
+    )
+
     if name not in ORACLES:
         # rows-only check (non-SQL-expressible op)
         assert len(srows) >= 0
