@@ -177,6 +177,20 @@ def main() -> None:
     ).collect()
     calibration = round(time.perf_counter() - t0, 3)
 
+    # Spark-stack calibration (judge r8 ask #4): the CPU microbench
+    # above doesn't move with the cost that dominates sub-3 s queries —
+    # JVM scheduling, stage launch, codegen, shuffle machinery.  Time a
+    # FIXED tiny multi-stage job (32 tasks/stage, a shuffle, trivial
+    # data — pure per-stage overhead) five times so cross-round
+    # comparisons of small-query totals have a denominator measuring
+    # the same stack.
+    t0 = time.perf_counter()
+    for _ in range(5):
+        spark.range(0, 32_000, 1, 32).selectExpr(
+            "id % 97 AS k"
+        ).groupBy("k").count().selectExpr("sum(count) AS n").collect()
+    spark_calibration = round(time.perf_counter() - t0, 3)
+
     from faconne_spark.operators.dedup import release_caches
 
     # measured but excluded from the headline total, so round-over-round
@@ -481,6 +495,7 @@ def main() -> None:
                 {
                     "times_sec": times,
                     "machine_calibration_sec": calibration,
+                    "spark_calibration_sec": spark_calibration,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "cpus": cpus,
                 },
@@ -499,6 +514,7 @@ def main() -> None:
                 "unit": "sec",
                 "total_r3_comparable_subset": prev_compat,
                 "machine_calibration_sec": calibration,
+                "spark_calibration_sec": spark_calibration,
                 "queries": times,
                 "sf": sf_val,
                 "cpus": cpus,
@@ -521,6 +537,7 @@ def main() -> None:
                 "unit": "sec",
                 "total_r3_comparable_subset": prev_compat,
                 "machine_calibration_sec": calibration,
+                "spark_calibration_sec": spark_calibration,
                 "queries": {n: t for n, t in times.items() if n in HEADLINE},
                 "queries_timed": len(times),
                 "sf": sf_val,
