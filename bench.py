@@ -412,7 +412,8 @@ def main() -> None:
         "orders_reorder_acceleration",
         "part_size_brand_ks",
         "events_dau_mann_kendall",
-        # round-9 registrations (the staged_r9 six)
+        # round-9 registrations (JPEG decode + the staged_r9 six)
+        "mm_jpeg_decode",
         "events_dow_volume_anova",
         "orders_value_cv_by_segment",
         "events_type_cooccurrence_pmi",

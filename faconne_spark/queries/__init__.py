@@ -37,6 +37,10 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # manifest must appear here, and the block must fit the window.
 _CHANGED_THIS_ROUND = [
     # ================= r9 changed/new block (count ≤ 50!) =================
+    # -- new in r9: real baseline-JPEG decode proven through the gate
+    #    on decoded pixel content (judge r8 ask #3); the ahash image
+    #    filter now also admits image/jpeg (plan text change) --
+    "mm_jpeg_decode", "mm_image_ahash",
     # -- new in r9: the six pairs proven and staged at the r8 close
     #    (queries/staged_r9.py, proofs in tests/test_staged_r9.py at
     #    3 SFs + a partitioning-invariance sweep) — registration was
@@ -165,6 +169,7 @@ def _merged(attr: str) -> dict:
         pipeline,
         round7,
         round8,
+        round9,
         staged_r9,
         stats_r7,
         tpch,
@@ -174,7 +179,7 @@ def _merged(attr: str) -> dict:
     merged = {}
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
-        round7, stats_r7, bank_r8, round8, bank_r9, staged_r9,
+        round7, stats_r7, bank_r8, round8, bank_r9, staged_r9, round9,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

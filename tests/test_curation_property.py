@@ -4243,3 +4243,56 @@ def test_png_roundtrip_property(w, h, seed, channels):
     assert png_pixels(png_encode(w, h, px, channels)) == (
         w, h, channels, px,
     )
+
+
+@PROP
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_gray_near_lossless_roundtrip_property(w, h, seed):
+    """ANY grayscale payload round-trips within ±2 through the JPEG
+    codec under all-ones quantization (the only loss left is DCT float
+    noise + one int rounding) — including non-multiple-of-8 sizes,
+    which exercise the pad/crop path."""
+    import hashlib
+
+    from faconne_spark.operators.multimodal import jpeg_encode, jpeg_pixels
+
+    n = w * h
+    d = hashlib.md5(str(seed).encode()).digest()
+    px = (d * (n // len(d) + 1))[:n]
+    w2, h2, ch, out = jpeg_pixels(
+        jpeg_encode(w, h, px, channels=1, quant=([1] * 64, [1] * 64))
+    )
+    assert (w2, h2, ch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 2
+
+
+@PROP
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**32 - 1),
+    subsampling=st.sampled_from(["4:4:4", "4:2:0"]),
+)
+def test_jpeg_color_flat_roundtrip_property(w, h, seed, subsampling):
+    """A flat COLOR image (one RGB everywhere) round-trips within ±2
+    at both supported sampling layouts — chroma subsample/upsample and
+    both color transforms are exercised with no spatial aliasing to
+    hide behind."""
+    import hashlib
+
+    from faconne_spark.operators.multimodal import jpeg_encode, jpeg_pixels
+
+    d = hashlib.md5(str(seed).encode()).digest()
+    px = bytes(d[:3]) * (w * h)
+    w2, h2, ch, out = jpeg_pixels(
+        jpeg_encode(
+            w, h, px, channels=3, subsampling=subsampling,
+            quant=([1] * 64, [1] * 64),
+        )
+    )
+    assert (w2, h2, ch) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 2

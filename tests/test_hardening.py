@@ -1177,3 +1177,156 @@ def test_markov_stationary_matches_python_replay(spark, sf_dir):
     l1 = sum(abs(v[t] - prev[t]) for t in v if t in prev)
     want = {t: (v[t], l1) for t in v if t in prev}
     assert got == want
+
+
+# ------------------------------------------------------ JPEG codec (r9)
+
+def test_jpeg_flat_blocks_roundtrip_exactly():
+    """Flat 8x8 blocks + all-ones quant tables make the lossy pipeline
+    exactly invertible (DC-only DCT) — the invariant the gate oracle
+    replays in closed form."""
+    import hashlib
+
+    import numpy as np
+
+    from faconne_spark.operators.multimodal import jpeg_encode, jpeg_pixels
+
+    d = hashlib.md5(b"gate fixture").digest()
+    wb, hb = 3, 3
+    vals = np.array([d[k] for k in range(wb * hb)], dtype=np.uint8)
+    px = vals.reshape(hb, wb).repeat(8, 0).repeat(8, 1).tobytes()
+    payload = jpeg_encode(
+        8 * wb, 8 * hb, px, channels=1, quant=([1] * 64, [1] * 64)
+    )
+    assert jpeg_pixels(payload) == (8 * wb, 8 * hb, 1, px)
+
+
+def test_jpeg_idct_matches_independent_reference():
+    """The codec's numpy IDCT must agree with a from-the-formula pure
+    Python IDCT on random coefficient blocks (the hypothesis-replay
+    discipline: an independent implementation of the documented
+    algorithm, not the codec's own matrix)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from faconne_spark.operators.multimodal import _jpeg_dct_matrix
+
+    rng = random.Random(9)
+    F_ = np.array(
+        [[rng.randint(-200, 200) for _ in range(8)] for _ in range(8)],
+        dtype=np.float64,
+    )
+    C = _jpeg_dct_matrix()
+    codec = np.einsum("ux,uv,vy->xy", C, F_, C)
+    for x in range(8):
+        for y in range(8):
+            ref = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = math.sqrt(0.5) if u == 0 else 1.0
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    ref += (
+                        0.25 * cu * cv * F_[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            assert abs(codec[x, y] - ref) < 1e-9
+
+
+def test_jpeg_entropy_coding_known_vector():
+    """A flat single-block stream must serialize to the exact Annex K
+    bit pattern (DC cat code + diff bits + EOB, 1-padded) — pins the
+    Huffman tables and the differential-DC path against hand-derived
+    bytes, independent of the decoder."""
+    from faconne_spark.operators.multimodal import (
+        _jpeg_segments,
+        jpeg_encode,
+    )
+
+    payload = jpeg_encode(8, 8, bytes([94]) * 64, quant=([1] * 64, [1] * 64))
+    tag, start, ln = list(_jpeg_segments(payload))[-1]
+    assert tag == 0xDA
+    # DC = 8*(94-128) = -272: category 9 (code 1111110), value bits
+    # -272 + 511 = 239 (011101111), EOB (1010), pad 1111
+    assert payload[start + ln : -2] == bytes([0xFC, 0xEF, 0xAF])
+
+
+def test_jpeg_ahash_equals_bmp_and_png_on_same_pixels():
+    """The same flat-block pixel content must hash identically via
+    BMP (RGB), PNG (RGB) and grayscale JPEG — the cross-codec pin that
+    ties the new JPEG pixel path to the oracle-proven BMP path."""
+    import hashlib
+
+    import numpy as np
+
+    from faconne_spark.operators.multimodal import (
+        ahash64_real,
+        bmp_encode,
+        bmp_row_stride,
+        jpeg_encode,
+        png_encode,
+    )
+
+    d = hashlib.md5(b"ahash pin").digest()
+    wb, hb = 2, 2
+    w, h = 8 * wb, 8 * hb
+    gray = (
+        np.array([d[k] for k in range(wb * hb)], dtype=np.uint8)
+        .reshape(hb, wb).repeat(8, 0).repeat(8, 1)
+    )
+    rgb = np.repeat(gray[:, :, None], 3, axis=2).tobytes()
+    assert bmp_row_stride(w) == 3 * w  # no padding at this width
+    bmp = bmp_encode(w, h, rgb)
+    png = png_encode(w, h, rgb)
+    jpg = jpeg_encode(w, h, gray.tobytes(), channels=1,
+                      quant=([1] * 64, [1] * 64))
+    assert ahash64_real(bmp) == ahash64_real(png) == ahash64_real(jpg)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn streams decode: predictors reset at each interval and
+    the reader re-syncs on the byte-aligned marker."""
+    import random
+
+    from faconne_spark.operators.multimodal import jpeg_encode, jpeg_pixels
+
+    rng = random.Random(4)
+    w, h = 40, 24
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    payload = jpeg_encode(
+        w, h, px, channels=1, quant=([1] * 64, [1] * 64), restart_interval=2
+    )
+    assert b"\xff\xd0" in payload  # at least one RST0 actually emitted
+    w2, h2, ch, out = jpeg_pixels(payload)
+    assert (w2, h2, ch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 2
+
+
+def test_jpeg_unsupported_layouts_fail_loudly():
+    """Progressive SOF2 raises NotImplementedError toward the codec
+    seam; truncated and desynced streams raise ValueError."""
+    import pytest
+
+    from faconne_spark.operators.multimodal import jpeg_dims, jpeg_pixels
+
+    sof2 = b"\xff\xd8\xff\xc2\x00\x08" + bytes(6)
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        jpeg_dims(sof2)
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        jpeg_pixels(sof2)
+    with pytest.raises(ValueError):
+        jpeg_pixels(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg_pixels(b"\xff\xd8\xff\xdb\x00\x43\x00" + bytes(64))  # no SOS
+
+
+def test_decode_media_real_parses_jpeg_dims():
+    from faconne_spark.operators.multimodal import (
+        decode_media_real,
+        jpeg_encode,
+    )
+
+    payload = jpeg_encode(24, 16, bytes(24 * 16), channels=1)
+    assert decode_media_real(payload) == (24, 16)

