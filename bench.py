@@ -414,6 +414,17 @@ def main() -> None:
         "events_dau_mann_kendall",
         # round-9 registrations (JPEG decode + the staged_r9 six)
         "mm_jpeg_decode",
+        "mm_jpeg_ahash",
+        # round-9 analytics wave
+        "events_type_share_drift_jsd",
+        "events_user_entropy_quantiles",
+        "copurchase_clustering_coeff",
+        "orders_priority_balance_catrend",
+        "orders_value_decile_migration",
+        "ann_label_consistency",
+        "ann_hubness",
+        "embed_twonn_intrinsic_dim",
+        "docs_ocr_garbage_score",
         "events_dow_volume_anova",
         "orders_value_cv_by_segment",
         "events_type_cooccurrence_pmi",

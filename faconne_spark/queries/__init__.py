@@ -40,7 +40,15 @@ _CHANGED_THIS_ROUND = [
     # -- new in r9: real baseline-JPEG decode proven through the gate
     #    on decoded pixel content (judge r8 ask #3); the ahash image
     #    filter now also admits image/jpeg (plan text change) --
-    "mm_jpeg_decode", "mm_image_ahash",
+    "mm_jpeg_decode", "mm_image_ahash", "mm_jpeg_ahash",
+    # -- new in r9, analytics wave: drift (JSD), behavioral-diversity
+    #    distribution, graph transitivity, ordered-trend test,
+    #    decile-migration matrix, kNN label consistency + hubness,
+    #    TwoNN intrinsic dimension, OCR-garbage gate --
+    "events_type_share_drift_jsd", "events_user_entropy_quantiles",
+    "copurchase_clustering_coeff", "orders_priority_balance_catrend",
+    "orders_value_decile_migration", "ann_label_consistency",
+    "ann_hubness", "embed_twonn_intrinsic_dim", "docs_ocr_garbage_score",
     # -- new in r9: the six pairs proven and staged at the r8 close
     #    (queries/staged_r9.py, proofs in tests/test_staged_r9.py at
     #    3 SFs + a partitioning-invariance sweep) — registration was

@@ -69,3 +69,955 @@ FROM geom
 
 QUERIES["mm_jpeg_decode"] = mm_jpeg_decode
 ORACLES["mm_jpeg_decode"] = _oracle_jpeg_decode()
+
+
+# ------------------------------------------------ JPEG ahash gate proof
+
+def mm_jpeg_ahash(spark, sf):
+    """Average-hash over DECODED JPEG pixels through the gate: the
+    flat-block grayscale JPEGs from synthesize_jpeg go through the
+    full entropy+IDCT decode inside extract_image_ahash (its filter
+    admits image/jpeg since r9), and the oracle replays the hash in
+    closed form from md5(text) — grid cell g samples block
+    (sy div 8, sx div 8), grayscale luma is 3× the single sample, so
+    the same content hashes identically across BMP/PNG/JPEG (the
+    cross-codec pin, now driver-gated for JPEG)."""
+    from faconne_spark.operators import multimodal as MM
+
+    docs = T(spark, sf, "documents")
+    return MM.extract_image_ahash(MM.synthesize_jpeg(docs))
+
+
+def _oracle_jpeg_ahash() -> str:
+    from faconne_spark.functions import bit_mask64
+
+    dig = (
+        "list_transform(range(0, 16), i ->"
+        " (strpos('0123456789abcdef', substr(hx, (2 * i + 1)::INTEGER, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(hx, (2 * i + 2)::INTEGER, 1)) - 1)"
+    )
+    # grid cell g samples stored pixel (sy, sx); the image is flat
+    # 8x8 blocks, so the sample IS digest byte (sy//8)*wb + (sx//8),
+    # and grayscale luma = 3 * sample (ahash64_real's 1-channel rule)
+    luma = (
+        "3 * d[((((((g // 8) * h) // 8) // 8) * wb"
+        " + ((((g % 8) * w) // 8) // 8)) % 16) + 1]"
+    )
+    mask = bit_mask64("g", "duckdb")
+    return f"""
+WITH img AS (
+  SELECT doc_id, md5(text) AS hx FROM documents),
+digest AS (
+  SELECT doc_id, {dig} AS d FROM img),
+geom AS (
+  SELECT doc_id, d,
+         (1 + (d[1] % 3)) AS wb, (1 + (d[2] % 3)) AS hb
+  FROM digest),
+sized AS (
+  SELECT doc_id, d, wb, hb, 8 * wb AS w, 8 * hb AS h FROM geom),
+lum AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, 64), g -> {luma}) AS ls
+  FROM sized),
+tot AS (
+  SELECT doc_id, w, h, ls, list_sum(ls) AS total FROM lum)
+SELECT doc_id, w::INTEGER AS width, h::INTEGER AS height,
+       list_sum(list_transform(range(0, 64), g ->
+         CASE WHEN 64 * ls[(g + 1)::INTEGER] > total
+              THEN {mask} ELSE 0 END))::BIGINT AS ahash64
+FROM tot
+"""
+
+
+QUERIES["mm_jpeg_ahash"] = mm_jpeg_ahash
+ORACLES["mm_jpeg_ahash"] = _oracle_jpeg_ahash()
+
+
+# --------------------------------------- type-share drift (JSD, halves)
+
+def events_type_share_drift_jsd(spark, sf):
+    """Jensen–Shannon divergence between the event-type MIX of the
+    first and second calendar halves, in exact integer micro-nats —
+    the symmetric, bounded (≤ ln 2) companion to the KL/χ²/PSI drift
+    family: "did WHAT users do change, regardless of volume?".
+
+    Integer discipline: the per-type ratio p/m equals
+    2·c₀·N₁ / (c₀·N₁ + c₁·N₀) — a ratio of exact BIGINTs — so each
+    cell micro-rounds ONE ln of one double division (the per-cell
+    ln-before-multiply rule); the two weighted sums divide out in a
+    single half-up integer step.  Zero-in-one-half types contribute
+    exactly their ln 2 arm, as the true JSD does.
+
+    Scale: one events pass to the per-type half counts (≤ types
+    rows); everything after is a broadcast-scalar expression."""
+    ev = T(spark, sf, "events").select(
+        F.expr("to_date(ts)").alias("d"), "event_type"
+    )
+    split = ev.agg(
+        F.expr(
+            "date_add(min(d), cast(datediff(max(d), min(d)) div 2 as int))"
+        ).alias("split_d")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("if(d < split_d, 1, 0)")).alias("c0"),
+            F.sum(F.expr("if(d >= split_d, 1, 0)")).alias("c1"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    ln_micro = (
+        "cast(round(ln(cast(2 * {c} * {n_other} as double)"
+        " / ({c} * {n_other} + {c_other} * {n_self})) * 1000000, 0)"
+        " as bigint)"
+    )
+    cells = counts.crossJoin(F.broadcast(tot)).select(
+        "c0", "c1", "n0", "n1",
+        F.expr(
+            "if(c0 > 0, "
+            + ln_micro.format(c="c0", n_other="n1", c_other="c1",
+                              n_self="n0")
+            + ", cast(0 as bigint))"
+        ).alias("l0"),
+        F.expr(
+            "if(c1 > 0, "
+            + ln_micro.format(c="c1", n_other="n0", c_other="c0",
+                              n_self="n1")
+            + ", cast(0 as bigint))"
+        ).alias("l1"),
+    )
+    return cells.groupBy().agg(
+        F.count("*").alias("n_types"),
+        F.min("n0").alias("n0_events"),
+        F.min("n1").alias("n1_events"),
+        F.expr(
+            "cast((2 * (sum(c0 * l0) * min(n1) + sum(c1 * l1) * min(n0))"
+            " + 2 * min(n0) * min(n1))"
+            " div (4 * min(n0) * min(n1)) as bigint)"
+        ).alias("jsd_micro"),
+    )
+
+
+ORACLE_TYPE_JSD = """
+WITH ev AS (
+  SELECT ts::DATE AS d, event_type FROM events),
+split AS (
+  SELECT min(d) + ((max(d) - min(d)) // 2)::INTEGER AS split_d FROM ev),
+counts AS (
+  SELECT event_type,
+         sum(CASE WHEN d < split_d THEN 1 ELSE 0 END)::BIGINT AS c0,
+         sum(CASE WHEN d >= split_d THEN 1 ELSE 0 END)::BIGINT AS c1
+  FROM ev CROSS JOIN split GROUP BY 1),
+tot AS (SELECT sum(c0)::BIGINT AS n0, sum(c1)::BIGINT AS n1 FROM counts),
+cells AS (
+  SELECT c0, c1, n0, n1,
+         CASE WHEN c0 > 0 THEN round(ln((2 * c0 * n1)::DOUBLE
+              / (c0 * n1 + c1 * n0)) * 1000000, 0)::BIGINT
+              ELSE 0 END AS l0,
+         CASE WHEN c1 > 0 THEN round(ln((2 * c1 * n0)::DOUBLE
+              / (c1 * n0 + c0 * n1)) * 1000000, 0)::BIGINT
+              ELSE 0 END AS l1
+  FROM counts CROSS JOIN tot)
+SELECT count(*)::BIGINT AS n_types,
+       min(n0)::BIGINT AS n0_events, min(n1)::BIGINT AS n1_events,
+       ((2 * (sum(c0 * l0) * min(n1) + sum(c1 * l1) * min(n0))
+         + 2 * min(n0) * min(n1))
+        // (4 * min(n0) * min(n1)))::BIGINT AS jsd_micro
+FROM cells
+"""
+
+QUERIES["events_type_share_drift_jsd"] = events_type_share_drift_jsd
+ORACLES["events_type_share_drift_jsd"] = ORACLE_TYPE_JSD
+
+
+# ---------------------------------------- per-user entropy distribution
+
+def events_user_entropy_quantiles(spark, sf):
+    """p50/p95/p99 of PER-USER event-type entropy (exact integer
+    micro-nats per user) via the mergeable histogram sketch — the
+    behavioral-diversity DISTRIBUTION behind events_type_entropy's
+    corpus scalar: a fat low-entropy head is single-purpose traffic,
+    a high-entropy tail is explorers.
+
+    Per-user H = (1/n_u)·Σ_t c·ln(n_u/c): each cell micro-rounds its
+    ln BEFORE the count multiply (the repo's entropy discipline), the
+    weighted sum is exact BIGINT, and the single half-up division by
+    n_u makes h_micro an exact integer both engines agree on.  The
+    per-user relation is persisted so the sketch's bounds and binning
+    passes share one execution."""
+    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.relational import histogram_quantiles
+    from faconne_spark.queries.curation import HQ_BINS, HQ_QS
+
+    cnt = (
+        T(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    nu = cnt.groupBy("user_id").agg(F.sum("n").alias("n_u"))
+    per_user = track_persist(
+        cnt.join(nu, "user_id")
+        .withColumn(
+            "__l",
+            F.expr(
+                "cast(round(ln(cast(n_u as double) / n) * 1000000, 0)"
+                " as bigint)"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "cast((2 * sum(n * __l) + min(n_u))"
+                " div (2 * min(n_u)) as bigint)"
+            ).alias("h_micro")
+        )
+        .select(
+            F.lit("all").alias("grp"),
+            F.expr("cast(h_micro as double) / 1000000").alias("value"),
+        )
+    )
+    return histogram_quantiles(per_user, "value", "grp", HQ_BINS, HQ_QS)
+
+
+def _oracle_user_entropy_quantiles() -> str:
+    from faconne_spark.queries.curation import HQ_BINS, HQ_QS
+
+    nb = HQ_BINS
+    parts = []
+    for q in HQ_QS:
+        q_us = int(round(q * 1_000_000))
+        parts.append(f"""
+SELECT grp, {q} AS q,
+       round((_lo + (2 * _qbin + 1)::BIGINT * (_hi - _lo + 1) // {2 * nb})
+             / 1000000.0, 6) AS estimate
+FROM (
+  SELECT grp, min(_bin) AS _qbin, min(_lo) AS _lo, min(_hi) AS _hi
+  FROM cum WHERE _cum * 1000000 >= _total * {q_us}
+  GROUP BY grp)""")
+    return f"""
+WITH cnt AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+nu AS (SELECT user_id, sum(n)::BIGINT AS n_u FROM cnt GROUP BY 1),
+cells AS (
+  SELECT c.user_id, c.n, u.n_u,
+         round(ln(u.n_u::DOUBLE / c.n) * 1000000, 0)::BIGINT AS l
+  FROM cnt c JOIN nu u USING (user_id)),
+vals AS (
+  SELECT 'all' AS grp,
+         ((2 * sum(n * l) + min(n_u)) // (2 * min(n_u)))::BIGINT AS us
+  FROM cells GROUP BY user_id),
+bounds AS (SELECT grp, min(us) AS _lo, max(us) AS _hi FROM vals GROUP BY 1),
+binned AS (
+  SELECT v.grp,
+         ((least(greatest(v.us, bo._lo), bo._hi) - bo._lo) * {nb}
+          // (bo._hi - bo._lo + 1))::INT AS _bin,
+         count(*) AS _cnt, min(bo._lo) AS _lo, min(bo._hi) AS _hi
+  FROM vals v JOIN bounds bo USING (grp)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT grp, _bin, _lo, _hi,
+         sum(_cnt) OVER (PARTITION BY grp ORDER BY _bin) AS _cum,
+         sum(_cnt) OVER (PARTITION BY grp) AS _total
+  FROM binned)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["events_user_entropy_quantiles"] = events_user_entropy_quantiles
+ORACLES["events_user_entropy_quantiles"] = _oracle_user_entropy_quantiles()
+
+
+# ------------------------------------- co-purchase graph transitivity
+
+def copurchase_clustering_coeff(spark, sf):
+    """Global clustering coefficient (transitivity = 3·triangles /
+    wedges) of the part co-purchase graph — the one-scalar "is
+    co-buying cliquish or hub-and-spoke?" gauge over the SAME shared
+    pair build as the k-core/RA/Jaccard family (bank_r6
+    _copurchase_pairs ⇆ COPURCHASE_CTE, so the keys cannot drift).
+
+    Scale: triangles by the oriented wedge join on a < b < c (each
+    triangle counted once, no direction blowup); wedges are the exact
+    BIGINT Σ deg·(deg−1)/2 — no pairwise relation beyond the wedge
+    join's, which LSH-capped/df-bounded degrees keep bounded."""
+    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.queries.bank_r6 import _copurchase_pairs
+
+    pairs = track_persist(_copurchase_pairs(spark, sf))
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b"), F.col("id_a")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    degs = deg.groupBy().agg(
+        F.count("*").alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+        F.sum(F.expr("deg * (deg - 1)")).alias("__2w"),
+    )
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p1.id_b") == F.col("p2.id_a"))
+        .join(
+            p3,
+            (F.col("p1.id_a") == F.col("p3.id_a"))
+            & (F.col("p2.id_b") == F.col("p3.id_b")),
+        )
+        .groupBy()
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = pairs.groupBy().agg(F.count("*").alias("n_edges"))
+    return (
+        degs.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            F.expr("cast(__2w div 2 as bigint)").alias("n_wedges"),
+            "n_triangles",
+            F.expr(
+                "if(__2w > 0,"
+                " cast((2 * 3000000 * n_triangles + (__2w div 2))"
+                " div (2 * (__2w div 2)) as bigint),"
+                " cast(null as bigint))"
+            ).alias("transitivity_micro"),
+        )
+    )
+
+
+def _oracle_clustering_coeff() -> str:
+    from faconne_spark.queries.bank_r6 import COPURCHASE_CTE
+
+    return f"""
+WITH {COPURCHASE_CTE},
+deg AS MATERIALIZED (
+  SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+degs AS (
+  SELECT count(*)::BIGINT AS n_nodes, max(deg)::BIGINT AS max_degree,
+         sum(deg * (deg - 1))::BIGINT AS w2
+  FROM deg),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM prs p1
+  JOIN prs p2 ON p2.id_a = p1.id_b
+  JOIN prs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM prs)
+SELECT n_nodes, n_edges, max_degree,
+       (w2 // 2)::BIGINT AS n_wedges, n_triangles,
+       CASE WHEN w2 > 0
+            THEN (2 * 3000000 * n_triangles + (w2 // 2))
+                 // (2 * (w2 // 2))
+       END::BIGINT AS transitivity_micro
+FROM degs CROSS JOIN tri CROSS JOIN ne
+"""
+
+
+QUERIES["copurchase_clustering_coeff"] = copurchase_clustering_coeff
+ORACLES["copurchase_clustering_coeff"] = _oracle_clustering_coeff()
+
+
+# ----------------------------- Cochran–Armitage trend across deciles
+
+def orders_priority_balance_catrend(spark, sf):
+    """Cochran–Armitage trend test of URGENT-order incidence across
+    customer balance deciles: does the share of customers with at
+    least one 1-URGENT order TREND with wealth, not merely differ
+    (the χ² family answers "differ"; this answers "monotone")?
+
+    Deciles come from distributed_ntile (no partition-less window —
+    the dimension-scale rank discipline).  The trend numerator
+    N·A − B·X and the variance core X·(N−X)·(N·C − B²)/N are exact
+    BIGINT expressions of the decile score sums; z is one final
+    sqrt+division both engines derive from identical integers."""
+    from faconne_spark.operators.relational import distributed_ntile
+    from pyspark.sql import Window
+
+    cust = T(spark, sf, "customer").withColumn(
+        "__cents", F.expr("cast(round(c_acctbal * 100) as bigint)")
+    )
+    tiled = distributed_ntile(
+        cust, "__cents", ("c_acctbal", "c_custkey"), 10, tile_col="decile"
+    )
+    urgent = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("u", F.lit(1))
+    )
+    per_decile = (
+        tiled.join(urgent, "c_custkey", "left")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.coalesce("u", F.lit(0))).alias("n_urgent"),
+        )
+    )
+    w = Window.partitionBy()
+    comp = per_decile.select(
+        "decile", "n_customers", "n_urgent",
+        F.expr(
+            "cast((2 * 1000000 * n_urgent + n_customers)"
+            " div (2 * n_customers) as bigint)"
+        ).alias("urgent_rate_micro"),
+        F.sum(F.expr("decile * n_urgent")).over(w).alias("__a"),
+        F.sum(F.expr("decile * n_customers")).over(w).alias("__b"),
+        F.sum(F.expr("decile * decile * n_customers")).over(w).alias("__c"),
+        F.sum("n_urgent").over(w).alias("__x"),
+        F.sum("n_customers").over(w).alias("__n"),
+    )
+    return comp.select(
+        "decile", "n_customers", "n_urgent", "urgent_rate_micro",
+        F.expr(
+            "round((cast(__n * __a - __b * __x as double))"
+            " / sqrt(cast(__x as double) * (__n - __x)"
+            " * (__n * __c - __b * __b) / __n), 6)"
+        ).alias("z_trend"),
+    )
+
+
+ORACLE_CATREND = """
+WITH tiled AS (
+  SELECT c_custkey,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer),
+urgent AS (
+  SELECT DISTINCT o_custkey AS c_custkey, 1 AS u FROM orders
+  WHERE o_orderpriority = '1-URGENT'),
+per_decile AS (
+  SELECT decile, count(*)::BIGINT AS n_customers,
+         sum(coalesce(u, 0))::BIGINT AS n_urgent
+  FROM tiled LEFT JOIN urgent USING (c_custkey)
+  GROUP BY 1),
+comp AS (
+  SELECT decile, n_customers, n_urgent,
+         ((2 * 1000000 * n_urgent + n_customers)
+          // (2 * n_customers))::BIGINT AS urgent_rate_micro,
+         sum(decile * n_urgent) OVER () AS a,
+         sum(decile * n_customers) OVER () AS b,
+         sum(decile * decile * n_customers) OVER () AS c,
+         sum(n_urgent) OVER () AS x,
+         sum(n_customers) OVER () AS n
+  FROM per_decile)
+SELECT decile, n_customers, n_urgent, urgent_rate_micro,
+       round((n * a - b * x)::DOUBLE
+             / sqrt(x::DOUBLE * (n - x) * (n * c - b * b) / n), 6)
+         AS z_trend
+FROM comp
+"""
+
+QUERIES["orders_priority_balance_catrend"] = orders_priority_balance_catrend
+ORACLES["orders_priority_balance_catrend"] = ORACLE_CATREND
+
+
+# ------------------------------------ spend-decile migration matrix
+
+def orders_value_decile_migration(spark, sf):
+    """Customer spend-decile MIGRATION matrix between the first and
+    second calendar halves: where did each half-0 decile's customers
+    land in half 1?  The churn/upsell mobility tile behind LTV
+    models — a heavy diagonal is a sticky base, mass below it is
+    decay.  Only customers active in BOTH halves enter (entry/exit
+    is the reorder key's business).
+
+    Both decile assignments use distributed_ntile on exact cents —
+    rank semantics with NO partition-less window, so the plan
+    survives a 100× customer dimension."""
+    from faconne_spark.operators.relational import distributed_ntile
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("cast(o_orderdate as date)").alias("d"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    split = o.agg(
+        F.expr(
+            "date_add(min(d), cast(datediff(max(d), min(d)) div 2 as int))"
+        ).alias("split_d")
+    )
+    per_half = (
+        o.crossJoin(F.broadcast(split))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("if(d < split_d, cents, 0)")).alias("cents0"),
+            F.sum(F.expr("if(d >= split_d, cents, 0)")).alias("cents1"),
+            F.sum(F.expr("if(d < split_d, 1, 0)")).alias("n0"),
+            F.sum(F.expr("if(d >= split_d, 1, 0)")).alias("n1"),
+        )
+        .filter("n0 > 0 and n1 > 0")
+    )
+    from faconne_spark.operators.dedup import track_persist
+
+    per_half = track_persist(per_half)
+    h0 = distributed_ntile(
+        per_half.select("o_custkey", "cents0"),
+        "cents0", ("cents0", "o_custkey"), 10, tile_col="decile0",
+    ).select("o_custkey", "decile0")
+    h1 = distributed_ntile(
+        per_half.select("o_custkey", "cents1"),
+        "cents1", ("cents1", "o_custkey"), 10, tile_col="decile1",
+    ).select("o_custkey", "decile1")
+    return (
+        h0.join(h1, "o_custkey")
+        .groupBy("decile0", "decile1")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+ORACLE_DECILE_MIGRATION = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate::DATE AS d,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders),
+split AS (
+  SELECT min(d) + ((max(d) - min(d)) // 2)::INTEGER AS split_d FROM o),
+per_half AS (
+  SELECT o_custkey,
+         sum(CASE WHEN d < split_d THEN cents ELSE 0 END)::BIGINT AS cents0,
+         sum(CASE WHEN d >= split_d THEN cents ELSE 0 END)::BIGINT AS cents1,
+         sum(CASE WHEN d < split_d THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN d >= split_d THEN 1 ELSE 0 END) AS n1
+  FROM o CROSS JOIN split
+  GROUP BY 1 HAVING n0 > 0 AND n1 > 0),
+h0 AS (
+  SELECT o_custkey,
+         ntile(10) OVER (ORDER BY cents0, o_custkey) AS decile0
+  FROM per_half),
+h1 AS (
+  SELECT o_custkey,
+         ntile(10) OVER (ORDER BY cents1, o_custkey) AS decile1
+  FROM per_half)
+SELECT decile0, decile1, count(*)::BIGINT AS n_customers
+FROM h0 JOIN h1 USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+QUERIES["orders_value_decile_migration"] = orders_value_decile_migration
+ORACLES["orders_value_decile_migration"] = ORACLE_DECILE_MIGRATION
+
+
+# ------------------------------------------- kNN label consistency
+
+ALC_NQ = 64   # query subset (vec_id < ALC_NQ) — bounded brute force
+ALC_KS = (1, 5, 10)
+
+
+def ann_label_consistency(spark, sf):
+    """Label consistency@k of the exact kNN graph: for each query, the
+    fraction of its top-k cosine neighbors sharing its label, averaged
+    over queries, at k = 1/5/10 — the "is the embedding space even
+    label-separable?" eval that precedes any classifier
+    (knn_classify_labels predicts; this scores the neighborhood
+    itself).  One ranked pass read off at all three k's (conditional
+    aggregation — the quantile read-off shape, no per-k re-rank).
+
+    Scale: queries broadcast (bounded subset), the corpus never
+    shuffles for scoring; consistency is exact integer micro."""
+    from faconne_spark.functions import cosine_sim
+    from pyspark.sql import Window
+
+    emb = T(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < ALC_NQ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    scored = (
+        emb.select("vec_id", "embedding", "label")
+        .crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "q_label", "label",
+            F.round(
+                F.expr(cosine_sim("embedding", "q_emb", "spark")), 6
+            ).alias("cos_sim"),
+            "vec_id",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= max(ALC_KS)
+    )
+    aggs = [F.countDistinct("q_id").alias("n_queries")]
+    for k in ALC_KS:
+        aggs.append(
+            F.sum(
+                F.expr(f"if(rk <= {k} and label = q_label, 1, 0)")
+            ).alias(f"__m{k}")
+        )
+    one = ranked.groupBy().agg(*aggs)
+    stack = ", ".join(
+        f"{k}, cast((2000000 * __m{k} + {k} * n_queries)"
+        f" div (2 * {k} * n_queries) as bigint)"
+        for k in ALC_KS
+    )
+    return one.selectExpr(
+        f"stack({len(ALC_KS)}, {stack}) AS (k, consistency_micro)",
+        "n_queries",
+    ).select("k", "n_queries", "consistency_micro")
+
+
+def _oracle_label_consistency() -> str:
+    from faconne_spark.functions import cosine_sim
+
+    sim = cosine_sim("c.embedding", "q.embedding", "duckdb")
+    kmax = max(ALC_KS)
+    parts = []
+    for k in ALC_KS:
+        parts.append(f"""
+SELECT {k} AS k, (SELECT count(DISTINCT q_id) FROM ranked) AS n_queries,
+       ((2000000 * sum(CASE WHEN rk <= {k} AND label = q_label
+                       THEN 1 ELSE 0 END)
+         + {k} * (SELECT count(DISTINCT q_id) FROM ranked))
+        // (2 * {k} * (SELECT count(DISTINCT q_id) FROM ranked))
+       )::BIGINT AS consistency_micro
+FROM ranked""")
+    return f"""
+WITH ranked AS MATERIALIZED (
+  SELECT q_id, q_label, label, rk FROM (
+    SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({sim}, 6) DESC, c.vec_id) AS rk
+    FROM embeddings c
+    JOIN embeddings q ON q.vec_id < {ALC_NQ} AND c.vec_id != q.vec_id)
+  WHERE rk <= {kmax})
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["ann_label_consistency"] = ann_label_consistency
+ORACLES["ann_label_consistency"] = _oracle_label_consistency()
+
+
+# ----------------------------------------------- kNN hubness profile
+
+HUB_K = 5
+HUB_QMOD = 4  # hash-sampled query panel: vec_id % HUB_QMOD = 0
+
+
+def ann_hubness(spark, sf):
+    """k-occurrence (hubness) histogram of the exact kNN graph over a
+    hash-sampled query panel: how many corpus vectors appear in 0, 1,
+    2, … panel queries' top-k — the retrieval pathology gauge (a
+    long-tailed k-occurrence profile means a few hub vectors dominate
+    every answer list while anti-hubs are never retrieved;
+    intrinsic-dimension trouble).  Counts scale with the panel size;
+    the tail SHAPE — the thing the gauge exists for — does not.
+
+    Scale: the panel bounds the brute-force pair stage (panel × corpus,
+    never corpus²); the corpus-side squared norms are precomputed once
+    so each pair evaluates a single dot fold; the histogram is a
+    two-rollup reduction and the never-retrieved count is derived by
+    subtraction, not an outer join."""
+    from faconne_spark.functions import dot_expr
+    from pyspark.sql import Window
+
+    # all-queries brute force: precompute each vector's squared norm
+    # ONCE (n rows) so the n^2 pair stage evaluates a single dot
+    # product instead of three array folds — the oracle mirrors the
+    # identical dot/sqrt decomposition so the IEEE result matches
+    # bit-for-bit before the 6-dp round
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "embedding",
+        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+    )
+    q = emb.filter(F.col("vec_id") % HUB_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nn").alias("q_nn"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                F.expr(
+                    "("
+                    + dot_expr("embedding", "q_emb", "spark")
+                    + ") / nullif(sqrt(nn) * sqrt(q_nn), 0.0)"
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    occ = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HUB_K)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("k_occurrences"))
+    )
+    hist = occ.groupBy("k_occurrences").agg(
+        F.count("*").alias("n_vectors")
+    )
+    total = emb.groupBy().agg(F.count("*").alias("__n"))
+    hubs = occ.groupBy().agg(F.count("*").alias("__h"))
+    zero = (
+        total.crossJoin(F.broadcast(hubs))
+        .select(
+            F.expr("cast(0 as bigint)").alias("k_occurrences"),
+            F.expr("cast(__n - __h as bigint)").alias("n_vectors"),
+        )
+        .filter("n_vectors > 0")
+    )
+    return hist.select(
+        F.col("k_occurrences").cast("bigint"), "n_vectors"
+    ).union(zero)
+
+
+def _oracle_hubness() -> str:
+    from faconne_spark.functions import dot_expr
+
+    dot = dot_expr("c.embedding", "q.embedding", "duckdb")
+    sim = f"({dot}) / nullif(sqrt(c.nn) * sqrt(q.nn), 0.0)"
+    nn = dot_expr("embedding", "embedding", "duckdb")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, {nn} AS nn FROM embeddings),
+occ AS MATERIALIZED (
+  SELECT vec_id, count(*)::BIGINT AS k_occurrences FROM (
+    SELECT c.vec_id, row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({sim}, 6) DESC, c.vec_id) AS rk
+    FROM e c JOIN e q ON q.vec_id % {HUB_QMOD} = 0
+                     AND c.vec_id != q.vec_id)
+  WHERE rk <= {HUB_K} GROUP BY 1)
+SELECT k_occurrences, count(*)::BIGINT AS n_vectors
+FROM occ GROUP BY 1
+UNION ALL
+SELECT 0::BIGINT, ((SELECT count(*) FROM embeddings)
+                   - (SELECT count(*) FROM occ))::BIGINT
+WHERE (SELECT count(*) FROM embeddings) > (SELECT count(*) FROM occ)
+"""
+
+
+QUERIES["ann_hubness"] = ann_hubness
+ORACLES["ann_hubness"] = _oracle_hubness()
+
+
+# ------------------------------------------ TwoNN intrinsic dimension
+
+TWONN_MOD = 4  # hash-sampled query subset: vec_id % TWONN_MOD = 0
+
+
+def embed_twonn_intrinsic_dim(spark, sf):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold: d̂ = n / Σ ln(r₂/r₁) over sampled points'
+    two nearest neighbors — the "how many dimensions do these vectors
+    REALLY use?" scalar that explains ANN recall and hubness in one
+    number (d̂ ≪ ambient dim means cheap indexes will work).
+
+    Exact-integer discipline: ln μᵢ = ½·ln(r₂²/r₁²) micro-rounds
+    per point from the two exact squared distances (l2sq in pinned
+    index order), the sum is BIGINT, and d̂ is one final division.
+    Points with r₁ = 0 (exact duplicates) are excluded and counted —
+    TwoNN's own prescription.
+
+    Scale: queries are a hash-sampled subset (vec_id % {TWONN_MOD}),
+    corpus never shuffles; per-query state is two scalars."""
+    from faconne_spark.functions import dot_expr
+    from pyspark.sql import Window
+
+    # squared distance via the precomputed-norm identity
+    # d2 = (cc + qq) - 2*dot — ONE array fold per pair instead of one
+    # residual fold; identical vectors still give exactly 0.0 (cc, qq
+    # and dot are the same float, so the expression cancels bitwise),
+    # and the oracle mirrors the same decomposition text
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "embedding",
+        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+    )
+    q = emb.filter(F.col("vec_id") % TWONN_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nn").alias("q_nn"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.expr(
+                "(nn + q_nn) - 2 * ("
+                + dot_expr("embedding", "q_emb", "spark")
+                + ")"
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), "vec_id")
+    two = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("q_id")
+        .agg(
+            F.min(F.expr("if(rk = 1, d2, null)")).alias("r1sq"),
+            F.min(F.expr("if(rk = 2, d2, null)")).alias("r2sq"),
+        )
+    )
+    per_q = two.select(
+        "q_id",
+        F.expr("r1sq > 0 and r2sq > r1sq").alias("usable"),
+        F.expr(
+            "if(r1sq > 0 and r2sq > r1sq,"
+            " cast(round(ln(r2sq / r1sq) * 500000, 0) as bigint), null)"
+        ).alias("ln_mu_micro"),
+    )
+    return per_q.groupBy().agg(
+        F.sum(F.expr("if(usable, 1, 0)")).alias("n_points"),
+        F.sum(F.expr("if(not usable, 1, 0)")).alias("n_excluded"),
+        F.sum("ln_mu_micro").alias("sum_ln_mu_micro"),
+        F.expr(
+            "round(cast(sum(if(usable, 1, 0)) as double) * 1000000"
+            " / sum(ln_mu_micro), 6)"
+        ).alias("twonn_id"),
+    )
+
+
+def _oracle_twonn() -> str:
+    from faconne_spark.functions import dot_expr
+
+    dot = dot_expr("c.embedding", "q.embedding", "duckdb")
+    d2 = f"(c.nn + q.nn) - 2 * ({dot})"
+    nn = dot_expr("embedding", "embedding", "duckdb")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, {nn} AS nn FROM embeddings),
+two AS MATERIALIZED (
+  SELECT q_id,
+         min(CASE WHEN rk = 1 THEN d2 END) AS r1sq,
+         min(CASE WHEN rk = 2 THEN d2 END) AS r2sq
+  FROM (
+    SELECT q.vec_id AS q_id, {d2} AS d2,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {d2} ASC, c.vec_id) AS rk
+    FROM e c
+    JOIN e q ON q.vec_id % {TWONN_MOD} = 0
+            AND c.vec_id != q.vec_id)
+  WHERE rk <= 2 GROUP BY 1),
+per_q AS (
+  SELECT (r1sq > 0 AND r2sq > r1sq) AS usable,
+         CASE WHEN r1sq > 0 AND r2sq > r1sq
+              THEN round(ln(r2sq / r1sq) * 500000, 0)::BIGINT END
+           AS ln_mu_micro
+  FROM two)
+SELECT sum(CASE WHEN usable THEN 1 ELSE 0 END)::BIGINT AS n_points,
+       sum(CASE WHEN NOT usable THEN 1 ELSE 0 END)::BIGINT AS n_excluded,
+       sum(ln_mu_micro)::BIGINT AS sum_ln_mu_micro,
+       round(sum(CASE WHEN usable THEN 1 ELSE 0 END)::DOUBLE * 1000000
+             / sum(ln_mu_micro), 6) AS twonn_id
+FROM per_q
+"""
+
+
+QUERIES["embed_twonn_intrinsic_dim"] = embed_twonn_intrinsic_dim
+ORACLES["embed_twonn_intrinsic_dim"] = _oracle_twonn()
+
+
+# ----------------------------------------- OCR/mojibake garbage gauge
+
+def docs_ocr_garbage_score(spark, sf):
+    """Per-source OCR/mojibake garbage profile: alphanumeric density,
+    digit density, and the longest pure-symbol run per document,
+    rolled up with a garbage-flag rate — the scanner-artifact gate
+    that runs BEFORE language ID (garbled bytes match no language;
+    they must be quarantined, not misclassified).  Flag = alnum
+    density < 0.70 or a symbol run ≥ 5 (the classic OCR junk
+    signature).
+
+    All densities are half-up integer micros per document; the
+    per-source averages divide exact BIGINT sums — no float crosses
+    rows.  Map-only until the per-source rollup."""
+    per_doc = (
+        T(spark, sf, "documents")
+        .select(
+            "source",
+            F.expr("length(text)").alias("n"),
+            F.expr(
+                "length(regexp_replace(lower(text), '[^a-z0-9]', ''))"
+            ).alias("alnum"),
+            F.expr("length(regexp_replace(text, '[^0-9]', ''))").alias(
+                "digits"
+            ),
+            F.expr(
+                "array_max(transform(split(lower(text), '[a-z0-9 ]+'),"
+                " x -> length(x)))"
+            ).alias("max_symbol_run"),
+        )
+        .filter("n > 0")
+        .select(
+            "source", "max_symbol_run",
+            F.expr("cast((2000000 * alnum + n) div (2 * n) as bigint)").alias(
+                "alnum_micro"
+            ),
+            F.expr(
+                "cast((2000000 * digits + n) div (2 * n) as bigint)"
+            ).alias("digit_micro"),
+        )
+        .withColumn(
+            "garbage",
+            F.expr("alnum_micro < 700000 or max_symbol_run >= 5"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            "cast((2 * sum(alnum_micro) + count(*))"
+            " div (2 * count(*)) as bigint)"
+        ).alias("avg_alnum_micro"),
+        F.expr(
+            "cast((2 * sum(digit_micro) + count(*))"
+            " div (2 * count(*)) as bigint)"
+        ).alias("avg_digit_micro"),
+        F.max("max_symbol_run").alias("max_symbol_run"),
+        F.sum(F.expr("if(garbage, 1, 0)")).alias("n_garbage"),
+        F.expr(
+            "cast((2000000 * sum(if(garbage, 1, 0)) + count(*))"
+            " div (2 * count(*)) as bigint)"
+        ).alias("garbage_rate_micro"),
+    )
+
+
+ORACLE_OCR_GARBAGE = """
+WITH per_doc AS (
+  SELECT source,
+         ((2000000 * alnum + n) // (2 * n))::BIGINT AS alnum_micro,
+         ((2000000 * digits + n) // (2 * n))::BIGINT AS digit_micro,
+         max_symbol_run,
+         (((2000000 * alnum + n) // (2 * n)) < 700000
+          OR max_symbol_run >= 5) AS garbage
+  FROM (
+    SELECT source, length(text)::BIGINT AS n,
+           length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT
+             AS alnum,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT
+             AS digits,
+           list_max(list_transform(
+             regexp_split_to_array(lower(text), '[a-z0-9 ]+'),
+             x -> length(x)))::INT AS max_symbol_run
+    FROM documents)
+  WHERE n > 0)
+SELECT source, count(*)::BIGINT AS n_docs,
+       ((2 * sum(alnum_micro) + count(*)) // (2 * count(*)))::BIGINT
+         AS avg_alnum_micro,
+       ((2 * sum(digit_micro) + count(*)) // (2 * count(*)))::BIGINT
+         AS avg_digit_micro,
+       max(max_symbol_run)::INT AS max_symbol_run,
+       sum(CASE WHEN garbage THEN 1 ELSE 0 END)::BIGINT AS n_garbage,
+       ((2000000 * sum(CASE WHEN garbage THEN 1 ELSE 0 END) + count(*))
+        // (2 * count(*)))::BIGINT AS garbage_rate_micro
+FROM per_doc GROUP BY 1
+"""
+
+QUERIES["docs_ocr_garbage_score"] = docs_ocr_garbage_score
+ORACLES["docs_ocr_garbage_score"] = ORACLE_OCR_GARBAGE

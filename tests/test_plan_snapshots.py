@@ -315,8 +315,19 @@ SNAPSHOT_QUERIES = [
     "orders_reorder_acceleration",
     "part_size_brand_ks",
     "events_dau_mann_kendall",
-    # round-9: the baseline-JPEG decode proof (judge r8 ask #3)
+    # round-9: the baseline-JPEG decode proofs (judge r8 ask #3)
     "mm_jpeg_decode",
+    "mm_jpeg_ahash",
+    # round-9 analytics wave
+    "events_type_share_drift_jsd",
+    "events_user_entropy_quantiles",
+    "copurchase_clustering_coeff",
+    "orders_priority_balance_catrend",
+    "orders_value_decile_migration",
+    "ann_label_consistency",
+    "ann_hubness",
+    "embed_twonn_intrinsic_dim",
+    "docs_ocr_garbage_score",
     # round-9: the staged_r9 six, registered this round
     "events_dow_volume_anova",
     "orders_value_cv_by_segment",
