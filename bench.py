@@ -425,6 +425,12 @@ def main() -> None:
         "ann_hubness",
         "embed_twonn_intrinsic_dim",
         "docs_ocr_garbage_score",
+        # round-9 analytics wave 2
+        "lineitem_qty_discount_ols",
+        "docs_source_unigram_jsd",
+        "events_conversion_hazard",
+        "supplier_part_concentration_gini",
+        "events_stickiness_ratio",
         "events_dow_volume_anova",
         "orders_value_cv_by_segment",
         "events_type_cooccurrence_pmi",

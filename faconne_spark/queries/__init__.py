@@ -49,6 +49,12 @@ _CHANGED_THIS_ROUND = [
     "copurchase_clustering_coeff", "orders_priority_balance_catrend",
     "orders_value_decile_migration", "ann_label_consistency",
     "ann_hubness", "embed_twonn_intrinsic_dim", "docs_ocr_garbage_score",
+    # -- new in r9, wave 2: discount-elasticity OLS, source unigram-mix
+    #    JSD matrix, conversion hazard with censoring, supply
+    #    concentration Gini, monthly stickiness --
+    "lineitem_qty_discount_ols", "docs_source_unigram_jsd",
+    "events_conversion_hazard", "supplier_part_concentration_gini",
+    "events_stickiness_ratio",
     # -- new in r9: the six pairs proven and staged at the r8 close
     #    (queries/staged_r9.py, proofs in tests/test_staged_r9.py at
     #    3 SFs + a partitioning-invariance sweep) — registration was

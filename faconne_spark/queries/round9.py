@@ -1021,3 +1021,432 @@ FROM per_doc GROUP BY 1
 
 QUERIES["docs_ocr_garbage_score"] = docs_ocr_garbage_score
 ORACLES["docs_ocr_garbage_score"] = ORACLE_OCR_GARBAGE
+
+
+# ------------------------------------------ discount-quantity OLS
+
+def lineitem_qty_discount_ols(spark, sf):
+    """OLS regression of line quantity on discount, per return flag —
+    the discount-elasticity tile behind part_brand_price_premium's
+    level comparison and lineitem_discount_lift's binary lift: slope
+    (units per discount point), intercept, and R² in one pass.
+
+    All five moment sums are DECIMAL(38,0) over exact integers
+    (discount in cents, quantity in units); slope/intercept/R² are
+    final-expression doubles both engines derive from the identical
+    integers (products < 2⁵³, so the double arithmetic is exact)."""
+    li = T(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "cast(cast(round(l_discount * 100) as bigint)"
+            " as decimal(38,0))"
+        ).alias("x"),
+        F.expr("cast(cast(l_quantity as bigint) as decimal(38,0))").alias(
+            "y"
+        ),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    num = "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))"
+    denx = "(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    deny = "(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))"
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr(f"round({num} / nullif({denx}, 0.0), 6)").alias(
+            "slope_per_cent"
+        ),
+        F.expr(
+            f"round((cast(sy as double) - {num} / nullif({denx}, 0.0)"
+            f" * cast(sx as double)) / n, 6)"
+        ).alias("intercept"),
+        F.expr(
+            f"round({num} * {num} / nullif({denx} * {deny}, 0.0), 6)"
+        ).alias("r_squared"),
+    )
+
+
+ORACLE_QTY_DISCOUNT_OLS = """
+WITH li AS (
+  SELECT l_returnflag,
+         round(l_discount * 100)::BIGINT::DECIMAL(38,0) AS x,
+         l_quantity::BIGINT::DECIMAL(38,0) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM li GROUP BY 1)
+SELECT l_returnflag, n AS n_lines,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / nullif(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE,
+                      0.0), 6) AS slope_per_cent,
+       round((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+              / nullif(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE, 0.0)
+              * sx::DOUBLE) / n, 6) AS intercept,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / nullif((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE),
+                      0.0), 6) AS r_squared
+FROM m
+"""
+
+QUERIES["lineitem_qty_discount_ols"] = lineitem_qty_discount_ols
+ORACLES["lineitem_qty_discount_ols"] = ORACLE_QTY_DISCOUNT_OLS
+
+
+# -------------------------------------- source unigram-mix JSD matrix
+
+LN2_MICRO = 693147  # round(1e6 * ln 2) — the disjoint-word arm
+
+
+def docs_source_unigram_jsd(spark, sf):
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    DISTRIBUTIONS — the mixture-planning matrix behind
+    docs_source_vocab_overlap's set view (two sources can share 90%
+    of their vocabulary yet use it with wildly different frequencies;
+    JSD sees that, Jaccard cannot).
+
+    Same exact-integer JSD discipline as events_type_share_drift_jsd:
+    per shared word ONE ln micro-round of a ratio of exact BIGINTs;
+    words private to one source contribute exactly the closed-form
+    ln 2 arm via the complement trick S = ln2·(N − Σ_shared c) +
+    Σ_shared c·L — no outer join, the pair relation carries only
+    SHARED words."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    a = cnt.alias("a").join(
+        F.broadcast(tot.select(F.col("source").alias("sa"),
+                               F.col("n").alias("na"))),
+        F.col("a.source") == F.col("sa"),
+    )
+    b = cnt.alias("b").join(
+        F.broadcast(tot.select(F.col("source").alias("sb"),
+                               F.col("n").alias("nb"))),
+        F.col("b.source") == F.col("sb"),
+    )
+    ln = (
+        "cast(round(ln(cast(2 * {c} * {n_o} as double)"
+        " / ({c} * {n_o} + {c_o} * {n_s})) * 1000000, 0) as bigint)"
+    )
+    shared = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("sa") < F.col("sb")))
+        .select(
+            "sa", "sb", "na", "nb",
+            F.col("a.c").alias("ca"), F.col("b.c").alias("cb"),
+        )
+        .withColumn(
+            "la", F.expr(ln.format(c="ca", n_o="nb", c_o="cb", n_s="na"))
+        )
+        .withColumn(
+            "lb", F.expr(ln.format(c="cb", n_o="na", c_o="ca", n_s="nb"))
+        )
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").alias("n_shared_words"),
+            F.min("na").alias("na"), F.min("nb").alias("nb"),
+            F.sum(F.expr("ca * la")).alias("sa_in"),
+            F.sum(F.expr("cb * lb")).alias("sb_in"),
+            F.sum("ca").alias("ca_sh"), F.sum("cb").alias("cb_sh"),
+        )
+    )
+    return shared.select(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b"),
+        "n_shared_words",
+        F.expr(
+            f"cast((2 * (({LN2_MICRO} * (na - ca_sh) + sa_in) * nb"
+            f" + ({LN2_MICRO} * (nb - cb_sh) + sb_in) * na)"
+            f" + 2 * na * nb) div (4 * na * nb) as bigint)"
+        ).alias("jsd_micro"),
+    )
+
+
+def _oracle_source_unigram_jsd() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cnt AS MATERIALIZED (
+  SELECT source, w, count(*)::BIGINT AS c FROM (
+    SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+tot AS MATERIALIZED (
+  SELECT source, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+shared AS (
+  SELECT a.source AS sa, b.source AS sb,
+         ta.n AS na, tb.n AS nb, a.c AS ca, b.c AS cb,
+         round(ln((2 * a.c * tb.n)::DOUBLE
+               / (a.c * tb.n + b.c * ta.n)) * 1000000, 0)::BIGINT AS la,
+         round(ln((2 * b.c * ta.n)::DOUBLE
+               / (b.c * ta.n + a.c * tb.n)) * 1000000, 0)::BIGINT AS lb
+  FROM cnt a
+  JOIN cnt b ON a.w = b.w AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source),
+agg AS (
+  SELECT sa, sb, count(*)::BIGINT AS n_shared_words,
+         min(na) AS na, min(nb) AS nb,
+         sum(ca * la)::BIGINT AS sa_in, sum(cb * lb)::BIGINT AS sb_in,
+         sum(ca)::BIGINT AS ca_sh, sum(cb)::BIGINT AS cb_sh
+  FROM shared GROUP BY 1, 2)
+SELECT sa AS source_a, sb AS source_b, n_shared_words,
+       ((2 * (({LN2_MICRO} * (na - ca_sh) + sa_in) * nb
+              + ({LN2_MICRO} * (nb - cb_sh) + sb_in) * na)
+         + 2 * na * nb) // (4 * na * nb))::BIGINT AS jsd_micro
+FROM agg
+"""
+
+
+QUERIES["docs_source_unigram_jsd"] = docs_source_unigram_jsd
+ORACLES["docs_source_unigram_jsd"] = _oracle_source_unigram_jsd()
+
+
+# --------------------------------------- conversion hazard by tenure
+
+def events_conversion_hazard(spark, sf):
+    """Discrete-time hazard of FIRST PURCHASE by days since first
+    activity: λ(d) = conversions at tenure d / users still at risk at
+    d, with non-converters right-censored at the calendar edge — the
+    survival-analysis answer to "when do users convert, given they
+    haven't yet?" (events_conversion_lag reports the lag distribution
+    of converters only; the hazard also uses the users who never do).
+
+    Scale: one events pass to per-user firsts, then everything runs
+    on the bounded tenure relation (≤ calendar-days rows); the
+    at-risk reverse cumulative is a window over THAT relation, never
+    the events."""
+    from pyspark.sql import Window
+
+    firsts = (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("min(to_date(ts))").alias("t0"),
+            F.expr(
+                "min(if(event_type = 'purchase', to_date(ts), null))"
+            ).alias("tp"),
+        )
+    )
+    maxd = T(spark, sf, "events").agg(
+        F.expr("max(to_date(ts))").alias("maxd")
+    )
+    lags = firsts.crossJoin(F.broadcast(maxd)).select(
+        F.expr("if(tp is not null, datediff(tp, t0), null)").alias("lag"),
+        F.expr("datediff(maxd, t0)").alias("censor_lag"),
+    )
+    by_day = lags.groupBy(
+        F.expr("coalesce(lag, censor_lag)").alias("d")
+    ).agg(
+        F.sum(F.expr("if(lag is not null, 1, 0)")).alias("n_conv"),
+        F.sum(F.expr("if(lag is null, 1, 0)")).alias("n_cens"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = by_day.withColumn(
+        "n_at_risk", F.sum(F.expr("n_conv + n_cens")).over(w)
+    )
+    return risk.filter("n_conv > 0").select(
+        F.col("d").alias("tenure_days"),
+        "n_conv",
+        "n_at_risk",
+        F.expr(
+            "cast((2000000 * n_conv + n_at_risk) div (2 * n_at_risk)"
+            " as bigint)"
+        ).alias("hazard_micro"),
+    )
+
+
+ORACLE_CONVERSION_HAZARD = """
+WITH firsts AS (
+  SELECT user_id, min(ts::DATE) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts::DATE END) AS tp
+  FROM events GROUP BY 1),
+maxd AS (SELECT max(ts::DATE) AS maxd FROM events),
+lags AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) END AS lag,
+         (maxd - t0) AS censor_lag
+  FROM firsts CROSS JOIN maxd),
+by_day AS (
+  SELECT coalesce(lag, censor_lag) AS d,
+         sum(CASE WHEN lag IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_conv,
+         sum(CASE WHEN lag IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_cens
+  FROM lags GROUP BY 1),
+risk AS (
+  SELECT d, n_conv,
+         sum(n_conv + n_cens) OVER (
+           ORDER BY d DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS n_at_risk
+  FROM by_day)
+SELECT d::BIGINT AS tenure_days, n_conv, n_at_risk,
+       ((2000000 * n_conv + n_at_risk) // (2 * n_at_risk))::BIGINT
+         AS hazard_micro
+FROM risk WHERE n_conv > 0
+"""
+
+QUERIES["events_conversion_hazard"] = events_conversion_hazard
+ORACLES["events_conversion_hazard"] = ORACLE_CONVERSION_HAZARD
+
+
+# -------------------------------- supply-concentration Gini by nation
+
+def supplier_part_concentration_gini(spark, sf):
+    """Supply-base concentration per supplier nation: exact Gini and
+    top-decile share over each supplier's DISTINCT part count (from
+    observed lineitem links) — the single-source-risk tile ("one
+    supplier carries half this nation's assortment" is a resilience
+    problem before it is a pricing one).
+
+    Same exact-integer Gini as orders_revenue_gini (rank sum over the
+    supplier-cardinality relation, one final double division); the
+    rank window partitions by nation — never partition-less."""
+    from pyspark.sql import Window
+
+    links = (
+        T(spark, sf, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    sup = T(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = T(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    per_sup = links.join(F.broadcast(sup), "l_suppkey").join(
+        F.broadcast(nat), "s_nationkey"
+    )
+    w = Window.partitionBy("n_name").orderBy("n_parts", "l_suppkey")
+    ranked = per_sup.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("n_name"))
+    )
+    return ranked.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("n_parts").alias("total_links"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("rk") * F.col("n_parts"))
+                - (F.count("*") + 1) * F.sum("n_parts")
+            )
+            / (F.count("*") * F.sum("n_parts")),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rk") * 10 > F.col("n") * 9, F.col("n_parts")
+                ).otherwise(0)
+            )
+            / F.sum("n_parts"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+ORACLE_SUPPLIER_GINI = """
+WITH links AS (
+  SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS n_parts
+  FROM lineitem GROUP BY 1),
+per_sup AS (
+  SELECT li.l_suppkey, li.n_parts, n.n_name
+  FROM links li
+  JOIN supplier s ON s.s_suppkey = li.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+ranked AS (
+  SELECT n_name, l_suppkey, n_parts,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY n_parts, l_suppkey) AS rk,
+         count(*) OVER (PARTITION BY n_name) AS n
+  FROM per_sup)
+SELECT n_name, count(*)::BIGINT AS n_suppliers,
+       sum(n_parts)::BIGINT AS total_links,
+       round((2.0 * sum(rk * n_parts) - (count(*) + 1) * sum(n_parts))
+             / (count(*) * sum(n_parts)), 6) AS gini,
+       round(sum(CASE WHEN rk * 10 > n * 9 THEN n_parts ELSE 0 END)
+             / sum(n_parts), 6) AS top_decile_share
+FROM ranked GROUP BY 1
+"""
+
+QUERIES["supplier_part_concentration_gini"] = supplier_part_concentration_gini
+ORACLES["supplier_part_concentration_gini"] = ORACLE_SUPPLIER_GINI
+
+
+# ----------------------------------------------- stickiness (DAU/MAU)
+
+def events_stickiness_ratio(spark, sf):
+    """Monthly stickiness: average daily active share of the month's
+    active users (Σ daily-distinct / (active-days × monthly-distinct))
+    — the engagement-frequency tile DAU/MAU, computed per calendar
+    month.  1.0 = every monthly active shows up every active day.
+
+    Two SEPARATE distinct rollups (daily, monthly) joined on month —
+    never two countDistincts in one aggregate (the plan-stability
+    rule); the ratio is one half-up integer micro from exact
+    BIGINTs."""
+    ev = T(spark, sf, "events").select(
+        F.expr("to_date(ts)").alias("d"),
+        F.expr("trunc(to_date(ts), 'MM')").alias("m"),
+        "user_id",
+    )
+    daily = (
+        ev.groupBy("m", "d")
+        .agg(F.countDistinct("user_id").alias("n_du"))
+        .groupBy("m")
+        .agg(
+            F.count("*").alias("n_active_days"),
+            F.sum("n_du").alias("dau_day_sum"),
+        )
+    )
+    monthly = ev.groupBy("m").agg(F.countDistinct("user_id").alias("mau"))
+    return daily.join(monthly, "m").select(
+        F.col("m").alias("month"),
+        "n_active_days",
+        "dau_day_sum",
+        "mau",
+        F.expr(
+            "cast((2000000 * dau_day_sum + n_active_days * mau)"
+            " div (2 * n_active_days * mau) as bigint)"
+        ).alias("stickiness_micro"),
+    )
+
+
+ORACLE_STICKINESS = """
+WITH ev AS (
+  SELECT ts::DATE AS d, date_trunc('month', ts::DATE)::DATE AS m, user_id
+  FROM events),
+daily AS (
+  SELECT m, count(*)::BIGINT AS n_active_days,
+         sum(n_du)::BIGINT AS dau_day_sum
+  FROM (SELECT m, d, count(DISTINCT user_id)::BIGINT AS n_du
+        FROM ev GROUP BY 1, 2)
+  GROUP BY 1),
+monthly AS (
+  SELECT m, count(DISTINCT user_id)::BIGINT AS mau FROM ev GROUP BY 1)
+SELECT daily.m AS month, n_active_days, dau_day_sum, mau,
+       ((2000000 * dau_day_sum + n_active_days * mau)
+        // (2 * n_active_days * mau))::BIGINT AS stickiness_micro
+FROM daily JOIN monthly ON monthly.m = daily.m
+"""
+
+QUERIES["events_stickiness_ratio"] = events_stickiness_ratio
+ORACLES["events_stickiness_ratio"] = ORACLE_STICKINESS

@@ -328,6 +328,12 @@ SNAPSHOT_QUERIES = [
     "ann_hubness",
     "embed_twonn_intrinsic_dim",
     "docs_ocr_garbage_score",
+    # round-9 analytics wave 2
+    "lineitem_qty_discount_ols",
+    "docs_source_unigram_jsd",
+    "events_conversion_hazard",
+    "supplier_part_concentration_gini",
+    "events_stickiness_ratio",
     # round-9: the staged_r9 six, registered this round
     "events_dow_volume_anova",
     "orders_value_cv_by_segment",
