@@ -2963,6 +2963,20 @@ def test_poisson_bootstrap_matches_python_replay(spark, vals, n_boot):
                 return k
         return 8
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        # Spark's round(double, 6) is HALF_UP on the shortest decimal
+        # repr (BigDecimal.valueOf); Python's round() is half-even —
+        # they diverge when a replicate mean lands exactly on a
+        # 7th-decimal 5 (hypothesis found 4.0246875), so the replay
+        # must mirror the engine
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     vm = [int(round(v * 1_000_000)) for v in vals]
     means = []
     for b in range(n_boot):
@@ -2972,13 +2986,13 @@ def test_poisson_bootstrap_matches_python_replay(spark, vals, n_boot):
             means.append((sum(w * m for w, m in zip(ws, vm)) / (nw * 1e6), b))
     means.sort()
     assert got["n"] == len(vals)
-    assert got["mean_value"] == round(sum(vm) / (len(vals) * 1e6), 6)
+    assert got["mean_value"] == r6(sum(vm) / (len(vals) * 1e6))
     assert got["n_boot"] == len(means)
     assert got["ci_lo"] == (
-        round(means[1][0], 6) if len(means) >= 2 else None
+        r6(means[1][0]) if len(means) >= 2 else None
     )
     assert got["ci_hi"] == (
-        round(means[len(means) - 2][0], 6) if len(means) >= 2 else None
+        r6(means[len(means) - 2][0]) if len(means) >= 2 else None
     )
 
 
