@@ -1356,3 +1356,85 @@ def profile_completeness(df: DataFrame) -> DataFrame:
             " as (column, dtype, n, n_null, n_blank)"
         )
     )
+
+
+def distributed_avg_ranks(
+    df: DataFrame,
+    value_int_expr: str,
+    n_buckets: int = 1024,
+    out_col: str = "avg2_rank",
+    ties_col: str | None = None,
+) -> DataFrame:
+    """Per-row AVERAGE tie-rank, doubled so it stays an exact BIGINT
+    (``avg2 = 2·B_v + t_v + 1`` where ``B_v`` counts strictly-smaller
+    rows and ``t_v`` the global ties at value v) — the primitive under
+    every rank statistic (Kruskal–Wallis, Wilcoxon, Spearman-by-rank)
+    that textbooks write as ``rank() averaged over ties`` and engines
+    naively compute with a partition-less window.
+
+    Scale (100 TB): rank arithmetic runs on the DISTINCT-VALUE
+    relation, never the row relation.  One groupBy collapses rows to
+    (value, tie-count); the strictly-smaller cumulative ``B_v`` is
+    two-phase exactly like ``distributed_ntile`` — integer bucketing
+    of the distinct values (``bounded_bin_sql`` on one broadcast
+    bounds pass), bucket offsets from a ≤ n_buckets² broadcast
+    triangular join, a per-bucket window for the within-bucket
+    cumulative — so no partition-less window exists anywhere even
+    when the value domain is row-scale.  Rows rejoin their value's
+    ``avg2`` with one equi-join on the value.
+
+    ``value_int_expr`` must be a non-NULL BIGINT expression (callers
+    micro-round doubles first; filter NULLs — a rank over NULL has no
+    statistic semantics).  ``ties_col`` optionally exposes ``t_v`` per
+    row (tie-correction terms need it)."""
+    from faconne_spark.operators.evalstats import bounded_bin_sql
+
+    vals = df.selectExpr(f"{value_int_expr} AS __v").groupBy("__v").agg(
+        F.count("*").alias("__t")
+    )
+    bounds = vals.groupBy().agg(
+        F.min("__v").alias("_lo"), F.max("__v").alias("_hi")
+    )
+    pre = vals.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.expr(
+            "coalesce("
+            + bounded_bin_sql("__v", "_lo", "_hi", n_buckets)
+            + ", 0)"
+        ),
+    ).drop("_lo", "_hi")
+    hist = pre.groupBy("__bkt").agg(F.sum("__t").alias("__cnt"))
+    lower = hist.select(
+        F.col("__bkt").alias("__lb"), F.col("__cnt").alias("__lc")
+    )
+    offsets = (
+        hist.join(F.broadcast(lower), F.col("__lb") < F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(F.coalesce(F.sum("__lc"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("__bkt").orderBy("__v")
+    per_val = (
+        pre.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "__below",
+            F.coalesce(
+                F.sum("__t").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("__off"),
+        )
+        .select(
+            "__v",
+            (2 * F.col("__below") + F.col("__t") + 1).alias("__avg2"),
+            F.col("__t").alias("__ties"),
+        )
+    )
+    joined = df.withColumn("__v", F.expr(value_int_expr)).join(
+        per_val, "__v"
+    )
+    out = joined.withColumn(out_col, F.col("__avg2"))
+    if ties_col is not None:
+        out = out.withColumn(ties_col, F.col("__ties"))
+    return out.drop("__v", "__avg2", "__ties")

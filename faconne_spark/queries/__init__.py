@@ -62,6 +62,16 @@ _CHANGED_THIS_ROUND = [
     "events_dow_volume_anova", "orders_value_cv_by_segment",
     "events_type_cooccurrence_pmi", "docs_char_bigram_cond_entropy",
     "events_value_spearman_daily", "docs_vocab_growth_heaps",
+    # -- new in r9, wave 3 (queries/round9b.py): rank statistics on the
+    #    two-phase distributed_avg_ranks primitive (Kruskal–Wallis,
+    #    Wilcoxon signed-rank), Theil between/within decomposition,
+    #    Poisson overdispersion, Brown–Forsythe spread test,
+    #    seasonal-naive MASE backtest, Gries' DP word dispersion,
+    #    per-dimension embedding variance map --
+    "orders_revenue_theil_nation", "events_daily_overdispersion",
+    "part_brand_price_kruskal", "events_value_brownforsythe",
+    "orders_seasonal_naive_mase", "docs_word_dispersion_dp",
+    "embed_dim_variance_concentration", "events_weekend_wilcoxon",
 ]
 
 _REST = [
@@ -184,6 +194,7 @@ def _merged(attr: str) -> dict:
         round7,
         round8,
         round9,
+        round9b,
         staged_r9,
         stats_r7,
         tpch,
@@ -194,6 +205,7 @@ def _merged(attr: str) -> dict:
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
         round7, stats_r7, bank_r8, round8, bank_r9, staged_r9, round9,
+        round9b,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

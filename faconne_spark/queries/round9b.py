@@ -1,0 +1,813 @@
+"""Round-9 analytics wave 3: rank statistics on the two-phase
+distributed rank primitive, inequality decomposition, forecast
+backtesting, dispersion tests, and corpus/embedding health gauges.
+
+Same discipline as every wave: one DuckDB oracle per key, exact
+integer arithmetic wherever a sum crosses rows (micro-units, the
+per-cell ln-before-multiply rule, half-up integer division), final
+statistics as single-expression doubles both engines derive from
+identical integers.  The new `distributed_avg_ranks` primitive
+(operators/relational.py) removes the partition-less window that a
+naive rank statistic would introduce — rank arithmetic runs on the
+distinct-value relation, two-phase like distributed_ntile."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from faconne_spark.queries import T
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# portable HALF_UP micro-round of a double expression (the bank_r7
+# idiom: floor(x + 0.5) is identical in both engines for all signs,
+# unlike round() whose half-even/half-up split bit us in round 2)
+_MICRO = "cast(floor({x} * 1000000 + 0.5) as bigint)"
+_MICRO_DUCK = "floor({x} * 1000000 + 0.5)::BIGINT"
+
+
+# ------------------------------------------ Theil-T revenue decomposition
+
+def orders_revenue_theil_nation(spark, sf):
+    """Theil-T decomposition of customer revenue concentration by
+    nation (Theil 1967): the within-nation index T_g plus the
+    between-nation log term — the decomposable companion to the Gini
+    gauges (Gini cannot be split into between/within; Theil can, which
+    is what a mixture planner needs: is concentration a nation-mix
+    story or an inside-the-nation story?).
+
+    Exactness: per-customer revenue is whole-dollar BIGINT (one
+    HALF_UP per order); T_g uses the identity T = (1/S)·Σ x·ln(x·n/S),
+    so the per-customer cell micro-rounds ONE ln of a ratio of exact
+    BIGINTs and the weighted sum Σ x·l runs in DECIMAL(38,0) (x can
+    reach 5·10⁵ dollars; BIGINT would overflow past sf1).  The
+    within index is one half-up integer division; micro-rounding noise
+    can push a near-uniform nation's sum a few micro below zero, so
+    it clamps at 0 (Theil ≥ 0 by Jensen).  The between log term is a
+    direct micro-round of ln(S_g·N/(S·n_g)) — exact BIGINT ratio.
+
+    Scale: one orders shuffle to per-customer dollars, an equi-join to
+    customer for the nation key (broadcast nation), then all windows
+    vanish — per-nation aggregates only.  The tagged per-customer
+    relation feeds three consumers (per-nation totals, the ln cells,
+    the weighted sum), so it persists — the orders shuffle runs once
+    (the r7 quantile-family lesson)."""
+    from faconne_spark.operators.dedup import track_persist
+
+    per_cust = (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "sum(cast(floor(o_totalprice + 0.5) as bigint))"
+            ).alias("x")
+        )
+        .filter(F.col("x") > 0)
+    )
+    cust = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nat = T(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    tagged = track_persist(
+        per_cust.join(cust, "o_custkey").join(F.broadcast(nat), "c_nationkey")
+    )
+    per_nat = tagged.groupBy("n_name").agg(
+        F.count("*").alias("n_g"), F.sum("x").alias("s_g")
+    )
+    cells = tagged.join(F.broadcast(per_nat), "n_name").select(
+        "n_name",
+        "x",
+        F.expr(
+            "cast(floor(ln(cast(x as double) * n_g / s_g) * 1000000"
+            " + 0.5) as bigint)"
+        ).alias("l"),
+    )
+    wsum = cells.groupBy("n_name").agg(
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("l").cast("decimal(38,0)")
+        ).alias("w")
+    )
+    tot = per_nat.groupBy().agg(
+        F.sum("n_g").alias("n_all"), F.sum("s_g").alias("s_all")
+    )
+    return (
+        per_nat.join(wsum, "n_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_g").cast("long").alias("n_customers"),
+            F.col("s_g").cast("long").alias("revenue_total"),
+            F.expr(
+                "cast((2000000 * s_g + s_all) div (2 * s_all) as bigint)"
+            ).alias("rev_share_micro"),
+            F.expr(
+                # the sum accumulates in DECIMAL (overflow headroom) but
+                # the half-up division runs on BIGINTs: decimal `div`
+                # rounds the scale-0 quotient in DuckDB where Spark
+                # truncates — a one-micro portability trap.  The cast is
+                # safe through sf1 (W_g ≤ ~10¹⁸); past that the micro
+                # scale itself must drop first.
+                "cast((2 * cast(greatest(w, cast(0 as decimal(38,0)))"
+                " as bigint) + s_g) div (2 * s_g) as bigint)"
+            ).alias("within_theil_micro"),
+            F.expr(
+                "cast(floor(ln(cast(s_g as double) * n_all"
+                " / (cast(s_all as double) * n_g)) * 1000000 + 0.5)"
+                " as bigint)"
+            ).alias("between_ln_micro"),
+        )
+    )
+
+
+ORACLE_THEIL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(floor(o_totalprice + 0.5)::BIGINT)::BIGINT AS x
+  FROM orders GROUP BY 1 HAVING sum(floor(o_totalprice + 0.5)::BIGINT) > 0),
+tagged AS (
+  SELECT n.n_name, p.x
+  FROM per_cust p
+  JOIN customer c ON c.c_custkey = p.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+per_nat AS (
+  SELECT n_name, count(*)::BIGINT AS n_g, sum(x)::BIGINT AS s_g
+  FROM tagged GROUP BY 1),
+cells AS (
+  SELECT t.n_name, t.x,
+         floor(ln(t.x::DOUBLE * p.n_g / p.s_g) * 1000000 + 0.5)::BIGINT AS l
+  FROM tagged t JOIN per_nat p USING (n_name)),
+wsum AS (
+  SELECT n_name, sum(x::DECIMAL(38,0) * l::DECIMAL(38,0)) AS w
+  FROM cells GROUP BY 1),
+tot AS (SELECT sum(n_g)::BIGINT AS n_all, sum(s_g)::BIGINT AS s_all
+        FROM per_nat)
+SELECT p.n_name AS nation, p.n_g AS n_customers, p.s_g AS revenue_total,
+       ((2000000 * p.s_g + t.s_all) // (2 * t.s_all))::BIGINT
+         AS rev_share_micro,
+       ((2 * greatest(w.w, 0::DECIMAL(38,0))::BIGINT + p.s_g)
+        // (2 * p.s_g))::BIGINT AS within_theil_micro,
+       floor(ln(p.s_g::DOUBLE * t.n_all / (t.s_all::DOUBLE * p.n_g))
+             * 1000000 + 0.5)::BIGINT AS between_ln_micro
+FROM per_nat p JOIN wsum w USING (n_name) CROSS JOIN tot t
+"""
+
+QUERIES["orders_revenue_theil_nation"] = orders_revenue_theil_nation
+ORACLES["orders_revenue_theil_nation"] = ORACLE_THEIL
+
+
+# ------------------------------------------------ Poisson overdispersion
+
+def events_daily_overdispersion(spark, sf):
+    """Daily-count overdispersion per event type: the variance-to-mean
+    dispersion index D over ALL observed calendar days (a type absent
+    on a day is a true zero — excluding zero days is the classic way
+    to accidentally report underdispersion).  D ≈ 1 is Poisson;
+    D ≫ 1 means bursty/contagious arrivals, and every capacity model
+    that assumed Poisson is wrong (Cox & Lewis 1966).
+
+    Exactness: with c_d the integer daily counts over D days,
+    sample-var/mean = (D·Σc² − (Σc)²) / ((D−1)·Σc) — a ratio of exact
+    BIGINTs, one half-up micro division; zero days contribute 0 to
+    both Σc and Σc² so only the per-type present-day relation is ever
+    materialized.
+
+    Scale: one events pass to (type, day) counts, a day-spine scalar
+    (countDistinct day), then ≤ types-row arithmetic."""
+    ev = T(spark, sf, "events").select(
+        F.expr("to_date(ts)").alias("d"), "event_type"
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count("*").alias("c"))
+    spine = ev.agg(F.countDistinct("d").alias("n_days"))
+    per_type = daily.groupBy("event_type").agg(
+        F.count("*").alias("days_present"),
+        F.sum("c").alias("sc"),
+        F.sum(F.expr("c * c")).alias("sc2"),
+    )
+    return per_type.crossJoin(F.broadcast(spine)).select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("days_present").cast("long").alias("days_present"),
+        F.col("sc").cast("long").alias("n_events"),
+        F.expr(
+            "cast((2000000 * sc + n_days) div (2 * n_days) as bigint)"
+        ).alias("mean_daily_micro"),
+        F.expr(
+            "cast((2000000 * (n_days * sc2 - sc * sc)"
+            " + (n_days - 1) * sc)"
+            " div (2 * (n_days - 1) * sc) as bigint)"
+        ).alias("dispersion_micro"),
+    )
+
+
+ORACLE_OVERDISPERSION = """
+WITH ev AS (SELECT ts::DATE AS d, event_type FROM events),
+daily AS (
+  SELECT event_type, d, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+spine AS (SELECT count(DISTINCT d)::BIGINT AS n_days FROM ev),
+per_type AS (
+  SELECT event_type, count(*)::BIGINT AS days_present,
+         sum(c)::BIGINT AS sc, sum(c * c)::BIGINT AS sc2
+  FROM daily GROUP BY 1)
+SELECT event_type, n_days, days_present, sc AS n_events,
+       ((2000000 * sc + n_days) // (2 * n_days))::BIGINT
+         AS mean_daily_micro,
+       ((2000000 * (n_days * sc2 - sc * sc) + (n_days - 1) * sc)
+        // (2 * (n_days - 1) * sc))::BIGINT AS dispersion_micro
+FROM per_type CROSS JOIN spine
+"""
+
+QUERIES["events_daily_overdispersion"] = events_daily_overdispersion
+ORACLES["events_daily_overdispersion"] = ORACLE_OVERDISPERSION
+
+
+# ------------------------------------------------ Kruskal–Wallis H
+
+def part_brand_price_kruskal(spark, sf):
+    """Kruskal–Wallis H across brands on retail price (Kruskal &
+    Wallis 1952) — the rank-based one-way test: does ANY brand price
+    from a different distribution, with no normality assumption (the
+    ANOVA family's F assumes it; prices are famously heavy-tailed)?
+    Reports H, the tie-corrected H, and degrees of freedom.
+
+    Ranks come from `distributed_avg_ranks` (average tie-ranks ×2 so
+    they stay exact BIGINTs) — rank arithmetic runs two-phase on the
+    DISTINCT-PRICE relation (bounded by the price domain, ~10³
+    values at every SF), never a partition-less window over parts.
+    With R_j = Σ avg-ranks per brand, H = 3·Σ(2R_j)²/n_j / (N(N+1))
+    − 3(N+1); each brand's (2R_j)²/n_j cell rounds to ONE BIGINT
+    ((2R)² ≤ (2N·n)² stays under 2⁵³ through sf1) and the tie term
+    Σ(t³−t) is an exact per-row sum of (t²−1)."""
+    from faconne_spark.operators.relational import distributed_avg_ranks
+
+    ranked = distributed_avg_ranks(
+        T(spark, sf, "part").select(
+            "p_brand",
+            F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").alias(
+                "v"
+            ),
+        ),
+        "v",
+        ties_col="t",
+    )
+    per_brand = ranked.groupBy("p_brand").agg(
+        F.count("*").alias("n_j"), F.sum("avg2_rank").alias("s2_j")
+    )
+    cells = per_brand.select(
+        "n_j",
+        F.expr(
+            "cast(floor(cast(s2_j as double) * cast(s2_j as double)"
+            " / n_j + 0.5) as bigint)"
+        ).alias("cell"),
+    )
+    ties = ranked.groupBy().agg(
+        F.sum(F.expr("t * t - 1")).alias("tie_sum"),
+        F.count("*").alias("n"),
+    )
+    h = (
+        "3.0 * sum(cell) / (cast(min(n) as double) * (min(n) + 1))"
+        " - 3.0 * (min(n) + 1)"
+    )
+    c = (
+        "1.0 - cast(min(tie_sum) as double)"
+        " / (cast(min(n) as double) * min(n) * min(n) - min(n))"
+    )
+    return cells.crossJoin(F.broadcast(ties)).groupBy().agg(
+        F.min("n").cast("long").alias("n_parts"),
+        F.count("*").cast("long").alias("k_brands"),
+        F.expr("cast(count(*) - 1 as bigint)").alias("df"),
+        F.expr(f"round({h}, 6) + 0.0").alias("h_stat"),
+        F.expr(f"round({c}, 9) + 0.0").alias("tie_correction"),
+        F.expr(
+            f"case when {c} > 0 then round(({h}) / ({c}), 6) + 0.0 end"
+        ).alias("h_adj"),
+    )
+
+
+ORACLE_KRUSKAL = """
+WITH ranked AS (
+  SELECT p_brand,
+         2 * rank() OVER (ORDER BY v)
+           + count(*) OVER (PARTITION BY v) - 1 AS avg2_rank,
+         count(*) OVER (PARTITION BY v) AS t
+  FROM (SELECT p_brand,
+               floor(p_retailprice * 100 + 0.5)::BIGINT AS v
+        FROM part)),
+per_brand AS (
+  SELECT p_brand, count(*)::BIGINT AS n_j,
+         sum(avg2_rank)::BIGINT AS s2_j
+  FROM ranked GROUP BY 1),
+cells AS (
+  SELECT n_j,
+         floor(s2_j::DOUBLE * s2_j::DOUBLE / n_j + 0.5)::BIGINT AS cell
+  FROM per_brand),
+ties AS (
+  SELECT sum(t * t - 1)::BIGINT AS tie_sum, count(*)::BIGINT AS n
+  FROM ranked)
+SELECT min(n)::BIGINT AS n_parts, count(*)::BIGINT AS k_brands,
+       (count(*) - 1)::BIGINT AS df,
+       round(3.0 * sum(cell) / (min(n)::DOUBLE * (min(n) + 1))
+             - 3.0 * (min(n) + 1), 6) + 0.0 AS h_stat,
+       round(1.0 - min(tie_sum)::DOUBLE
+             / (min(n)::DOUBLE * min(n) * min(n) - min(n)), 9) + 0.0
+         AS tie_correction,
+       CASE WHEN 1.0 - min(tie_sum)::DOUBLE
+                  / (min(n)::DOUBLE * min(n) * min(n) - min(n)) > 0
+            THEN round((3.0 * sum(cell)
+                        / (min(n)::DOUBLE * (min(n) + 1))
+                        - 3.0 * (min(n) + 1))
+                       / (1.0 - min(tie_sum)::DOUBLE
+                          / (min(n)::DOUBLE * min(n) * min(n) - min(n))),
+                       6) + 0.0 END AS h_adj
+FROM cells CROSS JOIN ties
+"""
+
+QUERIES["part_brand_price_kruskal"] = part_brand_price_kruskal
+ORACLES["part_brand_price_kruskal"] = ORACLE_KRUSKAL
+
+# ------------------------------------------------ Brown–Forsythe
+
+def events_value_brownforsythe(spark, sf):
+    """Brown–Forsythe test for variance homogeneity of event value
+    across event types (Brown & Forsythe 1974): one-way ANOVA on the
+    absolute deviations from each group's MEDIAN.  The ANOVA/Kruskal
+    pair asks "do the centers differ?"; this asks "do the SPREADS
+    differ?" — the hidden assumption under every pooled-variance test
+    upstream, and a real drift alarm on its own (a type whose value
+    variance doubled is news even at a stable mean).
+
+    Exactness: value micro-rounds to BIGINT; 2×group-median is an
+    exact integer (both engines interpolate the even-count median as
+    the midpoint of two integers, so doubling restores exactness —
+    percentile() and quantile_cont() agree bit-for-bit here); the
+    deviation |2v − 2m| is then an exact BIGINT fed to
+    evalstats.oneway_anova's integer-term discipline (micro=1: the
+    deviations are already integers).
+
+    Scale: one grouped percentile pass (≤ types rows, broadcast
+    back), one ANOVA pass — no windows, no UDFs."""
+    from faconne_spark.operators.evalstats import oneway_anova
+
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("cast(floor(2 * percentile(v, 0.5) + 0.5) as bigint)").alias(
+            "m2"
+        )
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.expr("abs(2 * v - m2)").alias("z")
+    )
+    return oneway_anova(dev, "event_type", "z", micro=1)
+
+
+ORACLE_BROWNFORSYTHE = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+med AS (
+  SELECT event_type,
+         floor(2 * quantile_cont(v, 0.5) + 0.5)::BIGINT AS m2
+  FROM ev GROUP BY 1),
+dev AS (
+  SELECT ev.event_type, abs(2 * ev.v - med.m2)::BIGINT AS z
+  FROM ev JOIN med USING (event_type)),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(round(z * 1)::BIGINT)::BIGINT AS s,
+         sum(round(z * 1)::BIGINT::DECIMAL(38,0)
+             * round(z * 1)::BIGINT::DECIMAL(38,0)) AS ss
+  FROM dev WHERE z IS NOT NULL GROUP BY 1),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         count(*)::BIGINT AS k
+  FROM g),
+terms AS (
+  SELECT k, nt,
+         round(n::DOUBLE * pow(s::DOUBLE / n::DOUBLE
+                               - st::DOUBLE / nt::DOUBLE, 2)
+               / 1000000.0, 0)::BIGINT AS b,
+         round((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+               / 1000000.0, 0)::BIGINT AS w
+  FROM g CROSS JOIN tot)
+SELECT max(k)::BIGINT AS n_groups, max(nt)::BIGINT AS n_rows,
+       sum(b)::BIGINT AS ssb_micro, sum(w)::BIGINT AS ssw_micro,
+       CASE WHEN max(k) >= 2 AND max(nt) > max(k) AND sum(w) > 0 THEN
+         round((sum(b)::DOUBLE / (max(k) - 1))
+               / (sum(w)::DOUBLE / (max(nt) - max(k))), 6) + 0.0 END
+         AS f_stat,
+       CASE WHEN sum(b) + sum(w) > 0 THEN
+         round(sum(b)::DOUBLE / (sum(b)::DOUBLE + sum(w)::DOUBLE), 6)
+         + 0.0 END AS eta_sq
+FROM terms
+"""
+
+QUERIES["events_value_brownforsythe"] = events_value_brownforsythe
+ORACLES["events_value_brownforsythe"] = ORACLE_BROWNFORSYTHE
+
+
+# ------------------------------------------------ seasonal-naive MASE
+
+def orders_seasonal_naive_mase(spark, sf):
+    """Forecast-backtest floor for monthly order volume and revenue:
+    the seasonal-naive predictor (month m−12's figure) scored as MAE
+    and as MASE against the naive lag-1 walk (Hyndman & Koehler
+    2006).  MASE < 1 means last year's month beats last month — i.e.
+    the series HAS exploitable seasonality and a real forecaster must
+    clear this floor; MASE ≥ 1 says the yearly cycle is noise.
+
+    Exactness: monthly counts and whole-dollar revenue are BIGINTs;
+    both predictors are self-joins on calendar month (add_months — no
+    window, no ordering), errors are integer |Δ|, and every reported
+    ratio is one half-up micro division of two exact sums over the
+    SAME eval months (months having both a lag-1 and lag-12
+    neighbor — one consistent eval set, not per-metric windows).
+
+    Scale: orders collapse to ≤ months rows in one pass; everything
+    after is broadcast self-joins on a bounded calendar relation
+    (persisted — three consumers, one orders shuffle)."""
+    from faconne_spark.operators.dedup import track_persist
+
+    monthly = track_persist(
+        T(spark, sf, "orders")
+        .groupBy(F.expr("trunc(to_date(o_orderdate), 'MM')").alias("m"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr(
+                "sum(cast(floor(o_totalprice + 0.5) as bigint))"
+            ).alias("rev"),
+        )
+    )
+    a = monthly.select(
+        F.col("m"), F.col("cnt").alias("a_cnt"), F.col("rev").alias("a_rev")
+    )
+    s12 = monthly.select(
+        F.expr("add_months(m, 12)").alias("m"),
+        F.col("cnt").alias("s_cnt"),
+        F.col("rev").alias("s_rev"),
+    )
+    n1 = monthly.select(
+        F.expr("add_months(m, 1)").alias("m"),
+        F.col("cnt").alias("n_cnt"),
+        F.col("rev").alias("n_rev"),
+    )
+    ev = a.join(s12, "m").join(n1, "m")
+    return ev.groupBy().agg(
+        F.count("*").cast("long").alias("n_eval_months"),
+        F.sum(F.expr("abs(a_cnt - s_cnt)")).cast("long").alias("sae_cnt"),
+        F.sum(F.expr("abs(a_cnt - n_cnt)")).cast("long").alias("nae_cnt"),
+        F.expr(
+            "cast((2000000 * sum(abs(a_cnt - s_cnt)) + count(*))"
+            " div (2 * count(*)) as bigint)"
+        ).alias("mae_seasonal_cnt_micro"),
+        F.expr(
+            "case when sum(abs(a_cnt - n_cnt)) > 0 then"
+            " cast((2000000 * sum(abs(a_cnt - s_cnt))"
+            " + sum(abs(a_cnt - n_cnt)))"
+            " div (2 * sum(abs(a_cnt - n_cnt))) as bigint) end"
+        ).alias("mase_cnt_micro"),
+        F.expr(
+            "case when sum(abs(a_rev - n_rev)) > 0 then"
+            " cast((2000000 * sum(abs(a_rev - s_rev))"
+            " + sum(abs(a_rev - n_rev)))"
+            " div (2 * sum(abs(a_rev - n_rev))) as bigint) end"
+        ).alias("mase_rev_micro"),
+    )
+
+
+ORACLE_MASE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate::DATE)::DATE AS m,
+         count(*)::BIGINT AS cnt,
+         sum(floor(o_totalprice + 0.5)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1),
+ev AS (
+  SELECT a.cnt AS a_cnt, a.rev AS a_rev,
+         s.cnt AS s_cnt, s.rev AS s_rev,
+         n.cnt AS n_cnt, n.rev AS n_rev
+  FROM monthly a
+  JOIN monthly s ON a.m = (s.m + INTERVAL 12 MONTH)::DATE
+  JOIN monthly n ON a.m = (n.m + INTERVAL 1 MONTH)::DATE)
+SELECT count(*)::BIGINT AS n_eval_months,
+       sum(abs(a_cnt - s_cnt))::BIGINT AS sae_cnt,
+       sum(abs(a_cnt - n_cnt))::BIGINT AS nae_cnt,
+       ((2000000 * sum(abs(a_cnt - s_cnt)) + count(*))
+        // (2 * count(*)))::BIGINT AS mae_seasonal_cnt_micro,
+       CASE WHEN sum(abs(a_cnt - n_cnt)) > 0 THEN
+         ((2000000 * sum(abs(a_cnt - s_cnt)) + sum(abs(a_cnt - n_cnt)))
+          // (2 * sum(abs(a_cnt - n_cnt))))::BIGINT END AS mase_cnt_micro,
+       CASE WHEN sum(abs(a_rev - n_rev)) > 0 THEN
+         ((2000000 * sum(abs(a_rev - s_rev)) + sum(abs(a_rev - n_rev)))
+          // (2 * sum(abs(a_rev - n_rev))))::BIGINT END AS mase_rev_micro
+FROM ev
+"""
+
+QUERIES["orders_seasonal_naive_mase"] = orders_seasonal_naive_mase
+ORACLES["orders_seasonal_naive_mase"] = ORACLE_MASE
+
+# ------------------------------------------------ Gries' DP dispersion
+
+def docs_word_dispersion_dp(spark, sf):
+    """Deviation of Proportions (Gries 2008) for the corpus's top-20
+    words: DP = ½·Σ_s |v_ws/f_w − C_s/C| — is a frequent word spread
+    evenly across sources (DP → 0) or concentrated in one (DP → 1)?
+    The word-level companion to docs_source_unigram_jsd's
+    source-level matrix: JSD says WHICH sources differ, DP says WHICH
+    WORDS carry the difference — the first thing to read before
+    trusting a frequency-based quality score trained on one source.
+
+    Exactness: each |·| cell is |v_ws·C − C_s·f_w| / (f_w·C) — an
+    integer numerator over a per-word constant denominator, so the
+    Σ_s is an exact BIGINT and DP is ONE double division of exact
+    integers (≤ 2·f·C ≪ 2⁵³), rounded once.  Zero cells (word absent
+    from a source) contribute exactly C_s·f_w via the left join's
+    coalesce.
+
+    Scale: one tokenize+count shuffle to (word, source) cells; the
+    top-20 selection is a TakeOrderedAndProject (no global sort
+    materializes); the DP matrix is 20 × |sources| — broadcast
+    territory."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("v"))
+    )
+    freq = cnt.groupBy("w").agg(F.sum("v").alias("f"))
+    src = cnt.groupBy("source").agg(F.sum("v").alias("c_s"))
+    tot = src.agg(F.sum("c_s").alias("c_tot"))
+    top = freq.orderBy(F.desc("f"), F.asc("w")).limit(20)
+    grid = top.crossJoin(F.broadcast(src)).join(
+        cnt, ["w", "source"], "left"
+    )
+    cells = grid.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "f",
+        "c_tot",
+        F.expr("abs(coalesce(v, 0) * c_tot - c_s * f)").alias("num"),
+    )
+    return cells.groupBy("w", "f", "c_tot").agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.expr(
+            "round(cast(sum(num) as double)"
+            " / (2.0 * min(f) * min(c_tot)), 6) + 0.0"
+        ).alias("dp"),
+    ).select(
+        F.col("w").alias("word"),
+        F.col("f").cast("long").alias("total_count"),
+        "n_sources",
+        "dp",
+    )
+
+
+def _oracle_word_dispersion() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cnt AS (
+  SELECT source, w, count(*)::BIGINT AS v
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+freq AS (SELECT w, sum(v)::BIGINT AS f FROM cnt GROUP BY 1),
+src AS (SELECT source, sum(v)::BIGINT AS c_s FROM cnt GROUP BY 1),
+tot AS (SELECT sum(c_s)::BIGINT AS c_tot FROM src),
+top AS (SELECT w, f FROM freq ORDER BY f DESC, w ASC LIMIT 20),
+cells AS (
+  SELECT t.w, t.f, tot.c_tot,
+         abs(coalesce(c.v, 0) * tot.c_tot - s.c_s * t.f)::BIGINT AS num
+  FROM top t CROSS JOIN src s CROSS JOIN tot
+  LEFT JOIN cnt c ON c.w = t.w AND c.source = s.source)
+SELECT w AS word, f AS total_count, count(*)::BIGINT AS n_sources,
+       round(sum(num)::DOUBLE / (2.0 * min(f) * min(c_tot)), 6) + 0.0 AS dp
+FROM cells GROUP BY w, f, c_tot
+"""
+
+
+QUERIES["docs_word_dispersion_dp"] = docs_word_dispersion_dp
+ORACLES["docs_word_dispersion_dp"] = _oracle_word_dispersion()
+
+
+# ------------------------------------------- per-dimension variance map
+
+def embed_dim_variance_concentration(spark, sf):
+    """Per-dimension variance concentration of the embedding space:
+    the top-8 dimensions by variance with each one's share and the
+    cumulative share — the PCA-lite health check that needs no
+    eigensolve (if 3 of 64 raw dimensions carry most of the variance,
+    the encoder is wasting capacity, and any product-quantizer that
+    splits dimensions uniformly is mis-budgeted; cf. the variance
+    tails Jégou et al. 2011 correct with rotation).
+
+    Exactness: coordinates micro-round to BIGINT; per-dim moments
+    (n, S BIGINT, Q DECIMAL(38,0)); the variance numerator
+    n·Q − S² is an exact DECIMAL both engines rank identically (ties
+    break on dim), and shares divide two exact decimals in one
+    rounded double expression.
+
+    Scale: one posexplode pass map-side-combines to ≤ d rows;
+    the rank window runs on that d-row relation (bounded by the
+    embedding dimensionality, not the corpus) — everything after the
+    first aggregation is effectively free."""
+    dims = (
+        T(spark, sf, "embeddings")
+        .select(F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            (F.col("pos0") + 1).alias("dim"),
+            F.expr(
+                "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+            ).alias("us"),
+        )
+    )
+    per_dim = dims.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("us").alias("s"),
+        F.sum(
+            F.col("us").cast("decimal(38,0)") * F.col("us").cast("decimal(38,0)")
+        ).alias("q"),
+    ).withColumn(
+        "num",
+        F.expr(
+            "cast(n as decimal(38,0)) * q"
+            " - cast(s as decimal(38,0)) * cast(s as decimal(38,0))"
+        ),
+    )
+    tot = per_dim.agg(F.sum("num").alias("num_tot"))
+    w = Window.orderBy(F.desc("num"), F.asc("dim"))
+    ranked = (
+        per_dim.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_num",
+            F.sum("num").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("rnk") <= 8)
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "dim",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.expr(
+            "round(cast(num as double)"
+            " / (cast(n as double) * cast(n as double)) / 1e12, 9) + 0.0"
+        ).alias("variance"),
+        F.expr(
+            "round(cast(num as double) / cast(num_tot as double), 6) + 0.0"
+        ).alias("share"),
+        F.expr(
+            "round(cast(cum_num as double) / cast(num_tot as double), 6)"
+            " + 0.0"
+        ).alias("cum_share"),
+    )
+
+
+ORACLE_DIM_VARIANCE = """
+WITH dims AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000000 + 0.5)::BIGINT AS us
+  FROM embeddings),
+per_dim AS (
+  SELECT dim, count(*)::BIGINT AS n, sum(us)::BIGINT AS s,
+         sum(us::DECIMAL(38,0) * us::DECIMAL(38,0)) AS q
+  FROM dims GROUP BY 1),
+nums AS (
+  SELECT dim, n, s, q,
+         n::DECIMAL(38,0) * q - s::DECIMAL(38,0) * s::DECIMAL(38,0) AS num
+  FROM per_dim),
+tot AS (SELECT sum(num) AS num_tot FROM nums),
+ranked AS (
+  SELECT dim, n, num,
+         row_number() OVER (ORDER BY num DESC, dim ASC) AS rnk,
+         sum(num) OVER (ORDER BY num DESC, dim ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_num
+  FROM nums)
+SELECT rnk, dim, n AS n_vectors,
+       round(num::DOUBLE / (n::DOUBLE * n::DOUBLE) / 1e12, 9) + 0.0
+         AS variance,
+       round(num::DOUBLE / num_tot::DOUBLE, 6) + 0.0 AS share,
+       round(cum_num::DOUBLE / num_tot::DOUBLE, 6) + 0.0 AS cum_share
+FROM ranked CROSS JOIN tot
+WHERE rnk <= 8
+"""
+
+QUERIES["embed_dim_variance_concentration"] = embed_dim_variance_concentration
+ORACLES["embed_dim_variance_concentration"] = ORACLE_DIM_VARIANCE
+
+
+# ------------------------------------------------ Wilcoxon signed-rank
+
+def events_weekend_wilcoxon(spark, sf):
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on each user's
+    weekend-vs-weekday TOTAL event value — the paired, rank-based
+    answer to "does the same user spend differently on weekends?",
+    immune to the heavy tails that sink the paired t-test and to the
+    cross-user scale differences that sink unpaired comparisons
+    (events_weekend_effect tests populations; this pairs WITHIN
+    users).
+
+    Exactness: per-user totals are exact micro BIGINTs (conditional
+    sums, portable epoch-day weekend rule), the signed difference is
+    their integer gap, and average tie-ranks of |d| come ×2 from
+    `distributed_avg_ranks` — so W⁺, W⁻, and the tie term Σ(t³−t) are
+    exact BIGINTs; the normal-approximation z is one final double
+    expression with the standard tie-corrected variance
+    n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+
+    Scale: events collapse to the user relation in one pass; rank
+    arithmetic runs two-phase on the distinct-|d| relation — no
+    partition-less window even though |d| is user-cardinality.  The
+    per-user diff relation feeds the rank primitive's four reads
+    (values, bounds, histogram, rank join), so it persists — the
+    events shuffle runs once."""
+    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.relational import distributed_avg_ranks
+
+    per_user = track_persist(
+        T(spark, sf, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 as int)"
+                " in (2, 3)"
+            ).alias("wknd"),
+            F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias(
+                "us"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("if(wknd, us, 0)")).alias("s_we"),
+            F.sum(F.expr("if(wknd, 0, us)")).alias("s_wd"),
+        )
+        .select(F.expr("s_we - s_wd").alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    ranked = distributed_avg_ranks(per_user, "abs(d)", ties_col="t")
+    agg = ranked.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("if(d > 0, avg2_rank, 0)")).alias("w2p"),
+        F.sum(F.expr("if(d < 0, avg2_rank, 0)")).alias("w2m"),
+        F.sum(F.expr("t * t - 1")).alias("tie_sum"),
+    )
+    var = (
+        "(cast(n as double) * (n + 1) * (2 * n + 1) / 24.0"
+        " - cast(tie_sum as double) / 48.0)"
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users_nonzero"),
+        F.col("w2p").cast("long").alias("w_plus_2x"),
+        F.col("w2m").cast("long").alias("w_minus_2x"),
+        F.col("tie_sum").cast("long").alias("tie_sum"),
+        F.expr(
+            f"case when n >= 2 and {var} > 0 then"
+            f" round((cast(w2p as double) / 2.0"
+            f" - cast(n as double) * (n + 1) / 4.0)"
+            f" / sqrt({var}), 6) + 0.0 end"
+        ).alias("z_stat"),
+    )
+
+
+ORACLE_WILCOXON = """
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN (ts::DATE - DATE '1970-01-01') % 7 IN (2, 3)
+                  THEN floor(value * 1000000 + 0.5)::BIGINT
+                  ELSE 0 END)::BIGINT
+         - sum(CASE WHEN (ts::DATE - DATE '1970-01-01') % 7 IN (2, 3)
+                    THEN 0
+                    ELSE floor(value * 1000000 + 0.5)::BIGINT
+                    END)::BIGINT AS d
+  FROM events GROUP BY 1),
+nz AS (SELECT d FROM per_user WHERE d != 0),
+ranked AS (
+  SELECT d,
+         2 * rank() OVER (ORDER BY abs(d))
+           + count(*) OVER (PARTITION BY abs(d)) - 1 AS avg2_rank,
+         count(*) OVER (PARTITION BY abs(d)) AS t
+  FROM nz),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN d > 0 THEN avg2_rank ELSE 0 END)::BIGINT AS w2p,
+         sum(CASE WHEN d < 0 THEN avg2_rank ELSE 0 END)::BIGINT AS w2m,
+         sum(t * t - 1)::BIGINT AS tie_sum
+  FROM ranked)
+SELECT n AS n_users_nonzero, w2p AS w_plus_2x, w2m AS w_minus_2x,
+       tie_sum,
+       CASE WHEN n >= 2 AND n::DOUBLE * (n + 1) * (2 * n + 1) / 24.0
+                            - tie_sum::DOUBLE / 48.0 > 0 THEN
+         round((w2p::DOUBLE / 2.0 - n::DOUBLE * (n + 1) / 4.0)
+               / sqrt(n::DOUBLE * (n + 1) * (2 * n + 1) / 24.0
+                      - tie_sum::DOUBLE / 48.0), 6) + 0.0 END AS z_stat
+FROM agg
+"""
+
+QUERIES["events_weekend_wilcoxon"] = events_weekend_wilcoxon
+ORACLES["events_weekend_wilcoxon"] = ORACLE_WILCOXON

@@ -334,6 +334,15 @@ SNAPSHOT_QUERIES = [
     "events_conversion_hazard",
     "supplier_part_concentration_gini",
     "events_stickiness_ratio",
+    # round-9 wave 3 (queries/round9b.py)
+    "orders_revenue_theil_nation",
+    "events_daily_overdispersion",
+    "part_brand_price_kruskal",
+    "events_value_brownforsythe",
+    "orders_seasonal_naive_mase",
+    "docs_word_dispersion_dp",
+    "embed_dim_variance_concentration",
+    "events_weekend_wilcoxon",
     # round-9: the staged_r9 six, registered this round
     "events_dow_volume_anova",
     "orders_value_cv_by_segment",
