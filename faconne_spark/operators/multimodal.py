@@ -1825,3 +1825,354 @@ def extract_scene_cuts(
     return vids.select("doc_id", "payload").mapInPandas(
         batches, SCENE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------- GIF codec
+# GIF87a, dependency-free: logical screen + global color table +
+# image descriptor + LZW-compressed indices (variable-width codes,
+# LSB-first bit packing, 255-byte sub-blocks).  The synthesized
+# palette is the identity grayscale ramp (entry i = (i, i, i)), so
+# decoded INDICES are the gray pixel values.  Width-growth sync rule
+# (the classic LZW trap): the encoder bumps the code width after
+# next_code exceeds 2^width (it has just assigned code 2^width, which
+# only FUTURE emissions reference); the decoder — which lags the
+# encoder by exactly one dictionary entry — bumps after next_code
+# REACHES 2^width.  Both sides therefore switch between the same two
+# codes of the stream; tests/test_round9b.py pins a hand-derived
+# bitstream vector and a width-boundary round-trip.
+
+
+def _lzw_compress(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    buf = b""
+    for byte in data:
+        nxt = buf + bytes([byte])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf])
+        if next_code <= 0xFFF:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev = None
+    bitpos = 0
+    total = len(data) * 8
+    while True:
+        if bitpos + width > total:
+            break
+        code = 0
+        for i in range(width):
+            if (data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1:
+                code |= 1 << i
+        bitpos += width
+        if code == end:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) <= 0xFFF:
+                table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            if len(table) <= 0xFFF:
+                table.append(entry)
+        out += entry
+        prev = entry
+        # decoder lags the encoder by one entry: bump at REACHING
+        # 2^width (encoder bumps after EXCEEDING it)
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def gif_encode(width: int, height: int, pixels: bytes) -> bytes:
+    """A real GIF87a file: 8-bit indices against the identity
+    grayscale global color table.  ``pixels`` are the index bytes,
+    row-major, non-interlaced."""
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"gif_encode: {width}x{height} needs {width * height} bytes,"
+            f" got {len(pixels)}"
+        )
+    head = (
+        b"GIF87a"
+        + struct.pack("<HH", width, height)
+        # GCT present, 8-bit color resolution, GCT size 2^(7+1) = 256
+        + bytes([0xF7, 0x00, 0x00])
+    )
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    lzw = _lzw_compress(pixels, 8)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return head + palette + desc + bytes([8]) + blocks + b"\x00" + b"\x3b"
+
+
+def gif_dims(payload: bytes) -> tuple:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return w, h
+
+
+def gif_pixels(payload: bytes) -> tuple:
+    """Decode the first image of a GIF87a/89a: returns
+    (width, height, 1, index_bytes).  Walks extensions, honours
+    local color tables for sizing, and refuses interlaced images
+    pointedly (synthesize_gif never writes them; a cluster deploy
+    swaps in a full decoder at the same seam)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _, _, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        if iflags & 0x40:
+            raise NotImplementedError(
+                "interlaced GIF decode not implemented (synthesize_gif"
+                " writes non-interlaced; swap a full decoder in at this"
+                " seam for crawled images)"
+            )
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            n = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        idx = _lzw_decompress(bytes(lzw), min_code)
+        if len(idx) < w * h:
+            raise ValueError(
+                f"GIF LZW stream decoded {len(idx)} of {w * h} pixels"
+            )
+        return w, h, 1, idx[: w * h]
+    raise ValueError("GIF payload contains no image block")
+
+
+# -------------------------------------------- GIF end-to-end gate plumbing
+
+
+def synthesize_gif(docs: DataFrame) -> DataFrame:
+    """One REAL GIF87a per document: w = 8 + d0 % 24, h = 8 + d1 % 24
+    (so up to 961 pixels — the LZW dictionary grows past code 512 and
+    1024, exercising two width bumps on most payloads), index pixels =
+    md5(text) tiled to w·h bytes against the identity grayscale
+    palette.  Decoded pixel content is closed-form over the md5 hex
+    digits; the compressed payload size is not (that is the point —
+    the bytes cross a real variable-width LZW stream)."""
+    from faconne_spark.session import spread
+
+    base = spread(docs.select("doc_id", "text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, payloads, types = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(text.encode("utf-8")).digest()
+                w, h = 8 + d[0] % 24, 8 + d[1] % 24
+                payloads.append(gif_encode(w, h, _tile(d, w * h)))
+                ids.append(doc_id)
+                types.append("image/gif")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "media_type": types}
+            )
+
+    return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def extract_gif_pixel_stats(media: DataFrame) -> DataFrame:
+    """FULL GIF decode per payload (header walk + sub-block
+    reassembly + variable-width LZW), reduced to (width, height,
+    n_px_bytes, pixel_sum) — the same end-to-end decode proof shape
+    as the PNG/JPEG gates: the oracle recomputes the expected pixel
+    sum in closed form from md5(text), so any bit-unpacking, width-
+    bump, or dictionary slip shifts the sum.  Arrow-batched map-only,
+    no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, channels, px = gif_pixels(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_px_bytes": len(px),
+                        "pixel_sum": sum(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_STATS_SCHEMA]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, PNG_STATS_SCHEMA
+    )
+
+
+# -------------------------------- WAV silence-run (VAD-lite) plumbing
+
+WAV_SILENCE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_silence_runs", LongType()),
+        StructField("longest_silence_run", LongType()),
+        StructField("silence_share_micro", LongType()),
+    ]
+)
+
+SILENCE_THRESHOLD = 128  # |PCM16| ≤ this counts as silence
+
+
+def synthesize_wav_segments(docs: DataFrame) -> DataFrame:
+    """One REAL RIFF/WAVE per document built from alternating
+    silence/tone segments whose count, order, lengths and amplitudes
+    all derive from md5(text): n_seg = 3 + d0 % 4 segments; segment i
+    is silent iff (i + d1) is even; L_i = 8 + d_{2+i} % 24 samples;
+    tone amplitude A_i = 256·(1 + d_{8+i} % 100) (always above the
+    silence threshold).  The segment map is closed-form over the md5
+    hex digits, so a DuckDB oracle can replay the run structure the
+    DECODER must recover from raw PCM."""
+    from faconne_spark.session import spread
+
+    base = spread(docs.select("doc_id", "text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, payloads, types = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(text.encode("utf-8")).digest()
+                n_seg = 3 + d[0] % 4
+                pcm = bytearray()
+                for i in range(n_seg):
+                    length = 8 + d[2 + i] % 24
+                    if (i + d[1]) % 2 == 0:
+                        pcm += b"\x00\x00" * length
+                    else:
+                        amp = 256 * (1 + d[8 + i] % 100)
+                        pcm += struct.pack("<h", amp) * length
+                payloads.append(wav_encode(bytes(pcm)))
+                ids.append(doc_id)
+                types.append("audio/wav")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "media_type": types}
+            )
+
+    return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def extract_wav_silence_runs(media: DataFrame) -> DataFrame:
+    """Silence-run segmentation (VAD-lite) over DECODED PCM: walk the
+    RIFF container, read int16 samples, threshold |s| ≤ 128, and
+    run-length encode the silence mask — per doc: sample count, run
+    count, longest run, and the half-up micro silence share.  The
+    boundary detection runs in numpy inside the Arrow batch (per-doc
+    payloads are bounded; no shuffle) — the same segmentation a
+    speech pipeline runs before transcription to drop dead air."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = wav_pcm(bytes(payload))
+                s = np.frombuffer(pcm, dtype="<i2")
+                silent = np.abs(s.astype(np.int32)) <= SILENCE_THRESHOLD
+                # run boundaries: starts where silent rises
+                starts = np.flatnonzero(
+                    silent & ~np.concatenate(([False], silent[:-1]))
+                )
+                ends = np.flatnonzero(
+                    silent & ~np.concatenate((silent[1:], [False]))
+                )
+                runs = (ends - starts + 1) if len(starts) else np.array([], dtype=np.int64)
+                n = int(len(s))
+                silent_total = int(silent.sum())
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": n,
+                        "n_silence_runs": int(len(runs)),
+                        "longest_silence_run": int(runs.max()) if len(runs) else 0,
+                        "silence_share_micro": (
+                            (2 * 1_000_000 * silent_total + n) // (2 * n)
+                            if n
+                            else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_SILENCE_SCHEMA]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, WAV_SILENCE_SCHEMA
+    )

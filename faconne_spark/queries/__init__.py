@@ -72,6 +72,14 @@ _CHANGED_THIS_ROUND = [
     "part_brand_price_kruskal", "events_value_brownforsythe",
     "orders_seasonal_naive_mase", "docs_word_dispersion_dp",
     "embed_dim_variance_concentration", "events_weekend_wilcoxon",
+    # -- new in r9, wave 4 (queries/round9b.py): ordinal association,
+    #    hourly-profile correlation, block-maxima Gumbel fit, hapax
+    #    rate, lognormal length fit — plus two REAL multimodal proofs:
+    #    a full GIF87a LZW codec and WAV silence-run segmentation
+    #    (operators/multimodal.py) --
+    "orders_priority_value_gamma", "events_hourly_profile_correlation",
+    "events_monthly_max_gumbel", "docs_hapax_rate",
+    "docs_length_lognormal_fit", "mm_gif_decode", "mm_audio_silence_runs",
 ]
 
 _REST = [

@@ -811,3 +811,543 @@ FROM agg
 
 QUERIES["events_weekend_wilcoxon"] = events_weekend_wilcoxon
 ORACLES["events_weekend_wilcoxon"] = ORACLE_WILCOXON
+
+# =================================================================
+# wave 4: ordinal association, profile correlation, extreme values,
+# lexical richness, parametric fit — plus the GIF/silence multimodal
+# pair (operators in operators/multimodal.py)
+# =================================================================
+
+
+# ------------------------------------------- Goodman–Kruskal gamma
+
+def orders_priority_value_gamma(spark, sf):
+    """Goodman–Kruskal γ between order priority (ordinal 1-URGENT …
+    5-LOW) and order-value quintile — the ordinal↔ordinal association
+    member of the family (χ² is order-blind; the Cochran–Armitage key
+    tests ONE binary against an ordinal; γ asks whether two full
+    orderings agree): γ = (C − D)/(C + D) over concordant/discordant
+    pairs.
+
+    Exactness: quintiles come from distributed_ntile on exact cents
+    (no partition-less window; both engines' ntile semantics — first
+    N mod k tiles get one extra row — agree by definition); C and D
+    are exact BIGINT sums over the ≤ 25² cell-pair join of the
+    contingency relation; γ is one rounded double division.
+
+    Scale: one orders pass to cells (the ntile's bucket machinery is
+    broadcast-sized); the pair join runs on ≤ 25 rows — the cell
+    relation persists so both join sides read one materialization
+    instead of re-running the ntile."""
+    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.relational import distributed_ntile
+
+    orders = T(spark, sf, "orders").select(
+        F.expr("cast(substr(o_orderpriority, 1, 1) as int)").alias("pr"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+    tiled = distributed_ntile(
+        orders, "cents", (F.asc("cents"), F.asc("o_orderkey")), 5,
+        tile_col="q",
+    )
+    cells = track_persist(
+        tiled.groupBy("pr", "q").agg(F.count("*").alias("n"))
+    )
+    a = cells.select(
+        F.col("pr").alias("pa"), F.col("q").alias("qa"), F.col("n").alias("na")
+    )
+    b = cells.select(
+        F.col("pr").alias("pb"), F.col("q").alias("qb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("pa") < F.col("pb"))
+    return pairs.groupBy().agg(
+        F.expr("sum(na * nb)").cast("long").alias("n_cross_pairs"),
+        F.sum(F.expr("if(qa < qb, na * nb, 0)")).cast("long").alias(
+            "concordant"
+        ),
+        F.sum(F.expr("if(qa > qb, na * nb, 0)")).cast("long").alias(
+            "discordant"
+        ),
+        F.expr(
+            "case when sum(if(qa < qb, na * nb, 0))"
+            " + sum(if(qa > qb, na * nb, 0)) > 0 then"
+            " round(cast(sum(if(qa < qb, na * nb, 0))"
+            " - sum(if(qa > qb, na * nb, 0)) as double)"
+            " / (sum(if(qa < qb, na * nb, 0))"
+            " + sum(if(qa > qb, na * nb, 0))), 6) + 0.0 end"
+        ).alias("gamma"),
+    )
+
+
+ORACLE_PRIORITY_GAMMA = """
+WITH o AS (
+  SELECT substr(o_orderpriority, 1, 1)::INTEGER AS pr,
+         floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+         o_orderkey
+  FROM orders),
+tiled AS (
+  SELECT pr, ntile(5) OVER (ORDER BY cents, o_orderkey) AS q FROM o),
+cells AS (
+  SELECT pr, q, count(*)::BIGINT AS n FROM tiled GROUP BY 1, 2),
+pairs AS (
+  SELECT a.n AS na, b.n AS nb, a.q AS qa, b.q AS qb
+  FROM cells a JOIN cells b ON a.pr < b.pr)
+SELECT sum(na * nb)::BIGINT AS n_cross_pairs,
+       sum(CASE WHEN qa < qb THEN na * nb ELSE 0 END)::BIGINT AS concordant,
+       sum(CASE WHEN qa > qb THEN na * nb ELSE 0 END)::BIGINT AS discordant,
+       CASE WHEN sum(CASE WHEN qa < qb THEN na * nb ELSE 0 END)
+               + sum(CASE WHEN qa > qb THEN na * nb ELSE 0 END) > 0 THEN
+         round((sum(CASE WHEN qa < qb THEN na * nb ELSE 0 END)
+                - sum(CASE WHEN qa > qb THEN na * nb ELSE 0 END))::DOUBLE
+               / (sum(CASE WHEN qa < qb THEN na * nb ELSE 0 END)
+                  + sum(CASE WHEN qa > qb THEN na * nb ELSE 0 END)), 6)
+         + 0.0 END AS gamma
+FROM pairs
+"""
+
+QUERIES["orders_priority_value_gamma"] = orders_priority_value_gamma
+ORACLES["orders_priority_value_gamma"] = ORACLE_PRIORITY_GAMMA
+
+
+# -------------------------------------- hourly profile correlation
+
+def events_hourly_profile_correlation(spark, sf):
+    """Pairwise Pearson correlation between event types' 24-hour
+    activity profiles (zero-filled — a type dark at 3 a.m. is a real
+    zero, and dropping the hour would inflate every correlation):
+    which behaviors share a daily rhythm, the first read before
+    reusing one type's seasonal model for another.
+
+    Exactness: all five moment sums over the FIXED 24-hour grid are
+    integer counts (n = 24 a constant), so r is one final double
+    expression from exact BIGINTs; NULL when either profile is
+    constant.
+
+    Scale: one events pass to (type, hour) counts; the grid build and
+    the pair join run on ≤ types×24 rows — broadcast territory."""
+    counts = (
+        T(spark, sf, "events")
+        .groupBy("event_type", F.expr("hour(ts)").alias("hr"))
+        .agg(F.count("*").alias("c"))
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.expr("sequence(0, 23)")).alias("hr"))
+        .join(counts, ["event_type", "hr"], "left")
+        .select(
+            "event_type", "hr", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    a = grid.select(
+        F.col("event_type").alias("ta"), "hr", F.col("c").alias("ca")
+    )
+    b = grid.select(
+        F.col("event_type").alias("tb"), "hr", F.col("c").alias("cb")
+    )
+    m = (
+        a.join(b, "hr")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.expr("ca * cb")).alias("sxy"),
+            F.sum(F.expr("ca * ca")).alias("sxx"),
+            F.sum(F.expr("cb * cb")).alias("syy"),
+        )
+    )
+    num = "(24 * sxy - sx * sy)"
+    vx = "(24 * sxx - sx * sx)"
+    vy = "(24 * syy - sy * sy)"
+    return m.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("sx").cast("long").alias("n_events_a"),
+        F.col("sy").cast("long").alias("n_events_b"),
+        F.expr(
+            f"case when {vx} > 0 and {vy} > 0 then"
+            f" round(cast({num} as double)"
+            f" / sqrt(cast({vx} as double) * cast({vy} as double)), 6)"
+            f" + 0.0 end"
+        ).alias("pearson_r"),
+    )
+
+
+ORACLE_HOURLY_PROFILE_CORR = """
+WITH counts AS (
+  SELECT event_type, hour(ts) AS hr, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, h.hr, coalesce(c.c, 0)::BIGINT AS c
+  FROM (SELECT DISTINCT event_type FROM counts) t
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) h
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.hr = h.hr),
+m AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         sum(a.c)::BIGINT AS sx, sum(b.c)::BIGINT AS sy,
+         sum(a.c * b.c)::BIGINT AS sxy,
+         sum(a.c * a.c)::BIGINT AS sxx,
+         sum(b.c * b.c)::BIGINT AS syy
+  FROM grid a JOIN grid b ON a.hr = b.hr AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT ta AS type_a, tb AS type_b, sx AS n_events_a, sy AS n_events_b,
+       CASE WHEN 24 * sxx - sx * sx > 0 AND 24 * syy - sy * sy > 0 THEN
+         round((24 * sxy - sx * sy)::DOUBLE
+               / sqrt((24 * sxx - sx * sx)::DOUBLE
+                      * (24 * syy - sy * sy)::DOUBLE), 6) + 0.0 END
+         AS pearson_r
+FROM m
+"""
+
+QUERIES["events_hourly_profile_correlation"] = events_hourly_profile_correlation
+ORACLES["events_hourly_profile_correlation"] = ORACLE_HOURLY_PROFILE_CORR
+
+# ------------------------------------------- monthly-max Gumbel fit
+
+def events_monthly_max_gumbel(spark, sf):
+    """Extreme-value readout per event type: the monthly block maxima
+    of value, fit to a Gumbel distribution by the method of moments
+    (β = s·√6/π, μ = m − γ·β with γ Euler–Mascheroni), plus the
+    implied 12-month return level μ − β·ln(−ln(1 − 1/12)) — "the
+    value you should see exceeded about once a year".  Means and
+    percentiles describe the middle; capacity limits and fraud
+    thresholds live in the tail, and block-maxima fitting is the
+    classical way to read it (Gumbel 1958).
+
+    Exactness: block maxima are exact micro BIGINTs (max of exact
+    integers); the moment sums S, Q run in BIGINT/DECIMAL(38,0); μ, β
+    and the return level are final-expression doubles both engines
+    derive from identical integers, NULL when fewer than 2 months.
+
+    Scale: one events pass to (type, month) maxima (map-side
+    combine), then ≤ types×months arithmetic."""
+    mx = (
+        T(spark, sf, "events")
+        .groupBy(
+            "event_type", F.expr("trunc(to_date(ts), 'MM')").alias("m")
+        )
+        .agg(
+            F.max(
+                F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")
+            ).alias("mx")
+        )
+    )
+    per_type = mx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(
+            F.col("mx").cast("decimal(38,0)") * F.col("mx").cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    mean = "(cast(s as double) / n / 1e6)"
+    sd = (
+        "sqrt((cast(n as double) * cast(q as double)"
+        " - cast(s as double) * cast(s as double))"
+        " / (cast(n as double) * (n - 1))) / 1e6"
+    )
+    beta = f"({sd} * sqrt(6.0) / pi())"
+    mu = f"({mean} - 0.5772156649015329 * {beta})"
+    return per_type.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_months"),
+        F.expr(
+            f"case when n >= 2 then round({mu}, 6) + 0.0 end"
+        ).alias("gumbel_mu"),
+        F.expr(
+            f"case when n >= 2 then round({beta}, 6) + 0.0 end"
+        ).alias("gumbel_beta"),
+        F.expr(
+            f"case when n >= 2 then round({mu} - {beta}"
+            f" * ln(-ln(1.0 - 1.0 / 12.0)), 6) + 0.0 end"
+        ).alias("return_level_12m"),
+    )
+
+
+ORACLE_MONTHLY_MAX_GUMBEL = """
+WITH mx AS (
+  SELECT event_type, date_trunc('month', ts::DATE)::DATE AS m,
+         max(floor(value * 1000000 + 0.5)::BIGINT) AS mx
+  FROM events GROUP BY 1, 2),
+per_type AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(mx)::BIGINT AS s,
+         sum(mx::DECIMAL(38,0) * mx::DECIMAL(38,0)) AS q
+  FROM mx GROUP BY 1)
+SELECT event_type, n AS n_months,
+       CASE WHEN n >= 2 THEN
+         round(s::DOUBLE / n / 1e6
+               - 0.5772156649015329
+                 * (sqrt((n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                         / (n::DOUBLE * (n - 1))) / 1e6
+                    * sqrt(6.0) / pi()), 6) + 0.0 END AS gumbel_mu,
+       CASE WHEN n >= 2 THEN
+         round(sqrt((n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                    / (n::DOUBLE * (n - 1))) / 1e6
+               * sqrt(6.0) / pi(), 6) + 0.0 END AS gumbel_beta,
+       CASE WHEN n >= 2 THEN
+         round(s::DOUBLE / n / 1e6
+               - 0.5772156649015329
+                 * (sqrt((n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                         / (n::DOUBLE * (n - 1))) / 1e6
+                    * sqrt(6.0) / pi())
+               - (sqrt((n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                       / (n::DOUBLE * (n - 1))) / 1e6
+                  * sqrt(6.0) / pi())
+                 * ln(-ln(1.0 - 1.0 / 12.0)), 6) + 0.0 END
+         AS return_level_12m
+FROM per_type
+"""
+
+QUERIES["events_monthly_max_gumbel"] = events_monthly_max_gumbel
+ORACLES["events_monthly_max_gumbel"] = ORACLE_MONTHLY_MAX_GUMBEL
+
+
+# ------------------------------------------------------ hapax rate
+
+def docs_hapax_rate(spark, sf):
+    """Hapax legomena per source: vocabulary size, once-only word
+    count, and the hapax share of the vocabulary — the lexical-
+    richness tile between TTR (one ratio) and the Heaps curve (the
+    whole trajectory).  Zipf's law pins the healthy share near 0.4-0.6
+    (Baayen 2001); a source far BELOW is template/boilerplate text, a
+    source far above is OCR noise or ID soup — both are curation
+    signals before any frequency-trained model sees the source.
+
+    Exactness: pure integer counting (word counts, count-of-counts);
+    the share is one half-up micro division.
+
+    Scale: one tokenize+count shuffle to (source, word) cells, then a
+    per-source rollup — the docs_word_dispersion_dp relation reused
+    at a different cut."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.expr("if(c = 1, 1, 0)")).cast("long").alias("hapax"),
+        F.expr(
+            "cast((2000000 * sum(if(c = 1, 1, 0)) + count(*))"
+            " div (2 * count(*)) as bigint)"
+        ).alias("hapax_vocab_share_micro"),
+    )
+
+
+def _oracle_hapax_rate() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cnt AS (
+  SELECT source, w, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2)
+SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+       ((2000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) + count(*))
+        // (2 * count(*)))::BIGINT AS hapax_vocab_share_micro
+FROM cnt GROUP BY 1
+"""
+
+
+QUERIES["docs_hapax_rate"] = docs_hapax_rate
+ORACLES["docs_hapax_rate"] = _oracle_hapax_rate()
+
+
+# ------------------------------------------- lognormal length fit
+
+def docs_length_lognormal_fit(spark, sf):
+    """Lognormal fit of document length per source by ln-moments
+    (μ̂, σ̂ of ln n_chars), with the fit's implied median exp(μ̂) next
+    to the ACTUAL median — document lengths are canonically lognormal
+    (a multiplicative growth process), and the gap between the two
+    medians is the one-glance misfit check: a mixture of a short
+    boilerplate mass and long articles splits them immediately, where
+    a histogram needs binning choices to show it.
+
+    Exactness: each document contributes ONE micro-rounded ln of its
+    integer n_chars (the per-cell ln rule); S, Q moments in
+    BIGINT/DECIMAL(38,0); μ̂ is a half-up integer micro; σ̂ and the
+    predicted median are final-expression doubles; the actual median
+    is the exact ×2-integer (both engines interpolate even-count
+    medians as the midpoint of two integers).
+
+    Scale: map-only ln cells, one per-source rollup + one grouped
+    percentile — no windows."""
+    cells = T(spark, sf, "documents").filter(F.col("n_chars") > 0).select(
+        "source",
+        "n_chars",
+        F.expr(
+            "cast(floor(ln(cast(n_chars as double)) * 1000000 + 0.5)"
+            " as bigint)"
+        ).alias("l"),
+    )
+    return cells.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            "cast((2 * sum(l) + count(*)) div (2 * count(*)) as bigint)"
+        ).alias("mu_micro"),
+        F.expr(
+            "case when count(*) >= 2 then"
+            " round(sqrt((cast(count(*) as double)"
+            " * cast(sum(cast(l as decimal(38,0))"
+            " * cast(l as decimal(38,0))) as double)"
+            " - cast(sum(l) as double) * cast(sum(l) as double))"
+            " / (cast(count(*) as double) * (count(*) - 1))) / 1e6, 6)"
+            " + 0.0 end"
+        ).alias("sigma"),
+        F.expr(
+            "round(exp(cast(sum(l) as double) / count(*) / 1e6), 3) + 0.0"
+        ).alias("median_pred"),
+        F.expr(
+            "cast(floor(2 * percentile(n_chars, 0.5) + 0.5) as bigint)"
+        ).alias("median_actual_x2"),
+    )
+
+
+ORACLE_LOGNORMAL_FIT = """
+WITH cells AS (
+  SELECT source, n_chars,
+         floor(ln(n_chars::DOUBLE) * 1000000 + 0.5)::BIGINT AS l
+  FROM documents WHERE n_chars > 0)
+SELECT source, count(*)::BIGINT AS n_docs,
+       ((2 * sum(l) + count(*)) // (2 * count(*)))::BIGINT AS mu_micro,
+       CASE WHEN count(*) >= 2 THEN
+         round(sqrt((count(*)::DOUBLE
+                     * sum(l::DECIMAL(38,0) * l::DECIMAL(38,0))::DOUBLE
+                     - sum(l)::DOUBLE * sum(l)::DOUBLE)
+                    / (count(*)::DOUBLE * (count(*) - 1))) / 1e6, 6)
+         + 0.0 END AS sigma,
+       round(exp(sum(l)::DOUBLE / count(*) / 1e6), 3) + 0.0 AS median_pred,
+       floor(2 * quantile_cont(n_chars, 0.5) + 0.5)::BIGINT
+         AS median_actual_x2
+FROM cells GROUP BY 1
+"""
+
+QUERIES["docs_length_lognormal_fit"] = docs_length_lognormal_fit
+ORACLES["docs_length_lognormal_fit"] = ORACLE_LOGNORMAL_FIT
+
+# ---------------------------------------- GIF decode through the gate
+
+def mm_gif_decode(spark, sf):
+    """REAL GIF87a decode end-to-end through the gate: one grayscale
+    GIF per document (identity-ramp palette, w/h up to 31 so the LZW
+    dictionary crosses the 512 and 1024 code-width boundaries on most
+    payloads), pixels = md5(text) tiled.  Every payload crosses the
+    full container walk + sub-block reassembly + variable-width
+    LSB-first LZW decode (operators/multimodal.py gif_encode /
+    gif_pixels); the oracle replays the decoded pixel sum in closed
+    form from the md5 hex digits — any bit-unpacking, width-bump
+    sync, or dictionary slip shifts the sum.  GIF completes the
+    lossless-image set next to BMP and PNG (and JPEG on the transform
+    side): the four dominant legacy web-image containers all decode
+    for real with zero dependencies."""
+    from faconne_spark.operators import multimodal as MM
+
+    docs = T(spark, sf, "documents")
+    return MM.extract_gif_pixel_stats(MM.synthesize_gif(docs))
+
+
+def _oracle_gif_decode() -> str:
+    hexb = (
+        "((strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1)"
+    )
+    b = [hexb.format(p=2 * i + 1, p1=2 * i + 2) for i in range(16)]
+    tile_sum = " + ".join(
+        f"{b[i]} * (n // 16 + CASE WHEN {i} < n % 16 THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         (8 + {b[0]} % 24) AS w,
+         (8 + {b[1]} % 24) AS h,
+         text
+  FROM documents),
+sized AS (
+  SELECT doc_id, w, h, (w * h)::BIGINT AS n, text FROM dims)
+SELECT doc_id, w::INTEGER AS width, h::INTEGER AS height,
+       n AS n_px_bytes,
+       ({tile_sum})::BIGINT AS pixel_sum
+FROM sized
+"""
+
+
+QUERIES["mm_gif_decode"] = mm_gif_decode
+ORACLES["mm_gif_decode"] = _oracle_gif_decode()
+
+
+# ------------------------------------- WAV silence runs through the gate
+
+def mm_audio_silence_runs(spark, sf):
+    """Silence-run segmentation (VAD-lite) proven through the gate:
+    synthesize_wav_segments plants an alternating silence/tone
+    segment map derived from md5(text) inside a REAL RIFF/WAVE
+    payload; extract_wav_silence_runs must recover the run structure
+    from raw decoded PCM (threshold + run-length over int16 samples,
+    numpy inside the Arrow batch) and the oracle replays the expected
+    runs in closed form from the md5 hex digits — run count, longest
+    run, and the half-up micro silence share all have to survive the
+    container walk and the boundary detection exactly."""
+    from faconne_spark.operators import multimodal as MM
+
+    docs = T(spark, sf, "documents")
+    return MM.extract_wav_silence_runs(MM.synthesize_wav_segments(docs))
+
+
+def _oracle_silence_runs() -> str:
+    hexb = (
+        "((strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1)"
+    )
+    b = [hexb.format(p=2 * i + 1, p1=2 * i + 2) for i in range(16)]
+    # segment i (0..6): exists iff i < n_seg; length 8 + b[2+i] % 24;
+    # silent iff (i + b[1]) even
+    seg_len = [f"(8 + {b[2 + i]} % 24)" for i in range(7)]
+    silent = [f"(({i} + {b[1]}) % 2 = 0)" for i in range(7)]
+    exists = [f"({i} < n_seg)" for i in range(7)]
+    total = " + ".join(
+        f"CASE WHEN {exists[i]} THEN {seg_len[i]} ELSE 0 END"
+        for i in range(7)
+    )
+    silent_total = " + ".join(
+        f"CASE WHEN {exists[i]} AND {silent[i]} THEN {seg_len[i]} ELSE 0 END"
+        for i in range(7)
+    )
+    n_runs = " + ".join(
+        f"CASE WHEN {exists[i]} AND {silent[i]} THEN 1 ELSE 0 END"
+        for i in range(7)
+    )
+    longest = "greatest(" + ", ".join(
+        f"CASE WHEN {exists[i]} AND {silent[i]} THEN {seg_len[i]} ELSE 0 END"
+        for i in range(7)
+    ) + ")"
+    return f"""
+WITH segs AS (
+  SELECT doc_id, (3 + {b[0]} % 4) AS n_seg, text FROM documents),
+m AS (
+  SELECT doc_id,
+         ({total})::BIGINT AS n_samples,
+         ({silent_total})::BIGINT AS silent_total,
+         ({n_runs})::BIGINT AS n_silence_runs,
+         ({longest})::BIGINT AS longest_silence_run
+  FROM segs)
+SELECT doc_id, n_samples, n_silence_runs, longest_silence_run,
+       ((2 * 1000000 * silent_total + n_samples)
+        // (2 * n_samples))::BIGINT AS silence_share_micro
+FROM m
+"""
+
+
+QUERIES["mm_audio_silence_runs"] = mm_audio_silence_runs
+ORACLES["mm_audio_silence_runs"] = _oracle_silence_runs()

@@ -343,6 +343,14 @@ SNAPSHOT_QUERIES = [
     "docs_word_dispersion_dp",
     "embed_dim_variance_concentration",
     "events_weekend_wilcoxon",
+    # round-9 wave 4 (queries/round9b.py + multimodal GIF/silence)
+    "orders_priority_value_gamma",
+    "events_hourly_profile_correlation",
+    "events_monthly_max_gumbel",
+    "docs_hapax_rate",
+    "docs_length_lognormal_fit",
+    "mm_gif_decode",
+    "mm_audio_silence_runs",
     # round-9: the staged_r9 six, registered this round
     "events_dow_volume_anova",
     "orders_value_cv_by_segment",

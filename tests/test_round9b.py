@@ -95,3 +95,123 @@ def test_wave3_partitioning_invariant(spark, sf_dir):
     for k, (a, b) in results.items():
         assert a == b, f"{k} differs across partitioning"
         assert len(a) > 0, f"{k} vacuous at the test SF"
+
+
+WAVE4 = [
+    "orders_priority_value_gamma", "events_hourly_profile_correlation",
+    "events_monthly_max_gumbel", "docs_hapax_rate",
+    "docs_length_lognormal_fit", "mm_gif_decode", "mm_audio_silence_runs",
+]
+
+
+def test_lzw_known_vector():
+    """Hand-derived bitstream for data [0,0,0] at min code size 2:
+    codes clear(4), 0, 6, end(5) at width 3, LSB-first → 0x84 0x0B.
+    Pins the bit-packing convention and the clear/end framing against
+    the GIF87a spec, independent of the decoder (a symmetric
+    encoder/decoder bug cannot cancel here)."""
+    from faconne_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    assert _lzw_compress(bytes([0, 0, 0]), 2) == b"\x84\x0b"
+    assert _lzw_decompress(b"\x84\x0b", 2) == bytes([0, 0, 0])
+
+
+def test_lzw_width_boundary_roundtrip():
+    """Round-trips across the 512 and 1024 code-width boundaries —
+    the encoder/decoder width-bump sync (encoder bumps after
+    EXCEEDING 2^width, the lagging decoder after REACHING it) breaks
+    visibly here if either side is off by one code."""
+    import random
+
+    from faconne_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = random.Random(7)
+    for n in (255, 300, 961, 2000, 5000):
+        high = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw_decompress(_lzw_compress(high)) == high
+        low = bytes((i // 7) % 4 for i in range(n))
+        assert _lzw_decompress(_lzw_compress(low)) == low
+
+
+def test_gif_container_roundtrip():
+    """Full GIF87a container round-trip at every synthesized
+    geometry, plus dims parsing and the interlace refusal."""
+    import hashlib
+
+    from faconne_spark.operators.multimodal import (
+        gif_dims,
+        gif_encode,
+        gif_pixels,
+    )
+
+    for seed in range(25):
+        d = hashlib.md5(str(seed).encode()).digest()
+        w, h = 8 + d[0] % 24, 8 + d[1] % 24
+        px = (d * (w * h // 16 + 1))[: w * h]
+        g = gif_encode(w, h, px)
+        assert g[:6] == b"GIF87a" and g[-1] == 0x3B
+        assert gif_dims(g) == (w, h)
+        w2, h2, ch, out = gif_pixels(g)
+        assert (w2, h2, ch, out) == (w, h, 1, px)
+
+
+def test_gif_pixels_skips_extensions():
+    """A GIF89a-style extension block before the image descriptor
+    must be walked over, not choked on (crawled GIFs carry graphic
+    control extensions)."""
+    from faconne_spark.operators.multimodal import gif_encode, gif_pixels
+
+    g = gif_encode(8, 8, bytes(range(64)))
+    # splice a graphic control extension after the global color table
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = g[: 13 + 768] + ext + g[13 + 768 :]
+    w, h, ch, px = gif_pixels(spliced)
+    assert (w, h, px) == (8, 8, bytes(range(64)))
+
+
+def test_wav_silence_runs_constructed():
+    """Constructed PCM with known runs: [silence×10, tone×5,
+    silence×3] → 2 runs, longest 10, share 13/18."""
+    import struct
+
+    from faconne_spark.operators.multimodal import (
+        SILENCE_THRESHOLD,
+        wav_encode,
+        wav_pcm,
+    )
+    import numpy as np
+
+    pcm = b"\x00\x00" * 10 + struct.pack("<h", 4000) * 5 + b"\x00\x00" * 3
+    payload = wav_encode(pcm)
+    s = np.frombuffer(wav_pcm(payload), dtype="<i2")
+    silent = np.abs(s.astype(np.int32)) <= SILENCE_THRESHOLD
+    assert silent.sum() == 13 and len(s) == 18
+    starts = np.flatnonzero(silent & ~np.concatenate(([False], silent[:-1])))
+    assert len(starts) == 2
+
+
+def test_wave4_partitioning_invariant(spark, sf_dir):
+    from faconne_spark.queries import all_queries
+
+    qs = all_queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for k in WAVE4:
+                rows = sorted(
+                    tuple(map(str, r)) for r in qs[k](spark, sf_dir).collect()
+                )
+                results.setdefault(k, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for k, (a, b) in results.items():
+        assert a == b, f"{k} differs across partitioning"
+        assert len(a) > 0, f"{k} vacuous at the test SF"
