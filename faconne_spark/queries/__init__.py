@@ -80,6 +80,13 @@ _CHANGED_THIS_ROUND = [
     "orders_priority_value_gamma", "events_hourly_profile_correlation",
     "events_monthly_max_gumbel", "docs_hapax_rate",
     "docs_length_lognormal_fit", "mm_gif_decode", "mm_audio_silence_runs",
+    # -- new in r9, wave 5 (queries/round9b.py): tail/shape statistics
+    #    and robust trend — discrete power-law MLE, rank-biased
+    #    overlap, ICC(1), Jarque–Bera, negative-binomial moments fit,
+    #    Theil–Sen slope --
+    "events_user_degree_powerlaw_mle", "docs_source_topword_rbo",
+    "customer_order_value_icc", "events_value_jarque_bera",
+    "events_user_count_nbd_fit", "orders_monthly_theil_sen",
 ]
 
 _REST = [

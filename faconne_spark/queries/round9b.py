@@ -1351,3 +1351,530 @@ FROM m
 
 QUERIES["mm_audio_silence_runs"] = mm_audio_silence_runs
 ORACLES["mm_audio_silence_runs"] = _oracle_silence_runs()
+
+# =================================================================
+# wave 5: tail/shape statistics and robust trend — power-law MLE,
+# rank-biased overlap, ICC, Jarque–Bera, negative-binomial fit,
+# Theil–Sen slope
+# =================================================================
+
+
+# ------------------------------------------- discrete power-law MLE
+
+def events_user_degree_powerlaw_mle(spark, sf):
+    """Clauset–Shalizi–Newman MLE for the power-law exponent of the
+    user activity distribution (events per user, tail k ≥ 5):
+    α̂ = 1 + n / Σ ln(k/(k_min − ½)) with its standard error
+    (α̂−1)/√n — the principled version of the log-log-regression
+    slope everyone eyeballs, and the companion to the Hill estimator
+    key (hill reads the continuous VALUE tail; this reads the
+    discrete DEGREE tail).
+
+    Exactness: per-user counts are integers; each tail user
+    contributes ONE micro-rounded ln of the exact rational 2k/9; the
+    sum is BIGINT and α̂ is one final double.
+
+    Scale: one events pass to per-user counts, one filtered rollup."""
+    per_user = (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") >= 5)
+        .select(
+            F.expr(
+                "cast(floor(ln(cast(2 * k as double) / 9.0) * 1000000"
+                " + 0.5) as bigint)"
+            ).alias("l")
+        )
+    )
+    return per_user.groupBy().agg(
+        F.count("*").cast("long").alias("n_users_tail"),
+        F.lit(5).cast("long").alias("k_min"),
+        F.expr(
+            "case when sum(l) > 0 then"
+            " round(1.0 + cast(count(*) as double) * 1000000 / sum(l), 6)"
+            " + 0.0 end"
+        ).alias("alpha"),
+        F.expr(
+            "case when sum(l) > 0 and count(*) > 0 then"
+            " round((cast(count(*) as double) * 1000000 / sum(l))"
+            " / sqrt(cast(count(*) as double)), 6) + 0.0 end"
+        ).alias("alpha_se"),
+    )
+
+
+ORACLE_POWERLAW_MLE = """
+WITH per_user AS (
+  SELECT floor(ln((2 * count(*))::DOUBLE / 9.0) * 1000000 + 0.5)::BIGINT
+           AS l
+  FROM events GROUP BY user_id HAVING count(*) >= 5)
+SELECT count(*)::BIGINT AS n_users_tail, 5::BIGINT AS k_min,
+       CASE WHEN sum(l) > 0 THEN
+         round(1.0 + count(*)::DOUBLE * 1000000 / sum(l), 6) + 0.0 END
+         AS alpha,
+       CASE WHEN sum(l) > 0 AND count(*) > 0 THEN
+         round((count(*)::DOUBLE * 1000000 / sum(l))
+               / sqrt(count(*)::DOUBLE), 6) + 0.0 END AS alpha_se
+FROM per_user
+"""
+
+QUERIES["events_user_degree_powerlaw_mle"] = events_user_degree_powerlaw_mle
+ORACLES["events_user_degree_powerlaw_mle"] = ORACLE_POWERLAW_MLE
+
+
+# --------------------------------------------- rank-biased overlap
+
+# RBO_min tail weights (Webber 2010, p = 0.9, depth K = 50): a word
+# whose WORSE rank across the two lists is m contributes
+# W[m] = Σ_{d=m}^{K} p^(d−1)/d to Σ — precomputed here and injected
+# into BOTH engines as integer micro literals, so the geometric
+# series never runs as floating-point accumulation inside either.
+_RBO_P, _RBO_K = 0.9, 50
+_RBO_W = []
+for _m in range(1, _RBO_K + 1):
+    _RBO_W.append(
+        int(
+            round(
+                sum(
+                    _RBO_P ** (d - 1) / d for d in range(_m, _RBO_K + 1)
+                )
+                * 1_000_000
+            )
+        )
+    )
+
+
+def docs_source_topword_rbo(spark, sf):
+    """Rank-biased overlap (RBO_min, Webber et al. 2010; p = 0.9,
+    depth 50) between every two sources' top-50 word RANKINGS — the
+    rank-aware companion to vocab-overlap (set-blind) and unigram-JSD
+    (rank-blind): two sources can share every top word and still
+    order them so differently that a frequency-tuned heuristic
+    transfers badly.  Top-weighted by construction: agreement at rank
+    1 counts ~10× rank 30.
+
+    Exactness: per-source ranks come from a SOURCE-PARTITIONED window
+    (count desc, word — deterministic ties); each shared top-50 word
+    contributes the precomputed integer micro weight W[max(ra, rb)];
+    the sum is BIGINT and the final ×(1−p) is one half-up division
+    by 10.
+
+    Scale: one tokenize+count shuffle; ranking and the pair join run
+    on ≤ sources×50 rows."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    win = W.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    top = cnt.withColumn("r", F.row_number().over(win)).filter(
+        F.col("r") <= _RBO_K
+    )
+    a = top.select(
+        F.col("source").alias("sa"), "w", F.col("r").alias("ra")
+    )
+    b = top.select(
+        F.col("source").alias("sb"), "w", F.col("r").alias("rb")
+    )
+    wcase = "case greatest(ra, rb) " + " ".join(
+        f"when {m} then {_RBO_W[m - 1]}" for m in range(1, _RBO_K + 1)
+    ) + " end"
+    pairs = a.join(b, "w").filter(F.col("sa") < F.col("sb"))
+    return pairs.groupBy("sa", "sb").agg(
+        F.count("*").cast("long").alias("n_common_top50"),
+        F.expr(
+            f"cast((2 * sum({wcase}) + 10) div 20 as bigint)"
+        ).alias("rbo_min_micro"),
+    ).select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_common_top50",
+        "rbo_min_micro",
+    )
+
+
+def _oracle_topword_rbo() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    wcase = "CASE greatest(a.r, b.r) " + " ".join(
+        f"WHEN {m} THEN {_RBO_W[m - 1]}" for m in range(1, _RBO_K + 1)
+    ) + " END"
+    return f"""
+WITH cnt AS (
+  SELECT source, w, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+top AS (
+  SELECT source, w,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC)
+           AS r
+  FROM cnt QUALIFY r <= {_RBO_K})
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*)::BIGINT AS n_common_top50,
+       ((2 * sum({wcase}) + 10) // 20)::BIGINT AS rbo_min_micro
+FROM top a JOIN top b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+QUERIES["docs_source_topword_rbo"] = docs_source_topword_rbo
+ORACLES["docs_source_topword_rbo"] = _oracle_topword_rbo()
+
+
+# ------------------------------------------------ intraclass correlation
+
+def customer_order_value_icc(spark, sf):
+    """ICC(1) of order value within customers (one-way random
+    effects, Shrout & Fleiss 1979): how much of order-value variance
+    is BETWEEN customers vs noise within a customer — the
+    repeatability number that says whether "customer value" is a
+    stable trait worth segmenting on (ICC → 0: every order is a coin
+    flip; ICC → 1: one order tells you the customer).  Uses the
+    unbalanced-design group size k₀ = (N − Σn²/N)/(J−1).
+
+    Exactness: oneway_anova's integer-term discipline inline (cents
+    moments in BIGINT/DECIMAL(38,0), per-customer between/within
+    cells micro-rounded to ONE BIGINT each before the sum), plus an
+    exact Σn² BIGINT; ICC, k₀ and F are final-expression doubles.
+
+    Scale: one orders shuffle to per-customer moments; everything
+    after aggregates the customer relation."""
+    g = (
+        T(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+                "v"
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(
+                F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")
+            ).alias("ss"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count("*").alias("j"),
+        F.sum(F.expr("n * n")).alias("sn2"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "j",
+        "nt",
+        "sn2",
+        F.expr(
+            "cast(round(cast(n as double)"
+            " * pow(cast(s as double) / cast(n as double)"
+            "       - cast(st as double) / cast(nt as double), 2)"
+            " / 1000000.0, 0) as bigint)"
+        ).alias("b"),
+        F.expr(
+            "cast(round((cast(ss as double)"
+            " - cast(s as double) * cast(s as double) / cast(n as double))"
+            " / 1000000.0, 0) as bigint)"
+        ).alias("w"),
+    )
+    msb = "(cast(sum(b) as double) / (max(j) - 1))"
+    msw = "(cast(sum(w) as double) / (max(nt) - max(j)))"
+    k0 = (
+        "((cast(max(nt) as double)"
+        " - cast(max(sn2) as double) / max(nt)) / (max(j) - 1))"
+    )
+    ok = "max(j) >= 2 and max(nt) > max(j) and sum(w) > 0"
+    return terms.groupBy().agg(
+        F.max("j").cast("long").alias("n_customers"),
+        F.max("nt").cast("long").alias("n_orders"),
+        F.expr(f"round({k0}, 6) + 0.0").alias("k0"),
+        F.expr(
+            f"case when {ok} then round({msb} / {msw}, 6) + 0.0 end"
+        ).alias("f_stat"),
+        F.expr(
+            f"case when {ok} then round(({msb} - {msw})"
+            f" / ({msb} + ({k0} - 1.0) * {msw}), 6) + 0.0 end"
+        ).alias("icc1"),
+    )
+
+
+ORACLE_ORDER_VALUE_ICC = """
+WITH g AS (
+  SELECT o_custkey, count(*)::BIGINT AS n,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS s,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT::DECIMAL(38,0)
+             * floor(o_totalprice * 100 + 0.5)::BIGINT::DECIMAL(38,0))
+           AS ss
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         count(*)::BIGINT AS j, sum(n * n)::BIGINT AS sn2
+  FROM g),
+terms AS (
+  SELECT j, nt, sn2,
+         round(n::DOUBLE * pow(s::DOUBLE / n::DOUBLE
+                               - st::DOUBLE / nt::DOUBLE, 2)
+               / 1000000.0, 0)::BIGINT AS b,
+         round((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+               / 1000000.0, 0)::BIGINT AS w
+  FROM g CROSS JOIN tot)
+SELECT max(j)::BIGINT AS n_customers, max(nt)::BIGINT AS n_orders,
+       round((max(nt)::DOUBLE - max(sn2)::DOUBLE / max(nt))
+             / (max(j) - 1), 6) + 0.0 AS k0,
+       CASE WHEN max(j) >= 2 AND max(nt) > max(j) AND sum(w) > 0 THEN
+         round((sum(b)::DOUBLE / (max(j) - 1))
+               / (sum(w)::DOUBLE / (max(nt) - max(j))), 6) + 0.0 END
+         AS f_stat,
+       CASE WHEN max(j) >= 2 AND max(nt) > max(j) AND sum(w) > 0 THEN
+         round(((sum(b)::DOUBLE / (max(j) - 1))
+                - (sum(w)::DOUBLE / (max(nt) - max(j))))
+               / ((sum(b)::DOUBLE / (max(j) - 1))
+                  + (((max(nt)::DOUBLE - max(sn2)::DOUBLE / max(nt))
+                      / (max(j) - 1)) - 1.0)
+                    * (sum(w)::DOUBLE / (max(nt) - max(j)))), 6) + 0.0 END
+         AS icc1
+FROM terms
+"""
+
+QUERIES["customer_order_value_icc"] = customer_order_value_icc
+ORACLES["customer_order_value_icc"] = ORACLE_ORDER_VALUE_ICC
+
+# ------------------------------------------------ Jarque–Bera shape test
+
+def events_value_jarque_bera(spark, sf):
+    """Moment-based shape test per event type: skewness, excess
+    kurtosis, and the Jarque–Bera statistic n·(S²/6 + K²/24) — the
+    quantitative "is it even close to normal?" gate in front of every
+    z-test and control chart upstream (a JB in the thousands says the
+    Welch z's nominal coverage is fiction; use the rank keys).
+
+    Exactness: four raw power sums over exact centi-unit integers
+    (S₁ BIGINT, S₂-S₄ DECIMAL(38,0) — v⁴ ≈ 10¹⁶ per row keeps the sum
+    inside 38 digits through sf10); central moments, skew, kurtosis
+    and JB are final-expression doubles both engines derive from the
+    identical integers.
+
+    Scale: ONE map-side-combined aggregation pass; no joins, no
+    windows."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("v"),
+    )
+    d = "cast({x} as double)"
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * v")).alias("s2"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * v * v")).alias("s3"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * v * v * v")).alias("s4"),
+    )
+    mean = f"({d.format(x='s1')} / n)"
+    m2 = f"({d.format(x='s2')} / n - {mean} * {mean})"
+    m3 = (
+        f"({d.format(x='s3')} / n - 3 * {mean} * {d.format(x='s2')} / n"
+        f" + 2 * {mean} * {mean} * {mean})"
+    )
+    m4 = (
+        f"({d.format(x='s4')} / n - 4 * {mean} * {d.format(x='s3')} / n"
+        f" + 6 * {mean} * {mean} * {d.format(x='s2')} / n"
+        f" - 3 * {mean} * {mean} * {mean} * {mean})"
+    )
+    skew = f"({m3} / pow({m2}, 1.5))"
+    kurt = f"({m4} / ({m2} * {m2}) - 3.0)"
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr(f"round({mean} / 100.0, 6) + 0.0").alias("mean_value"),
+        F.expr(
+            f"case when {m2} > 0 then round({skew}, 6) + 0.0 end"
+        ).alias("skewness"),
+        F.expr(
+            f"case when {m2} > 0 then round({kurt}, 6) + 0.0 end"
+        ).alias("ex_kurtosis"),
+        F.expr(
+            f"case when {m2} > 0 then"
+            f" round(n * ({skew} * {skew} / 6.0"
+            f" + {kurt} * {kurt} / 24.0), 6) + 0.0 end"
+        ).alias("jarque_bera"),
+    )
+
+
+def _oracle_jarque_bera() -> str:
+    mean = "(s1::DOUBLE / n)"
+    m2 = f"(s2::DOUBLE / n - {mean} * {mean})"
+    m3 = (
+        f"(s3::DOUBLE / n - 3 * {mean} * s2::DOUBLE / n"
+        f" + 2 * {mean} * {mean} * {mean})"
+    )
+    m4 = (
+        f"(s4::DOUBLE / n - 4 * {mean} * s3::DOUBLE / n"
+        f" + 6 * {mean} * {mean} * s2::DOUBLE / n"
+        f" - 3 * {mean} * {mean} * {mean} * {mean})"
+    )
+    skew = f"({m3} / pow({m2}, 1.5))"
+    kurt = f"({m4} / ({m2} * {m2}) - 3.0)"
+    return f"""
+WITH ev AS (
+  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS v FROM events),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(v)::BIGINT AS s1,
+         sum(v::DECIMAL(38,0) * v) AS s2,
+         sum(v::DECIMAL(38,0) * v * v) AS s3,
+         sum(v::DECIMAL(38,0) * v * v * v) AS s4
+  FROM ev GROUP BY 1)
+SELECT event_type, n AS n_events,
+       round({mean} / 100.0, 6) + 0.0 AS mean_value,
+       CASE WHEN {m2} > 0 THEN round({skew}, 6) + 0.0 END AS skewness,
+       CASE WHEN {m2} > 0 THEN round({kurt}, 6) + 0.0 END AS ex_kurtosis,
+       CASE WHEN {m2} > 0 THEN
+         round(n * ({skew} * {skew} / 6.0 + {kurt} * {kurt} / 24.0), 6)
+         + 0.0 END AS jarque_bera
+FROM m
+"""
+
+
+QUERIES["events_value_jarque_bera"] = events_value_jarque_bera
+ORACLES["events_value_jarque_bera"] = _oracle_jarque_bera()
+
+
+# --------------------------------------------- negative-binomial fit
+
+def events_user_count_nbd_fit(spark, sf):
+    """Negative-binomial fit of per-user event counts by moments
+    (p̂ = m/s², r̂ = m²/(s² − m)) — the workhorse count model when the
+    Poisson overdispersion key says D ≫ 1 (Ehrenberg's NBD tradition:
+    user activity is gamma-heterogeneous Poisson, and r̂ is the
+    heterogeneity read-out a frequency planner actually uses).  NULL
+    fit when the data is NOT overdispersed (s² ≤ m) — the honest
+    refusal, not a clamped number.
+
+    Exactness: per-user counts and their power sums are exact
+    BIGINTs; m, s², p̂, r̂ are final-expression doubles.
+
+    Scale: one events pass to per-user counts, one rollup."""
+    per_user = (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("k"))
+    )
+    m = per_user.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("s1"),
+        F.sum(F.expr("k * k")).alias("s2"),
+    )
+    mean = "(cast(s1 as double) / n)"
+    var = (
+        "((cast(n as double) * s2 - cast(s1 as double) * s1)"
+        " / (cast(n as double) * (n - 1)))"
+    )
+    over = f"{var} > {mean}"
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("s1").cast("long").alias("n_events"),
+        F.expr(f"round({mean}, 6) + 0.0").alias("mean_per_user"),
+        F.expr(f"round({var}, 6) + 0.0").alias("var_per_user"),
+        F.expr(
+            f"case when {over} then round({mean} / {var}, 6) + 0.0 end"
+        ).alias("p_hat"),
+        F.expr(
+            f"case when {over} then round({mean} * {mean}"
+            f" / ({var} - {mean}), 6) + 0.0 end"
+        ).alias("r_hat"),
+    )
+
+
+ORACLE_NBD_FIT = """
+WITH per_user AS (
+  SELECT count(*)::BIGINT AS k FROM events GROUP BY user_id),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(k)::BIGINT AS s1,
+         sum(k * k)::BIGINT AS s2
+  FROM per_user)
+SELECT n AS n_users, s1 AS n_events,
+       round(s1::DOUBLE / n, 6) + 0.0 AS mean_per_user,
+       round((n::DOUBLE * s2 - s1::DOUBLE * s1)
+             / (n::DOUBLE * (n - 1)), 6) + 0.0 AS var_per_user,
+       CASE WHEN (n::DOUBLE * s2 - s1::DOUBLE * s1)
+                 / (n::DOUBLE * (n - 1)) > s1::DOUBLE / n THEN
+         round((s1::DOUBLE / n)
+               / ((n::DOUBLE * s2 - s1::DOUBLE * s1)
+                  / (n::DOUBLE * (n - 1))), 6) + 0.0 END AS p_hat,
+       CASE WHEN (n::DOUBLE * s2 - s1::DOUBLE * s1)
+                 / (n::DOUBLE * (n - 1)) > s1::DOUBLE / n THEN
+         round((s1::DOUBLE / n) * (s1::DOUBLE / n)
+               / ((n::DOUBLE * s2 - s1::DOUBLE * s1)
+                  / (n::DOUBLE * (n - 1)) - s1::DOUBLE / n), 6)
+         + 0.0 END AS r_hat
+FROM m
+"""
+
+QUERIES["events_user_count_nbd_fit"] = events_user_count_nbd_fit
+ORACLES["events_user_count_nbd_fit"] = ORACLE_NBD_FIT
+
+
+# --------------------------------------------------- Theil–Sen slope
+
+def orders_monthly_theil_sen(spark, sf):
+    """Theil–Sen robust trend of monthly order volume: the median of
+    all pairwise month-to-month slopes — the estimator that shrugs
+    off the outlier months that wreck an OLS trend line, and the
+    magnitude companion to the Mann–Kendall direction test already in
+    the registry (MK says "is there a trend?"; Theil–Sen says "how
+    steep?").
+
+    Exactness: the month relation is bounded (~80 rows), so the pair
+    set (~3 000 slopes) is identical in both engines; each slope is
+    one double division of exact integers, and the median is the
+    midpoint interpolation both engines apply to the same sorted
+    doubles.
+
+    Scale: orders collapse to the month relation in one pass; the
+    triangular pair join and the percentile run on a bounded calendar
+    relation (persisted — one orders shuffle)."""
+    from faconne_spark.operators.dedup import track_persist
+
+    monthly = track_persist(
+        T(spark, sf, "orders")
+        .groupBy(F.expr("trunc(to_date(o_orderdate), 'MM')").alias("m"))
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.expr("year(m) * 12 + month(m)").alias("idx"), "c"
+        )
+    )
+    a = monthly.select(F.col("idx").alias("ia"), F.col("c").alias("ca"))
+    b = monthly.select(F.col("idx").alias("ib"), F.col("c").alias("cb"))
+    slopes = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        F.expr("cast(cb - ca as double) / (ib - ia)").alias("slope")
+    )
+    return slopes.groupBy().agg(
+        F.expr("cast(count(*) as bigint)").alias("n_pairs"),
+        F.expr("round(percentile(slope, 0.5), 6) + 0.0").alias(
+            "theil_sen_slope"
+        ),
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH monthly AS (
+  SELECT year(m) * 12 + month(m) AS idx, c
+  FROM (SELECT date_trunc('month', o_orderdate::DATE)::DATE AS m,
+               count(*)::BIGINT AS c
+        FROM orders GROUP BY 1)),
+slopes AS (
+  SELECT (b.c - a.c)::DOUBLE / (b.idx - a.idx) AS slope
+  FROM monthly a JOIN monthly b ON a.idx < b.idx)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(quantile_cont(slope, 0.5), 6) + 0.0 AS theil_sen_slope
+FROM slopes
+"""
+
+QUERIES["orders_monthly_theil_sen"] = orders_monthly_theil_sen
+ORACLES["orders_monthly_theil_sen"] = ORACLE_THEIL_SEN

@@ -351,6 +351,13 @@ SNAPSHOT_QUERIES = [
     "docs_length_lognormal_fit",
     "mm_gif_decode",
     "mm_audio_silence_runs",
+    # round-9 wave 5 (queries/round9b.py)
+    "events_user_degree_powerlaw_mle",
+    "docs_source_topword_rbo",
+    "customer_order_value_icc",
+    "events_value_jarque_bera",
+    "events_user_count_nbd_fit",
+    "orders_monthly_theil_sen",
     # round-9: the staged_r9 six, registered this round
     "events_dow_volume_anova",
     "orders_value_cv_by_segment",

@@ -215,3 +215,63 @@ def test_wave4_partitioning_invariant(spark, sf_dir):
     for k, (a, b) in results.items():
         assert a == b, f"{k} differs across partitioning"
         assert len(a) > 0, f"{k} vacuous at the test SF"
+
+
+WAVE5 = [
+    "events_user_degree_powerlaw_mle", "docs_source_topword_rbo",
+    "customer_order_value_icc", "events_value_jarque_bera",
+    "events_user_count_nbd_fit", "orders_monthly_theil_sen",
+]
+
+
+def test_rbo_weight_table_identities():
+    """The injected RBO_min weight table must satisfy the paper's
+    identities: W is strictly decreasing in the worse rank, W[K] is
+    exactly p^(K−1)/K, and (1−p)·W[1] < 1 (RBO of identical lists at
+    infinite depth is 1; truncation at K keeps it strictly below)."""
+    from faconne_spark.queries.round9b import _RBO_K, _RBO_P, _RBO_W
+
+    assert len(_RBO_W) == _RBO_K
+    assert all(_RBO_W[i] > _RBO_W[i + 1] for i in range(_RBO_K - 1))
+    want_last = round(_RBO_P ** (_RBO_K - 1) / _RBO_K * 1_000_000)
+    assert _RBO_W[-1] == want_last
+    assert 0.1 * _RBO_W[0] < 1_000_000
+
+
+def test_rbo_identical_lists_hit_closed_form(spark, sf_dir):
+    """Any source paired with itself would score Σ_{d} (1−p)p^(d−1) —
+    the truncated geometric mass.  The pair join excludes self-pairs,
+    so pin the identity directly on the weight table instead: a word
+    at the same rank m in both lists contributes W[m], and summing
+    W[m] for m = 1..K equals Σ_{d≤K} p^(d−1)·(overlap d)/d with full
+    overlap — i.e. (1−p)·Σ W[m] = RBO_min(identical) within
+    micro-rounding."""
+    from faconne_spark.queries.round9b import _RBO_K, _RBO_P, _RBO_W
+
+    total = sum(_RBO_W) / 1_000_000
+    want = sum(
+        _RBO_P ** (d - 1) / d * d for d in range(1, _RBO_K + 1)
+    )  # Σ_d p^(d-1)/d · |intersection at d| with |∩| = d
+    assert abs(total * 1.0 - want) < 1e-3
+    assert abs(0.1 * want - (1 - _RBO_P ** _RBO_K)) < 1e-12
+
+
+def test_wave5_partitioning_invariant(spark, sf_dir):
+    from faconne_spark.queries import all_queries
+
+    qs = all_queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for k in WAVE5:
+                rows = sorted(
+                    tuple(map(str, r)) for r in qs[k](spark, sf_dir).collect()
+                )
+                results.setdefault(k, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for k, (a, b) in results.items():
+        assert a == b, f"{k} differs across partitioning"
+        assert len(a) > 0, f"{k} vacuous at the test SF"
