@@ -243,3 +243,257 @@ FROM pair
 
 BANK_QUERIES["events_transition_asymmetry"] = events_transition_asymmetry
 BANK_ORACLES["events_transition_asymmetry"] = ORACLE_TRANSITION_ASYMMETRY
+
+
+# ------------------------------------- effective vocabulary (Simpson)
+
+def docs_source_simpson_diversity(spark, sf):
+    """Inverse-Simpson effective vocabulary per source: N(N−1)/Σc(c−1)
+    — "how many equally-common words would produce this repeat
+    probability?" — the concentration end of the lexical-richness
+    family (hapax reads the rare end; TTR/Heaps read the growth
+    curve).  A source whose effective vocabulary is tiny relative to
+    its raw vocab is template text no matter how many distinct words
+    it technically contains.
+
+    Exactness: pure integer counting — λ's numerator Σc(c−1) and
+    denominator N(N−1) are exact BIGINTs; both reported figures are
+    half-up micro divisions of exact integers."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.expr(
+            "cast((2000000 * sum(c * (c - 1)) + sum(c) * (sum(c) - 1))"
+            " div (2 * sum(c) * (sum(c) - 1)) as bigint)"
+        ).alias("simpson_lambda_micro"),
+        F.expr(
+            "case when sum(c * (c - 1)) > 0 then"
+            " cast((2000000 * sum(c) * (sum(c) - 1)"
+            " + sum(c * (c - 1))) div (2 * sum(c * (c - 1))) as bigint)"
+            " end"
+        ).alias("effective_vocab_micro"),
+    )
+
+
+def _oracle_simpson_diversity() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cnt AS (
+  SELECT source, w, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2)
+SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+       ((2000000 * sum(c * (c - 1)) + sum(c) * (sum(c) - 1))
+        // (2 * sum(c) * (sum(c) - 1)))::BIGINT AS simpson_lambda_micro,
+       CASE WHEN sum(c * (c - 1)) > 0 THEN
+         ((2000000 * sum(c) * (sum(c) - 1) + sum(c * (c - 1)))
+          // (2 * sum(c * (c - 1))))::BIGINT END AS effective_vocab_micro
+FROM cnt GROUP BY 1
+"""
+
+
+BANK_QUERIES["docs_source_simpson_diversity"] = docs_source_simpson_diversity
+BANK_ORACLES["docs_source_simpson_diversity"] = _oracle_simpson_diversity()
+
+
+# ----------------------------------------- Wald–Wolfowitz runs test
+
+def events_daily_runs_test(spark, sf):
+    """Wald–Wolfowitz runs test on daily event volume vs its median:
+    is the above/below-median sequence RANDOM, or do high days clump
+    (momentum/weekly cycles) or alternate (correction dynamics)?  The
+    non-parametric randomness gate under every i.i.d.-assuming
+    bootstrap upstream.  Days exactly AT the median drop (the
+    test's standard treatment).
+
+    Exactness: daily counts are integers and the 2×median is an exact
+    integer (midpoint of two integers in both engines), so the
+    above/below labels are exact; R, n₁, n₂ are integer counts off a
+    lag over the bounded calendar relation; μ_R, σ_R, z are
+    final-expression doubles.
+
+    Scale: one events pass to the ≤ days relation; the lag window
+    runs on the bounded calendar spine."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    med = daily.groupBy().agg(
+        F.expr("cast(floor(2 * percentile(c, 0.5) + 0.5) as bigint)").alias(
+            "m2"
+        )
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.expr("2 * c != m2"))
+        .select(
+            "d", F.expr("if(2 * c > m2, 1, 0)").alias("s")
+        )
+    )
+    lagged = signed.withColumn(
+        "chg",
+        F.expr(
+            "if(lag(s) over (order by d) is null, 1,"
+            " if(s != lag(s) over (order by d), 1, 0))"
+        ),
+    )
+    agg = lagged.groupBy().agg(
+        F.sum("chg").alias("r"),
+        F.sum("s").alias("n1"),
+        F.sum(F.expr("1 - s")).alias("n2"),
+    )
+    mu = (
+        "(2.0 * n1 * n2 / (n1 + n2) + 1.0)"
+    )
+    var = (
+        "(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+        " / ((cast(n1 + n2 as double)) * (n1 + n2) * (n1 + n2 - 1)))"
+    )
+    return agg.select(
+        F.col("r").cast("long").alias("n_runs"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.expr(
+            f"case when n1 > 0 and n2 > 0 and {var} > 0 then"
+            f" round((r - {mu}) / sqrt({var}), 6) + 0.0 end"
+        ).alias("z_stat"),
+    )
+
+
+ORACLE_DAILY_RUNS_TEST = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS c FROM events GROUP BY 1),
+med AS (
+  SELECT floor(2 * quantile_cont(c, 0.5) + 0.5)::BIGINT AS m2 FROM daily),
+signed AS (
+  SELECT d, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med WHERE 2 * c != m2),
+lagged AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL THEN 1
+                 WHEN s != lag(s) OVER (ORDER BY d) THEN 1 ELSE 0 END AS chg
+  FROM signed),
+agg AS (
+  SELECT sum(chg)::BIGINT AS r, sum(s)::BIGINT AS n1,
+         sum(1 - s)::BIGINT AS n2
+  FROM lagged)
+SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+       CASE WHEN n1 > 0 AND n2 > 0
+                 AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                     / ((n1 + n2)::DOUBLE * (n1 + n2) * (n1 + n2 - 1)) > 0
+            THEN round((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                       / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                              / ((n1 + n2)::DOUBLE * (n1 + n2)
+                                 * (n1 + n2 - 1))), 6) + 0.0 END AS z_stat
+FROM agg
+"""
+
+BANK_QUERIES["events_daily_runs_test"] = events_daily_runs_test
+BANK_ORACLES["events_daily_runs_test"] = ORACLE_DAILY_RUNS_TEST
+
+
+# ------------------------------------------- Spearman by avg ranks
+
+def part_size_price_spearman(spark, sf):
+    """Spearman rank correlation between part size and retail price —
+    the tie-correct, monotone-association twin of the Pearson key
+    (part_size_vs_price_corr): Pearson on average tie-ranks from
+    `distributed_avg_ranks` (its third consumer after
+    Kruskal–Wallis and Wilcoxon — the primitive earns its keep).
+
+    Exactness: both rank vectors are exact ×2 BIGINT average ranks
+    computed on the two distinct-value relations (size domain ~50
+    values, price domain ~10³ — both bounded); the five moment sums
+    run in BIGINT/DECIMAL(38,0) and ρ is one final double."""
+    from faconne_spark.operators.relational import distributed_avg_ranks
+
+    base = T(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("sz"),
+        F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").alias(
+            "pc"
+        ),
+    )
+    rx = distributed_avg_ranks(base, "sz", out_col="r_size")
+    rxy = distributed_avg_ranks(rx, "pc", out_col="r_price")
+    m = rxy.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("r_size").alias("sx"),
+        F.sum("r_price").alias("sy"),
+        F.sum(
+            F.col("r_size").cast("decimal(38,0)")
+            * F.col("r_price").cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("r_size").cast("decimal(38,0)")
+            * F.col("r_size").cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("r_price").cast("decimal(38,0)")
+            * F.col("r_price").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    num = (
+        "(cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+    )
+    vx = (
+        "(cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double))"
+    )
+    vy = (
+        "(cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double))"
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.expr(
+            f"case when {vx} > 0 and {vy} > 0 then"
+            f" round({num} / sqrt({vx} * {vy}), 6) + 0.0 end"
+        ).alias("spearman_rho"),
+    )
+
+
+ORACLE_SIZE_PRICE_SPEARMAN = """
+WITH base AS (
+  SELECT p_size::BIGINT AS sz,
+         floor(p_retailprice * 100 + 0.5)::BIGINT AS pc
+  FROM part),
+ranked AS (
+  SELECT 2 * rank() OVER (ORDER BY sz)
+           + count(*) OVER (PARTITION BY sz) - 1 AS r_size,
+         2 * rank() OVER (ORDER BY pc)
+           + count(*) OVER (PARTITION BY pc) - 1 AS r_price
+  FROM base),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(r_size)::BIGINT AS sx,
+         sum(r_price)::BIGINT AS sy,
+         sum(r_size::DECIMAL(38,0) * r_price::DECIMAL(38,0)) AS sxy,
+         sum(r_size::DECIMAL(38,0) * r_size::DECIMAL(38,0)) AS sxx,
+         sum(r_price::DECIMAL(38,0) * r_price::DECIMAL(38,0)) AS syy
+  FROM ranked)
+SELECT n AS n_parts,
+       CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+             AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0 THEN
+         round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+               6) + 0.0 END AS spearman_rho
+FROM m
+"""
+
+BANK_QUERIES["part_size_price_spearman"] = part_size_price_spearman
+BANK_ORACLES["part_size_price_spearman"] = ORACLE_SIZE_PRICE_SPEARMAN
