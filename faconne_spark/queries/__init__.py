@@ -87,6 +87,11 @@ _CHANGED_THIS_ROUND = [
     "events_user_degree_powerlaw_mle", "docs_source_topword_rbo",
     "customer_order_value_icc", "events_value_jarque_bera",
     "events_user_count_nbd_fit", "orders_monthly_theil_sen",
+    # -- new in r9, wave 6 (queries/round9b.py): circular hour stats,
+    #    embedding-norm leakage ANOVA, forensic second-digit Benford,
+    #    day-of-week × hour-of-day MI --
+    "events_hour_circular_stats", "embed_norm_label_anova",
+    "events_benford_second_digit", "events_dow_hour_mi",
 ]
 
 _REST = [

@@ -1878,3 +1878,364 @@ FROM slopes
 
 QUERIES["orders_monthly_theil_sen"] = orders_monthly_theil_sen
 ORACLES["orders_monthly_theil_sen"] = ORACLE_THEIL_SEN
+
+# =================================================================
+# wave 6: circular statistics, embedding-norm leakage, forensic
+# second digit, calendar-structure MI
+# =================================================================
+
+# cos/sin of the 24 hour angles (2π·h/24), precomputed as integer
+# micro literals injected into BOTH engines — the circular moments
+# are then exact BIGINT weighted sums over the hour-count relation,
+# never a floating-point trig accumulation inside either engine
+import math as _math
+
+_HOUR_COS = [
+    int(round(_math.cos(2 * _math.pi * h / 24) * 1_000_000))
+    for h in range(24)
+]
+_HOUR_SIN = [
+    int(round(_math.sin(2 * _math.pi * h / 24) * 1_000_000))
+    for h in range(24)
+]
+
+
+def events_hour_circular_stats(spark, sf):
+    """Circular statistics of event timing on the 24-hour clock per
+    type (Fisher 1993): mean direction (peak hour) and the resultant
+    length R̄ ∈ [0, 1] — the CORRECT way to average hours (the
+    arithmetic mean of 23:00 and 01:00 is noon; the circular mean is
+    midnight), and R̄ is the concentration gauge: 0 = activity spread
+    uniformly around the clock, 1 = a single spike.
+
+    Exactness: the 24 cos/sin values are precomputed integer micro
+    literals; S_c, S_s are exact BIGINT weighted sums over the hour-
+    count relation; the mean angle, peak hour and R̄ are
+    final-expression doubles (atan2 of two exact integers).
+
+    Scale: one events pass to (type, hour) counts; everything after
+    is ≤ types×24 arithmetic."""
+    cos_case = "case hr " + " ".join(
+        f"when {h} then {_HOUR_COS[h]}" for h in range(24)
+    ) + " end"
+    sin_case = "case hr " + " ".join(
+        f"when {h} then {_HOUR_SIN[h]}" for h in range(24)
+    ) + " end"
+    counts = (
+        T(spark, sf, "events")
+        .groupBy("event_type", F.expr("hour(ts)").alias("hr"))
+        .agg(F.count("*").alias("c"))
+    )
+    m = counts.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr(f"c * ({cos_case})")).alias("sc"),
+        F.sum(F.expr(f"c * ({sin_case})")).alias("ss"),
+    )
+    ang = "atan2(cast(ss as double), cast(sc as double))"
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr(
+            f"round((({ang}) / (2 * pi()) * 24 + 24) % 24, 6) + 0.0"
+        ).alias("peak_hour"),
+        F.expr(
+            "round(sqrt(cast(sc as double) * sc + cast(ss as double) * ss)"
+            " / (cast(n as double) * 1000000), 6) + 0.0"
+        ).alias("resultant_length"),
+    )
+
+
+def _oracle_hour_circular() -> str:
+    cos_case = "CASE hr " + " ".join(
+        f"WHEN {h} THEN {_HOUR_COS[h]}" for h in range(24)
+    ) + " END"
+    sin_case = "CASE hr " + " ".join(
+        f"WHEN {h} THEN {_HOUR_SIN[h]}" for h in range(24)
+    ) + " END"
+    return f"""
+WITH counts AS (
+  SELECT event_type, hour(ts) AS hr, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, sum(c)::BIGINT AS n,
+         sum(c * ({cos_case}))::BIGINT AS sc,
+         sum(c * ({sin_case}))::BIGINT AS ss
+  FROM counts GROUP BY 1)
+SELECT event_type, n AS n_events,
+       round((atan2(ss::DOUBLE, sc::DOUBLE) / (2 * pi()) * 24 + 24)
+             % 24, 6) + 0.0 AS peak_hour,
+       round(sqrt(sc::DOUBLE * sc + ss::DOUBLE * ss)
+             / (n::DOUBLE * 1000000), 6) + 0.0 AS resultant_length
+FROM m
+"""
+
+
+QUERIES["events_hour_circular_stats"] = events_hour_circular_stats
+ORACLES["events_hour_circular_stats"] = _oracle_hour_circular()
+
+
+# ------------------------------------------ embedding-norm leakage
+
+def embed_norm_label_anova(spark, sf):
+    """One-way ANOVA of the L2 norm across labels — the norm-leakage
+    audit: encoders routinely leak class information into vector
+    MAGNITUDE (common-token frequency, caption length), and any
+    cosine-based downstream silently discards it while any
+    dot-product index silently exploits it.  A large F here says the
+    two retrieval modes will DISAGREE on this corpus — decide
+    deliberately, before the index is built.
+
+    Exactness: the norm is the same left-to-right fold both engines
+    run identically (the embed_norm contract); oneway_anova
+    micro-rounds it once and applies the integer-term discipline.
+
+    Scale: map-only norms, one grouped ANOVA pass."""
+    from faconne_spark.operators.evalstats import oneway_anova
+
+    emb = T(spark, sf, "embeddings").select(
+        "label",
+        F.expr(
+            "sqrt(aggregate(embedding, cast(0.0 as double),"
+            " (a, v) -> a + cast(v as double) * cast(v as double)))"
+        ).alias("l2_norm"),
+    )
+    return oneway_anova(emb, "label", "l2_norm")
+
+
+ORACLE_NORM_LABEL_ANOVA = """
+WITH emb AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS l2_norm
+  FROM embeddings),
+g AS (
+  SELECT label, count(*)::BIGINT AS n,
+         sum(round(l2_norm * 1000000)::BIGINT)::BIGINT AS s,
+         sum(round(l2_norm * 1000000)::BIGINT::DECIMAL(38,0)
+             * round(l2_norm * 1000000)::BIGINT::DECIMAL(38,0)) AS ss
+  FROM emb WHERE l2_norm IS NOT NULL GROUP BY 1),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         count(*)::BIGINT AS k
+  FROM g),
+terms AS (
+  SELECT k, nt,
+         round(n::DOUBLE * pow(s::DOUBLE / n::DOUBLE
+                               - st::DOUBLE / nt::DOUBLE, 2)
+               / 1000000.0, 0)::BIGINT AS b,
+         round((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+               / 1000000.0, 0)::BIGINT AS w
+  FROM g CROSS JOIN tot)
+SELECT max(k)::BIGINT AS n_groups, max(nt)::BIGINT AS n_rows,
+       sum(b)::BIGINT AS ssb_micro, sum(w)::BIGINT AS ssw_micro,
+       CASE WHEN max(k) >= 2 AND max(nt) > max(k) AND sum(w) > 0 THEN
+         round((sum(b)::DOUBLE / (max(k) - 1))
+               / (sum(w)::DOUBLE / (max(nt) - max(k))), 6) + 0.0 END
+         AS f_stat,
+       CASE WHEN sum(b) + sum(w) > 0 THEN
+         round(sum(b)::DOUBLE / (sum(b)::DOUBLE + sum(w)::DOUBLE), 6)
+         + 0.0 END AS eta_sq
+FROM terms
+"""
+
+QUERIES["embed_norm_label_anova"] = embed_norm_label_anova
+ORACLES["embed_norm_label_anova"] = ORACLE_NORM_LABEL_ANOVA
+
+
+# ------------------------------------------- second-digit Benford
+
+# P(second digit = d) = Σ_{k=1..9} log10(1 + 1/(10k + d)) — the
+# Newcomb–Benford second-digit law, precomputed as micro literals
+_BENFORD2 = [
+    int(
+        round(
+            sum(_math.log10(1 + 1.0 / (10 * k + d)) for k in range(1, 10))
+            * 1_000_000
+        )
+    )
+    for d in range(10)
+]
+
+
+def events_benford_second_digit(spark, sf):
+    """Second-digit Benford screen on event values per type — the
+    forensic refinement auditors reach for after the first digit
+    passes (fabricators who learn the first-digit law still tend to
+    smooth the second; Nigrini 2012).  Reports the χ² against the
+    exact second-digit law over d ∈ 0..9.
+
+    Exactness: digit extraction on exact integer cents (values
+    ≥ 10 cents so a second digit exists); expected probabilities are
+    precomputed integer micro literals; the per-digit χ² term
+    micro-rounds once (the chi2_type_dow term discipline) and the
+    statistic sums BIGINTs.
+
+    Scale: one events pass to (type, digit) counts; the 10-digit
+    grid join is broadcast-sized."""
+    probs = "case digit " + " ".join(
+        f"when {d} then {_BENFORD2[d]}" for d in range(10)
+    ) + " end"
+    digits = (
+        T(spark, sf, "events")
+        .select(
+            "event_type",
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("c"),
+        )
+        .filter(F.col("c") >= 10)
+        .select(
+            "event_type",
+            F.expr("cast(substr(cast(c as string), 2, 1) as int)").alias(
+                "digit"
+            ),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count("*").alias("n_d"))
+    )
+    from faconne_spark.operators.dedup import track_persist
+
+    digits = track_persist(digits)
+    grid = (
+        digits.select("event_type")
+        .distinct()
+        .select(
+            "event_type", F.explode(F.expr("sequence(0, 9)")).alias("digit")
+        )
+        .join(digits, ["event_type", "digit"], "left")
+        .select(
+            "event_type",
+            "digit",
+            F.coalesce("n_d", F.lit(0)).alias("n_d"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(F.sum("n_d").alias("n"))
+    cells = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n",
+        F.expr(
+            # χ² term (obs − exp)²/exp with exp = n·p (p in micro):
+            # micro-round ONE double per cell from exact integers
+            f"cast(round(pow(n_d - cast(n as double) * ({probs}) / 1e6, 2)"
+            f" / (cast(n as double) * ({probs}) / 1e6) * 1000000, 0)"
+            f" as bigint)"
+        ).alias("term"),
+    )
+    return cells.groupBy("event_type").agg(
+        F.min("n").cast("long").alias("n_values"),
+        F.expr("round(cast(sum(term) as double) / 1e6, 6) + 0.0").alias(
+            "chi2_stat"
+        ),
+        F.lit(9).cast("long").alias("df"),
+    )
+
+
+def _oracle_benford_second() -> str:
+    probs = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {_BENFORD2[d]}" for d in range(10)
+    ) + " END"
+    return f"""
+WITH digits AS (
+  SELECT event_type,
+         substr(floor(value * 100 + 0.5)::BIGINT::VARCHAR, 2, 1)::INT
+           AS digit
+  FROM events WHERE floor(value * 100 + 0.5)::BIGINT >= 10),
+obs AS (
+  SELECT event_type, digit, count(*)::BIGINT AS n_d
+  FROM digits GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, d.digit, coalesce(o.n_d, 0)::BIGINT AS n_d
+  FROM (SELECT DISTINCT event_type FROM obs) t
+  CROSS JOIN (SELECT unnest(range(0, 10))::INT AS digit) d
+  LEFT JOIN obs o ON o.event_type = t.event_type AND o.digit = d.digit),
+tot AS (SELECT event_type, sum(n_d)::BIGINT AS n FROM grid GROUP BY 1),
+cells AS (
+  SELECT grid.event_type, n,
+         round(pow(n_d - n::DOUBLE * ({probs}) / 1e6, 2)
+               / (n::DOUBLE * ({probs}) / 1e6) * 1000000, 0)::BIGINT
+           AS term
+  FROM grid JOIN tot USING (event_type))
+SELECT event_type, min(n)::BIGINT AS n_values,
+       round(sum(term)::DOUBLE / 1e6, 6) + 0.0 AS chi2_stat,
+       9::BIGINT AS df
+FROM cells GROUP BY 1
+"""
+
+
+QUERIES["events_benford_second_digit"] = events_benford_second_digit
+ORACLES["events_benford_second_digit"] = _oracle_benford_second()
+
+
+# -------------------------------------------- DOW × hour-of-day MI
+
+def events_dow_hour_mi(spark, sf):
+    """Mutual information between day-of-week and hour-of-day of
+    events — is the daily rhythm weekday-dependent?  MI = 0 means one
+    24-hour profile serves the whole week; large MI says weekday and
+    weekend (or Monday and Friday) need separate seasonal models —
+    the model-free version of fitting and comparing per-day profiles.
+
+    Exactness: the part_brand_type_mi discipline — each of the ≤ 168
+    cells micro-rounds ONE ln of the exact BIGINT ratio
+    c_xy·N/(r_x·c_y); the weighted sum is BIGINT and the final MI is
+    one half-up micro division by N.
+
+    Scale: one events pass to the bounded 7×24 cell relation."""
+    cells = (
+        T(spark, sf, "events")
+        .select(
+            F.expr(
+                "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 as int)"
+            ).alias("dw"),
+            F.expr("hour(ts)").alias("hr"),
+        )
+        .groupBy("dw", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+    from faconne_spark.operators.dedup import track_persist
+
+    cells = track_persist(cells)
+    rows = cells.groupBy("dw").agg(F.sum("c").alias("rx"))
+    cols = cells.groupBy("hr").agg(F.sum("c").alias("cy"))
+    tot = cells.groupBy().agg(F.sum("c").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rows), "dw")
+        .join(F.broadcast(cols), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "n",
+            F.expr(
+                "cast(floor(ln(cast(c as double) * n"
+                " / (cast(rx as double) * cy)) * 1000000 + 0.5)"
+                " as bigint)"
+            ).alias("l"),
+        )
+    )
+    return terms.groupBy().agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.min("n").cast("long").alias("n_events"),
+        F.expr(
+            "cast((2 * sum(c * l) + min(n)) div (2 * min(n)) as bigint)"
+        ).alias("mi_micro"),
+    )
+
+
+ORACLE_DOW_HOUR_MI = """
+WITH cells AS (
+  SELECT (ts::DATE - DATE '1970-01-01') % 7 AS dw, hour(ts) AS hr,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+rows_ AS (SELECT dw, sum(c)::BIGINT AS rx FROM cells GROUP BY 1),
+cols_ AS (SELECT hr, sum(c)::BIGINT AS cy FROM cells GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM cells),
+terms AS (
+  SELECT c, n,
+         floor(ln(c::DOUBLE * n / (rx::DOUBLE * cy)) * 1000000
+               + 0.5)::BIGINT AS l
+  FROM cells JOIN rows_ USING (dw) JOIN cols_ USING (hr) CROSS JOIN tot)
+SELECT count(*)::BIGINT AS n_cells, min(n)::BIGINT AS n_events,
+       ((2 * sum(c * l) + min(n)) // (2 * min(n)))::BIGINT AS mi_micro
+FROM terms
+"""
+
+QUERIES["events_dow_hour_mi"] = events_dow_hour_mi
+ORACLES["events_dow_hour_mi"] = ORACLE_DOW_HOUR_MI

@@ -358,6 +358,11 @@ SNAPSHOT_QUERIES = [
     "events_value_jarque_bera",
     "events_user_count_nbd_fit",
     "orders_monthly_theil_sen",
+    # round-9 wave 6 (queries/round9b.py)
+    "events_hour_circular_stats",
+    "embed_norm_label_anova",
+    "events_benford_second_digit",
+    "events_dow_hour_mi",
     # round-9: the staged_r9 six, registered this round
     "events_dow_volume_anova",
     "orders_value_cv_by_segment",

@@ -275,3 +275,53 @@ def test_wave5_partitioning_invariant(spark, sf_dir):
     for k, (a, b) in results.items():
         assert a == b, f"{k} differs across partitioning"
         assert len(a) > 0, f"{k} vacuous at the test SF"
+
+
+WAVE6 = [
+    "events_hour_circular_stats", "embed_norm_label_anova",
+    "events_benford_second_digit", "events_dow_hour_mi",
+]
+
+
+def test_circular_literal_tables():
+    """The injected cos/sin micro tables must satisfy the circle
+    identities: cos²+sin² = 1 within micro rounding at every hour,
+    hour 0 is exactly (1, 0), and hour 6 is exactly (0, 1)."""
+    from faconne_spark.queries.round9b import _HOUR_COS, _HOUR_SIN
+
+    assert (_HOUR_COS[0], _HOUR_SIN[0]) == (1_000_000, 0)
+    assert (_HOUR_COS[6], _HOUR_SIN[6]) == (0, 1_000_000)
+    for h in range(24):
+        r2 = _HOUR_COS[h] ** 2 + _HOUR_SIN[h] ** 2
+        assert abs(r2 - 10 ** 12) < 3 * 10 ** 6, h
+
+
+def test_benford_second_digit_law_sums_to_one():
+    """The injected second-digit probabilities must sum to exactly
+    1 within micro rounding and be monotonically decreasing in d
+    (the law's shape)."""
+    from faconne_spark.queries.round9b import _BENFORD2
+
+    assert abs(sum(_BENFORD2) - 1_000_000) <= 5
+    assert all(_BENFORD2[d] > _BENFORD2[d + 1] for d in range(9))
+
+
+def test_wave6_partitioning_invariant(spark, sf_dir):
+    from faconne_spark.queries import all_queries
+
+    qs = all_queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for k in WAVE6:
+                rows = sorted(
+                    tuple(map(str, r)) for r in qs[k](spark, sf_dir).collect()
+                )
+                results.setdefault(k, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for k, (a, b) in results.items():
+        assert a == b, f"{k} differs across partitioning"
+        assert len(a) > 0, f"{k} vacuous at the test SF"
