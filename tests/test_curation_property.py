@@ -4531,3 +4531,122 @@ def test_markov_stationary_matches_python_replay(spark, chains):
     n_types = len({t for c in chains for t in c})
     for r0, r1 in zip(residuals, residuals[1:]):
         assert r1 <= r0 + n_types
+
+
+# ------------------------------------------- r9 operator properties
+
+
+@PROP
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+)
+def test_distributed_avg_ranks_matches_python_replay(spark, vals):
+    """For ANY integer multiset (heavy ties, negatives, singletons),
+    distributed_avg_ranks must reproduce the textbook average
+    tie-rank ×2 (2·|{u < v}| + ties(v) + 1), and the rank-sum
+    identity Σ avg2 = n(n+1) must hold exactly."""
+    from faconne_spark.operators.relational import distributed_avg_ranks
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r["id"]: r["avg2_rank"]
+        for r in distributed_avg_ranks(df, "v", n_buckets=8).collect()
+    }
+    want = {
+        i: 2 * sum(1 for u in vals if u < v)
+        + sum(1 for u in vals if u == v)
+        + 1
+        for i, v in rows
+    }
+    assert got == want
+    n = len(vals)
+    assert sum(got.values()) == n * (n + 1)
+
+
+@PROP
+@given(
+    vals=st.lists(st.integers(-40, 40), min_size=2, max_size=40),
+)
+def test_avg_ranks_invariant_under_monotone_transform(spark, vals):
+    """Rank statistics must not move under a strictly increasing
+    transform of the values — the defining property of the rank
+    family (Kruskal/Wilcoxon/Spearman inherit it from this
+    primitive).  3v + 7 preserves integer order exactly."""
+    from faconne_spark.operators.relational import distributed_avg_ranks
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    base = {
+        r["id"]: r["avg2_rank"]
+        for r in distributed_avg_ranks(df, "v", n_buckets=8).collect()
+    }
+    trans = {
+        r["id"]: r["avg2_rank"]
+        for r in distributed_avg_ranks(
+            df, "3 * v + 7", n_buckets=8
+        ).collect()
+    }
+    assert base == trans
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """Theil-T is exactly decomposable: T_total = T_between +
+    Σ_g share_g·T_g.  The registry key reports the per-nation pieces
+    in micro units; recombine them and compare against a direct
+    ungrouped Theil computed from the same parquet — agreement within
+    the stacked micro-rounding tolerance proves the pieces are the
+    decomposition they claim to be, not just plausible numbers."""
+    import duckdb
+    import os
+
+    from faconne_spark.queries import all_queries
+
+    rows = all_queries()["orders_revenue_theil_nation"](
+        spark, sf_dir
+    ).collect()
+    t_between = sum(
+        r["rev_share_micro"] / 1e6 * r["between_ln_micro"] / 1e6
+        for r in rows
+    )
+    t_within = sum(
+        r["rev_share_micro"] / 1e6 * r["within_theil_micro"] / 1e6
+        for r in rows
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet('"
+        + os.path.join(sf_dir, "orders.parquet")
+        + "')"
+    )
+    t_total = con.sql(
+        """
+        WITH per_cust AS (
+          SELECT sum(floor(o_totalprice + 0.5)::BIGINT)::BIGINT AS x
+          FROM orders GROUP BY o_custkey
+          HAVING sum(floor(o_totalprice + 0.5)::BIGINT) > 0),
+        tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+                FROM per_cust)
+        SELECT sum(x * ln(x::DOUBLE * n / s)) / min(s)
+        FROM per_cust CROSS JOIN tot
+        """
+    ).fetchone()[0]
+    assert abs((t_between + t_within) - t_total) < 2e-3, (
+        t_between,
+        t_within,
+        t_total,
+    )
+
+
+@PROP
+@given(data=st.binary(min_size=0, max_size=4000))
+def test_lzw_roundtrip_property(data):
+    """ANY byte string survives the GIF LZW round-trip — including
+    the empty stream, single bytes, and blobs long enough to cross
+    the 512/1024 code-width boundaries."""
+    from faconne_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    assert _lzw_decompress(_lzw_compress(data)) == data
