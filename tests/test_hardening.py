@@ -431,6 +431,7 @@ def test_survey_registry_consistency():
             r"customer_segment_\w+|customer_balance_\w+|supplier_\w+|"
             r"neardup_\w+|"
             r"customer_order_reconciliation|customer_order_golden|"
+            r"customer_order_value_icc|"
             r"customer_fs_scores|sql_api_\w+|sliding_window_counts|"
             r"training_manifest|join_\w+|scd2_\w+|"
             r"customer_ltv_\w+|customer_fuzzy_\w+|pack_\w+|"
