@@ -437,6 +437,35 @@ def main() -> None:
         "docs_char_bigram_cond_entropy",
         "events_value_spearman_daily",
         "docs_vocab_growth_heaps",
+        # round-9 analytics wave 3 (rank primitive + decompositions)
+        "orders_revenue_theil_nation",
+        "events_daily_overdispersion",
+        "part_brand_price_kruskal",
+        "events_value_brownforsythe",
+        "orders_seasonal_naive_mase",
+        "docs_word_dispersion_dp",
+        "embed_dim_variance_concentration",
+        "events_weekend_wilcoxon",
+        # round-9 analytics wave 4 (+ GIF/silence multimodal gates)
+        "orders_priority_value_gamma",
+        "events_hourly_profile_correlation",
+        "events_monthly_max_gumbel",
+        "docs_hapax_rate",
+        "docs_length_lognormal_fit",
+        "mm_gif_decode",
+        "mm_audio_silence_runs",
+        # round-9 analytics wave 5 (tail/shape + robust trend)
+        "events_user_degree_powerlaw_mle",
+        "docs_source_topword_rbo",
+        "customer_order_value_icc",
+        "events_value_jarque_bera",
+        "events_user_count_nbd_fit",
+        "orders_monthly_theil_sen",
+        # round-9 analytics wave 6 (circular/forensic/calendar)
+        "events_hour_circular_stats",
+        "embed_norm_label_anova",
+        "events_benford_second_digit",
+        "events_dow_hour_mi",
     ]
     times = {}
     shuffle = {}

@@ -21,13 +21,6 @@ from faconne_spark.queries import T
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-# portable HALF_UP micro-round of a double expression (the bank_r7
-# idiom: floor(x + 0.5) is identical in both engines for all signs,
-# unlike round() whose half-even/half-up split bit us in round 2)
-_MICRO = "cast(floor({x} * 1000000 + 0.5) as bigint)"
-_MICRO_DUCK = "floor({x} * 1000000 + 0.5)::BIGINT"
-
-
 # ------------------------------------------ Theil-T revenue decomposition
 
 def orders_revenue_theil_nation(spark, sf):
