@@ -1584,6 +1584,10 @@ def ahash64_real(payload: bytes) -> tuple:
     elif payload[:2] == JPEG_SOI:
         w, h, channels, px = jpeg_pixels(payload)
         stride, bpp = w * channels, channels
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        # grayscale identity palette: indices ARE the gray samples
+        w, h, channels, px = gif_pixels(payload)
+        stride, bpp = w * channels, channels
     else:
         w, h, stride, px = bmp_pixels(payload)
         bpp = channels = 3
@@ -1609,15 +1613,17 @@ def ahash64_real(payload: bytes) -> tuple:
 
 def extract_image_ahash(media: DataFrame) -> DataFrame:
     """Arrow-batched aHash extraction over a binary media column
-    (image/bmp + image/png + image/jpeg rows only — push the type
-    predicate down before decode).
+    (image/bmp + image/png + image/jpeg + image/gif rows only — push
+    the type predicate down before decode).
 
     Scale (100 TB): map-only — no shuffle; the decode is the same
     Pandas-UDF batch shape as the other codecs, and the output is one
     16-byte-ish row per image, the relation every downstream near-dup
     join operates on INSTEAD of the payload bytes."""
     imgs = media.filter(
-        F.col("media_type").isin("image/bmp", "image/png", "image/jpeg")
+        F.col("media_type").isin(
+            "image/bmp", "image/png", "image/jpeg", "image/gif"
+        )
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

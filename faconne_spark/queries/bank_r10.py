@@ -497,3 +497,63 @@ FROM m
 
 BANK_QUERIES["part_size_price_spearman"] = part_size_price_spearman
 BANK_ORACLES["part_size_price_spearman"] = ORACLE_SIZE_PRICE_SPEARMAN
+
+
+# ----------------------------------------- GIF cross-codec hash pin
+
+def mm_gif_ahash(spark, sf):
+    """Average-hash over DECODED GIF pixels: synthesize_gif's
+    grayscale payloads go through the full container walk +
+    variable-width LZW decode inside extract_image_ahash (its filter
+    admits image/gif), and the oracle replays the hash in closed form
+    from md5(text) — grid cell g samples stored index
+    (sy·w + sx) of the tiled digest, 1-channel luma = 3× the sample
+    (ahash64_real's grayscale rule), completing the cross-codec hash
+    pin for the fourth image container."""
+    from faconne_spark.operators import multimodal as MM
+
+    docs = T(spark, sf, "documents")
+    return MM.extract_image_ahash(MM.synthesize_gif(docs))
+
+
+def _oracle_gif_ahash() -> str:
+    from faconne_spark.functions import bit_mask64
+
+    dig = (
+        "list_transform(range(0, 16), i ->"
+        " (strpos('0123456789abcdef', substr(hx, (2 * i + 1)::INTEGER, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(hx, (2 * i + 2)::INTEGER, 1)) - 1)"
+    )
+    # pixels = digest tiled to w*h; grid cell g samples stored pixel
+    # (sy, sx) with sy = ((g//8)*h)//8, sx = ((g%8)*w)//8; grayscale
+    # luma = 3 * sample
+    luma = (
+        "3 * d[(((((g // 8) * h) // 8) * w"
+        " + (((g % 8) * w) // 8)) % 16) + 1]"
+    )
+    mask = bit_mask64("g", "duckdb")
+    return f"""
+WITH img AS (
+  SELECT doc_id, md5(text) AS hx FROM documents),
+digest AS (
+  SELECT doc_id, {dig} AS d FROM img),
+geom AS (
+  SELECT doc_id, d,
+         (8 + (d[1] % 24)) AS w, (8 + (d[2] % 24)) AS h
+  FROM digest),
+lum AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, 64), g -> {luma}) AS ls
+  FROM geom),
+tot AS (
+  SELECT doc_id, w, h, ls, list_sum(ls) AS total FROM lum)
+SELECT doc_id, w::INTEGER AS width, h::INTEGER AS height,
+       list_sum(list_transform(range(0, 64), g ->
+         CASE WHEN 64 * ls[(g + 1)::INTEGER] > total
+              THEN {mask} ELSE 0 END))::BIGINT AS ahash64
+FROM tot
+"""
+
+
+BANK_QUERIES["mm_gif_ahash"] = mm_gif_ahash
+BANK_ORACLES["mm_gif_ahash"] = _oracle_gif_ahash()
