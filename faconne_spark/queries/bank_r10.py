@@ -557,3 +557,92 @@ FROM tot
 
 BANK_QUERIES["mm_gif_ahash"] = mm_gif_ahash
 BANK_ORACLES["mm_gif_ahash"] = _oracle_gif_ahash()
+
+
+# ------------------------------------------- PMI collocation mining
+
+def docs_bigram_pmi_top(spark, sf):
+    """Top-20 word collocations by pointwise mutual information over
+    the corpus bigram stream (Church & Hanks 1990) — phrase mining:
+    which adjacent word pairs co-occur far beyond what their margins
+    predict (min count 5 filters the noise hapax pairs that dominate
+    raw PMI).  The phrase inventory feeds tokenizer/vocab decisions
+    upstream of any frequency model.
+
+    Exactness: PMI = ln(c₁₂·N / (c_L(w₁)·c_R(w₂))) over the bigram
+    stream's own margins — one micro ln of an exact BIGINT ratio per
+    surviving pair, so the micro PMI is the SORT KEY and the top-20
+    cut is identical in both engines (ties break on the words).
+
+    Scale: one bigram explode feeds the pair counts and both margin
+    relations (margins are vocabulary-sized → broadcast); the top-20
+    is a TakeOrdered, no global sort materializes."""
+    from faconne_spark.functions import tokens_ws
+    from faconne_spark.session import spread
+
+    toks = tokens_ws("lower(text)", "spark")
+    bigrams = (
+        f"transform(array({toks}), tk -> case when size(tk) < 2"
+        f" then array() else transform(sequence(1, size(tk) - 1),"
+        f" i -> concat_ws(' ', slice(tk, i, 2))) end)[0]"
+    )
+    stream = (
+        spread(T(spark, sf, "documents"))
+        .select(F.explode(F.expr(bigrams)).alias("bg"))
+        .select(
+            F.expr("split(bg, ' ')[0]").alias("w1"),
+            F.expr("split(bg, ' ')[1]").alias("w2"),
+        )
+    )
+    pairs = stream.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = stream.groupBy("w1").agg(F.count("*").alias("cl"))
+    right = stream.groupBy("w2").agg(F.count("*").alias("cr"))
+    tot = stream.groupBy().agg(F.count("*").alias("n"))
+    scored = (
+        pairs.filter(F.col("c12") >= 5)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.expr(
+                "cast(floor(ln(cast(c12 as double) * n"
+                " / (cast(cl as double) * cr)) * 1000000 + 0.5)"
+                " as bigint)"
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+    ).limit(20)
+
+
+def _oracle_bigram_pmi() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS t FROM documents),
+stream AS (
+  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM tk, generate_series(1, 4000) g(i)
+  WHERE g.i <= len(t) - 1),
+pairs AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM stream GROUP BY 1, 2),
+lft AS (SELECT w1, count(*)::BIGINT AS cl FROM stream GROUP BY 1),
+rgt AS (SELECT w2, count(*)::BIGINT AS cr FROM stream GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n FROM stream)
+SELECT w1, w2, c12,
+       floor(ln(c12::DOUBLE * n / (cl::DOUBLE * cr)) * 1000000
+             + 0.5)::BIGINT AS pmi_micro
+FROM pairs JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+WHERE c12 >= 5
+ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+BANK_QUERIES["docs_bigram_pmi_top"] = docs_bigram_pmi_top
+BANK_ORACLES["docs_bigram_pmi_top"] = _oracle_bigram_pmi()
