@@ -962,3 +962,151 @@ def oneway_anova(
             f" round({ssb} / ({ssb} + {ssw}), 6) + 0.0 end"
         ).alias("eta_sq"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, key: str, value_int_expr: str
+) -> DataFrame:
+    """Kruskal–Wallis H across the groups of ``key`` on an integer
+    value expression (Kruskal & Wallis 1952) — the rank-based one-way
+    test completing the location family next to ``oneway_anova``
+    (ANOVA assumes normality; prices/latencies/values rarely oblige).
+    Returns one row: n, k, df, H, the tie correction, and the
+    tie-corrected H (NULL when every value ties).
+
+    Determinism & scale: average tie-ranks come ×2 from
+    ``distributed_avg_ranks`` (rank arithmetic on the distinct-value
+    relation, two-phase, no partition-less window); each group's
+    (2R_j)²/n_j cell rounds to ONE BIGINT ((2R)² ≤ (2N·n)² stays
+    under 2⁵³ through sf1); the tie term Σ(t³−t) is an exact per-row
+    sum of (t²−1); H and C are final-expression doubles."""
+    from faconne_spark.operators.relational import distributed_avg_ranks
+
+    ranked = distributed_avg_ranks(
+        df.selectExpr(f"{key} AS __g", f"{value_int_expr} AS __v"),
+        "__v",
+        ties_col="__t",
+    )
+    per_group = ranked.groupBy("__g").agg(
+        F.count("*").alias("n_j"), F.sum("avg2_rank").alias("s2_j")
+    )
+    cells = per_group.select(
+        "n_j",
+        F.expr(
+            "cast(floor(cast(s2_j as double) * cast(s2_j as double)"
+            " / n_j + 0.5) as bigint)"
+        ).alias("cell"),
+    )
+    ties = ranked.groupBy().agg(
+        F.sum(F.expr("__t * __t - 1")).alias("tie_sum"),
+        F.count("*").alias("n"),
+    )
+    h = (
+        "3.0 * sum(cell) / (cast(min(n) as double) * (min(n) + 1))"
+        " - 3.0 * (min(n) + 1)"
+    )
+    c = (
+        "1.0 - cast(min(tie_sum) as double)"
+        " / (cast(min(n) as double) * min(n) * min(n) - min(n))"
+    )
+    return cells.crossJoin(F.broadcast(ties)).groupBy().agg(
+        F.min("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.expr("cast(count(*) - 1 as bigint)").alias("df"),
+        F.expr(f"round({h}, 6) + 0.0").alias("h_stat"),
+        F.expr(f"round({c}, 9) + 0.0").alias("tie_correction"),
+        F.expr(
+            f"case when {c} > 0 then round(({h}) / ({c}), 6) + 0.0 end"
+        ).alias("h_adj"),
+    )
+
+
+def wilcoxon_signed_rank(df: DataFrame, diff_int_col: str) -> DataFrame:
+    """Wilcoxon signed-rank test over a relation of integer paired
+    differences (Wilcoxon 1945): zero differences drop, |d| takes
+    average tie-ranks (×2, exact) from ``distributed_avg_ranks``, and
+    the normal-approximation z carries the standard tie-corrected
+    variance n(n+1)(2n+1)/24 − Σ(t³−t)/48.  One row: n, W⁺×2, W⁻×2,
+    tie term, z.
+
+    The caller supplies the REDUCED difference relation (one row per
+    pair/subject); the rank arithmetic never touches row-scale
+    data."""
+    from faconne_spark.operators.relational import distributed_avg_ranks
+
+    nz = df.selectExpr(f"{diff_int_col} AS d").filter(F.col("d") != 0)
+    ranked = distributed_avg_ranks(nz, "abs(d)", ties_col="t")
+    agg = ranked.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("if(d > 0, avg2_rank, 0)")).alias("w2p"),
+        F.sum(F.expr("if(d < 0, avg2_rank, 0)")).alias("w2m"),
+        F.sum(F.expr("t * t - 1")).alias("tie_sum"),
+    )
+    var = (
+        "(cast(n as double) * (n + 1) * (2 * n + 1) / 24.0"
+        " - cast(tie_sum as double) / 48.0)"
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_nonzero"),
+        F.col("w2p").cast("long").alias("w_plus_2x"),
+        F.col("w2m").cast("long").alias("w_minus_2x"),
+        F.col("tie_sum").cast("long").alias("tie_sum"),
+        F.expr(
+            f"case when n >= 2 and {var} > 0 then"
+            f" round((cast(w2p as double) / 2.0"
+            f" - cast(n as double) * (n + 1) / 4.0)"
+            f" / sqrt({var}), 6) + 0.0 end"
+        ).alias("z_stat"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame, x_int_expr: str, y_int_expr: str
+) -> DataFrame:
+    """Spearman rank correlation between two integer expressions:
+    Pearson on the ×2 average tie-ranks from two
+    ``distributed_avg_ranks`` passes — tie-correct by construction,
+    and the monotone-association twin of a raw Pearson.  One row:
+    n, ρ (NULL when either variable is constant).
+
+    Scale: two distinct-value rank builds + one five-moment
+    aggregation; moments in BIGINT/DECIMAL(38,0), ρ one final
+    double."""
+    from faconne_spark.operators.relational import distributed_avg_ranks
+
+    base = df.selectExpr(f"{x_int_expr} AS __x", f"{y_int_expr} AS __y")
+    rx = distributed_avg_ranks(base, "__x", out_col="r_x")
+    rxy = distributed_avg_ranks(rx, "__y", out_col="r_y")
+    m = rxy.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("r_x").alias("sx"),
+        F.sum("r_y").alias("sy"),
+        F.sum(
+            F.col("r_x").cast("decimal(38,0)") * F.col("r_y").cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("r_x").cast("decimal(38,0)") * F.col("r_x").cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("r_y").cast("decimal(38,0)") * F.col("r_y").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    num = (
+        "(cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+    )
+    vx = (
+        "(cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double))"
+    )
+    vy = (
+        "(cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double))"
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(
+            f"case when {vx} > 0 and {vy} > 0 then"
+            f" round({num} / sqrt({vx} * {vy}), 6) + 0.0 end"
+        ).alias("spearman_rho"),
+    )

@@ -418,53 +418,13 @@ def part_size_price_spearman(spark, sf):
     computed on the two distinct-value relations (size domain ~50
     values, price domain ~10³ — both bounded); the five moment sums
     run in BIGINT/DECIMAL(38,0) and ρ is one final double."""
-    from faconne_spark.operators.relational import distributed_avg_ranks
+    from faconne_spark.operators.evalstats import spearman_rho
 
-    base = T(spark, sf, "part").select(
-        "p_partkey",
-        F.col("p_size").cast("long").alias("sz"),
-        F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").alias(
-            "pc"
-        ),
-    )
-    rx = distributed_avg_ranks(base, "sz", out_col="r_size")
-    rxy = distributed_avg_ranks(rx, "pc", out_col="r_price")
-    m = rxy.groupBy().agg(
-        F.count("*").alias("n"),
-        F.sum("r_size").alias("sx"),
-        F.sum("r_price").alias("sy"),
-        F.sum(
-            F.col("r_size").cast("decimal(38,0)")
-            * F.col("r_price").cast("decimal(38,0)")
-        ).alias("sxy"),
-        F.sum(
-            F.col("r_size").cast("decimal(38,0)")
-            * F.col("r_size").cast("decimal(38,0)")
-        ).alias("sxx"),
-        F.sum(
-            F.col("r_price").cast("decimal(38,0)")
-            * F.col("r_price").cast("decimal(38,0)")
-        ).alias("syy"),
-    )
-    num = (
-        "(cast(n as double) * cast(sxy as double)"
-        " - cast(sx as double) * cast(sy as double))"
-    )
-    vx = (
-        "(cast(n as double) * cast(sxx as double)"
-        " - cast(sx as double) * cast(sx as double))"
-    )
-    vy = (
-        "(cast(n as double) * cast(syy as double)"
-        " - cast(sy as double) * cast(sy as double))"
-    )
-    return m.select(
-        F.col("n").cast("long").alias("n_parts"),
-        F.expr(
-            f"case when {vx} > 0 and {vy} > 0 then"
-            f" round({num} / sqrt({vx} * {vy}), 6) + 0.0 end"
-        ).alias("spearman_rho"),
-    )
+    return spearman_rho(
+        T(spark, sf, "part"),
+        "cast(p_size as bigint)",
+        "cast(floor(p_retailprice * 100 + 0.5) as bigint)",
+    ).select(F.col("n_rows").alias("n_parts"), "spearman_rho")
 
 
 ORACLE_SIZE_PRICE_SPEARMAN = """

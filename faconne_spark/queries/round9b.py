@@ -233,49 +233,19 @@ def part_brand_price_kruskal(spark, sf):
     − 3(N+1); each brand's (2R_j)²/n_j cell rounds to ONE BIGINT
     ((2R)² ≤ (2N·n)² stays under 2⁵³ through sf1) and the tie term
     Σ(t³−t) is an exact per-row sum of (t²−1)."""
-    from faconne_spark.operators.relational import distributed_avg_ranks
+    from faconne_spark.operators.evalstats import kruskal_wallis
 
-    ranked = distributed_avg_ranks(
-        T(spark, sf, "part").select(
-            "p_brand",
-            F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").alias(
-                "v"
-            ),
-        ),
-        "v",
-        ties_col="t",
-    )
-    per_brand = ranked.groupBy("p_brand").agg(
-        F.count("*").alias("n_j"), F.sum("avg2_rank").alias("s2_j")
-    )
-    cells = per_brand.select(
-        "n_j",
-        F.expr(
-            "cast(floor(cast(s2_j as double) * cast(s2_j as double)"
-            " / n_j + 0.5) as bigint)"
-        ).alias("cell"),
-    )
-    ties = ranked.groupBy().agg(
-        F.sum(F.expr("t * t - 1")).alias("tie_sum"),
-        F.count("*").alias("n"),
-    )
-    h = (
-        "3.0 * sum(cell) / (cast(min(n) as double) * (min(n) + 1))"
-        " - 3.0 * (min(n) + 1)"
-    )
-    c = (
-        "1.0 - cast(min(tie_sum) as double)"
-        " / (cast(min(n) as double) * min(n) * min(n) - min(n))"
-    )
-    return cells.crossJoin(F.broadcast(ties)).groupBy().agg(
-        F.min("n").cast("long").alias("n_parts"),
-        F.count("*").cast("long").alias("k_brands"),
-        F.expr("cast(count(*) - 1 as bigint)").alias("df"),
-        F.expr(f"round({h}, 6) + 0.0").alias("h_stat"),
-        F.expr(f"round({c}, 9) + 0.0").alias("tie_correction"),
-        F.expr(
-            f"case when {c} > 0 then round(({h}) / ({c}), 6) + 0.0 end"
-        ).alias("h_adj"),
+    return kruskal_wallis(
+        T(spark, sf, "part"),
+        "p_brand",
+        "cast(floor(p_retailprice * 100 + 0.5) as bigint)",
+    ).select(
+        F.col("n_rows").alias("n_parts"),
+        F.col("k_groups").alias("k_brands"),
+        "df",
+        "h_stat",
+        "tie_correction",
+        "h_adj",
     )
 
 
@@ -721,7 +691,7 @@ def events_weekend_wilcoxon(spark, sf):
     (values, bounds, histogram, rank join), so it persists — the
     events shuffle runs once."""
     from faconne_spark.operators.dedup import track_persist
-    from faconne_spark.operators.relational import distributed_avg_ranks
+    from faconne_spark.operators.evalstats import wilcoxon_signed_rank
 
     per_user = track_persist(
         T(spark, sf, "events")
@@ -741,30 +711,13 @@ def events_weekend_wilcoxon(spark, sf):
             F.sum(F.expr("if(wknd, 0, us)")).alias("s_wd"),
         )
         .select(F.expr("s_we - s_wd").alias("d"))
-        .filter(F.col("d") != 0)
     )
-    ranked = distributed_avg_ranks(per_user, "abs(d)", ties_col="t")
-    agg = ranked.groupBy().agg(
-        F.count("*").alias("n"),
-        F.sum(F.expr("if(d > 0, avg2_rank, 0)")).alias("w2p"),
-        F.sum(F.expr("if(d < 0, avg2_rank, 0)")).alias("w2m"),
-        F.sum(F.expr("t * t - 1")).alias("tie_sum"),
-    )
-    var = (
-        "(cast(n as double) * (n + 1) * (2 * n + 1) / 24.0"
-        " - cast(tie_sum as double) / 48.0)"
-    )
-    return agg.select(
-        F.col("n").cast("long").alias("n_users_nonzero"),
-        F.col("w2p").cast("long").alias("w_plus_2x"),
-        F.col("w2m").cast("long").alias("w_minus_2x"),
-        F.col("tie_sum").cast("long").alias("tie_sum"),
-        F.expr(
-            f"case when n >= 2 and {var} > 0 then"
-            f" round((cast(w2p as double) / 2.0"
-            f" - cast(n as double) * (n + 1) / 4.0)"
-            f" / sqrt({var}), 6) + 0.0 end"
-        ).alias("z_stat"),
+    return wilcoxon_signed_rank(per_user, "d").select(
+        F.col("n_nonzero").alias("n_users_nonzero"),
+        "w_plus_2x",
+        "w_minus_2x",
+        "tie_sum",
+        "z_stat",
     )
 
 
