@@ -606,3 +606,134 @@ ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 20
 
 BANK_QUERIES["docs_bigram_pmi_top"] = docs_bigram_pmi_top
 BANK_ORACLES["docs_bigram_pmi_top"] = _oracle_bigram_pmi()
+
+
+# ---------------------------------- quality-length confound audit
+
+def docs_quality_length_spearman(spark, sf):
+    """Spearman ρ between the distinct-token ratio (the repetition
+    quality feature) and document length — the length-confound audit:
+    type-token ratios mechanically DECLINE with length (Herdan/Heaps),
+    so a corpus gate on distinct_ratio without length stratification
+    silently becomes a length gate.  A strong negative ρ here says
+    exactly that; composition of the quality_score operator with
+    evalstats.spearman_rho (rank-based, so the heavy length tail
+    cannot dominate the answer the way Pearson would let it).
+
+    Exactness: distinct_ratio is already 6-rounded, so its micro
+    scaling is an exact integer; the ranks and moments follow the
+    spearman_rho discipline."""
+    from faconne_spark.operators.evalstats import spearman_rho
+    from faconne_spark.operators.text import quality_score
+
+    q = quality_score(T(spark, sf, "documents"))
+    return spearman_rho(
+        q,
+        "cast(floor(distinct_ratio * 1000000 + 0.5) as bigint)",
+        "cast(n_chars as bigint)",
+    ).select(F.col("n_rows").alias("n_docs"), "spearman_rho")
+
+
+def _oracle_quality_length_spearman() -> str:
+    from faconne_spark.queries.pipeline import ORACLE_QUALITY
+
+    return f"""
+WITH q AS ({ORACLE_QUALITY.strip()}),
+base AS (
+  SELECT floor(distinct_ratio * 1000000 + 0.5)::BIGINT AS x,
+         n_chars::BIGINT AS y
+  FROM q),
+ranked AS (
+  SELECT 2 * rank() OVER (ORDER BY x)
+           + count(*) OVER (PARTITION BY x) - 1 AS r_x,
+         2 * rank() OVER (ORDER BY y)
+           + count(*) OVER (PARTITION BY y) - 1 AS r_y
+  FROM base),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(r_x)::BIGINT AS sx,
+         sum(r_y)::BIGINT AS sy,
+         sum(r_x::DECIMAL(38,0) * r_y::DECIMAL(38,0)) AS sxy,
+         sum(r_x::DECIMAL(38,0) * r_x::DECIMAL(38,0)) AS sxx,
+         sum(r_y::DECIMAL(38,0) * r_y::DECIMAL(38,0)) AS syy
+  FROM ranked)
+SELECT n AS n_docs,
+       CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+             AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0 THEN
+         round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+               6) + 0.0 END AS spearman_rho
+FROM m
+"""
+
+
+BANK_QUERIES["docs_quality_length_spearman"] = docs_quality_length_spearman
+BANK_ORACLES["docs_quality_length_spearman"] = _oracle_quality_length_spearman()
+
+
+# ------------------------------------------ weekday value Kruskal
+
+def events_value_kruskal_by_dow(spark, sf):
+    """Kruskal–Wallis across the seven days of the week on event
+    value — does ANY weekday's value distribution differ, rank-based
+    (the weekend key pairs WITHIN users; this compares the seven
+    whole populations with no normality assumption)?  Second consumer
+    of evalstats.kruskal_wallis after the brand-price key — the
+    operator works over any relation + integer expression."""
+    from faconne_spark.operators.evalstats import kruskal_wallis
+
+    ev = T(spark, sf, "events").select(
+        F.expr(
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 as int)"
+        ).alias("dw"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    return kruskal_wallis(ev, "dw", "v").select(
+        F.col("n_rows").alias("n_events"),
+        F.col("k_groups").alias("k_days"),
+        "df",
+        "h_stat",
+        "tie_correction",
+        "h_adj",
+    )
+
+
+ORACLE_VALUE_KRUSKAL_DOW = """
+WITH ranked AS (
+  SELECT dw,
+         2 * rank() OVER (ORDER BY v)
+           + count(*) OVER (PARTITION BY v) - 1 AS avg2_rank,
+         count(*) OVER (PARTITION BY v) AS t
+  FROM (SELECT (ts::DATE - DATE '1970-01-01') % 7 AS dw,
+               floor(value * 1000000 + 0.5)::BIGINT AS v
+        FROM events)),
+per_g AS (
+  SELECT dw, count(*)::BIGINT AS n_j, sum(avg2_rank)::BIGINT AS s2_j
+  FROM ranked GROUP BY 1),
+cells AS (
+  SELECT n_j,
+         floor(s2_j::DOUBLE * s2_j::DOUBLE / n_j + 0.5)::BIGINT AS cell
+  FROM per_g),
+ties AS (
+  SELECT sum(t * t - 1)::BIGINT AS tie_sum, count(*)::BIGINT AS n
+  FROM ranked)
+SELECT min(n)::BIGINT AS n_events, count(*)::BIGINT AS k_days,
+       (count(*) - 1)::BIGINT AS df,
+       round(3.0 * sum(cell) / (min(n)::DOUBLE * (min(n) + 1))
+             - 3.0 * (min(n) + 1), 6) + 0.0 AS h_stat,
+       round(1.0 - min(tie_sum)::DOUBLE
+             / (min(n)::DOUBLE * min(n) * min(n) - min(n)), 9) + 0.0
+         AS tie_correction,
+       CASE WHEN 1.0 - min(tie_sum)::DOUBLE
+                  / (min(n)::DOUBLE * min(n) * min(n) - min(n)) > 0
+            THEN round((3.0 * sum(cell)
+                        / (min(n)::DOUBLE * (min(n) + 1))
+                        - 3.0 * (min(n) + 1))
+                       / (1.0 - min(tie_sum)::DOUBLE
+                          / (min(n)::DOUBLE * min(n) * min(n) - min(n))),
+                       6) + 0.0 END AS h_adj
+FROM cells CROSS JOIN ties
+"""
+
+BANK_QUERIES["events_value_kruskal_by_dow"] = events_value_kruskal_by_dow
+BANK_ORACLES["events_value_kruskal_by_dow"] = ORACLE_VALUE_KRUSKAL_DOW
