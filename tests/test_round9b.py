@@ -325,3 +325,59 @@ def test_wave6_partitioning_invariant(spark, sf_dir):
     for k, (a, b) in results.items():
         assert a == b, f"{k} differs across partitioning"
         assert len(a) > 0, f"{k} vacuous at the test SF"
+
+
+# ----------------------- textbook pins for the promoted operators
+
+
+def test_kruskal_wallis_textbook_value(spark):
+    """Hand-computed: groups A={1,2}, B={3,4} → ranks 1..4, R_A=3,
+    R_B=7, H = 12/20·(9/2+49/2) − 15 = 2.4, no ties (C=1).  Pins the
+    operator against the literature, independent of any oracle."""
+    from faconne_spark.operators.evalstats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 3), ("B", 4)], "g string, v long"
+    )
+    row = kruskal_wallis(df, "g", "v").collect()[0]
+    assert row["n_rows"] == 4 and row["k_groups"] == 2 and row["df"] == 1
+    assert row["h_stat"] == 2.4
+    assert row["tie_correction"] == 1.0
+    assert row["h_adj"] == 2.4
+
+
+def test_wilcoxon_signed_rank_textbook_value(spark):
+    """Hand-computed: d = [1,−2,3,−4,5] → |d| ranks 1..5,
+    W⁺ = 1+3+5 = 9, W⁻ = 6, z = (9 − 7.5)/√13.75 = 0.404520."""
+    from faconne_spark.operators.evalstats import wilcoxon_signed_rank
+
+    df = spark.createDataFrame(
+        [(1,), (-2,), (3,), (-4,), (5,)], "d long"
+    )
+    row = wilcoxon_signed_rank(df, "d").collect()[0]
+    assert row["n_nonzero"] == 5
+    assert row["w_plus_2x"] == 18 and row["w_minus_2x"] == 12
+    assert row["tie_sum"] == 0
+    assert row["z_stat"] == 0.40452
+
+
+def test_spearman_rho_perfect_and_reversed(spark):
+    """ρ = +1 on a monotone pair, −1 on the reversal, and the
+    all-ties column refuses with NULL."""
+    from faconne_spark.operators.evalstats import spearman_rho
+
+    up = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 35)], "x long, y long"
+    )
+    assert spearman_rho(up, "x", "y").collect()[0]["spearman_rho"] == 1.0
+    down = spark.createDataFrame(
+        [(1, 35), (2, 20), (3, 10)], "x long, y long"
+    )
+    assert spearman_rho(down, "x", "y").collect()[0]["spearman_rho"] == -1.0
+    flat = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7)], "x long, y long"
+    )
+    assert flat.count() == 3
+    assert (
+        spearman_rho(flat, "x", "y").collect()[0]["spearman_rho"] is None
+    )
