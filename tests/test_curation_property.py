@@ -4526,11 +4526,16 @@ def test_markov_stationary_matches_python_replay(spark, chains):
     for t, (sv, res) in final.items():
         assert got[t][0] == sv
         assert got[t][1] == res
-    # power iteration on a stochastic matrix is L1 non-expansive; with
-    # half-up micro rounding each step may add <= |types| micro noise
+    # power iteration on a stochastic matrix is L1 non-expansive, so
+    # TRUE residuals never increase.  Each REPORTED residual, though,
+    # sums |v − prev| over ≤ |types| components whose values carry
+    # half-up micro rounding (≤ ½ micro each, two vectors per term),
+    # so each residual is off by ≤ |types| micro on its own and a
+    # residual DIFFERENCE by ≤ 2·|types| (a hypothesis seed found a
+    # chain exceeding the old |types| slack by exactly one micro)
     n_types = len({t for c in chains for t in c})
     for r0, r1 in zip(residuals, residuals[1:]):
-        assert r1 <= r0 + n_types
+        assert r1 <= r0 + 2 * n_types
 
 
 # ------------------------------------------- r9 operator properties
