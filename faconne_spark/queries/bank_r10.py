@@ -737,3 +737,183 @@ FROM cells CROSS JOIN ties
 
 BANK_QUERIES["events_value_kruskal_by_dow"] = events_value_kruskal_by_dow
 BANK_ORACLES["events_value_kruskal_by_dow"] = ORACLE_VALUE_KRUSKAL_DOW
+
+
+# ------------------------------------------------ Friedman blocked test
+
+def events_weekday_friedman(spark, sf):
+    """Friedman rank test of the weekday volume pattern across weeks
+    (Friedman 1937): each COMPLETE week is a block, its seven daily
+    counts are ranked within the block, and χ²_F asks whether any
+    weekday consistently ranks high or low ACROSS weeks — the blocked
+    companion to the one-way Kruskal key (weeks are repeated
+    measures, not independent samples; pooling them hides a weekly
+    pattern behind between-week volume drift).  Ties take average
+    ranks; the tie-corrected statistic divides by
+    1 − Σ(t³−t)/(n·k·(k²−1)).
+
+    Exactness: within-block average ranks are ×2 BIGINTs from a
+    WEEK-PARTITIONED window (block size ≤ 7 — bounded, parallel);
+    rank sums, their squares, and the tie term are exact integers;
+    χ²_F and the correction are final-expression doubles.
+
+    Scale: one events pass to (week, weekday) counts; every window
+    partitions by week; the weekday rollup is 7 rows."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(
+            F.expr("trunc(to_date(ts), 'week')").alias("wk"),
+            F.expr(
+                "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 as int)"
+            ).alias("dw"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    complete = (
+        daily.groupBy("wk")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") == 7)
+        .select("wk")
+    )
+    blocks = daily.join(complete, "wk")
+    win = W.partitionBy("wk")
+    ranked = blocks.select(
+        "wk",
+        "dw",
+        (
+            2 * F.expr("rank() over (partition by wk order by c)")
+            + F.count("*").over(win.partitionBy("wk", "c"))
+            - 1
+        ).alias("avg2"),
+        F.count("*").over(win.partitionBy("wk", "c")).alias("t"),
+    )
+    per_dw = ranked.groupBy("dw").agg(F.sum("avg2").alias("r2"))
+    cells = per_dw.select(
+        F.expr("r2 * r2").alias("r2sq")
+    )
+    meta = ranked.groupBy().agg(
+        F.expr("count(distinct wk)").alias("n"),
+        F.sum(F.expr("t * t - 1")).alias("tie_sum"),
+    )
+    chi = (
+        "3.0 * sum(r2sq) / (cast(min(n) as double) * 7 * 8)"
+        " - 3.0 * min(n) * 8"
+    )
+    corr = (
+        "1.0 - cast(min(tie_sum) as double)"
+        " / (cast(min(n) as double) * 7 * 48)"
+    )
+    return cells.crossJoin(F.broadcast(meta)).groupBy().agg(
+        F.min("n").cast("long").alias("n_weeks"),
+        F.lit(6).cast("long").alias("df"),
+        F.expr(f"round({chi}, 6) + 0.0").alias("friedman_chi2"),
+        F.expr(f"round({corr}, 9) + 0.0").alias("tie_correction"),
+        F.expr(
+            f"case when {corr} > 0 then"
+            f" round(({chi}) / ({corr}), 6) + 0.0 end"
+        ).alias("chi2_adj"),
+    )
+
+
+ORACLE_WEEKDAY_FRIEDMAN = """
+WITH daily AS (
+  SELECT date_trunc('week', ts::DATE)::DATE AS wk,
+         (ts::DATE - DATE '1970-01-01') % 7 AS dw,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+complete AS (
+  SELECT wk FROM daily GROUP BY wk HAVING count(*) = 7),
+blocks AS (SELECT d.* FROM daily d JOIN complete USING (wk)),
+ranked AS (
+  SELECT wk, dw,
+         2 * rank() OVER (PARTITION BY wk ORDER BY c)
+           + count(*) OVER (PARTITION BY wk, c) - 1 AS avg2,
+         count(*) OVER (PARTITION BY wk, c) AS t
+  FROM blocks),
+per_dw AS (SELECT dw, sum(avg2)::BIGINT AS r2 FROM ranked GROUP BY 1),
+meta AS (
+  SELECT count(DISTINCT wk)::BIGINT AS n,
+         sum(t * t - 1)::BIGINT AS tie_sum
+  FROM ranked)
+SELECT min(n)::BIGINT AS n_weeks, 6::BIGINT AS df,
+       round(3.0 * sum(r2 * r2) / (min(n)::DOUBLE * 7 * 8)
+             - 3.0 * min(n) * 8, 6) + 0.0 AS friedman_chi2,
+       round(1.0 - min(tie_sum)::DOUBLE / (min(n)::DOUBLE * 7 * 48), 9)
+         + 0.0 AS tie_correction,
+       CASE WHEN 1.0 - min(tie_sum)::DOUBLE
+                  / (min(n)::DOUBLE * 7 * 48) > 0 THEN
+         round((3.0 * sum(r2 * r2) / (min(n)::DOUBLE * 7 * 8)
+                - 3.0 * min(n) * 8)
+               / (1.0 - min(tie_sum)::DOUBLE
+                  / (min(n)::DOUBLE * 7 * 48)), 6) + 0.0 END AS chi2_adj
+FROM per_dw CROSS JOIN meta
+"""
+
+BANK_QUERIES["events_weekday_friedman"] = events_weekday_friedman
+BANK_ORACLES["events_weekday_friedman"] = ORACLE_WEEKDAY_FRIEDMAN
+
+
+# ------------------------------------------- Bowley robust skewness
+
+def events_value_bowley_skew(spark, sf):
+    """Quantile-based (Bowley/Galton) skewness per event type:
+    (Q₃ + Q₁ − 2·Q₂)/(Q₃ − Q₁) — the outlier-immune companion to the
+    moment-based Jarque–Bera key (one fat whale can swing a third
+    moment arbitrarily; it cannot move a quartile), bounded in
+    [−1, 1] so types are directly comparable.
+
+    Exactness: on integer micro values, each quartile interpolates at
+    a position whose fraction is a multiple of ¼, so 4·Q is an exact
+    integer in BOTH engines (the ×2 median trick generalized); the
+    coefficient is one final double from those exact integers."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    q = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "cast(floor(4 * percentile(v, 0.25) + 0.5) as bigint)"
+        ).alias("q1_x4"),
+        F.expr(
+            "cast(floor(4 * percentile(v, 0.5) + 0.5) as bigint)"
+        ).alias("q2_x4"),
+        F.expr(
+            "cast(floor(4 * percentile(v, 0.75) + 0.5) as bigint)"
+        ).alias("q3_x4"),
+    )
+    return q.select(
+        "event_type",
+        "n_events",
+        "q1_x4",
+        "q2_x4",
+        "q3_x4",
+        F.expr(
+            "case when q3_x4 > q1_x4 then"
+            " round(cast(q3_x4 + q1_x4 - 2 * q2_x4 as double)"
+            " / (q3_x4 - q1_x4), 6) + 0.0 end"
+        ).alias("bowley_skew"),
+    )
+
+
+ORACLE_VALUE_BOWLEY = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+q AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         floor(4 * quantile_cont(v, 0.25) + 0.5)::BIGINT AS q1_x4,
+         floor(4 * quantile_cont(v, 0.5) + 0.5)::BIGINT AS q2_x4,
+         floor(4 * quantile_cont(v, 0.75) + 0.5)::BIGINT AS q3_x4
+  FROM ev GROUP BY 1)
+SELECT event_type, n_events, q1_x4, q2_x4, q3_x4,
+       CASE WHEN q3_x4 > q1_x4 THEN
+         round((q3_x4 + q1_x4 - 2 * q2_x4)::DOUBLE / (q3_x4 - q1_x4), 6)
+         + 0.0 END AS bowley_skew
+FROM q
+"""
+
+BANK_QUERIES["events_value_bowley_skew"] = events_value_bowley_skew
+BANK_ORACLES["events_value_bowley_skew"] = ORACLE_VALUE_BOWLEY
