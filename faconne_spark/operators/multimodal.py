@@ -2182,3 +2182,59 @@ def extract_wav_silence_runs(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         batches, WAV_SILENCE_SCHEMA
     )
+
+
+def extract_gif_pixel_entropy(media: DataFrame) -> DataFrame:
+    """Shannon entropy of the DECODED pixel-value histogram per GIF —
+    the image-complexity gauge (flat fills and letterbox bars sit
+    near 0 bits; photographic content near 8): the cheap pre-filter
+    that drops blank/synthetic images before any embedding model
+    sees them.
+
+    Exactness contract: entropy is computed exactly the way the SQL
+    oracles do it — per distinct pixel value ONE half-up micro ln of
+    the exact integer ratio n/c, weighted integer sum, one half-up
+    division — so the Python here replays bit-for-bit (Python round()
+    is banker's; floor(x+0.5) mirrors the engines' HALF_UP).
+    Arrow-batched map-only over the full LZW decode."""
+    import math
+
+    from pyspark.sql.types import (
+        LongType as _L,
+        StructField as _F,
+        StructType as _S,
+    )
+
+    schema = _S(
+        [
+            _F("doc_id", _L()),
+            _F("n_px", _L()),
+            _F("n_distinct_values", _L()),
+            _F("entropy_micro_nats", _L()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, px = gif_pixels(bytes(payload))
+                n = len(px)
+                counts = Counter(px)
+                s = sum(
+                    c * math.floor(math.log(n / c) * 1_000_000 + 0.5)
+                    for c in counts.values()
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_px": n,
+                        "n_distinct_values": len(counts),
+                        "entropy_micro_nats": (2 * s + n) // (2 * n),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema)

@@ -917,3 +917,54 @@ FROM q
 
 BANK_QUERIES["events_value_bowley_skew"] = events_value_bowley_skew
 BANK_ORACLES["events_value_bowley_skew"] = ORACLE_VALUE_BOWLEY
+
+
+# ---------------------------------------- GIF pixel-entropy gauge
+
+def mm_gif_pixel_entropy(spark, sf):
+    """Image-complexity gauge over REAL GIF decode: Shannon entropy
+    of the decoded pixel-value histogram per image (flat fills ≈ 0
+    nats, rich content → ln 256) — the cheap blank/synthetic-image
+    pre-filter in front of any embedding stage, proven through the
+    full LZW decode with a closed-form oracle (the tiled-digest
+    pixels make every value count an exact integer formula of the
+    md5 hex digits)."""
+    from faconne_spark.operators import multimodal as MM
+
+    docs = T(spark, sf, "documents")
+    return MM.extract_gif_pixel_entropy(MM.synthesize_gif(docs))
+
+
+def _oracle_gif_pixel_entropy() -> str:
+    hexb = (
+        "((strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1)"
+    )
+    b = [hexb.format(p=2 * i + 1, p1=2 * i + 2) for i in range(16)]
+    return f"""
+WITH geom AS (
+  SELECT doc_id,
+         ((8 + {b[0]} % 24) * (8 + {b[1]} % 24))::BIGINT AS n,
+         list_value({", ".join(b)}) AS d
+  FROM documents),
+pos AS (
+  SELECT doc_id, n, d[i + 1] AS v,
+         (n // 16 + CASE WHEN i < n % 16 THEN 1 ELSE 0 END)::BIGINT AS ci
+  FROM geom, unnest(range(0, 16)) AS u(i)),
+vals AS (
+  SELECT doc_id, n, v, sum(ci)::BIGINT AS c
+  FROM pos GROUP BY 1, 2, 3),
+cells AS (
+  SELECT doc_id, n, c,
+         floor(ln(n::DOUBLE / c) * 1000000 + 0.5)::BIGINT AS l
+  FROM vals)
+SELECT doc_id, min(n)::BIGINT AS n_px,
+       count(*)::BIGINT AS n_distinct_values,
+       ((2 * sum(c * l) + min(n)) // (2 * min(n)))::BIGINT
+         AS entropy_micro_nats
+FROM cells GROUP BY doc_id
+"""
+
+
+BANK_QUERIES["mm_gif_pixel_entropy"] = mm_gif_pixel_entropy
+BANK_ORACLES["mm_gif_pixel_entropy"] = _oracle_gif_pixel_entropy()
