@@ -968,3 +968,101 @@ FROM cells GROUP BY doc_id
 
 BANK_QUERIES["mm_gif_pixel_entropy"] = mm_gif_pixel_entropy
 BANK_ORACLES["mm_gif_pixel_entropy"] = _oracle_gif_pixel_entropy()
+
+
+# ------------------------------------------------ QQ decile ladder
+
+def events_type_value_qq(spark, sf):
+    """Quantile-quantile ladder between every two event types' value
+    distributions: both distributions read at the nine interior
+    deciles, with the per-decile micro gap — the WHERE-do-they-differ
+    companion to the KS keys (KS reports one sup statistic; the QQ
+    ladder localizes the divergence: "identical up to the median,
+    then type A's tail runs away").
+
+    Exactness: at probability k/10 the interpolation fraction is a
+    multiple of 1/10, so 10× each decile of integer micro values is
+    an exact BIGINT in both engines (the ×2-median trick generalized
+    to the decile grid); gaps subtract exact integers.
+
+    Scale: one grouped percentile pass (≤ types rows), a 9-row
+    unpivot per type, and a broadcast self-join on decile."""
+    probs = [round(k / 10, 1) for k in range(1, 10)]
+    aggs = [F.count("*").alias("n")] + [
+        F.expr(
+            f"cast(floor(10 * percentile(v, {p}) + 0.5) as bigint)"
+        ).alias(f"q_{k}")
+        for k, p in enumerate(probs, start=1)
+    ]
+    q = (
+        T(spark, sf, "events")
+        .select(
+            "event_type",
+            F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias(
+                "v"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(*aggs)
+    )
+    stack = ", ".join(f"{k}, q_{k}" for k in range(1, 10))
+    ladder = q.select(
+        "event_type",
+        "n",
+        F.expr(f"stack(9, {stack}) as (decile, q_x10)"),
+    )
+    a = ladder.select(
+        F.col("event_type").alias("type_a"),
+        "decile",
+        F.col("n").alias("n_a"),
+        F.col("q_x10").alias("qa_x10"),
+    )
+    b = ladder.select(
+        F.col("event_type").alias("type_b"),
+        "decile",
+        F.col("n").alias("n_b"),
+        F.col("q_x10").alias("qb_x10"),
+    )
+    return (
+        a.join(F.broadcast(b), "decile")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "decile",
+            "qa_x10",
+            "qb_x10",
+            F.expr("qb_x10 - qa_x10").alias("gap_x10"),
+        )
+    )
+
+
+ORACLE_TYPE_VALUE_QQ = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+q AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         {cols}
+  FROM ev GROUP BY 1),
+ladder AS (
+  {ladder}
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b, a.decile,
+       a.q_x10 AS qa_x10, b.q_x10 AS qb_x10,
+       (b.q_x10 - a.q_x10)::BIGINT AS gap_x10
+FROM ladder a JOIN ladder b
+  ON a.decile = b.decile AND a.event_type < b.event_type
+""".format(
+    cols=",\n         ".join(
+        f"floor(10 * quantile_cont(v, {k / 10}) + 0.5)::BIGINT AS q_{k}"
+        for k in range(1, 10)
+    ),
+    ladder="\n  UNION ALL\n  ".join(
+        f"SELECT event_type, {k} AS decile, q_{k} AS q_x10 FROM q"
+        for k in range(1, 10)
+    ),
+)
+
+BANK_QUERIES["events_type_value_qq"] = events_type_value_qq
+BANK_ORACLES["events_type_value_qq"] = ORACLE_TYPE_VALUE_QQ
