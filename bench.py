@@ -481,6 +481,7 @@ def main() -> None:
         "events_value_bowley_skew",
         "mm_gif_pixel_entropy",
         "events_type_value_qq",
+        "mm_jpeg_progressive",
     ]
     times = {}
     shuffle = {}

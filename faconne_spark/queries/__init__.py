@@ -53,6 +53,9 @@ _CHANGED_THIS_ROUND = [
     #    sample_panel primitive (ORDER BY md5 LIMIT n — bounded
     #    broadcast, pair stage O(panel × corpus) by construction) --
     "ann_hubness", "embed_twonn_intrinsic_dim",
+    # -- new in r10: REAL progressive JPEG (SOF2) through the gate
+    #    (judge r9 ask #4) --
+    "mm_jpeg_progressive",
 ]
 
 _REST = [
@@ -201,6 +204,7 @@ def _merged(attr: str) -> dict:
         round8,
         round9,
         round9b,
+        round10,
         staged_r9,
         stats_r7,
         tpch,
@@ -211,7 +215,7 @@ def _merged(attr: str) -> dict:
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
         round7, stats_r7, bank_r8, round8, bank_r9, staged_r9, round9,
-        round9b, bank_r10,
+        round9b, bank_r10, round10,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

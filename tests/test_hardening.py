@@ -1312,17 +1312,19 @@ def test_jpeg_restart_markers_roundtrip():
 
 
 def test_jpeg_unsupported_layouts_fail_loudly():
-    """Progressive SOF2 raises NotImplementedError toward the codec
-    seam; truncated and desynced streams raise ValueError."""
+    """Arithmetic-coded SOF9 raises NotImplementedError toward the
+    codec seam (progressive SOF2 is REAL since r10 —
+    tests/test_multimodal_progressive.py); truncated and desynced
+    streams raise ValueError."""
     import pytest
 
     from faconne_spark.operators.multimodal import jpeg_dims, jpeg_pixels
 
-    sof2 = b"\xff\xd8\xff\xc2\x00\x08" + bytes(6)
+    sof9 = b"\xff\xd8\xff\xc9\x00\x08" + bytes(6)
     with pytest.raises(NotImplementedError, match="SOF0"):
-        jpeg_dims(sof2)
+        jpeg_dims(sof9)
     with pytest.raises(NotImplementedError, match="SOF0"):
-        jpeg_pixels(sof2)
+        jpeg_pixels(sof9)
     with pytest.raises(ValueError):
         jpeg_pixels(b"\x89PNG not a jpeg")
     with pytest.raises(ValueError):

@@ -370,6 +370,8 @@ SNAPSHOT_QUERIES = [
     "docs_char_bigram_cond_entropy",
     "events_value_spearman_daily",
     "docs_vocab_growth_heaps",
+    # round-10: progressive JPEG through the gate
+    "mm_jpeg_progressive",
     # round-10: the bank_r10 fourteen, registered this round
     "orders_priority_shiplag_ks",
     "events_active_days_gini",
