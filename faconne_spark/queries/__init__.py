@@ -56,6 +56,11 @@ _CHANGED_THIS_ROUND = [
     # -- new in r10: REAL progressive JPEG (SOF2) through the gate
     #    (judge r9 ask #4) --
     "mm_jpeg_progressive",
+    # -- re-proven in r10: the r10 replay wave caught the decimal-div
+    #    literal trap in the Gumbel return level (1.0/12.0 parses as
+    #    truncated DECIMAL division in BOTH engines); engine + oracle
+    #    now use true double division --
+    "events_monthly_max_gumbel",
 ]
 
 _REST = [
@@ -76,7 +81,7 @@ _REST = [
     "orders_seasonal_naive_mase", "docs_word_dispersion_dp",
     "embed_dim_variance_concentration", "events_weekend_wilcoxon",
     "orders_priority_value_gamma", "events_hourly_profile_correlation",
-    "events_monthly_max_gumbel", "docs_hapax_rate",
+    "docs_hapax_rate",
     "docs_length_lognormal_fit", "mm_gif_decode", "mm_audio_silence_runs",
     "events_user_degree_powerlaw_mle", "docs_source_topword_rbo",
     "customer_order_value_icc", "events_value_jarque_bera",

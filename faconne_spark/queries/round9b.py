@@ -1008,7 +1008,7 @@ def events_monthly_max_gumbel(spark, sf):
         ).alias("gumbel_beta"),
         F.expr(
             f"case when n >= 2 then round({mu} - {beta}"
-            f" * ln(-ln(1.0 - 1.0 / 12.0)), 6) + 0.0 end"
+            f" * ln(-ln(cast(11 as double) / 12)), 6) + 0.0 end"
         ).alias("return_level_12m"),
     )
 
@@ -1042,7 +1042,7 @@ SELECT event_type, n AS n_months,
                - (sqrt((n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
                        / (n::DOUBLE * (n - 1))) / 1e6
                   * sqrt(6.0) / pi())
-                 * ln(-ln(1.0 - 1.0 / 12.0)), 6) + 0.0 END
+                 * ln(-ln(cast(11 as double) / 12)), 6) + 0.0 END
          AS return_level_12m
 FROM per_type
 """
