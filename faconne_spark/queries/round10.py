@@ -69,3 +69,536 @@ FROM geom
 
 QUERIES["mm_jpeg_progressive"] = mm_jpeg_progressive
 ORACLES["mm_jpeg_progressive"] = _oracle_jpeg_progressive()
+
+
+# ---------------------------------------------- Kendall tau-b (daily)
+
+def events_volume_value_kendall(spark, sf):
+    """Kendall τ-b between DAILY EVENT VOLUME and DAILY TOTAL VALUE —
+    the third rank-correlation family member (Spearman reads monotone
+    strength through ranks; Kendall reads it through concordant pairs
+    and is the more robust of the two under ties and small n; Kendall
+    1938).  "Do busy days also move more money?" without assuming
+    linearity.
+
+    Exactness: both coordinates are exact BIGINTs (count; HALF_UP
+    micro total), so concordant/discordant/tie counts are exact
+    integers from the pair join and τ-b is ONE final double
+    sqrt expression.
+
+    Scale: the pair stage runs on the DAY relation (one events pass
+    collapses to ≤ days rows; the self-join is days², calendar-bounded
+    — never corpus²)."""
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("day"))
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(
+                F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")
+            ).alias("y"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        F.expr(
+            "case when (x1 < x2 and y1 < y2) or (x1 > x2 and y1 > y2)"
+            " then 1 else 0 end"
+        ).alias("c"),
+        F.expr(
+            "case when (x1 < x2 and y1 > y2) or (x1 > x2 and y1 < y2)"
+            " then 1 else 0 end"
+        ).alias("d"),
+        F.expr("case when x1 = x2 and y1 != y2 then 1 else 0 end").alias("tx"),
+        F.expr("case when y1 = y2 and x1 != x2 then 1 else 0 end").alias("ty"),
+        F.expr("case when x1 = x2 and y1 = y2 then 1 else 0 end").alias("txy"),
+    )
+    agg = pairs.groupBy().agg(
+        F.sum("c").alias("nc"), F.sum("d").alias("nd"),
+        F.sum("tx").alias("ntx"), F.sum("ty").alias("nty"),
+        F.sum("txy").alias("ntxy"), F.count("*").alias("n0"),
+    )
+    denom = (
+        "sqrt(cast(n0 - ntx - ntxy as double))"
+        " * sqrt(cast(n0 - nty - ntxy as double))"
+    )
+    return agg.select(
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("nc").cast("long").alias("concordant"),
+        F.col("nd").cast("long").alias("discordant"),
+        (F.col("ntx") + F.col("ntxy")).cast("long").alias("ties_x"),
+        (F.col("nty") + F.col("ntxy")).cast("long").alias("ties_y"),
+        F.expr(
+            f"case when (n0 - ntx - ntxy) > 0 and (n0 - nty - ntxy) > 0"
+            f" then round(cast(nc - nd as double) / ({denom}), 6) + 0.0 end"
+        ).alias("kendall_tau_b"),
+    )
+
+
+ORACLE_VOLUME_VALUE_KENDALL = """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS x,
+         sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS y
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT
+    CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+         THEN 1 ELSE 0 END AS c,
+    CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+         THEN 1 ELSE 0 END AS d,
+    CASE WHEN a.x = b.x AND a.y != b.y THEN 1 ELSE 0 END AS tx,
+    CASE WHEN a.y = b.y AND a.x != b.x THEN 1 ELSE 0 END AS ty,
+    CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END AS txy
+  FROM daily a JOIN daily b ON a.day < b.day),
+agg AS (
+  SELECT sum(c)::BIGINT AS nc, sum(d)::BIGINT AS nd,
+         sum(tx)::BIGINT AS ntx, sum(ty)::BIGINT AS nty,
+         sum(txy)::BIGINT AS ntxy, count(*)::BIGINT AS n0
+  FROM pairs)
+SELECT n0 AS n_pairs, nc AS concordant, nd AS discordant,
+       (ntx + ntxy)::BIGINT AS ties_x, (nty + ntxy)::BIGINT AS ties_y,
+       CASE WHEN (n0 - ntx - ntxy) > 0 AND (n0 - nty - ntxy) > 0 THEN
+         round((nc - nd)::DOUBLE
+               / (sqrt((n0 - ntx - ntxy)::DOUBLE)
+                  * sqrt((n0 - nty - ntxy)::DOUBLE)), 6) + 0.0 END
+         AS kendall_tau_b
+FROM agg
+"""
+
+QUERIES["events_volume_value_kendall"] = events_volume_value_kendall
+ORACLES["events_volume_value_kendall"] = ORACLE_VOLUME_VALUE_KENDALL
+
+
+# ------------------------------------------- Cliff's delta (weekend)
+
+def events_weekend_cliffs_delta(spark, sf):
+    """Cliff's δ ordinal effect size between weekend and weekday event
+    VALUES: δ = (#(x>y) − #(x<y))/(n₁·n₂) over all cross-group pairs
+    (Cliff 1993) — the magnitude companion to the Wilcoxon/KS
+    DETECTION keys (a p-value says "different"; δ ∈ [−1,1] says "by
+    how much, distribution-free").
+
+    Exactness: the pair counts come from pooled average tie-ranks —
+    δ·n₁·n₂ = Σavg2(weekend) − n₁(n₁+1) − n₁n₂ exactly (the ×2-rank
+    Mann–Whitney identity with ties counted half each way), computed
+    on distributed_avg_ranks' exact ×2 BIGINTs; δ is one rounded
+    division.
+
+    Scale: rank arithmetic on the distinct-value relation (the
+    two-phase primitive — no partition-less window); no pair ever
+    materializes."""
+    from faconne_spark.operators.relational import distributed_avg_ranks
+
+    ev = T(spark, sf, "events").select(
+        F.expr(
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 >= 5"
+            " as int)"
+        ).alias("we"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    ranked = distributed_avg_ranks(ev, "v", out_col="avg2")
+    agg = ranked.groupBy().agg(
+        F.sum(F.expr("case when we = 1 then avg2 else 0 end")).alias("r2w"),
+        F.sum(F.expr("we")).alias("n1"),
+        F.sum(F.expr("1 - we")).alias("n2"),
+    )
+    num = "(r2w - cast(n1 as bigint) * (n1 + 1) - cast(n1 as bigint) * n2)"
+    return agg.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        F.expr(f"cast({num} as bigint)").alias("delta_num"),
+        F.expr(
+            f"case when n1 > 0 and n2 > 0 then"
+            f" round(cast({num} as double)"
+            f" / (cast(n1 as double) * n2), 6) + 0.0 end"
+        ).alias("cliffs_delta"),
+    )
+
+
+ORACLE_WEEKEND_CLIFFS = """
+WITH ev AS (
+  SELECT ((ts::DATE - DATE '1970-01-01') % 7 >= 5)::INT AS we,
+         floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+ranked AS (
+  SELECT we, 2 * rank() OVER (ORDER BY v)
+             + count(*) OVER (PARTITION BY v) - 1 AS avg2
+  FROM ev),
+agg AS (
+  SELECT sum(CASE WHEN we = 1 THEN avg2 ELSE 0 END)::BIGINT AS r2w,
+         sum(we)::BIGINT AS n1, sum(1 - we)::BIGINT AS n2
+  FROM ranked)
+SELECT n1 AS n_weekend, n2 AS n_weekday,
+       (r2w - n1 * (n1 + 1) - n1 * n2)::BIGINT AS delta_num,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         round((r2w - n1 * (n1 + 1) - n1 * n2)::DOUBLE
+               / (n1::DOUBLE * n2), 6) + 0.0 END AS cliffs_delta
+FROM agg
+"""
+
+QUERIES["events_weekend_cliffs_delta"] = events_weekend_cliffs_delta
+ORACLES["events_weekend_cliffs_delta"] = ORACLE_WEEKEND_CLIFFS
+
+
+# ------------------------------------------- Mood's median test
+
+def events_type_median_test(spark, sf):
+    """Mood's median test across event types: count each type's values
+    above/below the GLOBAL median (values AT the median drop — the
+    test's standard treatment) and test the 2×k table for independence
+    — the bluntest, most outlier-proof of the k-sample location tests
+    (Kruskal–Wallis uses full rank information; this uses one bit per
+    row, which is exactly why a pathological tail cannot touch it).
+
+    Exactness: the global ×2 median is an exact BIGINT (the ×2 trick
+    on micro values, so above/below compares 2v vs m2 in integers);
+    per-cell χ² terms follow the grid discipline — doubles built from
+    identical BIGINTs, micro-rounded ONCE per cell, integer-summed.
+
+    Scale: one events pass to per-type above/below counts (the median
+    sketch is a broadcast 1-row relation); the χ² runs on the 2×k
+    cell relation."""
+    ev = T(spark, sf, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    med2 = ev.groupBy().agg(
+        F.expr("cast(floor(2 * percentile(v, 0.5) + 0.5) as bigint)")
+        .alias("m2")
+    )
+    per_type = (
+        ev.crossJoin(F.broadcast(med2))
+        .groupBy("t")
+        .agg(
+            F.sum(F.expr("case when 2 * v > m2 then 1 else 0 end"))
+            .alias("a"),
+            F.sum(F.expr("case when 2 * v < m2 then 1 else 0 end"))
+            .alias("b"),
+            F.sum(F.expr("case when 2 * v = m2 then 1 else 0 end"))
+            .alias("e"),
+        )
+    )
+    tot = per_type.groupBy().agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb"),
+        F.sum("e").alias("te"), F.count("*").alias("k"),
+    )
+    term = (
+        "cast(round(1000000 *"
+        " (cast({o} as double) * nn - cast({r} as double) * cc)"
+        " * (cast({o} as double) * nn - cast({r} as double) * cc)"
+        " / (nn * cast({r} as double) * cc), 0) as bigint)"
+    )
+    cells = per_type.crossJoin(F.broadcast(tot)).select(
+        "t", "a", "b", "e", "k", "ta", "tb", "te",
+        F.expr("cast(ta + tb as double)").alias("nn"),
+        F.expr("cast(a + b as double)").alias("cc"),
+    )
+    per_cell = cells.select(
+        "t", "k", "ta", "tb", "te",
+        F.expr(
+            "case when ta > 0 and tb > 0 and a + b > 0 then "
+            + term.format(o="a", r="ta")
+            + " + " + term.format(o="b", r="tb")
+            + " else 0 end"
+        ).alias("term_micro"),
+    )
+    return per_cell.groupBy().agg(
+        F.min("k").cast("long").alias("n_types"),
+        (F.min("ta") + F.min("tb")).cast("long").alias("n_used"),
+        F.min("te").cast("long").alias("n_at_median"),
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+        (F.min("k") - 1).cast("long").alias("dof"),
+    )
+
+
+ORACLE_TYPE_MEDIAN_TEST = """
+WITH ev AS (
+  SELECT event_type AS t, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+med AS (
+  SELECT floor(2 * quantile_cont(v, 0.5) + 0.5)::BIGINT AS m2 FROM ev),
+per_type AS (
+  SELECT t,
+         sum(CASE WHEN 2 * v > m2 THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN 2 * v < m2 THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN 2 * v = m2 THEN 1 ELSE 0 END)::BIGINT AS e
+  FROM ev CROSS JOIN med GROUP BY 1),
+tot AS (
+  SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb,
+         sum(e)::BIGINT AS te, count(*)::BIGINT AS k
+  FROM per_type),
+per_cell AS (
+  SELECT k, ta, tb, te,
+         CASE WHEN ta > 0 AND tb > 0 AND a + b > 0 THEN
+           round(1000000 *
+             (a::DOUBLE * (ta + tb)::DOUBLE - ta::DOUBLE * (a + b)::DOUBLE)
+             * (a::DOUBLE * (ta + tb)::DOUBLE - ta::DOUBLE * (a + b)::DOUBLE)
+             / ((ta + tb)::DOUBLE * ta::DOUBLE * (a + b)::DOUBLE), 0)::BIGINT
+           + round(1000000 *
+             (b::DOUBLE * (ta + tb)::DOUBLE - tb::DOUBLE * (a + b)::DOUBLE)
+             * (b::DOUBLE * (ta + tb)::DOUBLE - tb::DOUBLE * (a + b)::DOUBLE)
+             / ((ta + tb)::DOUBLE * tb::DOUBLE * (a + b)::DOUBLE), 0)::BIGINT
+         ELSE 0 END AS term_micro
+  FROM per_type CROSS JOIN tot)
+SELECT min(k)::BIGINT AS n_types,
+       (min(ta) + min(tb))::BIGINT AS n_used,
+       min(te)::BIGINT AS n_at_median,
+       sum(term_micro)::BIGINT AS chi2_micro,
+       (min(k) - 1)::BIGINT AS dof
+FROM per_cell
+"""
+
+QUERIES["events_type_median_test"] = events_type_median_test
+ORACLES["events_type_median_test"] = ORACLE_TYPE_MEDIAN_TEST
+
+
+# ------------------------------------------- Moors octile kurtosis
+
+def events_value_moors_kurtosis(spark, sf):
+    """Moors quantile kurtosis per event type from the octiles:
+    ((E₇−E₅)+(E₃−E₁))/(E₆−E₂) (Moors 1988) — the outlier-immune
+    tail-weight companion to Bowley's quantile skewness and the
+    moment-based Jarque–Bera key (≈1.233 for a normal; higher =
+    heavier tails, and no single whale can move an octile).
+
+    Exactness: the ×8 trick — at p = j/8 the interpolation fraction
+    is a multiple of ⅛, so 8·E_j of integer micros is an exact BIGINT
+    in both engines; the coefficient is one final double."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    octs = [
+        F.expr(
+            f"cast(floor(8 * percentile(v, {j}/8.0e0) + 0.5) as bigint)"
+        ).alias(f"e{j}_x8")
+        for j in (1, 2, 3, 5, 6, 7)
+    ]
+    q = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"), *octs
+    )
+    return q.select(
+        "event_type", "n_events",
+        "e1_x8", "e2_x8", "e3_x8", "e5_x8", "e6_x8", "e7_x8",
+        F.expr(
+            "case when e6_x8 > e2_x8 then"
+            " round(cast((e7_x8 - e5_x8) + (e3_x8 - e1_x8) as double)"
+            " / (e6_x8 - e2_x8), 6) + 0.0 end"
+        ).alias("moors_kurtosis"),
+    )
+
+
+ORACLE_VALUE_MOORS = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+q AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         floor(8 * quantile_cont(v, 0.125) + 0.5)::BIGINT AS e1_x8,
+         floor(8 * quantile_cont(v, 0.25) + 0.5)::BIGINT AS e2_x8,
+         floor(8 * quantile_cont(v, 0.375) + 0.5)::BIGINT AS e3_x8,
+         floor(8 * quantile_cont(v, 0.625) + 0.5)::BIGINT AS e5_x8,
+         floor(8 * quantile_cont(v, 0.75) + 0.5)::BIGINT AS e6_x8,
+         floor(8 * quantile_cont(v, 0.875) + 0.5)::BIGINT AS e7_x8
+  FROM ev GROUP BY 1)
+SELECT event_type, n_events, e1_x8, e2_x8, e3_x8, e5_x8, e6_x8, e7_x8,
+       CASE WHEN e6_x8 > e2_x8 THEN
+         round(((e7_x8 - e5_x8) + (e3_x8 - e1_x8))::DOUBLE
+               / (e6_x8 - e2_x8), 6) + 0.0 END AS moors_kurtosis
+FROM q
+"""
+
+QUERIES["events_value_moors_kurtosis"] = events_value_moors_kurtosis
+ORACLES["events_value_moors_kurtosis"] = ORACLE_VALUE_MOORS
+
+
+# ------------------------------------------ expected shortfall (CVaR)
+
+def events_value_expected_shortfall(spark, sf):
+    """Expected shortfall (CVaR) at the 95th percentile per event
+    type: the MEAN of the values at or above VaR₉₅ — the coherent
+    tail-risk measure (Artzner et al. 1999): VaR says where the tail
+    starts, ES says how bad it is once you are in it; capacity
+    planning and fraud budgets live on ES, not on the quantile.
+
+    Exactness: the ×20 trick makes VaR₉₅ an exact BIGINT (p = 19/20);
+    membership compares 20·v ≥ q in integers; the tail mean divides
+    two exact BIGINTs once, half-up micro (the (2a+n) div (2n) idiom —
+    valid because event values are non-negative, so the tail sum is
+    too)."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    var = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "cast(floor(20 * percentile(v, 0.95) + 0.5) as bigint)"
+        ).alias("var95_x20"),
+    )
+    tail = (
+        ev.join(F.broadcast(var), "event_type")
+        .filter(F.expr("20 * v >= var95_x20"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_tail"),
+            F.sum("v").alias("tail_sum"),
+        )
+    )
+    return var.join(tail, "event_type").select(
+        "event_type", "n_events", "var95_x20", "n_tail",
+        F.expr(
+            "cast((2 * tail_sum + n_tail) div (2 * n_tail) as bigint)"
+        ).alias("es_micro"),
+    )
+
+
+ORACLE_VALUE_ES = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+var AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         floor(20 * quantile_cont(v, 0.95) + 0.5)::BIGINT AS var95_x20
+  FROM ev GROUP BY 1),
+tail AS (
+  SELECT ev.event_type, count(*)::BIGINT AS n_tail,
+         sum(ev.v)::BIGINT AS tail_sum
+  FROM ev JOIN var ON var.event_type = ev.event_type
+  WHERE 20 * ev.v >= var.var95_x20
+  GROUP BY 1)
+SELECT v.event_type, v.n_events, v.var95_x20, t.n_tail,
+       ((2 * t.tail_sum + t.n_tail)::BIGINT
+        // (2 * t.n_tail)::BIGINT)::BIGINT AS es_micro
+FROM var v JOIN tail t ON t.event_type = v.event_type
+"""
+
+QUERIES["events_value_expected_shortfall"] = events_value_expected_shortfall
+ORACLES["events_value_expected_shortfall"] = ORACLE_VALUE_ES
+
+
+# ---------------------------------------- weekly retention half-life
+
+def events_weekly_cohort_halflife(spark, sf):
+    """Retention half-life per signup-week cohort: regress ln(retained
+    share) on week age (ages ≥ 1) and report the decay slope and its
+    implied half-life −ln 2 / slope — the single number a growth model
+    needs from a retention curve (the cohort keys report the curve;
+    this fits it, and a half-life that shrinks across cohorts is the
+    classic product-decay alarm).
+
+    Exactness: the retained share is an exact BIGINT ratio (active
+    users at age a over cohort size), so each cell micro-rounds ONE ln
+    (the per-cell ln rule); OLS moments over (age, ln_micro) are exact
+    BIGINTs; slope and half-life are final-expression doubles, NULL
+    when fewer than 2 ages or a non-negative slope.
+
+    Scale: one events pass to (user, week) distincts, one to
+    first-weeks; everything after runs on the cohort × age relation
+    (calendar-bounded)."""
+    uw = (
+        T(spark, sf, "events")
+        .select(
+            "user_id",
+            F.expr("trunc(to_date(ts), 'week')").alias("wk"),
+        )
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    aged = (
+        uw.join(first, "user_id")
+        .select(
+            "cohort",
+            F.expr(
+                "cast(datediff(wk, cohort) / 7 as int)"
+            ).alias("age"),
+        )
+        .groupBy("cohort", "age")
+        .agg(F.expr("count(*)").alias("n_a"))
+    )
+    base = aged.filter(F.col("age") == 0).select(
+        "cohort", F.col("n_a").alias("n0")
+    )
+    cells = (
+        aged.filter(F.col("age") >= 1)
+        .join(base, "cohort")
+        .select(
+            "cohort", "age", "n0",
+            F.expr(
+                "cast(round(ln(cast(n_a as double) / n0) * 1000000, 0)"
+                " as bigint)"
+            ).alias("y"),
+        )
+    )
+    m = cells.groupBy("cohort").agg(
+        F.min("n0").cast("long").alias("cohort_users"),
+        F.count("*").alias("k"),
+        F.sum("age").alias("sx"),
+        F.sum(F.expr("age * age")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("age * y")).alias("sxy"),
+    )
+    slope = (
+        "((cast(k as double) * sxy - cast(sx as double) * sy)"
+        " / (cast(k as double) * sxx - cast(sx as double) * sx) / 1e6)"
+    )
+    return m.select(
+        F.expr("cast(cohort as date)").alias("cohort"),
+        "cohort_users",
+        F.col("k").cast("long").alias("n_ages"),
+        F.expr(
+            f"case when k >= 2 and (k * sxx - sx * sx) != 0 then"
+            f" round({slope}, 6) + 0.0 end"
+        ).alias("decay_slope"),
+        F.expr(
+            f"case when k >= 2 and (k * sxx - sx * sx) != 0"
+            f" and {slope} < 0 then"
+            f" round(-ln(2.0e0) / ({slope}), 6) + 0.0 end"
+        ).alias("halflife_weeks"),
+    )
+
+
+ORACLE_COHORT_HALFLIFE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts::DATE)::DATE AS wk
+  FROM events),
+first AS (
+  SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1),
+aged AS (
+  SELECT cohort, ((uw.wk - f.cohort) / 7)::INT AS age,
+         count(*)::BIGINT AS n_a
+  FROM uw JOIN first f USING (user_id) GROUP BY 1, 2),
+base AS (SELECT cohort, n_a AS n0 FROM aged WHERE age = 0),
+cells AS (
+  SELECT a.cohort, a.age, b.n0,
+         round(ln(a.n_a::DOUBLE / b.n0) * 1000000, 0)::BIGINT AS y
+  FROM aged a JOIN base b ON b.cohort = a.cohort WHERE a.age >= 1),
+m AS (
+  SELECT cohort, min(n0)::BIGINT AS cohort_users, count(*)::BIGINT AS k,
+         sum(age)::BIGINT AS sx, sum(age * age)::BIGINT AS sxx,
+         sum(y)::BIGINT AS sy, sum(age * y)::BIGINT AS sxy
+  FROM cells GROUP BY 1)
+SELECT cohort, cohort_users, k AS n_ages,
+       CASE WHEN k >= 2 AND (k * sxx - sx * sx) != 0 THEN
+         round((k::DOUBLE * sxy - sx::DOUBLE * sy)
+               / (k::DOUBLE * sxx - sx::DOUBLE * sx) / 1e6, 6) + 0.0 END
+         AS decay_slope,
+       CASE WHEN k >= 2 AND (k * sxx - sx * sx) != 0
+            AND (k::DOUBLE * sxy - sx::DOUBLE * sy)
+                / (k::DOUBLE * sxx - sx::DOUBLE * sx) / 1e6 < 0 THEN
+         round(-ln(cast(2 as double))
+               / ((k::DOUBLE * sxy - sx::DOUBLE * sy)
+                  / (k::DOUBLE * sxx - sx::DOUBLE * sx) / 1e6), 6) + 0.0 END
+         AS halflife_weeks
+FROM m
+"""
+
+QUERIES["events_weekly_cohort_halflife"] = events_weekly_cohort_halflife
+ORACLES["events_weekly_cohort_halflife"] = ORACLE_COHORT_HALFLIFE
