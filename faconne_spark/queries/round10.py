@@ -602,3 +602,285 @@ FROM m
 
 QUERIES["events_weekly_cohort_halflife"] = events_weekly_cohort_halflife
 ORACLES["events_weekly_cohort_halflife"] = ORACLE_COHORT_HALFLIFE
+
+
+# ---------------------------------------------------- Yule's K
+
+def docs_yule_k(spark, sf):
+    """Yule's characteristic K per source: 10⁴·(Σc_w² − N)/N² over the
+    word-frequency spectrum (Yule 1944) — the repeat-rate lexical
+    richness constant that, unlike TTR/Heaps, is (asymptotically)
+    sample-size free, so sources of different volumes compare
+    directly; high K = repetitive/templated text.
+
+    Exactness: N and Σc² are exact BIGINTs from one (source, word)
+    rollup (c² in DECIMAL(38,0) for headroom); K is one final double.
+
+    Scale: one token explode, one groupBy to the (source, word) cell
+    relation, one rollup per source."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    m = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("vocab"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.expr(
+            "round(10000.0 * (cast(s2 as double) - cast(n as double))"
+            " / (cast(n as double) * cast(n as double)), 6) + 0.0"
+        ).alias("yule_k"),
+    )
+
+
+def _oracle_yule_k() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cnt AS (
+  SELECT source, w, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+m AS (
+  SELECT source, sum(c)::BIGINT AS n, count(*)::BIGINT AS vocab,
+         sum(c::DECIMAL(38,0) * c::DECIMAL(38,0)) AS s2
+  FROM cnt GROUP BY 1)
+SELECT source, n AS n_tokens, vocab,
+       round(10000.0 * (s2::DOUBLE - n::DOUBLE)
+             / (n::DOUBLE * n::DOUBLE), 6) + 0.0 AS yule_k
+FROM m
+"""
+
+
+QUERIES["docs_yule_k"] = docs_yule_k
+ORACLES["docs_yule_k"] = _oracle_yule_k()
+
+
+# ------------------------------------------ adjacent word repetition
+
+def docs_adjacent_repeat_rate(spark, sf):
+    """Immediate word-repeat rate per source: the share of adjacent
+    token pairs where wᵢ = wᵢ₊₁, plus the max repeat-run length seen —
+    the stutter detector (model-generated and OCR'd text repeat
+    adjacent tokens far above natural prose; it is the cheapest
+    degeneration gauge there is, and the repetition quality key's
+    distinct-ratio cannot see WHERE the repeats sit).
+
+    Exactness: pure integer counting; one half-up micro division per
+    source.
+
+    Scale: map-only per-doc pair/run reduction inside the token
+    array (no explode — higher-order functions fold each document in
+    place), then one rollup."""
+    pairs = (
+        "size(filter(zip_with(slice(tk, 1, size(tk) - 1),"
+        " slice(tk, 2, size(tk) - 1), (a, b) -> a = b), x -> x))"
+    )
+    # longest run of equal adjacent tokens, as (max prefix of repeats
+    # ending at i) via aggregate fold: state = (best, cur)
+    run = (
+        "aggregate(zip_with(slice(tk, 1, size(tk) - 1),"
+        " slice(tk, 2, size(tk) - 1), (a, b) -> if(a = b, 1, 0)),"
+        " struct(0 as best, 0 as cur),"
+        " (s, x) -> struct(greatest(s.best, if(x = 1, s.cur + 1, 0))"
+        " as best, if(x = 1, s.cur + 1, 0) as cur),"
+        " s -> s.best)"
+    )
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    per_doc = (
+        T(spark, sf, "documents")
+        .select("source", F.expr(toks).alias("tk"))
+        .filter(F.expr("size(tk) >= 2"))
+        .select(
+            "source",
+            F.expr("size(tk) - 1").alias("n_pairs"),
+            F.expr(pairs).alias("n_rep"),
+            F.expr(run).alias("max_run"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_rep").cast("long").alias("n_repeats"),
+        F.max("max_run").cast("long").alias("max_repeat_run"),
+        F.expr(
+            "cast((2000000 * sum(n_rep) + sum(n_pairs))"
+            " div (2 * sum(n_pairs)) as bigint)"
+        ).alias("repeat_rate_micro"),
+    )
+
+
+def _oracle_adjacent_repeat() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH tk AS (
+  SELECT source, {toks} AS t FROM documents),
+per_doc AS (
+  SELECT source, len(t) - 1 AS n_pairs,
+         len(list_filter(list_transform(range(1, len(t)),
+             i -> t[i] = t[i + 1]), x -> x)) AS n_rep,
+         list_aggregate(list_transform(range(1, len(t)), i ->
+           CASE WHEN t[i] = t[i + 1] THEN
+             len(list_filter(range(1, i + 1), j -> j <= i AND
+               list_aggregate(list_transform(range(j::INT, (i + 1)::INT),
+                 q -> (t[q] = t[q + 1])::INT), 'min') = 1))
+           ELSE 0 END), 'max') AS max_run
+  FROM tk WHERE len(t) >= 2)
+SELECT source, sum(n_pairs)::BIGINT AS n_pairs,
+       sum(n_rep)::BIGINT AS n_repeats,
+       max(max_run)::BIGINT AS max_repeat_run,
+       ((2000000 * sum(n_rep) + sum(n_pairs))
+        // (2 * sum(n_pairs)))::BIGINT AS repeat_rate_micro
+FROM per_doc GROUP BY source
+"""
+
+
+QUERIES["docs_adjacent_repeat_rate"] = docs_adjacent_repeat_rate
+ORACLES["docs_adjacent_repeat_rate"] = _oracle_adjacent_repeat()
+
+
+# --------------------------------- word-bigram conditional entropy
+
+def docs_word_bigram_cond_entropy(spark, sf):
+    """Per-source conditional entropy H(next word | word) in exact
+    integer micro-nats — the WORD-level sequence-predictability gauge
+    (the char-bigram key reads orthography; this reads phrase
+    structure: near-zero means n-gram-templated text that any LM will
+    memorize rather than learn from).  Same per-cell-ln discipline as
+    docs_char_bigram_cond_entropy.
+
+    Scale: the bigram explode is map-only and linear in corpus
+    tokens; everything after the (source, w1, w2) groupBy runs on the
+    distinct-bigram relation."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    bigrams = (
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+    pairs = (
+        T(spark, sf, "documents")
+        .select("source", F.expr(toks).alias("tk"))
+        .filter(F.expr("size(tk) >= 2"))
+        .select("source", F.explode(F.expr(bigrams)).alias("p"))
+        .groupBy("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("n_st"))
+    )
+    rows = pairs.groupBy("source", "w1").agg(F.sum("n_st").alias("n_s"))
+    cells = pairs.join(rows, ["source", "w1"]).withColumn(
+        "__l",
+        F.expr(
+            "cast(round(ln(cast(n_st as double) / n_s) * 1000000, 0)"
+            " as bigint)"
+        ),
+    )
+    return cells.groupBy("source").agg(
+        F.sum("n_st").alias("n_bigrams"),
+        F.count("*").alias("n_cells"),
+        (-F.sum(F.col("n_st") * F.col("__l"))).alias("h_micro"),
+    )
+
+
+def _oracle_word_bigram_h() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH tk AS (
+  SELECT source, {toks} AS t FROM documents),
+pairs AS (
+  SELECT source, p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS n_st
+  FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t)),
+                  i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+    FROM tk WHERE len(t) >= 2)
+  GROUP BY 1, 2, 3),
+rows_ AS (
+  SELECT source, w1, sum(n_st)::BIGINT AS n_s FROM pairs GROUP BY 1, 2),
+cells AS (
+  SELECT p.source, p.n_st,
+         round(ln(p.n_st::DOUBLE / r.n_s) * 1000000, 0)::BIGINT AS l
+  FROM pairs p JOIN rows_ r ON r.source = p.source AND r.w1 = p.w1)
+SELECT source, sum(n_st)::BIGINT AS n_bigrams,
+       count(*)::BIGINT AS n_cells,
+       (-sum(n_st * l))::BIGINT AS h_micro
+FROM cells GROUP BY source
+"""
+
+
+QUERIES["docs_word_bigram_cond_entropy"] = docs_word_bigram_cond_entropy
+ORACLES["docs_word_bigram_cond_entropy"] = _oracle_word_bigram_h()
+
+
+# -------------------------------------------- word-length profile
+
+def docs_word_length_profile(spark, sf):
+    """Word-length profile per source: token-length histogram moments
+    (mean in exact micro, the ×2-exact median length, max) — the
+    tokenizer-budget gauge (mean word length drives subword fertility
+    directly; a source whose words run long will cost more tokens per
+    character on any BPE vocabulary, and the docs_ttr/fertility keys
+    do not separate that from vocabulary effects).
+
+    Exactness: lengths are integers; mean is one half-up micro
+    division of exact BIGINTs; the ×2 median of integers is exact.
+
+    Scale: map-only explode to (source, len), one rollup."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    lens = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .select("source", F.length("w").alias("l"))
+    )
+    return lens.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr(
+            "cast((2000000 * sum(l) + count(*)) div (2 * count(*))"
+            " as bigint)"
+        ).alias("mean_len_micro"),
+        F.expr(
+            "cast(floor(2 * percentile(l, 0.5) + 0.5) as bigint)"
+        ).alias("median_len_x2"),
+        F.max("l").cast("long").alias("max_len"),
+    )
+
+
+def _oracle_word_length() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH lens AS (
+  SELECT source, len(w)::BIGINT AS l
+  FROM (SELECT source, unnest({toks}) AS w FROM documents))
+SELECT source, count(*)::BIGINT AS n_tokens,
+       ((2000000 * sum(l) + count(*))
+        // (2 * count(*)))::BIGINT AS mean_len_micro,
+       floor(2 * quantile_cont(l, 0.5) + 0.5)::BIGINT AS median_len_x2,
+       max(l)::BIGINT AS max_len
+FROM lens GROUP BY source
+"""
+
+
+QUERIES["docs_word_length_profile"] = docs_word_length_profile
+ORACLES["docs_word_length_profile"] = _oracle_word_length()
