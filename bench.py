@@ -482,6 +482,21 @@ def main() -> None:
         "mm_gif_pixel_entropy",
         "events_type_value_qq",
         "mm_jpeg_progressive",
+        # round-10 analytics waves A-D
+        "events_volume_value_kendall",
+        "events_weekend_cliffs_delta",
+        "events_type_median_test",
+        "events_value_moors_kurtosis",
+        "events_value_expected_shortfall",
+        "events_weekly_cohort_halflife",
+        "docs_yule_k",
+        "docs_adjacent_repeat_rate",
+        "docs_word_bigram_cond_entropy",
+        "docs_word_length_profile",
+        "mm_png_channel_stats",
+        "ann_panel_epsilon_degree",
+        "embed_dim_kurtosis",
+        "orders_status_priority_cramers_v",
     ]
     times = {}
     shuffle = {}

@@ -1749,6 +1749,53 @@ def extract_jpeg_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+PNG_CHANNEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+    ]
+)
+
+
+def extract_png_channel_stats(media: DataFrame) -> DataFrame:
+    """FULL PNG decode reduced to PER-CHANNEL pixel sums — the color
+    companion to extract_png_pixel_stats' grand total: a decoder bug
+    that permutes channels (BGR/RGB swap, filter applied to the wrong
+    byte offset, stride slip) leaves the grand total intact and ONLY
+    this gauge catches it.  Arrow-batched map-only, no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, channels, px = png_pixels(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(
+                    h, w, channels
+                ).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "r_sum": int(arr[:, :, 0].sum()),
+                        "g_sum": int(arr[:, :, 1 % channels].sum()),
+                        "b_sum": int(arr[:, :, 2 % channels].sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_CHANNEL_SCHEMA]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, PNG_CHANNEL_SCHEMA
+    )
+
+
 # --------------------------------------------------------- meta extraction
 
 IMAGE_META_SCHEMA = StructType(

@@ -61,6 +61,27 @@ _CHANGED_THIS_ROUND = [
     #    truncated DECIMAL division in BOTH engines); engine + oracle
     #    now use true double division --
     "events_monthly_max_gumbel",
+    # -- new in r10, analytics waves A-D (queries/round10.py): rank/
+    #    effect-size (Kendall tau-b, Cliff's delta, Mood's median
+    #    test), quantile shape/tail (Moors kurtosis, CVaR), retention
+    #    decay fit, lexical gauges (Yule's K, adjacent repeats,
+    #    word-bigram entropy, word lengths), PNG channel gate,
+    #    epsilon-graph degree on sample_panel, per-dim kurtosis,
+    #    Cramer's V --
+    "events_volume_value_kendall",
+    "events_weekend_cliffs_delta",
+    "events_type_median_test",
+    "events_value_moors_kurtosis",
+    "events_value_expected_shortfall",
+    "events_weekly_cohort_halflife",
+    "docs_yule_k",
+    "docs_adjacent_repeat_rate",
+    "docs_word_bigram_cond_entropy",
+    "docs_word_length_profile",
+    "mm_png_channel_stats",
+    "ann_panel_epsilon_degree",
+    "embed_dim_kurtosis",
+    "orders_status_priority_cramers_v",
 ]
 
 _REST = [

@@ -191,6 +191,10 @@ def events_weekend_cliffs_delta(spark, sf):
     on distributed_avg_ranks' exact ×2 BIGINTs; δ is one rounded
     division.
 
+    Weekend = epoch-day % 7 ∈ {2, 3} (0 = Thursday) — the repo's
+    portable calendar rule (the engines disagree on dayofweek
+    numbering; the epoch offset they cannot disagree on).
+
     Scale: rank arithmetic on the distinct-value relation (the
     two-phase primitive — no partition-less window); no pair ever
     materializes."""
@@ -198,7 +202,7 @@ def events_weekend_cliffs_delta(spark, sf):
 
     ev = T(spark, sf, "events").select(
         F.expr(
-            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 >= 5"
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 in (2, 3)"
             " as int)"
         ).alias("we"),
         F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
@@ -224,7 +228,7 @@ def events_weekend_cliffs_delta(spark, sf):
 
 ORACLE_WEEKEND_CLIFFS = """
 WITH ev AS (
-  SELECT ((ts::DATE - DATE '1970-01-01') % 7 >= 5)::INT AS we,
+  SELECT ((ts::DATE - DATE '1970-01-01') % 7 IN (2, 3))::INT AS we,
          floor(value * 1000000 + 0.5)::BIGINT AS v
   FROM events),
 ranked AS (
@@ -884,3 +888,348 @@ FROM lens GROUP BY source
 
 QUERIES["docs_word_length_profile"] = docs_word_length_profile
 ORACLES["docs_word_length_profile"] = _oracle_word_length()
+
+
+# ------------------------------------------ PNG per-channel gate
+
+def mm_png_channel_stats(spark, sf):
+    """Per-CHANNEL pixel sums through the full PNG decode — the color
+    integrity gate beside mm_png_decode's grand total: a channel
+    permutation (BGR swap), a filter applied at the wrong byte
+    offset, or a stride slip leaves the total pixel_sum unchanged and
+    ONLY the per-channel split catches it.  The oracle replays each
+    channel sum in closed form from the md5 digest tiling (pixel p is
+    digest byte p mod 16; channel c collects p ≡ c mod 3)."""
+    from faconne_spark.operators import multimodal as MM
+
+    docs = T(spark, sf, "documents")
+    return MM.extract_png_channel_stats(MM.synthesize_png(docs))
+
+
+def _oracle_png_channel() -> str:
+    hexb = (
+        "((strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1)"
+    )
+    dig = ", ".join(hexb.format(p=2 * i + 1, p1=2 * i + 2) for i in range(16))
+    return f"""
+WITH geom AS (
+  SELECT doc_id,
+         (4 + {hexb.format(p=1, p1=2)} % 12) AS w,
+         (4 + {hexb.format(p=3, p1=4)} % 12) AS h,
+         [{dig}] AS dig
+  FROM documents)
+SELECT doc_id, w::INTEGER AS width, h::INTEGER AS height,
+       list_sum(list_transform(range(0, 3 * w * h), p ->
+         CASE WHEN p % 3 = 0 THEN dig[(p % 16) + 1] ELSE 0 END))::BIGINT
+         AS r_sum,
+       list_sum(list_transform(range(0, 3 * w * h), p ->
+         CASE WHEN p % 3 = 1 THEN dig[(p % 16) + 1] ELSE 0 END))::BIGINT
+         AS g_sum,
+       list_sum(list_transform(range(0, 3 * w * h), p ->
+         CASE WHEN p % 3 = 2 THEN dig[(p % 16) + 1] ELSE 0 END))::BIGINT
+         AS b_sum
+FROM geom
+"""
+
+
+QUERIES["mm_png_channel_stats"] = mm_png_channel_stats
+ORACLES["mm_png_channel_stats"] = _oracle_png_channel()
+
+
+# ------------------------------------- epsilon-graph degree profile
+
+EPS_PANEL_N = 400
+EPS_TAU_MICRO = 300000  # cosine >= 0.30, in exact micro
+
+
+def ann_panel_epsilon_degree(spark, sf):
+    """Degree histogram of the ε-similarity graph over a FIXED-SIZE
+    hash panel: for each of 400 panel vectors, how many corpus
+    vectors sit at cosine ≥ 0.30 — the density read-out that decides
+    between radius search and top-k (a fat-tailed ε-degree profile
+    means radius queries explode on hubs; a mass at zero means the
+    threshold is unreachable and recall‑at‑k is the only option).
+    Composes the r10 sample_panel primitive (third consumer) with the
+    hubness pair discipline.
+
+    Exactness: the cosine micro-rounds to an exact integer before the
+    threshold compare, so membership is integer arithmetic in both
+    engines.
+
+    Scale: pair stage is O(400·corpus) with a ≤ 400-vector broadcast
+    (sample_panel's bound); the histogram is two bounded rollups."""
+    from faconne_spark.functions import dot_expr
+    from faconne_spark.operators.relational import sample_panel
+
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "embedding",
+        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+    )
+    q = sample_panel(emb, "vec_id", EPS_PANEL_N, salt="eps").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nn").alias("q_nn"),
+    )
+    deg = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "case when cast(round(("
+                    + dot_expr("embedding", "q_emb", "spark")
+                    + ") / nullif(sqrt(nn) * sqrt(q_nn), 0.0) * 1000000,"
+                    " 0) as bigint) >= " + str(EPS_TAU_MICRO)
+                    + " then 1 else 0 end"
+                )
+            ).alias("degree")
+        )
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_queries")
+    ).select(F.col("degree").cast("long"), "n_queries")
+
+
+def _oracle_eps_degree() -> str:
+    from faconne_spark.functions import dot_expr
+    from faconne_spark.operators.relational import sample_panel_sql
+
+    dot = dot_expr("c.embedding", "q.embedding", "duckdb")
+    panel = sample_panel_sql("vec_id", EPS_PANEL_N, salt="eps", from_sql="e")
+    nn = dot_expr("embedding", "embedding", "duckdb")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, {nn} AS nn FROM embeddings),
+panel AS MATERIALIZED ({panel}),
+deg AS (
+  SELECT q.vec_id AS q_id,
+         sum(CASE WHEN round(({dot}) / nullif(sqrt(c.nn) * sqrt(q.nn),
+             0.0) * 1000000, 0)::BIGINT >= {EPS_TAU_MICRO}
+             THEN 1 ELSE 0 END)::BIGINT AS degree
+  FROM e c JOIN panel q ON c.vec_id != q.vec_id
+  GROUP BY 1)
+SELECT degree, count(*)::BIGINT AS n_queries
+FROM deg GROUP BY degree
+"""
+
+
+QUERIES["ann_panel_epsilon_degree"] = ann_panel_epsilon_degree
+ORACLES["ann_panel_epsilon_degree"] = _oracle_eps_degree()
+
+
+# ------------------------------------- per-dimension kurtosis flags
+
+def embed_dim_kurtosis(spark, sf):
+    """Top-8 embedding dimensions by |excess kurtosis| — the
+    heavy-tail leakage audit per COORDINATE (a near-Gaussian encoder
+    dimension carries distributed information; one with huge kurtosis
+    is a sparse feature detector or a norm leak, and per-dim variance
+    cannot tell those apart).  Companion to
+    embed_dim_variance_concentration on the 4th moment.
+
+    Exactness: coordinates micro-round to BIGINT; raw power sums
+    S1..S4 run in BIGINT/DECIMAL(38,0) (micro⁴ ≈ 10²⁴/row — headroom
+    to ~10¹³ rows); central moments, kurtosis, and the ranking key
+    are final-expression doubles built from identical integers, ties
+    broken on dim.
+
+    Scale: one posexplode pass map-side-combines to ≤ d rows;
+    everything after is dimensionality-bounded."""
+    dims = (
+        T(spark, sf, "embeddings")
+        .select(F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            (F.col("pos0") + 1).alias("dim"),
+            F.expr(
+                "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+            ).alias("v"),
+        )
+    )
+    m = dims.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * v")).alias("s2"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * v * v")).alias("s3"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * v * v * v")).alias("s4"),
+    )
+    d = "cast({x} as double)"
+    mean = f"({d.format(x='s1')} / n)"
+    m2 = f"({d.format(x='s2')} / n - {mean} * {mean})"
+    m4 = (
+        f"({d.format(x='s4')} / n - 4 * {mean} * {d.format(x='s3')} / n"
+        f" + 6 * {mean} * {mean} * {d.format(x='s2')} / n"
+        f" - 3 * {mean} * {mean} * {mean} * {mean})"
+    )
+    kurt = f"({m4} / ({m2} * {m2}) - 3.0)"
+    scored = m.select(
+        "dim",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.expr(
+            f"case when {m2} > 0 then round({kurt}, 6) + 0.0 end"
+        ).alias("ex_kurtosis"),
+    )
+    w = Window.orderBy(
+        F.desc(F.expr("abs(coalesce(ex_kurtosis, 0.0))")), F.asc("dim")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 8)
+        .select("rnk", "dim", "n_vectors", "ex_kurtosis")
+    )
+
+
+ORACLE_DIM_KURTOSIS = """
+WITH dims AS (
+  SELECT p.i AS dim,
+         floor(p.x::DOUBLE * 1000000 + 0.5)::BIGINT AS v
+  FROM (
+    SELECT unnest(list_transform(range(1, 1 + len(embedding)),
+           i -> {'i': i, 'x': embedding[i]})) AS p
+    FROM embeddings)),
+m AS (
+  SELECT dim, count(*)::BIGINT AS n, sum(v)::BIGINT AS s1,
+         sum(v::DECIMAL(38,0) * v) AS s2,
+         sum(v::DECIMAL(38,0) * v * v) AS s3,
+         sum(v::DECIMAL(38,0) * v * v * v) AS s4
+  FROM dims GROUP BY 1),
+scored AS (
+  SELECT dim, n AS n_vectors,
+         CASE WHEN (s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n))
+                   > 0 THEN
+           round((s4::DOUBLE / n
+                  - 4 * (s1::DOUBLE / n) * s3::DOUBLE / n
+                  + 6 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * s2::DOUBLE / n
+                  - 3 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+                      * (s1::DOUBLE / n) * (s1::DOUBLE / n))
+                 / ((s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n))
+                    * (s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)))
+                 - 3.0, 6) + 0.0 END AS ex_kurtosis
+  FROM m)
+SELECT rnk, dim, n_vectors, ex_kurtosis FROM (
+  SELECT row_number() OVER (
+           ORDER BY abs(coalesce(ex_kurtosis, 0.0)) DESC, dim) AS rnk,
+         dim, n_vectors, ex_kurtosis
+  FROM scored)
+WHERE rnk <= 8
+"""
+
+QUERIES["embed_dim_kurtosis"] = embed_dim_kurtosis
+ORACLES["embed_dim_kurtosis"] = ORACLE_DIM_KURTOSIS
+
+
+# --------------------------------- Cramér's V with bias correction
+
+def orders_status_priority_cramers_v(spark, sf):
+    """Association strength between order STATUS and PRIORITY:
+    χ² on the full status × priority grid plus Cramér's V and the
+    Bergsma bias-corrected V (small-table V overstates association;
+    the corrected form subtracts the expected χ² inflation) — the
+    effect-size companion to the independence-test keys ("is there an
+    effect" is the χ²; "is it big enough to act on" is V).
+
+    Exactness: grid discipline — per-cell terms are doubles from
+    identical BIGINTs micro-rounded once; V/V-corrected are final
+    expressions of the exact chi2_micro integer."""
+    ev = T(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    obs = ev.groupBy("s", "p").agg(F.count("*").alias("o"))
+    rm = obs.groupBy("s").agg(F.sum("o").alias("r"))
+    cm = obs.groupBy("p").agg(F.sum("o").alias("c"))
+    grid = rm.crossJoin(F.broadcast(cm))
+    cells = (
+        grid.join(obs, ["s", "p"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(obs.groupBy().agg(F.sum("o").alias("n"))))
+        .withColumn(
+            "term_micro",
+            F.expr(
+                "cast(round(1000000 *"
+                " (cast(o as double) * cast(n as double)"
+                "  - cast(r as double) * cast(c as double))"
+                " * (cast(o as double) * cast(n as double)"
+                "    - cast(r as double) * cast(c as double))"
+                " / (cast(n as double) * cast(r as double)"
+                "    * cast(c as double)), 0) as bigint)"
+            ),
+        )
+    )
+    agg = cells.groupBy().agg(
+        F.min("n").alias("n"),
+        F.expr("count(distinct s)").alias("nr"),
+        F.expr("cast(count(*) / count(distinct s) as bigint)").alias("nc"),
+        F.sum("term_micro").alias("chi2_micro"),
+    )
+    phi2 = "(cast(chi2_micro as double) / 1e6 / n)"
+    vexpr = (
+        f"sqrt({phi2} / (least(nr, nc) - 1))"
+    )
+    # Bergsma correction: phi2' = max(0, phi2 - (nr-1)(nc-1)/(n-1)),
+    # r' = nr - (nr-1)^2/(n-1), c' = nc - (nc-1)^2/(n-1)
+    phi2c = (
+        f"greatest(0.0, {phi2} - cast((nr - 1) as double) * (nc - 1)"
+        f" / (n - 1))"
+    )
+    rc = "(cast(nr as double) - cast((nr - 1) as double) * (nr - 1) / (n - 1))"
+    cc = "(cast(nc as double) - cast((nc - 1) as double) * (nc - 1) / (n - 1))"
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("nr").cast("long").alias("n_statuses"),
+        F.col("nc").cast("long").alias("n_priorities"),
+        F.col("chi2_micro").cast("long").alias("chi2_micro"),
+        F.expr(
+            f"case when least(nr, nc) > 1 then round({vexpr}, 6) + 0.0 end"
+        ).alias("cramers_v"),
+        F.expr(
+            f"case when least({rc}, {cc}) > 1 then"
+            f" round(sqrt({phi2c} / (least({rc}, {cc}) - 1)), 6) + 0.0 end"
+        ).alias("cramers_v_corrected"),
+    )
+
+
+ORACLE_STATUS_PRIORITY_V = """
+WITH obs AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*)::BIGINT AS o
+  FROM orders GROUP BY 1, 2),
+rm AS (SELECT s, sum(o)::BIGINT AS r FROM obs GROUP BY 1),
+cm AS (SELECT p, sum(o)::BIGINT AS c FROM obs GROUP BY 1),
+tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
+cells AS (
+  SELECT rm.s, cm.p, rm.r, cm.c, coalesce(obs.o, 0)::BIGINT AS o, tot.n,
+         round(1000000 *
+           (coalesce(obs.o, 0)::DOUBLE * tot.n::DOUBLE
+            - rm.r::DOUBLE * cm.c::DOUBLE)
+           * (coalesce(obs.o, 0)::DOUBLE * tot.n::DOUBLE
+              - rm.r::DOUBLE * cm.c::DOUBLE)
+           / (tot.n::DOUBLE * rm.r::DOUBLE * cm.c::DOUBLE), 0)::BIGINT
+           AS term_micro
+  FROM rm CROSS JOIN cm
+  LEFT JOIN obs ON obs.s = rm.s AND obs.p = cm.p
+  CROSS JOIN tot),
+agg AS (
+  SELECT min(n)::BIGINT AS n, count(DISTINCT s)::BIGINT AS nr,
+         (count(*) / count(DISTINCT s))::BIGINT AS nc,
+         sum(term_micro)::BIGINT AS chi2_micro
+  FROM cells)
+SELECT n AS n_orders, nr AS n_statuses, nc AS n_priorities, chi2_micro,
+       CASE WHEN least(nr, nc) > 1 THEN
+         round(sqrt((chi2_micro::DOUBLE / 1e6 / n)
+                    / (least(nr, nc) - 1)), 6) + 0.0 END AS cramers_v,
+       CASE WHEN least(
+              nr::DOUBLE - (nr - 1)::DOUBLE * (nr - 1) / (n - 1),
+              nc::DOUBLE - (nc - 1)::DOUBLE * (nc - 1) / (n - 1)) > 1 THEN
+         round(sqrt(
+           greatest(0.0, chi2_micro::DOUBLE / 1e6 / n
+                    - (nr - 1)::DOUBLE * (nc - 1) / (n - 1))
+           / (least(
+                nr::DOUBLE - (nr - 1)::DOUBLE * (nr - 1) / (n - 1),
+                nc::DOUBLE - (nc - 1)::DOUBLE * (nc - 1) / (n - 1)) - 1)),
+           6) + 0.0 END AS cramers_v_corrected
+FROM agg
+"""
+
+QUERIES["orders_status_priority_cramers_v"] = orders_status_priority_cramers_v
+ORACLES["orders_status_priority_cramers_v"] = ORACLE_STATUS_PRIORITY_V

@@ -372,6 +372,21 @@ SNAPSHOT_QUERIES = [
     "docs_vocab_growth_heaps",
     # round-10: progressive JPEG through the gate
     "mm_jpeg_progressive",
+    # round-10 analytics waves A-D
+    "events_volume_value_kendall",
+    "events_weekend_cliffs_delta",
+    "events_type_median_test",
+    "events_value_moors_kurtosis",
+    "events_value_expected_shortfall",
+    "events_weekly_cohort_halflife",
+    "docs_yule_k",
+    "docs_adjacent_repeat_rate",
+    "docs_word_bigram_cond_entropy",
+    "docs_word_length_profile",
+    "mm_png_channel_stats",
+    "ann_panel_epsilon_degree",
+    "embed_dim_kurtosis",
+    "orders_status_priority_cramers_v",
     # round-10: the bank_r10 fourteen, registered this round
     "orders_priority_shiplag_ks",
     "events_active_days_gini",
