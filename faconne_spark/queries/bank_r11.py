@@ -1,0 +1,973 @@
+"""Round-11 staging bank: query/oracle pairs built and cross-engine
+proven at three SFs in round 10 (the bank discipline — operator +
+oracle + driver-style test + partitioning sweep in
+tests/test_bank_r11.py), deliberately UNREGISTERED so the r10 driver
+window stays within budget.  Registration is the round-11 opening
+move (QUERIES/ORACLES aliases + _merged() import + window entries +
+snapshots + bench + SURVEY rows + SCALING)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from faconne_spark.queries import T
+
+BANK_QUERIES: dict = {}
+BANK_ORACLES: dict = {}
+
+
+# ------------------------------------ quartile coefficient of dispersion
+
+def events_value_quartile_dispersion(spark, sf):
+    """Quartile coefficient of dispersion per event type:
+    (Q₃−Q₁)/(Q₃+Q₁) — the robust RELATIVE spread that completes the
+    quantile-shape family (Bowley reads asymmetry, Moors reads tail
+    weight, this reads scale-free width; CV is its moment-based twin
+    and one whale can saturate it).
+
+    Exactness: the ×4 trick — quartiles of integer micros are exact
+    BIGINTs; the coefficient is one final double, NULL when
+    Q₃+Q₁ ≤ 0 (sign-mixed quartiles make the ratio meaningless)."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    q = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "cast(floor(4 * percentile(v, 0.25) + 0.5) as bigint)"
+        ).alias("q1_x4"),
+        F.expr(
+            "cast(floor(4 * percentile(v, 0.75) + 0.5) as bigint)"
+        ).alias("q3_x4"),
+    )
+    return q.select(
+        "event_type", "n_events", "q1_x4", "q3_x4",
+        F.expr(
+            "case when q3_x4 + q1_x4 > 0 then"
+            " round(cast(q3_x4 - q1_x4 as double) / (q3_x4 + q1_x4), 6)"
+            " + 0.0 end"
+        ).alias("qcd"),
+    )
+
+
+ORACLE_QUARTILE_DISPERSION = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+q AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         floor(4 * quantile_cont(v, 0.25) + 0.5)::BIGINT AS q1_x4,
+         floor(4 * quantile_cont(v, 0.75) + 0.5)::BIGINT AS q3_x4
+  FROM ev GROUP BY 1)
+SELECT event_type, n_events, q1_x4, q3_x4,
+       CASE WHEN q3_x4 + q1_x4 > 0 THEN
+         round((q3_x4 - q1_x4)::DOUBLE / (q3_x4 + q1_x4), 6) + 0.0 END
+         AS qcd
+FROM q
+"""
+
+BANK_QUERIES["events_value_quartile_dispersion"] = (
+    events_value_quartile_dispersion
+)
+BANK_ORACLES["events_value_quartile_dispersion"] = ORACLE_QUARTILE_DISPERSION
+
+
+# --------------------------------------------- word burstiness (Fano)
+
+FANO_TOP_WORDS = 20
+
+
+def docs_word_burstiness_fano(spark, sf):
+    """Fano factor (variance/mean of PER-DOCUMENT counts, zero docs
+    included) for the top-20 corpus words — word burstiness (Church &
+    Gale 1995): content words clump in few documents (Fano ≫ 1),
+    function words spread Poisson-like (Fano ≈ 1).  The gauge behind
+    stopword-list induction and tf-idf sanity: a "stopword" with high
+    Fano is actually topical.
+
+    Exactness: per-(word, doc) counts are integers; zero docs enter
+    through the corpus doc count D (moments over all D docs derive
+    from Σc and Σc² over the nonzero cells alone); Fano is one final
+    double from exact BIGINTs.
+
+    Scale: one token explode to (word, doc) cells, one per-word
+    rollup; the top-20 cut is a TakeOrdered over the word relation."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cells = (
+        T(spark, sf, "documents")
+        .select("doc_id", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    d_tot = T(spark, sf, "documents").groupBy().agg(
+        F.count("*").alias("d")
+    )
+    per_word = cells.groupBy("w").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.expr("c * c")).alias("ss"),
+        F.count("*").alias("docs_seen"),
+    )
+    top = (
+        per_word.crossJoin(F.broadcast(d_tot))
+        .orderBy(F.desc("s"), F.asc("w"))
+        .limit(FANO_TOP_WORDS)
+    )
+    # over all D docs: mean m = s/D; var = (ss - s^2/D)/(D-1)
+    fano = (
+        "((cast(ss as double) - cast(s as double) * s / d) / (d - 1))"
+        " / (cast(s as double) / d)"
+    )
+    return top.select(
+        F.col("w").alias("word"),
+        F.col("s").cast("long").alias("n_occurrences"),
+        F.col("docs_seen").cast("long").alias("n_docs_seen"),
+        F.col("d").cast("long").alias("n_docs"),
+        F.expr(
+            f"case when d >= 2 and s > 0 then round({fano}, 6) + 0.0 end"
+        ).alias("fano_factor"),
+    )
+
+
+def _oracle_word_fano() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cells AS (
+  SELECT w, doc_id, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+d_tot AS (SELECT count(*)::BIGINT AS d FROM documents),
+per_word AS (
+  SELECT w, sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS ss,
+         count(*)::BIGINT AS docs_seen
+  FROM cells GROUP BY 1),
+top AS (
+  SELECT * FROM per_word CROSS JOIN d_tot
+  ORDER BY s DESC, w ASC LIMIT {FANO_TOP_WORDS})
+SELECT w AS word, s AS n_occurrences, docs_seen AS n_docs_seen,
+       d AS n_docs,
+       CASE WHEN d >= 2 AND s > 0 THEN
+         round(((ss::DOUBLE - s::DOUBLE * s / d) / (d - 1))
+               / (s::DOUBLE / d), 6) + 0.0 END AS fano_factor
+FROM top
+"""
+
+
+BANK_QUERIES["docs_word_burstiness_fano"] = docs_word_burstiness_fano
+BANK_ORACLES["docs_word_burstiness_fano"] = _oracle_word_fano()
+
+
+# ------------------------------------------ Lorenz asymmetry (values)
+
+def events_value_lorenz_asymmetry(spark, sf):
+    """Lorenz asymmetry coefficient per event type (Damgaard & Weiner
+    1998): S = F(μ) + L(μ) — WHERE the inequality lives.  The Gini
+    says how unequal; S < 1 says many small values drive it, S > 1
+    says a few giants do (different curation responses: cap the
+    whales vs drop the dust).  Ties at the mean count half.
+
+    Exactness: μ = Σv/n is an exact rational, so "below mean" is the
+    integer compare n·v < Σv; S = (2a+t)/(2n) + (2n·B + t·Σv)/(2n·Σv)
+    with a/t/B exact BIGINTs (B = Σ of below-mean values); one final
+    double, NULL when Σv ≤ 0."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    cells = ev.join(F.broadcast(tot), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.min("n").alias("n"),
+        F.min("s").alias("s"),
+        F.sum(
+            F.expr(
+                "case when cast(n as decimal(38,0)) * v"
+                " < cast(s as decimal(38,0)) then 1 else 0 end"
+            )
+        ).alias("a"),
+        F.sum(
+            F.expr(
+                "case when cast(n as decimal(38,0)) * v"
+                " = cast(s as decimal(38,0)) then 1 else 0 end"
+            )
+        ).alias("t"),
+        F.sum(
+            F.expr(
+                "case when cast(n as decimal(38,0)) * v"
+                " < cast(s as decimal(38,0)) then v else 0 end"
+            )
+        ).alias("b"),
+    )
+    s_expr = (
+        "(cast(2 * a + t as double) / (2 * n)"
+        " + (2.0 * n * b + cast(t as double) * s)"
+        "   / (2.0 * n * cast(s as double)))"
+    )
+    return cells.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("a").cast("long").alias("n_below_mean"),
+        F.col("t").cast("long").alias("n_at_mean"),
+        F.expr(
+            f"case when s > 0 then round({s_expr}, 6) + 0.0 end"
+        ).alias("lorenz_asymmetry"),
+    )
+
+
+ORACLE_LORENZ_ASYMMETRY = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+tot AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+  FROM ev GROUP BY 1),
+cells AS (
+  SELECT ev.event_type, min(n)::BIGINT AS n, min(s)::BIGINT AS s,
+         sum(CASE WHEN n::DECIMAL(38,0) * v < s::DECIMAL(38,0)
+             THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN n::DECIMAL(38,0) * v = s::DECIMAL(38,0)
+             THEN 1 ELSE 0 END)::BIGINT AS t,
+         sum(CASE WHEN n::DECIMAL(38,0) * v < s::DECIMAL(38,0)
+             THEN v ELSE 0 END)::BIGINT AS b
+  FROM ev JOIN tot ON tot.event_type = ev.event_type
+  GROUP BY 1)
+SELECT event_type, n AS n_events, a AS n_below_mean, t AS n_at_mean,
+       CASE WHEN s > 0 THEN
+         round((2 * a + t)::DOUBLE / (2 * n)
+               + (2.0 * n * b + t::DOUBLE * s)
+                 / (2.0 * n * s::DOUBLE), 6) + 0.0 END
+         AS lorenz_asymmetry
+FROM cells
+"""
+
+BANK_QUERIES["events_value_lorenz_asymmetry"] = events_value_lorenz_asymmetry
+BANK_ORACLES["events_value_lorenz_asymmetry"] = ORACLE_LORENZ_ASYMMETRY
+
+
+# ------------------------------------------- brand-price ICC(1)
+
+def part_brand_price_icc(spark, sf):
+    """ICC(1) of retail price within brands (unbalanced k₀) — is
+    "brand" a real pricing trait or a label?  Second consumer of the
+    one-way variance-decomposition discipline after the customer-value
+    ICC: the rank tests (Kruskal) say brands DIFFER; ICC says how much
+    of the price variance the brand label explains.
+
+    Exactness: prices are exact centi integers; between/within terms
+    micro-round once per brand (the ANOVA integer-term discipline);
+    ICC/k₀/F are final-expression doubles."""
+    g = (
+        T(spark, sf, "part")
+        .select(
+            "p_brand",
+            F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)")
+            .alias("v"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(
+                F.col("v").cast("decimal(38,0)")
+                * F.col("v").cast("decimal(38,0)")
+            ).alias("ss"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count("*").alias("j"),
+        F.sum(F.expr("n * n")).alias("sn2"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "j", "nt", "sn2",
+        F.expr(
+            "cast(round(cast(n as double)"
+            " * pow(cast(s as double) / cast(n as double)"
+            "       - cast(st as double) / cast(nt as double), 2)"
+            " / 1000000.0, 0) as bigint)"
+        ).alias("b"),
+        F.expr(
+            "cast(round((cast(ss as double)"
+            " - cast(s as double) * cast(s as double) / cast(n as double))"
+            " / 1000000.0, 0) as bigint)"
+        ).alias("w"),
+    )
+    msb = "(cast(sum(b) as double) / (max(j) - 1))"
+    msw = "(cast(sum(w) as double) / (max(nt) - max(j)))"
+    k0 = (
+        "((cast(max(nt) as double)"
+        " - cast(max(sn2) as double) / max(nt)) / (max(j) - 1))"
+    )
+    ok = "max(j) >= 2 and max(nt) > max(j) and sum(w) > 0"
+    return terms.groupBy().agg(
+        F.max("j").cast("long").alias("n_brands"),
+        F.max("nt").cast("long").alias("n_parts"),
+        F.expr(f"round({k0}, 6) + 0.0").alias("k0"),
+        F.expr(
+            f"case when {ok} then round({msb} / {msw}, 6) + 0.0 end"
+        ).alias("f_stat"),
+        F.expr(
+            f"case when {ok} then"
+            f" round(({msb} - {msw}) / ({msb} + ({k0} - 1) * {msw}), 6)"
+            f" + 0.0 end"
+        ).alias("icc1"),
+    )
+
+
+ORACLE_BRAND_PRICE_ICC = """
+WITH g AS (
+  SELECT p_brand, count(*)::BIGINT AS n,
+         sum(floor(p_retailprice * 100 + 0.5)::BIGINT)::BIGINT AS s,
+         sum(floor(p_retailprice * 100 + 0.5)::BIGINT::DECIMAL(38,0)
+             * floor(p_retailprice * 100 + 0.5)::BIGINT::DECIMAL(38,0))
+           AS ss
+  FROM part GROUP BY 1),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         count(*)::BIGINT AS j, sum(n * n)::BIGINT AS sn2
+  FROM g),
+terms AS (
+  SELECT j, nt, sn2,
+         round(n::DOUBLE
+               * pow(s::DOUBLE / n::DOUBLE - st::DOUBLE / nt::DOUBLE, 2)
+               / 1000000.0, 0)::BIGINT AS b,
+         round((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+               / 1000000.0, 0)::BIGINT AS w
+  FROM g CROSS JOIN tot)
+SELECT max(j)::BIGINT AS n_brands, max(nt)::BIGINT AS n_parts,
+       round((max(nt)::DOUBLE - max(sn2)::DOUBLE / max(nt))
+             / (max(j) - 1), 6) + 0.0 AS k0,
+       CASE WHEN max(j) >= 2 AND max(nt) > max(j) AND sum(w) > 0 THEN
+         round((sum(b)::DOUBLE / (max(j) - 1))
+               / (sum(w)::DOUBLE / (max(nt) - max(j))), 6) + 0.0 END
+         AS f_stat,
+       CASE WHEN max(j) >= 2 AND max(nt) > max(j) AND sum(w) > 0 THEN
+         round(((sum(b)::DOUBLE / (max(j) - 1))
+                - (sum(w)::DOUBLE / (max(nt) - max(j))))
+               / ((sum(b)::DOUBLE / (max(j) - 1))
+                  + ((max(nt)::DOUBLE - max(sn2)::DOUBLE / max(nt))
+                     / (max(j) - 1) - 1)
+                    * (sum(w)::DOUBLE / (max(nt) - max(j)))), 6) + 0.0 END
+         AS icc1
+FROM terms
+"""
+
+BANK_QUERIES["part_brand_price_icc"] = part_brand_price_icc
+BANK_ORACLES["part_brand_price_icc"] = ORACLE_BRAND_PRICE_ICC
+
+
+# -------------------------------------- week-over-week user overlap
+
+def events_weekly_user_jaccard(spark, sf):
+    """Week-over-week active-user overlap: Jaccard, retention share
+    (|A∩B|/|A|), and new share (|B∖A|/|B|) for each consecutive week
+    pair — the churn pulse at the POPULATION level (retention cohorts
+    track individuals; this one-line-per-week series is what an
+    on-call dashboard actually plots).
+
+    Exactness: set sizes are exact distinct counts; the three ratios
+    are half-up integer micro divisions.
+
+    Scale: one (user, week) distinct pass; the consecutive-week join
+    runs on the calendar-bounded week relation keyed by (user, week)
+    — the intersect join is co-partitioned on user."""
+    uw = (
+        T(spark, sf, "events")
+        .select(
+            "user_id",
+            F.expr("trunc(to_date(ts), 'week')").alias("wk"),
+        )
+        .distinct()
+    )
+    sizes = uw.groupBy("wk").agg(F.count("*").alias("n"))
+    nxt = uw.select(
+        "user_id", F.expr("date_sub(wk, 7)").alias("wk")
+    )
+    inter = (
+        uw.join(nxt, ["user_id", "wk"])
+        .groupBy("wk")
+        .agg(F.count("*").alias("i"))
+    )
+    b_sizes = sizes.select(
+        F.expr("date_sub(wk, 7)").alias("wk"), F.col("n").alias("nb")
+    )
+    pairs = (
+        sizes.join(b_sizes, "wk")
+        .join(inter, "wk", "left")
+        .withColumn("i", F.coalesce("i", F.lit(0)))
+    )
+    return pairs.select(
+        F.expr("cast(wk as date)").alias("week"),
+        F.col("n").cast("long").alias("users_this"),
+        F.col("nb").cast("long").alias("users_next"),
+        F.col("i").cast("long").alias("users_both"),
+        F.expr(
+            "cast((2000000 * i + (n + nb - i)) div (2 * (n + nb - i))"
+            " as bigint)"
+        ).alias("jaccard_micro"),
+        F.expr(
+            "cast((2000000 * i + n) div (2 * n) as bigint)"
+        ).alias("retention_micro"),
+        F.expr(
+            "cast((2000000 * (nb - i) + nb) div (2 * nb) as bigint)"
+        ).alias("new_share_micro"),
+    )
+
+
+ORACLE_WEEKLY_USER_JACCARD = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts::DATE)::DATE AS wk
+  FROM events),
+sizes AS (SELECT wk, count(*)::BIGINT AS n FROM uw GROUP BY 1),
+inter AS (
+  SELECT a.wk, count(*)::BIGINT AS i
+  FROM uw a JOIN uw b ON b.user_id = a.user_id
+                     AND b.wk = a.wk + 7
+  GROUP BY 1),
+pairs AS (
+  SELECT s.wk, s.n, b.n AS nb, coalesce(inter.i, 0)::BIGINT AS i
+  FROM sizes s
+  JOIN sizes b ON b.wk = s.wk + 7
+  LEFT JOIN inter ON inter.wk = s.wk)
+SELECT wk AS week, n AS users_this, nb AS users_next, i AS users_both,
+       ((2000000 * i + (n + nb - i))
+        // (2 * (n + nb - i)))::BIGINT AS jaccard_micro,
+       ((2000000 * i + n) // (2 * n))::BIGINT AS retention_micro,
+       ((2000000 * (nb - i) + nb) // (2 * nb))::BIGINT AS new_share_micro
+FROM pairs
+"""
+
+BANK_QUERIES["events_weekly_user_jaccard"] = events_weekly_user_jaccard
+BANK_ORACLES["events_weekly_user_jaccard"] = ORACLE_WEEKLY_USER_JACCARD
+
+
+# -------------------------------- inter-purchase lognormal fit
+
+def orders_interpurchase_lognormal_fit(spark, sf):
+    """Lognormal fit of inter-purchase gaps (days between a customer's
+    consecutive orders) by ln-moments, with predicted vs actual median
+    — second consumer of the ln-moments discipline after the
+    doc-length fit: purchase timing is canonically lognormal, and the
+    two-median gap flags the bimodal mixture (replenishers vs
+    one-offs) a mean gap hides.
+
+    Exactness: gaps are integer days ≥ 1; ONE micro-rounded ln per
+    gap (per-cell rule); moments BIGINT/DECIMAL(38,0); σ̂ and the
+    predicted median are final doubles; actual median ×2-exact.
+
+    Scale: gaps come from a customer-partitioned lag window (bounded
+    per-customer order lists), then one rollup."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        T(spark, sf, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.expr(
+                "datediff(to_date(o_orderdate), to_date(prev))"
+            ).alias("g")
+        )
+        .filter(F.col("g") >= 1)
+        .select(
+            "g",
+            F.expr(
+                "cast(floor(ln(cast(g as double)) * 1000000 + 0.5)"
+                " as bigint)"
+            ).alias("l"),
+        )
+    )
+    return gaps.groupBy().agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.expr(
+            "cast((2 * sum(l) + count(*)) div (2 * count(*)) as bigint)"
+        ).alias("mu_micro"),
+        F.expr(
+            "case when count(*) >= 2 then"
+            " round(sqrt((cast(count(*) as double)"
+            " * cast(sum(cast(l as decimal(38,0))"
+            " * cast(l as decimal(38,0))) as double)"
+            " - cast(sum(l) as double) * cast(sum(l) as double))"
+            " / (cast(count(*) as double) * (count(*) - 1))) / 1e6, 6)"
+            " + 0.0 end"
+        ).alias("sigma"),
+        F.expr(
+            "round(exp(cast(sum(l) as double) / count(*) / 1e6), 3) + 0.0"
+        ).alias("median_pred_days"),
+        F.expr(
+            "cast(floor(2 * percentile(g, 0.5) + 0.5) as bigint)"
+        ).alias("median_actual_x2"),
+    )
+
+
+ORACLE_INTERPURCHASE_LOGNORMAL = """
+WITH gaps AS (
+  SELECT (o_orderdate::DATE - lag(o_orderdate::DATE) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey)) AS g
+  FROM orders),
+cells AS (
+  SELECT g, floor(ln(g::DOUBLE) * 1000000 + 0.5)::BIGINT AS l
+  FROM gaps WHERE g >= 1)
+SELECT count(*)::BIGINT AS n_gaps,
+       ((2 * sum(l) + count(*)) // (2 * count(*)))::BIGINT AS mu_micro,
+       CASE WHEN count(*) >= 2 THEN
+         round(sqrt((count(*)::DOUBLE
+                     * sum(l::DECIMAL(38,0) * l::DECIMAL(38,0))::DOUBLE
+                     - sum(l)::DOUBLE * sum(l)::DOUBLE)
+                    / (count(*)::DOUBLE * (count(*) - 1))) / 1e6, 6)
+         + 0.0 END AS sigma,
+       round(exp(sum(l)::DOUBLE / count(*) / 1e6), 3) + 0.0
+         AS median_pred_days,
+       floor(2 * quantile_cont(g, 0.5) + 0.5)::BIGINT AS median_actual_x2
+FROM cells
+"""
+
+BANK_QUERIES["orders_interpurchase_lognormal_fit"] = (
+    orders_interpurchase_lognormal_fit
+)
+BANK_ORACLES["orders_interpurchase_lognormal_fit"] = (
+    ORACLE_INTERPURCHASE_LOGNORMAL
+)
+
+
+# ------------------------------- segment diversity per nation
+
+def customer_segment_simpson_diversity(spark, sf):
+    """Inverse-Simpson effective number of market segments per nation
+    — second consumer of the repeat-probability diversity gauge after
+    the source-vocabulary key: a nation whose effective segment count
+    is ≈ 1 is a single-segment market no matter how many labels
+    appear; feeds stratified sampling plans over customers.
+
+    Exactness: N(N−1)/Σc(c−1) on exact BIGINTs; half-up micro."""
+    cnt = (
+        T(spark, sf, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("c"))
+    )
+    m = cnt.groupBy("c_nationkey").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(F.expr("c * (c - 1)")).alias("rep"),
+    )
+    return m.select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("k").cast("long").alias("n_segments_seen"),
+        F.expr(
+            "case when rep > 0 and n >= 2 then"
+            " cast((2000000 * n * (n - 1) + rep) div (2 * rep) as bigint)"
+            " end"
+        ).alias("inv_simpson_micro"),
+    )
+
+
+ORACLE_SEGMENT_SIMPSON = """
+WITH cnt AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS c
+  FROM customer GROUP BY 1, 2),
+m AS (
+  SELECT c_nationkey, sum(c)::BIGINT AS n, count(*)::BIGINT AS k,
+         sum(c * (c - 1))::BIGINT AS rep
+  FROM cnt GROUP BY 1)
+SELECT c_nationkey::BIGINT AS nation, n AS n_customers,
+       k AS n_segments_seen,
+       CASE WHEN rep > 0 AND n >= 2 THEN
+         ((2000000 * n * (n - 1) + rep) // (2 * rep))::BIGINT END
+         AS inv_simpson_micro
+FROM m
+"""
+
+BANK_QUERIES["customer_segment_simpson_diversity"] = (
+    customer_segment_simpson_diversity
+)
+BANK_ORACLES["customer_segment_simpson_diversity"] = ORACLE_SEGMENT_SIMPSON
+
+
+# --------------------------- contingency-table Kendall tau-b
+
+def lineitem_qty_discount_kendall(spark, sf):
+    """Kendall τ-b between line quantity and discount from the
+    CONTINGENCY TABLE — the scale path for τ on row-scale data: both
+    variables have bounded domains (integer quantities, centi
+    discounts), so concordant/discordant counts come from the ≤ cells²
+    cell-pair join instead of the row² pair join the textbook formula
+    implies ("do bigger lines get deeper discounts, monotonically?").
+
+    Exactness: C = Σ o_ij·o_kl over (k>i, l>j), D over (k>i, l<j),
+    tie terms from the margins — all exact BIGINT/DECIMAL products of
+    counts; τ-b is one final sqrt expression.
+
+    Scale: one row pass to the (qty, disc) cell relation; the pair
+    join is bounded by the domain sizes, never the row count."""
+    cells = (
+        T(spark, sf, "lineitem")
+        .select(
+            F.expr("cast(floor(l_quantity + 0.5) as bigint)").alias("x"),
+            F.expr("cast(floor(l_discount * 100 + 0.5) as bigint)")
+            .alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("o"))
+    )
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"),
+        F.col("o").alias("o1"),
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+        F.col("o").alias("o2"),
+    )
+    prod = "cast(o1 as decimal(38,0)) * o2"
+    pairs = a.join(
+        b, (F.col("x1") < F.col("x2"))
+    ).select(
+        F.expr(
+            f"case when y1 < y2 then {prod} else cast(0 as decimal(38,0))"
+            " end"
+        ).alias("c"),
+        F.expr(
+            f"case when y1 > y2 then {prod} else cast(0 as decimal(38,0))"
+            " end"
+        ).alias("d"),
+    )
+    cd = pairs.groupBy().agg(
+        F.sum("c").alias("nc"), F.sum("d").alias("nd")
+    )
+    margins = cells.groupBy().agg(
+        F.sum("o").alias("n"),
+        F.sum(F.expr("cast(o as decimal(38,0)) * o")).alias("so2"),
+    )
+    tx = (
+        cells.groupBy("x").agg(F.sum("o").alias("m"))
+        .groupBy()
+        .agg(F.sum(F.expr("cast(m as decimal(38,0)) * m")).alias("sx2"))
+    )
+    ty = (
+        cells.groupBy("y").agg(F.sum("o").alias("m"))
+        .groupBy()
+        .agg(F.sum(F.expr("cast(m as decimal(38,0)) * m")).alias("sy2"))
+    )
+    agg = (
+        cd.crossJoin(F.broadcast(margins))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    # pairs total 2*n0 = n(n-1); 2*(pairs tied in x) = sx2 - n, etc.
+    denom = (
+        "sqrt((cast(n as double) * n - n - (cast(sx2 as double) - n))"
+        " * (cast(n as double) * n - n - (cast(sy2 as double) - n)))"
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr("cast(nc as decimal(38,0))").cast("long").alias("concordant"),
+        F.expr("cast(nd as decimal(38,0))").cast("long").alias("discordant"),
+        F.expr(
+            f"case when (cast(n as double) * n - n) > (cast(sx2 as double)"
+            f" - n) and (cast(n as double) * n - n) > (cast(sy2 as double)"
+            f" - n) then round(2.0 * (cast(nc as double)"
+            f" - cast(nd as double)) / ({denom}), 6) + 0.0 end"
+        ).alias("kendall_tau_b"),
+    )
+
+
+ORACLE_QTY_DISCOUNT_KENDALL = """
+WITH cells AS (
+  SELECT floor(l_quantity + 0.5)::BIGINT AS x,
+         floor(l_discount * 100 + 0.5)::BIGINT AS y,
+         count(*)::BIGINT AS o
+  FROM lineitem GROUP BY 1, 2),
+cd AS (
+  SELECT sum(CASE WHEN a.y < b.y THEN a.o::DECIMAL(38,0) * b.o
+                  ELSE 0::DECIMAL(38,0) END) AS nc,
+         sum(CASE WHEN a.y > b.y THEN a.o::DECIMAL(38,0) * b.o
+                  ELSE 0::DECIMAL(38,0) END) AS nd
+  FROM cells a JOIN cells b ON a.x < b.x),
+margins AS (
+  SELECT sum(o)::BIGINT AS n,
+         sum(o::DECIMAL(38,0) * o) AS so2
+  FROM cells),
+tx AS (
+  SELECT sum(m::DECIMAL(38,0) * m) AS sx2 FROM (
+    SELECT sum(o)::BIGINT AS m FROM cells GROUP BY x)),
+ty AS (
+  SELECT sum(m::DECIMAL(38,0) * m) AS sy2 FROM (
+    SELECT sum(o)::BIGINT AS m FROM cells GROUP BY y))
+SELECT n AS n_rows, nc::BIGINT AS concordant, nd::BIGINT AS discordant,
+       CASE WHEN (n::DOUBLE * n - n) > (sx2::DOUBLE - n)
+             AND (n::DOUBLE * n - n) > (sy2::DOUBLE - n) THEN
+         round(2.0 * (nc::DOUBLE - nd::DOUBLE)
+               / sqrt((n::DOUBLE * n - n - (sx2::DOUBLE - n))
+                      * (n::DOUBLE * n - n - (sy2::DOUBLE - n))), 6)
+         + 0.0 END AS kendall_tau_b
+FROM cd CROSS JOIN margins CROSS JOIN tx CROSS JOIN ty
+"""
+
+BANK_QUERIES["lineitem_qty_discount_kendall"] = lineitem_qty_discount_kendall
+BANK_ORACLES["lineitem_qty_discount_kendall"] = ORACLE_QTY_DISCOUNT_KENDALL
+
+
+# --------------------------------------- daily-volume periodogram
+
+# cos/sin(2πr/p) as integer micro literals, p ∈ [2, 14], r ∈ [0, p) —
+# computed once HERE and injected into BOTH engines (the per-cell
+# constant-table idiom of the circular/Benford/RBO keys)
+_PERIODOGRAM_TRIG = [(2, 0, 1000000, 0), (2, 1, -1000000, 0), (3, 0, 1000000, 0), (3, 1, -500000, 866025), (3, 2, -500000, -866025), (4, 0, 1000000, 0), (4, 1, 0, 1000000), (4, 2, -1000000, 0), (4, 3, 0, -1000000), (5, 0, 1000000, 0), (5, 1, 309017, 951057), (5, 2, -809017, 587785), (5, 3, -809017, -587785), (5, 4, 309017, -951057), (6, 0, 1000000, 0), (6, 1, 500000, 866025), (6, 2, -500000, 866025), (6, 3, -1000000, 0), (6, 4, -500000, -866025), (6, 5, 500000, -866025), (7, 0, 1000000, 0), (7, 1, 623490, 781831), (7, 2, -222521, 974928), (7, 3, -900969, 433884), (7, 4, -900969, -433884), (7, 5, -222521, -974928), (7, 6, 623490, -781831), (8, 0, 1000000, 0), (8, 1, 707107, 707107), (8, 2, 0, 1000000), (8, 3, -707107, 707107), (8, 4, -1000000, 0), (8, 5, -707107, -707107), (8, 6, 0, -1000000), (8, 7, 707107, -707107), (9, 0, 1000000, 0), (9, 1, 766044, 642788), (9, 2, 173648, 984808), (9, 3, -500000, 866025), (9, 4, -939693, 342020), (9, 5, -939693, -342020), (9, 6, -500000, -866025), (9, 7, 173648, -984808), (9, 8, 766044, -642788), (10, 0, 1000000, 0), (10, 1, 809017, 587785), (10, 2, 309017, 951057), (10, 3, -309017, 951057), (10, 4, -809017, 587785), (10, 5, -1000000, 0), (10, 6, -809017, -587785), (10, 7, -309017, -951057), (10, 8, 309017, -951057), (10, 9, 809017, -587785), (11, 0, 1000000, 0), (11, 1, 841254, 540641), (11, 2, 415415, 909632), (11, 3, -142315, 989821), (11, 4, -654861, 755750), (11, 5, -959493, 281733), (11, 6, -959493, -281733), (11, 7, -654861, -755750), (11, 8, -142315, -989821), (11, 9, 415415, -909632), (11, 10, 841254, -540641), (12, 0, 1000000, 0), (12, 1, 866025, 500000), (12, 2, 500000, 866025), (12, 3, 0, 1000000), (12, 4, -500000, 866025), (12, 5, -866025, 500000), (12, 6, -1000000, 0), (12, 7, -866025, -500000), (12, 8, -500000, -866025), (12, 9, 0, -1000000), (12, 10, 500000, -866025), (12, 11, 866025, -500000), (13, 0, 1000000, 0), (13, 1, 885456, 464723), (13, 2, 568065, 822984), (13, 3, 120537, 992709), (13, 4, -354605, 935016), (13, 5, -748511, 663123), (13, 6, -970942, 239316), (13, 7, -970942, -239316), (13, 8, -748511, -663123), (13, 9, -354605, -935016), (13, 10, 120537, -992709), (13, 11, 568065, -822984), (13, 12, 885456, -464723), (14, 0, 1000000, 0), (14, 1, 900969, 433884), (14, 2, 623490, 781831), (14, 3, 222521, 974928), (14, 4, -222521, 974928), (14, 5, -623490, 781831), (14, 6, -900969, 433884), (14, 7, -1000000, 0), (14, 8, -900969, -433884), (14, 9, -623490, -781831), (14, 10, -222521, -974928), (14, 11, 222521, -974928), (14, 12, 623490, -781831), (14, 13, 900969, -433884)]
+
+
+def events_daily_periodogram(spark, sf):
+    """Discrete-Fourier power of the daily event-volume series at
+    candidate periods 2–14 days, with the dominant period flagged —
+    the periodicity DETECTOR in front of the seasonal keys (dow/hour
+    profiles ASSUME a 7-day rhythm; the periodogram finds whether 7
+    actually dominates, or a pay-cycle 14 or a 3-day campaign beat
+    hides underneath).
+
+    Exactness: the series is mean-centered EXACTLY by scaling —
+    X_d = D·x_d − Σx (removing the DC term whose spectral leakage
+    otherwise dominates every period that does not divide the window
+    length); power_p = A_p² + B_p² with A_p = Σ_d X_d·cos(2πd/p), d
+    the absolute epoch day — trig values are shared integer-micro
+    LITERALS, so A/B are exact BIGINTs and the power compare/ranking
+    is exact DECIMAL; the normalized power is one final double.
+
+    Scale: one events pass to the day relation; the trig join is a
+    broadcast of a 104-row literal table; everything after is ≤ 13
+    rows."""
+    raw = (
+        T(spark, sf, "events")
+        .groupBy(
+            F.expr(
+                "cast(datediff(to_date(ts), DATE'1970-01-01') as bigint)"
+            ).alias("d")
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    tot = raw.groupBy().agg(
+        F.count("*").alias("dd"), F.sum("x").alias("sx")
+    )
+    daily = raw.crossJoin(F.broadcast(tot)).select(
+        "d", F.expr("dd * x - sx").alias("x")
+    )
+    trig = spark.createDataFrame(
+        _PERIODOGRAM_TRIG, "p int, r int, c bigint, s bigint"
+    )
+    terms = daily.join(
+        F.broadcast(trig), F.expr("d % p = r")
+    ).groupBy("p").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.expr("x * c")).alias("a"),
+        F.sum(F.expr("x * s")).alias("b"),
+    )
+    scored = terms.withColumn(
+        "pw",
+        F.expr(
+            "cast(a as decimal(38,0)) * a + cast(b as decimal(38,0)) * b"
+        ),
+    )
+    w = Window.orderBy(F.desc("pw"), F.asc("p"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.col("p").cast("long").alias("period_days"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("a").cast("long").alias("a_micro"),
+            F.col("b").cast("long").alias("b_micro"),
+            F.expr("round(cast(pw as double) / 1e12, 3) + 0.0")
+            .alias("power"),
+            F.col("rnk").cast("long").alias("power_rank"),
+        )
+    )
+
+
+def _oracle_periodogram() -> str:
+    vals = ", ".join(
+        f"({p}, {r}, {c}, {s})".format(p=p, r=r, c=c, s=s)
+        for p, r, c, s in _PERIODOGRAM_TRIG
+    )
+    return f"""
+WITH raw AS (
+  SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS dd, sum(x)::BIGINT AS sx FROM raw),
+daily AS (
+  SELECT d, (dd * x - sx)::BIGINT AS x FROM raw CROSS JOIN tot),
+trig(p, r, c, s) AS (VALUES {vals}),
+terms AS (
+  SELECT p, count(*)::BIGINT AS n_days,
+         sum(x * c)::BIGINT AS a, sum(x * s)::BIGINT AS b
+  FROM daily JOIN trig ON daily.d % trig.p = trig.r
+  GROUP BY 1),
+scored AS (
+  SELECT *, a::DECIMAL(38,0) * a + b::DECIMAL(38,0) * b AS pw
+  FROM terms)
+SELECT p::BIGINT AS period_days, n_days, a AS a_micro, b AS b_micro,
+       round(pw::DOUBLE / 1e12, 3) + 0.0 AS power,
+       row_number() OVER (ORDER BY pw DESC, p ASC)::BIGINT AS power_rank
+FROM scored
+""".format(vals=vals)
+
+
+BANK_QUERIES["events_daily_periodogram"] = events_daily_periodogram
+BANK_ORACLES["events_daily_periodogram"] = _oracle_periodogram()
+
+
+# ------------------------------------------- Hurst exponent (R/S)
+
+HURST_SIZES = (8, 16)
+
+
+def events_daily_hurst_rs(spark, sf):
+    """Rescaled-range Hurst exponent of daily event volume (Hurst
+    1951, Mandelbrot–Wallis): R/S over complete segments of 8 and 16
+    days, H = ln(RS₁₆/RS₈)/ln 2 — the long-memory gauge behind every
+    i.i.d. assumption upstream (H ≈ 0.5 random walk; H > 0.5 means
+    persistent trends, so bootstrap CIs and control charts on daily
+    counts are too narrow).
+
+    Exactness: within a segment of n days, deviations scale exactly
+    as Z-steps n·x_i − Σx (integers); the cumulative range maxZ−minZ
+    and n·Σx² − (Σx)² are exact BIGINTs, so each segment's
+    rs = range/sqrt(n·Σx² − S²) is ONE double micro-rounded once
+    (per-cell rule); per-size averages are half-up integer micros and
+    H is one final double of the two integers.
+
+    Scale: everything runs on the calendar-bounded day relation; the
+    index/cumulative windows partition by segment (≤ size rows) after
+    one bounded partition-less index window over ≤ days rows."""
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    idx = daily.withColumn(
+        "i", F.row_number().over(Window.orderBy("day")) - 1
+    )
+    out_cols = []
+    per_size = []
+    for n in HURST_SIZES:
+        seg = idx.withColumn("g", F.expr(f"cast(i div {n} as int)"))
+        sizes = seg.groupBy("g").agg(
+            F.count("*").alias("cnt"),
+            F.sum("x").alias("s"),
+            F.sum(F.expr("x * x")).alias("ss"),
+        ).filter(F.col("cnt") == n)
+        w = Window.partitionBy("g").orderBy("i")
+        z = (
+            seg.join(sizes, "g")
+            .withColumn(
+                "z",
+                F.sum(F.expr(f"cast({n} as bigint) * x - s")).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("g")
+            .agg(
+                F.max("z").alias("zmax"),
+                F.min("z").alias("zmin"),
+                F.min("s").alias("s"),
+                F.min("ss").alias("ss"),
+            )
+        )
+        rs = z.select(
+            F.expr(
+                f"case when cast({n} as bigint) * ss - s * s > 0 then"
+                f" cast(round(cast(zmax - zmin as double)"
+                f" / sqrt(cast({n} as double) * ss"
+                f" - cast(s as double) * s) * 1000000, 0) as bigint)"
+                f" end"
+            ).alias("rs_micro")
+        ).filter(F.col("rs_micro").isNotNull())
+        agg = rs.groupBy().agg(
+            F.count("*").alias(f"n_seg_{n}"),
+            F.expr(
+                "cast((2 * sum(rs_micro) + count(*)) div (2 * count(*))"
+                " as bigint)"
+            ).alias(f"rs{n}_micro"),
+        )
+        per_size.append(agg)
+        out_cols += [f"n_seg_{n}", f"rs{n}_micro"]
+    joined = per_size[0].crossJoin(F.broadcast(per_size[1]))
+    a, b = HURST_SIZES
+    return joined.select(
+        *[F.col(c).cast("long").alias(c) for c in out_cols],
+        F.expr(
+            f"case when rs{a}_micro > 0 and rs{b}_micro > 0 then"
+            f" round(ln(cast(rs{b}_micro as double) / rs{a}_micro)"
+            f" / ln(cast(2 as double)), 6) + 0.0 end"
+        ).alias("hurst"),
+    )
+
+
+ORACLE_DAILY_HURST = """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY day) - 1 AS i FROM daily),
+seg8 AS (SELECT x, i, (i // 8)::INT AS g FROM idx),
+sz8 AS (
+  SELECT g, count(*)::BIGINT AS cnt, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS ss
+  FROM seg8 GROUP BY 1 HAVING count(*) = 8),
+z8 AS (
+  SELECT seg8.g,
+         sum(8 * x - s) OVER (PARTITION BY seg8.g ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z,
+         s, ss
+  FROM seg8 JOIN sz8 USING (g)),
+rs8 AS (
+  SELECT round((max(z) - min(z))::DOUBLE
+           / sqrt(8::DOUBLE * min(ss) - min(s)::DOUBLE * min(s))
+           * 1000000, 0)::BIGINT AS rs_micro
+  FROM z8 GROUP BY g
+  HAVING 8 * min(ss) - min(s) * min(s) > 0),
+a8 AS (
+  SELECT count(*)::BIGINT AS n_seg_8,
+         ((2 * sum(rs_micro) + count(*))
+          // (2 * count(*)))::BIGINT AS rs8_micro
+  FROM rs8),
+seg16 AS (SELECT x, i, (i // 16)::INT AS g FROM idx),
+sz16 AS (
+  SELECT g, count(*)::BIGINT AS cnt, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS ss
+  FROM seg16 GROUP BY 1 HAVING count(*) = 16),
+z16 AS (
+  SELECT seg16.g,
+         sum(16 * x - s) OVER (PARTITION BY seg16.g ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z,
+         s, ss
+  FROM seg16 JOIN sz16 USING (g)),
+rs16 AS (
+  SELECT round((max(z) - min(z))::DOUBLE
+           / sqrt(16::DOUBLE * min(ss) - min(s)::DOUBLE * min(s))
+           * 1000000, 0)::BIGINT AS rs_micro
+  FROM z16 GROUP BY g
+  HAVING 16 * min(ss) - min(s) * min(s) > 0),
+a16 AS (
+  SELECT count(*)::BIGINT AS n_seg_16,
+         ((2 * sum(rs_micro) + count(*))
+          // (2 * count(*)))::BIGINT AS rs16_micro
+  FROM rs16)
+SELECT n_seg_8, rs8_micro, n_seg_16, rs16_micro,
+       CASE WHEN rs8_micro > 0 AND rs16_micro > 0 THEN
+         round(ln(rs16_micro::DOUBLE / rs8_micro)
+               / ln(cast(2 as double)), 6) + 0.0 END AS hurst
+FROM a8 CROSS JOIN a16
+"""
+
+BANK_QUERIES["events_daily_hurst_rs"] = events_daily_hurst_rs
+BANK_ORACLES["events_daily_hurst_rs"] = ORACLE_DAILY_HURST

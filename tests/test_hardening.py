@@ -445,6 +445,7 @@ def test_survey_registry_consistency():
     from faconne_spark.queries.bank_r8 import BANK_QUERIES
     from faconne_spark.queries.bank_r9 import BANK_QUERIES as BANK_R9
     from faconne_spark.queries.bank_r10 import BANK_QUERIES as BANK_R10
+    from faconne_spark.queries.bank_r11 import BANK_QUERIES as BANK_R11
     from faconne_spark.queries.staged_r9 import BANK_QUERIES as STAGED_R9
 
     # operator/function names that match key-shaped regex alternatives
@@ -452,7 +453,7 @@ def test_survey_registry_consistency():
     # scale notes by their real names)
     known_operators = {"sample_panel", "sample_panel_sql", "quality_score"}
     known = (qs | set(BANK_QUERIES) | set(BANK_R9) | set(STAGED_R9)
-             | set(BANK_R10) | known_operators)
+             | set(BANK_R10) | set(BANK_R11) | known_operators)
     cited_keys = {k for k in cited if k in qs or not k.startswith(("text_", "events_"))}
     missing_in_registry = sorted(k for k in cited_keys if k not in known)
     missing_in_survey = sorted(k for k in qs if k not in cited)
