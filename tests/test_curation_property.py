@@ -4908,3 +4908,161 @@ def test_bowley_skew_matches_python_replay(spark, vals):
         assert r["bowley_skew"] == _round6((q3 + q1 - 2 * q2) / (q3 - q1))
     else:
         assert r["bowley_skew"] is None
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_moors_kurtosis_matches_python_replay(spark, vals):
+    """Moors octile kurtosis: the ×8 octiles are exact integers
+    (interpolation fractions are multiples of ⅛ on HALF_UP micros)
+    and the coefficient replays as one division; NULL when E6 == E2."""
+    import datetime
+    import tempfile
+
+    from faconne_spark.queries.round10 import events_value_moors_kurtosis
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (1, (base + datetime.timedelta(days=i % 28)).isoformat(), "a", v)
+        for i, v in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_events(spark, rows, d)
+        r = events_value_moors_kurtosis(spark, sf).collect()[0]
+
+    micros = sorted(_iround(v * 1_000_000) for v in vals)
+    n = len(micros)
+
+    def q8(k):  # exact 8×(linear-interpolated quantile at k/8)
+        m = k * (n - 1)
+        lo, rem = divmod(m, 8)
+        out = 8 * micros[lo]
+        if rem:
+            out += rem * (micros[lo + 1] - micros[lo])
+        return out
+
+    e1, e2, e3, e5, e6, e7 = (q8(k) for k in (1, 2, 3, 5, 6, 7))
+    assert r["n_events"] == n
+    assert (r["e1_x8"], r["e2_x8"], r["e3_x8"]) == (e1, e2, e3)
+    assert (r["e5_x8"], r["e6_x8"], r["e7_x8"]) == (e5, e6, e7)
+    if e6 > e2:
+        assert r["moors_kurtosis"] == _round6(
+            ((e7 - e5) + (e3 - e1)) / (e6 - e2)
+        )
+    else:
+        assert r["moors_kurtosis"] is None
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.floats(0, 100, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_expected_shortfall_matches_python_replay(spark, vals):
+    """CVaR₉₅: the ×20 VaR is exact, tail membership is the integer
+    compare 20·v ≥ q, and the tail mean is the half-up micro integer."""
+    import datetime
+    import tempfile
+
+    from faconne_spark.queries.round10 import events_value_expected_shortfall
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (1, (base + datetime.timedelta(days=i % 28)).isoformat(), "a", v)
+        for i, v in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_events(spark, rows, d)
+        r = events_value_expected_shortfall(spark, sf).collect()[0]
+
+    micros = sorted(_iround(v * 1_000_000) for v in vals)
+    n = len(micros)
+    m = 19 * (n - 1)
+    lo, rem = divmod(m, 20)
+    q20 = 20 * micros[lo]
+    if rem:
+        q20 += rem * (micros[lo + 1] - micros[lo])
+    tail = [v for v in micros if 20 * v >= q20]
+    assert r["n_events"] == n
+    assert r["var95_x20"] == q20
+    assert r["n_tail"] == len(tail)
+    want_es = (2 * sum(tail) + len(tail)) // (2 * len(tail))
+    assert r["es_micro"] == want_es
+
+
+@PROP
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(
+            st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 2)),
+            min_size=1,
+            max_size=15,
+        ),
+        min_size=2,
+        max_size=3,
+    )
+)
+def test_median_test_matches_python_replay(spark, groups):
+    """Mood's median test: the ×2 global median, per-type above/below
+    counts (ties at the median dropped), and the per-cell χ² micro
+    terms all replay from first principles."""
+    import datetime
+    import tempfile
+
+    from faconne_spark.queries.round10 import events_type_median_test
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    i = 0
+    for t, vs in groups.items():
+        for v in vs:
+            rows.append(
+                (1, (base + datetime.timedelta(days=i % 28)).isoformat(),
+                 t, v)
+            )
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_events(spark, rows, d)
+        r = events_type_median_test(spark, sf).collect()[0]
+
+    pooled = sorted(
+        _iround(v * 1_000_000) for vs in groups.values() for v in vs
+    )
+    n = len(pooled)
+    lo, rem = divmod(n - 1, 2)
+    m2 = 2 * pooled[lo] + (rem * (pooled[lo + 1] - pooled[lo]))
+    per = {}
+    for t, vs in groups.items():
+        a = sum(1 for v in vs if 2 * _iround(v * 1_000_000) > m2)
+        b = sum(1 for v in vs if 2 * _iround(v * 1_000_000) < m2)
+        e = len(vs) - a - b
+        per[t] = (a, b, e)
+    ta = sum(a for a, _, _ in per.values())
+    tb = sum(b for _, b, _ in per.values())
+    te = sum(e for _, _, e in per.values())
+    k = len(per)
+    chi2 = 0
+    for a, b, _ in per.values():
+        if ta > 0 and tb > 0 and a + b > 0:
+            nn = float(ta + tb)
+            cc = float(a + b)
+            for o, rr in ((a, float(ta)), (b, float(tb))):
+                chi2 += _iround(
+                    1_000_000 * (o * nn - rr * cc) * (o * nn - rr * cc)
+                    / (nn * rr * cc)
+                )
+    assert r["n_types"] == k
+    assert r["n_used"] == ta + tb
+    assert r["n_at_median"] == te
+    assert r["chi2_micro"] == chi2
+    assert r["dof"] == k - 1
