@@ -497,6 +497,13 @@ def main() -> None:
         "ann_panel_epsilon_degree",
         "embed_dim_kurtosis",
         "orders_status_priority_cramers_v",
+        # round-10 wave E
+        "docs_vocab_chao1_unseen",
+        "docs_bigram_kn_discount",
+        "events_gap_geometric_gof",
+        "events_value_differential_entropy",
+        "mm_audio_zero_crossings",
+        "orders_value_hill_tail",
     ]
     times = {}
     shuffle = {}

@@ -2060,6 +2060,59 @@ def audio_stats_real(payload: bytes) -> tuple:
     )
 
 
+AUDIO_ZCR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_zero_crossings", LongType()),
+        StructField("zcr_micro", LongType()),
+    ]
+)
+
+
+def extract_audio_zcr(media: DataFrame) -> DataFrame:
+    """Zero-crossing rate over decoded PCM16 — the classic cheap
+    voicing/noisiness feature (high ZCR = fricatives/noise, low =
+    voiced speech/tones); with the silence-run key it completes the
+    no-FFT VAD feature pair.  A crossing is a strict sign flip
+    (s·s' < 0 — zeros join neither side, so the count is exactly
+    replayable).  zcr_micro is the half-up micro share of adjacent
+    pairs that flip.  Arrow-batched map-only, no shuffle."""
+    import numpy as np
+
+    wav = media.filter(media.media_type == "audio/wav")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = wav_pcm(bytes(payload))
+                smp = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                n = len(smp)
+                flips = (
+                    int(((smp[:-1] * smp[1:]) < 0).sum()) if n >= 2 else 0
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": n,
+                        "n_zero_crossings": flips,
+                        "zcr_micro": (
+                            (2_000_000 * flips + (n - 1)) // (2 * (n - 1))
+                            if n >= 2
+                            else None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_ZCR_SCHEMA]
+            )
+
+    return wav.select("doc_id", "payload").mapInPandas(
+        batches, AUDIO_ZCR_SCHEMA
+    )
+
+
 def extract_audio_stats(
     media: DataFrame, use_real_codec: bool = True, codec=None
 ) -> DataFrame:

@@ -82,6 +82,16 @@ _CHANGED_THIS_ROUND = [
     "ann_panel_epsilon_degree",
     "embed_dim_kurtosis",
     "orders_status_priority_cramers_v",
+    # -- new in r10, wave E (queries/round10.py): unseen-vocabulary
+    #    estimation (Chao1/Good–Turing), Kneser–Ney discounts,
+    #    geometric gap fit + GOF, histogram differential entropy,
+    #    audio zero-crossing rate, orders Hill tail --
+    "docs_vocab_chao1_unseen",
+    "docs_bigram_kn_discount",
+    "events_gap_geometric_gof",
+    "events_value_differential_entropy",
+    "mm_audio_zero_crossings",
+    "orders_value_hill_tail",
 ]
 
 _REST = [

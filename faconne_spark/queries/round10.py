@@ -1233,3 +1233,535 @@ FROM agg
 
 QUERIES["orders_status_priority_cramers_v"] = orders_status_priority_cramers_v
 ORACLES["orders_status_priority_cramers_v"] = ORACLE_STATUS_PRIORITY_V
+
+
+# ------------------------------- unseen-vocabulary estimation
+
+def docs_vocab_chao1_unseen(spark, sf):
+    """Chao1 richness estimate + Good–Turing unseen mass per source:
+    from the frequency spectrum's singletons F₁ and doubletons F₂,
+    Chao1 = V + F₁²/(2F₂) estimates how many word TYPES exist that the
+    sample never saw (Chao 1984), and F₁/N estimates the probability
+    the NEXT token is a new type (Good 1953) — the two numbers that
+    decide whether more data still buys vocabulary (the forward-looking
+    read Heaps' backward-looking curve cannot give).
+
+    Exactness: V, F₁, F₂, N are exact integers; Chao1 uses the
+    bias-corrected F₁(F₁−1)/(2(F₂+1)) form (defined even when F₂ = 0)
+    in one final double; the unseen mass is a half-up micro division.
+
+    Scale: one (source, word) rollup, one spectrum rollup per source."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    m = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("v"),
+        F.sum(F.expr("if(c = 1, 1, 0)")).alias("f1"),
+        F.sum(F.expr("if(c = 2, 1, 0)")).alias("f2"),
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("f1_singletons"),
+        F.col("f2").cast("long").alias("f2_doubletons"),
+        F.expr(
+            "round(v + cast(f1 as double) * (f1 - 1) / (2.0 * (f2 + 1)),"
+            " 6) + 0.0"
+        ).alias("chao1"),
+        F.expr(
+            "cast((2000000 * f1 + n) div (2 * n) as bigint)"
+        ).alias("unseen_mass_micro"),
+    )
+
+
+def _oracle_chao1() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cnt AS (
+  SELECT source, w, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+m AS (
+  SELECT source, sum(c)::BIGINT AS n, count(*)::BIGINT AS v,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM cnt GROUP BY 1)
+SELECT source, n AS n_tokens, v AS vocab, f1 AS f1_singletons,
+       f2 AS f2_doubletons,
+       round(v + f1::DOUBLE * (f1 - 1) / (2.0 * (f2 + 1)), 6) + 0.0
+         AS chao1,
+       ((2000000 * f1 + n) // (2 * n))::BIGINT AS unseen_mass_micro
+FROM m
+"""
+
+
+QUERIES["docs_vocab_chao1_unseen"] = docs_vocab_chao1_unseen
+ORACLES["docs_vocab_chao1_unseen"] = _oracle_chao1()
+
+
+# ----------------------------------- Kneser–Ney discount estimate
+
+def docs_bigram_kn_discount(spark, sf):
+    """Absolute-discount estimates for Kneser–Ney smoothing from the
+    corpus bigram count-of-counts: n₁..n₄ (bigram types seen 1..4
+    times) and the Chen–Goodman discounts D₁ = 1 − 2Y·n₂/n₁,
+    D₂ = 2 − 3Y·n₃/n₂, D₃₊ = 3 − 4Y·n₄/n₃ with Y = n₁/(n₁+2n₂)
+    (Chen & Goodman 1999) — the numbers any KN language model fitted
+    on this corpus would use; tiny n₁ relative to n₂ means the corpus
+    is too templated for discounting to help.
+
+    Exactness: the count-of-counts are exact integers; Y and the
+    discounts are final-expression doubles, NULL where a denominator
+    count is zero.
+
+    Scale: bigram explode → (w1, w2) cells → one 4-row spectrum
+    rollup (global, not per source — KN discounts are corpus-level)."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    bigrams = (
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+    cells = (
+        T(spark, sf, "documents")
+        .select(F.expr(toks).alias("tk"))
+        .filter(F.expr("size(tk) >= 2"))
+        .select(F.explode(F.expr(bigrams)).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count("*").alias("c"))
+    )
+    m = cells.groupBy().agg(
+        F.count("*").alias("types"),
+        F.sum("c").alias("n"),
+        F.sum(F.expr("if(c = 1, 1, 0)")).alias("n1"),
+        F.sum(F.expr("if(c = 2, 1, 0)")).alias("n2"),
+        F.sum(F.expr("if(c = 3, 1, 0)")).alias("n3"),
+        F.sum(F.expr("if(c = 4, 1, 0)")).alias("n4"),
+    )
+    y = "(cast(n1 as double) / (n1 + 2.0 * n2))"
+    return m.select(
+        F.col("n").cast("long").alias("n_bigrams"),
+        F.col("types").cast("long").alias("n_bigram_types"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("n3").cast("long").alias("n3"),
+        F.col("n4").cast("long").alias("n4"),
+        F.expr(
+            f"case when n1 + 2 * n2 > 0 then round({y}, 6) + 0.0 end"
+        ).alias("y_discount_base"),
+        F.expr(
+            f"case when n1 > 0 and n1 + 2 * n2 > 0 then"
+            f" round(1.0 - 2.0 * {y} * n2 / n1, 6) + 0.0 end"
+        ).alias("d1"),
+        F.expr(
+            f"case when n2 > 0 and n1 + 2 * n2 > 0 then"
+            f" round(2.0 - 3.0 * {y} * n3 / n2, 6) + 0.0 end"
+        ).alias("d2"),
+        F.expr(
+            f"case when n3 > 0 and n1 + 2 * n2 > 0 then"
+            f" round(3.0 - 4.0 * {y} * n4 / n3, 6) + 0.0 end"
+        ).alias("d3plus"),
+    )
+
+
+def _oracle_kn_discount() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH tk AS (SELECT {toks} AS t FROM documents),
+cells AS (
+  SELECT p.w1, p.w2, count(*)::BIGINT AS c
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+           i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+    FROM tk WHERE len(t) >= 2)
+  GROUP BY 1, 2),
+m AS (
+  SELECT count(*)::BIGINT AS types, sum(c)::BIGINT AS n,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN c = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+         sum(CASE WHEN c = 4 THEN 1 ELSE 0 END)::BIGINT AS n4
+  FROM cells)
+SELECT n AS n_bigrams, types AS n_bigram_types, n1, n2, n3, n4,
+       CASE WHEN n1 + 2 * n2 > 0 THEN
+         round(n1::DOUBLE / (n1 + 2.0 * n2), 6) + 0.0 END
+         AS y_discount_base,
+       CASE WHEN n1 > 0 AND n1 + 2 * n2 > 0 THEN
+         round(1.0 - 2.0 * (n1::DOUBLE / (n1 + 2.0 * n2)) * n2 / n1, 6)
+         + 0.0 END AS d1,
+       CASE WHEN n2 > 0 AND n1 + 2 * n2 > 0 THEN
+         round(2.0 - 3.0 * (n1::DOUBLE / (n1 + 2.0 * n2)) * n3 / n2, 6)
+         + 0.0 END AS d2,
+       CASE WHEN n3 > 0 AND n1 + 2 * n2 > 0 THEN
+         round(3.0 - 4.0 * (n1::DOUBLE / (n1 + 2.0 * n2)) * n4 / n3, 6)
+         + 0.0 END AS d3plus
+FROM m
+"""
+
+
+QUERIES["docs_bigram_kn_discount"] = docs_bigram_kn_discount
+ORACLES["docs_bigram_kn_discount"] = _oracle_kn_discount()
+
+
+# ------------------------------------ geometric fit + GOF (gaps)
+
+GEO_MAX_CELL = 8  # gap cells 1..8 + one tail bucket (>= 9)
+
+
+def events_gap_geometric_gof(spark, sf):
+    """Geometric-distribution fit of users' activity-day gaps (days
+    between consecutive ACTIVE days) with a χ² goodness-of-fit over
+    the gap histogram — the memorylessness test: if daily return is a
+    coin flip, gaps are geometric; a significant GOF rejection means
+    habit dynamics (streaks/decay) that any churn model must carry.
+    p̂ = 1/mean (the MLE); cells 1..8 + a ≥9 tail bucket; df = cells−2
+    (one estimated parameter).
+
+    Exactness: gaps and cell counts are exact integers; p̂ is the
+    exact rational n/Σg evaluated identically in both engines; each
+    cell's expected mass and χ² term is ONE double micro-rounded once
+    (the per-cell rule); the statistic is the exact integer sum.
+
+    Scale: one (user, day) distinct pass; gaps via a user-partitioned
+    lag window; everything after runs on the ≤ 9-cell relation."""
+    from pyspark.sql import Window as W
+
+    ud = (
+        T(spark, sf, "events")
+        .select("user_id", F.expr("to_date(ts)").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    gaps = (
+        ud.withColumn("prev", F.lag("day").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.expr("datediff(day, prev)").alias("g"))
+    )
+    tot = gaps.groupBy().agg(
+        F.count("*").alias("n"), F.sum("g").alias("sg")
+    )
+    cells = (
+        gaps.select(
+            F.expr(
+                f"case when g >= {GEO_MAX_CELL + 1}"
+                f" then {GEO_MAX_CELL + 1} else g end"
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("o"))
+    )
+    p = "(cast(n as double) / sg)"
+    # expected mass: P(cell k) = (1-p)^(k-1) * p, tail = (1-p)^MAX
+    e = (
+        f"case when cell <= {GEO_MAX_CELL} then"
+        f" pow(1.0 - {p}, cell - 1) * {p}"
+        f" else pow(1.0 - {p}, {GEO_MAX_CELL}) end"
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "cell", "o", "n", "sg",
+        F.expr(
+            f"cast(round(1000000 * (cast(o as double) - n * ({e}))"
+            f" * (cast(o as double) - n * ({e})) / (n * ({e})), 0)"
+            f" as bigint)"
+        ).alias("term_micro"),
+    )
+    return terms.groupBy().agg(
+        F.min("n").cast("long").alias("n_gaps"),
+        F.expr(
+            "round(cast(min(n) as double) / min(sg), 6) + 0.0"
+        ).alias("p_hat"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+        (F.count("*") - 2).cast("long").alias("dof"),
+    )
+
+
+ORACLE_GAP_GEOMETRIC = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+gaps AS (
+  SELECT (day - lag(day) OVER (PARTITION BY user_id ORDER BY day)) AS g
+  FROM ud),
+gg AS (SELECT g FROM gaps WHERE g IS NOT NULL),
+tot AS (SELECT count(*)::BIGINT AS n, sum(g)::BIGINT AS sg FROM gg),
+cells AS (
+  SELECT CASE WHEN g >= {GEO_MAX_CELL + 1} THEN {GEO_MAX_CELL + 1}
+              ELSE g END AS cell,
+         count(*)::BIGINT AS o
+  FROM gg GROUP BY 1),
+terms AS (
+  SELECT cell, o, n, sg,
+         round(1000000 *
+           (o::DOUBLE - n * (CASE WHEN cell <= {GEO_MAX_CELL} THEN
+              pow(1.0 - n::DOUBLE / sg, cell - 1) * (n::DOUBLE / sg)
+            ELSE pow(1.0 - n::DOUBLE / sg, {GEO_MAX_CELL}) END))
+           * (o::DOUBLE - n * (CASE WHEN cell <= {GEO_MAX_CELL} THEN
+              pow(1.0 - n::DOUBLE / sg, cell - 1) * (n::DOUBLE / sg)
+            ELSE pow(1.0 - n::DOUBLE / sg, {GEO_MAX_CELL}) END))
+           / (n * (CASE WHEN cell <= {GEO_MAX_CELL} THEN
+              pow(1.0 - n::DOUBLE / sg, cell - 1) * (n::DOUBLE / sg)
+            ELSE pow(1.0 - n::DOUBLE / sg, {GEO_MAX_CELL}) END)), 0)::BIGINT
+           AS term_micro
+  FROM cells CROSS JOIN tot)
+SELECT min(n)::BIGINT AS n_gaps,
+       round(min(n)::DOUBLE / min(sg), 6) + 0.0 AS p_hat,
+       count(*)::BIGINT AS n_cells,
+       sum(term_micro)::BIGINT AS chi2_micro,
+       (count(*) - 2)::BIGINT AS dof
+FROM terms
+"""
+
+QUERIES["events_gap_geometric_gof"] = events_gap_geometric_gof
+ORACLES["events_gap_geometric_gof"] = ORACLE_GAP_GEOMETRIC
+
+
+# --------------------------------- differential entropy (histogram)
+
+DIFFH_WIDTH = 2.0  # exact binary bin width over the value range
+DIFFH_BINS = 512
+
+
+def events_value_differential_entropy(spark, sf):
+    """Histogram differential-entropy estimate per event type:
+    ĥ = −Σ(c/n)ln(c/n) + ln(width) over a pinned fixed grid — the
+    continuous-value companion to the discrete type-entropy keys
+    (compare types' value UNPREDICTABILITY on one scale; a type whose
+    ĥ collapses over time is converging to a price point).
+
+    Exactness: the grid is pinned (width 2.0 — exact binary), so bin
+    ids are exact integers; each occupied bin micro-rounds ONE ln of
+    the exact BIGINT ratio c/n (per-cell rule); the BIGINT sum plus
+    the ln(width) shift form one final double.
+
+    Scale: one events pass, ≤ types × 512 cells after."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr(
+            f"cast(least(greatest(floor(value / {DIFFH_WIDTH!r}), 0),"
+            f" {DIFFH_BINS - 1}) as int)"
+        ).alias("bin"),
+    )
+    cells = ev.groupBy("event_type", "bin").agg(F.count("*").alias("c"))
+    tot = cells.groupBy("event_type").agg(F.sum("c").alias("n"))
+    terms = cells.join(tot, "event_type").select(
+        "event_type", "c", "n",
+        F.expr(
+            "cast(round(ln(cast(c as double) / n) * 1000000, 0) as bigint)"
+        ).alias("l"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.min("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_bins_occupied"),
+        (-F.sum(F.expr("c * l"))).cast("long").alias("h_disc_sum_micro"),
+        F.expr(
+            f"round(cast(-sum(c * l) as double) / min(n) / 1e6"
+            f" + ln(cast({DIFFH_WIDTH!r} as double)), 6) + 0.0"
+        ).alias("diff_entropy_nats"),
+    )
+
+
+ORACLE_DIFF_ENTROPY = f"""
+WITH ev AS (
+  SELECT event_type,
+         least(greatest(floor(value / {DIFFH_WIDTH!r}), 0),
+               {DIFFH_BINS - 1})::INT AS bin
+  FROM events),
+cells AS (
+  SELECT event_type, bin, count(*)::BIGINT AS c
+  FROM ev GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(c)::BIGINT AS n FROM cells GROUP BY 1),
+terms AS (
+  SELECT cells.event_type, c, n,
+         round(ln(c::DOUBLE / n) * 1000000, 0)::BIGINT AS l
+  FROM cells JOIN tot ON tot.event_type = cells.event_type)
+SELECT event_type, min(n)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_bins_occupied,
+       (-sum(c * l))::BIGINT AS h_disc_sum_micro,
+       round((-sum(c * l))::DOUBLE / min(n) / 1e6
+             + ln(cast({DIFFH_WIDTH!r} as double)), 6) + 0.0
+         AS diff_entropy_nats
+FROM terms GROUP BY event_type
+"""
+
+QUERIES["events_value_differential_entropy"] = (
+    events_value_differential_entropy
+)
+ORACLES["events_value_differential_entropy"] = ORACLE_DIFF_ENTROPY
+
+
+# --------------------------------------- audio zero-crossing rate
+
+def mm_audio_zero_crossings(spark, sf):
+    """Zero-crossing rate over REAL WAV decode (strict sign flips
+    s·s' < 0 over the PCM16 stream) — with the silence-run key this
+    completes the no-FFT VAD feature pair (high ZCR = fricatives or
+    noise, low = voiced tones); the oracle replays every sample from
+    the md5 digest tiling and counts the identical flips.  Arrow-
+    batched map-only; the type prune runs JVM-side before synthesis."""
+    from faconne_spark.operators import multimodal as MM
+
+    docs = T(spark, sf, "documents")
+    return MM.extract_audio_zcr(
+        MM.synthesize_media(docs, media_types=["audio/wav"])
+    )
+
+
+def _oracle_audio_zcr() -> str:
+    from faconne_spark.queries.pipeline import _WAV_SAMPLES
+
+    return f"""
+WITH params AS (
+  SELECT doc_id, md5(text) AS hx, {_WAV_SAMPLES} AS n_samples
+  FROM documents WHERE doc_id % 3 = 1),
+u AS (
+  SELECT doc_id, n_samples, g.k AS k,
+         ('0x' || substr(hx, ((2 * g.k) % 16) * 2 + 1, 2))::INT
+         + 256 * ('0x' || substr(hx, ((2 * g.k + 1) % 16) * 2 + 1, 2))::INT
+           AS raw
+  FROM params, generate_series(0, 62) AS g(k)
+  WHERE g.k < n_samples),
+sg AS (
+  SELECT doc_id, n_samples, k,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS smp
+  FROM u),
+lagged AS (
+  SELECT doc_id, n_samples,
+         CASE WHEN smp * lag(smp) OVER (
+           PARTITION BY doc_id ORDER BY k) < 0 THEN 1 ELSE 0 END AS fl
+  FROM sg),
+flips AS (
+  SELECT doc_id, max(n_samples)::BIGINT AS n,
+         sum(fl)::BIGINT AS f
+  FROM lagged GROUP BY doc_id)
+SELECT doc_id, n AS n_samples, f AS n_zero_crossings,
+       CASE WHEN n >= 2 THEN
+         ((2000000 * f + (n - 1)) // (2 * (n - 1)))::BIGINT END
+         AS zcr_micro
+FROM flips
+"""
+
+
+QUERIES["mm_audio_zero_crossings"] = mm_audio_zero_crossings
+ORACLES["mm_audio_zero_crossings"] = _oracle_audio_zcr()
+
+
+# ------------------------------------- Hill tail index (order value)
+
+HILL_K_ORDERS = 100
+
+
+def orders_value_hill_tail(spark, sf):
+    """Hill tail-index estimator of ORDER VALUE per market segment —
+    second consumer of the Hill discipline after the event-value key
+    ("can revenue dashboards use means per segment, or does an
+    infinite-variance whale tail rule them out?").  Same top-k order
+    statistics, per-term ln micro-rounds before the BIGINT sum, α
+    through the one shared rounding text; the rank window partitions
+    by segment."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.functions import jaccard_micro_sql
+
+    ov = (
+        T(spark, sf, "orders")
+        .join(
+            T(spark, sf, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .filter("o_totalprice > 0")
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("value"),
+        )
+    )
+    w = W.partitionBy("seg").orderBy(F.desc("value"), F.asc("o_orderkey"))
+    ranked = ov.withColumn("rk", F.row_number().over(w))
+    keff = ov.groupBy("seg").agg(
+        F.expr(f"least({HILL_K_ORDERS}, count(*) - 1)").alias("k_eff")
+    )
+    thr = (
+        ranked.join(F.broadcast(keff), "seg")
+        .filter(F.col("rk") == F.col("k_eff") + 1)
+        .select("seg", F.col("value").alias("x_thr"))
+    )
+    terms = (
+        ranked.join(F.broadcast(keff), "seg")
+        .filter(F.col("rk") <= F.col("k_eff"))
+        .join(F.broadcast(thr), "seg")
+        .select(
+            "seg",
+            F.expr(
+                "cast(round(ln(value / x_thr) * 1000000, 0) as bigint)"
+            ).alias("l"),
+        )
+    )
+    alpha = jaccard_micro_sql("(k * 1000000)", "ln_sum_micro", "spark")
+    return (
+        terms.groupBy("seg")
+        .agg(F.count("*").alias("k"), F.sum("l").alias("ln_sum_micro"))
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "k",
+            "ln_sum_micro",
+            F.expr(
+                f"case when ln_sum_micro > 0 then {alpha} end"
+            ).alias("alpha_micro"),
+        )
+    )
+
+
+def _oracle_orders_hill() -> str:
+    from faconne_spark.functions import jaccard_micro_sql
+
+    alpha = jaccard_micro_sql("(k * 1000000)", "ln_sum_micro", "duckdb")
+    return f"""
+WITH ov AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderkey, o.o_totalprice AS value
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice > 0),
+ranked AS (
+  SELECT seg, value,
+         row_number() OVER (PARTITION BY seg
+           ORDER BY value DESC, o_orderkey) AS rk
+  FROM ov),
+keff AS (
+  SELECT seg, least({HILL_K_ORDERS}, count(*) - 1)::BIGINT AS k_eff
+  FROM ov GROUP BY 1),
+thr AS (
+  SELECT r.seg, r.value AS x_thr
+  FROM ranked r JOIN keff USING (seg)
+  WHERE r.rk = k_eff + 1),
+terms AS (
+  SELECT r.seg,
+         round(ln(r.value / t.x_thr) * 1000000, 0)::BIGINT AS l
+  FROM ranked r
+  JOIN keff USING (seg)
+  JOIN thr t ON t.seg = r.seg
+  WHERE r.rk <= k_eff),
+agg AS (
+  SELECT seg, count(*)::BIGINT AS k, sum(l)::BIGINT AS ln_sum_micro
+  FROM terms GROUP BY seg)
+SELECT seg AS c_mktsegment, k, ln_sum_micro,
+       CASE WHEN ln_sum_micro > 0 THEN {alpha} END AS alpha_micro
+FROM agg
+"""
+
+
+QUERIES["orders_value_hill_tail"] = orders_value_hill_tail
+ORACLES["orders_value_hill_tail"] = _oracle_orders_hill()

@@ -387,6 +387,13 @@ SNAPSHOT_QUERIES = [
     "ann_panel_epsilon_degree",
     "embed_dim_kurtosis",
     "orders_status_priority_cramers_v",
+    # round-10 wave E
+    "docs_vocab_chao1_unseen",
+    "docs_bigram_kn_discount",
+    "events_gap_geometric_gof",
+    "events_value_differential_entropy",
+    "mm_audio_zero_crossings",
+    "orders_value_hill_tail",
     # round-10: the bank_r10 fourteen, registered this round
     "orders_priority_shiplag_ks",
     "events_active_days_gini",
