@@ -643,8 +643,12 @@ def lineitem_qty_discount_kendall(spark, sf):
             " end"
         ).alias("d"),
     )
+    # single-distinct-x corpora make the pair join EMPTY: the true
+    # C/D counts are zero, not NULL (caught by the pre-registration
+    # hypothesis replay)
     cd = pairs.groupBy().agg(
-        F.sum("c").alias("nc"), F.sum("d").alias("nd")
+        F.expr("coalesce(sum(c), cast(0 as decimal(38,0)))").alias("nc"),
+        F.expr("coalesce(sum(d), cast(0 as decimal(38,0)))").alias("nd"),
     )
     margins = cells.groupBy().agg(
         F.sum("o").alias("n"),
@@ -690,10 +694,10 @@ WITH cells AS (
          count(*)::BIGINT AS o
   FROM lineitem GROUP BY 1, 2),
 cd AS (
-  SELECT sum(CASE WHEN a.y < b.y THEN a.o::DECIMAL(38,0) * b.o
-                  ELSE 0::DECIMAL(38,0) END) AS nc,
-         sum(CASE WHEN a.y > b.y THEN a.o::DECIMAL(38,0) * b.o
-                  ELSE 0::DECIMAL(38,0) END) AS nd
+  SELECT coalesce(sum(CASE WHEN a.y < b.y THEN a.o::DECIMAL(38,0) * b.o
+                  ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS nc,
+         coalesce(sum(CASE WHEN a.y > b.y THEN a.o::DECIMAL(38,0) * b.o
+                  ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS nd
   FROM cells a JOIN cells b ON a.x < b.x),
 margins AS (
   SELECT sum(o)::BIGINT AS n,

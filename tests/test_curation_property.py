@@ -5066,3 +5066,259 @@ def test_median_test_matches_python_replay(spark, groups):
     assert r["n_at_median"] == te
     assert r["chi2_micro"] == chi2
     assert r["dof"] == k - 1
+
+
+# ------------------------------------ r10 bank pre-registration replays
+# (the r9-ask-#8 pattern: hypothesis replays for the staged pairs
+# BEFORE they earn driver rows, catching cross-engine-consistent
+# arithmetic defects the oracle gate cannot see)
+
+
+@PROP
+@given(
+    weeks=st.lists(
+        st.lists(st.integers(1, 6), min_size=7, max_size=7),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_periodogram_matches_python_replay(spark, weeks):
+    """DFT power at every candidate period replays from the exact
+    mean-centered integers and the shared trig literals; the ranking
+    must match the exact-DECIMAL ordering."""
+    import datetime
+    import tempfile
+
+    from faconne_spark.queries.bank_r11 import (
+        _PERIODOGRAM_TRIG,
+        events_daily_periodogram,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    counts = [c for wk in weeks for c in wk]
+    rows = []
+    for off, c in enumerate(counts):
+        day = base + datetime.timedelta(days=off)
+        for _ in range(c):
+            rows.append((1, day.isoformat(), "a", 1.0))
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_events(spark, rows, d)
+        got = {
+            r["period_days"]: r
+            for r in events_daily_periodogram(spark, sf).collect()
+        }
+
+    trig = {}
+    for p, r_, c, s in _PERIODOGRAM_TRIG:
+        trig.setdefault(p, {})[r_] = (c, s)
+    dd = len(counts)
+    sx = sum(counts)
+    epoch0 = (base - datetime.date(1970, 1, 1)).days
+    powers = {}
+    for p in range(2, 15):
+        a = b = 0
+        for off, x in enumerate(counts):
+            d_abs = epoch0 + off
+            cc, ss = trig[p][d_abs % p]
+            xc = dd * x - sx
+            a += xc * cc
+            b += xc * ss
+        powers[p] = (a, b, a * a + b * b)
+    ranks = {
+        p: i + 1
+        for i, p in enumerate(
+            sorted(powers, key=lambda p: (-powers[p][2], p))
+        )
+    }
+    for p, (a, b, pw) in powers.items():
+        r = got[p]
+        assert r["n_days"] == dd
+        assert (r["a_micro"], r["b_micro"]) == (a, b)
+        assert r["power"] == _round6(pw / 1e12) or r["power"] == round(
+            pw / 1e12, 3
+        )
+        assert r["power_rank"] == ranks[p]
+
+
+@PROP
+@given(
+    counts=st.lists(st.integers(1, 50), min_size=16, max_size=40),
+)
+def test_hurst_rs_matches_python_replay(spark, counts):
+    """Each segment's R/S replays from exact integers (scaled
+    cumulative range over sqrt(n·Σx²−S²)); the per-size averages are
+    half-up micros and H is the final two-integer expression."""
+    import datetime
+    import math
+    import tempfile
+
+    from faconne_spark.queries.bank_r11 import events_daily_hurst_rs
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for off, c in enumerate(counts):
+        day = base + datetime.timedelta(days=off)
+        for _ in range(c):
+            rows.append((1, day.isoformat(), "a", 1.0))
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_events(spark, rows, d)
+        r = events_daily_hurst_rs(spark, sf).collect()[0]
+
+    def rs_for(n):
+        out = []
+        for g in range(len(counts) // n):
+            seg = counts[g * n : (g + 1) * n]
+            s = sum(seg)
+            ss = sum(x * x for x in seg)
+            var_scaled = n * ss - s * s
+            if var_scaled <= 0:
+                continue
+            z, zmax, zmin = 0, None, None
+            for x in seg:
+                z += n * x - s
+                zmax = z if zmax is None else max(zmax, z)
+                zmin = z if zmin is None else min(zmin, z)
+            out.append(
+                _iround((zmax - zmin) / math.sqrt(var_scaled) * 1_000_000)
+            )
+        return out
+
+    for n, (ncol, rscol) in (
+        (8, ("n_seg_8", "rs8_micro")),
+        (16, ("n_seg_16", "rs16_micro")),
+    ):
+        segs = rs_for(n)
+        if not segs:
+            # constant segments: all excluded; the engine's empty agg
+            # yields the NULL row, never a crash
+            assert not r[ncol]
+            assert r[rscol] is None
+            continue
+        assert r[ncol] == len(segs)
+        want = (2 * sum(segs) + len(segs)) // (2 * len(segs))
+        assert r[rscol] == want
+    if (r["rs8_micro"] or 0) > 0 and (r["rs16_micro"] or 0) > 0:
+        assert r["hurst"] == _round6(
+            math.log(r["rs16_micro"] / r["rs8_micro"]) / math.log(2.0)
+        )
+    else:
+        assert r["hurst"] is None
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.floats(0.01, 80, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_lorenz_asymmetry_matches_python_replay(spark, vals):
+    """S = F(μ) + L(μ) replays from the exact n·v vs Σv integer
+    compares, ties at the mean counting half on both arms."""
+    import datetime
+    import tempfile
+
+    from faconne_spark.queries.bank_r11 import events_value_lorenz_asymmetry
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (1, (base + datetime.timedelta(days=i % 28)).isoformat(), "a", v)
+        for i, v in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_events(spark, rows, d)
+        r = events_value_lorenz_asymmetry(spark, sf).collect()[0]
+
+    micros = [_iround(v * 1_000_000) for v in vals]
+    n, s = len(micros), sum(micros)
+    a = sum(1 for v in micros if n * v < s)
+    t = sum(1 for v in micros if n * v == s)
+    bsum = sum(v for v in micros if n * v < s)
+    assert (r["n_events"], r["n_below_mean"], r["n_at_mean"]) == (n, a, t)
+    if s > 0:
+        want = (2 * a + t) / (2 * n) + (2.0 * n * bsum + t * s) / (
+            2.0 * n * s
+        )
+        assert r["lorenz_asymmetry"] == _round6(want)
+    else:
+        assert r["lorenz_asymmetry"] is None
+
+
+@PROP
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(1, 5),   # x domain
+            st.integers(0, 4),   # y domain
+            st.integers(1, 9),   # count
+        ),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_contingency_kendall_matches_brute_force(spark, cells):
+    """τ-b from the cell-pair join equals the O(rows²) textbook pair
+    count expanded from the same contingency table."""
+    import math
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from faconne_spark.queries.bank_r11 import lineitem_qty_discount_kendall
+
+    rows = []
+    key = 0
+    for x, y, c in cells:
+        for _ in range(c):
+            rows.append(
+                (key, key, key, 1, float(x), 10.0, y / 100.0, 0.0,
+                 "N", "O", "2024-01-01 00:00:00")
+            )
+            key += 1
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    import os as _os
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "lineitem.parquet")
+        )
+        r = lineitem_qty_discount_kendall(spark, d).collect()[0]
+
+    pts = [(x, y) for x, y, c in cells for _ in range(c)]
+    nc = nd = ntx = nty = 0
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = pts[i], pts[j]
+            if x1 == x2 or y1 == y2:
+                if x1 == x2 and y1 != y2:
+                    ntx += 1
+                elif y1 == y2 and x1 != x2:
+                    nty += 1
+                continue
+            if (x1 < x2) == (y1 < y2):
+                nc += 1
+            else:
+                nd += 1
+    assert r["n_rows"] == n
+    assert (r["concordant"], r["discordant"]) == (nc, nd)
+    n0 = n * (n - 1) // 2
+    # tie terms via margins, exactly like the engine derives them
+    from collections import Counter
+
+    mx = Counter(x for x, _ in pts)
+    my = Counter(y for _, y in pts)
+    px = sum(m * (m - 1) // 2 for m in mx.values())
+    py = sum(m * (m - 1) // 2 for m in my.values())
+    if n0 > px and n0 > py:
+        want = (nc - nd) / math.sqrt((n0 - px) * (n0 - py))
+        assert r["kendall_tau_b"] == _round6(want)
+    else:
+        assert r["kendall_tau_b"] is None
