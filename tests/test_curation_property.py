@@ -5322,3 +5322,129 @@ def test_contingency_kendall_matches_brute_force(spark, cells):
         assert r["kendall_tau_b"] == _round6(want)
     else:
         assert r["kendall_tau_b"] is None
+
+
+def _mini_docs(spark, texts, tmpdir):
+    """Write (doc_id, text, lang, source, n_chars) docs parquet."""
+    import os
+
+    rows = [
+        (i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "documents.parquet")
+    )
+    return tmpdir
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]),
+            min_size=2,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_kn_discount_matches_python_replay(spark, texts):
+    """The Chen–Goodman discounts replay from a plain-Python bigram
+    count-of-counts, including every zero-denominator NULL branch."""
+    import tempfile
+
+    from faconne_spark.queries.round10 import docs_bigram_kn_discount
+
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_docs(spark, texts, d)
+        r = docs_bigram_kn_discount(spark, sf).collect()[0]
+
+    from collections import Counter
+
+    bigrams = Counter()
+    for t in texts:
+        tk = t.lower().split()
+        for i in range(len(tk) - 1):
+            bigrams[(tk[i], tk[i + 1])] += 1
+    n = sum(bigrams.values())
+    nn = [sum(1 for c in bigrams.values() if c == k) for k in (1, 2, 3, 4)]
+    n1, n2, n3, n4 = nn
+    assert r["n_bigrams"] == n
+    assert r["n_bigram_types"] == len(bigrams)
+    assert (r["n1"], r["n2"], r["n3"], r["n4"]) == (n1, n2, n3, n4)
+    if n1 + 2 * n2 > 0:
+        y = n1 / (n1 + 2.0 * n2)
+        assert r["y_discount_base"] == _round6(y)
+        if n1 > 0:
+            assert r["d1"] == _round6(1.0 - 2.0 * y * n2 / n1)
+        else:
+            assert r["d1"] is None
+        if n2 > 0:
+            assert r["d2"] == _round6(2.0 - 3.0 * y * n3 / n2)
+        else:
+            assert r["d2"] is None
+        if n3 > 0:
+            assert r["d3plus"] == _round6(3.0 - 4.0 * y * n4 / n3)
+        else:
+            assert r["d3plus"] is None
+    else:
+        assert r["y_discount_base"] is None
+
+
+@PROP
+@given(
+    user_days=st.lists(
+        st.lists(st.integers(0, 20), min_size=2, max_size=10, unique=True),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_gap_geometric_gof_matches_python_replay(spark, user_days):
+    """p̂, the cell histogram, and every per-cell χ² micro term replay
+    from the exact integer gaps (tail bucket included)."""
+    import datetime
+    import tempfile
+
+    from faconne_spark.queries.round10 import (
+        GEO_MAX_CELL,
+        events_gap_geometric_gof,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for u, days in enumerate(user_days):
+        for off in days:
+            rows.append(
+                (u, (base + datetime.timedelta(days=off)).isoformat(),
+                 "a", 1.0)
+            )
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_events(spark, rows, d)
+        r = events_gap_geometric_gof(spark, sf).collect()[0]
+
+    gaps = []
+    for days in user_days:
+        s = sorted(set(days))
+        gaps += [b - a for a, b in zip(s, s[1:])]
+    n, sg = len(gaps), sum(gaps)
+    from collections import Counter
+
+    cells = Counter(min(g, GEO_MAX_CELL + 1) for g in gaps)
+    p = n / sg
+    chi2 = 0
+    for cell, o in cells.items():
+        if cell <= GEO_MAX_CELL:
+            e = (1.0 - p) ** (cell - 1) * p
+        else:
+            e = (1.0 - p) ** GEO_MAX_CELL
+        chi2 += _iround(1_000_000 * (o - n * e) * (o - n * e) / (n * e))
+    assert r["n_gaps"] == n
+    assert r["p_hat"] == _round6(p)
+    assert r["n_cells"] == len(cells)
+    assert r["chi2_micro"] == chi2
+    assert r["dof"] == len(cells) - 2
