@@ -975,3 +975,356 @@ FROM a8 CROSS JOIN a16
 
 BANK_QUERIES["events_daily_hurst_rs"] = events_daily_hurst_rs
 BANK_ORACLES["events_daily_hurst_rs"] = ORACLE_DAILY_HURST
+
+
+# --------------------------------- Cramér–von Mises (weekend drift)
+
+CVM_LO, CVM_WIDTH, CVM_BINS = 0.0, 2.0, 256
+
+
+def events_weekend_cvm(spark, sf):
+    """Two-sample Cramér–von Mises statistic between weekend and
+    weekday value distributions on the fixed bin grid — the
+    whole-curve companion to the KS keys (KS reads the single worst
+    ECDF gap; CvM integrates EVERY gap, so a broad mild shift that KS
+    under-weights shows up here first).  Weekend = epoch-day % 7 ∈
+    {2, 3}, the repo's portable calendar rule.
+
+    Exactness: binned counts are exact integers; at each grid bin the
+    squared ECDF gap term (c₁·n₂ − c₂·n₁)² is exact DECIMAL, each bin
+    micro-rounds ONE double division (per-cell rule), and the
+    statistic is the exact integer sum.
+
+    Scale: one events pass to the 2×bins histogram; everything after
+    is grid-bounded."""
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf, "events").select(
+        F.expr(
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 in (2, 3)"
+            " as int)"
+        ).alias("we"),
+        F.expr(
+            f"cast(least(greatest(floor((value - {CVM_LO!r})"
+            f" / {CVM_WIDTH!r}), 0), {CVM_BINS - 1}) as int)"
+        ).alias("bin"),
+    )
+    binned = ev.groupBy("bin").agg(
+        F.sum("we").alias("c1b"),
+        F.sum(F.expr("1 - we")).alias("c2b"),
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin",
+        F.sum("c1b").over(w).alias("f1"),
+        F.sum("c2b").over(w).alias("f2"),
+        F.sum("c1b").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n1"),
+        F.sum("c2b").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n2"),
+        (F.col("c1b") + F.col("c2b")).alias("wgt"),
+    )
+    terms = cum.select(
+        "n1", "n2", "wgt",
+        F.expr(
+            "cast(round(cast(wgt as double)"
+            " * (cast(f1 as double) * n2 - cast(f2 as double) * n1)"
+            " * (cast(f1 as double) * n2 - cast(f2 as double) * n1)"
+            " / (cast(n1 as double) * n1 * n2 * n2) * 1000000, 0)"
+            " as bigint)"
+        ).alias("term_micro"),
+    )
+    return terms.groupBy().agg(
+        F.min("n1").cast("long").alias("n_weekend"),
+        F.min("n2").cast("long").alias("n_weekday"),
+        F.expr(
+            "cast(sum(term_micro) as bigint)"
+        ).alias("cvm_sum_micro"),
+        F.expr(
+            "round(cast(sum(term_micro) as double)"
+            " / (min(n1) + min(n2)) / 1e6"
+            " * min(n1) * min(n2) / (min(n1) + min(n2)), 6) + 0.0"
+        ).alias("cvm_t"),
+    )
+
+
+ORACLE_WEEKEND_CVM = f"""
+WITH ev AS (
+  SELECT ((ts::DATE - DATE '1970-01-01') % 7 IN (2, 3))::INT AS we,
+         least(greatest(floor((value - {CVM_LO!r}) / {CVM_WIDTH!r}), 0),
+               {CVM_BINS - 1})::INT AS bin
+  FROM events),
+binned AS (
+  SELECT bin, sum(we)::BIGINT AS c1b, sum(1 - we)::BIGINT AS c2b
+  FROM ev GROUP BY 1),
+cum AS (
+  SELECT bin,
+         sum(c1b) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         sum(c2b) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+         sum(c1b) OVER () AS n1, sum(c2b) OVER () AS n2,
+         (c1b + c2b) AS wgt
+  FROM binned),
+terms AS (
+  SELECT n1, n2,
+         round(wgt::DOUBLE
+           * (f1::DOUBLE * n2 - f2::DOUBLE * n1)
+           * (f1::DOUBLE * n2 - f2::DOUBLE * n1)
+           / (n1::DOUBLE * n1 * n2 * n2) * 1000000, 0)::BIGINT
+           AS term_micro
+  FROM cum)
+SELECT min(n1)::BIGINT AS n_weekend, min(n2)::BIGINT AS n_weekday,
+       sum(term_micro)::BIGINT AS cvm_sum_micro,
+       round(sum(term_micro)::DOUBLE / (min(n1) + min(n2)) / 1e6
+             * min(n1) * min(n2) / (min(n1) + min(n2)), 6) + 0.0 AS cvm_t
+FROM terms
+"""
+
+BANK_QUERIES["events_weekend_cvm"] = events_weekend_cvm
+BANK_ORACLES["events_weekend_cvm"] = ORACLE_WEEKEND_CVM
+
+
+# ----------------------------------------------- MATTR (windowed TTR)
+
+MATTR_W = 25
+
+
+def docs_mattr(spark, sf):
+    """Moving-average type-token ratio per source (Covington &
+    McFall 2010): TTR over every sliding 25-token window, averaged —
+    the length-bias-free lexical diversity gauge (raw TTR mechanically
+    falls with document length, which is exactly the confound the
+    quality-length Spearman key measures; MATTR removes it instead).
+
+    Exactness: each window's distinct count is an exact integer
+    (array fold per document — map-only, no explode); the per-source
+    mean of window TTRs is one half-up micro division of exact sums.
+
+    Scale: O(tokens · window) per document inside the higher-order
+    expression, linear in the corpus; one rollup after."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    # sum over all windows of size(array_distinct(window))
+    win_sum = (
+        f"aggregate(transform(sequence(1, size(tk) - {MATTR_W} + 1),"
+        f" i -> size(array_distinct(slice(tk, i, {MATTR_W})))),"
+        f" cast(0 as bigint), (s, x) -> s + x)"
+    )
+    per_doc = (
+        T(spark, sf, "documents")
+        .select("source", F.expr(toks).alias("tk"))
+        .filter(F.expr(f"size(tk) >= {MATTR_W}"))
+        .select(
+            "source",
+            F.expr(f"size(tk) - {MATTR_W} + 1").alias("n_windows"),
+            F.expr(win_sum).alias("distinct_sum"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_windows").cast("long").alias("n_windows"),
+        F.sum("distinct_sum").cast("long").alias("distinct_sum"),
+        F.expr(
+            f"cast((2000000 * sum(distinct_sum)"
+            f" + {MATTR_W} * sum(n_windows))"
+            f" div (2 * {MATTR_W} * sum(n_windows)) as bigint)"
+        ).alias("mattr_micro"),
+    )
+
+
+def _oracle_mattr() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH tk AS (SELECT source, {toks} AS t FROM documents),
+per_doc AS (
+  SELECT source, len(t) - {MATTR_W} + 1 AS n_windows,
+         list_sum(list_transform(range(1, len(t) - {MATTR_W} + 2),
+           i -> len(list_distinct(t[i:i + {MATTR_W} - 1]))))::BIGINT
+           AS distinct_sum
+  FROM tk WHERE len(t) >= {MATTR_W})
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_windows)::BIGINT AS n_windows,
+       sum(distinct_sum)::BIGINT AS distinct_sum,
+       ((2000000 * sum(distinct_sum) + {MATTR_W} * sum(n_windows))
+        // (2 * {MATTR_W} * sum(n_windows)))::BIGINT AS mattr_micro
+FROM per_doc GROUP BY source
+"""
+
+
+BANK_QUERIES["docs_mattr"] = docs_mattr
+BANK_ORACLES["docs_mattr"] = _oracle_mattr()
+
+
+# -------------------------------------------- turning-point test
+
+def events_daily_turning_points(spark, sf):
+    """Turning-point randomness test on daily event volume: count the
+    local maxima/minima in the day series; under i.i.d. noise
+    E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so z = (T−E)/σ reads
+    trend/seasonality as too FEW turns and over-correction as too
+    many (Kendall's classic test — the series-shape companion to the
+    above/below-median runs key, which cannot see local structure).
+    Ties on either side drop the point (the standard treatment).
+
+    Exactness: turning points are exact integer counts from a
+    lag/lead window over the calendar-bounded day relation; E, Var, z
+    are final-expression doubles of n and T.
+
+    Scale: one events pass to ≤ days rows; the lag window is over
+    the bounded day relation."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    w = W.orderBy("day")
+    marked = (
+        daily.withColumn("p", F.lag("x").over(w))
+        .withColumn("q", F.lead("x").over(w))
+        .filter(F.col("p").isNotNull() & F.col("q").isNotNull())
+        .select(
+            F.expr(
+                "case when (x > p and x > q) or (x < p and x < q)"
+                " then 1 else 0 end"
+            ).alias("tp")
+        )
+    )
+    agg = marked.groupBy().agg(
+        (F.count("*") + 2).alias("n"),
+        F.sum("tp").alias("t"),
+    )
+    e = "(2.0 * (n - 2) / 3.0)"
+    v = "((16.0 * n - 29.0) / 90.0)"
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t").cast("long").alias("n_turning_points"),
+        F.expr(f"round({e}, 6) + 0.0").alias("expected"),
+        F.expr(
+            f"case when {v} > 0 then"
+            f" round((cast(t as double) - {e}) / sqrt({v}), 6) + 0.0 end"
+        ).alias("z"),
+    )
+
+
+ORACLE_TURNING_POINTS = """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1),
+marked AS (
+  SELECT x, lag(x) OVER (ORDER BY day) AS p,
+         lead(x) OVER (ORDER BY day) AS q
+  FROM daily),
+inner_ AS (
+  SELECT CASE WHEN (x > p AND x > q) OR (x < p AND x < q)
+              THEN 1 ELSE 0 END AS tp
+  FROM marked WHERE p IS NOT NULL AND q IS NOT NULL),
+agg AS (
+  SELECT (count(*) + 2)::BIGINT AS n, sum(tp)::BIGINT AS t FROM inner_)
+SELECT n AS n_days, t AS n_turning_points,
+       round(2.0 * (n - 2) / 3.0, 6) + 0.0 AS expected,
+       CASE WHEN (16.0 * n - 29.0) / 90.0 > 0 THEN
+         round((t::DOUBLE - 2.0 * (n - 2) / 3.0)
+               / sqrt((16.0 * n - 29.0) / 90.0), 6) + 0.0 END AS z
+FROM agg
+"""
+
+BANK_QUERIES["events_daily_turning_points"] = events_daily_turning_points
+BANK_ORACLES["events_daily_turning_points"] = ORACLE_TURNING_POINTS
+
+
+# ------------------------------------------ embedding anisotropy
+
+ANISO_PANEL_N = 400
+
+
+def embed_anisotropy_panel(spark, sf):
+    """Anisotropy gauge of the embedding space (Ethayarajh 2019): the
+    mean pairwise cosine over a FIXED-SIZE hash panel — a space whose
+    random pairs all point the same way (mean cos ≫ 0) wastes its
+    geometry, and cosine thresholds tuned on it do not transfer.
+    Fourth consumer of sample_panel; the pair stage is panel × panel
+    (≤ 400² = bounded CONSTANT work at any corpus size — the corpus
+    is never touched beyond the panel selection).
+
+    Exactness: each pair's cosine micro-rounds once (per-cell rule,
+    pinned index order a < b); the mean is one half-up integer
+    division."""
+    from faconne_spark.functions import dot_expr
+    from faconne_spark.operators.relational import sample_panel
+
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "embedding",
+        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+    )
+    panel = sample_panel(emb, "vec_id", ANISO_PANEL_N, salt="aniso")
+    a = panel.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    b = panel.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        F.expr(
+            "cast(round(("
+            + dot_expr("ea", "eb", "spark")
+            + ") / nullif(sqrt(na) * sqrt(nb), 0.0) * 1000000, 0)"
+            " as bigint)"
+        ).alias("cos_micro")
+    )
+    return pairs.groupBy().agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        # sign-safe rounding: cosine sums can be NEGATIVE, where the
+        # (2a+n) div (2n) idiom splits the engines (Spark div truncates,
+        # DuckDB // floors); round() on the exact double is half away
+        # from zero in BOTH
+        F.expr(
+            "cast(round(cast(sum(cos_micro) as double) / count(*), 0)"
+            " as bigint)"
+        ).alias("mean_cos_micro"),
+        F.max("cos_micro").cast("long").alias("max_cos_micro"),
+        F.min("cos_micro").cast("long").alias("min_cos_micro"),
+    )
+
+
+def _oracle_anisotropy() -> str:
+    from faconne_spark.functions import dot_expr
+    from faconne_spark.operators.relational import sample_panel_sql
+
+    nn = dot_expr("embedding", "embedding", "duckdb")
+    dot = dot_expr("a.embedding", "b.embedding", "duckdb")
+    panel = sample_panel_sql(
+        "vec_id", ANISO_PANEL_N, salt="aniso", from_sql="e"
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, {nn} AS nn FROM embeddings),
+panel AS MATERIALIZED ({panel}),
+pairs AS (
+  SELECT round(({dot}) / nullif(sqrt(a.nn) * sqrt(b.nn), 0.0)
+               * 1000000, 0)::BIGINT AS cos_micro
+  FROM panel a JOIN panel b ON a.vec_id < b.vec_id)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(sum(cos_micro)::DOUBLE / count(*), 0)::BIGINT
+         AS mean_cos_micro,
+       max(cos_micro)::BIGINT AS max_cos_micro,
+       min(cos_micro)::BIGINT AS min_cos_micro
+FROM pairs
+"""
+
+
+BANK_QUERIES["embed_anisotropy_panel"] = embed_anisotropy_panel
+BANK_ORACLES["embed_anisotropy_panel"] = _oracle_anisotropy()
