@@ -92,6 +92,11 @@ _CHANGED_THIS_ROUND = [
     "events_value_differential_entropy",
     "mm_audio_zero_crossings",
     "orders_value_hill_tail",
+    # -- re-proven in r10: the engine-wide integer-division audit
+    #    clamped the dow×hour MI numerator (per-cell rounding could
+    #    push the signed PMI sum below zero, where Spark div and
+    #    DuckDB // split by one) --
+    "events_dow_hour_mi",
 ]
 
 _REST = [
@@ -118,7 +123,7 @@ _REST = [
     "customer_order_value_icc", "events_value_jarque_bera",
     "events_user_count_nbd_fit", "orders_monthly_theil_sen",
     "events_hour_circular_stats", "embed_norm_label_anova",
-    "events_benford_second_digit", "events_dow_hour_mi",
+    "events_benford_second_digit",
     # -- unchanged keys (fresh r8 rows), r8 order --
     "lineitem_ship_lag_quantiles", "events_session_quantiles",
     "orders_interpurchase_quantiles", "events_user_lifetime_quantiles",

@@ -2159,8 +2159,14 @@ def events_dow_hour_mi(spark, sf):
     return terms.groupBy().agg(
         F.count("*").cast("long").alias("n_cells"),
         F.min("n").cast("long").alias("n_events"),
+        # MI >= 0 by definition, but per-cell rounding can push the
+        # signed PMI sum a hair below zero when the true MI ~ 0 —
+        # where Spark div (truncate) and DuckDB // (floor) disagree
+        # by one; the clamp keeps the half-up idiom in its valid
+        # non-negative domain (r10 engine-wide div audit)
         F.expr(
-            "cast((2 * sum(c * l) + min(n)) div (2 * min(n)) as bigint)"
+            "cast(greatest(2 * sum(c * l) + min(n), 0)"
+            " div (2 * min(n)) as bigint)"
         ).alias("mi_micro"),
     )
 
@@ -2179,7 +2185,8 @@ terms AS (
                + 0.5)::BIGINT AS l
   FROM cells JOIN rows_ USING (dw) JOIN cols_ USING (hr) CROSS JOIN tot)
 SELECT count(*)::BIGINT AS n_cells, min(n)::BIGINT AS n_events,
-       ((2 * sum(c * l) + min(n)) // (2 * min(n)))::BIGINT AS mi_micro
+       (greatest(2 * sum(c * l) + min(n), 0)
+        // (2 * min(n)))::BIGINT AS mi_micro
 FROM terms
 """
 

@@ -1340,3 +1340,22 @@ def test_decode_media_real_parses_jpeg_dims():
 
     payload = jpeg_encode(24, 16, bytes(24 * 16), channels=1)
     assert decode_media_real(payload) == (24, 16)
+
+
+def test_events_value_nonnegative_contract(sf_dir):
+    """Several half-up integer divisions ((2a+b) div (2b)) assume a
+    NON-NEGATIVE numerator built from event values (expected
+    shortfall's tail sum, the daily mean-micro, the dow/type value
+    decomposition).  Spark div truncates toward zero while DuckDB //
+    floors, so a negative value column would silently split the
+    engines by one micro.  This pins the data contract the idiom
+    rests on; if the generator ever emits negative values, the keys
+    must move to the sign-safe round-on-double form (see
+    embed_anisotropy_panel and the r10 div audit)."""
+    import duckdb
+
+    lo = duckdb.sql(
+        f"SELECT min(value) FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert lo >= 0
