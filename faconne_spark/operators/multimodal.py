@@ -941,6 +941,7 @@ def jpeg_encode_progressive(
     channels: int = 1,
     subsampling: str = "4:4:4",
     quant=None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Write a real PROGRESSIVE JPEG (SOF2) with the classic scan
     script: spectral selection (DC scan, split AC bands) AND
@@ -984,11 +985,38 @@ def jpeg_encode_progressive(
         out += _jpeg_marker(
             0xC4, bytes([0x10 | i]) + bytes(bits) + bytes(vals)
         )
+    if restart_interval:
+        out += _jpeg_marker(0xDD, struct.pack(">H", restart_interval))
+
+    class _RstState:
+        """Per-scan restart bookkeeping: byte-align + RSTm every
+        ``restart_interval`` units (MCUs for interleaved scans,
+        blocks for non-interleaved ones), resetting DC predictors —
+        the real-world progressive layout the decoder's restart path
+        exists for."""
+
+        def __init__(self):
+            self.m = 0
+
+        def maybe(self, writer, unit_idx, preds=None):
+            if (
+                restart_interval
+                and unit_idx
+                and unit_idx % restart_interval == 0
+            ):
+                writer.byte_align()
+                writer.buf += bytes([0xFF, 0xD0 + self.m])
+                self.m = (self.m + 1) & 7
+                if preds is not None:
+                    for k in range(len(preds)):
+                        preds[k] = 0
 
     def dc_first_scan(al: int) -> bytes:
         w = _JpegBitWriter()
         preds = [0] * ncomp
+        rst = _RstState()
         for m in range(mcux * mcuy):
+            rst.maybe(w, m, preds)
             my, mx = divmod(m, mcux)
             for ci in range(ncomp):
                 h_i, v_i = hv[ci]
@@ -1011,7 +1039,9 @@ def jpeg_encode_progressive(
 
     def dc_refine_scan(al: int) -> bytes:
         w = _JpegBitWriter()
+        rst = _RstState()
         for m in range(mcux * mcuy):
+            rst.maybe(w, m)
             my, mx = divmod(m, mcux)
             for ci in range(ncomp):
                 h_i, v_i = hv[ci]
@@ -1029,7 +1059,9 @@ def jpeg_encode_progressive(
         bx_n, by_n = _jpeg_nonint_grid(width, height, h_i, v_i, hmax, vmax)
         w = _JpegBitWriter()
         codes = ac_codes[0 if ci == 0 else 1]
+        rst = _RstState()
         for b in range(bx_n * by_n):
+            rst.maybe(w, b)
             by, bx = divmod(b, bx_n)
             blk = comp_q[ci][by, bx].ravel()
             if ah == 0:

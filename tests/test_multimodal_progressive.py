@@ -121,3 +121,45 @@ def test_unsupported_sofs_still_raise():
         jpeg_pixels(broken)
     with pytest.raises(NotImplementedError):
         jpeg_dims(broken)
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub,ri",
+    [
+        (16, 24, 1, "4:4:4", 1),
+        (16, 24, 1, "4:4:4", 3),
+        (24, 24, 3, "4:2:0", 2),
+        (17, 11, 3, "4:2:0", 1),
+    ],
+)
+def test_progressive_restart_intervals_decode_identically(w, h, ch, sub, ri):
+    """Progressive + DRI: every scan carries RST markers every ri
+    units (the real-world layout); the multi-scan restart path must
+    reproduce the baseline pixels bit-for-bit, and the file must
+    actually contain restart markers (non-vacuity)."""
+    rng = np.random.default_rng(ri * 100 + w)
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8).tobytes()
+    base = jpeg_encode(w, h, px, channels=ch, subsampling=sub)
+    prog = jpeg_encode_progressive(
+        w, h, px, channels=ch, subsampling=sub, restart_interval=ri
+    )
+    assert b"\xff\xdd" in prog  # DRI marker
+    assert any(bytes([0xFF, 0xD0 + m]) in prog for m in range(8))
+    assert jpeg_pixels(prog) == jpeg_pixels(base)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(8, 32),
+    h=st.integers(8, 32),
+    seed=st.integers(0, 2**32 - 1),
+    ri=st.integers(1, 4),
+)
+def test_progressive_restart_property(w, h, seed, ri):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 1), dtype=np.uint8).tobytes()
+    base = jpeg_encode(w, h, px, channels=1)
+    prog = jpeg_encode_progressive(
+        w, h, px, channels=1, restart_interval=ri
+    )
+    assert jpeg_pixels(prog) == jpeg_pixels(base)
