@@ -691,3 +691,27 @@ def test_bank_r6_plan_shapes(spark, sf_dir):
             #                    bounded (groups × bins) × bins grid
         ):
             assert "BroadcastNestedLoopJoin" not in p, key
+
+
+def test_no_cartesian_in_any_plan_snapshot():
+    """Mechanical repo-wide invariant (was a manual per-round grep):
+    no registry key's stamped physical plan may contain a
+    CartesianProduct.  Bounded grid builds must broadcast their small
+    side explicitly (BroadcastNestedLoopJoin) — the r10 shiplag-KS
+    lesson: the planner falls back to CartesianProduct exactly when
+    upstream stats are unknown, which is also when the input might
+    not be small."""
+    import os
+
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "plans",
+    )
+    offenders = []
+    for name in sorted(os.listdir(plans_dir)):
+        if not name.endswith(".txt"):
+            continue
+        with open(os.path.join(plans_dir, name)) as fh:
+            if "CartesianProduct" in fh.read():
+                offenders.append(name)
+    assert not offenders, f"CartesianProduct in plans: {offenders}"
