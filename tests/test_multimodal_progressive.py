@@ -163,3 +163,69 @@ def test_progressive_restart_property(w, h, seed, ri):
         w, h, px, channels=1, restart_interval=ri
     )
     assert jpeg_pixels(prog) == jpeg_pixels(base)
+
+
+# --------------------------------------- 12-bit extended precision
+
+def test_12bit_flat_blocks_roundtrip_exactly():
+    """12-bit grayscale baseline (T.81 extended sample precision):
+    flat 8×8 blocks + all-ones quantization round-trip EXACTLY —
+    level shift 2048, extended Huffman tables (DC categories to 15,
+    AC sizes to 14), uint16-LE sample contract."""
+    from faconne_spark.operators.multimodal import (
+        jpeg_dims,
+        jpeg_encode_12bit,
+        jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 4096, (3, 2), dtype=np.uint16)
+    px = vals.repeat(8, axis=0).repeat(8, axis=1).astype("<u2").tobytes()
+    payload = jpeg_encode_12bit(16, 24, px, quant=[1] * 64)
+    assert jpeg_dims(payload) == (16, 24)
+    assert jpeg_pixels(payload) == (16, 24, 1, px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_12bit_near_lossless_roundtrip_property(w, h, seed):
+    """ANY 12-bit content round-trips within ±1 at unit quantization
+    (the DCT-rint bound, same contract as the 8-bit property)."""
+    from faconne_spark.operators.multimodal import (
+        jpeg_encode_12bit,
+        jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 4096, (h, w), dtype=np.uint16)
+    payload = jpeg_encode_12bit(w, h, arr.astype("<u2").tobytes(),
+                                quant=[1] * 64)
+    w2, h2, ch, out = jpeg_pixels(payload)
+    assert (w2, h2, ch) == (w, h, 1)
+    got = np.frombuffer(out, dtype="<u2").reshape(h, w).astype(int)
+    assert np.abs(got - arr.astype(int)).max() <= 1
+
+
+def test_12bit_rejects_out_of_range_and_color_seams():
+    """Contract errors: >4095 samples rejected at encode; a 12-bit
+    COLOR or PROGRESSIVE frame still raises toward the codec seam."""
+    from faconne_spark.operators.multimodal import (
+        jpeg_encode_12bit,
+        jpeg_pixels,
+    )
+
+    bad = np.full((8, 8), 4096, dtype=np.uint16).astype("<u2").tobytes()
+    with pytest.raises(ValueError, match="4095"):
+        jpeg_encode_12bit(8, 8, bad)
+    ok = np.zeros((8, 8), dtype="<u2").tobytes()
+    payload = jpeg_encode_12bit(8, 8, ok, quant=[1] * 64)
+    # flip the SOF0 component count byte to 3: 12-bit color must raise
+    sof_at = payload.index(b"\xff\xc0")
+    broken = bytearray(payload)
+    broken[sof_at + 9] = 3
+    with pytest.raises((NotImplementedError, ValueError)):
+        jpeg_pixels(bytes(broken))
