@@ -504,6 +504,10 @@ def main() -> None:
         "events_value_differential_entropy",
         "mm_audio_zero_crossings",
         "orders_value_hill_tail",
+        # round-10 wave F
+        "mm_jpeg12_decode",
+        "docs_lexical_richness_indices",
+        "orders_totalprice_benford12",
     ]
     times = {}
     shuffle = {}

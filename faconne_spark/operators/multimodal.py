@@ -1852,6 +1852,82 @@ def synthesize_jpeg_progressive(docs: DataFrame) -> DataFrame:
     return base.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def synthesize_jpeg_12bit(docs: DataFrame) -> DataFrame:
+    """One REAL 12-bit grayscale JPEG per document: wB×hB flat 8×8
+    blocks (block k's 12-bit value = digest bytes 2k‖2k+1 mod 4096)
+    encoded with all-ones quantization — the exactly-invertible gate
+    content for the extended-precision codec (the same flat-block
+    trick as the 8-bit gate, at 12-bit dynamic range).  Arrow-batched
+    map-only."""
+    import hashlib
+
+    import numpy as np
+
+    from faconne_spark.session import spread
+
+    base = spread(docs.select("doc_id", "text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, types = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(text.encode("utf-8")).digest()
+                wb, hb = 1 + d[0] % 2, 1 + d[1] % 2
+                vals = np.array(
+                    [
+                        (d[2 * k] * 256 + d[2 * k + 1]) % 4096
+                        for k in range(wb * hb)
+                    ],
+                    dtype=np.uint16,
+                ).reshape(hb, wb)
+                px = (
+                    vals.repeat(8, axis=0).repeat(8, axis=1)
+                    .astype("<u2").tobytes()
+                )
+                payloads.append(
+                    jpeg_encode_12bit(8 * wb, 8 * hb, px, quant=[1] * 64)
+                )
+                ids.append(doc_id)
+                types.append("image/jpeg")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "media_type": types}
+            )
+
+    return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def extract_jpeg12_pixel_stats(media: DataFrame) -> DataFrame:
+    """FULL 12-bit JPEG decode per payload reduced to (width, height,
+    n_px_bytes, pixel_sum) over the uint16 SAMPLES (not bytes) — the
+    end-to-end decode proof for the extended-precision path: extended
+    Huffman tables, 15-category DC differences, the 2048 level shift.
+    Arrow-batched map-only, no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, channels, px = jpeg_pixels(bytes(payload))
+                smp = np.frombuffer(px, dtype="<u2")
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_px_bytes": len(px),
+                        "pixel_sum": int(smp.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_STATS_SCHEMA]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, PNG_STATS_SCHEMA
+    )
+
+
 def extract_jpeg_pixel_stats(media: DataFrame) -> DataFrame:
     """FULL JPEG decode per payload (marker walk + Huffman entropy
     decode + dequant + IDCT), reduced to (width, height, n_px_bytes,

@@ -97,6 +97,11 @@ _CHANGED_THIS_ROUND = [
     #    push the signed PMI sum below zero, where Spark div and
     #    DuckDB // split by one) --
     "events_dow_hour_mi",
+    # -- new in r10, wave F: the 12-bit codec driver gate, the classic
+    #    richness index panel, first-two-digit Benford --
+    "mm_jpeg12_decode",
+    "docs_lexical_richness_indices",
+    "orders_totalprice_benford12",
 ]
 
 _REST = [

@@ -1765,3 +1765,236 @@ FROM agg
 
 QUERIES["orders_value_hill_tail"] = orders_value_hill_tail
 ORACLES["orders_value_hill_tail"] = _oracle_orders_hill()
+
+
+# --------------------------------------- 12-bit JPEG gate proof
+
+def mm_jpeg12_decode(spark, sf):
+    """REAL 12-bit extended-precision JPEG decode through the gate:
+    flat-block grayscale at 12-bit dynamic range (block k's value =
+    digest bytes 2k‖2k+1 mod 4096) with all-ones quantization —
+    exactly invertible, so the decoded SAMPLE content replays in
+    closed form from md5(text).  Puts the extended Huffman tables
+    (DC categories to 15, AC sizes to 14), the 2048 level shift, and
+    the uint16 output contract on the driver's hash path — the same
+    upgrade from pytest-proven to driver-gated that BMP/PNG/JPEG/
+    GIF/progressive received."""
+    from faconne_spark.operators import multimodal as MM
+
+    docs = T(spark, sf, "documents")
+    return MM.extract_jpeg12_pixel_stats(MM.synthesize_jpeg_12bit(docs))
+
+
+def _oracle_jpeg12() -> str:
+    hexb = (
+        "((strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1)"
+    )
+    b = [hexb.format(p=2 * i + 1, p1=2 * i + 2) for i in range(8)]
+    # block k's 12-bit value, wb*hb <= 4 blocks
+    blk = [f"(({b[2 * k]}) * 256 + ({b[2 * k + 1]})) % 4096" for k in range(4)]
+    block_sum = " + ".join(
+        f"CASE WHEN {k} < wb * hb THEN {blk[k]} ELSE 0 END" for k in range(4)
+    )
+    return f"""
+WITH geom AS (
+  SELECT doc_id,
+         (1 + {b[0]} % 2) AS wb,
+         (1 + {b[1]} % 2) AS hb,
+         text
+  FROM documents)
+SELECT doc_id,
+       (8 * wb)::INTEGER AS width,
+       (8 * hb)::INTEGER AS height,
+       (128 * wb * hb)::BIGINT AS n_px_bytes,
+       (64 * ({block_sum}))::BIGINT AS pixel_sum
+FROM geom
+"""
+
+
+QUERIES["mm_jpeg12_decode"] = mm_jpeg12_decode
+ORACLES["mm_jpeg12_decode"] = _oracle_jpeg12()
+
+
+# ------------------------------------- classic richness indices
+
+def docs_lexical_richness_indices(spark, sf):
+    """The four classic lexical-richness indices per source in one
+    row: Herdan's C = ln V/ln N, Guiraud's R = V/√N, Dugast's
+    U = ln²N/(ln N − ln V), Summer's S = ln ln V/ln ln N — the
+    normalized-TTR family every corpus-linguistics report tabulates
+    (each normalizes the V-vs-N curve differently; tabulating all
+    four shows WHICH normalization this corpus violates, which is
+    the diagnostic).  Completes the richness shelf beside TTR,
+    Heaps, hapax, Yule's K, Simpson, and Chao1.
+
+    Exactness: V and N are exact integers; every index is a final
+    double expression of the two (both engines evaluate the identical
+    ln/sqrt text), with guards for the degenerate V = N and tiny-N
+    corners."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    m = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("count(distinct w)").alias("v"),
+        )
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        F.expr(
+            "case when n > 1 and v > 0 then"
+            " round(ln(cast(v as double)) / ln(cast(n as double)), 6)"
+            " + 0.0 end"
+        ).alias("herdan_c"),
+        F.expr(
+            "round(cast(v as double) / sqrt(cast(n as double)), 6) + 0.0"
+        ).alias("guiraud_r"),
+        F.expr(
+            "case when v < n and v > 0 then"
+            " round(ln(cast(n as double)) * ln(cast(n as double))"
+            " / (ln(cast(n as double)) - ln(cast(v as double))), 6)"
+            " + 0.0 end"
+        ).alias("dugast_u"),
+        F.expr(
+            "case when v > 2 and n > 2 then"
+            " round(ln(ln(cast(v as double)))"
+            " / ln(ln(cast(n as double))), 6) + 0.0 end"
+        ).alias("summer_s"),
+    )
+
+
+def _oracle_richness() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH m AS (
+  SELECT source, count(*)::BIGINT AS n, count(DISTINCT w)::BIGINT AS v
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1)
+SELECT source, n AS n_tokens, v AS vocab,
+       CASE WHEN n > 1 AND v > 0 THEN
+         round(ln(v::DOUBLE) / ln(n::DOUBLE), 6) + 0.0 END AS herdan_c,
+       round(v::DOUBLE / sqrt(n::DOUBLE), 6) + 0.0 AS guiraud_r,
+       CASE WHEN v < n AND v > 0 THEN
+         round(ln(n::DOUBLE) * ln(n::DOUBLE)
+               / (ln(n::DOUBLE) - ln(v::DOUBLE)), 6) + 0.0 END AS dugast_u,
+       CASE WHEN v > 2 AND n > 2 THEN
+         round(ln(ln(v::DOUBLE)) / ln(ln(n::DOUBLE)), 6) + 0.0 END
+         AS summer_s
+FROM m
+"""
+
+
+QUERIES["docs_lexical_richness_indices"] = docs_lexical_richness_indices
+ORACLES["docs_lexical_richness_indices"] = _oracle_richness()
+
+
+# ------------------------------- first-two-digit Benford (orders)
+
+_BENFORD12 = None
+
+
+def _benford12_micro() -> list:
+    """P(first two digits = d) = log10(1 + 1/d), d in 10..99, as
+    integer micro literals injected into BOTH engines."""
+    import math
+
+    global _BENFORD12
+    if _BENFORD12 is None:
+        _BENFORD12 = [
+            round(math.log10(1.0 + 1.0 / d) * 1_000_000)
+            for d in range(10, 100)
+        ]
+    return _BENFORD12
+
+
+def orders_totalprice_benford12(spark, sf):
+    """First-TWO-digit Benford conformity of order totals (Nigrini's
+    advanced forensic screen): the 90-cell digit distribution against
+    log10(1 + 1/d), summarized as MAD and the worst cell — the
+    refinement auditors run AFTER first-digit and second-digit pass,
+    because fabricated numbers that survive both still cluster at
+    specific two-digit onsets (99, 49, …).
+
+    Exactness: digit extraction on exact centi integers; expected
+    probabilities are shared integer micro literals; per-cell
+    |observed·10⁶ − p·N| deviations are exact BIGINTs; MAD is one
+    final division."""
+    probs = _benford12_micro()
+    case = "case " + " ".join(
+        f"when d = {d} then {p}" for d, p in zip(range(10, 100), probs)
+    ) + " end"
+    base = T(spark, sf, "orders").select(
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        ).alias("c")
+    ).filter("c >= 10")
+    digits = base.select(
+        F.expr(
+            "cast(substring(cast(c as string), 1, 2) as int)"
+        ).alias("d")
+    ).filter("d >= 10")
+    obs = digits.groupBy("d").agg(F.count("*").alias("n_d"))
+    grid = T(spark, sf, "orders").sparkSession.range(10, 100).select(
+        F.col("id").cast("int").alias("d")
+    )
+    cells = (
+        grid.join(obs, "d", "left")
+        .withColumn("n_d", F.coalesce("n_d", F.lit(0)))
+        .crossJoin(F.broadcast(obs.groupBy().agg(F.sum("n_d").alias("n"))))
+        .withColumn("p", F.expr(case))
+        .withColumn(
+            "dev", F.expr("abs(n_d * 1000000 - p * n)")
+        )
+    )
+    return cells.groupBy().agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.sum(F.expr("if(n_d > 0, 1, 0)")).cast("long").alias("cells_seen"),
+        F.expr("max_by(d, dev * 128 - d)").cast("long").alias("worst_cell"),
+        F.expr(
+            "round(cast(sum(dev) as double) / (90000000.0 * max(n)), 6)"
+            " + 0.0"
+        ).alias("benford12_mad"),
+    )
+
+
+def _oracle_benford12() -> str:
+    probs = _benford12_micro()
+    case = "CASE " + " ".join(
+        f"WHEN d = {d} THEN {p}" for d, p in zip(range(10, 100), probs)
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS c FROM orders),
+digits AS (
+  SELECT substr(c::VARCHAR, 1, 2)::INT AS d FROM base
+  WHERE c >= 10),
+obs AS (
+  SELECT d AS od, count(*)::BIGINT AS n_d FROM digits WHERE d >= 10
+  GROUP BY 1),
+grid AS (SELECT unnest(range(10, 100))::INT AS d),
+tot AS (SELECT sum(n_d)::BIGINT AS n FROM obs),
+cells AS (
+  SELECT grid.d AS d, coalesce(obs.n_d, 0)::BIGINT AS n_d, tot.n,
+         ({case}) AS p
+  FROM grid LEFT JOIN obs ON obs.od = grid.d CROSS JOIN tot)
+SELECT max(n)::BIGINT AS n_orders,
+       sum(CASE WHEN n_d > 0 THEN 1 ELSE 0 END)::BIGINT AS cells_seen,
+       arg_max(d, abs(n_d * 1000000 - p * n) * 128 - d)::BIGINT
+         AS worst_cell,
+       round(sum(abs(n_d * 1000000 - p * n))::DOUBLE
+             / (90000000.0 * max(n)), 6) + 0.0 AS benford12_mad
+FROM cells
+"""
+
+
+QUERIES["orders_totalprice_benford12"] = orders_totalprice_benford12
+ORACLES["orders_totalprice_benford12"] = _oracle_benford12()

@@ -394,6 +394,10 @@ SNAPSHOT_QUERIES = [
     "events_value_differential_entropy",
     "mm_audio_zero_crossings",
     "orders_value_hill_tail",
+    # round-10 wave F
+    "mm_jpeg12_decode",
+    "docs_lexical_richness_indices",
+    "orders_totalprice_benford12",
     # round-10: the bank_r10 fourteen, registered this round
     "orders_priority_shiplag_ks",
     "events_active_days_gini",

@@ -19,6 +19,13 @@ WAVE_R10 = [
     "mm_png_channel_stats", "ann_panel_epsilon_degree",
     "embed_dim_kurtosis", "orders_status_priority_cramers_v",
     "mm_jpeg_progressive",
+    # wave E
+    "docs_vocab_chao1_unseen", "docs_bigram_kn_discount",
+    "events_gap_geometric_gof", "events_value_differential_entropy",
+    "mm_audio_zero_crossings", "orders_value_hill_tail",
+    # wave F
+    "mm_jpeg12_decode", "docs_lexical_richness_indices",
+    "orders_totalprice_benford12",
 ]
 
 
