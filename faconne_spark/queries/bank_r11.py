@@ -1328,3 +1328,402 @@ FROM pairs
 
 BANK_QUERIES["embed_anisotropy_panel"] = embed_anisotropy_panel
 BANK_ORACLES["embed_anisotropy_panel"] = _oracle_anisotropy()
+
+
+# ----------------------------------------- spectral entropy (flatness)
+
+def events_spectral_entropy(spark, sf):
+    """Normalized spectral entropy of the daily-volume periodogram:
+    H(power₂…power₁₄)/ln 13 ∈ [0, 1] — the one-scalar verdict on the
+    banked periodogram's 13-row ladder (≈1 = white noise, near 0 =
+    one period owns the rhythm); the flatness gauge capacity models
+    read before trusting any single seasonal period.
+
+    Exactness: powers are exact DECIMALs from the mean-centered
+    integer DFT (same trig literals as events_daily_periodogram);
+    each of the ≤ 13 cells micro-rounds ONE ln of the exact
+    power/total ratio (computed as a double ratio of identical
+    DECIMAL-exact integers); H and the normalization are final
+    expressions.  Zero-power cells are excluded (0·ln 0 = 0)."""
+    raw = (
+        T(spark, sf, "events")
+        .groupBy(
+            F.expr(
+                "cast(datediff(to_date(ts), DATE'1970-01-01') as bigint)"
+            ).alias("d")
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    tot = raw.groupBy().agg(
+        F.count("*").alias("dd"), F.sum("x").alias("sx")
+    )
+    daily = raw.crossJoin(F.broadcast(tot)).select(
+        "d", F.expr("dd * x - sx").alias("x")
+    )
+    trig = spark.createDataFrame(
+        _PERIODOGRAM_TRIG, "p int, r int, c bigint, s bigint"
+    )
+    terms = daily.join(
+        F.broadcast(trig), F.expr("d % p = r")
+    ).groupBy("p").agg(
+        F.sum(F.expr("x * c")).alias("a"),
+        F.sum(F.expr("x * s")).alias("b"),
+    )
+    scored = terms.withColumn(
+        "pw",
+        F.expr(
+            "cast(a as decimal(38,0)) * a + cast(b as decimal(38,0)) * b"
+        ),
+    )
+    tot_pw = scored.groupBy().agg(F.sum("pw").alias("pw_tot"))
+    cells = (
+        scored.crossJoin(F.broadcast(tot_pw))
+        .filter("pw > 0")
+        .select(
+            F.expr(
+                "cast(round(ln(cast(pw as double) / cast(pw_tot as double))"
+                " * 1000000, 0) as bigint)"
+            ).alias("l"),
+            F.expr("cast(pw as double) / cast(pw_tot as double)")
+            .alias("share"),
+        )
+    )
+    return cells.groupBy().agg(
+        F.count("*").cast("long").alias("n_periods_nonzero"),
+        F.expr(
+            "round(-sum(share * l) / 1e6, 6) + 0.0"
+        ).alias("spectral_entropy_nats"),
+        F.expr(
+            "round(-sum(share * l) / 1e6 / ln(cast(13 as double)), 6)"
+            " + 0.0"
+        ).alias("spectral_flatness"),
+    )
+
+
+def _oracle_spectral_entropy() -> str:
+    vals = ", ".join(
+        f"({p}, {r}, {c}, {s})" for p, r, c, s in _PERIODOGRAM_TRIG
+    )
+    return f"""
+WITH raw AS (
+  SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS dd, sum(x)::BIGINT AS sx FROM raw),
+daily AS (
+  SELECT d, (dd * x - sx)::BIGINT AS x FROM raw CROSS JOIN tot),
+trig(p, r, c, s) AS (VALUES {vals}),
+terms AS (
+  SELECT p, sum(x * c)::BIGINT AS a, sum(x * s)::BIGINT AS b
+  FROM daily JOIN trig ON daily.d % trig.p = trig.r
+  GROUP BY 1),
+scored AS (
+  SELECT a::DECIMAL(38,0) * a + b::DECIMAL(38,0) * b AS pw FROM terms),
+tot_pw AS (SELECT sum(pw) AS pw_tot FROM scored),
+cells AS (
+  SELECT round(ln(pw::DOUBLE / pw_tot::DOUBLE) * 1000000, 0)::BIGINT AS l,
+         pw::DOUBLE / pw_tot::DOUBLE AS share
+  FROM scored CROSS JOIN tot_pw WHERE pw > 0)
+SELECT count(*)::BIGINT AS n_periods_nonzero,
+       round(-sum(share * l) / 1e6, 6) + 0.0 AS spectral_entropy_nats,
+       round(-sum(share * l) / 1e6 / ln(cast(13 as double)), 6) + 0.0
+         AS spectral_flatness
+FROM cells
+"""
+
+
+BANK_QUERIES["events_spectral_entropy"] = events_spectral_entropy
+BANK_ORACLES["events_spectral_entropy"] = _oracle_spectral_entropy()
+
+
+# ------------------------------------------- Weibull fit (day gaps)
+
+def events_gap_weibull_fit(spark, sf):
+    """Weibull fit of activity-day gaps by median-rank regression:
+    OLS of ln(−ln(1−F̂)) on ln g over the DISTINCT-GAP ECDF (Benard's
+    approximation F̂ = (r−0.3)/(n+0.4) at each distinct gap's upper
+    rank) — shape k̂ < 1 means bursty returns (decreasing hazard),
+    k̂ ≈ 1 memoryless (the geometric GOF's continuous twin), k̂ > 1
+    habit-forming.  The regression runs on the distinct-gap relation
+    (domain-bounded), never the row relation.
+
+    Exactness: cumulative counts are exact integers; each distinct
+    gap contributes ONE micro-rounded x = ln g and ONE micro-rounded
+    y = ln(−ln(1−F̂)) from exact integer ratios (per-cell rule); OLS
+    moments are exact BIGINT sums; k̂ and the scale are final
+    doubles.  The top gap (F̂ at r = n would be 1) is kept finite by
+    Benard's plotting position by construction."""
+    from pyspark.sql import Window as W
+
+    ud = (
+        T(spark, sf, "events")
+        .select("user_id", F.expr("to_date(ts)").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    gaps = (
+        ud.withColumn("prev", F.lag("day").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.expr("datediff(day, prev)").alias("g"))
+        .filter("g >= 1")
+    )
+    dist = gaps.groupBy("g").agg(F.count("*").alias("c"))
+    tot = dist.groupBy().agg(F.sum("c").alias("n"))
+    wg = W.orderBy("g").rowsBetween(W.unboundedPreceding, 0)
+    cells = (
+        dist.crossJoin(F.broadcast(tot))
+        .withColumn("r", F.sum("c").over(wg))
+        .select(
+            "g", "n",
+            F.expr(
+                "cast(round(ln(cast(g as double)) * 1000000, 0)"
+                " as bigint)"
+            ).alias("x"),
+            F.expr(
+                "cast(round(ln(-ln(1.0 - (cast(r as double) - 0.3)"
+                " / (cast(n as double) + 0.4))) * 1000000, 0) as bigint)"
+            ).alias("y"),
+        )
+    )
+    m = cells.groupBy().agg(
+        F.min("n").cast("long").alias("n_gaps"),
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    slope = (
+        "((cast(k as double) * sxy - cast(sx as double) * sy)"
+        " / (cast(k as double) * sxx - cast(sx as double) * sx))"
+    )
+    intercept = f"((cast(sy as double) - {slope} * sx) / k / 1e6)"
+    return m.select(
+        "n_gaps",
+        F.col("k").cast("long").alias("n_distinct_gaps"),
+        F.expr(
+            f"case when k >= 2 and (k * sxx - sx * sx) != 0 then"
+            f" round({slope}, 6) + 0.0 end"
+        ).alias("weibull_shape"),
+        F.expr(
+            f"case when k >= 2 and (k * sxx - sx * sx) != 0"
+            f" and {slope} != 0 then"
+            f" round(exp(-({intercept}) / ({slope})), 6) + 0.0 end"
+        ).alias("weibull_scale_days"),
+    )
+
+
+ORACLE_GAP_WEIBULL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+gaps AS (
+  SELECT (day - lag(day) OVER (PARTITION BY user_id ORDER BY day)) AS g
+  FROM ud),
+gg AS (SELECT g FROM gaps WHERE g >= 1),
+dist AS (SELECT g, count(*)::BIGINT AS c FROM gg GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM dist),
+cells AS (
+  SELECT g, n,
+         sum(c) OVER (ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+  FROM dist CROSS JOIN tot),
+xy AS (
+  SELECT n,
+         round(ln(g::DOUBLE) * 1000000, 0)::BIGINT AS x,
+         round(ln(-ln(1.0 - (r::DOUBLE - 0.3) / (n::DOUBLE + 0.4)))
+               * 1000000, 0)::BIGINT AS y
+  FROM cells),
+m AS (
+  SELECT min(n)::BIGINT AS n_gaps, count(*)::BIGINT AS k,
+         sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy
+  FROM xy)
+SELECT n_gaps, k AS n_distinct_gaps,
+       CASE WHEN k >= 2 AND (k * sxx - sx * sx) != 0 THEN
+         round((k::DOUBLE * sxy - sx::DOUBLE * sy)
+               / (k::DOUBLE * sxx - sx::DOUBLE * sx), 6) + 0.0 END
+         AS weibull_shape,
+       CASE WHEN k >= 2 AND (k * sxx - sx * sx) != 0
+            AND (k::DOUBLE * sxy - sx::DOUBLE * sy)
+                / (k::DOUBLE * sxx - sx::DOUBLE * sx) != 0 THEN
+         round(exp(-((sy::DOUBLE - ((k::DOUBLE * sxy - sx::DOUBLE * sy)
+                   / (k::DOUBLE * sxx - sx::DOUBLE * sx)) * sx) / k / 1e6)
+               / ((k::DOUBLE * sxy - sx::DOUBLE * sy)
+                  / (k::DOUBLE * sxx - sx::DOUBLE * sx))), 6) + 0.0 END
+         AS weibull_scale_days
+FROM m
+"""
+
+BANK_QUERIES["events_gap_weibull_fit"] = events_gap_weibull_fit
+BANK_ORACLES["events_gap_weibull_fit"] = ORACLE_GAP_WEIBULL
+
+
+# --------------------------------------- energy distance (weekend)
+
+ED_LO, ED_WIDTH, ED_BINS = 0.0, 2.0, 256
+
+
+def events_weekend_energy_distance(spark, sf):
+    """Two-sample energy distance between weekend and weekday value
+    distributions (Székely & Rizzo 2004): E = 2·E|X−Y| − E|X−X'| −
+    E|Y−Y'| on the fixed bin grid — the metric-space drift gauge that,
+    unlike KS/CvM, weights gaps by HOW FAR apart the mass sits (a
+    mode that moved 10 bins scores more than one that moved 1).
+
+    Exactness: on the grid, each E|·| term is Σᵢⱼ cᵢc'ⱼ·|i−j|·width
+    over the bounded bins² pair relation — exact DECIMAL integer
+    sums; the three normalized means and E are final doubles (one
+    micro-rounding each via the per-cell rule applied at the TERM
+    level: three exact ratios, one expression).
+
+    Scale: one events pass to 2×256 histograms; the pair stage is
+    bins² ≤ 65 536 rows — constant at any corpus size."""
+    ev = T(spark, sf, "events").select(
+        F.expr(
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 in (2, 3)"
+            " as int)"
+        ).alias("we"),
+        F.expr(
+            f"cast(least(greatest(floor((value - {ED_LO!r})"
+            f" / {ED_WIDTH!r}), 0), {ED_BINS - 1}) as int)"
+        ).alias("bin"),
+    )
+    h = ev.groupBy("bin").agg(
+        F.sum("we").alias("c1"),
+        F.sum(F.expr("1 - we")).alias("c2"),
+    )
+    a = h.select(
+        F.col("bin").alias("i"), F.col("c1").alias("c1i"),
+        F.col("c2").alias("c2i"),
+    )
+    b = h.select(
+        F.col("bin").alias("j"), F.col("c1").alias("c1j"),
+        F.col("c2").alias("c2j"),
+    )
+    pairs = a.join(F.broadcast(b), F.lit(True)).select(
+        F.expr("abs(i - j)").alias("dist"),
+        "c1i", "c2i", "c1j", "c2j",
+    )
+    s = pairs.groupBy().agg(
+        F.sum(
+            F.expr("cast(c1i as decimal(38,0)) * c2j * dist")
+        ).alias("sxy"),
+        F.sum(
+            F.expr("cast(c1i as decimal(38,0)) * c1j * dist")
+        ).alias("sxx"),
+        F.sum(
+            F.expr("cast(c2i as decimal(38,0)) * c2j * dist")
+        ).alias("syy"),
+    )
+    n = h.groupBy().agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    e = (
+        f"({ED_WIDTH!r} * (2.0 * cast(sxy as double) / (cast(n1 as double)"
+        f" * n2) - cast(sxx as double) / (cast(n1 as double) * n1)"
+        f" - cast(syy as double) / (cast(n2 as double) * n2)))"
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        F.expr(
+            f"case when n1 > 0 and n2 > 0 then round({e}, 6) + 0.0 end"
+        ).alias("energy_distance"),
+    )
+
+
+ORACLE_WEEKEND_ENERGY = f"""
+WITH ev AS (
+  SELECT ((ts::DATE - DATE '1970-01-01') % 7 IN (2, 3))::INT AS we,
+         least(greatest(floor((value - {ED_LO!r}) / {ED_WIDTH!r}), 0),
+               {ED_BINS - 1})::INT AS bin
+  FROM events),
+h AS (
+  SELECT bin, sum(we)::BIGINT AS c1, sum(1 - we)::BIGINT AS c2
+  FROM ev GROUP BY 1),
+s AS (
+  SELECT sum(a.c1::DECIMAL(38,0) * b.c2 * abs(a.bin - b.bin)) AS sxy,
+         sum(a.c1::DECIMAL(38,0) * b.c1 * abs(a.bin - b.bin)) AS sxx,
+         sum(a.c2::DECIMAL(38,0) * b.c2 * abs(a.bin - b.bin)) AS syy
+  FROM h a CROSS JOIN h b),
+n AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM h)
+SELECT n1 AS n_weekend, n2 AS n_weekday,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         round({ED_WIDTH!r} * (2.0 * sxy::DOUBLE / (n1::DOUBLE * n2)
+               - sxx::DOUBLE / (n1::DOUBLE * n1)
+               - syy::DOUBLE / (n2::DOUBLE * n2)), 6) + 0.0 END
+         AS energy_distance
+FROM s CROSS JOIN n
+"""
+
+BANK_QUERIES["events_weekend_energy_distance"] = (
+    events_weekend_energy_distance
+)
+BANK_ORACLES["events_weekend_energy_distance"] = ORACLE_WEEKEND_ENERGY
+
+
+# -------------------------------------- monthly seasonal strength
+
+def orders_monthly_seasonal_strength(spark, sf):
+    """One-way ANOVA of MONTHLY ORDER VOLUME across month-of-year —
+    the annual-seasonality strength scalar on the 6½-year orders
+    calendar (η² = the share of monthly-volume variance the calendar
+    month explains; the weekday ANOVA reads the week's rhythm, this
+    reads the year's).  Reuses evalstats.oneway_anova on the bounded
+    monthly rollup."""
+    from faconne_spark.operators.evalstats import oneway_anova
+
+    monthly = (
+        T(spark, sf, "orders")
+        .groupBy(
+            F.expr("trunc(to_date(o_orderdate), 'MM')").alias("m")
+        )
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.expr("month(m)").alias("moy"),
+            F.expr("cast(c as double)").alias("v"),
+        )
+    )
+    return oneway_anova(monthly, "moy", "v")
+
+
+ORACLE_MONTHLY_SEASONAL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate::DATE) AS m,
+         count(*)::DOUBLE AS v
+  FROM orders GROUP BY 1),
+moy AS (
+  SELECT month(m)::INT AS moy, v FROM monthly),
+g AS (
+  SELECT moy, count(*)::BIGINT AS n,
+         sum(round(v * 1000000)::BIGINT)::BIGINT AS s,
+         sum(round(v * 1000000)::BIGINT::DECIMAL(38,0)
+             * round(v * 1000000)::BIGINT::DECIMAL(38,0)) AS ss
+  FROM moy GROUP BY 1),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         count(*)::BIGINT AS k
+  FROM g),
+terms AS (
+  SELECT k, nt,
+         round(n * pow(s::DOUBLE / n - st::DOUBLE / nt, 2)
+               / 1000000.0, 0)::BIGINT AS b,
+         round((ss::DOUBLE - s::DOUBLE * s / n) / 1000000.0, 0)::BIGINT
+           AS w
+  FROM g CROSS JOIN tot)
+SELECT max(k)::BIGINT AS n_groups, max(nt)::BIGINT AS n_rows,
+       sum(b)::BIGINT AS ssb_micro, sum(w)::BIGINT AS ssw_micro,
+       CASE WHEN max(k) >= 2 AND max(nt) > max(k) AND sum(w) > 0 THEN
+         round((sum(b)::DOUBLE / (max(k) - 1))
+               / (sum(w)::DOUBLE / (max(nt) - max(k))), 6) + 0.0 END
+         AS f_stat,
+       CASE WHEN sum(b) + sum(w) > 0 THEN
+         round(sum(b)::DOUBLE / (sum(b) + sum(w)), 6) + 0.0 END
+         AS eta_sq
+FROM terms
+"""
+
+BANK_QUERIES["orders_monthly_seasonal_strength"] = (
+    orders_monthly_seasonal_strength
+)
+BANK_ORACLES["orders_monthly_seasonal_strength"] = ORACLE_MONTHLY_SEASONAL
