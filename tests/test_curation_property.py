@@ -5448,3 +5448,120 @@ def test_gap_geometric_gof_matches_python_replay(spark, user_days):
     assert r["n_cells"] == len(cells)
     assert r["chi2_micro"] == chi2
     assert r["dof"] == len(cells) - 2
+
+
+@PROP
+@given(
+    user_days=st.lists(
+        st.lists(st.integers(0, 20), min_size=2, max_size=10, unique=True),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_gap_weibull_matches_python_replay(spark, user_days):
+    """Weibull median-rank regression: Benard plotting positions at
+    the distinct-gap upper ranks, per-cell micro ln x/y, exact OLS
+    moments, shape/scale final doubles (NULL on degenerate k or
+    slope)."""
+    import datetime
+    import math
+    import tempfile
+
+    from faconne_spark.queries.bank_r11 import events_gap_weibull_fit
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for u, days in enumerate(user_days):
+        for off in days:
+            rows.append(
+                (u, (base + datetime.timedelta(days=off)).isoformat(),
+                 "a", 1.0)
+            )
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_events(spark, rows, d)
+        r = events_gap_weibull_fit(spark, sf).collect()[0]
+
+    gaps = []
+    for days in user_days:
+        s = sorted(set(days))
+        gaps += [b - a for a, b in zip(s, s[1:])]
+    from collections import Counter
+
+    dist = sorted(Counter(gaps).items())
+    n = len(gaps)
+    cells = []
+    run = 0
+    for g, c in dist:
+        run += c
+        x = _iround(math.log(g) * 1_000_000)
+        f = (run - 0.3) / (n + 0.4)
+        y = _iround(math.log(-math.log(1.0 - f)) * 1_000_000)
+        cells.append((x, y))
+    k = len(cells)
+    sx = sum(x for x, _ in cells)
+    sxx = sum(x * x for x, _ in cells)
+    sy = sum(y for _, y in cells)
+    sxy = sum(x * y for x, y in cells)
+    assert r["n_gaps"] == n and r["n_distinct_gaps"] == k
+    if k >= 2 and (k * sxx - sx * sx) != 0:
+        slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        assert r["weibull_shape"] == _round6(slope)
+        if slope != 0:
+            intercept = (sy - slope * sx) / k / 1e6
+            assert r["weibull_scale_days"] == _round6(
+                math.exp(-intercept / slope)
+            )
+    else:
+        assert r["weibull_shape"] is None
+
+
+@PROP
+@given(
+    wk=st.lists(
+        st.floats(0, 60, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=15,
+    ),
+    wd=st.lists(
+        st.floats(0, 60, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_energy_distance_matches_python_replay(spark, wk, wd):
+    """Energy distance on the binned grid replays from the O(bins²)
+    definition with exact integer pair sums."""
+    import datetime
+    import tempfile
+
+    from faconne_spark.queries.bank_r11 import (
+        ED_BINS,
+        ED_LO,
+        ED_WIDTH,
+        events_weekend_energy_distance,
+    )
+
+    rows = []
+    # 2024-01-06/07 are Sat/Sun (epoch-dw 2/3); 01-01..05 weekdays
+    for i, v in enumerate(wk):
+        rows.append((1, f"2024-01-0{6 + i % 2}", "a", v))
+    for i, v in enumerate(wd):
+        rows.append((1, f"2024-01-0{1 + i % 5}", "a", v))
+    with tempfile.TemporaryDirectory() as d:
+        sf = _mini_events(spark, rows, d)
+        r = events_weekend_energy_distance(spark, sf).collect()[0]
+
+    def binify(v):
+        return int(min(max((v - ED_LO) // ED_WIDTH, 0), ED_BINS - 1))
+
+    b1 = [binify(v) for v in wk]
+    b2 = [binify(v) for v in wd]
+    n1, n2 = len(b1), len(b2)
+    sxy = sum(abs(i - j) for i in b1 for j in b2)
+    sxx = sum(abs(i - j) for i in b1 for j in b1)
+    syy = sum(abs(i - j) for i in b2 for j in b2)
+    want = ED_WIDTH * (
+        2.0 * sxy / (n1 * n2) - sxx / (n1 * n1) - syy / (n2 * n2)
+    )
+    assert (r["n_weekend"], r["n_weekday"]) == (n1, n2)
+    assert r["energy_distance"] == _round6(want)
