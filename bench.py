@@ -508,6 +508,25 @@ def main() -> None:
         "mm_jpeg12_decode",
         "docs_lexical_richness_indices",
         "orders_totalprice_benford12",
+        # round-11: the registered bank_r11 eighteen
+        "events_value_quartile_dispersion",
+        "docs_word_burstiness_fano",
+        "events_value_lorenz_asymmetry",
+        "part_brand_price_icc",
+        "events_weekly_user_jaccard",
+        "orders_interpurchase_lognormal_fit",
+        "customer_segment_simpson_diversity",
+        "lineitem_qty_discount_kendall",
+        "events_daily_periodogram",
+        "events_daily_hurst_rs",
+        "events_weekend_cvm",
+        "docs_mattr",
+        "events_daily_turning_points",
+        "embed_anisotropy_panel",
+        "events_spectral_entropy",
+        "events_gap_weibull_fit",
+        "events_weekend_energy_distance",
+        "orders_monthly_seasonal_strength",
     ]
     times = {}
     shuffle = {}

@@ -36,11 +36,34 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # any key whose plan snapshot drifted from the stamped round-close
 # manifest must appear here, and the block must fit the window.
 _CHANGED_THIS_ROUND = [
-    # ================= r10 changed/new block (count ≤ 50!) ================
-    # -- new in r10: the fourteen pairs proven and staged at the r9
-    #    close (queries/bank_r10.py, proofs in tests/test_bank_r10.py
-    #    at 3 SFs + a partitioning-invariance sweep) — registration is
-    #    the round-10 opening move (judge r9 ask #3) --
+    # ================= r11 changed/new block (count ≤ 50!) ================
+    # -- new in r11: the eighteen pairs proven and staged at the r10
+    #    close (queries/bank_r11.py, proofs in tests/test_bank_r11.py
+    #    at 3 SFs + a partitioning-invariance sweep + plain-Python
+    #    replays) — registration is the round-11 opening move (judge
+    #    r10 ask #1) --
+    "events_value_quartile_dispersion",
+    "docs_word_burstiness_fano",
+    "events_value_lorenz_asymmetry",
+    "part_brand_price_icc",
+    "events_weekly_user_jaccard",
+    "orders_interpurchase_lognormal_fit",
+    "customer_segment_simpson_diversity",
+    "lineitem_qty_discount_kendall",
+    "events_daily_periodogram",
+    "events_daily_hurst_rs",
+    "events_weekend_cvm",
+    "docs_mattr",
+    "events_daily_turning_points",
+    "embed_anisotropy_panel",
+    "events_spectral_entropy",
+    "events_gap_weibull_fit",
+    "events_weekend_energy_distance",
+    "orders_monthly_seasonal_strength",
+]
+
+_REST = [
+    # -- unchanged keys (fresh r10 rows), r10 order --
     "orders_priority_shiplag_ks", "events_active_days_gini",
     "events_transition_asymmetry", "docs_source_simpson_diversity",
     "events_daily_runs_test", "part_size_price_spearman",
@@ -48,26 +71,9 @@ _CHANGED_THIS_ROUND = [
     "events_value_kruskal_by_dow", "events_weekday_friedman",
     "events_value_bowley_skew", "mm_gif_pixel_entropy",
     "events_type_value_qq",
-    # -- re-implemented in r10 (judge r9 ask #2): the two embedding
-    #    diagnostics now take a FIXED-SIZE hash panel via the new
-    #    sample_panel primitive (ORDER BY md5 LIMIT n — bounded
-    #    broadcast, pair stage O(panel × corpus) by construction) --
     "ann_hubness", "embed_twonn_intrinsic_dim",
-    # -- new in r10: REAL progressive JPEG (SOF2) through the gate
-    #    (judge r9 ask #4) --
     "mm_jpeg_progressive",
-    # -- re-proven in r10: the r10 replay wave caught the decimal-div
-    #    literal trap in the Gumbel return level (1.0/12.0 parses as
-    #    truncated DECIMAL division in BOTH engines); engine + oracle
-    #    now use true double division --
     "events_monthly_max_gumbel",
-    # -- new in r10, analytics waves A-D (queries/round10.py): rank/
-    #    effect-size (Kendall tau-b, Cliff's delta, Mood's median
-    #    test), quantile shape/tail (Moors kurtosis, CVaR), retention
-    #    decay fit, lexical gauges (Yule's K, adjacent repeats,
-    #    word-bigram entropy, word lengths), PNG channel gate,
-    #    epsilon-graph degree on sample_panel, per-dim kurtosis,
-    #    Cramer's V --
     "events_volume_value_kendall",
     "events_weekend_cliffs_delta",
     "events_type_median_test",
@@ -82,29 +88,16 @@ _CHANGED_THIS_ROUND = [
     "ann_panel_epsilon_degree",
     "embed_dim_kurtosis",
     "orders_status_priority_cramers_v",
-    # -- new in r10, wave E (queries/round10.py): unseen-vocabulary
-    #    estimation (Chao1/Good–Turing), Kneser–Ney discounts,
-    #    geometric gap fit + GOF, histogram differential entropy,
-    #    audio zero-crossing rate, orders Hill tail --
     "docs_vocab_chao1_unseen",
     "docs_bigram_kn_discount",
     "events_gap_geometric_gof",
     "events_value_differential_entropy",
     "mm_audio_zero_crossings",
     "orders_value_hill_tail",
-    # -- re-proven in r10: the engine-wide integer-division audit
-    #    clamped the dow×hour MI numerator (per-cell rounding could
-    #    push the signed PMI sum below zero, where Spark div and
-    #    DuckDB // split by one) --
     "events_dow_hour_mi",
-    # -- new in r10, wave F: the 12-bit codec driver gate, the classic
-    #    richness index panel, first-two-digit Benford --
     "mm_jpeg12_decode",
     "docs_lexical_richness_indices",
     "orders_totalprice_benford12",
-]
-
-_REST = [
     # -- unchanged keys (fresh r9 rows), r9 order --
     "mm_jpeg_decode", "mm_image_ahash", "mm_jpeg_ahash",
     "events_type_share_drift_jsd", "events_user_entropy_quantiles",
@@ -243,6 +236,7 @@ def _merged(attr: str) -> dict:
         bank_r8,
         bank_r9,
         bank_r10,
+        bank_r11,
         curation,
         faconne_demo,
         pipeline,
@@ -261,7 +255,7 @@ def _merged(attr: str) -> dict:
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
         round7, stats_r7, bank_r8, round8, bank_r9, staged_r9, round9,
-        round9b, bank_r10, round10,
+        round9b, bank_r10, round10, bank_r11,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

@@ -1727,3 +1727,10 @@ BANK_QUERIES["orders_monthly_seasonal_strength"] = (
     orders_monthly_seasonal_strength
 )
 BANK_ORACLES["orders_monthly_seasonal_strength"] = ORACLE_MONTHLY_SEASONAL
+
+
+# Registered at the round-11 open (judge r10 ask #1): _merged() reads
+# these module-level aliases, the window block in queries/__init__.py
+# front-loads all eighteen keys for the driver's correctness gate.
+QUERIES = BANK_QUERIES
+ORACLES = BANK_ORACLES

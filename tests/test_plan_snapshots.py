@@ -413,6 +413,25 @@ SNAPSHOT_QUERIES = [
     "events_value_bowley_skew",
     "mm_gif_pixel_entropy",
     "events_type_value_qq",
+    # round-11: the bank_r11 eighteen, registered this round
+    "events_value_quartile_dispersion",
+    "docs_word_burstiness_fano",
+    "events_value_lorenz_asymmetry",
+    "part_brand_price_icc",
+    "events_weekly_user_jaccard",
+    "orders_interpurchase_lognormal_fit",
+    "customer_segment_simpson_diversity",
+    "lineitem_qty_discount_kendall",
+    "events_daily_periodogram",
+    "events_daily_hurst_rs",
+    "events_weekend_cvm",
+    "docs_mattr",
+    "events_daily_turning_points",
+    "embed_anisotropy_panel",
+    "events_spectral_entropy",
+    "events_gap_weibull_fit",
+    "events_weekend_energy_distance",
+    "orders_monthly_seasonal_strength",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
