@@ -5,7 +5,12 @@ go to the bench_shuffle.json sidecar (they overflowed the driver's
 bounded stdout capture in round 4 and truncated the wall times away).
 
 Queries are forced with the noop sink (full computation, no driver
-collect). Each query runs once after a session warm-up query.  The
+collect). Each query runs $FACONNE_BENCH_REPS times (default 2, judge
+r10 ask #2a) after a session warm-up query and reports the per-key MIN
+(single-shot walls wobbled up to 7x on persisted-iteration keys across
+same-commit runs); per-rep walls go to the bench_times.json sidecar.
+NOTE: r11 onward per-key times and totals are min-of-2 — compare to
+r10-and-earlier single-shot figures with that in mind.  The
 dedup cascade is snapshotted to parquet and training_manifest consumes
 the snapshot — the production shape, so the bench doesn't pay the whole
 dedup family twice.
@@ -190,6 +195,27 @@ def main() -> None:
             "id % 97 AS k"
         ).groupBy("k").count().selectExpr("sum(count) AS n").collect()
     spark_calibration = round(time.perf_counter() - t0, 3)
+
+    # Shuffle-shaped calibration (judge r10 ask #2b): the tiny-job probe
+    # above measures stage-launch overhead, which does NOT move with the
+    # cost that dominates the multi-second shuffle-heavy keys (exchange
+    # write/read, sort-merge machinery, GC under shuffle memory
+    # pressure) — in r9/r10 the normalized headline swung 11.3 -> 19.0
+    # on stamped-identical plans because the denominator was shaped
+    # unlike the workload.  Time a FIXED mid-size shuffle job — 10M rows
+    # in 32 partitions grouped to 1M keys (a real 2-stage exchange with
+    # non-trivial map output) — three times and keep the min (the
+    # steady-state figure; first run absorbs codegen).
+    shuffle_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 10_000_000, 1, 32).selectExpr(
+            "id % 1000000 AS k", "id AS v"
+        ).groupBy("k").agg({"v": "sum"}).selectExpr(
+            "sum(`sum(v)`) AS chk"
+        ).collect()
+        shuffle_runs.append(time.perf_counter() - t0)
+    shuffle_calibration = round(min(shuffle_runs), 3)
 
     from faconne_spark.operators.dedup import release_caches
 
@@ -540,27 +566,52 @@ def main() -> None:
 
     snap_dir = tempfile.mkdtemp(prefix="faconne_bench_")
     cascade_snap = os.path.join(snap_dir, "cascade_verdict")
+    # Per-key min-of-N timing (judge r10 ask #2a): single-shot walls on
+    # persisted-iteration keys wobbled up to 7x across same-commit runs
+    # (dup_graph_lpa 4.1 <-> 28.4 s on a stamp-identical plan) — GC /
+    # cache-state noise, not plan drift.  Every key now runs
+    # FACONNE_BENCH_REPS times (default 2) and reports the min; the
+    # per-rep walls go to the bench_times.json sidecar so wobble is
+    # visible inside ONE run instead of needing two driver rounds.
+    reps = max(1, int(os.environ.get("FACONNE_BENCH_REPS", "2")))
+    times_reps = {}
     for name in HEADLINE + extra:
         fn = queries[name]
-        sb0 = _shuffle_bytes_total(spark)
-        t0 = time.perf_counter()
-        if name == "dedup_cascade":
-            # timed write is a real parquet snapshot (the artifact the
-            # manifest consumes), not the noop sink
-            fn(spark, sf_dir).write.mode("overwrite").parquet(cascade_snap)
-        elif name == "training_manifest" and os.path.isdir(cascade_snap):
-            from faconne_spark.queries.pipeline import training_manifest
+        walls = []
+        for rep in range(reps):
+            # shuffle-bytes delta from the first rep only
+            sb0 = _shuffle_bytes_total(spark) if rep == 0 else -1
+            t0 = time.perf_counter()
+            if name == "dedup_cascade":
+                # timed write is a real parquet snapshot (the artifact
+                # the manifest consumes), not the noop sink
+                fn(spark, sf_dir).write.mode("overwrite").parquet(
+                    cascade_snap
+                )
+            elif name == "training_manifest" and os.path.isdir(
+                cascade_snap
+            ):
+                from faconne_spark.queries.pipeline import (
+                    training_manifest,
+                )
 
-            training_manifest(
-                spark, sf_dir, cascade=spark.read.parquet(cascade_snap)
-            ).write.format("noop").mode("overwrite").save()
-        else:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        sb1 = _shuffle_bytes_total(spark)
-        shuffle[name] = (sb1 - sb0) if sb0 >= 0 and sb1 >= 0 else -1
-        release_caches()  # drop per-query signature caches between runs
-        _reclaim(spark)  # let ContextCleaner reap shuffle/broadcast state
+                training_manifest(
+                    spark, sf_dir, cascade=spark.read.parquet(cascade_snap)
+                ).write.format("noop").mode("overwrite").save()
+            else:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            walls.append(round(time.perf_counter() - t0, 3))
+            if rep == 0:
+                sb1 = _shuffle_bytes_total(spark)
+                shuffle[name] = (
+                    (sb1 - sb0) if sb0 >= 0 and sb1 >= 0 else -1
+                )
+            release_caches()  # drop per-query signature caches
+            _reclaim(spark)  # ContextCleaner reaps shuffle/broadcast
+        times[name] = min(walls)
+        times_reps[name] = walls
     shutil.rmtree(snap_dir, ignore_errors=True)
 
     total = round(sum(t for n, t in times.items() if n in HEADLINE), 3)
@@ -602,8 +653,11 @@ def main() -> None:
             json.dump(
                 {
                     "times_sec": times,
+                    "times_all_reps_sec": times_reps,
+                    "reps": reps,
                     "machine_calibration_sec": calibration,
                     "spark_calibration_sec": spark_calibration,
+                    "shuffle_calibration_sec": shuffle_calibration,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "cpus": cpus,
                 },
@@ -631,6 +685,15 @@ def main() -> None:
                     round(total / spark_calibration, 3)
                     if spark_calibration else None
                 ),
+                # shuffle-shaped comparator (judge r10 ask #2b): the
+                # denominator is a fixed 10M-row 2-stage exchange, the
+                # shape that actually dominates multi-second keys
+                "shuffle_calibration_sec": shuffle_calibration,
+                "total_per_shuffle_calibration": (
+                    round(total / shuffle_calibration, 3)
+                    if shuffle_calibration else None
+                ),
+                "bench_reps": reps,
                 "queries": times,
                 "sf": sf_val,
                 "cpus": cpus,
@@ -662,6 +725,15 @@ def main() -> None:
                     round(total / spark_calibration, 3)
                     if spark_calibration else None
                 ),
+                # shuffle-shaped comparator (judge r10 ask #2b): the
+                # denominator is a fixed 10M-row 2-stage exchange, the
+                # shape that actually dominates multi-second keys
+                "shuffle_calibration_sec": shuffle_calibration,
+                "total_per_shuffle_calibration": (
+                    round(total / shuffle_calibration, 3)
+                    if shuffle_calibration else None
+                ),
+                "bench_reps": reps,
                 "queries": {n: t for n, t in times.items() if n in HEADLINE},
                 "queries_timed": len(times),
                 "sf": sf_val,

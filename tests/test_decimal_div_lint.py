@@ -1,0 +1,141 @@
+"""Mechanical lint for the decimal-LITERAL division trap (VERDICT r10
+ask #3 — the class has bitten three rounds running: Theil r9, Gumbel
+r10, anisotropy r11-staging).
+
+The trap: in BOTH Spark SQL and DuckDB, ``1.0/12.0`` parses as
+DECIMAL(2,1)/DECIMAL(3,1) and performs truncated DECIMAL division
+(0.083333…, scale-limited), NOT double division — so the cross-engine
+oracle gate stays green while the constant itself is wrong (the r10
+Gumbel key agreed cross-engine while being 4e-7 off the true 1/12).
+Only a plain-Python replay catches it after the fact; this test
+catches it at write time.
+
+What is flagged: a division whose BOTH operands are numeric literals
+with at least one carrying a decimal point (``1.0/12.0``, ``1.0/12``,
+``1/3.0``) inside any STRING CONSTANT of the engine package (F.expr /
+selectExpr / SQL fragments) or any registered DuckDB oracle.  Literal/
+literal is exactly the shape all three historical bites had; mixed
+shapes (``expr / 1000000.0``) promote to DOUBLE whenever the other
+side is DOUBLE and are the repo's standard micro idiom, so they stay
+out of scope (limits documented, not hidden).
+
+Fix idiom when a true-ratio constant is needed:
+``cast(1 as double) / 12`` (double/int -> double division) — see
+events_monthly_max_gumbel (round9b.py) and the memory of the r10 fix.
+
+Waivers: audited sites where decimal-literal division is INTENTIONAL
+(the truncated-decimal result is itself the contract) are listed in
+``WAIVERS`` with the audit rationale.
+"""
+
+import ast
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# literal / literal with at least one decimal point on either side.
+# Lookarounds keep the operands whole (no identifier/number tails) so
+# `(r-0.3)/(n+0.4)` — a paren between literal and slash — never matches.
+_DIV = re.compile(
+    r"(?<![\w.])(\d+\.\d+|\d+)\s*/\s*(\d+\.\d+|\d+)(?![\w.])"
+)
+
+
+def _literal_literal_hits(text: str):
+    out = []
+    for m in _DIV.finditer(text):
+        a, b = m.group(1), m.group(2)
+        if "." in a or "." in b:
+            out.append(m.group(0))
+    return out
+
+
+# (relpath-or-oracle-key, exact matched snippet) -> audit rationale.
+# Empty today: the three historical sites are already rewritten to
+# cast-as-double division; new hits must be fixed or audited+waived.
+WAIVERS: dict = {}
+
+
+def _iter_string_constants(path: str):
+    """Every string constant in a .py file EXCEPT docstrings (module/
+    class/function leading strings talk formulas at humans, not at a
+    SQL parser)."""
+    with open(path) as fh:
+        tree = ast.parse(fh.read(), filename=path)
+    doc_nodes = set()
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.ClassDef, ast.FunctionDef,
+                   ast.AsyncFunctionDef)
+        ):
+            body = getattr(node, "body", [])
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                doc_nodes.add(id(body[0].value))
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, str)
+            and id(node) not in doc_nodes
+        ):
+            yield node.lineno, node.value
+
+
+def _engine_py_files():
+    for root, _dirs, files in os.walk(os.path.join(REPO, "faconne_spark")):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                yield os.path.join(root, f)
+    yield os.path.join(REPO, "bench.py")
+    yield os.path.join(REPO, "__spark_entry__.py")
+
+
+def test_no_decimal_literal_division_in_engine_strings():
+    bad = []
+    for path in _engine_py_files():
+        rel = os.path.relpath(path, REPO)
+        for lineno, s in _iter_string_constants(path):
+            for hit in _literal_literal_hits(s):
+                if (rel, hit) not in WAIVERS:
+                    bad.append(f"{rel}:{lineno}: {hit!r}")
+    assert not bad, (
+        "decimal-literal division in engine SQL strings (truncated "
+        "DECIMAL division in Spark AND DuckDB — write "
+        "`cast(a as double) / b`):\n" + "\n".join(bad)
+    )
+
+
+def test_no_decimal_literal_division_in_oracles():
+    from faconne_spark.queries import all_oracles
+
+    bad = []
+    for key, sql in all_oracles().items():
+        if not isinstance(sql, str):
+            continue
+        for hit in _literal_literal_hits(sql):
+            if (key, hit) not in WAIVERS:
+                bad.append(f"{key}: {hit!r}")
+    assert not bad, (
+        "decimal-literal division in DuckDB oracles:\n" + "\n".join(bad)
+    )
+
+
+def test_lint_catches_the_planted_gumbel_trap():
+    """The r10 bite verbatim must be flagged (and the audited-good
+    idioms must NOT be)."""
+    assert _literal_literal_hits("sqrt(6.0) * s / pi() * (1.0/12.0)")
+    assert _literal_literal_hits("x + 1.0/12")  # decimal/int: also DECIMAL
+    assert _literal_literal_hits("y * 1/3.0")
+    # the fix idiom and the standard micro idioms stay clean
+    assert not _literal_literal_hits("cast(1 as double) / 12")
+    assert not _literal_literal_hits("round(s / 1000000.0, 0)")
+    assert not _literal_literal_hits("(r - 0.3) / (n + 0.4)")
+    assert not _literal_literal_hits("percentile(v, 0.5)")
