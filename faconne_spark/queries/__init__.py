@@ -67,6 +67,11 @@ _CHANGED_THIS_ROUND = [
     #    the per-type resample-checksum sum (decode-back for lossless
     #    codecs, pre-encode buffer for the honestly-lossy JPEG) --
     "mm_resize",
+    # -- new in r11 (judge r10 ask #5): real MP4 — stdlib ISO BMFF box
+    #    walk (moov/trak/stbl, stsc×stsz×stco sample map) over an
+    #    MJPEG-in-MP4 relation, every kept frame through the full JPEG
+    #    decode, closed-form md5 oracle --
+    "mm_mp4_frames",
 ]
 
 _REST = [
@@ -245,6 +250,7 @@ def _merged(attr: str) -> dict:
         bank_r10,
         bank_r11,
         curation,
+        round11,
         faconne_demo,
         pipeline,
         round7,
@@ -262,7 +268,7 @@ def _merged(attr: str) -> dict:
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
         round7, stats_r7, bank_r8, round8, bank_r9, staged_r9, round9,
-        round9b, bank_r10, round10, bank_r11,
+        round9b, bank_r10, round10, bank_r11, round11,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

@@ -147,10 +147,13 @@ def test_real_decoder_is_default_and_parses_real_containers(spark, sf_dir):
 
 
 def test_real_decoder_rejects_unknown_and_unsupported_payloads():
-    """Formats that genuinely need external libs (MP4) raise
-    NotImplementedError (the seam's contract); garbage — including a
-    PNG signature followed by junk, now that PNG decodes for real —
-    raises ValueError; never a silent fake decode."""
+    """Since r11 MP4 decodes for real (ISO BMFF walk) — so a TRUNCATED
+    MP4 raises ValueError like every malformed container, a FRAGMENTED
+    one raises NotImplementedError at the seam (moof needs
+    ffmpeg/pyav), and garbage — including a PNG signature followed by
+    junk — raises ValueError; never a silent fake decode."""
+    import struct
+
     from faconne_spark.operators.multimodal import (
         decode_media_real,
         resize_image_real,
@@ -159,10 +162,21 @@ def test_real_decoder_rejects_unknown_and_unsupported_payloads():
 
     with pytest.raises(ValueError, match="not a PNG"):
         decode_media_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
-    with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
+    # box header claims 32 bytes, file holds 24 → truncated, not seam
+    with pytest.raises(ValueError, match="overruns"):
         sample_frames_real(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8, 2)
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
+    with pytest.raises(ValueError, match="overruns"):
         decode_media_real(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8)
+    # well-formed but fragmented → the honest external-codec seam
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    moof = struct.pack(">I", 8) + b"moof"
+    with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
+        decode_media_real(ftyp + moof)
+    with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
+        sample_frames_real(ftyp + moof, 2)
+    # well-formed, unfragmented, but no movie metadata at all
+    with pytest.raises(ValueError, match="no moov"):
+        decode_media_real(ftyp)
     with pytest.raises(ValueError):
         decode_media_real(b"garbage-bytes-here")
     with pytest.raises(ValueError):

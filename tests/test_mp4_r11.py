@@ -1,0 +1,220 @@
+"""Round-11 MP4 (ISO BMFF) codec pins: the writer/reader round trip,
+the stsc/stsz/stco sample-map composition on shapes the writer does
+NOT emit (multi-chunk, constant-size, co64, largesize), and the
+malformed/fragmented error contract.  Public spec: ISO/IEC 14496-12
+(box grammar §4, sample tables §8.7)."""
+
+import struct
+
+import pytest
+
+from faconne_spark.operators.multimodal import (
+    jpeg_encode,
+    jpeg_pixels,
+    mp4_boxes,
+    mp4_dims,
+    mp4_encode_mjpeg,
+    mp4_frames,
+    mp4_sample_table,
+    sample_frames_real,
+)
+
+ONES = ([1] * 64, [1] * 64)
+
+
+def _jpeg(v, w=8, h=8):
+    return jpeg_encode(w, h, bytes([v]) * (w * h), channels=1, quant=ONES)
+
+
+def test_mjpeg_mp4_roundtrip_bitexact():
+    frames = [_jpeg(v) for v in (9, 77, 200, 31)]
+    mp4 = mp4_encode_mjpeg(frames, 8, 8)
+    t = mp4_sample_table(mp4)
+    assert t["codec"] == "jpeg"
+    assert (t["width"], t["height"], t["timescale"]) == (8, 8, 1000)
+    assert mp4_frames(mp4) == frames
+    assert mp4_dims(mp4) == (8, 8)
+    # every kept frame is a complete, decodable JPEG
+    for _i, f in sample_frames_real(mp4, 2):
+        assert jpeg_pixels(f)[:3] == (8, 8, 1)
+
+
+def test_mp4_every_n_sampling():
+    frames = [_jpeg(v) for v in range(5)]
+    mp4 = mp4_encode_mjpeg(frames, 8, 8)
+    kept = sample_frames_real(mp4, 2)
+    assert [i for i, _ in kept] == [0, 2, 4]
+    assert [f for _, f in kept] == [frames[0], frames[2], frames[4]]
+
+
+def _full(fourcc, version, flags, content):
+    return (
+        struct.pack(">I", 12 + len(content))
+        + fourcc
+        + struct.pack(">I", (version << 24) | flags)
+        + content
+    )
+
+
+def _box(fourcc, content):
+    return struct.pack(">I", 8 + len(content)) + fourcc + content
+
+
+def _custom_mp4(sample_bytes, stsc_runs, chunk_offsets, sizes=None,
+                const_size=0, wide=False):
+    """Hand-built minimal MP4: ftyp + mdat(sample_bytes) + a moov whose
+    stbl uses the given chunk map — exercises reader paths the
+    mp4_encode_mjpeg writer never produces."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat = _box(b"mdat", sample_bytes)
+    n = len(sizes) if sizes is not None else None
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", const_size, n)
+        + (b"".join(struct.pack(">I", s) for s in sizes)
+           if not const_size else b""),
+    )
+    if wide:
+        co = _full(
+            b"co64", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        co = _full(
+            b"stco", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_runs))
+        + b"".join(struct.pack(">III", *r) for r in stsc_runs),
+    )
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1) + struct.pack(">HH", 0, 0)
+        + b"\x00" * 12 + struct.pack(">HH", 4, 4)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1) + _box(b"jpeg", entry),
+    )
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + co)
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"h\x00",
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 90000, n) + struct.pack(">HH", 0, 0),
+    )
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov, len(ftyp) + 8
+
+
+def test_mp4_multichunk_stsc_and_co64():
+    """Three chunks with a two-run stsc (2+2 then 1 sample) across a
+    co64 64-bit offset table — the §8.7.4 run expansion."""
+    data = b"AABBCCDDE"  # 5 samples of sizes 2,2,2,2,1
+    _, base = _custom_mp4(
+        data,
+        stsc_runs=[(1, 2, 1), (3, 1, 1)],
+        chunk_offsets=[0, 0, 0],
+        sizes=[2, 2, 2, 2, 1],
+    )
+    # chunk 1: samples 1-2 at base, chunk 2: samples 3-4 at base+4,
+    # chunk 3: sample 5 at base+8
+    payload, base = _custom_mp4(
+        data,
+        stsc_runs=[(1, 2, 1), (3, 1, 1)],
+        chunk_offsets=[base, base + 4, base + 8],
+        sizes=[2, 2, 2, 2, 1],
+        wide=True,
+    )
+    t = mp4_sample_table(payload)
+    assert [payload[o : o + s] for o, s in t["samples"]] == [
+        b"AA", b"BB", b"CC", b"DD", b"E",
+    ]
+    assert (t["width"], t["height"]) == (4, 4)
+    assert t["timescale"] == 90000
+
+
+def test_mp4_constant_sample_size():
+    data = b"XXYYZZ"
+    payload, base = _custom_mp4(
+        data, stsc_runs=[(1, 3, 1)], chunk_offsets=[0], sizes=[0, 0, 0],
+    )
+    payload, base = _custom_mp4(
+        data, stsc_runs=[(1, 3, 1)], chunk_offsets=[base],
+        sizes=[None] * 3, const_size=2,
+    )
+    t = mp4_sample_table(payload)
+    assert [payload[o : o + s] for o, s in t["samples"]] == [
+        b"XX", b"YY", b"ZZ",
+    ]
+
+
+def test_mp4_largesize_box_walk():
+    """A size==1 largesize mdat walks correctly."""
+    inner = b"payload-bytes"
+    large = (
+        struct.pack(">I", 1) + b"mdat"
+        + struct.pack(">Q", 16 + len(inner)) + inner
+    )
+    boxes = list(mp4_boxes(large))
+    assert boxes == [(b"mdat", 16, 16 + len(inner))]
+
+
+def test_mp4_malformed_maps_raise():
+    data = b"AABB"
+    payload, base = _custom_mp4(
+        data, stsc_runs=[(1, 2, 1)], chunk_offsets=[10 ** 6],
+        sizes=[2, 2],
+    )
+    with pytest.raises(ValueError, match="overruns the file"):
+        mp4_sample_table(payload)
+    # stsc covering fewer samples than stsz declares
+    payload, base = _custom_mp4(
+        data, stsc_runs=[(1, 1, 1)], chunk_offsets=[base], sizes=[2, 2],
+    )
+    with pytest.raises(ValueError, match="yields 1 of 2"):
+        mp4_sample_table(payload)
+
+
+def test_mp4_synthesize_and_extract_batch(spark):
+    """The full engine seam at a tiny scale: synthesize → ISO BMFF
+    walk → JPEG decode → stats, against a Python replay."""
+    import hashlib
+
+    from faconne_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, f"mp4 gate doc {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in MM.extract_mp4_frame_stats(
+            MM.synthesize_mp4(docs)
+        ).collect()
+    }
+    for i in range(4):
+        d = hashlib.md5(f"mp4 gate doc {i}".encode()).digest()
+        n, wb, hb = 2 + d[3] % 5, 1 + d[4] % 3, 1 + d[5] % 3
+        kept = [j for j in range(n) if j % 2 == 0]
+        expect = sum(
+            64 * sum(d[(k + j) % 16] for k in range(wb * hb))
+            for j in kept
+        )
+        r = rows[i]
+        assert (r["width"], r["height"]) == (8 * wb, 8 * hb)
+        assert r["n_frames_kept"] == len(kept)
+        assert r["max_frame_idx"] == kept[-1]
+        assert r["pixel_sum"] == expect

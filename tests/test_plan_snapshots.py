@@ -432,6 +432,8 @@ SNAPSHOT_QUERIES = [
     "events_gap_weibull_fit",
     "events_weekend_energy_distance",
     "orders_monthly_seasonal_strength",
+    # round-11: the MP4 gate key (mm_resize already snapshots below)
+    "mm_mp4_frames",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
