@@ -72,6 +72,11 @@ _CHANGED_THIS_ROUND = [
     #    MJPEG-in-MP4 relation, every kept frame through the full JPEG
     #    decode, closed-form md5 oracle --
     "mm_mp4_frames",
+    # -- re-implemented in r11 (judge r10 ask #7): the cosine-pair
+    #    histogram's fixed-FRACTION modulus sampler (phash60 % 8 — the
+    #    r9 quadratic defect class) re-expressed over the fixed-COUNT
+    #    sample_panel(400); broadcast and pair stage bounded CONSTANT --
+    "embed_cosine_pair_histogram",
 ]
 
 _REST = [
