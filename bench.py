@@ -555,6 +555,16 @@ def main() -> None:
         "orders_monthly_seasonal_strength",
         # round-11 codec gates (mm_resize is already timed above)
         "mm_mp4_frames",
+        # round-11 analytics waves A-D
+        "events_daily_acf_ljungbox",
+        "events_value_mad_by_type",
+        "events_value_gini_by_type",
+        "docs_word_recurrence_gap",
+        "docs_vocab_gini",
+        "docs_length_freq_spearman",
+        "lineitem_qty_twoway_anova",
+        "customer_segment_welch_pairs",
+        "embed_panel_knn_reciprocity",
     ]
     times = {}
     shuffle = {}

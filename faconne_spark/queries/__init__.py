@@ -77,6 +77,20 @@ _CHANGED_THIS_ROUND = [
     #    r9 quadratic defect class) re-expressed over the fixed-COUNT
     #    sample_panel(400); broadcast and pair stage bounded CONSTANT --
     "embed_cosine_pair_histogram",
+    # -- new in r11, analytics waves A-D (queries/round11.py):
+    #    Ljung-Box portmanteau, MAD robust scale, per-type value Gini,
+    #    word recurrence gaps, vocabulary Gini, Zipf's law of
+    #    abbreviation, two-way ANOVA with interaction, Welch pairwise
+    #    t, panel kNN reciprocity --
+    "events_daily_acf_ljungbox",
+    "events_value_mad_by_type",
+    "events_value_gini_by_type",
+    "docs_word_recurrence_gap",
+    "docs_vocab_gini",
+    "docs_length_freq_spearman",
+    "lineitem_qty_twoway_anova",
+    "customer_segment_welch_pairs",
+    "embed_panel_knn_reciprocity",
 ]
 
 _REST = [

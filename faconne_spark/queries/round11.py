@@ -64,3 +64,838 @@ FROM geom
 
 QUERIES["mm_mp4_frames"] = mm_mp4_frames
 ORACLES["mm_mp4_frames"] = _oracle_mm_mp4()
+
+
+# ===================== wave A: events time-series / robust statistics
+
+
+def events_daily_acf_ljungbox(spark, sf):
+    """Ljung–Box portmanteau test on daily event volume, lags 1–7
+    (Ljung & Box 1978): Q = n(n+2)·Σ ρ̂ₖ²/(n−k) — the WHOLE-correlogram
+    whiteness verdict where events_autocorr_daily reads single lags
+    (seven individually-insignificant positive lags can still reject
+    jointly; every bootstrap CI upstream assumes Q small).  Series =
+    the observed-day sequence (the repo's day-relation convention,
+    same as the runs/turning-point keys).
+
+    Exactness: the series is mean-centered exactly by scaling
+    (yₜ = D·xₜ − S, exact BIGINT); per-lag Σ yₜyₜ₊ₖ and Σ yₜ² run in
+    DECIMAL(38,0); ρ̂ₖ micro-rounds ONCE per lag (half away from
+    zero — signed numerator), the per-lag Q term rounds once more to
+    pico units, the seven terms integer-sum, and Q is one final
+    double (the per-cell discipline end-to-end)."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = daily.groupBy().agg(
+        F.count("*").alias("nd"), F.sum("c").alias("s")
+    )
+    y = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "nd", F.expr("nd * c - s").alias("y")
+    )
+    w = W.orderBy("d")
+    lagged = y.select(
+        "nd",
+        F.col("y").cast("decimal(38,0)").alias("y0"),
+        *[
+            F.lag("y", k).over(w).cast("decimal(38,0)").alias(f"y{k}")
+            for k in range(1, 8)
+        ],
+    )
+    m = lagged.groupBy().agg(
+        F.max("nd").alias("n"),
+        F.sum(F.expr("y0 * y0")).alias("den"),
+        *[
+            F.sum(F.expr(f"y0 * y{k}")).alias(f"num{k}")
+            for k in range(1, 8)
+        ],
+    )
+    rho = [
+        f"cast(round(cast(num{k} as double) / cast(den as double)"
+        f" * 1000000, 0) as bigint) AS rho{k}_micro"
+        for k in range(1, 8)
+    ]
+    terms = m.selectExpr("n", "den", *rho).selectExpr(
+        "n",
+        *[f"rho{k}_micro" for k in range(1, 8)],
+        *[
+            f"cast(round(cast(rho{k}_micro * rho{k}_micro as double)"
+            f" / (n - {k}), 0) as bigint) AS t{k}_pico"
+            for k in range(1, 8)
+        ],
+    )
+    q = " + ".join(f"t{k}_pico" for k in range(1, 8))
+    return terms.selectExpr(
+        "cast(n as bigint) AS n_days",
+        *[f"rho{k}_micro" for k in range(1, 8)],
+        f"round(cast(n as double) * (n + 2) * ({q}) / 1e12, 6) + 0.0"
+        " AS lb_q",
+    )
+
+
+def _oracle_ljungbox() -> str:
+    nums = ",\n         ".join(
+        f"sum(y0 * y{k}) AS num{k}" for k in range(1, 8)
+    )
+    lags = ",\n         ".join(
+        f"lag(y, {k}) OVER (ORDER BY d)::DECIMAL(38,0) AS y{k}"
+        for k in range(1, 8)
+    )
+    rhos = ",\n       ".join(
+        f"round(num{k}::DOUBLE / den::DOUBLE * 1000000, 0)::BIGINT"
+        f" AS rho{k}_micro"
+        for k in range(1, 8)
+    )
+    terms = ",\n       ".join(
+        f"round((rho{k}_micro * rho{k}_micro)::DOUBLE / (n - {k}),"
+        f" 0)::BIGINT AS t{k}_pico"
+        for k in range(1, 8)
+    )
+    qsum = " + ".join(f"t{k}_pico" for k in range(1, 8))
+    return f"""
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS c FROM events GROUP BY 1),
+tot AS (
+  SELECT count(*)::BIGINT AS nd, sum(c)::BIGINT AS s FROM daily),
+ys AS (
+  SELECT d, nd, (nd * c - s)::DECIMAL(38,0) AS y
+  FROM daily CROSS JOIN tot),
+lagged AS (
+  SELECT nd, y AS y0,
+         {lags}
+  FROM ys),
+m AS (
+  SELECT max(nd)::BIGINT AS n, sum(y0 * y0) AS den,
+         {nums}
+  FROM lagged),
+r AS (
+  SELECT n, den,
+       {rhos}
+  FROM m),
+t AS (
+  SELECT n,
+       rho1_micro, rho2_micro, rho3_micro, rho4_micro, rho5_micro,
+       rho6_micro, rho7_micro,
+       {terms}
+  FROM r)
+SELECT n AS n_days,
+       rho1_micro, rho2_micro, rho3_micro, rho4_micro, rho5_micro,
+       rho6_micro, rho7_micro,
+       round(n::DOUBLE * (n + 2) * ({qsum}) / 1e12, 6) + 0.0 AS lb_q
+FROM t
+"""
+
+
+QUERIES["events_daily_acf_ljungbox"] = events_daily_acf_ljungbox
+ORACLES["events_daily_acf_ljungbox"] = _oracle_ljungbox()
+
+
+# ------------------------------------------------ robust scale (MAD)
+
+
+def events_value_mad_by_type(spark, sf):
+    """Median absolute deviation (and MAD/|median| robust CV) of event
+    value per type — the breakdown-point-0.5 scale gauge beside the
+    quantile family (QCD reads relative WIDTH between quartiles; MAD
+    reads dispersion around the center and survives 49 % outliers;
+    their disagreement localizes where the whales live).
+
+    Exactness: ×2-exact median of integer micros; |2v − med₂| is an
+    exact ×2-micro integer, so its median is ×4-exact (the ×k trick
+    composed once); the robust CV is one final double."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "cast(floor(2 * percentile(v, 0.5) + 0.5) as bigint)"
+        ).alias("med_x2"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "n_events", "med_x2",
+        F.expr("abs(2 * v - med_x2)").alias("a"),
+    )
+    return (
+        dev.groupBy("event_type", "n_events", "med_x2")
+        .agg(
+            F.expr(
+                "cast(floor(2 * percentile(a, 0.5) + 0.5) as bigint)"
+            ).alias("mad_x4")
+        )
+        .select(
+            "event_type", "n_events", "med_x2", "mad_x4",
+            F.expr(
+                "case when med_x2 != 0 then"
+                " round(cast(mad_x4 as double) / (2.0 * abs(med_x2)), 6)"
+                " + 0.0 end"
+            ).alias("robust_cv"),
+        )
+    )
+
+
+ORACLE_MAD = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+med AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         floor(2 * quantile_cont(v, 0.5) + 0.5)::BIGINT AS med_x2
+  FROM ev GROUP BY 1),
+dev AS (
+  SELECT ev.event_type, n_events, med_x2,
+         abs(2 * v - med_x2)::BIGINT AS a
+  FROM ev JOIN med USING (event_type))
+SELECT event_type, n_events, med_x2,
+       floor(2 * quantile_cont(a, 0.5) + 0.5)::BIGINT AS mad_x4,
+       CASE WHEN med_x2 != 0 THEN
+         round((floor(2 * quantile_cont(a, 0.5) + 0.5)::BIGINT)::DOUBLE
+               / (2.0 * abs(med_x2)), 6) + 0.0 END AS robust_cv
+FROM dev GROUP BY event_type, n_events, med_x2
+"""
+
+QUERIES["events_value_mad_by_type"] = events_value_mad_by_type
+ORACLES["events_value_mad_by_type"] = ORACLE_MAD
+
+
+# -------------------------------------------- value inequality (Gini)
+
+
+def events_value_gini_by_type(spark, sf):
+    """Exact Gini coefficient of event value per type — the
+    inequality lens on transaction values themselves (the revenue
+    Gini reads per-customer concentration; this reads how unequal the
+    individual tickets are, the direct input to whale-capping
+    curation rules).  G = 2·Σrᵢvᵢ/(n·Σv) − (n+1)/n on ascending ranks.
+
+    Exactness: ranks from row_number over (value, event_id) — Σ r·v
+    is invariant to the order WITHIN a tie group, so the tiebreak
+    only pins engine determinism; moments in DECIMAL(38,0); G one
+    final double.  Scale: the rank window partitions by type."""
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf, "events").select(
+        "event_type", "event_id",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    r = ev.withColumn(
+        "r",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("v", "event_id"))
+        .cast("long"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.sum(
+            F.col("r").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")
+        ).alias("srv"),
+    )
+    return g.select(
+        "event_type", "n_events",
+        F.col("sv").cast("long").alias("value_micro_total"),
+        F.expr(
+            "case when sv > 0 and n_events > 1 then"
+            " round((2.0 * cast(srv as double)"
+            " - (cast(n_events as double) + 1) * cast(sv as double))"
+            " / (cast(n_events as double) * cast(sv as double)), 6)"
+            " + 0.0 end"
+        ).alias("gini"),
+    )
+
+
+ORACLE_VALUE_GINI = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id)::BIGINT AS r
+  FROM ev),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         sum(v::DECIMAL(38,0)) AS sv,
+         sum(r::DECIMAL(38,0) * v::DECIMAL(38,0)) AS srv
+  FROM r GROUP BY 1)
+SELECT event_type, n_events, sv::BIGINT AS value_micro_total,
+       CASE WHEN sv > 0 AND n_events > 1 THEN
+         round((2.0 * srv::DOUBLE - (n_events::DOUBLE + 1) * sv::DOUBLE)
+               / (n_events::DOUBLE * sv::DOUBLE), 6) + 0.0 END AS gini
+FROM g
+"""
+
+QUERIES["events_value_gini_by_type"] = events_value_gini_by_type
+ORACLES["events_value_gini_by_type"] = ORACLE_VALUE_GINI
+
+
+# ===================== wave B: lexical structure
+
+
+def docs_word_recurrence_gap(spark, sf):
+    """Within-document word recurrence gaps per source: for every
+    repeated occurrence of a word inside one document, the distance
+    (in tokens) since its previous occurrence — the full recurrence
+    distribution behind the adjacent-repeat key (which only sees
+    gap = 1): templated/boilerplate text recurs at short regular
+    gaps, topical prose at long bursty ones (Church & Gale 1995).
+
+    Exactness: positions and gaps are exact integers; mean is the
+    half-up micro idiom (gaps ≥ 1); median is ×2-exact.  Scale: one
+    posexplode pass; the lag window partitions by (doc, word) — row
+    scale but embarrassingly partitioned, no global sort."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    pos = T(spark, sf, "documents").select(
+        "doc_id", "source",
+        F.posexplode(F.expr(toks)).alias("i", "w"),
+    )
+    gap = pos.withColumn(
+        "g",
+        F.col("i")
+        - F.lag("i").over(
+            W.partitionBy("doc_id", "w").orderBy("i")
+        ),
+    ).filter(F.col("g").isNotNull())
+    return gap.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_recurrences"),
+        F.expr(
+            "cast((2 * sum(cast(g as bigint)) + count(*))"
+            " div (2 * count(*)) as bigint)"
+        ).alias("mean_gap_micro_x1"),
+        F.expr(
+            "cast(floor(2 * percentile(g, 0.5) + 0.5) as bigint)"
+        ).alias("med_gap_x2"),
+        F.max("g").cast("long").alias("max_gap"),
+    )
+
+
+def _oracle_recurrence() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {toks} AS ts FROM documents),
+pos AS (
+  -- indexed-lambda unnest (range() takes no lateral column bounds);
+  -- DuckDB's i is 1-based vs posexplode's 0-based — gaps are
+  -- differences, so the offset cancels
+  SELECT doc_id, source, u.w AS w, u.i AS i
+  FROM tok, unnest(list_transform(ts, (x, i) -> {{'w': x, 'i': i}}))
+         AS t(u)),
+gap AS (
+  SELECT source,
+         i - lag(i) OVER (PARTITION BY doc_id, w ORDER BY i) AS g
+  FROM pos)
+SELECT source, count(*)::BIGINT AS n_recurrences,
+       ((2 * sum(g::BIGINT) + count(*)) // (2 * count(*)))::BIGINT
+         AS mean_gap_micro_x1,
+       floor(2 * quantile_cont(g, 0.5) + 0.5)::BIGINT AS med_gap_x2,
+       max(g)::BIGINT AS max_gap
+FROM gap WHERE g IS NOT NULL GROUP BY source
+"""
+
+
+QUERIES["docs_word_recurrence_gap"] = docs_word_recurrence_gap
+ORACLES["docs_word_recurrence_gap"] = _oracle_recurrence()
+
+
+def docs_vocab_gini(spark, sf):
+    """Gini coefficient of the word-frequency distribution per source
+    — HOW unequal the token mass is across the vocabulary, one scalar
+    beside the Zipf slope's power-law SHAPE and Yule's K repeat rate
+    (two sources can share a slope while one concentrates half its
+    mass in ten tokens).  Runs on the VOCABULARY relation.
+
+    Exactness: same exact rank-sum Gini as the value keys (counts
+    are integers, ties order-invariant, word tiebreak pins engine
+    determinism); one final double."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    r = cnt.withColumn(
+        "r",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("c", "w"))
+        .cast("long"),
+    )
+    g = r.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum(
+            F.col("r").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("src"),
+    )
+    return g.select(
+        "source", "vocab",
+        F.col("sc").cast("long").alias("n_tokens"),
+        F.expr(
+            "case when sc > 0 and vocab > 1 then"
+            " round((2.0 * cast(src as double)"
+            " - (cast(vocab as double) + 1) * cast(sc as double))"
+            " / (cast(vocab as double) * cast(sc as double)), 6)"
+            " + 0.0 end"
+        ).alias("gini"),
+    )
+
+
+def _oracle_vocab_gini() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cnt AS (
+  SELECT source, w, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+r AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c, w)::BIGINT
+           AS r
+  FROM cnt),
+g AS (
+  SELECT source, count(*)::BIGINT AS vocab,
+         sum(c::DECIMAL(38,0)) AS sc,
+         sum(r::DECIMAL(38,0) * c::DECIMAL(38,0)) AS src
+  FROM r GROUP BY 1)
+SELECT source, vocab, sc::BIGINT AS n_tokens,
+       CASE WHEN sc > 0 AND vocab > 1 THEN
+         round((2.0 * src::DOUBLE - (vocab::DOUBLE + 1) * sc::DOUBLE)
+               / (vocab::DOUBLE * sc::DOUBLE), 6) + 0.0 END AS gini
+FROM g
+"""
+
+
+QUERIES["docs_vocab_gini"] = docs_vocab_gini
+ORACLES["docs_vocab_gini"] = _oracle_vocab_gini()
+
+
+def docs_length_freq_spearman(spark, sf):
+    """Zipf's law of abbreviation, tested: Spearman ρ between word
+    LENGTH and corpus FREQUENCY over the vocabulary relation (Zipf
+    1935 — frequent words are short; ρ should be firmly negative in
+    natural text, and a corpus where it is not is synthetic/ID-heavy,
+    which changes tokenizer-fertility economics).  Fifth consumer of
+    the distributed_avg_ranks primitive.
+
+    Exactness: both rank vectors are ×2-exact average tie-ranks on
+    bounded distinct-value relations (length domain ~20 values);
+    moments in DECIMAL(38,0); ρ one final double."""
+    from faconne_spark.functions import tokens_ws
+    from faconne_spark.operators.evalstats import spearman_rho
+
+    toks = tokens_ws("lower(text)", "spark")
+    vocab = (
+        T(spark, sf, "documents")
+        .select(F.explode(F.expr(toks)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    return spearman_rho(
+        vocab, "cast(length(w) as bigint)", "cast(c as bigint)"
+    ).select(F.col("n_rows").alias("n_words"), "spearman_rho")
+
+
+def _oracle_len_freq() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH vocab AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest({toks}) AS w FROM documents) GROUP BY 1),
+base AS (
+  SELECT length(w)::BIGINT AS x, c AS y FROM vocab),
+ranked AS (
+  SELECT 2 * rank() OVER (ORDER BY x)
+           + count(*) OVER (PARTITION BY x) - 1 AS rx,
+         2 * rank() OVER (ORDER BY y)
+           + count(*) OVER (PARTITION BY y) - 1 AS ry
+  FROM base),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(rx)::BIGINT AS sx,
+         sum(ry)::BIGINT AS sy,
+         sum(rx::DECIMAL(38,0) * ry::DECIMAL(38,0)) AS sxy,
+         sum(rx::DECIMAL(38,0) * rx::DECIMAL(38,0)) AS sxx,
+         sum(ry::DECIMAL(38,0) * ry::DECIMAL(38,0)) AS syy
+  FROM ranked)
+SELECT n AS n_words,
+       CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+             AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0 THEN
+         round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+               6) + 0.0 END AS spearman_rho
+FROM m
+"""
+
+
+QUERIES["docs_length_freq_spearman"] = docs_length_freq_spearman
+ORACLES["docs_length_freq_spearman"] = _oracle_len_freq()
+
+
+# ===================== wave C: relational inference
+
+
+def lineitem_qty_twoway_anova(spark, sf):
+    """Two-way ANOVA of line quantity across returnflag × linestatus
+    with interaction (cell-means decomposition: SS_cells partitioned
+    into factor A, factor B, and A×B remainder; SS_W within cells) —
+    the first TWO-factor variance decomposition in the registry (the
+    one-way keys cannot see an interaction: a flag effect that exists
+    only for one status is invisible to both margins).
+
+    Exactness: quantities are small integers; every SS term micro-
+    rounds ONCE per group from exact BIGINT/DECIMAL moments (the
+    one-way ANOVA discipline); SS_AB is an integer subtraction of
+    micro terms; the F ratios and η² are final doubles.  Scale: one
+    lineitem pass to the ≤ a·b cell relation."""
+    li = T(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.expr("cast(l_quantity as bigint)").alias("q"),
+    )
+    cells = li.groupBy("rf", "ls").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(
+            F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    tot = cells.groupBy().agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st"),
+        F.countDistinct("rf").alias("a"),
+        F.countDistinct("ls").alias("b"),
+    )
+    return _twoway_assemble(cells, tot)
+
+
+def _twoway_assemble(cells, tot):
+    term = (
+        "cast(round(1000000 * cast({n} as double) *"
+        " pow(cast({s} as double) / {n}"
+        " - cast(st as double) / nt, 2), 0) as bigint)"
+    )
+    wterm = (
+        "cast(round(1000000 * (cast(ss as double)"
+        " - cast(s as double) * cast(s as double) / n), 0) as bigint)"
+    )
+    cell_terms = cells.crossJoin(F.broadcast(tot)).select(
+        F.expr(term.format(n="n", s="s")).alias("tc"),
+        F.expr(wterm).alias("tw"),
+    ).groupBy().agg(
+        F.sum("tc").alias("ss_cells_micro"),
+        F.sum("tw").alias("ssw_micro"),
+    )
+    a_terms = (
+        cells.groupBy("rf")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.expr(term.format(n="n", s="s")).alias("t"))
+        .groupBy().agg(F.sum("t").alias("ssa_micro"))
+    )
+    b_terms = (
+        cells.groupBy("ls")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.expr(term.format(n="n", s="s")).alias("t"))
+        .groupBy().agg(F.sum("t").alias("ssb_micro"))
+    )
+    out = (
+        cell_terms.crossJoin(a_terms).crossJoin(b_terms)
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.selectExpr(
+        "cast(a as bigint) AS a_levels",
+        "cast(b as bigint) AS b_levels",
+        "cast(nt as bigint) AS n_rows",
+        "ssa_micro", "ssb_micro",
+        "ss_cells_micro - ssa_micro - ssb_micro AS ssab_micro",
+        "ssw_micro",
+        "case when nt > a * b and ssw_micro > 0 then"
+        " round((cast(ssa_micro as double) / (a - 1))"
+        " / (cast(ssw_micro as double) / (nt - a * b)), 6) + 0.0 end"
+        " AS f_a",
+        "case when nt > a * b and ssw_micro > 0 then"
+        " round((cast(ssb_micro as double) / (b - 1))"
+        " / (cast(ssw_micro as double) / (nt - a * b)), 6) + 0.0 end"
+        " AS f_b",
+        "case when nt > a * b and ssw_micro > 0 then"
+        " round((cast(ss_cells_micro - ssa_micro - ssb_micro as double)"
+        " / ((a - 1) * (b - 1)))"
+        " / (cast(ssw_micro as double) / (nt - a * b)), 6) + 0.0 end"
+        " AS f_ab",
+    )
+
+
+ORACLE_TWOWAY = """
+WITH li AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         l_quantity::BIGINT AS q
+  FROM lineitem),
+cells AS (
+  SELECT rf, ls, count(*)::BIGINT AS n, sum(q)::BIGINT AS s,
+         sum(q::DECIMAL(38,0) * q::DECIMAL(38,0)) AS ss
+  FROM li GROUP BY 1, 2),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         count(DISTINCT rf)::BIGINT AS a,
+         count(DISTINCT ls)::BIGINT AS b
+  FROM cells),
+ct AS (
+  SELECT sum(round(1000000 * n::DOUBLE *
+                   pow(s::DOUBLE / n - st::DOUBLE / nt, 2), 0)::BIGINT)
+           ::BIGINT AS ss_cells_micro,
+         sum(round(1000000 * (ss::DOUBLE - s::DOUBLE * s / n),
+                   0)::BIGINT)::BIGINT AS ssw_micro
+  FROM cells CROSS JOIN tot),
+at AS (
+  SELECT sum(round(1000000 * n::DOUBLE *
+                   pow(s::DOUBLE / n - st::DOUBLE / nt, 2), 0)::BIGINT)
+           ::BIGINT AS ssa_micro
+  FROM (SELECT rf, sum(n)::BIGINT AS n, sum(s)::BIGINT AS s
+        FROM cells GROUP BY 1) CROSS JOIN tot),
+bt AS (
+  SELECT sum(round(1000000 * n::DOUBLE *
+                   pow(s::DOUBLE / n - st::DOUBLE / nt, 2), 0)::BIGINT)
+           ::BIGINT AS ssb_micro
+  FROM (SELECT ls, sum(n)::BIGINT AS n, sum(s)::BIGINT AS s
+        FROM cells GROUP BY 1) CROSS JOIN tot)
+SELECT a AS a_levels, b AS b_levels, nt AS n_rows,
+       ssa_micro, ssb_micro,
+       (ss_cells_micro - ssa_micro - ssb_micro)::BIGINT AS ssab_micro,
+       ssw_micro,
+       CASE WHEN nt > a * b AND ssw_micro > 0 THEN
+         round((ssa_micro::DOUBLE / (a - 1))
+               / (ssw_micro::DOUBLE / (nt - a * b)), 6) + 0.0 END AS f_a,
+       CASE WHEN nt > a * b AND ssw_micro > 0 THEN
+         round((ssb_micro::DOUBLE / (b - 1))
+               / (ssw_micro::DOUBLE / (nt - a * b)), 6) + 0.0 END AS f_b,
+       CASE WHEN nt > a * b AND ssw_micro > 0 THEN
+         round(((ss_cells_micro - ssa_micro - ssb_micro)::DOUBLE
+                / ((a - 1) * (b - 1)))
+               / (ssw_micro::DOUBLE / (nt - a * b)), 6) + 0.0 END AS f_ab
+FROM ct CROSS JOIN at CROSS JOIN bt CROSS JOIN tot
+"""
+
+QUERIES["lineitem_qty_twoway_anova"] = lineitem_qty_twoway_anova
+ORACLES["lineitem_qty_twoway_anova"] = ORACLE_TWOWAY
+
+
+def customer_segment_welch_pairs(spark, sf):
+    """Welch's unequal-variance t statistic (with Welch–Satterthwaite
+    df) for every market-segment PAIR on account balance — the
+    pairwise LOCALIZATION the segment-balance ANOVA can't give (an
+    omnibus F says segments differ; this says WHICH pairs, without
+    the equal-variance assumption the pooled t needs; balances go
+    negative, so all arithmetic is sign-safe doubles from exact centi
+    moments).
+
+    Scale: one customer pass to the 5-row segment rollup; the pair
+    frame is 10 rows."""
+    c = T(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "cast(round(cast(c_acctbal as double) * 100, 0) as bigint)"
+        ).alias("b"),
+    )
+    m = c.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("b").alias("s"),
+        F.sum(
+            F.col("b").cast("decimal(38,0)") * F.col("b").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    a = m.select(
+        F.col("seg").alias("seg_a"), F.col("n").alias("na"),
+        F.col("s").alias("sa"), F.col("ss").alias("ssa"),
+    )
+    b = m.select(
+        F.col("seg").alias("seg_b"), F.col("n").alias("nb"),
+        F.col("s").alias("sb"), F.col("ss").alias("ssb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    va = (
+        "((cast(ssa as double) - cast(sa as double) * sa / na)"
+        " / (na - 1))"
+    )
+    vb = (
+        "((cast(ssb as double) - cast(sb as double) * sb / nb)"
+        " / (nb - 1))"
+    )
+    se2 = f"({va} / na + {vb} / nb)"
+    return pairs.selectExpr(
+        "seg_a", "seg_b", "na", "nb",
+        f"round((cast(sa as double) / na - cast(sb as double) / nb)"
+        f" / sqrt({se2}), 6) + 0.0 AS welch_t",
+        f"round(pow({se2}, 2) / (pow({va} / na, 2) / (na - 1)"
+        f" + pow({vb} / nb, 2) / (nb - 1)), 6) + 0.0 AS welch_df",
+    )
+
+
+ORACLE_WELCH = """
+WITH c AS (
+  SELECT c_mktsegment AS seg,
+         round(c_acctbal::DOUBLE * 100, 0)::BIGINT AS b
+  FROM customer),
+m AS (
+  SELECT seg, count(*)::BIGINT AS n, sum(b)::BIGINT AS s,
+         sum(b::DECIMAL(38,0) * b::DECIMAL(38,0)) AS ss
+  FROM c GROUP BY 1),
+pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b,
+         a.n AS na, a.s AS sa, a.ss AS ssa,
+         b.n AS nb, b.s AS sb, b.ss AS ssb
+  FROM m a JOIN m b ON a.seg < b.seg)
+SELECT seg_a, seg_b, na, nb,
+       round((sa::DOUBLE / na - sb::DOUBLE / nb)
+             / sqrt(((ssa::DOUBLE - sa::DOUBLE * sa / na) / (na - 1)) / na
+                    + ((ssb::DOUBLE - sb::DOUBLE * sb / nb) / (nb - 1)) / nb),
+             6) + 0.0 AS welch_t,
+       round(pow(((ssa::DOUBLE - sa::DOUBLE * sa / na) / (na - 1)) / na
+                 + ((ssb::DOUBLE - sb::DOUBLE * sb / nb) / (nb - 1)) / nb, 2)
+             / (pow(((ssa::DOUBLE - sa::DOUBLE * sa / na) / (na - 1)) / na, 2)
+                  / (na - 1)
+                + pow(((ssb::DOUBLE - sb::DOUBLE * sb / nb) / (nb - 1)) / nb, 2)
+                  / (nb - 1)), 6) + 0.0 AS welch_df
+FROM pairs
+"""
+
+QUERIES["customer_segment_welch_pairs"] = customer_segment_welch_pairs
+ORACLES["customer_segment_welch_pairs"] = ORACLE_WELCH
+
+
+# ===================== wave D: embedding geometry
+
+
+KNN_PANEL_N = 400
+KNN_K = 5
+
+
+def embed_panel_knn_reciprocity(spark, sf):
+    """k-NN reciprocity on a fixed-COUNT embedding panel: build each
+    panel point's cosine top-5 within the panel and measure the share
+    of directed edges whose reverse edge also exists — the hubness
+    SYMPTOM readout beside ann_hubness' in-degree distribution (an
+    anisotropic/hubby space has low reciprocity: hubs appear in
+    everyone's top-k while their own top-k ignores most pointers;
+    Radovanović et al. 2010).
+
+    Exactness: cosines micro-round ONCE per pair (signed — round half
+    away from zero), ranks break ties on (cos_micro DESC, vec_id ASC)
+    so the edge set is deterministic in both engines; the reciprocity
+    share is a half-up micro division of edge counts.  Scale: the
+    pair stage is panel² = 400² rows — bounded CONSTANT work at any
+    corpus size (sample_panel's guarantee)."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.functions import dot_expr
+    from faconne_spark.operators.relational import sample_panel
+
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "embedding",
+        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+    )
+    panel = sample_panel(emb, "vec_id", KNN_PANEL_N, salt="knn")
+    a = panel.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    b = panel.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .filter("na > 0 and nb > 0")
+        .select(
+            "ia", "ib",
+            F.expr(
+                "cast(round(("
+                + dot_expr("ea", "eb", "spark")
+                + ") / (sqrt(na) * sqrt(nb)) * 1000000, 0) as bigint)"
+            ).alias("cm"),
+        )
+    )
+    edges = (
+        pairs.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("ia").orderBy(
+                    F.col("cm").desc(), F.col("ib").asc()
+                )
+            ),
+        )
+        .filter(F.col("r") <= KNN_K)
+        .select("ia", "ib")
+    )
+    rev = edges.select(
+        F.col("ia").alias("ib"), F.col("ib").alias("ia")
+    )
+    mut = edges.join(rev, ["ia", "ib"]).groupBy().agg(
+        F.count("*").alias("n_mutual")
+    )
+    tot = edges.groupBy().agg(F.count("*").alias("n_edges"))
+    return tot.crossJoin(mut).selectExpr(
+        "cast(n_edges as bigint) AS n_edges",
+        "cast(n_mutual as bigint) AS n_mutual",
+        "cast((2 * 1000000 * n_mutual + n_edges) div (2 * n_edges)"
+        " as bigint) AS reciprocity_micro",
+    )
+
+
+def _oracle_knn_reciprocity() -> str:
+    from faconne_spark.functions import dot_expr
+    from faconne_spark.operators.relational import sample_panel_sql
+
+    panel = sample_panel_sql(
+        "vec_id", KNN_PANEL_N, salt="knn", from_sql="embeddings"
+    )
+    dot = dot_expr("a.embedding", "b.embedding", "duckdb")
+    nrm = dot_expr("embedding", "embedding", "duckdb")
+    return f"""
+WITH panel AS MATERIALIZED (
+  SELECT vec_id, embedding, ({nrm}) AS nn FROM ({panel})),
+prs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(({dot}) / (sqrt(a.nn) * sqrt(b.nn)) * 1000000,
+               0)::BIGINT AS cm
+  FROM panel a JOIN panel b ON a.vec_id != b.vec_id
+  WHERE a.nn > 0 AND b.nn > 0),
+edges AS (
+  SELECT ia, ib FROM (
+    SELECT ia, ib,
+           row_number() OVER (PARTITION BY ia
+                              ORDER BY cm DESC, ib ASC) AS r
+    FROM prs) WHERE r <= {KNN_K}),
+mut AS (
+  SELECT count(*)::BIGINT AS n_mutual
+  FROM edges e JOIN edges m ON e.ia = m.ib AND e.ib = m.ia),
+tot AS (SELECT count(*)::BIGINT AS n_edges FROM edges)
+SELECT n_edges, n_mutual,
+       ((2 * 1000000 * n_mutual + n_edges) // (2 * n_edges))::BIGINT
+         AS reciprocity_micro
+FROM tot CROSS JOIN mut
+"""
+
+
+QUERIES["embed_panel_knn_reciprocity"] = embed_panel_knn_reciprocity
+ORACLES["embed_panel_knn_reciprocity"] = _oracle_knn_reciprocity()

@@ -434,6 +434,16 @@ SNAPSHOT_QUERIES = [
     "orders_monthly_seasonal_strength",
     # round-11: the MP4 gate key (mm_resize already snapshots below)
     "mm_mp4_frames",
+    # round-11 analytics waves A-D
+    "events_daily_acf_ljungbox",
+    "events_value_mad_by_type",
+    "events_value_gini_by_type",
+    "docs_word_recurrence_gap",
+    "docs_vocab_gini",
+    "docs_length_freq_spearman",
+    "lineitem_qty_twoway_anova",
+    "customer_segment_welch_pairs",
+    "embed_panel_knn_reciprocity",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
