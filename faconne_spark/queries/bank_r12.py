@@ -1,0 +1,1018 @@
+"""Round-12 staging bank: query/oracle pairs built and cross-engine
+proven at three SFs in round 11 (the bank discipline — operator +
+oracle + driver-style test + partitioning sweep + plain-Python
+replays in tests/test_bank_r12.py), deliberately UNREGISTERED so the
+r11 driver window stays within budget.  Registration is the round-12
+opening move (QUERIES/ORACLES aliases + _merged() import + window
+entries + snapshots stamped at registration + bench + SURVEY rows +
+SCALING)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from faconne_spark.queries import T
+
+BANK_QUERIES: dict = {}
+BANK_ORACLES: dict = {}
+
+
+# ------------------------------------------------ Theil index per type
+
+def events_value_theil_by_type(spark, sf):
+    """Theil T inequality index of event value per type:
+    T = (1/n)·Σ (vᵢ/μ)·ln(vᵢ/μ) — the DECOMPOSABLE inequality gauge
+    beside the Gini (Theil splits exactly into between/within-group
+    terms, which is why the nation-revenue key used it; this is its
+    per-ticket twin and the second consumer of the discipline).
+    Zero-value rows contribute 0 (lim x·ln x = 0).
+
+    Exactness: the per-cell ln rule on the DISTINCT-VALUE relation —
+    each distinct micro value v with count c contributes
+    c·v·ln(n·v/Σv); ln of the exact double ratio micro-rounds ONCE
+    per distinct value, the weighted terms integer-sum in
+    DECIMAL(38,0), and T is one final double."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    dist = ev.groupBy("event_type", "v").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = dist.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")
+        ).alias("sv"),
+    )
+    terms = dist.join(F.broadcast(tot), "event_type").filter(
+        "v > 0"
+    ).select(
+        "event_type", "n", "sv",
+        F.expr(
+            "cast(c as decimal(38,0)) * cast(v as decimal(38,0))"
+            " * cast(round(ln(cast(n as double) * v / cast(sv as double))"
+            " * 1000000, 0) as bigint)"
+        ).alias("t"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.expr(
+            "round(cast(sum(t) as double) / (1000000.0"
+            " * cast(max(sv) as double)), 6) + 0.0"
+        ).alias("theil_t"),
+    )
+
+
+ORACLE_THEIL_TYPE = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+dist AS (
+  SELECT event_type, v, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, sum(c)::BIGINT AS n,
+         sum(c::DECIMAL(38,0) * v::DECIMAL(38,0)) AS sv
+  FROM dist GROUP BY 1),
+terms AS (
+  SELECT d.event_type, n, sv,
+         c::DECIMAL(38,0) * v::DECIMAL(38,0)
+           * round(ln(n::DOUBLE * v / sv::DOUBLE) * 1000000, 0)::BIGINT
+           AS t
+  FROM dist d JOIN tot USING (event_type) WHERE v > 0)
+SELECT event_type, max(n)::BIGINT AS n_events,
+       round(sum(t)::DOUBLE / (1000000.0 * max(sv)::DOUBLE), 6) + 0.0
+         AS theil_t
+FROM terms GROUP BY event_type
+"""
+
+BANK_QUERIES["events_value_theil_by_type"] = events_value_theil_by_type
+BANK_ORACLES["events_value_theil_by_type"] = ORACLE_THEIL_TYPE
+
+
+# --------------------------------------------- hourly KL vs uniform
+
+def events_hour_kl_uniform(spark, sf):
+    """KL divergence of each type's hourly profile from uniform(24) —
+    the one-scalar 'how peaked is this type's clock' gauge the hourly
+    seasonality and circular-stats keys spread across 24 cells
+    (KL(p‖u) = ln 24 − H(p), so it is also the entropy deficit).
+
+    Exactness: per-cell ln of the exact BIGINT ratio 24·cₕ/n
+    micro-rounds once per (type, hour); weighted integer sum; one
+    final division."""
+    ev = T(spark, sf, "events").select(
+        "event_type", F.expr("cast(hour(ts) as int)").alias("h")
+    )
+    cells = ev.groupBy("event_type", "h").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("c").alias("n"))
+    terms = cells.join(F.broadcast(tot), "event_type").select(
+        "event_type", "n",
+        F.expr(
+            "cast(c as decimal(38,0))"
+            " * cast(round(ln(24.0 * c / cast(n as double)) * 1000000,"
+            " 0) as bigint)"
+        ).alias("t"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.expr(
+            "round(cast(sum(t) as double) / (1000000.0"
+            " * cast(max(n) as double)), 6) + 0.0"
+        ).alias("kl_uniform_nats"),
+    )
+
+
+ORACLE_HOUR_KL = """
+WITH ev AS (
+  SELECT event_type, extract(hour FROM ts)::INT AS h FROM events),
+cells AS (
+  SELECT event_type, h, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, sum(c)::BIGINT AS n FROM cells GROUP BY 1),
+terms AS (
+  SELECT c0.event_type, n,
+         c::DECIMAL(38,0)
+           * round(ln(24.0 * c / n::DOUBLE) * 1000000, 0)::BIGINT AS t
+  FROM cells c0 JOIN tot USING (event_type))
+SELECT event_type, max(n)::BIGINT AS n_events,
+       round(sum(t)::DOUBLE / (1000000.0 * max(n)::DOUBLE), 6) + 0.0
+         AS kl_uniform_nats
+FROM terms GROUP BY event_type
+"""
+
+BANK_QUERIES["events_hour_kl_uniform"] = events_hour_kl_uniform
+BANK_ORACLES["events_hour_kl_uniform"] = ORACLE_HOUR_KL
+
+
+# -------------------------------------- per-type inter-event gap median
+
+def events_type_gap_median(spark, sf):
+    """Median (and p90) inter-event gap in seconds per event type,
+    within user streams — the per-TYPE pacing profile under the
+    session keys (a type whose median gap collapses is becoming a
+    polling/automation signal, which changes dedup and rate-limit
+    curation).
+
+    Exactness: epoch-MICROSECOND gaps are exact integers (the ts
+    column carries sub-second precision — truncating to seconds was
+    the staging bug this replay bank exists to catch); ×2 median and
+    ×10 p90 are exact; scale: the lag window partitions by
+    (user, type)."""
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(ts)").alias("t"),
+    )
+    g = ev.withColumn(
+        "gap",
+        F.col("t")
+        - F.lag("t").over(
+            W.partitionBy("user_id", "event_type").orderBy("t", "user_id")
+        ),
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.expr(
+            "cast(floor(2 * percentile(gap, 0.5) + 0.5) as bigint)"
+        ).alias("med_gap_us_x2"),
+        F.expr(
+            "cast(floor(10 * percentile(gap, 0.9) + 0.5) as bigint)"
+        ).alias("p90_gap_us_x10"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+    )
+
+
+ORACLE_TYPE_GAP = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts)::BIGINT AS t FROM events),
+g AS (
+  SELECT event_type,
+         t - lag(t) OVER (PARTITION BY user_id, event_type
+                          ORDER BY t, user_id) AS gap
+  FROM ev)
+SELECT event_type, count(*)::BIGINT AS n_gaps,
+       floor(2 * quantile_cont(gap, 0.5) + 0.5)::BIGINT
+         AS med_gap_us_x2,
+       floor(10 * quantile_cont(gap, 0.9) + 0.5)::BIGINT
+         AS p90_gap_us_x10,
+       max(gap)::BIGINT AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY event_type
+"""
+
+BANK_QUERIES["events_type_gap_median"] = events_type_gap_median
+BANK_ORACLES["events_type_gap_median"] = ORACLE_TYPE_GAP
+
+
+# ---------------------------------- Filliben normality (decile PPCC)
+
+# Φ⁻¹ at the deciles 0.1 … 0.9, in micro units — shared literals
+# injected into BOTH engines (the trig/Benford constant-table idiom)
+_NORM_SCORE_MICRO = [
+    -1281552, -841621, -524401, -253347, 0,
+    253347, 524401, 841621, 1281552,
+]
+
+
+def events_value_filliben_normality(spark, sf):
+    """Decile probability-plot correlation (Filliben 1975) of event
+    value vs the normal, per type: Pearson r between the nine exact
+    sample deciles and Φ⁻¹(i/10) — the cheap monotone normality probe
+    beside Jarque–Bera's moment test (JB is blind to some symmetric
+    non-normal shapes; the PPCC is not).
+
+    Exactness: ×10-exact deciles (integer interpolation fractions);
+    normal scores are shared micro literals; r is one final double
+    from exact integer moments (the normal-score moments are compile-
+    time constants)."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    dec = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        *[
+            F.expr(
+                f"cast(floor(10 * percentile(v, 0.{i}) + 0.5) as bigint)"
+            ).alias(f"q{i}_x10")
+            for i in range(1, 10)
+        ],
+    )
+    # Pearson over the 9 (q, s) points: Σs = 0 and Σs² is a constant,
+    # so r = Σ q·s / sqrt((9·Σq² − (Σq)²)/9 · Σs²) … keep the full
+    # 5-moment form for clarity; all sums are exact integers
+    s = _NORM_SCORE_MICRO
+    sq = " + ".join(f"q{i}_x10" for i in range(1, 10))
+    sqq = " + ".join(
+        f"cast(q{i}_x10 as decimal(38,0)) * cast(q{i}_x10 as decimal(38,0))"
+        for i in range(1, 10)
+    )
+    sqs = " + ".join(
+        f"cast(q{i}_x10 as decimal(38,0)) * ({s[i - 1]})"
+        for i in range(1, 10)
+    )
+    ss2 = sum(x * x for x in s)
+    return dec.selectExpr(
+        "event_type", "n_events",
+        f"case when 9 * ({sqq}) - cast({sq} as decimal(38,0))"
+        f" * cast({sq} as decimal(38,0)) > 0 then"
+        f" round(9.0 * cast({sqs} as double)"
+        f" / sqrt((9.0 * cast({sqq} as double)"
+        f" - cast({sq} as double) * cast({sq} as double))"
+        f" * 9.0 * {ss2}.0), 6) + 0.0 end AS filliben_r",
+    )
+
+
+def _oracle_filliben() -> str:
+    s = _NORM_SCORE_MICRO
+    decs = ",\n         ".join(
+        f"floor(10 * quantile_cont(v, 0.{i}) + 0.5)::BIGINT AS q{i}_x10"
+        for i in range(1, 10)
+    )
+    sq = " + ".join(f"q{i}_x10" for i in range(1, 10))
+    sqq = " + ".join(
+        f"q{i}_x10::DECIMAL(38,0) * q{i}_x10::DECIMAL(38,0)"
+        for i in range(1, 10)
+    )
+    sqs = " + ".join(
+        f"q{i}_x10::DECIMAL(38,0) * ({s[i - 1]})" for i in range(1, 10)
+    )
+    ss2 = sum(x * x for x in s)
+    return f"""
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+dec AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         {decs}
+  FROM ev GROUP BY 1)
+SELECT event_type, n_events,
+       CASE WHEN 9 * ({sqq}) - ({sq})::DECIMAL(38,0)
+                 * ({sq})::DECIMAL(38,0) > 0 THEN
+         round(9.0 * ({sqs})::DOUBLE
+               / sqrt((9.0 * ({sqq})::DOUBLE
+                       - ({sq})::DOUBLE * ({sq})::DOUBLE)
+                      * 9.0 * {ss2}.0), 6) + 0.0 END AS filliben_r
+FROM dec
+"""
+
+
+BANK_QUERIES["events_value_filliben_normality"] = (
+    events_value_filliben_normality
+)
+BANK_ORACLES["events_value_filliben_normality"] = _oracle_filliben()
+
+
+# --------------------------------------- Lorenz deciles of token mass
+
+def docs_token_lorenz_deciles(spark, sf):
+    """Lorenz curve points of token mass across the vocabulary per
+    source: the share of total tokens held by the bottom k/10 of
+    word types (ranked by count asc, word tiebreak) for k = 1…9 —
+    the CURVE whose scalar is docs_vocab_gini (two sources with equal
+    Gini can still cross; the curve says where).
+
+    Exactness: ranks and cumulative sums are exact integers; the
+    bottom-decile membership test 10·r ≤ k·V is integer; shares are
+    half-up micro divisions.  Scale: rank window on the vocabulary
+    relation, partitioned by source."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    r = cnt.withColumn(
+        "r",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("c", "w"))
+        .cast("long"),
+    )
+    v = r.groupBy("source").agg(
+        F.count("*").alias("vv"), F.sum("c").alias("s")
+    )
+    j = r.join(F.broadcast(v), "source")
+    aggs = [
+        F.sum(
+            F.expr(f"if(10 * r <= {k} * vv, cast(c as bigint), 0)")
+        ).alias(f"cum{k}")
+        for k in range(1, 10)
+    ]
+    g = j.groupBy("source").agg(
+        F.max("vv").cast("long").alias("vocab"),
+        F.max("s").cast("long").alias("n_tokens"),
+        *aggs,
+    )
+    shares = [
+        f"cast((2 * 1000000 * cum{k} + n_tokens) div (2 * n_tokens)"
+        f" as bigint) AS share{k}_micro"
+        for k in range(1, 10)
+    ]
+    return g.selectExpr("source", "vocab", "n_tokens", *shares)
+
+
+def _oracle_lorenz() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    cums = ",\n         ".join(
+        f"sum(CASE WHEN 10 * r <= {k} * vv THEN c ELSE 0 END)::BIGINT"
+        f" AS cum{k}"
+        for k in range(1, 10)
+    )
+    shares = ",\n       ".join(
+        f"((2 * 1000000 * cum{k} + n_tokens) // (2 * n_tokens))::BIGINT"
+        f" AS share{k}_micro"
+        for k in range(1, 10)
+    )
+    return f"""
+WITH cnt AS (
+  SELECT source, w, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+r AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c, w)::BIGINT
+           AS r,
+         count(*) OVER (PARTITION BY source)::BIGINT AS vv,
+         sum(c) OVER (PARTITION BY source)::BIGINT AS s
+  FROM cnt),
+g AS (
+  SELECT source, max(vv)::BIGINT AS vocab, max(s)::BIGINT AS n_tokens,
+         {cums}
+  FROM r GROUP BY 1)
+SELECT source, vocab, n_tokens,
+       {shares}
+FROM g
+"""
+
+
+BANK_QUERIES["docs_token_lorenz_deciles"] = docs_token_lorenz_deciles
+BANK_ORACLES["docs_token_lorenz_deciles"] = _oracle_lorenz()
+
+
+# ------------------------------------ word length by frequency decile
+
+def docs_len_by_freq_decile(spark, sf):
+    """Mean word LENGTH per corpus-frequency decile — the law-of-
+    abbreviation CURVE whose scalar is docs_length_freq_spearman
+    (decile 10 = most frequent types; natural text slopes down; a
+    flat or rising curve marks ID/synthetic vocabularies).
+
+    Exactness: decile = 1 + (10·(r−1)) div V on the deterministic
+    (count, word) total order — pure integer math, identical in both
+    engines (no ntile tie ambiguity); mean length is the half-up
+    micro idiom."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select(F.explode(F.expr(toks)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    r = cnt.withColumn(
+        "r", F.row_number().over(W.orderBy("c", "w")).cast("long")
+    )
+    v = r.groupBy().agg(F.count("*").alias("vv"))
+    d = r.crossJoin(F.broadcast(v)).select(
+        F.expr("cast(1 + (10 * (r - 1)) div vv as int)").alias("decile"),
+        F.expr("cast(length(w) as bigint)").alias("len"),
+        "c",
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.expr(
+            "cast((2 * 1000000 * sum(len) + count(*))"
+            " div (2 * count(*)) as bigint)"
+        ).alias("mean_len_micro"),
+    )
+
+
+def _oracle_len_decile() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cnt AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest({toks}) AS w FROM documents) GROUP BY 1),
+r AS (
+  SELECT w, c, row_number() OVER (ORDER BY c, w)::BIGINT AS r,
+         count(*) OVER ()::BIGINT AS vv
+  FROM cnt),
+d AS (
+  SELECT (1 + (10 * (r - 1)) // vv)::INT AS decile,
+         length(w)::BIGINT AS len, c
+  FROM r)
+SELECT decile, count(*)::BIGINT AS n_words, sum(c)::BIGINT AS n_tokens,
+       ((2 * 1000000 * sum(len) + count(*)) // (2 * count(*)))::BIGINT
+         AS mean_len_micro
+FROM d GROUP BY decile
+"""
+
+
+BANK_QUERIES["docs_len_by_freq_decile"] = docs_len_by_freq_decile
+BANK_ORACLES["docs_len_by_freq_decile"] = _oracle_len_decile()
+
+
+# --------------------------------- source homogeneity χ² on top words
+
+TOPK_CHI2_K = 100
+
+
+def docs_source_topk_chi2(spark, sf):
+    """Homogeneity χ² of the sources × top-100 corpus words
+    contingency table — ARE the sources drawing from one word
+    distribution?  The formal test under the unigram-JSD and
+    vocab-overlap descriptive keys (χ² comes with df =
+    (sources−1)(words−1), so drift is testable, not just rankable).
+
+    Exactness: the top-100 word set is deterministic ((count, word)
+    total order); per-cell terms follow the grid discipline — zero
+    cells enter via the margins grid, each term micro-rounds once
+    from identical BIGINTs, integer sum."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    sw = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("o"))
+    )
+    top = (
+        sw.groupBy("w")
+        .agg(F.sum("o").alias("cw"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("cw").desc(), F.col("w").asc())
+            ),
+        )
+        .filter(F.col("rk") <= TOPK_CHI2_K)
+        .select("w")
+    )
+    obs = sw.join(F.broadcast(top), "w")
+    rows_ = obs.groupBy("source").agg(F.sum("o").alias("rs"))
+    cols_ = obs.groupBy("w").agg(F.sum("o").alias("cs"))
+    tot = obs.groupBy().agg(F.sum("o").alias("n"))
+    grid = rows_.crossJoin(F.broadcast(cols_)).crossJoin(F.broadcast(tot))
+    cells = (
+        grid.join(obs, ["source", "w"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .withColumn(
+            "term_micro",
+            F.expr(
+                "cast(round(1000000 *"
+                " (cast(o as double) * cast(n as double)"
+                "  - cast(rs as double) * cast(cs as double))"
+                " * (cast(o as double) * cast(n as double)"
+                "    - cast(rs as double) * cast(cs as double))"
+                " / (cast(n as double) * cast(rs as double)"
+                "    * cast(cs as double)), 0) as bigint)"
+            ),
+        )
+    )
+    return cells.groupBy().agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("w").cast("long").alias("n_words"),
+        F.max("n").cast("long").alias("n_tokens_in_grid"),
+        F.sum("term_micro").alias("chi2_micro"),
+    )
+
+
+def _oracle_topk_chi2() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH sw AS (
+  SELECT source, w, count(*)::BIGINT AS o
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+top AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY sum(o) DESC, w ASC) AS rk
+    FROM sw GROUP BY w) WHERE rk <= {TOPK_CHI2_K}),
+obs AS (SELECT sw.* FROM sw JOIN top USING (w)),
+rs AS (SELECT source, sum(o)::BIGINT AS rs FROM obs GROUP BY 1),
+cs AS (SELECT w, sum(o)::BIGINT AS cs FROM obs GROUP BY 1),
+tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
+cells AS (
+  SELECT r.rs, c.cs, t.n, coalesce(obs.o, 0)::BIGINT AS o
+  FROM rs r CROSS JOIN cs c CROSS JOIN tot t
+  LEFT JOIN obs ON obs.source = r.source AND obs.w = c.w),
+terms AS (
+  SELECT n,
+         round(1000000 *
+               (o::DOUBLE * n::DOUBLE - rs::DOUBLE * cs::DOUBLE)
+               * (o::DOUBLE * n::DOUBLE - rs::DOUBLE * cs::DOUBLE)
+               / (n::DOUBLE * rs::DOUBLE * cs::DOUBLE), 0)::BIGINT
+           AS term_micro
+  FROM cells)
+SELECT (SELECT count(*) FROM rs)::BIGINT AS n_sources,
+       (SELECT count(*) FROM cs)::BIGINT AS n_words,
+       max(n)::BIGINT AS n_tokens_in_grid,
+       sum(term_micro)::BIGINT AS chi2_micro
+FROM terms
+"""
+
+
+BANK_QUERIES["docs_source_topk_chi2"] = docs_source_topk_chi2
+BANK_ORACLES["docs_source_topk_chi2"] = _oracle_topk_chi2()
+
+
+# ----------------------------------- unit-price IQR outliers by brand
+
+def lineitem_unitprice_iqr_outliers(spark, sf):
+    """Tukey-fence outlier counts of UNIT price (extendedprice /
+    quantity) per brand — the pricing-anomaly screen (a brand whose
+    high fence trips often has bundling/entry errors; the one-sided
+    asymmetry says which direction).  Joins part for the brand label.
+
+    Exactness: the unit price micro-rounds ONCE per row (double
+    division, deterministic both engines); quartiles of those micros
+    are ×4-exact; the fences 2·(4Q₁) − 3·IQR₄ are exact ×8 integers
+    and membership is an integer compare."""
+    li = T(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "cast(round(cast(l_extendedprice as double) / l_quantity"
+            " * 1000000, 0) as bigint)"
+        ).alias("u"),
+    )
+    p = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    j = li.join(p, "l_partkey")
+    q = j.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr(
+            "cast(floor(4 * percentile(u, 0.25) + 0.5) as bigint)"
+        ).alias("q1_x4"),
+        F.expr(
+            "cast(floor(4 * percentile(u, 0.75) + 0.5) as bigint)"
+        ).alias("q3_x4"),
+    )
+    f = j.join(F.broadcast(q), "brand").select(
+        "brand", "n_lines", "q1_x4", "q3_x4",
+        F.expr(
+            "if(8 * u < 2 * q1_x4 - 3 * (q3_x4 - q1_x4), 1, 0)"
+        ).alias("lo"),
+        F.expr(
+            "if(8 * u > 2 * q3_x4 + 3 * (q3_x4 - q1_x4), 1, 0)"
+        ).alias("hi"),
+    )
+    return f.groupBy("brand", "n_lines", "q1_x4", "q3_x4").agg(
+        F.sum("lo").cast("long").alias("n_low_outliers"),
+        F.sum("hi").cast("long").alias("n_high_outliers"),
+    )
+
+
+ORACLE_UNITPRICE_IQR = """
+WITH li AS (
+  SELECT l_partkey,
+         round(l_extendedprice::DOUBLE / l_quantity * 1000000,
+               0)::BIGINT AS u
+  FROM lineitem),
+j AS (
+  SELECT p_brand AS brand, u
+  FROM li JOIN part ON l_partkey = p_partkey),
+q AS (
+  SELECT brand, count(*)::BIGINT AS n_lines,
+         floor(4 * quantile_cont(u, 0.25) + 0.5)::BIGINT AS q1_x4,
+         floor(4 * quantile_cont(u, 0.75) + 0.5)::BIGINT AS q3_x4
+  FROM j GROUP BY 1)
+SELECT brand, n_lines, q1_x4, q3_x4,
+       sum(CASE WHEN 8 * u < 2 * q1_x4 - 3 * (q3_x4 - q1_x4)
+                THEN 1 ELSE 0 END)::BIGINT AS n_low_outliers,
+       sum(CASE WHEN 8 * u > 2 * q3_x4 + 3 * (q3_x4 - q1_x4)
+                THEN 1 ELSE 0 END)::BIGINT AS n_high_outliers
+FROM j JOIN q USING (brand)
+GROUP BY brand, n_lines, q1_x4, q3_x4
+"""
+
+BANK_QUERIES["lineitem_unitprice_iqr_outliers"] = (
+    lineitem_unitprice_iqr_outliers
+)
+BANK_ORACLES["lineitem_unitprice_iqr_outliers"] = ORACLE_UNITPRICE_IQR
+
+
+# ---------------------------------- nation balance Kruskal–Wallis
+
+def customer_nation_balance_kruskal(spark, sf):
+    """Kruskal–Wallis H across NATIONS on customer account balance —
+    third consumer of evalstats.kruskal_wallis (brands/prices,
+    weekdays/values, now geographies/balances): does any nation's
+    balance distribution sit elsewhere, with no normality assumption
+    and full sign-safety (balances go negative; ranks don't care).
+
+    Scale: average tie-ranks two-phase on the distinct-balance
+    relation (centi domain ≤ ~1.1M values), no partition-less window;
+    per-nation cells round once to BIGINT."""
+    from faconne_spark.operators.evalstats import kruskal_wallis
+
+    return kruskal_wallis(
+        T(spark, sf, "customer"),
+        "c_nationkey",
+        "cast(floor(c_acctbal * 100 + 0.5) as bigint)",
+    ).selectExpr(
+        "n_rows AS n_customers", "k_groups AS k_nations", "df",
+        "h_stat", "tie_correction", "h_adj",
+    )
+
+
+ORACLE_NATION_KRUSKAL = """
+WITH ranked AS (
+  SELECT c_nationkey,
+         2 * rank() OVER (ORDER BY v)
+           + count(*) OVER (PARTITION BY v) - 1 AS avg2_rank,
+         count(*) OVER (PARTITION BY v) AS t
+  FROM (SELECT c_nationkey,
+               floor(c_acctbal * 100 + 0.5)::BIGINT AS v
+        FROM customer)),
+per_g AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n_j,
+         sum(avg2_rank)::BIGINT AS s2_j
+  FROM ranked GROUP BY 1),
+cells AS (
+  SELECT n_j,
+         floor(s2_j::DOUBLE * s2_j::DOUBLE / n_j + 0.5)::BIGINT AS cell
+  FROM per_g),
+ties AS (
+  SELECT sum(t * t - 1)::BIGINT AS tie_sum, count(*)::BIGINT AS n
+  FROM ranked)
+SELECT min(n)::BIGINT AS n_customers, count(*)::BIGINT AS k_nations,
+       (count(*) - 1)::BIGINT AS df,
+       round(3.0 * sum(cell) / (min(n)::DOUBLE * (min(n) + 1))
+             - 3.0 * (min(n) + 1), 6) + 0.0 AS h_stat,
+       round(1.0 - min(tie_sum)::DOUBLE
+             / (min(n)::DOUBLE * min(n) * min(n) - min(n)), 9) + 0.0
+         AS tie_correction,
+       CASE WHEN 1.0 - min(tie_sum)::DOUBLE
+                  / (min(n)::DOUBLE * min(n) * min(n) - min(n)) > 0
+            THEN round((3.0 * sum(cell)
+                        / (min(n)::DOUBLE * (min(n) + 1))
+                        - 3.0 * (min(n) + 1))
+                       / (1.0 - min(tie_sum)::DOUBLE
+                          / (min(n)::DOUBLE * min(n) * min(n) - min(n))),
+                       6) + 0.0 END AS h_adj
+FROM cells CROSS JOIN ties
+"""
+
+BANK_QUERIES["customer_nation_balance_kruskal"] = (
+    customer_nation_balance_kruskal
+)
+BANK_ORACLES["customer_nation_balance_kruskal"] = ORACLE_NATION_KRUSKAL
+
+
+# ------------------------------------- per-dimension sign balance
+
+def embed_dim_sign_balance(spark, sf):
+    """Top-8 embedding dimensions by |binomial sign-balance z| —
+    does any coordinate lean systematically positive/negative
+    (z = (2·n_pos − m)/√m over nonzero entries)?  The cheap mean-
+    direction audit beside per-dim kurtosis (tails) and anisotropy
+    (global mean cosine): a handful of strongly signed dims is the
+    classic rogue-dimension signature that skews every cosine.
+
+    Exactness: n_pos and m are exact integers; the ranking key
+    |z| micro-rounds once (ties on dim); z itself is a final double."""
+    from pyspark.sql import Window as W
+
+    dims = (
+        T(spark, sf, "embeddings")
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .filter("x != 0.0")
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("m_nonzero"),
+            F.sum(F.expr("if(x > 0.0, 1, 0)")).cast("long").alias(
+                "n_pos"
+            ),
+        )
+    )
+    scored = dims.select(
+        "dim", "m_nonzero", "n_pos",
+        F.expr(
+            "cast(round(abs(2.0 * n_pos - m_nonzero)"
+            " / sqrt(cast(m_nonzero as double)) * 1000000, 0) as bigint)"
+        ).alias("absz_micro"),
+        F.expr(
+            "round((2.0 * n_pos - m_nonzero)"
+            " / sqrt(cast(m_nonzero as double)), 6) + 0.0"
+        ).alias("sign_z"),
+    )
+    r = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.col("absz_micro").desc(), F.col("dim").asc())
+        ),
+    )
+    return r.filter(F.col("rk") <= 8).select(
+        F.col("dim").cast("long"), "m_nonzero", "n_pos", "sign_z",
+        F.col("rk").cast("long"),
+    )
+
+
+ORACLE_SIGN_BALANCE = """
+WITH dims AS (
+  SELECT dim, count(*)::BIGINT AS m_nonzero,
+         sum(CASE WHEN x > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_pos
+  FROM (SELECT u.x AS x, u.dim AS dim
+        FROM embeddings,
+             unnest(list_transform(embedding,
+                    (x, i) -> {'x': x, 'dim': i - 1})) AS t(u))
+  WHERE x != 0.0 GROUP BY dim),
+scored AS (
+  SELECT dim, m_nonzero, n_pos,
+         round(abs(2.0 * n_pos - m_nonzero)
+               / sqrt(m_nonzero::DOUBLE) * 1000000, 0)::BIGINT
+           AS absz_micro,
+         round((2.0 * n_pos - m_nonzero)
+               / sqrt(m_nonzero::DOUBLE), 6) + 0.0 AS sign_z
+  FROM dims),
+r AS (
+  SELECT dim, m_nonzero, n_pos, sign_z,
+         row_number() OVER (ORDER BY absz_micro DESC, dim ASC) AS rk
+  FROM scored)
+SELECT dim::BIGINT AS dim, m_nonzero, n_pos, sign_z, rk::BIGINT AS rk
+FROM r WHERE rk <= 8
+"""
+
+BANK_QUERIES["embed_dim_sign_balance"] = embed_dim_sign_balance
+BANK_ORACLES["embed_dim_sign_balance"] = ORACLE_SIGN_BALANCE
+
+
+# --------------------------------- Weibull ventile fit on order totals
+
+# y_j = ln(−ln(1 − j/20)) for j = 1…19, in micro units — shared
+# literals injected into BOTH engines (the Φ⁻¹/trig constant idiom)
+_WEIBULL_Y_MICRO = [
+    -2970195, -2250367, -1816961, -1499940, -1245899, -1030930,
+    -842151, -671727, -514437, -366513, -225011, -87422, 48621,
+    185627, 326634, 475885, 640337, 834032, 1097189,
+]
+
+
+def orders_totalprice_weibull_ventiles(spark, sf):
+    """Weibull plot fit of ORDER TOTALS from nineteen exact ventiles:
+    OLS of y = ln(−ln(1−p)) on x = ln(q_p) — second consumer of the
+    Weibull-regression discipline after the activity-gap fit, on a
+    bounded QUANTILE ladder instead of a distinct-value ECDF (totals
+    are near-continuous, so per-point ranks would be a row-scale
+    sort; nineteen ×20-exact ventiles carry the same plot).  Shape
+    k̂ < 1 = heavy decreasing-hazard totals; k̂ ≈ 1 exponential-like.
+
+    Exactness: ventiles of integer cents are ×20-exact BIGINTs; each
+    x micro-rounds ONE ln per point; y are shared micro literals; OLS
+    moments are exact integers; slope/intercept final doubles."""
+    cents = T(spark, sf, "orders").select(
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        ).alias("v")
+    )
+    q = cents.groupBy().agg(
+        F.count("*").cast("long").alias("n_orders"),
+        *[
+            F.expr(
+                f"cast(floor(20 * percentile(v, {j}/20.0) + 0.5)"
+                " as bigint)"
+            ).alias(f"q{j}_x20")
+            for j in range(1, 20)
+        ],
+    )
+    xs = [
+        f"cast(round(ln(cast(q{j}_x20 as double) / 20.0) * 1000000, 0)"
+        f" as bigint) AS x{j}"
+        for j in range(1, 20)
+    ]
+    pts = q.selectExpr("n_orders", *xs)
+    y = _WEIBULL_Y_MICRO
+    sx = " + ".join(f"x{j}" for j in range(1, 20))
+    sy = sum(y)
+    sxx = " + ".join(
+        f"cast(x{j} as decimal(38,0)) * cast(x{j} as decimal(38,0))"
+        for j in range(1, 20)
+    )
+    sxy = " + ".join(
+        f"cast(x{j} as decimal(38,0)) * ({y[j - 1]})" for j in range(1, 20)
+    )
+    return pts.selectExpr(
+        "n_orders",
+        f"case when 19 * ({sxx}) - cast({sx} as decimal(38,0))"
+        f" * cast({sx} as decimal(38,0)) != 0 then"
+        f" round((19.0 * cast({sxy} as double)"
+        f" - cast({sx} as double) * ({sy}.0))"
+        f" / (19.0 * cast({sxx} as double)"
+        f" - cast({sx} as double) * cast({sx} as double)), 6) + 0.0 end"
+        " AS shape_k",
+        f"round((({sy}.0) - (19.0 * cast({sxy} as double)"
+        f" - cast({sx} as double) * ({sy}.0))"
+        f" / (19.0 * cast({sxx} as double)"
+        f" - cast({sx} as double) * cast({sx} as double))"
+        f" * cast({sx} as double)) / (19.0 * 1000000.0), 6) + 0.0"
+        " AS intercept_nats",
+    )
+
+
+def _oracle_weibull_ventiles() -> str:
+    y = _WEIBULL_Y_MICRO
+    decs = ",\n         ".join(
+        f"floor(20 * quantile_cont(v, {j}/20.0) + 0.5)::BIGINT"
+        f" AS q{j}_x20"
+        for j in range(1, 20)
+    )
+    xs = ",\n       ".join(
+        f"round(ln(q{j}_x20::DOUBLE / 20.0) * 1000000, 0)::BIGINT AS x{j}"
+        for j in range(1, 20)
+    )
+    sx = " + ".join(f"x{j}" for j in range(1, 20))
+    sy = sum(y)
+    sxx = " + ".join(
+        f"x{j}::DECIMAL(38,0) * x{j}::DECIMAL(38,0)" for j in range(1, 20)
+    )
+    sxy = " + ".join(
+        f"x{j}::DECIMAL(38,0) * ({y[j - 1]})" for j in range(1, 20)
+    )
+    return f"""
+WITH cents AS (
+  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS v FROM orders),
+q AS (
+  SELECT count(*)::BIGINT AS n_orders,
+         {decs}
+  FROM cents),
+pts AS (
+  SELECT n_orders,
+       {xs}
+  FROM q)
+SELECT n_orders,
+       CASE WHEN 19 * ({sxx}) - ({sx})::DECIMAL(38,0)
+                 * ({sx})::DECIMAL(38,0) != 0 THEN
+         round((19.0 * ({sxy})::DOUBLE - ({sx})::DOUBLE * ({sy}.0))
+               / (19.0 * ({sxx})::DOUBLE
+                  - ({sx})::DOUBLE * ({sx})::DOUBLE), 6) + 0.0 END
+         AS shape_k,
+       round((({sy}.0) - (19.0 * ({sxy})::DOUBLE
+                          - ({sx})::DOUBLE * ({sy}.0))
+              / (19.0 * ({sxx})::DOUBLE
+                 - ({sx})::DOUBLE * ({sx})::DOUBLE)
+              * ({sx})::DOUBLE) / (19.0 * 1000000.0), 6) + 0.0
+         AS intercept_nats
+FROM pts
+"""
+
+
+BANK_QUERIES["orders_totalprice_weibull_ventiles"] = (
+    orders_totalprice_weibull_ventiles
+)
+BANK_ORACLES["orders_totalprice_weibull_ventiles"] = (
+    _oracle_weibull_ventiles()
+)
+
+
+# ---------------------------------------- CUSUM changepoint strength
+
+def events_daily_cusum_max(spark, sf):
+    """Maximum CUSUM deviation of the daily event-count series:
+    max_t |D·S_t − t·S| (the exactly-scaled form of
+    max|S_t − (t/D)·S|) with its argmax day — the changepoint
+    STRENGTH-AND-LOCATION scalar beside events_changepoint_binary's
+    split decision and the EWMA/drift monitors.  Normalized by
+    D·√(Σ(D·x−S)²/D) so rounds compare across SFs.
+
+    Exactness: running sums and the max statistic are exact BIGINTs
+    (running-sum window over the bounded day relation, earliest-day
+    tie rule); the normalized ratio is one final double."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = daily.groupBy().agg(
+        F.count("*").alias("nd"), F.sum("c").alias("s"),
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    m = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("t", F.row_number().over(W.orderBy("d")).cast("long"))
+        .withColumn("st", F.sum("c").over(w))
+        .select(
+            "d", "nd", "s",
+            F.expr("abs(nd * st - t * s)").alias("absm"),
+            F.expr("cast(nd as bigint) * c - s").alias("y"),
+        )
+    )
+    best = m.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.col("absm").desc(), F.col("d").asc())
+        ),
+    )
+    var = m.groupBy().agg(
+        F.sum(
+            F.expr(
+                "cast(y as decimal(38,0)) * cast(y as decimal(38,0))"
+            )
+        ).alias("yy")
+    )
+    return (
+        best.filter("rk = 1")
+        .crossJoin(F.broadcast(var))
+        .selectExpr(
+            "cast(nd as bigint) AS n_days",
+            "cast(d as string) AS cusum_day",
+            "cast(absm as bigint) AS max_abs_m",
+            "case when yy > 0 then round(cast(absm as double)"
+            " / (cast(nd as double)"
+            " * sqrt(cast(yy as double) / nd)), 6) + 0.0 end"
+            " AS cusum_ratio",
+        )
+    )
+
+
+ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS c FROM events GROUP BY 1),
+tot AS (
+  SELECT count(*)::BIGINT AS nd, sum(c)::BIGINT AS s FROM daily),
+m AS (
+  SELECT d, nd, s,
+         abs(nd * sum(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - (row_number() OVER (ORDER BY d)) * s)::BIGINT AS absm,
+         (nd * c - s)::DECIMAL(38,0) AS y
+  FROM daily CROSS JOIN tot),
+var AS (SELECT sum(y * y) AS yy FROM m),
+best AS (
+  SELECT d, nd, absm,
+         row_number() OVER (ORDER BY absm DESC, d ASC) AS rk
+  FROM m)
+SELECT nd::BIGINT AS n_days, d::VARCHAR AS cusum_day,
+       absm::BIGINT AS max_abs_m,
+       CASE WHEN yy > 0 THEN
+         round(absm::DOUBLE / (nd::DOUBLE * sqrt(yy::DOUBLE / nd)), 6)
+           + 0.0 END AS cusum_ratio
+FROM best CROSS JOIN var WHERE rk = 1
+"""
+
+BANK_QUERIES["events_daily_cusum_max"] = events_daily_cusum_max
+BANK_ORACLES["events_daily_cusum_max"] = ORACLE_CUSUM

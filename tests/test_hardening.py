@@ -460,14 +460,19 @@ def test_survey_registry_consistency():
     from faconne_spark.queries.bank_r9 import BANK_QUERIES as BANK_R9
     from faconne_spark.queries.bank_r10 import BANK_QUERIES as BANK_R10
     from faconne_spark.queries.bank_r11 import BANK_QUERIES as BANK_R11
+    from faconne_spark.queries.bank_r12 import BANK_QUERIES as BANK_R12
     from faconne_spark.queries.staged_r9 import BANK_QUERIES as STAGED_R9
 
     # operator/function names that match key-shaped regex alternatives
     # but are library primitives, not registry keys (cited in SURVEY
     # scale notes by their real names)
-    known_operators = {"sample_panel", "sample_panel_sql", "quality_score"}
+    known_operators = {
+        "sample_panel", "sample_panel_sql", "quality_score",
+        "sample_frames_real",
+    }
     known = (qs | set(BANK_QUERIES) | set(BANK_R9) | set(STAGED_R9)
-             | set(BANK_R10) | set(BANK_R11) | known_operators)
+             | set(BANK_R10) | set(BANK_R11) | set(BANK_R12)
+             | known_operators)
     cited_keys = {k for k in cited if k in qs or not k.startswith(("text_", "events_"))}
     missing_in_registry = sorted(k for k in cited_keys if k not in known)
     missing_in_survey = sorted(k for k in qs if k not in cited)
