@@ -832,7 +832,7 @@ def orders_totalprice_weibull_ventiles(spark, sf):
         F.count("*").cast("long").alias("n_orders"),
         *[
             F.expr(
-                f"cast(floor(20 * percentile(v, {j}/20.0) + 0.5)"
+                f"cast(floor(20 * percentile(v, {j / 20}) + 0.5)"
                 " as bigint)"
             ).alias(f"q{j}_x20")
             for j in range(1, 20)
@@ -875,7 +875,7 @@ def orders_totalprice_weibull_ventiles(spark, sf):
 def _oracle_weibull_ventiles() -> str:
     y = _WEIBULL_Y_MICRO
     decs = ",\n         ".join(
-        f"floor(20 * quantile_cont(v, {j}/20.0) + 0.5)::BIGINT"
+        f"floor(20 * quantile_cont(v, {j / 20}) + 0.5)::BIGINT"
         f" AS q{j}_x20"
         for j in range(1, 20)
     )

@@ -114,10 +114,21 @@ def test_no_decimal_literal_division_in_engine_strings():
 
 
 def test_no_decimal_literal_division_in_oracles():
+    """Registered oracles AND staged bank oracles — the runtime dict
+    values also close the f-string blind spot of the ast scan (an
+    interpolated fragment like '{j}/20.0' joins into a literal/literal
+    division only at runtime)."""
+    import importlib
+
     from faconne_spark.queries import all_oracles
 
+    oracles = dict(all_oracles())
+    for bank in ("bank_r12",):
+        mod = importlib.import_module(f"faconne_spark.queries.{bank}")
+        for k, v in mod.BANK_ORACLES.items():
+            oracles[f"{bank}:{k}"] = v
     bad = []
-    for key, sql in all_oracles().items():
+    for key, sql in oracles.items():
         if not isinstance(sql, str):
             continue
         for hit in _literal_literal_hits(sql):
