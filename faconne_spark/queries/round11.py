@@ -498,7 +498,12 @@ def docs_length_freq_spearman(spark, sf):
 
     Exactness: both rank vectors are ×2-exact average tie-ranks on
     bounded distinct-value relations (length domain ~20 values);
-    moments in DECIMAL(38,0); ρ one final double."""
+    moments in DECIMAL(38,0); ρ one final double.  The formatted plan
+    lists the tokenize+explode subtree 37× but Spark's ReuseExchange
+    dedupes it physically — persisting the vocab rollup was TRIED and
+    reverted this round (8.5 s vs 3.0 s at sf0.1: materialization
+    cost exceeds the reuse it replaces; the audit lesson is to count
+    scans NET of ReusedExchange before reaching for a cache)."""
     from faconne_spark.functions import tokens_ws
     from faconne_spark.operators.evalstats import spearman_rho
 
@@ -573,6 +578,9 @@ def lineitem_qty_twoway_anova(spark, sf):
         F.col("l_linestatus").alias("ls"),
         F.expr("cast(l_quantity as bigint)").alias("q"),
     )
+    # the ≤ a·b cell rollup feeds four aggregation branches; the
+    # branches share the exchange via ReuseExchange (persisting was
+    # tried and reverted — it doubled the wall at sf0.1)
     cells = li.groupBy("rf", "ls").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("q").alias("s"),
