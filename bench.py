@@ -553,7 +553,8 @@ def main() -> None:
         "events_gap_weibull_fit",
         "events_weekend_energy_distance",
         "orders_monthly_seasonal_strength",
-        # round-11 codec gates (mm_resize is already timed above)
+        # round-11 codec gates
+        "mm_resize",
         "mm_mp4_frames",
         # round-11 analytics waves A-D
         "events_daily_acf_ljungbox",

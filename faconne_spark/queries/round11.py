@@ -843,7 +843,13 @@ def embed_panel_knn_reciprocity(spark, sf):
             ).alias("cm"),
         )
     )
-    edges = (
+    from faconne_spark.operators.dedup import track_persist
+
+    # ≤ panel·k rows; persisted because the mutual join reads the
+    # edge set twice through DIFFERENT aliases (no ReuseExchange
+    # there — unlike the rank-subtree case documented above, this
+    # cache removes a full second 400²-pair build)
+    edges = track_persist(
         pairs.withColumn(
             "r",
             F.row_number().over(
