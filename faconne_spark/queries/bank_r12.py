@@ -1016,3 +1016,337 @@ FROM best CROSS JOIN var WHERE rk = 1
 
 BANK_QUERIES["events_daily_cusum_max"] = events_daily_cusum_max
 BANK_ORACLES["events_daily_cusum_max"] = ORACLE_CUSUM
+
+
+# ----------------------------------- pairwise KS matrix across types
+
+def events_type_value_ks_matrix(spark, sf):
+    """Pairwise two-sample KS between EVERY two event types' value
+    distributions on the shared fixed bin grid — the full drift
+    MATRIX where the registered KS keys read one-vs-rest and the QQ
+    ladder reads deciles (the matrix is what a mixture-planning pass
+    actually consumes: which type pairs are interchangeable).
+
+    Exactness: per-(type, bin) counts are exact; the max gap is
+    max |c_a·n_b − c_b·n_a| over the densified grid (exact BIGINT
+    cross products); D is one final double.  Scale: one events pass
+    to the types × 64 grid; the pair frame is ≤ types² × 64."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.operators.evalstats import ks_binned
+    from faconne_spark.queries.bank_r6 import KS_BINS, KS_LO, KS_WIDTH
+
+    binned = ks_binned(
+        T(spark, sf, "events"), "event_type", "value",
+        KS_LO, KS_WIDTH, KS_BINS,
+    )
+    # densify: every (type, grid-bin) cell, zeros included — the
+    # cumulative walk needs aligned bins on both sides
+    grid = (
+        binned.select("grp").distinct()
+        .crossJoin(
+            F.broadcast(
+                binned.sparkSession.range(KS_BINS).selectExpr(
+                    "cast(id as int) AS bin"
+                )
+            )
+        )
+    )
+    cells = (
+        grid.join(binned, ["grp", "bin"], "left")
+        .select(
+            "grp", "bin",
+            F.coalesce("n_gb", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w = W.partitionBy("grp").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "grp", "bin",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("c").over(W.partitionBy("grp")).alias("n"),
+    )
+    a = cum.select(
+        F.col("grp").alias("type_a"), "bin",
+        F.col("cc").alias("ca"), F.col("n").alias("na"),
+    )
+    b = cum.select(
+        F.col("grp").alias("type_b"), "bin",
+        F.col("cc").alias("cb"), F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, "bin").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.max(
+                F.expr(
+                    "abs(cast(ca as decimal(38,0)) * nb"
+                    " - cast(cb as decimal(38,0)) * na)"
+                )
+            ).alias("gap"),
+        )
+        .selectExpr(
+            "type_a", "type_b", "n_a", "n_b",
+            "round(cast(gap as double)"
+            " / (cast(n_a as double) * cast(n_b as double)), 6) + 0.0"
+            " AS ks_d",
+        )
+    )
+
+
+def _oracle_ks_matrix() -> str:
+    from faconne_spark.queries.bank_r6 import KS_BINS, KS_LO, KS_WIDTH
+
+    return f"""
+WITH binned AS (
+  SELECT event_type AS grp,
+         least(greatest(floor((value - {KS_LO!r}) / {KS_WIDTH!r}),
+           0), {KS_BINS - 1})::INT AS bin,
+         count(*)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+grid AS (
+  SELECT grp, r.range::INT AS bin
+  FROM (SELECT DISTINCT grp FROM binned), range(0, {KS_BINS}) r),
+cells AS (
+  SELECT grid.grp, grid.bin, coalesce(binned.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN binned USING (grp, bin)),
+cum AS (
+  SELECT grp, bin,
+         sum(c) OVER (PARTITION BY grp ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cc,
+         sum(c) OVER (PARTITION BY grp)::BIGINT AS n
+  FROM cells)
+SELECT a.grp AS type_a, b.grp AS type_b,
+       max(a.n)::BIGINT AS n_a, max(b.n)::BIGINT AS n_b,
+       round(max(abs(a.cc::DECIMAL(38,0) * b.n
+                     - b.cc::DECIMAL(38,0) * a.n))::DOUBLE
+             / (max(a.n)::DOUBLE * max(b.n)::DOUBLE), 6) + 0.0 AS ks_d
+FROM cum a JOIN cum b ON a.bin = b.bin AND a.grp < b.grp
+GROUP BY a.grp, b.grp
+"""
+
+
+BANK_QUERIES["events_type_value_ks_matrix"] = events_type_value_ks_matrix
+BANK_ORACLES["events_type_value_ks_matrix"] = _oracle_ks_matrix()
+
+
+# --------------------------------- negative-balance share, Wilson CI
+
+def customer_neg_balance_share(spark, sf):
+    """Share of customers in arrears (negative account balance) per
+    market segment, with Wilson 95 % bounds — the binomial-rate
+    version of the balance location tests (Welch/ANOVA compare means;
+    risk teams cap SEGMENTS by their arrears RATE, which needs an
+    error bar that respects [0, 1] at small n).  Third consumer of
+    the shared wilson_bounds_sql text."""
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    m = T(spark, sf, "customer").groupBy(
+        F.col("c_mktsegment").alias("seg")
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.expr("if(c_acctbal < 0, 1, 0)")).cast("long").alias(
+            "n_negative"
+        ),
+    )
+    lo, hi = wilson_bounds_sql("n_negative", "n_customers")
+    return m.selectExpr(
+        "seg", "n_customers", "n_negative",
+        "cast((2 * 1000000 * n_negative + n_customers)"
+        " div (2 * n_customers) as bigint) AS share_micro",
+        f"round({lo}, 6) + 0.0 AS wilson_lo",
+        f"round({hi}, 6) + 0.0 AS wilson_hi",
+    )
+
+
+def _oracle_neg_balance() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    lo, hi = wilson_bounds_sql("n_negative", "n_customers")
+    return f"""
+WITH m AS (
+  SELECT c_mktsegment AS seg, count(*)::BIGINT AS n_customers,
+         sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_negative
+  FROM customer GROUP BY 1)
+SELECT seg, n_customers, n_negative,
+       ((2 * 1000000 * n_negative + n_customers)
+        // (2 * n_customers))::BIGINT AS share_micro,
+       round({lo}, 6) + 0.0 AS wilson_lo,
+       round({hi}, 6) + 0.0 AS wilson_hi
+FROM m
+"""
+
+
+BANK_QUERIES["customer_neg_balance_share"] = customer_neg_balance_share
+BANK_ORACLES["customer_neg_balance_share"] = _oracle_neg_balance()
+
+
+# ------------------------------------------ tax × discount Pearson
+
+def lineitem_tax_discount_corr(spark, sf):
+    """Pearson correlation between line tax and discount rates — the
+    pricing-policy coupling check (a nonzero r means the two levers
+    are applied together, so margin models can't treat them as
+    independent).  Kendall already reads the MONOTONE version from
+    the contingency table; this is the linear-moment twin on the
+    same bounded centi domains.
+
+    Exactness: both rates are exact centi integers; the five moment
+    sums run in BIGINT/DECIMAL(38,0); r is one final double."""
+    li = T(spark, sf, "lineitem").select(
+        F.expr("cast(floor(l_tax * 100 + 0.5) as bigint)").alias("x"),
+        F.expr("cast(floor(l_discount * 100 + 0.5) as bigint)").alias(
+            "y"
+        ),
+    )
+    m = li.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    return m.selectExpr(
+        "n AS n_lines",
+        "case when cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double) > 0"
+        " and cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double) > 0 then"
+        " round((cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+        " / sqrt((cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double))"
+        " * (cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double))), 6) + 0.0 end"
+        " AS pearson_r",
+    )
+
+
+ORACLE_TAX_DISCOUNT = """
+WITH li AS (
+  SELECT floor(l_tax * 100 + 0.5)::BIGINT AS x,
+         floor(l_discount * 100 + 0.5)::BIGINT AS y
+  FROM lineitem),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy,
+         sum(x::DECIMAL(38,0) * y::DECIMAL(38,0)) AS sxy,
+         sum(x::DECIMAL(38,0) * x::DECIMAL(38,0)) AS sxx,
+         sum(y::DECIMAL(38,0) * y::DECIMAL(38,0)) AS syy
+  FROM li)
+SELECT n AS n_lines,
+       CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+             AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+       THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / sqrt((n::DOUBLE * sxx::DOUBLE
+                          - sx::DOUBLE * sx::DOUBLE)
+                         * (n::DOUBLE * syy::DOUBLE
+                            - sy::DOUBLE * sy::DOUBLE)), 6) + 0.0 END
+         AS pearson_r
+FROM m
+"""
+
+BANK_QUERIES["lineitem_tax_discount_corr"] = lineitem_tax_discount_corr
+BANK_ORACLES["lineitem_tax_discount_corr"] = ORACLE_TAX_DISCOUNT
+
+
+# ------------------------------------- gap serial correlation (lag 1)
+
+def events_user_gap_autocorr(spark, sf):
+    """Lag-1 serial correlation of successive inter-event gaps within
+    user streams — does a short gap predict another short gap?  The
+    micro-level clustering gauge the DAILY Ljung–Box cannot see
+    (bursts inside one day are invisible to day-grain ACF; positive
+    gap autocorrelation is the signature of sessions/automation,
+    feeding the session-gap threshold choice).
+
+    Exactness: gaps are exact µs integers (the sub-second lesson);
+    (gap, next-gap) pairs come from a second lag over the same
+    user-partitioned window; Pearson from exact DECIMAL moments, one
+    final double."""
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("t")
+    )
+    w = W.partitionBy("user_id").orderBy("t")
+    g = ev.withColumn("gap", F.col("t") - F.lag("t").over(w)).withColumn(
+        "prev_gap", F.lag(F.col("t") - F.lag("t").over(w)).over(w)
+    ).filter("gap is not null and prev_gap is not null")
+    m = g.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap").alias("sx"), F.sum("prev_gap").alias("sy"),
+        F.sum(
+            F.col("gap").cast("decimal(38,0)")
+            * F.col("prev_gap").cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("gap").cast("decimal(38,0)")
+            * F.col("gap").cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("prev_gap").cast("decimal(38,0)")
+            * F.col("prev_gap").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    return m.selectExpr(
+        "n AS n_gap_pairs",
+        "case when cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double) > 0"
+        " and cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double) > 0 then"
+        " round((cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+        " / sqrt((cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double))"
+        " * (cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double))), 6) + 0.0 end"
+        " AS gap_autocorr",
+    )
+
+
+ORACLE_GAP_AUTOCORR = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS t FROM events),
+g0 AS (
+  SELECT user_id, t,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+  FROM ev),
+g AS (
+  SELECT gap,
+         lag(gap) OVER (PARTITION BY user_id ORDER BY t) AS prev_gap
+  FROM g0),
+p AS (SELECT gap, prev_gap FROM g
+      WHERE gap IS NOT NULL AND prev_gap IS NOT NULL),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(gap)::BIGINT AS sx,
+         sum(prev_gap)::BIGINT AS sy,
+         sum(gap::DECIMAL(38,0) * prev_gap::DECIMAL(38,0)) AS sxy,
+         sum(gap::DECIMAL(38,0) * gap::DECIMAL(38,0)) AS sxx,
+         sum(prev_gap::DECIMAL(38,0) * prev_gap::DECIMAL(38,0)) AS syy
+  FROM p)
+SELECT n AS n_gap_pairs,
+       CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+             AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+       THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / sqrt((n::DOUBLE * sxx::DOUBLE
+                          - sx::DOUBLE * sx::DOUBLE)
+                         * (n::DOUBLE * syy::DOUBLE
+                            - sy::DOUBLE * sy::DOUBLE)), 6) + 0.0 END
+         AS gap_autocorr
+FROM m
+"""
+
+BANK_QUERIES["events_user_gap_autocorr"] = events_user_gap_autocorr
+BANK_ORACLES["events_user_gap_autocorr"] = ORACLE_GAP_AUTOCORR

@@ -211,3 +211,71 @@ def test_cusum_replay(spark, sf_dir):
     assert row["cusum_ratio"] == pytest.approx(
         round(best_m / (nd * math.sqrt(yy / nd)), 6), abs=1e-9
     )
+
+
+def test_ks_matrix_replay(spark, sf_dir):
+    """Brute-force the pairwise binned KS for one type pair."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_type, value FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+        f" WHERE value IS NOT NULL"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    B, LO, W = 64, 0.0, 8.0
+    hist = defaultdict(Counter)
+    for et, v in rows:
+        b = int((v - LO) // W)
+        hist[et][min(max(b, 0), B - 1)] += 1
+    types = sorted(hist)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in BANK_QUERIES["events_type_value_ks_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    a, b = types[0], types[1]
+    na, nb = sum(hist[a].values()), sum(hist[b].values())
+    ca = cb = gap = 0
+    for i in range(B):
+        ca += hist[a][i]
+        cb += hist[b][i]
+        gap = max(gap, abs(ca * nb - cb * na))
+    r = got[(a, b)]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["ks_d"] == pytest.approx(round(gap / (na * nb), 6), abs=1e-9)
+
+
+def test_gap_autocorr_replay(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, epoch_us(ts)::BIGINT FROM"
+        f" read_parquet('{sf_dir}/events.parquet') ORDER BY user_id, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, t in rows:
+        per[u].append(t)
+    xs, ys = [], []
+    for u, ts in per.items():
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        for g0, g1 in zip(gaps, gaps[1:]):
+            ys.append(g0)  # prev_gap
+            xs.append(g1)  # gap
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    row = BANK_QUERIES["events_user_gap_autocorr"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row["n_gap_pairs"] == n
+    assert row["gap_autocorr"] == pytest.approx(
+        round(num / den, 6), abs=1e-9
+    )
