@@ -1350,3 +1350,147 @@ FROM m
 
 BANK_QUERIES["events_user_gap_autocorr"] = events_user_gap_autocorr
 BANK_ORACLES["events_user_gap_autocorr"] = ORACLE_GAP_AUTOCORR
+
+
+# ------------------------------------- hourly peak/trough per type
+
+def events_hourly_peak_trough(spark, sf):
+    """Peak and trough hour of day per event type with their share
+    ratio — the capacity-planning read-off the 24-cell profile keys
+    compute but don't summarize (the KL key says HOW peaked; this
+    says WHEN, and the peak/trough ratio is the overprovisioning
+    factor a flat fleet pays).
+
+    Exactness: counts are exact; peak/trough pick deterministic
+    (count DESC/ASC, hour ASC tiebreak); the ratio is a half-up
+    micro division of exact integers."""
+    from pyspark.sql import Window as W
+
+    cells = (
+        T(spark, sf, "events")
+        .select("event_type", F.expr("cast(hour(ts) as int)").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pk = cells.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.col("c").desc(), F.col("h").asc()
+            )
+        ),
+    ).filter("rk = 1").select(
+        "event_type", F.col("h").alias("peak_hour"),
+        F.col("c").alias("peak_n"),
+    )
+    tr = cells.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.col("c").asc(), F.col("h").asc()
+            )
+        ),
+    ).filter("rk = 1").select(
+        "event_type", F.col("h").alias("trough_hour"),
+        F.col("c").alias("trough_n"),
+    )
+    return pk.join(tr, "event_type").selectExpr(
+        "event_type", "peak_hour", "peak_n", "trough_hour", "trough_n",
+        "cast((2 * 1000000 * peak_n + trough_n) div (2 * trough_n)"
+        " as bigint) AS peak_trough_ratio_micro",
+    )
+
+
+ORACLE_PEAK_TROUGH = """
+WITH cells AS (
+  SELECT event_type, extract(hour FROM ts)::INT AS h,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+pk AS (
+  SELECT event_type, h AS peak_hour, c AS peak_n FROM (
+    SELECT event_type, h, c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY c DESC, h ASC) AS rk
+    FROM cells) WHERE rk = 1),
+tr AS (
+  SELECT event_type, h AS trough_hour, c AS trough_n FROM (
+    SELECT event_type, h, c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY c ASC, h ASC) AS rk
+    FROM cells) WHERE rk = 1)
+SELECT event_type, peak_hour, peak_n, trough_hour, trough_n,
+       ((2 * 1000000 * peak_n + trough_n) // (2 * trough_n))::BIGINT
+         AS peak_trough_ratio_micro
+FROM pk JOIN tr USING (event_type)
+"""
+
+BANK_QUERIES["events_hourly_peak_trough"] = events_hourly_peak_trough
+BANK_ORACLES["events_hourly_peak_trough"] = ORACLE_PEAK_TROUGH
+
+
+# --------------------------------- frequency-spectrum shares (n1/n2/n3)
+
+def docs_freq_spectrum_shares(spark, sf):
+    """Word-frequency spectrum head per source: hapax/dis/tris
+    legomena counts and their vocabulary shares, plus Sichel's
+    dis-legomena proportion — the per-source spectrum shape whose
+    corpus-level tail feeds Chao1/Good–Turing (two sources with equal
+    TTR can still have very different n1/n2 balance, which is what
+    smoothing and unseen-mass estimates actually consume).
+
+    Exactness: spectrum counts are exact integers off the
+    (source, count) count-of-counts relation; shares are half-up
+    micro divisions."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    cnt = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(F.expr(toks)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.expr("if(c = 1, 1, 0)")).cast("long").alias("n1"),
+        F.sum(F.expr("if(c = 2, 1, 0)")).cast("long").alias("n2"),
+        F.sum(F.expr("if(c = 3, 1, 0)")).cast("long").alias("n3"),
+    ).selectExpr(
+        "source", "vocab", "n1", "n2", "n3",
+        "cast((2 * 1000000 * n1 + vocab) div (2 * vocab) as bigint)"
+        " AS hapax_share_micro",
+        "cast((2 * 1000000 * n2 + vocab) div (2 * vocab) as bigint)"
+        " AS dis_share_micro",
+        "cast((2 * 1000000 * n3 + vocab) div (2 * vocab) as bigint)"
+        " AS tris_share_micro",
+    )
+
+
+def _oracle_spectrum_shares() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH cnt AS (
+  SELECT source, w, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY 1, 2),
+g AS (
+  SELECT source, count(*)::BIGINT AS vocab,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN c = 3 THEN 1 ELSE 0 END)::BIGINT AS n3
+  FROM cnt GROUP BY 1)
+SELECT source, vocab, n1, n2, n3,
+       ((2 * 1000000 * n1 + vocab) // (2 * vocab))::BIGINT
+         AS hapax_share_micro,
+       ((2 * 1000000 * n2 + vocab) // (2 * vocab))::BIGINT
+         AS dis_share_micro,
+       ((2 * 1000000 * n3 + vocab) // (2 * vocab))::BIGINT
+         AS tris_share_micro
+FROM g
+"""
+
+
+BANK_QUERIES["docs_freq_spectrum_shares"] = docs_freq_spectrum_shares
+BANK_ORACLES["docs_freq_spectrum_shares"] = _oracle_spectrum_shares()
