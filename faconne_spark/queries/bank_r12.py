@@ -1494,3 +1494,117 @@ FROM g
 
 BANK_QUERIES["docs_freq_spectrum_shares"] = docs_freq_spectrum_shares
 BANK_ORACLES["docs_freq_spectrum_shares"] = _oracle_spectrum_shares()
+
+
+# ------------------------------- two-sample Anderson–Darling (binned)
+
+def events_weekend_anderson_darling(spark, sf):
+    """Binned two-sample Anderson–Darling statistic, weekend vs
+    weekday values — completes the drift family's weighting spectrum
+    (KS: worst single gap; CvM: every gap equally; ENERGY: gaps
+    weighted by distance; AD: gaps weighted by 1/(F(1−F)), i.e. the
+    TAILS — a divergence confined to the extreme values that CvM
+    averages away is exactly what AD amplifies).  Discrete Pettitt
+    (1976) form on the shared 256-bin grid: A² = (1/(n₁n₂)) Σ
+    b·(N·F₁ − n₁·B)²/(B·(N−B)) over bins with 0 < B < N (same
+    grouped-data convention as the banked CvM).
+
+    Exactness: all counts exact integers; each bin's term micro-
+    rounds ONE double expression (per-cell rule), integer sum, the
+    statistic is one final division."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.queries.bank_r11 import (
+        CVM_BINS, CVM_LO, CVM_WIDTH,
+    )
+
+    ev = T(spark, sf, "events").select(
+        F.expr(
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 in (2, 3)"
+            " as int)"
+        ).alias("we"),
+        F.expr(
+            f"cast(least(greatest(floor((value - {CVM_LO!r})"
+            f" / {CVM_WIDTH!r}), 0), {CVM_BINS - 1}) as int)"
+        ).alias("bin"),
+    )
+    binned = ev.groupBy("bin").agg(
+        F.sum("we").alias("c1b"),
+        F.sum(F.expr("1 - we")).alias("c2b"),
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    full = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = binned.select(
+        "bin",
+        F.sum("c1b").over(w).alias("f1"),
+        (F.sum("c1b").over(w) + F.sum("c2b").over(w)).alias("bb"),
+        F.sum("c1b").over(full).alias("n1"),
+        F.sum("c2b").over(full).alias("n2"),
+        (F.col("c1b") + F.col("c2b")).alias("wgt"),
+    )
+    terms = cum.filter("bb > 0 and bb < n1 + n2").select(
+        "n1", "n2",
+        F.expr(
+            "cast(round(cast(wgt as double)"
+            " * (cast(f1 as double) * (n1 + n2)"
+            "    - cast(n1 as double) * bb)"
+            " * (cast(f1 as double) * (n1 + n2)"
+            "    - cast(n1 as double) * bb)"
+            " / (cast(bb as double) * (n1 + n2 - bb))"
+            " / (cast(n1 as double) * n2) * 1000000, 0) as bigint)"
+        ).alias("term_micro"),
+    )
+    return terms.groupBy().agg(
+        F.min("n1").cast("long").alias("n_weekend"),
+        F.min("n2").cast("long").alias("n_weekday"),
+        F.sum("term_micro").alias("ad_sum_micro"),
+        F.expr(
+            "round(cast(sum(term_micro) as double) / 1e6, 6) + 0.0"
+        ).alias("ad_stat"),
+    )
+
+
+def _oracle_weekend_ad() -> str:
+    from faconne_spark.queries.bank_r11 import (
+        CVM_BINS, CVM_LO, CVM_WIDTH,
+    )
+
+    return f"""
+WITH ev AS (
+  SELECT ((ts::DATE - DATE '1970-01-01') % 7 IN (2, 3))::INT AS we,
+         least(greatest(floor((value - {CVM_LO!r}) / {CVM_WIDTH!r}), 0),
+               {CVM_BINS - 1})::INT AS bin
+  FROM events),
+binned AS (
+  SELECT bin, sum(we)::BIGINT AS c1b, sum(1 - we)::BIGINT AS c2b
+  FROM ev GROUP BY 1),
+cum AS (
+  SELECT bin,
+         sum(c1b) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         sum(c1b + c2b) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bb,
+         sum(c1b) OVER () AS n1, sum(c2b) OVER () AS n2,
+         (c1b + c2b) AS wgt
+  FROM binned),
+terms AS (
+  SELECT n1, n2,
+         round(wgt::DOUBLE
+           * (f1::DOUBLE * (n1 + n2) - n1::DOUBLE * bb)
+           * (f1::DOUBLE * (n1 + n2) - n1::DOUBLE * bb)
+           / (bb::DOUBLE * (n1 + n2 - bb))
+           / (n1::DOUBLE * n2) * 1000000, 0)::BIGINT AS term_micro
+  FROM cum WHERE bb > 0 AND bb < n1 + n2)
+SELECT min(n1)::BIGINT AS n_weekend, min(n2)::BIGINT AS n_weekday,
+       sum(term_micro)::BIGINT AS ad_sum_micro,
+       round(sum(term_micro)::DOUBLE / 1e6, 6) + 0.0 AS ad_stat
+FROM terms
+"""
+
+
+BANK_QUERIES["events_weekend_anderson_darling"] = (
+    events_weekend_anderson_darling
+)
+BANK_ORACLES["events_weekend_anderson_darling"] = _oracle_weekend_ad()

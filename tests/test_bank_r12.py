@@ -279,3 +279,39 @@ def test_gap_autocorr_replay(spark, sf_dir):
     assert row["gap_autocorr"] == pytest.approx(
         round(num / den, 6), abs=1e-9
     )
+
+
+def test_anderson_darling_replay(spark, sf_dir):
+    """Brute-force the discrete Pettitt A² with the same per-bin
+    micro rounding."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT ((ts::DATE - DATE '1970-01-01') % 7 IN (2, 3))::INT,"
+        f" least(greatest(floor((value - 0.0) / 2.0), 0), 255)::INT"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    from collections import Counter
+
+    c1, c2 = Counter(), Counter()
+    for we, b in rows:
+        (c1 if we else c2)[b] += 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    N = n1 + n2
+    f1 = bb = 0
+    total = 0
+    for b in sorted(set(c1) | set(c2)):
+        f1 += c1[b]
+        wgt = c1[b] + c2[b]
+        bb += wgt
+        if 0 < bb < N:
+            term = (
+                wgt * (f1 * N - n1 * bb) ** 2
+                / (bb * (N - bb)) / (n1 * n2) * 1e6
+            )
+            total += math.floor(abs(term) + 0.5)
+    row = BANK_QUERIES["events_weekend_anderson_darling"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row["n_weekend"], row["n_weekday"]) == (n1, n2)
+    assert row["ad_sum_micro"] == total
+    assert row["ad_stat"] == pytest.approx(round(total / 1e6, 6), abs=1e-9)
