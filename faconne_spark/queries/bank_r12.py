@@ -1608,3 +1608,187 @@ BANK_QUERIES["events_weekend_anderson_darling"] = (
     events_weekend_anderson_darling
 )
 BANK_ORACLES["events_weekend_anderson_darling"] = _oracle_weekend_ad()
+
+
+# ------------------------------------ language mix entropy per source
+
+def docs_lang_mix_entropy(spark, sf):
+    """Shannon entropy (exact micro-nats) of each source's language
+    mix, with the dominant language and its share — the one-scalar
+    'is this source monolingual' gauge beside the source↔corpus KL
+    key (routing text through language-specific quality models needs
+    the per-source verdict, not the corpus comparison).
+
+    Exactness: per-cell ln of the exact BIGINT ratio n/c_l
+    micro-rounds once per (source, lang); weighted integer sum;
+    dominant-language pick deterministic (count DESC, lang ASC)."""
+    from pyspark.sql import Window as W
+
+    cells = (
+        T(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = cells.groupBy("source").agg(F.sum("c").alias("n"))
+    terms = cells.join(F.broadcast(tot), "source").select(
+        "source", "n",
+        F.expr(
+            "cast(c as decimal(38,0))"
+            " * cast(round(ln(cast(n as double) / c) * 1000000, 0)"
+            " as bigint)"
+        ).alias("t"),
+    )
+    ent = terms.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        # sum(t) is DECIMAL — cast to BIGINT BEFORE the half-up div:
+        # DuckDB's // on DECIMAL is true division (the r11 probe), so
+        # the idiom is only portable on integer types
+        F.expr(
+            "cast((2 * cast(sum(t) as bigint) + max(n))"
+            " div (2 * max(n)) as bigint)"
+        ).alias("entropy_micro_nats"),
+    )
+    dom = cells.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.col("c").desc(), F.col("lang").asc()
+            )
+        ),
+    ).filter("rk = 1").select(
+        "source", F.col("lang").alias("top_lang"),
+        F.col("c").alias("top_lang_docs"),
+    )
+    return ent.join(dom, "source").selectExpr(
+        "source", "n_docs", "entropy_micro_nats", "top_lang",
+        "cast((2 * 1000000 * top_lang_docs + n_docs)"
+        " div (2 * n_docs) as bigint) AS top_lang_share_micro",
+    )
+
+
+ORACLE_LANG_MIX = """
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM cells GROUP BY 1),
+terms AS (
+  SELECT c0.source, n,
+         c::DECIMAL(38,0)
+           * round(ln(n::DOUBLE / c) * 1000000, 0)::BIGINT AS t
+  FROM cells c0 JOIN tot USING (source)),
+ent AS (
+  SELECT source, max(n)::BIGINT AS n_docs,
+         ((2 * sum(t)::BIGINT + max(n)) // (2 * max(n)))::BIGINT
+           AS entropy_micro_nats
+  FROM terms GROUP BY 1),
+dom AS (
+  SELECT source, lang AS top_lang, c AS top_lang_docs FROM (
+    SELECT source, lang, c,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, lang ASC) AS rk
+    FROM cells) WHERE rk = 1)
+SELECT source, n_docs, entropy_micro_nats, top_lang,
+       ((2 * 1000000 * top_lang_docs + n_docs)
+        // (2 * n_docs))::BIGINT AS top_lang_share_micro
+FROM ent JOIN dom USING (source)
+"""
+
+BANK_QUERIES["docs_lang_mix_entropy"] = docs_lang_mix_entropy
+BANK_ORACLES["docs_lang_mix_entropy"] = ORACLE_LANG_MIX
+
+
+# --------------------------------------- hourly VALUE median profile
+
+def events_hour_value_median_profile(spark, sf):
+    """×2-exact median event value per hour of day (24 rows) with
+    volume — the VALUE clock beside the count-based hourly keys (a
+    peak-traffic hour with a LOW median ticket and a quiet hour with
+    whales are opposite capacity/fraud stories the count profile
+    cannot tell apart)."""
+    ev = T(spark, sf, "events").select(
+        F.expr("cast(hour(ts) as int)").alias("h"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    return ev.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "cast(floor(2 * percentile(v, 0.5) + 0.5) as bigint)"
+        ).alias("med_value_x2"),
+        F.expr(
+            "cast(floor(4 * percentile(v, 0.75) + 0.5) as bigint)"
+        ).alias("q3_value_x4"),
+    )
+
+
+ORACLE_HOUR_VALUE_MEDIAN = """
+SELECT extract(hour FROM ts)::INT AS h, count(*)::BIGINT AS n_events,
+       floor(2 * quantile_cont(floor(value * 1000000 + 0.5)::BIGINT,
+                               0.5) + 0.5)::BIGINT AS med_value_x2,
+       floor(4 * quantile_cont(floor(value * 1000000 + 0.5)::BIGINT,
+                               0.75) + 0.5)::BIGINT AS q3_value_x4
+FROM events GROUP BY 1
+"""
+
+BANK_QUERIES["events_hour_value_median_profile"] = (
+    events_hour_value_median_profile
+)
+BANK_ORACLES["events_hour_value_median_profile"] = (
+    ORACLE_HOUR_VALUE_MEDIAN
+)
+
+
+# ------------------------------------------- per-doc TTR distribution
+
+def docs_ttr_quantiles(spark, sf):
+    """Quartiles of the PER-DOCUMENT type-token ratio per source —
+    the ttr-by-source key reports one pooled mean; gate THRESHOLDS
+    need the distribution (where does the repetitive tail start, and
+    how wide is the spread a cutoff must tolerate).
+
+    Exactness: each document's TTR micro-rounds ONCE (distinct/total
+    integer ratio, half-up); the ×4 quartiles of those micro integers
+    are exact BIGINTs.  Map-only per-doc fold, one groupBy."""
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "spark")
+    per_doc = T(spark, sf, "documents").select(
+        "source",
+        F.expr(
+            f"cast((2 * 1000000 * size(array_distinct({toks}))"
+            f" + size({toks})) div (2 * size({toks})) as bigint)"
+        ).alias("ttr_micro"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            "cast(floor(4 * percentile(ttr_micro, 0.25) + 0.5) as bigint)"
+        ).alias("q1_x4"),
+        F.expr(
+            "cast(floor(4 * percentile(ttr_micro, 0.5) + 0.5) as bigint)"
+        ).alias("q2_x4"),
+        F.expr(
+            "cast(floor(4 * percentile(ttr_micro, 0.75) + 0.5) as bigint)"
+        ).alias("q3_x4"),
+    )
+
+
+def _oracle_ttr_quantiles() -> str:
+    from faconne_spark.functions import tokens_ws
+
+    toks = tokens_ws("lower(text)", "duckdb")
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         ((2 * 1000000 * len(list_distinct({toks}))
+           + len({toks})) // (2 * len({toks})))::BIGINT AS ttr_micro
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       floor(4 * quantile_cont(ttr_micro, 0.25) + 0.5)::BIGINT AS q1_x4,
+       floor(4 * quantile_cont(ttr_micro, 0.5) + 0.5)::BIGINT AS q2_x4,
+       floor(4 * quantile_cont(ttr_micro, 0.75) + 0.5)::BIGINT AS q3_x4
+FROM per_doc GROUP BY source
+"""
+
+
+BANK_QUERIES["docs_ttr_quantiles"] = docs_ttr_quantiles
+BANK_ORACLES["docs_ttr_quantiles"] = _oracle_ttr_quantiles()
