@@ -566,6 +566,29 @@ def main() -> None:
         "lineitem_qty_twoway_anova",
         "customer_segment_welch_pairs",
         "embed_panel_knn_reciprocity",
+        # round-12: the registered bank_r12 twenty-two
+        "events_value_theil_by_type",
+        "events_hour_kl_uniform",
+        "events_type_gap_median",
+        "events_value_filliben_normality",
+        "docs_token_lorenz_deciles",
+        "docs_len_by_freq_decile",
+        "docs_source_topk_chi2",
+        "lineitem_unitprice_iqr_outliers",
+        "customer_nation_balance_kruskal",
+        "embed_dim_sign_balance",
+        "orders_totalprice_weibull_ventiles",
+        "events_daily_cusum_max",
+        "events_type_value_ks_matrix",
+        "customer_neg_balance_share",
+        "lineitem_tax_discount_corr",
+        "events_user_gap_autocorr",
+        "events_hourly_peak_trough",
+        "docs_freq_spectrum_shares",
+        "events_weekend_anderson_darling",
+        "docs_lang_mix_entropy",
+        "events_hour_value_median_profile",
+        "docs_ttr_quantiles",
     ]
     times = {}
     shuffle = {}

@@ -3262,11 +3262,17 @@ def mp4_sample_table(payload: bytes) -> dict:
             if payload[p + 4 : p + 8] == b"vide":
                 chosen = (body, stop)
                 break
-        if chosen is None:
-            chosen = (body, stop)
     if chosen is None:
-        raise ValueError("MP4 moov contains no trak")
+        # fail loud (module convention, cf. bmp_pixels): an audio-only
+        # MP4's SoundSampleEntry must not be parsed as a
+        # VisualSampleEntry — that would return garbage width/height
+        raise ValueError(
+            "MP4 moov contains no video trak (hdlr 'vide'); audio-only"
+            " MP4 is not a frame source"
+        )
     mdia = _mp4_find(payload, [b"mdia"], *chosen)
+    if mdia is None:
+        raise ValueError("MP4 trak has no mdia box")
     stbl = _mp4_find(payload, [b"minf", b"stbl"], *mdia)
     if stbl is None:
         raise ValueError("MP4 trak has no sample table")

@@ -36,12 +36,42 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # any key whose plan snapshot drifted from the stamped round-close
 # manifest must appear here, and the block must fit the window.
 _CHANGED_THIS_ROUND = [
-    # ================= r11 changed/new block (count ≤ 50!) ================
-    # -- new in r11: the eighteen pairs proven and staged at the r10
-    #    close (queries/bank_r11.py, proofs in tests/test_bank_r11.py
+    # ================= r12 changed/new block (count ≤ 50!) ================
+    # -- new in r12: the twenty-two pairs proven and staged at the r11
+    #    close (queries/bank_r12.py, proofs in tests/test_bank_r12.py
     #    at 3 SFs + a partitioning-invariance sweep + plain-Python
-    #    replays) — registration is the round-11 opening move (judge
-    #    r10 ask #1) --
+    #    replays) — registration is the round-12 opening move (judge
+    #    r11 ask #1) --
+    "events_value_theil_by_type",
+    "events_hour_kl_uniform",
+    "events_type_gap_median",
+    "events_value_filliben_normality",
+    "docs_token_lorenz_deciles",
+    "docs_len_by_freq_decile",
+    "docs_source_topk_chi2",
+    "lineitem_unitprice_iqr_outliers",
+    "customer_nation_balance_kruskal",
+    "embed_dim_sign_balance",
+    "orders_totalprice_weibull_ventiles",
+    "events_daily_cusum_max",
+    "events_type_value_ks_matrix",
+    "customer_neg_balance_share",
+    "lineitem_tax_discount_corr",
+    "events_user_gap_autocorr",
+    "events_hourly_peak_trough",
+    "docs_freq_spectrum_shares",
+    "events_weekend_anderson_darling",
+    "docs_lang_mix_entropy",
+    "events_hour_value_median_profile",
+    "docs_ttr_quantiles",
+    # -- changed in r12 (judge r11 ADVICE): customer_segment_welch_pairs
+    #    gains the CASE n>1 AND se2>0 degenerate-data guard in both
+    #    engines (oracle + Spark plan both change) --
+    "customer_segment_welch_pairs",
+]
+
+_REST = [
+    # -- unchanged keys (fresh r11 rows), r11 order --
     "events_value_quartile_dispersion",
     "docs_word_burstiness_fano",
     "events_value_lorenz_asymmetry",
@@ -60,28 +90,7 @@ _CHANGED_THIS_ROUND = [
     "events_gap_weibull_fit",
     "events_weekend_energy_distance",
     "orders_monthly_seasonal_strength",
-    # -- re-implemented in r11 (judge r10 ask #4): resize now routes
-    #    JPEG and GIF through their real decoders (decode → nearest-
-    #    neighbour → re-encode in-container), the media relation is
-    #    mixed across all five container types, and the gated value is
-    #    the per-type resample-checksum sum (decode-back for lossless
-    #    codecs, pre-encode buffer for the honestly-lossy JPEG) --
-    "mm_resize",
-    # -- new in r11 (judge r10 ask #5): real MP4 — stdlib ISO BMFF box
-    #    walk (moov/trak/stbl, stsc×stsz×stco sample map) over an
-    #    MJPEG-in-MP4 relation, every kept frame through the full JPEG
-    #    decode, closed-form md5 oracle --
     "mm_mp4_frames",
-    # -- re-implemented in r11 (judge r10 ask #7): the cosine-pair
-    #    histogram's fixed-FRACTION modulus sampler (phash60 % 8 — the
-    #    r9 quadratic defect class) re-expressed over the fixed-COUNT
-    #    sample_panel(400); broadcast and pair stage bounded CONSTANT --
-    "embed_cosine_pair_histogram",
-    # -- new in r11, analytics waves A-D (queries/round11.py):
-    #    Ljung-Box portmanteau, MAD robust scale, per-type value Gini,
-    #    word recurrence gaps, vocabulary Gini, Zipf's law of
-    #    abbreviation, two-way ANOVA with interaction, Welch pairwise
-    #    t, panel kNN reciprocity --
     "events_daily_acf_ljungbox",
     "events_value_mad_by_type",
     "events_value_gini_by_type",
@@ -89,11 +98,7 @@ _CHANGED_THIS_ROUND = [
     "docs_vocab_gini",
     "docs_length_freq_spearman",
     "lineitem_qty_twoway_anova",
-    "customer_segment_welch_pairs",
     "embed_panel_knn_reciprocity",
-]
-
-_REST = [
     # -- unchanged keys (fresh r10 rows), r10 order --
     "orders_priority_shiplag_ks", "events_active_days_gini",
     "events_transition_asymmetry", "docs_source_simpson_diversity",
@@ -250,6 +255,24 @@ _REST = [
     "embed_outliers", "dedup_embedding_cosine", "ann_ivf",
     "basket_part_pairs", "ann_pq_adc", "ann_ivf_pq", "text_fingerprint",
     "ann_ivf_kmeans", "neardup_rate_by_source",
+    # -- stable since r1-r3, never re-ordered: explicit so the
+    #    window-discipline union assertion covers the whole registry --
+    "fac_group_report", "fac_unnest_roundtrip", "fac_invert_map",
+    "fac_where_pushdown", "fac_pairs_sum", "fac_vector_partition",
+    "fac_conditional_key", "fac_argmax", "tpch_q1_pricing",
+    "tpch_q3_shipping", "tpch_q4_priority", "tpch_q5_local_volume",
+    "tpch_q6_forecast", "tpch_q10_returns", "tpch_q14_promo",
+    "tpch_q18_large_orders", "tpch_q7_nation_volume", "tpch_q13_order_counts",
+    "tpch_q17_small_qty", "tpch_q19_disjunctive", "tpch_q22_dormant",
+    "win_running_total", "win_order_gaps", "win_top_orders_per_cust",
+    "asof_join_events", "range_join_events", "pivot_events", "rollup_orders",
+    "cube_lineitem_volume", "tpch_q2_min_cost_supp", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q11_important_parts",
+    "tpch_q12_ship_lateness", "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_cnt", "tpch_q20_excess_shipments",
+    "tpch_q21_waiting_suppliers", "set_ops_retention",
+    "percentile_order_value", "grouping_sets_orders", "events_funnel",
+    "dedup_exact", "dedup_ngram_jaccard",
 ]
 
 # changed keys lead; a key promoted into the changed block drops out of
@@ -268,6 +291,7 @@ def _merged(attr: str) -> dict:
         bank_r9,
         bank_r10,
         bank_r11,
+        bank_r12,
         curation,
         round11,
         faconne_demo,
@@ -287,7 +311,7 @@ def _merged(attr: str) -> dict:
     for mod in (
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
         round7, stats_r7, bank_r8, round8, bank_r9, staged_r9, round9,
-        round9b, bank_r10, round10, bank_r11, round11,
+        round9b, bank_r10, round10, bank_r11, round11, bank_r12,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

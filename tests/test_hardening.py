@@ -443,6 +443,7 @@ def test_survey_registry_consistency():
             r"part_copurchase_\w+|part_brand_\w+|part_type_\w+|"
             r"part_size_\w+|"
             r"customer_segment_\w+|customer_balance_\w+|supplier_\w+|"
+            r"customer_nation_\w+|customer_neg_\w+|"
             r"neardup_\w+|"
             r"customer_order_reconciliation|customer_order_golden|"
             r"customer_order_value_icc|"

@@ -66,6 +66,26 @@ def test_changed_block_fits_driver_window():
     assert _FIRST[: len(_CHANGED_THIS_ROUND)] == _CHANGED_THIS_ROUND
 
 
+def test_changed_and_rest_cover_registry():
+    """Judge r11 ask #1: the explicit order lists must UNION to the whole
+    registry.  Before r12, keys outside both lists rode the implicit
+    merged-tail of _merged() — order correct but invisible to review, and
+    a key forgotten from both lists (the r11 bookkeeping class: the nine
+    wave keys + mm_mp4_frames missing from _REST) shipped silently."""
+    from faconne_spark.queries import _CHANGED_THIS_ROUND, _REST, all_queries
+
+    union = set(_CHANGED_THIS_ROUND) | set(_REST)
+    registry = set(all_queries())
+    assert union == registry, (
+        f"order lists out of sync with registry — missing from both: "
+        f"{sorted(registry - union)}; stale entries: {sorted(union - registry)}"
+    )
+    # _REST must not carry duplicates (a duplicate would double-walk a
+    # gate slot) nor overlap the changed block
+    assert len(_REST) == len(set(_REST))
+    assert not set(_REST) & set(_CHANGED_THIS_ROUND)
+
+
 def test_plan_drift_only_inside_changed_block():
     """Every snapshot that is new or differs from the round-close stamp
     must belong to a key front-loaded in _CHANGED_THIS_ROUND."""
