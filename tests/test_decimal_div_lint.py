@@ -150,3 +150,101 @@ def test_lint_catches_the_planted_gumbel_trap():
     assert not _literal_literal_hits("round(s / 1000000.0, 0)")
     assert not _literal_literal_hits("(r - 0.3) / (n + 0.4)")
     assert not _literal_literal_hits("percentile(v, 0.5)")
+
+
+# ===================== DECIMAL-`//` lint (VERDICT r11 ask #2) ==========
+#
+# The fourth bite of the division family: DuckDB `//` on DECIMAL
+# operands is TRUE division (only integer types truncate like Spark
+# `div`), so `(2*sum(t)+n) // (2*n)` silently stops truncating when
+# `t` is a DECIMAL product — the exact shape that bit the language-mix
+# entropy draft at r12 staging.  tools/intdiv_lint.py proves every
+# `//` operand integer-typed from the text (suffix/int casts, integer
+# builtins, sum/max/CASE recursion, alias fixpoint, DATE-DATE,
+# struct-literal fields, int-list element extracts; lambda params are
+# integer-assumed — perimeter documented in the module docstring).
+
+# (oracle-key, operand-snippet) -> audit rationale for sites the
+# prover cannot reach.  EMPTY today: the whole registry + staged bank
+# proves clean.  A new unprovable site must be rewritten cast-first or
+# audited into this dict with its type derivation.
+WAIVERS_INTDIV: dict = {}
+
+
+def _all_oracle_pairs():
+    import importlib
+
+    from faconne_spark.queries import all_oracles
+
+    oracles = dict(all_oracles())
+    for bank in ("bank_r12",):
+        mod = importlib.import_module(f"faconne_spark.queries.{bank}")
+        for k, v in mod.BANK_ORACLES.items():
+            oracles.setdefault(f"{bank}:{k}", v)
+    return oracles
+
+
+def test_no_unprovable_intdiv_in_oracles():
+    from tools.intdiv_lint import scan_sql
+
+    bad = []
+    for key, sql in sorted(_all_oracle_pairs().items()):
+        if not isinstance(sql, str):
+            continue
+        for side, op in scan_sql(sql):
+            if (key, op) not in WAIVERS_INTDIV:
+                bad.append(f"{key} [{side}] {op!r}")
+    assert not bad, (
+        "`//` operand not provably integer-typed (DuckDB `//` on "
+        "DECIMAL is TRUE division — cast the aggregate `::BIGINT` "
+        "first, or audit + waive):\n" + "\n".join(bad)
+    )
+
+
+_LANG_MIX_DRAFT_BITE = """
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM cells GROUP BY 1),
+terms AS (
+  SELECT c0.source, n,
+         c::DECIMAL(38,0)
+           * round(ln(n::DOUBLE / c) * 1000000, 0)::BIGINT AS t
+  FROM cells c0 JOIN tot USING (source))
+SELECT source, ((2 * sum(t) + max(n)) // (2 * max(n)))::BIGINT AS e
+FROM terms GROUP BY 1
+"""
+
+
+def test_intdiv_lint_catches_the_planted_lang_mix_trap():
+    """The verbatim r12-staging bite must flag; the shipped fix
+    (sum(t)::BIGINT before the half-up div) must scan clean."""
+    from tools.intdiv_lint import scan_sql
+
+    flags = scan_sql(_LANG_MIX_DRAFT_BITE)
+    assert flags and flags[0][0] == "left" and "sum(t)" in flags[0][1]
+    assert not scan_sql(
+        _LANG_MIX_DRAFT_BITE.replace("sum(t)", "sum(t)::BIGINT")
+    )
+
+
+def test_intdiv_prover_unit_shapes():
+    from tools.intdiv_lint import build_env, provably_int, scan_sql
+
+    env = build_env("SELECT 1")
+    # a suffix cast binds ONE factor, not the chain (the precedence
+    # trap the first prover draft had)
+    assert not provably_int("c::DECIMAL(38,0) * x::BIGINT", env)
+    assert provably_int("c::BIGINT * x::BIGINT", env)
+    # sum over provably-integer summand -> HUGEINT: truncates fine
+    assert provably_int("sum(floor(v * 1e6 + 0.5)::BIGINT)", env)
+    # floor alone returns DOUBLE in DuckDB: never provable uncast
+    assert not provably_int("floor(v * 1e6 + 0.5)", env)
+    # DATE - DATE is BIGINT days
+    sql = "SELECT ts::DATE AS day, (max(day) - min(day)) // 7 FROM t"
+    assert not scan_sql(sql)
+    # true division poisons
+    assert not provably_int("(a::BIGINT / b::BIGINT)", env)
+    # CASE branches must all prove
+    assert provably_int("CASE WHEN x THEN 1 ELSE count(*) END", env)
+    assert not provably_int("CASE WHEN x THEN 1 ELSE y END", env)
