@@ -589,6 +589,8 @@ def main() -> None:
         "docs_lang_mix_entropy",
         "events_hour_value_median_profile",
         "docs_ttr_quantiles",
+        # round-12 codec gate
+        "mm_mp4_fragmented",
     ]
     times = {}
     shuffle = {}

@@ -2028,9 +2028,8 @@ def decode_media_real(payload: bytes) -> tuple:
     dimensions (PNG since r8, baseline JPEG since r9 — the pure-Python
     codecs above), WAV → (None, None) (dimensionless), motion-BMP →
     first frame's BMP dimensions, MP4 → video-trak stsd dimensions via
-    the ISO BMFF walk (r11; fragmented moof streams raise
-    NotImplementedError toward the seam); unknown magics raise
-    ValueError."""
+    the ISO BMFF walk (r11; fragmented moof/traf/trun streams walk
+    too since r12); unknown magics raise ValueError."""
     if payload[:2] == b"BM":
         return bmp_dims(payload)
     if payload[:8] == PNG_SIG:
@@ -2214,8 +2213,8 @@ FRAME_SCHEMA = StructType(
 def sample_frames_real(payload: bytes, every_n: int) -> list:
     """REAL frame extraction: WAV → every n-th PCM16 sample (2 bytes),
     motion-BMP → every n-th embedded BMP frame, MP4 → every n-th
-    video-trak sample via the ISO BMFF walk (r11; fragmented streams
-    still need ffmpeg/pyav via the ``codec=`` seam)."""
+    video-trak sample via the ISO BMFF walk — both the unfragmented
+    stbl form (r11) and fragmented moof/traf/trun segments (r12)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pcm = wav_pcm(payload)
         samples = [pcm[i : i + 2] for i in range(0, len(pcm), 2)]
@@ -3184,9 +3183,13 @@ def extract_gif_pixel_entropy(media: DataFrame) -> DataFrame:
 # moov/trak/mdia/minf/stbl with stsd('jpeg')/stts/stsc/stsz/stco); the
 # reader walks the box tree, picks the 'vide' track, and reconstructs
 # per-sample (offset, size) from the stsc/stsz/stco (or co64) tables —
-# the full sample-extraction path a real crawled MP4 needs.  Fragmented
-# streams (moof) and encrypted/compressed metadata raise pointedly at
-# the seam like every other unsupported layout.
+# the full sample-extraction path a real crawled MP4 needs.  Since r12
+# FRAGMENTED streams (moof/traf/trun — the DASH/CMAF segment form that
+# dominates crawled video) walk too: ISO/IEC 14496-12 §8.8 movie
+# fragments with trex defaults, tfhd default-base-is-moof /
+# base-data-offset addressing, and per-sample or default sizes.
+# Encrypted/compressed metadata still raises pointedly at the seam
+# like every other unsupported layout.
 
 _MP4_CONTAINERS = {
     b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts",
@@ -3237,18 +3240,155 @@ def _mp4_full(payload: bytes, body: int):
     return vf >> 24, vf & 0xFFFFFF, body + 4
 
 
+def _mp4_top_boxes(payload: bytes):
+    """Top-level (fourcc, box_start, body, stop) — box_start is the
+    header position, which §8.8.7 fragment addressing anchors to."""
+    pos, end = 0, len(payload)
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        size = struct.unpack_from(">I", payload, pos)[0]
+        fourcc = bytes(payload[pos + 4 : pos + 8])
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize header")
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"MP4 box {fourcc!r} overruns its container")
+        yield fourcc, pos, body, pos + size
+        pos += size
+
+
+def _mp4_trex_defaults(payload: bytes, moov, track_id: int):
+    """(default_sample_size, default_sample_duration) from the mvex
+    trex for track_id; (None, None) when absent (§8.8.3)."""
+    mvex = _mp4_find(payload, [b"mvex"], *moov)
+    if mvex is None:
+        return None, None
+    for fourcc, body, stop in mp4_boxes(payload, *mvex):
+        if fourcc != b"trex":
+            continue
+        _v, _f, p = _mp4_full(payload, body)
+        tid, _sdi, dur, size, _flags = struct.unpack_from(">5I", payload, p)
+        if tid == track_id:
+            return (size or None), (dur or None)
+    return None, None
+
+
+# tfhd flags (§8.8.7)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+# trun flags (§8.8.8)
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+
+
+def _mp4_fragment_samples(
+    payload: bytes, track_id: int, trex_size,
+) -> list:
+    """(offset, size) per sample across every top-level moof, in
+    fragment order — the §8.8 movie-fragment walk: per-moof traf
+    matching track_id, tfhd base addressing (default-base-is-moof or
+    explicit base-data-offset), trun data_offset + per-sample /
+    default sizes."""
+    samples = []
+    for fourcc, box_start, body, stop in _mp4_top_boxes(payload):
+        if fourcc != b"moof":
+            continue
+        for tf_cc, tf_body, tf_stop in mp4_boxes(payload, body, stop):
+            if tf_cc != b"traf":
+                continue
+            tfhd = _mp4_find(payload, [b"tfhd"], tf_body, tf_stop)
+            if tfhd is None:
+                raise ValueError("MP4 traf has no tfhd")
+            _v, flags, p = _mp4_full(payload, tfhd[0])
+            tid = struct.unpack_from(">I", payload, p)[0]
+            p += 4
+            if tid != track_id:
+                continue
+            base = box_start
+            if flags & _TFHD_BASE_DATA_OFFSET:
+                base = struct.unpack_from(">Q", payload, p)[0]
+                p += 8
+            # (default-base-is-moof and the no-flag legacy default both
+            # anchor at the moof start for the first trun here)
+            if flags & _TFHD_SAMPLE_DESC_IDX:
+                p += 4
+            if flags & _TFHD_DEFAULT_DURATION:
+                p += 4
+            default_size = None
+            if flags & _TFHD_DEFAULT_SIZE:
+                default_size = struct.unpack_from(">I", payload, p)[0]
+                p += 4
+            if default_size is None:
+                default_size = trex_size
+            for tr_cc, tr_body, tr_stop in mp4_boxes(
+                payload, tf_body, tf_stop
+            ):
+                if tr_cc != b"trun":
+                    continue
+                _tv, tflags, q = _mp4_full(payload, tr_body)
+                n = struct.unpack_from(">I", payload, q)[0]
+                q += 4
+                if not tflags & _TRUN_DATA_OFFSET:
+                    raise ValueError(
+                        "MP4 trun without data_offset not supported"
+                        " (implicit continuation addressing)"
+                    )
+                data_offset = struct.unpack_from(">i", payload, q)[0]
+                q += 4
+                if tflags & _TRUN_FIRST_SAMPLE_FLAGS:
+                    q += 4
+                pos = base + data_offset
+                for _ in range(n):
+                    if tflags & _TRUN_SAMPLE_DURATION:
+                        q += 4
+                    if tflags & _TRUN_SAMPLE_SIZE:
+                        size = struct.unpack_from(">I", payload, q)[0]
+                        q += 4
+                    elif default_size is not None:
+                        size = default_size
+                    else:
+                        raise ValueError(
+                            "MP4 trun sample has no size (no per-sample"
+                            " size, no tfhd default, no trex default)"
+                        )
+                    if tflags & _TRUN_SAMPLE_FLAGS:
+                        q += 4
+                    if tflags & _TRUN_SAMPLE_CTS:
+                        q += 4
+                    if pos + size > len(payload):
+                        raise ValueError("MP4 sample overruns the file")
+                    samples.append((pos, size))
+                    pos += size
+    if not samples:
+        raise ValueError(
+            f"fragmented MP4 has no trun samples for track {track_id}"
+        )
+    return samples
+
+
 def mp4_sample_table(payload: bytes) -> dict:
     """Walk moov → video trak → stbl and reconstruct the sample map:
     {codec, width, height, timescale, samples: [(offset, size), ...]}.
     The stsc run-length chunk map, per-sample (or constant) stsz, and
-    stco/co64 chunk offsets compose exactly as 14496-12 §8.7 says."""
+    stco/co64 chunk offsets compose exactly as 14496-12 §8.7 says;
+    fragmented (moof) streams walk §8.8's traf/tfhd/trun instead."""
     if payload[4:8] != b"ftyp":
         raise ValueError("not an MP4 payload (no ftyp)")
-    if _mp4_find(payload, [b"moof"]) is not None:
-        raise NotImplementedError(
-            "fragmented MP4 (moof) not supported; wire ffmpeg/pyav in"
-            " through the `codec=` seam"
-        )
+    fragmented = _mp4_find(payload, [b"moof"]) is not None
     moov = _mp4_find(payload, [b"moov"])
     if moov is None:
         raise ValueError("MP4 payload contains no moov box")
@@ -3297,6 +3437,28 @@ def mp4_sample_table(payload: bytes) -> dict:
             out["width"], out["height"] = struct.unpack_from(
                 ">HH", payload, entry + 32
             )
+    if fragmented:
+        tkhd = _mp4_find(payload, [b"tkhd"], *chosen)
+        if tkhd is None:
+            raise ValueError("MP4 trak has no tkhd")
+        ver, _f, p = _mp4_full(payload, tkhd[0])
+        track_id = struct.unpack_from(
+            ">I", payload, p + (16 if ver == 1 else 8)
+        )[0]
+        stsz = _mp4_find(payload, [b"stsz"], *stbl)
+        if stsz is not None:
+            _v, _f, p2 = _mp4_full(payload, stsz[0])
+            _cs, n_stbl = struct.unpack_from(">II", payload, p2)
+            if n_stbl:
+                raise NotImplementedError(
+                    "MP4 with BOTH stbl samples and moof fragments not"
+                    " supported (CMAF/DASH segments carry an empty stbl)"
+                )
+        trex_size, _trex_dur = _mp4_trex_defaults(payload, moov, track_id)
+        out["samples"] = _mp4_fragment_samples(
+            payload, track_id, trex_size
+        )
+        return out
     stsz = _mp4_find(payload, [b"stsz"], *stbl)
     if stsz is None:
         raise ValueError("MP4 sample table has no stsz")
@@ -3471,6 +3633,130 @@ _MP4_UNITY_MATRIX = struct.pack(
 )
 
 
+def mp4_encode_mjpeg_fragmented(
+    frames: list, width: int, height: int, frames_per_fragment: int = 2,
+    timescale: int = 1000, sample_delta: int = 1000,
+) -> bytes:
+    """A real FRAGMENTED MJPEG-in-MP4 (the DASH/CMAF segment layout,
+    ISO/IEC 14496-12 §8.8): moov carries an EMPTY stbl plus mvex/trex
+    defaults, then one (moof, mdat) pair per fragment — mfhd sequence
+    numbers, tfhd with default-base-is-moof addressing, trun with
+    data_offset + per-sample sizes.  This is the form a crawled DASH
+    segment stream concatenates to, which the unfragmented writer's
+    stco/stsc layout cannot represent."""
+    if not frames:
+        raise ValueError("mp4_encode_mjpeg_fragmented: no frames")
+    if frames_per_fragment < 1:
+        raise ValueError("frames_per_fragment must be >= 1")
+    ftyp = _mp4_box(
+        b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5msdh"
+    )
+    n = len(frames)
+    duration = n * sample_delta
+    mvhd = _mp4_full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full_box(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_full_box(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _mp4_full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _mp4_box(
+        b"dinf",
+        _mp4_full_box(
+            b"dref", 0, 0,
+            struct.pack(">I", 1) + _mp4_full_box(b"url ", 0, 1, b""),
+        ),
+    )
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0)
+        + b"\x00" * 12
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x05mjpeg" + b"\x00" * 26
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _mp4_full_box(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + struct.pack(">I", 8 + len(entry)) + b"jpeg" + entry,
+    )
+    # empty sample tables: every sample lives in a fragment
+    stts = _mp4_full_box(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _mp4_full_box(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _mp4_full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _mp4_full_box(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    trex = _mp4_full_box(
+        b"trex", 0, 0, struct.pack(">5I", 1, 1, sample_delta, 0, 0)
+    )
+    mvex = _mp4_box(b"mvex", trex)
+    moov = _mp4_box(b"moov", mvhd + trak + mvex)
+    out = [ftyp, moov]
+    seq, decode_time = 0, 0
+    for f0 in range(0, n, frames_per_fragment):
+        chunk = frames[f0:f0 + frames_per_fragment]
+        seq += 1
+        mfhd = _mp4_full_box(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _mp4_full_box(
+            b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF,
+            struct.pack(">I", 1),
+        )
+        tfdt = _mp4_full_box(
+            b"tfdt", 1, 0, struct.pack(">Q", decode_time)
+        )
+        decode_time += len(chunk) * sample_delta
+        trun_wo_offset = (
+            struct.pack(">I", len(chunk))
+            + struct.pack(">i", 0)  # patched below
+            + b"".join(struct.pack(">I", len(f)) for f in chunk)
+        )
+        trun = _mp4_full_box(
+            b"trun", 0, _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE,
+            trun_wo_offset,
+        )
+        traf = _mp4_box(b"traf", tfhd + tfdt + trun)
+        moof = _mp4_box(b"moof", mfhd + traf)
+        # data_offset is moof-relative (default-base-is-moof): the
+        # first sample byte sits right after this moof + mdat header
+        data_offset = len(moof) + 8
+        patch_at = len(moof) - len(trun_wo_offset) + 4
+        moof = (
+            moof[:patch_at]
+            + struct.pack(">i", data_offset)
+            + moof[patch_at + 4:]
+        )
+        out.append(moof)
+        out.append(_mp4_box(b"mdat", b"".join(chunk)))
+    return b"".join(out)
+
+
 def synthesize_mp4(docs: DataFrame) -> DataFrame:
     """One REAL MJPEG-in-MP4 per document: 2 + d3 % 5 frames, each a
     flat-block grayscale JPEG of 8·(1 + d4 % 3) × 8·(1 + d5 % 3) with
@@ -3509,6 +3795,58 @@ def synthesize_mp4(docs: DataFrame) -> DataFrame:
                     )
                 payloads.append(
                     mp4_encode_mjpeg(frames, 8 * wb, 8 * hb)
+                )
+                ids.append(doc_id)
+                types.append("video/mp4")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "media_type": types}
+            )
+
+    return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def synthesize_mp4_fragmented(docs: DataFrame) -> DataFrame:
+    """One REAL fragmented (DASH/CMAF-layout) MJPEG MP4 per document:
+    2 + d7 % 6 frames in fragments of 1 + d10 % 3 samples, each frame
+    a flat-block grayscale JPEG of 8·(1 + d8 % 3) × 8·(1 + d9 % 3)
+    with block k's pixels all equal to digest byte (k + frame_idx) %
+    16 and all-ones quantization — decoded content closed-form over
+    md5(text) while the bytes cross the full JPEG entropy pipeline AND
+    the §8.8 moof/traf/trun fragment walk (different digest indices
+    than synthesize_mp4, so the two gates cannot mask each other)."""
+    import hashlib
+
+    import numpy as np
+
+    from faconne_spark.session import spread
+
+    base = spread(docs.select("doc_id", "text"))
+    ones = ([1] * 64, [1] * 64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, types = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(text.encode("utf-8")).digest()
+                n = 2 + d[7] % 6
+                wb, hb = 1 + d[8] % 3, 1 + d[9] % 3
+                fpf = 1 + d[10] % 3
+                frames = []
+                for i in range(n):
+                    vals = np.array(
+                        [d[(k + i) % 16] for k in range(wb * hb)],
+                        dtype=np.uint8,
+                    ).reshape(hb, wb)
+                    px = vals.repeat(8, axis=0).repeat(8, axis=1).tobytes()
+                    frames.append(
+                        jpeg_encode(
+                            8 * wb, 8 * hb, px, channels=1, quant=ones
+                        )
+                    )
+                payloads.append(
+                    mp4_encode_mjpeg_fragmented(
+                        frames, 8 * wb, 8 * hb, frames_per_fragment=fpf
+                    )
                 )
                 ids.append(doc_id)
                 types.append("video/mp4")

@@ -64,6 +64,11 @@ _CHANGED_THIS_ROUND = [
     "docs_lang_mix_entropy",
     "events_hour_value_median_profile",
     "docs_ttr_quantiles",
+    # -- new in r12 (judge r11 ask #3): fragmented MP4 — the §8.8
+    #    moof/traf/trun walk over a DASH/CMAF-layout MJPEG relation,
+    #    every kept frame through the full JPEG decode, closed-form
+    #    md5 oracle (queries/round12.py) --
+    "mm_mp4_fragmented",
     # -- changed in r12 (judge r11 ADVICE): customer_segment_welch_pairs
     #    gains the CASE n>1 AND se2>0 degenerate-data guard in both
     #    engines (oracle + Spark plan both change) --
@@ -294,6 +299,7 @@ def _merged(attr: str) -> dict:
         bank_r12,
         curation,
         round11,
+        round12,
         faconne_demo,
         pipeline,
         round7,
@@ -312,6 +318,7 @@ def _merged(attr: str) -> dict:
         faconne_demo, tpch, tpch_ext, pipeline, curation, bank_r6, bank_r7,
         round7, stats_r7, bank_r8, round8, bank_r9, staged_r9, round9,
         round9b, bank_r10, round10, bank_r11, round11, bank_r12,
+        round12,
     ):
         merged.update(getattr(mod, attr))
     out = {k: merged[k] for k in _FIRST if k in merged}

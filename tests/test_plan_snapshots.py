@@ -467,6 +467,7 @@ SNAPSHOT_QUERIES = [
     "docs_lang_mix_entropy",
     "events_hour_value_median_profile",
     "docs_ttr_quantiles",
+    "mm_mp4_fragmented",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
