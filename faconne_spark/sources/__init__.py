@@ -436,6 +436,48 @@ class ConcurrentCommitError(RuntimeError):
     data files it staged are orphaned, never referenced)."""
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's schema conflicts with the table schema in a way the
+    format refuses: a column whose TYPE changed, or a new column that
+    is not nullable (old data files cannot supply values for it).
+    Additive nullable columns evolve the schema instead; a full schema
+    replacement is an ``overwrite`` commit."""
+
+
+def _evolve_schema(parent_schema: dict, df_schema) -> dict:
+    """Merge an append's schema into the table schema (Iceberg-style
+    minimal evolution): columns present in both must keep their exact
+    type (no silent casts — widening is refused, documented); columns
+    only in the new df are APPENDED to the table schema and must be
+    nullable (older data files lack them, so reads project NULL);
+    columns only in the parent stay (the new files lack them — same
+    NULL projection).  Returns the evolved schema as a JSON dict."""
+    import json
+
+    new = json.loads(df_schema.json())
+    old_fields = {f["name"]: f for f in parent_schema["fields"]}
+    new_fields = {f["name"]: f for f in new["fields"]}
+    for name, f in new_fields.items():
+        if name in old_fields:
+            if old_fields[name]["type"] != f["type"]:
+                raise SchemaEvolutionError(
+                    f"column {name!r} changes type "
+                    f"{old_fields[name]['type']!r} -> {f['type']!r}; "
+                    f"type changes (including widening) are refused — "
+                    f"write to a new column or overwrite the table"
+                )
+        elif not f.get("nullable", True):
+            raise SchemaEvolutionError(
+                f"new column {name!r} is non-nullable; existing data "
+                f"files cannot supply it — add it as nullable"
+            )
+    merged = dict(parent_schema)
+    merged["fields"] = parent_schema["fields"] + [
+        f for n, f in new_fields.items() if n not in old_fields
+    ]
+    return merged
+
+
 def _fs_for(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -522,12 +564,20 @@ def write_snapshot(
     manifests = _list_manifests(spark, table_dir)
     parent = None
     parent_files: list = []
+    parent_schema = None
     for sid, mpath in reversed(manifests):
         doc = _read_manifest(spark, mpath)
         if doc is not None:
             parent = sid
             parent_files = doc["files"]
+            parent_schema = doc.get("schema")
             break
+    # schema evolution (append only — overwrite REPLACES the schema):
+    # additive nullable columns evolve the table schema; type changes
+    # and non-nullable additions refuse BEFORE any file is staged
+    table_schema = json.loads(df.schema.json())
+    if mode == "append" and parent_schema is not None:
+        table_schema = _evolve_schema(parent_schema, df.schema)
     snap_id = (manifests[-1][0] + 1) if manifests else 0
     data_rel = f"data/snap-{snap_id}-{uuid.uuid4().hex[:8]}"
     data_dir = table_dir.rstrip("/") + "/" + data_rel
@@ -548,8 +598,10 @@ def write_snapshot(
         "n_rows_added": n_rows,
         # the schema travels in the manifest so an empty snapshot (an
         # overwrite that matched nothing) still reads back as an empty,
-        # correctly-typed table
-        "schema": json.loads(df.schema.json()),
+        # correctly-typed table; appends carry the EVOLVED table schema
+        # (parent columns + any additive nullable columns), which is
+        # what gives old snapshots their own stable read schema
+        "schema": table_schema,
     }
     mpath = jvm.org.apache.hadoop.fs.Path(
         table_dir.rstrip("/") + f"/_manifests/manifest-{snap_id}.json"
@@ -630,7 +682,19 @@ def read_snapshot(
             f"and carries no schema"
         )
     base = table_dir.rstrip("/")
-    return spark.read.parquet(*[f"{base}/{f}" for f in doc["files"]])
+    reader = spark.read
+    if doc.get("schema") is not None:
+        import json  # noqa: F401  (StructType below)
+
+        from pyspark.sql.types import StructType
+
+        # read under the MANIFEST's schema, not file inference: after
+        # an add-column evolution, older data files lack the new
+        # columns and must project NULL for them — and time travel to a
+        # pre-evolution snapshot reads under THAT manifest's narrower
+        # schema, files written later being invisible to it anyway
+        reader = reader.schema(StructType.fromJson(doc["schema"]))
+    return reader.parquet(*[f"{base}/{f}" for f in doc["files"]])
 
 
 def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -715,7 +779,15 @@ def read_snapshot_changes(
             f"{to_snapshot} of {table_dir!r}"
         )
     base = table_dir.rstrip("/")
-    return spark.read.parquet(*[f"{base}/{f}" for f in added])
+    reader = spark.read
+    if to_doc.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        # the feed reads under the TO snapshot's (possibly evolved)
+        # schema: files added before an add-column boundary project
+        # NULL for the new columns, matching what read_snapshot shows
+        reader = reader.schema(StructType.fromJson(to_doc["schema"]))
+    return reader.parquet(*[f"{base}/{f}" for f in added])
 
 
 def expire_snapshots(
