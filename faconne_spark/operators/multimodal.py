@@ -2044,7 +2044,7 @@ def decode_media_real(payload: bytes) -> tuple:
         return bmp_dims(frames[0]) if frames else (None, None)
     if payload[4:8] == b"ftyp":
         # real ISO BMFF walk (r11): dims from the video trak's stsd;
-        # fragmented (moof) streams still raise at the seam
+        # fragmented moof/traf/trun streams walk too (r12)
         return mp4_dims(payload)
     raise ValueError("unrecognised media payload")
 
@@ -2228,7 +2228,7 @@ def sample_frames_real(payload: bytes, every_n: int) -> list:
     if payload[4:8] == b"ftyp":
         # real ISO BMFF sample extraction (r11): every n-th sample of
         # the video trak, each a complete codec payload (JPEG for the
-        # MJPEG layout this repo writes); fragmented streams raise
+        # MJPEG layout this repo writes); fragmented too (r12)
         return [
             (i, f)
             for i, f in enumerate(mp4_frames(payload))

@@ -147,11 +147,12 @@ def test_real_decoder_is_default_and_parses_real_containers(spark, sf_dir):
 
 
 def test_real_decoder_rejects_unknown_and_unsupported_payloads():
-    """Since r11 MP4 decodes for real (ISO BMFF walk) — so a TRUNCATED
-    MP4 raises ValueError like every malformed container, a FRAGMENTED
-    one raises NotImplementedError at the seam (moof needs
-    ffmpeg/pyav), and garbage — including a PNG signature followed by
-    junk — raises ValueError; never a silent fake decode."""
+    """Since r11 MP4 decodes for real (ISO BMFF walk; fragmented
+    moof/traf/trun streams walk too since r12) — so a TRUNCATED MP4
+    raises ValueError like every malformed container, a fragmented
+    payload with NO movie metadata raises ValueError (not a silent
+    fake decode), and garbage — including a PNG signature followed by
+    junk — raises ValueError."""
     import struct
 
     from faconne_spark.operators.multimodal import (
@@ -167,12 +168,13 @@ def test_real_decoder_rejects_unknown_and_unsupported_payloads():
         sample_frames_real(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8, 2)
     with pytest.raises(ValueError, match="overruns"):
         decode_media_real(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8)
-    # well-formed but fragmented → the honest external-codec seam
+    # fragmented since r12 is a REAL decode path — but a moof with no
+    # moov has no track metadata and must still fail loud
     ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
     moof = struct.pack(">I", 8) + b"moof"
-    with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
+    with pytest.raises(ValueError, match="no moov"):
         decode_media_real(ftyp + moof)
-    with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
+    with pytest.raises(ValueError, match="no moov"):
         sample_frames_real(ftyp + moof, 2)
     # well-formed, unfragmented, but no movie metadata at all
     with pytest.raises(ValueError, match="no moov"):
@@ -181,6 +183,20 @@ def test_real_decoder_rejects_unknown_and_unsupported_payloads():
         decode_media_real(b"garbage-bytes-here")
     with pytest.raises(ValueError):
         resize_image_real(b"garbage-bytes-here", 8, 8)
+    # and a real fragmented stream now DECODES instead of raising
+    from faconne_spark.operators.multimodal import (
+        jpeg_encode,
+        mp4_encode_mjpeg_fragmented,
+    )
+
+    ones = ([1] * 64, [1] * 64)
+    frames = [
+        jpeg_encode(8, 8, bytes([v]) * 64, channels=1, quant=ones)
+        for v in (3, 9)
+    ]
+    frag = mp4_encode_mjpeg_fragmented(frames, 8, 8)
+    assert decode_media_real(frag) == (8, 8)
+    assert [f for _i, f in sample_frames_real(frag, 1)] == frames
 
 
 def test_resize_real_codec_seam(spark, sf_dir):
@@ -1379,3 +1395,17 @@ def test_events_value_nonnegative_contract(sf_dir):
         f" read_parquet('{sf_dir}/events.parquet')"
     ).fetchone()[0]
     assert lo >= 0
+
+
+def test_bench_reps_comparability_refusal():
+    """Judge r11 ask #7: a reps=1 bench run must label itself
+    incomparable in the emitted JSON (first-rep inflation reaches 4x
+    on stamp-identical plans; the min-of-N instrument needs N >= 2)."""
+    import bench
+
+    ok = bench.bench_comparability(2)
+    assert ok == {"cross_round_comparable": True}
+    assert bench.bench_comparability(5) == {"cross_round_comparable": True}
+    bad = bench.bench_comparability(1)
+    assert bad["cross_round_comparable"] is False
+    assert "reps=1" in bad["incomparable_reason"]
