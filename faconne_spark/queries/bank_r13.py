@@ -594,3 +594,591 @@ FROM agg
 
 BANK_QUERIES["orders_priority_cuzick_trend"] = orders_priority_cuzick_trend
 BANK_ORACLES["orders_priority_cuzick_trend"] = ORACLE_CUZICK
+
+
+# --------------------------------- qty↔price partial correlation
+
+def lineitem_qty_price_partial_corr(spark, sf):
+    """Partial Pearson correlation between quantity and extended price
+    CONTROLLING for discount — the first partial correlation in the
+    registry (the pairwise r's can't separate "qty drives price" from
+    "discount drives both"; r_xy·z removes the shared channel).
+    Returns the three pairwise r's and the partial.
+
+    Exactness: quantity is an exact integer, price exact centi,
+    discount exact centi; all ten moments are exact DECIMAL(38,0)
+    sums; every r is a final-expression double (variance products
+    would overflow DECIMAL, so each variance casts to double BEFORE
+    the sqrt — deterministic both engines)."""
+    li = T(spark, sf, "lineitem").selectExpr(
+        "cast(l_quantity as bigint) AS x",
+        "cast(round(cast(l_extendedprice as double) * 100, 0)"
+        " as bigint) AS y",
+        "cast(round(cast(l_discount as double) * 100, 0) as bigint) AS z",
+    )
+    m = li.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.expr("sum(cast(x as decimal(38,0)) * x)").alias("sxx"),
+        F.expr("sum(cast(y as decimal(38,0)) * y)").alias("syy"),
+        F.expr("sum(cast(z as decimal(38,0)) * z)").alias("szz"),
+        F.expr("sum(cast(x as decimal(38,0)) * y)").alias("sxy"),
+        F.expr("sum(cast(x as decimal(38,0)) * z)").alias("sxz"),
+        F.expr("sum(cast(y as decimal(38,0)) * z)").alias("syz"),
+    )
+
+    def cov(a, b, ab):
+        return (
+            f"cast(cast(n as decimal(38,0)) * {ab}"
+            f" - cast(s{a} as decimal(38,0)) * s{b} as double)"
+        )
+
+    def var(a, aa):
+        return (
+            f"cast(cast(n as decimal(38,0)) * {aa}"
+            f" - cast(s{a} as decimal(38,0)) * s{a} as double)"
+        )
+
+    rxy = f"({cov('x','y','sxy')} / (sqrt({var('x','sxx')}) * sqrt({var('y','syy')})))"
+    rxz = f"({cov('x','z','sxz')} / (sqrt({var('x','sxx')}) * sqrt({var('z','szz')})))"
+    ryz = f"({cov('y','z','syz')} / (sqrt({var('y','syy')}) * sqrt({var('z','szz')})))"
+    part = (
+        f"(({rxy} - {rxz} * {ryz})"
+        f" / sqrt((1 - {rxz} * {rxz}) * (1 - {ryz} * {ryz})))"
+    )
+    ok = (
+        f"n > 2 and {var('x','sxx')} > 0 and {var('y','syy')} > 0"
+        f" and {var('z','szz')} > 0"
+    )
+    return m.selectExpr(
+        "cast(n as bigint) AS n_lines",
+        f"case when {ok} then round({rxy}, 6) + 0.0 end AS r_qty_price",
+        f"case when {ok} then round({rxz}, 6) + 0.0 end AS r_qty_disc",
+        f"case when {ok} then round({ryz}, 6) + 0.0 end AS r_price_disc",
+        f"case when {ok} and (1 - {rxz} * {rxz}) * (1 - {ryz} * {ryz}) > 0"
+        f" then round({part}, 6) + 0.0 end AS partial_r_qty_price",
+    )
+
+
+def _oracle_partial_corr() -> str:
+    def cov(a, b, ab):
+        return f"(n::DECIMAL(38,0) * {ab} - s{a}::DECIMAL(38,0) * s{b})::DOUBLE"
+
+    def var(a, aa):
+        return f"(n::DECIMAL(38,0) * {aa} - s{a}::DECIMAL(38,0) * s{a})::DOUBLE"
+
+    rxy = f"({cov('x','y','sxy')} / (sqrt({var('x','sxx')}) * sqrt({var('y','syy')})))"
+    rxz = f"({cov('x','z','sxz')} / (sqrt({var('x','sxx')}) * sqrt({var('z','szz')})))"
+    ryz = f"({cov('y','z','syz')} / (sqrt({var('y','syy')}) * sqrt({var('z','szz')})))"
+    part = (
+        f"(({rxy} - {rxz} * {ryz})"
+        f" / sqrt((1 - {rxz} * {rxz}) * (1 - {ryz} * {ryz})))"
+    )
+    ok = (
+        f"n > 2 AND {var('x','sxx')} > 0 AND {var('y','syy')} > 0"
+        f" AND {var('z','szz')} > 0"
+    )
+    return f"""
+WITH li AS (
+  SELECT l_quantity::BIGINT AS x,
+         round(l_extendedprice::DOUBLE * 100, 0)::BIGINT AS y,
+         round(l_discount::DOUBLE * 100, 0)::BIGINT AS z
+  FROM lineitem),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(z)::BIGINT AS sz,
+         sum(x::DECIMAL(38,0) * x) AS sxx,
+         sum(y::DECIMAL(38,0) * y) AS syy,
+         sum(z::DECIMAL(38,0) * z) AS szz,
+         sum(x::DECIMAL(38,0) * y) AS sxy,
+         sum(x::DECIMAL(38,0) * z) AS sxz,
+         sum(y::DECIMAL(38,0) * z) AS syz
+  FROM li)
+SELECT n AS n_lines,
+       CASE WHEN {ok} THEN round({rxy}, 6) + 0.0 END AS r_qty_price,
+       CASE WHEN {ok} THEN round({rxz}, 6) + 0.0 END AS r_qty_disc,
+       CASE WHEN {ok} THEN round({ryz}, 6) + 0.0 END AS r_price_disc,
+       CASE WHEN {ok} AND (1 - {rxz} * {rxz}) * (1 - {ryz} * {ryz}) > 0
+            THEN round({part}, 6) + 0.0 END AS partial_r_qty_price
+FROM m
+"""
+
+
+BANK_QUERIES["lineitem_qty_price_partial_corr"] = (
+    lineitem_qty_price_partial_corr
+)
+BANK_ORACLES["lineitem_qty_price_partial_corr"] = _oracle_partial_corr()
+
+
+# -------------------------------------- user activity-streak quantiles
+
+def events_user_streak_quantiles(spark, sf):
+    """Quartiles of each user's LONGEST consecutive-active-day streak,
+    plus the share of users with a streak ≥ 7 — the habit-formation
+    tile the stickiness ratio and cohort half-life can't show (both
+    read totals; a streak reads CONTIGUITY, the strongest retention
+    predictor product teams track).
+
+    Gaps-and-islands: distinct (user, day) → island id = day −
+    row_number within user (exact integers; the window partitions by
+    user), streak = island size, per-user max, ×4-exact quartiles
+    across users + a half-up micro share."""
+    from pyspark.sql import Window as W
+
+    days = (
+        T(spark, sf, "events")
+        .selectExpr(
+            "user_id",
+            "cast(datediff(to_date(ts), DATE'1970-01-01') as bigint) AS d",
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    streaks = (
+        days.withColumn("island", F.expr("d") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("len"))
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("len").alias("mx")
+    )
+    return per_user.groupBy().agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr(
+            "cast(floor(4 * percentile(mx, 0.25) + 0.5) as bigint)"
+        ).alias("q1_x4"),
+        F.expr(
+            "cast(floor(4 * percentile(mx, 0.5) + 0.5) as bigint)"
+        ).alias("q2_x4"),
+        F.expr(
+            "cast(floor(4 * percentile(mx, 0.75) + 0.5) as bigint)"
+        ).alias("q3_x4"),
+        F.max("mx").cast("long").alias("max_streak"),
+        F.expr(
+            "cast((2 * 1000000 * sum(if(mx >= 7, 1, 0)) + count(*))"
+            " div (2 * count(*)) as bigint)"
+        ).alias("share_ge7_micro"),
+    )
+
+
+ORACLE_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         (ts::DATE - DATE '1970-01-01')::BIGINT AS d
+  FROM events),
+streaks AS (
+  SELECT user_id,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+           AS island
+  FROM days),
+lens AS (
+  SELECT user_id, count(*)::BIGINT AS len
+  FROM streaks GROUP BY user_id, island),
+per_user AS (
+  SELECT user_id, max(len)::BIGINT AS mx FROM lens GROUP BY 1)
+SELECT count(*)::BIGINT AS n_users,
+       floor(4 * quantile_cont(mx, 0.25) + 0.5)::BIGINT AS q1_x4,
+       floor(4 * quantile_cont(mx, 0.5) + 0.5)::BIGINT AS q2_x4,
+       floor(4 * quantile_cont(mx, 0.75) + 0.5)::BIGINT AS q3_x4,
+       max(mx)::BIGINT AS max_streak,
+       ((2 * 1000000 * sum(CASE WHEN mx >= 7 THEN 1 ELSE 0 END)
+         + count(*)) // (2 * count(*)))::BIGINT AS share_ge7_micro
+FROM per_user
+"""
+
+BANK_QUERIES["events_user_streak_quantiles"] = events_user_streak_quantiles
+BANK_ORACLES["events_user_streak_quantiles"] = ORACLE_STREAKS
+
+
+# ------------------------------------- doc-length Tukey fences per source
+
+def docs_length_iqr_outliers(spark, sf):
+    """Tukey-fence outlier counts of document length (n_chars) per
+    source — the corpus-intake anomaly screen mirroring the unit-price
+    fences (a source whose low fence trips often is shipping stubs/
+    truncations; the high side is concatenation artifacts — both are
+    dedup/packing hazards upstream).
+
+    Exactness: n_chars is already an exact integer; ×4-exact
+    quartiles; the fences are exact ×8 integer compares."""
+    d = T(spark, sf, "documents").select(
+        "source", F.col("n_chars").alias("u")
+    )
+    q = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            "cast(floor(4 * percentile(u, 0.25) + 0.5) as bigint)"
+        ).alias("q1_x4"),
+        F.expr(
+            "cast(floor(4 * percentile(u, 0.75) + 0.5) as bigint)"
+        ).alias("q3_x4"),
+    )
+    f = d.join(F.broadcast(q), "source").select(
+        "source", "n_docs", "q1_x4", "q3_x4",
+        F.expr(
+            "if(8 * u < 2 * q1_x4 - 3 * (q3_x4 - q1_x4), 1, 0)"
+        ).alias("lo"),
+        F.expr(
+            "if(8 * u > 2 * q3_x4 + 3 * (q3_x4 - q1_x4), 1, 0)"
+        ).alias("hi"),
+    )
+    return f.groupBy("source", "n_docs", "q1_x4", "q3_x4").agg(
+        F.sum("lo").cast("long").alias("n_low_outliers"),
+        F.sum("hi").cast("long").alias("n_high_outliers"),
+    )
+
+
+ORACLE_DOC_LEN_IQR = """
+WITH d AS (SELECT source, n_chars::BIGINT AS u FROM documents),
+q AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         floor(4 * quantile_cont(u, 0.25) + 0.5)::BIGINT AS q1_x4,
+         floor(4 * quantile_cont(u, 0.75) + 0.5)::BIGINT AS q3_x4
+  FROM d GROUP BY 1)
+SELECT source, n_docs, q1_x4, q3_x4,
+       sum(CASE WHEN 8 * u < 2 * q1_x4 - 3 * (q3_x4 - q1_x4)
+                THEN 1 ELSE 0 END)::BIGINT AS n_low_outliers,
+       sum(CASE WHEN 8 * u > 2 * q3_x4 + 3 * (q3_x4 - q1_x4)
+                THEN 1 ELSE 0 END)::BIGINT AS n_high_outliers
+FROM d JOIN q USING (source)
+GROUP BY source, n_docs, q1_x4, q3_x4
+"""
+
+BANK_QUERIES["docs_length_iqr_outliers"] = docs_length_iqr_outliers
+BANK_ORACLES["docs_length_iqr_outliers"] = ORACLE_DOC_LEN_IQR
+
+
+# ------------------------------------- packing fragmentation sweep
+
+PACK_SWEEP_BUDGETS = (256, 512, 1024)
+
+
+def pack_fragmentation_sweep(spark, sf):
+    """Packing-quality sweep over chunk budgets {256, 512, 1024}: per
+    (source, budget) — how many documents STRADDLE a chunk boundary
+    (each split doc pays an attention-discontinuity cost in training),
+    their share, the total chunk count, and the tail padding the
+    ragged last chunk of every (source, shard) stream wastes.  The
+    decision relation behind choosing the packing budget: bigger
+    chunks waste less tail but split more documents.
+
+    Exactness & scale: ONE shard-partitioned cumulative-sum window
+    (the proven packing_plan layout — order (content hash, doc_id),
+    engine-stable) shared by all three budgets; per-budget flags are
+    pure integer div arithmetic on the same cum column."""
+    from faconne_spark.functions import phash60, tokens_ws
+    from faconne_spark.queries.curation import PACK_SHARDS
+    from pyspark.sql import Window as W
+
+    h = phash60("text", "spark")
+    base = T(spark, sf, "documents").select(
+        "doc_id", "source",
+        F.expr(f"pmod({h}, {PACK_SHARDS})").alias("shard"),
+        F.expr(
+            f"cast(size({tokens_ws('text', 'spark')}) as bigint)"
+        ).alias("n_tokens"),
+        F.expr(h).alias("_ord"),
+    )
+    w = (
+        W.partitionBy("source", "shard")
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    budgets = ", ".join(str(b) for b in PACK_SWEEP_BUDGETS)
+    per_doc = cum.selectExpr(
+        "source", "shard", "n_tokens", "cum",
+        f"explode(array({budgets})) AS budget",
+    ).selectExpr(
+        "source", "shard", "budget", "n_tokens", "cum",
+        "if((cum - n_tokens) div budget < (cum - 1) div budget, 1, 0)"
+        " AS split",
+    )
+    doc_stats = per_doc.groupBy("source", "budget").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("split").cast("long").alias("n_split_docs"),
+    )
+    shard_tot = per_doc.groupBy("source", "shard", "budget").agg(
+        F.max("cum").alias("total")
+    )
+    shard_stats = shard_tot.groupBy("source", "budget").agg(
+        F.expr(
+            "cast(sum((total + budget - 1) div budget) as bigint)"
+        ).alias("n_chunks"),
+        F.expr(
+            "cast(sum((total + budget - 1) div budget * budget - total)"
+            " as bigint)"
+        ).alias("tail_pad_tokens"),
+    )
+    return doc_stats.join(shard_stats, ["source", "budget"]).selectExpr(
+        "source", "cast(budget as bigint) AS budget", "n_docs",
+        "n_split_docs",
+        "cast((2 * 1000000 * n_split_docs + n_docs) div (2 * n_docs)"
+        " as bigint) AS split_share_micro",
+        "n_chunks", "tail_pad_tokens",
+    )
+
+
+def _oracle_pack_sweep() -> str:
+    from faconne_spark.functions import phash60, tokens_ws
+    from faconne_spark.queries.curation import PACK_SHARDS
+
+    budgets = ", ".join(f"({b})" for b in PACK_SWEEP_BUDGETS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         ({phash60('text', 'duckdb')}) % {PACK_SHARDS} AS shard,
+         len({tokens_ws('text', 'duckdb')})::BIGINT AS n_tokens,
+         ({phash60('text', 'duckdb')}) AS ord_h
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY source, shard ORDER BY ord_h, doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base),
+per_doc AS (
+  SELECT source, shard, b.budget, n_tokens, cum,
+         CASE WHEN (cum - n_tokens) // b.budget < (cum - 1) // b.budget
+              THEN 1 ELSE 0 END AS split
+  FROM c CROSS JOIN (VALUES {budgets}) b(budget)),
+doc_stats AS (
+  SELECT source, budget, count(*)::BIGINT AS n_docs,
+         sum(split)::BIGINT AS n_split_docs
+  FROM per_doc GROUP BY 1, 2),
+shard_tot AS (
+  SELECT source, shard, budget, max(cum)::BIGINT AS total
+  FROM per_doc GROUP BY 1, 2, 3),
+shard_stats AS (
+  SELECT source, budget,
+         sum((total + budget - 1) // budget)::BIGINT AS n_chunks,
+         sum((total + budget - 1) // budget * budget - total)::BIGINT
+           AS tail_pad_tokens
+  FROM shard_tot GROUP BY 1, 2)
+SELECT source, budget::BIGINT AS budget, n_docs, n_split_docs,
+       ((2 * 1000000 * n_split_docs + n_docs) // (2 * n_docs))::BIGINT
+         AS split_share_micro,
+       n_chunks, tail_pad_tokens
+FROM doc_stats JOIN shard_stats USING (source, budget)
+"""
+
+
+BANK_QUERIES["pack_fragmentation_sweep"] = pack_fragmentation_sweep
+BANK_ORACLES["pack_fragmentation_sweep"] = _oracle_pack_sweep()
+
+
+# ------------------------------- top correlated embedding-dim pairs
+
+GRAM_TOP_PAIRS = 8
+GRAM_DIMS = 64  # embeddings.embedding is FLOAT[64] at every SF (TESTDATA.md)
+
+
+def embed_gram_top_corr_pairs(spark, sf):
+    """Top-8 embedding-dimension pairs by |Pearson correlation| — the
+    redundancy readout on the Gramian family (variance concentration
+    says how much mass one dim holds; a strongly CORRELATED pair says
+    two dims carry one signal, the precursor to PCA truncation and a
+    distance-metric distortion in its own right).
+
+    Exactness: per-element micro fixed-point like the Gramian; all
+    pair sums are exact DECIMAL; each correlation is one final double
+    from exact integers; top-8 picked on the deterministic
+    (|r| desc, i, j) total order.  Scale: the pair stage is the
+    exploded self-join on vec_id — n·d(d−1)/2 products, one shuffle
+    by vec_id, bounded output (d² cells)."""
+    e = T(spark, sf, "embeddings").select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "vec_id", "i",
+        F.expr("cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)")
+        .alias("xm"),
+    )
+    dims = e.groupBy("i").agg(
+        F.count("*").alias("n"),
+        F.sum("xm").alias("s"),
+        F.expr("sum(cast(xm as decimal(38,0)) * xm)").alias("ssq"),
+    )
+    pairs = (
+        e.select("vec_id", F.col("i").alias("i1"), F.col("xm").alias("x1"))
+        .join(
+            e.select(
+                "vec_id", F.col("i").alias("i2"), F.col("xm").alias("x2")
+            ),
+            "vec_id",
+        )
+        .filter("i1 < i2")
+        .groupBy("i1", "i2")
+        .agg(F.expr("sum(cast(x1 as decimal(38,0)) * x2)").alias("sp"))
+    )
+    d1 = dims.selectExpr(
+        "i AS i1", "n", "s AS s1", "ssq AS ss1"
+    )
+    d2 = dims.selectExpr("i AS i2", "s AS s2", "ssq AS ss2")
+    j = pairs.join(F.broadcast(d1), "i1").join(F.broadcast(d2), "i2")
+    num = (
+        "cast(cast(n as decimal(38,0)) * sp"
+        " - cast(s1 as decimal(38,0)) * s2 as double)"
+    )
+    v1 = (
+        "cast(cast(n as decimal(38,0)) * ss1"
+        " - cast(s1 as decimal(38,0)) * s1 as double)"
+    )
+    v2 = (
+        "cast(cast(n as decimal(38,0)) * ss2"
+        " - cast(s2 as decimal(38,0)) * s2 as double)"
+    )
+    r = f"({num} / (sqrt({v1}) * sqrt({v2})))"
+    scored = j.selectExpr(
+        "cast(i1 as int) AS i1", "cast(i2 as int) AS i2",
+        f"case when {v1} > 0 and {v2} > 0 then round({r}, 6) + 0.0 end"
+        " AS corr_r",
+    )
+    return (
+        scored.orderBy(
+            F.abs(F.col("corr_r")).desc(), F.col("i1"), F.col("i2")
+        )
+        .limit(GRAM_TOP_PAIRS)
+    )
+
+
+def _oracle_gram_top_pairs() -> str:
+    num = "(n::DECIMAL(38,0) * sp - s1::DECIMAL(38,0) * s2)::DOUBLE"
+    v1 = "(n::DECIMAL(38,0) * ss1 - s1::DECIMAL(38,0) * s1)::DOUBLE"
+    v2 = "(n::DECIMAL(38,0) * ss2 - s2::DECIMAL(38,0) * s2)::DOUBLE"
+    r = f"({num} / (sqrt({v1}) * sqrt({v2})))"
+    return f"""
+WITH e AS (
+  SELECT vec_id, g.d - 1 AS i,
+         floor(embedding[g.d]::DOUBLE * 1000000 + 0.5)::BIGINT AS xm
+  FROM embeddings, generate_series(1, {GRAM_DIMS}) g(d)),
+dims AS (
+  SELECT i, count(*)::BIGINT AS n, sum(xm)::BIGINT AS s,
+         sum(xm::DECIMAL(38,0) * xm) AS ssq
+  FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.i AS i1, b.i AS i2,
+         sum(a.xm::DECIMAL(38,0) * b.xm) AS sp
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i < b.i
+  GROUP BY 1, 2),
+j AS (
+  SELECT i1, i2, sp, d1.n AS n, d1.s AS s1, d1.ssq AS ss1,
+         d2.s AS s2, d2.ssq AS ss2
+  FROM pairs
+  JOIN dims d1 ON d1.i = i1
+  JOIN dims d2 ON d2.i = i2)
+SELECT i1::INTEGER AS i1, i2::INTEGER AS i2,
+       CASE WHEN {v1} > 0 AND {v2} > 0
+            THEN round({r}, 6) + 0.0 END AS corr_r
+FROM j
+ORDER BY abs(CASE WHEN {v1} > 0 AND {v2} > 0
+             THEN round({r}, 6) + 0.0 END) DESC, i1, i2
+LIMIT {GRAM_TOP_PAIRS}
+"""
+
+
+BANK_QUERIES["embed_gram_top_corr_pairs"] = embed_gram_top_corr_pairs
+BANK_ORACLES["embed_gram_top_corr_pairs"] = _oracle_gram_top_pairs()
+
+
+# --------------------------------- metric-learning margin on the panel
+
+MARGIN_PANEL_N = 400
+
+
+def embed_panel_margin_stats(spark, sf):
+    """Nearest-positive vs nearest-negative cosine MARGIN on the fixed
+    400-row sample_panel with labels: for each anchor, margin =
+    max cosine to a SAME-label point − max cosine to an OTHER-label
+    point — the metric-learning health readout beside label
+    consistency (which reads k-NN purity; the margin reads by HOW
+    MUCH the classes separate, and its violation share is the triplet
+    loss's active-set size).
+
+    Exactness: cosines micro-round once per pair (signed); per-anchor
+    maxima are exact integer maxes; the mean margin and violation
+    share are half-up divisions of exact integers.  Scale: panel² —
+    bounded constant work (sample_panel's guarantee)."""
+    from faconne_spark.functions import dot_expr
+    from faconne_spark.operators.relational import sample_panel
+
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding",
+        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+    )
+    panel = sample_panel(emb, "vec_id", MARGIN_PANEL_N, salt="margin")
+    a = panel.selectExpr(
+        "vec_id AS ia", "label AS la", "embedding AS ea", "nn AS na"
+    )
+    b = panel.selectExpr(
+        "vec_id AS ib", "label AS lb", "embedding AS eb", "nn AS nb"
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .filter("na > 0 and nb > 0")
+        .select(
+            "ia", "la", "lb",
+            F.expr(
+                "cast(round(("
+                + dot_expr("ea", "eb", "spark")
+                + ") / (sqrt(na) * sqrt(nb)) * 1000000, 0) as bigint)"
+            ).alias("cm"),
+        )
+    )
+    anchors = pairs.groupBy("ia").agg(
+        F.max(F.expr("case when la = lb then cm end")).alias("pos"),
+        F.max(F.expr("case when la != lb then cm end")).alias("neg"),
+    ).filter("pos is not null and neg is not null")
+    return anchors.groupBy().agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.sum(F.expr("pos - neg")).cast("long").alias("sum_margin_micro"),
+        F.min(F.expr("pos - neg")).cast("long").alias("min_margin_micro"),
+        F.sum(F.expr("if(pos < neg, 1, 0)")).cast("long").alias(
+            "n_violations"
+        ),
+        F.expr(
+            "cast((2 * 1000000 * sum(if(pos < neg, 1, 0)) + count(*))"
+            " div (2 * count(*)) as bigint)"
+        ).alias("violation_share_micro"),
+    )
+
+
+def _oracle_margin_stats() -> str:
+    from faconne_spark.functions import dot_expr
+    from faconne_spark.operators.relational import sample_panel_sql
+
+    panel = sample_panel_sql(
+        "vec_id", MARGIN_PANEL_N, salt="margin", from_sql="embeddings"
+    )
+    dot = dot_expr("a.embedding", "b.embedding", "duckdb")
+    nrm = dot_expr("embedding", "embedding", "duckdb")
+    return f"""
+WITH panel AS MATERIALIZED (
+  SELECT vec_id, label, embedding, ({nrm}) AS nn FROM ({panel})),
+pairs AS (
+  SELECT a.vec_id AS ia, a.label AS la, b.label AS lb,
+         round(({dot}) / (sqrt(a.nn) * sqrt(b.nn)) * 1000000,
+               0)::BIGINT AS cm
+  FROM panel a JOIN panel b
+    ON a.vec_id != b.vec_id AND a.nn > 0 AND b.nn > 0),
+anchors AS (
+  SELECT ia,
+         max(CASE WHEN la = lb THEN cm END) AS pos,
+         max(CASE WHEN la != lb THEN cm END) AS neg
+  FROM pairs GROUP BY 1
+  HAVING max(CASE WHEN la = lb THEN cm END) IS NOT NULL
+     AND max(CASE WHEN la != lb THEN cm END) IS NOT NULL)
+SELECT count(*)::BIGINT AS n_anchors,
+       sum(pos - neg)::BIGINT AS sum_margin_micro,
+       min(pos - neg)::BIGINT AS min_margin_micro,
+       sum(CASE WHEN pos < neg THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+       ((2 * 1000000 * sum(CASE WHEN pos < neg THEN 1 ELSE 0 END)
+         + count(*)) // (2 * count(*)))::BIGINT
+         AS violation_share_micro
+FROM anchors
+"""
+
+
+BANK_QUERIES["embed_panel_margin_stats"] = embed_panel_margin_stats
+BANK_ORACLES["embed_panel_margin_stats"] = _oracle_margin_stats()
