@@ -1182,3 +1182,596 @@ FROM anchors
 
 BANK_QUERIES["embed_panel_margin_stats"] = embed_panel_margin_stats
 BANK_ORACLES["embed_panel_margin_stats"] = _oracle_margin_stats()
+
+
+# ----------------------------- char trigram conditional entropy
+
+def docs_char_trigram_cond_entropy(spark, sf):
+    """Per-language conditional entropy H(c₃ | c₁c₂) over the
+    lowercased character stream, exact integer micro-nats — the
+    order-2 rung of the entropy-rate ladder (marginal H, H(c₂|c₁),
+    now H(c₃|c₁c₂): natural text keeps dropping as context grows;
+    templated/generated text collapses early, so the LADDER SHAPE is
+    the signal, not any single value).  Same integer discipline as
+    the bigram key: per-cell ln micro-rounds BEFORE the count
+    multiply.
+
+    Scale: trigram explode is map-only and linear in corpus chars;
+    everything after the (lang, c1, c2, c3) groupBy runs on the
+    bounded alphabet³ relation."""
+    chars = "filter(split(lower(text), ''), x -> x != '')"
+    tris = (
+        "zip_with(zip_with(slice(cs, 1, size(cs) - 2),"
+        " slice(cs, 2, size(cs) - 2),"
+        " (a, b) -> struct(a as c1, b as c2)),"
+        " slice(cs, 3, size(cs) - 2),"
+        " (p, c) -> struct(p.c1 as c1, p.c2 as c2, c as c3))"
+    )
+    cells3 = (
+        T(spark, sf, "documents")
+        .select("lang", F.expr(chars).alias("cs"))
+        .filter(F.expr("size(cs) >= 3"))
+        .select("lang", F.explode(F.expr(tris)).alias("t"))
+        .groupBy(
+            "lang",
+            F.col("t.c1").alias("c1"),
+            F.col("t.c2").alias("c2"),
+            F.col("t.c3").alias("c3"),
+        )
+        .agg(F.count("*").alias("n_stu"))
+    )
+    ctx = cells3.groupBy("lang", "c1", "c2").agg(
+        F.sum("n_stu").alias("n_st")
+    )
+    cells = cells3.join(ctx, ["lang", "c1", "c2"]).withColumn(
+        "__l",
+        F.expr(
+            "cast(round(ln(cast(n_stu as double) / n_st) * 1000000, 0)"
+            " as bigint)"
+        ),
+    )
+    return cells.groupBy("lang").agg(
+        F.sum("n_stu").alias("n_trigrams"),
+        F.count("*").alias("n_cells"),
+        (-F.sum(F.col("n_stu") * F.col("__l"))).alias("h_micro"),
+    )
+
+
+ORACLE_CHAR_TRIGRAM_H = """
+WITH cs AS (
+  SELECT lang, string_split(lower(text), '') AS c FROM documents),
+tris AS (
+  SELECT lang, t.c1 AS c1, t.c2 AS c2, t.c3 AS c3,
+         count(*)::BIGINT AS n_stu
+  FROM (
+    SELECT lang,
+           unnest(list_transform(range(1, len(c) - 1),
+                  i -> {'c1': c[i], 'c2': c[i + 1], 'c3': c[i + 2]})) AS t
+    FROM cs WHERE len(c) >= 3)
+  GROUP BY 1, 2, 3, 4),
+ctx AS (
+  SELECT lang, c1, c2, sum(n_stu)::BIGINT AS n_st
+  FROM tris GROUP BY 1, 2, 3),
+cells AS (
+  SELECT t.lang, t.n_stu,
+         round(ln(t.n_stu::DOUBLE / x.n_st) * 1000000, 0)::BIGINT AS l
+  FROM tris t JOIN ctx x
+    ON x.lang = t.lang AND x.c1 = t.c1 AND x.c2 = t.c2)
+SELECT lang, sum(n_stu)::BIGINT AS n_trigrams,
+       count(*)::BIGINT AS n_cells,
+       (-sum(n_stu * l))::BIGINT AS h_micro
+FROM cells GROUP BY lang
+"""
+
+BANK_QUERIES["docs_char_trigram_cond_entropy"] = (
+    docs_char_trigram_cond_entropy
+)
+BANK_ORACLES["docs_char_trigram_cond_entropy"] = ORACLE_CHAR_TRIGRAM_H
+
+
+# ------------------------------ Cochran–Armitage return-rate trend
+
+def lineitem_monthly_return_trend_ca(spark, sf):
+    """Cochran–Armitage trend test of the RETURN rate across ship
+    months (scores = month index): is the share of returned lines
+    drifting monotonically over time?  The binomial-trend member of
+    the trend family (Mann–Kendall reads a numeric series; CA reads a
+    RATE against ordered groups with one df — the classic
+    degradation-drift test).
+
+    Exactness: z is assembled from five exact integer sums —
+    z = (N·Σsr − R·Σsn)·√N ⁄ √(R(N−R)(N·Σns² − (Σsn)²)) — with ONE
+    DECIMAL→double cast per factor and no intermediate rounding."""
+    li = T(spark, sf, "lineitem").selectExpr(
+        "cast(year(l_shipdate) * 12 + month(l_shipdate) as bigint) AS m",
+        "if(l_returnflag = 'R', 1, 0) AS r",
+    )
+    base = li.groupBy("m").agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("rr"),
+    )
+    lo = base.groupBy().agg(F.min("m").alias("m0"))
+    g = base.crossJoin(F.broadcast(lo)).selectExpr(
+        "cast(m - m0 as bigint) AS s", "n", "rr"
+    )
+    agg = g.groupBy().agg(
+        F.sum("n").alias("nt"),
+        F.sum("rr").alias("rt"),
+        F.expr("sum(cast(s as decimal(38,0)) * rr)").alias("sr"),
+        F.expr("sum(cast(s as decimal(38,0)) * n)").alias("sn"),
+        F.expr("sum(cast(s as decimal(38,0)) * s * n)").alias("sns2"),
+        F.count("*").alias("n_months"),
+    )
+    num = (
+        "(cast(nt as decimal(38,0)) * sr"
+        " - cast(rt as decimal(38,0)) * sn)"
+    )
+    den = (
+        "(cast(rt as decimal(38,0)) * (nt - rt)"
+        " * (cast(nt as decimal(38,0)) * sns2 - sn * sn))"
+    )
+    return agg.selectExpr(
+        "cast(nt as bigint) AS n_lines",
+        "cast(rt as bigint) AS n_returned",
+        "cast(n_months as bigint) AS n_months",
+        f"case when rt > 0 and rt < nt and {den} > 0 then"
+        f" round(cast({num} as double) * sqrt(cast(nt as double))"
+        f" / sqrt(cast({den} as double)), 6) + 0.0 end AS ca_z",
+    )
+
+
+ORACLE_CA_TREND = """
+WITH li AS (
+  SELECT (year(l_shipdate) * 12 + month(l_shipdate))::BIGINT AS m,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem),
+base AS (
+  SELECT m, count(*)::BIGINT AS n, sum(r)::BIGINT AS rr
+  FROM li GROUP BY 1),
+g AS (
+  SELECT (m - (SELECT min(m) FROM base))::BIGINT AS s, n, rr
+  FROM base),
+agg AS (
+  SELECT sum(n)::BIGINT AS nt, sum(rr)::BIGINT AS rt,
+         sum(s::DECIMAL(38,0) * rr) AS sr,
+         sum(s::DECIMAL(38,0) * n) AS sn,
+         sum(s::DECIMAL(38,0) * s * n) AS sns2,
+         count(*)::BIGINT AS n_months
+  FROM g)
+SELECT nt AS n_lines, rt AS n_returned, n_months,
+       CASE WHEN rt > 0 AND rt < nt
+              AND (rt::DECIMAL(38,0) * (nt - rt)
+                   * (nt::DECIMAL(38,0) * sns2 - sn * sn)) > 0
+       THEN round((nt::DECIMAL(38,0) * sr
+                   - rt::DECIMAL(38,0) * sn)::DOUBLE
+                  * sqrt(nt::DOUBLE)
+                  / sqrt((rt::DECIMAL(38,0) * (nt - rt)
+                          * (nt::DECIMAL(38,0) * sns2
+                             - sn * sn))::DOUBLE), 6) + 0.0
+       END AS ca_z
+FROM agg
+"""
+
+BANK_QUERIES["lineitem_monthly_return_trend_ca"] = (
+    lineitem_monthly_return_trend_ca
+)
+BANK_ORACLES["lineitem_monthly_return_trend_ca"] = ORACLE_CA_TREND
+
+
+# ---------------------------- source doc-length KS drift matrix
+
+LEN_KS_LO, LEN_KS_WIDTH, LEN_KS_BINS = 0.0, 100.0, 64
+
+
+def docs_source_length_ks_matrix(spark, sf):
+    """Pairwise two-sample KS between every two sources' document
+    LENGTH distributions on a shared fixed bin grid — the
+    mixture-planning matrix on the docs side (the events KS matrix
+    reads value drift; this reads which sources are LENGTH-
+    interchangeable, the first thing packing and curriculum mixing
+    care about).
+
+    Exactness: per-(source, bin) counts exact; max gap is an exact
+    BIGINT cross-product max; D one final double.  Scale: one docs
+    pass to the sources × 64 grid; the pair frame is ≤ sources² × 64."""
+    from pyspark.sql import Window as W
+
+    from faconne_spark.operators.evalstats import ks_binned
+
+    binned = ks_binned(
+        T(spark, sf, "documents"), "source", "n_chars",
+        LEN_KS_LO, LEN_KS_WIDTH, LEN_KS_BINS,
+    )
+    grid = (
+        binned.select("grp").distinct()
+        .crossJoin(
+            F.broadcast(
+                binned.sparkSession.range(LEN_KS_BINS).selectExpr(
+                    "cast(id as int) AS bin"
+                )
+            )
+        )
+    )
+    cells = (
+        grid.join(binned, ["grp", "bin"], "left")
+        .select(
+            "grp", "bin",
+            F.coalesce("n_gb", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w = W.partitionBy("grp").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "grp", "bin",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("c").over(W.partitionBy("grp")).alias("n"),
+    )
+    a = cum.select(
+        F.col("grp").alias("source_a"), "bin",
+        F.col("cc").alias("ca"), F.col("n").alias("na"),
+    )
+    b = cum.select(
+        F.col("grp").alias("source_b"), "bin",
+        F.col("cc").alias("cb"), F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, "bin").filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.max(
+                F.expr(
+                    "abs(cast(ca as decimal(38,0)) * nb"
+                    " - cast(cb as decimal(38,0)) * na)"
+                )
+            ).alias("gap"),
+        )
+        .selectExpr(
+            "source_a", "source_b", "n_a", "n_b",
+            "round(cast(gap as double)"
+            " / (cast(n_a as double) * cast(n_b as double)), 6) + 0.0"
+            " AS ks_d",
+        )
+    )
+
+
+ORACLE_LEN_KS_MATRIX = f"""
+WITH binned AS (
+  SELECT source AS grp,
+         least(greatest(floor((n_chars - {LEN_KS_LO!r})
+           / {LEN_KS_WIDTH!r}), 0), {LEN_KS_BINS - 1})::INT AS bin,
+         count(*)::BIGINT AS c
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+grid AS (
+  SELECT grp, r.range::INT AS bin
+  FROM (SELECT DISTINCT grp FROM binned), range(0, {LEN_KS_BINS}) r),
+cells AS (
+  SELECT grid.grp, grid.bin, coalesce(binned.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN binned USING (grp, bin)),
+cum AS (
+  SELECT grp, bin,
+         sum(c) OVER (PARTITION BY grp ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cc,
+         sum(c) OVER (PARTITION BY grp)::BIGINT AS n
+  FROM cells)
+SELECT a.grp AS source_a, b.grp AS source_b,
+       max(a.n)::BIGINT AS n_a, max(b.n)::BIGINT AS n_b,
+       round(max(abs(a.cc::DECIMAL(38,0) * b.n
+                     - b.cc::DECIMAL(38,0) * a.n))::DOUBLE
+             / (max(a.n)::DOUBLE * max(b.n)::DOUBLE), 6) + 0.0 AS ks_d
+FROM cum a JOIN cum b ON a.bin = b.bin AND a.grp < b.grp
+GROUP BY a.grp, b.grp
+"""
+
+BANK_QUERIES["docs_source_length_ks_matrix"] = docs_source_length_ks_matrix
+BANK_ORACLES["docs_source_length_ks_matrix"] = ORACLE_LEN_KS_MATRIX
+
+
+# ------------------------ Theil between/within decomposition by DOW
+
+def events_value_theil_decomp_dow(spark, sf):
+    """Theil T decomposition of event-value inequality across day-of-
+    week groups: T_total = T_between + T_within — the property the
+    Theil index was CHOSEN for (Gini does not decompose additively):
+    how much of ticket-value inequality is explained by WHICH DAY the
+    ticket lands on (between) vs within-day spread?
+
+    Exactness: T_total follows the per-cell ln rule on the distinct-
+    value relation; T_between micro-rounds one ln of the exact ratio
+    n·S_g/(S·n_g) per day-of-week group; both numerators integer-sum
+    in DECIMAL, divide half-up by S (HUGEINT-cast in the oracle — the
+    lang-mix lesson); t_within is their exact integer difference."""
+    ev = T(spark, sf, "events").select(
+        F.expr(
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 as int)"
+        ).alias("g"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    ).filter("v is not null")
+    tot = ev.groupBy().agg(
+        F.sum(F.expr("cast(1 as bigint)")).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+    )
+    # T_total: per distinct value
+    dist = ev.groupBy("v").agg(F.count("*").alias("c"))
+    t_tot_terms = dist.crossJoin(F.broadcast(tot)).filter("v > 0").select(
+        "n", "sv",
+        F.expr(
+            "cast(c as decimal(38,0)) * cast(v as decimal(38,0))"
+            " * cast(round(ln(cast(n as double) * v / cast(sv as double))"
+            " * 1000000, 0) as bigint)"
+        ).alias("t"),
+    )
+    t_total = t_tot_terms.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("sv").alias("sv"),
+        F.sum("t").alias("tt"),
+    ).selectExpr(
+        "n", "sv",
+        "cast((2 * tt + sv) div (2 * sv) as bigint) AS t_total_micro",
+    )
+    # T_between: per day-of-week group
+    grp = ev.groupBy("g").agg(
+        F.count("*").alias("ng"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sg"),
+    )
+    t_b_terms = grp.crossJoin(F.broadcast(tot)).filter("sg > 0").select(
+        "sv",
+        F.expr(
+            "cast(sg as decimal(38,0))"
+            " * cast(round(ln(cast(n as double) * cast(sg as double)"
+            " / (cast(sv as double) * ng)) * 1000000, 0) as bigint)"
+        ).alias("t"),
+    )
+    t_between = t_b_terms.groupBy().agg(
+        F.max("sv").alias("sv2"),
+        F.sum("t").alias("tb"),
+    ).selectExpr(
+        "cast((2 * tb + sv2) div (2 * sv2) as bigint) AS t_between_micro"
+    )
+    return t_total.crossJoin(F.broadcast(t_between)).selectExpr(
+        "cast(n as bigint) AS n_events",
+        "t_total_micro",
+        "t_between_micro",
+        "t_total_micro - t_between_micro AS t_within_micro",
+    )
+
+
+ORACLE_THEIL_DECOMP = """
+WITH ev AS (
+  SELECT ((ts::DATE - DATE '1970-01-01') % 7)::INT AS g,
+         floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events WHERE value IS NOT NULL),
+tot AS (
+  SELECT count(*)::BIGINT AS n, sum(v::DECIMAL(38,0)) AS sv FROM ev),
+dist AS (SELECT v, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+t_tot AS (
+  SELECT max(n)::BIGINT AS n, max(sv) AS sv,
+         ((2 * sum(c::DECIMAL(38,0) * v::DECIMAL(38,0)
+             * round(ln(n::DOUBLE * v / sv::DOUBLE)
+                     * 1000000, 0)::BIGINT)::HUGEINT
+           + max(sv)::HUGEINT)
+          // (2 * max(sv)::HUGEINT))::BIGINT AS t_total_micro
+  FROM dist CROSS JOIN tot WHERE v > 0),
+grp AS (
+  SELECT g, count(*)::BIGINT AS ng, sum(v::DECIMAL(38,0)) AS sg
+  FROM ev GROUP BY 1),
+t_btw AS (
+  SELECT ((2 * sum(sg::DECIMAL(38,0)
+             * round(ln(n::DOUBLE * sg::DOUBLE / (sv::DOUBLE * ng))
+                     * 1000000, 0)::BIGINT)::HUGEINT
+           + max(sv)::HUGEINT)
+          // (2 * max(sv)::HUGEINT))::BIGINT AS t_between_micro
+  FROM grp CROSS JOIN tot WHERE sg > 0)
+SELECT n AS n_events, t_total_micro, t_between_micro,
+       (t_total_micro - t_between_micro)::BIGINT AS t_within_micro
+FROM t_tot CROSS JOIN t_btw
+"""
+
+BANK_QUERIES["events_value_theil_decomp_dow"] = events_value_theil_decomp_dow
+BANK_ORACLES["events_value_theil_decomp_dow"] = ORACLE_THEIL_DECOMP
+
+
+# --------------------------- order-count dispersion incl. zero-inflation
+
+def customer_order_count_dispersion(spark, sf):
+    """Variance-to-mean ratio of orders-per-customer INCLUDING the
+    customers who never ordered (left join; every per-order rollup
+    silently drops them), plus the zero share with Wilson bounds —
+    the overdispersion + zero-inflation panel that decides between
+    Poisson/NB/ZINB models of purchase frequency.  Fifth
+    wilson_bounds_sql consumer.
+
+    Exactness: counts exact; VMR = (n·Σc² − (Σc)²)/((n−1)·Σc) from
+    exact DECIMAL sums, one final double."""
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    oc = T(spark, sf, "orders").groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count("*").alias("c"))
+    cc = (
+        T(spark, sf, "customer")
+        .select("c_custkey")
+        .join(oc, "c_custkey", "left")
+        .selectExpr("coalesce(c, 0) AS c")
+    )
+    agg = cc.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sc"),
+        F.expr("sum(cast(c as decimal(38,0)) * c)").alias("sc2"),
+        F.sum(F.expr("if(c = 0, 1, 0)")).alias("zeros"),
+    )
+    vmr = (
+        "(cast(cast(n as decimal(38,0)) * sc2"
+        " - cast(sc as decimal(38,0)) * sc as double)"
+        " / (cast(n - 1 as double) * sc))"
+    )
+    lo, hi = wilson_bounds_sql("zeros", "n")
+    return agg.selectExpr(
+        "cast(n as bigint) AS n_customers",
+        "cast(sc as bigint) AS n_orders",
+        "cast(zeros as bigint) AS n_zero_customers",
+        f"case when n > 1 and sc > 0 then round({vmr}, 6) + 0.0 end"
+        " AS vmr",
+        f"round({lo}, 6) + 0.0 AS zero_share_lo",
+        f"round({hi}, 6) + 0.0 AS zero_share_hi",
+    )
+
+
+def _oracle_order_dispersion() -> str:
+    from faconne_spark.operators.relational import wilson_bounds_sql
+
+    lo, hi = wilson_bounds_sql("zeros", "n")
+    return f"""
+WITH oc AS (
+  SELECT o_custkey AS c_custkey, count(*)::BIGINT AS c
+  FROM orders GROUP BY 1),
+cc AS (
+  SELECT coalesce(c, 0)::BIGINT AS c
+  FROM customer LEFT JOIN oc USING (c_custkey)),
+agg AS (
+  SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS sc,
+         sum(c::DECIMAL(38,0) * c) AS sc2,
+         sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros
+  FROM cc)
+SELECT n AS n_customers, sc AS n_orders, zeros AS n_zero_customers,
+       CASE WHEN n > 1 AND sc > 0 THEN
+         round((n::DECIMAL(38,0) * sc2
+                - sc::DECIMAL(38,0) * sc)::DOUBLE
+               / ((n - 1)::DOUBLE * sc), 6) + 0.0 END AS vmr,
+       round({lo}, 6) + 0.0 AS zero_share_lo,
+       round({hi}, 6) + 0.0 AS zero_share_hi
+FROM agg
+"""
+
+
+BANK_QUERIES["customer_order_count_dispersion"] = (
+    customer_order_count_dispersion
+)
+BANK_ORACLES["customer_order_count_dispersion"] = _oracle_order_dispersion()
+
+
+# ----------------------------------- embedding-norm ICC across labels
+
+def embed_norm_label_icc(spark, sf):
+    """ICC(1) of the embedding L2 NORM across labels (unbalanced k₀)
+    — does the label explain any of the norm variance?  Third ICC
+    consumer (customer value, brand price, now embedding geometry):
+    the norm-vs-label ANOVA gives the F; ICC gives the share, which
+    is what calibration work actually budgets against.
+
+    Exactness: each vector's norm micro-rounds ONCE (sqrt of the
+    exact micro² dot, deterministic); between/within terms follow the
+    ANOVA integer-term discipline."""
+    from faconne_spark.functions import dot_expr
+
+    e = T(spark, sf, "embeddings").select(
+        "label",
+        F.expr(
+            "cast(round(sqrt("
+            + dot_expr("embedding", "embedding", "spark")
+            + ") * 1000000, 0) as bigint)"
+        ).alias("v"),
+    )
+    g = e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * F.col("v").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count("*").alias("j"),
+        F.sum(F.expr("n * n")).alias("sn2"),
+    )
+    bnum = (
+        "(cast(s as decimal(38,0)) * nt - cast(st as decimal(38,0)) * n)"
+    )
+    bden = "(cast(n as decimal(38,0)) * nt * nt * 1000000)"
+    wnum = (
+        "(cast(ss as decimal(38,0)) * n - cast(s as decimal(38,0)) * s)"
+    )
+    wden = "(cast(n as decimal(38,0)) * 1000000)"
+    terms = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "j", "nt", "sn2",
+        f"cast((2 * {bnum} * {bnum} + {bden}) div (2 * {bden})"
+        " as bigint) AS b",
+        f"cast((2 * {wnum} + {wden}) div (2 * {wden}) as bigint) AS w",
+    )
+    msb = "(cast(sum(b) as double) / (max(j) - 1))"
+    msw = "(cast(sum(w) as double) / (max(nt) - max(j)))"
+    k0 = (
+        "((cast(max(nt) as double)"
+        " - cast(max(sn2) as double) / max(nt)) / (max(j) - 1))"
+    )
+    ok = "max(j) >= 2 and max(nt) > max(j) and sum(w) > 0"
+    return terms.groupBy().agg(
+        F.max("j").cast("long").alias("n_labels"),
+        F.max("nt").cast("long").alias("n_vecs"),
+        F.expr(f"round({k0}, 6) + 0.0").alias("k0"),
+        F.expr(
+            f"case when {ok} then round({msb} / {msw}, 6) + 0.0 end"
+        ).alias("f_stat"),
+        F.expr(
+            f"case when {ok} then"
+            f" round(({msb} - {msw}) / ({msb} + ({k0} - 1) * {msw}), 6)"
+            f" + 0.0 end"
+        ).alias("icc1"),
+    )
+
+
+def _oracle_norm_icc() -> str:
+    from faconne_spark.functions import dot_expr
+
+    nrm = dot_expr("embedding", "embedding", "duckdb")
+    return f"""
+WITH e AS (
+  SELECT label,
+         round(sqrt({nrm}) * 1000000, 0)::BIGINT AS v
+  FROM embeddings),
+g AS (
+  SELECT label, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+         sum(v::DECIMAL(38,0) * v) AS ss
+  FROM e GROUP BY 1),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         count(*)::BIGINT AS j, sum(n * n)::BIGINT AS sn2
+  FROM g),
+terms AS (
+  SELECT j, nt, sn2,
+         ((2 * (s::HUGEINT * nt - st::HUGEINT * n)
+             * (s::HUGEINT * nt - st::HUGEINT * n)
+           + n::HUGEINT * nt * nt * 1000000)
+          // (2 * n::HUGEINT * nt * nt * 1000000))::BIGINT AS b,
+         ((2 * (ss::HUGEINT * n - s::HUGEINT * s)
+           + n::HUGEINT * 1000000)
+          // (2 * n::HUGEINT * 1000000))::BIGINT AS w
+  FROM g CROSS JOIN tot)
+SELECT max(j)::BIGINT AS n_labels, max(nt)::BIGINT AS n_vecs,
+       round((max(nt)::DOUBLE - max(sn2)::DOUBLE / max(nt))
+             / (max(j) - 1), 6) + 0.0 AS k0,
+       CASE WHEN max(j) >= 2 AND max(nt) > max(j) AND sum(w) > 0 THEN
+         round((sum(b)::DOUBLE / (max(j) - 1))
+               / (sum(w)::DOUBLE / (max(nt) - max(j))), 6) + 0.0 END
+         AS f_stat,
+       CASE WHEN max(j) >= 2 AND max(nt) > max(j) AND sum(w) > 0 THEN
+         round(((sum(b)::DOUBLE / (max(j) - 1))
+                - (sum(w)::DOUBLE / (max(nt) - max(j))))
+               / ((sum(b)::DOUBLE / (max(j) - 1))
+                  + (((max(nt)::DOUBLE - max(sn2)::DOUBLE / max(nt))
+                      / (max(j) - 1)) - 1)
+                    * (sum(w)::DOUBLE / (max(nt) - max(j)))), 6) + 0.0
+       END AS icc1
+FROM terms
+"""
+
+
+BANK_QUERIES["embed_norm_label_icc"] = embed_norm_label_icc
+BANK_ORACLES["embed_norm_label_icc"] = _oracle_norm_icc()
