@@ -1775,3 +1775,450 @@ FROM terms
 
 BANK_QUERIES["embed_norm_label_icc"] = embed_norm_label_icc
 BANK_ORACLES["embed_norm_label_icc"] = _oracle_norm_icc()
+
+
+# ------------------------------------------ daily PACF at lag 2
+
+def events_daily_pacf2(spark, sf):
+    """Partial autocorrelation of daily volume at lag 2 via
+    Durbin–Levinson: φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²) — the AR-order probe
+    the ACF family can't answer (an AR(1) series has ρ₂ = ρ₁² ≠ 0 but
+    φ₂₂ = 0: "is there structure BEYOND yesterday?" is a PACF
+    question; it decides between AR(1) and AR(2) forecast baselines).
+
+    Exactness: same exact mean-centering as the Ljung–Box key
+    (yₜ = D·xₜ − S); ρ₁/ρ₂ micro-round once each (signed); φ₂₂ is ONE
+    double division of exact integer combinations of the two micros."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = daily.groupBy().agg(
+        F.count("*").alias("nd"), F.sum("c").alias("s")
+    )
+    y = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "nd", F.expr("nd * c - s").alias("y")
+    )
+    w = W.orderBy("d")
+    lagged = y.select(
+        "nd",
+        F.col("y").cast("decimal(38,0)").alias("y0"),
+        F.lag("y", 1).over(w).cast("decimal(38,0)").alias("y1"),
+        F.lag("y", 2).over(w).cast("decimal(38,0)").alias("y2"),
+    )
+    m = lagged.groupBy().agg(
+        F.max("nd").alias("n"),
+        F.sum(F.expr("y0 * y0")).alias("den"),
+        F.sum(F.expr("y0 * y1")).alias("num1"),
+        F.sum(F.expr("y0 * y2")).alias("num2"),
+    )
+    r = m.selectExpr(
+        "n",
+        "cast(round(cast(num1 as double) / cast(den as double)"
+        " * 1000000, 0) as bigint) AS rho1_micro",
+        "cast(round(cast(num2 as double) / cast(den as double)"
+        " * 1000000, 0) as bigint) AS rho2_micro",
+    )
+    phi = (
+        "(cast(1000000 * rho2_micro - rho1_micro * rho1_micro as double)"
+        " / cast(1000000000000 - cast(rho1_micro as decimal(38,0))"
+        " * rho1_micro as double))"
+    )
+    return r.selectExpr(
+        "cast(n as bigint) AS n_days",
+        "rho1_micro", "rho2_micro",
+        f"case when 1000000000000 - cast(rho1_micro as decimal(38,0))"
+        f" * rho1_micro != 0 then round({phi}, 6) + 0.0 end AS pacf2",
+    )
+
+
+ORACLE_PACF2 = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS c FROM events GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS nd, sum(c)::BIGINT AS s FROM daily),
+y AS (
+  SELECT d, nd, (nd * c - s)::BIGINT AS y
+  FROM daily CROSS JOIN tot),
+lagged AS (
+  SELECT nd, y::DECIMAL(38,0) AS y0,
+         lag(y, 1) OVER (ORDER BY d)::DECIMAL(38,0) AS y1,
+         lag(y, 2) OVER (ORDER BY d)::DECIMAL(38,0) AS y2
+  FROM y),
+m AS (
+  SELECT max(nd)::BIGINT AS n, sum(y0 * y0) AS den,
+         sum(y0 * y1) AS num1, sum(y0 * y2) AS num2
+  FROM lagged),
+r AS (
+  SELECT n,
+         round(num1::DOUBLE / den::DOUBLE * 1000000, 0)::BIGINT
+           AS rho1_micro,
+         round(num2::DOUBLE / den::DOUBLE * 1000000, 0)::BIGINT
+           AS rho2_micro
+  FROM m)
+SELECT n AS n_days, rho1_micro, rho2_micro,
+       CASE WHEN 1000000000000 - rho1_micro::DECIMAL(38,0) * rho1_micro
+                 != 0
+       THEN round((1000000 * rho2_micro
+                   - rho1_micro * rho1_micro)::DOUBLE
+                  / (1000000000000
+                     - rho1_micro::DECIMAL(38,0) * rho1_micro)::DOUBLE,
+                  6) + 0.0 END AS pacf2
+FROM r
+"""
+
+BANK_QUERIES["events_daily_pacf2"] = events_daily_pacf2
+BANK_ORACLES["events_daily_pacf2"] = ORACLE_PACF2
+
+
+# ------------------------------------- yearly Gini of order totals
+
+def orders_yearly_gini_trend(spark, sf):
+    """Exact Gini of order totals PER ORDER-YEAR plus the OLS slope of
+    the Gini sequence — is value inequality between orders widening
+    over time?  The temporal lens on the inequality family (the
+    static Ginis read one snapshot; curation budgets react to the
+    TREND).
+
+    Exactness: per-year Σr·v on the (cents, orderkey) total order is
+    tie-order-invariant; gini_micro is an exact half-up integer per
+    year ((2A+B) div (2B), HUGEINT in the oracle); the slope over the
+    bounded year relation is one double from exact integer OLS
+    moments, repeated per row for a single-relation output."""
+    from pyspark.sql import Window as W
+
+    o = T(spark, sf, "orders").select(
+        F.expr("cast(year(o_orderdate) as bigint)").alias("yr"),
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        ).alias("v"),
+        "o_orderkey",
+    )
+    r = o.withColumn(
+        "r",
+        F.row_number()
+        .over(W.partitionBy("yr").orderBy("v", "o_orderkey"))
+        .cast("long"),
+    )
+    g = r.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.sum(
+            F.col("r").cast("decimal(38,0)")
+            * F.col("v").cast("decimal(38,0)")
+        ).alias("srv"),
+    )
+    gm = g.selectExpr(
+        "yr", "n",
+        "cast((2 * (1000000 * (2 * srv - cast(n + 1 as decimal(38,0))"
+        " * sv)) + cast(n as decimal(38,0)) * sv)"
+        " div (2 * cast(n as decimal(38,0)) * sv) as bigint)"
+        " AS gini_micro",
+    )
+    idx = gm.crossJoin(
+        F.broadcast(gm.groupBy().agg(F.min("yr").alias("y0")))
+    ).selectExpr("yr", "n", "gini_micro", "cast(yr - y0 as bigint) AS t")
+    mom = idx.groupBy().agg(
+        F.count("*").alias("k"),
+        F.sum("t").alias("st"),
+        F.sum(F.expr("t * t")).alias("stt"),
+        F.sum(F.expr("cast(t as decimal(38,0)) * gini_micro")).alias("stg"),
+        F.sum("gini_micro").alias("sg"),
+    )
+    slope = (
+        "(cast(cast(k as decimal(38,0)) * stg"
+        " - cast(st as decimal(38,0)) * sg as double)"
+        " / cast(cast(k as decimal(38,0)) * stt"
+        " - cast(st as decimal(38,0)) * st as double))"
+    )
+    sl = mom.selectExpr(
+        f"case when k > 1 and cast(k as decimal(38,0)) * stt"
+        f" - cast(st as decimal(38,0)) * st != 0 then"
+        f" round({slope}, 6) + 0.0 end AS gini_slope_micro_per_year"
+    )
+    return idx.select("yr", "n", "gini_micro").crossJoin(F.broadcast(sl))
+
+
+ORACLE_YEARLY_GINI = """
+WITH o AS (
+  SELECT year(o_orderdate)::BIGINT AS yr,
+         floor(o_totalprice * 100 + 0.5)::BIGINT AS v, o_orderkey
+  FROM orders),
+r AS (
+  SELECT yr, v,
+         row_number() OVER (PARTITION BY yr ORDER BY v, o_orderkey)
+           ::BIGINT AS r
+  FROM o),
+g AS (
+  SELECT yr, count(*)::BIGINT AS n, sum(v::DECIMAL(38,0)) AS sv,
+         sum(r::DECIMAL(38,0) * v) AS srv
+  FROM r GROUP BY 1),
+gm AS (
+  SELECT yr, n,
+         ((2 * (1000000 * (2 * srv::HUGEINT
+                           - (n + 1)::HUGEINT * sv::HUGEINT))
+           + n::HUGEINT * sv::HUGEINT)
+          // (2 * n::HUGEINT * sv::HUGEINT))::BIGINT AS gini_micro
+  FROM g),
+idx AS (
+  SELECT yr, n, gini_micro,
+         (yr - (SELECT min(yr) FROM gm))::BIGINT AS t
+  FROM gm),
+mom AS (
+  SELECT count(*)::BIGINT AS k, sum(t)::BIGINT AS st,
+         sum(t * t)::BIGINT AS stt,
+         sum(t::DECIMAL(38,0) * gini_micro) AS stg,
+         sum(gini_micro)::BIGINT AS sg
+  FROM idx),
+sl AS (
+  SELECT CASE WHEN k > 1 AND k::DECIMAL(38,0) * stt
+                   - st::DECIMAL(38,0) * st != 0
+         THEN round((k::DECIMAL(38,0) * stg
+                     - st::DECIMAL(38,0) * sg)::DOUBLE
+                    / (k::DECIMAL(38,0) * stt
+                       - st::DECIMAL(38,0) * st)::DOUBLE, 6) + 0.0
+         END AS gini_slope_micro_per_year
+  FROM mom)
+SELECT yr, n, gini_micro, gini_slope_micro_per_year
+FROM idx CROSS JOIN sl
+"""
+
+BANK_QUERIES["orders_yearly_gini_trend"] = orders_yearly_gini_trend
+BANK_ORACLES["orders_yearly_gini_trend"] = ORACLE_YEARLY_GINI
+
+
+# --------------------------- exponential GoF of inter-event gaps
+
+GAP_KS_EDGES_US = (
+    60_000_000, 120_000_000, 300_000_000, 600_000_000,
+    1_800_000_000, 3_600_000_000, 7_200_000_000, 14_400_000_000,
+    28_800_000_000, 43_200_000_000, 86_400_000_000, 172_800_000_000,
+    345_600_000_000, 604_800_000_000,
+)
+
+
+def events_gap_exponential_ks(spark, sf):
+    """Binned KS goodness-of-fit of within-user inter-event gaps
+    against the fitted Exponential(1/mean) — the memorylessness
+    verdict at the µs grain (the geometric GoF reads integer DAY
+    gaps; sessionization thresholds and the Weibull shape both hinge
+    on whether the µs process is Poisson, and the KS-vs-fitted curve
+    is the standard check).  Fixed 14-edge grid from 1 minute to 7
+    days.
+
+    Exactness: gaps are exact µs integers ((user, ts, event_id) lag
+    order); the mean is a half-up exact integer; each model CDF value
+    1 − e^(−edge/mean) micro-rounds ONCE per edge (per-cell rule —
+    the first exp consumer, same contract as ln); the KS numerator is
+    an exact integer max of |cum·10⁶ − n·F_micro|."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        T(spark, sf, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn("prev", F.lag("ts").over(w))
+        .filter("prev is not null")
+        .selectExpr(
+            "cast(unix_micros(ts) - unix_micros(prev) as bigint) AS g"
+        )
+    )
+    cums = [
+        F.sum(F.expr(f"if(g <= {e}, 1, 0)")).alias(f"c{i}")
+        for i, e in enumerate(GAP_KS_EDGES_US)
+    ]
+    agg = gaps.groupBy().agg(
+        F.count("*").alias("n"), F.sum("g").alias("sg"), *cums
+    )
+    mean = agg.selectExpr(
+        "n", "sg",
+        "cast((2 * sg + n) div (2 * n) as bigint) AS mean_us",
+        *[f"c{i}" for i in range(len(GAP_KS_EDGES_US))],
+    )
+    fm = [
+        f"cast(round((1 - exp(-(cast({e} as double)"
+        f" / cast(mean_us as double)))) * 1000000, 0) as bigint)"
+        f" AS f{i}"
+        for i, e in enumerate(GAP_KS_EDGES_US)
+    ]
+    withf = mean.selectExpr(
+        "n", "mean_us",
+        *[f"c{i}" for i in range(len(GAP_KS_EDGES_US))],
+        *fm,
+    )
+    gaps_abs = ", ".join(
+        f"abs(cast(c{i} as decimal(38,0)) * 1000000"
+        f" - cast(n as decimal(38,0)) * f{i})"
+        for i in range(len(GAP_KS_EDGES_US))
+    )
+    return withf.selectExpr(
+        "cast(n as bigint) AS n_gaps",
+        "mean_us",
+        f"cast(greatest({gaps_abs}) as bigint) AS d_num",
+        f"round(cast(greatest({gaps_abs}) as double)"
+        f" / (cast(n as double) * 1000000), 6) + 0.0 AS ks_d",
+    )
+
+
+def _oracle_gap_exp_ks() -> str:
+    edges = GAP_KS_EDGES_US
+    cums = ",\n         ".join(
+        f"sum(CASE WHEN g <= {e} THEN 1 ELSE 0 END)::BIGINT AS c{i}"
+        for i, e in enumerate(edges)
+    )
+    fm = ",\n       ".join(
+        f"round((1 - exp(-({e}::DOUBLE / mean_us::DOUBLE)))"
+        f" * 1000000, 0)::BIGINT AS f{i}"
+        for i, e in enumerate(edges)
+    )
+    gaps_abs = ", ".join(
+        f"abs(c{i}::DECIMAL(38,0) * 1000000"
+        f" - n::DECIMAL(38,0) * f{i})"
+        for i in range(len(edges))
+    )
+    return f"""
+WITH g0 AS (
+  SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS g
+  FROM events),
+gaps AS (SELECT g::BIGINT AS g FROM g0 WHERE g IS NOT NULL),
+agg AS (
+  SELECT count(*)::BIGINT AS n, sum(g)::BIGINT AS sg,
+         {cums}
+  FROM gaps),
+m AS (
+  SELECT *, ((2 * sg + n) // (2 * n))::BIGINT AS mean_us FROM agg),
+f AS (
+  SELECT *,
+       {fm}
+  FROM m)
+SELECT n AS n_gaps, mean_us,
+       greatest({gaps_abs})::BIGINT AS d_num,
+       round(greatest({gaps_abs})::DOUBLE
+             / (n::DOUBLE * 1000000), 6) + 0.0 AS ks_d
+FROM f
+"""
+
+
+BANK_QUERIES["events_gap_exponential_ks"] = events_gap_exponential_ks
+BANK_ORACLES["events_gap_exponential_ks"] = _oracle_gap_exp_ks()
+
+
+# ------------------------------------- per-user ticket-value ICC
+
+def events_user_value_icc(spark, sf):
+    """ICC(1) of ticket VALUE within users (unbalanced k₀) — do users
+    have personal price points, or is every ticket drawn from one
+    pool?  Fourth ICC consumer and the first at GROUP-COUNT scale
+    (thousands of user groups, not 25 brands): the share of value
+    variance the user identity explains is the personalization-
+    signal budget.
+
+    Exactness: values exact micro; between/within terms are exact
+    half-up integers ((2a+b) div (2b) on DECIMAL products — the
+    supplier-ANOVA discipline; products bounded through sf1);
+    ICC/k₀/F final doubles."""
+    e = (
+        T(spark, sf, "events")
+        .filter("value is not null")
+        .select(
+            "user_id",
+            F.expr(
+                "cast(floor(value * 1000000 + 0.5) as bigint)"
+            ).alias("v"),
+        )
+    )
+    g = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * F.col("v").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count("*").alias("j"),
+        F.sum(F.expr("n * n")).alias("sn2"),
+    )
+    bnum = (
+        "(cast(s as decimal(38,0)) * nt - cast(st as decimal(38,0)) * n)"
+    )
+    bden = "(cast(n as decimal(38,0)) * nt * nt * 1000000)"
+    wnum = (
+        "(cast(ss as decimal(38,0)) * n - cast(s as decimal(38,0)) * s)"
+    )
+    wden = "(cast(n as decimal(38,0)) * 1000000)"
+    terms = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "j", "nt", "sn2",
+        f"cast((2 * {bnum} * {bnum} + {bden}) div (2 * {bden})"
+        " as bigint) AS b",
+        f"cast((2 * {wnum} + {wden}) div (2 * {wden}) as bigint) AS w",
+    )
+    msb = "(cast(sum(b) as double) / (max(j) - 1))"
+    msw = "(cast(sum(w) as double) / (max(nt) - max(j)))"
+    k0 = (
+        "((cast(max(nt) as double)"
+        " - cast(max(sn2) as double) / max(nt)) / (max(j) - 1))"
+    )
+    ok = "max(j) >= 2 and max(nt) > max(j) and sum(w) > 0"
+    return terms.groupBy().agg(
+        F.max("j").cast("long").alias("n_users"),
+        F.max("nt").cast("long").alias("n_events"),
+        F.expr(f"round({k0}, 6) + 0.0").alias("k0"),
+        F.expr(
+            f"case when {ok} then round({msb} / {msw}, 6) + 0.0 end"
+        ).alias("f_stat"),
+        F.expr(
+            f"case when {ok} then"
+            f" round(({msb} - {msw}) / ({msb} + ({k0} - 1) * {msw}), 6)"
+            f" + 0.0 end"
+        ).alias("icc1"),
+    )
+
+
+ORACLE_USER_VALUE_ICC = """
+WITH e AS (
+  SELECT user_id, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+         sum(v::DECIMAL(38,0) * v) AS ss
+  FROM e GROUP BY 1),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+         count(*)::BIGINT AS j, sum(n * n)::BIGINT AS sn2
+  FROM g),
+terms AS (
+  SELECT j, nt, sn2,
+         ((2 * (s::HUGEINT * nt - st::HUGEINT * n)
+             * (s::HUGEINT * nt - st::HUGEINT * n)
+           + n::HUGEINT * nt * nt * 1000000)
+          // (2 * n::HUGEINT * nt * nt * 1000000))::BIGINT AS b,
+         ((2 * (ss::HUGEINT * n - s::HUGEINT * s)
+           + n::HUGEINT * 1000000)
+          // (2 * n::HUGEINT * 1000000))::BIGINT AS w
+  FROM g CROSS JOIN tot)
+SELECT max(j)::BIGINT AS n_users, max(nt)::BIGINT AS n_events,
+       round((max(nt)::DOUBLE - max(sn2)::DOUBLE / max(nt))
+             / (max(j) - 1), 6) + 0.0 AS k0,
+       CASE WHEN max(j) >= 2 AND max(nt) > max(j) AND sum(w) > 0 THEN
+         round((sum(b)::DOUBLE / (max(j) - 1))
+               / (sum(w)::DOUBLE / (max(nt) - max(j))), 6) + 0.0 END
+         AS f_stat,
+       CASE WHEN max(j) >= 2 AND max(nt) > max(j) AND sum(w) > 0 THEN
+         round(((sum(b)::DOUBLE / (max(j) - 1))
+                - (sum(w)::DOUBLE / (max(nt) - max(j))))
+               / ((sum(b)::DOUBLE / (max(j) - 1))
+                  + (((max(nt)::DOUBLE - max(sn2)::DOUBLE / max(nt))
+                      / (max(j) - 1)) - 1)
+                    * (sum(w)::DOUBLE / (max(nt) - max(j)))), 6) + 0.0
+       END AS icc1
+FROM terms
+"""
+
+BANK_QUERIES["events_user_value_icc"] = events_user_value_icc
+BANK_ORACLES["events_user_value_icc"] = ORACLE_USER_VALUE_ICC

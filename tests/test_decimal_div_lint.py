@@ -123,7 +123,7 @@ def test_no_decimal_literal_division_in_oracles():
     from faconne_spark.queries import all_oracles
 
     oracles = dict(all_oracles())
-    for bank in ("bank_r12",):
+    for bank in ("bank_r12", "bank_r13"):
         mod = importlib.import_module(f"faconne_spark.queries.{bank}")
         for k, v in mod.BANK_ORACLES.items():
             oracles[f"{bank}:{k}"] = v
@@ -177,7 +177,7 @@ def _all_oracle_pairs():
     from faconne_spark.queries import all_oracles
 
     oracles = dict(all_oracles())
-    for bank in ("bank_r12",):
+    for bank in ("bank_r12", "bank_r13"):
         mod = importlib.import_module(f"faconne_spark.queries.{bank}")
         for k, v in mod.BANK_ORACLES.items():
             oracles.setdefault(f"{bank}:{k}", v)

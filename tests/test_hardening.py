@@ -478,6 +478,7 @@ def test_survey_registry_consistency():
     from faconne_spark.queries.bank_r10 import BANK_QUERIES as BANK_R10
     from faconne_spark.queries.bank_r11 import BANK_QUERIES as BANK_R11
     from faconne_spark.queries.bank_r12 import BANK_QUERIES as BANK_R12
+    from faconne_spark.queries.bank_r13 import BANK_QUERIES as BANK_R13
     from faconne_spark.queries.staged_r9 import BANK_QUERIES as STAGED_R9
 
     # operator/function names that match key-shaped regex alternatives
@@ -488,7 +489,7 @@ def test_survey_registry_consistency():
         "sample_frames_real",
     }
     known = (qs | set(BANK_QUERIES) | set(BANK_R9) | set(STAGED_R9)
-             | set(BANK_R10) | set(BANK_R11) | set(BANK_R12)
+             | set(BANK_R10) | set(BANK_R11) | set(BANK_R12) | set(BANK_R13)
              | known_operators)
     cited_keys = {k for k in cited if k in qs or not k.startswith(("text_", "events_"))}
     missing_in_registry = sorted(k for k in cited_keys if k not in known)
