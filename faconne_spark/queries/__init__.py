@@ -73,6 +73,11 @@ _CHANGED_THIS_ROUND = [
     #    gains the CASE n>1 AND se2>0 degenerate-data guard in both
     #    engines (oracle + Spark plan both change) --
     "customer_segment_welch_pairs",
+    # -- changed in r12: turning-points E/Var rewritten from bare
+    #    decimal literals (Spark DECIMAL division truncates at scale 6
+    #    before the sqrt — latent 6th-digit flip found by the new
+    #    spark-decimal-division lint) to cast-as-double ratios --
+    "events_daily_turning_points",
 ]
 
 _REST = [
@@ -89,7 +94,6 @@ _REST = [
     "events_daily_hurst_rs",
     "events_weekend_cvm",
     "docs_mattr",
-    "events_daily_turning_points",
     "embed_anisotropy_panel",
     "events_spectral_entropy",
     "events_gap_weibull_fit",

@@ -1205,8 +1205,12 @@ def events_daily_turning_points(spark, sf):
         (F.count("*") + 2).alias("n"),
         F.sum("tp").alias("t"),
     )
-    e = "(2.0 * (n - 2) / 3.0)"
-    v = "((16.0 * n - 29.0) / 90.0)"
+    # NO bare decimal literals: Spark parses 2.0/3.0 as DECIMAL and the
+    # whole ratio becomes scale-6-truncated DECIMAL division — the z
+    # then feeds sqrt() a value 1e-7 off DuckDB's full double (latent
+    # 6th-digit flip; caught by the r12 spark-decimal-division lint)
+    e = "(cast(2 * (n - 2) as double) / 3)"
+    v = "(cast(16 * n - 29 as double) / 90)"
     return agg.select(
         F.col("n").cast("long").alias("n_days"),
         F.col("t").cast("long").alias("n_turning_points"),
@@ -1233,10 +1237,10 @@ inner_ AS (
 agg AS (
   SELECT (count(*) + 2)::BIGINT AS n, sum(tp)::BIGINT AS t FROM inner_)
 SELECT n AS n_days, t AS n_turning_points,
-       round(2.0 * (n - 2) / 3.0, 6) + 0.0 AS expected,
-       CASE WHEN (16.0 * n - 29.0) / 90.0 > 0 THEN
-         round((t::DOUBLE - 2.0 * (n - 2) / 3.0)
-               / sqrt((16.0 * n - 29.0) / 90.0), 6) + 0.0 END AS z
+       round((2 * (n - 2))::DOUBLE / 3, 6) + 0.0 AS expected,
+       CASE WHEN (16 * n - 29)::DOUBLE / 90 > 0 THEN
+         round((t::DOUBLE - (2 * (n - 2))::DOUBLE / 3)
+               / sqrt((16 * n - 29)::DOUBLE / 90), 6) + 0.0 END AS z
 FROM agg
 """
 

@@ -248,3 +248,88 @@ def test_intdiv_prover_unit_shapes():
     # CASE branches must all prove
     assert provably_int("CASE WHEN x THEN 1 ELSE count(*) END", env)
     assert not provably_int("CASE WHEN x THEN 1 ELSE y END", env)
+
+
+# ============== Spark decimal-LITERAL division lint (r12, fifth bite) =
+#
+# Spark SQL parses bare decimal literals (4.0, 90.0) as DECIMAL; a
+# division whose BOTH operands are DECIMAL (decimal literal composed
+# with integer columns) performs scale-truncated DECIMAL division —
+# r12 staging caught the Bartels variance collapsing to
+# Decimal('0.126903'), and the audit then found the REGISTERED
+# turning-points key feeding sqrt() a scale-6-truncated variance
+# (green by data luck: the 1e-7 offset hadn't crossed a 6th-digit
+# boundary on driver data yet).  DuckDB parses the same literals as
+# DOUBLE, so the engines silently diverge.
+
+_DEC_LIT = re.compile(r"(?<![\w.])\d+\.\d+(?![\w.])")
+# operand is provably DOUBLE when it carries a double cast or calls a
+# double-returning function (these promote the whole operand)
+_DOUBLE_MARK = re.compile(
+    r"(?i)as\s+double|::\s*DOUBLE|sqrt\s*\(|\bln\s*\(|\bexp\s*\(|"
+    r"pow\s*\(|\blog\s*\(|percentile\s*\(|quantile_cont\s*\(|"
+    r"\bavg\s*\(|\bmean\s*\(|stddev|\bcorr\s*\("
+)
+
+# (relpath, left-snippet) -> audit rationale for sites where a
+# decimal literal meets a DOUBLE identifier the lint cannot type
+WAIVERS_SPARK_DECDIV = {
+    ("faconne_spark/queries/round8.py", "(cos + 1.0)"):
+        "cos is the double ratio dot/(na*nb); double + decimal-literal"
+        " promotes to DOUBLE, so /2.0 is double division",
+}
+
+
+def _spark_decimal_div_hits(text: str):
+    from tools.intdiv_lint import _operand_back, _operand_fwd
+
+    out = []
+    for m in re.finditer(r"(?<!/)/(?!/)", text):
+        # the LEFT operand of / under precedence is the whole
+        # multiplicative chain — chain=True captures `2.0 * (n - 2)`
+        # where a single primary would miss the decimal factor
+        left = _operand_back(text, m.start(), chain=True)
+        right = _operand_fwd(text, m.end())
+        if not left.strip() or not right.strip():
+            continue
+        if _DEC_LIT.search(left) and _DEC_LIT.search(right):
+            if not _DOUBLE_MARK.search(left) and not _DOUBLE_MARK.search(
+                right
+            ):
+                out.append(" ".join(left.split())[:60])
+    return out
+
+
+def test_no_spark_decimal_literal_division():
+    bad = []
+    for path in _engine_py_files():
+        rel = os.path.relpath(path, REPO)
+        for lineno, s in _iter_string_constants(path):
+            for hit in _spark_decimal_div_hits(s):
+                if (rel, hit) not in WAIVERS_SPARK_DECDIV:
+                    bad.append(f"{rel}:{lineno}: {hit!r}")
+    assert not bad, (
+        "division with decimal LITERALS on both sides (Spark parses"
+        " 4.0 as DECIMAL -> scale-truncated decimal division while"
+        " DuckDB sees DOUBLE — write `cast(a as double) / b`):\n"
+        + "\n".join(bad)
+    )
+
+
+def test_spark_decdiv_lint_catches_the_planted_bartels_trap():
+    bad = (
+        "(4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)"
+        " / (5.0 * n * (n + 1) * (n - 1) * (n - 1)))"
+    )
+    assert _spark_decimal_div_hits(bad)
+    fixed = (
+        "(cast(4 * (n - 2) * (5 * n * n - 2 * n - 9) as double)"
+        " / cast(5 * n * (n + 1) * (n - 1) * (n - 1) as double))"
+    )
+    assert not _spark_decimal_div_hits(fixed)
+    # the turning-points shape (second real site) and its fix
+    assert _spark_decimal_div_hits("(2.0 * (n - 2) / 3.0)")
+    assert not _spark_decimal_div_hits("(cast(2 * (n - 2) as double) / 3)")
+    # double-marked operands stay clean
+    assert not _spark_decimal_div_hits("percentile(lag_s, 0.5) / 3600.0")
+    assert not _spark_decimal_div_hits("sqrt(2.0 * x) / 3.0")
