@@ -12,7 +12,12 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    MapType,
+    StructType,
+)
 
 
 def read_csv(
@@ -587,8 +592,64 @@ def write_snapshot(
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
         if st.getPath().getName().endswith(".parquet")
     )
-    n_rows = spark.read.parquet(data_dir).count()
+    # one distributed pass over the staged files folds the row count
+    # AND per-file zone maps (min/max of every atomic column, grouped
+    # by input_file_name) — the Iceberg-style column stats that let
+    # readers SKIP files at planning time (see plan_snapshot_files)
+    staged = spark.read.parquet(data_dir)
+    stat_cols = [
+        f.name for f in staged.schema.fields
+        if not isinstance(
+            f.dataType, (ArrayType, MapType, StructType, BinaryType)
+        )
+    ]
+    from pyspark.sql import functions as _F
+
+    per_file = (
+        staged.groupBy(_F.input_file_name().alias("__f"))
+        .agg(
+            _F.count("*").alias("__n"),
+            *[
+                a
+                for c in stat_cols
+                for a in (
+                    _F.min(c).alias(f"__min_{c}"),
+                    _F.max(c).alias(f"__max_{c}"),
+                )
+            ],
+        )
+        .collect()
+    )
+    n_rows = sum(r["__n"] for r in per_file)
+
+    def _j(v):
+        # JSON-safe bound: primitives pass through, everything else
+        # (dates, timestamps, decimals) goes through str() — the
+        # pruner compares same-typed bounds, so str ordering is only
+        # used for str-typed columns and ISO dates, where it is
+        # order-faithful
+        return v if isinstance(v, (int, float, str, bool, type(None))) \
+            else str(v)
+
+    file_stats = {}
+    for r in per_file:
+        name = r["__f"].rsplit("/", 1)[-1]
+        file_stats[f"{data_rel}/{name}"] = {
+            "n_rows": r["__n"],
+            **{
+                c: [_j(r[f"__min_{c}"]), _j(r[f"__max_{c}"])]
+                for c in stat_cols
+            },
+        }
     files = (parent_files + new_files) if mode == "append" else new_files
+    # append keeps the parent's stats for the files it carries forward
+    parent_stats = {}
+    if mode == "append" and parent is not None:
+        for sid, mpath in reversed(manifests):
+            d = _read_manifest(spark, mpath)
+            if d is not None:
+                parent_stats = d.get("file_stats", {}) or {}
+                break
     manifest = {
         "snapshot_id": snap_id,
         "parent": parent,
@@ -596,6 +657,7 @@ def write_snapshot(
         "files": files,
         "n_files": len(files),
         "n_rows_added": n_rows,
+        "file_stats": {**parent_stats, **file_stats},
         # the schema travels in the manifest so an empty snapshot (an
         # overwrite that matched nothing) still reads back as an empty,
         # correctly-typed table; appends carry the EVOLVED table schema
@@ -672,7 +734,12 @@ def read_snapshot(
         if doc.get("schema") is not None:
             import json
 
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    MapType,
+    StructType,
+)
 
             return spark.createDataFrame(
                 [], StructType.fromJson(doc["schema"])
@@ -686,7 +753,12 @@ def read_snapshot(
     if doc.get("schema") is not None:
         import json  # noqa: F401  (StructType below)
 
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    MapType,
+    StructType,
+)
 
         # read under the MANIFEST's schema, not file inference: after
         # an add-column evolution, older data files lack the new
@@ -781,7 +853,12 @@ def read_snapshot_changes(
     base = table_dir.rstrip("/")
     reader = spark.read
     if to_doc.get("schema") is not None:
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    MapType,
+    StructType,
+)
 
         # the feed reads under the TO snapshot's (possibly evolved)
         # schema: files added before an add-column boundary project
@@ -1008,3 +1085,112 @@ def read_sampled_files(
         )
     sep = "" if path.endswith("/") else "/"
     return spark.read.parquet(*[f"{path}{sep}{n}" for n in kept])
+
+
+def plan_snapshot_files(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    prune: dict | None = None,
+) -> list:
+    """The file list a read of ``snapshot_id`` would scan, after
+    zone-map pruning: ``prune={"col": (lo, hi)}`` keeps only files
+    whose manifest [min, max] for ``col`` INTERSECTS [lo, hi] (either
+    bound may be None for one-sided ranges).  This is the
+    Iceberg-style planning step that makes a 100 TB table cheap to
+    range-query: the decision runs entirely on the manifest — no file
+    is opened.
+
+    Conservative by construction: a file with no recorded stats for a
+    pruned column (pre-stats manifests, carried-forward files from a
+    pre-stats append) is KEPT; NULL bounds (all-NULL column in that
+    file) are kept only for ``lo is None and hi is None``-free...
+    kept always, since NULL comparisons cannot prove exclusion."""
+    manifests = _list_manifests(spark, table_dir)
+    doc = None
+    if snapshot_id is not None:
+        for sid, mpath in manifests:
+            if sid == snapshot_id:
+                doc = _read_manifest(spark, mpath)
+        if doc is None:
+            raise ValueError(f"no valid snapshot {snapshot_id}")
+    else:
+        for sid, mpath in reversed(manifests):
+            doc = _read_manifest(spark, mpath)
+            if doc is not None:
+                break
+        if doc is None:
+            raise ValueError(f"{table_dir!r} has no valid snapshots")
+    files = doc["files"]
+    if not prune:
+        return list(files)
+    stats = doc.get("file_stats", {}) or {}
+    kept = []
+    for f in files:
+        st = stats.get(f)
+        keep = True
+        if st is not None:
+            for col, (lo, hi) in prune.items():
+                bounds = st.get(col)
+                if bounds is None:
+                    continue  # no stats for this column: keep
+                mn, mx = bounds
+                if mn is None or mx is None:
+                    continue  # all-NULL file: cannot prove exclusion
+                if lo is not None and mx < lo:
+                    keep = False
+                    break
+                if hi is not None and mn > hi:
+                    keep = False
+                    break
+        if keep:
+            kept.append(f)
+    return kept
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    prune: dict,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """read_snapshot restricted to the zone-map-surviving files —
+    planning-level file skipping on top of the ordinary per-file
+    parquet pushdown.  The caller still applies its row filter (the
+    zone map only proves which FILES cannot match); an empty
+    surviving set returns an empty, correctly-typed frame."""
+    import json as _json  # noqa: F401
+
+    manifests = _list_manifests(spark, table_dir)
+    doc = None
+    if snapshot_id is not None:
+        for sid, mpath in manifests:
+            if sid == snapshot_id:
+                doc = _read_manifest(spark, mpath)
+    else:
+        for sid, mpath in reversed(manifests):
+            doc = _read_manifest(spark, mpath)
+            if doc is not None:
+                break
+    if doc is None:
+        raise ValueError(f"no valid snapshot in {table_dir!r}")
+    kept = plan_snapshot_files(
+        spark, table_dir, snapshot_id=doc["snapshot_id"], prune=prune
+    )
+    schema = (
+        StructType.fromJson(doc["schema"])
+        if doc.get("schema") is not None
+        else None
+    )
+    if not kept:
+        if schema is None:
+            raise ValueError(
+                "zone-map pruning left no files and the manifest has"
+                " no schema to type an empty result"
+            )
+        return spark.createDataFrame([], schema)
+    base = table_dir.rstrip("/")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*[f"{base}/{f}" for f in kept])

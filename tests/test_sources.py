@@ -975,3 +975,58 @@ def test_snapshot_schema_evolution_lifecycle(spark, sf_dir, tmp_path):
     assert read_snapshot(spark, tbl).schema["val"].dataType.typeName() == (
         "string"
     )
+
+
+def test_snapshot_zone_map_pruning(spark, sf_dir, tmp_path):
+    """Per-file min/max column stats in the manifest + planning-level
+    file skipping: a range query over a range-clustered snapshot scans
+    a strict subset of files, results stay correct, and files without
+    stats (or all-NULL bounds) are conservatively kept."""
+    from faconne_spark.sources import (
+        plan_snapshot_files,
+        read_snapshot,
+        read_snapshot_pruned,
+        write_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # range-cluster so files carry tight doc_id ranges
+    clustered = docs.repartitionByRange(8, "doc_id")
+    m = write_snapshot(clustered, str(tmp_path / "zm"), mode="append")
+    assert m["n_files"] == len(m["file_stats"])
+    for f, st in m["file_stats"].items():
+        assert "doc_id" in st and st["doc_id"][0] <= st["doc_id"][1]
+        assert st["n_rows"] > 0
+
+    tbl = str(tmp_path / "zm")
+    all_files = plan_snapshot_files(spark, tbl)
+    kept = plan_snapshot_files(spark, tbl, prune={"doc_id": (0, 40)})
+    assert set(kept) < set(all_files), "pruning must skip files"
+    # correctness: pruned read + row filter == full read + row filter
+    want = sorted(
+        r["doc_id"]
+        for r in read_snapshot(spark, tbl)
+        .filter("doc_id BETWEEN 0 AND 40").collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in read_snapshot_pruned(spark, tbl, {"doc_id": (0, 40)})
+        .filter("doc_id BETWEEN 0 AND 40").collect()
+    )
+    assert got == want and want
+    # one-sided range
+    hi = plan_snapshot_files(spark, tbl, prune={"doc_id": (None, 10)})
+    assert set(hi) <= set(all_files) and len(hi) < len(all_files)
+    # a column with no stats recorded anywhere: conservatively kept
+    assert plan_snapshot_files(
+        spark, tbl, prune={"nonexistent": (0, 1)}
+    ) == all_files
+    # append carries the parent's stats forward and adds its own
+    more = docs.filter("doc_id < 5")
+    m2 = write_snapshot(more, tbl, mode="append")
+    assert len(m2["file_stats"]) == m2["n_files"]
+    assert set(m["file_stats"]) < set(m2["file_stats"])
+    # an empty pruned set types via the manifest schema
+    empty = read_snapshot_pruned(spark, tbl, {"doc_id": (10**12, None)})
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "n_chars"]
