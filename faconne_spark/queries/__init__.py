@@ -73,6 +73,12 @@ _CHANGED_THIS_ROUND = [
     #    gains the CASE n>1 AND se2>0 degenerate-data guard in both
     #    engines (oracle + Spark plan both change) --
     "customer_segment_welch_pairs",
+    # -- new in r12 continuation: REAL FLAC codec (bit-level Rice/
+    #    fixed/LPC decoder with CRC-8/16 + STREAMINFO MD5 verification,
+    #    mono-16 fixed-predictor encoder) — closes the WAV-only audio
+    #    seam; all-integer per-doc stats with a closed-form segment
+    #    oracle (queries/round12.py) --
+    "mm_flac_stats",
     # -- changed in r12: turning-points E/Var rewritten from bare
     #    decimal literals (Spark DECIMAL division truncates at scale 6
     #    before the sqrt — latent 6th-digit flip found by the new
