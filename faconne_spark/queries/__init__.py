@@ -79,6 +79,16 @@ _CHANGED_THIS_ROUND = [
     #    seam; all-integer per-doc stats with a closed-form segment
     #    oracle (queries/round12.py) --
     "mm_flac_stats",
+    # -- new in r12 continuation, wave F (queries/round12.py): ordinal/
+    #    robust/cross-series gauges — permutation entropy, Grubbs
+    #    max deviate, value-path max drawdown, weekend Hellinger,
+    #    Brown–Forsythe Levene, top-2-type lead–lag cross-correlation --
+    "events_daily_permutation_entropy",
+    "events_daily_grubbs",
+    "events_daily_max_drawdown",
+    "events_hour_hellinger_weekend",
+    "events_value_levene",
+    "events_type_daily_xcorr",
     # -- changed in r12: turning-points E/Var rewritten from bare
     #    decimal literals (Spark DECIMAL division truncates at scale 6
     #    before the sqrt — latent 6th-digit flip found by the new

@@ -120,3 +120,569 @@ FROM per GROUP BY doc_id
 
 QUERIES["mm_flac_stats"] = mm_flac_stats
 ORACLES["mm_flac_stats"] = _oracle_mm_flac_stats()
+
+
+# ----------------------------------- wave F: time-series order statistics
+
+def events_daily_permutation_entropy(spark, sf):
+    """Permutation entropy (Bandt & Pompe 2002) of daily event volume,
+    order 3: the share of each ordinal pattern among consecutive
+    day-count triples, reduced to Shannon entropy — the
+    model-free complexity gauge beside the spectral/ACF keys (white
+    noise → ln 6; a monotone or strongly periodic series collapses
+    onto few patterns).  Ties break toward the EARLIER day (stable
+    rank), so the pattern of (a, b, c) is a pure function of a ≤ b,
+    a ≤ c, b ≤ c — replayable in both engines.
+
+    Exactness: pattern counts are exact integers; per-pattern c·ln c
+    micro-rounds ONE ln per cell; H = ln N − Σ/N uses one half-up
+    integer division and one final double.  Scale: one events pass to
+    the bounded day relation; triples via two leads on that."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.orderBy("d")
+    tri = daily.select(
+        F.col("c").alias("a"),
+        F.lead("c", 1).over(w).alias("b"),
+        F.lead("c", 2).over(w).alias("cc"),
+    ).filter("cc is not null")
+    pat = tri.selectExpr(
+        "case"
+        " when a <= b and a <= cc and b <= cc then '012'"
+        " when a <= b and a <= cc and b >  cc then '021'"
+        " when a >  b and a <= cc and b <= cc then '102'"
+        " when a <= b and a >  cc and b >  cc then '120'"
+        " when a >  b and a >  cc and b <= cc then '201'"
+        " else '210' end AS pat"
+    )
+    counts = pat.groupBy("pat").agg(F.count("*").alias("cp"))
+    agg = counts.groupBy().agg(
+        F.sum("cp").alias("n"),
+        *[
+            F.sum(F.expr(f"case when pat = '{p}' then cp else 0 end"))
+            .alias(f"c{p}")
+            for p in ["012", "021", "102", "120", "201", "210"]
+        ],
+        F.sum(
+            F.expr(
+                "cp * cast(round(ln(cast(cp as double)) * 1000000, 0)"
+                " as bigint)"
+            )
+        ).alias("s"),
+    )
+    return agg.selectExpr(
+        "cast(n as bigint) AS n_triples",
+        *[f"cast(c{p} as bigint) AS c{p}" for p in
+          ["012", "021", "102", "120", "201", "210"]],
+        "round((cast(round(ln(cast(n as double)) * 1000000, 0) as bigint)"
+        " - (2 * s + n) div (2 * n)) / 1e6, 6) + 0.0 AS perm_entropy",
+    )
+
+
+ORACLE_PERM_ENTROPY = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS c
+  FROM events GROUP BY 1),
+tri AS (
+  SELECT c AS a, lead(c, 1) OVER (ORDER BY d) AS b,
+         lead(c, 2) OVER (ORDER BY d) AS cc
+  FROM daily),
+pat AS (
+  SELECT case
+         when a <= b and a <= cc and b <= cc then '012'
+         when a <= b and a <= cc and b >  cc then '021'
+         when a >  b and a <= cc and b <= cc then '102'
+         when a <= b and a >  cc and b >  cc then '120'
+         when a >  b and a >  cc and b <= cc then '201'
+         else '210' end AS pat
+  FROM tri WHERE cc IS NOT NULL),
+counts AS (
+  SELECT pat, count(*)::BIGINT AS cp FROM pat GROUP BY 1),
+agg AS (
+  SELECT sum(cp)::BIGINT AS n,
+         sum(case when pat = '012' then cp else 0 end)::BIGINT AS c012,
+         sum(case when pat = '021' then cp else 0 end)::BIGINT AS c021,
+         sum(case when pat = '102' then cp else 0 end)::BIGINT AS c102,
+         sum(case when pat = '120' then cp else 0 end)::BIGINT AS c120,
+         sum(case when pat = '201' then cp else 0 end)::BIGINT AS c201,
+         sum(case when pat = '210' then cp else 0 end)::BIGINT AS c210,
+         sum(cp * round(ln(cp::DOUBLE) * 1000000, 0)::BIGINT)::BIGINT AS s
+  FROM counts)
+SELECT n AS n_triples, c012, c021, c102, c120, c201, c210,
+       round((round(ln(n::DOUBLE) * 1000000, 0)::BIGINT
+              - (2 * s + n) // (2 * n)) / 1e6, 6) + 0.0 AS perm_entropy
+FROM agg
+"""
+
+QUERIES["events_daily_permutation_entropy"] = events_daily_permutation_entropy
+ORACLES["events_daily_permutation_entropy"] = ORACLE_PERM_ENTROPY
+
+
+def events_daily_grubbs(spark, sf):
+    """Grubbs maximum studentized deviate on daily event volume
+    (Grubbs 1950): G = max|xₜ − x̄| / s with the day it lands on and
+    its direction — the single-worst-outlier verdict beside the CUSUM
+    (location) and runs (randomness) keys; an ops dashboard reads this
+    as 'was any one day anomalous, and which'.
+
+    Exactness: deviations scale exactly by n (yₜ = n·xₜ − S); Σy² runs
+    in DECIMAL(38,0); G² lands as ONE half-up pico division of exact
+    integers, G is one final sqrt.  Ties on |y| break to the earliest
+    day.  Scale: one events pass to the day relation; the argmax is a
+    broadcast-scalar filter on that bounded relation."""
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = daily.groupBy().agg(
+        F.count("*").alias("n"), F.sum("c").alias("s")
+    )
+    y = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "n",
+        F.expr("n * c - s").alias("y"),
+        F.expr("abs(n * c - s)").alias("absy"),
+    )
+    mx = y.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("absy").alias("maxa"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("ss"),
+    )
+    peak = (
+        y.crossJoin(F.broadcast(mx.select(F.col("maxa").alias("m"))))
+        .filter("absy = m")
+        .groupBy()
+        .agg(
+            F.min("d").alias("peak_day"),
+            F.expr("min_by(cast(sign(y) as int), d)").alias("peak_sign"),
+        )
+    )
+    return mx.crossJoin(F.broadcast(peak)).selectExpr(
+        "cast(n as bigint) AS n_days",
+        "cast(peak_day as date) AS peak_day",
+        "peak_sign",
+        "round(sqrt(cast((2 * (cast(maxa as decimal(38,0)) * maxa"
+        " * (n - 1) * 1000000000000) + ss) div (2 * ss) as double)"
+        " / 1e12), 6) + 0.0 AS g_stat",
+    )
+
+
+ORACLE_GRUBBS = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS c
+  FROM events GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s FROM daily),
+y AS (
+  SELECT d, n, (n * c - s)::BIGINT AS y, abs(n * c - s)::BIGINT AS absy
+  FROM daily, tot),
+mx AS (
+  SELECT max(n)::BIGINT AS n, max(absy)::BIGINT AS maxa,
+         sum(y::HUGEINT * y)::HUGEINT AS ss
+  FROM y),
+peak AS (
+  SELECT min(d) AS peak_day,
+         arg_min(sign(y)::INT, d) AS peak_sign
+  FROM y WHERE absy = (SELECT maxa FROM mx))
+SELECT n AS n_days, peak_day, peak_sign,
+       round(sqrt(((2 * (maxa::HUGEINT * maxa * (n - 1)
+                         * 1000000000000) + ss) // (2 * ss))::DOUBLE
+                  / 1e12), 6) + 0.0 AS g_stat
+FROM mx, peak
+"""
+
+QUERIES["events_daily_grubbs"] = events_daily_grubbs
+ORACLES["events_daily_grubbs"] = ORACLE_GRUBBS
+
+
+def events_daily_max_drawdown(spark, sf):
+    """Maximum drawdown of the cumulative daily-value deviation path:
+    walk the running sum of (n·vₜ − V) (exact integers, zero-mean by
+    construction), track its running peak, and report the deepest
+    peak-to-trough fall and the day it bottoms — the PATH-DEPENDENT
+    anomaly gauge: the Hurst/R-S key reads the global range of this
+    walk, the drawdown reads its worst ORDERED excursion (a crash
+    then recovery moves drawdown but barely moves range).
+
+    Exactness: daily value sums are exact micro integers, the
+    deviation path is exact BIGINT, peak/trough/drawdown are integer
+    max/min; ONE final double normalizes by n·10⁶.  Ties break to the
+    earliest trough day.  Scale: one events pass; everything after
+    runs on the bounded day relation."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(
+            F.sum(
+                F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")
+            ).alias("v")
+        )
+    )
+    tot = daily.groupBy().agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    path = (
+        daily.crossJoin(F.broadcast(tot))
+        .select("d", "n", F.expr("n * v - s").alias("y"))
+        .select(
+            "d", "n",
+            F.sum("y").over(w).alias("cum"),
+        )
+        .select(
+            "d", "n", "cum",
+            F.max("cum").over(w).alias("peak"),
+        )
+        .select("d", "n", F.expr("peak - cum").alias("dd"))
+    )
+    mx = path.groupBy().agg(
+        F.max("n").alias("n"), F.max("dd").alias("maxdd")
+    )
+    trough = (
+        path.crossJoin(F.broadcast(mx.select(F.col("maxdd").alias("m"))))
+        .filter("dd = m")
+        .groupBy()
+        .agg(F.min("d").alias("trough_day"))
+    )
+    return mx.crossJoin(F.broadcast(trough)).selectExpr(
+        "cast(n as bigint) AS n_days",
+        "cast(trough_day as date) AS trough_day",
+        "round(cast(maxdd as double) / (cast(n as double) * 1e6), 6)"
+        " + 0.0 AS max_drawdown",
+    )
+
+
+ORACLE_MAX_DRAWDOWN = """
+WITH daily AS (
+  SELECT ts::DATE AS d,
+         sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS v
+  FROM events GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS s FROM daily),
+path AS (
+  SELECT d, n,
+         (max(cum) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - cum)::BIGINT AS dd
+  FROM (
+    SELECT d, n,
+           sum(n * v - s) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW)::BIGINT AS cum
+    FROM daily, tot)),
+mx AS (SELECT max(n)::BIGINT AS n, max(dd)::BIGINT AS maxdd FROM path),
+trough AS (
+  SELECT min(d) AS trough_day FROM path
+  WHERE dd = (SELECT maxdd FROM mx))
+SELECT n AS n_days, trough_day,
+       round(maxdd::DOUBLE / (n::DOUBLE * 1e6), 6) + 0.0 AS max_drawdown
+FROM mx, trough
+"""
+
+QUERIES["events_daily_max_drawdown"] = events_daily_max_drawdown
+ORACLES["events_daily_max_drawdown"] = ORACLE_MAX_DRAWDOWN
+
+
+def events_hour_hellinger_weekend(spark, sf):
+    """Hellinger distance between the weekend and weekday hourly
+    profiles: H = √(1 − Σₕ √(pₕ·qₕ)) — the bounded-metric companion to
+    the weekend KS/CvM/AD/energy spectrum, read on the 24-cell CLOCK
+    rather than the value axis (H is a true metric on distributions,
+    so mixture planning can threshold it).  Also reports the
+    Bhattacharyya coefficient Σ√(pₕqₕ) it derives from.
+
+    Exactness: hour-cell counts are exact; each cell micro-rounds ONE
+    √(aₕbₕ/(A·B)) (per-cell contract — products stay < 2⁵³); the
+    coefficient is the exact integer sum; H is one final sqrt with a
+    rounding clamp at 0.  Scale: one events pass to 2×24 cells."""
+    ev = T(spark, sf, "events").select(
+        F.expr(
+            "cast(datediff(to_date(ts), DATE'1970-01-01') % 7 in (2, 3)"
+            " as int)"
+        ).alias("we"),
+        F.expr("cast(hour(ts) as int)").alias("h"),
+    )
+    cells = ev.groupBy("h").agg(
+        F.sum("we").alias("a"), F.sum(F.expr("1 - we")).alias("b")
+    )
+    tot = cells.groupBy().agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "ta", "tb",
+        F.expr(
+            "cast(round(sqrt(cast(a as double) * b"
+            " / (cast(ta as double) * tb)) * 1000000, 0) as bigint)"
+        ).alias("t"),
+    )
+    return terms.groupBy().agg(
+        F.max("ta").cast("long").alias("n_weekend"),
+        F.max("tb").cast("long").alias("n_weekday"),
+        F.expr("round(sum(t) / 1e6, 6) + 0.0").alias("bhattacharyya"),
+        F.expr(
+            "round(sqrt(greatest(0, 1000000 - sum(t)) / 1e6), 6) + 0.0"
+        ).alias("hellinger"),
+    )
+
+
+ORACLE_HELLINGER = """
+WITH ev AS (
+  SELECT (epoch_us(ts) // 86400000000 % 7 IN (2, 3))::INT AS we,
+         extract(hour FROM ts)::INT AS h
+  FROM events),
+cells AS (
+  SELECT h, sum(we)::BIGINT AS a, sum(1 - we)::BIGINT AS b
+  FROM ev GROUP BY 1),
+tot AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb FROM cells),
+terms AS (
+  SELECT ta, tb,
+         round(sqrt(a::DOUBLE * b / (ta::DOUBLE * tb)) * 1000000,
+               0)::BIGINT AS t
+  FROM cells, tot)
+SELECT max(ta)::BIGINT AS n_weekend, max(tb)::BIGINT AS n_weekday,
+       round(sum(t) / 1e6, 6) + 0.0 AS bhattacharyya,
+       round(sqrt(greatest(0, 1000000 - sum(t)) / 1e6), 6) + 0.0
+         AS hellinger
+FROM terms
+"""
+
+QUERIES["events_hour_hellinger_weekend"] = events_hour_hellinger_weekend
+ORACLES["events_hour_hellinger_weekend"] = ORACLE_HELLINGER
+
+
+def events_value_levene(spark, sf):
+    """Brown–Forsythe test (the median-centered Levene) for equal
+    value SPREAD across event types: one-way ANOVA F on zᵢ = |xᵢ −
+    median(group)| — the robust variance-homogeneity verdict the
+    Welch/ANOVA location keys implicitly assume an answer to, and the
+    formal test behind the quartile-dispersion gauge.
+
+    Exactness: centi values are exact; per-type ×2-exact medians make
+    z = |2v − med₂| an exact BIGINT; group sums/squares run exact;
+    each S²/n term takes ONE half-up integer division (per-cell
+    rule), keeping SSB/SSW below 2⁵³ so the final F casts
+    single-rounded int64s in both engines.  Scale: two passes over
+    events (medians, then moments), all group-bounded."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("v"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr(
+            "cast(floor(2 * percentile(v, 0.5) + 0.5) as bigint)"
+        ).alias("med2")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.expr("abs(2 * v - med2)").alias("z")
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count("*").alias("ng"),
+        F.sum("z").alias("sg"),
+        F.sum(F.expr("z * z")).alias("qg"),
+    )
+    agg = grp.groupBy().agg(
+        F.count("*").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(
+            F.expr(
+                "(2 * (cast(sg as decimal(38,0)) * sg) + ng)"
+                " div (2 * ng)"
+            )
+        ).alias("t"),
+    )
+    return agg.selectExpr(
+        "cast(k as bigint) AS n_types",
+        "cast(n as bigint) AS n_events",
+        "cast(t - (2 * (cast(s as decimal(38,0)) * s) + n) div (2 * n)"
+        " as bigint) AS ssb",
+        "cast(q - t as bigint) AS ssw",
+        "case when q - t > 0 and k > 1 then"
+        " round((cast(t - (2 * (cast(s as decimal(38,0)) * s) + n)"
+        " div (2 * n) as double) / (k - 1))"
+        " / (cast(q - t as double) / (n - k)), 6) + 0.0 end AS bf_f",
+    )
+
+
+ORACLE_LEVENE = """
+WITH ev AS (
+  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS v
+  FROM events),
+med AS (
+  SELECT event_type,
+         floor(2 * quantile_cont(v, 0.5) + 0.5)::BIGINT AS med2
+  FROM ev GROUP BY 1),
+z AS (
+  SELECT ev.event_type, abs(2 * v - med2)::BIGINT AS z
+  FROM ev JOIN med USING (event_type)),
+grp AS (
+  SELECT event_type, count(*)::BIGINT AS ng, sum(z)::BIGINT AS sg,
+         sum(z * z)::BIGINT AS qg
+  FROM z GROUP BY 1),
+agg AS (
+  SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+         sum(sg)::BIGINT AS s, sum(qg)::BIGINT AS q,
+         sum((2 * (sg::HUGEINT * sg) + ng) // (2 * ng))::HUGEINT AS t
+  FROM grp)
+SELECT k AS n_types, n AS n_events,
+       (t - (2 * (s::HUGEINT * s) + n) // (2 * n))::BIGINT AS ssb,
+       (q - t)::BIGINT AS ssw,
+       CASE WHEN q - t > 0 AND k > 1 THEN
+         round(((t - (2 * (s::HUGEINT * s) + n) // (2 * n))::BIGINT::DOUBLE
+                / (k - 1)) / ((q - t)::BIGINT::DOUBLE / (n - k)), 6) + 0.0
+       END AS bf_f
+FROM agg
+"""
+
+QUERIES["events_value_levene"] = events_value_levene
+ORACLES["events_value_levene"] = ORACLE_LEVENE
+
+
+def events_type_daily_xcorr(spark, sf):
+    """Lead–lag cross-correlation between the two busiest event
+    types' daily series at lags −3…+3: does type A's volume today
+    predict type B's tomorrow?  The cross-series companion to the
+    single-series ACF/PACF keys — a mixture/capacity planner reads
+    the argmax lag as the propagation delay between funnel stages.
+
+    Exactness: the two series live on the SHARED observed-day grid
+    (zeros filled), so every lag's five moment sums are exact
+    integers; r assembles as exact-num / (√dx·√dy) with each factor
+    < 2⁵³ cast once (never the >2⁶⁴ product — the int128 double-cast
+    trap).  Top-2 selection breaks ties (count desc, type asc).
+    Scale: one events pass; the grid/lag machinery is day-bounded."""
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf, "events").select(
+        "event_type", F.expr("to_date(ts)").alias("d")
+    )
+    cnt = ev.groupBy("event_type", "d").agg(F.count("*").alias("c"))
+    top2 = (
+        cnt.groupBy("event_type")
+        .agg(F.sum("c").alias("tc"))
+        .select(
+            "event_type",
+            F.expr(
+                "row_number() over (order by tc desc, event_type)"
+            ).alias("rk"),
+        )
+        .filter("rk <= 2")
+    )
+    days = ev.select("d").distinct()
+    wide = (
+        days.join(
+            cnt.join(F.broadcast(top2.filter("rk = 1")), "event_type")
+            .select("d", F.col("c").alias("xa")),
+            "d", "left",
+        )
+        .join(
+            cnt.join(F.broadcast(top2.filter("rk = 2")), "event_type")
+            .select("d", F.col("c").alias("xb")),
+            "d", "left",
+        )
+        .select(
+            "d",
+            F.expr("coalesce(xa, 0)").alias("xa"),
+            F.expr("coalesce(xb, 0)").alias("xb"),
+        )
+    )
+    w = W.orderBy("d")
+    shifted = wide.select(
+        "xa",
+        *[
+            (F.lead("xb", L) if L >= 0 else F.lag("xb", -L))
+            .over(w)
+            .alias(f"y_{L + 3}")
+            for L in range(-3, 4)
+        ],
+    )
+    stacked = shifted.selectExpr(
+        "stack(7, "
+        + ", ".join(f"{L}, xa, y_{L + 3}" for L in range(-3, 4))
+        + ") AS (lag, x, y)"
+    ).filter("y is not null")
+    m = stacked.groupBy("lag").agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    names = top2.groupBy().agg(
+        F.expr("min_by(event_type, rk)").alias("type_a"),
+        F.expr("max_by(event_type, rk)").alias("type_b"),
+    )
+    return m.crossJoin(F.broadcast(names)).selectExpr(
+        "type_a", "type_b", "cast(lag as int) AS lag",
+        "cast(np as bigint) AS n_pairs",
+        "case when np * sxx - sx * sx > 0 and np * syy - sy * sy > 0"
+        " then round(cast(np * sxy - sx * sy as double)"
+        " / (sqrt(cast(np * sxx - sx * sx as double))"
+        " * sqrt(cast(np * syy - sy * sy as double))), 6) + 0.0"
+        " end AS xcorr_r",
+    )
+
+
+def _oracle_xcorr() -> str:
+    shifts = ",\n         ".join(
+        (
+            f"lead(xb, {L}) OVER (ORDER BY d) AS y_{L + 3}"
+            if L >= 0
+            else f"lag(xb, {-L}) OVER (ORDER BY d) AS y_{L + 3}"
+        )
+        for L in range(-3, 4)
+    )
+    stacked = "\n  UNION ALL ".join(
+        f"SELECT {L} AS lag, xa AS x, y_{L + 3} AS y FROM shifted"
+        for L in range(-3, 4)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, ts::DATE AS d FROM events),
+cnt AS (
+  SELECT event_type, d, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+top2 AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY sum(c) DESC, event_type) AS rk
+  FROM cnt GROUP BY event_type QUALIFY rk <= 2),
+days AS (SELECT DISTINCT d FROM ev),
+wide AS (
+  SELECT days.d,
+         coalesce(a.c, 0)::BIGINT AS xa, coalesce(b.c, 0)::BIGINT AS xb
+  FROM days
+  LEFT JOIN (SELECT d, c FROM cnt JOIN top2 USING (event_type)
+             WHERE rk = 1) a USING (d)
+  LEFT JOIN (SELECT d, c FROM cnt JOIN top2 USING (event_type)
+             WHERE rk = 2) b USING (d)),
+shifted AS (
+  SELECT xa,
+         {shifts}
+  FROM wide),
+stacked AS (
+  SELECT * FROM ({stacked}) WHERE y IS NOT NULL),
+m AS (
+  SELECT lag, count(*)::BIGINT AS np, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+  FROM stacked GROUP BY 1),
+names AS (
+  SELECT arg_min(event_type, rk) AS type_a,
+         arg_max(event_type, rk) AS type_b
+  FROM top2)
+SELECT type_a, type_b, lag::INT AS lag, np AS n_pairs,
+       CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+       THEN round((np * sxy - sx * sy)::DOUBLE
+            / (sqrt((np * sxx - sx * sx)::DOUBLE)
+               * sqrt((np * syy - sy * sy)::DOUBLE)), 6) + 0.0
+       END AS xcorr_r
+FROM m, names
+"""
+
+
+QUERIES["events_type_daily_xcorr"] = events_type_daily_xcorr
+ORACLES["events_type_daily_xcorr"] = _oracle_xcorr()
