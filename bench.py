@@ -608,6 +608,14 @@ def main() -> None:
         "docs_ttr_quantiles",
         # round-12 codec gate
         "mm_mp4_fragmented",
+        # r12 continuation: FLAC gate + wave F (timed, not headline)
+        "mm_flac_stats",
+        "events_daily_permutation_entropy",
+        "events_daily_grubbs",
+        "events_daily_max_drawdown",
+        "events_hour_hellinger_weekend",
+        "events_value_levene",
+        "events_type_daily_xcorr",
     ]
     times = {}
     shuffle = {}

@@ -468,6 +468,14 @@ SNAPSHOT_QUERIES = [
     "events_hour_value_median_profile",
     "docs_ttr_quantiles",
     "mm_mp4_fragmented",
+    # r12 continuation: FLAC gate + wave F analytics
+    "mm_flac_stats",
+    "events_daily_permutation_entropy",
+    "events_daily_grubbs",
+    "events_daily_max_drawdown",
+    "events_hour_hellinger_weekend",
+    "events_value_levene",
+    "events_type_daily_xcorr",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or
