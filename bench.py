@@ -616,6 +616,10 @@ def main() -> None:
         "events_hour_hellinger_weekend",
         "events_value_levene",
         "events_type_daily_xcorr",
+        "embed_label_silhouette",
+        "orders_customer_tenure_quartiles",
+        "docs_source_wasserstein",
+        "events_hour_tv_distance",
     ]
     times = {}
     shuffle = {}

@@ -89,6 +89,13 @@ _CHANGED_THIS_ROUND = [
     "events_hour_hellinger_weekend",
     "events_value_levene",
     "events_type_daily_xcorr",
+    # -- new in r12 continuation, wave G (queries/round12.py):
+    #    centroid silhouette, customer tenure quartiles, per-source
+    #    Wasserstein-1 on doc length, hourly total-variation drift --
+    "embed_label_silhouette",
+    "orders_customer_tenure_quartiles",
+    "docs_source_wasserstein",
+    "events_hour_tv_distance",
     # -- changed in r12: turning-points E/Var rewritten from bare
     #    decimal literals (Spark DECIMAL division truncates at scale 6
     #    before the sqrt — latent 6th-digit flip found by the new

@@ -686,3 +686,353 @@ FROM m, names
 
 QUERIES["events_type_daily_xcorr"] = events_type_daily_xcorr
 ORACLES["events_type_daily_xcorr"] = _oracle_xcorr()
+
+
+# ------------------------------- wave G: embeddings / orders / docs
+
+def embed_label_silhouette(spark, sf):
+    """Centroid silhouette per label: s = (b − a)/max(a, b) with
+    a = distance to the OWN label centroid, b = distance to the
+    nearest OTHER centroid, averaged per label — the
+    cluster-separation verdict beside centroid_separation (which
+    reads centroid geometry alone: silhouette reads every VECTOR's
+    position between centroids, so overlapping clouds score low even
+    when centroids sit apart).
+
+    Exactness: per-(label, dim) centroid means round once to exact
+    micro integers; every vector-to-centroid distance² is then an
+    exact BIGINT zip_with sum (< 2⁵³); each row's s micro-rounds ONE
+    composite double (per-cell contract); the label mean is a
+    half-up integer division.  Scale: k-means-assignment shape — the
+    k×d centroid relation broadcasts, the corpus never reshuffles for
+    assignment; the n·k distance relation reduces by vec_id."""
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding, v ->"
+            " cast(round(cast(v as double) * 1000000, 0) as bigint))"
+        ).alias("vm"),
+    )
+    cent = (
+        T(spark, sf, "embeddings")
+        .select(
+            "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.expr(
+                "cast(round(avg(cast(val as double)) * 1000000, 0)"
+                " as bigint)"
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " x -> x.m)"
+            ).alias("cm")
+        )
+        .withColumnRenamed("label", "clabel")
+    )
+    dists = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel",
+        F.expr(
+            "aggregate(zip_with(vm, cm, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (acc, t) -> acc + t)"
+        ).alias("d2"),
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.max(F.expr("case when clabel = label then d2 end")).alias("aa"),
+        F.min(F.expr("case when clabel <> label then d2 end")).alias("bb"),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "case when greatest(aa, bb) > 0 then"
+            " cast(round((sqrt(cast(bb as double))"
+            " - sqrt(cast(aa as double)))"
+            " / sqrt(cast(greatest(aa, bb) as double)) * 1000000, 0)"
+            " as bigint) else cast(0 as bigint) end"
+        ).alias("sm"),
+    )
+    return s.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.expr(
+            "round(cast(sum(sm) as double) / (count(*) * 1e6), 6)"
+            " + 0.0"
+        ).alias("silhouette"),
+    )
+
+
+ORACLE_SILHOUETTE = """
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> round(v::DOUBLE * 1000000, 0)::BIGINT) AS vm
+  FROM embeddings),
+dimv AS (
+  SELECT label, unnest(embedding)::DOUBLE AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+per_dim AS (
+  SELECT label, pos, round(avg(val) * 1000000, 0)::BIGINT AS m
+  FROM dimv GROUP BY 1, 2),
+cent AS (
+  SELECT label AS clabel, list(m ORDER BY pos) AS cm
+  FROM per_dim GROUP BY 1),
+dists AS (
+  SELECT vec_id, label, clabel,
+         list_sum(list_transform(range(1, len(vm) + 1),
+           i -> (vm[i::INTEGER] - cm[i::INTEGER])
+                * (vm[i::INTEGER] - cm[i::INTEGER])))::BIGINT AS d2
+  FROM emb, cent),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN d2 END)::BIGINT AS aa,
+         min(CASE WHEN clabel <> label THEN d2 END)::BIGINT AS bb
+  FROM dists GROUP BY 1, 2),
+s AS (
+  SELECT label,
+         CASE WHEN greatest(aa, bb) > 0 THEN
+           round((sqrt(bb::DOUBLE) - sqrt(aa::DOUBLE))
+                 / sqrt(greatest(aa, bb)::DOUBLE) * 1000000, 0)::BIGINT
+         ELSE 0::BIGINT END AS sm
+  FROM ab)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       round(sum(sm)::BIGINT::DOUBLE / (count(*) * 1e6), 6) + 0.0
+         AS silhouette
+FROM s GROUP BY label
+"""
+
+QUERIES["embed_label_silhouette"] = embed_label_silhouette
+ORACLES["embed_label_silhouette"] = ORACLE_SILHOUETTE
+
+
+def orders_customer_tenure_quartiles(spark, sf):
+    """Customer tenure (days between first and last order) quartiles
+    per market segment — the LIFETIME gauge under the recency/
+    frequency keys: RFM reads where a customer is NOW, tenure reads
+    how long the relationship has run; segments are compared on the
+    quartile triple.
+
+    Exactness: tenures are exact integer day differences; ×4-exact
+    quartiles of integers are exact BIGINTs (quarters are exactly
+    representable doubles, so the /4.0 read-off is exact).  Scale:
+    orders reduce by custkey FIRST (one shuffle to customer-count
+    rows), then one co-keyed join to customer and a segment-bounded
+    aggregate."""
+    ten = (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "datediff(max(to_date(o_orderdate)),"
+                " min(to_date(o_orderdate)))"
+            ).alias("t")
+        )
+    )
+    cust = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        ten.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.expr(
+                "cast(cast(floor(4 * percentile(t, 0.25) + 0.5) as bigint)"
+                " as double) / 4"
+            ).alias("tenure_q1"),
+            F.expr(
+                "cast(cast(floor(4 * percentile(t, 0.5) + 0.5) as bigint)"
+                " as double) / 4"
+            ).alias("tenure_median"),
+            F.expr(
+                "cast(cast(floor(4 * percentile(t, 0.75) + 0.5) as bigint)"
+                " as double) / 4"
+            ).alias("tenure_q3"),
+        )
+    )
+
+
+ORACLE_TENURE = """
+WITH ten AS (
+  SELECT o_custkey,
+         date_diff('day', min(o_orderdate::DATE),
+                   max(o_orderdate::DATE))::BIGINT AS t
+  FROM orders GROUP BY 1)
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+       floor(4 * quantile_cont(t, 0.25) + 0.5)::BIGINT::DOUBLE / 4
+         AS tenure_q1,
+       floor(4 * quantile_cont(t, 0.5) + 0.5)::BIGINT::DOUBLE / 4
+         AS tenure_median,
+       floor(4 * quantile_cont(t, 0.75) + 0.5)::BIGINT::DOUBLE / 4
+         AS tenure_q3
+FROM ten JOIN customer ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+QUERIES["orders_customer_tenure_quartiles"] = orders_customer_tenure_quartiles
+ORACLES["orders_customer_tenure_quartiles"] = ORACLE_TENURE
+
+
+def docs_source_wasserstein(spark, sf):
+    """1-Wasserstein (earth-mover's) distance between each source's
+    doc-length distribution and the pooled corpus: W₁ = ∫|F_s − F|dv
+    on the shared distinct-length support — the full-transport drift
+    gauge completing the KS (worst gap) / CvM (integrated²) family:
+    W₁ is in CHARACTER units, so curation reads it as 'how many
+    characters of mass must move to make this source typical'.
+
+    Exactness: at each support value the term |cumₛ·N − cum·nₛ|·Δv is
+    an exact integer (all counts BIGINT); the sum divides once at the
+    end.  Scale: one docs pass to the (source × distinct-length)
+    grid (bounded: sources × support), windows run on that grid."""
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf, "documents").select("source", "n_chars")
+    support = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("cp"))
+    )
+    sv = W.orderBy("v")
+    sup = support.select(
+        "v", "cp",
+        F.expr("coalesce(lead(v) over (order by v) - v, 0)").alias("dv"),
+        F.sum("cp").over(
+            sv.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    src_cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("cs")
+    )
+    sources = docs.groupBy("source").agg(F.count("*").alias("ns"))
+    grid = (
+        sup.crossJoin(F.broadcast(sources))
+        .join(src_cnt, ["source", "v"], "left")
+        .select(
+            "source", "ns", "v", "dv", "cum",
+            F.expr("coalesce(cs, 0)").alias("cs"),
+        )
+    )
+    sw = W.partitionBy("source").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    terms = grid.select(
+        "source", "ns",
+        F.sum("cs").over(sw).alias("cums"),
+        "cum", "dv",
+    )
+    tot = docs.groupBy().agg(F.count("*").alias("n"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_docs"),
+            F.expr(
+                "round(cast(sum(abs(cums * n - cum * ns) * dv) as double)"
+                " / (cast(max(ns) as double) * max(n)), 6) + 0.0"
+            ).alias("w1_chars"),
+        )
+    )
+
+
+ORACLE_WASSERSTEIN = """
+WITH support AS (
+  SELECT n_chars AS v, count(*)::BIGINT AS cp
+  FROM documents GROUP BY 1),
+sup AS (
+  SELECT v, coalesce(lead(v) OVER (ORDER BY v) - v, 0)::BIGINT AS dv,
+         sum(cp) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                       CURRENT ROW)::BIGINT AS cum
+  FROM support),
+src_cnt AS (
+  SELECT source, n_chars AS v, count(*)::BIGINT AS cs
+  FROM documents GROUP BY 1, 2),
+sources AS (
+  SELECT source, count(*)::BIGINT AS ns FROM documents GROUP BY 1),
+grid AS (
+  SELECT sources.source, ns, sup.v, dv, cum,
+         coalesce(cs, 0)::BIGINT AS cs
+  FROM sup CROSS JOIN sources
+  LEFT JOIN src_cnt ON src_cnt.source = sources.source
+                   AND src_cnt.v = sup.v),
+terms AS (
+  SELECT source, ns,
+         sum(cs) OVER (PARTITION BY source ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cums,
+         cum, dv
+  FROM grid),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT source, max(ns)::BIGINT AS n_docs,
+       round(sum(abs(cums * n - cum * ns) * dv)::DOUBLE
+             / (max(ns)::DOUBLE * max(n)), 6) + 0.0 AS w1_chars
+FROM terms, tot GROUP BY source
+"""
+
+QUERIES["docs_source_wasserstein"] = docs_source_wasserstein
+ORACLES["docs_source_wasserstein"] = ORACLE_WASSERSTEIN
+
+
+def events_hour_tv_distance(spark, sf):
+    """Total-variation distance between each type's hourly profile
+    and the pooled 24-hour profile: TV = ½ Σₕ |pₕ − qₕ| — the
+    worst-case-event-probability read of clock drift (TV bounds how
+    much ANY hour-defined metric can differ between the type and the
+    corpus), the L¹ member beside KL (events_hour_kl_uniform reads
+    peakedness vs uniform; this reads displacement vs pooled).
+
+    Exactness: |cₕ·N − tₕ·n| is exact integer at every cell (zero
+    cells included via the pooled-hour grid); ONE final division.
+    Scale: one events pass to types×24 cells."""
+    ev = T(spark, sf, "events").select(
+        "event_type", F.expr("cast(hour(ts) as int)").alias("h")
+    )
+    cells = ev.groupBy("event_type", "h").agg(
+        F.count("*").alias("c")
+    )
+    hours = ev.groupBy("h").agg(F.count("*").alias("th"))
+    types = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    tot = ev.groupBy().agg(F.count("*").alias("nn"))
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(cells, ["event_type", "h"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "n", "nn",
+            F.expr("abs(coalesce(c, 0) * nn - th * n)").alias("t"),
+        )
+    )
+    return grid.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.expr(
+            "round(cast(sum(t) as double)"
+            " / (2.0 * cast(max(n) as double) * max(nn)), 6) + 0.0"
+        ).alias("tv_distance"),
+    )
+
+
+ORACLE_TV = """
+WITH ev AS (
+  SELECT event_type, extract(hour FROM ts)::INT AS h FROM events),
+cells AS (
+  SELECT event_type, h, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+hours AS (SELECT h, count(*)::BIGINT AS th FROM ev GROUP BY 1),
+types AS (SELECT event_type, count(*)::BIGINT AS n FROM ev GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS nn FROM ev),
+grid AS (
+  SELECT types.event_type, n, nn,
+         abs(coalesce(c, 0) * nn - th * n)::BIGINT AS t
+  FROM hours CROSS JOIN types
+  LEFT JOIN cells ON cells.event_type = types.event_type
+                 AND cells.h = hours.h
+  CROSS JOIN tot)
+SELECT event_type, max(n)::BIGINT AS n_events,
+       round(sum(t)::DOUBLE / (2.0 * max(n)::DOUBLE * max(nn)), 6)
+         + 0.0 AS tv_distance
+FROM grid GROUP BY event_type
+"""
+
+QUERIES["events_hour_tv_distance"] = events_hour_tv_distance
+ORACLES["events_hour_tv_distance"] = ORACLE_TV

@@ -476,6 +476,10 @@ SNAPSHOT_QUERIES = [
     "events_hour_hellinger_weekend",
     "events_value_levene",
     "events_type_daily_xcorr",
+    "embed_label_silhouette",
+    "orders_customer_tenure_quartiles",
+    "docs_source_wasserstein",
+    "events_hour_tv_distance",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or

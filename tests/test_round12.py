@@ -17,6 +17,10 @@ WAVE_KEYS = [
     "events_hour_hellinger_weekend",
     "events_value_levene",
     "events_type_daily_xcorr",
+    "embed_label_silhouette",
+    "orders_customer_tenure_quartiles",
+    "docs_source_wasserstein",
+    "events_hour_tv_distance",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
@@ -334,3 +338,158 @@ def test_flac_gate_replay(spark):
                 s = 1 + d[15 - i] % 16
                 want += [a + s * j for j in range(length)]
         assert chans[0] == want, doc_id
+
+
+def _round_away(x):
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def test_silhouette_replay(spark):
+    import duckdb
+
+    from faconne_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM"
+        f" read_parquet('{SFD}/embeddings.parquet')"
+    ).fetchall()
+    vm = {vid: [_round_away(float(v) * 1e6) for v in emb]
+          for vid, _, emb in rows}
+    by_label = {}
+    for vid, lab, emb in rows:
+        by_label.setdefault(lab, []).append([float(v) for v in emb])
+    cent = {
+        lab: [
+            _round_away(sum(vs[i] for vs in vecs) / len(vecs) * 1e6)
+            for i in range(len(vecs[0]))
+        ]
+        for lab, vecs in by_label.items()
+    }
+    sums, counts = {}, {}
+    for vid, lab, _ in rows:
+        d2 = {
+            cl: sum((a - b) ** 2 for a, b in zip(vm[vid], cm))
+            for cl, cm in cent.items()
+        }
+        aa = d2[lab]
+        bb = min(v for cl, v in d2.items() if cl != lab)
+        if max(aa, bb) > 0:
+            sm = _round_away(
+                (math.sqrt(bb) - math.sqrt(aa))
+                / math.sqrt(max(aa, bb)) * 1e6
+            )
+        else:
+            sm = 0
+        sums[lab] = sums.get(lab, 0) + sm
+        counts[lab] = counts.get(lab, 0) + 1
+    out = {
+        r["label"]: r
+        for r in all_queries()["embed_label_silhouette"](
+            spark, SFD
+        ).collect()
+    }
+    for lab in cent:
+        assert out[lab]["n_vecs"] == counts[lab]
+        want = round(sums[lab] / (counts[lab] * 1e6), 6)
+        assert abs(out[lab]["silhouette"] - want) < 1e-9, lab
+
+
+def test_tenure_replay(spark):
+    import duckdb
+
+    from faconne_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT c_mktsegment,"
+        f" date_diff('day', min(o_orderdate::DATE), max(o_orderdate::DATE))"
+        f" FROM read_parquet('{SFD}/orders.parquet') o"
+        f" JOIN read_parquet('{SFD}/customer.parquet') c"
+        f" ON c_custkey = o_custkey GROUP BY c_mktsegment, o_custkey"
+    ).fetchall()
+    segs = {}
+    for seg, t in rows:
+        segs.setdefault(seg, []).append(int(t))
+
+    def q4(xs, num):  # exact 4x quantile_cont at p = num/4
+        xs = sorted(xs)
+        m = len(xs)
+        idx, rem = (num * (m - 1)) // 4, (num * (m - 1)) % 4
+        x4 = 4 * xs[idx] + (rem * (xs[idx + 1] - xs[idx]) if rem else 0)
+        return x4 / 4
+
+    out = {
+        r["c_mktsegment"]: r
+        for r in all_queries()["orders_customer_tenure_quartiles"](
+            spark, SFD
+        ).collect()
+    }
+    for seg, ts in segs.items():
+        r = out[seg]
+        assert r["n_customers"] == len(ts)
+        assert r["tenure_q1"] == q4(ts, 1), seg
+        assert r["tenure_median"] == q4(ts, 2), seg
+        assert r["tenure_q3"] == q4(ts, 3), seg
+
+
+def test_wasserstein_replay(spark):
+    import duckdb
+
+    from faconne_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT source, n_chars FROM"
+        f" read_parquet('{SFD}/documents.parquet')"
+    ).fetchall()
+    support = sorted({v for _, v in rows})
+    n = len(rows)
+    out = {
+        r["source"]: r
+        for r in all_queries()["docs_source_wasserstein"](
+            spark, SFD
+        ).collect()
+    }
+    for src in {s for s, _ in rows}:
+        mine = sorted(v for s, v in rows if s == src)
+        ns = len(mine)
+        total, cums, cum = 0, 0, 0
+        for i, v in enumerate(support):
+            cums += sum(1 for x in mine if x == v)
+            cum += sum(1 for _, x in rows if x == v)
+            dv = support[i + 1] - v if i + 1 < len(support) else 0
+            total += abs(cums * n - cum * ns) * dv
+        r = out[src]
+        assert r["n_docs"] == ns
+        assert abs(r["w1_chars"] - round(total / (ns * n), 6)) < 1e-9
+
+
+def test_tv_distance_replay(spark):
+    import duckdb
+
+    from faconne_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT event_type, extract(hour FROM ts)::INT FROM"
+        f" read_parquet('{SFD}/events.parquet')"
+    ).fetchall()
+    nn = len(rows)
+    hours = {}
+    types = {}
+    cells = {}
+    for t, h in rows:
+        hours[h] = hours.get(h, 0) + 1
+        types[t] = types.get(t, 0) + 1
+        cells[(t, h)] = cells.get((t, h), 0) + 1
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["events_hour_tv_distance"](
+            spark, SFD
+        ).collect()
+    }
+    for t, n in types.items():
+        tot = sum(
+            abs(cells.get((t, h), 0) * nn - th * n)
+            for h, th in hours.items()
+        )
+        r = out[t]
+        assert r["n_events"] == n
+        assert abs(r["tv_distance"] - round(tot / (2.0 * n * nn), 6)) < 1e-9
