@@ -2222,3 +2222,413 @@ FROM terms
 
 BANK_QUERIES["events_user_value_icc"] = events_user_value_icc
 BANK_ORACLES["events_user_value_icc"] = ORACLE_USER_VALUE_ICC
+
+
+# ------------------------- continuation growth: paired / robust / rank
+
+def events_weekend_mcnemar(spark, sf):
+    """McNemar test on paired per-user purchase activity, weekend vs
+    weekday: each user contributes ONE paired binary observation
+    (purchased on a weekend?, purchased on a weekday?), and the test
+    reads only the DISCORDANT cells — the paired-proportions family
+    member the two-sample weekend keys (KS/CvM/AD/Mood/energy) cannot
+    cover, because those treat weekend and weekday events as
+    independent samples while this pairs them within user.
+
+    Exactness: cell counts are exact integers; χ² = (b−c)²/(b+c) is
+    one final double division.  Scale: one events pass to per-user
+    flags (groupBy user), then a 4-cell aggregate."""
+    flags = (
+        T(spark, sf, "events")
+        .filter("event_type = 'purchase'")
+        .select(
+            "user_id",
+            F.expr(
+                "cast(datediff(to_date(ts), DATE'1970-01-01') % 7"
+                " in (2, 3) as int)"
+            ).alias("we"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("we").alias("a_we"),
+            F.max(F.expr("1 - we")).alias("a_wd"),
+        )
+    )
+    return flags.groupBy().agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.expr("cast(a_we = 1 and a_wd = 1 as int)"))
+        .cast("long").alias("n11"),
+        F.sum(F.expr("cast(a_we = 1 and a_wd = 0 as int)"))
+        .cast("long").alias("n10"),
+        F.sum(F.expr("cast(a_we = 0 and a_wd = 1 as int)"))
+        .cast("long").alias("n01"),
+        F.expr(
+            "case when sum(cast(a_we = 1 and a_wd = 0 as int))"
+            " + sum(cast(a_we = 0 and a_wd = 1 as int)) > 0 then"
+            " round(cast((sum(cast(a_we = 1 and a_wd = 0 as int))"
+            " - sum(cast(a_we = 0 and a_wd = 1 as int)))"
+            " * (sum(cast(a_we = 1 and a_wd = 0 as int))"
+            " - sum(cast(a_we = 0 and a_wd = 1 as int))) as double)"
+            " / (sum(cast(a_we = 1 and a_wd = 0 as int))"
+            " + sum(cast(a_we = 0 and a_wd = 1 as int))), 6) + 0.0"
+            " end"
+        ).alias("mcnemar_chi2"),
+    )
+
+
+ORACLE_MCNEMAR = """
+WITH flags AS (
+  SELECT user_id,
+         max((epoch_us(ts) // 86400000000 % 7 IN (2, 3))::INT) AS a_we,
+         max((epoch_us(ts) // 86400000000 % 7 NOT IN (2, 3))::INT)
+           AS a_wd
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT count(*)::BIGINT AS n_users,
+       sum((a_we = 1 AND a_wd = 1)::INT)::BIGINT AS n11,
+       sum((a_we = 1 AND a_wd = 0)::INT)::BIGINT AS n10,
+       sum((a_we = 0 AND a_wd = 1)::INT)::BIGINT AS n01,
+       CASE WHEN sum((a_we = 1 AND a_wd = 0)::INT)
+                 + sum((a_we = 0 AND a_wd = 1)::INT) > 0 THEN
+         round(((sum((a_we = 1 AND a_wd = 0)::INT)
+                 - sum((a_we = 0 AND a_wd = 1)::INT))
+                * (sum((a_we = 1 AND a_wd = 0)::INT)
+                   - sum((a_we = 0 AND a_wd = 1)::INT)))::DOUBLE
+               / (sum((a_we = 1 AND a_wd = 0)::INT)
+                  + sum((a_we = 0 AND a_wd = 1)::INT)), 6) + 0.0
+       END AS mcnemar_chi2
+FROM flags
+"""
+
+BANK_QUERIES["events_weekend_mcnemar"] = events_weekend_mcnemar
+BANK_ORACLES["events_weekend_mcnemar"] = ORACLE_MCNEMAR
+
+
+def events_value_moors_kurtosis(spark, sf):
+    """Moors octile kurtosis per event type: K = ((E₇−E₅)+(E₃−E₁)) /
+    (E₆−E₂) — the robust tail-weight gauge completing the quantile
+    shape family (Bowley reads skew from quartiles; Moors reads
+    kurtosis from octiles; both survive the outliers that wreck
+    moment kurtosis, and the normal reference is K ≈ 1.233).
+
+    Exactness: ×8 octiles of exact micro integers are exact BIGINTs
+    (the ×k trick at k = 8); K is one final double of integer
+    differences.  Scale: one percentile aggregate per type."""
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    oct_ = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "transform(percentile(v, array(0.125, 0.25, 0.375, 0.625,"
+            " 0.75, 0.875)), q -> cast(floor(8 * q + 0.5) as bigint))"
+        ).alias("e8"),
+    )
+    return oct_.selectExpr(
+        "event_type", "n_events",
+        "e8[0] AS e1_x8", "e8[1] AS e2_x8", "e8[2] AS e3_x8",
+        "e8[3] AS e5_x8", "e8[4] AS e6_x8", "e8[5] AS e7_x8",
+        "case when e8[4] - e8[1] > 0 then"
+        " round(cast((e8[5] - e8[3]) + (e8[2] - e8[0]) as double)"
+        " / (e8[4] - e8[1]), 6) + 0.0 end AS moors_kurtosis",
+    )
+
+
+ORACLE_MOORS = """
+WITH ev AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events),
+oct AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         floor(8 * quantile_cont(v, 0.125) + 0.5)::BIGINT AS e1_x8,
+         floor(8 * quantile_cont(v, 0.25) + 0.5)::BIGINT AS e2_x8,
+         floor(8 * quantile_cont(v, 0.375) + 0.5)::BIGINT AS e3_x8,
+         floor(8 * quantile_cont(v, 0.625) + 0.5)::BIGINT AS e5_x8,
+         floor(8 * quantile_cont(v, 0.75) + 0.5)::BIGINT AS e6_x8,
+         floor(8 * quantile_cont(v, 0.875) + 0.5)::BIGINT AS e7_x8
+  FROM ev GROUP BY 1)
+SELECT event_type, n_events, e1_x8, e2_x8, e3_x8, e5_x8, e6_x8, e7_x8,
+       CASE WHEN e6_x8 - e2_x8 > 0 THEN
+         round(((e7_x8 - e5_x8) + (e3_x8 - e1_x8))::DOUBLE
+               / (e6_x8 - e2_x8), 6) + 0.0
+       END AS moors_kurtosis
+FROM oct
+"""
+
+BANK_QUERIES["events_value_moors_kurtosis"] = events_value_moors_kurtosis
+BANK_ORACLES["events_value_moors_kurtosis"] = ORACLE_MOORS
+
+
+def events_daily_chatterjee_xi(spark, sf):
+    """Chatterjee's ξ coefficient (Chatterjee 2021, JASA) of daily
+    volume AGAINST TIME: ξ(day → count) detects ANY functional
+    dependence of volume on the calendar — trend, seasonality, or
+    regime structure — where Mann–Kendall only sees monotone trend
+    (ξ ≈ 0 for iid noise, → 1 as volume becomes a deterministic
+    function of the day).  Ties version: with rᵢ = #{j: cⱼ ≤ cᵢ},
+    lᵢ = #{j: cⱼ ≥ cᵢ} in day order, ξ = 1 − n·Σ|rᵢ₊₁ − rᵢ| /
+    (2·Σ lᵢ(n − lᵢ)).
+
+    Exactness: ranks come from count-over-RANGE windows (peers
+    included — identical semantics both engines), all sums exact
+    integers, ONE final division.  The x variable (day) is unique, so
+    no x-tie randomization is needed — the estimator is exact.
+    Scale: everything runs on the bounded day relation."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = daily.select(
+        "d",
+        F.count("*").over(
+            W.orderBy("c").rangeBetween(W.unboundedPreceding, 0)
+        ).alias("r"),
+        F.count("*").over(
+            W.orderBy(F.col("c").desc())
+            .rangeBetween(W.unboundedPreceding, 0)
+        ).alias("l"),
+    )
+    seq = ranked.select(
+        "r", "l",
+        F.lag("r").over(W.orderBy("d")).alias("rp"),
+        F.count("*").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return seq.groupBy().agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.sum(F.expr("case when rp is not null then abs(r - rp)"
+                     " else 0 end")).cast("long").alias("sum_rank_jumps"),
+        F.expr(
+            "case when sum(l * (n - l)) > 0 then"
+            " round(1.0 - cast(max(n) * sum(case when rp is not null"
+            " then abs(r - rp) else 0 end) as double)"
+            " / (2.0 * sum(l * (n - l))), 6) + 0.0 end"
+        ).alias("xi"),
+    )
+
+
+ORACLE_CHATTERJEE = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS c FROM events GROUP BY 1),
+ranked AS (
+  SELECT d,
+         count(*) OVER (ORDER BY c RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)::BIGINT AS r,
+         count(*) OVER (ORDER BY c DESC RANGE BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW)::BIGINT AS l
+  FROM daily),
+seq AS (
+  SELECT r, l, lag(r) OVER (ORDER BY d) AS rp,
+         count(*) OVER ()::BIGINT AS n
+  FROM ranked)
+SELECT max(n)::BIGINT AS n_days,
+       sum(CASE WHEN rp IS NOT NULL THEN abs(r - rp) ELSE 0
+           END)::BIGINT AS sum_rank_jumps,
+       CASE WHEN sum(l * (n - l)) > 0 THEN
+         round(1.0 - (max(n) * sum(CASE WHEN rp IS NOT NULL THEN
+               abs(r - rp) ELSE 0 END))::DOUBLE
+               / (2.0 * sum(l * (n - l))), 6) + 0.0
+       END AS xi
+FROM seq
+"""
+
+BANK_QUERIES["events_daily_chatterjee_xi"] = events_daily_chatterjee_xi
+BANK_ORACLES["events_daily_chatterjee_xi"] = ORACLE_CHATTERJEE
+
+
+def events_value_jackknife_se(spark, sf):
+    """Delete-one-DAY (block) jackknife standard error of the overall
+    mean event value — the resampling family's second member beside
+    the percentile bootstrap: blocks are calendar days, so the SE is
+    honest under within-day dependence that the iid bootstrap key
+    understates; Var = (g−1)/g · Σ(θ̂₍ᵢ₎ − θ̄)².
+
+    Exactness: leave-one-out estimates θ̂₍ᵢ₎ = (S−sᵢ)/(N−nᵢ) each
+    micro-round ONE exact-integer ratio (per-cell rule, centi input
+    units so all magnitudes stay < 2⁵³); deviations scale exactly by
+    g (dᵢ = g·tᵢ − T); Σd² is exact; the SE is one final composite.
+    Scale: one events pass to per-day (sum, count), the rest is
+    day-bounded."""
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(
+            F.sum(
+                F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+            ).alias("sv"),
+            F.count("*").alias("nv"),
+        )
+    )
+    tot = daily.groupBy().agg(
+        F.count("*").alias("g"),
+        F.sum("sv").alias("s"),
+        F.sum("nv").alias("n"),
+    )
+    loo = daily.crossJoin(F.broadcast(tot)).select(
+        "g",
+        F.expr(
+            "cast(round(cast(s - sv as double) / (n - nv) * 1000000,"
+            " 0) as bigint)"
+        ).alias("t"),
+    )
+    dev = loo.groupBy().agg(
+        F.max("g").alias("g"),
+        F.sum("t").alias("tt"),
+        F.sum(F.expr("cast(t as decimal(38,0)) * t")).alias("tq"),
+    )
+    return dev.selectExpr(
+        "cast(g as bigint) AS n_days",
+        "round(cast(tt as double) / (g * 1e6) / 100, 6) + 0.0"
+        " AS loo_mean",
+        "round(sqrt(cast(g * tq - cast(tt as decimal(38,0)) * tt"
+        " as double) * (g - 1)) / (cast(g as double) * g) / 1e6 / 100,"
+        " 6) + 0.0 AS jackknife_se",
+    )
+
+
+ORACLE_JACKKNIFE = """
+WITH daily AS (
+  SELECT ts::DATE AS d, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT
+           AS sv, count(*)::BIGINT AS nv
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT count(*)::BIGINT AS g, sum(sv)::BIGINT AS s,
+         sum(nv)::BIGINT AS n
+  FROM daily),
+loo AS (
+  SELECT g, round((s - sv)::DOUBLE / (n - nv) * 1000000, 0)::BIGINT AS t
+  FROM daily, tot),
+dev AS (
+  SELECT max(g)::BIGINT AS g, sum(t)::BIGINT AS tt,
+         sum(t::HUGEINT * t)::HUGEINT AS tq
+  FROM loo)
+SELECT g AS n_days,
+       round(tt::DOUBLE / (g * 1e6) / 100, 6) + 0.0 AS loo_mean,
+       round(sqrt((g * tq - tt::HUGEINT * tt)::DOUBLE * (g - 1))
+             / (g::DOUBLE * g) / 1e6 / 100, 6) + 0.0 AS jackknife_se
+FROM dev
+"""
+
+BANK_QUERIES["events_value_jackknife_se"] = events_value_jackknife_se
+BANK_ORACLES["events_value_jackknife_se"] = ORACLE_JACKKNIFE
+
+
+def lineitem_qty_price_gini_correlation(spark, sf):
+    """Schechtman–Yitzhaki Gini correlations between quantity and
+    extended price: Γ(x,y) = cov(x, rank(y)) / cov(x, rank(x)) and its
+    transpose — the L¹-geometry dependence gauge between Pearson
+    (moment geometry, tax×discount key) and Kendall (pure rank,
+    qty×discount key); the ASYMMETRY |Γxy − Γyx| is itself a read-off
+    (equal iff the joint distribution is exchangeable after
+    standardization).
+
+    Exactness: average tie-ranks come from the distinct-VALUE
+    relations (the two-phase Kruskal idiom — no row-scale sort), held
+    ×2 so they stay integers; all five cross-moments run in
+    DECIMAL(38,0); each Γ micro-rounds ONE sign-safe half-up integer
+    division of exact DECIMALs (never casting a >2⁶⁴ integer to
+    double).  Scale: two distinct-value rollups + one row pass."""
+    li = T(spark, sf, "lineitem").select(
+        F.expr("cast(floor(l_quantity + 0.5) as bigint)").alias("x"),
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+        ).alias("y"),
+    )
+
+    def ranks(col):
+        from pyspark.sql import Window as W
+
+        dv = li.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("cv")
+        )
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        # 2 * average tie rank of value v: (cum_below + cum_incl + 1)
+        return dv.select(
+            "v",
+            (
+                F.sum("cv").over(w) * 2 - F.col("cv") + F.lit(1)
+            ).alias(f"r2_{col}"),
+        ).withColumnRenamed("v", col)
+    rx, ry = ranks("x"), ranks("y")
+    j = li.join(rx, "x").join(ry, "y")
+    m = j.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(r2_x as decimal(38,0))")).alias("srx"),
+        F.sum(F.expr("cast(r2_y as decimal(38,0))")).alias("sry"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * r2_y")).alias("sxry"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * r2_x")).alias("syrx"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * r2_x")).alias("sxrx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * r2_y")).alias("syry"),
+    )
+    gm = (
+        "case when {den} > 0 then case when {num} >= 0 then"
+        " (2 * {num} * 1000000 + {den}) div (2 * {den})"
+        " else -((2 * (-({num})) * 1000000 + {den}) div (2 * {den}))"
+        " end end"
+    )
+    gxy = gm.format(num="(n * sxry - sx * sry)", den="(n * sxrx - sx * srx)")
+    gyx = gm.format(num="(n * syrx - sy * srx)", den="(n * syry - sy * sry)")
+    return m.selectExpr(
+        "cast(n as bigint) AS n_rows",
+        f"round(({gxy}) / 1e6, 6) + 0.0 AS gini_corr_xy",
+        f"round(({gyx}) / 1e6, 6) + 0.0 AS gini_corr_yx",
+    )
+
+
+ORACLE_GINI_CORR = """
+WITH li AS (
+  SELECT floor(l_quantity + 0.5)::BIGINT AS x,
+         floor(l_extendedprice * 100 + 0.5)::BIGINT AS y
+  FROM lineitem),
+rx AS (
+  SELECT v AS x,
+         (sum(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) * 2 - cv + 1)::BIGINT AS r2_x
+  FROM (SELECT x AS v, count(*)::BIGINT AS cv FROM li GROUP BY 1)),
+ry AS (
+  SELECT v AS y,
+         (sum(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) * 2 - cv + 1)::BIGINT AS r2_y
+  FROM (SELECT y AS v, count(*)::BIGINT AS cv FROM li GROUP BY 1)),
+m AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(x::HUGEINT)::HUGEINT AS sx, sum(y::HUGEINT)::HUGEINT AS sy,
+         sum(r2_x::HUGEINT)::HUGEINT AS srx,
+         sum(r2_y::HUGEINT)::HUGEINT AS sry,
+         sum(x::HUGEINT * r2_y)::HUGEINT AS sxry,
+         sum(y::HUGEINT * r2_x)::HUGEINT AS syrx,
+         sum(x::HUGEINT * r2_x)::HUGEINT AS sxrx,
+         sum(y::HUGEINT * r2_y)::HUGEINT AS syry
+  FROM li JOIN rx USING (x) JOIN ry USING (y))
+SELECT n::BIGINT AS n_rows,
+       round((CASE WHEN (n * sxrx - sx * srx) > 0 THEN
+         CASE WHEN (n * sxry - sx * sry) >= 0 THEN
+           (2 * (n * sxry - sx * sry) * 1000000 + (n * sxrx - sx * srx))
+             // (2 * (n * sxrx - sx * srx))
+         ELSE -((2 * (-(n * sxry - sx * sry)) * 1000000
+                 + (n * sxrx - sx * srx))
+                // (2 * (n * sxrx - sx * srx)))
+         END END) / 1e6, 6) + 0.0 AS gini_corr_xy,
+       round((CASE WHEN (n * syry - sy * sry) > 0 THEN
+         CASE WHEN (n * syrx - sy * srx) >= 0 THEN
+           (2 * (n * syrx - sy * srx) * 1000000 + (n * syry - sy * sry))
+             // (2 * (n * syry - sy * sry))
+         ELSE -((2 * (-(n * syrx - sy * srx)) * 1000000
+                 + (n * syry - sy * sry))
+                // (2 * (n * syry - sy * sry)))
+         END END) / 1e6, 6) + 0.0 AS gini_corr_yx
+FROM m
+"""
+
+BANK_QUERIES["lineitem_qty_price_gini_correlation"] = (
+    lineitem_qty_price_gini_correlation
+)
+BANK_ORACLES["lineitem_qty_price_gini_correlation"] = ORACLE_GINI_CORR

@@ -339,3 +339,152 @@ def test_streaks_bruteforce_replay(sf_dir):
     assert got[5] == (2 * 1_000_000 * ge7 + len(maxes)) // (
         2 * len(maxes)
     )
+
+
+# ------------------- continuation-growth replays (wave 5)
+
+
+def _round_away(x):
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def test_mcnemar_replay(spark, sf_dir, duck):
+    rows = duck.sql(
+        "SELECT user_id,"
+        " max((epoch_us(ts) // 86400000000 % 7 IN (2,3))::INT),"
+        " max((epoch_us(ts) // 86400000000 % 7 NOT IN (2,3))::INT)"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1"
+    ).fetchall()
+    b = sum(1 for _, we, wd in rows if we and not wd)
+    c = sum(1 for _, we, wd in rows if wd and not we)
+    r = BANK_QUERIES["events_weekend_mcnemar"](spark, sf_dir).collect()[0]
+    assert r["n_users"] == len(rows)
+    assert (r["n10"], r["n01"]) == (b, c)
+    if b + c:
+        assert math.isclose(
+            r["mcnemar_chi2"], round((b - c) ** 2 / (b + c), 6),
+            abs_tol=1e-9,
+        )
+
+
+def _q_times_k(xs, k, num):
+    """k× the continuous quantile at p = num/k of sorted ints: exact."""
+    xs = sorted(xs)
+    m = len(xs)
+    idx, rem = (num * (m - 1)) // k, (num * (m - 1)) % k
+    return k * xs[idx] + (rem * (xs[idx + 1] - xs[idx]) if rem else 0)
+
+
+def test_moors_replay(spark, sf_dir, duck):
+    rows = duck.sql(
+        "SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT"
+        " FROM events"
+    ).fetchall()
+    groups = {}
+    for t, v in rows:
+        groups.setdefault(t, []).append(int(v))
+    out = {
+        r["event_type"]: r
+        for r in BANK_QUERIES["events_value_moors_kurtosis"](
+            spark, sf_dir
+        ).collect()
+    }
+    for t, vs in groups.items():
+        e = {j: _q_times_k(vs, 8, j) for j in (1, 2, 3, 5, 6, 7)}
+        r = out[t]
+        for j in (1, 2, 3, 5, 6, 7):
+            assert r[f"e{j}_x8"] == e[j], (t, j)
+        if e[6] - e[2] > 0:
+            want = round(((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2]), 6)
+            assert math.isclose(r["moors_kurtosis"], want, abs_tol=1e-9)
+
+
+def test_chatterjee_xi_bruteforce_replay(spark, sf_dir, duck):
+    """Replay ξ from the Chatterjee (2021) ties definition directly:
+    in day order, rᵢ = #{cⱼ ≤ cᵢ}, lᵢ = #{cⱼ ≥ cᵢ}."""
+    daily = [
+        int(c)
+        for _, c in duck.sql(
+            "SELECT ts::DATE d, count(*) FROM events GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+    ]
+    n = len(daily)
+    r = [sum(1 for x in daily if x <= ci) for ci in daily]
+    l = [sum(1 for x in daily if x >= ci) for ci in daily]
+    num = n * sum(abs(a - b) for a, b in zip(r[1:], r))
+    den = 2 * sum(li * (n - li) for li in l)
+    row = BANK_QUERIES["events_daily_chatterjee_xi"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row["n_days"] == n
+    assert row["sum_rank_jumps"] == sum(abs(a - b) for a, b in zip(r[1:], r))
+    assert math.isclose(row["xi"], round(1 - num / den, 6), abs_tol=1e-9)
+
+
+def test_jackknife_replay(spark, sf_dir, duck):
+    rows = duck.sql(
+        "SELECT ts::DATE d, sum(floor(value * 100 + 0.5)::BIGINT),"
+        " count(*) FROM events GROUP BY 1"
+    ).fetchall()
+    g = len(rows)
+    S = sum(int(s) for _, s, _ in rows)
+    N = sum(int(c) for _, _, c in rows)
+    t = [_round_away((S - int(s)) / (N - int(c)) * 1e6)
+         for _, s, c in rows]
+    tt, tq = sum(t), sum(x * x for x in t)
+    row = BANK_QUERIES["events_value_jackknife_se"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row["n_days"] == g
+    assert math.isclose(
+        row["loo_mean"], round(tt / (g * 1e6) / 100, 6), abs_tol=1e-9
+    )
+    want = round(
+        math.sqrt((g * tq - tt * tt) * (g - 1)) / (g * g) / 1e6 / 100, 6
+    )
+    assert math.isclose(row["jackknife_se"], want, abs_tol=1e-9)
+
+
+def test_gini_correlation_replay(spark, sf_dir, duck):
+    rows = duck.sql(
+        "SELECT floor(l_quantity + 0.5)::BIGINT,"
+        " floor(l_extendedprice * 100 + 0.5)::BIGINT FROM lineitem"
+    ).fetchall()
+    xs = [int(x) for x, _ in rows]
+    ys = [int(y) for _, y in rows]
+    n = len(xs)
+
+    def tie_ranks2(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        below = {}
+        run = 0
+        for v in sorted(cnt):
+            below[v] = run
+            run += cnt[v]
+        return [2 * below[v] + cnt[v] + 1 for v in vals]
+
+    r2x, r2y = tie_ranks2(xs), tie_ranks2(ys)
+    sx, sy = sum(xs), sum(ys)
+    srx, sry = sum(r2x), sum(r2y)
+    sxry = sum(x * r for x, r in zip(xs, r2y))
+    syrx = sum(y * r for y, r in zip(ys, r2x))
+    sxrx = sum(x * r for x, r in zip(xs, r2x))
+    syry = sum(y * r for y, r in zip(ys, r2y))
+
+    def half_up_signed(num, den):
+        if num >= 0:
+            return (2 * num * 10**6 + den) // (2 * den)
+        return -((2 * (-num) * 10**6 + den) // (2 * den))
+
+    gxy = half_up_signed(n * sxry - sx * sry, n * sxrx - sx * srx)
+    gyx = half_up_signed(n * syrx - sy * srx, n * syry - sy * sry)
+    row = BANK_QUERIES["lineitem_qty_price_gini_correlation"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row["n_rows"] == n
+    assert math.isclose(row["gini_corr_xy"], round(gxy / 1e6, 6),
+                        abs_tol=1e-9)
+    assert math.isclose(row["gini_corr_yx"], round(gyx / 1e6, 6),
+                        abs_tol=1e-9)
