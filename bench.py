@@ -620,6 +620,7 @@ def main() -> None:
         "orders_customer_tenure_quartiles",
         "docs_source_wasserstein",
         "events_hour_tv_distance",
+        "stream_ph_drift",
     ]
     times = {}
     shuffle = {}

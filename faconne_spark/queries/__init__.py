@@ -96,6 +96,11 @@ _CHANGED_THIS_ROUND = [
     "orders_customer_tenure_quartiles",
     "docs_source_wasserstein",
     "events_hour_tv_distance",
+    # -- new in r12 continuation: Page–Hinkley drift monitor — batch
+    #    face of the new streaming epoch op (streaming/stats.py
+    #    ph_daily_epoch/ph_drift_from_state, merge-proof in
+    #    tests/test_streaming.py) --
+    "stream_ph_drift",
     # -- changed in r12: turning-points E/Var rewritten from bare
     #    decimal literals (Spark DECIMAL division truncates at scale 6
     #    before the sqrt — latent 6th-digit flip found by the new

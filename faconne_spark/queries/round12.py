@@ -1036,3 +1036,63 @@ FROM grid GROUP BY event_type
 
 QUERIES["events_hour_tv_distance"] = events_hour_tv_distance
 ORACLES["events_hour_tv_distance"] = ORACLE_TV
+
+
+# ------------------------------ streaming: Page–Hinkley drift (batch face)
+
+def stream_ph_drift(spark, sf):
+    """Batch face of the Page–Hinkley drift monitor (streaming face:
+    streaming.stats.ph_daily_epoch → ph_drift_from_state, merge-proof
+    in tests): the sequential mean-shift walk over per-type daily
+    volume with RUNNING-mean centering — what an online monitor would
+    have seen, where events_daily_cusum_max centers on the global
+    mean only a retrospective pass knows.  Reports the deepest
+    excursion and its day per type."""
+    from faconne_spark.streaming.stats import ph_walk
+
+    daily = (
+        T(spark, sf, "events")
+        .groupBy("event_type", F.expr("to_date(ts)").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    return ph_walk(daily)
+
+
+ORACLE_PH_DRIFT = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+dev AS (
+  SELECT event_type, d,
+         round(((t * c - s))::DOUBLE * 1000000 / t, 0)::BIGINT AS dev
+  FROM (
+    SELECT event_type, d, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY d)
+             ::BIGINT AS t,
+           sum(c) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS s
+    FROM daily)),
+walk AS (
+  SELECT event_type, d, (m - mn)::BIGINT AS ph
+  FROM (
+    SELECT event_type, d, m,
+           min(m) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS mn
+    FROM (
+      SELECT event_type, d,
+             sum(dev) OVER (PARTITION BY event_type ORDER BY d ROWS
+                            BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS m
+      FROM dev))),
+mx AS (
+  SELECT event_type, d, ph,
+         max(ph) OVER (PARTITION BY event_type)::BIGINT AS mph
+  FROM walk)
+SELECT event_type, count(*)::BIGINT AS n_days,
+       min(CASE WHEN ph = mph THEN d END) AS peak_day,
+       round(max(ph)::DOUBLE / 1e6, 6) + 0.0 AS max_ph
+FROM mx GROUP BY event_type
+"""
+
+QUERIES["stream_ph_drift"] = stream_ph_drift
+ORACLES["stream_ph_drift"] = ORACLE_PH_DRIFT

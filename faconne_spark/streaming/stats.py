@@ -901,3 +901,97 @@ def bootstrap_from_state(
         .agg(F.sum("n").alias("n"), F.sum("__svm").alias("__svm"))
     )
     return bootstrap_ci_from_parts(reps, base, [key], micro)
+
+
+# ------------------------------------------------- Page–Hinkley drift
+
+PH_DAYS = "ph_days"
+
+
+def ph_daily_epoch(
+    batch_df: DataFrame, epoch_id: int, state_dir: str,
+    key: str = "event_type",
+):
+    """Reduce one micro-batch to per-(key, day) event counts — the
+    mergeable sufficient statistic for the Page–Hinkley drift walk
+    (counts add across epochs, so late rows for an already-seen day
+    merge exactly at read time).  Same epoch-partitioned
+    dynamic-overwrite idempotency contract as the other epoch ops:
+    replaying an epoch fully supersedes its half-written attempt."""
+    daily = (
+        batch_df.select(key, F.expr("to_date(ts)").alias("d"))
+        .groupBy(key, "d")
+        .agg(F.count("*").alias("c"))
+    )
+    (
+        daily.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(os.path.join(state_dir, PH_DAYS))
+    )
+
+
+def ph_walk(daily: DataFrame, key: str = "event_type") -> DataFrame:
+    """Page–Hinkley mean-shift walk (Page 1954, Hinkley 1971) over a
+    per-(key, day) count relation: devₜ = xₜ − μ̂ₜ against the
+    RUNNING mean (the sequential/online centering — the daily-CUSUM
+    key centers on the GLOBAL mean, which an online monitor never
+    has), mₜ = Σdev, PHₜ = mₜ − min(m≤ₜ); reports the deepest
+    excursion and the day it peaks — 'had this been monitored live,
+    when would the drift alarm have fired loudest'.
+
+    Exactness: devₜ micro-rounds ONE signed double division of exact
+    integers (t·xₜ − Sₜ stays < 2⁵³); the walk/min/excursion are
+    exact BIGINTs; one final double.  Scale: windows partition by
+    key over the bounded day relation."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy("d")
+    cum = W.partitionBy(key).orderBy("d").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    full = W.partitionBy(key).orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    dev = daily.select(
+        key, "d", "c",
+        F.row_number().over(w).alias("t"),
+        F.sum("c").over(cum).alias("s"),
+    ).select(
+        key, "d",
+        F.expr(
+            "cast(round(cast((t * c - s) as double) * 1000000 / t, 0)"
+            " as bigint)"
+        ).alias("dev"),
+    )
+    walk = dev.select(
+        key, "d", F.sum("dev").over(cum).alias("m")
+    ).select(
+        key, "d", "m", F.min("m").over(cum).alias("mn")
+    ).select(
+        key, "d", F.expr("m - mn").alias("ph")
+    ).select(
+        key, "d", "ph", F.max("ph").over(full).alias("mph")
+    )
+    return walk.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("min(case when ph = mph then d end)").alias("peak_day"),
+        F.expr("round(cast(max(ph) as double) / 1e6, 6) + 0.0")
+        .alias("max_ph"),
+    )
+
+
+def ph_drift_from_state(
+    spark: SparkSession, state_dir: str, key: str = "event_type"
+) -> DataFrame:
+    """Page–Hinkley drift read off the merged cross-epoch day counts —
+    bit-equal to :func:`ph_walk` over the union of all micro-batches
+    (counts for a day seen in several epochs sum exactly before the
+    walk runs)."""
+    daily = (
+        _state(spark, state_dir, PH_DAYS)
+        .groupBy(key, "d")
+        .agg(F.sum("c").alias("c"))
+    )
+    return ph_walk(daily, key)

@@ -451,6 +451,7 @@ def test_survey_registry_consistency():
             r"dedup_\w+|ann_\w+|knn_\w+|text_\w+|mm_\w+|embed_\w+|"
             r"sample_\w+|contamination_\w+|doc_len_\w+|doc_tfidf_\w+|"
             r"docs_\w+|pipeline_\w+|stream_window_counts|stream_session_agg|"
+            r"stream_ph_drift|"
             r"source_stats|vocab_coverage|cap_per_source|quality_\w+|"
             r"lang_id_\w+|corpus_\w+|dup_graph_\w+|dup_cluster_\w+|"
             r"dup_pairs_\w+|"

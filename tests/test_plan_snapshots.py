@@ -480,6 +480,7 @@ SNAPSHOT_QUERIES = [
     "orders_customer_tenure_quartiles",
     "docs_source_wasserstein",
     "events_hour_tv_distance",
+    "stream_ph_drift",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or

@@ -1481,3 +1481,57 @@ def test_streaming_bootstrap_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_ph_drift_merge_proof(spark, sf_dir, tmp_path):
+    """Page–Hinkley drift state merges across micro-batches: after a
+    two-file availableNow drive (plus a half-written epoch replay),
+    ph_drift_from_state is bit-equal to the batch-face walk over the
+    full relation — INCLUDING days whose rows were split across
+    epochs (the counts merge before the walk runs)."""
+    from faconne_spark.queries import all_queries
+    from faconne_spark.streaming.stats import (
+        ph_daily_epoch,
+        ph_drift_from_state,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_type", "ts")
+    src = str(tmp_path / "ph_events")
+    # split on event_id-free hash of (type, ts): many days straddle
+    # both files, so the cross-epoch day merge is genuinely exercised
+    half = ev.withColumn("_h", F.expr("abs(hash(event_type, ts)) % 2"))
+    half.filter("_h = 0").drop("_h").coalesce(1).write.parquet(src)
+    half.filter("_h = 1").drop("_h").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    state = str(tmp_path / "ph_state")
+
+    # half-written attempt at epoch 0, fully superseded by the drive
+    ph_daily_epoch(spark.read.parquet(src).limit(7), 0, state)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: ph_daily_epoch(b, e, state)
+        )
+        .option("checkpointLocation", str(tmp_path / "ph_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(
+        tuple(map(str, r))
+        for r in ph_drift_from_state(spark, state).collect()
+    )
+    want = sorted(
+        tuple(map(str, r))
+        for r in all_queries()["stream_ph_drift"](spark, sf_dir).collect()
+    )
+    assert got == want
