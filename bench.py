@@ -621,6 +621,7 @@ def main() -> None:
         "docs_source_wasserstein",
         "events_hour_tv_distance",
         "stream_ph_drift",
+        "mm_gif_animation",
     ]
     times = {}
     shuffle = {}

@@ -4506,3 +4506,199 @@ def extract_flac_stats(media: DataFrame) -> DataFrame:
     return flac.select("doc_id", "payload").mapInPandas(
         batches, FLAC_STATS_SCHEMA
     )
+
+
+# ----------------------------------------------------- animated GIF
+
+
+def gif_encode_animated(
+    frames: list, delay_cs: int = 10, loop: bool = True
+) -> bytes:
+    """A real animated GIF89a: NETSCAPE2.0 loop extension + per-frame
+    Graphic Control Extension (delay, no transparency, disposal 1) +
+    one image descriptor per frame, each LZW-compressed against the
+    identity grayscale global color table.  ``frames`` is a list of
+    (width, height, index_bytes); frames may differ in size (placed
+    at origin — the crawl-media shape where later frames patch a
+    region)."""
+    if not frames:
+        raise ValueError("gif_encode_animated: no frames")
+    sw = max(w for w, _, _ in frames)
+    sh = max(h for _, h, _ in frames)
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HH", sw, sh) + bytes([0xF7, 0x00, 0x00])
+    )
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    if loop:
+        out += (
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        )
+    for w, h, px in frames:
+        if len(px) != w * h:
+            raise ValueError(
+                f"animated frame needs {w * h} bytes, got {len(px)}"
+            )
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack(
+            "<H", delay_cs
+        ) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        lzw = _lzw_compress(bytes(px), 8)
+        out += bytes([8])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frames(payload: bytes) -> list:
+    """Walk EVERY image block of a GIF87a/89a through the real LZW
+    decode: returns [(left, top, width, height, index_bytes), ...] in
+    stream order — the per-frame CONTENT pass an animation-sampling
+    pipeline runs (composition/disposal is the renderer's job; the
+    stats gate reads raw frame payloads, same contract as
+    mp4_frames).  Fail-loud on interlace, truncated LZW streams,
+    unknown blocks, and a missing trailer."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    frames = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF stream ended without trailer")
+        block = payload[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        if iflags & 0x40:
+            raise NotImplementedError(
+                "interlaced GIF decode not implemented (same seam as"
+                " gif_pixels)"
+            )
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            n = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = _lzw_decompress(bytes(lzw), min_code)
+        if len(idx) < w * h:
+            raise ValueError(
+                f"GIF frame {len(frames)} LZW stream decoded"
+                f" {len(idx)} of {w * h} pixels"
+            )
+        frames.append((left, top, w, h, idx[: w * h]))
+    if not frames:
+        raise ValueError("GIF payload contains no image block")
+    return frames
+
+
+GIF_ANIM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames_kept", IntegerType()),
+        StructField("max_frame_idx", IntegerType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def synthesize_gif_animated(docs: DataFrame) -> DataFrame:
+    """One REAL animated GIF per document: 2 + d6 % 6 frames of
+    (1 + d11 % 3)×(1 + d12 % 3) flat 8×8 gray blocks, block k of
+    frame i valued d[(k + 3i) % 16] — the same digest-rotation
+    discipline as the MP4 gates, so a DuckDB oracle replays every
+    sampled frame's pixel sum closed-form (GIF is lossless, so the
+    replay is EXACT with no codec-specific rounding)."""
+    from faconne_spark.session import spread
+
+    base = spread(docs.select("doc_id", "text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, payloads, types = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(text.encode("utf-8")).digest()
+                dg = [b % 16 for b in d]
+                n = 2 + d[6] % 6
+                wb, hb = 1 + d[11] % 3, 1 + d[12] % 3
+                w, h = 8 * wb, 8 * hb
+                frames = []
+                for i in range(n):
+                    px = bytearray(w * h)
+                    for k in range(wb * hb):
+                        v = dg[(k + 3 * i) % 16]
+                        bx, by = (k % wb) * 8, (k // wb) * 8
+                        for r in range(8):
+                            o = (by + r) * w + bx
+                            px[o : o + 8] = bytes([v]) * 8
+                    frames.append((w, h, bytes(px)))
+                payloads.append(gif_encode_animated(frames))
+                ids.append(doc_id)
+                types.append("image/gif")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "media_type": types}
+            )
+
+    return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def extract_gif_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Animated-GIF gate reduction: full multi-image walk → keep every
+    n-th frame → REAL LZW decode of each kept frame → per-doc pixel
+    sum (the mp4_frames proof shape on the GIF container: any
+    image-descriptor walk, sub-block reassembly, or LZW defect shifts
+    the sum).  Arrow-batched map-only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                all_frames = gif_frames(bytes(payload))
+                kept = [
+                    (i, f) for i, f in enumerate(all_frames)
+                    if i % every_n == 0
+                ]
+                total, w, h = 0, None, None
+                for _i, (_l, _t, fw, fh, idx) in kept:
+                    w, h = fw, fh
+                    total += sum(idx)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_frames_kept": len(kept),
+                        "max_frame_idx": max(i for i, _ in kept),
+                        "pixel_sum": total,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_ANIM_SCHEMA]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, GIF_ANIM_SCHEMA
+    )

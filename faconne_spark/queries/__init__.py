@@ -101,6 +101,10 @@ _CHANGED_THIS_ROUND = [
     #    ph_daily_epoch/ph_drift_from_state, merge-proof in
     #    tests/test_streaming.py) --
     "stream_ph_drift",
+    # -- new in r12 continuation: animated-GIF frame sampling — full
+    #    multi-image walk + per-frame real LZW decode, closed-form
+    #    lossless oracle (queries/round12.py) --
+    "mm_gif_animation",
     # -- changed in r12: turning-points E/Var rewritten from bare
     #    decimal literals (Spark DECIMAL division truncates at scale 6
     #    before the sqrt — latent 6th-digit flip found by the new

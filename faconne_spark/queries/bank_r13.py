@@ -2303,62 +2303,6 @@ BANK_QUERIES["events_weekend_mcnemar"] = events_weekend_mcnemar
 BANK_ORACLES["events_weekend_mcnemar"] = ORACLE_MCNEMAR
 
 
-def events_value_moors_kurtosis(spark, sf):
-    """Moors octile kurtosis per event type: K = ((E₇−E₅)+(E₃−E₁)) /
-    (E₆−E₂) — the robust tail-weight gauge completing the quantile
-    shape family (Bowley reads skew from quartiles; Moors reads
-    kurtosis from octiles; both survive the outliers that wreck
-    moment kurtosis, and the normal reference is K ≈ 1.233).
-
-    Exactness: ×8 octiles of exact micro integers are exact BIGINTs
-    (the ×k trick at k = 8); K is one final double of integer
-    differences.  Scale: one percentile aggregate per type."""
-    ev = T(spark, sf, "events").select(
-        "event_type",
-        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
-    )
-    oct_ = ev.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.expr(
-            "transform(percentile(v, array(0.125, 0.25, 0.375, 0.625,"
-            " 0.75, 0.875)), q -> cast(floor(8 * q + 0.5) as bigint))"
-        ).alias("e8"),
-    )
-    return oct_.selectExpr(
-        "event_type", "n_events",
-        "e8[0] AS e1_x8", "e8[1] AS e2_x8", "e8[2] AS e3_x8",
-        "e8[3] AS e5_x8", "e8[4] AS e6_x8", "e8[5] AS e7_x8",
-        "case when e8[4] - e8[1] > 0 then"
-        " round(cast((e8[5] - e8[3]) + (e8[2] - e8[0]) as double)"
-        " / (e8[4] - e8[1]), 6) + 0.0 end AS moors_kurtosis",
-    )
-
-
-ORACLE_MOORS = """
-WITH ev AS (
-  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS v
-  FROM events),
-oct AS (
-  SELECT event_type, count(*)::BIGINT AS n_events,
-         floor(8 * quantile_cont(v, 0.125) + 0.5)::BIGINT AS e1_x8,
-         floor(8 * quantile_cont(v, 0.25) + 0.5)::BIGINT AS e2_x8,
-         floor(8 * quantile_cont(v, 0.375) + 0.5)::BIGINT AS e3_x8,
-         floor(8 * quantile_cont(v, 0.625) + 0.5)::BIGINT AS e5_x8,
-         floor(8 * quantile_cont(v, 0.75) + 0.5)::BIGINT AS e6_x8,
-         floor(8 * quantile_cont(v, 0.875) + 0.5)::BIGINT AS e7_x8
-  FROM ev GROUP BY 1)
-SELECT event_type, n_events, e1_x8, e2_x8, e3_x8, e5_x8, e6_x8, e7_x8,
-       CASE WHEN e6_x8 - e2_x8 > 0 THEN
-         round(((e7_x8 - e5_x8) + (e3_x8 - e1_x8))::DOUBLE
-               / (e6_x8 - e2_x8), 6) + 0.0
-       END AS moors_kurtosis
-FROM oct
-"""
-
-BANK_QUERIES["events_value_moors_kurtosis"] = events_value_moors_kurtosis
-BANK_ORACLES["events_value_moors_kurtosis"] = ORACLE_MOORS
-
-
 def events_daily_chatterjee_xi(spark, sf):
     """Chatterjee's ξ coefficient (Chatterjee 2021, JASA) of daily
     volume AGAINST TIME: ξ(day → count) detects ANY functional
@@ -2632,3 +2576,97 @@ BANK_QUERIES["lineitem_qty_price_gini_correlation"] = (
     lineitem_qty_price_gini_correlation
 )
 BANK_ORACLES["lineitem_qty_price_gini_correlation"] = ORACLE_GINI_CORR
+
+
+def events_type_cochran_q(spark, sf):
+    """Cochran's Q test on per-user daily-activity agreement across
+    the three busiest event types: each user is one BLOCK with k = 3
+    paired binary outcomes (active in that type on ≥ 11 distinct
+    days? — the corpus median, so both outcomes are populated), Q = k(k−1)·Σⱼ(Cⱼ − T/k)² / (k·T − ΣᵢRᵢ²) — the
+    k-treatment generalization of the McNemar pair, completing the
+    paired-binary family (marginal-homogeneity across ALL types at
+    once, where the per-pair tests multiple-compare).
+
+    Exactness: every cell/row/column total is an exact integer;
+    Σ(k·Cⱼ − T)² folds the mean exactly (×k² scaling); ONE final
+    double division.  Scale: one events pass to per-(user, type)
+    day counts, then user-bounded flags."""
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_type", F.expr("to_date(ts)").alias("d")
+    )
+    top3 = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("tc"))
+        .select(
+            "event_type",
+            F.expr(
+                "row_number() over (order by tc desc, event_type)"
+            ).alias("rk"),
+        )
+        .filter("rk <= 3")
+    )
+    flags = (
+        ev.join(F.broadcast(top3), "event_type")
+        .groupBy("user_id", "rk")
+        .agg(F.expr("cast(count(distinct d) >= 11 as int)").alias("x"))
+    )
+    rows = flags.groupBy("user_id").agg(
+        F.sum("x").alias("r"),
+        *[
+            F.max(F.expr(f"case when rk = {j} then x else 0 end"))
+            .alias(f"x{j}")
+            for j in (1, 2, 3)
+        ],
+    )
+    agg = rows.groupBy().agg(
+        F.count("*").alias("n_users"),
+        F.sum("r").alias("t"),
+        F.sum(F.expr("r * r")).alias("r2"),
+        *[F.sum(f"x{j}").alias(f"c{j}") for j in (1, 2, 3)],
+    )
+    return agg.selectExpr(
+        "cast(n_users as bigint) AS n_users",
+        "cast(c1 as bigint) AS c1", "cast(c2 as bigint) AS c2",
+        "cast(c3 as bigint) AS c3",
+        "case when 3 * t - r2 > 0 then"
+        " round(cast(2 * ((3 * c1 - t) * (3 * c1 - t)"
+        " + (3 * c2 - t) * (3 * c2 - t)"
+        " + (3 * c3 - t) * (3 * c3 - t)) as double)"
+        " / (3 * (3 * t - r2)), 6) + 0.0 end AS cochran_q",
+    )
+
+
+ORACLE_COCHRAN_Q = """
+WITH ev AS (
+  SELECT user_id, event_type, ts::DATE AS d FROM events),
+top3 AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY count(*) DESC, event_type) AS rk
+  FROM ev GROUP BY event_type QUALIFY rk <= 3),
+flags AS (
+  SELECT user_id, rk, (count(DISTINCT d) >= 11)::INT AS x
+  FROM ev JOIN top3 USING (event_type) GROUP BY 1, 2),
+rows_ AS (
+  SELECT user_id, sum(x)::BIGINT AS r,
+         max(CASE WHEN rk = 1 THEN x ELSE 0 END)::BIGINT AS x1,
+         max(CASE WHEN rk = 2 THEN x ELSE 0 END)::BIGINT AS x2,
+         max(CASE WHEN rk = 3 THEN x ELSE 0 END)::BIGINT AS x3
+  FROM flags GROUP BY 1),
+agg AS (
+  SELECT count(*)::BIGINT AS n_users, sum(r)::BIGINT AS t,
+         sum(r * r)::BIGINT AS r2,
+         sum(x1)::BIGINT AS c1, sum(x2)::BIGINT AS c2,
+         sum(x3)::BIGINT AS c3
+  FROM rows_)
+SELECT n_users, c1, c2, c3,
+       CASE WHEN 3 * t - r2 > 0 THEN
+         round((2 * ((3 * c1 - t) * (3 * c1 - t)
+                     + (3 * c2 - t) * (3 * c2 - t)
+                     + (3 * c3 - t) * (3 * c3 - t)))::DOUBLE
+               / (3 * (3 * t - r2)), 6) + 0.0
+       END AS cochran_q
+FROM agg
+"""
+
+BANK_QUERIES["events_type_cochran_q"] = events_type_cochran_q
+BANK_ORACLES["events_type_cochran_q"] = ORACLE_COCHRAN_Q

@@ -1096,3 +1096,56 @@ FROM mx GROUP BY event_type
 
 QUERIES["stream_ph_drift"] = stream_ph_drift
 ORACLES["stream_ph_drift"] = ORACLE_PH_DRIFT
+
+
+# --------------------------------------------- animated-GIF sampling gate
+
+def mm_gif_animation(spark, sf):
+    """REAL animated-GIF frame sampling through the gate: one
+    GIF89a per document (synthesize_gif_animated — NETSCAPE loop +
+    2 + d6 % 6 digest-rotated flat-block frames), the full
+    multi-image walk keeps every 2nd frame, each kept frame crosses
+    the REAL LZW decode, reduced to a per-doc pixel sum.  GIF is
+    lossless, so the closed-form md5 oracle replays the sum EXACTLY —
+    any image-descriptor walk, GCE skip, sub-block reassembly, or
+    LZW defect shifts the value.  Arrow-batched map-only."""
+    docs = T(spark, sf, "documents")
+    return MM.extract_gif_frame_stats(MM.synthesize_gif_animated(docs))
+
+
+def _oracle_mm_gif_animation() -> str:
+    dig = (
+        "list_transform(range(0, 16), i ->"
+        " ((strpos('0123456789abcdef', substr(hx, (2 * i + 1)::INTEGER, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(hx, (2 * i + 2)::INTEGER, 1)) - 1) % 16)"
+    )
+    frame_sum = (
+        "64 * list_sum(list_transform(range(0, wb * hb), k ->"
+        " d[(((k + 3 * i) % 16) + 1)::INTEGER]))"
+    )
+    return f"""
+WITH dg AS (
+  SELECT doc_id, {dig} AS d, raw
+  FROM (
+    SELECT doc_id, md5(text) AS hx,
+           list_transform(range(0, 16), i ->
+             (strpos('0123456789abcdef', substr(md5(text), (2 * i + 1)::INTEGER, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(text), (2 * i + 2)::INTEGER, 1)) - 1) AS raw
+    FROM documents)),
+geom AS (
+  SELECT doc_id, d, (2 + (raw[7] % 6)) AS n,
+         (1 + (raw[12] % 3)) AS wb, (1 + (raw[13] % 3)) AS hb
+  FROM dg)
+SELECT doc_id,
+       (8 * wb)::INTEGER AS width, (8 * hb)::INTEGER AS height,
+       ((n + 1) // 2)::INTEGER AS n_frames_kept,
+       (2 * ((n - 1) // 2))::INTEGER AS max_frame_idx,
+       list_sum(list_transform(
+         list_filter(range(0, n), i -> i % 2 = 0),
+         i -> {frame_sum}))::BIGINT AS pixel_sum
+FROM geom
+"""
+
+
+QUERIES["mm_gif_animation"] = mm_gif_animation
+ORACLES["mm_gif_animation"] = _oracle_mm_gif_animation()

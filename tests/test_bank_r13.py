@@ -375,30 +375,6 @@ def _q_times_k(xs, k, num):
     return k * xs[idx] + (rem * (xs[idx + 1] - xs[idx]) if rem else 0)
 
 
-def test_moors_replay(spark, sf_dir, duck):
-    rows = duck.sql(
-        "SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT"
-        " FROM events"
-    ).fetchall()
-    groups = {}
-    for t, v in rows:
-        groups.setdefault(t, []).append(int(v))
-    out = {
-        r["event_type"]: r
-        for r in BANK_QUERIES["events_value_moors_kurtosis"](
-            spark, sf_dir
-        ).collect()
-    }
-    for t, vs in groups.items():
-        e = {j: _q_times_k(vs, 8, j) for j in (1, 2, 3, 5, 6, 7)}
-        r = out[t]
-        for j in (1, 2, 3, 5, 6, 7):
-            assert r[f"e{j}_x8"] == e[j], (t, j)
-        if e[6] - e[2] > 0:
-            want = round(((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2]), 6)
-            assert math.isclose(r["moors_kurtosis"], want, abs_tol=1e-9)
-
-
 def test_chatterjee_xi_bruteforce_replay(spark, sf_dir, duck):
     """Replay ξ from the Chatterjee (2021) ties definition directly:
     in day order, rᵢ = #{cⱼ ≤ cᵢ}, lᵢ = #{cⱼ ≥ cᵢ}."""
@@ -488,3 +464,43 @@ def test_gini_correlation_replay(spark, sf_dir, duck):
                         abs_tol=1e-9)
     assert math.isclose(row["gini_corr_yx"], round(gyx / 1e6, 6),
                         abs_tol=1e-9)
+
+
+def test_bank_keys_do_not_collide_with_registry():
+    """Staging-time name-collision guard: a bank pair that reuses a
+    REGISTERED key's name would silently shadow it at registration
+    (caught live in r12: a staged Moors-kurtosis pair duplicated the
+    r10 key events_value_moors_kurtosis and was dropped)."""
+    from faconne_spark.queries import all_queries
+
+    overlap = sorted(set(BANK_QUERIES) & set(all_queries()))
+    assert not overlap, f"bank keys shadow registered keys: {overlap}"
+
+
+def test_cochran_q_replay(spark, sf_dir, duck):
+    rows = duck.sql(
+        "WITH ev AS (SELECT user_id, event_type, ts::DATE AS d"
+        " FROM events),"
+        " top3 AS (SELECT event_type, row_number() OVER"
+        " (ORDER BY count(*) DESC, event_type) AS rk FROM ev"
+        " GROUP BY event_type QUALIFY rk <= 3)"
+        " SELECT user_id, rk, (count(DISTINCT d) >= 11)::INT"
+        " FROM ev JOIN top3 USING (event_type) GROUP BY 1, 2"
+    ).fetchall()
+    users = {}
+    for uid, rk, x in rows:
+        users.setdefault(uid, {})[rk] = int(x)
+    n = len(users)
+    c = {j: sum(u.get(j, 0) for u in users.values()) for j in (1, 2, 3)}
+    t = sum(c.values())
+    r2 = sum(sum(u.values()) ** 2 for u in users.values())
+    row = BANK_QUERIES["events_type_cochran_q"](spark, sf_dir).collect()[0]
+    assert row["n_users"] == n
+    assert (row["c1"], row["c2"], row["c3"]) == (c[1], c[2], c[3])
+    if 3 * t - r2 > 0:
+        want = round(
+            2 * sum((3 * c[j] - t) ** 2 for j in (1, 2, 3))
+            / (3 * (3 * t - r2)), 6,
+        )
+        assert math.isclose(row["cochran_q"], want, abs_tol=1e-9)
+        assert row["cochran_q"] is not None

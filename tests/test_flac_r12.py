@@ -260,3 +260,47 @@ def test_total_samples_contract():
     enc[25] ^= 0x01
     with pytest.raises(ValueError, match="STREAMINFO says"):
         flac_decode(bytes(enc))
+
+
+# --------------------- animated GIF pins (same r12 codec wave)
+
+
+def test_gif_animated_mixed_sizes_and_gce():
+    from faconne_spark.operators.multimodal import (
+        gif_encode_animated,
+        gif_frames,
+    )
+
+    frames = [
+        (8, 8, bytes([5] * 64)),
+        (16, 8, bytes([9] * 128)),   # wider later frame
+        (8, 16, bytes([1] * 128)),
+    ]
+    out = gif_frames(gif_encode_animated(frames, delay_cs=4))
+    assert [(w, h) for _, _, w, h, _ in out] == [(8, 8), (16, 8), (8, 16)]
+    assert out[1][4] == bytes([9] * 128)
+
+
+def test_gif_frames_fail_loud():
+    import pytest as _pytest
+
+    from faconne_spark.operators.multimodal import (
+        gif_encode_animated,
+        gif_frames,
+    )
+
+    good = gif_encode_animated([(8, 8, bytes(64))])
+    with _pytest.raises(ValueError, match="not a GIF"):
+        gif_frames(b"NOTG" + good[4:])
+    with _pytest.raises(ValueError, match="without trailer"):
+        gif_frames(good[:-1])
+    bad = bytearray(good)
+    # corrupt the image-separator byte into an unknown block code
+    # (search past the 768-byte global color table, whose gray-44
+    # triple also contains 0x2C bytes)
+    sep = bad.index(0x2C, 13 + 768)
+    bad[sep] = 0x7E
+    with _pytest.raises(ValueError, match="unexpected GIF block"):
+        gif_frames(bytes(bad))
+    with _pytest.raises(ValueError, match="no frames"):
+        gif_encode_animated([])

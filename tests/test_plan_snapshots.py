@@ -481,6 +481,7 @@ SNAPSHOT_QUERIES = [
     "docs_source_wasserstein",
     "events_hour_tv_distance",
     "stream_ph_drift",
+    "mm_gif_animation",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or

@@ -21,6 +21,8 @@ WAVE_KEYS = [
     "orders_customer_tenure_quartiles",
     "docs_source_wasserstein",
     "events_hour_tv_distance",
+    "stream_ph_drift",
+    "mm_gif_animation",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
