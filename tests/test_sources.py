@@ -1030,3 +1030,97 @@ def test_snapshot_zone_map_pruning(spark, sf_dir, tmp_path):
     empty = read_snapshot_pruned(spark, tbl, {"doc_id": (10**12, None)})
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "n_chars"]
+
+
+# ------------------------------------------------ S16: Avro container
+
+
+def test_avro_roundtrip_all_types(spark, sf_dir, tmp_path):
+    """Write → read round trip over every supported type (long, int,
+    double, string, boolean, bytes, timestamp-micros, date) with NULLs
+    in every column, deflate codec, multiple partitions."""
+    from faconne_spark.sources.avro import read_avro, write_avro
+
+    df = spark.sql(
+        """
+        SELECT id AS k,
+               CASE WHEN id % 5 = 0 THEN NULL ELSE cast(id AS int) END AS i,
+               CASE WHEN id % 4 = 0 THEN NULL
+                    ELSE cast(id AS double) / 7 END AS x,
+               CASE WHEN id % 3 = 0 THEN NULL
+                    ELSE concat('s', id, ' é✓') END AS s,
+               id % 2 = 0 AS b,
+               CASE WHEN id % 6 = 0 THEN NULL
+                    ELSE cast(concat('b', id) AS binary) END AS raw,
+               timestamp_micros(cast(1700000000000000 + id * 1000001
+                                AS bigint)) AS ts,
+               date_add(DATE'2020-01-01', cast(id AS int)) AS d
+        FROM range(0, 257)
+        """
+    ).repartition(4)
+    path = str(tmp_path / "avro_rt")
+    n = write_avro(df, path, codec="deflate")
+    assert n == 257
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    a = sorted(map(str, df.collect()))
+    b = sorted(map(str, back.collect()))
+    assert a == b
+
+
+def test_avro_null_codec_and_events_table(spark, sf_dir, tmp_path):
+    from faconne_spark.queries import T
+    from faconne_spark.sources.avro import read_avro, write_avro
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "avro_events")
+    n = write_avro(ev, path, codec="null")
+    assert n == ev.count()
+    back = read_avro(spark, path)
+    assert sorted(map(str, back.collect())) == sorted(map(str, ev.collect()))
+
+
+def test_avro_empty_dataset_keeps_schema(spark, sf_dir, tmp_path):
+    from faconne_spark.sources.avro import read_avro, write_avro
+
+    df = spark.sql("SELECT id AS k, cast(id AS string) AS s FROM range(0)")
+    path = str(tmp_path / "avro_empty")
+    assert write_avro(df, path) == 0
+    back = read_avro(spark, path)
+    assert back.schema == df.schema and back.count() == 0
+
+
+def test_avro_fail_loud_paths(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from faconne_spark.sources.avro import (
+        decode_container,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.sql("SELECT id AS k FROM range(0, 50)").coalesce(1)
+    path = str(tmp_path / "avro_fl")
+    write_avro(df, path, codec="deflate")
+    f = os.path.join(path, "part-00000.avro")
+    good = open(f, "rb").read()
+    with _pytest.raises(ValueError, match="bad magic"):
+        decode_container(b"PK\x03\x04" + good[4:])
+    bad = bytearray(good)
+    bad[-1] ^= 0x01  # last sync byte
+    with _pytest.raises(ValueError, match="sync marker mismatch"):
+        decode_container(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_container(good[:-20])
+    # nested types refuse at the schema seam
+    nested = spark.sql("SELECT array(id) AS a FROM range(3)")
+    with _pytest.raises(NotImplementedError, match="flat primitive"):
+        write_avro(nested, str(tmp_path / "avro_nested"))
+    # mode contract
+    with _pytest.raises(ValueError, match="path exists"):
+        write_avro(df, path)
+    assert write_avro(df, path, mode="overwrite") == 50
+    back = read_avro(spark, path)
+    assert back.count() == 50
