@@ -4071,20 +4071,34 @@ def _flac_zigzag(r: int) -> int:
     return (r << 1) if r >= 0 else ((-r) << 1) - 1
 
 
-def flac_encode(pcm: bytes, rate: int = 8000) -> bytes:
-    """Encode mono 16-bit little-endian PCM as a REAL FLAC stream:
-    fLaC marker + STREAMINFO (with the stream MD5), fixed-blocking
-    4096-sample frames, per-frame fixed-predictor order search (0-4)
-    with an honest cost comparison against VERBATIM and the Rice
-    raw-escape form, single-partition Rice residuals, CRC-8 / CRC-16
-    exactly as the spec requires.  Every payload this writes decodes
-    bit-exactly through flac_decode (MD5-verified)."""
+def flac_encode(
+    pcm: bytes, rate: int = 8000, nchannels: int = 1, use_lpc: bool = True
+) -> bytes:
+    """Encode 16-bit little-endian PCM (mono or interleaved stereo)
+    as a REAL FLAC stream: fLaC marker + STREAMINFO (with the stream
+    MD5), fixed-blocking 4096-sample frames; per subframe an honest
+    cost search over {fixed 0-4, quantized-LPC orders 2/4/8
+    (Levinson–Durbin, precision 15, shift 12 — residuals computed
+    with the decoder's EXACT integer prediction), Rice raw-escape,
+    VERBATIM}; for stereo, per FRAME the cheapest of the four channel
+    assignments (independent, left/side, right/side, mid/side — side
+    at bps+1).  CRC-8 / CRC-16 exactly as the spec requires.  Every
+    payload this writes decodes bit-exactly through flac_decode
+    (MD5-verified)."""
     import hashlib
 
     if len(pcm) % 2:
         raise ValueError("PCM16 payload has odd byte length")
-    x = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
-    n_total = len(x)
+    if nchannels not in (1, 2):
+        raise NotImplementedError(
+            "flac_encode writes mono or stereo; the decoder reads up"
+            " to 8 independent channels"
+        )
+    flat = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    if len(flat) % nchannels:
+        raise ValueError("PCM length is not a whole number of frames")
+    chans = [flat[c::nchannels] for c in range(nchannels)]
+    n_total = len(chans[0])
     bps = 16
     blocksize = 4096
     frames = bytearray()
@@ -4092,12 +4106,33 @@ def flac_encode(pcm: bytes, rate: int = 8000) -> bytes:
     min_fs = max_fs = None
     frame_no = 0
     for start in range(0, n_total, blocksize) or [0]:
-        blk = x[start : start + blocksize]
-        if not blk:
+        blks = [ch[start : start + blocksize] for ch in chans]
+        if not blks[0]:
             break
-        bs = len(blk)
+        bs = len(blks[0])
         min_bs = bs if min_bs is None else min(min_bs, bs)
         max_bs = bs if max_bs is None else max(max_bs, bs)
+        if nchannels == 1:
+            chan_code, subs = 0, [(blks[0], bps)]
+        else:
+            left, right = blks
+            side = [l - r for l, r in zip(left, right)]
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            cands = {
+                1: [(left, bps), (right, bps)],
+                8: [(left, bps), (side, bps + 1)],
+                9: [(side, bps + 1), (right, bps)],
+                10: [(mid, bps), (side, bps + 1)],
+            }
+            best = None
+            for code_c, subs_c in cands.items():
+                sw_c = _FlacBitWriter()
+                for sblk, sbps in subs_c:
+                    _flac_write_subframe(sw_c, sblk, sbps, use_lpc)
+                bits = len(sw_c.buf) * 8 + sw_c.nbits
+                if best is None or bits < best[0]:
+                    best = (bits, code_c, subs_c)
+            _bits, chan_code, subs = best
         w = _FlacBitWriter()
         w.write(0b11111111111110, 14)
         w.write(0, 1)          # reserved
@@ -4107,7 +4142,7 @@ def flac_encode(pcm: bytes, rate: int = 8000) -> bytes:
             code = 0b0111      # 16-bit blocksize-1 follows
         w.write(code, 4)
         w.write(0, 4)          # sample rate: from STREAMINFO
-        w.write(0, 4)          # channel assignment: mono
+        w.write(chan_code, 4)  # mono / independent / decorrelated
         w.write(0b100, 3)      # 16 bits per sample
         w.write(0, 1)          # reserved
         for b in _flac_utf8_encode(frame_no):
@@ -4120,7 +4155,8 @@ def flac_encode(pcm: bytes, rate: int = 8000) -> bytes:
         assert header is not None  # header fields are byte-aligned here
         w.write(_flac_crc8(header), 8)
 
-        _flac_write_subframe(w, blk, bps)
+        for sblk, sbps in subs:
+            _flac_write_subframe(w, sblk, sbps, use_lpc)
         w.align()
         frame = w.getvalue()
         frame += struct.pack(">H", _flac_crc16(frame))
@@ -4138,16 +4174,58 @@ def flac_encode(pcm: bytes, rate: int = 8000) -> bytes:
     sw.write(min_fs or 0, 24)
     sw.write(max_fs or 0, 24)
     sw.write(rate, 20)
-    sw.write(0, 3)             # channels - 1
+    sw.write(nchannels - 1, 3)
     sw.write(bps - 1, 5)
     sw.write(n_total, 36)
     streaminfo = sw.getvalue() + hashlib.md5(pcm).digest()
     return b"fLaC" + streaminfo + bytes(frames)
 
 
-def _flac_write_subframe(w: "_FlacBitWriter", blk, bps: int):
-    """One mono subframe: CONSTANT when flat, else the cheapest of
-    {fixed order 0-4 + Rice, fixed + raw escape, VERBATIM}."""
+def _flac_lpc_candidate(blk, order: int):
+    """Quantized-LPC candidate: Levinson–Durbin on the block's
+    autocorrelation, coefficients quantized to precision 15 / shift
+    12, residuals via the decoder's exact integer prediction.
+    Returns (coefs, shift, precision, residuals) or None."""
+    n = len(blk)
+    if n <= order + 1:
+        return None
+    fx = [float(v) for v in blk]
+    ac = [
+        sum(fx[i] * fx[i - lag] for i in range(lag, n))
+        for lag in range(order + 1)
+    ]
+    if ac[0] <= 0:
+        return None
+    err = ac[0]
+    lpc = []
+    for i in range(order):
+        acc = ac[i + 1] - sum(lpc[j] * ac[i - j] for j in range(i))
+        if err <= 0:
+            return None
+        k = acc / err
+        lpc = [lpc[j] - k * lpc[i - 1 - j] for j in range(i)] + [k]
+        err *= 1.0 - k * k
+    shift, prec = 12, 15
+    lim = 1 << (prec - 1)
+    coefs = [
+        max(-lim, min(lim - 1, int(round(c * (1 << shift))))) for c in lpc
+    ]
+    if all(c == 0 for c in coefs):
+        return None
+    res = [
+        blk[i]
+        - (sum(c * blk[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+        for i in range(order, n)
+    ]
+    return coefs, shift, prec, res
+
+
+def _flac_write_subframe(
+    w: "_FlacBitWriter", blk, bps: int, use_lpc: bool = True
+):
+    """One subframe: CONSTANT when flat, else the cheapest of
+    {fixed order 0-4 + Rice, quantized-LPC orders 2/4/8 + Rice,
+    fixed/LPC + raw escape, VERBATIM}."""
     bs = len(blk)
     if all(s == blk[0] for s in blk):
         w.write(0, 1)
@@ -4155,28 +4233,43 @@ def _flac_write_subframe(w: "_FlacBitWriter", blk, bps: int):
         w.write(0, 1)          # no wasted bits
         w.write(blk[0], bps)
         return
-    best = None  # (bits, order, residual, k or None for escape, rawbits)
-    for order in range(0, 5):
-        if order >= bs:
-            break
-        res = [
-            blk[i] - sum(
-                c * blk[i - 1 - j]
-                for j, c in enumerate(_FLAC_FIXED_COEFS[order])
-            )
-            for i in range(order, bs)
-        ]
+    # candidate = (bits, order, residual, k|None, rawbits, lpc|None)
+    best = None
+    cands = [
+        (
+            order,
+            [
+                blk[i] - sum(
+                    c * blk[i - 1 - j]
+                    for j, c in enumerate(_FLAC_FIXED_COEFS[order])
+                )
+                for i in range(order, bs)
+            ],
+            0,            # header overhead beyond warmup
+            None,         # no LPC params
+        )
+        for order in range(0, 5)
+        if order < bs
+    ]
+    if use_lpc:
+        for order in (2, 4, 8):
+            lp = _flac_lpc_candidate(blk, order)
+            if lp is not None:
+                coefs, shift, prec, res = lp
+                cands.append((order, res, 4 + 5 + order * prec,
+                              (coefs, shift, prec)))
+    for order, res, extra, lpc in cands:
         for k in range(0, 15):
-            bits = order * bps + _flac_rice_bits(res, k)
+            bits = order * bps + extra + _flac_rice_bits(res, k)
             if best is None or bits < best[0]:
-                best = (bits, order, res, k, None)
+                best = (bits, order, res, k, None, lpc)
         rawbits = max(
             (max(_flac_zigzag(r) for r in res)).bit_length(), 1
         ) + 1 if res else 1
         rawbits = min(rawbits, 31)
-        bits = order * bps + 5 + len(res) * rawbits
+        bits = order * bps + extra + 5 + len(res) * rawbits
         if max(abs(r) for r in res) < (1 << (rawbits - 1)) and bits < best[0]:
-            best = (bits, order, res, None, rawbits)
+            best = (bits, order, res, None, rawbits, lpc)
     if best[0] > bs * bps:
         w.write(0, 1)
         w.write(0b000001, 6)   # VERBATIM
@@ -4184,12 +4277,21 @@ def _flac_write_subframe(w: "_FlacBitWriter", blk, bps: int):
         for s in blk:
             w.write(s, bps)
         return
-    _bits, order, res, k, rawbits = best
+    _bits, order, res, k, rawbits, lpc = best
     w.write(0, 1)
-    w.write(0b001000 | order, 6)  # FIXED
+    if lpc is None:
+        w.write(0b001000 | order, 6)  # FIXED
+    else:
+        w.write(0b100000 | (order - 1), 6)  # LPC
     w.write(0, 1)                 # no wasted bits
     for s in blk[:order]:
         w.write(s, bps)
+    if lpc is not None:
+        coefs, shift, prec = lpc
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(c, prec)
     w.write(0b00, 2)              # 4-bit Rice parameters
     w.write(0, 4)                 # partition order 0
     if k is None:

@@ -304,3 +304,77 @@ def test_gif_frames_fail_loud():
         gif_frames(bytes(bad))
     with _pytest.raises(ValueError, match="no frames"):
         gif_encode_animated([])
+
+
+# ------------- encoder upgrade pins (stereo assignments + LPC)
+
+
+def _first_assignment(payload):
+    # frame starts at byte 42; channel assignment = bits 24-27 of the
+    # frame header = high nibble of its 4th byte
+    return payload[42 + 3] >> 4
+
+
+def test_stereo_encoder_roundtrip_and_assignment_choice():
+    import math
+    import random
+
+    random.seed(11)
+    # correlated channels -> a side-coded assignment wins
+    L = [int(9000 * math.sin(i / 7.0)) for i in range(3000)]
+    R = [v + random.randint(-40, 40) for v in L]
+    pcm = struct.pack(f"<{2 * len(L)}h", *[s for p in zip(L, R) for s in p])
+    enc = flac_encode(pcm, nchannels=2)
+    chans, rate, bps = flac_decode(enc)
+    assert chans == [L, R] and rate == 8000 and bps == 16
+    assert _first_assignment(enc) in (8, 9, 10)
+    ind = flac_encode(pcm, nchannels=2, use_lpc=False)
+    assert len(enc) <= len(ind)
+    # anti-correlated: mid is constant 0 or -1, side huge -> mid/side
+    L2 = [v for v in L]
+    R2 = [-v for v in L]
+    pcm2 = struct.pack(
+        f"<{2 * len(L2)}h", *[s for p in zip(L2, R2) for s in p]
+    )
+    enc2 = flac_encode(pcm2, nchannels=2)
+    chans, _, _ = flac_decode(enc2)
+    assert chans == [L2, R2]
+    assert _first_assignment(enc2) == 10
+    # independent noise channels -> independent assignment
+    L3 = [random.randint(-30000, 30000) for _ in range(3000)]
+    R3 = [random.randint(-30000, 30000) for _ in range(3000)]
+    pcm3 = struct.pack(
+        f"<{2 * len(L3)}h", *[s for p in zip(L3, R3) for s in p]
+    )
+    enc3 = flac_encode(pcm3, nchannels=2)
+    chans, _, _ = flac_decode(enc3)
+    assert chans == [L3, R3]
+    assert _first_assignment(enc3) == 1
+    # full-range side channel (needs the 17th bit)
+    L4 = [32767, -32768] * 100
+    R4 = [-32768, 32767] * 100
+    pcm4 = struct.pack(
+        f"<{2 * len(L4)}h", *[s for p in zip(L4, R4) for s in p]
+    )
+    chans, _, _ = flac_decode(flac_encode(pcm4, nchannels=2))
+    assert chans == [L4, R4]
+
+
+def test_lpc_encoder_beats_fixed_on_tonal_signal():
+    import math
+
+    x = [int(12000 * math.sin(i / 9.0)) for i in range(4500)]
+    pcm = struct.pack(f"<{len(x)}h", *x)
+    with_lpc = flac_encode(pcm, use_lpc=True)
+    fixed_only = flac_encode(pcm, use_lpc=False)
+    assert len(with_lpc) < len(fixed_only)
+    for enc in (with_lpc, fixed_only):
+        chans, _, _ = flac_decode(enc)
+        assert chans[0] == x
+
+
+def test_stereo_encoder_contract():
+    with pytest.raises(NotImplementedError, match="mono or stereo"):
+        flac_encode(b"\x00\x00" * 6, nchannels=3)
+    with pytest.raises(ValueError, match="whole number of frames"):
+        flac_encode(b"\x00\x00" * 3, nchannels=2)
