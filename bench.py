@@ -622,6 +622,8 @@ def main() -> None:
         "events_hour_tv_distance",
         "stream_ph_drift",
         "mm_gif_animation",
+        "events_daily_blomqvist_beta",
+        "orders_priority_shiplag_somers_d",
     ]
     times = {}
     shuffle = {}

@@ -105,6 +105,11 @@ _CHANGED_THIS_ROUND = [
     #    multi-image walk + per-frame real LZW decode, closed-form
     #    lossless oracle (queries/round12.py) --
     "mm_gif_animation",
+    # -- new in r12 continuation, wave H (queries/round12.py):
+    #    Blomqvist medial correlation on the day relation, Somers' D
+    #    of ship lag on priority (asymmetric ordinal effect size) --
+    "events_daily_blomqvist_beta",
+    "orders_priority_shiplag_somers_d",
     # -- changed in r12: turning-points E/Var rewritten from bare
     #    decimal literals (Spark DECIMAL division truncates at scale 6
     #    before the sqrt — latent 6th-digit flip found by the new

@@ -1149,3 +1149,192 @@ FROM geom
 
 QUERIES["mm_gif_animation"] = mm_gif_animation
 ORACLES["mm_gif_animation"] = _oracle_mm_gif_animation()
+
+
+# ------------------------- wave H: quadrant / asymmetric-ordinal deps
+
+def events_daily_blomqvist_beta(spark, sf):
+    """Blomqvist's β (medial correlation, 1950) between daily volume
+    and daily total value on the observed-day relation: split both at
+    their medians, β = (n₊₊ + n₋₋ − n₊₋ − n₋₊)/m — the
+    quadrant-count dependence gauge (maximally robust: only median
+    crossings matter, so heavy tails and outliers cannot move it;
+    the do-busy-days-carry-more-value read at a glance).  Days ON
+    either median are excluded (the classical even-n convention),
+    and the exclusion count is reported.
+
+    Exactness: ×2-exact medians make every quadrant sign an integer
+    comparison; counts are exact; ONE final division.  Scale: one
+    events pass to the bounded day relation."""
+    daily = (
+        T(spark, sf, "events")
+        .groupBy(F.expr("to_date(ts)").alias("d"))
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(
+                F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")
+            ).alias("v"),
+        )
+    )
+    med = daily.groupBy().agg(
+        F.expr(
+            "cast(floor(2 * percentile(c, 0.5) + 0.5) as bigint)"
+        ).alias("mc"),
+        F.expr(
+            "cast(floor(2 * percentile(v, 0.5) + 0.5) as bigint)"
+        ).alias("mv"),
+    )
+    q = daily.crossJoin(F.broadcast(med)).select(
+        F.expr("cast(sign(2 * c - mc) as int)").alias("sc"),
+        F.expr("cast(sign(2 * v - mv) as int)").alias("sv"),
+    )
+    return q.groupBy().agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.expr("cast(sc = 0 or sv = 0 as int)"))
+        .cast("long").alias("n_excluded"),
+        F.sum(F.expr("cast(sc * sv = 1 as int)"))
+        .cast("long").alias("n_concordant"),
+        F.sum(F.expr("cast(sc * sv = -1 as int)"))
+        .cast("long").alias("n_discordant"),
+        F.expr(
+            "case when sum(cast(sc * sv != 0 as int)) > 0 then"
+            " round(cast(sum(sc * sv) as double)"
+            " / sum(cast(sc * sv != 0 as int)), 6) + 0.0 end"
+        ).alias("blomqvist_beta"),
+    )
+
+
+ORACLE_BLOMQVIST = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS c,
+         sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS v
+  FROM events GROUP BY 1),
+med AS (
+  SELECT floor(2 * quantile_cont(c, 0.5) + 0.5)::BIGINT AS mc,
+         floor(2 * quantile_cont(v, 0.5) + 0.5)::BIGINT AS mv
+  FROM daily),
+q AS (
+  SELECT sign(2 * c - mc)::INT AS sc, sign(2 * v - mv)::INT AS sv
+  FROM daily, med)
+SELECT count(*)::BIGINT AS n_days,
+       sum((sc = 0 OR sv = 0)::INT)::BIGINT AS n_excluded,
+       sum((sc * sv = 1)::INT)::BIGINT AS n_concordant,
+       sum((sc * sv = -1)::INT)::BIGINT AS n_discordant,
+       CASE WHEN sum((sc * sv != 0)::INT) > 0 THEN
+         round(sum(sc * sv)::DOUBLE / sum((sc * sv != 0)::INT), 6) + 0.0
+       END AS blomqvist_beta
+FROM q
+"""
+
+QUERIES["events_daily_blomqvist_beta"] = events_daily_blomqvist_beta
+ORACLES["events_daily_blomqvist_beta"] = ORACLE_BLOMQVIST
+
+
+def orders_priority_shiplag_somers_d(spark, sf):
+    """Somers' D of ship lag ON order priority (d_{Y|X}, Somers
+    1962): the ASYMMETRIC ordinal effect size — among line-item pairs
+    with different priorities, the excess of concordant over
+    discordant orderings, penalized for ties on the lag —
+    'directionally, do higher priorities ship sooner, and by how
+    much?'.  Complements orders_priority_shiplag_ks (worst ECDF gap,
+    no direction) and the symmetric gamma on value deciles.
+
+    Exactness: the statistic lives on the bounded priority×lag-day
+    contingency grid; concordant/discordant counts come from a
+    strict-dominance self-join of the grid (each pair counted once
+    at its greater cell), tie terms from exact column sums; all
+    integers, ONE final division.  Scale: one lineitem⋈orders pass
+    to the grid; the grid self-join is cell-bounded (~5×125)."""
+    li = (
+        T(spark, sf, "lineitem")
+        .join(
+            T(spark, sf, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_orderdate"
+            ),
+            F.expr("l_orderkey = o_orderkey"),
+        )
+        .select(
+            F.expr(
+                "cast(substring(o_orderpriority, 1, 1) as int)"
+            ).alias("x"),
+            F.expr(
+                "datediff(to_date(l_shipdate), to_date(o_orderdate))"
+            ).alias("y"),
+        )
+    )
+    from faconne_spark.operators.dedup import track_persist
+
+    # the grid is ~5×125 cells but its input is the row-scale
+    # lineitem⋈orders join, and FIVE branches below read it (two
+    # dominance self-joins on both sides + the tie rollup) through
+    # DIFFERENT subtrees no exchange reuse can fold — the r11
+    # measure-first rule applied: persisting the bounded grid took
+    # sf0.1 from 9.9 s to the one-pass cost (docs/SCALING.md)
+    grid = track_persist(li.groupBy("x", "y").agg(F.count("*").alias("n")))
+    a = grid.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("n").alias("an"),
+    )
+    b = grid.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("n").alias("bn"),
+    )
+    conc = (
+        a.join(F.broadcast(b), F.expr("bx < ax and by < ay"))
+        .groupBy().agg(F.sum(F.expr("an * bn")).alias("c"))
+    )
+    disc = (
+        a.join(F.broadcast(b), F.expr("bx < ax and by > ay"))
+        .groupBy().agg(F.sum(F.expr("an * bn")).alias("dd"))
+    )
+    ty = (
+        grid.groupBy("y")
+        .agg(
+            F.sum("n").alias("sy"),
+            F.sum(F.expr("n * n")).alias("sq"),
+        )
+        .groupBy()
+        .agg(F.sum(F.expr("(sy * sy - sq)")).alias("ty2"))
+    )
+    return (
+        conc.crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(ty))
+        .selectExpr(
+            "cast(c as bigint) AS n_concordant",
+            "cast(dd as bigint) AS n_discordant",
+            "cast(ty2 div 2 as bigint) AS n_tied_lag_only",
+            "case when 2 * (c + dd) + ty2 > 0 then"
+            " round(cast(2 * (c - dd) as double)"
+            " / (2 * (c + dd) + ty2), 6) + 0.0 end AS somers_d",
+        )
+    )
+
+
+ORACLE_SOMERS = """
+WITH li AS (
+  SELECT substring(o_orderpriority, 1, 1)::INT AS x,
+         date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::BIGINT
+           AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+grid AS (
+  SELECT x, y, count(*)::BIGINT AS n FROM li GROUP BY 1, 2),
+conc AS (
+  SELECT sum(a.n * b.n)::BIGINT AS c
+  FROM grid a JOIN grid b ON b.x < a.x AND b.y < a.y),
+disc AS (
+  SELECT sum(a.n * b.n)::BIGINT AS dd
+  FROM grid a JOIN grid b ON b.x < a.x AND b.y > a.y),
+ty AS (
+  SELECT sum(sy * sy - sq)::BIGINT AS ty2
+  FROM (SELECT y, sum(n)::BIGINT AS sy, sum(n * n)::BIGINT AS sq
+        FROM grid GROUP BY 1))
+SELECT c AS n_concordant, dd AS n_discordant,
+       (ty2 // 2)::BIGINT AS n_tied_lag_only,
+       CASE WHEN 2 * (c + dd) + ty2 > 0 THEN
+         round((2 * (c - dd))::DOUBLE / (2 * (c + dd) + ty2), 6) + 0.0
+       END AS somers_d
+FROM conc, disc, ty
+"""
+
+QUERIES["orders_priority_shiplag_somers_d"] = orders_priority_shiplag_somers_d
+ORACLES["orders_priority_shiplag_somers_d"] = ORACLE_SOMERS

@@ -482,6 +482,8 @@ SNAPSHOT_QUERIES = [
     "events_hour_tv_distance",
     "stream_ph_drift",
     "mm_gif_animation",
+    "events_daily_blomqvist_beta",
+    "orders_priority_shiplag_somers_d",
     # round-8 (VERDICT r7 ask #2): snapshot EVERY remaining registry key
     # so tests/test_window_discipline.py guards the full registry — a
     # behavior change anywhere now either drifts a stamped snapshot or

@@ -23,6 +23,8 @@ WAVE_KEYS = [
     "events_hour_tv_distance",
     "stream_ph_drift",
     "mm_gif_animation",
+    "events_daily_blomqvist_beta",
+    "orders_priority_shiplag_somers_d",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
@@ -495,3 +497,73 @@ def test_tv_distance_replay(spark):
         r = out[t]
         assert r["n_events"] == n
         assert abs(r["tv_distance"] - round(tot / (2.0 * n * nn), 6)) < 1e-9
+
+
+def test_blomqvist_replay(spark):
+    import duckdb
+
+    from faconne_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT ts::DATE d, count(*),"
+        f" sum(floor(value * 1000000 + 0.5)::BIGINT)"
+        f" FROM read_parquet('{SFD}/events.parquet') GROUP BY 1"
+    ).fetchall()
+    cs = sorted(int(c) for _, c, _ in rows)
+    vs = sorted(int(v) for _, _, v in rows)
+    m = len(cs)
+    mc = cs[(m - 1) // 2] + cs[m // 2]
+    mv = vs[(m - 1) // 2] + vs[m // 2]
+    conc = disc = exc = 0
+    for _, c, v in rows:
+        sc = (2 * int(c) > mc) - (2 * int(c) < mc)
+        sv = (2 * int(v) > mv) - (2 * int(v) < mv)
+        if sc == 0 or sv == 0:
+            exc += 1
+        elif sc == sv:
+            conc += 1
+        else:
+            disc += 1
+    r = all_queries()["events_daily_blomqvist_beta"](spark, SFD).collect()[0]
+    assert (r["n_days"], r["n_excluded"]) == (m, exc)
+    assert (r["n_concordant"], r["n_discordant"]) == (conc, disc)
+    if conc + disc:
+        want = round((conc - disc) / (conc + disc), 6)
+        assert abs(r["blomqvist_beta"] - want) < 1e-9
+
+
+def test_somers_d_replay(spark):
+    import duckdb
+
+    from faconne_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT substring(o_orderpriority, 1, 1)::INT,"
+        f" date_diff('day', o_orderdate::DATE, l_shipdate::DATE)"
+        f" FROM read_parquet('{SFD}/lineitem.parquet') li"
+        f" JOIN read_parquet('{SFD}/orders.parquet') o"
+        f" ON l_orderkey = o_orderkey"
+    ).fetchall()
+    pairs = [(int(x), int(y)) for x, y in rows]
+    from collections import Counter
+
+    grid = Counter(pairs)
+    cells = list(grid.items())
+    conc = disc = 0
+    for (ax, ay), an in cells:
+        for (bx, by), bn in cells:
+            if bx < ax and by < ay:
+                conc += an * bn
+            elif bx < ax and by > ay:
+                disc += an * bn
+    ycol = Counter(y for _, y in pairs)
+    ty2 = sum(s * s for s in ycol.values()) - sum(
+        n * n for n in grid.values()
+    )
+    r = all_queries()["orders_priority_shiplag_somers_d"](
+        spark, SFD
+    ).collect()[0]
+    assert (r["n_concordant"], r["n_discordant"]) == (conc, disc)
+    assert r["n_tied_lag_only"] == ty2 // 2
+    want = round(2 * (conc - disc) / (2 * (conc + disc) + ty2), 6)
+    assert abs(r["somers_d"] - want) < 1e-9
