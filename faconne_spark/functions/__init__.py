@@ -169,13 +169,33 @@ def simhash32(toks: str, dialect: str) -> str:
     return simhash_bits(toks, 32, dialect)
 
 
-def cosine_sim(a: str, b: str, dialect: str) -> str:
-    """Cosine similarity of two float-array columns."""
+def cosine_sim(a: str, b: str, dialect: str, dim: int | None = None) -> str:
+    """Cosine similarity of two float-array columns.  ``dim``: see
+    :func:`dot_expr` — all three folds (dot + both norms) unroll into
+    one codegen-able guarded expression; identical IEEE results."""
     if dialect == "spark":
         dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
         na = f"sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
         nb = f"sqrt(aggregate({b}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
-        return f"({dot}) / nullif(({na}) * ({nb}), 0.0)"
+        fold = f"({dot}) / nullif(({na}) * ({nb}), 0.0)"
+        if dim:
+            udot = "(cast(0.0 as double) + " + " + ".join(
+                f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
+                for i in range(dim)
+            ) + ")"
+            una = "sqrt(cast(0.0 as double) + " + " + ".join(
+                f"cast({a}[{i}] as double) * cast({a}[{i}] as double)"
+                for i in range(dim)
+            ) + ")"
+            unb = "sqrt(cast(0.0 as double) + " + " + ".join(
+                f"cast({b}[{i}] as double) * cast({b}[{i}] as double)"
+                for i in range(dim)
+            ) + ")"
+            return _unrolled_guard(
+                a, b, dim,
+                f"({udot}) / nullif(({una}) * ({unb}), 0.0)", fold,
+            )
+        return fold
     return f"list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
@@ -213,15 +233,51 @@ def pii_augmented(dialect: str) -> str:
     )
 
 
-def dot_expr(a: str, b: str, dialect: str) -> str:
+def _unrolled_guard(a: str, b: str, dim: int, unrolled: str,
+                    fold: str) -> str:
+    """Wrap an unrolled fixed-width kernel in a size guard so semantics
+    are EXACTLY the interpreted fold's for any input: arrays of width
+    ``dim`` take the codegen-friendly unrolled branch, anything else
+    (ragged, null, wider) falls back to the original higher-order fold.
+
+    Why this exists (optimization r12, guide §4.1/§4.2): Spark's
+    higher-order functions (aggregate/zip_with/transform) are
+    CodegenFallback — every element evaluates through the interpreted
+    expression walker, which made the per-pair dot product the dominant
+    cost of the whole embedding-similarity family.  An unrolled
+    left-associated chain performs the IDENTICAL IEEE additions in the
+    IDENTICAL order (fold: ((0.0+v0)+v1)+…; unrolled: same tree), so
+    results are bit-for-bit unchanged, but it compiles into
+    whole-stage codegen."""
+    return (
+        f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim}"
+        f" THEN {unrolled} ELSE {fold} END)"
+    )
+
+
+def dot_expr(a: str, b: str, dialect: str, dim: int | None = None) -> str:
     """Plain dot product of two float arrays, summed in index order in
-    both dialects so the IEEE result is bit-identical cross-engine."""
+    both dialects so the IEEE result is bit-identical cross-engine.
+
+    ``dim`` (spark dialect only): statically-known array width — emits
+    an unrolled, whole-stage-codegen-able sum chain guarded by a size
+    check (see :func:`_unrolled_guard`); identical results, ~order of
+    magnitude faster than the interpreted aggregate/zip_with fold."""
     if dialect == "spark":
-        return (
+        fold = (
             f"aggregate(zip_with({a}, {b},"
             f" (x, y) -> cast(x as double) * cast(y as double)),"
             f" cast(0.0 as double), (acc, v) -> acc + v)"
         )
+        if dim:
+            terms = " + ".join(
+                f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
+                for i in range(dim)
+            )
+            return _unrolled_guard(
+                a, b, dim, f"(cast(0.0 as double) + {terms})", fold
+            )
+        return fold
     return (
         f"list_sum(list_transform(range(1, len({a}) + 1),"
         f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
@@ -238,17 +294,28 @@ def jaccard_micro_sql(nc: str, union: str, dialect: str) -> str:
     return f"((2000000 * {nc} + {union}) {op} (2 * {union}))"
 
 
-def l2sq_expr(a: str, b: str, dialect: str) -> str:
+def l2sq_expr(a: str, b: str, dialect: str, dim: int | None = None) -> str:
     """Squared L2 distance of two float arrays, summed in index order
     in both dialects so the IEEE result is bit-identical cross-engine
-    (the dot_expr contract, applied to residuals)."""
+    (the dot_expr contract, applied to residuals).  ``dim``: see
+    :func:`dot_expr` — unrolled codegen form, identical results."""
     if dialect == "spark":
-        return (
+        fold = (
             f"aggregate(zip_with({a}, {b},"
             f" (x, y) -> (cast(x as double) - cast(y as double))"
             f" * (cast(x as double) - cast(y as double))),"
             f" cast(0.0 as double), (acc, v) -> acc + v)"
         )
+        if dim:
+            terms = " + ".join(
+                f"(cast({a}[{i}] as double) - cast({b}[{i}] as double))"
+                f" * (cast({a}[{i}] as double) - cast({b}[{i}] as double))"
+                for i in range(dim)
+            )
+            return _unrolled_guard(
+                a, b, dim, f"(cast(0.0 as double) + {terms})", fold
+            )
+        return fold
     return (
         f"list_sum(list_transform(range(1, len({a}) + 1),"
         f" i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"

@@ -34,11 +34,17 @@ NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 # Below this input size the double-compute a lazy persist risks is cheaper
 # than the extra materialization job, so the eager count() is skipped.
-# (2 MB ≈ the driver gate's sf0.01 corpus stays lazy — gate latency —
-# while bench/production sizes materialize eagerly; the signature
-# relations explode to many times the input size, so the threshold is
-# deliberately small.)
-EAGER_BYTES = 2 * 1024 * 1024
+# The gate corpora (sf0.001/sf0.01 documents ≈ 65 KB) stay lazy — gate
+# latency — while bench/production sizes materialize eagerly; the
+# signature relations explode to many times the input size, so the
+# threshold is deliberately small.
+# Optimization r12: was 2 MB, which silently left the sf0.1 bench
+# corpus (documents 584 KB, embeddings 780 KB) on the LAZY path — both
+# sides of every signature self-join scheduled before the cache
+# filled, so the md5/shingle/bucket expressions ran ~2×.  200 KB keeps
+# the gate trade and restores the designed eager path for
+# bench/production inputs (before/after numbers in OPTIMIZATION_r12.md).
+EAGER_BYTES = 200 * 1024
 EAGER_ROWS = 20_000
 
 _PERSISTED: list[DataFrame] = []
@@ -377,6 +383,17 @@ class ConvergenceError(RuntimeError):
 # Bucket the CC edge relation when it is at least this many rows:
 # below, re-shuffling edges each round is cheaper than a table write.
 CC_COLOCATE_MIN_EDGES = 25_000_000
+# Broadcast the per-round LABEL relation when the (edges ∪ self-loops)
+# row count is at most this (labels ≤ nodes ≤ that count): the label
+# side is then shipped instead of shuffled, so a round is ONE exchange
+# (the aggregate) rather than four (SMJ both sides + agg + hop join).
+# ~1M label rows ≈ tens of MB framed — routine broadcast territory on
+# any cluster; beyond it the shuffle/co-locate paths take over, so the
+# threshold is a join-strategy pivot (guide §3.1), not a local[32]
+# tune.  Env-overridable for production sizing.
+CC_BROADCAST_MAX_EDGES = int(
+    os.environ.get("FACONNE_CC_BROADCAST_MAX_EDGES", str(1_000_000))
+)
 _CC_TABLE_SEQ = [0]
 
 
@@ -427,23 +444,49 @@ def connected_components(
         )
     from pyspark.sql import Observation
 
-    undirected = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .distinct()
-    )
-    nodes = undirected.select(F.col("src").alias("node")).distinct()
+    # Optimization r12 (guide §2.4): the old entry built undirected
+    # edges (union + distinct), then nodes (second distinct), then
+    # unioned self-loops — three exchanges and two scans of the pair
+    # build before the loop even starts.  One explode emits both
+    # directions AND both self-loops per pair; a single distinct
+    # dedups everything (self-loops repeat across pairs) — identical
+    # edge set, one exchange, one scan of the pair build.
     obs_edges = Observation()
     edges = _checkpoint(
-        undirected.union(
-            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-        ).observe(obs_edges, F.count(F.lit(1)).alias("n"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .observe(obs_edges, F.count(F.lit(1)).alias("n"))
     )
     n_edges = obs_edges.get["n"] or 0
     if co_locate is None:
         co_locate = n_edges >= CC_COLOCATE_MIN_EDGES
+    # Optimization r12 (guide §3.1/§2.4): on small-to-medium graphs the
+    # label relation fits a broadcast, which removes BOTH shuffles of
+    # the per-round SMJ (edges side AND labels side) and the hop join's
+    # exchange — each round becomes edge-scan → BHJ → one aggregate
+    # exchange.  The threshold keys off the observed edge count (known
+    # free from the checkpoint), so the decision is input-adaptive, not
+    # a local-mode constant; big graphs keep the shuffle/co-locate
+    # paths unchanged.
+    bcast_labels = (not co_locate) and 0 < n_edges <= CC_BROADCAST_MAX_EDGES
     scratch_table = None
     spark = pairs.sparkSession
     if co_locate:
@@ -470,12 +513,23 @@ def connected_components(
             )
         )
         changed = -1
-        for _ in range(max_iter):
-            # 1. fused neighbour-min: one join + one aggregate gives the
-            # new label AND the previous one (the self-loop's dst = src
-            # row carries the node's own current label)
+
+        def _propagate(cur):
+            """One fused propagate round (neighbour-min + pointer jump)
+            as a LAZY plan over ``cur`` labels: one join + one
+            aggregate gives the new label AND the node's pre-round
+            label (the self-loop's dst = src row).  The hop side is
+            NOT broadcast even when labels are: stepped ends in the
+            aggregate's shuffle exchange, and a plain self-join keyed
+            on the same attribute REUSES that exchange (one compute of
+            stepped per round); a broadcast hop would rebuild the
+            stepped subtree inside the broadcast exchange instead.
+            (A second hop per round — l∘l∘l — was tried and measured:
+            round count stayed 9 on the sf0.1 simhash graph, so it was
+            reverted.)"""
+            lab = F.broadcast(cur) if bcast_labels else cur
             stepped = (
-                edges.join(labels, edges.dst == labels.node)
+                edges.join(lab, edges.dst == lab.node)
                 .groupBy(F.col("src").alias("node"))
                 .agg(
                     F.min("label").alias("label"),
@@ -484,12 +538,10 @@ def connected_components(
                     ).alias("prev"),
                 )
             )
-            # 2. pointer jump: label ← label(label)
             hop = stepped.select(
                 F.col("node").alias("jnode"), F.col("label").alias("jlabel")
             )
-            obs = Observation()
-            new_labels = _checkpoint(
+            return (
                 stepped.join(hop, stepped.label == hop.jnode, "left")
                 .select(
                     "node",
@@ -498,13 +550,36 @@ def connected_components(
                     ).alias("label"),
                     "prev",
                 )
-                .observe(
+            )
+
+        # Optimization r12: TWO propagate rounds per materialization
+        # barrier.  Each round used to be its own checkpoint+observe
+        # job (the convergence count needs an action), so a
+        # 9-round graph paid 9 job launches of pure scheduling
+        # overhead on small graphs — and 9 barriers at any scale.
+        # Labels are monotone non-increasing, so "the SECOND round of
+        # a block changed nothing" is exactly the old per-round
+        # convergence criterion, observed every other round; the
+        # block's intermediate round stays a lazy plan (lineage is
+        # still truncated at every checkpoint, now two rounds deep).
+        # Work past convergence is unchanged: the old loop also paid
+        # one full confirming round.
+        rounds_done = 0
+        while rounds_done < max_iter:
+            inner = 2 if max_iter - rounds_done >= 2 else 1
+            cur = labels
+            for _ in range(inner):
+                cur = _propagate(cur.select("node", "label"))
+            obs = Observation()
+            new_labels = _checkpoint(
+                cur.observe(
                     obs,
                     F.sum(
                         F.expr("case when label != prev then 1 else 0 end")
                     ).alias("changed"),
                 )
             )
+            rounds_done += inner
             changed = obs.get["changed"] or 0
             labels = new_labels.select("node", "label")
             if changed == 0:
@@ -562,6 +637,10 @@ def containment_pairs(
     # (df counts occurrences, so the list may repeat a doc_id), and the
     # sorted-distinct list makes position order = id order, giving the
     # strict id_a < id_b the old join predicate enforced.
+    # (Optimization r12 note: a single groupBy(s) computing df AND the
+    # posting list would save the df join, but it collects lists for
+    # HOT shingles before filtering — unbounded per-group state at
+    # corpus scale.  The two-phase shape stays; measured instead.)
     cand = (
         rare.groupBy("s")
         .agg(F.expr(POSTING_IDS).alias("ids"))
@@ -606,6 +685,11 @@ def pair_graph_stats(pairs: DataFrame) -> DataFrame:
     groupBy."""
     e = pairs.select("id_a", "id_b").distinct()
     e = _persist_sig(e, pairs)
+    # Optimization r12 (guide §3.1): broadcast the closing edge list
+    # when small (adaptive; the count warms the persisted relation) so
+    # the wedge stream is not re-shuffled — same shape as
+    # triangle_counts.
+    bcast = 0 < e.count() <= CC_BROADCAST_MAX_EDGES
     deg = (
         e.select(F.col("id_a").alias("n")).union(
             e.select(F.col("id_b").alias("n"))
@@ -622,8 +706,9 @@ def pair_graph_stats(pairs: DataFrame) -> DataFrame:
             F.col("y.id_b").alias("c"),
         )
     )
+    closing = F.broadcast(e.alias("z")) if bcast else e.alias("z")
     tri = wedges.join(
-        e.alias("z"),
+        closing,
         (F.col("a") == F.col("z.id_a")) & (F.col("c") == F.col("z.id_b")),
     )
     return (
@@ -782,16 +867,24 @@ def pagerank_micro(pairs: DataFrame, iters: int = 3) -> DataFrame:
         edges,
     )
     base = PR_MICRO * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    # Optimization r12 (guide §3.1): the per-iteration score relation is
+    # node-sized; when the (persisted) edge relation is small enough the
+    # scores broadcast, so each iteration's contribution join stops
+    # shuffling the edges — one aggregate exchange per round instead of
+    # three.  The count() runs on the already-persisted edges (it doubles
+    # as the eager cache warm before the loop); input-adaptive, big
+    # graphs keep the shuffle path unchanged.
+    bcast = 0 < edges.count() <= CC_BROADCAST_MAX_EDGES
     p = nodes.withColumn("p", F.lit(PR_MICRO).cast("long"))
     for _ in range(iters):
-        contrib = edges.join(
-            p.select(
-                F.col("doc_id").alias("src"),
-                F.expr("p div degree").alias("c"),
-            ),
-            "src",
+        pc = p.select(
+            F.col("doc_id").alias("src"),
+            F.expr("p div degree").alias("c"),
         )
+        contrib = edges.join(F.broadcast(pc) if bcast else pc, "src")
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        if bcast:
+            sums = F.broadcast(sums)
         p = (
             nodes.join(sums, nodes.doc_id == sums.dst, "left")
             .select(
@@ -827,26 +920,29 @@ def lpa_communities(pairs: DataFrame, iters: int = 3) -> DataFrame:
     as :func:`pagerank_micro`, with a fixed small round count."""
     if iters < 1:
         raise ValueError(f"lpa_communities needs iters >= 1, got {iters}")
-    from pyspark.sql import Window
 
     edges = _doubled_edges(pairs)
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("lbl")
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("c").desc(), F.col("lbl").asc()
-    )
+    # Optimization r12: adaptive label broadcast (same rationale and
+    # threshold as pagerank_micro — the count doubles as the eager edge
+    # cache warm), and the per-node argmax as max_by instead of a
+    # row_number window: identical pick rule (max count, then min
+    # label) but hash-aggregated with map-side partials — no per-node
+    # sort, and the (node,label) relation never re-shuffles for a
+    # window.
+    bcast = 0 < edges.count() <= CC_BROADCAST_MAX_EDGES
     for _ in range(iters):
+        lc = labels.select(F.col("doc_id").alias("src"), "lbl")
         freq = (
-            edges.join(
-                labels.select(F.col("doc_id").alias("src"), "lbl"), "src"
-            )
+            edges.join(F.broadcast(lc) if bcast else lc, "src")
             .groupBy(F.col("dst").alias("doc_id"), "lbl")
             .agg(F.count("*").alias("c"))
         )
         labels = (
-            freq.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            freq.groupBy("doc_id")
+            .agg(F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl"))
             .select("doc_id", "lbl")
         )
     return labels.groupBy(F.col("lbl").alias("community")).agg(
@@ -976,13 +1072,19 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).distinct()
     e = _persist_sig(e, pairs)
+    # Optimization r12 (guide §3.1): the closing edge list is
+    # edge-sized; broadcasting it (input-adaptive — the count warms the
+    # persisted relation it would materialize anyway) spares the wedge
+    # stream the (a, c) re-shuffle, the widest relation in the plan.
+    bcast = 0 < e.count() <= CC_BROADCAST_MAX_EDGES
+    closing = e.select(F.col("a"), F.col("b").alias("c"))
+    if bcast:
+        closing = F.broadcast(closing)
     # wedge a-b-c with a < b < c: edges (a,b) and (b,c)
     ab = e.select(F.col("a"), F.col("b"))
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = ab.join(bc, "b")
-    closed = wedges.join(
-        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
-    )
+    closed = wedges.join(closing, ["a", "c"])
     per_node = (
         closed.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
         .groupBy("doc_id")
@@ -1370,11 +1472,19 @@ def kcore_nodes(
     )
     edges = _checkpoint(und)
     n_edges = edges.count()
+    # Optimization r12 (guide §3.1): the per-round survivor set is
+    # node-sized; broadcasting it turns both semi-joins into BHJs so
+    # the (checkpointed) edge relation is never re-shuffled inside a
+    # round — one exchange (the degree groupBy) instead of three.
+    # Input-adaptive via the edge count the peel already tracks.
+    bcast = n_edges <= CC_BROADCAST_MAX_EDGES
     for _ in range(max_iter):
         if n_edges == 0:
             break
         deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src")
+        if bcast:
+            keep = F.broadcast(keep)
         pruned = edges.join(keep, "src", "left_semi").join(
             keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
         )
@@ -1452,7 +1562,20 @@ def ra_link_prediction(
     from pyspark.sql import Window
 
     edges = _doubled_edges(pairs)
+    # Optimization r12 (guide §3.1): the degree relation is node-sized
+    # and the direct-edge exclusion list is edge-sized; when the
+    # (persisted) edge relation is small both broadcast, so the wedge
+    # stream is never re-shuffled for them — the count doubles as the
+    # eager cache warm; big graphs keep the shuffle path.
+    bcast = 0 < edges.count() <= CC_BROADCAST_MAX_EDGES
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    wdeg = deg.select(F.col("src").alias("w"), "deg")
+    direct = pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    if bcast:
+        wdeg, direct = F.broadcast(wdeg), F.broadcast(direct)
     wedge = (
         edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
         .join(
@@ -1460,7 +1583,7 @@ def ra_link_prediction(
             "w",
         )
         .filter(F.col("a") < F.col("b"))
-        .join(deg.select(F.col("src").alias("w"), "deg"), "w")
+        .join(wdeg, "w")
     )
     cand = (
         wedge.groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
@@ -1470,14 +1593,7 @@ def ra_link_prediction(
                 F.expr(f"cast(round({RA_MICRO}.0 / deg) as bigint)")
             ).alias("__sm"),
         )
-        .join(
-            pairs.select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-            ),
-            ["id_a", "id_b"],
-            "left_anti",
-        )
+        .join(direct, ["id_a", "id_b"], "left_anti")
     )
     both = cand.unionByName(
         cand.select(
@@ -1523,7 +1639,19 @@ def jaccard_link_prediction(
     from pyspark.sql import Window
 
     edges = _doubled_edges(pairs)
+    # Optimization r12: same adaptive broadcasts as ra_link_prediction
+    # (degree twice + the direct-edge anti-join list) — the candidate
+    # relation is never re-shuffled for node-sized lookups.
+    bcast = 0 < edges.count() <= CC_BROADCAST_MAX_EDGES
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("src").alias("id_a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("src").alias("id_b"), F.col("deg").alias("_db"))
+    direct = pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    if bcast:
+        da, db, direct = F.broadcast(da), F.broadcast(db), F.broadcast(direct)
     wedge = (
         edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
         .join(
@@ -1535,16 +1663,9 @@ def jaccard_link_prediction(
     cand = (
         wedge.groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
-        .join(
-            pairs.select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-            ),
-            ["id_a", "id_b"],
-            "left_anti",
-        )
-        .join(deg.select(F.col("src").alias("id_a"), F.col("deg").alias("_da")), "id_a")
-        .join(deg.select(F.col("src").alias("id_b"), F.col("deg").alias("_db")), "id_b")
+        .join(direct, ["id_a", "id_b"], "left_anti")
+        .join(da, "id_a")
+        .join(db, "id_b")
         .withColumn(
             "__jm",
             F.expr(

@@ -53,6 +53,21 @@ def cosine_topk(
     )
 
 
+def _plane_sign(p: int, d: int) -> float:
+    """±1.0 weight of hyperplane ``p`` at coordinate ``d`` — the exact
+    value the SQL expression ``(phash60('p{p}d{d}') % 2) * 2.0 - 1.0``
+    computes: phash60 is the first 15 hex digits of md5, identical in
+    hashlib.  (Kept as the test oracle for the hyperplane parity; an
+    r12 attempt to inline these as literals in an unrolled bucket
+    expression was MEASURED SLOWER — 4 planes × 64 terms in one
+    projection exceeds what the JIT will compile, the same failure
+    class as the unrolled cosine — and was reverted.)"""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{p}d{d}".encode()).hexdigest()[:15], 16)
+    return float((h % 2) * 2 - 1)
+
+
 def lsh_bucket_expr(emb: str, n_planes: int, dim: int, dialect: str) -> str:
     """Sign-bit LSH bucket id: ``n_planes`` pseudo-random hyperplanes
     whose weights are ±1 from the parity of phash60('p{p}d{d}') — fully
@@ -379,7 +394,7 @@ def pq_topk(
             "vec_id",
             "s",
             "c",
-            F.round(F.expr(dot_expr("subv", "centvec", "spark")), 6).alias("d"),
+            F.round(F.expr(dot_expr("subv", "centvec", "spark", dim=sub)), 6).alias("d"),
         )
         .groupBy("vec_id", "s")
         .agg(F.expr("max_by(c, struct(d, -c))").alias("code"))
@@ -392,7 +407,7 @@ def pq_topk(
             "q_id",
             "s",
             F.col("c").alias("code"),
-            F.round(F.expr(dot_expr("qsub", "centvec", "spark")), 6).alias("t"),
+            F.round(F.expr(dot_expr("qsub", "centvec", "spark", dim=sub)), 6).alias("t"),
         )
     )
     scored = (
@@ -463,7 +478,7 @@ def ivf_pq_topk(
         subvecs.join(pq_cent, "s")
         .select(
             "vec_id", "s", "c",
-            F.round(F.expr(dot_expr("subv", "centvec", "spark")), 6).alias("d"),
+            F.round(F.expr(dot_expr("subv", "centvec", "spark", dim=sub)), 6).alias("d"),
         )
         .groupBy("vec_id", "s")
         .agg(F.expr("max_by(c, struct(d, -c))").alias("code"))
@@ -486,7 +501,7 @@ def ivf_pq_topk(
     lut = F.broadcast(
         qsubs.join(pq_cent, "s").select(
             "q_id", "s", F.col("c").alias("code"),
-            F.round(F.expr(dot_expr("qsub", "centvec", "spark")), 6).alias("t"),
+            F.round(F.expr(dot_expr("qsub", "centvec", "spark", dim=sub)), 6).alias("t"),
         )
     )
     cand = assigned.join(probes, "list_id").filter(
@@ -974,7 +989,7 @@ def pq_distortion(
             "vec_id",
             "s",
             "subv",
-            F.round(F.expr(dot_expr("subv", "centvec", "spark")), 6).alias("d"),
+            F.round(F.expr(dot_expr("subv", "centvec", "spark", dim=sub)), 6).alias("d"),
             F.col("c"),
             F.col("centvec"),
         )

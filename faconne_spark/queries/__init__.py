@@ -110,6 +110,23 @@ _CHANGED_THIS_ROUND = [
     #    of ship lag on priority (asymmetric ordinal effect size) --
     "events_daily_blomqvist_beta",
     "orders_priority_shiplag_somers_d",
+    # -- changed in r12 OPTIMIZATION (OPTIMIZATION_r12.md): plan-snapshot
+    #    drift from the wave-1 optimizations — unrolled fixed-width dot
+    #    product (aggregate-function text), CC broadcast-label rounds +
+    #    fused entry + 2-round blocks, adaptive graph-op broadcasts, and
+    #    the shared-session materialization artifacts they leave in
+    #    downstream snapshots (assortativity, training_manifest).
+    #    Results are oracle-identical (canon re-proven); the fresh
+    #    driver rows re-prove them independently. --
+    "ann_panel_epsilon_degree",
+    "copurchase_degree_assortativity",
+    "dedup_cascade",
+    "dedup_keep_best",
+    "dup_graph_lpa",
+    "dup_graph_pagerank",
+    "part_copurchase_jaccard",
+    "part_copurchase_ra",
+    "training_manifest",
     # -- changed in r12: turning-points E/Var rewritten from bare
     #    decimal literals (Spark DECIMAL division truncates at scale 6
     #    before the sqrt — latent 6th-digit flip found by the new
@@ -167,7 +184,6 @@ _REST = [
     "docs_word_bigram_cond_entropy",
     "docs_word_length_profile",
     "mm_png_channel_stats",
-    "ann_panel_epsilon_degree",
     "embed_dim_kurtosis",
     "orders_status_priority_cramers_v",
     "docs_vocab_chao1_unseen",
@@ -218,8 +234,7 @@ _REST = [
     "pk_duplicate_audit", "docs_hash_uniformity_chi2",
     "events_interarrival_cv", "events_changepoint_binary",
     "events_dow_type_decomp", "events_kmv_precision_sweep",
-    "brand_price_volume_decomp", "copurchase_degree_assortativity",
-    "docs_prefix_boilerplate", "embed_cosine_pair_histogram",
+    "brand_price_volume_decomp", "docs_prefix_boilerplate", "embed_cosine_pair_histogram",
     "docs_source_vocab_overlap", "part_brand_type_mi",
     "supplier_balance_mad_outliers", "dup_pairs_transitivity",
     "events_markov_stationary", "ann_mrr_eval", "docs_perplexity_buckets",
@@ -247,18 +262,16 @@ _REST = [
     "customer_order_golden", "customer_fs_scores",
     "orders_basket_confidence", "part_skyline_by_brand", "docs_vocab_kmv",
     "events_auc_purchase", "events_value_bootstrap", "events_ks_value_drift",
-    "docs_rater_kappa", "part_copurchase_kcore", "part_copurchase_ra",
-    "events_day_concurrency", "ann_rrf_fusion", "events_benford",
+    "docs_rater_kappa", "part_copurchase_kcore", "events_day_concurrency", "ann_rrf_fusion", "events_benford",
     "events_quantile_normalize", "events_type_value_mi",
     "events_type_entropy", "events_active_users_rollup", "events_pr_auc",
     "docs_reliability_curve", "dedup_changefeed", "events_purchase_rate_ci",
-    "events_ab_srm", "part_copurchase_jaccard", "dedup_simhash_hamming_hist",
+    "events_ab_srm", "dedup_simhash_hamming_hist",
     "events_chi2_type_dow", "dedup_lsh_banding_sweep",
     "events_new_vs_returning", "dup_cluster_source_mix",
     "events_topk_user_churn", "embed_pq_distortion", "orders_basket_chi2",
     "lineitem_return_rate_ci", "events_retention_ci", "fac_campus_report",
-    "fac_expand_aggs", "dedup_stitch", "training_manifest", "dedup_cascade",
-    "quality_feature_cov", "events_ab_test", "customer_fuzzy_matches",
+    "fac_expand_aggs", "dedup_stitch", "quality_feature_cov", "events_ab_test", "customer_fuzzy_matches",
     "embed_pca_gramian", "dedup_semantic", "text_tokenizer_fertility",
     "docs_ngram_novelty", "docs_cdc_chunks", "docs_token_cms_topk",
     "docs_dsir_resample", "dedup_cdc", "events_ab_sequential",
@@ -271,15 +284,15 @@ _REST = [
     "ann_nprobe_sweep", "events_conversion_lag", "events_anomaly_seasonal",
     "orders_revenue_gini", "events_sessionize", "events_audience_overlap",
     "orders_basket_lift", "part_skyline", "embed_diversity",
-    "events_range_partition_plan", "dup_graph_lpa", "mm_scene_cuts",
+    "events_range_partition_plan", "mm_scene_cuts",
     "text_gopher_rules", "docs_importance_weights", "docs_bpe_pair_counts",
     "events_fill_forward", "dup_graph_triangles", "events_incremental_stats",
     "dedup_minhash_pr", "text_boilerplate_segments", "pack_training_chunks",
     "docs_chunk_overlap", "docs_bigram_logprob", "contamination_embedding",
     "sample_temperature", "events_anomaly_mad", "scd2_customer_merge",
-    "dedup_keep_best", "docs_zipf_slope", "events_zorder_key",
+    "docs_zipf_slope", "events_zorder_key",
     "mm_audio_stats", "customer_ltv_cohorts", "events_path_ngrams",
-    "embed_quantize_int8", "dup_graph_pagerank", "ann_hard_negatives",
+    "embed_quantize_int8", "ann_hard_negatives",
     "ann_recall_eval", "text_readability", "dedup_minhash_calibration",
     "embed_threshold_sweep", "join_skew_report", "corpus_snapshot_diff",
     "events_attribution", "mm_resize", "mm_image_meta", "mm_frame_sample",

@@ -1270,7 +1270,7 @@ def embed_anisotropy_panel(spark, sf):
 
     emb = T(spark, sf, "embeddings").select(
         "vec_id", "embedding",
-        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+        F.expr(dot_expr("embedding", "embedding", "spark", dim=64)).alias("nn"),
     )
     panel = sample_panel(emb, "vec_id", ANISO_PANEL_N, salt="aniso")
     a = panel.select(
@@ -1284,7 +1284,7 @@ def embed_anisotropy_panel(spark, sf):
     pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
         F.expr(
             "cast(round(("
-            + dot_expr("ea", "eb", "spark")
+            + dot_expr("ea", "eb", "spark", dim=64)
             + ") / nullif(sqrt(na) * sqrt(nb), 0.0) * 1000000, 0)"
             " as bigint)"
         ).alias("cos_micro")

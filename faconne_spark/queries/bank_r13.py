@@ -1105,7 +1105,7 @@ def embed_panel_margin_stats(spark, sf):
 
     emb = T(spark, sf, "embeddings").select(
         "vec_id", "label", "embedding",
-        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+        F.expr(dot_expr("embedding", "embedding", "spark", dim=64)).alias("nn"),
     )
     panel = sample_panel(emb, "vec_id", MARGIN_PANEL_N, salt="margin")
     a = panel.selectExpr(
@@ -1121,7 +1121,7 @@ def embed_panel_margin_stats(spark, sf):
             "ia", "la", "lb",
             F.expr(
                 "cast(round(("
-                + dot_expr("ea", "eb", "spark")
+                + dot_expr("ea", "eb", "spark", dim=64)
                 + ") / (sqrt(na) * sqrt(nb)) * 1000000, 0) as bigint)"
             ).alias("cm"),
         )
@@ -1673,7 +1673,7 @@ def embed_norm_label_icc(spark, sf):
         "label",
         F.expr(
             "cast(round(sqrt("
-            + dot_expr("embedding", "embedding", "spark")
+            + dot_expr("embedding", "embedding", "spark", dim=64)
             + ") * 1000000, 0) as bigint)"
         ).alias("v"),
     )

@@ -964,7 +964,7 @@ def ann_panel_epsilon_degree(spark, sf):
 
     emb = T(spark, sf, "embeddings").select(
         "vec_id", "embedding",
-        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+        F.expr(dot_expr("embedding", "embedding", "spark", dim=64)).alias("nn"),
     )
     q = sample_panel(emb, "vec_id", EPS_PANEL_N, salt="eps").select(
         F.col("vec_id").alias("q_id"),
@@ -979,7 +979,7 @@ def ann_panel_epsilon_degree(spark, sf):
             F.sum(
                 F.expr(
                     "case when cast(round(("
-                    + dot_expr("embedding", "q_emb", "spark")
+                    + dot_expr("embedding", "q_emb", "spark", dim=64)
                     + ") / nullif(sqrt(nn) * sqrt(q_nn), 0.0) * 1000000,"
                     " 0) as bigint) >= " + str(EPS_TAU_MICRO)
                     + " then 1 else 0 end"

@@ -835,7 +835,7 @@ def embed_panel_knn_reciprocity(spark, sf):
 
     emb = T(spark, sf, "embeddings").select(
         "vec_id", "embedding",
-        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+        F.expr(dot_expr("embedding", "embedding", "spark", dim=64)).alias("nn"),
     )
     panel = sample_panel(emb, "vec_id", KNN_PANEL_N, salt="knn")
     a = panel.select(
@@ -853,7 +853,7 @@ def embed_panel_knn_reciprocity(spark, sf):
             "ia", "ib",
             F.expr(
                 "cast(round(("
-                + dot_expr("ea", "eb", "spark")
+                + dot_expr("ea", "eb", "spark", dim=64)
                 + ") / (sqrt(na) * sqrt(nb)) * 1000000, 0) as bigint)"
             ).alias("cm"),
         )

@@ -1211,7 +1211,7 @@ def embed_cosine_pair_histogram(spark, sf):
     sample = sample_panel(emb, "vec_id", COS_PANEL_N, salt="cs").select(
         "vec_id", "embedding",
         F.expr(
-            f"sqrt({dot_expr('embedding', 'embedding', 'spark')})"
+            f"sqrt({dot_expr('embedding', 'embedding', 'spark', dim=64)})"
         ).alias("nrm"),
     )
     a = sample.select(
@@ -1230,7 +1230,7 @@ def embed_cosine_pair_histogram(spark, sf):
         .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
             F.expr(
-                f"({dot_expr('ea', 'eb', 'spark')}) / (na * nb)"
+                f"({dot_expr('ea', 'eb', 'spark', dim=64)}) / (na * nb)"
             ).alias("cos")
         )
         .select(

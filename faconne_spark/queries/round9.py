@@ -733,7 +733,7 @@ def ann_hubness(spark, sf):
     # bit-for-bit before the 6-dp round
     emb = T(spark, sf, "embeddings").select(
         "vec_id", "embedding",
-        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+        F.expr(dot_expr("embedding", "embedding", "spark", dim=64)).alias("nn"),
     )
     q = sample_panel(emb, "vec_id", HUB_PANEL_N, salt="hub").select(
         F.col("vec_id").alias("q_id"),
@@ -748,7 +748,7 @@ def ann_hubness(spark, sf):
             F.round(
                 F.expr(
                     "("
-                    + dot_expr("embedding", "q_emb", "spark")
+                    + dot_expr("embedding", "q_emb", "spark", dim=64)
                     + ") / nullif(sqrt(nn) * sqrt(q_nn), 0.0)"
                 ),
                 6,
@@ -849,7 +849,7 @@ def embed_twonn_intrinsic_dim(spark, sf):
     # and the oracle mirrors the same decomposition text
     emb = T(spark, sf, "embeddings").select(
         "vec_id", "embedding",
-        F.expr(dot_expr("embedding", "embedding", "spark")).alias("nn"),
+        F.expr(dot_expr("embedding", "embedding", "spark", dim=64)).alias("nn"),
     )
     q = sample_panel(emb, "vec_id", TWONN_PANEL_N, salt="twonn").select(
         F.col("vec_id").alias("q_id"),
@@ -863,7 +863,7 @@ def embed_twonn_intrinsic_dim(spark, sf):
             "q_id", "vec_id",
             F.expr(
                 "(nn + q_nn) - 2 * ("
-                + dot_expr("embedding", "q_emb", "spark")
+                + dot_expr("embedding", "q_emb", "spark", dim=64)
                 + ")"
             ).alias("d2"),
         )
