@@ -169,6 +169,34 @@ def simhash32(toks: str, dialect: str) -> str:
     return simhash_bits(toks, 32, dialect)
 
 
+def sqnorm_expr(a: str, dialect: str, dim: int | None = None) -> str:
+    """Squared L2 norm as ``dot_expr(a, a)`` — the SAME fold text (and
+    the same guarded unrolled form when ``dim`` is given), so
+    ``sqrt(sqnorm_expr(a))`` is bit-identical to the norm factor inside
+    :func:`cosine_sim`."""
+    return dot_expr(a, a, dialect, dim)
+
+
+def cosine_from_norms(
+    a: str, b: str, nn_a: str, nn_b: str, dim: int | None = None
+) -> str:
+    """Cosine similarity given PRECOMPUTED squared norms (spark
+    dialect): ``dot(a,b) / nullif(sqrt(nn_a) * sqrt(nn_b), 0.0)``.
+
+    Bit-identical to :func:`cosine_sim`: the dot is the same fold (or
+    the same guarded unrolled chain), and cosine_sim's denominator is
+    literally ``sqrt(Σv²) * sqrt(Σv²)`` of the two per-side folds —
+    precomputing Σv² per ROW (instead of per PAIR) changes where the
+    norm is evaluated, not one IEEE operation in it.  This is the
+    optimization-r12 pattern for the pair-stage operators: per-pair
+    work drops from three 64-element folds to one ≤64-term codegen
+    chain + a divide, and every generated method stays under the JIT
+    size ceiling (the single-expression unrolled cosine_sim exceeded
+    it and ran SLOWER — see OPTIMIZATION_r12.md)."""
+    dot = dot_expr(a, b, "spark", dim)
+    return f"({dot}) / nullif(sqrt({nn_a}) * sqrt({nn_b}), 0.0)"
+
+
 def cosine_sim(a: str, b: str, dialect: str, dim: int | None = None) -> str:
     """Cosine similarity of two float-array columns.  ``dim``: see
     :func:`dot_expr` — all three folds (dot + both norms) unroll into

@@ -244,17 +244,22 @@ def embedding_cosine_pairs(
     skew-join splits any hot bucket.
     """
     from faconne_spark.operators.similarity import lsh_bucket_expr
+    from faconne_spark.functions import cosine_from_norms, sqnorm_expr
 
     bucket = lsh_bucket_expr("embedding", n_planes, dim, "spark")
-    bucketed = _persist_sig(  # dot-product bucketing runs once, not per side
+    # Optimization r12 (guide §2.3): the squared norm is computed ONCE
+    # per vector into the persisted bucket relation, so the pair stage
+    # pays one dot + divide instead of three folds per pair
+    # (cosine_from_norms is bit-identical to the old cosine_sim fold)
+    bucketed = _persist_sig(  # bucketing + norm run once, not per side
         spread(emb).select(
-            "vec_id", "embedding", F.expr(bucket).alias("bucket")
+            "vec_id", "embedding", F.expr(bucket).alias("bucket"),
+            F.expr(sqnorm_expr("embedding", "spark", dim=dim)).alias("nn"),
         ),
         emb,
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    from faconne_spark.functions import cosine_sim
 
     return (
         a.join(
@@ -266,7 +271,9 @@ def embedding_cosine_pairs(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(
-                F.expr(cosine_sim("a.embedding", "b.embedding", "spark")), 6
+                F.expr(cosine_from_norms(
+                    "a.embedding", "b.embedding", "a.nn", "b.nn", dim=dim
+                )), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -1004,13 +1011,19 @@ def semantic_dedup(
     6-dp rounded cosine and min-id keeper rule as the other dedup
     operators, so the DuckDB oracle replays it bit-identically.
     """
-    from faconne_spark.functions import cosine_sim
+    from faconne_spark.functions import cosine_from_norms, sqnorm_expr
     from faconne_spark.operators.similarity import kmeans_assign
 
     if nlist is None:
         nlist = derive_nlist(emb.count(), target_cluster_rows)
+    # Optimization r12 (guide §2.3): squared norm computed once into the
+    # persisted assignment, pair stage = one dot + divide
+    # (cosine_from_norms — bit-identical to the old cosine_sim fold)
     assign = _persist_sig(
-        kmeans_assign(emb, nlist, iters), emb
+        kmeans_assign(emb, nlist, iters).withColumn(
+            "nn", F.expr(sqnorm_expr("embedding", "spark", dim=64))
+        ),
+        emb,
     )
     a, b = assign.alias("a"), assign.alias("b")
     losses = (
@@ -1023,7 +1036,9 @@ def semantic_dedup(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("other"),
             F.round(
-                F.expr(cosine_sim("a.embedding", "b.embedding", "spark")), 6
+                F.expr(cosine_from_norms(
+                    "a.embedding", "b.embedding", "a.nn", "b.nn", dim=64
+                )), 6
             ).alias("sim"),
         )
         .filter(F.col("sim") >= tau)

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from faconne_spark.functions import cosine_sim, phash60
+from faconne_spark.functions import (
+    cosine_from_norms,
+    cosine_sim,
+    phash60,
+    sqnorm_expr,
+)
 from faconne_spark.session import spread
 
 
@@ -26,12 +31,21 @@ def cosine_topk(
     vec_id for determinism; similarity rounded so float summation-order
     differences can't flip the oracle comparison.
     """
+    # Optimization r12 (guide §2.3): squared norms precomputed once per
+    # ROW, per-pair work = one unrolled dot + divide (cosine_from_norms
+    # is bit-identical to the old per-pair cosine_sim fold — see its
+    # docstring)
+    nn = sqnorm_expr("embedding", "spark", dim=64)
     q = F.broadcast(
         queries.select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.expr(nn).alias("q_nn"),
         )
     )
-    c = spread(corpus).select("vec_id", "embedding")
+    c = spread(corpus).select(
+        "vec_id", "embedding", F.expr(nn).alias("nn")
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -39,7 +53,12 @@ def cosine_topk(
             "q_id",
             "vec_id",
             F.round(
-                F.expr(cosine_sim("embedding", "q_emb", "spark")), 6
+                F.expr(
+                    cosine_from_norms(
+                        "embedding", "q_emb", "nn", "q_nn", dim=64
+                    )
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -110,6 +129,13 @@ def ivf_topk(
     is ``list_id`` (corpus shuffles once, by cell), and recall/cost is
     tuned by nlist/nprobe exactly as in FAISS-style deployments.
     """
+    # (Optimization r12 note: the norm-precompute/unrolled-dot rewrite
+    # was applied here and MEASURED SLOWER — assignment scores only
+    # corpus × nlist pairs, too little compute to amortize the extra
+    # per-stage codegen of the big expressions (ann_nprobe_sweep
+    # 3.9 → 6.1 s); reverted to the fold.  The rewrite stays in the
+    # high-volume pair stages: cosine_topk, lsh_bucketed_topk,
+    # contamination_cosine, embedding_cosine_pairs, semantic_dedup.)
     cent = F.broadcast(
         corpus.filter(F.col("vec_id") < nlist).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
@@ -174,14 +200,17 @@ def lsh_bucketed_topk(
     shuffles once by bucket instead of broadcating every query against
     every row; recall is tunable via n_planes."""
     bucket = lsh_bucket_expr("embedding", n_planes, dim, "spark")
+    nn = sqnorm_expr("embedding", "spark", dim=dim)
     c = spread(corpus).select(
-        "vec_id", "embedding", F.expr(bucket).alias("bucket")
+        "vec_id", "embedding", F.expr(bucket).alias("bucket"),
+        F.expr(nn).alias("nn"),
     )
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             F.expr(bucket).alias("bucket"),
+            F.expr(nn).alias("q_nn"),
         )
     )
     scored = (
@@ -191,7 +220,12 @@ def lsh_bucketed_topk(
             "q_id",
             "vec_id",
             F.round(
-                F.expr(cosine_sim("embedding", "q_emb", "spark")), 6
+                F.expr(
+                    cosine_from_norms(
+                        "embedding", "q_emb", "nn", "q_nn", dim=dim
+                    )
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -265,6 +299,10 @@ def kmeans_assign(
     centroid relation (nlist×dim, a few KB) is collected nowhere —
     it stays a broadcast DataFrame.
     """
+    # (Optimization r12 note: norm-precompute was applied here too and
+    # reverted — assignment scores corpus × nlist pairs only; the extra
+    # per-stage codegen of the unrolled chains cost more than the fold
+    # it saved.  See ivf_topk.)
     cent = corpus.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
     )
@@ -443,6 +481,8 @@ def ivf_pq_topk(
     from faconne_spark.functions import dot_expr
 
     sub = dim // m
+    # (r12 note: norm-precompute reverted here — low pair volume, see
+    # ivf_topk.)
     cent = F.broadcast(
         corpus.filter(F.col("vec_id") < nlist).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
@@ -568,20 +608,28 @@ def contamination_cosine(
     the corpus × benchmark cross product. Ties on the rounded
     similarity pick the lowest benchmark id, so results are
     deterministic for the oracle."""
+    nn = sqnorm_expr("embedding", "spark", dim=64)
     b = F.broadcast(
         benchmark.select(
-            F.col("vec_id").alias("bench_id"), F.col("embedding").alias("b_emb")
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("b_emb"),
+            F.expr(nn).alias("b_nn"),
         )
     )
     scored = (
         spread(corpus)
-        .select("vec_id", "embedding")
+        .select("vec_id", "embedding", F.expr(nn).alias("nn"))
         .crossJoin(b)
         .select(
             "vec_id",
             "bench_id",
             F.round(
-                F.expr(cosine_sim("embedding", "b_emb", "spark")), 6
+                F.expr(
+                    cosine_from_norms(
+                        "embedding", "b_emb", "nn", "b_nn", dim=64
+                    )
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )

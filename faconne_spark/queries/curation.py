@@ -685,23 +685,31 @@ def ann_hard_negatives(spark, sf):
     Same shape as brute-force top-k: anchors broadcast, corpus scanned
     once, per-anchor argmax is a map-side-combined ``max_by`` (no
     window, shuffle = one row per anchor)."""
+    from faconne_spark.functions import cosine_from_norms, sqnorm_expr
+
+    # Optimization r12 (guide §2.3): per-row squared norms; per-pair =
+    # one unrolled dot + divide (bit-identical, see cosine_from_norms)
+    _nn = sqnorm_expr("embedding", "spark", dim=64)
     emb = T(spark, sf, "embeddings")
     anchors = F.broadcast(
         emb.filter(F.col("vec_id") < HN_ANCHORS).select(
             F.col("vec_id").alias("anchor_id"),
             F.col("embedding").alias("a_emb"),
             F.col("label").alias("a_label"),
+            F.expr(_nn).alias("a_nn"),
         )
     )
     scored = (
-        emb.select("vec_id", "embedding", "label")
+        emb.select("vec_id", "embedding", "label", F.expr(_nn).alias("nn"))
         .crossJoin(anchors)
         .filter(F.col("label") != F.col("a_label"))
         .select(
             "anchor_id",
             "vec_id",
             F.round(
-                F.expr(cosine_sim("embedding", "a_emb", "spark")), 6
+                F.expr(cosine_from_norms(
+                    "embedding", "a_emb", "nn", "a_nn", dim=64
+                )), 6
             ).alias("cos_sim"),
         )
     )
@@ -3761,7 +3769,10 @@ def orders_lorenz_curve(spark, sf):
     from faconne_spark.operators.relational import distributed_ntile
 
     # distributed_ntile reads its input three times — persist the
-    # per-customer rollup so the orders shuffle runs once
+    # per-customer rollup so the orders shuffle runs once.  (r12 note:
+    # an eager _persist_sig was tried and measured neutral-to-slower —
+    # the ntile stages read sequentially, no cache race to fix;
+    # reverted, see OPTIMIZATION_r12.md.)
     per_cust = track_persist(
         T(spark, sf, "orders")
         .groupBy("o_custkey")

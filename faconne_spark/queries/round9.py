@@ -551,6 +551,13 @@ def orders_value_decile_migration(spark, sf):
     )
     from faconne_spark.operators.dedup import track_persist
 
+    # (Optimization r12 note: an eager _persist_sig was tried here and
+    # MEASURED SLOWER — 8.0 → 9.3 s isolated, worse in-suite: the ntile
+    # consumers read this relation in SEQUENTIAL stages, so the lazy
+    # cache fills on the first read without racing, and eagerness only
+    # adds a materialization pass.  Contrast minhash_signatures, whose
+    # SELF-JOIN consumers race the lazy cache in one stage — eager wins
+    # there.  Reverted; see OPTIMIZATION_r12.md.)
     per_half = track_persist(per_half)
     h0 = distributed_ntile(
         per_half.select("o_custkey", "cents0"),
@@ -616,25 +623,31 @@ def ann_label_consistency(spark, sf):
 
     Scale: queries broadcast (bounded subset), the corpus never
     shuffles for scoring; consistency is exact integer micro."""
-    from faconne_spark.functions import cosine_sim
+    from faconne_spark.functions import cosine_from_norms, sqnorm_expr
     from pyspark.sql import Window
 
+    # Optimization r12 (guide §2.3): per-row squared norms; per-pair =
+    # one unrolled dot + divide (bit-identical, see cosine_from_norms)
+    _nn = sqnorm_expr("embedding", "spark", dim=64)
     emb = T(spark, sf, "embeddings")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < ALC_NQ).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             F.col("label").alias("q_label"),
+            F.expr(_nn).alias("q_nn"),
         )
     )
     scored = (
-        emb.select("vec_id", "embedding", "label")
+        emb.select("vec_id", "embedding", "label", F.expr(_nn).alias("nn"))
         .crossJoin(q)
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "q_label", "label",
             F.round(
-                F.expr(cosine_sim("embedding", "q_emb", "spark")), 6
+                F.expr(cosine_from_norms(
+                    "embedding", "q_emb", "nn", "q_nn", dim=64
+                )), 6
             ).alias("cos_sim"),
             "vec_id",
         )
