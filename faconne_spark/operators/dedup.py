@@ -854,19 +854,19 @@ def pagerank_micro(pairs: DataFrame, iters: int = 3) -> DataFrame:
     """
     if iters < 1:
         raise ValueError(f"pagerank_micro needs iters >= 1, got {iters}")
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     # `edges` is referenced by every iteration's contribution join and
     # `nodes` by every score update: without a persist the whole
     # upstream candidate-pair pipeline (signatures + banded self-join)
     # re-executes per iteration — measured 20.6 s → ~7 s at sf0.1 for
     # the simhash graph.  Both relations are near-dup-graph-sized
     # (≪ corpus), so caching them is bounded.
-    edges = _persist_sig(
-        fwd.union(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        ),
-        pairs,
-    )
+    # Optimization r12 wave 3: build the doubled edges with the shared
+    # explode helper instead of union-of-two-selects — the union's two
+    # subtrees each evaluated the WHOLE upstream pair pipeline inside
+    # the one materialization job (the cache fills only after the job),
+    # so the candidate build ran twice; the explode scans it once.
+    # Identical multiset of (src, dst) rows.
+    edges = _doubled_edges(pairs)
     nodes = _persist_sig(
         edges.groupBy("src").agg(F.count("*").alias("degree")).select(
             F.col("src").alias("doc_id"), "degree"
@@ -1476,13 +1476,24 @@ def kcore_nodes(
     upstream re-executes.  Converges in ≤ peel-depth rounds; the
     iteration bound raises ConvergenceError rather than returning a
     silently-unpeeled graph."""
+    # Optimization r12 wave 3: both directions via ONE explode scan of
+    # the pair build instead of union-of-two-selects (whose subtrees
+    # each re-ran the whole upstream candidate pipeline cold inside the
+    # checkpoint job); identical edge set after the same distinct.
     und = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
     )
     edges = _checkpoint(und)
@@ -1585,9 +1596,14 @@ def ra_link_prediction(
     bcast = 0 < edges.count() <= CC_BROADCAST_MAX_EDGES
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     wdeg = deg.select(F.col("src").alias("w"), "deg")
-    direct = pairs.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
+    # Optimization r12 wave 3: the direct-edge exclusion list is
+    # recovered from the PERSISTED doubled-edge relation (src < dst
+    # keeps exactly the (min, max) orientation of every undirected
+    # pair — the same set the old least/greatest projection of `pairs`
+    # produced) instead of re-deriving `pairs`, which re-ran the whole
+    # upstream candidate build a second time per materialization.
+    direct = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
     )
     if bcast:
         wdeg, direct = F.broadcast(wdeg), F.broadcast(direct)
@@ -1661,9 +1677,10 @@ def jaccard_link_prediction(
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     da = deg.select(F.col("src").alias("id_a"), F.col("deg").alias("_da"))
     db = deg.select(F.col("src").alias("id_b"), F.col("deg").alias("_db"))
-    direct = pairs.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
+    # Optimization r12 wave 3: direct edges from the persisted doubled
+    # relation, not a fresh `pairs` scan — see ra_link_prediction.
+    direct = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
     )
     if bcast:
         da, db, direct = F.broadcast(da), F.broadcast(db), F.broadcast(direct)

@@ -848,11 +848,14 @@ def matryoshka_recall(
     ablation is the standard broadcast-queries brute scan (no corpus
     shuffle).  Like every brute-force gauge here, run it on a query
     SAMPLE — the index path (IVF/PQ) serves production traffic."""
-    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.dedup import _persist_sig
 
     queries = emb.filter(F.col("vec_id") < nq)
-    truth = track_persist(
-        cosine_topk(emb, queries, k).select("q_id", "vec_id")
+    # Optimization r12 wave 3: eager-when-large persist — the ablation
+    # branches all join truth in one action (concurrent-consumer case,
+    # same rationale as ann_nprobe_sweep).
+    truth = _persist_sig(
+        cosine_topk(emb, queries, k).select("q_id", "vec_id"), emb
     )
     out = None
     for d in dims:

@@ -3051,12 +3051,18 @@ def ann_nprobe_sweep(spark, sf):
     point (ann_recall_eval is its single-point slice).  Ground truth is
     computed once and persisted; each probe setting re-runs only the
     index search."""
-    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.dedup import _persist_sig
 
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_NQ)
-    truth = track_persist(
-        S.cosine_topk(emb, queries, ANN_K).select("q_id", "vec_id")
+    # Optimization r12 wave 3: EAGER persist (input-adaptive) — all
+    # nprobe branches of the final union join this truth relation in
+    # ONE action, so the lazy cache raced its branch readers and the
+    # brute-force scan (with its big codegen expressions compiled per
+    # branch) re-ran; the concurrent-consumer case where eagerness
+    # pays (see OPTIMIZATION_r12.md).
+    truth = _persist_sig(
+        S.cosine_topk(emb, queries, ANN_K).select("q_id", "vec_id"), emb
     )
     out = None
     for nprobe in SWEEP_NPROBES:

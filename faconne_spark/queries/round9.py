@@ -344,10 +344,18 @@ def copurchase_clustering_coeff(spark, sf):
     triangle counted once, no direction blowup); wedges are the exact
     BIGINT Σ deg·(deg−1)/2 — no pairwise relation beyond the wedge
     join's, which LSH-capped/df-bounded degrees keep bounded."""
-    from faconne_spark.operators.dedup import track_persist
+    from faconne_spark.operators.dedup import _persist_sig
     from faconne_spark.queries.bank_r6 import _copurchase_pairs
 
-    pairs = track_persist(_copurchase_pairs(spark, sf))
+    # Optimization r12 wave 3: EAGER persist (input-adaptive) — the
+    # triangle join schedules THREE subtrees of this relation in one
+    # stage, plus the union'd degree pass two more, so the lazy cache
+    # raced its readers and the lineitem self-join re-ran; this is the
+    # concurrent-consumer case where eagerness pays (contrast the
+    # sequential ntile rollups, where it measured slower and was
+    # reverted — see OPTIMIZATION_r12.md).
+    _prs = _copurchase_pairs(spark, sf)
+    pairs = _persist_sig(_prs, _prs)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b"), F.col("id_a")))
