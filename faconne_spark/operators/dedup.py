@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from faconne_spark.functions import (
     band_sig,
     jaccard_micro_sql,
-    minhash_sig,
     phash60,
     tokens_ws,
     word_shingles,
@@ -134,6 +133,57 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_sig_rel(
+    docs: DataFrame, n_shingle: int, k: int
+) -> DataFrame:
+    """(doc_id, sig) minhash signature relation, computed as
+    explode(shingles) → phash60 → k codegen ``min`` aggregates — the
+    :func:`simhash_signatures` precedent (optimization r12 wave 4):
+    plain aggregates run inside whole-stage codegen while the old
+    higher-order ``aggregate(...)`` folds were interpreted per element,
+    and map-side partial aggregation reduces the exploded shingles back
+    to one k-mins row per doc per input partition before any shuffle —
+    at 100 TB the shuffle carries ~8·k B/doc, not the shingle stream.
+
+    Bit-identical to the fold formulation (pinned in
+    tests/test_minhash_codegen_r12.py): the per-shingle permutation
+    arithmetic is the same overflow-free BIGINT text, ``min`` over the
+    group equals the fold's ``least`` chain (order-independent), and
+    ``explode_outer`` keeps a NULL-shingles document as one NULL-hash
+    row whose k NULL mins rebuild the same all-NULL signature the old
+    expression produced."""
+    from faconne_spark.functions import _MH_MOD, _mh_consts
+
+    consts = _mh_consts(k)
+    hashed = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(word_shingles("text", n_shingle, "spark"))
+            ).alias("s"),
+        )
+        .select("doc_id", F.expr(phash60("s", "spark")).alias("h"))
+    )
+    mins = [
+        F.min(
+            F.expr(
+                f"({a}L * (h % 1073741824) + {b}L * (h div 1073741824)"
+                f" + {c}L) % {_MH_MOD}L"
+            )
+        ).alias(f"_m{i}")
+        for i, (a, b, c) in enumerate(consts)
+    ]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[f"_m{i}" for i in range(k)]).alias("sig"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_shingle: int = 3, k: int = 12, bands: int = 4
 ) -> DataFrame:
@@ -153,8 +203,7 @@ def minhash_signatures(
     a lazy persist inside a self-join schedules both sides before the
     cache fills, so the signature expression still runs twice."""
     r = k // bands
-    sig = minhash_sig(word_shingles("text", n_shingle, "spark"), k, "spark")
-    with_sig = spread(docs).select("doc_id", F.expr(sig).alias("sig"))
+    with_sig = _minhash_sig_rel(docs, n_shingle, k)
     banded = with_sig.select(
         "doc_id",
         "sig",
@@ -1752,10 +1801,9 @@ def lsh_banding_sweep(
                 f"lsh_banding_sweep needs k % bands == 0, got k={k}, "
                 f"bands={b}"
             )
-    sig = minhash_sig(word_shingles("text", n_shingle, "spark"), k, "spark")
-    with_sig = _persist_sig(
-        spread(docs).select("doc_id", F.expr(sig).alias("sig")), docs
-    )
+    # Optimization r12 wave 4: codegen signature build (see
+    # _minhash_sig_rel) — same (doc_id, sig) relation, same persist.
+    with_sig = _persist_sig(_minhash_sig_rel(docs, n_shingle, k), docs)
     out = None
     for b in bands_list:
         r = k // b

@@ -35,6 +35,20 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Optimization r12 wave 4: let AQE coalesce partitions INSIDE
+        # cached plans too (default false) — the persisted signature /
+        # rollup relations sit behind a groupBy exchange, and without
+        # this every downstream scan of the cache pays the full
+        # shuffle-partition task count even when the relation is a few
+        # MB (measured: dup_pairs_transitivity 3.9 → 5.7 s regression
+        # from exactly this after the minhash groupBy rewrite; the
+        # conf reverts it to 3.7 s).  Scale-adaptive by construction —
+        # AQE sizes the cached partitions from bytes, so a 100 TB
+        # signature relation keeps full parallelism.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
