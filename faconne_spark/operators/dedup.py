@@ -704,11 +704,32 @@ def containment_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    # Optimization r12 (guide §1.2 per-task work): the survivor filter
+    # used to be `cont_a_in_b >= t OR cont_b_in_a >= t`, which Catalyst
+    # pushes into the verify join's condition with the intersect inlined
+    # into BOTH branches — every candidate pair paid array_intersect
+    # (hash-set over ~200-string arrays) up to twice in the condition
+    # alone.  max(x/a, x/b) = x / least(a, b) for x >= 0 (both sides of
+    # a candidate pair own >= 1 shingle — they came out of a posting
+    # list — so least() is never 0), and round() is monotone
+    # non-decreasing, so ONE comparison selects the identical survivor
+    # set: round(x/least(a,b), 6) >= t  <=>  the old OR.  The division
+    # is bit-for-bit one of the two original divisions (least returns
+    # one of the exact integer sizes).  Survivors then compute the two
+    # published containment columns once (projection-level
+    # subexpression elimination shares the intersect).
     return (
         cand.join(shingled.select(F.col("doc_id").alias("id_a"),
                                   F.col("sh").alias("sh_a")), "id_a")
         .join(shingled.select(F.col("doc_id").alias("id_b"),
                               F.col("sh").alias("sh_b")), "id_b")
+        .filter(
+            F.expr(
+                "round(cast(size(array_intersect(sh_a, sh_b)) as double)"
+                " / cast(least(size(sh_a), size(sh_b)) as double), 6)"
+            )
+            >= threshold
+        )
         .select(
             "id_a",
             "id_b",
@@ -720,10 +741,6 @@ def containment_pairs(
                 "round(cast(size(array_intersect(sh_a, sh_b)) as double)"
                 " / cast(size(sh_b) as double), 6)"
             ).alias("cont_b_in_a"),
-        )
-        .filter(
-            (F.col("cont_a_in_b") >= threshold)
-            | (F.col("cont_b_in_a") >= threshold)
         )
     )
 
@@ -1675,6 +1692,13 @@ def ra_link_prediction(
         )
         .join(direct, ["id_a", "id_b"], "left_anti")
     )
+    # (Optimization r12: a single-pass orientation explode replacing
+    # this unionByName was tried and MEASURED SLOWER — isolated A/B
+    # min-of-4 at sf0.1: 3.63 → 5.29 s.  The two union branches share
+    # the wedge groupBy's shuffle via exchange reuse and execute their
+    # cheap post-exchange tails concurrently, while the explode
+    # serializes them behind one Generate.  Reverted; see
+    # OPTIMIZATION_r12.md.)
     both = cand.unionByName(
         cand.select(
             F.col("id_b").alias("id_a"),
@@ -1757,6 +1781,8 @@ def jaccard_link_prediction(
         )
         .select("id_a", "id_b", "n_common", "__jm")
     )
+    # (Optimization r12: single-pass orientation explode tried and
+    # measured slower, as in ra_link_prediction — reverted.)
     both = cand.unionByName(
         cand.select(
             F.col("id_b").alias("id_a"),

@@ -1894,13 +1894,23 @@ def dedup_cascade(spark, sf):
         D.simhash_pairs(docs, SIMHASH_MAX_HAM)
     ).withColumnRenamed("doc_id", "c_doc")
     cont = D.containment_pairs(docs, threshold=0.3)
+    # Optimization r12 (guide §2.4 — remove redundant passes): the old
+    # union-of-two-filters consumed `cont` TWICE, and only the candidate
+    # distinct's exchange is reusable between the branches — the verify
+    # join + array_intersect projection (the expensive half of
+    # containment) ran once per branch.  One explode emits id_a/id_b
+    # under the same per-side thresholds in a single pass; null slots
+    # (side below threshold) drop, distinct dedups — the identical set.
     contained = (
-        cont.filter("cont_a_in_b >= 0.3").select(F.col("id_a").alias("doc_id"))
-        .union(
-            cont.filter("cont_b_in_a >= 0.3").select(
-                F.col("id_b").alias("doc_id")
-            )
+        cont.select(
+            F.explode(
+                F.array(
+                    F.when(F.col("cont_a_in_b") >= 0.3, F.col("id_a")),
+                    F.when(F.col("cont_b_in_a") >= 0.3, F.col("id_b")),
+                )
+            ).alias("doc_id")
         )
+        .filter("doc_id IS NOT NULL")
         .distinct()
         .withColumn("is_contained", F.lit(True))
     )
