@@ -1474,16 +1474,30 @@ def setsim_prefix_pairs(
     prefix = _persist_sig(
         ranked.filter(
             F.col("pos") <= F.col("m") - F.ceil(F.expr(f"{tl} * m")) + 1
-        ).select("doc_id", "s"),
+        ).select("doc_id", "s", "m"),
         docs,
     )
 
+    # Optimization r12 (guide §2.3 — shuffle fewer bytes downstream):
+    # AllPairs' LENGTH filter at candidate generation.  Jaccard ≥ t
+    # forces inter ≥ t·un with inter ≤ min(m_a, m_b) and
+    # un ≥ max(m_a, m_b), so every qualifying pair satisfies
+    # min ≥ t·max — and that implication survives double rounding
+    # (min ≥ inter ≥ fl(t·un) ≥ fl(t·max), fl monotone in un ≥ max),
+    # so pruning candidates on it is provably result-identical while
+    # the expensive verify expansion (cand × shingles) shrinks.
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.expr(
+                    f"cast(least(a.m, b.m) as double)"
+                    f" >= {tl} * greatest(a.m, b.m)"
+                )
+            ),
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")

@@ -1193,8 +1193,10 @@ def distributed_ntile(
        in the leading sort key; ``bounded_bin_sql`` on the global
        min/max — one map-side-combined bounds pass).  The bucket
        histogram (≤ n_buckets rows) yields each bucket's exact global
-       rank OFFSET via a broadcast triangular self-join — no window at
-       all, so the plan carries no partition-less Window anywhere.
+       rank OFFSET and the grand total via one cumulative window over
+       that BOUNDED relation (never over the data — the only
+       partition-less window in the plan runs on ≤ n_buckets rows by
+       construction, the histogram_quantiles discipline).
     2. Per-bucket ``row_number`` windows (partitioned by bucket —
        parallel, each ≈ N/n_buckets rows) give local ranks; global
        rank = bucket offset + local rank, and the tile comes from the
@@ -1239,21 +1241,30 @@ def distributed_ntile(
         ),
     ).drop("_lo", "_hi")
     hist = pre.groupBy("__bkt").agg(F.count("*").alias("__cnt"))
-    # exact offsets without any window: Σ counts of strictly-lower
-    # buckets, a ≤ n_buckets² broadcast triangular join
-    lower = hist.select(
-        F.col("__bkt").alias("__lb"), F.col("__cnt").alias("__lc")
+    # Optimization r12 (guide §2.4 — remove exchanges): offset AND
+    # total from ONE cumulative window over the ≤ n_buckets-row
+    # histogram (the bounded-relation window histogram_quantiles
+    # already uses — never over the data; the bucket-count bound is
+    # structural, so this is NOT a dimension-scale partition-less
+    # window).  Replaces the broadcast triangular self-join + separate
+    # grand-total aggregate + its crossJoin: two broadcast-exchange
+    # jobs per ntile call instead of four.  Exactness unchanged — the
+    # strictly-lower cumulative sum and the unbounded-frame sum are
+    # the same integers the join/aggregate produced.
+    wcum = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    offsets = (
-        hist.join(F.broadcast(lower), F.col("__lb") < F.col("__bkt"), "left")
-        .groupBy("__bkt")
-        .agg(F.coalesce(F.sum("__lc"), F.lit(0)).alias("__off"))
+    wtot = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    total = hist.groupBy().agg(F.sum("__cnt").alias("__n"))
+    offsets = hist.select(
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(wcum), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(wtot).alias("__n"),
+    )
     w = Window.partitionBy("__bkt").orderBy(*order_cols)
     ranked = (
         pre.join(F.broadcast(offsets), "__bkt")
-        .crossJoin(F.broadcast(total))
         .withColumn("__rank", F.row_number().over(w) + F.col("__off"))
     )
     # exact ntile: q = N div k, m = N mod k; the first m tiles carry
