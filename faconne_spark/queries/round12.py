@@ -1240,11 +1240,13 @@ def orders_priority_shiplag_somers_d(spark, sf):
     no direction) and the symmetric gamma on value deciles.
 
     Exactness: the statistic lives on the bounded priority×lag-day
-    contingency grid; concordant/discordant counts come from a
-    strict-dominance self-join of the grid (each pair counted once
-    at its greater cell), tie terms from exact column sums; all
-    integers, ONE final division.  Scale: one lineitem⋈orders pass
-    to the grid; the grid self-join is cell-bounded (~5×125)."""
+    contingency grid; concordant/discordant counts come from exact
+    integer PREFIX SUMS over the filled grid (per-x cumulative counts
+    below/above each lag, summed over strictly-lower priorities —
+    O(cells), the same BIGINT totals a strict-dominance pair join
+    yields), tie terms from exact column sums; all integers, ONE
+    final division.  Scale: one lineitem⋈orders pass to the grid;
+    everything after is bounded by 5 priorities × calendar lag days."""
     li = (
         T(spark, sf, "lineitem")
         .join(
@@ -1263,29 +1265,64 @@ def orders_priority_shiplag_somers_d(spark, sf):
         )
     )
     from faconne_spark.operators.dedup import track_persist
+    from pyspark.sql import Window
 
-    # the grid is ~5×125 cells but its input is the row-scale
-    # lineitem⋈orders join, and FIVE branches below read it (two
-    # dominance self-joins on both sides + the tie rollup) through
-    # DIFFERENT subtrees no exchange reuse can fold — the r11
-    # measure-first rule applied: persisting the bounded grid took
-    # sf0.1 from 9.9 s to the one-pass cost (docs/SCALING.md)
+    # the grid is bounded (5 priorities × calendar-bounded lag days —
+    # 24,003 cells at sf0.1), its input is the row-scale
+    # lineitem⋈orders join, and the branches below read it through
+    # DIFFERENT subtrees no exchange reuse can fold — persisted (the
+    # r11 measure-first rule; docs/SCALING.md).
     grid = track_persist(li.groupBy("x", "y").agg(F.count("*").alias("n")))
-    a = grid.select(
-        F.col("x").alias("ax"), F.col("y").alias("ay"),
-        F.col("n").alias("an"),
+    # Optimization r12 wave 8 (guide §1.2/§2.4): the strict-dominance
+    # SELF-JOIN of the grid was O(cells²) — 24k × 24k ≈ 144M pair
+    # evaluations per branch in a BroadcastNestedLoopJoin, measured
+    # 6.4 s PER BRANCH at sf0.1 (the key's whole cost).  Concordant /
+    # discordant totals are instead O(cells) prefix sums: fill the
+    # x × distinct-y grid (≤ 5·|y| rows, zero cells included), take
+    # per-x cumulative counts strictly below/above each y, then sum
+    # those over strictly-lower x per y — every window is PARTITIONED
+    # (by x: 5 partitions of |y| rows; by y: |y| partitions of ≤ 5
+    # rows; both calendar/priority-bounded, never row-scale).
+    # Exactness: conc = Σ_a n_a·(Σ_{bx<ax, by<ay} n_b) is the same
+    # BIGINT sum the pair join produced — integer addition is exact in
+    # any order — so the result is bit-identical (canon-proven 3 SFs).
+    ydom = grid.select("y").distinct()
+    xdom = grid.select("x").distinct()
+    full = (
+        ydom.crossJoin(F.broadcast(xdom))
+        .join(grid, ["x", "y"], "left")
+        .select("x", "y", F.coalesce("n", F.lit(0)).alias("n0"))
     )
-    b = grid.select(
-        F.col("x").alias("bx"), F.col("y").alias("by"),
-        F.col("n").alias("bn"),
+    w_below = (
+        Window.partitionBy("x").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    conc = (
-        a.join(F.broadcast(b), F.expr("bx < ax and by < ay"))
-        .groupBy().agg(F.sum(F.expr("an * bn")).alias("c"))
+    w_above = (
+        Window.partitionBy("x").orderBy("y")
+        .rowsBetween(1, Window.unboundedFollowing)
     )
-    disc = (
-        a.join(F.broadcast(b), F.expr("bx < ax and by > ay"))
-        .groupBy().agg(F.sum(F.expr("an * bn")).alias("dd"))
+    cums = full.select(
+        "x", "y", "n0",
+        F.coalesce(F.sum("n0").over(w_below), F.lit(0)).alias("cb"),
+        F.coalesce(F.sum("n0").over(w_above), F.lit(0)).alias("ca"),
+    )
+    w_xlow = (
+        Window.partitionBy("y").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom = cums.select(
+        "y", "n0",
+        F.coalesce(F.sum("cb").over(w_xlow), F.lit(0)).alias("wb"),
+        F.coalesce(F.sum("ca").over(w_xlow), F.lit(0)).alias("wa"),
+    )
+    # nullif(·, 0) reproduces the pair join's empty-result NULL: the
+    # old sum-over-joined-pairs was NULL exactly when no dominance
+    # pair existed, which is exactly when these products all vanish
+    conc = dom.groupBy().agg(
+        F.expr("nullif(sum(n0 * wb), 0)").alias("c")
+    )
+    disc = dom.groupBy().agg(
+        F.expr("nullif(sum(n0 * wa), 0)").alias("dd")
     )
     ty = (
         grid.groupBy("y")
