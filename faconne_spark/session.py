@@ -49,6 +49,16 @@ def get_session(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",
         )
+        # Optimization r12 wave 8, tried and REVERTED (guide §1:
+        # measure, then decide): spark.sql.adaptive.
+        # maxShuffledHashJoinLocalMapThreshold=64m (AQE's runtime
+        # SMJ→shuffled-hash rewrite, guide §3.1) measured a clean LOSS
+        # on a 10-key join-heavy basket — Σ 24.0 → 26.3 s min-of-3
+        # same-session A/B (dedup_clusters 3.69 → 4.68, triangles
+        # 2.35 → 2.96, no key improved beyond noise).  The sorts the
+        # rewrite removes run over small AQE-coalesced partitions and
+        # are cheaper than the per-partition hash-table builds plus the
+        # extra adaptive planning; details in OPTIMIZATION_r12.md.
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
