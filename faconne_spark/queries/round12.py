@@ -1315,14 +1315,14 @@ def orders_priority_shiplag_somers_d(spark, sf):
         F.coalesce(F.sum("cb").over(w_xlow), F.lit(0)).alias("wb"),
         F.coalesce(F.sum("ca").over(w_xlow), F.lit(0)).alias("wa"),
     )
-    # nullif(·, 0) reproduces the pair join's empty-result NULL: the
-    # old sum-over-joined-pairs was NULL exactly when no dominance
-    # pair existed, which is exactly when these products all vanish
-    conc = dom.groupBy().agg(
-        F.expr("nullif(sum(n0 * wb), 0)").alias("c")
-    )
-    disc = dom.groupBy().agg(
-        F.expr("nullif(sum(n0 * wa), 0)").alias("dd")
+    # ONE aggregate yields both totals (separate conc/disc relations
+    # would duplicate the dom subtree per branch); nullif(·, 0)
+    # reproduces the pair join's empty-result NULL — the old
+    # sum-over-joined-pairs was NULL exactly when no dominance pair
+    # existed, which is exactly when these products all vanish
+    cd = dom.groupBy().agg(
+        F.expr("nullif(sum(n0 * wb), 0)").alias("c"),
+        F.expr("nullif(sum(n0 * wa), 0)").alias("dd"),
     )
     ty = (
         grid.groupBy("y")
@@ -1334,8 +1334,7 @@ def orders_priority_shiplag_somers_d(spark, sf):
         .agg(F.sum(F.expr("(sy * sy - sq)")).alias("ty2"))
     )
     return (
-        conc.crossJoin(F.broadcast(disc))
-        .crossJoin(F.broadcast(ty))
+        cd.crossJoin(F.broadcast(ty))
         .selectExpr(
             "cast(c as bigint) AS n_concordant",
             "cast(dd as bigint) AS n_discordant",
