@@ -15,10 +15,19 @@ import sys
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(
+            "usage: python tools/bench_adjudicate.py"
+            " BASELINE.json FINAL.json [pct]",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     base_p, final_p = sys.argv[1], sys.argv[2]
     pct = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
-    base = json.load(open(base_p))
-    final = json.load(open(final_p))
+    with open(base_p) as fh:
+        base = json.load(fh)
+    with open(final_p) as fh:
+        final = json.load(fh)
     bt, ft = base["times_sec"], final["times_sec"]
     br = base.get("times_all_reps_sec", {})
     fr = final.get("times_all_reps_sec", {})
