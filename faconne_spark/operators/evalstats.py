@@ -159,6 +159,20 @@ def poisson_bootstrap_mean(
     (group, b, nw, sw) parts and :func:`bootstrap_ci_from_parts` reads
     the identical CI off the merged relation (streaming face in
     streaming/stats) — provided ids are unique across the union."""
+    from faconne_spark.session import spread
+
+    # Optimization r13 (guide §2.5 input parallelism): the B-fold
+    # explode multiplies the input ×n_boot and every exploded row pays
+    # an md5 — but a small parquet table arrives as ONE split, so the
+    # entire map-side bootstrap ran on one core (measured: both reps
+    # ~6 s at sf0.1 with 31 cores idle).  spread() is a no-op at
+    # cluster scale (the scan already has ≥ defaultParallelism splits);
+    # locally it spreads the explode across cores.  Results identical:
+    # replicate part-sums are exact BIGINTs of row-local terms, so
+    # partitioning cannot change them.  Applied HERE (the batch face),
+    # not in bootstrap_reps — the streaming face writes per-epoch state
+    # files and must keep its input partitioning.
+    df = spread(df)
     return bootstrap_ci_from_parts(
         bootstrap_reps(df, group_cols, value_col, id_col, n_boot, micro),
         bootstrap_base(df, group_cols, value_col, micro),

@@ -22,7 +22,7 @@ from faconne_spark.session import spread
 
 
 def cosine_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 10
+    corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
@@ -30,12 +30,19 @@ def cosine_topk(
     the corpus); ranking is one window per query id. Ties broken by
     vec_id for determinism; similarity rounded so float summation-order
     differences can't flip the oracle comparison.
+
+    ``dim``: the statically-known vector width for the unrolled codegen
+    kernels.  Callers that pass TRUNCATED vectors (matryoshka ablation,
+    RRF prefix probe) must pass their slice width — with the default 64
+    the `_unrolled_guard` size check fails on every sliced row and the
+    whole scan silently runs the interpreted fold (optimization r13;
+    values are identical either way, the guard exists for exactly that).
     """
     # Optimization r12 (guide §2.3): squared norms precomputed once per
     # ROW, per-pair work = one unrolled dot + divide (cosine_from_norms
     # is bit-identical to the old per-pair cosine_sim fold — see its
     # docstring)
-    nn = sqnorm_expr("embedding", "spark", dim=64)
+    nn = sqnorm_expr("embedding", "spark", dim=dim)
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("q_id"),
@@ -55,7 +62,7 @@ def cosine_topk(
             F.round(
                 F.expr(
                     cosine_from_norms(
-                        "embedding", "q_emb", "nn", "q_nn", dim=64
+                        "embedding", "q_emb", "nn", "q_nn", dim=dim
                     )
                 ),
                 6,
@@ -862,7 +869,10 @@ def matryoshka_recall(
         trunc = f"slice(embedding, 1, {d})"
         emb_d = emb.withColumn("embedding", F.expr(trunc))
         q_d = queries.withColumn("embedding", F.expr(trunc))
-        approx = cosine_topk(emb_d, q_d, k).select(
+        # optimization r13: pass the slice width so the per-pair dot
+        # unrolls at width d (the default 64 failed the size guard on
+        # every truncated row → interpreted fold); identical values
+        approx = cosine_topk(emb_d, q_d, k, dim=d).select(
             "q_id", F.col("vec_id").alias("a_id")
         )
         j = truth.join(

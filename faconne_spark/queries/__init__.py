@@ -10,15 +10,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Unresolved-relation memo for T() (optimization r13, guide §6 file
+# listing / §5 driver work): every `spark.read.parquet(path)` builds a
+# fresh InMemoryFileIndex — a driver-side file listing plus a parquet
+# footer read for schema inference, ~80–190 ms per call — and the
+# registry's queries construct their plans with ~1.5 T() calls each, so
+# a full bench paid that listing thousands of times for ten immutable
+# tables.  The memo stores the LAZY DataFrame (a logical plan: file
+# list + schema), keyed by (Spark application, dir, table); every
+# action against it still scans the parquet files from disk — no rows,
+# no results, no computed intermediates are cached, exactly like a
+# catalog table resolving its schema from the metastore instead of
+# re-reading footers per query.  Keyed on applicationId so a new
+# session never sees a stale JVM's plan.
+_T_MEMO: dict = {}
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (events.ts normalized to µs TIMESTAMP —
     the parquet column is TIMESTAMP(NANOS), which arrives as bigint
     nanos on Spark ≤ 4.0 + nanosAsLong and as timestamp_ntz on 4.1+)."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        from faconne_spark.streaming import ensure_event_time
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            from faconne_spark.streaming import ensure_event_time
 
-        df = ensure_event_time(df)
+            df = ensure_event_time(df)
+        if len(_T_MEMO) > 256:  # bound: many tmp dirs in one test run
+            _T_MEMO.clear()
+        _T_MEMO[key] = df
     return df
 
 
@@ -36,12 +58,28 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # any key whose plan snapshot drifted from the stamped round-close
 # manifest must appear here, and the block must fit the window.
 _CHANGED_THIS_ROUND = [
-    # ================= r12 changed/new block (count ≤ 50!) ================
-    # -- new in r12: the twenty-two pairs proven and staged at the r11
-    #    close (queries/bank_r12.py, proofs in tests/test_bank_r12.py
-    #    at 3 SFs + a partitioning-invariance sweep + plain-Python
-    #    replays) — registration is the round-12 opening move (judge
-    #    r11 ask #1) --
+    # ================= r13 changed block (count <= 50!) ================
+    # Round 13 is the second OPTIMIZATION round: no new keys, no oracle
+    # changes — entries here are keys whose SPARK PLAN (hence snapshot
+    # stamp) drifted under a performance rewrite.  Results are
+    # oracle-identical (canon-proven at each change, per-change evidence
+    # in OPTIMIZATION_r13.md); the fresh driver rows re-prove them
+    # independently.
+    # -- wave 1: spread() on the Poisson-bootstrap explode (the xB
+    #    md5 map ran on ONE core off the single-split events scan) --
+    "events_value_bootstrap",
+    "events_bootstrap_merged",
+    # -- wave 1: unrolled dot kernels at the TRUNCATED width in the
+    #    matryoshka ablation / RRF prefix probe (the dim=64 size guard
+    #    failed on sliced rows and fell back to the interpreted fold;
+    #    expression-level change, normalized outline unchanged) --
+    "embed_matryoshka_recall",
+    "ann_rrf_fusion",
+]
+
+_REST = [
+    # -- the r12 changed block, rotated out at the r13 open (every key
+    #    has a fresh green r12 driver row), original order --
     "events_value_theil_by_type",
     "events_hour_kl_uniform",
     "events_type_gap_median",
@@ -64,60 +102,23 @@ _CHANGED_THIS_ROUND = [
     "docs_lang_mix_entropy",
     "events_hour_value_median_profile",
     "docs_ttr_quantiles",
-    # -- new in r12 (judge r11 ask #3): fragmented MP4 — the §8.8
-    #    moof/traf/trun walk over a DASH/CMAF-layout MJPEG relation,
-    #    every kept frame through the full JPEG decode, closed-form
-    #    md5 oracle (queries/round12.py) --
     "mm_mp4_fragmented",
-    # -- changed in r12 (judge r11 ADVICE): customer_segment_welch_pairs
-    #    gains the CASE n>1 AND se2>0 degenerate-data guard in both
-    #    engines (oracle + Spark plan both change) --
     "customer_segment_welch_pairs",
-    # -- new in r12 continuation: REAL FLAC codec (bit-level Rice/
-    #    fixed/LPC decoder with CRC-8/16 + STREAMINFO MD5 verification,
-    #    mono-16 fixed-predictor encoder) — closes the WAV-only audio
-    #    seam; all-integer per-doc stats with a closed-form segment
-    #    oracle (queries/round12.py) --
     "mm_flac_stats",
-    # -- new in r12 continuation, wave F (queries/round12.py): ordinal/
-    #    robust/cross-series gauges — permutation entropy, Grubbs
-    #    max deviate, value-path max drawdown, weekend Hellinger,
-    #    Brown–Forsythe Levene, top-2-type lead–lag cross-correlation --
     "events_daily_permutation_entropy",
     "events_daily_grubbs",
     "events_daily_max_drawdown",
     "events_hour_hellinger_weekend",
     "events_value_levene",
     "events_type_daily_xcorr",
-    # -- new in r12 continuation, wave G (queries/round12.py):
-    #    centroid silhouette, customer tenure quartiles, per-source
-    #    Wasserstein-1 on doc length, hourly total-variation drift --
     "embed_label_silhouette",
     "orders_customer_tenure_quartiles",
     "docs_source_wasserstein",
     "events_hour_tv_distance",
-    # -- new in r12 continuation: Page–Hinkley drift monitor — batch
-    #    face of the new streaming epoch op (streaming/stats.py
-    #    ph_daily_epoch/ph_drift_from_state, merge-proof in
-    #    tests/test_streaming.py) --
     "stream_ph_drift",
-    # -- new in r12 continuation: animated-GIF frame sampling — full
-    #    multi-image walk + per-frame real LZW decode, closed-form
-    #    lossless oracle (queries/round12.py) --
     "mm_gif_animation",
-    # -- new in r12 continuation, wave H (queries/round12.py):
-    #    Blomqvist medial correlation on the day relation, Somers' D
-    #    of ship lag on priority (asymmetric ordinal effect size) --
     "events_daily_blomqvist_beta",
     "orders_priority_shiplag_somers_d",
-    # -- changed in r12 OPTIMIZATION (OPTIMIZATION_r12.md): plan-snapshot
-    #    drift from the wave-1 optimizations — unrolled fixed-width dot
-    #    product (aggregate-function text), CC broadcast-label rounds +
-    #    fused entry + 2-round blocks, adaptive graph-op broadcasts, and
-    #    the shared-session materialization artifacts they leave in
-    #    downstream snapshots (assortativity, training_manifest).
-    #    Results are oracle-identical (canon re-proven); the fresh
-    #    driver rows re-prove them independently. --
     "ann_panel_epsilon_degree",
     "copurchase_degree_assortativity",
     "dedup_cascade",
@@ -127,14 +128,7 @@ _CHANGED_THIS_ROUND = [
     "part_copurchase_jaccard",
     "part_copurchase_ra",
     "training_manifest",
-    # -- changed in r12: turning-points E/Var rewritten from bare
-    #    decimal literals (Spark DECIMAL division truncates at scale 6
-    #    before the sqrt — latent 6th-digit flip found by the new
-    #    spark-decimal-division lint) to cast-as-double ratios --
     "events_daily_turning_points",
-]
-
-_REST = [
     # -- unchanged keys (fresh r11 rows), r11 order --
     "events_value_quartile_dispersion",
     "docs_word_burstiness_fano",
@@ -229,7 +223,7 @@ _REST = [
     "events_value_weighted_quantiles", "events_ab_cuped", "events_hour_hhi",
     "docs_file_sample", "docs_profile_completeness", "ntile_custbal_deciles",
     "orders_lorenz_curve", "events_whale_share", "orders_pareto_8020",
-    "dedup_bloom_merged", "events_bootstrap_merged", "docs_bpe_token_counts",
+    "dedup_bloom_merged", "docs_bpe_token_counts",
     "mm_png_decode", "fk_orphan_audit",
     "pk_duplicate_audit", "docs_hash_uniformity_chi2",
     "events_interarrival_cv", "events_changepoint_binary",
@@ -261,8 +255,8 @@ _REST = [
     "part_size_vs_price_corr", "events_kmv_distinct", "events_kmv_overlap",
     "customer_order_golden", "customer_fs_scores",
     "orders_basket_confidence", "part_skyline_by_brand", "docs_vocab_kmv",
-    "events_auc_purchase", "events_value_bootstrap", "events_ks_value_drift",
-    "docs_rater_kappa", "part_copurchase_kcore", "events_day_concurrency", "ann_rrf_fusion", "events_benford",
+    "events_auc_purchase", "events_ks_value_drift",
+    "docs_rater_kappa", "part_copurchase_kcore", "events_day_concurrency", "events_benford",
     "events_quantile_normalize", "events_type_value_mi",
     "events_type_entropy", "events_active_users_rollup", "events_pr_auc",
     "docs_reliability_curve", "dedup_changefeed", "events_purchase_rate_ci",
@@ -277,7 +271,7 @@ _REST = [
     "docs_dsir_resample", "dedup_cdc", "events_ab_sequential",
     "events_hll_distinct", "dedup_bloom_prefilter", "events_ewma",
     "events_hll_overlap", "mm_audio_resample", "events_cusum_drift",
-    "docs_split_leakage", "embed_matryoshka_recall", "dedup_setsim_prefix",
+    "docs_split_leakage", "dedup_setsim_prefix",
     "sample_priority", "events_hourly_seasonality", "docs_source_lang_kl",
     "embed_centroid_drift", "fac_pyagg_second_top", "dedup_recent_window",
     "win_rolling_7d", "join_size_from_stats", "docs_nb_quality_classifier",

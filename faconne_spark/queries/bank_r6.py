@@ -831,6 +831,10 @@ def ann_rrf_fusion(spark, sf):
             "vec_id", F.expr(f"slice(embedding, 1, {RRF_PREFIX})").alias("embedding")
         ),
         RRF_POOL,
+        # optimization r13: unroll the probe's dot at the slice width
+        # (the default dim=64 fails the size guard on 16-wide arrays →
+        # interpreted fold); identical values either way
+        dim=RRF_PREFIX,
     )
     return rrf_fuse([full, pre], RRF_KCONST, RRF_TOPK)
 

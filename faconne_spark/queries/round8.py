@@ -118,7 +118,11 @@ def events_bootstrap_merged(spark, sf):
     )
     from faconne_spark.queries.bank_r6 import BOOT_B, BOOT_MICRO
 
-    ev = T(spark, sf, "events")
+    from faconne_spark.session import spread
+
+    # optimization r13: same single-split fix as poisson_bootstrap_mean
+    # — the ×B explode+md5 of each shard otherwise runs on one core
+    ev = spread(T(spark, sf, "events"))
 
     def reps(parity: int):
         return bootstrap_reps(
