@@ -75,6 +75,11 @@ _CHANGED_THIS_ROUND = [
     #    expression-level change, normalized outline unchanged) --
     "embed_matryoshka_recall",
     "ann_rrf_fusion",
+    # -- wave 2: spread() ahead of map-heavy aggregates running on the
+    #    single-split scans (expand x4 countDistinct survivorship /
+    #    exact-percentile partial buffers) --
+    "customer_order_golden",
+    "lineitem_unitprice_iqr_outliers",
 ]
 
 _REST = [
@@ -87,7 +92,6 @@ _REST = [
     "docs_token_lorenz_deciles",
     "docs_len_by_freq_decile",
     "docs_source_topk_chi2",
-    "lineitem_unitprice_iqr_outliers",
     "customer_nation_balance_kruskal",
     "embed_dim_sign_balance",
     "orders_totalprice_weibull_ventiles",
@@ -252,8 +256,7 @@ _REST = [
     "events_gap_survival", "customer_balance_vs_orders_corr",
     "part_brand_price_premium", "lineitem_qty_returnflag_ks",
     "events_ks_merged", "events_kmv_merged", "docs_stopword_rate_by_lang",
-    "part_size_vs_price_corr", "events_kmv_distinct", "events_kmv_overlap",
-    "customer_order_golden", "customer_fs_scores",
+    "part_size_vs_price_corr", "events_kmv_distinct", "events_kmv_overlap", "customer_fs_scores",
     "orders_basket_confidence", "part_skyline_by_brand", "docs_vocab_kmv",
     "events_auc_purchase", "events_ks_value_drift",
     "docs_rater_kappa", "part_copurchase_kcore", "events_day_concurrency", "events_benford",

@@ -589,7 +589,13 @@ def lineitem_unitprice_iqr_outliers(spark, sf):
     division, deterministic both engines); quartiles of those micros
     are ×4-exact; the fences 2·(4Q₁) − 3·IQR₄ are exact ×8 integers
     and membership is an integer compare."""
-    li = T(spark, sf, "lineitem").select(
+    from faconne_spark.session import spread
+
+    # optimization r13 (guide §2.5): the exact-percentile partial
+    # aggregate buffers every u per brand on the MAP side — off the
+    # ~3-split lineitem scan that ran on 3 cores (and the flag pass
+    # re-scans); spread() is a no-op at cluster scale
+    li = spread(T(spark, sf, "lineitem")).select(
         "l_partkey",
         F.expr(
             "cast(round(cast(l_extendedprice as double) / l_quantity"

@@ -106,7 +106,14 @@ def customer_order_golden(spark, sf):
     natural o_custkey clustering."""
     from faconne_spark.operators.relational import golden_record
 
-    orders = T(spark, sf, "orders").select(
+    from faconne_spark.session import spread
+
+    # optimization r13 (guide §2.5 input parallelism): the 3
+    # countDistinct aggregates EXPAND every row x4 and the partial
+    # aggregate buffers per-field structs — all on the single-split
+    # orders scan's one task without this; spread() is a no-op at
+    # cluster scale
+    orders = spread(T(spark, sf, "orders")).select(
         "o_custkey", "o_orderkey",
         F.expr("unix_date(cast(o_orderdate as date))").alias("od"),
         "o_orderstatus", "o_orderpriority",

@@ -2706,6 +2706,9 @@ def events_anomaly_seasonal(spark, sf):
     event that is normal at peak hour but anomalous at 3am is visible
     here and invisible to the global MAD gauge.  Same deterministic
     rounded-median machinery as events_anomaly_mad."""
+    # (optimization r13: spread() here was tried and measured FLAT-to-
+    # WORSE — 1.63 -> 1.73 min-of-3 — each of the three median passes
+    # re-pays the repartition exchange; reverted.)
     ev = T(spark, sf, "events").select(
         "event_type",
         F.hour("ts").alias("hh"),

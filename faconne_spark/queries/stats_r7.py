@@ -1117,6 +1117,11 @@ def lineitem_ship_lag_quantiles(spark, sf):
     from faconne_spark.operators.relational import histogram_quantiles
     from faconne_spark.queries.curation import HQ_BINS, HQ_QS
 
+    # (optimization r13: spread() on this scan was tried and measured
+    # FLAT — 2.18 -> 2.05 min-of-3 while an untouched control key moved
+    # -18% in the same session, i.e. inside drift; the map side is a
+    # cheap projection and the join's shuffle already parallelizes.
+    # Reverted to avoid plan churn.)
     li = T(spark, sf, "lineitem").select(
         "l_orderkey", "l_returnflag", F.to_date("l_shipdate").alias("sd")
     )
