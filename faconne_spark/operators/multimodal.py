@@ -1766,6 +1766,36 @@ def extract_png_pixel_stats(media: DataFrame) -> DataFrame:
 # ------------------------------------------- JPEG end-to-end gate plumbing
 
 
+def jpeg_payload_for_doc(text: str) -> bytes:
+    """The per-document baseline-JPEG builder shared by
+    :func:`synthesize_jpeg` and the fused resize operator — ONE
+    implementation so the payload a fused pass resizes is
+    byte-identical to the one the synth relation carries."""
+    import hashlib
+
+    import numpy as np
+
+    d = hashlib.md5(text.encode("utf-8")).digest()
+    wb, hb = 1 + d[0] % 3, 1 + d[1] % 3
+    vals = np.array(
+        [d[k] for k in range(wb * hb)], dtype=np.uint8
+    ).reshape(hb, wb)
+    px = vals.repeat(8, axis=0).repeat(8, axis=1).tobytes()
+    return jpeg_encode(
+        8 * wb, 8 * hb, px, channels=1, quant=([1] * 64, [1] * 64)
+    )
+
+
+def gif_payload_for_doc(text: str) -> bytes:
+    """Per-document GIF87a builder (see :func:`synthesize_gif`);
+    shared with the fused resize operator."""
+    import hashlib
+
+    d = hashlib.md5(text.encode("utf-8")).digest()
+    w, h = 8 + d[0] % 24, 8 + d[1] % 24
+    return gif_encode(w, h, _tile(d, w * h))
+
+
 def synthesize_jpeg(docs: DataFrame) -> DataFrame:
     """One REAL baseline JPEG per document: grayscale, wB×hB blocks
     with wB = 1 + d0 % 3, hB = 1 + d1 % 3 (≤ 24×24), block k's 64
@@ -1778,28 +1808,15 @@ def synthesize_jpeg(docs: DataFrame) -> DataFrame:
     admissible).  Every image still crosses the full entropy pipeline:
     Huffman DC categories + differential coding + EOB, byte stuffing,
     dequant, IDCT."""
-    import hashlib
-
-    import numpy as np
-
     from faconne_spark.session import spread
 
     base = spread(docs.select("doc_id", "text"))
-    ones = ([1] * 64, [1] * 64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads, types = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                d = hashlib.md5(text.encode("utf-8")).digest()
-                wb, hb = 1 + d[0] % 3, 1 + d[1] % 3
-                vals = np.array(
-                    [d[k] for k in range(wb * hb)], dtype=np.uint8
-                ).reshape(hb, wb)
-                px = vals.repeat(8, axis=0).repeat(8, axis=1).tobytes()
-                payloads.append(
-                    jpeg_encode(8 * wb, 8 * hb, px, channels=1, quant=ones)
-                )
+                payloads.append(jpeg_payload_for_doc(text))
                 ids.append(doc_id)
                 types.append("image/jpeg")
             yield pd.DataFrame(
@@ -2196,6 +2213,66 @@ def resize_media(
             )
 
     return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FUSED_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resample_sum", LongType()),
+    ]
+)
+
+
+def resize_mixed_report(
+    docs: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Fused synthesize + resize for the mixed five-container relation
+    (optimization r13, guide §8 "move heavy bytes once" / §4 fewer
+    Python boundary crossings): the old mm_resize shape was THREE
+    synthesize mapInPandas passes (base media ∪ JPEG ∪ GIF, each with
+    its own spread+Arrow round trip), a union exchange, and a FOURTH
+    Python pass for the resize — every synthesized payload crossed
+    Python→JVM→Python just to be decoded again.  This operator runs
+    the identical per-document builders (media_payload,
+    jpeg_payload_for_doc, gif_payload_for_doc — the same module
+    functions the synth operators call) and the identical
+    resize_image_with_sum in ONE pass, and emits only the columns the
+    report aggregates (type, dims, byte count, resample checksum) —
+    the payloads never cross the boundary at all.  Per-row values are
+    bit-identical by shared implementation; only the plan shape
+    changes."""
+    from faconne_spark.session import spread
+
+    base = spread(docs.select("doc_id", "text"))
+    cols = [f.name for f in FUSED_RESIZE_SCHEMA]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                base_payload, base_type = media_payload(did, text)
+                for payload, mtype in (
+                    (base_payload, base_type),
+                    (jpeg_payload_for_doc(text), "image/jpeg"),
+                    (gif_payload_for_doc(text), "image/gif"),
+                ):
+                    if mtype.startswith("image/"):
+                        out, rsum = resize_image_with_sum(
+                            bytes(payload), width, height
+                        )
+                        rows.append(
+                            (did, mtype, width, height, len(out), rsum)
+                        )
+                    else:
+                        rows.append((did, mtype, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return base.mapInPandas(batches, FUSED_RESIZE_SCHEMA)
 
 
 # ---------------------------------------------------------- frame sampling
@@ -2966,14 +3043,10 @@ def synthesize_gif(docs: DataFrame) -> DataFrame:
     base = spread(docs.select("doc_id", "text"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in it:
             ids, payloads, types = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                d = hashlib.md5(text.encode("utf-8")).digest()
-                w, h = 8 + d[0] % 24, 8 + d[1] % 24
-                payloads.append(gif_encode(w, h, _tile(d, w * h)))
+                payloads.append(gif_payload_for_doc(text))
                 ids.append(doc_id)
                 types.append("image/gif")
             yield pd.DataFrame(

@@ -80,6 +80,10 @@ _CHANGED_THIS_ROUND = [
     #    exact-percentile partial buffers) --
     "customer_order_golden",
     "lineitem_unitprice_iqr_outliers",
+    # -- wave 3: fused synthesize+resize single Arrow pass (payloads no
+    #    longer cross the Python boundary; see multimodal.
+    #    resize_mixed_report) --
+    "mm_resize",
 ]
 
 _REST = [
@@ -292,7 +296,7 @@ _REST = [
     "embed_quantize_int8", "ann_hard_negatives",
     "ann_recall_eval", "text_readability", "dedup_minhash_calibration",
     "embed_threshold_sweep", "join_skew_report", "corpus_snapshot_diff",
-    "events_attribution", "mm_resize", "mm_image_meta", "mm_frame_sample",
+    "events_attribution", "mm_image_meta", "mm_frame_sample",
     "dedup_containment", "dedup_winnowing", "dedup_clusters",
     "dup_graph_stats", "dedup_simhash", "dedup_minhash_lsh",
     "dedup_incremental", "user_rfm_segments", "quality_gate", "text_lang_id",

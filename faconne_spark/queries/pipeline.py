@@ -712,15 +712,15 @@ def mm_resize(spark, sf):
     suite).  The oracle replays every checksum closed-form from
     md5(text) because all synthesized pixels are digest-derived."""
     docs = T(spark, sf, "documents")
-    mixed = (
-        MM.synthesize_media(docs)
-        .unionByName(MM.synthesize_jpeg(docs))
-        .unionByName(MM.synthesize_gif(docs))
-    )
-    out = MM.resize_media(mixed)
+    # optimization r13 (guide §8/§4): the union-of-three-synth-passes +
+    # separate resize pass shipped every payload Python→JVM→Python; the
+    # fused operator runs the identical per-doc builders + resize in
+    # ONE Arrow pass and the payloads never cross the boundary (see
+    # multimodal.resize_mixed_report).  2.93 → 1.52 s min-of-3.
+    out = MM.resize_mixed_report(docs)
     return out.groupBy("media_type").agg(
         F.count("*").alias("n_media"),
-        F.count("resized").alias("n_resized"),
+        F.count("resized_bytes").alias("n_resized"),
         F.sum(
             F.col("out_width").cast("long") * F.col("out_height")
         ).alias("total_out_px"),
