@@ -1826,6 +1826,25 @@ def synthesize_jpeg(docs: DataFrame) -> DataFrame:
     return base.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def jpeg_progressive_payload_for_doc(text: str) -> bytes:
+    """Per-document progressive-JPEG builder (see
+    :func:`synthesize_jpeg_progressive`); shared with the fused
+    single-pass gate operator so both paths carry identical bytes."""
+    import hashlib
+
+    import numpy as np
+
+    d = hashlib.md5(text.encode("utf-8")).digest()
+    wb, hb = 1 + d[0] % 3, 1 + d[1] % 3
+    vals = np.array(
+        [d[k] for k in range(wb * hb)], dtype=np.uint8
+    ).reshape(hb, wb)
+    px = vals.repeat(8, axis=0).repeat(8, axis=1).tobytes()
+    return jpeg_encode_progressive(
+        8 * wb, 8 * hb, px, channels=1, quant=([1] * 64, [1] * 64)
+    )
+
+
 def synthesize_jpeg_progressive(docs: DataFrame) -> DataFrame:
     """One REAL progressive JPEG (SOF2) per document — the same
     flat-block grayscale content and all-ones quantization as
@@ -1836,30 +1855,15 @@ def synthesize_jpeg_progressive(docs: DataFrame) -> DataFrame:
     same closed-form md5 oracle gates the whole progressive
     entropy-decode path (EOB runs, correction bits, multi-scan marker
     walk).  Arrow-batched map-only."""
-    import hashlib
-
-    import numpy as np
-
     from faconne_spark.session import spread
 
     base = spread(docs.select("doc_id", "text"))
-    ones = ([1] * 64, [1] * 64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads, types = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                d = hashlib.md5(text.encode("utf-8")).digest()
-                wb, hb = 1 + d[0] % 3, 1 + d[1] % 3
-                vals = np.array(
-                    [d[k] for k in range(wb * hb)], dtype=np.uint8
-                ).reshape(hb, wb)
-                px = vals.repeat(8, axis=0).repeat(8, axis=1).tobytes()
-                payloads.append(
-                    jpeg_encode_progressive(
-                        8 * wb, 8 * hb, px, channels=1, quant=ones
-                    )
-                )
+                payloads.append(jpeg_progressive_payload_for_doc(text))
                 ids.append(doc_id)
                 types.append("image/jpeg")
             yield pd.DataFrame(
@@ -1945,6 +1949,20 @@ def extract_jpeg12_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def jpeg_pixel_stats_row(doc_id: int, payload: bytes) -> dict:
+    """Per-payload JPEG gate reduction (full decode + pixel sum) —
+    shared by extract_jpeg_pixel_stats and the fused single-pass
+    operator."""
+    w, h, _channels, px = jpeg_pixels(payload)
+    return {
+        "doc_id": doc_id,
+        "width": w,
+        "height": h,
+        "n_px_bytes": len(px),
+        "pixel_sum": sum(px),
+    }
+
+
 def extract_jpeg_pixel_stats(media: DataFrame) -> DataFrame:
     """FULL JPEG decode per payload (marker walk + Huffman entropy
     decode + dequant + IDCT), reduced to (width, height, n_px_bytes,
@@ -1956,18 +1974,10 @@ def extract_jpeg_pixel_stats(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, channels, px = jpeg_pixels(bytes(payload))
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "width": w,
-                        "height": h,
-                        "n_px_bytes": len(px),
-                        "pixel_sum": sum(px),
-                    }
-                )
+            rows = [
+                jpeg_pixel_stats_row(int(doc_id), bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in PNG_STATS_SCHEMA]
             )
@@ -2213,6 +2223,31 @@ def resize_media(
             )
 
     return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def fused_media_stats(docs, payload_fn, row_fn, schema) -> DataFrame:
+    """Generic fused synthesize→extract gate (optimization r13, guide
+    §4 — one Python boundary crossing instead of two): runs the
+    per-document payload builder and the per-payload gate reduction in
+    the SAME Arrow pass, so the synthesized container bytes never
+    cross Python→JVM→Python between the two stages.  ``payload_fn``
+    and ``row_fn`` are the exact module functions the standalone
+    synthesize_*/extract_* operators call — one implementation, so the
+    fused path cannot drift from the two-pass path."""
+    from faconne_spark.session import spread
+
+    base = spread(docs.select("doc_id", "text"))
+    cols = [f.name for f in schema]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                row_fn(int(doc_id), payload_fn(text))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return base.mapInPandas(batches, schema)
 
 
 FUSED_RESIZE_SCHEMA = StructType(
@@ -3830,6 +3865,52 @@ def mp4_encode_mjpeg_fragmented(
     return b"".join(out)
 
 
+def _mjpeg_frames_for_doc(d: bytes, n: int, wb: int, hb: int) -> list:
+    """The shared digest-rotated flat-block MJPEG frame list both MP4
+    builders encode (block k of frame i valued d[(k + i) % 16])."""
+    import numpy as np
+
+    ones = ([1] * 64, [1] * 64)
+    frames = []
+    for i in range(n):
+        vals = np.array(
+            [d[(k + i) % 16] for k in range(wb * hb)], dtype=np.uint8
+        ).reshape(hb, wb)
+        px = vals.repeat(8, axis=0).repeat(8, axis=1).tobytes()
+        frames.append(
+            jpeg_encode(8 * wb, 8 * hb, px, channels=1, quant=ones)
+        )
+    return frames
+
+
+def mp4_payload_for_doc(text: str) -> bytes:
+    """Per-document MJPEG-in-MP4 builder (see :func:`synthesize_mp4`);
+    shared with the fused single-pass gate operator."""
+    import hashlib
+
+    d = hashlib.md5(text.encode("utf-8")).digest()
+    n = 2 + d[3] % 5
+    wb, hb = 1 + d[4] % 3, 1 + d[5] % 3
+    frames = _mjpeg_frames_for_doc(d, n, wb, hb)
+    return mp4_encode_mjpeg(frames, 8 * wb, 8 * hb)
+
+
+def mp4_fragmented_payload_for_doc(text: str) -> bytes:
+    """Per-document fragmented-MP4 builder (see
+    :func:`synthesize_mp4_fragmented`); shared with the fused
+    single-pass gate operator."""
+    import hashlib
+
+    d = hashlib.md5(text.encode("utf-8")).digest()
+    n = 2 + d[7] % 6
+    wb, hb = 1 + d[8] % 3, 1 + d[9] % 3
+    fpf = 1 + d[10] % 3
+    frames = _mjpeg_frames_for_doc(d, n, wb, hb)
+    return mp4_encode_mjpeg_fragmented(
+        frames, 8 * wb, 8 * hb, frames_per_fragment=fpf
+    )
+
+
 def synthesize_mp4(docs: DataFrame) -> DataFrame:
     """One REAL MJPEG-in-MP4 per document: 2 + d3 % 5 frames, each a
     flat-block grayscale JPEG of 8·(1 + d4 % 3) × 8·(1 + d5 % 3) with
@@ -3838,37 +3919,15 @@ def synthesize_mp4(docs: DataFrame) -> DataFrame:
     quantization — every frame's decoded pixel content is closed-form
     over md5(text) while the bytes cross the full JPEG entropy
     pipeline AND the full ISO BMFF sample-table walk."""
-    import hashlib
-
-    import numpy as np
-
     from faconne_spark.session import spread
 
     base = spread(docs.select("doc_id", "text"))
-    ones = ([1] * 64, [1] * 64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads, types = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                d = hashlib.md5(text.encode("utf-8")).digest()
-                n = 2 + d[3] % 5
-                wb, hb = 1 + d[4] % 3, 1 + d[5] % 3
-                frames = []
-                for i in range(n):
-                    vals = np.array(
-                        [d[(k + i) % 16] for k in range(wb * hb)],
-                        dtype=np.uint8,
-                    ).reshape(hb, wb)
-                    px = vals.repeat(8, axis=0).repeat(8, axis=1).tobytes()
-                    frames.append(
-                        jpeg_encode(
-                            8 * wb, 8 * hb, px, channels=1, quant=ones
-                        )
-                    )
-                payloads.append(
-                    mp4_encode_mjpeg(frames, 8 * wb, 8 * hb)
-                )
+                payloads.append(mp4_payload_for_doc(text))
                 ids.append(doc_id)
                 types.append("video/mp4")
             yield pd.DataFrame(
@@ -3887,40 +3946,15 @@ def synthesize_mp4_fragmented(docs: DataFrame) -> DataFrame:
     md5(text) while the bytes cross the full JPEG entropy pipeline AND
     the §8.8 moof/traf/trun fragment walk (different digest indices
     than synthesize_mp4, so the two gates cannot mask each other)."""
-    import hashlib
-
-    import numpy as np
-
     from faconne_spark.session import spread
 
     base = spread(docs.select("doc_id", "text"))
-    ones = ([1] * 64, [1] * 64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads, types = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                d = hashlib.md5(text.encode("utf-8")).digest()
-                n = 2 + d[7] % 6
-                wb, hb = 1 + d[8] % 3, 1 + d[9] % 3
-                fpf = 1 + d[10] % 3
-                frames = []
-                for i in range(n):
-                    vals = np.array(
-                        [d[(k + i) % 16] for k in range(wb * hb)],
-                        dtype=np.uint8,
-                    ).reshape(hb, wb)
-                    px = vals.repeat(8, axis=0).repeat(8, axis=1).tobytes()
-                    frames.append(
-                        jpeg_encode(
-                            8 * wb, 8 * hb, px, channels=1, quant=ones
-                        )
-                    )
-                payloads.append(
-                    mp4_encode_mjpeg_fragmented(
-                        frames, 8 * wb, 8 * hb, frames_per_fragment=fpf
-                    )
-                )
+                payloads.append(mp4_fragmented_payload_for_doc(text))
                 ids.append(doc_id)
                 types.append("video/mp4")
             yield pd.DataFrame(
@@ -3942,6 +3976,27 @@ MP4_FRAME_STATS_SCHEMA = StructType(
 )
 
 
+def mp4_frame_stats_row(
+    doc_id: int, payload: bytes, every_n: int = 2
+) -> dict:
+    """Per-payload MP4 gate reduction (sample walk + JPEG decode of
+    kept frames) — shared by extract_mp4_frame_stats and the fused
+    single-pass operator."""
+    kept = sample_frames_real(payload, every_n)
+    total, w, h = 0, None, None
+    for _idx, frame in kept:
+        w, h, _ch, px = jpeg_pixels(frame)
+        total += sum(px)
+    return {
+        "doc_id": doc_id,
+        "width": w,
+        "height": h,
+        "n_frames_kept": len(kept),
+        "max_frame_idx": max(i for i, _ in kept),
+        "pixel_sum": total,
+    }
+
+
 def extract_mp4_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
     """End-to-end MP4 gate reduction: ISO BMFF sample walk → keep every
     n-th frame → FULL JPEG decode of each kept frame → per-doc pixel
@@ -3951,23 +4006,10 @@ def extract_mp4_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                kept = sample_frames_real(bytes(payload), every_n)
-                total, w, h = 0, None, None
-                for _idx, frame in kept:
-                    w, h, _ch, px = jpeg_pixels(frame)
-                    total += sum(px)
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "width": w,
-                        "height": h,
-                        "n_frames_kept": len(kept),
-                        "max_frame_idx": max(i for i, _ in kept),
-                        "pixel_sum": total,
-                    }
-                )
+            rows = [
+                mp4_frame_stats_row(int(doc_id), bytes(payload), every_n)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MP4_FRAME_STATS_SCHEMA]
             )
@@ -4607,6 +4649,28 @@ FLAC_STATS_SCHEMA = StructType(
 )
 
 
+def flac_payload_for_doc(text: str) -> bytes:
+    """Per-document FLAC builder (see :func:`synthesize_flac`);
+    shared with the fused single-pass gate operator."""
+    import hashlib
+
+    d = hashlib.md5(text.encode("utf-8")).digest()
+    samples = []
+    for i in range(3 + d[0] % 4):
+        length = 8 + d[2 + i] % 24
+        kind = (i + d[1]) % 3
+        if kind == 0:
+            samples += [0] * length
+        elif kind == 1:
+            samples += [256 * (1 + d[8 + i] % 100)] * length
+        else:
+            a = -64 * (d[8 + i] % 100)
+            step = 1 + d[15 - i] % 16
+            samples += [a + step * j for j in range(length)]
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    return flac_encode(pcm)
+
+
 def synthesize_flac(docs: DataFrame) -> DataFrame:
     """One REAL FLAC per document: the PCM is built from md5(text)
     digest bytes so a DuckDB oracle can replay it closed-form —
@@ -4621,26 +4685,10 @@ def synthesize_flac(docs: DataFrame) -> DataFrame:
     base = spread(docs.select("doc_id", "text"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in it:
             ids, payloads, types = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                d = hashlib.md5(text.encode("utf-8")).digest()
-                samples = []
-                for i in range(3 + d[0] % 4):
-                    length = 8 + d[2 + i] % 24
-                    kind = (i + d[1]) % 3
-                    if kind == 0:
-                        samples += [0] * length
-                    elif kind == 1:
-                        samples += [256 * (1 + d[8 + i] % 100)] * length
-                    else:
-                        a = -64 * (d[8 + i] % 100)
-                        s = 1 + d[15 - i] % 16
-                        samples += [a + s * j for j in range(length)]
-                pcm = struct.pack(f"<{len(samples)}h", *samples)
-                payloads.append(flac_encode(pcm))
+                payloads.append(flac_payload_for_doc(text))
                 ids.append(doc_id)
                 types.append("audio/flac")
             yield pd.DataFrame(
@@ -4648,6 +4696,21 @@ def synthesize_flac(docs: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def flac_stats_row(doc_id: int, payload: bytes) -> dict:
+    """Per-payload FLAC gate reduction (decode + integer sample stats)
+    — ONE implementation shared by extract_flac_stats and the fused
+    single-pass operator."""
+    chans, _rate, _bps = flac_decode(payload)
+    s = chans[0]
+    return {
+        "doc_id": doc_id,
+        "n_samples": len(s),
+        "peak": max((abs(v) for v in s), default=0),
+        "sample_sum": sum(s),
+        "sample_sumsq": sum(v * v for v in s),
+    }
 
 
 def extract_flac_stats(media: DataFrame) -> DataFrame:
@@ -4661,19 +4724,10 @@ def extract_flac_stats(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                chans, _rate, _bps = flac_decode(bytes(payload))
-                s = chans[0]
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "n_samples": len(s),
-                        "peak": max((abs(v) for v in s), default=0),
-                        "sample_sum": sum(s),
-                        "sample_sumsq": sum(v * v for v in s),
-                    }
-                )
+            rows = [
+                flac_stats_row(int(doc_id), bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FLAC_STATS_SCHEMA]
             )
@@ -4798,6 +4852,30 @@ GIF_ANIM_SCHEMA = StructType(
 )
 
 
+def gif_animated_payload_for_doc(text: str) -> bytes:
+    """Per-document animated-GIF builder (see
+    :func:`synthesize_gif_animated`); shared with the fused
+    single-pass gate operator."""
+    import hashlib
+
+    d = hashlib.md5(text.encode("utf-8")).digest()
+    dg = [b % 16 for b in d]
+    n = 2 + d[6] % 6
+    wb, hb = 1 + d[11] % 3, 1 + d[12] % 3
+    w, h = 8 * wb, 8 * hb
+    frames = []
+    for i in range(n):
+        px = bytearray(w * h)
+        for k in range(wb * hb):
+            v = dg[(k + 3 * i) % 16]
+            bx, by = (k % wb) * 8, (k // wb) * 8
+            for r in range(8):
+                o = (by + r) * w + bx
+                px[o : o + 8] = bytes([v]) * 8
+        frames.append((w, h, bytes(px)))
+    return gif_encode_animated(frames)
+
+
 def synthesize_gif_animated(docs: DataFrame) -> DataFrame:
     """One REAL animated GIF per document: 2 + d6 % 6 frames of
     (1 + d11 % 3)×(1 + d12 % 3) flat 8×8 gray blocks, block k of
@@ -4810,27 +4888,10 @@ def synthesize_gif_animated(docs: DataFrame) -> DataFrame:
     base = spread(docs.select("doc_id", "text"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in it:
             ids, payloads, types = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                d = hashlib.md5(text.encode("utf-8")).digest()
-                dg = [b % 16 for b in d]
-                n = 2 + d[6] % 6
-                wb, hb = 1 + d[11] % 3, 1 + d[12] % 3
-                w, h = 8 * wb, 8 * hb
-                frames = []
-                for i in range(n):
-                    px = bytearray(w * h)
-                    for k in range(wb * hb):
-                        v = dg[(k + 3 * i) % 16]
-                        bx, by = (k % wb) * 8, (k // wb) * 8
-                        for r in range(8):
-                            o = (by + r) * w + bx
-                            px[o : o + 8] = bytes([v]) * 8
-                    frames.append((w, h, bytes(px)))
-                payloads.append(gif_encode_animated(frames))
+                payloads.append(gif_animated_payload_for_doc(text))
                 ids.append(doc_id)
                 types.append("image/gif")
             yield pd.DataFrame(
@@ -4838,6 +4899,28 @@ def synthesize_gif_animated(docs: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def gif_frame_stats_row(
+    doc_id: int, payload: bytes, every_n: int = 2
+) -> dict:
+    """Per-payload animated-GIF gate reduction (multi-image walk + LZW
+    decode of kept frames) — shared by extract_gif_frame_stats and the
+    fused single-pass operator."""
+    all_frames = gif_frames(payload)
+    kept = [(i, f) for i, f in enumerate(all_frames) if i % every_n == 0]
+    total, w, h = 0, None, None
+    for _i, (_l, _t, fw, fh, idx) in kept:
+        w, h = fw, fh
+        total += sum(idx)
+    return {
+        "doc_id": doc_id,
+        "width": w,
+        "height": h,
+        "n_frames_kept": len(kept),
+        "max_frame_idx": max(i for i, _ in kept),
+        "pixel_sum": total,
+    }
 
 
 def extract_gif_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
@@ -4849,27 +4932,10 @@ def extract_gif_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                all_frames = gif_frames(bytes(payload))
-                kept = [
-                    (i, f) for i, f in enumerate(all_frames)
-                    if i % every_n == 0
-                ]
-                total, w, h = 0, None, None
-                for _i, (_l, _t, fw, fh, idx) in kept:
-                    w, h = fw, fh
-                    total += sum(idx)
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "width": w,
-                        "height": h,
-                        "n_frames_kept": len(kept),
-                        "max_frame_idx": max(i for i, _ in kept),
-                        "pixel_sum": total,
-                    }
-                )
+            rows = [
+                gif_frame_stats_row(int(doc_id), bytes(payload), every_n)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in GIF_ANIM_SCHEMA]
             )

@@ -84,6 +84,14 @@ _CHANGED_THIS_ROUND = [
     #    longer cross the Python boundary; see multimodal.
     #    resize_mixed_report) --
     "mm_resize",
+    # -- wave 4: fused synthesize->extract single Arrow pass for the
+    #    gate keys (multimodal.fused_media_stats; identical per-doc
+    #    builders/reductions, one boundary crossing instead of two) --
+    "mm_flac_stats",
+    "mm_gif_animation",
+    "mm_mp4_frames",
+    "mm_mp4_fragmented",
+    "mm_jpeg_progressive",
 ]
 
 _REST = [
@@ -110,9 +118,7 @@ _REST = [
     "docs_lang_mix_entropy",
     "events_hour_value_median_profile",
     "docs_ttr_quantiles",
-    "mm_mp4_fragmented",
     "customer_segment_welch_pairs",
-    "mm_flac_stats",
     "events_daily_permutation_entropy",
     "events_daily_grubbs",
     "events_daily_max_drawdown",
@@ -124,7 +130,6 @@ _REST = [
     "docs_source_wasserstein",
     "events_hour_tv_distance",
     "stream_ph_drift",
-    "mm_gif_animation",
     "events_daily_blomqvist_beta",
     "orders_priority_shiplag_somers_d",
     "ann_panel_epsilon_degree",
@@ -155,7 +160,6 @@ _REST = [
     "events_gap_weibull_fit",
     "events_weekend_energy_distance",
     "orders_monthly_seasonal_strength",
-    "mm_mp4_frames",
     "events_daily_acf_ljungbox",
     "events_value_mad_by_type",
     "events_value_gini_by_type",
@@ -173,7 +177,6 @@ _REST = [
     "events_value_bowley_skew", "mm_gif_pixel_entropy",
     "events_type_value_qq",
     "ann_hubness", "embed_twonn_intrinsic_dim",
-    "mm_jpeg_progressive",
     "events_monthly_max_gumbel",
     "events_volume_value_kendall",
     "events_weekend_cliffs_delta",

@@ -28,7 +28,11 @@ def mm_mp4_frames(spark, sf):
     chunk-map, or entropy defect shifts the value.  Arrow-batched
     map-only; no shuffle."""
     docs = T(spark, sf, "documents")
-    return MM.extract_mp4_frame_stats(MM.synthesize_mp4(docs))
+    # optimization r13 (guide §4): fused single Arrow pass
+    return MM.fused_media_stats(
+        docs, MM.mp4_payload_for_doc, MM.mp4_frame_stats_row,
+        MM.MP4_FRAME_STATS_SCHEMA,
+    )
 
 
 def _oracle_mm_mp4() -> str:
