@@ -2571,6 +2571,14 @@ def ahash64_real(payload: bytes) -> tuple:
     return w, h, hv
 
 
+def image_ahash_row(doc_id: int, payload: bytes) -> dict:
+    """Per-payload aHash gate reduction (full container decode +
+    64-cell average hash) — shared by extract_image_ahash and the
+    fused single-pass operator."""
+    w, h, hv = ahash64_real(payload)
+    return {"doc_id": doc_id, "width": w, "height": h, "ahash64": hv}
+
+
 def extract_image_ahash(media: DataFrame) -> DataFrame:
     """Arrow-batched aHash extraction over a binary media column
     (image/bmp + image/png + image/jpeg + image/gif rows only — push
@@ -2588,15 +2596,12 @@ def extract_image_ahash(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, ws, hs, hvs = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, hv = ahash64_real(bytes(payload))
-                ids.append(doc_id)
-                ws.append(w)
-                hs.append(h)
-                hvs.append(hv)
+            rows = [
+                image_ahash_row(int(doc_id), bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
-                {"doc_id": ids, "width": ws, "height": hs, "ahash64": hvs}
+                rows, columns=[f.name for f in AHASH_SCHEMA]
             )
 
     return imgs.select("doc_id", "payload").mapInPandas(batches, AHASH_SCHEMA)
@@ -3091,6 +3096,20 @@ def synthesize_gif(docs: DataFrame) -> DataFrame:
     return base.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def gif_pixel_stats_row(doc_id: int, payload: bytes) -> dict:
+    """Per-payload GIF gate reduction (full LZW decode + pixel sum) —
+    shared by extract_gif_pixel_stats and the fused single-pass
+    operator."""
+    w, h, _channels, px = gif_pixels(payload)
+    return {
+        "doc_id": doc_id,
+        "width": w,
+        "height": h,
+        "n_px_bytes": len(px),
+        "pixel_sum": sum(px),
+    }
+
+
 def extract_gif_pixel_stats(media: DataFrame) -> DataFrame:
     """FULL GIF decode per payload (header walk + sub-block
     reassembly + variable-width LZW), reduced to (width, height,
@@ -3102,18 +3121,10 @@ def extract_gif_pixel_stats(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, channels, px = gif_pixels(bytes(payload))
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "width": w,
-                        "height": h,
-                        "n_px_bytes": len(px),
-                        "pixel_sum": sum(px),
-                    }
-                )
+            rows = [
+                gif_pixel_stats_row(int(doc_id), bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in PNG_STATS_SCHEMA]
             )

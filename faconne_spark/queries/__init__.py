@@ -92,6 +92,10 @@ _CHANGED_THIS_ROUND = [
     "mm_mp4_frames",
     "mm_mp4_fragmented",
     "mm_jpeg_progressive",
+    "mm_jpeg_decode",
+    "mm_jpeg_ahash",
+    "mm_gif_ahash",
+    "mm_gif_decode",
 ]
 
 _REST = [
@@ -171,8 +175,7 @@ _REST = [
     # -- unchanged keys (fresh r10 rows), r10 order --
     "orders_priority_shiplag_ks", "events_active_days_gini",
     "events_transition_asymmetry", "docs_source_simpson_diversity",
-    "events_daily_runs_test", "part_size_price_spearman",
-    "mm_gif_ahash", "docs_bigram_pmi_top", "docs_quality_length_spearman",
+    "events_daily_runs_test", "part_size_price_spearman", "docs_bigram_pmi_top", "docs_quality_length_spearman",
     "events_value_kruskal_by_dow", "events_weekday_friedman",
     "events_value_bowley_skew", "mm_gif_pixel_entropy",
     "events_type_value_qq",
@@ -202,7 +205,7 @@ _REST = [
     "docs_lexical_richness_indices",
     "orders_totalprice_benford12",
     # -- unchanged keys (fresh r9 rows), r9 order --
-    "mm_jpeg_decode", "mm_image_ahash", "mm_jpeg_ahash",
+    "mm_image_ahash",
     "events_type_share_drift_jsd", "events_user_entropy_quantiles",
     "copurchase_clustering_coeff", "orders_priority_balance_catrend",
     "orders_value_decile_migration", "ann_label_consistency",
@@ -219,7 +222,7 @@ _REST = [
     "embed_dim_variance_concentration", "events_weekend_wilcoxon",
     "orders_priority_value_gamma", "events_hourly_profile_correlation",
     "docs_hapax_rate",
-    "docs_length_lognormal_fit", "mm_gif_decode", "mm_audio_silence_runs",
+    "docs_length_lognormal_fit", "mm_audio_silence_runs",
     "events_user_degree_powerlaw_mle", "docs_source_topword_rbo",
     "customer_order_value_icc", "events_value_jarque_bera",
     "events_user_count_nbd_fit", "orders_monthly_theil_sen",

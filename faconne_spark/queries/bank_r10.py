@@ -473,7 +473,11 @@ def mm_gif_ahash(spark, sf):
     from faconne_spark.operators import multimodal as MM
 
     docs = T(spark, sf, "documents")
-    return MM.extract_image_ahash(MM.synthesize_gif(docs))
+    # optimization r13 (guide §4): fused single Arrow pass
+    return MM.fused_media_stats(
+        docs, MM.gif_payload_for_doc, MM.image_ahash_row,
+        MM.AHASH_SCHEMA,
+    )
 
 
 def _oracle_gif_ahash() -> str:

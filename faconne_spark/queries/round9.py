@@ -37,7 +37,11 @@ def mm_jpeg_decode(spark, sf):
     from faconne_spark.operators import multimodal as MM
 
     docs = T(spark, sf, "documents")
-    return MM.extract_jpeg_pixel_stats(MM.synthesize_jpeg(docs))
+    # optimization r13 (guide §4): fused single Arrow pass
+    return MM.fused_media_stats(
+        docs, MM.jpeg_payload_for_doc, MM.jpeg_pixel_stats_row,
+        MM.PNG_STATS_SCHEMA,
+    )
 
 
 def _oracle_jpeg_decode() -> str:
@@ -85,7 +89,11 @@ def mm_jpeg_ahash(spark, sf):
     from faconne_spark.operators import multimodal as MM
 
     docs = T(spark, sf, "documents")
-    return MM.extract_image_ahash(MM.synthesize_jpeg(docs))
+    # optimization r13 (guide §4): fused single Arrow pass
+    return MM.fused_media_stats(
+        docs, MM.jpeg_payload_for_doc, MM.image_ahash_row,
+        MM.AHASH_SCHEMA,
+    )
 
 
 def _oracle_jpeg_ahash() -> str:

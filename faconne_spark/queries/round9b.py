@@ -1200,7 +1200,11 @@ def mm_gif_decode(spark, sf):
     from faconne_spark.operators import multimodal as MM
 
     docs = T(spark, sf, "documents")
-    return MM.extract_gif_pixel_stats(MM.synthesize_gif(docs))
+    # optimization r13 (guide §4): fused single Arrow pass
+    return MM.fused_media_stats(
+        docs, MM.gif_payload_for_doc, MM.gif_pixel_stats_row,
+        MM.PNG_STATS_SCHEMA,
+    )
 
 
 def _oracle_gif_decode() -> str:
